@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design: nothing here is all-pairs over the corpus. Candidate
+  * generation is always a shuffle-join on a *blocking key* (shingle,
+  * LSH band hash, SimHash chunk, cluster label) so the quadratic blow-up
+  * is confined to same-block groups; ubiquitous blocking keys are dropped
+  * by a document-frequency cap (stop-shingle removal), the standard guard
+  * against skewed join keys at 100 TB.
+  *
+  * MinHash here uses lexicographic MIN over md5 hex digests as the hash
+  * family (seeded by prefixing the permutation index) — deterministic,
+  * portable to the DuckDB oracle, and uniform enough for LSH banding.
+  */
+object Dedup {
+
+  /** Words of a document (whitespace tokenization, matches the oracle). */
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Distinct 3-word shingles of `text` (1-based positions i..i+2).
+    * Documents shorter than 3 words yield no shingles.
+    */
+  def shingles3(text: Column): Column = {
+    val w = words(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(w) - lit(2), lit(0))),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+  }
+
+  /** Exploded (doc_id, shingle) pairs with a document-frequency cap:
+    * shingles occurring in more than `maxDf` documents are dropped from
+    * both signature and candidate generation (consistently with the
+    * oracle), bounding per-key join fan-out.
+    */
+  def docShingles(docs: DataFrame, maxDf: Int): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+    val dfCap = exploded.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("sh"))
+    exploded.join(dfCap, Seq("sh"))
+  }
+
+  private val MaxDf = 50
+
+  /** Shared oracle CTE: capped (doc_id, shingle) pairs. */
+  private val shingleCte: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ex AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 1)),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+      |       FROM w),
+      |s AS (SELECT doc_id, sh FROM ex
+      |      WHERE sh IN (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 50))""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Exact dedup: content-hash keep-list (min doc_id survives per group).
+    QuerySpec(
+      "dedup_exact",
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies,
+        | min(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY md5(text)""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+    },
+
+    // N-gram Jaccard near-dup pairs: candidates share a (capped) shingle;
+    // exact Jaccard from distinct-shingle counts; threshold 0.8.
+    QuerySpec(
+      "dedup_ngram",
+      s"""$shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+         |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8""".stripMargin) {
+      (s, d) =>
+        val sh = docShingles(Tables.documents(s, d), MaxDf).cache()
+        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+        val inter = a.join(b, Seq("sh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("i"))
+        val jac = col("i").cast("double") /
+          (col("na") + col("nb") - col("i"))
+        inter
+          .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
+          .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+    },
+
+    // MinHash + LSH: 12 md5-seeded min-hashes, 4 bands × 3 rows; candidate
+    // pairs collide on at least one band. Portable to the oracle because
+    // the hash family is md5 hex + lexicographic MIN.
+    QuerySpec(
+      "dedup_minhash",
+      s"""$shingleCte,
+         |sig AS (SELECT doc_id,
+         |  ${(0 until 12).map(j => s"min(md5('$j:' || sh)) AS h$j").mkString(", ")}
+         |  FROM s GROUP BY doc_id),
+         |bands AS (
+         |  ${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, md5(h${3*b} || '|' || h${3*b+1} || '|' || h${3*b+2}) AS bh FROM sig")
+             .mkString(" UNION ALL ")})
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin) {
+      (s, d) =>
+        val k = 12
+        val rowsPerBand = 3
+        val sh = docShingles(Tables.documents(s, d), MaxDf)
+        val sig = sh.groupBy(col("doc_id")).agg(
+          min(md5(concat(lit("0:"), col("sh")))).as("h0"),
+          (1 until k).map(j =>
+            min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j")): _*)
+        val bandCols = (0 until k / rowsPerBand).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|",
+              (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)).as("bh"))
+        }
+        val bands = sig
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+        val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+        val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+        a.join(b, Seq("band", "bh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+    },
+
+    // SimHash: 64-bit signature from xxhash64(token) bit votes; candidate
+    // pairs share at least one of four 16-bit chunks (finds all pairs with
+    // Hamming distance ≤ 3 by pigeonhole) and pass an exact popcount check.
+    // No portable oracle for xxhash64 ⇒ rows-only check; semantics are
+    // covered by DedupSpec.
+    QuerySpec.noOracle("dedup_simhash") { (s, d) =>
+      val sigs = simhashSignatures(Tables.documents(s, d))
+      val chunks = sigs.select(
+        col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftrightunsigned(col("simhash"), c * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("cc"))
+        .select(col("doc_id"), col("simhash"),
+          col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+      val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+        col("chunk"), col("cv"))
+      val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+        col("chunk"), col("cv"))
+      a.join(b, Seq("chunk", "cv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    },
+
+    // Embedding-cosine near-dup: blocked by cluster label (the metadata
+    // blocking key), threshold on 4-dp-rounded cosine. Pairs only — no
+    // float in the output, so cross-engine float noise can't break hashes.
+    QuerySpec(
+      "dedup_embedding",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4""".stripMargin) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"))
+        a.join(b, Seq("label"))
+          .filter(col("vec_a") < col("vec_b"))
+          .filter(round(Similarity.cosine(col("va"), col("vb")), 4) >= 0.4)
+          .select(col("vec_a"), col("vec_b"))
+    }
+  )
+
+  /** 64-bit SimHash signatures: per-shingle xxhash64, ±1 vote per bit
+    * position, sign of the vote sum sets the bit. Shingles (not single
+    * words) keep the signature discriminative when the vocabulary is
+    * small — with unigram features every doc shares most tokens and all
+    * signatures collapse toward each other.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(shingles3(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { bit =>
+      sum(when(shiftrightunsigned(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$bit")
+    }
+    val voted = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { bit =>
+      when(col(s"v$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    voted.select(col("doc_id"), sig.as("simhash"))
+  }
+}

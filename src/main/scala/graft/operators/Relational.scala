@@ -1,0 +1,357 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator surface (SURVEY.md §2.3–§2.8 plus the engine-
+  * completeness fence of §2.9), expressed Spark-first over the driver's
+  * synthetic tables.
+  *
+  * Oracle-parity conventions (the driver hash-compares against DuckDB):
+  *  - Double SUMs go through DECIMAL(18,2) (exact) and are cast back to
+  *    DOUBLE at the end, so partial-aggregation order can't perturb bits.
+  *  - Timestamps are emitted as formatted strings (Spark writes
+  *    isAdjustedToUTC parquet timestamps, DuckDB writes naive ones).
+  *  - Sorted/limited queries always carry a unique tie-break key.
+  */
+object Relational {
+
+  /** Exact decimal image of a 2-dp double column (parity helper). */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // A1 (+ groupBy extension): pricing summary — partial/final hash agg.
+    QuerySpec(
+      "q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+    },
+
+    // F1/J2/A1: latest-snapshot — scalar MAX broadcast back as a filter.
+    // 100 TB shape: 1-row agg + broadcast join, never a global sort/window.
+    QuerySpec(
+      "q_snapshot_latest",
+      """SELECT event_id, user_id, event_type, value,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM events WHERE ts = (SELECT max(ts) FROM events)""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val mx = ev.agg(max(col("ts")).as("max_ts"))
+        ev.join(broadcast(mx), col("ts") === col("max_ts"))
+          .select(
+            col("event_id"), col("user_id"), col("event_type"), col("value"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+    },
+
+    // J1: multi-key USING join (join keys deduped in output).
+    QuerySpec(
+      "q_join_using",
+      """SELECT user_id, event_type, n_events, total_value
+        |FROM (SELECT user_id, event_type, count(*) AS n_events
+        |      FROM events GROUP BY user_id, event_type) c
+        |JOIN (SELECT user_id, event_type,
+        |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |      FROM events GROUP BY user_id, event_type) v
+        |USING (user_id, event_type)""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val counts = ev.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+        val sums = ev.groupBy(col("user_id"), col("event_type"))
+          .agg(sum(dec(col("value"))).cast("double").as("total_value"))
+        counts.join(sums, Seq("user_id", "event_type"), "inner")
+    },
+
+    // The flagship shape end-to-end on the synthetic tables: two derived
+    // observation streams joined on their natural key, filtered to the
+    // latest hour *of the left stream only* (faithful to
+    // bigquery_scheduled_query.sql:12-16 — the MAX never looks at the join).
+    QuerySpec(
+      "q_flagship_snapshot",
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         strftime(ts, '%Y-%m-%d') AS d, strftime(ts, '%H') AS h
+        |  FROM events),
+        |t AS (SELECT d, h, user_id AS err_user, value AS err_value, event_id AS err_id
+        |      FROM base WHERE event_type = 'error'),
+        |w AS (SELECT d, h, user_id AS click_user, value AS click_value, event_id AS click_id
+        |      FROM base WHERE event_type = 'click')
+        |SELECT d, h, err_user, err_value, err_id, click_user, click_value, click_id
+        |FROM t JOIN w USING (d, h)
+        |WHERE strptime(d || ' ' || h, '%Y-%m-%d %H') =
+        |      (SELECT max(strptime(d || ' ' || h, '%Y-%m-%d %H')) FROM t)""".stripMargin) {
+      (s, d) =>
+        val base = Tables.events(s, d)
+          .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+          .withColumn("h", date_format(col("ts"), "HH"))
+        val t = base.filter(col("event_type") === "error")
+          .select(col("d"), col("h"), col("user_id").as("err_user"),
+            col("value").as("err_value"), col("event_id").as("err_id"))
+        val w = base.filter(col("event_type") === "click")
+          .select(col("d"), col("h"), col("user_id").as("click_user"),
+            col("value").as("click_value"), col("event_id").as("click_id"))
+        val tsExpr = to_timestamp(concat_ws(" ", col("d"), col("h")), "yyyy-MM-dd HH")
+        val mx = t.agg(max(tsExpr).as("mts"))
+        t.join(w, Seq("d", "h"), "inner")
+          .join(broadcast(mx), tsExpr === col("mts"))
+          .select(col("d"), col("h"), col("err_user"), col("err_value"),
+            col("err_id"), col("click_user"), col("click_value"), col("click_id"))
+    },
+
+    // P1/P4/P12: nested JSON scalar extraction with null-safe cast.
+    QuerySpec(
+      "q_json_extract",
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        |FROM events""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_num"))
+    },
+
+    // P2/P3: array head + negative-index last element.
+    QuerySpec(
+      "q_array_headlast",
+      """SELECT doc_id, string_split(text, ' ')[1] AS first_tok,
+        | string_split(text, ' ')[-1] AS last_tok,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin) {
+      (s, d) =>
+        val w = split(col("text"), " ")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          element_at(w, 1).as("first_tok"),
+          element_at(w, -1).as("last_tok"),
+          size(w).cast("long").as("n_tokens"))
+    },
+
+    // P5/P6/P7/P8: Kelvin-style subtraction, cast, concat_ws, literal stamp.
+    QuerySpec(
+      "q_scalar_ops",
+      """SELECT c_custkey, concat_ws(',', c_name, c_mktsegment) AS name_seg,
+        | c_acctbal - 273.15 AS acctbal_c,
+        | CAST(c_nationkey AS VARCHAR) AS nation_str,
+        | '2026-01-01' AS run_date
+        |FROM customer""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d).select(
+          col("c_custkey"),
+          concat_ws(",", col("c_name"), col("c_mktsegment")).as("name_seg"),
+          (col("c_acctbal") - lit(273.15)).as("acctbal_c"),
+          col("c_nationkey").cast("string").as("nation_str"),
+          lit("2026-01-01").as("run_date"))
+    },
+
+    // D1–D3/P10: string↔timestamp round-trip with pinned zero-padded formats.
+    QuerySpec(
+      "q_datetime",
+      """SELECT l_orderkey, l_linenumber,
+        | strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        | strftime(l_shipdate, '%H:%M') AS ship_time,
+        | strftime(strptime(strftime(l_shipdate, '%Y-%m-%d') || ' ' || strftime(l_shipdate, '%H:%M'),
+        |   '%Y-%m-%d %H:%M'), '%Y-%m-%d %H:%M:%S') AS ship_ts_str
+        |FROM lineitem""".stripMargin) {
+      (s, d) =>
+        val shipDate = date_format(col("l_shipdate"), "yyyy-MM-dd")
+        val shipTime = date_format(col("l_shipdate"), "HH:mm")
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          shipDate.as("ship_date"), shipTime.as("ship_time"),
+          date_format(
+            to_timestamp(concat_ws(" ", shipDate, shipTime), "yyyy-MM-dd HH:mm"),
+            "yyyy-MM-dd HH:mm:ss").as("ship_ts_str"))
+    },
+
+    // Sort + limit (top-k) with unique tie-break.
+    QuerySpec(
+      "q_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+
+    // DISTINCT.
+    QuerySpec(
+      "q_distinct",
+      "SELECT DISTINCT user_id, event_type FROM events") { (s, d) =>
+      Tables.events(s, d).select(col("user_id"), col("event_type")).distinct()
+    },
+
+    // Set ops: UNION (dedup), INTERSECT, EXCEPT.
+    QuerySpec(
+      "q_union",
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey FROM supplier""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .distinct()
+    },
+    QuerySpec(
+      "q_intersect",
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+    },
+    QuerySpec(
+      "q_except",
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+    },
+
+    // Window functions: row_number, running sum, lag.
+    QuerySpec(
+      "q_window",
+      """SELECT event_id, user_id, value,
+        | row_number() OVER w AS rn,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        | lag(event_type, 1) OVER w AS prev_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("value"),
+          row_number().over(w).as("rn"),
+          sum(dec(col("value")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_value"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+    },
+
+    // Outer join + null handling.
+    QuerySpec(
+      "q_left_join",
+      """SELECT o_orderkey, coalesce(c_name, 'unknown') AS cust_name, o_totalprice
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"), "left")
+          .select(col("o_orderkey"),
+            coalesce(col("c_name"), lit("unknown")).as("cust_name"),
+            col("o_totalprice"))
+    },
+
+    // Semi / anti joins (EXISTS / NOT EXISTS).
+    QuerySpec(
+      "q_semi_join",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+    },
+    QuerySpec(
+      "q_anti_join",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+    },
+
+    // ROLLUP over a 3-table dimension chain (broadcast both dims).
+    QuerySpec(
+      "q_rollup",
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |       coalesce(n_name, 'ALL') AS nation_name, total_bal, n_cust
+        |FROM (SELECT r_name, n_name,
+        |        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |        count(*) AS n_cust
+        |      FROM customer
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      JOIN region ON n_regionkey = r_regionkey
+        |      GROUP BY ROLLUP (r_name, n_name)) x""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(sum(dec(col("c_acctbal"))).cast("double").as("total_bal"),
+            count(lit(1)).as("n_cust"))
+          .select(
+            coalesce(col("r_name"), lit("ALL")).as("region_name"),
+            coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+            col("total_bal"), col("n_cust"))
+    },
+
+    // GROUP BY + HAVING.
+    QuerySpec(
+      "q_having",
+      """SELECT l_suppkey,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        | count(*) AS n_lines
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) > 25.5""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey"))
+          .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"),
+            count(lit(1)).as("n_lines"))
+          .filter(col("total_qty") / col("n_lines") > 25.5)
+    },
+
+    // Correlated EXISTS through the SQL front-end (Catalyst subquery rewrite).
+    QuerySpec(
+      "q_exists_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""".stripMargin) {
+      (s, d) =>
+        Tables.registerAll(s, d)
+        s.sql(
+          """SELECT o_orderkey, o_totalprice FROM orders o
+            |WHERE EXISTS (SELECT 1 FROM lineitem l
+            |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""".stripMargin)
+    },
+
+    // CASE WHEN + LIKE + regexp_replace.
+    QuerySpec(
+      "q_case_when",
+      """SELECT p_partkey,
+        | CASE WHEN p_retailprice > 1500 THEN 'premium'
+        |      WHEN p_retailprice > 900 THEN 'mid'
+        |      ELSE 'budget' END AS price_band,
+        | p_name LIKE '%green%' AS is_green,
+        | regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowel
+        |FROM part""".stripMargin) {
+      (s, d) =>
+        Tables.part(s, d).select(
+          col("p_partkey"),
+          when(col("p_retailprice") > 1500, "premium")
+            .when(col("p_retailprice") > 900, "mid")
+            .otherwise("budget").as("price_band"),
+          col("p_name").like("%green%").as("is_green"),
+          regexp_replace(col("p_type"), "[aeiou]", "").as("type_novowel"))
+    }
+  )
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
+  * corpus once — the right plan when |queries| ≪ |corpus|, since it is a
+  * single shuffle-free map + a per-query top-k).
+  *
+  * Scale path: IVF — assign every vector to its nearest of K deterministic
+  * centroids (broadcast K×dim), then probe only the `nprobe` closest cells
+  * per query. Corpus cost drops from O(N·Q) to O(N·K/K + Q·nprobe·N/K);
+  * the cell assignment is also the natural partitioning key for a 100 TB
+  * corpus (one shuffle, then co-located probes).
+  *
+  * Float determinism for the oracle: dot products fold sequentially over
+  * the array (zip_with + aggregate), ranks are computed on 4-dp-rounded
+  * similarity with vec_id tie-break, and raw floats never appear in query
+  * output — only (query, neighbor, rank).
+  */
+object Similarity {
+
+  /** Sequential-fold cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Corpus with embeddings cast to double. */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private val TopK = 5
+  private val NQueries = 20 // vec_id < 20 are the query set
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Brute-force top-k: broadcast queries × corpus scan, rank per query.
+    QuerySpec(
+      "sim_topk",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(qv, e.v), 4) AS sim
+         |  FROM q JOIN e ON e.vec_id <> query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $TopK""".stripMargin) {
+      (s, d) =>
+        val e = corpus(s, d)
+        val q = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(cosine(col("qv"), col("v")), 4).as("sim"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        scored.select(col("query_id"), col("neighbor_id"),
+            row_number().over(w).as("rank"))
+          .filter(col("rank") <= TopK)
+    },
+
+    // IVF top-k: K=16 deterministic centroids (vec_id % 125 == 0 at
+    // sf0.01), nprobe=4. Approximate — recall vs sim_topk is asserted in
+    // SimilaritySpec; candidate generation is cell-blocked, not all-pairs.
+    QuerySpec.noOracle("sim_ivf") { (s, d) =>
+      val e = corpus(s, d).cache()
+      // Deterministic "trained" centroids: every 25th vector.
+      val cents = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      // Assign each corpus vector to its nearest centroid (broadcast K).
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      val assigned = e.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("v"), col("cent_id"),
+          round(cosine(col("v"), col("cv")), 4).as("csim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cent_id"))
+      // Queries probe their nprobe closest cells.
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      val probes = q.join(broadcast(cents), lit(true))
+        .select(col("query_id"), col("qv"), col("cent_id"),
+          round(cosine(col("qv"), col("cv")), 4).as("csim"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 4)
+        .select(col("query_id"), col("qv"), col("cent_id"))
+      // Score only vectors in probed cells.
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      probes.join(assigned, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosine(col("qv"), col("v")), 4).as("sim"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    },
+
+    // Pairwise label-centroid distances — the clustering-quality readout
+    // (mean cosine of each vector to its label centroid).
+    QuerySpec.noOracle("sim_label_coherence") { (s, d) =>
+      val e = corpus(s, d)
+      val byLabel = e
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(avg(col("x")).as("cx"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+        .select(col("label"), transform(col("pairs"), p => p("cx")).as("cv"))
+      e.join(broadcast(byLabel), Seq("label"))
+        .select(col("label"), round(cosine(col("v"), col("cv")), 4).as("sim"))
+        .groupBy(col("label"))
+        .agg(round(avg(col("sim")), 4).as("mean_sim"), count(lit(1)).as("n"))
+    }
+  )
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: language ID
+  * (marker-token heuristic), quality scoring, token counting, document
+  * fingerprinting. All pure per-row expressions — no shuffle, fully
+  * codegen'd, trivially scan-parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Count of tokens belonging to a marker set. */
+  private def markerCount(c: Column, markers: Seq[String]): Column =
+    size(filter(words(c), w => w.isInCollection(markers)))
+
+  private val Stopwords =
+    Seq("the", "a", "of", "and", "in", "to", "is", "it", "on", "for")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Language ID: stopword-marker ratio per candidate language, argmax
+    // with deterministic precedence, 'und' below confidence floor.
+    QuerySpec(
+      "text_langid",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','in'))) AS en_n,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','y'))) AS es_n,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist'))) AS de_n,
+        |    len(string_split(text,' ')) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN en_n >= es_n AND en_n >= de_n AND en_n * 20 >= n THEN 'en'
+        |       WHEN es_n > en_n AND es_n >= de_n AND es_n * 20 >= n THEN 'es'
+        |       WHEN de_n > en_n AND de_n > es_n AND de_n * 20 >= n THEN 'de'
+        |       ELSE 'und' END AS pred_lang,
+        |  CAST(en_n AS BIGINT) AS en_markers, CAST(n AS BIGINT) AS n_tokens
+        |FROM f""".stripMargin) { (s, d) =>
+      val t = col("text")
+      val enN = markerCount(t, Seq("the", "a", "of", "and", "in"))
+      val esN = markerCount(t, Seq("el", "la", "de", "que", "y"))
+      val deN = markerCount(t, Seq("der", "die", "das", "und", "ist"))
+      val n = size(words(t))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        when(enN >= esN && enN >= deN && enN * 20 >= n, "en")
+          .when(esN > enN && esN >= deN && esN * 20 >= n, "es")
+          .when(deN > enN && deN > esN && deN * 20 >= n, "de")
+          .otherwise("und").as("pred_lang"),
+        enN.cast("long").as("en_markers"),
+        n.cast("long").as("n_tokens"))
+    },
+
+    // Quality scoring: length/word-shape/stopword signals + blended score.
+    QuerySpec(
+      "text_quality",
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    len(string_split(text,' ')) AS n_words,
+        |    len(list_filter(string_split(text,' '),
+        |        w -> w IN ('the','a','of','and','in','to','is','it','on','for'))) AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+        |  CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+        |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+        |  CASE WHEN n_words >= 20 THEN 1.0 ELSE CAST(n_words AS DOUBLE)/20 END *
+        |    (1.0 - CAST(n_punct AS DOUBLE)/n_chars) *
+        |    (CASE WHEN CAST(n_stop AS DOUBLE)/n_words > 0.05 THEN 1.0 ELSE 0.5 END)
+        |    AS quality_score
+        |FROM f""".stripMargin) { (s, d) =>
+      val t = col("text")
+      val nChars = length(t)
+      val nWords = size(words(t))
+      val nStop = markerCount(t, Stopwords)
+      val nPunct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        ((nChars - (nWords - 1)).cast("double") / nWords).as("avg_word_len"),
+        (nStop.cast("double") / nWords).as("stopword_ratio"),
+        (nPunct.cast("double") / nChars).as("punct_ratio"),
+        (when(nWords >= 20, 1.0).otherwise(nWords.cast("double") / 20) *
+          (lit(1.0) - nPunct.cast("double") / nChars) *
+          when(nStop.cast("double") / nWords > 0.05, 1.0).otherwise(0.5))
+          .as("quality_score"))
+    },
+
+    // Token counting: whitespace tokens + BPE-ish regex word-pieces.
+    QuerySpec(
+      "text_tokens",
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(words(col("text"))).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("re_tokens"))
+    },
+
+    // Fingerprinting: content hash of normalized text + order-insensitive
+    // vocabulary hash (sorted distinct words) — the classic "fingerprint
+    // then exact-group" dedup primitive.
+    QuerySpec(
+      "text_fingerprint",
+      """SELECT doc_id,
+        | md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS content_fp,
+        | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vocab_fp
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), " +", " ")))).as("content_fp"),
+        md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
+          .as("vocab_fp"))
+    }
+  )
+}
