@@ -37,6 +37,35 @@ object Similarity {
       col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
 
+  /** Nearest-`n` centroid assignment: broadcast the K centroids against
+    * every (vec_id, v) row, rank by rounded cosine with cent_id
+    * tie-break. Output: (vec_id, v, cent_id) × n.
+    */
+  private def assign(vecs: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    vecs.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        round(cosine(col("v"), col("cv")), 4).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("vec_id"), col("v"), col("cent_id"))
+  }
+
+  /** One Lloyd (k-means) iteration: assign every vector to its nearest
+    * seed, replace each seed with its cell's element-wise mean. The
+    * posexplode/groupBy shape is the standard distributed k-means step —
+    * one shuffle keyed by (cell, dim).
+    */
+  private def lloydStep(vecs: DataFrame, seeds: DataFrame): DataFrame =
+    assign(vecs, seeds, 1)
+      .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cent_id"), col("dim"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("cent_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+      .select(col("cent_id"), transform(col("pairs"), p => p("cx")).as("cv"))
+
   private val TopK = 5
   private val NQueries = 20 // vec_id < 20 are the query set
 
@@ -71,34 +100,28 @@ object Similarity {
           .filter(col("rank") <= TopK)
     },
 
-    // IVF top-k: K=16 deterministic centroids (vec_id % 125 == 0 at
-    // sf0.01), nprobe=4. Approximate — recall vs sim_topk is asserted in
-    // SimilaritySpec; candidate generation is cell-blocked, not all-pairs.
+    // IVF top-k: deterministic seeds (every 25th vector) refined by one
+    // Lloyd iteration (assign → cell mean → reassign), nprobe=4.
+    // Approximate — recall vs sim_topk is asserted in OperatorsSpec;
+    // candidate generation is cell-blocked, not all-pairs. At corpus
+    // scale the cell id is also the partitioning key: one shuffle to
+    // co-locate cells, then probes join only their nprobe cells.
     QuerySpec.noOracle("sim_ivf") { (s, d) =>
       val e = corpus(s, d).cache()
-      // Deterministic "trained" centroids: every 25th vector.
-      val cents = e.filter(col("vec_id") % 25 === 0)
+      // Seeds: every 25th vector, refined by one k-means (Lloyd) step.
+      val seeds = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      // Assign each corpus vector to its nearest centroid (broadcast K).
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cent_id"))
-      val assigned = e.join(broadcast(cents), lit(true))
-        .select(col("vec_id"), col("v"), col("cent_id"),
-          round(cosine(col("v"), col("cv")), 4).as("csim"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+      val cents = lloydStep(e, seeds).cache()
+      // Assign each corpus vector to its nearest refined centroid.
+      val assigned = assign(e, cents, 1)
         .select(col("vec_id"), col("v"), col("cent_id"))
       // Queries probe their nprobe closest cells.
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("csim").desc, col("cent_id"))
-      val probes = q.join(broadcast(cents), lit(true))
-        .select(col("query_id"), col("qv"), col("cent_id"),
-          round(cosine(col("qv"), col("cv")), 4).as("csim"))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= 4)
-        .select(col("query_id"), col("qv"), col("cent_id"))
+      val probes = assign(
+        q.withColumnRenamed("query_id", "vec_id")
+          .withColumnRenamed("qv", "v"), cents, 4)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cent_id"))
       // Score only vectors in probed cells.
       val wRank = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
@@ -111,8 +134,8 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     },
 
-    // Pairwise label-centroid distances — the clustering-quality readout
-    // (mean cosine of each vector to its label centroid).
+    // Clustering-quality readout: mean cosine of each vector to its
+    // label centroid.
     QuerySpec.noOracle("sim_label_coherence") { (s, d) =>
       val e = corpus(s, d)
       val byLabel = e

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.operators.{IngestOps, SnapshotQuery}
+import graft.schema.Schemas
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming image of the hourly trigger (SURVEY.md §2.1 S6):
+  * the Cloud Scheduler → Pub/Sub → rerun loop becomes a file-source
+  * stream of raw payload batches processed with `Trigger.AvailableNow`
+  * (or `ProcessingTime` for a live deployment).
+  *
+  * Input directory layout: JSON-lines files, one object per fetch:
+  *   {"geo_name":..., "lat":..., "lon":..., "payload":"<raw API json>",
+  *    "date":"yyyy-MM-dd", "time":"HH:mm", "data_type":"traffic"|"weather"}
+  * (`date`/`time` ride with the record because the run-constant stamp
+  * happens at fetch time — late-arriving files keep their original run
+  * stamp, reproducing the reference's wall-clock-at-run-start semantics.)
+  *
+  * The snapshot is maintained by `foreachBatch` overwrite — the streaming
+  * analogue of the hourly scheduled query (K2 / outputMode complete).
+  * No watermarks: the reference is stateless by construction
+  * (SURVEY.md §2.9); every micro-batch recomputes "latest" from the full
+  * appended history.
+  */
+object StreamingIngest {
+
+  val rawBatchSchema: StructType = StructType(Seq(
+    StructField("geo_name", StringType), StructField("lat", StringType),
+    StructField("lon", StringType), StructField("payload", StringType),
+    StructField("date", StringType), StructField("time", StringType),
+    StructField("data_type", StringType)))
+
+  /** Raw payload stream → appended observation tables + refreshed
+    * snapshot, one micro-batch at a time. Returns the started query;
+    * callers `processAllAvailable()` or `awaitTermination()`.
+    */
+  def start(spark: SparkSession, inputDir: String, trafficPath: String,
+      weatherPath: String, snapshotPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val raw = spark.readStream.schema(rawBatchSchema).json(inputDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeMicroBatch(batch, trafficPath, weatherPath, snapshotPath)
+      }
+      .start()
+  }
+
+  /** One micro-batch: split by data_type, run the same batch transforms
+    * per distinct run stamp, append, then recompute the snapshot.
+    */
+  private[streaming] def writeMicroBatch(batch: DataFrame, trafficPath: String,
+      weatherPath: String, snapshotPath: String): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return // K3
+    val stamps = batch.select("date", "time").distinct().collect()
+    stamps.foreach { r =>
+      val (d, t) = (r.getString(0), r.getString(1))
+      val slice = batch.filter(
+        batch("date") === d && batch("time") === t).cache()
+      val traffic = IngestOps.trafficFromRaw(
+        slice.filter(slice("data_type") === "traffic"), d, t)
+      if (!traffic.isEmpty)
+        traffic.write.mode(SaveMode.Append).parquet(trafficPath)
+      val weather = IngestOps.weatherFromRaw(
+        slice.filter(slice("data_type") === "weather"), d, t)
+      if (!weather.isEmpty)
+        weather.write.mode(SaveMode.Append).parquet(weatherPath)
+      slice.unpersist()
+    }
+    refreshSnapshot(spark, trafficPath, weatherPath, snapshotPath)
+  }
+
+  private def refreshSnapshot(spark: SparkSession, trafficPath: String,
+      weatherPath: String, snapshotPath: String): Unit = {
+    val traffic = scala.util.Try(
+      spark.read.schema(Schemas.trafficTableSchema).parquet(trafficPath))
+    val weather = scala.util.Try(
+      spark.read.schema(Schemas.weatherTableSchema).parquet(weatherPath))
+    for (t <- traffic; w <- weather)
+      SnapshotQuery.latestJoined(t, w)
+        .write.mode(SaveMode.Overwrite).parquet(snapshotPath)
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the extension operators on controlled inputs + smoke of
+  * every registered query on sf0.001. Oracle value-parity is covered by
+  * the driver's DuckDB gate (and tools/check_oracle.py in dev).
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(docs: (Long, String)*) =
+    docs.toDF("doc_id", "text")
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the old stone bridge " +
+      "while rain falls softly on the quiet village street tonight"
+
+  test("every registered query runs on sf0.001 and has a unique name") {
+    val names = SparkEntry.specs.map(_.name)
+    assert(names.distinct.length == names.length)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("oracle SQL exists for every SQL-expressible query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.oracleSql.size >= 30)
+  }
+
+  test("minhash LSH: near-identical docs collide, disjoint docs don't") {
+    val nearDup = base.replace("tonight", "today") // 1-word edit
+    val other = "completely different words compose this second document " +
+      "about spark catalyst optimizer rules and physical plan strategies " +
+      "with shuffle exchange partitioning codegen stages and broadcast joins"
+    val sh = Dedup.docShingles(docsDf(1L -> base, 2L -> nearDup, 3L -> other), 50)
+    // doc 3 shares no shingle with 1/2
+    val cand = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)) && !cand.contains((1L, 3L)))
+  }
+
+  test("simhash: identical docs have identical signatures; near-dups are " +
+    "close in Hamming distance; unrelated docs are far") {
+    val nearDup = base.replace("tonight", "today")
+    val other = "completely different words compose this second document " +
+      "about spark catalyst optimizer rules and physical plan strategies " +
+      "with shuffle exchange partitioning codegen stages and broadcast joins"
+    val sigs = Dedup.simhashSignatures(
+      docsDf(1L -> base, 2L -> base, 3L -> nearDup, 4L -> other))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(1L) == sigs(2L))
+    assert(hamming(sigs(1L), sigs(3L)) <= 8)
+    assert(hamming(sigs(1L), sigs(4L)) > 8)
+  }
+
+  test("cosine: orthogonal → 0, identical → 1, opposite → −1") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(0.0, 1.0), 0.0),
+      (Array(1.0, 2.0), Array(1.0, 2.0), 1.0),
+      (Array(1.0, 0.0), Array(-1.0, 0.0), -1.0)
+    ).toDF("a", "b", "expected")
+    val got = df.select(
+      (Similarity.cosine(col("a"), col("b")) - col("expected")).as("diff"))
+      .as[Double].collect()
+    assert(got.forall(d => math.abs(d) < 1e-12))
+  }
+
+  test("sim_topk: rank 1 is the true nearest neighbor (exhaustive check)") {
+    val byName = SparkEntry.queries
+    val topk = byName("sim_topk")(spark, sf0001)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    // brute-force recomputation in Scala for query 0
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val q0 = vecs(0L)
+    val best = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (BigDecimal(cos(q0, v)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP), -id) }.max
+    assert(topk(0L) == -best._2)
+  }
+
+  test("sim_ivf recall@5 vs brute force ≥ 0.5 on sf0.001") {
+    val exact = SparkEntry.queries("sim_topk")(spark, sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SparkEntry.queries("sim_ivf")(spark, sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("multimodal: batched stub decode is deterministic and total") {
+    val a = Multimodal.extractFeatures(Multimodal.assets(spark, sf0001))
+      .collect().sortBy(_.asset_id)
+    val b = Multimodal.extractFeatures(Multimodal.assets(spark, sf0001))
+      .collect().sortBy(_.asset_id)
+    assert(a.length == 500)
+    assert(a.map(_.features.toSeq) sameElements b.map(_.features.toSeq))
+    assert(a.forall(_.features.length == Multimodal.FeatureDim))
+    assert(a.forall(f => f.width >= 1 && f.height >= 1))
+  }
+
+  test("multimodal metadata scan prunes the binary payload column") {
+    val plan = SparkEntry.queries("multimodal_meta")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the parquet scan must read only doc_id + text (no other columns)
+    assert(plan.contains("ReadSchema"))
+  }
+
+  test("dedup_exact groups: all singleton on sf0.001 (no exact dups)") {
+    val out = SparkEntry.queries("dedup_exact")(spark, sf0001)
+    assert(out.filter($"n_copies" > 1).count() == 0)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.streaming.StreamingIngest
+
+import java.nio.file.{Files, Paths}
+
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeBatchFile(dir: String, name: String,
+      records: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name),
+      records.mkString("\n").getBytes("UTF-8"))
+
+  private def rec(geo: String, payload: String, date: String, time: String,
+      dataType: String): String = {
+    val esc = payload.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ")
+    s"""{"geo_name":"$geo","lat":"55.1","lon":"12.5","payload":"$esc","date":"$date","time":"$time","data_type":"$dataType"}"""
+  }
+
+  test("AvailableNow stream: two batches append history, snapshot = latest") {
+    val base = tmpDir("stream")
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    writeBatchFile(in, "h1.json",
+      Seq(rec("a", Fixtures.tomtom(currentSpeed = 30), "2026-08-12", "09:00", "traffic"),
+        rec("a", Fixtures.openWeather(), "2026-08-12", "09:00", "weather")))
+    val q1 = StreamingIngest.start(spark, in, s"$base/traffic", s"$base/weather",
+      s"$base/snapshot", s"$base/ckpt")
+    q1.awaitTermination()
+
+    // second hour arrives as a new file; restart with same checkpoint —
+    // only the new file is processed (exactly-once source tracking)
+    writeBatchFile(in, "h2.json",
+      Seq(rec("a", Fixtures.tomtom(currentSpeed = 60), "2026-08-12", "10:00", "traffic"),
+        rec("a", Fixtures.openWeather(temp = 280.15), "2026-08-12", "10:00", "weather")))
+    val q2 = StreamingIngest.start(spark, in, s"$base/traffic", s"$base/weather",
+      s"$base/snapshot", s"$base/ckpt")
+    q2.awaitTermination()
+
+    assert(spark.read.parquet(s"$base/traffic").count() == 2)
+    val snap = spark.read.parquet(s"$base/snapshot")
+    assert(snap.count() == 1)
+    val r = snap.collect().head
+    assert(r.getAs[String]("time") == "10:00")
+    assert(r.getAs[Long]("current_speed") == 60L)
+    assert(math.abs(r.getAs[Double]("temperature") - 7.0) < 1e-9)
+  }
+
+  test("stream batch equals batch-pipeline output for the same payloads") {
+    val base = tmpDir("stream")
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    writeBatchFile(in, "b.json", Fixtures.geoPoints.flatMap { p =>
+      Seq(rec(p.geo_name, Fixtures.tomtom(), "2026-08-12", "09:00", "traffic"),
+        rec(p.geo_name, Fixtures.openWeather(), "2026-08-12", "09:00", "weather"))
+    })
+    StreamingIngest.start(spark, in, s"$base/traffic", s"$base/weather",
+      s"$base/snapshot", s"$base/ckpt").awaitTermination()
+    val snap = spark.read.parquet(s"$base/snapshot")
+    assert(snap.count() == 3)
+    assert(snap.columns.length == 29) // 15 + 18 − 4 USING keys
+    assert(snap.select("geo_name").as[String].collect().toSet ==
+      Fixtures.geoPoints.map(_.geo_name).toSet)
+  }
+}
