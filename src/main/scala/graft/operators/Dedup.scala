@@ -41,7 +41,11 @@ object Dedup {
     * oracle), bounding per-key join fan-out.
     */
   def docShingles(docs: DataFrame, maxDf: Int): DataFrame = {
+    // Repartition before shingling: the driver's doc files are one split,
+    // which would serialize all shingle compute; on a multi-TB corpus the
+    // scan is already wide and this is one cheap extra exchange.
     val exploded = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
     val dfCap = exploded.groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
@@ -89,19 +93,29 @@ object Dedup {
          |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
          |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8""".stripMargin) {
       (s, d) =>
-        val sh = docShingles(Tables.documents(s, d), MaxDf).cache()
-        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-        val inter = a.join(b, Seq("sh"))
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
+        // Candidate join runs on xxhash64(shingle) (8-byte keys instead of
+        // ~25-byte strings through the shuffle) with the doc's shingle
+        // count riding along so the size-ratio prune — jaccard ≥ 0.8
+        // forces max(|A|,|B|) ≤ 1.25·min(|A|,|B|) — drops hopeless pairs
+        // BEFORE the pair-count aggregation. Both tricks are lossless
+        // w.r.t. the ≥ 0.8 result set, so the oracle SQL is unchanged.
+        val sh = docShingles(Tables.documents(s, d), MaxDf)
+        val withN = sh
+          .join(broadcast(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))),
+            Seq("doc_id"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("shh"), col("n"))
+          .cache()
+        val a = withN.select(col("doc_id").as("doc_a"), col("shh"), col("n").as("na"))
+        val b = withN.select(col("doc_id").as("doc_b"), col("shh"), col("n").as("nb"))
+        val inter = a.join(b, Seq("shh"))
+          .filter(col("doc_a") < col("doc_b") &&
+            greatest(col("na"), col("nb")) <=
+              lit(1.25) * least(col("na"), col("nb")))
+          .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
           .agg(count(lit(1)).as("i"))
         val jac = col("i").cast("double") /
           (col("na") + col("nb") - col("i"))
         inter
-          .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
-          .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
           .filter(col("jaccard") >= 0.8)
     },
@@ -185,8 +199,8 @@ object Dedup {
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4""".stripMargin) {
       (s, d) =>
         val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("label"),
-            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id"), col("label"), col("embedding").as("v"))
         val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"))
         val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"))
         a.join(b, Seq("label"))
@@ -196,24 +210,15 @@ object Dedup {
     }
   )
 
-  /** 64-bit SimHash signatures: per-shingle xxhash64, ±1 vote per bit
-    * position, sign of the vote sum sets the bit. Shingles (not single
-    * words) keep the signature discriminative when the vocabulary is
-    * small — with unigram features every doc shares most tokens and all
-    * signatures collapse toward each other.
+  /** 64-bit SimHash signatures via the custom single-pass Catalyst
+    * aggregate (`graft.functions.SimHashAgg`): per-shingle xxhash64 bit
+    * votes combined map-side. Shingles (not single words) keep the
+    * signature discriminative when the vocabulary is small — with
+    * unigram features every doc shares most tokens and all signatures
+    * collapse toward each other.
     */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(shingles3(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { bit =>
-      sum(when(shiftrightunsigned(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$bit")
-    }
-    val voted = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map { bit =>
-      when(col(s"v$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    voted.select(col("doc_id"), sig.as("simhash"))
-  }
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles3(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("tok")).as("simhash"))
 }

@@ -24,18 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold cosine similarity of two double arrays. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  /** Cosine similarity — the codegen'd custom expression
+    * (`graft.functions.CosineSim`); float inputs consumed directly.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(a, b)
 
-  /** Corpus with embeddings cast to double. */
+  /** Corpus vectors. Kept as raw array<float> (CosineSim reads floats
+    * natively — no cast pre-pass); repartitioned to the session's
+    * parallelism because the driver files are single-digit-MB single
+    * splits, which would pin all similarity compute to one task. (On a
+    * real multi-TB corpus the scan already yields thousands of splits
+    * and the repartition collapses to a no-op cost-wise.)
+    */
   private def corpus(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(
-      col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+    Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
 
   /** Nearest-`n` centroid assignment: broadcast the K centroids against
     * every (vec_id, v) row, rank by rounded cosine with cent_id

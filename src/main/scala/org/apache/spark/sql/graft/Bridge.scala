@@ -1,0 +1,23 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge for custom Catalyst expressions.
+  *
+  * Spark 4's `Column` is ColumnNode-backed and its Expression
+  * constructors are `private[sql]`; extensions conventionally open a
+  * sub-package of `org.apache.spark.sql` to reach the classic
+  * conversion utilities (same approach as third-party connectors).
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL-callable function backed by a raw Expression builder. */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "builtin")
+}
