@@ -79,7 +79,12 @@ object IngestPipeline {
       else {
         val out = transform(toDf(spark, raw)).cache()
         val n = out.count()
-        if (n > 0) out.write.mode(SaveMode.Append).parquet(path)
+        // Hive-style date partitioning: each hourly append lands in its
+        // run-date directory, so history queries with a date predicate
+        // prune at the file listing — the layout choice that keeps the
+        // append-forever table queryable at 100 TB (SURVEY.md §4).
+        if (n > 0) out.write.mode(SaveMode.Append)
+          .partitionBy("date").parquet(path)
         out.unpersist()
         n
       }

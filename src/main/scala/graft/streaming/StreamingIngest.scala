@@ -64,11 +64,13 @@ object StreamingIngest {
       val traffic = IngestOps.trafficFromRaw(
         slice.filter(slice("data_type") === "traffic"), d, t)
       if (!traffic.isEmpty)
-        traffic.write.mode(SaveMode.Append).parquet(trafficPath)
+        traffic.write.mode(SaveMode.Append)
+          .partitionBy("date").parquet(trafficPath)
       val weather = IngestOps.weatherFromRaw(
         slice.filter(slice("data_type") === "weather"), d, t)
       if (!weather.isEmpty)
-        weather.write.mode(SaveMode.Append).parquet(weatherPath)
+        weather.write.mode(SaveMode.Append)
+          .partitionBy("date").parquet(weatherPath)
       slice.unpersist()
     }
     refreshSnapshot(spark, trafficPath, weatherPath, snapshotPath)

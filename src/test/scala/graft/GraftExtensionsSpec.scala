@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("extensions expose cosine_sim and simhash_agg to SQL") {
+    // getOrCreate would hand back the suite-shared session (built without
+    // extensions), so detach it first and build a fresh session over the
+    // same SparkContext with the extensions installed.
+    val shared = spark // force lazy init before detaching
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val cos = s.sql(
+        "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+        .collect().head.getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-12)
+      val sig = s.sql(
+        """SELECT simhash_agg(tok) AS sig FROM VALUES ('a'), ('b'), ('c') t(tok)""")
+        .collect().head.getLong(0)
+      // deterministic: recompute from the reference token hash
+      val votes = new Array[Int](64)
+      Seq("a", "b", "c").foreach { t =>
+        val h = graft.functions.SimHashAgg.tokenHash(t)
+        (0 until 64).foreach(i =>
+          votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1))
+      }
+      val expected = (0 until 64).foldLeft(0L)((acc, i) =>
+        if (votes(i) > 0) acc | (1L << i) else acc)
+      assert(sig == expected)
+    } finally {
+      // restore the suite-shared session (same SparkContext; don't stop)
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
