@@ -13,6 +13,7 @@ object SparkEntry {
   /** All registered operator queries, in registration order. */
   def specs: Seq[QuerySpec] =
     operators.Relational.specs ++
+      operators.Extended.specs ++
       operators.Dedup.specs ++
       operators.Similarity.specs ++
       operators.TextAnalysis.specs ++

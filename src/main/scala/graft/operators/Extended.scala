@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second ring of the relational surface: operators beyond the
+  * reference's needs that a complete engine exposes (SURVEY.md §2.9's
+  * fence, deliberately crossed as engine extensions): as-of join, skew-
+  * safe aggregation, cube, full/cross joins, lateral explode, ordered
+  * array agg, min_by/max_by, string functions, approximate sketches,
+  * pivot, ranking windows.
+  */
+object Extended {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // As-of join: for every click event, the most recent error event of
+    // the same user at or before it. Spark lacks a native as-of join;
+    // per the custom-op preference order we COMPOSE it: tag + union both
+    // streams, one window pass carrying the last error forward, filter
+    // back to clicks. One shuffle on (user_id), no range explosion.
+    // Oracle: DuckDB's native ASOF JOIN — two independent formulations
+    // agreeing is exactly what the hash-compare is for.
+    QuerySpec(
+      "q_asof_join",
+      """WITH e AS (SELECT event_id, user_id, ts, event_type, value FROM events),
+        |clicks AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'click'),
+        |errors AS (SELECT user_id, ts, max_by(value, event_id) AS err_value
+        |           FROM e WHERE event_type = 'error' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |       c.value AS click_value, err.err_value
+        |FROM clicks c ASOF JOIN errors err
+        |  ON c.user_id = err.user_id AND c.ts >= err.ts""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        // right side deduped to one row per (user_id, ts): max_by event_id
+        val errors = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("err_value"))
+          .select(col("user_id"), col("ts"), col("err_value"),
+            lit(0).as("src")) // errors sort before same-ts clicks
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+            lit(1).as("src"))
+        val unioned = errors
+          .select(col("user_id"), col("ts"), col("src"),
+            lit(null).cast("long").as("event_id"),
+            lit(null).cast("double").as("value"), col("err_value"))
+          .unionByName(clicks.withColumn("err_value", lit(null).cast("double")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("src"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned
+          .withColumn("last_err", last(col("err_value"), ignoreNulls = true).over(w))
+          .filter(col("src") === 1 && col("last_err").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+            col("value").as("click_value"),
+            col("last_err").as("err_value"))
+    },
+
+    // Skew-safe two-stage aggregation: event_type has 5 hot keys — a
+    // plain groupBy funnels everything through ≤5 reducers. Salting
+    // fans the partial stage out 16× and folds the salt back in stage
+    // two. Result-identical to the plain GROUP BY the oracle runs
+    // (counts exact, sums via exact decimals).
+    QuerySpec(
+      "q_skew_agg",
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("pv"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pv")).cast("double").as("total_value"))
+    },
+
+    // CUBE: all grouping-set combinations over two dimensions.
+    QuerySpec(
+      "q_cube",
+      """SELECT coalesce(event_type, 'ALL') AS etype,
+        |       coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket,
+        |       n
+        |FROM (SELECT event_type, user_id % 10 AS user_id_mod, count(*) AS n
+        |      FROM events GROUP BY CUBE (event_type, user_id % 10)) x(event_type, user_id, n)""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .cube(col("event_type"), (col("user_id") % 10).as("user_id_mod"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce(col("event_type"), lit("ALL")).as("etype"),
+            coalesce(col("user_id_mod").cast("string"), lit("ALL")).as("user_bucket"),
+            col("n"))
+    },
+
+    // FULL OUTER + CROSS joins (completing the join-type surface; inner/
+    // left/semi/anti live in Relational.scala).
+    QuerySpec(
+      "q_full_join",
+      """SELECT coalesce(c.nk, s.nk) AS nk, c.n_cust, s.n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |USING (nk)""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nk"), "full")
+    },
+    QuerySpec(
+      "q_cross_join",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |WHERE r_regionkey <> n_regionkey""".stripMargin) { (s, d) =>
+      Tables.region(s, d).crossJoin(broadcast(Tables.nation(s, d)))
+        .filter(col("r_regionkey") =!= col("n_regionkey"))
+        .select(col("r_name"), col("n_name"))
+    },
+
+    // Lateral explode (LATERAL VIEW / unnest): one row per token.
+    QuerySpec(
+      "q_explode",
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |FROM documents WHERE doc_id < 50""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    },
+
+    // Ordered array aggregation round-trip.
+    QuerySpec(
+      "q_array_agg",
+      """SELECT doc_id,
+        | array_to_string(list_sort(list_distinct(string_split(text,' '))), '|') AS vocab
+        |FROM documents WHERE doc_id < 100""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          array_join(array_sort(array_distinct(split(col("text"), " "))), "|")
+            .as("vocab"))
+    },
+
+    // min_by / max_by (argmin/argmax) aggregates.
+    QuerySpec(
+      "q_minmax_by",
+      """SELECT o_custkey,
+        | arg_max(o_orderkey, o_totalprice) AS best_order,
+        | arg_min(o_orderkey, o_totalprice) AS worst_order,
+        | max(o_totalprice) AS best_price
+        |FROM orders GROUP BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(
+          max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+          max(col("o_totalprice")).as("best_price"))
+    },
+
+    // Scalar string-function surface.
+    QuerySpec(
+      "q_string_funcs",
+      """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+        | substring(p_name, 1, 8) AS name_prefix,
+        | length(p_name) AS name_len, replace(p_type, ' ', '_') AS type_us,
+        | lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+        | reverse(p_brand) AS brand_rev, trim('  x  ') AS trimmed
+        |FROM part""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"), upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_type"), " ", "_").as("type_us"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+        reverse(col("p_brand")).as("brand_rev"),
+        trim(lit("  x  ")).as("trimmed"))
+    },
+
+    // Approximate sketches: HLL distinct count + quantile sketch. Sketch
+    // algorithms differ across engines ⇒ no value-level oracle; the spec
+    // in OperatorsSpec bounds them against exact answers instead.
+    QuerySpec.noOracle("q_approx") { (s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("median_price"),
+          count(lit(1)).as("n"))
+    },
+
+    // Pivot: event counts per user bucket × event type. Spark's pivot
+    // relational op vs the oracle's manual CASE aggregation.
+    QuerySpec(
+      "q_pivot",
+      """SELECT user_id % 10 AS user_bucket,
+        | count(*) FILTER (WHERE event_type = 'click')    AS click,
+        | count(*) FILTER (WHERE event_type = 'error')    AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+        |FROM events GROUP BY user_id % 10""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select((col("user_id") % 10).as("user_bucket"), col("event_type"))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "error", "purchase"))
+    },
+
+    // Ranking-window surface: rank, dense_rank, ntile, lead.
+    QuerySpec(
+      "q_window_rank",
+      """SELECT o_custkey, o_orderkey,
+        | rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        | ntile(4) OVER w AS quartile, lead(o_orderkey, 1) OVER w AS next_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+    },
+
+    // Null-propagation surface (P12 as a query): missing JSON key →
+    // null → null-safe aggregation + explicit null bucketing.
+    QuerySpec(
+      "q_null_handling",
+      """SELECT coalesce(CAST(json_extract_string(props, '$.missing') AS BIGINT), -1) AS missing_bucket,
+        | count(*) AS n,
+        | count(json_extract_string(props, '$.missing')) AS n_nonnull
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      val missing = get_json_object(col("props"), "$.missing")
+      Tables.events(s, d)
+        .groupBy(coalesce(missing.cast("long"), lit(-1L)).as("missing_bucket"))
+        .agg(count(lit(1)).as("n"), count(missing).as("n_nonnull"))
+    }
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ExtendedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_asof_join: every matched error precedes (or equals) its click, " +
+    "and is the latest such error for that user") {
+    val out = SparkEntry.queries("q_asof_join")(spark, sf0001)
+      .select($"event_id", $"user_id", $"click_ts", $"err_value")
+      .as[(Long, Long, String, Double)].collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        $"event_type", $"value")
+      .as[(Long, Long, String, String, Double)].collect()
+    val errorsByUser = ev.filter(_._4 == "error").groupBy(_._2)
+    out.take(50).foreach { case (_, user, clickTs, errValue) =>
+      val prior = errorsByUser(user).filter(_._3 <= clickTs)
+      assert(prior.nonEmpty)
+      // latest prior error timestamp; max event_id breaks same-ts ties
+      val best = prior.maxBy(e => (e._3, e._1))
+      assert(best._5 == errValue,
+        s"user=$user clickTs=$clickTs expected=${best._5} got=$errValue")
+    }
+  }
+
+  test("q_skew_agg: salted two-stage equals plain groupBy exactly") {
+    val salted = SparkEntry.queries("q_skew_agg")(spark, sf0001)
+      .as[(String, Long, Double)].collect().toMap2
+    val plain = Tables.events(spark, sf0001)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(12,2)")).cast("double").as("t"))
+      .as[(String, Long, Double)].collect().toMap2
+    assert(salted == plain)
+  }
+
+  test("q_approx: sketches are within tolerance of exact answers") {
+    val approx = SparkEntry.queries("q_approx")(spark, sf0001)
+      .select($"l_returnflag", $"approx_parts", $"median_price", $"n")
+      .as[(String, Long, Double, Long)].collect()
+    val exact = Tables.lineitem(spark, sf0001)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("d"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    approx.foreach { case (flag, ap, median, n) =>
+      val (_, d, en) = exact(flag)
+      assert(n == en)
+      assert(math.abs(ap - d).toDouble / d < 0.1,
+        s"$flag: approx=$ap exact=$d") // HLL rsd default 5%
+      assert(median > 0)
+    }
+  }
+
+  test("q_pivot row sums equal event counts per bucket") {
+    val p = SparkEntry.queries("q_pivot")(spark, sf0001)
+      .withColumn("pivot_total", $"click" + $"error" + $"purchase")
+      .select($"user_bucket", $"pivot_total")
+      .as[(Long, Long)].collect().toMap
+    val totals = Tables.events(spark, sf0001)
+      .filter($"event_type".isin("click", "error", "purchase"))
+      .groupBy(($"user_id" % 10).as("b")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(p == totals)
+  }
+
+  private implicit class Tupled3[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+}
