@@ -187,6 +187,57 @@ object Dedup {
         .filter(col("hamming") <= 3)
     },
 
+    // Embedding near-dup via SRP-LSH (signed random projections): each
+    // vector hashes to sign bits against pseudo-random hyperplanes
+    // (deterministic per (plane, dim) via xxhash64 — no RNG state to
+    // ship), bits group into bands, candidates collide on a band, and
+    // survivors verify with exact cosine. This is the metadata-free
+    // scale path: no label column needed, candidate cost bounded by
+    // band-bucket sizes. Oracle: rows-only (xxhash64 planes aren't
+    // portable); recall vs the blocked-exact variant is asserted in
+    // OperatorsSpec.
+    QuerySpec.noOracle("dedup_embedding_lsh") { (s, d) =>
+      val nPlanes = 16
+      val bandBits = 4 // 4 bands × 4 bits
+      val dim = 64
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding").as("v"))
+      // Hyperplanes are generated ONCE driver-side from a fixed seed and
+      // shipped as array literals; sign(dot) == sign(cosine), so the
+      // codegen'd CosineSim doubles as the projection kernel (the
+      // higher-order-function formulation is interpreted and was ~20×
+      // slower — see functions/VectorFunctions.scala).
+      val planes: Seq[Array[Double]] = (0 until nPlanes).map { p =>
+        val rnd = new scala.util.Random(2654435761L * p + 12345)
+        Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+      }
+      val bits = planes.zipWithIndex.map { case (plane, p) =>
+        when(Similarity.cosine(col("v"), typedLit(plane.toSeq)) >= 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }
+      val sig = e.withColumn("sig",
+        bits.reduce((a: Column, b: Column) => a.bitwiseOR(b)))
+      val bands = sig.select(col("vec_id"), col("v"),
+        explode(array((0 until nPlanes / bandBits).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), b * bandBits)
+              .bitwiseAND(lit((1 << bandBits) - 1)).as("bv"))): _*)).as("bb"))
+        .select(col("vec_id"), col("v"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val a = bands.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("band"), col("bv"))
+      val b = bands.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("band"), col("bv"))
+      a.join(b, Seq("band", "bv"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(Similarity.cosine(col("va"), col("vb")), 4).as("sim"))
+        .distinct()
+        .filter(col("sim") >= 0.4)
+        .select(col("vec_a"), col("vec_b"))
+    },
+
     // Embedding-cosine near-dup: blocked by cluster label (the metadata
     // blocking key), threshold on 4-dp-rounded cosine. Pairs only — no
     // float in the output, so cross-engine float noise can't break hashes.

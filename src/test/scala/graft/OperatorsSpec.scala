@@ -105,6 +105,35 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("dedup_embedding_lsh: all pairs truly pass the cosine threshold; " +
+    "finds most label-blocked pairs plus cross-label ones blocking misses") {
+    val lsh = SparkEntry.queries("dedup_embedding_lsh")(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    val exact = SparkEntry.queries("dedup_embedding")(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    // independent verification: recompute cosine in plain Scala
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (x, y) =>
+      val c = BigDecimal(cos(vecs(x), vecs(y)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      assert(c >= BigDecimal("0.4"), s"($x,$y) cos=$c")
+    }
+    // deterministic planes ⇒ stable recall; ≥ half of the label-blocked
+    // set (cos 0.4–0.5 pairs collide on a band with p≈0.5 per pair)
+    assert((lsh & exact).size * 2 >= exact.size)
+  }
+
   test("multimodal: batched stub decode is deterministic and total") {
     val a = Multimodal.extractFeatures(Multimodal.assets(spark, sf0001))
       .collect().sortBy(_.asset_id)
