@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Stateful streaming operators — the engine surface beyond the
+  * reference's stateless hourly reruns (SURVEY.md §2.9 notes the
+  * reference needs none; a complete engine still exposes them):
+  *
+  *  - watermarked tumbling-window aggregation (late data dropped after
+  *    the watermark, state bounded by window retention), and
+  *  - session windows via `flatMapGroupsWithState` with processing-time
+  *    timeouts (the custom-state escape hatch for semantics windows
+  *    can't express).
+  *
+  * State scale: both shapes key state by (user/window), so state size is
+  * O(active keys), shuffled once by key — the standard design for
+  * billions-of-events streams; nothing is buffered unbounded.
+  */
+object StatefulOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, n_events: Int,
+      total_value: Double, started: Timestamp, ended: Timestamp)
+
+  /** Per-user in-flight session (must stay public: the state encoder's
+    * generated code constructs/reads it from another classloader).
+    */
+  final case class SessionState(n: Int, total: Double,
+      started: Long, lastSeen: Long)
+
+  /** Tumbling per-hour event counts with a watermark: rows later than
+    * `watermark` behind the max seen event time are dropped, letting
+    * Spark discard window state once the watermark passes.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Event sessionization: events of a user belong to one session while
+    * gaps stay under `gapMillis`; sessions flush either when a later
+    * event of the same user opens a new one, or when the event-time
+    * watermark passes the gap (event-time timeout — data-driven, unlike
+    * processing-time timeouts which busy-loop empty micro-batches in
+    * low-traffic streams).
+    */
+  def sessionize(events: Dataset[Event], gapMillis: Long = 30 * 60 * 1000L,
+      watermark: String = "1 hour"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, s.n, s.total,
+              new Timestamp(s.started), new Timestamp(s.lastSeen)))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionSummary]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMillis =>
+                  cur = Some(s.copy(n = s.n + 1, total = s.total + e.value,
+                    lastSeen = t))
+                case Some(s) => // gap exceeded: close previous session
+                  closed += SessionSummary(userId, s.n, s.total,
+                    new Timestamp(s.started), new Timestamp(s.lastSeen))
+                  cur = Some(SessionState(1, e.value, t, t))
+                case None =>
+                  cur = Some(SessionState(1, e.value, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMillis)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

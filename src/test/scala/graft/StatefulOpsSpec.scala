@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.{Event, SessionSummary}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-08-12 09:$minute%02d:00")
+
+  test("watermarked hourly counts aggregate by tumbling window") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StatefulOps.hourlyCounts(in.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(10), 2, "click", 2.0),
+        Event(3, ts(20), 1, "error", 5.0))
+      q.processAllAvailable()
+      // watermark still open → append emits nothing yet; advance it far
+      // past the window end with a late-hour event
+      in.addData(Event(9, Timestamp.valueOf("2026-08-12 13:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select($"event_type", $"n", $"total_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows.contains(("click", 2L, 3.0)))
+      assert(rows.contains(("error", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap closes a session; totals and bounds are exact") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StatefulOps.sessionize(in.toDS(), gapMillis = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events at 09:00, 09:05 (one session), then 09:30 (new one)
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(30), 1, "click", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[SessionSummary].collect()
+      assert(sessions.length == 1) // first session closed by the gap
+      val s = sessions.head
+      assert(s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0)
+      assert(s.started == ts(0) && s.ended == ts(5))
+    } finally q.stop()
+  }
+}
