@@ -44,6 +44,52 @@ object Multimodal {
       height = 1 + (math.abs(h / 1024) % 1024), features = feats)
   }
 
+  /** Thumbnail of one asset (stub resize: real plumbing, fake pixels). */
+  final case class ResizedAsset(asset_id: Long, width: Int, height: Int,
+      thumb: Array[Byte])
+
+  /** One sampled frame of a (fake) video asset. */
+  final case class FrameSample(asset_id: Long, frame_idx: Int,
+      n_bytes: Long, frame_hash: Long)
+
+  /** STUB resize standing in for an image scaler: deterministic bytes
+    * derived from the payload, correct output shape (w×h×1 byte).
+    */
+  def resizeBatch(batch: Seq[Asset], w: Int, h: Int): Seq[ResizedAsset] =
+    batch.map { a =>
+      val thumb = Array.tabulate(w * h) { i =>
+        a.content(i % math.max(a.content.length, 1))
+      }
+      ResizedAsset(a.asset_id, w, h, thumb)
+    }
+
+  val FrameBytes = 64 // small enough that test payloads span many frames
+
+  /** STUB frame sampler standing in for video decode: treats the payload
+    * as fixed-size frames and keeps every `every`-th — the 1→N row
+    * explosion shape (one asset, many frames) that a real sampler has.
+    */
+  def sampleFrames(assets: Dataset[Asset], every: Int): Dataset[FrameSample] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      a.content.grouped(FrameBytes).zipWithIndex
+        .filter { case (_, i) => i % every == 0 }
+        .map { case (frame, i) =>
+          FrameSample(a.asset_id, i, frame.length.toLong,
+            java.util.Arrays.hashCode(frame).toLong)
+        }
+    })
+  }
+
+  /** Partition-parallel batched resize (same batching contract as
+    * `extractFeatures`).
+    */
+  def resizeAssets(assets: Dataset[Asset], w: Int, h: Int): Dataset[ResizedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.grouped(DecodeBatchSize)
+      .flatMap(b => resizeBatch(b.toSeq, w, h)))
+  }
+
   /** Synthesize an asset table from `documents` (text bytes as the opaque
     * payload — the deterministic stand-in for real media blobs).
     */
@@ -96,13 +142,27 @@ object Multimodal {
 
     // Full decode pipeline: binary → batched stub decode → feature stats.
     // Not SQL-expressible (stub decoder) ⇒ rows-only check; semantics
-    // pinned by MultimodalSpec.
+    // pinned by OperatorsSpec.
     QuerySpec.noOracle("multimodal_features") { (s, d) =>
       val feats: DataFrame = extractFeatures(assets(s, d)).toDF()
       feats.select(
         col("asset_id"), col("width"), col("height"),
         round(aggregate(transform(col("features"), x => x.cast("double")),
           lit(0.0), (acc, v) => acc + v), 4).as("feature_sum"))
+    },
+
+    // Batched stub resize: per-asset thumbnail metadata (rows-only).
+    QuerySpec.noOracle("multimodal_resize") { (s, d) =>
+      resizeAssets(assets(s, d), 16, 16).toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          length(col("thumb")).cast("long").as("thumb_bytes"),
+          md5(col("thumb")).as("thumb_hash"))
+    },
+
+    // Frame sampling: 1→N explosion, every 2nd fixed-size frame
+    // (rows-only).
+    QuerySpec.noOracle("multimodal_frames") { (s, d) =>
+      sampleFrames(assets(s, d), every = 2).toDF()
     }
   )
 }

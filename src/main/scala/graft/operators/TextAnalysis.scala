@@ -105,6 +105,20 @@ object TextAnalysis {
           .cast("long").as("re_tokens"))
     },
 
+    // Winnowing fingerprints (rolling hash): per-doc count plus extrema
+    // of the fingerprint set (full sets feed overlap joins; extrema keep
+    // the gate output compact). Custom expression ⇒ rows-only check;
+    // the substring-sharing guarantee is pinned in OperatorsSpec.
+    QuerySpec.noOracle("text_winnow") { (s, d) =>
+      val fps = graft.functions.RollingHashMinima
+        .winnow_fingerprints(col("text"), k = 8, w = 16)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(fps).cast("long").as("n_fingerprints"),
+        element_at(fps, 1).as("min_fp"),
+        element_at(fps, -1).as("max_fp"))
+    },
+
     // Fingerprinting: content hash of normalized text + order-insensitive
     // vocabulary hash (sorted distinct words) — the classic "fingerprint
     // then exact-group" dedup primitive.

@@ -134,6 +134,41 @@ class OperatorsSpec extends SparkSpec {
     assert((lsh & exact).size * 2 >= exact.size)
   }
 
+  test("winnowing: docs sharing a long substring share a fingerprint; " +
+    "disjoint docs share none; codegen and interpreted paths agree") {
+    val shared = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val docs = Seq(
+      (1L, s"prefix alpha beta $shared gamma delta"),
+      (2L, s"completely other start $shared and another ending here"),
+      (3L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn"))
+      .toDF("doc_id", "text")
+    val fps = docs.select($"doc_id",
+      graft.functions.RollingHashMinima.winnow_fingerprints($"text", 8, 16)
+        .as("fps"))
+      .as[(Long, Array[Long])].collect().toMap
+    assert((fps(1L).toSet & fps(2L).toSet).nonEmpty) // guaranteed overlap
+    assert((fps(1L).toSet & fps(3L).toSet).isEmpty)
+    // interpreted path (direct eval) agrees with the codegen'd query path
+    import org.apache.spark.unsafe.types.UTF8String
+    val direct = graft.functions.RollingHashMinima
+      .winnow(UTF8String.fromString(s"prefix alpha beta $shared gamma delta"), 8, 16)
+      .toLongArray()
+    assert(direct.toSeq == fps(1L).toSeq)
+  }
+
+  test("multimodal resize/frame-sample stubs: shape and determinism") {
+    val a = Multimodal.resizeAssets(Multimodal.assets(spark, sf0001), 16, 16)
+      .collect()
+    assert(a.length == 500)
+    assert(a.forall(r => r.thumb.length == 16 * 16 && r.width == 16))
+    val frames = Multimodal.sampleFrames(Multimodal.assets(spark, sf0001), 2)
+      .collect()
+    assert(frames.length > 500) // genuine 1→N explosion
+    assert(frames.exists(_.frame_idx >= 2)) // multi-frame assets exist
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    assert(frames.forall(f => f.n_bytes <= Multimodal.FrameBytes))
+  }
+
   test("multimodal: batched stub decode is deterministic and total") {
     val a = Multimodal.extractFeatures(Multimodal.assets(spark, sf0001))
       .collect().sortBy(_.asset_id)
