@@ -101,6 +101,25 @@ object Extended {
             col("n"))
     },
 
+    // Explicit GROUPING SETS (beyond rollup/cube's fixed lattices),
+    // through the SQL front-end on both engines.
+    QuerySpec(
+      "q_grouping_sets",
+      """SELECT coalesce(event_type, 'ALL') AS etype,
+        |       coalesce(CAST(user_id AS VARCHAR), 'ALL') AS user_key,
+        |       count(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id), ())""".stripMargin) {
+      (s, d) =>
+        Tables.registerAll(s, d)
+        s.sql(
+          """SELECT coalesce(event_type, 'ALL') AS etype,
+            |       coalesce(CAST(user_id AS STRING), 'ALL') AS user_key,
+            |       count(*) AS n
+            |FROM events
+            |GROUP BY GROUPING SETS ((event_type), (user_id), ())""".stripMargin)
+    },
+
     // FULL OUTER + CROSS joins (completing the join-type surface; inner/
     // left/semi/anti live in Relational.scala).
     QuerySpec(
