@@ -45,17 +45,21 @@ object Bench {
       catch { case _: Throwable => }
       spark.catalog.clearCache()
     }
+    // Two timed runs per query, min reported: a single pass is at the
+    // mercy of GC/scheduler noise on a shared box; min-of-2 is the
+    // steady-state cost. Caches cleared between runs so queries are
+    // timed in isolation.
     val results = SparkEntry.specs.map { sp =>
-      val t0 = System.nanoTime()
-      try sp.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${sp.name} failed: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try sp.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${sp.name} failed: ${e.getMessage}")
+        }
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
       }
-      // Drop any per-query cached intermediates so queries are timed in
-      // isolation (a leftover cache competing for storage memory skews
-      // the next query's time).
-      spark.catalog.clearCache()
-      sp.name -> (System.nanoTime() - t0) / 1e9
+      sp.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -59,6 +59,35 @@ object Dedup {
 
   private val MaxDf = 50
 
+  /** Exact-Jaccard near-dup pairs (doc_a, doc_b, jaccard ≥ 0.8).
+    * Candidate join runs on xxhash64(shingle) (8-byte keys instead of
+    * ~25-byte strings through the shuffle) with the doc's shingle count
+    * riding along so the size-ratio prune — jaccard ≥ 0.8 forces
+    * max(|A|,|B|) ≤ 1.25·min(|A|,|B|) — drops hopeless pairs BEFORE the
+    * pair-count aggregation. Both tricks are lossless w.r.t. the ≥ 0.8
+    * result set, so the oracle SQL computes it the straightforward way.
+    */
+  def ngramPairs(docs: DataFrame): DataFrame = {
+    val sh = docShingles(docs, MaxDf)
+    val withN = sh
+      .join(broadcast(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))),
+        Seq("doc_id"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"), col("n"))
+      .cache()
+    val a = withN.select(col("doc_id").as("doc_a"), col("shh"), col("n").as("na"))
+    val b = withN.select(col("doc_id").as("doc_b"), col("shh"), col("n").as("nb"))
+    val inter = a.join(b, Seq("shh"))
+      .filter(col("doc_a") < col("doc_b") &&
+        greatest(col("na"), col("nb")) <=
+          lit(1.25) * least(col("na"), col("nb")))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") / (col("na") + col("nb") - col("i"))
+    inter
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
   /** Shared oracle CTE: capped (doc_id, shingle) pairs. */
   private val shingleCte: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -95,32 +124,33 @@ object Dedup {
          |  CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
          |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
          |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8""".stripMargin) {
+      (s, d) => ngramPairs(Tables.documents(s, d))
+    },
+
+    // The composed end product: the corpus keep-list. A document is
+    // dropped iff it is the GREATER id of some ≥ 0.8-Jaccard pair — the
+    // lowest id of each near-dup cluster survives (chain semantics:
+    // removal follows pairs, not transitive closure, identically on
+    // both engines).
+    QuerySpec(
+      "dedup_keeplist",
+      s"""$shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |dropped AS (
+         |  SELECT DISTINCT doc_b FROM inter
+         |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM dropped)""".stripMargin) {
       (s, d) =>
-        // Candidate join runs on xxhash64(shingle) (8-byte keys instead of
-        // ~25-byte strings through the shuffle) with the doc's shingle
-        // count riding along so the size-ratio prune — jaccard ≥ 0.8
-        // forces max(|A|,|B|) ≤ 1.25·min(|A|,|B|) — drops hopeless pairs
-        // BEFORE the pair-count aggregation. Both tricks are lossless
-        // w.r.t. the ≥ 0.8 result set, so the oracle SQL is unchanged.
-        val sh = docShingles(Tables.documents(s, d), MaxDf)
-        val withN = sh
-          .join(broadcast(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))),
-            Seq("doc_id"))
-          .select(col("doc_id"), xxhash64(col("sh")).as("shh"), col("n"))
-          .cache()
-        val a = withN.select(col("doc_id").as("doc_a"), col("shh"), col("n").as("na"))
-        val b = withN.select(col("doc_id").as("doc_b"), col("shh"), col("n").as("nb"))
-        val inter = a.join(b, Seq("shh"))
-          .filter(col("doc_a") < col("doc_b") &&
-            greatest(col("na"), col("nb")) <=
-              lit(1.25) * least(col("na"), col("nb")))
-          .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-          .agg(count(lit(1)).as("i"))
-        val jac = col("i").cast("double") /
-          (col("na") + col("nb") - col("i"))
-        inter
-          .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
-          .filter(col("jaccard") >= 0.8)
+        val docs = Tables.documents(s, d)
+        val pairs = ngramPairs(docs) // shares the dedup_ngram machinery
+        val dropped = pairs.select(col("doc_b").as("doc_id")).distinct()
+        docs.join(dropped, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"))
     },
 
     // MinHash + LSH: 8 min-hashes from TWO md5 digests per shingle (each

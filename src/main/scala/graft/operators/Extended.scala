@@ -101,6 +101,39 @@ object Extended {
             col("n"))
     },
 
+    // The classic OLAP shape: fact table joined through two broadcast
+    // dimension chains, filtered, with exact-decimal revenue rollup —
+    // the plan every 100 TB star-schema query wants (pruned fact scan,
+    // all-broadcast dims, single agg exchange).
+    QuerySpec(
+      "q_star_join",
+      """SELECT n_name AS nation, r_name AS region,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY n_name, r_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name").as("nation"), col("r_name").as("region"))
+        .agg(
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // Explicit GROUPING SETS (beyond rollup/cube's fixed lattices),
     // through the SQL front-end on both engines.
     QuerySpec(

@@ -1,0 +1,42 @@
+package graft
+
+/** Enforces the PLANS.md audit: if an operator change regresses the
+  * physical plan (lost pruning, lost broadcast, lost map-side partial
+  * aggregation), these fail before the bench would notice.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q1_agg: scan prunes to the 5 referenced columns, partial agg " +
+    "before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("FileScan parquet [l_quantity#")) // pruned column set
+    assert(!p.contains("l_shipdate") && !p.contains("l_partkey"))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q_snapshot_latest: scalar MAX reads only ts and broadcasts") {
+    val p = plan("q_snapshot_latest")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("ReadSchema: struct<ts:bigint>"))
+  }
+
+  test("q_star_join: every dimension side is broadcast (no dim shuffle)") {
+    val p = plan("q_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3)
+  }
+
+  test("multimodal_meta: binary payload never read for metadata query") {
+    val p = plan("multimodal_meta")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("q_topk: limit is pushed into a TakeOrdered operator, not a " +
+    "global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}
