@@ -48,6 +48,25 @@ object StatefulOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-stream interval join: each click enriched with the errors of
+    * the same user in the preceding `intervalMinutes`. Watermarks on
+    * BOTH inputs plus the time-range predicate are what let Spark expire
+    * join state — without them a stream-stream join buffers forever.
+    * State is keyed by user and bounded by watermark + interval.
+    */
+  def clickErrorIntervalJoin(clicks: Dataset[Event], errors: Dataset[Event],
+      intervalMinutes: Int = 10, watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.toDF().withWatermark("ts", watermark).alias("c")
+    val e = errors.toDF().withWatermark("ts", watermark).alias("e")
+    c.join(e,
+      expr(s"""c.user_id = e.user_id AND
+              |e.ts BETWEEN c.ts - INTERVAL $intervalMinutes MINUTES AND c.ts
+              |""".stripMargin))
+      .select(col("c.event_id").as("click_id"), col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"), col("e.event_id").as("error_id"),
+        col("e.ts").as("error_ts"), col("e.value").as("error_value"))
+  }
+
   /** Event sessionization: events of a user belong to one session while
     * gaps stay under `gapMillis`; sessions flush either when a later
     * event of the same user opens a new one, or when the event-time

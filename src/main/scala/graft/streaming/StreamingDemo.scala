@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.streaming.StatefulOps.Event
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import java.nio.file.{Files, Paths}
@@ -33,6 +34,7 @@ object StreamingDemo {
       ev(2, "09:05:00", 1, "click", 2.0),
       ev(3, "09:40:00", 1, "purchase", 4.0), // >30 min gap → new session
       ev(4, "09:10:00", 2, "error", 9.0),
+      ev(6, "09:02:00", 1, "error", 3.0), // joins user 1's 09:05 click
       ev(5, "13:00:00", 99, "click", 0.0) // advances the watermark
     ).mkString("\n").getBytes("UTF-8"))
 
@@ -47,14 +49,23 @@ object StreamingDemo {
     val hourly = StatefulOps.hourlyCounts(events.toDF(), watermark = "10 minutes")
       .writeStream.format("memory").queryName("hourly")
       .outputMode(OutputMode.Append()).start()
+    val joined = StatefulOps.clickErrorIntervalJoin(
+        events.filter(col("event_type") === "click"),
+        events.filter(col("event_type") === "error"),
+        intervalMinutes = 60)
+      .writeStream.format("memory").queryName("cejoin")
+      .outputMode(OutputMode.Append()).start()
     sessions.processAllAvailable()
     hourly.processAllAvailable()
+    joined.processAllAvailable()
 
     println("closed sessions:")
     spark.table("sessions").orderBy("user_id", "started").show(false)
     println("hourly counts (watermark-closed windows):")
     spark.table("hourly").orderBy("hour_start", "event_type").show(false)
-    sessions.stop(); hourly.stop()
+    println("clicks joined to same-user errors within the hour:")
+    spark.table("cejoin").orderBy("click_id", "error_id").show(false)
+    sessions.stop(); hourly.stop(); joined.stop()
     spark.stop()
   }
 }

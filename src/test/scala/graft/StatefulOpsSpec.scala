@@ -37,6 +37,26 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: only errors within the window join") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val q = StatefulOps.clickErrorIntervalJoin(clicks.toDS(), errors.toDS())
+      .writeStream.format("memory").queryName("cejoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      errors.addData(
+        Event(100, ts(0), 1, "error", 7.0), // 30 min before click: outside
+        Event(101, ts(25), 1, "error", 8.0), // 5 min before: inside
+        Event(102, ts(25), 2, "error", 9.0)) // other user
+      clicks.addData(Event(1, ts(30), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("cejoin")
+        .select($"click_id", $"error_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 101L)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes a session; totals and bounds are exact") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
