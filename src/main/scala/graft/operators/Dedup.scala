@@ -25,14 +25,19 @@ object Dedup {
   private def words(c: Column): Column = split(c, " ")
 
   /** Distinct 3-word shingles of `text` (1-based positions i..i+2).
-    * Documents shorter than 3 words yield no shingles.
+    * Documents shorter than 3 words yield no shingles — the short-doc
+    * branch must be explicit because `sequence(1, size-2)` STEPS DOWN
+    * when size < 3 (Spark sequences with start > stop run backwards),
+    * which would hit out-of-range `element_at` indexes.
     */
   def shingles3(text: Column): Column = {
     val w = words(text)
     array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(w) - lit(2), lit(0))),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      when(size(w) >= 3,
+        transform(
+          sequence(lit(1), size(w) - lit(2)),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(typedLit(Seq.empty[String])))
   }
 
   /** Exploded (doc_id, shingle) pairs with a document-frequency cap:

@@ -57,9 +57,11 @@ object Multimodal {
     */
   def resizeBatch(batch: Seq[Asset], w: Int, h: Int): Seq[ResizedAsset] =
     batch.map { a =>
-      val thumb = Array.tabulate(w * h) { i =>
-        a.content(i % math.max(a.content.length, 1))
-      }
+      // Zero-byte payloads get a zero-filled thumb: `i % max(len, 1)` is 0
+      // for empty content, and content(0) would throw.
+      val thumb =
+        if (a.content.isEmpty) new Array[Byte](w * h)
+        else Array.tabulate(w * h)(i => a.content(i % a.content.length))
       ResizedAsset(a.asset_id, w, h, thumb)
     }
 

@@ -95,14 +95,18 @@ object IngestPipeline {
       IngestOps.weatherFromRaw(_, date, time), cfg.weatherPath)
 
     // Entry point 2: snapshot query over FULL table history → K2 overwrite.
-    val nS =
-      if (nT == 0) 0L // no traffic this run and possibly ever: guard read
-      else {
-        val traffic = spark.read.schema(Schemas.trafficTableSchema)
-          .parquet(cfg.trafficPath)
+    // The reference's scheduled query reruns every hour UNCONDITIONALLY
+    // (README.md:83-84), so the refresh is guarded only on the history
+    // tables being readable — not on this run having appended traffic
+    // rows. A run whose traffic fetches all fail but whose weather rows
+    // land must still refresh: a late-arriving weather row for the
+    // latest traffic hour belongs in the snapshot.
+    val nS = {
+        val traffic = Try(spark.read.schema(Schemas.trafficTableSchema)
+          .parquet(cfg.trafficPath)).getOrElse(null)
         val weather = Try(spark.read.schema(Schemas.weatherTableSchema)
           .parquet(cfg.weatherPath)).getOrElse(null)
-        if (weather == null) 0L
+        if (traffic == null || weather == null) 0L
         else {
           val snap = SnapshotQuery.latestJoined(traffic, weather).cache()
           val n = snap.count()

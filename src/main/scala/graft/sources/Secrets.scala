@@ -27,11 +27,16 @@ object Secrets {
     val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
     val inner = t.substring(1, t.length - 1).trim
     if (inner.isEmpty) return Some(Map.empty)
-    val found = pair.findAllMatchIn(t).map { m =>
+    // Match pairs against the INNER text, and require that stripping the
+    // matched pairs leaves only commas/whitespace — a nested object like
+    // {"a": {"k": "v"}} leaves `"a": {` residue and correctly falls
+    // through to the raw-string branch instead of mis-parsing to {k: v}.
+    val found = pair.findAllMatchIn(inner).map { m =>
       def unesc(x: String) = x.replace("\\\"", "\"").replace("\\\\", "\\")
       unesc(m.group(1)) -> unesc(m.group(2))
     }.toMap
-    if (found.isEmpty) None else Some(found)
+    val residue = pair.replaceAllIn(inner, "")
+    if (found.isEmpty || !residue.matches("""[\s,]*""")) None else Some(found)
   }
 
   /** JSON-or-string fallback: a JSON-object secret yields its field map,

@@ -79,7 +79,10 @@ private[v2] class HttpJsonScanBuilder(options: CaseInsensitiveStringMap)
     val retries = options.getInt("retries", 3)
     val delayMs = options.getLong("retryDelayMillis", 1000L)
     pointsOpt.split(";").filter(_.nonEmpty).map { spec =>
-      val Array(name, lat, lon) = spec.split("\\|", 3)
+      val fields = spec.split("\\|", 3)
+      require(fields.length == 3,
+        s"httpjson 'points' entry '$spec' is malformed: expected name|lat|lon")
+      val Array(name, lat, lon) = fields
       HttpJsonPartition(name, lat, lon,
         template.replace("{lat}", lat).replace("{lon}", lon),
         retries, delayMs): InputPartition

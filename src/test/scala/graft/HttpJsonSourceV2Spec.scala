@@ -33,6 +33,18 @@ class HttpJsonSourceV2Spec extends SparkSpec {
     assert(rows("dead")._1.isEmpty && rows("dead")._2.nonEmpty)
   }
 
+  test("malformed points entry fails with an error naming the bad spec " +
+    "(regression: opaque MatchError at planning time)") {
+    val df = spark.read.format("httpjson")
+      .option("template", "file:///nowhere/{lat}_{lon}.json")
+      .option("points", "ok|55.1|12.5;bad-entry|55.2")
+      .load()
+    val e = intercept[Throwable](df.count())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("bad-entry")))
+  }
+
   test("DSv2 output feeds the same extraction as the driver-side source") {
     val dir = tmpDir("dsv2")
     writeFixture(dir, "55.1_12.5.json", Fixtures.tomtom())

@@ -191,4 +191,24 @@ class OperatorsSpec extends SparkSpec {
     val out = SparkEntry.queries("dedup_exact")(spark, sf0001)
     assert(out.filter($"n_copies" > 1).count() == 0)
   }
+
+  test("shingles3: docs under 3 words yield NO shingles (regression: " +
+    "sequence(1, size-2) steps backwards when size < 3 and crashed)") {
+    val df = docsDf(1L -> "one", 2L -> "two words",
+      3L -> "exactly three words", 4L -> base)
+    val n = df.select($"doc_id", size(Dedup.shingles3($"text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(n(1L) == 0 && n(2L) == 0 && n(3L) == 1 && n(4L) > 2)
+    // end-to-end: the full ngram/keeplist pipeline tolerates short docs
+    val pairs = Dedup.ngramPairs(docsDf(1L -> "hi", 2L -> base, 3L -> base))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)))
+  }
+
+  test("resizeBatch: zero-byte payload yields a zero-filled thumb " +
+    "(regression: indexed into the empty array)") {
+    val out = Multimodal.resizeBatch(
+      Seq(Multimodal.Asset(7L, "image/png", 0L, Array.emptyByteArray)), 4, 4)
+    assert(out.head.thumb.length == 16 && out.head.thumb.forall(_ == 0))
+  }
 }

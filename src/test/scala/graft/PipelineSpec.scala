@@ -95,6 +95,22 @@ class PipelineSpec extends SparkSpec {
     assert(r.snapshotRows == 2)
   }
 
+  test("snapshot refreshes from on-disk history even when this run appends " +
+    "no traffic rows (regression: the reference's scheduled query reruns " +
+    "unconditionally every hour)") {
+    val base = tmpDir("pipeline")
+    val c = cfg(base)
+    assert(IngestPipeline.run(spark, c, okFetcher(30), hour1).snapshotRows == 3)
+    // hour 2: traffic API down, weather still appending — the snapshot
+    // must still be recomputed from history, not skipped.
+    val trafficDown: HttpJsonSource.Fetcher = (url, p) =>
+      if (url.startsWith("traffic")) Failure(new RuntimeException("HTTP 503"))
+      else okFetcher(41)(url, p)
+    val r2 = IngestPipeline.run(spark, c, trafficDown, hour2)
+    assert(r2.trafficRows == 0 && r2.weatherRows == 3)
+    assert(r2.snapshotRows == 3) // latest traffic hour (hour 1) still joins
+  }
+
   test("url template rendering substitutes lat/lon/key (S1 URL shape)") {
     val url = HttpJsonSource.renderUrl(
       "https://api/x?point={lat},{lon}&key={key}",

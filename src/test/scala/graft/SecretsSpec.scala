@@ -28,6 +28,14 @@ class SecretsSpec extends SparkSpec {
     assert(Secrets.resolve(throwing, "x").isEmpty)
   }
 
+  test("nested-object secret falls back to the raw string (regression: " +
+    "inner pairs of {\"a\": {\"k\": \"v\"}} were mis-parsed as flat)") {
+    val raw = """{"a": {"k": "v"}}"""
+    val s: Secrets.Store = Map("n" -> raw, "arr" -> """{"a": ["x", "y"]}""").get
+    assert(Secrets.resolve(s, "n") == Some(Left(raw)))
+    assert(Secrets.resolve(s, "arr") == Some(Left("""{"a": ["x", "y"]}""")))
+  }
+
   test("escaped quotes/backslashes in JSON values") {
     val s: Secrets.Store =
       Map("k" -> """{"a": "x\"y", "b": "c\\d"}""").get
