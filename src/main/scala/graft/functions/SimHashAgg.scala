@@ -2,18 +2,27 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.nio.ByteBuffer
+import java.security.MessageDigest
 
-/** Single-pass 64-bit SimHash aggregate: per input token, xxhash64 (seed
-  * 42, identical to Spark's `xxhash64` function) casts one ±1 vote per
-  * bit position; the final signature sets bit i iff vote i is positive.
+/** Single-pass 64-bit SimHash aggregate: per input token, a 64-bit hash
+  * casts one ±1 vote per bit position; the final signature sets bit i iff
+  * vote i is positive.
+  *
+  * The token hash is the first 8 md5-digest bytes read little-endian —
+  * chosen over xxhash64 because it is PORTABLE: it equals DuckDB's
+  * `md5_number_upper(token)` bit-for-bit, which is what lets the
+  * dedup_simhash query carry a value-level SQL oracle instead of a
+  * rows-only check. md5 costs more per token than xxhash64, but the
+  * signature pass is a fraction of the dedup pipeline (the candidate
+  * join dominates) and uniformity is what SimHash actually needs.
   *
   * A `TypedImperativeAggregate` with a 64-int buffer replaces the naive
   * formulation (64 separate `sum(CASE WHEN ...)` aggregate columns) that
@@ -33,7 +42,7 @@ case class SimHashAgg(
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = XxHash64Function.hash(v, child.dataType, 42L)
+      val h = SimHashAgg.tokenHash(v.asInstanceOf[UTF8String].getBytes)
       var i = 0
       while (i < 64) {
         buf(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
@@ -88,7 +97,24 @@ object SimHashAgg {
     Bridge.column(
       SimHashAgg(Bridge.expression(c)).toAggregateExpression())
 
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 md5-digest bytes, little-endian — identical to DuckDB's
+    * `md5_number_upper(s)` reinterpreted as a signed 64-bit value (the
+    * bit pattern, which is all SimHash reads, is engine-independent).
+    */
+  def tokenHash(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var h = 0L
+    var i = 7
+    while (i >= 0) { h = (h << 8) | (dig(i) & 0xffL); i -= 1 }
+    h
+  }
+
   /** Reference single-value hash (used by tests to recompute votes). */
-  def tokenHash(s: String): Long =
-    XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+  def tokenHash(s: String): Long = tokenHash(s.getBytes("UTF-8"))
 }

@@ -64,6 +64,15 @@ object Dedup {
 
   private val MaxDf = 50
 
+  /** SRP-LSH hyperplanes: ±1 components from a fixed-seed driver-side RNG.
+    * Shared verbatim by the Spark plan (as `typedLit` arrays) and the
+    * oracle SQL (as interpolated literals) — the portability contract.
+    */
+  private val LshPlanes: Seq[Array[Double]] = (0 until 16).map { p =>
+    val rnd = new scala.util.Random(2654435761L * p + 12345)
+    Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
   /** Exact-Jaccard near-dup pairs (doc_a, doc_b, jaccard ≥ 0.8).
     * Candidate join runs on xxhash64(shingle) (8-byte keys instead of
     * ~25-byte strings through the shuffle) with the doc's shingle count
@@ -93,13 +102,17 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
-  /** Shared oracle CTE: capped (doc_id, shingle) pairs. */
-  private val shingleCte: String =
+  /** Oracle CTE: exploded distinct (doc_id, shingle) pairs, no df cap. */
+  private val rawShingleCte: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |ex AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |         range(1, greatest(len(ws) - 1, 1)),
       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
-      |       FROM w),
+      |       FROM w)""".stripMargin
+
+  /** Shared oracle CTE: capped (doc_id, shingle) pairs. */
+  private val shingleCte: String =
+    s"""$rawShingleCte,
       |s AS (SELECT doc_id, sh FROM ex
       |      WHERE sh IN (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 50))""".stripMargin
 
@@ -210,12 +223,28 @@ object Dedup {
           .distinct()
     },
 
-    // SimHash: 64-bit signature from xxhash64(token) bit votes; candidate
+    // SimHash: 64-bit signature from per-shingle bit votes; candidate
     // pairs share at least one of four 16-bit chunks (finds all pairs with
     // Hamming distance ≤ 3 by pigeonhole) and pass an exact popcount check.
-    // No portable oracle for xxhash64 ⇒ rows-only check; semantics are
-    // covered by DedupSpec.
-    QuerySpec.noOracle("dedup_simhash") { (s, d) =>
+    // The token hash is md5-derived (== DuckDB md5_number_upper) exactly so
+    // this query can carry a value-level oracle: the SQL recomputes the
+    // signatures bit-by-bit from the same hash family.
+    QuerySpec(
+      "dedup_simhash",
+      s"""$rawShingleCte,
+         |hh AS (SELECT doc_id, md5_number_upper(sh) AS h FROM ex),
+         |votes AS (SELECT doc_id, b,
+         |    CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         |         THEN (1::HUGEINT << b)::UBIGINT ELSE 0::UBIGINT END AS bv
+         |  FROM hh, range(0, 64) t(b) GROUP BY doc_id, b),
+         |sigs AS (SELECT doc_id, bit_or(bv) AS sig FROM votes GROUP BY doc_id),
+         |chunks AS (SELECT doc_id, sig, c, (sig >> (c * 16)) & 65535 AS cv
+         |           FROM sigs, range(0, 4) t(c))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM chunks a JOIN chunks b
+         |  ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin) { (s, d) =>
       val sigs = simhashSignatures(Tables.documents(s, d))
       val chunks = sigs.select(
         col("doc_id"), col("simhash"),
@@ -232,37 +261,46 @@ object Dedup {
       a.join(b, Seq("chunk", "cv"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
     },
 
     // Embedding near-dup via SRP-LSH (signed random projections): each
     // vector hashes to sign bits against pseudo-random hyperplanes
-    // (deterministic per (plane, dim) via xxhash64 — no RNG state to
-    // ship), bits group into bands, candidates collide on a band, and
-    // survivors verify with exact cosine. This is the metadata-free
-    // scale path: no label column needed, candidate cost bounded by
-    // band-bucket sizes. Oracle: rows-only (xxhash64 planes aren't
-    // portable); recall vs the blocked-exact variant is asserted in
-    // OperatorsSpec.
-    QuerySpec.noOracle("dedup_embedding_lsh") { (s, d) =>
-      val nPlanes = 16
+    // (generated ONCE driver-side from a fixed seed and shipped as array
+    // literals — no RNG state on executors), bits group into bands,
+    // candidates collide on a band, and survivors verify with exact
+    // cosine. This is the metadata-free scale path: no label column
+    // needed, candidate cost bounded by band-bucket sizes. The oracle SQL
+    // embeds the SAME plane literals and recomputes the sign bits with
+    // list_dot_product (sign(dot) == sign(cosine) in IEEE arithmetic:
+    // dividing by the positive norms never flips sign).
+    QuerySpec(
+      "dedup_embedding_lsh",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |sig AS (SELECT vec_id, v,
+         |  ${LshPlanes.zipWithIndex.map { case (plane, p) =>
+             s"(CASE WHEN list_dot_product(v, ${plane.mkString("[", ",", "]")}) >= 0 THEN ${1L << p} ELSE 0 END)"
+           }.mkString(" + ")} AS sig
+         |  FROM e),
+         |bands AS (SELECT vec_id, v, b, (sig >> (b * 4)) & 15 AS bv
+         |          FROM sig, range(0, 4) t(b))
+         |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM bands a JOIN bands b
+         |  ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4""".stripMargin) {
+      (s, d) =>
+      val nPlanes = LshPlanes.length
       val bandBits = 4 // 4 bands × 4 bits
-      val dim = 64
       val e = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding").as("v"))
-      // Hyperplanes are generated ONCE driver-side from a fixed seed and
-      // shipped as array literals; sign(dot) == sign(cosine), so the
-      // codegen'd CosineSim doubles as the projection kernel (the
+      // The codegen'd CosineSim doubles as the projection kernel (the
       // higher-order-function formulation is interpreted and was ~20×
       // slower — see functions/VectorFunctions.scala).
-      val planes: Seq[Array[Double]] = (0 until nPlanes).map { p =>
-        val rnd = new scala.util.Random(2654435761L * p + 12345)
-        Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-      }
-      val bits = planes.zipWithIndex.map { case (plane, p) =>
+      val bits = LshPlanes.zipWithIndex.map { case (plane, p) =>
         when(Similarity.cosine(col("v"), typedLit(plane.toSeq)) >= 0,
           lit(1L << p)).otherwise(lit(0L))
       }

@@ -30,18 +30,32 @@ object Multimodal {
   val FeatureDim = 8
   val DecodeBatchSize = 64
 
+  /** Content hash for the stub decoders: 31-polynomial over the bytes mod
+    * 1e9+7. Plain modular arithmetic (NOT `Arrays.hashCode`, whose 32-bit
+    * wrap has no clean SQL form) so the DuckDB oracle can recompute it
+    * with a `list_reduce` fold and the stub pipelines get value-level
+    * checks instead of rows-only.
+    */
+  def byteHash(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+    h
+  }
+
   /** STUB decoder standing in for a real image/audio decode. Deterministic
     * pure function of the bytes so tests and reruns agree; a production
-    * build swaps only this function (same batch signature).
+    * build swaps only this function (same batch signature). Feature i is
+    * an exact rational in [0, 1) derived from the content hash — engine-
+    * portable (no libm calls whose last ulp differs across platforms).
     */
   def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
-    val h = java.util.Arrays.hashCode(a.content)
+    val h = byteHash(a.content)
     val feats = Array.tabulate(FeatureDim) { i =>
-      // pseudo-feature: mixes content hash and position; bounded [-1, 1]
-      math.sin((h.toLong * 2654435761L + i * 40503L).toDouble / Int.MaxValue).toFloat
+      (((h * 2654435761L + i * 40503L) % 1000003L).toDouble / 1000003.0).toFloat
     }
-    AssetFeatures(a.asset_id, width = 1 + (math.abs(h) % 1024),
-      height = 1 + (math.abs(h / 1024) % 1024), features = feats)
+    AssetFeatures(a.asset_id, width = 1 + (h % 1024).toInt,
+      height = 1 + ((h / 1024) % 1024).toInt, features = feats)
   }
 
   /** Thumbnail of one asset (stub resize: real plumbing, fake pixels). */
@@ -77,8 +91,7 @@ object Multimodal {
       a.content.grouped(FrameBytes).zipWithIndex
         .filter { case (_, i) => i % every == 0 }
         .map { case (frame, i) =>
-          FrameSample(a.asset_id, i, frame.length.toLong,
-            java.util.Arrays.hashCode(frame).toLong)
+          FrameSample(a.asset_id, i, frame.length.toLong, byteHash(frame))
         }
     })
   }
@@ -143,28 +156,76 @@ object Multimodal {
     },
 
     // Full decode pipeline: binary → batched stub decode → feature stats.
-    // Not SQL-expressible (stub decoder) ⇒ rows-only check; semantics
-    // pinned by OperatorsSpec.
-    QuerySpec.noOracle("multimodal_features") { (s, d) =>
+    // The stub's arithmetic is engine-portable, so the oracle recomputes
+    // the content hash (list_reduce fold), the width/height derivation,
+    // and the float-rounded feature sum term by term.
+    QuerySpec(
+      "multimodal_features",
+      s"""WITH h AS (SELECT doc_id AS asset_id, $FoldHashSql AS h FROM documents)
+         |SELECT asset_id,
+         |  CAST(1 + h % 1024 AS BIGINT) AS width,
+         |  CAST(1 + (h // 1024) % 1024 AS BIGINT) AS height,
+         |  round(${(0 until FeatureDim).map(i =>
+             s"CAST(CAST(((h * 2654435761 + $i * 40503) % 1000003) AS DOUBLE)" +
+               " / 1000003.0 AS FLOAT)::DOUBLE").mkString(" + ")}, 4)
+         |    AS feature_sum
+         |FROM h""".stripMargin) { (s, d) =>
       val feats: DataFrame = extractFeatures(assets(s, d)).toDF()
       feats.select(
-        col("asset_id"), col("width"), col("height"),
+        col("asset_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
         round(aggregate(transform(col("features"), x => x.cast("double")),
           lit(0.0), (acc, v) => acc + v), 4).as("feature_sum"))
     },
 
-    // Batched stub resize: per-asset thumbnail metadata (rows-only).
-    QuerySpec.noOracle("multimodal_resize") { (s, d) =>
+    // Batched stub resize: per-asset thumbnail metadata. The stub tiles
+    // the payload to w×h bytes, which SQL reproduces with repeat+substr;
+    // md5 hex is identical across engines.
+    QuerySpec(
+      "multimodal_resize",
+      """SELECT doc_id AS asset_id,
+        |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(256 AS BIGINT) AS thumb_bytes,
+        |  md5(substr(repeat(text, CAST(ceil(256.0 / length(text)) AS INT)),
+        |      1, 256)) AS thumb_hash
+        |FROM documents""".stripMargin) { (s, d) =>
       resizeAssets(assets(s, d), 16, 16).toDF()
-        .select(col("asset_id"), col("width"), col("height"),
+        .select(col("asset_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
           length(col("thumb")).cast("long").as("thumb_bytes"),
           md5(col("thumb")).as("thumb_hash"))
     },
 
-    // Frame sampling: 1→N explosion, every 2nd fixed-size frame
-    // (rows-only).
-    QuerySpec.noOracle("multimodal_frames") { (s, d) =>
+    // Frame sampling: 1→N explosion, every 2nd fixed-size frame. Chunking
+    // is substr arithmetic and the frame hash is the portable fold.
+    QuerySpec(
+      "multimodal_frames",
+      s"""WITH c0 AS (SELECT doc_id, text,
+         |    unnest(range(0, CAST(ceil(length(text) / $FrameBytes.0) AS BIGINT))) AS c
+         |  FROM documents),
+         |c AS (SELECT doc_id AS asset_id, c AS frame_idx,
+         |    substr(text, CAST(c * $FrameBytes + 1 AS INT), $FrameBytes) AS chunk
+         |  FROM c0 WHERE c % 2 = 0)
+         |SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  CAST(length(chunk) AS BIGINT) AS n_bytes,
+         |  ${FoldHashSql.replace("length(text)", "length(chunk)")
+               .replace("substr(text,", "substr(chunk,")} AS frame_hash
+         |FROM c""".stripMargin) { (s, d) =>
       sampleFrames(assets(s, d), every = 2).toDF()
+        .select(col("asset_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("n_bytes"), col("frame_hash"))
     }
   )
+
+  /** SQL form of [[byteHash]] over the `text` column (documents are pure
+    * ASCII, so `ascii(substr(...))` equals the byte value). A `def` so
+    * `specs` (initialized above) can reference it at object init.
+    */
+  private def FoldHashSql: String =
+    "list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      "range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::BIGINT))," +
+      " (a, b) -> (a * 31 + b) % 1000000007)"
 }

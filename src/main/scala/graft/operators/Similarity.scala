@@ -107,11 +107,43 @@ object Similarity {
 
     // IVF top-k: deterministic seeds (every 25th vector) refined by one
     // Lloyd iteration (assign → cell mean → reassign), nprobe=4.
-    // Approximate — recall vs sim_topk is asserted in OperatorsSpec;
-    // candidate generation is cell-blocked, not all-pairs. At corpus
+    // Approximate w.r.t. exact top-k (recall vs sim_topk is asserted in
+    // OperatorsSpec) but DETERMINISTIC given the seeds, so the oracle SQL
+    // mirrors the whole construction: same seeds, same Lloyd step, same
+    // rounded-cosine ranking with centroid-id/neighbor-id tie-breaks.
+    // Candidate generation is cell-blocked, not all-pairs. At corpus
     // scale the cell id is also the partitioning key: one shuffle to
     // co-locate cells, then probes join only their nprobe cells.
-    QuerySpec.noOracle("sim_ivf") { (s, d) =>
+    QuerySpec(
+      "sim_ivf",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0),
+         |a0 AS (SELECT vec_id, v, cent_id FROM (
+         |    SELECT e.vec_id, e.v, s.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC, s.cent_id) AS rn
+         |    FROM e, seeds s) WHERE rn = 1),
+         |cd AS (SELECT cent_id, d, avg(v[d]) AS cx
+         |       FROM a0, range(1, 65) t(d) GROUP BY cent_id, d),
+         |cents AS (SELECT cent_id, list(cx ORDER BY d) AS cv FROM cd GROUP BY cent_id),
+         |a1 AS (SELECT vec_id, v, cent_id FROM (
+         |    SELECT e.vec_id, e.v, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
+         |    FROM e, cents c) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id FROM (
+         |    SELECT e.vec_id, e.v, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
+         |    FROM e, cents c WHERE e.vec_id < $NQueries) WHERE rn <= 4),
+         |scored AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(p.qv, a1.v), 4) AS sim
+         |  FROM probes p JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= $TopK""".stripMargin) { (s, d) =>
       val e = corpus(s, d).cache()
       // Seeds: every 25th vector, refined by one k-means (Lloyd) step.
       val seeds = e.filter(col("vec_id") % 25 === 0)
@@ -140,8 +172,19 @@ object Similarity {
     },
 
     // Clustering-quality readout: mean cosine of each vector to its
-    // label centroid.
-    QuerySpec.noOracle("sim_label_coherence") { (s, d) =>
+    // label centroid. Deterministic (centroid = per-dim mean, cosines
+    // rounded before averaging) ⇒ mirrored value-level oracle.
+    QuerySpec(
+      "sim_label_coherence",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cd AS (SELECT label, d, avg(v[d]) AS cx
+        |       FROM e, range(1, 65) t(d) GROUP BY label, d),
+        |cents AS (SELECT label, list(cx ORDER BY d) AS cv FROM cd GROUP BY label),
+        |sims AS (SELECT e.label, round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+        |         FROM e JOIN cents c ON e.label = c.label)
+        |SELECT label, round(avg(sim), 4) AS mean_sim, count(*) AS n
+        |FROM sims GROUP BY label""".stripMargin) { (s, d) =>
       val e = corpus(s, d)
       val byLabel = e
         .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))

@@ -20,6 +20,38 @@ object TextAnalysis {
   private val Stopwords =
     Seq("the", "a", "of", "and", "in", "to", "is", "it", "on", "for")
 
+  /** Oracle SQL mirroring `RollingHashMinima.winnow`: k-gram polynomial
+    * hashes (base 257 mod 2^61−1 — direct sum equals the rolling form
+    * since 257^(k−1) < the modulus) and minima over every full window of
+    * `w` grams (one global window when a doc has ≤ w grams). Documents
+    * are pure ASCII, so `ascii(substr(...))` equals the byte the Spark
+    * kernel hashes.
+    */
+  private def winnowOracleSql(k: Int, w: Int): String = {
+    val Mod = (BigInt(1) << 61) - 1
+    val terms = (0 until k).map { j =>
+      s"ascii(substr(text, i + $j, 1)) * ${BigInt(257).pow(k - 1 - j)}::HUGEINT"
+    }.mkString(" + ")
+    s"""WITH g0 AS (
+       |  SELECT doc_id, text, unnest(range(1, length(text) - ${k - 2})) AS i
+       |  FROM documents),
+       |g AS (SELECT doc_id, i, ($terms) % $Mod AS h FROM g0),
+       |mins AS (
+       |  SELECT doc_id, i,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m,
+       |    count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM g),
+       |fps AS (SELECT DISTINCT doc_id, m FROM mins
+       |        WHERE i <= greatest(ng - ${w - 1}, 1)),
+       |agg AS (SELECT doc_id, count(*) AS nf,
+       |               min(m) AS min_fp, max(m) AS max_fp
+       |        FROM fps GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(a.nf, 0) AS BIGINT) AS n_fingerprints,
+       |  CAST(a.min_fp AS BIGINT) AS min_fp, CAST(a.max_fp AS BIGINT) AS max_fp
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Language ID: stopword-marker ratio per candidate language, argmax
@@ -107,9 +139,13 @@ object TextAnalysis {
 
     // Winnowing fingerprints (rolling hash): per-doc count plus extrema
     // of the fingerprint set (full sets feed overlap joins; extrema keep
-    // the gate output compact). Custom expression ⇒ rows-only check;
+    // the gate output compact). The Karp–Rabin hash is plain modular
+    // arithmetic (base 257 mod 2^61−1), so the oracle recomputes every
+    // k-gram hash directly in HUGEINT and takes the same window minima;
     // the substring-sharing guarantee is pinned in OperatorsSpec.
-    QuerySpec.noOracle("text_winnow") { (s, d) =>
+    QuerySpec(
+      "text_winnow",
+      winnowOracleSql(k = 8, w = 16)) { (s, d) =>
       val fps = graft.functions.RollingHashMinima
         .winnow_fingerprints(col("text"), k = 8, w = 16)
       Tables.documents(s, d).select(
