@@ -25,18 +25,26 @@ object Dedup {
   private def words(c: Column): Column = split(c, " ")
 
   /** Distinct 3-word shingles of `text` (1-based positions i..i+2).
-    * Documents shorter than 3 words yield no shingles — the short-doc
-    * branch must be explicit because `sequence(1, size-2)` STEPS DOWN
-    * when size < 3 (Spark sequences with start > stop run backwards),
-    * which would hit out-of-range `element_at` indexes.
+    * Documents shorter than 3 words yield no shingles (the `when` guard —
+    * without it a descending `sequence`/negative slice would blow up on
+    * short docs).
+    *
+    * Formulated as `arrays_zip` of three shifted `slice`s rather than
+    * `transform(sequence(...), i => element_at(w, i)...)`: HOF lambdas
+    * re-evaluate captured outer expressions per ELEMENT, so the
+    * element_at form re-ran `split` ~3× per position — O(words²) per
+    * document and ~8× slower end-to-end on the shingle explode. The zip
+    * form evaluates `split` a constant number of times per row.
     */
   def shingles3(text: Column): Column = {
     val w = words(text)
+    val n = size(w)
     array_distinct(
-      when(size(w) >= 3,
+      when(n >= 3,
         transform(
-          sequence(lit(1), size(w) - lit(2)),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+          arrays_zip(slice(w, lit(1), n - 2), slice(w, lit(2), n - 2),
+            slice(w, lit(3), n - 2)),
+          s => concat_ws(" ", s("0"), s("1"), s("2"))))
         .otherwise(typedLit(Seq.empty[String])))
   }
 
@@ -357,7 +365,12 @@ object Dedup {
     * collapse toward each other.
     */
   def simhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles3(col("text"))).as("tok"))
+    docs
+      // Same rationale as docShingles: the driver's doc files are one
+      // split; fan the per-doc shingle+hash compute across the session's
+      // parallelism before the explode.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("tok"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.SimHashAgg.simhash_agg(col("tok")).as("simhash"))
 }
