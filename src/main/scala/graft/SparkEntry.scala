@@ -14,6 +14,7 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     operators.Relational.specs ++
       operators.Extended.specs ++
+      operators.Curation.specs ++
       operators.Dedup.specs ++
       operators.Similarity.specs ++
       operators.TextAnalysis.specs ++

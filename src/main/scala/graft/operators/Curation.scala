@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third ring: temporal/relational operators (sessionization, bounded
+  * interval join, exact percentiles) plus the corpus-curation operators a
+  * training-data pipeline runs after dedup — deterministic stratified
+  * sampling, fixed-budget sequence packing, class-balance weighting.
+  *
+  * Scale notes: every operator here is one shuffle on its natural key
+  * (user_id for the temporal ops, lang for the curation ops) followed by
+  * window/aggregate work that stays partition-local. Determinism comes
+  * from content (md5) or explicit keys, never from partition order, so
+  * results are stable under any degree of parallelism — the property
+  * that lets the DuckDB oracle hash-match a 32-way parallel run.
+  */
+object Curation {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Sessionization (batch): a session breaks after a 30-minute silence.
+    // lag → boundary flag → running sum = session id; one shuffle keyed by
+    // user_id, everything else window-local. The streaming analogue
+    // (event-time timeout state) lives in streaming.StatefulOps.
+    QuerySpec(
+      "q_sessionize",
+      """WITH e AS (SELECT user_id, event_id, ts, value FROM events),
+        |l AS (SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM e),
+        |f AS (SELECT user_id, event_id, ts, value,
+        |    CASE WHEN prev IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM l),
+        |s AS (SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev", lag(col("ts"), 1).over(ord))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), fmt).as("session_start"),
+          date_format(max(col("ts")), fmt).as("session_end"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+    },
+
+    // Bounded interval join (batch analogue of the watermarked
+    // stream-stream join): for each click, errors of the same user in the
+    // preceding 10 minutes. The equi key (user_id) makes this a plain
+    // hash join with a residual range predicate — no nested-loop blowup;
+    // at 100 TB both sides shuffle once on user_id and the range check
+    // stays partition-local.
+    QuerySpec(
+      "q_range_join",
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+        |SELECT c.event_id, count(*) AS n_recent_errors
+        |FROM c JOIN e ON c.user_id = e.user_id
+        |  AND e.ts > c.ts - INTERVAL 10 MINUTE AND e.ts <= c.ts
+        |GROUP BY c.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("cts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("ets"))
+      clicks.join(errors,
+        clicks("user_id") === errors("user_id") &&
+          unix_micros(col("ets")) > unix_micros(col("cts")) - 600000000L &&
+          col("ets") <= col("cts"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_recent_errors"))
+    },
+
+    // Exact percentiles (linear interpolation) per group. Both engines
+    // interpolate the same order statistics; 2-dp rounding guards the
+    // final ulp of the interpolation arithmetic.
+    QuerySpec(
+      "q_percentile",
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.90), 2) AS p90
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(o_totalprice, 0.50)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.90)"), 2).as("p90"))
+    },
+
+    // Deterministic stratified sampling: a fixed per-language quota taken
+    // in content-hash order. md5(doc_id) is an order both engines share,
+    // so the sample is reproducible run-to-run and engine-to-engine —
+    // the property a curation pipeline needs for auditable subsets. At
+    // corpus scale this is one shuffle (lang) + a per-partition top-k.
+    QuerySpec(
+      "doc_sample_stratified",
+      """WITH r AS (SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM r WHERE rn <= 50""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 50)
+          .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // Fixed-budget sequence packing (pretraining-style chunked concat):
+    // docs in deterministic order accumulate whitespace-token counts; a
+    // doc's bin is its exclusive prefix sum ÷ budget. Bins close at the
+    // token budget (the straggler doc spills into the next bin), which is
+    // a prefix-sum — ONE window pass — unlike true greedy bin packing,
+    // which is inherently sequential and would not scale.
+    QuerySpec(
+      "doc_pack",
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t)
+        |SELECT lang, CAST(prior // 2048 AS BIGINT) AS bin_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY lang, prior // 2048""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("prior", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin_id", floor(col("prior") / 2048))
+        .groupBy(col("lang"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+    },
+
+    // Class-balance weights: weight(lang, source) = N / (G · n) — the
+    // standard inverse-frequency reweighting for skewed corpora. Integer
+    // counts divide exactly the same in IEEE doubles on both engines.
+    QuerySpec(
+      "doc_class_balance",
+      """WITH c AS (SELECT lang, source, count(*) AS n
+        |           FROM documents GROUP BY lang, source)
+        |SELECT lang, source, n,
+        |  CAST((SELECT sum(n) FROM c) AS DOUBLE)
+        |    / ((SELECT count(*) FROM c) * n) AS weight
+        |FROM c""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      val tot = c.agg(sum(col("n")).as("total"), count(lit(1)).as("groups"))
+      c.join(broadcast(tot))
+        .select(col("lang"), col("source"), col("n"),
+          (col("total").cast("double") / (col("groups") * col("n")))
+            .as("weight"))
+    }
+  )
+}

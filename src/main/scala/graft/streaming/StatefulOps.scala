@@ -67,6 +67,20 @@ object StatefulOps {
         col("e.ts").as("error_ts"), col("e.value").as("error_value"))
   }
 
+  /** Streaming exactly-once-per-key dedup with bounded state: duplicate
+    * event_ids arriving within the watermark horizon are dropped, and —
+    * unlike plain `dropDuplicates`, whose key state grows forever — the
+    * per-key state is evicted once the event-time watermark passes it.
+    * The streaming face of the batch dedup family in operators.Dedup:
+    * at-least-once sources (replayed HTTP fetches, kafka redeliveries)
+    * become effectively-once downstream.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "30 minutes")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Event sessionization: events of a user belong to one session while
     * gaps stay under `gapMillis`; sessions flush either when a later
     * event of the same user opens a new one, or when the event-time

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the temporal + corpus-curation operators (value parity
+  * with DuckDB is the driver gate's job; these pin semantics).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("sessionize: no session spans a >30min gap, bounds are ordered") {
+    val s = run("q_sessionize")
+    assert(s.count() > 0)
+    // bounds ordered within every session
+    assert(s.filter($"session_start" > $"session_end").count() == 0)
+    // sessions of one user never overlap: next start strictly after
+    // previous end (they are gap-separated by construction)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"session_start")
+    val overlaps = s
+      .withColumn("prev_end", lag($"session_end", 1).over(w))
+      .filter($"prev_end".isNotNull && $"session_start" <= $"prev_end")
+    assert(overlaps.count() == 0)
+  }
+
+  test("range join: every matched click has >= 1 recent error") {
+    val r = run("q_range_join")
+    assert(r.filter($"n_recent_errors" < 1).count() == 0)
+  }
+
+  test("percentiles are ordered p25 <= p50 <= p90") {
+    val p = run("q_percentile")
+    assert(p.count() > 0)
+    assert(p.filter($"p25" > $"p50" || $"p50" > $"p90").count() == 0)
+  }
+
+  test("stratified sample: per-language quota respected and deterministic") {
+    val a = run("doc_sample_stratified")
+    val perLang = a.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.values.forall(_ <= 50))
+    // en stratum exceeds the quota in the corpus → exactly 50 kept
+    assert(perLang("en") == 50L)
+    // deterministic: identical result on a rerun
+    val b = run("doc_sample_stratified")
+    assert(a.orderBy("doc_id").collect().toSeq ==
+      b.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("packing: bins partition the corpus and respect the budget boundary") {
+    val p = run("doc_pack").cache()
+    val docs = Tables.documents(spark, sf0001)
+    // every doc lands in exactly one bin
+    assert(p.agg(sum($"n_docs")).as[Long].head() == docs.count())
+    // within a language, bins 0..k-1 are contiguous
+    val bins = p.groupBy($"lang")
+      .agg(min($"bin_id").as("lo"), max($"bin_id").as("hi"),
+        count(lit(1)).as("k"))
+    assert(bins.filter($"lo" =!= 0 || $"hi" =!= $"k" - 1).count() == 0)
+    // a bin only opens once the previous one reached the budget: all but
+    // the last bin of a language hold >= 2048 tokens minus the straggler
+    // spill, i.e. cumulative tokens through bin b >= 2048*b
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"bin_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = p.withColumn("before", coalesce(sum($"total_tokens").over(w), lit(0L)))
+    assert(cum.filter($"before" < $"bin_id" * 2048).count() == 0)
+    p.unpersist()
+  }
+
+  test("class balance: weights inverse to group size, mean-one normalized") {
+    val cb = run("doc_class_balance")
+    val rows = cb.select($"n", $"weight").as[(Long, Double)].collect()
+    // sum of n*weight == total docs (inverse-frequency normalization)
+    val total = rows.map(_._1).sum
+    assert(math.abs(rows.map { case (n, w) => n * w }.sum - total) < 1e-6)
+    // strictly decreasing weight with group size
+    val byN = rows.sortBy(_._1)
+    byN.sliding(2).foreach {
+      case Array((n1, w1), (n2, w2)) if n1 < n2 => assert(w1 > w2)
+      case _ =>
+    }
+  }
+}

@@ -37,6 +37,26 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup within watermark: duplicate event_ids drop, state is bounded") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StatefulOps.dedupWithinWatermark(in.toDF())
+      .writeStream.format("memory").queryName("dedupww")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(1, ts(5), 1, "click", 1.0), // same-batch duplicate
+        Event(2, ts(10), 2, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(1, ts(6), 1, "click", 1.0)) // redelivery, next batch
+      q.processAllAvailable()
+      val ids = spark.table("dedupww").select($"event_id")
+        .as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: only errors within the window join") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[Event]
