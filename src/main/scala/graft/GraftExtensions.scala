@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, SimHashAgg}
+import graft.functions.{CosineSim, RollingHashMinima, SimHashAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,5 +27,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
       (args: Seq[Expression]) => SimHashAgg(args.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[RollingHashMinima].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        def intArg(i: Int, name: String): Int = args(i) match {
+          case e if e.foldable && (e.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }) => e.eval().toString.toInt
+          case _ => throw new IllegalArgumentException(
+            s"winnow_fingerprints: $name must be an integer literal")
+        }
+        val k = if (args.length > 1) intArg(1, "k") else 8
+        val w = if (args.length > 2) intArg(2, "w") else 16
+        RollingHashMinima(args.head, k, w)
+      }))
   }
 }

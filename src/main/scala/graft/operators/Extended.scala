@@ -291,6 +291,29 @@ object Extended {
       Tables.events(s, d)
         .groupBy(coalesce(missing.cast("long"), lit(-1L)).as("missing_bucket"))
         .agg(count(lit(1)).as("n"), count(missing).as("n_nonnull"))
+    },
+
+    // Unpivot (wide → long): four measure columns melt into (metric,
+    // value) rows, then a per-metric rollup. Unpivot is a per-row
+    // projection (1 row → 4 rows, no shuffle); only the small rollup
+    // exchanges — the cheap direction of reshaping at any scale.
+    QuerySpec(
+      "q_unpivot",
+      """SELECT metric, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM (UNPIVOT lineitem
+        |      ON l_quantity, l_extendedprice, l_discount, l_tax
+        |      INTO NAME metric VALUE value)
+        |GROUP BY metric""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
     }
   )
 }

@@ -36,6 +36,19 @@ class GraftExtensionsSpec extends SparkSpec {
       val expected = (0 until 64).foldLeft(0L)((acc, i) =>
         if (votes(i) > 0) acc | (1L << i) else acc)
       assert(sig == expected)
+      // winnow_fingerprints: SQL form matches the Column API, and the
+      // k/w arguments must be integer literals
+      val viaSql = s.sql(
+        "SELECT winnow_fingerprints('the quick brown fox jumps', 4, 2) AS f")
+        .collect().head.getSeq[Long](0)
+      import org.apache.spark.sql.functions.{col, lit}
+      val viaApi = s.range(1).select(
+        graft.functions.RollingHashMinima.winnow_fingerprints(
+          lit("the quick brown fox jumps"), k = 4, w = 2).as("f"))
+        .collect().head.getSeq[Long](0)
+      assert(viaSql == viaApi && viaSql.nonEmpty)
+      intercept[Exception](
+        s.sql("SELECT winnow_fingerprints('x', id, 2) FROM range(1)").collect())
     } finally {
       // restore the suite-shared session (same SparkContext; don't stop)
       SparkSession.setDefaultSession(shared)
