@@ -91,11 +91,15 @@ object Dedup {
     */
   def ngramPairs(docs: DataFrame): DataFrame = {
     val sh = docShingles(docs, MaxDf)
+    // Per-doc shingle count as a second window (shuffle by doc_id) rather
+    // than an aggregate-and-broadcast-back, which re-computed the whole
+    // shingle pipeline for the aggregate side. The a/b self-join branches
+    // below still share the upstream exchange via AQE's reuse, so nothing
+    // here needs an explicit cache.
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val withN = sh
-      .join(broadcast(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))),
-        Seq("doc_id"))
+      .withColumn("n", count(lit(1)).over(wDoc))
       .select(col("doc_id"), xxhash64(col("sh")).as("shh"), col("n"))
-      .cache()
     val a = withN.select(col("doc_id").as("doc_a"), col("shh"), col("n").as("na"))
     val b = withN.select(col("doc_id").as("doc_b"), col("shh"), col("n").as("nb"))
     val inter = a.join(b, Seq("shh"))
