@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.RollingHashMinima
+import graft.operators.{Dedup, Multimodal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Seeded randomized properties of the hashing kernels — the invariants
+  * that make the dedup family CORRECT, checked over many random inputs
+  * rather than a handful of fixtures.
+  */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  private def randomWords(n: Int): Seq[String] =
+    Seq.fill(n)(("a" + rnd.alphanumeric.filter(_.isLetter).take(4).mkString).toLowerCase)
+
+  private def fingerprints(s: String, k: Int, w: Int): Set[Long] = {
+    val arr = RollingHashMinima.winnow(UTF8String.fromString(s), k, w)
+    (0 until arr.numElements()).map(arr.getLong).toSet
+  }
+
+  test("winnowing guarantee: any shared substring of length >= k+w-1 " +
+    "forces a shared fingerprint (100 random doc pairs)") {
+    val k = 8; val w = 16
+    (1 to 100).foreach { _ =>
+      val shared = randomWords(6 + rnd.nextInt(5)).mkString(" ") // >= 23 chars
+      assert(shared.length >= k + w - 1)
+      val a = randomWords(10).mkString(" ") + " " + shared + " " +
+        randomWords(10).mkString(" ")
+      val b = randomWords(8).mkString(" ") + " " + shared + " " +
+        randomWords(12).mkString(" ")
+      val common = fingerprints(a, k, w) intersect fingerprints(b, k, w)
+      assert(common.nonEmpty, s"no shared fingerprint for shared='$shared'")
+    }
+  }
+
+  test("winnowing density: fingerprint count stays near the 2/(w+1) " +
+    "theoretical density, never above gram count") {
+    val k = 8; val w = 16
+    val doc = randomWords(300).mkString(" ")
+    val nGrams = doc.length - k + 1
+    val f = fingerprints(doc, k, w).size
+    assert(f <= nGrams)
+    // expected ~2n/(w+1) ≈ 0.118n; allow a generous factor
+    assert(f > nGrams / 30 && f < nGrams / 3, s"density off: $f of $nGrams")
+  }
+
+  test("shingles3 equals the naive sliding-window reference on random " +
+    "docs of every short length (0..40 words)") {
+    val docs = (0 to 40).map(n => (n.toLong, randomWords(n).mkString(" ")))
+    val got = docs.toDF("doc_id", "text")
+      .select($"doc_id", Dedup.shingles3($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    docs.foreach { case (id, text) =>
+      val words = text.split(" ").toSeq
+      val expected =
+        if (words.length < 3) Set.empty[String]
+        else words.sliding(3).map(_.mkString(" ")).toSet
+      assert(got(id) == expected, s"doc $id (${words.length} words)")
+    }
+  }
+
+  test("tokenHash bit balance: each of the 64 bits is ~uniform over " +
+    "random tokens (SimHash needs unbiased votes)") {
+    val n = 2000
+    val counts = new Array[Int](64)
+    (1 to n).foreach { _ =>
+      val h = graft.functions.SimHashAgg.tokenHash(randomWords(3).mkString(" "))
+      (0 until 64).foreach(i => if (((h >>> i) & 1L) == 1L) counts(i) += 1)
+    }
+    counts.zipWithIndex.foreach { case (c, i) =>
+      assert(math.abs(c - n / 2) < n / 10, s"bit $i biased: $c of $n")
+    }
+  }
+
+  test("byteHash matches a BigInt reference fold") {
+    (1 to 50).foreach { _ =>
+      val bytes = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      val expected = bytes.foldLeft(BigInt(0)) { (h, b) =>
+        (h * 31 + (b & 0xff)) % BigInt(1000000007)
+      }.toLong
+      assert(Multimodal.byteHash(bytes) == expected)
+    }
+  }
+}
