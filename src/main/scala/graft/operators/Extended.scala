@@ -314,6 +314,76 @@ object Extended {
         .groupBy(col("metric"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+    },
+
+    // Distribution windows: ntile / percent_rank / cume_dist over a
+    // tie-broken ordering (unique (price, orderkey) sort keeps rank ==
+    // row_number so the rationals match bit-for-bit across engines).
+    QuerySpec(
+      "q_window_dist",
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pr,
+        |  round(cume_dist() OVER w, 4) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.load(s, d, "orders").select(
+          col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+    },
+
+    // Correlated scalar subquery semantics: orders strictly above their
+    // customer's average order value. The comparison is cross-multiplied
+    // (price·n > Σprice) in DECIMAL so no engine ever divides — exact
+    // integer-scaled arithmetic on both sides of the oracle. Spark-first
+    // formulation: one partial-aggregated shuffle + a same-key join,
+    // which is exactly what Catalyst decorrelates such subqueries into.
+    QuerySpec(
+      "q_scalar_correlated",
+      """SELECT o.o_orderkey, o.o_custkey
+        |FROM orders o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(12,2))
+        |    * (SELECT count(*) FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey)
+        |  > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+        |     FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin) {
+      (s, d) =>
+        val orders = Tables.load(s, d, "orders")
+        val perCust = orders.groupBy(col("o_custkey")).agg(
+          count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).as("total"))
+        orders.join(perCust, Seq("o_custkey"))
+          .filter(dec(col("o_totalprice")) * col("cnt") > col("total"))
+          .select(col("o_orderkey"), col("o_custkey"))
+    },
+
+    // Lateral join: per-nation top-2 suppliers by account balance — the
+    // correlated-subquery-in-FROM operator. Spark plans the correlated
+    // LIMIT as a partitioned top-k (no per-row re-execution), same as
+    // the window formulation, but the LATERAL surface is what a SQL
+    // user migrating from the reference's warehouse would write.
+    QuerySpec(
+      "q_lateral",
+      """SELECT n.n_name, t.s_name, t.s_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT s_name, s_acctbal FROM supplier s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t""".stripMargin) {
+      (s, d) =>
+        Tables.load(s, d, "nation").createOrReplaceTempView("graft_nation")
+        Tables.load(s, d, "supplier").createOrReplaceTempView("graft_supplier")
+        s.sql(
+          """SELECT n.n_name, t.s_name, t.s_acctbal
+            |FROM graft_nation n, LATERAL (
+            |  SELECT s_name, s_acctbal FROM graft_supplier s
+            |  WHERE s.s_nationkey = n.n_nationkey
+            |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t""".stripMargin)
     }
   )
 }

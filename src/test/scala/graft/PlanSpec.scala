@@ -39,4 +39,22 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q_sessionize: ONE exchange — both windows and the session " +
+    "aggregate reuse the user_id partitioning") {
+    val p = plan("q_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("doc_pack: ONE exchange — packing is window arithmetic on the " +
+    "lang partitioning") {
+    val p = plan("doc_pack")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q_range_join: hash join on the equi key, never a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
 }
