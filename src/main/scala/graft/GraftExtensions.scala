@@ -36,13 +36,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case e if e.foldable && (e.dataType match {
             case ByteType | ShortType | IntegerType | LongType => true
             case _ => false
-          }) => e.eval().toString.toInt
+          }) =>
+            val v = e.eval()
+            if (v == null) throw new IllegalArgumentException(
+              s"winnow_fingerprints: $name must not be null")
+            v.toString.toInt
           case _ => throw new IllegalArgumentException(
             s"winnow_fingerprints: $name must be an integer literal")
         }
         val k = if (args.length > 1) intArg(1, "k") else 8
         val w = if (args.length > 2) intArg(2, "w") else 16
-        RollingHashMinima(args.head, k, w)
+        RollingHashMinima(args.head, k, w) // k/w positivity checked there
       }))
   }
 }

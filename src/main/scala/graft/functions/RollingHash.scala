@@ -25,6 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingHashMinima(child: Expression, k: Int, w: Int)
   extends UnaryExpression {
 
+  require(k >= 1 && w >= 1,
+    s"winnow_fingerprints: k and w must be positive, got k=$k w=$w")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =

@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.nio.ByteBuffer
@@ -35,7 +35,14 @@ case class SimHashAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Int]]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+
+  // Tokens must arrive as strings (the md5 portability contract is over
+  // UTF-8 bytes); other types implicitly cast rather than ClassCast-ing
+  // in the executor — simhash_agg(doc_id) hashes the decimal rendering.
+  // (Return type inferred: AbstractDataType is private[sql].)
+  override def inputTypes = Seq(StringType)
 
   override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
 

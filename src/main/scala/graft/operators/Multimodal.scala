@@ -161,7 +161,7 @@ object Multimodal {
     // and the float-rounded feature sum term by term.
     QuerySpec(
       "multimodal_features",
-      s"""WITH h AS (SELECT doc_id AS asset_id, $FoldHashSql AS h FROM documents)
+      s"""WITH h AS (SELECT doc_id AS asset_id, ${foldHashSql("text")} AS h FROM documents)
          |SELECT asset_id,
          |  CAST(1 + h % 1024 AS BIGINT) AS width,
          |  CAST(1 + (h // 1024) % 1024 AS BIGINT) AS height,
@@ -184,12 +184,13 @@ object Multimodal {
     // md5 hex is identical across engines.
     QuerySpec(
       "multimodal_resize",
-      """SELECT doc_id AS asset_id,
-        |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
-        |  CAST(256 AS BIGINT) AS thumb_bytes,
-        |  md5(substr(repeat(text, CAST(ceil(256.0 / length(text)) AS INT)),
-        |      1, 256)) AS thumb_hash
-        |FROM documents""".stripMargin) { (s, d) =>
+      s"""SELECT doc_id AS asset_id,
+         |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+         |  CAST(256 AS BIGINT) AS thumb_bytes,
+         |  CASE WHEN length(text) = 0 THEN '$ZeroThumbMd5'
+         |       ELSE md5(substr(repeat(text, CAST(ceil(256.0 / length(text)) AS INT)),
+         |                 1, 256)) END AS thumb_hash
+         |FROM documents""".stripMargin) { (s, d) =>
       resizeAssets(assets(s, d), 16, 16).toDF()
         .select(col("asset_id"),
           col("width").cast("long").as("width"),
@@ -210,8 +211,7 @@ object Multimodal {
          |  FROM c0 WHERE c % 2 = 0)
          |SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
          |  CAST(length(chunk) AS BIGINT) AS n_bytes,
-         |  ${FoldHashSql.replace("length(text)", "length(chunk)")
-               .replace("substr(text,", "substr(chunk,")} AS frame_hash
+         |  ${foldHashSql("chunk")} AS frame_hash
          |FROM c""".stripMargin) { (s, d) =>
       sampleFrames(assets(s, d), every = 2).toDF()
         .select(col("asset_id"),
@@ -220,12 +220,20 @@ object Multimodal {
     }
   )
 
-  /** SQL form of [[byteHash]] over the `text` column (documents are pure
-    * ASCII, so `ascii(substr(...))` equals the byte value). A `def` so
-    * `specs` (initialized above) can reference it at object init.
+  /** SQL form of [[byteHash]] over a named string column (documents are
+    * pure ASCII, so `ascii(substr(...))` equals the byte value). `def`s so
+    * `specs` (initialized above) can reference them at object init.
     */
-  private def FoldHashSql: String =
+  private def foldHashSql(column: String): String =
     "list_reduce(list_prepend(0::BIGINT, list_transform(" +
-      "range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::BIGINT))," +
+      s"range(1, length($column) + 1), i -> ascii(substr($column, i, 1))::BIGINT))," +
       " (a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** md5 of 256 zero bytes — the resize stub's thumb for an empty payload
+    * (SQL can't build a NUL-byte string portably, so the oracle inlines
+    * the digest).
+    */
+  private def ZeroThumbMd5: String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(new Array[Byte](256)).map("%02x".format(_)).mkString
 }

@@ -79,7 +79,9 @@ private[v2] class HttpJsonScanBuilder(options: CaseInsensitiveStringMap)
     val retries = options.getInt("retries", 3)
     val delayMs = options.getLong("retryDelayMillis", 1000L)
     pointsOpt.split(";").filter(_.nonEmpty).map { spec =>
-      val fields = spec.split("\\|", 3)
+      // limit -1 keeps trailing fields separate so "a|1|2|3" is rejected
+      // rather than silently folding "2|3" into lon
+      val fields = spec.split("\\|", -1)
       require(fields.length == 3,
         s"httpjson 'points' entry '$spec' is malformed: expected name|lat|lon")
       val Array(name, lat, lon) = fields

@@ -49,6 +49,17 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(viaSql == viaApi && viaSql.nonEmpty)
       intercept[Exception](
         s.sql("SELECT winnow_fingerprints('x', id, 2) FROM range(1)").collect())
+      intercept[Exception](
+        s.sql("SELECT winnow_fingerprints('x', CAST(NULL AS INT), 2)").collect())
+      intercept[Exception](
+        s.sql("SELECT winnow_fingerprints('x', -1, 4)").collect())
+      // non-string simhash input implicitly casts instead of ClassCast-ing
+      val castSig = s.sql(
+        "SELECT simhash_agg(id) AS sig FROM range(3)").collect().head.getLong(0)
+      val strSig = s.sql(
+        "SELECT simhash_agg(CAST(id AS STRING)) AS sig FROM range(3)")
+        .collect().head.getLong(0)
+      assert(castSig == strSig)
     } finally {
       // restore the suite-shared session (same SparkContext; don't stop)
       SparkSession.setDefaultSession(shared)

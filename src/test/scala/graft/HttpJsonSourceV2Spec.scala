@@ -43,6 +43,13 @@ class HttpJsonSourceV2Spec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("bad-entry")))
+    // over-long entries are rejected too (not folded into lon)
+    val df4 = spark.read.format("httpjson")
+      .option("template", "file:///nowhere/{lat}_{lon}.json")
+      .option("points", "four-fields|55.1|12.5|extra")
+      .load()
+    val e4 = intercept[Throwable](df4.count())
+    assert(messages(e4).exists(_.contains("four-fields")))
   }
 
   test("DSv2 output feeds the same extraction as the driver-side source") {

@@ -210,5 +210,13 @@ class OperatorsSpec extends SparkSpec {
     val out = Multimodal.resizeBatch(
       Seq(Multimodal.Asset(7L, "image/png", 0L, Array.emptyByteArray)), 4, 4)
     assert(out.head.thumb.length == 16 && out.head.thumb.forall(_ == 0))
+    // and the oracle's inlined digest matches md5 of that zero thumb
+    val full = Multimodal.resizeBatch(
+      Seq(Multimodal.Asset(8L, "image/png", 0L, Array.emptyByteArray)), 16, 16)
+    val sparkMd5 = Seq(full.head.thumb).toDF("t")
+      .select(md5($"t")).collect().head.getString(0)
+    val inlined = java.security.MessageDigest.getInstance("MD5")
+      .digest(new Array[Byte](256)).map("%02x".format(_)).mkString
+    assert(sparkMd5 == inlined)
   }
 }
