@@ -155,6 +155,34 @@ object TextAnalysis {
         element_at(fps, -1).as("max_fp"))
     },
 
+    // Corpus vocabulary readout: top-5 non-stopword terms per language by
+    // frequency (word tie-break). Explode → two-key partial-aggregated
+    // count → per-lang top-k window; the shuffle is keyed by (lang, word)
+    // so hot words spread across partitions before the tiny top-k.
+    QuerySpec(
+      "text_top_terms",
+      s"""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |f AS (SELECT lang, word, count(*) AS n FROM w
+         |      WHERE word NOT IN (${Stopwords.map("'" + _ + "'").mkString(", ")})
+         |      GROUP BY lang, word),
+         |r AS (SELECT lang, word, n,
+         |    row_number() OVER (PARTITION BY lang
+         |                       ORDER BY n DESC, word) AS rank
+         |  FROM f)
+         |SELECT lang, word, n, rank FROM r WHERE rank <= 5""".stripMargin) {
+      (s, d) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("n").desc, col("word"))
+        Tables.documents(s, d)
+          .select(col("lang"), explode(words(col("text"))).as("word"))
+          .filter(!col("word").isInCollection(Stopwords))
+          .groupBy(col("lang"), col("word"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+    },
+
     // Fingerprinting: content hash of normalized text + order-insensitive
     // vocabulary hash (sorted distinct words) — the classic "fingerprint
     // then exact-group" dedup primitive.
