@@ -363,6 +363,26 @@ object Extended {
           .select(col("o_orderkey"), col("o_custkey"))
     },
 
+    // Statistical aggregates: sample stddev/variance, covariance and
+    // Pearson correlation per group. Both engines accumulate central
+    // co-moments; 4-dp rounding absorbs the accumulation-order ulps.
+    QuerySpec(
+      "q_stats",
+      """SELECT o_orderpriority,
+        |  round(stddev_samp(o_totalprice), 4) AS sd,
+        |  round(var_samp(o_totalprice), 4) AS vr,
+        |  round(covar_samp(o_totalprice, o_custkey), 4) AS cv,
+        |  round(corr(o_totalprice, o_custkey), 4) AS cr
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(stddev_samp(col("o_totalprice")), 4).as("sd"),
+          round(var_samp(col("o_totalprice")), 4).as("vr"),
+          round(covar_samp(col("o_totalprice"), col("o_custkey")), 4).as("cv"),
+          round(corr(col("o_totalprice"), col("o_custkey")), 4).as("cr"))
+    },
+
     // Lateral join: per-nation top-2 suppliers by account balance — the
     // correlated-subquery-in-FROM operator. Spark plans the correlated
     // LIMIT as a partitioned top-k (no per-row re-execution), same as

@@ -67,6 +67,25 @@ object StatefulOps {
         col("e.ts").as("error_ts"), col("e.value").as("error_value"))
   }
 
+  /** Gap sessionization via Spark's NATIVE session_window — the
+    * declarative counterpart of [[sessionize]]'s custom
+    * flatMapGroupsWithState: windows merge as events arrive, close after
+    * `gap` silence, and state expires with the watermark. Prefer this
+    * form when per-session output is plain aggregates (Catalyst plans
+    * the merge); drop to flatMapGroupsWithState only for custom state
+    * semantics — the same built-in-before-custom rule as everywhere.
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** Streaming exactly-once-per-key dedup with bounded state: duplicate
     * event_ids arriving within the watermark horizon are dropped, and —
     * unlike plain `dropDuplicates`, whose key state grows forever — the

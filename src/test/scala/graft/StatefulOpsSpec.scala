@@ -77,6 +77,29 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window: gap merges and closes sessions like the " +
+    "custom-state sessionizer") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StatefulOps.sessionWindowCounts(in.toDF(), gap = "10 minutes",
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("swsessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0)) // merges into one session
+      q.processAllAvailable()
+      // advance the watermark far past the session end to flush it
+      in.addData(Event(9, Timestamp.valueOf("2026-08-12 11:00:00"), 2, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("swsessions")
+        .select($"user_id", $"n_events", $"total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((1L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes a session; totals and bounds are exact") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
