@@ -18,6 +18,83 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** TPC-H Q3/Q5 shapes (adapted to the driver schema — orders carries
+    * no o_shippriority, so Q3 groups on (orderkey, orderdate)): the two
+    * canonical multi-join analytics patterns — selective dimension
+    * filters reaching every scan, small sides broadcast, one
+    * partial-aggregated shuffle for the revenue rollup.
+    */
+  private def tpchSpecs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_tpch3_shipping",
+      """SELECT l.l_orderkey,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |         * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val customer = Tables.load(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val orders = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val lineitem = Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    QuerySpec(
+      "q_tpch5_local_volume",
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |         * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |              AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'EUROPE'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n.n_name""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val orders = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val joined = Tables.load(s, d, "lineitem")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.load(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, d, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+      joined.groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+    })
+
   /** Exact decimal image of a 2-dp double column (parity helper).
     * Precision 12 keeps sums and products on Spark's Long-backed Decimal
     * fast path (results ≤ precision 18 avoid the BigDecimal slow path,
@@ -26,7 +103,7 @@ object Relational {
     */
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
 
-  val specs: Seq[QuerySpec] = Seq(
+  val specs: Seq[QuerySpec] = tpchSpecs ++ Seq(
 
     // A1 (+ groupBy extension): pricing summary — partial/final hash agg.
     QuerySpec(
