@@ -45,12 +45,14 @@ object Bench {
       catch { case _: Throwable => }
       spark.catalog.clearCache()
     }
-    // Two timed runs per query, min reported: a single pass is at the
-    // mercy of GC/scheduler noise on a shared box; min-of-2 is the
-    // steady-state cost. Caches cleared between runs so queries are
-    // timed in isolation.
+    // Three timed runs per query, min reported: a single pass is at the
+    // mercy of GC/scheduler noise on a shared box; min-of-3 is the
+    // steady-state cost. All per-run times go to stderr so a contended
+    // box (one run 10× the others) is self-diagnosing from the log.
+    // Caches cleared between runs so queries are timed in isolation.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.specs.map { sp =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try sp.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -59,12 +61,18 @@ object Bench {
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
+      System.err.println(
+        s"[bench] ${sp.name} runs=" + times.map(t => f"$t%.3f").mkString(","))
       sp.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Short summary line LAST: the full per-query line above overflows
+    // the driver's tail/parse (BENCH_r01/r02 recorded "parsed": null).
+    // Tail-parsers take the last line, so this one is the headline.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size}}""")
     spark.stop()
   }
 }

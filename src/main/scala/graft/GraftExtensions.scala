@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, RollingHashMinima, SimHashAgg}
+import graft.functions.{CosineSim, DotProduct, RollingHashMinima, SimHashAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
     ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
       (args: Seq[Expression]) => SimHashAgg(args.head).toAggregateExpression()))
@@ -40,7 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             val v = e.eval()
             if (v == null) throw new IllegalArgumentException(
               s"winnow_fingerprints: $name must not be null")
-            v.toString.toInt
+            try Math.toIntExact(v.asInstanceOf[Number].longValue())
+            catch { case _: ArithmeticException =>
+              throw new IllegalArgumentException(
+                s"winnow_fingerprints: $name out of Int range: $v")
+            }
           case _ => throw new IllegalArgumentException(
             s"winnow_fingerprints: $name must be an integer literal")
         }

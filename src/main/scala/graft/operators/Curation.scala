@@ -153,7 +153,10 @@ object Curation {
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
         .withColumn("prior", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-        .withColumn("bin_id", floor(col("prior") / 2048))
+        // `div` = BIGINT floor-division, mirroring the oracle's `//` —
+        // both engines stay in exact integer arithmetic (double division
+        // would round differently past 2^53 total tokens).
+        .withColumn("bin_id", expr("prior div 2048"))
         .groupBy(col("lang"), col("bin_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
     },

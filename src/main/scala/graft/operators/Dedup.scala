@@ -286,8 +286,12 @@ object Dedup {
     // cosine. This is the metadata-free scale path: no label column
     // needed, candidate cost bounded by band-bucket sizes. The oracle SQL
     // embeds the SAME plane literals and recomputes the sign bits with
-    // list_dot_product (sign(dot) == sign(cosine) in IEEE arithmetic:
-    // dividing by the positive norms never flips sign).
+    // list_dot_product over DOUBLE[]; the Spark side uses the same
+    // arithmetic — a double-accumulated dot product (DotProduct), not
+    // cosine — so the sign agrees bit-for-bit even for all-zero vectors
+    // (dot = 0 → bit set in both engines; cosine would be NaN → unset)
+    // and for near-zero dots where float vs double accumulation could
+    // flip the sign.
     QuerySpec(
       "dedup_embedding_lsh",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -309,11 +313,11 @@ object Dedup {
       val e = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding").as("v"))
-      // The codegen'd CosineSim doubles as the projection kernel (the
-      // higher-order-function formulation is interpreted and was ~20×
-      // slower — see functions/VectorFunctions.scala).
+      // Codegen'd DotProduct is the projection kernel (the higher-order-
+      // function formulation is interpreted and was ~20× slower — see
+      // functions/VectorFunctions.scala).
       val bits = LshPlanes.zipWithIndex.map { case (plane, p) =>
-        when(Similarity.cosine(col("v"), typedLit(plane.toSeq)) >= 0,
+        when(Similarity.dot(col("v"), typedLit(plane.toSeq)) >= 0,
           lit(1L << p)).otherwise(lit(0L))
       }
       val sig = e.withColumn("sig",

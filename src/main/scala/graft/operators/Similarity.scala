@@ -30,6 +30,12 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosine_sim(a, b)
 
+  /** Double-accumulated dot product (`graft.functions.DotProduct`) —
+    * the sign-stable kernel SRP-LSH band bits ride on.
+    */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dot_product(a, b)
+
   /** Corpus vectors. Kept as raw array<float> (CosineSim reads floats
     * natively — no cast pre-pass); repartitioned to the session's
     * parallelism because the driver files are single-digit-MB single

@@ -69,6 +69,19 @@ class CurationSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("bin_id integer division stays exact past 2^53 (ADVICE r2 regression)") {
+    // floor(x / 2048.0) goes through a double and rounds above 2^53;
+    // `div` stays in BIGINT. One token-prior past the rounding cliff:
+    val prior = (1L << 53) + 2047L // double rounds this to 2^53 exactly
+    val r = Seq(prior).toDF("prior")
+      .select(
+        expr("prior div 2048").as("viaDiv"),
+        floor($"prior" / 2048).as("viaDouble"))
+      .collect().head
+    assert(r.getLong(0) == prior / 2048L)
+    assert(r.getLong(1) != prior / 2048L) // the bug the fix removes
+  }
+
   test("class balance: weights inverse to group size, mean-one normalized") {
     val cb = run("doc_class_balance")
     val rows = cb.select($"n", $"weight").as[(Long, Double)].collect()

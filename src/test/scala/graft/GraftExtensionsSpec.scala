@@ -53,6 +53,24 @@ class GraftExtensionsSpec extends SparkSpec {
         s.sql("SELECT winnow_fingerprints('x', CAST(NULL AS INT), 2)").collect())
       intercept[Exception](
         s.sql("SELECT winnow_fingerprints('x', -1, 4)").collect())
+      // BIGINT literal above Int.MaxValue: the descriptive argument error,
+      // not a raw NumberFormatException (ADVICE r2)
+      val big = intercept[Exception](
+        s.sql("SELECT winnow_fingerprints('x', 5000000000, 16)").collect())
+      def rootMessages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+      assert(rootMessages(big).exists(_.contains("out of Int range")),
+        s"got: ${rootMessages(big).mkString(" | ")}")
+      // dot_product: double-accumulated, zero vector gives 0.0 (not NaN)
+      val dot = s.sql(
+        "SELECT dot_product(array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)), " +
+          "array(1.0d, 1.0d)) AS d").collect().head.getDouble(0)
+      assert(dot == -0.5)
+      val zdot = s.sql(
+        "SELECT dot_product(array(0.0d, 0.0d), array(1.0d, -1.0d)) >= 0 AS b")
+        .collect().head.getBoolean(0)
+      assert(zdot)
       // non-string simhash input implicitly casts instead of ClassCast-ing
       val castSig = s.sql(
         "SELECT simhash_agg(id) AS sig FROM range(3)").collect().head.getLong(0)

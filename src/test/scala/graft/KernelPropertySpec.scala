@@ -76,6 +76,33 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("DotProduct matches a sequential double reference on random float " +
+    "vectors, and its sign is the SRP band bit (ADVICE r2 regression)") {
+    import graft.functions.VectorFunctions.dot_product
+    val vecs = (1 to 100).map { i =>
+      (i.toLong, Array.fill(16)((rnd.nextFloat() - 0.5f) * 2f))
+    }
+    val planes = Array.fill(16)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    val got = vecs.toDF("id", "v")
+      .select($"id", dot_product($"v", typedLit(planes.toSeq)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vecs.foreach { case (id, v) =>
+      // the oracle's arithmetic: widen each float to double, sequential sum
+      var expected = 0.0
+      v.indices.foreach(i => expected += v(i).toDouble * planes(i))
+      assert(got(id) == expected, s"vec $id: ${got(id)} != $expected")
+    }
+    // all-zero embedding: dot is exactly 0.0 — a well-defined sign bit
+    // (>= 0 true) on both engines, where the old cosine formulation gave
+    // NaN whose comparison semantics differ across engines
+    val z = Seq((1L, Array.fill(16)(0.0f))).toDF("id", "v")
+      .select(
+        dot_product($"v", typedLit(planes.toSeq)).as("dot"),
+        graft.operators.Similarity.cosine($"v", typedLit(planes.toSeq)).as("cos"))
+      .collect().head
+    assert(z.getDouble(0) == 0.0 && z.getDouble(1).isNaN)
+  }
+
   test("byteHash matches a BigInt reference fold") {
     (1 to 50).foreach { _ =>
       val bytes = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
