@@ -114,6 +114,61 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** Connected components of an undirected pair graph (doc_a, doc_b):
+    * every vertex gets `cluster_id` = the MIN doc_id reachable from it —
+    * true transitive-closure cluster semantics, vs the pair-chain
+    * approximation in `dedup_keeplist`.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each round does (1) one shuffle join propagating the smallest label
+    * across edges, then (2) one label→label-of-label self-join (path
+    * halving), which contracts chains geometrically — O(log n) rounds on
+    * any graph, 2–3 in practice for near-dup clusters (dense, tiny
+    * diameter). This is the standard distributed-CC shape (hash-to-min);
+    * nothing is collected to the driver except the per-round converged?
+    * count, and `localCheckpoint` truncates lineage so round r's plan
+    * doesn't replay rounds 1..r-1. Edge/label cardinality is bounded by
+    * the near-dup pair count — orders of magnitude below corpus size.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Both orientations: a label must flow against the doc_a < doc_b
+    // normalization too.
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min label among neighbours, NULL for none (can't happen here —
+      // every vertex has an edge — but keeps the operator total)
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src")).agg(min(col("nl")).as("nl"))
+        .select(col("src").as("id"), col("nl"))
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // pointer jump: follow my label's own label (labels are vertex ids,
+      // so this is a self-join on the same frame)
+      val jumped = propagated
+        .join(propagated.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint()
+      converged = jumped
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") =!= col("prev"))
+        .isEmpty
+      labels = jumped
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Oracle CTE: exploded distinct (doc_id, shingle) pairs, no df cap. */
   private val rawShingleCte: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -181,6 +236,35 @@ object Dedup {
         val dropped = pairs.select(col("doc_b").as("doc_id")).distinct()
         docs.join(dropped, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // Transitive-closure corpus dedup: collapse ≥0.8-Jaccard pairs into
+    // connected components (iterative label propagation + pointer
+    // jumping, O(log n) rounds) and keep the min doc_id per component.
+    // The oracle recomputes the same components with a recursive CTE
+    // (reachability sets are tiny — bounded by near-dup cluster size).
+    QuerySpec(
+      "dedup_cluster",
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         |          WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, r) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+         |SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+         |  CAST(CASE WHEN u = min(r) THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM reach GROUP BY u""".stripMargin) { (s, d) =>
+      val cc = connectedComponents(ngramPairs(Tables.documents(s, d)))
+      cc.select(col("doc_id"), col("cluster_id"),
+        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("keep"))
     },
 
     // MinHash + LSH: 8 min-hashes from TWO md5 digests per shingle (each

@@ -187,6 +187,39 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("ReadSchema"))
   }
 
+  test("connectedComponents: chains collapse to the min id (multi-round " +
+    "convergence), separate components stay separate") {
+    // 20-vertex path (diameter 19 — forces pointer jumping to earn its
+    // keep within the iteration cap), one triangle, one isolated pair
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L),
+      (200L, 201L))).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 20 + 3 + 2)
+    (1L to 20L).foreach(i => assert(got(i) == 1L, s"chain vertex $i"))
+    Seq(100L, 101L, 102L).foreach(i => assert(got(i) == 100L))
+    Seq(200L, 201L).foreach(i => assert(got(i) == 200L))
+  }
+
+  test("dedup_cluster agrees with a union-find reference on sf0.001") {
+    val pairs = Dedup.ngramPairs(Tables.documents(spark, sf0001))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = SparkEntry.queries("dedup_cluster")(spark, sf0001)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("dedup_exact groups: all singleton on sf0.001 (no exact dups)") {
     val out = SparkEntry.queries("dedup_exact")(spark, sf0001)
     assert(out.filter($"n_copies" > 1).count() == 0)
