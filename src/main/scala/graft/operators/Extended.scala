@@ -244,6 +244,26 @@ object Extended {
           count(lit(1)).as("n"))
     },
 
+    // Exact companion to q_approx: the same readout with exact distinct
+    // count and exact interpolated median, fully oracled. The pair
+    // documents the sketches' error bound THROUGH the driver's gate
+    // (OperatorsSpec additionally asserts the bound numerically);
+    // q_approx itself stays rows-only — cross-engine sketch states have
+    // no value-level oracle by nature.
+    QuerySpec(
+      "q_approx_exact",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
+          count(lit(1)).as("n"))
+    },
+
     // Pivot: event counts per user bucket × event type. Spark's pivot
     // relational op vs the oracle's manual CASE aggregation.
     QuerySpec(

@@ -80,101 +80,150 @@ object Similarity {
   private val TopK = 5
   private val NQueries = 20 // vec_id < 20 are the query set
 
+  // ---- shared oracle CTE fragments (composed per query so sim_topk,
+  // sim_ivf and sim_ivf_recall stay textually in sync) ----
+
+  private val eCte =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  /** Brute-force exact top-k → CTE `topk(query_id, neighbor_id, rank)`. */
+  private val topkCtes: String =
+    s"""q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |bscored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(qv, e.v), 4) AS sim
+       |  FROM q JOIN e ON e.vec_id <> query_id),
+       |topk AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM bscored) WHERE rank <= $TopK)""".stripMargin
+
+  /** IVF approximate top-k → CTE `ivf(query_id, neighbor_id, rank)`. */
+  private val ivfCtes: String =
+    s"""seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0),
+       |a0 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, s.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC, s.cent_id) AS rn
+       |    FROM e, seeds s) WHERE rn = 1),
+       |cd AS (SELECT cent_id, d, avg(v[d]) AS cx
+       |       FROM a0, range(1, 65) t(d) GROUP BY cent_id, d),
+       |cents AS (SELECT cent_id, list(cx ORDER BY d) AS cv FROM cd GROUP BY cent_id),
+       |a1 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM e, cents c) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM e, cents c WHERE e.vec_id < $NQueries) WHERE rn <= 4),
+       |iscored AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qv, a1.v), 4) AS sim
+       |  FROM probes p JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id),
+       |ivf AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM iscored) WHERE rank <= $TopK)""".stripMargin
+
+  /** Brute-force exact top-k: (query_id, neighbor_id, rank). */
+  def bruteTopK(s: SparkSession, d: String): DataFrame = {
+    val e = corpus(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.select(col("query_id"), col("neighbor_id"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= TopK)
+  }
+
+  /** IVF approximate top-k: (query_id, neighbor_id, rank). Deterministic
+    * given the seeds — every-25th-vector seeds refined by one Lloyd step,
+    * nprobe=4, rounded-cosine ranking with id tie-breaks.
+    */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = corpus(s, d).cache()
+    // Seeds: every 25th vector, refined by one k-means (Lloyd) step.
+    val seeds = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cents = lloydStep(e, seeds).cache()
+    // Assign each corpus vector to its nearest refined centroid.
+    val assigned = assign(e, cents, 1)
+      .select(col("vec_id"), col("v"), col("cent_id"))
+    // Queries probe their nprobe closest cells.
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = assign(
+      q.withColumnRenamed("query_id", "vec_id")
+        .withColumnRenamed("qv", "v"), cents, 4)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cent_id"))
+    // Score only vectors in probed cells.
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 4).as("sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
-    // Brute-force top-k: broadcast queries × corpus scan, rank per query.
+    // Brute-force top-k: broadcast queries x corpus scan, rank per query.
     QuerySpec(
       "sim_topk",
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
-         |scored AS (
-         |  SELECT query_id, e.vec_id AS neighbor_id,
-         |    round(list_cosine_similarity(qv, e.v), 4) AS sim
-         |  FROM q JOIN e ON e.vec_id <> query_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |                       ORDER BY sim DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $TopK""".stripMargin) {
-      (s, d) =>
-        val e = corpus(s, d)
-        val q = e.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(cosine(col("qv"), col("v")), 4).as("sim"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        scored.select(col("query_id"), col("neighbor_id"),
-            row_number().over(w).as("rank"))
-          .filter(col("rank") <= TopK)
-    },
+      s"""WITH $eCte,
+         |$topkCtes
+         |SELECT query_id, neighbor_id, rank FROM topk""".stripMargin)(
+      (s, d) => bruteTopK(s, d)),
 
     // IVF top-k: deterministic seeds (every 25th vector) refined by one
-    // Lloyd iteration (assign → cell mean → reassign), nprobe=4.
-    // Approximate w.r.t. exact top-k (recall vs sim_topk is asserted in
-    // OperatorsSpec) but DETERMINISTIC given the seeds, so the oracle SQL
-    // mirrors the whole construction: same seeds, same Lloyd step, same
-    // rounded-cosine ranking with centroid-id/neighbor-id tie-breaks.
-    // Candidate generation is cell-blocked, not all-pairs. At corpus
-    // scale the cell id is also the partitioning key: one shuffle to
-    // co-locate cells, then probes join only their nprobe cells.
+    // Lloyd iteration (assign -> cell mean -> reassign), nprobe=4.
+    // Approximate w.r.t. exact top-k (recall is gated value-level by
+    // sim_ivf_recall below) but DETERMINISTIC given the seeds, so the
+    // oracle SQL mirrors the whole construction: same seeds, same Lloyd
+    // step, same rounded-cosine ranking with centroid-id/neighbor-id
+    // tie-breaks. Candidate generation is cell-blocked, not all-pairs.
+    // At corpus scale the cell id is also the partitioning key: one
+    // shuffle to co-locate cells, then probes join only their nprobe
+    // cells.
     QuerySpec(
       "sim_ivf",
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0),
-         |a0 AS (SELECT vec_id, v, cent_id FROM (
-         |    SELECT e.vec_id, e.v, s.cent_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC, s.cent_id) AS rn
-         |    FROM e, seeds s) WHERE rn = 1),
-         |cd AS (SELECT cent_id, d, avg(v[d]) AS cx
-         |       FROM a0, range(1, 65) t(d) GROUP BY cent_id, d),
-         |cents AS (SELECT cent_id, list(cx ORDER BY d) AS cv FROM cd GROUP BY cent_id),
-         |a1 AS (SELECT vec_id, v, cent_id FROM (
-         |    SELECT e.vec_id, e.v, c.cent_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
-         |    FROM e, cents c) WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id FROM (
-         |    SELECT e.vec_id, e.v, c.cent_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
-         |    FROM e, cents c WHERE e.vec_id < $NQueries) WHERE rn <= 4),
-         |scored AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
-         |    round(list_cosine_similarity(p.qv, a1.v), 4) AS sim
-         |  FROM probes p JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id)
-         |SELECT query_id, neighbor_id, rank FROM (
-         |  SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |                       ORDER BY sim DESC, neighbor_id) AS rank
-         |  FROM scored) WHERE rank <= $TopK""".stripMargin) { (s, d) =>
-      val e = corpus(s, d).cache()
-      // Seeds: every 25th vector, refined by one k-means (Lloyd) step.
-      val seeds = e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      val cents = lloydStep(e, seeds).cache()
-      // Assign each corpus vector to its nearest refined centroid.
-      val assigned = assign(e, cents, 1)
-        .select(col("vec_id"), col("v"), col("cent_id"))
-      // Queries probe their nprobe closest cells.
-      val q = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val probes = assign(
-        q.withColumnRenamed("query_id", "vec_id")
-          .withColumnRenamed("qv", "v"), cents, 4)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cent_id"))
-      // Score only vectors in probed cells.
-      val wRank = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("neighbor_id"))
-      probes.join(assigned, Seq("cent_id"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(cosine(col("qv"), col("v")), 4).as("sim"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= TopK)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      s"""WITH $eCte,
+         |$ivfCtes
+         |SELECT query_id, neighbor_id, rank FROM ivf""".stripMargin)(
+      (s, d) => ivfTopK(s, d)),
+
+    // ANN quality as a GATED readout: per-query overlap between the IVF
+    // top-k and the exact top-k (recall@k numerator). Both sides are
+    // deterministic, so the driver's value-level gate sees ANN *quality*,
+    // not just determinism; OperatorsSpec asserts the aggregate floor.
+    QuerySpec(
+      "sim_ivf_recall",
+      s"""WITH $eCte,
+         |$topkCtes,
+         |$ivfCtes
+         |SELECT t.query_id,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_common
+         |FROM topk t LEFT JOIN ivf i
+         |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+         |GROUP BY t.query_id""".stripMargin) { (s, d) =>
+      val exact = bruteTopK(s, d).select(col("query_id"), col("neighbor_id"))
+      val approx = ivfTopK(s, d).select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
     },
 
     // Clustering-quality readout: mean cosine of each vector to its

@@ -56,6 +56,11 @@ object StreamingIngest {
       weatherPath: String, snapshotPath: String): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // K3
+    // Driver-side collect is BOUNDED: rows here are distinct run stamps,
+    // and the run-constant-timestamp semantics (P9) put every record of
+    // an hourly run under ONE stamp — a micro-batch holds ≈1 stamp (a
+    // handful after downtime catch-up, ≤ hours-of-backlog, never
+    // O(records)).
     val stamps = batch.select("date", "time").distinct().collect()
     stamps.foreach { r =>
       val (d, t) = (r.getString(0), r.getString(1))

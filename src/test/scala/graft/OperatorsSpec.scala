@@ -96,13 +96,18 @@ class OperatorsSpec extends SparkSpec {
     assert(topk(0L) == -best._2)
   }
 
-  test("sim_ivf recall@5 vs brute force ≥ 0.5 on sf0.001") {
+  test("sim_ivf recall@5 vs brute force ≥ 0.5 on sf0.001, and the gated " +
+    "sim_ivf_recall query reports exactly that overlap") {
     val exact = SparkEntry.queries("sim_topk")(spark, sf0001)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     val approx = SparkEntry.queries("sim_ivf")(spark, sf0001)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall=$recall")
+    val gated = SparkEntry.queries("sim_ivf_recall")(spark, sf0001)
+      .select($"query_id", $"n_common").as[(Long, Long)].collect()
+    assert(gated.length == 20) // one row per query, zero-overlap included
+    assert(gated.map(_._2).sum == (exact & approx).size)
   }
 
   test("dedup_embedding_lsh: all pairs truly pass the cosine threshold; " +

@@ -57,4 +57,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
+
+  test("ingest history: a date predicate prunes partitions at the scan " +
+    "(the 100-TB guard for the only append-forever table)") {
+    import graft.pipeline.IngestPipeline
+    import graft.pipeline.IngestPipeline.Config
+    import graft.sources.HttpJsonSource
+    import java.time.{ZoneId, ZonedDateTime}
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("prune")
+    val c = Config(
+      trafficUrlTemplate = "traffic://{lat},{lon}?key={key}",
+      weatherUrlTemplate = "weather://{lat},{lon}?key={key}",
+      points = Fixtures.geoPoints,
+      trafficPath = s"$base/traffic_table",
+      weatherPath = s"$base/weather_table",
+      snapshotPath = s"$base/latest_joined_data",
+      retryDelayMillis = 0L)
+    val fetch: HttpJsonSource.Fetcher = (url, _) =>
+      scala.util.Success(
+        if (url.startsWith("traffic")) Fixtures.tomtom()
+        else Fixtures.openWeather())
+    val day1 = ZonedDateTime.of(2026, 8, 12, 9, 0, 0, 0, ZoneId.of("UTC"))
+    IngestPipeline.run(spark, c, fetch, day1)
+    IngestPipeline.run(spark, c, fetch, day1.plusDays(1))
+    val q = spark.read.parquet(c.trafficPath).filter(col("date") === "2026-08-12")
+    // the predicate must land in PartitionFilters (directory-level file
+    // listing prune), NOT PushedFilters (row-group skipping after listing)
+    val scans = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.exists(_.toString.contains("2026-08-12")),
+      scans.head.partitionFilters.mkString("; "))
+    // and it actually prunes: exactly ONE of the two date directories is
+    // selected for the scan's file listing
+    assert(scans.head.selectedPartitions.partitionCount == 1)
+    assert(q.count() == 3)
+  }
 }

@@ -48,6 +48,41 @@ class StreamingIngestSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("temperature") - 7.0) < 1e-9)
   }
 
+  test("ProcessingTime trigger (the reference's live hourly cadence) " +
+    "lands the same rows as the AvailableNow path") {
+    val base = tmpDir("stream")
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    writeBatchFile(in, "h1.json",
+      Seq(rec("a", Fixtures.tomtom(currentSpeed = 30), "2026-08-12", "09:00", "traffic"),
+        rec("a", Fixtures.openWeather(), "2026-08-12", "09:00", "weather")))
+    // 100 ms stands in for the reference's 1-hour cadence
+    // (/root/reference README: hourly Cloud Scheduler trigger) — the
+    // trigger CONTRACT (fires repeatedly, query keeps running between
+    // batches) is what's under test, not the wall-clock interval.
+    val q = StreamingIngest.start(spark, in, s"$base/traffic", s"$base/weather",
+      s"$base/snapshot", s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      q.processAllAvailable()
+      // next "hour" arrives while the SAME query keeps running — no
+      // restart, unlike the AvailableNow path
+      writeBatchFile(in, "h2.json",
+        Seq(rec("a", Fixtures.tomtom(currentSpeed = 60), "2026-08-12", "10:00", "traffic"),
+          rec("a", Fixtures.openWeather(temp = 280.15), "2026-08-12", "10:00", "weather")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // identical outcome to the AvailableNow test: full history appended,
+    // snapshot overwritten to the latest hour only
+    assert(spark.read.parquet(s"$base/traffic").count() == 2)
+    val snap = spark.read.parquet(s"$base/snapshot")
+    assert(snap.count() == 1)
+    val r = snap.collect().head
+    assert(r.getAs[String]("time") == "10:00")
+    assert(r.getAs[Long]("current_speed") == 60L)
+  }
+
   test("stream batch equals batch-pipeline output for the same payloads") {
     val base = tmpDir("stream")
     val in = s"$base/in"
