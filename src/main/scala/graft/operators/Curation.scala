@@ -179,6 +179,35 @@ object Curation {
         .select(col("lang"), col("source"), col("n"),
           (col("total").cast("double") / (col("groups") * col("n")))
             .as("weight"))
+    },
+
+    // Mixture sampling: deterministic per-source subsampling toward a
+    // target corpus mixture (the epoch-weighting step of a pretraining
+    // data pipeline). Each doc draws a uniform from md5("mix:"+doc_id)
+    // and survives iff it falls under its source tier's rate — here 0.8
+    // for the curated tier (src0–2), 0.25 for the long tail. The draw is
+    // the first 8 hex digits compared LEXICOGRAPHICALLY against the rate
+    // as a hex threshold (0.8 = 'cccccccc', 0.25 = '40000000'): identical
+    // byte-wise in both engines, no float conversion to diverge. Pure
+    // per-row filter — no shuffle, scan-parallel at any scale, and stable
+    // across reruns/retries because the randomness is content-keyed, not
+    // RNG-state-keyed (an executor retry resamples the SAME docs).
+    QuerySpec(
+      "doc_mixture",
+      """SELECT doc_id, lang, source, h FROM (
+        |  SELECT doc_id, lang, source,
+        |    substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        |  FROM documents)
+        |WHERE h < CASE WHEN source IN ('src0','src1','src2')
+        |               THEN 'cccccccc' ELSE '40000000' END""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+              1, 8).as("h"))
+          .filter(col("h") <
+            when(col("source").isInCollection(Seq("src0", "src1", "src2")),
+              "cccccccc").otherwise("40000000"))
     }
   )
 }

@@ -24,29 +24,30 @@ object Dedup {
   /** Words of a document (whitespace tokenization, matches the oracle). */
   private def words(c: Column): Column = split(c, " ")
 
-  /** Distinct 3-word shingles of `text` (1-based positions i..i+2).
-    * Documents shorter than 3 words yield no shingles (the `when` guard —
-    * without it a descending `sequence`/negative slice would blow up on
-    * short docs).
+  /** All k-word grams of `text` in document order (1-based positions
+    * i..i+k−1), duplicates preserved. Documents shorter than k words
+    * yield no grams (the `when` guard — without it a descending
+    * `sequence`/negative slice would blow up on short docs).
     *
-    * Formulated as `arrays_zip` of three shifted `slice`s rather than
+    * Formulated as `arrays_zip` of k shifted `slice`s rather than
     * `transform(sequence(...), i => element_at(w, i)...)`: HOF lambdas
     * re-evaluate captured outer expressions per ELEMENT, so the
-    * element_at form re-ran `split` ~3× per position — O(words²) per
+    * element_at form re-ran `split` ~k× per position — O(words²) per
     * document and ~8× slower end-to-end on the shingle explode. The zip
     * form evaluates `split` a constant number of times per row.
     */
-  def shingles3(text: Column): Column = {
+  def kgrams(text: Column, k: Int): Column = {
     val w = words(text)
     val n = size(w)
-    array_distinct(
-      when(n >= 3,
-        transform(
-          arrays_zip(slice(w, lit(1), n - 2), slice(w, lit(2), n - 2),
-            slice(w, lit(3), n - 2)),
-          s => concat_ws(" ", s("0"), s("1"), s("2"))))
-        .otherwise(typedLit(Seq.empty[String])))
+    when(n >= k,
+      transform(
+        arrays_zip((1 to k).map(j => slice(w, lit(j), n - (k - 1))): _*),
+        s => concat_ws(" ", (0 until k).map(j => s(j.toString)): _*)))
+      .otherwise(typedLit(Seq.empty[String]))
   }
+
+  /** Distinct 3-word shingles of `text` — the dedup blocking key. */
+  def shingles3(text: Column): Column = array_distinct(kgrams(text, 3))
 
   /** Exploded (doc_id, shingle) pairs with a document-frequency cap:
     * shingles occurring in more than `maxDf` documents are dropped from
@@ -446,6 +447,43 @@ object Dedup {
           .filter(col("vec_a") < col("vec_b"))
           .filter(round(Similarity.cosine(col("va"), col("vb")), 4) >= 0.4)
           .select(col("vec_a"), col("vec_b"))
+    },
+
+    // Decontamination: drop-list of corpus docs sharing any word-4-gram
+    // with a held-out benchmark set (here: source 'src0' stands in for
+    // the eval suite; real pipelines use 8–13-grams against actual test
+    // sets — k is a parameter of `kgrams`). The 100-TB plan: the
+    // benchmark side is tiny (eval suites, not corpora), so its distinct
+    // gram hashes BROADCAST and the corpus-side gram stream filters
+    // against them map-side — no shuffle of corpus grams; only the
+    // surviving (contaminated) gram hits, orders of magnitude fewer,
+    // reach the distinct+count shuffle. Grams join on xxhash64 (8-byte
+    // shuffle keys, same trick and caveat as `ngramPairs`); the oracle
+    // joins the gram strings directly.
+    QuerySpec(
+      "decontaminate",
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        list_aggregate(ws[i:i+3], 'string_agg', ' ') AS gk
+        |      FROM w, unnest(range(1, len(ws) - 2)) t(i)),
+        |bench AS (SELECT DISTINCT gk FROM g WHERE source = 'src0'),
+        |corp AS (SELECT DISTINCT doc_id, gk FROM g WHERE source <> 'src0')
+        |SELECT doc_id, count(*) AS n_contaminated
+        |FROM corp JOIN bench USING (gk) GROUP BY doc_id""".stripMargin) {
+      (s, d) =>
+        val grams = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("source"),
+            explode(kgrams(col("text"), 4)).as("g"))
+        val bench = grams.filter(col("source") === "src0")
+          .select(xxhash64(col("g")).as("gh")).distinct()
+        val corp = grams.filter(col("source") =!= "src0")
+          .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        corp.join(broadcast(bench), Seq("gh"))
+          .distinct() // each shared gram counted once per doc
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_contaminated"))
     }
   )
 

@@ -64,6 +64,42 @@ object Extended {
             col("last_err").as("err_value"))
     },
 
+    // The SAME as-of semantics through the native whole-operator path:
+    // graft.plans.AsOfJoin plants a custom logical node that the injected
+    // strategy plans as AsOfJoinExec — one hash exchange per side, sorted
+    // (user_id, ts), then a single streaming merge with O(1) state: no
+    // union materialization, no window buffering. Shares q_asof_join's
+    // oracle SQL verbatim: three formulations (composed window, native
+    // merge, DuckDB ASOF) must agree row-for-row.
+    QuerySpec(
+      "q_asof_native",
+      """WITH e AS (SELECT event_id, user_id, ts, event_type, value FROM events),
+        |clicks AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'click'),
+        |errors AS (SELECT user_id, ts, max_by(value, event_id) AS err_value
+        |           FROM e WHERE event_type = 'error' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |       c.value AS click_value, err.err_value
+        |FROM clicks c ASOF JOIN errors err
+        |  ON c.user_id = err.user_id AND c.ts >= err.ts""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        // right side deduped to one row per (user_id, ts) — as-of ties on
+        // the time column would otherwise be order-dependent
+        val errors = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("err_value"))
+          .withColumnRenamed("ts", "err_ts")
+        graft.plans.AsOfJoin.asof(clicks, errors,
+            keys = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "err_ts")
+          .select(col("event_id"), clicks("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+            col("value").as("click_value"),
+            col("err_value"))
+    },
+
     // Skew-safe two-stage aggregation: event_type has 5 hot keys — a
     // plain groupBy funnels everything through ≤5 reducers. Salting
     // fans the partial stage out 16× and folds the salt back in stage

@@ -197,6 +197,40 @@ object TextAnalysis {
         md5(lower(trim(regexp_replace(col("text"), " +", " ")))).as("content_fp"),
         md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
           .as("vocab_fp"))
+    },
+
+    // Repetition signals (Gopher/RefinedWeb-style quality filters): the
+    // duplicate word-bigram fraction and the most-frequent-bigram share
+    // of each document. Boilerplate and loop-generated text score high on
+    // both; real prose stays low. Grams are blocked by doc_id through
+    // both shuffles ((doc_id, g2) count, then doc_id roll-up), so per-doc
+    // work never concentrates — the same shape as dedup's shingle
+    // pipeline. Fractions are exact integer ratios cast to double,
+    // identical in both engines.
+    QuerySpec(
+      "text_repetition",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g2
+        |      FROM w, unnest(range(1, len(ws))) t(i)),
+        |cnt AS (SELECT doc_id, g2, count(*) AS n FROM g GROUP BY doc_id, g2)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_2grams,
+        |  CAST(count(*) AS BIGINT) AS distinct_2grams,
+        |  CAST(sum(n) - count(*) AS DOUBLE) / sum(n) AS dup_2gram_frac,
+        |  CAST(max(n) AS DOUBLE) / sum(n) AS top_2gram_frac
+        |FROM cnt GROUP BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(Dedup.kgrams(col("text"), 2)).as("g2"))
+        .groupBy(col("doc_id"), col("g2"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("n")).as("n_2grams"),
+          count(lit(1)).as("distinct_2grams"),
+          ((sum(col("n")) - count(lit(1))).cast("double") / sum(col("n")))
+            .as("dup_2gram_frac"),
+          (max(col("n")).cast("double") / sum(col("n")))
+            .as("top_2gram_frac"))
     }
   )
 }

@@ -20,4 +20,26 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "builtin")
+
+  /** Analyzed logical plan of a DataFrame (custom plan-node inputs). */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Wrap a (resolved) logical plan back into a DataFrame — the inverse
+    * of `analyzed`, gated behind `private[sql]` upstream.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Natural ascending ordering over rows of the given column types —
+    * the comparator SortMergeJoin uses for its streamed/buffered merge.
+    */
+  def naturalRowOrdering(dataTypes: Seq[org.apache.spark.sql.types.DataType])
+      : Ordering[org.apache.spark.sql.catalyst.InternalRow] =
+    org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .createNaturalAscendingOrdering(dataTypes)
 }

@@ -95,4 +95,31 @@ class CurationSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("mixture sampling: tier rates honored, content-keyed and " +
+    "deterministic, rates land near targets") {
+    val a = run("doc_mixture").cache()
+    val hi = Seq("src0", "src1", "src2")
+    // every kept row is under its tier threshold, and h really is the
+    // md5 prefix of the content key (retry-stable randomness)
+    assert(a.filter(
+      $"h" >= when($"source".isInCollection(hi), "cccccccc")
+        .otherwise("40000000")).count() == 0)
+    assert(a.filter(
+      $"h" =!= substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))),
+        1, 8)).count() == 0)
+    // observed keep-rates within binomial noise of the 0.8 / 0.25 targets
+    val docs = Tables.documents(spark, sf0001)
+    val nHi = docs.filter($"source".isInCollection(hi)).count().toDouble
+    val nLo = docs.count() - nHi
+    val kHi = a.filter($"source".isInCollection(hi)).count().toDouble
+    val kLo = a.count() - kHi
+    assert(math.abs(kHi / nHi - 0.8) < 0.15, s"hi rate ${kHi / nHi}")
+    assert(math.abs(kLo / nLo - 0.25) < 0.15, s"lo rate ${kLo / nLo}")
+    // deterministic rerun
+    val b = run("doc_mixture")
+    assert(a.orderBy("doc_id").collect().toSeq ==
+      b.orderBy("doc_id").collect().toSeq)
+    a.unpersist()
+  }
 }

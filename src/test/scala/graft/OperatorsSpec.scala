@@ -243,6 +243,54 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((2L, 3L)))
   }
 
+  test("kgrams: order kept, duplicates kept, short docs empty") {
+    val df = docsDf(1L -> "a b c", 2L -> "x y x y", 3L -> "solo")
+    val g = df.select($"doc_id", Dedup.kgrams($"text", 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(g(1L) == Seq("a b", "b c"))
+    assert(g(2L) == Seq("x y", "y x", "x y")) // repeat preserved — the
+    // repetition signals depend on it
+    assert(g(3L).isEmpty)
+  }
+
+  test("decontaminate: flagged docs genuinely share a 4-gram with the " +
+    "benchmark source, and benchmark docs never flag themselves") {
+    val out = SparkEntry.queries("decontaminate")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf0001)
+    val srcOf = docs.select($"doc_id", $"source")
+      .as[(Long, String)].collect().toMap
+    assert(out.keys.forall(srcOf(_) != "src0"))
+    // independent recount for the worst offender: distinct 4-grams it
+    // shares with the union of src0 text
+    val (worstDoc, worstN) = out.maxBy(_._2)
+    val grams = docs
+      .select($"doc_id", $"source",
+        explode(array_distinct(Dedup.kgrams($"text", 4))).as("g"))
+    val benchSet = grams.filter($"source" === "src0")
+      .select($"g").distinct().as[String].collect().toSet
+    val docGrams = grams.filter($"doc_id" === worstDoc)
+      .select($"g").as[String].collect().toSet
+    assert((docGrams & benchSet).size == worstN)
+  }
+
+  test("text_repetition: per-doc 2-gram count is tokens−1, fractions " +
+    "bounded and exactly (n−d)/n") {
+    val rep = SparkEntry.queries("text_repetition")(spark, sf0001)
+    val tok = SparkEntry.queries("text_tokens")(spark, sf0001)
+    val joined = rep.join(tok, "doc_id")
+    assert(joined.count() == 500) // no doc lost (all docs have ≥ 2 words)
+    assert(joined.filter($"n_2grams" =!= $"ws_tokens" - 1).count() == 0)
+    assert(joined.filter(
+      $"dup_2gram_frac" < 0 || $"dup_2gram_frac" > 1 ||
+        $"top_2gram_frac" * $"n_2grams" < 1 - 1e-9 ||
+        abs($"dup_2gram_frac" * $"n_2grams" -
+          ($"n_2grams" - $"distinct_2grams")) > lit(1e-9)).count() == 0)
+    // the corpus DOES contain repetition for the filter to act on
+    assert(rep.filter($"dup_2gram_frac" > 0).count() > 0)
+  }
+
   test("resizeBatch: zero-byte payload yields a zero-filled thumb " +
     "(regression: indexed into the empty array)") {
     val out = Multimodal.resizeBatch(
