@@ -129,9 +129,11 @@ object Similarity {
        |                       ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM iscored) WHERE rank <= $TopK)""".stripMargin
 
-  /** Brute-force exact top-k: (query_id, neighbor_id, rank). */
-  def bruteTopK(s: SparkSession, d: String): DataFrame = {
-    val e = corpus(s, d)
+  /** Top-k per query over any (vec_id, v) frame: queries are vec_id <
+    * NQueries, broadcast against one corpus scan, ranked on 4-dp-rounded
+    * cosine with neighbor-id tie-break.
+    */
+  private def topkOf(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -143,6 +145,24 @@ object Similarity {
         row_number().over(w).as("rank"))
       .filter(col("rank") <= TopK)
   }
+
+  /** Brute-force exact top-k: (query_id, neighbor_id, rank). */
+  def bruteTopK(s: SparkSession, d: String): DataFrame =
+    topkOf(corpus(s, d))
+
+  /** Symmetric int8 scalar quantization: each vector scales by
+    * 127/max|vᵢ| and rounds — the 4×-smaller representation a 100 TB
+    * embedding store scans instead of float32 (quantized codes shuffle
+    * and cache 4× denser; the cosine kernel is unchanged). Values stay
+    * integral in a double array so BOTH engines compute on exactly
+    * representable integers — cross-engine parity is exact, and the
+    * rounding convention (half away from zero) agrees between Spark's
+    * HALF_UP and DuckDB's round().
+    */
+  def quantized(e: DataFrame): DataFrame = e
+    .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+    .select(col("vec_id"),
+      transform(col("v"), x => round(x * (lit(127.0) / col("mx")))).as("v"))
 
   /** IVF approximate top-k: (query_id, neighbor_id, rank). Deterministic
     * given the seeds — every-25th-vector seeds refined by one Lloyd step,
@@ -220,6 +240,46 @@ object Similarity {
          |GROUP BY t.query_id""".stripMargin) { (s, d) =>
       val exact = bruteTopK(s, d).select(col("query_id"), col("neighbor_id"))
       val approx = ivfTopK(s, d).select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+    },
+
+    // Int8-quantization quality as a gated readout: per-query overlap
+    // between top-k on quantized codes and top-k on the float vectors.
+    // The oracle quantizes with the same arithmetic (round(x·(127/max|v|))
+    // over DOUBLE[]) so the comparison is value-exact — what the gate
+    // certifies is that 4×-compressed scans lose almost no ranking
+    // fidelity, which is the economic argument for quantizing a 100 TB
+    // embedding store.
+    QuerySpec(
+      "sim_quantized_recall",
+      s"""WITH $eCte,
+         |$topkCtes,
+         |qz AS (SELECT vec_id, list_transform(v,
+         |         x -> round(x * (127.0 / list_max(list_transform(v,
+         |                y -> abs(y)))))) AS v FROM e),
+         |zq AS (SELECT vec_id AS query_id, v AS qv FROM qz
+         |       WHERE vec_id < $NQueries),
+         |zscored AS (SELECT query_id, z.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(qv, z.v), 4) AS sim
+         |  FROM zq JOIN qz z ON z.vec_id <> query_id),
+         |ztopk AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM zscored) WHERE rank <= $TopK)
+         |SELECT t.query_id,
+         |  CAST(sum(CASE WHEN z.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_common
+         |FROM topk t LEFT JOIN ztopk z
+         |  ON t.query_id = z.query_id AND t.neighbor_id = z.neighbor_id
+         |GROUP BY t.query_id""".stripMargin) { (s, d) =>
+      val e = corpus(s, d)
+      val exact = topkOf(e).select(col("query_id"), col("neighbor_id"))
+      val approx = topkOf(quantized(e))
+        .select(col("query_id"), col("neighbor_id"))
         .withColumn("hit", lit(1L))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))

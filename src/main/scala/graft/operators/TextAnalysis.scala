@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: language ID
@@ -231,6 +232,47 @@ object TextAnalysis {
             .as("dup_2gram_frac"),
           (max(col("n")).cast("double") / sum(col("n")))
             .as("top_2gram_frac"))
+    },
+
+    // Vocabulary coverage curve (tokenizer-training prep): the top-100
+    // words by corpus frequency with each rank's cumulative share of all
+    // tokens. The heavy stage — token explode + count — shuffles by word
+    // (hot words spread before aggregation, partial agg map-side); the
+    // global rank/cumsum window then runs over the VOCABULARY table,
+    // which is orders of magnitude smaller than the corpus (the standard
+    // two-altitude shape: corpus-scale work keyed wide, vocab-scale work
+    // single-pass). cum/total is an exact-integer ratio in doubles.
+    QuerySpec(
+      "vocab_coverage",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |f AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+        |r AS (SELECT word, n,
+        |    row_number() OVER (ORDER BY n DESC, word) AS rank,
+        |    sum(n) OVER (ORDER BY n DESC, word
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    (SELECT sum(n) FROM f) AS tot
+        |  FROM f)
+        |SELECT word, CAST(n AS BIGINT) AS n, rank,
+        |  CAST(cum AS DOUBLE) / tot AS cum_frac
+        |FROM r WHERE rank <= 100""".stripMargin) { (s, d) =>
+      val f = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(words(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+      val tot = f.agg(sum(col("n")).as("tot"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("word"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wr = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("word"))
+      f.join(broadcast(tot))
+        .withColumn("rank", row_number().over(wr))
+        .withColumn("cum", sum(col("n")).over(w))
+        .filter(col("rank") <= 100)
+        .select(col("word"), col("n"), col("rank"),
+          (col("cum").cast("double") / col("tot")).as("cum_frac"))
     }
   )
 }

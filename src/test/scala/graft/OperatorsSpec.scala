@@ -243,6 +243,35 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((2L, 3L)))
   }
 
+  test("sim_quantized_recall: int8 codes keep >= 0.8 of exact top-5 " +
+    "(the 4x-compression fidelity argument), quantized values integral " +
+    "in [-127, 127]") {
+    val gated = SparkEntry.queries("sim_quantized_recall")(spark, sf0001)
+      .select($"query_id", $"n_common").as[(Long, Long)].collect()
+    assert(gated.length == 20)
+    assert(gated.map(_._2).sum >= 80, s"recall sum=${gated.map(_._2).sum}")
+    val qv = Similarity.quantized(
+      Tables.embeddings(spark, sf0001)
+        .select($"vec_id", $"embedding".as("v")))
+      .select(explode($"v")).as[Double].collect()
+    assert(qv.forall(x => x == math.rint(x) && math.abs(x) <= 127.0))
+  }
+
+  test("vocab_coverage: ranks dense from 1, counts non-increasing, " +
+    "cumulative share monotone to 1.0 over the full vocabulary") {
+    val v = SparkEntry.queries("vocab_coverage")(spark, sf0001)
+      .orderBy($"rank")
+      .select($"n", $"rank", $"cum_frac").as[(Long, Int, Double)].collect()
+    assert(v.nonEmpty && v.map(_._2).toSeq == (1 to v.length))
+    assert(v.sliding(2).forall {
+      case Array((n1, _, c1), (n2, _, c2)) => n1 >= n2 && c1 <= c2
+      case _ => true
+    })
+    // the synthetic vocabulary fits inside the top-100 window → the
+    // curve must end at exactly 1.0 (total coverage)
+    assert(math.abs(v.last._3 - 1.0) < 1e-12)
+  }
+
   test("kgrams: order kept, duplicates kept, short docs empty") {
     val df = docsDf(1L -> "a b c", 2L -> "x y x y", 3L -> "solo")
     val g = df.select($"doc_id", Dedup.kgrams($"text", 2).as("g"))

@@ -32,4 +32,29 @@ class TabularSourcesSpec extends SparkSpec {
     assert(back.orderBy("event_id").collect().toSeq ==
       df.orderBy("event_id").collect().toSeq)
   }
+
+  test("ORC round-trip is lossless including timestamp and array columns " +
+    "(columnar interchange beyond parquet)") {
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("toks"))
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("value"))
+    val d1 = tmpDir("orcdocs"); val d2 = tmpDir("orcev")
+    docs.write.mode("overwrite").orc(d1)
+    ev.write.mode("overwrite").orc(d2)
+    val docsBack = spark.read.schema(docs.schema).orc(d1)
+    val evBack = spark.read.schema(ev.schema).orc(d2)
+    assert(docsBack.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    assert(evBack.orderBy("event_id").collect().toSeq ==
+      ev.orderBy("event_id").collect().toSeq)
+    // and predicate pushdown reaches the ORC scan like parquet
+    val q = docsBack.filter(col("doc_id") === 7L)
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PushedFilters").contains("EqualTo(doc_id,7)"),
+      scan.metadata("PushedFilters"))
+  }
 }
