@@ -62,6 +62,10 @@ object AsOfJoin {
 
     override def output: Seq[Attribute] = left.output ++ right.output
 
+    override lazy val metrics = Map(
+      "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"))
+
     override def requiredChildDistribution: Seq[Distribution] =
       ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
@@ -75,6 +79,7 @@ object AsOfJoin {
     override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
     override protected def doExecute(): RDD[InternalRow] = {
+      val numOutputRows = longMetric("numOutputRows")
       val lKeyExprs = leftKeys; val rKeyExprs = rightKeys
       val lSchema = left.output; val rSchema = right.output
       val lTime = leftTime; val rTime = rightTime
@@ -126,7 +131,9 @@ object AsOfJoin {
           override def hasNext: Boolean = { findNext(); pending != null }
           override def next(): InternalRow = {
             findNext()
-            val out = pending; pending = null; out
+            val out = pending; pending = null
+            numOutputRows += 1
+            out
           }
         }
       }

@@ -81,6 +81,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(AsOfJoin.asof(noTrades, quotes, Seq("sym"), "tt", "qt").count() == 0)
   }
 
+  test("property: merge agrees with the composed window formulation on " +
+    "randomized key/time data (including key runs, ties, and gaps)") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 5).foreach { trial =>
+      // small key/time domains force collisions, runs, and empty keys
+      val lRows = Seq.fill(200)((rnd.nextInt(8), rnd.nextInt(50), rnd.nextInt()))
+      val rRaw = Seq.fill(60)((rnd.nextInt(10), rnd.nextInt(50), rnd.nextDouble()))
+      // right side unique per (key, time) — the documented contract
+      val rRows = rRaw.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val l = lRows.toDF("k", "t", "id")
+        .select($"k", timestamp_seconds($"t").as("lt"), $"id")
+      val r = rRows.toDF("k", "t", "pay")
+        .select($"k", timestamp_seconds($"t").as("rt"), $"pay")
+      val native = AsOfJoin.asof(l, r, Seq("k"), "lt", "rt")
+        .select($"id", $"pay").as[(Int, Double)].collect().sorted.toSeq
+      // reference: composed union + running last(ignoreNulls) window
+      val u = r.select($"k", $"rt".as("ts"), lit(0).as("src"),
+          lit(null).cast("int").as("id"), $"pay")
+        .unionByName(l.select($"k", $"lt".as("ts"), lit(1).as("src"),
+          $"id", lit(null).cast("double").as("pay")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"k").orderBy($"ts", $"src")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val composed = u
+        .withColumn("lastPay", last($"pay", ignoreNulls = true).over(w))
+        .filter($"src" === 1 && $"lastPay".isNotNull)
+        .select($"id", $"lastPay").as[(Int, Double)].collect().sorted.toSeq
+      assert(native == composed, s"trial $trial diverged")
+    }
+  }
+
   test("unknown column name fails fast with a descriptive error") {
     val e = intercept[IllegalArgumentException] {
       AsOfJoin.asof(trades, quotes, Seq("nope"), "tt", "qt")
