@@ -93,6 +93,34 @@ object Relational {
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1) - col("l_discount").cast("decimal(4,2)")))
           .cast("double").as("revenue"))
+    },
+
+    // TPC-H Q6 shape (forecast revenue change): the canonical
+    // filter-pushdown showcase — a scan-only aggregate whose THREE
+    // predicates all reach PushedFilters, no join, no wide shuffle: the
+    // single exchange carries one partial-agg row per task. At 100 TB
+    // this query is pure scan bandwidth × predicate selectivity.
+    QuerySpec(
+      "q_tpch6_forecast",
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_discount").cast("decimal(4,2)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
     })
 
   /** Exact decimal image of a 2-dp double column (parity helper).

@@ -100,6 +100,82 @@ object StatefulOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Per-user error history for [[asofEnrich]] (ascending ts; public for
+    * the state encoder). `maxSeen` drives pruning and idle-state GC.
+    */
+  final case class ErrEntry(ts: Long, value: Double)
+  final case class AsOfState(errors: List[ErrEntry], maxSeen: Long)
+  final case class AsOfEnriched(event_id: Long, user_id: Long,
+      click_ts: Timestamp, click_value: Double,
+      err_ts: Timestamp, err_value: Double)
+
+  /** Streaming as-of enrichment — the streaming face of
+    * `plans.AsOfJoin` / `q_asof_native`: every click is enriched with
+    * the latest error of the same user at or before it (inclusive,
+    * inner). A stream-stream interval join can't express this ("latest
+    * within an interval" ≠ "latest ever"), so this is the
+    * flatMapGroupsWithState escape hatch, with state designed to stay
+    * bounded:
+    *
+    *  - per user, errors are kept in event-time order; everything older
+    *    than `pruneMillis` behind the user's max seen event time is
+    *    dropped EXCEPT the newest such error — which must survive
+    *    indefinitely, because it stays the as-of match until a newer
+    *    error arrives. State is O(errors in the prune horizon) + 1.
+    *  - idle users' state is removed by an event-time timeout two prune
+    *    horizons after their last activity; late clicks after that
+    *    enrich nothing (streaming as-of is forward-looking — no
+    *    retro-correction, same trade every streaming enrichment makes).
+    *
+    * Within a micro-batch, rows process in (ts, event_id) order, so
+    * out-of-order arrivals inside the watermark enrich exactly like the
+    * batch operator; equal-ts errors resolve last-writer-wins (the batch
+    * form dedups (user, ts) upstream instead).
+    */
+  def asofEnrich(events: Dataset[Event], watermark: String = "1 hour",
+      pruneMillis: Long = 60 * 60 * 1000L): Dataset[AsOfEnriched] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfEnriched](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[AsOfState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var errors = state.getOption.map(_.errors).getOrElse(Nil)
+            var maxSeen = state.getOption.map(_.maxSeen).getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[AsOfEnriched]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              maxSeen = math.max(maxSeen, t)
+              e.event_type match {
+                case "error" =>
+                  // ordered insert (out-of-order errors within the
+                  // watermark land in their event-time position)
+                  val (before, after) = errors.partition(_.ts <= t)
+                  errors = before ::: ErrEntry(t, e.value) :: after
+                case "click" =>
+                  errors.takeWhile(_.ts <= t).lastOption.foreach { err =>
+                    out += AsOfEnriched(e.event_id, userId, e.ts, e.value,
+                      new Timestamp(err.ts), err.value)
+                  }
+                case _ => // other event types pass through state untouched
+              }
+            }
+            val horizon = maxSeen - pruneMillis
+            val (old, recent) = errors.partition(_.ts <= horizon)
+            state.update(AsOfState(old.lastOption.toList ::: recent, maxSeen))
+            state.setTimeoutTimestamp(math.max(maxSeen + 2 * pruneMillis,
+              state.getCurrentWatermarkMs + pruneMillis))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Event sessionization: events of a user belong to one session while
     * gaps stay under `gapMillis`; sessions flush either when a later
     * event of the same user opens a new one, or when the event-time

@@ -57,6 +57,66 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofEnrich: clicks pick the latest error at or before, across " +
+    "micro-batches, state pruned but the last old error survives") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    // prune horizon 10 min so the test exercises pruning
+    val q = StatefulOps.asofEnrich(in.toDS(), watermark = "5 minutes",
+        pruneMillis = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("asofenrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(1), 1, "click", 10.0),  // before any error → dropped
+        Event(2, ts(2), 1, "error", 1.0),
+        Event(3, ts(2), 1, "click", 11.0),  // equal ts → inclusive (1.0)
+        Event(4, ts(4), 1, "click", 12.0),  // latest ≤ 09:04 → 1.0
+        Event(5, ts(3), 2, "error", 9.0))   // other user's error
+      q.processAllAvailable()
+      in.addData(
+        Event(6, ts(30), 1, "click", 13.0), // 28 min later: err(2) is far
+                                            // outside the prune horizon but
+                                            // survives as the newest old one
+        Event(7, ts(31), 2, "click", 14.0)) // user 2 → 9.0, never user 1's
+      q.processAllAvailable()
+      val rows = spark.table("asofenrich")
+        .select($"event_id", $"err_value")
+        .as[(Long, Double)].collect().toMap
+      assert(rows == Map(3L -> 1.0, 4L -> 1.0, 6L -> 1.0, 7L -> 9.0))
+    } finally q.stop()
+  }
+
+  test("asofEnrich agrees with the batch AsOfJoin on the same events") {
+    implicit val sc = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(2), 1, "error", 1.0), Event(2, ts(5), 1, "click", 10.0),
+      Event(3, ts(7), 1, "error", 2.0), Event(4, ts(8), 1, "click", 11.0),
+      Event(5, ts(1), 2, "click", 12.0), Event(6, ts(3), 2, "error", 3.0),
+      Event(7, ts(9), 2, "click", 13.0), Event(8, ts(9), 3, "click", 14.0))
+    val in = MemoryStream[Event]
+    val q = StatefulOps.asofEnrich(in.toDS())
+      .writeStream.format("memory").queryName("asofparity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("asofparity")
+        .select($"event_id", $"err_value").as[(Long, Double)]
+        .collect().toSet
+      val df = events.toDF()
+      val clicks = df.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val errors = df.filter($"event_type" === "error")
+        .select($"user_id", $"ts".as("err_ts"), $"value".as("err_value"))
+      val batch = graft.plans.AsOfJoin
+        .asof(clicks, errors, Seq("user_id"), "ts", "err_ts")
+        .select($"event_id", $"err_value").as[(Long, Double)]
+        .collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: only errors within the window join") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[Event]
