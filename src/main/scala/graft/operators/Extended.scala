@@ -293,11 +293,22 @@ object Extended {
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      // Split formulation: mixing count(DISTINCT) with percentile in one
+      // agg makes Catalyst thread the percentile buffers through a
+      // two-level (flag, partkey) aggregation — object buffers per FINE
+      // group through the first exchange. Two independent single-purpose
+      // aggs joined on the tiny group set benched 2.3× faster at sf0.1
+      // and shuffle strictly less at any scale.
+      val li = Tables.lineitem(s, d)
+      val pd = li.groupBy(col("l_returnflag"))
         .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
           round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
           count(lit(1)).as("n"))
+      val cd = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      pd.join(cd, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"),
+          col("median_price"), col("n"))
     },
 
     // Pivot: event counts per user bucket × event type. Spark's pivot
