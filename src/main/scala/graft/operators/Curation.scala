@@ -208,6 +208,82 @@ object Curation {
           .filter(col("h") <
             when(col("source").isInCollection(Seq("src0", "src1", "src2")),
               "cccccccc").otherwise("40000000"))
+    },
+
+    // The whole curation pipeline as ONE composed, gated query — what a
+    // pretraining data run actually executes: quality filter →
+    // decontaminate against the held-out benchmark → exact-dedup
+    // keep-list → mixture sampling. Every stage is the same formulation
+    // as its standalone query, so this gate certifies the COMPOSITION
+    // (stage ordering, survivor accounting) on top of the per-stage
+    // gates. Stage shapes at scale: per-row predicate (no shuffle) →
+    // broadcast-filtered gram stream → hash-groupBy keep-list →
+    // per-row hash threshold (no shuffle).
+    QuerySpec(
+      "doc_curate",
+      """WITH f AS (SELECT doc_id, lang, source, text, length(text) AS n_chars,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','in','to','is','it','on','for'))) AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |k1 AS (SELECT doc_id, lang, source, text FROM f
+        |  WHERE (CASE WHEN n_words >= 20 THEN 1.0 ELSE CAST(n_words AS DOUBLE)/20 END)
+        |      * (1.0 - CAST(n_punct AS DOUBLE)/n_chars)
+        |      * (CASE WHEN CAST(n_stop AS DOUBLE)/n_words > 0.05 THEN 1.0 ELSE 0.5 END) >= 0.75),
+        |bw AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE source = 'src0'),
+        |bg AS (SELECT DISTINCT list_aggregate(ws[i:i+3], 'string_agg', ' ') AS gk
+        |       FROM bw, unnest(range(1, len(ws) - 2)) t(i)),
+        |cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM k1 WHERE source <> 'src0'),
+        |cg AS (SELECT DISTINCT doc_id, list_aggregate(ws[i:i+3], 'string_agg', ' ') AS gk
+        |       FROM cw, unnest(range(1, len(ws) - 2)) t(i)),
+        |cont AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gk)),
+        |k2 AS (SELECT * FROM k1 WHERE source <> 'src0'
+        |       AND doc_id NOT IN (SELECT doc_id FROM cont)),
+        |k3 AS (SELECT * FROM k2 WHERE doc_id IN
+        |       (SELECT min(doc_id) FROM k2 GROUP BY md5(text)))
+        |SELECT doc_id, lang, source FROM k3
+        |WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |      CASE WHEN source IN ('src0','src1','src2')
+        |           THEN 'cccccccc' ELSE '40000000' END""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        // stage 1: quality floor (same signals as text_quality)
+        val t = col("text")
+        val words = split(t, " ")
+        val nWords = size(words)
+        val nStop = size(filter(words, w => w.isInCollection(Seq(
+          "the", "a", "of", "and", "in", "to", "is", "it", "on", "for"))))
+        val nPunct = length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))
+        val score =
+          when(nWords >= 20, 1.0).otherwise(nWords.cast("double") / 20) *
+            (lit(1.0) - nPunct.cast("double") / length(t)) *
+            when(nStop.cast("double") / nWords > 0.05, 1.0).otherwise(0.5)
+        val k1 = docs.filter(score >= 0.75)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        // stage 2: decontaminate — benchmark grams broadcast, corpus
+        // filtered map-side, contaminated ids anti-joined away
+        val bench = docs.filter(col("source") === "src0")
+          .select(explode(array_distinct(Dedup.kgrams(col("text"), 4))).as("g"))
+          .select(xxhash64(col("g")).as("gh")).distinct()
+        val corpus = k1.filter(col("source") =!= "src0")
+        val cont = corpus
+          .select(col("doc_id"), explode(Dedup.kgrams(col("text"), 4)).as("g"))
+          .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+          .join(broadcast(bench), Seq("gh"))
+          .select(col("doc_id")).distinct()
+        val k2 = corpus.join(cont, Seq("doc_id"), "left_anti")
+        // stage 3: exact-dedup keep-list (min doc_id per content hash)
+        val keep = k2.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val k3 = k2.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        // stage 4: mixture sampling (same thresholds as doc_mixture)
+        k3.filter(
+            substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+              1, 8) <
+              when(col("source").isInCollection(Seq("src0", "src1", "src2")),
+                "cccccccc").otherwise("40000000"))
+          .select(col("doc_id"), col("lang"), col("source"))
     }
   )
 }

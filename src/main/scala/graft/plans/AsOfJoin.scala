@@ -173,9 +173,15 @@ object AsOfJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"asof: column '$name' not in ${plan.output.map(_.name)}"))
-    val node = AsOfJoinPlan(lPlan, rPlan,
-      keys.map(resolve(lPlan, _)), keys.map(resolve(rPlan, _)),
-      resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol))
-    Bridge.ofRows(spark, node)
+    val (lk, rk) = (keys.map(resolve(lPlan, _)), keys.map(resolve(rPlan, _)))
+    val (lt, rt) = (resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol))
+    // The merge compares projected key/time rows with ONE ordering built
+    // from the left types — a silent type mismatch would compare garbage.
+    (lk :+ lt).zip(rk :+ rt).foreach { case (a, b) =>
+      if (a.dataType != b.dataType) throw new IllegalArgumentException(
+        s"asof: column '${a.name}' is ${a.dataType.sql} on the left but " +
+          s"${b.dataType.sql} on the right — cast one side first")
+    }
+    Bridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

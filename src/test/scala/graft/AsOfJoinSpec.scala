@@ -119,4 +119,13 @@ class AsOfJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("mismatched key types fail fast instead of comparing garbage " +
+    "in the merge") {
+    val rInt = quotes.withColumn("sym", hash($"sym")) // string → int key
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(trades, rInt, Seq("sym"), "tt", "qt")
+    }
+    assert(e.getMessage.contains("cast one side first"), e.getMessage)
+  }
 }

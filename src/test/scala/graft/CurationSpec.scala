@@ -122,4 +122,20 @@ class CurationSpec extends SparkSpec {
       b.orderBy("doc_id").collect().toSeq)
     a.unpersist()
   }
+
+  test("doc_curate: composition is consistent with the standalone stage " +
+    "queries — survivors pass mixture, are uncontaminated, non-benchmark") {
+    val out = run("doc_curate").cache()
+    assert(out.count() > 0)
+    assert(out.filter($"source" === "src0").count() == 0)
+    // every survivor is in the standalone mixture keep-set
+    val mixIds = run("doc_mixture").select($"doc_id").as[Long].collect().toSet
+    val outIds = out.select($"doc_id").as[Long].collect().toSet
+    assert(outIds.subsetOf(mixIds))
+    // no survivor is flagged by the standalone decontaminate query
+    val contaminated = run("decontaminate")
+      .select($"doc_id").as[Long].collect().toSet
+    assert((outIds & contaminated).isEmpty)
+    out.unpersist()
+  }
 }
