@@ -78,6 +78,24 @@ class GraftExtensionsSpec extends SparkSpec {
         "SELECT simhash_agg(CAST(id AS STRING)) AS sig FROM range(3)")
         .collect().head.getLong(0)
       assert(castSig == strSig)
+      // the injected PLANNER STRATEGY: an AsOfJoinPlan planted on this
+      // extensions-built session must plan to AsOfJoinExec WITHOUT the
+      // runtime ensureRegistered fallback ever running
+      assert(!s.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoin.AsOfJoinStrategy))
+      import s.implicits._
+      val l = Seq((1, 10, "x")).toDF("k", "t", "v")
+      val r = Seq((1, 5, 2.0)).toDF("k", "t2", "p")
+      val node = graft.plans.AsOfJoin.AsOfJoinPlan(
+        org.apache.spark.sql.graft.Bridge.analyzed(l),
+        org.apache.spark.sql.graft.Bridge.analyzed(r),
+        Seq(org.apache.spark.sql.graft.Bridge.analyzed(l).output.head),
+        Seq(org.apache.spark.sql.graft.Bridge.analyzed(r).output.head),
+        org.apache.spark.sql.graft.Bridge.analyzed(l).output(1),
+        org.apache.spark.sql.graft.Bridge.analyzed(r).output(1))
+      val df = org.apache.spark.sql.graft.Bridge.ofRows(s, node)
+      assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      assert(df.count() == 1)
     } finally {
       // restore the suite-shared session (same SparkContext; don't stop)
       SparkSession.setDefaultSession(shared)
