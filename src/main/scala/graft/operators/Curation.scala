@@ -248,18 +248,8 @@ object Curation {
         |           THEN 'cccccccc' ELSE '40000000' END""".stripMargin) {
       (s, d) =>
         val docs = Tables.documents(s, d)
-        // stage 1: quality floor (same signals as text_quality)
-        val t = col("text")
-        val words = split(t, " ")
-        val nWords = size(words)
-        val nStop = size(filter(words, w => w.isInCollection(Seq(
-          "the", "a", "of", "and", "in", "to", "is", "it", "on", "for"))))
-        val nPunct = length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))
-        val score =
-          when(nWords >= 20, 1.0).otherwise(nWords.cast("double") / 20) *
-            (lit(1.0) - nPunct.cast("double") / length(t)) *
-            when(nStop.cast("double") / nWords > 0.05, 1.0).otherwise(0.5)
-        val k1 = docs.filter(score >= 0.75)
+        // stage 1: quality floor (the shared text_quality kernel)
+        val k1 = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.75)
           .select(col("doc_id"), col("lang"), col("source"), col("text"))
         // stage 2: decontaminate — benchmark grams broadcast, corpus
         // filtered map-side, contaminated ids anti-joined away

@@ -21,6 +21,21 @@ object TextAnalysis {
   private val Stopwords =
     Seq("the", "a", "of", "and", "in", "to", "is", "it", "on", "for")
 
+  /** Blended quality score in [0, 1] (length, punctuation, stopword
+    * signals) — the shared kernel of `text_quality`, `doc_curate`'s
+    * stage 1, and `streaming.StreamingCuration`. Pure per-row
+    * expression: applies identically to batch frames and streams.
+    */
+  def qualityScore(t: Column): Column = {
+    val nChars = length(t)
+    val nWords = size(words(t))
+    val nStop = markerCount(t, Stopwords)
+    val nPunct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
+    when(nWords >= 20, 1.0).otherwise(nWords.cast("double") / 20) *
+      (lit(1.0) - nPunct.cast("double") / nChars) *
+      when(nStop.cast("double") / nWords > 0.05, 1.0).otherwise(0.5)
+  }
+
   /** Oracle SQL mirroring `RollingHashMinima.winnow`: k-gram polynomial
     * hashes (base 257 mod 2^61−1 — direct sum equals the rolling form
     * since 257^(k−1) < the modulus) and minima over every full window of
@@ -118,10 +133,7 @@ object TextAnalysis {
         ((nChars - (nWords - 1)).cast("double") / nWords).as("avg_word_len"),
         (nStop.cast("double") / nWords).as("stopword_ratio"),
         (nPunct.cast("double") / nChars).as("punct_ratio"),
-        (when(nWords >= 20, 1.0).otherwise(nWords.cast("double") / 20) *
-          (lit(1.0) - nPunct.cast("double") / nChars) *
-          when(nStop.cast("double") / nWords > 0.05, 1.0).otherwise(0.5))
-          .as("quality_score"))
+        qualityScore(t).as("quality_score"))
     },
 
     // Token counting: whitespace tokens + BPE-ish regex word-pieces.

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-flight curation of a DOCUMENT STREAM — the batch `doc_curate`
+  * stages that are per-row predicates applied at ingest time, before
+  * anything lands in the corpus: quality floor + n-gram decontamination
+  * against a held-out benchmark.
+  *
+  * The benchmark ships as its distinct 4-gram xxhash64 set, broadcast
+  * as a literal (eval suites are small — thousands of docs, not
+  * corpora; a larger drop-list would ship a bloom filter the same way).
+  * Both stages are STATELESS per-row expressions: no watermark, no
+  * state store, valid in every output mode, and the stream plan is the
+  * identical expression tree the batch pipeline runs — curation
+  * semantics cannot drift between the hourly batch path and the
+  * streaming path.
+  *
+  * The stateful stages of corpus curation (cross-document dedup,
+  * mixture accounting) stay in the batch/compaction tier by design:
+  * near-dup candidate generation needs corpus-wide blocking joins, and
+  * `StatefulOps.dedupWithinWatermark` already covers the
+  * bounded-horizon streaming variant.
+  */
+object StreamingCuration {
+
+  /** Distinct 4-gram hashes of a static benchmark frame (the value to
+    * broadcast into [[curate]]).
+    */
+  def benchmarkGramHashes(bench: DataFrame): Array[Long] =
+    bench
+      .select(explode(array_distinct(Dedup.kgrams(col("text"), 4))).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+      .orderBy("gh")
+      .collect().map(_.getLong(0))
+
+  /** Gram-hash column of a text column (shared by tests/diagnostics). */
+  def gramHashes(text: Column): Column =
+    transform(array_distinct(Dedup.kgrams(text, 4)), g => xxhash64(g))
+
+  /** Filter a (possibly streaming) document frame to rows with
+    * `quality >= minQuality` that share NO 4-gram with the benchmark.
+    */
+  def curate(docs: DataFrame, benchHashes: Array[Long],
+      minQuality: Double = 0.75): DataFrame =
+    docs
+      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .filter(!arrays_overlap(gramHashes(col("text")),
+        typedLit(benchHashes.toSeq)))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.StreamingCuration
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Doc(doc_id: Long, text: String)
+
+  // 25 words, stopword-rich → quality 1.0
+  private val goodText = ("the quick brown fox jumps over a lazy dog and " +
+    "then it runs off to the river for a long cool drink of water today").trim
+
+  test("stream curation: quality floor and benchmark overlap drop " +
+    "in-flight; clean docs pass") {
+    implicit val sc = spark.sqlContext
+    // benchmark = one "eval" doc; its 4-grams become the drop-list
+    val bench = Seq((0L, goodText)).toDF("doc_id", "text")
+    val hashes = StreamingCuration.benchmarkGramHashes(bench)
+    assert(hashes.length == goodText.split(" ").length - 3)
+
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.curate(in.toDF(), hashes)
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Doc(1, "too short"), // fails the quality floor
+        Doc(2, "the quick brown fox jumps straight into the benchmark " +
+          "which is a problem for all of it and everyone in the land today"),
+        // ↑ shares the 4-gram "the quick brown fox" → contaminated
+        Doc(3, "a completely original sentence of decent length that " +
+          "talks about the weather in copenhagen and the traffic on its " +
+          "bridges for a while longer"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("curated").select($"doc_id").as[Long].collect().toSeq
+    assert(ids == Seq(3L))
+  }
+
+  test("stream and batch curation agree: the same expressions filter the " +
+    "documents table to the same survivors") {
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001)
+    val bench = docs.filter($"source" === "src0")
+    val hashes = StreamingCuration.benchmarkGramHashes(bench)
+    val batchIds = StreamingCuration
+      .curate(docs.filter($"source" =!= "src0"), hashes)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchIds.nonEmpty)
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.curate(in.toDF(), hashes)
+      .writeStream.format("memory").queryName("curated_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = docs.filter($"source" =!= "src0")
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      in.addData(rows.map { case (id, t) => Doc(id, t) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamIds = spark.table("curated_parity")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamIds == batchIds)
+  }
+}
