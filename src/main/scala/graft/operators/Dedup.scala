@@ -132,12 +132,15 @@ object Dedup {
     * the near-dup pair count — orders of magnitude below corpus size.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // Both orientations: a label must flow against the doc_a < doc_b
-    // normalization too.
-    val edges = pairs
+    // Materialize the pair pipeline ONCE before fanning out to both
+    // orientations — a union of two projections of the un-checkpointed
+    // frame would run the (expensive) candidate-generation pipeline
+    // twice. A label must flow against the doc_a < doc_b normalization
+    // too, hence both orientations.
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
