@@ -173,6 +173,60 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Incremental corpus dedup — the operational shape at 100 TB: new
+    * documents are deduped against the EXISTING corpus plus each other;
+    * the history is never re-deduped and never dropped. A new doc is
+    * rejected iff
+    *   (a) some doc with a smaller id (history or earlier-in-batch) has
+    *       identical content (md5), or
+    *   (b) it is the greater id of a ≥ 0.8-Jaccard pair (same chain
+    *       semantics, df-cap and size-ratio prune as `dedup_keeplist`).
+    *
+    * CONTRACT (spec-pinned): survivors == the batch keep-list computed
+    * over history ∪ incoming, restricted to incoming — incremental
+    * ingestion converges to exactly what a full re-dedup would keep.
+    *
+    * Scale shape: candidate pairs join the full corpus' shingle frame
+    * against the INCOMING side only — O(|incoming| · blocked), never
+    * O(|corpus|²). The `withN` frame below (doc_id, shingle-hash,
+    * shingle-count) and the content-hash frame are exactly what a
+    * production pipeline persists as its dedup index between runs; here
+    * they are recomputed because the driver tables are small.
+    */
+  def incrementalKeepNew(history: DataFrame, incoming: DataFrame): DataFrame = {
+    val all = history.select(col("doc_id"), col("text"))
+      .union(incoming.select(col("doc_id"), col("text")))
+    val incIds = incoming.select(col("doc_id"))
+    // (a) exact: any smaller-id doc with the same content hash
+    val hashes = all.select(col("doc_id"), md5(col("text")).as("h"))
+    val exactDropped = hashes.join(incIds, Seq("doc_id"), "left_semi")
+      .join(hashes.select(col("doc_id").as("other_id"), col("h")), Seq("h"))
+      .filter(col("other_id") < col("doc_id"))
+      .select(col("doc_id")).distinct()
+    // (b) near: df-capped shingle blocking over the union (the cap must
+    // count union document frequency, identically to a full re-dedup),
+    // with the pair join restricted to incoming on the greater side.
+    val sh = docShingles(all, MaxDf)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val withN = sh
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"), col("n"))
+    val a = withN.select(col("doc_id").as("doc_a"), col("shh"), col("n").as("na"))
+    val b = withN.join(incIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_b"), col("shh"), col("n").as("nb"))
+    val nearDropped = a.join(b, Seq("shh"))
+      .filter(col("doc_a") < col("doc_b") &&
+        greatest(col("na"), col("nb")) <= lit(1.25) * least(col("na"), col("nb")))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("i"))
+      .filter(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")) >= 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+    incoming
+      .join(exactDropped, Seq("doc_id"), "left_anti")
+      .join(nearDropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Oracle CTE: exploded distinct (doc_id, shingle) pairs, no df cap. */
   private val rawShingleCte: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -320,6 +320,45 @@ class OperatorsSpec extends SparkSpec {
     assert(rep.filter($"dup_2gram_frac" > 0).count() > 0)
   }
 
+  test("incrementalKeepNew: exact and near dups of history (and of " +
+    "earlier incoming docs) drop; history is never dropped; fresh docs " +
+    "pass") {
+    val history = docsDf(1L -> base, 2L -> "tiny doc")
+    val nearBase = base.split(" ").dropRight(1).mkString(" ") // ~near-dup
+    val incoming = docsDf(
+      10L -> "tiny doc",          // exact dup of history doc 2 (too short
+                                  // for shingles — only (a) catches it)
+      11L -> nearBase,            // near-dup of history doc 1
+      12L -> ("a wholly different discussion of completely unrelated " +
+        "matters that overlaps nothing in the existing corpus at all"),
+      13L -> nearBase)            // near-dup of INCOMING doc 11 → drops
+    val out = Dedup.incrementalKeepNew(history, incoming)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(12L))
+  }
+
+  test("incrementalKeepNew == batch keep-list over the union, restricted " +
+    "to the increment (the convergence contract), on the documents table") {
+    val docs = Tables.documents(spark, sf0001)
+    val history = docs.filter($"doc_id" < 250)
+    val incoming = docs.filter($"doc_id" >= 250)
+    val inc = Dedup.incrementalKeepNew(history, incoming)
+      .select($"doc_id").as[Long].collect().toSet
+    // batch reference: near-dup pair drops (greater id) + exact-dup drops
+    val nearDropped = Dedup.ngramPairs(docs)
+      .select($"doc_b").as[Long].collect().toSet
+    val hashes = docs.select($"doc_id", md5($"text").as("h"))
+      .as[(Long, String)].collect()
+    val minIdByHash = hashes.groupBy(_._2).map { case (h, xs) =>
+      h -> xs.map(_._1).min }
+    val exactDropped = hashes.collect {
+      case (id, h) if minIdByHash(h) < id => id }.toSet
+    val expected = incoming.select($"doc_id").as[Long].collect().toSet --
+      nearDropped -- exactDropped
+    assert(inc == expected)
+    assert(inc.nonEmpty)
+  }
+
   test("resizeBatch: zero-byte payload yields a zero-filled thumb " +
     "(regression: indexed into the empty array)") {
     val out = Multimodal.resizeBatch(
