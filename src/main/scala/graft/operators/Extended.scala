@@ -405,6 +405,35 @@ object Extended {
           round(cume_dist().over(w), 4).as("cd"))
     },
 
+    // Range-framed window (event-time sliding aggregate): per-user
+    // 10-minute trailing sum/count where the frame is defined by VALUE
+    // distance (RANGE), not row count — the declarative batch form of a
+    // sliding stream aggregate. Frames run on epoch MILLISECONDS: both
+    // engines floor the nanos-origin timestamp identically, where raw
+    // epoch() would be fractional in DuckDB but integral in Spark. Equal
+    // timestamps are frame PEERS (all included) in both engines, so tie
+    // order can't perturb values. One shuffle on user_id.
+    QuerySpec(
+      "q_range_frame",
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |                  CAST(value AS DECIMAL(12,2)) AS v FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ms
+        |       RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS v10m,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ms
+        |       RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) AS n10m
+        |FROM e""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+        .rangeBetween(-600000L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ms"), dec(col("value")).as("v"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("v")).over(w).cast("double").as("v10m"),
+          count(lit(1)).over(w).as("n10m"))
+    },
+
     // Correlated scalar subquery semantics: orders strictly above their
     // customer's average order value. The comparison is cross-multiplied
     // (price·n > Σprice) in DECIMAL so no engine ever divides — exact

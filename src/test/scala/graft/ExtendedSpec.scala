@@ -27,6 +27,26 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("q_range_frame: every row is its own frame peer, and a brute-force " +
+    "recount of one user's trailing window matches") {
+    val out = SparkEntry.queries("q_range_frame")(spark, sf0001)
+      .select($"event_id", $"user_id", $"v10m", $"n10m")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty && out.forall(_._4 >= 1))
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id", unix_millis($"ts").as("ms"),
+        $"value".cast("decimal(12,2)").cast("double"))
+      .as[(Long, Long, Long, Double)].collect()
+    val user = ev.head._2
+    val mine = ev.filter(_._2 == user)
+    out.filter(_._2 == user).foreach { case (id, _, v10m, n10m) =>
+      val ms = mine.find(_._1 == id).get._3
+      val frame = mine.filter(e => e._3 >= ms - 600000 && e._3 <= ms)
+      assert(frame.length == n10m, s"event $id")
+      assert(math.abs(frame.map(_._4).sum - v10m) < 1e-6, s"event $id")
+    }
+  }
+
   test("q_skew_agg: salted two-stage equals plain groupBy exactly") {
     val salted = SparkEntry.queries("q_skew_agg")(spark, sf0001)
       .as[(String, Long, Double)].collect().toMap2
