@@ -16,6 +16,9 @@ object BenchOne {
         val t0 = System.nanoTime()
         byName(name).fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(s"TIMING $name run$i: ${(System.nanoTime()-t0)/1e9}")
+        // isolate runs like graft.Bench does — a query that caches
+        // (sim_ivf etc.) would otherwise report a warm-cache run2
+        spark.catalog.clearCache()
       }
     }
     spark.stop()

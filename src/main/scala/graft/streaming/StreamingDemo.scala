@@ -55,9 +55,13 @@ object StreamingDemo {
         intervalMinutes = 60)
       .writeStream.format("memory").queryName("cejoin")
       .outputMode(OutputMode.Append()).start()
+    val asof = StatefulOps.asofEnrich(events)
+      .writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append()).start()
     sessions.processAllAvailable()
     hourly.processAllAvailable()
     joined.processAllAvailable()
+    asof.processAllAvailable()
 
     println("closed sessions:")
     spark.table("sessions").orderBy("user_id", "started").show(false)
@@ -65,7 +69,9 @@ object StreamingDemo {
     spark.table("hourly").orderBy("hour_start", "event_type").show(false)
     println("clicks joined to same-user errors within the hour:")
     spark.table("cejoin").orderBy("click_id", "error_id").show(false)
-    sessions.stop(); hourly.stop(); joined.stop()
+    println("as-of enrichment (latest error at or before each click):")
+    spark.table("asof").orderBy("event_id").show(false)
+    sessions.stop(); hourly.stop(); joined.stop(); asof.stop()
     spark.stop()
   }
 }
