@@ -42,11 +42,17 @@ object StreamingCuration {
 
   /** Filter a (possibly streaming) document frame to rows with
     * `quality >= minQuality` that share NO 4-gram with the benchmark.
+    *
+    * Membership runs as `exists(grams, g -> g IN <set>)`: above the
+    * InSet conversion threshold the IN compiles to a PRE-BUILT hash set
+    * (one O(1) probe per gram), where `arrays_overlap` against a
+    * literal array would rebuild its probe set per ROW — O(|benchmark|)
+    * per document.
     */
   def curate(docs: DataFrame, benchHashes: Array[Long],
       minQuality: Double = 0.75): DataFrame =
     docs
       .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
-      .filter(!arrays_overlap(gramHashes(col("text")),
-        typedLit(benchHashes.toSeq)))
+      .filter(!exists(gramHashes(col("text")),
+        g => g.isInCollection(benchHashes.toSeq)))
 }
