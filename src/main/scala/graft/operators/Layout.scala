@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Physical-layout helpers for repeated-join workloads: bucketed tables
   * co-locate both sides of an equi-join by pre-hashing rows into a fixed
@@ -23,4 +24,35 @@ object Layout {
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+
+  /** Compact the small files of ONE partition of a date-partitioned
+    * parquet table (the ingest pipeline's append-forever layout): hourly
+    * appends land ~1 file per run, so a year-old partition holds
+    * thousands of KB-scale files whose open/footer cost dominates scans
+    * long before data volume does. Rewrites the partition's rows into
+    * `numFiles` files via an in-memory pin (a date partition is one
+    * run-day of one table — bounded by construction, the same bound K1
+    * relies on), then swaps directories so a concurrent reader of OTHER
+    * partitions is never disturbed and partition pruning is preserved.
+    * At production scale the same swap runs per-partition from any
+    * orchestrator — each date directory is an independent unit.
+    */
+  def compactDatePartition(spark: SparkSession, tablePath: String,
+      date: String, numFiles: Int = 1): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val partDir = Paths.get(tablePath, s"date=$date")
+    require(Files.isDirectory(partDir), s"no partition directory: $partDir")
+    val rows = spark.read.parquet(partDir.toString).cache()
+    rows.count() // pin BEFORE the swap — the source files are about to move
+    val tmpDir = Paths.get(tablePath, s".date=$date.compacting")
+    rows.coalesce(numFiles).write
+      .mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+    rows.unpersist(blocking = true)
+    val trash = Paths.get(tablePath, s".date=$date.old")
+    Files.move(partDir, trash)
+    Files.move(tmpDir, partDir)
+    Files.walk(trash).iterator().asScala.toSeq.reverse
+      .foreach(Files.delete)
+  }
 }

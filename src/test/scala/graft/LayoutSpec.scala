@@ -35,6 +35,45 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compaction: many small files of one date partition become one, " +
+    "rows identical, other partitions untouched, pruning preserved") {
+    val base = tmpDir("compact")
+    val path = s"$base/history"
+    import spark.implicits._
+    // six hourly appends on day 1, two on day 2 — one file each, the
+    // append-forever shape of the ingest table
+    (0 until 6).foreach { h =>
+      Seq((h.toLong, s"09:0$h")).toDF("speed", "time")
+        .withColumn("date", lit("2026-08-12"))
+        .write.mode("append").partitionBy("date").parquet(path)
+    }
+    (0 until 2).foreach { h =>
+      Seq((100L + h, s"10:0$h")).toDF("speed", "time")
+        .withColumn("date", lit("2026-08-13"))
+        .write.mode("append").partitionBy("date").parquet(path)
+    }
+    def files(day: String) =
+      new java.io.File(s"$path/date=$day").listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq
+    val before = spark.read.parquet(path).orderBy("speed").collect().toSeq
+    val day2Before = files("2026-08-13").map(_.getName).toSet
+    assert(files("2026-08-12").size == 6)
+
+    Layout.compactDatePartition(spark, path, "2026-08-12")
+
+    assert(files("2026-08-12").size == 1)
+    assert(files("2026-08-13").map(_.getName).toSet == day2Before)
+    val after = spark.read.parquet(path).orderBy("speed").collect().toSeq
+    assert(after == before)
+    // pruning still works against the rewritten directory
+    val q = spark.read.parquet(path).filter(col("date") === "2026-08-12")
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 1)
+    assert(q.count() == 6)
+  }
+
   test("bucketed groupBy on the bucket key needs no exchange") {
     Layout.writeBucketed(Tables.orders(spark, sf0001), "orders_b2", 4,
       Seq("o_custkey"))
