@@ -55,4 +55,28 @@ object StreamingCuration {
       .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
       .filter(!exists(gramHashes(col("text")),
         g => g.isInCollection(benchHashes.toSeq)))
+
+  /** Distributed Bloom build over a benchmark frame's distinct 4-grams —
+    * the drop-list representation past exact-set scale (see
+    * [[graft.functions.BloomMightContain]]). Built with a treeAggregate
+    * across executors, never collected as raw hashes.
+    */
+  def benchmarkBloom(bench: DataFrame, expectedGrams: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    bench
+      .select(explode(array_distinct(Dedup.kgrams(col("text"), 4))).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+      .stat.bloomFilter("gh", expectedGrams, fpp)
+
+  /** [[curate]] with the Bloom drop-list: identical shape, one-sided
+    * error — never keeps a contaminated doc; over-drops clean docs at
+    * ~fpp per gram.
+    */
+  def curateBloom(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      minQuality: Double = 0.75): DataFrame =
+    docs
+      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .filter(!exists(gramHashes(col("text")),
+        g => graft.functions.BloomMightContain.might_contain(g, bloom)))
 }

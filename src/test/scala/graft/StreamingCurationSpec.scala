@@ -41,6 +41,27 @@ class StreamingCurationSpec extends SparkSpec {
     assert(ids == Seq(3L))
   }
 
+  test("bloom curation: one-sided error — everything the exact set drops " +
+    "the bloom drops too; over-drop stays near the configured fpp") {
+    val docs = Tables.documents(spark, sf0001)
+    val bench = docs.filter($"source" === "src0")
+    val corpus = docs.filter($"source" =!= "src0")
+    val hashes = StreamingCuration.benchmarkGramHashes(bench)
+    val bloom = StreamingCuration.benchmarkBloom(
+      bench, expectedGrams = hashes.length.toLong, fpp = 0.01)
+    // the bloom agrees with itself AND contains every true member
+    assert(hashes.forall(bloom.mightContainLong))
+    val exactKeep = StreamingCuration.curate(corpus, hashes)
+      .select($"doc_id").as[Long].collect().toSet
+    val bloomKeep = StreamingCuration.curateBloom(corpus, bloom)
+      .select($"doc_id").as[Long].collect().toSet
+    // no contaminated doc survives the bloom that the exact set caught
+    assert(bloomKeep.subsetOf(exactKeep))
+    // and false positives barely over-drop at 1% fpp on ~60-gram docs
+    assert((exactKeep -- bloomKeep).size <= math.max(5, exactKeep.size / 2),
+      s"over-dropped ${(exactKeep -- bloomKeep).size} of ${exactKeep.size}")
+  }
+
   test("stream and batch curation agree: the same expressions filter the " +
     "documents table to the same survivors") {
     implicit val sc = spark.sqlContext
