@@ -121,6 +121,73 @@ object Relational {
             col("l_discount").cast("decimal(4,2)"))
             .cast("double").as("revenue"),
           count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q12 shape (priority-class line counts; the driver schema has
+    // no l_shipmode, so the CASE classifier runs on o_orderpriority):
+    // conditional-count aggregation over a fact-to-fact join — orders is
+    // the smaller side but beyond broadcast at real scale, so the plan
+    // is the shuffle join both sides partial-aggregate into. Counts are
+    // exact integers; no float parity surface at all.
+    QuerySpec(
+      "q_tpch12_priority",
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus""".stripMargin) { (s, d) =>
+      val urgent = col("o_orderpriority").isInCollection(
+        Seq("1-URGENT", "2-HIGH"))
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.load(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(urgent, 1L).otherwise(0L)).as("high_count"),
+          sum(when(!urgent, 1L).otherwise(0L)).as("low_count"))
+    },
+
+    // TPC-H Q14 shape (promo revenue share): conditional revenue over a
+    // part-dimension join. Both the promo slice and the total are exact
+    // DECIMAL sums; only the final share divides — identical doubles on
+    // both engines, rounded at 6 dp. Part is a broadcast dimension.
+    QuerySpec(
+      "q_tpch14_promo",
+      """WITH r AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev,
+        |       p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)
+        |    AS promo_revenue,
+        |  CAST(sum(rev) AS DOUBLE) AS total_revenue,
+        |  round(CAST(100 * sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)
+        |        / CAST(sum(rev) AS DOUBLE), 6) AS promo_share_pct
+        |FROM r""".stripMargin) {
+      (s, d) =>
+        val rev = col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)"))
+        val promoRev = sum(when(col("p_type") === "PROMO", rev).otherwise(
+          lit(0).cast("decimal(14,4)")))
+        Tables.load(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(Tables.load(s, d, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            promoRev.cast("double").as("promo_revenue"),
+            sum(rev).cast("double").as("total_revenue"),
+            round((promoRev * 100).cast("double") / sum(rev).cast("double"), 6)
+              .as("promo_share_pct"))
     })
 
   /** Exact decimal image of a 2-dp double column (parity helper).
