@@ -153,6 +153,73 @@ object Relational {
           sum(when(!urgent, 1L).otherwise(0L)).as("low_count"))
     },
 
+    // TPC-H Q10 shape (top returning customers): revenue of 'R'-flagged
+    // lines per customer over a quarter, top-20. The selective filters
+    // (returnflag, order date) reach both fact scans before the joins;
+    // customer is a broadcast dimension; revenue partial-aggregates into
+    // one shuffle keyed by the group, and the top-20 runs as a
+    // TakeOrdered, never a global sort.
+    QuerySpec(
+      "q_tpch10_returns",
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |         * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c.c_custkey, c.c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val orders = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("revenue"))
+    },
+
+    // TPC-H Q18 shape (large-volume orders): IN over an aggregated
+    // HAVING subquery. Spark-first: the subquery is a partial-aggregated
+    // groupBy reused as a LEFT SEMI join on the order key — the same
+    // decorrelation Catalyst performs for the SQL form — so the big
+    // fact aggregates once, map-side first. Quantities are integral
+    // doubles; sums stay exact in DECIMAL.
+    QuerySpec(
+      "q_tpch18_volume",
+      """SELECT c.c_custkey, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(tq.total_qty AS DOUBLE) AS total_qty
+        |FROM orders o
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN (SELECT l_orderkey,
+        |        sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250) tq
+        |  ON tq.l_orderkey = o.o_orderkey""".stripMargin) { (s, d) =>
+      val bigOrders = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      Tables.load(s, d, "orders")
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.load(s, d, "customer")),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("total_qty").cast("double").as("total_qty"))
+    },
+
     // TPC-H Q14 shape (promo revenue share): conditional revenue over a
     // part-dimension join. Both the promo slice and the total are exact
     // DECIMAL sums; only the final share divides — identical doubles on
