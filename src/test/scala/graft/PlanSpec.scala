@@ -58,6 +58,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("q_tpch10: filters reach both fact scans, customer broadcasts, " +
+    "top-20 is a TakeOrdered — never a global sort") {
+    val q = SparkEntry.queries("q_tpch10_returns")(spark, sf0001)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // sparkPlan, not executedPlan: AQE wraps the executed tree and hides
+    // the scans from collect until runtime
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val pushed = scans.map(_.metadata("PushedFilters")).mkString(" ")
+    assert(pushed.contains("EqualTo(l_returnflag,R)"), pushed)
+    assert(pushed.contains("o_orderdate"), pushed)
+  }
+
+  test("q_tpch18: the HAVING subquery plans as one partial-aggregated " +
+    "pass over lineitem feeding the join — no second fact scan") {
+    val q = SparkEntry.queries("q_tpch18_volume")(spark, sf0001)
+    val p = q.queryExecution.executedPlan.toString
+    val lineitemScans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata("Location").contains("lineitem") => f
+    }.size
+    assert(lineitemScans == 1, s"lineitem scanned $lineitemScans times")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("ingest history: a date predicate prunes partitions at the scan " +
     "(the 100-TB guard for the only append-forever table)") {
     import graft.pipeline.IngestPipeline
