@@ -61,14 +61,23 @@ object Dedup {
     val exploded = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
-    // Document-frequency cap as an unordered window count: one shuffle
-    // keyed by shingle, no aggregate-then-self-join (which would compute
-    // the explode twice and shuffle it twice).
-    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-    exploded
-      .withColumn("df", count(lit(1)).over(win))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+    // Document-frequency cap, skew-safe. A `count(*) over (partition by
+    // sh)` window cannot partially aggregate: every row of a hot key
+    // lands in ONE task before the `df <= maxDf` filter drops it, so on
+    // a Zipfian corpus the very stop-shingles the cap exists to kill
+    // concentrate O(corpus) rows on a single straggler. Instead the df
+    // is a groupBy count (map-side combine collapses hot keys before the
+    // shuffle), the over-cap survivors form a small stop-shingle list —
+    // at most total-occurrences/maxDf entries, in practice a handful of
+    // boilerplate 3-grams — and a broadcast anti-join removes them from
+    // the exploded stream. Hot keys never co-locate. Same observable
+    // semantics as the window form (shingles are array_distinct'd per
+    // doc, so count(*) == document frequency).
+    val stop = exploded
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("sh"))
+    exploded.join(broadcast(stop), Seq("sh"), "left_anti")
   }
 
   private val MaxDf = 50

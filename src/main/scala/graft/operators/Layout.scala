@@ -30,12 +30,26 @@ object Layout {
     * appends land ~1 file per run, so a year-old partition holds
     * thousands of KB-scale files whose open/footer cost dominates scans
     * long before data volume does. Rewrites the partition's rows into
-    * `numFiles` files via an in-memory pin (a date partition is one
-    * run-day of one table — bounded by construction, the same bound K1
-    * relies on), then swaps directories so a concurrent reader of OTHER
-    * partitions is never disturbed and partition pruning is preserved.
-    * At production scale the same swap runs per-partition from any
-    * orchestrator — each date directory is an independent unit.
+    * `numFiles` files, then swaps directories so a concurrent reader of
+    * OTHER partitions is never disturbed and partition pruning is
+    * preserved. At production scale the same swap runs per-partition
+    * from any orchestrator — each date directory is an independent unit.
+    *
+    * Write-audit-publish shape: the staging write COMPLETES before the
+    * source directory moves, so no in-memory pin of the partition is
+    * needed — the read streams executor-side, never materializing the
+    * partition anywhere. `repartition(numFiles)` (not `coalesce`, which
+    * would collapse the READ to `numFiles` tasks too) keeps the rewrite
+    * parallel for large partitions; the shuffle is the price of N
+    * parallel writers and is what a 100-TB partition needs.
+    *
+    * Atomicity caveat: the two `Files.move`s are atomic on a local /
+    * HDFS-like filesystem, which is where this runs. Object stores
+    * (S3/GCS) have no atomic directory rename — there, publish via a
+    * metadata layer (Iceberg/Delta snapshot commit) or leave staging
+    * dirs in place and flip a `_committed` manifest the readers resolve;
+    * the staging-then-publish split below is exactly the shape those
+    * protocols need, only the publish step differs.
     */
   def compactDatePartition(spark: SparkSession, tablePath: String,
       date: String, numFiles: Int = 1): Unit = {
@@ -43,12 +57,15 @@ object Layout {
     import scala.jdk.CollectionConverters._
     val partDir = Paths.get(tablePath, s"date=$date")
     require(Files.isDirectory(partDir), s"no partition directory: $partDir")
-    val rows = spark.read.parquet(partDir.toString).cache()
-    rows.count() // pin BEFORE the swap — the source files are about to move
     val tmpDir = Paths.get(tablePath, s".date=$date.compacting")
-    rows.coalesce(numFiles).write
-      .mode(SaveMode.Overwrite).parquet(tmpDir.toString)
-    rows.unpersist(blocking = true)
+    // 1. Write (streaming read → shuffle → N writers); completes fully
+    //    before any source file is touched.
+    spark.read.parquet(partDir.toString)
+      .repartition(numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+    // 2. Publish: two renames, no window where the partition is absent
+    //    longer than a rename pair; old files removed only after the new
+    //    directory is live.
     val trash = Paths.get(tablePath, s".date=$date.old")
     Files.move(partDir, trash)
     Files.move(tmpDir, partDir)

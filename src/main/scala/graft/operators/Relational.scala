@@ -45,9 +45,13 @@ object Relational {
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val lineitem = Tables.load(s, d, "lineitem")
         .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      // customer grows linearly with scale factor, so no broadcast()
+      // hint: a hint bypasses the size check and would force a multi-GB
+      // build side at sf100+. Size stats / AQE pick BHJ while the dim is
+      // small (pinned by PlanSpec) and fall back to SMJ when it isn't.
       lineitem
         .join(orders, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1) - col("l_discount").cast("decimal(4,2)")))
@@ -81,7 +85,9 @@ object Relational {
       val joined = Tables.load(s, d, "lineitem")
         .join(orders, col("l_orderkey") === col("o_orderkey"))
         .join(Tables.load(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.load(s, d, "supplier")),
+        // supplier scales with sf — leave broadcast-vs-SMJ to size
+        // stats / AQE; only the fixed-cardinality nation/region keep hints
+        .join(Tables.load(s, d, "supplier"),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(Tables.load(s, d, "nation")),
@@ -178,7 +184,8 @@ object Relational {
       Tables.load(s, d, "lineitem")
         .filter(col("l_returnflag") === "R")
         .join(orders, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.load(s, d, "customer")),
+        // scaling dim: no forced broadcast (see q_tpch3 comment)
+        .join(Tables.load(s, d, "customer"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
@@ -213,7 +220,8 @@ object Relational {
         .filter(col("total_qty") > 250)
       Tables.load(s, d, "orders")
         .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(Tables.load(s, d, "customer")),
+        // scaling dim: no forced broadcast (see q_tpch3 comment)
+        .join(Tables.load(s, d, "customer"),
           col("c_custkey") === col("o_custkey"))
         .select(col("c_custkey"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
@@ -223,7 +231,8 @@ object Relational {
     // TPC-H Q14 shape (promo revenue share): conditional revenue over a
     // part-dimension join. Both the promo slice and the total are exact
     // DECIMAL sums; only the final share divides — identical doubles on
-    // both engines, rounded at 6 dp. Part is a broadcast dimension.
+    // both engines, rounded at 6 dp. Part joins by size stats / AQE
+    // (BHJ while small, SMJ at scale) — no forced hint.
     QuerySpec(
       "q_tpch14_promo",
       """WITH r AS (
@@ -248,7 +257,8 @@ object Relational {
         Tables.load(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-          .join(broadcast(Tables.load(s, d, "part")),
+          // part scales with sf: no forced broadcast (see q_tpch3 comment)
+          .join(Tables.load(s, d, "part"),
             col("l_partkey") === col("p_partkey"))
           .agg(
             promoRev.cast("double").as("promo_revenue"),
@@ -495,8 +505,9 @@ object Relational {
       """SELECT o_orderkey, coalesce(c_name, 'unknown') AS cust_name, o_totalprice
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin) {
       (s, d) =>
+        // scaling dim: no forced broadcast (see q_tpch3 comment)
         Tables.orders(s, d)
-          .join(broadcast(Tables.customer(s, d)),
+          .join(Tables.customer(s, d),
             col("o_custkey") === col("c_custkey"), "left")
           .select(col("o_orderkey"),
             coalesce(col("c_name"), lit("unknown")).as("cust_name"),

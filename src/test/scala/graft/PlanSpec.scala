@@ -86,6 +86,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  // The 100-TB broadcast policy: customer/part/supplier grow linearly
+  // with scale factor, so a hard broadcast() hint (which bypasses the
+  // size check and the 8 GB broadcast limit) is an OOM at sf100+. These
+  // pins assert both halves of the fix: no hint survives on a scaling
+  // dim, AND size-stats/AQE still plan the broadcast at bench scale —
+  // so dropping the hints cost nothing where it was ever correct.
+  private val scalingDimCols =
+    Set("c_custkey", "p_partkey", "s_suppkey", "o_orderkey", "l_orderkey")
+
+  private def hintedCols(name: String): Set[String] =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        h.child.output.map(_.name)
+    }.flatten.toSet
+
+  for (q <- Seq("q_tpch3_shipping", "q_tpch5_local_volume",
+      "q_tpch10_returns", "q_tpch18_volume", "q_tpch14_promo",
+      "q_left_join")) {
+    test(s"$q: no broadcast hint on a scale-growing side, yet the " +
+      "planner still picks BroadcastHashJoin at bench scale") {
+      val hinted = hintedCols(q).intersect(scalingDimCols)
+      assert(hinted.isEmpty, s"forced broadcast on scaling dim cols: $hinted")
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), p)
+    }
+  }
+
   test("ingest history: a date predicate prunes partitions at the scan " +
     "(the 100-TB guard for the only append-forever table)") {
     import graft.pipeline.IngestPipeline

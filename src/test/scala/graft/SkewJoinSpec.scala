@@ -39,4 +39,29 @@ class SkewJoinSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("docShingles df-cap is skew-safe: a hot stop-shingle is culled by " +
+    "partial-agg + broadcast anti-join, never co-located in one task") {
+    import graft.operators.Dedup
+    // One synthetic hot 3-gram present in EVERY doc (df ≫ cap) plus a
+    // unique tail per doc. The hot shingle must be dropped, the unique
+    // ones kept.
+    val docs = spark.range(200).select(
+      $"id".as("doc_id"),
+      concat(lit("the quick fox "),
+        lit("tail "), $"id", lit(" word "), $"id", lit(" more")).as("text"))
+    val sh = Dedup.docShingles(docs, maxDf = 50)
+    val shingles = sh.select("sh").distinct().as[String].collect()
+    assert(!shingles.contains("the quick fox"), "hot shingle survived the cap")
+    assert(sh.count() > 0)
+    // Plan shape: the df computation must be a partially-aggregated
+    // groupBy (map-side combine collapses the hot key) feeding a
+    // broadcast anti-join — NOT a window, which would funnel the hot
+    // key's full row set into a single task before filtering.
+    val plan = sh.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("partial_count"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2000))
+  }
 }
