@@ -63,16 +63,27 @@ object Bench {
       }
       System.err.println(
         s"[bench] ${sp.name} runs=" + times.map(t => f"$t%.3f").mkString(","))
-      sp.name -> times.min
+      sp.name -> (times.min, times.max)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).sum
+    // Contention self-diagnostics carried IN the record: `load_avg` is
+    // the box's 1-min load when the bench finished, `spread` the worst
+    // per-query max/min ratio across the timed runs. A quiet dedicated
+    // box shows load ≈ bench cpus and spread ≈ 1–3; a contended box
+    // (r2's unparsed tail, r3's 48 s vs a clean 35 s) shows up as high
+    // load and a double-digit spread, so an inflated total is
+    // explainable from the record alone instead of needing a re-run.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val spread = results.map { case (_, (mn, mx)) => mx / math.max(mn, 1e-9) }.max
+    val diag = f""""load_avg":$loadAvg%.2f,"spread":$spread%.2f"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$diag}""")
     // Short summary line LAST: the full per-query line above overflows
     // the driver's tail/parse (BENCH_r01/r02 recorded "parsed": null).
     // Tail-parsers take the last line, so this one is the headline.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},$diag}""")
     spark.stop()
   }
 }

@@ -23,6 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (logical node → AsOfJoinExec). Runtime sessions can also register
     // it lazily via AsOfJoin.ensureRegistered.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoin.AsOfJoinStrategy)
+    // FROM-clause surface of the native as-of join:
+    //   SELECT ... FROM asof_join('l', 'r', 'k1,k2', 'lt', 'rt')
+    ext.injectTableFunction((
+      new FunctionIdentifier("asof_join"),
+      new ExpressionInfo(
+        classOf[graft.plans.AsOfJoin.AsOfJoinPlan].getName, "asof_join"),
+      (args: Seq[Expression]) => graft.plans.AsOfJoin.sqlBuilder(args)))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Dedup.specs ++
       operators.Similarity.specs ++
       operators.TextAnalysis.specs ++
-      operators.Multimodal.specs
+      operators.Multimodal.specs ++
+      operators.Layout.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's latest-snapshot pattern (F1+J2+A1): scalar-subquery

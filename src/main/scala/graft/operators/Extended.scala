@@ -100,6 +100,39 @@ object Extended {
             col("err_value"))
     },
 
+    // The SAME as-of semantics through the SQL surface (asof_join TVF →
+    // AsOfJoinPlan → AsOfJoinExec): q_asof_native's oracle, verbatim, so
+    // the gate proves SQL callers reach the identical native operator.
+    QuerySpec(
+      "q_asof_sql",
+      """WITH e AS (SELECT event_id, user_id, ts, event_type, value FROM events),
+        |clicks AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'click'),
+        |errors AS (SELECT user_id, ts, max_by(value, event_id) AS err_value
+        |           FROM e WHERE event_type = 'error' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |       c.value AS click_value, err.err_value
+        |FROM clicks c ASOF JOIN errors err
+        |  ON c.user_id = err.user_id AND c.ts >= err.ts""".stripMargin) {
+      (s, d) =>
+        graft.plans.AsOfJoin.ensureSqlRegistered(s)
+        val ev = Tables.events(s, d)
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .createOrReplaceTempView("g_asof_clicks")
+        ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("err_value"))
+          .withColumnRenamed("ts", "err_ts")
+          .createOrReplaceTempView("g_asof_errors")
+        s.sql(
+          """SELECT event_id, user_id,
+            |  date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS click_ts,
+            |  value AS click_value, err_value
+            |FROM asof_join('g_asof_clicks', 'g_asof_errors',
+            |               'user_id', 'ts', 'err_ts')""".stripMargin)
+    },
+
     // Skew-safe two-stage aggregation: event_type has 5 hot keys — a
     // plain groupBy funnels everything through ≤5 reducers. Salting
     // fans the partial stage out 16× and folds the salt back in stage

@@ -1,7 +1,8 @@
 package graft.operators
 
+import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers for repeated-join workloads: bucketed tables
   * co-locate both sides of an equi-join by pre-hashing rows into a fixed
@@ -54,7 +55,6 @@ object Layout {
   def compactDatePartition(spark: SparkSession, tablePath: String,
       date: String, numFiles: Int = 1): Unit = {
     import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
     val partDir = Paths.get(tablePath, s"date=$date")
     require(Files.isDirectory(partDir), s"no partition directory: $partDir")
     val tmpDir = Paths.get(tablePath, s".date=$date.compacting")
@@ -63,13 +63,88 @@ object Layout {
     spark.read.parquet(partDir.toString)
       .repartition(numFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
-    // 2. Publish: two renames, no window where the partition is absent
-    //    longer than a rename pair; old files removed only after the new
-    //    directory is live.
-    val trash = Paths.get(tablePath, s".date=$date.old")
-    Files.move(partDir, trash)
-    Files.move(tmpDir, partDir)
-    Files.walk(trash).iterator().asScala.toSeq.reverse
-      .foreach(Files.delete)
+    // 2. Publish.
+    replaceDir(tmpDir, partDir, Paths.get(tablePath, s".date=$date.old"))
   }
+
+  /** Publish `staging` at `target`: rename the live dir aside, rename
+    * staging into place, then delete the old data — no window where the
+    * target is mid-write, which plain `SaveMode.Overwrite` (delete THEN
+    * write) exposes to every concurrent reader for the full duration of
+    * the write. Renames are atomic on local/HDFS-like filesystems (where
+    * this runs); an object-store deployment publishes the same staged
+    * dir via a metadata commit (Iceberg/Delta) or a `_committed`
+    * manifest instead of the rename pair.
+    */
+  private[graft] def replaceDir(staging: java.nio.file.Path,
+      target: java.nio.file.Path, trash: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(target)) Files.move(target, trash)
+    Files.move(staging, target)
+    if (Files.exists(trash))
+      Files.walk(trash).iterator().asScala.toSeq.reverse
+        .foreach(Files.delete)
+  }
+
+  /** K2 snapshot publish, object-store-shaped: stage the full write,
+    * then swap (see `replaceDir`). A reader of the snapshot path sees
+    * either the previous complete snapshot or the new complete one,
+    * never the empty/partial directory `SaveMode.Overwrite` leaves
+    * visible while the new files land.
+    */
+  def publishOverwrite(df: DataFrame, path: String): Unit = {
+    import java.nio.file.Paths
+    val staging = Paths.get(path + ".staging")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    replaceDir(staging, Paths.get(path), Paths.get(path + ".old"))
+  }
+
+  /** The pay-shuffle-once capability as a gated query: orders and
+    * customer are written ONCE as bucketed tables on the join key, then
+    * joined AND aggregated on that key with zero exchanges — the layout
+    * a 100-TB warehouse uses for its repeated hourly joins. Result-wise
+    * identical to the plain join+groupBy (bucketing is physical layout,
+    * not semantics), which is exactly what the DuckDB oracle runs; the
+    * zero-exchange plan is pinned in PlanSpec. Table names carry the
+    * source-dir suffix so different scale factors never alias within a
+    * session; the write is skipped when the bucketed table already
+    * exists (the whole point: ingest pays the shuffle, queries don't).
+    */
+  def bucketJoin(s: SparkSession, d: String): DataFrame = {
+    val suffix = d.replaceAll("\\W", "_")
+    val ot = s"graft_bkt_orders$suffix"
+    val ct = s"graft_bkt_customer$suffix"
+    // A fresh session's in-memory catalog forgets managed tables, but the
+    // warehouse directory survives the process — CTAS then fails with
+    // LOCATION_ALREADY_EXISTS. Treat catalog-miss as "rebuild": clear the
+    // stale location first.
+    def ensure(table: String, df: => DataFrame, key: String): Unit =
+      if (!s.catalog.tableExists(table)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), table)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        writeBucketed(df, table, buckets = 8, keys = Seq(key))
+      }
+    ensure(ot, Tables.load(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice"), "o_custkey")
+    ensure(ct, Tables.load(s, d, "customer")
+      .select("c_custkey", "c_name"), "c_custkey")
+    s.table(ot)
+      .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)"))
+          .cast("double").as("total_spend"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q_bucket_join",
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name""".stripMargin)(
+      (s, d) => bucketJoin(s, d)))
 }

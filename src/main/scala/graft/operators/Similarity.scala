@@ -169,10 +169,17 @@ object Similarity {
     * nprobe=4, rounded-cosine ranking with id tie-breaks.
     */
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    val e = corpus(s, d).cache()
+    // No corpus-wide cache: at 100 TB you persist the small derived
+    // frames (centroids; at most the (vec_id, cent_id) assignment) and
+    // let every corpus pass stream from the columnar scan — re-reading
+    // parquet is strictly cheaper than pinning the table in executor
+    // memory, and the scans stay pruned to (vec_id, v).
+    val e = corpus(s, d)
     // Seeds: every 25th vector, refined by one k-means (Lloyd) step.
     val seeds = e.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    // Centroids ARE cached: K rows of a 64-dim array, reused by both
+    // the corpus assignment and the query probes.
     val cents = lloydStep(e, seeds).cache()
     // Assign each corpus vector to its nearest refined centroid.
     val assigned = assign(e, cents, 1)

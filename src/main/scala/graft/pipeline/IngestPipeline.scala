@@ -112,7 +112,9 @@ object IngestPipeline {
           val n = snap.count()
           // Overwrite even when empty: the reference's scheduled query
           // replaces latest_joined_data with whatever the join returns.
-          snap.write.mode(SaveMode.Overwrite).parquet(cfg.snapshotPath)
+          // Staged write + swap, so a concurrent snapshot reader never
+          // sees the delete-then-write gap of a plain Overwrite.
+          graft.operators.Layout.publishOverwrite(snap, cfg.snapshotPath)
           snap.unpersist()
           n
         }

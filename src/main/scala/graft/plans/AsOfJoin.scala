@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -183,5 +183,57 @@ object AsOfJoin {
           s"${b.dataType.sql} on the right — cast one side first")
     }
     Bridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt))
+  }
+
+  /** SQL surface for the native operator, as a table-valued function —
+    * the same altitude as DuckDB's `ASOF JOIN` clause but reachable with
+    * zero parser changes:
+    *
+    *   SELECT ... FROM asof_join('clicks', 'errors', 'user_id,region',
+    *                             'ts', 'err_ts')
+    *
+    * Arguments: left table/view name, right table/view name, CSV key
+    * column list, left time column, right time column — all string
+    * literals (resolved at analysis time, so a typo fails the query, not
+    * the job). Output = every left column, then every right column
+    * EXCEPT the keys (which would duplicate the left's names and values
+    * — the same de-dup `JOIN ... USING` performs). Plans through
+    * `AsOfJoinPlan`, so SQL callers get the identical single-pass merge,
+    * exchange reuse, and metrics as the Scala API.
+    */
+  def sqlBuilder(args: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.types.StringType
+    if (args.length != 5) throw new IllegalArgumentException(
+      "asof_join expects (left_table, right_table, keys_csv, left_time, " +
+        "right_time), all string literals")
+    def strArg(i: Int, what: String): String = args(i) match {
+      case e if e.foldable && e.dataType == StringType && e.eval() != null =>
+        e.eval().toString
+      case _ => throw new IllegalArgumentException(
+        s"asof_join: $what must be a non-null string literal")
+    }
+    val spark = SparkSession.active
+    val left = spark.table(strArg(0, "left_table"))
+    val right = spark.table(strArg(1, "right_table"))
+    val keys = strArg(2, "keys_csv").split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    if (keys.isEmpty) throw new IllegalArgumentException(
+      "asof_join: keys_csv lists no key columns")
+    val joined =
+      asof(left, right, keys, strArg(3, "left_time"), strArg(4, "right_time"))
+    val plan = Bridge.analyzed(joined)
+    val nLeft = left.columns.length
+    val dropIdx = keys.map(k => nLeft + right.columns.indexOf(k)).toSet
+    org.apache.spark.sql.catalyst.plans.logical.Project(
+      plan.output.zipWithIndex.collect { case (a, i) if !dropIdx(i) => a },
+      plan)
+  }
+
+  /** Runtime registration of strategy + TVF for sessions built without
+    * `spark.sql.extensions=graft.GraftExtensions`. Idempotent.
+    */
+  def ensureSqlRegistered(spark: SparkSession): Unit = {
+    ensureRegistered(spark)
+    Bridge.registerTableFunction(spark, "asof_join", sqlBuilder)
   }
 }

@@ -88,7 +88,8 @@ object StreamingIngest {
     val weather = scala.util.Try(
       spark.read.schema(Schemas.weatherTableSchema).parquet(weatherPath))
     for (t <- traffic; w <- weather)
-      SnapshotQuery.latestJoined(t, w)
-        .write.mode(SaveMode.Overwrite).parquet(snapshotPath)
+      // staged write + swap: readers never see a partial snapshot (K2)
+      graft.operators.Layout.publishOverwrite(
+        SnapshotQuery.latestJoined(t, w), snapshotPath)
   }
 }

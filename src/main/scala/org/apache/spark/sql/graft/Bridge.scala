@@ -21,6 +21,15 @@ object Bridge {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "builtin")
 
+  /** Register a SQL table-valued function (FROM-clause callable) backed
+    * by a LogicalPlan builder.
+    */
+  def registerTableFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
+
   /** Analyzed logical plan of a DataFrame (custom plan-node inputs). */
   def analyzed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =

@@ -54,6 +54,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p2).size == 2, p2)
   }
 
+  test("SQL surface: the asof_join TVF reaches the native operator — " +
+    "same rows as the Scala API, AsOfJoinExec in the plan, right keys " +
+    "deduplicated from the output") {
+    AsOfJoin.ensureSqlRegistered(spark)
+    trades.createOrReplaceTempView("tvf_trades")
+    quotes.createOrReplaceTempView("tvf_quotes")
+    val df = spark.sql(
+      "SELECT id, px FROM asof_join('tvf_trades', 'tvf_quotes', 'sym', 'tt', 'qt')")
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val out = df.as[(Long, Double)].collect().toMap
+    assert(out == Map(2L -> 2.0, 3L -> 2.0, 4L -> 3.0, 5L -> 9.0))
+    // output columns: all left, right minus the key (no ambiguous 'sym')
+    val cols = spark.sql(
+      "SELECT * FROM asof_join('tvf_trades', 'tvf_quotes', 'sym', 'tt', 'qt')")
+      .columns.toSeq
+    assert(cols == Seq("sym", "tt", "id", "qt", "px"), cols.mkString(","))
+    // a bad table name fails the QUERY with a resolution error, not a job
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('no_such_view', 'tvf_quotes', " +
+        "'sym', 'tt', 'qt')").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("no_such_view"), err.getMessage)
+  }
+
   test("self-join inputs (both sides from one scan) resolve — the " +
     "right-side re-alias keeps attribute ids disjoint") {
     val ev = Tables.events(spark, sf0001)

@@ -96,6 +96,15 @@ class GraftExtensionsSpec extends SparkSpec {
       val df = org.apache.spark.sql.graft.Bridge.ofRows(s, node)
       assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
       assert(df.count() == 1)
+      // the injected TABLE FUNCTION: asof_join reachable from pure SQL on
+      // the extensions-built session (no runtime registration call)
+      l.createOrReplaceTempView("ext_l")
+      r.createOrReplaceTempView("ext_r")
+      val tvf = s.sql(
+        "SELECT v, p FROM asof_join('ext_l', 'ext_r', 'k', 't', 't2')")
+      assert(tvf.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      assert(tvf.collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+        == Seq(("x", 2.0)))
     } finally {
       // restore the suite-shared session (same SparkContext; don't stop)
       SparkSession.setDefaultSession(shared)

@@ -35,6 +35,23 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("publishOverwrite: snapshot swap replaces content completely and " +
+    "leaves no staging/trash dirs behind") {
+    import spark.implicits._
+    val path = tmpDir("publish") + "/snapshot"
+    Layout.publishOverwrite(Seq(1, 2, 3).toDF("v"), path)
+    assert(spark.read.parquet(path).count() == 3)
+    // second publish fully replaces the first (old rows gone, not merged)
+    Layout.publishOverwrite(Seq(9).toDF("v"), path)
+    val vs = spark.read.parquet(path).as[Int].collect().toSeq
+    assert(vs == Seq(9))
+    val parent = java.nio.file.Paths.get(path).getParent
+    val leftovers = java.nio.file.Files.list(parent).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (leftovers.hasNext) names += leftovers.next().getFileName.toString
+    assert(names.toSeq == Seq("snapshot"), names.mkString(","))
+  }
+
   test("compaction: many small files of one date partition become one, " +
     "rows identical, other partitions untouched, pruning preserved") {
     val base = tmpDir("compact")

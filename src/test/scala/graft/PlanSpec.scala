@@ -113,6 +113,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_bucket_join: bucketed join + groupBy on the bucket key run " +
+    "with ZERO exchanges — the shuffle was paid once at write time") {
+    val p = plan("q_bucket_join")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("ingest history: a date predicate prunes partitions at the scan " +
     "(the 100-TB guard for the only append-forever table)") {
     import graft.pipeline.IngestPipeline
