@@ -274,6 +274,36 @@ object Curation {
               when(col("source").isInCollection(Seq("src0", "src1", "src2")),
                 "cccccccc").otherwise("40000000"))
           .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // Deterministic output sharding: the last stage of a training-data
+    // pipeline writes N shards whose membership must be stable across
+    // reruns and cluster sizes — so the shard key derives from CONTENT
+    // identity (md5 of the doc id), never from partition order or
+    // round-robin. One map-side-combined shuffle on shard_id; the
+    // readout (counts, char volume, id range per shard) doubles as the
+    // balance check a 100-TB writer would assert before publishing.
+    // Portability: both engines parse the same 6 md5 hex chars (24 bits
+    // — exact in every integer type) and take them mod 32.
+    QuerySpec(
+      "doc_shard",
+      """SELECT shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (SELECT doc_id, n_chars,
+        |        CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 6))::UBIGINT % 32 AS BIGINT) AS shard_id
+        |      FROM documents)
+        |GROUP BY shard_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("shard_id",
+          conv(substring(md5(concat(lit("shard:"),
+            col("doc_id").cast("string"))), 1, 6), 16, 10)
+            .cast("long") % 32)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
     }
   )
 }

@@ -319,6 +319,45 @@ object Similarity {
         .select(col("label"), round(cosine(col("v"), col("cv")), 4).as("sim"))
         .groupBy(col("label"))
         .agg(round(avg(col("sim")), 4).as("mean_sim"), count(lit(1)).as("n"))
+    },
+
+    // SemDeDup-shaped semantic dedup: partition the embedding space into
+    // cells (nearest deterministic seed — the same seeding as sim_ivf),
+    // then drop any vector with a smaller-id cell-mate at cosine ≥ τ.
+    // Candidate generation is CELL-blocked — pair cost is Σ|cell|², never
+    // all-pairs over the corpus — and cells are the natural partitioning
+    // key at scale, exactly like the IVF index the corpus would already
+    // carry. Output = the keep-list with its cell (no floats → no
+    // cross-engine noise in the gate).
+    QuerySpec(
+      "dedup_semantic",
+      s"""WITH $eCte,
+         |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0),
+         |cells AS (SELECT vec_id, v, cent_id FROM (
+         |    SELECT e.vec_id, e.v, s.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC, s.cent_id) AS rn
+         |    FROM e, seeds s) WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id
+         |  FROM cells a JOIN cells b
+         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4)
+         |SELECT c.vec_id, c.cent_id FROM cells c
+         |LEFT JOIN dropped x ON c.vec_id = x.vec_id
+         |WHERE x.vec_id IS NULL""".stripMargin) { (s, d) =>
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      val seeds = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val cells = assign(e, seeds, 1) // (vec_id, v, cent_id)
+      val a = cells.select(col("cent_id"), col("vec_id").as("a_id"),
+        col("v").as("va"))
+      val b = cells.select(col("cent_id"), col("vec_id"), col("v").as("vb"))
+      val dropped = a.join(b, Seq("cent_id"))
+        .filter(col("a_id") < col("vec_id"))
+        .filter(round(cosine(col("va"), col("vb")), 4) >= 0.4)
+        .select(col("vec_id")).distinct()
+      cells.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cent_id"))
     }
   )
 }
