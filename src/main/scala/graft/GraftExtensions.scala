@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, RollingHashMinima, SimHashAgg}
+import graft.functions.{CosineSim, DotProduct, RollingHashMinima, SimHashAgg, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -42,6 +42,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
       (args: Seq[Expression]) => SimHashAgg(args.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        if (args.length != 3) throw new IllegalArgumentException(
+          "top_k expects (score, id, k)")
+        val k = args(2) match {
+          case e if e.foldable && (e.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }) && e.eval() != null =>
+            try Math.toIntExact(e.eval().asInstanceOf[Number].longValue())
+            catch { case _: ArithmeticException =>
+              throw new IllegalArgumentException(
+                s"top_k: k out of Int range: ${e.eval()}")
+            }
+          case _ => throw new IllegalArgumentException(
+            "top_k: k must be an integer literal")
+        }
+        TopKAgg(args(0), args(1), k).toAggregateExpression()
+      }))
     ext.injectFunction((
       new FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[RollingHashMinima].getName, "winnow_fingerprints"),

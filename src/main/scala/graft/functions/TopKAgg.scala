@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+import java.nio.ByteBuffer
+
+/** Bounded top-k buffer: at most k (score, id) pairs kept sorted
+  * best-first, where "better" = higher score, ties to the smaller id
+  * (`java.lang.Double.compare` on scores, so the -0.0 < 0.0 edge orders
+  * exactly like Spark's DESC sort). Public: ObjectHashAggregate
+  * constructs buffer objects across classloaders.
+  */
+final class TopKBuffer(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var n = 0
+
+  /** true if (s1, id1) ranks strictly better than (s2, id2). */
+  private def better(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && id1 < id2)
+  }
+
+  def insert(s: Double, id: Long): Unit = {
+    if (n == k && !better(s, id, scores(n - 1), ids(n - 1))) return
+    // position = number of existing entries strictly better than (s, id)
+    var pos = 0
+    while (pos < n && better(scores(pos), ids(pos), s, id)) pos += 1
+    val last = if (n == k) k - 1 else n
+    var i = last
+    while (i > pos) {
+      scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
+    }
+    scores(pos) = s; ids(pos) = id
+    if (n < k) n += 1
+  }
+
+  def mergeFrom(o: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < o.n) { insert(o.scores(i), o.ids(i)); i += 1 }
+    this
+  }
+}
+
+/** Bounded-state top-k per group: `top_k(score, id, k)` returns the k
+  * best (score, id) pairs as `array<struct<score, id>>`, best first.
+  *
+  * This is the scale-correct form of "rank per key, keep k": the
+  * `row_number() OVER (PARTITION BY key ORDER BY score DESC)` window it
+  * replaces cannot partially aggregate — every candidate row of a key
+  * crosses the exchange and gets buffered and sorted in one task before
+  * k survive. This aggregate's state is k pairs per (group, partition),
+  * merged map-side like any other partial agg, so the shuffle carries
+  * one k-element buffer per group per map task instead of the full
+  * candidate set — for an ANN scoring pass over a corpus, |corpus|/k ×
+  * less exchange traffic, and no per-key sort at all (insertion into a
+  * k-bounded sorted buffer is the sort).
+  */
+case class TopKAgg(
+    left: Expression, right: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer]
+  with ImplicitCastInputTypes with BinaryLike[Expression] {
+
+  require(k > 0 && k <= (1 << 20), s"top_k: k must be in [1, 2^20], got $k")
+
+  override def inputTypes = Seq(DoubleType, LongType)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = left.eval(input)
+    val id = right.eval(input)
+    if (s != null && id != null)
+      buf.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = a.mergeFrom(b)
+
+  override def eval(buf: TopKBuffer): Any = {
+    val out = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) {
+      val row = new GenericInternalRow(2)
+      row.update(0, buf.scores(i))
+      row.update(1, buf.ids(i))
+      out(i) = row
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buf.n * 16)
+    bb.putInt(buf.k).putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putDouble(buf.scores(i)).putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopKBuffer(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    // entries arrive already sorted; insert preserves order in O(k)
+    while (i < n) { buf.insert(bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k"
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TopKAgg = copy(left = l, right = r)
+}
+
+object TopKAgg {
+  /** Column-level entry point:
+    * `df.groupBy($"q").agg(top_k($"sim", $"id", 5))`.
+    */
+  def top_k(score: Column, id: Column, k: Int): Column =
+    Bridge.column(
+      TopKAgg(Bridge.expression(score), Bridge.expression(id), k)
+        .toAggregateExpression())
+}

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -48,19 +47,29 @@ object Similarity {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
 
-  /** Nearest-`n` centroid assignment: broadcast the K centroids against
-    * every (vec_id, v) row, rank by rounded cosine with cent_id
-    * tie-break. Output: (vec_id, v, cent_id) × n.
+  /** Nearest-`n` centroid assignment, shuffle-free: the K centroids
+    * collapse to ONE broadcast row carrying a (cent_id, cv) array, and
+    * each vector ranks all K in-row (sort of a K-element array) —
+    * assignment is pure map work. The previous formulation windowed
+    * over a vec_id-keyed exchange of N×K candidate rows, each dragging
+    * the 64-float vector: ~20× data amplification through a shuffle for
+    * what is row-local arithmetic, and at corpus scale the difference
+    * between an exchange-free scan and the biggest shuffle in the IVF
+    * build. Ranking matches the window form exactly (rounded cosine
+    * desc, cent_id tie-break, including the -0.0 edge: negation keeps
+    * Double.compare order).
     */
   private def assign(vecs: DataFrame, cents: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id"))
-    vecs.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        round(cosine(col("v"), col("cv")), 4).as("csim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= n)
-      .select(col("vec_id"), col("v"), col("cent_id"))
+    val centsRow = cents
+      .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cs"))
+    vecs.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), col("v"),
+        slice(array_sort(transform(col("cs"), c =>
+          struct((round(cosine(col("v"), c("cv")), 4) * -1).as("nsim"),
+            c("cent_id").as("cent_id")))), 1, n).as("top"))
+      .select(col("vec_id"), col("v"),
+        explode(col("top")).as("sc"))
+      .select(col("vec_id"), col("v"), col("sc.cent_id").as("cent_id"))
   }
 
   /** One Lloyd (k-means) iteration: assign every vector to its nearest
@@ -132,6 +141,14 @@ object Similarity {
   /** Top-k per query over any (vec_id, v) frame: queries are vec_id <
     * NQueries, broadcast against one corpus scan, ranked on 4-dp-rounded
     * cosine with neighbor-id tie-break.
+    *
+    * Ranking is the bounded-state `top_k` aggregate, not a window: a
+    * `row_number() OVER (PARTITION BY query_id ...)` cannot partially
+    * aggregate, so every scored (query, neighbor) row — |corpus| rows
+    * PER QUERY — crosses the exchange to be sorted in one task. The
+    * aggregate keeps k pairs per (query, partition) and merges map-side:
+    * the shuffle carries k-element buffers, |corpus|/k× less traffic,
+    * identical ranking semantics (score desc, id tie-break).
     */
   private def topkOf(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NQueries)
@@ -139,12 +156,19 @@ object Similarity {
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(col("qv"), col("v")), 4).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.select(col("query_id"), col("neighbor_id"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= TopK)
+    rankTopK(scored)
   }
+
+  /** (query_id, neighbor_id, sim) → (query_id, neighbor_id, rank ≤ k)
+    * via the bounded top-k aggregate; rank = 1-based position best-first.
+    */
+  private def rankTopK(scored: DataFrame, k: Int = TopK): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k(
+        col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("query_id"), col("sc.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
 
   /** Brute-force exact top-k: (query_id, neighbor_id, rank). */
   def bruteTopK(s: SparkSession, d: String): DataFrame =
@@ -191,15 +215,13 @@ object Similarity {
       q.withColumnRenamed("query_id", "vec_id")
         .withColumnRenamed("qv", "v"), cents, 4)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cent_id"))
-    // Score only vectors in probed cells.
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    probes.join(assigned, Seq("cent_id"))
+    // Score only vectors in probed cells; rank with the bounded top-k
+    // aggregate (map-side partial merge — see topkOf).
+    val scored = probes.join(assigned, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(col("qv"), col("v")), 4).as("sim"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= TopK)
+    rankTopK(scored)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 

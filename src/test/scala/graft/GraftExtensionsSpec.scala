@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, explode}
 
 class GraftExtensionsSpec extends SparkSpec {
 
@@ -96,6 +97,16 @@ class GraftExtensionsSpec extends SparkSpec {
       val df = org.apache.spark.sql.graft.Bridge.ofRows(s, node)
       assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
       assert(df.count() == 1)
+      // top_k: SQL-callable bounded top-k aggregate; k must be a literal
+      val tk = s.sql(
+        """SELECT q, top_k(sim, id, 2) AS t FROM VALUES
+          |  (1, 0.5d, 10L), (1, 0.9d, 7L), (1, 0.7d, 3L) v(q, sim, id)
+          |GROUP BY q""".stripMargin).select(explode(col("t.id")))
+        .collect().map(_.getLong(0)).toSeq
+      assert(tk == Seq(7L, 3L), tk.mkString(","))
+      intercept[Exception](
+        s.sql("SELECT top_k(sim, id, id) FROM VALUES (0.5d, 1L) v(sim, id)")
+          .collect())
       // the injected TABLE FUNCTION: asof_join reachable from pure SQL on
       // the extensions-built session (no runtime registration call)
       l.createOrReplaceTempView("ext_l")
