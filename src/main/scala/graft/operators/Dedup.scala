@@ -305,6 +305,42 @@ object Dedup {
           .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // Incremental dedup under the oracle gate: every 5th doc plays the
+    // incoming batch, the rest the already-ingested corpus. Survivors =
+    // incoming docs with NO smaller-id exact twin (md5) and NO
+    // smaller-id near-dup partner (capped-shingle Jaccard ≥ 0.8 over
+    // history ∪ incoming — the df cap counts union frequency, exactly
+    // like a full re-dedup). The oracle computes the full batch answer
+    // and restricts it to the increment, which is the operator's
+    // convergence contract (also spec-pinned in OperatorsSpec); the
+    // Spark side only ever generates candidate pairs whose GREATER side
+    // is incoming — O(|incoming| · blocked), never O(|corpus|²).
+    QuerySpec(
+      "dedup_incremental",
+      s"""$shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |near AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM inter
+         |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
+         |exact_dup AS (SELECT DISTINCT b.doc_id
+         |       FROM documents a JOIN documents b
+         |         ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % 5 = 4
+         |  AND doc_id NOT IN (SELECT doc_id FROM near)
+         |  AND doc_id NOT IN (SELECT doc_id FROM exact_dup)""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val history = docs.filter(col("doc_id") % 5 =!= 4)
+        val incoming = docs.filter(col("doc_id") % 5 === 4)
+        incrementalKeepNew(history, incoming)
+          .select(col("doc_id"), col("lang"), col("source"))
+    },
+
     // Transitive-closure corpus dedup: collapse ≥0.8-Jaccard pairs into
     // connected components (iterative label propagation + pointer
     // jumping, O(log n) rounds) and keep the min doc_id per component.

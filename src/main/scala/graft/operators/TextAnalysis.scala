@@ -185,14 +185,28 @@ object TextAnalysis {
          |  FROM f)
          |SELECT lang, word, n, rank FROM r WHERE rank <= 5""".stripMargin) {
       (s, d) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("lang")).orderBy(col("n").desc, col("word"))
-        Tables.documents(s, d)
+        // Two-stage top-k: a single PARTITION BY lang window would sort
+        // the language's ENTIRE vocabulary in one task (10M+ words per
+        // major language at corpus scale). Stage 1 ranks within
+        // (lang, salt-of-word) — bounded groups — and keeps 5; stage 2
+        // ranks the ≤ 16×5 survivors per lang. Result-identical: every
+        // global top-5 word is necessarily in its own salt's top-5.
+        val freq = Tables.documents(s, d)
           .select(col("lang"), explode(words(col("text"))).as("word"))
           .filter(!col("word").isInCollection(Stopwords))
           .groupBy(col("lang"), col("word"))
           .agg(count(lit(1)).as("n"))
-          .withColumn("rank", row_number().over(w))
+        val wSalt = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"), col("salt"))
+          .orderBy(col("n").desc, col("word"))
+        val cand = freq
+          .withColumn("salt", pmod(xxhash64(col("word")), lit(16)))
+          .withColumn("r0", row_number().over(wSalt))
+          .filter(col("r0") <= 5)
+          .drop("r0", "salt")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("n").desc, col("word"))
+        cand.withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
     },
 
