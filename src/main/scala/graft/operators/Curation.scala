@@ -122,10 +122,23 @@ object Curation {
         |  FROM documents)
         |SELECT doc_id, lang, source FROM r WHERE rn <= 50""".stripMargin) {
       (s, d) =>
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        Tables.documents(s, d)
-          .withColumn("rn", row_number().over(w))
+        // Two-stage quota take: a single PARTITION BY lang window would
+        // order a language's ENTIRE corpus slice in one task. Stage 1
+        // ranks within (lang, salt) — 16 bounded groups per lang — and
+        // keeps the quota; stage 2 ranks the ≤ 16×quota survivors.
+        // Result-identical: the global first-50 of a lang are each in
+        // their own salt's first-50.
+        val hashed = Tables.documents(s, d)
+          .withColumn("h", md5(col("doc_id").cast("string")))
+        val wSalt = Window.partitionBy(col("lang"), col("salt"))
+          .orderBy(col("h"), col("doc_id"))
+        val cand = hashed
+          .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)))
+          .withColumn("r0", row_number().over(wSalt))
+          .filter(col("r0") <= 50)
+          .drop("r0", "salt")
+        val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+        cand.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 50)
           .select(col("doc_id"), col("lang"), col("source"))
     },
@@ -147,12 +160,38 @@ object Curation {
         |SELECT lang, CAST(prior // 2048 AS BIGINT) AS bin_id,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
         |FROM c GROUP BY lang, prior // 2048""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
+      // Distributed two-level prefix sum. A `PARTITION BY lang ORDER BY
+      // doc_id` running sum concentrates a language's whole corpus slice
+      // in ONE task (the window cannot split an ordered partition).
+      // Because the pack order is doc_id itself, arithmetic blocks of
+      // the order key distribute it exactly: (1) prefix-sum WITHIN
+      // (lang, doc_id div B) — bounded groups; (2) cumulate the tiny
+      // per-block totals frame (corpus/B rows) per lang; (3) prior =
+      // in-block prefix + preceding-blocks offset, joined back on the
+      // broadcastable block frame. Same `prior` for every doc, so the
+      // oracle (one flat window) is unchanged; each extra level divides
+      // the concentration by B — add a third level past ~B² blocks. The
+      // block frame grows with the corpus (N/B rows), so no broadcast
+      // hint: size stats pick BHJ at bench scale, and the shuffled join
+      // reuses the (lang, blk) partitioning when it outgrows that.
+      val B = 1024
+      val t = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("prior", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("blk", expr(s"doc_id div $B"))
+      val wIn = Window.partitionBy(col("lang"), col("blk"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inBlk = t.withColumn("in_prior",
+        coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+      val wBlk = Window.partitionBy(col("lang")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val blkOff = t.groupBy(col("lang"), col("blk"))
+        .agg(sum(col("n_tok")).as("btot"))
+        .withColumn("boff", coalesce(sum(col("btot")).over(wBlk), lit(0L)))
+        .select(col("lang"), col("blk"), col("boff"))
+      inBlk.join(blkOff, Seq("lang", "blk"))
+        .withColumn("prior", col("in_prior") + col("boff"))
         // `div` = BIGINT floor-division, mirroring the oracle's `//` —
         // both engines stay in exact integer arithmetic (double division
         // would round differently past 2^53 total tokens).

@@ -46,10 +46,22 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
-  test("doc_pack: ONE exchange — packing is window arithmetic on the " +
-    "lang partitioning") {
+  test("doc_pack: two-level prefix sum — every window over the doc " +
+    "stream is (lang, blk)-bounded; only the tiny block frame windows " +
+    "by lang alone") {
     val p = plan("doc_pack")
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    // the doc-stream window and the groupBy share (lang, blk) keys; the
+    // lang-only exchange exists ONLY for the block-totals frame, which
+    // is |corpus|/1024 rows — no unbounded per-lang ordering of docs
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, p)
+    // lang-only exchanges feed the block-level window, whose input is a
+    // HashAggregate (block totals), never a raw doc scan
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.size == 2, s"$windows\n$p")
+    assert(windows.count(_.contains("blk")) >= 1, s"$windows\n$p")
   }
 
   test("q_range_join: hash join on the equi key, never a nested loop") {
