@@ -419,6 +419,11 @@ object Extended {
     // Distribution windows: ntile / percent_rank / cume_dist over a
     // tie-broken ordering (unique (price, orderkey) sort keeps rank ==
     // row_number so the rationals match bit-for-bit across engines).
+    // Scale note: the 5 priority groups each order ~20% of the table in
+    // one task — inherent to the NATIVE window form, which is this
+    // query's purpose. q_dist_scaled below computes the identical
+    // result (same oracle) with value-range blocking — the shape a
+    // 100-TB table needs.
     QuerySpec(
       "q_window_dist",
       """SELECT o_orderkey,
@@ -436,6 +441,55 @@ object Extended {
           ntile(4).over(w).cast("long").as("quartile"),
           round(percent_rank().over(w), 4).as("pr"),
           round(cume_dist().over(w), 4).as("cd"))
+    },
+
+    // The SAME distribution functions computed scale-safe — and gated on
+    // the SAME oracle as q_window_dist, proving value-identity. Exact
+    // rank without a group-wide ordering: block the sort key by VALUE
+    // ranges (blk = floor(price) div 1024 is monotone in the sort
+    // order), rank locally within (group, blk), then add cumulative
+    // block-count offsets (the doc_pack two-level pattern). From the
+    // unique tie-broken rank, the distribution functions are closed
+    // forms: pr = (rank-1)/(n-1), cd = rank/n, and SQL ntile's
+    // first-(n mod k)-buckets-get-one-extra rule as integer CASE
+    // arithmetic. No task ever orders more than one value-block of one
+    // group.
+    QuerySpec(
+      "q_dist_scaled",
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pr,
+        |  round(cume_dist() OVER w, 4) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin) {
+      (s, d) =>
+        val t = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority").as("grp"),
+            col("o_totalprice").as("p"))
+          .withColumn("blk", expr("CAST(floor(p) AS BIGINT) div 1024"))
+        val wIn = Window.partitionBy(col("grp"), col("blk"))
+          .orderBy(col("p"), col("o_orderkey"))
+        val local = t.withColumn("lr", row_number().over(wIn).cast("long"))
+        val wBlk = Window.partitionBy(col("grp")).orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = t.groupBy(col("grp"), col("blk"))
+          .agg(count(lit(1)).as("bc"))
+          .withColumn("off", coalesce(sum(col("bc")).over(wBlk), lit(0L)))
+          .select(col("grp"), col("blk"), col("off"))
+        val n = t.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+        local.join(offs, Seq("grp", "blk")).join(n, Seq("grp"))
+          .withColumn("rnk", col("off") + col("lr"))
+          .select(
+            col("o_orderkey"),
+            expr("""CASE WHEN rnk <= (n % 4) * ((n div 4) + 1)
+                    THEN (rnk - 1) div ((n div 4) + 1) + 1
+                    ELSE (n % 4) + (rnk - (n % 4) * ((n div 4) + 1) - 1)
+                         div (n div 4) + 1 END""").cast("long").as("quartile"),
+            round((col("rnk") - 1).cast("double") /
+              (col("n") - 1).cast("double"), 4).as("pr"),
+            round(col("rnk").cast("double") /
+              col("n").cast("double"), 4).as("cd"))
     },
 
     // Range-framed window (event-time sliding aggregate): per-user
