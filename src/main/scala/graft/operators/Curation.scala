@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -107,6 +108,58 @@ object Curation {
           round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
           round(expr("percentile(o_totalprice, 0.50)"), 2).as("p50"),
           round(expr("percentile(o_totalprice, 0.90)"), 2).as("p90"))
+    },
+
+    // The SAME exact quantiles computed scale-safe, gated on the SAME
+    // oracle as q_percentile. `percentile()` is an ObjectHashAggregate
+    // that buffers EVERY group value in one aggregation buffer — at
+    // corpus scale that is the group in memory. Here: exact rank via
+    // value-range blocks (local rank within (group, floor(price) div
+    // 1024) + cumulative block-count offsets — the doc_pack two-level
+    // pattern), then each quantile reads its two boundary order
+    // statistics and interpolates with quantile_cont's own formula
+    // (v_lo + frac·(v_hi − v_lo), frac from the 0-based q·(n−1)
+    // position). State: one rank per row, two rows per (group,
+    // quantile) — nothing group-sized is ever buffered or sorted in one
+    // task.
+    QuerySpec(
+      "q_percentile_scaled",
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.90), 2) AS p90
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val t = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("p"),
+          col("o_orderkey"))
+        .withColumn("blk", expr("CAST(floor(p) AS BIGINT) div 1024"))
+      val wIn = Window.partitionBy(col("grp"), col("blk"))
+        .orderBy(col("p"), col("o_orderkey"))
+      val local = t.withColumn("lr", row_number().over(wIn).cast("long"))
+      val wBlk = Window.partitionBy(col("grp")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = t.groupBy(col("grp"), col("blk"))
+        .agg(count(lit(1)).as("bc"))
+        .withColumn("off", coalesce(sum(col("bc")).over(wBlk), lit(0L)))
+        .select(col("grp"), col("blk"), col("off"))
+      val n = t.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      val ranked = local.join(offs, Seq("grp", "blk")).join(n, Seq("grp"))
+        .withColumn("rnk", col("off") + col("lr"))
+      def bound(q: Double, edge: Column => Column): Column =
+        max(when(col("rnk") - 1 === edge(lit(q) * (col("n") - 1)), col("p")))
+      val agg = ranked.groupBy(col("grp")).agg(
+        max(col("n")).as("n"),
+        bound(0.25, floor).as("lo25"), bound(0.25, ceil).as("hi25"),
+        bound(0.50, floor).as("lo50"), bound(0.50, ceil).as("hi50"),
+        bound(0.90, floor).as("lo90"), bound(0.90, ceil).as("hi90"))
+      def interp(q: Double, lo: Column, hi: Column): Column = {
+        val idx = lit(q) * (col("n") - 1)
+        round(lo + (hi - lo) * (idx - floor(idx)), 2)
+      }
+      agg.select(col("grp").as("o_orderpriority"),
+        interp(0.25, col("lo25"), col("hi25")).as("p25"),
+        interp(0.50, col("lo50"), col("hi50")).as("p50"),
+        interp(0.90, col("lo90"), col("hi90")).as("p90"))
     },
 
     // Deterministic stratified sampling: a fixed per-language quota taken
