@@ -228,6 +228,56 @@ object Relational {
           col("total_qty").cast("double").as("total_qty"))
     },
 
+    // TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    // zero-order customers keep c_count = 0, then a histogram of the
+    // per-customer counts — double aggregation, both partial-aggregated;
+    // the second groupBy's key space is tiny (distinct order counts).
+    QuerySpec(
+      "q_tpch13_custdist",
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) x
+        |GROUP BY c_count""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer")
+        .join(Tables.load(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // TPC-H Q17 shape (small-quantity revenue): a correlated AVG
+    // subquery per part. Spark-first decorrelation: the per-part mean
+    // quantity is ONE partial-aggregated pass over lineitem joined back
+    // on the part key — the same rewrite Catalyst applies to the SQL
+    // form. Quantities are integral doubles, so the mean is bit-exact
+    // in both engines (exact integer sum < 2^53, same division) and the
+    // 0.2·avg comparison can't flip between them.
+    QuerySpec(
+      "q_tpch17_smallqty",
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |             / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p.p_partkey)""".stripMargin) {
+      (s, d) =>
+        val li = Tables.load(s, d, "lineitem")
+        val brandParts = Tables.load(s, d, "part")
+          .filter(col("p_brand") === "Brand#1")
+          .select(col("p_partkey"))
+        val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
+          .agg(avg(col("l_quantity")).as("aq"))
+        li.join(brandParts, col("l_partkey") === col("p_partkey"))
+          .join(avgQty, col("l_partkey") === col("a_partkey"))
+          .filter(col("l_quantity") < lit(0.2) * col("aq"))
+          .agg(round(sum(dec(col("l_extendedprice"))).cast("double") /
+            lit(7.0), 2).as("avg_yearly"))
+    },
+
     // TPC-H Q14 shape (promo revenue share): conditional revenue over a
     // part-dimension join. Both the promo slice and the total are exact
     // DECIMAL sums; only the final share divides — identical doubles on
