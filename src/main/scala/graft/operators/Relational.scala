@@ -228,6 +228,54 @@ object Relational {
           col("total_qty").cast("double").as("total_qty"))
     },
 
+    // TPC-H Q7 shape (volume shipping between two nations): the nation
+    // dim joins TWICE under different roles (supplier's vs customer's
+    // nation) — fixed-cardinality, so both keep broadcast hints per the
+    // broadcast policy — and the two-direction predicate reduces to
+    // supp_nation <> cust_nation once both sides are restricted to the
+    // pair. Nation filters reach the supplier/customer side BEFORE the
+    // fact joins, so the big joins see ~2/25ths of each dimension.
+    QuerySpec(
+      "q_tpch7_volume",
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(rev) AS DOUBLE) AS revenue FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) x
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val pair = Seq("NATION_1", "NATION_2")
+      val nat = Tables.load(s, d, "nation")
+      val sup = Tables.load(s, d, "supplier")
+        .join(broadcast(nat.filter(col("n_name").isInCollection(pair))
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables.load(s, d, "customer")
+        .join(broadcast(nat.filter(col("n_name").isInCollection(pair))
+          .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      Tables.load(s, d, "lineitem")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.load(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1) - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+    },
+
     // TPC-H Q13 shape (customer order-count distribution): LEFT join so
     // zero-order customers keep c_count = 0, then a histogram of the
     // per-customer counts — double aggregation, both partial-aggregated;

@@ -114,7 +114,8 @@ class PlanSpec extends SparkSpec {
     }.flatten.toSet
 
   for (q <- Seq("q_tpch3_shipping", "q_tpch5_local_volume",
-      "q_tpch10_returns", "q_tpch18_volume", "q_tpch14_promo",
+      "q_tpch7_volume", "q_tpch10_returns", "q_tpch13_custdist",
+      "q_tpch17_smallqty", "q_tpch18_volume", "q_tpch14_promo",
       "q_left_join")) {
     test(s"$q: no broadcast hint on a scale-growing side, yet the " +
       "planner still picks BroadcastHashJoin at bench scale") {
