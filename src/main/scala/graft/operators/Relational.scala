@@ -326,6 +326,37 @@ object Relational {
             lit(7.0), 2).as("avg_yearly"))
     },
 
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    // OR-of-ANDs mixing columns from BOTH join sides. The planner
+    // CNF-converts the disjunction to extract the single-side conjuncts
+    // (the brand/size disjunction reaches the part scan, the quantity
+    // disjunction the lineitem scan) while the mixed residual stays on
+    // the join — the difference between scanning 2 brands' worth of
+    // parts and scanning all of them.
+    QuerySpec(
+      "q_tpch19_disjunct",
+      """SELECT CAST(sum(rev) AS DOUBLE) AS revenue FROM (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |         AND l_quantity BETWEEN 1 AND 20)
+        |     OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |         AND l_quantity BETWEEN 10 AND 40)) x""".stripMargin) {
+      (s, d) =>
+        val li = Tables.load(s, d, "lineitem")
+        val part = Tables.load(s, d, "part")
+        val cond1 = col("p_brand") === "Brand#1" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+        val cond2 = col("p_brand") === "Brand#2" &&
+          col("p_size").between(10, 30) && col("l_quantity").between(10, 40)
+        li.join(part, col("p_partkey") === col("l_partkey"))
+          .filter(cond1 || cond2)
+          .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1) - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue"))
+    },
+
     // TPC-H Q14 shape (promo revenue share): conditional revenue over a
     // part-dimension join. Both the promo slice and the total are exact
     // DECIMAL sums; only the final share divides — identical doubles on

@@ -126,6 +126,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch19: the OR-of-ANDs predicate CNF-extracts per side — the " +
+    "brand/size disjunction reaches the part scan, the quantity " +
+    "disjunction the lineitem scan") {
+    val q = SparkEntry.queries("q_tpch19_disjunct")(spark, sf0001)
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata("Location") -> f.metadata("PushedFilters")
+    }.toMap
+    val partPushed = scans.collect { case (l, p) if l.contains("part") => p }
+    val liPushed = scans.collect { case (l, p) if l.contains("lineitem") => p }
+    assert(partPushed.exists(p => p.contains("Or(") && p.contains("p_brand")),
+      scans.mkString("\n"))
+    assert(liPushed.exists(p => p.contains("Or(") && p.contains("l_quantity")),
+      scans.mkString("\n"))
+  }
+
   test("q_bucket_join: bucketed join + groupBy on the bucket key run " +
     "with ZERO exchanges — the shuffle was paid once at write time") {
     val p = plan("q_bucket_join")
