@@ -48,6 +48,27 @@ object StatefulOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Per-window top-k events by value: the bounded-state `top_k`
+    * aggregate (functions.TopKAgg) inside a watermarked streaming
+    * aggregation. Stream state per window is the k-pair BUFFER — the
+    * state store checkpoints the serialized buffer and merges new
+    * micro-batches into it incrementally — never the window's full
+    * event set, which is what a rank-window formulation would have to
+    * retain. Emitted on watermark close (append mode): one row per
+    * (window, rank ≤ k), best first, ties to the smaller event_id.
+    */
+  def windowTopK(events: DataFrame, k: Int = 3,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.TopKAgg.top_k(
+        col("value"), col("event_id"), k).as("top"))
+      .select(col("window.start").as("hour_start"),
+        posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("hour_start"), (col("pos") + 1).cast("int").as("rank"),
+        col("sc.id").as("event_id"), col("sc.score").as("value"))
+
   /** Stream-stream interval join: each click enriched with the errors of
     * the same user in the preceding `intervalMinutes`. Watermarks on
     * BOTH inputs plus the time-range predicate are what let Spark expire

@@ -37,6 +37,35 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowTopK: the custom top_k aggregate merges incrementally " +
+    "across micro-batches in the state store; ranks reflect ALL batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StatefulOps.windowTopK(in.toDF(), k = 3)
+      .writeStream.format("memory").queryName("wtopk")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events in the 09:00 window
+      in.addData(
+        Event(1, ts(5), 1, "click", 5.0),
+        Event(2, ts(10), 2, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: two MORE events in the same window — one outranks both
+      in.addData(
+        Event(3, ts(20), 1, "click", 9.0),
+        Event(4, ts(25), 2, "click", 0.5))
+      q.processAllAvailable()
+      // advance the watermark past the window end to emit it
+      in.addData(Event(9, Timestamp.valueOf("2026-08-12 13:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("wtopk")
+        .select($"rank", $"event_id", $"value")
+        .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+      // top-3 across BOTH batches: 9.0 (batch 2), 5.0 (batch 1), 1.0
+      assert(rows == Seq((1, 3L, 9.0), (2, 1L, 5.0), (3, 2L, 1.0)), rows)
+    } finally q.stop()
+  }
+
   test("dedup within watermark: duplicate event_ids drop, state is bounded") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
