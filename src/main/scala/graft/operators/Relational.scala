@@ -357,6 +357,43 @@ object Relational {
             .cast("double").as("revenue"))
     },
 
+    // TPC-H Q22 shape (global sales opportunity): customers above the
+    // average positive balance with no LARGE order (every synthetic
+    // customer has some order, so the anti-condition keys on high-value
+    // orders to stay non-trivial) — a scalar aggregate comparison plus
+    // NOT EXISTS, grouped on a low-cardinality key.
+    // The balance-above-average predicate is cross-multiplied
+    // (bal·n > sum) so both engines compare EXACT decimals instead of a
+    // float average whose partial-sum order could flip a boundary row.
+    // Plan: the (n, sum) scalar broadcasts as one row; NOT EXISTS is a
+    // left-anti join on the customer key.
+    QuerySpec(
+      "q_tpch22_noorders",
+      """WITH s AS (SELECT count(*) AS n,
+        |             sum(CAST(c_acctbal AS DECIMAL(12,2))) AS tot
+        |           FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c, s
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * s.n > s.tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000)
+        |GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
+      val cust = Tables.load(s, d, "customer")
+      val scalar = cust.filter(col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("n"), sum(dec(col("c_acctbal"))).as("tot"))
+      cust
+        .join(broadcast(scalar)) // 1-row scalar: broadcast is exact-size
+        .filter(dec(col("c_acctbal")) * col("n") > col("tot"))
+        .join(Tables.load(s, d, "orders")
+          .filter(col("o_totalprice") > 400000).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+    },
+
     // TPC-H Q14 shape (promo revenue share): conditional revenue over a
     // part-dimension join. Both the promo slice and the total are exact
     // DECIMAL sums; only the final share divides — identical doubles on
