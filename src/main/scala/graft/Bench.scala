@@ -47,20 +47,29 @@ object Bench {
     }
     // Three timed runs per query, min reported: a single pass is at the
     // mercy of GC/scheduler noise on a shared box; min-of-3 is the
-    // steady-state cost. All per-run times go to stderr so a contended
+    // steady-state cost. The runs are INTERLEAVED — pass 1 times every
+    // query, then pass 2, then pass 3 — not back-to-back per query: a
+    // transient external load spike (the driver's own verify step, a
+    // cron) then inflates ONE pass of each query it overlaps instead of
+    // all three runs of whichever queries it hit, so the per-query min
+    // stays clean under exactly the contention that inflated the r2–r4
+    // committed records. All per-run times go to stderr so a contended
     // box (one run 10× the others) is self-diagnosing from the log.
     // Caches cleared between runs so queries are timed in isolation.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.specs.map { sp =>
-      val times = (1 to runs).map { _ =>
+    val passTimes: Seq[Map[String, Double]] = (1 to runs).map { pass =>
+      SparkEntry.specs.map { sp =>
         val t0 = System.nanoTime()
         try sp.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${sp.name} failed: ${e.getMessage}")
         }
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
-      }
+        sp.name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val results = SparkEntry.specs.map { sp =>
+      val times = passTimes.map(_(sp.name))
       System.err.println(
         s"[bench] ${sp.name} runs=" + times.map(t => f"$t%.3f").mkString(","))
       sp.name -> (times.min, times.max)

@@ -173,7 +173,11 @@ object Extended {
     // The classic OLAP shape: fact table joined through two broadcast
     // dimension chains, filtered, with exact-decimal revenue rollup —
     // the plan every 100 TB star-schema query wants (pruned fact scan,
-    // all-broadcast dims, single agg exchange).
+    // all-broadcast dims, single agg exchange). customer grows linearly
+    // with scale factor, so it carries NO broadcast() hint (a hint
+    // bypasses AQE's size check and the 8 GB broadcast cap — OOM at
+    // sf100); size stats still plan it as a broadcast at bench scale,
+    // and nation/region are constant-size so their hints stay.
     QuerySpec(
       "q_star_join",
       """SELECT n_name AS nation, r_name AS region,
@@ -189,7 +193,7 @@ object Extended {
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))

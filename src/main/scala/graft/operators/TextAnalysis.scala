@@ -263,11 +263,21 @@ object TextAnalysis {
     // Vocabulary coverage curve (tokenizer-training prep): the top-100
     // words by corpus frequency with each rank's cumulative share of all
     // tokens. The heavy stage — token explode + count — shuffles by word
-    // (hot words spread before aggregation, partial agg map-side); the
-    // global rank/cumsum window then runs over the VOCABULARY table,
-    // which is orders of magnitude smaller than the corpus (the standard
-    // two-altitude shape: corpus-scale work keyed wide, vocab-scale work
-    // single-pass). cum/total is an exact-integer ratio in doubles.
+    // (hot words spread before aggregation, partial agg map-side). The
+    // ranking stage uses NO window at all: a web-scale corpus'
+    // distinct-token tail (typos, noise) is billions of rows, so an
+    // unpartitioned `row_number()/sum() OVER (ORDER BY n DESC)` would
+    // funnel the whole vocabulary into one task just to throw away all
+    // but 100 rows. Instead ONE global aggregate computes the top-100
+    // via the bounded-state `top_k_str` aggregate (k pairs per map task
+    // cross the exchange, merged like any partial agg — the same
+    // machinery as sim_topk, string-id variant) and the corpus token
+    // total in the same pass; rank is the array position and the
+    // cumulative sum folds over the ≤100-element array per output row.
+    // cum at rank r depends only on rows above r, so the result is
+    // value-identical to the oracle's global-window form: exact integer
+    // counts in doubles (< 2^53), addition of integers is
+    // order-insensitive, ties break (n DESC, word ASC) in both engines.
     QuerySpec(
       "vocab_coverage",
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
@@ -287,18 +297,18 @@ object TextAnalysis {
         .select(explode(words(col("text"))).as("word"))
         .groupBy(col("word"))
         .agg(count(lit(1)).as("n"))
-      val tot = f.agg(sum(col("n")).as("tot"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("word"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wr = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("word"))
-      f.join(broadcast(tot))
-        .withColumn("rank", row_number().over(wr))
-        .withColumn("cum", sum(col("n")).over(w))
-        .filter(col("rank") <= 100)
-        .select(col("word"), col("n"), col("rank"),
-          (col("cum").cast("double") / col("tot")).as("cum_frac"))
+      f.agg(
+          graft.functions.TopKAgg
+            .top_k_str(col("n").cast("double"), col("word"), 100).as("tk"),
+          sum(col("n")).as("tot"))
+        .select(col("tk"), col("tot"),
+          posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(
+          col("e")("id").as("word"),
+          col("e")("score").cast("bigint").as("n"),
+          (col("pos") + 1).as("rank"),
+          (aggregate(slice(col("tk"), lit(1), col("pos") + 1), lit(0.0d),
+            (acc, x) => acc + x("score")) / col("tot")).as("cum_frac"))
     }
   )
 }

@@ -22,8 +22,8 @@ object PipelineDemo {
     s"""{"flowSegmentData":{"frc":"FRC2","currentSpeed":$speed,
        |"freeFlowSpeed":50,"currentTravelTime":108,"freeFlowTravelTime":71,
        |"confidence":0.95,"roadClosure":false,"coordinates":{"coordinate":[
-       |{"latitude":55.690388,"longitude":12.537862},
-       |{"latitude":55.691770,"longitude":12.539301}]}}}""".stripMargin
+       |{"latitude":55.661234,"longitude":12.501234},
+       |{"latitude":55.662345,"longitude":12.502345}]}}}""".stripMargin
       .replace("\n", "")
 
   private val weatherPayload: String =
@@ -51,7 +51,7 @@ object PipelineDemo {
       weatherUrlTemplate = "weather://{lat},{lon}?key={key}",
       points = Seq(
         GeoPoint("noerrebrogade", "55.694843", "12.548434"),
-        GeoPoint("h.c. andersens boulevard/raadhuspladsen", "55.674906", "12.569135"),
+        GeoPoint("torvegade/knippelsbro", "55.671906", "12.581135"),
         GeoPoint("langebro", "55.668548", "12.571472")),
       trafficPath = s"$base/traffic_table",
       weatherPath = s"$base/weather_table",

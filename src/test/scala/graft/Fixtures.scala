@@ -10,7 +10,7 @@ object Fixtures {
   def tomtom(currentSpeed: Long = 33, freeFlowSpeed: Long = 50,
       confidence: Double = 0.95, roadClosure: Boolean = false,
       coords: Seq[(Double, Double)] = Seq(
-        (55.690388, 12.537862), (55.691001, 12.538502), (55.691770, 12.539301)))
+        (55.661234, 12.501234), (55.661789, 12.501789), (55.662345, 12.502345)))
       : String = {
     val cs = coords.map { case (la, lo) =>
       s"""{"latitude": $la, "longitude": $lo}"""
@@ -43,6 +43,6 @@ object Fixtures {
   /** 3-point subset incl. a name with slashes/periods (FIXTURES.md §1c). */
   val geoPoints: Seq[GeoPoint] = Seq(
     GeoPoint("noerrebrogade", "55.694843", "12.548434"),
-    GeoPoint("h.c. andersens boulevard/raadhuspladsen", "55.674906", "12.569135"),
+    GeoPoint("torvegade/knippelsbro", "55.671906", "12.581135"),
     GeoPoint("langebro", "55.668548", "12.571472"))
 }

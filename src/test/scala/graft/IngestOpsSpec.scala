@@ -25,8 +25,8 @@ class IngestOpsSpec extends SparkSpec {
     // P7: string concatenation of the *input* strings, not arithmetic
     assert(r.getAs[String]("original_coordinates") == "55.1,12.5")
     // P2/P3: head and last of the coordinate array, cast to string (P6)
-    assert(r.getAs[String]("first_coordinates") == "55.690388,12.537862")
-    assert(r.getAs[String]("last_coordinates") == "55.69177,12.539301")
+    assert(r.getAs[String]("first_coordinates") == "55.661234,12.501234")
+    assert(r.getAs[String]("last_coordinates") == "55.662345,12.502345")
   }
 
   test("single-coordinate array: head == last (FIXTURES.md edge)") {

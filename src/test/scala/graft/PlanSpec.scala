@@ -98,14 +98,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
-  // The 100-TB broadcast policy: customer/part/supplier grow linearly
-  // with scale factor, so a hard broadcast() hint (which bypasses the
-  // size check and the 8 GB broadcast limit) is an OOM at sf100+. These
-  // pins assert both halves of the fix: no hint survives on a scaling
-  // dim, AND size-stats/AQE still plan the broadcast at bench scale —
-  // so dropping the hints cost nothing where it was ever correct.
+  // The 100-TB broadcast policy: customer/part/supplier/orders/lineitem
+  // grow linearly with scale factor, so a hard broadcast() hint (which
+  // bypasses the size check and the 8 GB broadcast limit) is an OOM at
+  // sf100+. The sweep is TOTAL — it iterates every registered query, not
+  // a named list (a named list is exactly how q_star_join's forced
+  // broadcast(customer) survived the round-3 purge): any hint whose
+  // build side carries a scale-growing table's columns fails here, no
+  // matter which query reintroduces it. Bounded frames (nation/region,
+  // 1-row scalars, centroid rows, benchmark-gram lists) keep their hints
+  // — none expose these columns.
   private val scalingDimCols =
-    Set("c_custkey", "p_partkey", "s_suppkey", "o_orderkey", "l_orderkey")
+    Set("c_custkey", "p_partkey", "s_suppkey", "o_orderkey", "l_orderkey",
+      "doc_id", "vec_id", "event_id")
 
   private def hintedCols(name: String): Set[String] =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.analyzed.collect {
@@ -113,14 +118,29 @@ class PlanSpec extends SparkSpec {
         h.child.output.map(_.name)
     }.flatten.toSet
 
+  test("ALL queries: no broadcast hint on a scale-growing side (total " +
+    "sweep over SparkEntry.specs)") {
+    val violations = SparkEntry.specs.flatMap { sp =>
+      val hinted =
+        try hintedCols(sp.name).intersect(scalingDimCols)
+        catch { case e: Throwable =>
+          fail(s"${sp.name}: failed to analyze: ${e.getMessage}")
+        }
+      if (hinted.nonEmpty) Some(sp.name -> hinted) else None
+    }
+    assert(violations.isEmpty,
+      s"forced broadcast on scaling dim cols: $violations")
+  }
+
+  // And the other half of the policy: dropping the hints cost nothing
+  // where a broadcast was ever correct — size-stats/AQE still plan
+  // BroadcastHashJoin for these shapes at bench scale.
   for (q <- Seq("q_tpch3_shipping", "q_tpch5_local_volume",
       "q_tpch7_volume", "q_tpch10_returns", "q_tpch13_custdist",
       "q_tpch17_smallqty", "q_tpch18_volume", "q_tpch14_promo",
-      "q_left_join")) {
-    test(s"$q: no broadcast hint on a scale-growing side, yet the " +
-      "planner still picks BroadcastHashJoin at bench scale") {
-      val hinted = hintedCols(q).intersect(scalingDimCols)
-      assert(hinted.isEmpty, s"forced broadcast on scaling dim cols: $hinted")
+      "q_left_join", "q_star_join")) {
+    test(s"$q: planner still picks BroadcastHashJoin at bench scale " +
+      "with no hint on the scaling side") {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"), p)
     }
