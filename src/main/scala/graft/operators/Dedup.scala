@@ -162,21 +162,30 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src")).agg(min(col("nl")).as("nl"))
         .select(col("src").as("id"), col("nl"))
+      // carry the round's starting label along as `prev` so convergence
+      // is decided from the SAME frame the round materializes — the old
+      // probe re-JOINED the jumped frame to the previous labels (an
+      // extra shuffle join + action every round)
       val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       // pointer jump: follow my label's own label (labels are vertex ids,
       // so this is a self-join on the same frame)
       val jumped = propagated
         .join(propagated.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
-        .localCheckpoint()
-      converged = jumped
-        .join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") =!= col("prev"))
-        .isEmpty
-      labels = jumped
+        .select(col("id"), col("prev"),
+          coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint(eager = false)
+      // LAZY checkpoint + count: the count materializes the round's
+      // final stage (persisting the partitions and truncating lineage
+      // for every later round) AND folds the changed-label tally into
+      // that same pass — the convergence probe costs one cached-scan
+      // aggregate, no join, no extra shuffle (join-free shape pinned in
+      // OperatorsSpec).
+      converged =
+        jumped.filter(col("label") =!= col("prev")).count() == 0L
+      labels = jumped.select(col("id"), col("label"))
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

@@ -591,6 +591,71 @@ object Extended {
             |  SELECT s_name, s_acctbal FROM graft_supplier s
             |  WHERE s.s_nationkey = n.n_nationkey
             |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t""".stripMargin)
+    },
+
+    // The TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    // this schema's columns: a returned line (l_returnflag = 'R') plays
+    // the late-delivery role. The trap is the pair of correlated
+    // multi-condition subqueries against the SAME fact table —
+    //   EXISTS     (another supplier on the order)
+    //   NOT EXISTS (another supplier with a returned line on the order)
+    // — which a naive decorrelation turns into THREE full lineitem scans
+    // (l1 + a semi-join scan + an anti-join scan). The engine form scans
+    // lineitem ONCE: aggregate to the (order, supplier) grain carrying
+    // the returned-line count, then derive both existence predicates
+    // from per-order counts over that aggregated frame — n_supps >= 2 ⟺
+    // the EXISTS; n_ret_supps = 1 (with this supplier's ret_lines > 0) ⟺
+    // the NOT EXISTS. The window runs at the (order, supplier) grain,
+    // whose per-order group is bounded by lines-per-order (~7 in TPC-H),
+    // so no key can concentrate; numwait sums the carried line counts,
+    // restoring l1-row semantics without a second scan. Plan-pinned in
+    // PlanSpec: exactly one lineitem scan, final top-100 a TakeOrdered.
+    QuerySpec(
+      "q_tpch21_waiting",
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val ret = col("l_returnflag") === "R"
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(ret, 1L).otherwise(0L)).as("ret_lines"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val culprit = per
+        .withColumn("n_supps", count(lit(1)).over(w))
+        .withColumn("n_ret_supps",
+          sum(when(col("ret_lines") > 0, 1).otherwise(0)).over(w))
+        .filter(col("ret_lines") > 0 &&
+          col("n_supps") >= 2 && col("n_ret_supps") === 1)
+      culprit
+        .join(Tables.load(s, d, "orders")
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, d, "supplier"), // scaling dim: no hint
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.load(s, d, "nation")
+            .filter(col("n_name")
+              .isInCollection(Seq("NATION_3", "NATION_7", "NATION_11")))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("ret_lines")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
     }
   )
 }

@@ -207,6 +207,42 @@ class OperatorsSpec extends SparkSpec {
     Seq(200L, 201L).foreach(i => assert(got(i) == 200L))
   }
 
+  test("connectedComponents convergence probe is join-free — the " +
+    "changed-label count reads the round's own materialized frame, " +
+    "never re-joins the previous labels") {
+    val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // The per-round probe is the only `count` action in the loop; its
+    // executed plan must be agg-over-filter-over-the-checkpointed-RDD.
+    // The old probe form joined the jumped frame back to the previous
+    // labels (an extra shuffle join per round) — that shape fails here.
+    val probePlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "count") probePlans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      Dedup.connectedComponents(pairs).collect()
+      // execution-listener events post asynchronously; give the bus a
+      // beat to drain (lag can only UNDERCOUNT probe plans — every
+      // captured plan must still be join-free)
+      Thread.sleep(1000)
+      import scala.jdk.CollectionConverters._
+      val plans = probePlans.asScala.toSeq
+      assert(plans.nonEmpty, "no convergence probe captured")
+      plans.foreach { p =>
+        assert(!p.contains("Join"), s"probe joins:\n${p.take(1500)}")
+        assert(p.contains("Scan ExistingRDD"),
+          s"probe does not read the checkpointed frame:\n${p.take(1500)}")
+      }
+    } finally spark.listenerManager.unregister(ql)
+  }
+
   test("dedup_cluster agrees with a union-find reference on sf0.001") {
     val pairs = Dedup.ngramPairs(Tables.documents(spark, sf0001))
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect()

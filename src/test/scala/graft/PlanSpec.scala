@@ -146,6 +146,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch21: both correlated subqueries (EXISTS + NOT EXISTS " +
+    "against the same fact) derive from ONE lineitem scan — no " +
+    "semi/anti re-scan — and the top-100 is a TakeOrdered") {
+    val q = SparkEntry.queries("q_tpch21_waiting")(spark, sf0001)
+    val lineitemScans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata("Location").contains("lineitem") => f
+    }.size
+    assert(lineitemScans == 1, s"lineitem scanned $lineitemScans times")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_tpch19: the OR-of-ANDs predicate CNF-extracts per side — the " +
     "brand/size disjunction reaches the part scan, the quantity " +
     "disjunction the lineitem scan") {
