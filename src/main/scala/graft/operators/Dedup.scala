@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines:
@@ -245,6 +245,112 @@ object Dedup {
       .join(nearDropped, Seq("doc_id"), "left_anti")
   }
 
+  /** Persist the incremental-dedup index for `docs` (the already-ingested
+    * corpus) at `path`: two parquet frames —
+    *   `shingles/` (doc_id, shh): the RAW exploded 8-byte shingle hashes
+    *   `hashes/`   (doc_id, h):   the md5 content hash per document
+    * The shingle frame is raw (un-capped) because the stop-shingle df cap
+    * must count UNION(history, incoming) document frequency at query
+    * time, exactly as a full re-dedup would — a cap baked in at index
+    * time would freeze history's df and diverge from the convergence
+    * contract. This is the 100-TB lifecycle piece: each ingest batch
+    * APPENDS its survivors' pairs to the index (here: one overwrite,
+    * because the gate builds it once), and no later batch ever re-reads
+    * history *text* — only these compact hash frames.
+    *
+    * Index keys are xxhash64 values, not shingle strings: 8 bytes/key vs
+    * ~25, which is what makes the persisted index affordable. The df cap
+    * therefore counts by 64-bit hash in indexed mode; two DISTINCT
+    * shingles colliding would merge their df counts (P ≈ n²/2⁶⁵ —
+    * vanishing at any realistic vocabulary), the standard signature-index
+    * trade every production dedup index makes.
+    */
+  def writeIndex(docs: DataFrame, path: String): Unit = {
+    val exploded = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+    exploded.write.mode(SaveMode.Overwrite).parquet(s"$path/shingles")
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes")
+  }
+
+  /** [[incrementalKeepNew]] against a PERSISTED index (see
+    * [[writeIndex]]): result-identical by contract — same union df cap,
+    * same size-ratio prune, same chain semantics — but the history side
+    * is read from the compact (doc_id, shh)/(doc_id, h) frames, so the
+    * corpus *text* is never re-scanned and never re-shingled. At 100 TB
+    * this is the difference between "the join shape is right" and "the
+    * cost is right": per batch the engine reads |corpus| 16-byte index
+    * rows instead of re-tokenizing |corpus| documents (and the index
+    * read is column-pruned parquet, amenable to the same
+    * bucketing/compaction as any Layout table). Plan-pinned in
+    * OperatorsSpec: the only scans of the documents table in this plan
+    * carry the incoming-batch filter.
+    */
+  def incrementalKeepNewIndexed(indexPath: String,
+      incoming: DataFrame): DataFrame = {
+    val s = incoming.sparkSession
+    val histSh = s.read.parquet(s"$indexPath/shingles")
+    val histHash = s.read.parquet(s"$indexPath/hashes")
+    val incIds = incoming.select(col("doc_id"))
+    // (a) exact: any smaller-id doc (history or earlier-in-batch) with
+    // the same content hash
+    val incHashes = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+    val exactDropped = incHashes
+      .join(histHash.union(incHashes)
+        .select(col("doc_id").as("other_id"), col("h")), Seq("h"))
+      .filter(col("other_id") < col("doc_id"))
+      .select(col("doc_id")).distinct()
+    // (b) near: union the index pairs with the incoming batch's freshly
+    // shingled pairs, cap on union df, then the same incoming-sided
+    // candidate join as the non-indexed operator
+    val incSh = incoming
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+    val allSh = histSh.union(incSh)
+    val stop = allSh
+      .groupBy(col("shh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxDf)
+      .select(col("shh"))
+    val capped = allSh.join(broadcast(stop), Seq("shh"), "left_anti")
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val withN = capped.withColumn("n", count(lit(1)).over(wDoc))
+    val a = withN.select(col("doc_id").as("doc_a"), col("shh"), col("n").as("na"))
+    val b = withN.join(incIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_b"), col("shh"), col("n").as("nb"))
+    val nearDropped = a.join(b, Seq("shh"))
+      .filter(col("doc_a") < col("doc_b") &&
+        greatest(col("na"), col("nb")) <= lit(1.25) * least(col("na"), col("nb")))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("i"))
+      .filter(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")) >= 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+    incoming
+      .join(exactDropped, Seq("doc_id"), "left_anti")
+      .join(nearDropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** Build-if-absent the persisted index for the gate's history split
+    * under the session warehouse (suffix-keyed per source dir, like
+    * Layout's bucketed tables), and return its path.
+    */
+  def ensureIndex(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_dedup_index$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val done = Seq("shingles", "hashes").map(f =>
+      new org.apache.hadoop.fs.Path(root, s"$f/_SUCCESS"))
+    if (!done.forall(fs.exists)) {
+      val history = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
+      writeIndex(history, root.toString)
+    }
+    root.toString
+  }
+
   /** Oracle CTE: exploded distinct (doc_id, shingle) pairs, no df cap. */
   private val rawShingleCte: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -258,6 +364,28 @@ object Dedup {
     s"""$rawShingleCte,
       |s AS (SELECT doc_id, sh FROM ex
       |      WHERE sh IN (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 50))""".stripMargin
+
+  /** Shared oracle for `dedup_incremental` AND `dedup_incremental_indexed`
+    * — the indexed variant's contract is result-IDENTITY with the
+    * recompute-everything form, so both gate against the same SQL.
+    */
+  private val incrementalOracleSql: String =
+    s"""$shingleCte,
+       |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id),
+       |near AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM inter
+       |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
+       |exact_dup AS (SELECT DISTINCT b.doc_id
+       |       FROM documents a JOIN documents b
+       |         ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id % 5 = 4
+       |  AND doc_id NOT IN (SELECT doc_id FROM near)
+       |  AND doc_id NOT IN (SELECT doc_id FROM exact_dup)""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -326,27 +454,28 @@ object Dedup {
     // is incoming — O(|incoming| · blocked), never O(|corpus|²).
     QuerySpec(
       "dedup_incremental",
-      s"""$shingleCte,
-         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |          GROUP BY a.doc_id, b.doc_id),
-         |near AS (
-         |  SELECT DISTINCT doc_b AS doc_id FROM inter
-         |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-         |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
-         |exact_dup AS (SELECT DISTINCT b.doc_id
-         |       FROM documents a JOIN documents b
-         |         ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)
-         |SELECT doc_id, lang, source FROM documents
-         |WHERE doc_id % 5 = 4
-         |  AND doc_id NOT IN (SELECT doc_id FROM near)
-         |  AND doc_id NOT IN (SELECT doc_id FROM exact_dup)""".stripMargin) {
+      incrementalOracleSql) {
       (s, d) =>
         val docs = Tables.documents(s, d)
         val history = docs.filter(col("doc_id") % 5 =!= 4)
         val incoming = docs.filter(col("doc_id") % 5 === 4)
         incrementalKeepNew(history, incoming)
+          .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // The same incremental contract served from the PERSISTED index: the
+    // history side is read back as compact (doc_id, shh)/(doc_id, h)
+    // parquet frames (built once, build-if-absent like Layout's bucketed
+    // tables) and the corpus text is never re-scanned — the plan's only
+    // documents scans carry the incoming-batch filter (spec-pinned).
+    // Same oracle as dedup_incremental: the index changes COST, not one
+    // row of the result.
+    QuerySpec(
+      "dedup_incremental_indexed",
+      incrementalOracleSql) {
+      (s, d) =>
+        val incoming = Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+        incrementalKeepNewIndexed(ensureIndex(s, d), incoming)
           .select(col("doc_id"), col("lang"), col("source"))
     },
 

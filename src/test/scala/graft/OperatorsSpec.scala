@@ -261,6 +261,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("dedup_incremental_indexed: history text is never re-scanned — " +
+    "every documents scan carries the incoming-batch filter; the " +
+    "history side reads the persisted index frames") {
+    val q = SparkEntry.queries("dedup_incremental_indexed")(spark, sf0001)
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val docScans = scans.filter(_.metadata("Location").contains("documents"))
+    assert(docScans.nonEmpty, "expected incoming-side documents scans")
+    docScans.foreach { f =>
+      assert(f.dataFilters.mkString(";").contains("% 5"),
+        s"documents scan without the incoming filter: ${f.dataFilters}")
+    }
+    val idxScans =
+      scans.filter(_.metadata("Location").contains("graft_dedup_index"))
+    assert(idxScans.size >= 2,
+      s"expected shingle + hash index scans, got ${idxScans.size}")
+    // and the result is identical to the recompute-everything operator
+    val viaIndex = q.select($"doc_id").as[Long].collect().toSet
+    val viaFull = SparkEntry.queries("dedup_incremental")(spark, sf0001)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaIndex == viaFull)
+  }
+
   test("dedup_exact groups: all singleton on sf0.001 (no exact dups)") {
     val out = SparkEntry.queries("dedup_exact")(spark, sf0001)
     assert(out.filter($"n_copies" > 1).count() == 0)
