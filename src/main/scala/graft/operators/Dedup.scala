@@ -271,6 +271,13 @@ object Dedup {
       .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
     exploded.write.mode(SaveMode.Overwrite).parquet(s"$path/shingles")
+    // Pre-aggregated per-shingle document frequency: the query-time stop
+    // list needs df(history) + df(incoming) per key, and reading this
+    // (shh, df) summary beats re-aggregating the full pair frame every
+    // batch — the pairs are then scanned exactly ONCE per batch (for
+    // candidate generation).
+    exploded.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/df")
     docs.select(col("doc_id"), md5(col("text")).as("h"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes")
   }
@@ -310,9 +317,16 @@ object Dedup {
       .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
     val allSh = histSh.union(incSh)
-    val stop = allSh
-      .groupBy(col("shh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxDf)
+    // Union df per key = persisted history df + incoming df: the stop
+    // list is a full-outer merge of two AGGREGATED frames — history's
+    // pair frame is never scanned for it (that scan happens once, below,
+    // for candidates).
+    val histDf = s.read.parquet(s"$indexPath/df")
+      .select(col("shh"), col("df").as("hdf"))
+    val incDf = incSh.groupBy(col("shh")).agg(count(lit(1)).as("idf"))
+    val stop = histDf.join(incDf, Seq("shh"), "full")
+      .filter(coalesce(col("hdf"), lit(0L)) +
+        coalesce(col("idf"), lit(0L)) > MaxDf)
       .select(col("shh"))
     val capped = allSh.join(broadcast(stop), Seq("shh"), "left_anti")
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
@@ -342,7 +356,7 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), s"graft_dedup_index$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val done = Seq("shingles", "hashes").map(f =>
+    val done = Seq("shingles", "df", "hashes").map(f =>
       new org.apache.hadoop.fs.Path(root, s"$f/_SUCCESS"))
     if (!done.forall(fs.exists)) {
       val history = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
