@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, RollingHashMinima, SimHashAgg, TopKAgg}
+import graft.functions.{CosineSim, DotProduct, RollingHashMinima, SimHashAgg, TopKAgg, TopKStrAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -62,7 +62,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException(
             "top_k: k must be an integer literal")
         }
-        TopKAgg(args(0), args(1), k).toAggregateExpression()
+        // polymorphic on the id type: string ids ride the string-buffer
+        // variant, everything numeric the primitive-array fast path
+        import org.apache.spark.sql.types.StringType
+        val agg = args(1).dataType match {
+          case StringType => TopKStrAgg(args(0), args(1), k)
+          case _ => TopKAgg(args(0), args(1), k)
+        }
+        agg.toAggregateExpression()
       }))
     ext.injectFunction((
       new FunctionIdentifier("winnow_fingerprints"),

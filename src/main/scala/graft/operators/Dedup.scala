@@ -282,6 +282,40 @@ object Dedup {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes")
   }
 
+  /** Fold a new batch into a persisted index (the per-batch lifecycle
+    * step: after `incrementalKeepNewIndexed` picks a batch's survivors,
+    * those survivors join the corpus and must be queryable by the NEXT
+    * batch). Pair and hash frames APPEND — history rows are immutable —
+    * while the df summary is re-merged (old summary ∪ batch counts,
+    * grouped-sum) and published via staged-write + directory swap so a
+    * concurrent reader sees the old or the new summary, never a partial
+    * one (same local/HDFS rename semantics as `Layout.publishOverwrite`;
+    * an object-store deployment publishes the staged dir via a metadata
+    * commit instead). Requires a local-filesystem `path`, like
+    * `Layout.compactDatePartition`.
+    *
+    * Cost shape: O(|batch|) append + a merge keyed by shingle hash whose
+    * inputs are two AGGREGATED frames — the corpus pair frame is never
+    * rewritten and never re-read.
+    */
+  def appendToIndex(docs: DataFrame, path: String): Unit = {
+    val s = docs.sparkSession
+    val exploded = docs
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+    exploded.write.mode(SaveMode.Append).parquet(s"$path/shingles")
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .write.mode(SaveMode.Append).parquet(s"$path/hashes")
+    val merged = s.read.parquet(s"$path/df")
+      .union(exploded.groupBy(col("shh")).agg(count(lit(1)).as("df")))
+      .groupBy(col("shh")).agg(sum(col("df")).as("df"))
+    import java.nio.file.Paths
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$path/.df.staging")
+    Layout.replaceDir(Paths.get(path, ".df.staging"),
+      Paths.get(path, "df"), Paths.get(path, ".df.old"))
+  }
+
   /** [[incrementalKeepNew]] against a PERSISTED index (see
     * [[writeIndex]]): result-identical by contract — same union df cap,
     * same size-ratio prune, same chain semantics — but the history side

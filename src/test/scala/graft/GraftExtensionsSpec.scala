@@ -107,6 +107,13 @@ class GraftExtensionsSpec extends SparkSpec {
       intercept[Exception](
         s.sql("SELECT top_k(sim, id, id) FROM VALUES (0.5d, 1L) v(sim, id)")
           .collect())
+      // polymorphic id type: string ids dispatch to the string-buffer
+      // variant (ties by binary string order, matching ORDER BY n DESC, w)
+      val tks = s.sql(
+        """SELECT top_k(n, w, 2) AS t FROM VALUES
+          |  (5.0d, 'the'), (9.0d, 'of'), (9.0d, 'to') v(n, w)""".stripMargin)
+        .select(explode(col("t.id"))).collect().map(_.getString(0)).toSeq
+      assert(tks == Seq("of", "to"), tks.mkString(","))
       // the injected TABLE FUNCTION: asof_join reachable from pure SQL on
       // the extensions-built session (no runtime registration call)
       l.createOrReplaceTempView("ext_l")

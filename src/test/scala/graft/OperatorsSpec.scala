@@ -285,6 +285,35 @@ class OperatorsSpec extends SparkSpec {
     assert(viaIndex == viaFull)
   }
 
+  test("appendToIndex: an index grown batch-by-batch answers the next " +
+    "increment identically to an index built from scratch over the " +
+    "accumulated corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val wave1 = docs.filter($"doc_id" % 5 < 3)
+    val wave2 = docs.filter($"doc_id" % 5 === 3)
+    val incoming = docs.filter($"doc_id" % 5 === 4)
+    val grown = tmpDir("idx-grown")
+    val scratch = tmpDir("idx-scratch")
+    Dedup.writeIndex(wave1, grown)
+    Dedup.appendToIndex(wave2, grown)
+    Dedup.writeIndex(wave1.union(wave2), scratch)
+    val viaGrown = Dedup.incrementalKeepNewIndexed(grown, incoming)
+      .select($"doc_id").as[Long].collect().toSet
+    val viaScratch = Dedup.incrementalKeepNewIndexed(scratch, incoming)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaGrown == viaScratch)
+    // and both agree with the recompute-everything operator
+    val viaFull = Dedup.incrementalKeepNew(wave1.union(wave2), incoming)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaGrown == viaFull)
+    // df summaries are value-identical, not just result-equivalent
+    val dfGrown = spark.read.parquet(s"$grown/df")
+      .as[(Long, Long)].collect().toMap
+    val dfScratch = spark.read.parquet(s"$scratch/df")
+      .as[(Long, Long)].collect().toMap
+    assert(dfGrown == dfScratch)
+  }
+
   test("dedup_exact groups: all singleton on sf0.001 (no exact dups)") {
     val out = SparkEntry.queries("dedup_exact")(spark, sf0001)
     assert(out.filter($"n_copies" > 1).count() == 0)

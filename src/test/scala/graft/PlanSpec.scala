@@ -112,24 +112,39 @@ class PlanSpec extends SparkSpec {
     Set("c_custkey", "p_partkey", "s_suppkey", "o_orderkey", "l_orderkey",
       "doc_id", "vec_id", "event_id")
 
-  private def hintedCols(name: String): Set[String] =
-    SparkEntry.queries(name)(spark, sf0001).queryExecution.analyzed.collect {
-      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
-        h.child.output.map(_.name)
-    }.flatten.toSet
-
-  test("ALL queries: no broadcast hint on a scale-growing side (total " +
-    "sweep over SparkEntry.specs)") {
+  test("ALL queries: no broadcast hint on a scale-growing side, no " +
+    "unpartitioned window over ANY frame (total sweep over " +
+    "SparkEntry.specs)") {
+    // One pass over every registered query's analyzed plan, checking the
+    // two 100-TB hazard classes this project has actually hit:
+    //  1. a broadcast() hint whose build side carries a scaling table's
+    //     columns (bypasses AQE's size check → OOM at sf100), and
+    //  2. a window with NO partition spec (funnels its whole input into
+    //     one task — the vocab_coverage failure mode; bounded inputs
+    //     don't excuse it, because "bounded" claims rot as shapes evolve
+    //     and every current operator has a partitioned or window-free
+    //     form).
     val violations = SparkEntry.specs.flatMap { sp =>
-      val hinted =
-        try hintedCols(sp.name).intersect(scalingDimCols)
+      val analyzed =
+        try SparkEntry.queries(sp.name)(spark, sf0001).queryExecution.analyzed
         catch { case e: Throwable =>
           fail(s"${sp.name}: failed to analyze: ${e.getMessage}")
         }
-      if (hinted.nonEmpty) Some(sp.name -> hinted) else None
+      val hinted = analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+          h.child.output.map(_.name)
+      }.flatten.toSet.intersect(scalingDimCols)
+      val globalWindows = analyzed.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      val problems =
+        (if (hinted.nonEmpty) Seq(s"hint on $hinted") else Nil) ++
+          (if (globalWindows.nonEmpty)
+            Seq(s"${globalWindows.size} unpartitioned window(s)") else Nil)
+      if (problems.nonEmpty) Some(sp.name -> problems) else None
     }
-    assert(violations.isEmpty,
-      s"forced broadcast on scaling dim cols: $violations")
+    assert(violations.isEmpty, s"scale hazards: $violations")
   }
 
   // And the other half of the policy: dropping the hints cost nothing
