@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming corpus dedup against the PERSISTED dedup index — the
+  * ingestion-time shape of `dedup_incremental_indexed`. Each micro-batch:
+  *
+  *   1. dedups the batch against index ∪ batch
+  *      (`Dedup.incrementalKeepNewIndexed` — the exact batch operator,
+  *      so semantics parity with the gated query is structural, not
+  *      re-implemented),
+  *   2. appends the survivors to the corpus sink,
+  *   3. folds the survivors into the index (`Dedup.appendToIndex`) so
+  *      the NEXT micro-batch dedups against the grown corpus.
+  *
+  * The durable state is the ON-DISK index, not a streaming state store:
+  * dropped documents never enter it, survivors enter it exactly once,
+  * and a restart resumes from whatever the index last published —
+  * which composes with the checkpointed source offsets the same way the
+  * ingest pipeline's append sink does. Contrast with
+  * `StatefulOps.dedupWithinWatermark`, which bounds its state by a
+  * watermark horizon and therefore only dedups WITHIN that horizon; this
+  * operator dedups against the whole accumulated corpus for the cost of
+  * an index read per batch (O(|corpus|) compact hash rows, not corpus
+  * text — see `Dedup.writeIndex`).
+  *
+  * Scale shape per batch: candidate pairs are only ever generated
+  * against the incoming side (the batch), the index pair frame is
+  * scanned once, and the index append is O(|survivors|) plus a merge of
+  * two aggregated df summaries.
+  */
+object StreamingDedup {
+
+  /** Start the dedup stream: `docs` must be a streaming frame with at
+    * least (doc_id, text). The index at `indexPath` must exist — seed it
+    * with `Dedup.writeIndex` over the initial corpus (possibly empty).
+    * Exact-dup precedence follows doc_id order, so ids must be
+    * monotonically assigned across batches (any ingest sequence number
+    * works).
+    */
+  def start(docs: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // localCheckpoint: survivors feed BOTH the corpus append and the
+        // three index-append reads — bounded (batch-sized), and avoids
+        // re-running the dedup join per consumer.
+        val survivors =
+          Dedup.incrementalKeepNewIndexed(indexPath, batch).localCheckpoint()
+        if (!survivors.isEmpty) { // K3-style empty-batch suppression
+          survivors.write.mode(SaveMode.Append).parquet(outPath)
+          Dedup.appendToIndex(survivors, indexPath)
+        }
+      }
+      .start()
+}
