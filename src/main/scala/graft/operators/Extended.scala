@@ -656,6 +656,59 @@ object Extended {
         .agg(sum(col("ret_lines")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
+    },
+
+    // The TPC-H Q20 shape (suppliers with excess stock of promo parts),
+    // adapted: no partsupp table here, so the supplies relation is
+    // lineitem aggregated to the (part, supplier) grain, and "excess" =
+    // the supplier shipped more than 2× the part's per-supplier average
+    // — the nested-IN chain (supplier IN dominant-pairs, part IN
+    // name-filtered parts) over a correlated per-part aggregate. The
+    // comparison q·n > tot·2 stays in DECIMAL × integer arithmetic:
+    // exact in both engines, no 0.5 double ever materializes. Engine
+    // form: one lineitem scan → (part, supplier) partial-aggregated
+    // groupBy → per-part window (group size = suppliers-per-part,
+    // bounded) → semi-join chain (part filter, then supplier) — IN
+    // subqueries become LeftSemi joins, never row-duplicating inner
+    // joins (plan-pinned).
+    QuerySpec(
+      "q_tpch20_excess",
+      """WITH supplies AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |dominant AS (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_partkey, l_suppkey, q,
+        |           sum(q) OVER (PARTITION BY l_partkey) AS tot,
+        |           count(*) OVER (PARTITION BY l_partkey) AS n
+        |    FROM supplies) x
+        |  WHERE q * n > tot * 2
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'red%'))
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+        |  AND n_name IN ('NATION_2', 'NATION_9', 'NATION_17')""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("l_partkey"))
+        val dominant = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(dec(col("l_quantity"))).as("q"))
+          .withColumn("tot", sum(col("q")).over(w))
+          .withColumn("n", count(lit(1)).over(w))
+          .filter(col("q") * col("n") > col("tot") * 2)
+          .join(Tables.load(s, d, "part")
+              .filter(col("p_name").like("red%")).select(col("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .select(col("l_suppkey")).distinct()
+        Tables.load(s, d, "supplier")
+          .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(Tables.load(s, d, "nation")
+              .filter(col("n_name")
+                .isInCollection(Seq("NATION_2", "NATION_9", "NATION_17")))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"))
     }
   )
 }

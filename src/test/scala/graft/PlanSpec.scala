@@ -174,6 +174,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_tpch20: both IN subqueries plan as LeftSemi joins (no " +
+    "row-duplicating inner join), one lineitem scan, and the p_name " +
+    "prefix filter reaches the part scan") {
+    val q = SparkEntry.queries("q_tpch20_excess")(spark, sf0001)
+    val p = q.queryExecution.executedPlan.toString
+    assert("LeftSemi".r.findAllIn(p).length >= 2, p)
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.count(_.metadata("Location").contains("lineitem")) == 1)
+    val partPushed = scans.filter(_.metadata("Location").contains("part"))
+      .map(_.metadata("PushedFilters")).mkString(" ")
+    assert(partPushed.contains("StringStartsWith(p_name,red)"), partPushed)
+  }
+
   test("q_tpch19: the OR-of-ANDs predicate CNF-extracts per side — the " +
     "brand/size disjunction reaches the part scan, the quantity " +
     "disjunction the lineitem scan") {
