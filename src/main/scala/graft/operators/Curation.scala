@@ -343,8 +343,7 @@ object Curation {
         // stage 1: quality floor (the shared text_quality kernel)
         val k1 = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.75)
           .select(col("doc_id"), col("lang"), col("source"), col("text"))
-        // stage 2: decontaminate — benchmark grams broadcast, corpus
-        // filtered map-side, contaminated ids anti-joined away
+        // stage 2: decontaminate — contaminated ids anti-joined away
         val bench = docs.filter(col("source") === "src0")
           .select(explode(array_distinct(Dedup.kgrams(col("text"), 4))).as("g"))
           .select(xxhash64(col("g")).as("gh")).distinct()
@@ -352,7 +351,9 @@ object Curation {
         val cont = corpus
           .select(col("doc_id"), explode(Dedup.kgrams(col("text"), 4)).as("g"))
           .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-          .join(broadcast(bench), Seq("gh"))
+          // unhinted: the gated bench side derives from the corpus (see
+          // Dedup `decontaminate`) — AQE broadcasts it at bench scale
+          .join(bench, Seq("gh"))
           .select(col("doc_id")).distinct()
         val k2 = corpus.join(cont, Seq("doc_id"), "left_anti")
         // stage 3: exact-dedup keep-list (min doc_id per content hash)

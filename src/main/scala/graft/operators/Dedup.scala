@@ -67,17 +67,22 @@ object Dedup {
     // a Zipfian corpus the very stop-shingles the cap exists to kill
     // concentrate O(corpus) rows on a single straggler. Instead the df
     // is a groupBy count (map-side combine collapses hot keys before the
-    // shuffle), the over-cap survivors form a small stop-shingle list —
-    // at most total-occurrences/maxDf entries, in practice a handful of
-    // boilerplate 3-grams — and a broadcast anti-join removes them from
-    // the exploded stream. Hot keys never co-locate. Same observable
+    // shuffle) and the over-cap survivors form a stop-shingle list that
+    // anti-joins the exploded stream. The anti-join carries NO broadcast
+    // hint: the stop list is at most total-occurrences/maxDf entries —
+    // tiny at bench scale, where AQE still plans a broadcast anti-join
+    // (plan-pinned) — but it is the corpus' frequent-n-gram vocabulary,
+    // which GROWS with the corpus; a forced hint would bypass the size
+    // check and OOM executors at web scale, while the unhinted plan
+    // degrades gracefully to a shuffled anti-join (SMJ streams hot keys;
+    // they never co-locate thanks to the groupBy above). Same observable
     // semantics as the window form (shingles are array_distinct'd per
     // doc, so count(*) == document frequency).
     val stop = exploded
       .groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("sh"))
-    exploded.join(broadcast(stop), Seq("sh"), "left_anti")
+    exploded.join(stop, Seq("sh"), "left_anti")
   }
 
   private val MaxDf = 50
@@ -362,7 +367,10 @@ object Dedup {
       .filter(coalesce(col("hdf"), lit(0L)) +
         coalesce(col("idf"), lit(0L)) > MaxDf)
       .select(col("shh"))
-    val capped = allSh.join(broadcast(stop), Seq("shh"), "left_anti")
+    // No broadcast hint (same rationale as docShingles): the stop list
+    // grows with corpus vocabulary; AQE broadcasts it while it is small
+    // and falls back to a shuffled anti-join once it is not.
+    val capped = allSh.join(stop, Seq("shh"), "left_anti")
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val withN = capped.withColumn("n", count(lit(1)).over(wDoc))
     val a = withN.select(col("doc_id").as("doc_a"), col("shh"), col("n").as("na"))
@@ -768,7 +776,13 @@ object Dedup {
           .select(xxhash64(col("g")).as("gh")).distinct()
         val corp = grams.filter(col("source") =!= "src0")
           .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-        corp.join(broadcast(bench), Seq("gh"))
+        // No broadcast hint: a PRODUCTION eval suite is bounded by
+        // construction and its gram list may be hinted, but THIS gated
+        // stand-in derives the bench side from the corpus itself
+        // (source 'src0'), so its gram vocabulary grows with scale —
+        // exactly the class of frame the hazard sweep bans from forced
+        // broadcasts. AQE still broadcasts it at bench scale.
+        corp.join(bench, Seq("gh"))
           .distinct() // each shared gram counted once per doc
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_contaminated"))

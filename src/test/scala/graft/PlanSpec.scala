@@ -112,13 +112,57 @@ class PlanSpec extends SparkSpec {
     Set("c_custkey", "p_partkey", "s_suppkey", "o_orderkey", "l_orderkey",
       "doc_id", "vec_id", "event_id")
 
+  // Scale-growing table FILES (everything that grows with sf; nation and
+  // region are fixed-cardinality). Matched by scan path, not column
+  // names — renames/derived columns can't hide a corpus scan.
+  private val scaleTableScan =
+    (".*/(customer|orders|lineitem|part|supplier|events|documents|" +
+      "embeddings)\\.parquet$").r
+
+  /** Paths of scale-growing parquet scans anywhere under `p`. */
+  private def corpusScans(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
+    p.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+              .filter(pa => scaleTableScan.pattern.matcher(pa).matches())
+          case _ => Nil
+        }
+    }.flatten
+
+  /** A subtree whose output cardinality is bounded NO MATTER how large
+    * the scanned tables grow: it contains a group-less (scalar)
+    * aggregate or an explicit limit. GroupBy aggregates, distincts and
+    * filters do NOT count — a groupBy's output grows with its key's
+    * cardinality (the stop-shingle-list failure: "distinct shingles with
+    * df > 50" IS the corpus' frequent-n-gram vocabulary), and that is
+    * exactly the class of "small at bench scale" claim that rots.
+    */
+  private def structurallyBounded(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p.exists {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.isEmpty
+      case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
+      case _ => false
+    }
+
   test("ALL queries: no broadcast hint on a scale-growing side, no " +
     "unpartitioned window over ANY frame (total sweep over " +
     "SparkEntry.specs)") {
     // One pass over every registered query's analyzed plan, checking the
     // two 100-TB hazard classes this project has actually hit:
-    //  1. a broadcast() hint whose build side carries a scaling table's
-    //     columns (bypasses AQE's size check → OOM at sf100), and
+    //  1. a broadcast() hint whose build side reads a scale-growing
+    //     table (bypasses AQE's size check → OOM at sf100). Checked
+    //     STRUCTURALLY — any corpus scan under the hint, whatever the
+    //     output column names (the round-5 stop-list hint renamed its
+    //     way past the old column-keyed check) — unless a group-less
+    //     aggregate or an explicit limit bounds the subtree's
+    //     cardinality independent of corpus size. The old column-name
+    //     check is kept as a second net for hints on frames built
+    //     outside the registered table loaders.
     //  2. a window with NO partition spec (funnels its whole input into
     //     one task — the vocab_coverage failure mode; bounded inputs
     //     don't excuse it, because "bounded" claims rot as shapes evolve
@@ -130,21 +174,44 @@ class PlanSpec extends SparkSpec {
         catch { case e: Throwable =>
           fail(s"${sp.name}: failed to analyze: ${e.getMessage}")
         }
-      val hinted = analyzed.collect {
-        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
-          h.child.output.map(_.name)
-      }.flatten.toSet.intersect(scalingDimCols)
+      val hints = analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      val hintedCols = hints.flatMap(_.child.output.map(_.name))
+        .toSet.intersect(scalingDimCols)
+      val unboundedCorpusHints = hints.flatMap { h =>
+        val scans = corpusScans(h.child)
+        if (scans.nonEmpty && !structurallyBounded(h.child))
+          scans.map(_.replaceAll(".*/", ""))
+        else Nil
+      }
       val globalWindows = analyzed.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
           if w.partitionSpec.isEmpty => w
       }
       val problems =
-        (if (hinted.nonEmpty) Seq(s"hint on $hinted") else Nil) ++
+        (if (hintedCols.nonEmpty) Seq(s"hint on $hintedCols") else Nil) ++
+          (if (unboundedCorpusHints.nonEmpty)
+            Seq(s"unbounded hint over corpus scan(s) $unboundedCorpusHints")
+           else Nil) ++
           (if (globalWindows.nonEmpty)
             Seq(s"${globalWindows.size} unpartitioned window(s)") else Nil)
       if (problems.nonEmpty) Some(sp.name -> problems) else None
     }
     assert(violations.isEmpty, s"scale hazards: $violations")
+    // Self-check against a vacuous matcher (a path-format drift would
+    // silently blind the structural sweep): sim_topk's query-set hint
+    // reads the embeddings table and is bounded by its GlobalLimit —
+    // the matcher must SEE that scan and the bound.
+    val st = SparkEntry.queries("sim_topk")(spark, sf0001)
+      .queryExecution.analyzed
+    val stHints = st.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(stHints.exists(h => corpusScans(h.child).nonEmpty &&
+      structurallyBounded(h.child)),
+      "corpusScans/structurallyBounded matcher no longer sees the " +
+        "sim_topk query-set hint — the sweep would be vacuous")
   }
 
   // And the other half of the policy: dropping the hints cost nothing
@@ -159,6 +226,29 @@ class PlanSpec extends SparkSpec {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"), p)
     }
+  }
+
+  test("decontaminate / dedup_ngram: dropping the corpus-derived hints " +
+    "(bench grams, stop-shingle list) costs nothing at bench scale — " +
+    "AQE still broadcasts the small build side at runtime, or elides " +
+    "the empty anti-join outright") {
+    // These build sides are groupBy/distinct outputs, so the STATIC
+    // planner has no reliable size estimate — the broadcast decision is
+    // AQE's, made from actual map-output stats. Assert on the FINAL
+    // adaptive plan (post-execution), not the initial one.
+    val dc = SparkEntry.queries("decontaminate")(spark, sf0001)
+    dc.collect()
+    val dcPlan = dc.queryExecution.executedPlan.toString
+    assert(dcPlan.contains("BroadcastHashJoin"), dcPlan)
+    val ng = SparkEntry.queries("dedup_ngram")(spark, sf0001)
+    ng.collect()
+    val ngPlan = ng.queryExecution.executedPlan.toString
+    // the stop list is EMPTY at this sf (no shingle has df > 50): AQE
+    // must either broadcast the anti side or replace the anti-join with
+    // its probe side — never run a shuffled anti-join of the full
+    // shingle stream against a frame it knows is tiny
+    assert(!ngPlan.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("LeftAnti")), ngPlan)
   }
 
   test("q_tpch21: both correlated subqueries (EXISTS + NOT EXISTS " +
