@@ -90,10 +90,48 @@ object Dedup {
   /** SRP-LSH hyperplanes: ±1 components from a fixed-seed driver-side RNG.
     * Shared verbatim by the Spark plan (as `typedLit` arrays) and the
     * oracle SQL (as interpolated literals) — the portability contract.
+    *
+    * 64 planes = 4 bands × 16 bits. Band width is the scale knob: a
+    * b-bit band partitions the corpus into ≤ 2^b buckets, so expected
+    * candidate pairs per band are Ω(N²/2^b) — at 4 bits (the original
+    * family) that is quadratic-over-16, i.e. effectively all-pairs as N
+    * grows. 16-bit bands keep expected bucket occupancy ≪ N (65 536
+    * buckets per band), which `DedupSpec` pins with an occupancy
+    * assertion; recall concentrates on genuinely near pairs
+    * (P[16-bit band collision] = (1−θ/π)^16 — ≈0.19 per band at
+    * cosine 0.9, ≈6e-4 at cosine 0.4), which is the correct trade for a
+    * near-DUPLICATE detector at 100 TB: candidates stay band-bucketed
+    * and bounded instead of degenerating toward N².
     */
-  private val LshPlanes: Seq[Array[Double]] = (0 until 16).map { p =>
-    val rnd = new scala.util.Random(2654435761L * p + 12345)
-    Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  private val LshBands = 4
+  private val LshBandBits = 16
+  private val LshPlanes: Seq[Array[Double]] =
+    (0 until LshBands * LshBandBits).map { p =>
+      val rnd = new scala.util.Random(2654435761L * p + 12345)
+      Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    }
+
+  /** SRP band values for an embedding frame `e` = (vec_id, v):
+    * (vec_id, v, band, bv) with bv = the band's 16 sign bits packed
+    * little-endian (bit j set iff v·plane[band·16+j] ≥ 0). Each band's
+    * value is computed directly — no 64-bit composite signature, so
+    * neither engine ever touches the sign bit of a BIGINT. Shared by the
+    * `dedup_embedding_lsh` query and the occupancy spec.
+    */
+  def srpBands(e: DataFrame): DataFrame = {
+    val bandCols = (0 until LshBands).map { b =>
+      (0 until LshBandBits).map { j =>
+        when(Similarity.dot(col("v"),
+          typedLit(LshPlanes(b * LshBandBits + j).toSeq)) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce((x: Column, y: Column) => x.bitwiseOR(y)).as(s"bv$b")
+    }
+    val sig = e.select(col("vec_id") +: col("v") +: bandCols: _*)
+    sig.select(col("vec_id"), col("v"),
+      explode(array((0 until LshBands).map(b =>
+        struct(lit(b).as("band"), col(s"bv$b").as("bv"))): _*)).as("bb"))
+      .select(col("vec_id"), col("v"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
   }
 
   /** Exact-Jaccard near-dup pairs (doc_a, doc_b, jaccard ≥ 0.8).
@@ -678,38 +716,40 @@ object Dedup {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings),
          |sig AS (SELECT vec_id, v,
-         |  ${LshPlanes.zipWithIndex.map { case (plane, p) =>
-             s"(CASE WHEN list_dot_product(v, ${plane.mkString("[", ",", "]")}) >= 0 THEN ${1L << p} ELSE 0 END)"
-           }.mkString(" + ")} AS sig
+         |${(0 until LshBands).map { b =>
+             "  " + (0 until LshBandBits).map { j =>
+               val plane = LshPlanes(b * LshBandBits + j)
+               s"(CASE WHEN list_dot_product(v, ${plane.mkString("[", ",", "]")}) >= 0 THEN ${1L << j} ELSE 0 END)"
+             }.mkString(" + ") + s" AS bv$b"
+           }.mkString(",\n")}
          |  FROM e),
-         |bands AS (SELECT vec_id, v, b, (sig >> (b * 4)) & 15 AS bv
-         |          FROM sig, range(0, 4) t(b))
-         |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |bands AS (
+         |${(0 until LshBands).map(b =>
+             s"  SELECT vec_id, v, $b AS b, bv$b AS bv FROM sig")
+             .mkString("\n  UNION ALL\n")})
+         |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_cosine_similarity(a.v, b.v), 4) AS sim,
+         |  CAST(CASE WHEN round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
          |FROM bands a JOIN bands b
-         |  ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id
-         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4""".stripMargin) {
+         |  ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id""".stripMargin) {
       (s, d) =>
-      val nPlanes = LshPlanes.length
-      val bandBits = 4 // 4 bands × 4 bits
       val e = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding").as("v"))
       // Codegen'd DotProduct is the projection kernel (the higher-order-
       // function formulation is interpreted and was ~20× slower — see
       // functions/VectorFunctions.scala).
-      val bits = LshPlanes.zipWithIndex.map { case (plane, p) =>
-        when(Similarity.dot(col("v"), typedLit(plane.toSeq)) >= 0,
-          lit(1L << p)).otherwise(lit(0L))
-      }
-      val sig = e.withColumn("sig",
-        bits.reduce((a: Column, b: Column) => a.bitwiseOR(b)))
-      val bands = sig.select(col("vec_id"), col("v"),
-        explode(array((0 until nPlanes / bandBits).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("sig"), b * bandBits)
-              .bitwiseAND(lit((1 << bandBits) - 1)).as("bv"))): _*)).as("bb"))
-        .select(col("vec_id"), col("v"),
-          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      //
+      // Output is the full CANDIDATE stream (band-colliding pairs) with
+      // each pair's verification verdict, not just the verified
+      // survivors: with 16-bit bands the collision probability at
+      // moderate cosine is tiny BY DESIGN (that is the scale bound), so
+      // on a corpus with no true near-dups the survivor set is empty —
+      // emitting candidates keeps the gate observable (every candidate
+      // pair and its 4-dp cosine must match the oracle exactly) while
+      // downstream dedup consumes `is_dup = 1` rows only.
+      val bands = srpBands(e)
       val a = bands.select(col("vec_id").as("vec_a"), col("v").as("va"),
         col("band"), col("bv"))
       val b = bands.select(col("vec_id").as("vec_b"), col("v").as("vb"),
@@ -719,8 +759,8 @@ object Dedup {
         .select(col("vec_a"), col("vec_b"),
           round(Similarity.cosine(col("va"), col("vb")), 4).as("sim"))
         .distinct()
-        .filter(col("sim") >= 0.4)
-        .select(col("vec_a"), col("vec_b"))
+        .withColumn("is_dup",
+          when(col("sim") >= 0.4, lit(1L)).otherwise(lit(0L)))
     },
 
     // Embedding-cosine near-dup: blocked by cluster label (the metadata

@@ -48,8 +48,8 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
 
   /** Nearest-`n` centroid assignment, shuffle-free: the K centroids
-    * collapse to ONE broadcast row carrying a (cent_id, cv) array, and
-    * each vector ranks all K in-row (sort of a K-element array) —
+    * collapse to ONE row carrying a (cent_id, cv) array, and each
+    * vector ranks all K in-row (sort of a K-element array) —
     * assignment is pure map work. The previous formulation windowed
     * over a vec_id-keyed exchange of N×K candidate rows, each dragging
     * the 64-float vector: ~20× data amplification through a shuffle for
@@ -58,11 +58,19 @@ object Similarity {
     * build. Ranking matches the window form exactly (rounded cosine
     * desc, cent_id tie-break, including the -0.0 edge: negation keeps
     * Double.compare order).
+    *
+    * The centroid row carries NO broadcast hint: it is ONE row, but its
+    * bytes grow with the centroid count (K×dim doubles inside a
+    * collect_list buffer — K here scales as N/25), so the broadcast
+    * decision belongs to AQE's runtime size check. The planner still
+    * picks a broadcast nested-loop join while the row is small (the
+    * group-less aggregate's 1-row size estimate), and falls back once
+    * it is not — the same policy as every corpus-derived build side.
     */
   private def assign(vecs: DataFrame, cents: DataFrame, n: Int): DataFrame = {
     val centsRow = cents
       .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cs"))
-    vecs.crossJoin(broadcast(centsRow))
+    vecs.crossJoin(centsRow)
       .select(col("vec_id"), col("v"),
         slice(array_sort(transform(col("cs"), c =>
           struct((round(cosine(col("v"), c("cv")), 4) * -1).as("nsim"),
@@ -343,22 +351,22 @@ object Similarity {
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
         .select(col("label"), transform(col("pairs"), p => p("cx")).as("cv"))
-      // Collapse the per-label centroids to ONE broadcast row carrying a
-      // label→centroid map (the `assign` pattern): the group-less
-      // aggregate is a STRUCTURAL cardinality bound — one row, whatever
-      // the corpus size — so the broadcast hint passes the hazard sweep,
-      // where the per-label frame (groupBy output that in principle
-      // grows with label cardinality) would not. Lookup is an O(1)
-      // in-row map probe; every label has a centroid by construction
-      // (byLabel derives from e itself), so the inner-join semantics of
-      // the old label join are preserved exactly.
-      val centsMap = byLabel.agg(
-        map_from_entries(collect_list(struct(col("label"), col("cv"))))
-          .as("cm"))
-      e.crossJoin(broadcast(centsMap))
+      // Per-label centroid frame joined back on label with NO hint: the
+      // centroid set grows with label cardinality (bytes, not just
+      // rows — each row drags a 64-double centroid), so the broadcast
+      // decision belongs to AQE's runtime size check, exactly the
+      // policy applied to the corpus-derived stop lists. At bench scale
+      // AQE still plans a broadcast join (the frame is KB-sized); at
+      // web-scale label cardinality it degrades to a shuffled join
+      // instead of concentrating the whole label→centroid domain in one
+      // aggregation buffer and one broadcast. (The previous single-row
+      // map_from_entries(collect_list(...)) formulation bounded the ROW
+      // count but not the BYTES — the hazard sweep in PlanSpec now
+      // rejects collection-valued scalar aggregates as a bound for
+      // precisely that reason.)
+      e.join(byLabel, Seq("label"))
         .select(col("label"),
-          round(cosine(col("v"), element_at(col("cm"), col("label"))), 4)
-            .as("sim"))
+          round(cosine(col("v"), col("cv")), 4).as("sim"))
         .groupBy(col("label"))
         .agg(round(avg(col("sim")), 4).as("mean_sim"), count(lit(1)).as("n"))
     },

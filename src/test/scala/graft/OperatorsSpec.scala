@@ -110,14 +110,14 @@ class OperatorsSpec extends SparkSpec {
     assert(gated.map(_._2).sum == (exact & approx).size)
   }
 
-  test("dedup_embedding_lsh: all pairs truly pass the cosine threshold; " +
-    "finds most label-blocked pairs plus cross-label ones blocking misses") {
-    val lsh = SparkEntry.queries("dedup_embedding_lsh")(spark, sf0001)
-      .as[(Long, Long)].collect().toSet
-    val exact = SparkEntry.queries("dedup_embedding")(spark, sf0001)
-      .as[(Long, Long)].collect().toSet
+  test("dedup_embedding_lsh: candidate cosines are exact (independent " +
+    "Scala recompute), the is_dup verdict matches the threshold, and " +
+    "planted high-cosine near-dups are recalled by the 16-bit bands") {
+    val cand = SparkEntry.queries("dedup_embedding_lsh")(
+      spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Double, Long)].collect()
     // independent verification: recompute cosine in plain Scala
-    val vecs = Tables.embeddings(spark, sf0001)
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.01")
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .collect().toMap
     def cos(a: Array[Float], b: Array[Float]): Double = {
@@ -128,15 +128,53 @@ class OperatorsSpec extends SparkSpec {
       }
       d / math.sqrt(na) / math.sqrt(nb)
     }
-    assert(lsh.nonEmpty)
-    lsh.foreach { case (x, y) =>
+    assert(cand.nonEmpty) // deterministic planes ⇒ stable candidate set
+    cand.foreach { case (x, y, sim, dup) =>
       val c = BigDecimal(cos(vecs(x), vecs(y)))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP)
-      assert(c >= BigDecimal("0.4"), s"($x,$y) cos=$c")
+      assert(c == BigDecimal(sim).setScale(4), s"($x,$y) cos=$c vs $sim")
+      assert(dup == (if (sim >= 0.4) 1L else 0L))
     }
-    // deterministic planes ⇒ stable recall; ≥ half of the label-blocked
-    // set (cos 0.4–0.5 pairs collide on a band with p≈0.5 per pair)
-    assert((lsh & exact).size * 2 >= exact.size)
+    // Recall on PLANTED near-dups (this corpus has none — max pair
+    // cosine ≈ 0.51): perturb 20 corpus vectors by a small deterministic
+    // rotation toward a fixed direction (cosine ≈ 0.98 to the original)
+    // and check most planted pairs collide on ≥1 of the 4 16-bit bands
+    // (theory: p^16 ≈ 0.35/band at θ≈11°, 1−(1−p^16)^4 ≈ 0.82).
+    val planted = vecs.toSeq.sortBy(_._1).take(20).flatMap {
+      case (id, v) =>
+        val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+        val eps = 0.2 * norm / math.sqrt(v.length.toDouble)
+        val pert = v.zipWithIndex.map { case (x, i) =>
+          (x + (if (i % 2 == 0) eps else -eps)).toFloat }
+        Seq((id, v), (id + 100000L, pert))
+    }.toDF("vec_id", "v")
+    val collided = Dedup.srpBands(planted)
+      .groupBy($"band", $"bv")
+      .agg(collect_set($"vec_id").as("ids"))
+      .as[(Int, Long, Seq[Long])].collect()
+      .flatMap { case (_, _, ids) =>
+        for (a <- ids; b <- ids; if a + 100000L == b) yield a
+      }.toSet
+    assert(collided.size >= 10,
+      s"only ${collided.size}/20 planted near-dup pairs collided on a band")
+  }
+
+  test("srpBands: 16-bit band-bucket occupancy stays FAR below N — the " +
+    "structural guarantee that SRP candidate generation never " +
+    "degenerates toward all-pairs as the corpus grows") {
+    // sf0.01 (the gate scale, 10× the usual spec inputs): with 65 536
+    // buckets per band, random-ish vectors spread out and only genuine
+    // near-dup clusters share a bucket. Candidate pairs per band are
+    // Σ|bucket|² — the occupancy cap IS the scale bound.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select($"vec_id", $"embedding".as("v"))
+    val n = e.count()
+    val occ = Dedup.srpBands(e)
+      .groupBy($"band", $"bv").count()
+      .agg(org.apache.spark.sql.functions.max($"count"))
+      .as[Long].head()
+    assert(occ <= math.max(4L, n / 10),
+      s"max band-bucket occupancy $occ vs corpus $n — bands too coarse")
   }
 
   test("winnowing: docs sharing a long substring share a fingerprint; " +

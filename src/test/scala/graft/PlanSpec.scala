@@ -132,19 +132,31 @@ class PlanSpec extends SparkSpec {
         }
     }.flatten
 
-  /** A subtree whose output cardinality is bounded NO MATTER how large
-    * the scanned tables grow: it contains a group-less (scalar)
-    * aggregate or an explicit limit. GroupBy aggregates, distincts and
-    * filters do NOT count — a groupBy's output grows with its key's
-    * cardinality (the stop-shingle-list failure: "distinct shingles with
-    * df > 50" IS the corpus' frequent-n-gram vocabulary), and that is
-    * exactly the class of "small at bench scale" claim that rots.
+  /** A subtree whose output SIZE is bounded NO MATTER how large the
+    * scanned tables grow: it contains a group-less (scalar) aggregate
+    * over scalar-valued aggregate functions, or an explicit limit.
+    * GroupBy aggregates, distincts and filters do NOT count — a
+    * groupBy's output grows with its key's cardinality (the
+    * stop-shingle-list failure: "distinct shingles with df > 50" IS the
+    * corpus' frequent-n-gram vocabulary), and that is exactly the class
+    * of "small at bench scale" claim that rots. Neither does a
+    * group-less aggregate whose buffer is itself collection-valued
+    * (collect_list / collect_set): it bounds the ROW count at 1 but the
+    * row's BYTES grow with whatever was collected — the
+    * sim_label_coherence failure mode, where one
+    * map_from_entries(collect_list(...)) row accumulated the whole
+    * label→centroid domain in a single task's aggregation buffer.
     */
   private def structurallyBounded(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
     p.exists {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-        a.groupingExpressions.isEmpty
+        a.groupingExpressions.isEmpty &&
+          !a.aggregateExpressions.exists(_.exists {
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.CollectList => true
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet => true
+            case _ => false
+          })
       case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
       case _ => false
     }
@@ -212,6 +224,34 @@ class PlanSpec extends SparkSpec {
       structurallyBounded(h.child)),
       "corpusScans/structurallyBounded matcher no longer sees the " +
         "sim_topk query-set hint — the sweep would be vacuous")
+  }
+
+  test("hazard sweep: a group-less COLLECTION-valued aggregate under a " +
+    "hint is flagged (1 row, but bytes grow with the corpus), while a " +
+    "scalar-buffered group-less aggregate still counts as a bound") {
+    import org.apache.spark.sql.functions._
+    def hintsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    val docs = Tables.documents(spark, sf0001)
+    // The sim_label_coherence round-6 shape: the whole key→payload
+    // domain packed into one map row. Row count 1; bytes O(|domain|).
+    val packed = docs.agg(
+      map_from_entries(collect_list(struct(col("doc_id"), col("lang"))))
+        .as("m"))
+    val badHints = hintsOf(docs.crossJoin(broadcast(packed)))
+    assert(badHints.exists(h => corpusScans(h.child).nonEmpty &&
+      !structurallyBounded(h.child)),
+      "collection-valued scalar aggregate under a hint must NOT count " +
+        "as structurally bounded")
+    // Scalar buffers (max/count/sum) stay bounded in rows AND bytes —
+    // the q_snapshot_latest max-ts broadcast must keep passing.
+    val scalar = docs.agg(max(col("doc_id")).as("mx"))
+    val okHints = hintsOf(docs.crossJoin(broadcast(scalar)))
+    assert(okHints.exists(h => corpusScans(h.child).nonEmpty &&
+      structurallyBounded(h.child)),
+      "scalar group-less aggregate must remain a valid bound")
   }
 
   // And the other half of the policy: dropping the hints cost nothing
