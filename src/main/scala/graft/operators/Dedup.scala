@@ -313,7 +313,7 @@ object Dedup {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-    exploded.write.mode(SaveMode.Overwrite).parquet(s"$path/shingles")
+    exploded.write.mode(SaveMode.Overwrite).parquet(s"$path/shingles/seed")
     // Pre-aggregated per-shingle document frequency: the query-time stop
     // list needs df(history) + df(incoming) per key, and reading this
     // (shh, df) summary beats re-aggregating the full pair frame every
@@ -322,41 +322,152 @@ object Dedup {
     exploded.groupBy(col("shh")).agg(count(lit(1)).as("df"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/df")
     docs.select(col("doc_id"), md5(col("text")).as("h"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes/seed")
   }
 
-  /** Fold a new batch into a persisted index (the per-batch lifecycle
-    * step: after `incrementalKeepNewIndexed` picks a batch's survivors,
-    * those survivors join the corpus and must be queryable by the NEXT
-    * batch). Pair and hash frames APPEND — history rows are immutable —
-    * while the df summary is re-merged (old summary ∪ batch counts,
-    * grouped-sum) and published via staged-write + directory swap so a
-    * concurrent reader sees the old or the new summary, never a partial
-    * one (same local/HDFS rename semantics as `Layout.publishOverwrite`;
-    * an object-store deployment publishes the staged dir via a metadata
-    * commit instead). Requires a local-filesystem `path`, like
-    * `Layout.compactDatePartition`.
+  // ---- index sub-frame layout: `shingles/` and `hashes/` hold ONLY
+  // subdirectories — `seed/` (writeIndex), `b<batchId>/` (one per folded
+  // batch, rewritten in place on replay) and `compact/` (compactIndex) —
+  // and the set of VALID b-dirs is the batch ledger, committed atomically
+  // with the df summary (a `_ledger` sidecar inside `df/`, published by
+  // the same directory swap). A b-dir not in the ledger is an orphan from
+  // a crashed fold: readers skip it, and the replay of that batch
+  // rewrites it wholesale before committing. That is what makes the fold
+  // exactly-once under replay. ----
+
+  /** Index paths may arrive as `file:`-scheme URIs (ensureIndex builds
+    * them from the warehouse conf); java.nio needs the bare local path.
+    */
+  private def localFile(path: String, more: String*): java.nio.file.Path =
+    java.nio.file.Paths.get(path.stripPrefix("file:"), more: _*)
+
+  /** BatchIds whose fold is fully committed (ledger = df sidecar). */
+  def foldedBatches(path: String): Set[Long] = {
+    import scala.jdk.CollectionConverters._
+    val f = localFile(path, "df", "_ledger")
+    if (!java.nio.file.Files.exists(f)) Set.empty
+    else java.nio.file.Files.readAllLines(f).asScala
+      .filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  /** The committed files of an index sub-frame (`shingles`/`hashes`):
+    * every non-batch subdir (seed, compact) plus exactly the ledgered
+    * b-dirs. Orphan b-dirs from a crashed fold are invisible until their
+    * replay commits.
+    */
+  private def indexFrame(s: SparkSession, path: String,
+      sub: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val root = localFile(path, sub)
+    val committed = foldedBatches(path)
+    val dirs = java.nio.file.Files.list(root).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filter(n => !n.startsWith(".") &&
+        (!n.matches("b\\d+") || committed.contains(n.drop(1).toLong)))
+      .map(n => s"$path/$sub/$n").toSeq.sorted
+    require(dirs.nonEmpty, s"index frame $sub has no committed data dirs")
+    s.read.parquet(dirs: _*)
+  }
+
+  /** Fold batch `batchId` into a persisted index, EXACTLY ONCE under
+    * replay (the per-batch lifecycle step: after
+    * `incrementalKeepNewIndexed` picks a batch's survivors, those
+    * survivors join the corpus and must be queryable by the NEXT batch).
     *
-    * Cost shape: O(|batch|) append + a merge keyed by shingle hash whose
+    * Idempotence protocol (streaming restarts redeliver a micro-batch
+    * with the same batchId):
+    *   1. already in the ledger → whole fold is a no-op (returns false);
+    *   2. shingle/hash rows land in `b<batchId>/` subdirs with OVERWRITE
+    *      semantics — a replay after a crash mid-write rewrites the same
+    *      dirs instead of double-appending;
+    *   3. the df summary re-merge (old summary ∪ batch counts,
+    *      grouped-sum) stages a new `df/` dir CARRYING the ledger with
+    *      batchId added, then swaps it into place — one atomic rename is
+    *      both the df publish and the fold's commit point. A crash
+    *      before the swap leaves the ledger without batchId (replay
+    *      redoes everything); after it, step 1 short-circuits.
+    * Concurrent readers see the old or new summary, never a partial one
+    * (same local/HDFS rename semantics as `Layout.publishOverwrite`; an
+    * object-store deployment publishes the staged dir via a metadata
+    * commit instead). Single-writer, like all Layout publishes.
+    *
+    * Cost shape: O(|batch|) writes + a merge keyed by shingle hash whose
     * inputs are two AGGREGATED frames — the corpus pair frame is never
     * rewritten and never re-read.
     */
-  def appendToIndex(docs: DataFrame, path: String): Unit = {
+  def appendToIndex(docs: DataFrame, path: String, batchId: Long): Boolean = {
+    if (foldedBatches(path).contains(batchId)) return false
+    val incDf = stageBatchFold(docs, path, batchId)
+    commitBatchFold(incDf, path, batchId)
+    true
+  }
+
+  /** Steps 2 of the fold protocol: write the batch's shingle/hash rows
+    * into their b-dirs (overwrite ⇒ replay-safe) and return the batch's
+    * df delta. Exposed to the spec so a crash between frame writes and
+    * the df commit can be simulated.
+    */
+  private[graft] def stageBatchFold(docs: DataFrame, path: String,
+      batchId: Long): DataFrame = {
     val s = docs.sparkSession
     val exploded = docs
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-    exploded.write.mode(SaveMode.Append).parquet(s"$path/shingles")
+    exploded.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/shingles/b$batchId")
     docs.select(col("doc_id"), md5(col("text")).as("h"))
-      .write.mode(SaveMode.Append).parquet(s"$path/hashes")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes/b$batchId")
+    exploded.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+  }
+
+  /** Step 3 of the fold protocol: merge the df delta into the summary
+    * and publish summary + grown ledger in one directory swap.
+    */
+  private[graft] def commitBatchFold(incDf: DataFrame, path: String,
+      batchId: Long): Unit = {
+    val s = incDf.sparkSession
     val merged = s.read.parquet(s"$path/df")
-      .union(exploded.groupBy(col("shh")).agg(count(lit(1)).as("df")))
+      .union(incDf)
       .groupBy(col("shh")).agg(sum(col("df")).as("df"))
-    import java.nio.file.Paths
     merged.write.mode(SaveMode.Overwrite).parquet(s"$path/.df.staging")
-    Layout.replaceDir(Paths.get(path, ".df.staging"),
-      Paths.get(path, "df"), Paths.get(path, ".df.old"))
+    val ledger = (foldedBatches(path) + batchId).toSeq.sorted
+    java.nio.file.Files.write(localFile(path, ".df.staging", "_ledger"),
+      ledger.mkString("\n").getBytes("UTF-8"))
+    Layout.replaceDir(localFile(path, ".df.staging"),
+      localFile(path, "df"), localFile(path, ".df.old"))
+  }
+
+  /** Compact the index's shingle/hash frames: rewrite all committed
+    * sub-dirs (seed + ledgered batches + any previous compact) into ONE
+    * `compact/` dir of `numFiles` files hash-clustered by key, published
+    * by the same staged-write + swap as every Layout publish. Without
+    * this, batch N's readers pay an O(N) file listing (one file-set per
+    * fold, forever); with it, a periodic compaction (every K batches,
+    * like `Layout.compactDatePartition` on the ingest table) keeps the
+    * listing O(numFiles + K). The `repartition(numFiles, key)`
+    * clustering co-locates each key range in one file — a catalog
+    * deployment would make this a `bucketBy(shh)` table write so the
+    * candidate join can also skip its exchange, same as `bucketJoin`.
+    *
+    * Single-writer: must not run concurrently with an in-flight fold
+    * (orphan b-dirs being rewritten by a replay are excluded from the
+    * compaction read but would be deleted by the swap — the replay then
+    * rewrites them, so correctness holds, but the wasted work is real).
+    * The ledger is NOT touched: replayed batchIds keep short-circuiting
+    * after their b-dirs are compacted away.
+    */
+  def compactIndex(s: SparkSession, path: String, numFiles: Int = 8): Unit = {
+    for ((sub, key) <- Seq("shingles" -> "shh", "hashes" -> "h")) {
+      val staging = localFile(path, s".$sub.compacting")
+      indexFrame(s, path, sub)
+        .repartition(numFiles, col(key))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(staging.resolve("compact").toString)
+      Layout.replaceDir(staging, localFile(path, sub),
+        localFile(path, s".$sub.old"))
+    }
   }
 
   /** [[incrementalKeepNew]] against a PERSISTED index (see
@@ -375,8 +486,8 @@ object Dedup {
   def incrementalKeepNewIndexed(indexPath: String,
       incoming: DataFrame): DataFrame = {
     val s = incoming.sparkSession
-    val histSh = s.read.parquet(s"$indexPath/shingles")
-    val histHash = s.read.parquet(s"$indexPath/hashes")
+    val histSh = indexFrame(s, indexPath, "shingles")
+    val histHash = indexFrame(s, indexPath, "hashes")
     val incIds = incoming.select(col("doc_id"))
     // (a) exact: any smaller-id doc (history or earlier-in-batch) with
     // the same content hash
@@ -436,9 +547,12 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), s"graft_dedup_index$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val done = Seq("shingles", "df", "hashes").map(f =>
+    val done = Seq("shingles/seed", "df", "hashes/seed").map(f =>
       new org.apache.hadoop.fs.Path(root, s"$f/_SUCCESS"))
     if (!done.forall(fs.exists)) {
+      // a partial or stale-layout index (e.g. from a previous library
+      // version) must not leak files into the rebuilt one
+      fs.delete(root, true)
       val history = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
       writeIndex(history, root.toString)
     }

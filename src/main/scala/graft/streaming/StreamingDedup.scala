@@ -17,9 +17,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * The durable state is the ON-DISK index, not a streaming state store:
   * dropped documents never enter it, survivors enter it exactly once,
-  * and a restart resumes from whatever the index last published —
-  * which composes with the checkpointed source offsets the same way the
-  * ingest pipeline's append sink does. Contrast with
+  * and a restart resumes from whatever the index last published.
+  *
+  * EXACTLY-ONCE under replay: foreachBatch redelivers a micro-batch
+  * with the SAME batchId when the query restarts between the sink
+  * write and the checkpoint commit — the window where a naive
+  * append-sink + index-append pipeline double-counts the batch. Here
+  * every publish is batchId-keyed: survivors land in
+  * `outPath/b<batchId>` with overwrite semantics (a replay rewrites
+  * the same directory), the index fold writes b-dirs the same way, and
+  * the fold's COMMIT POINT is the atomic df-summary swap that also
+  * publishes the batch ledger (`Dedup.appendToIndex`). A batchId found
+  * in the ledger short-circuits the whole publish — whatever partial
+  * state the crash left is either rewritten wholesale (pre-commit) or
+  * skipped (post-commit), so corpus AND index are exactly-once.
+  * Contrast with
   * `StatefulOps.dedupWithinWatermark`, which bounds its state by a
   * watermark horizon and therefore only dedups WITHIN that horizon; this
   * operator dedups against the whole accumulated corpus for the cost of
@@ -45,16 +57,30 @@ object StreamingDedup {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // localCheckpoint: survivors feed BOTH the corpus append and the
-        // three index-append reads — bounded (batch-sized), and avoids
-        // re-running the dedup join per consumer.
-        val survivors =
-          Dedup.incrementalKeepNewIndexed(indexPath, batch).localCheckpoint()
-        if (!survivors.isEmpty) { // K3-style empty-batch suppression
-          survivors.write.mode(SaveMode.Append).parquet(outPath)
-          Dedup.appendToIndex(survivors, indexPath)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishBatch(batch, batchId, indexPath, outPath)
       }
       .start()
+
+  /** One micro-batch publish — the replay-idempotent unit (also invoked
+    * directly by the restart spec, which simulates every crash window by
+    * re-delivering the same batchId against partial state).
+    */
+  def publishBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      outPath: String): Unit = {
+    // Post-commit replay: the ledger says this batch's survivors are in
+    // the corpus and folded into the index. Nothing to do.
+    if (Dedup.foldedBatches(indexPath).contains(batchId)) return
+    // localCheckpoint: survivors feed BOTH the corpus write and the
+    // index-fold reads — bounded (batch-sized), and avoids re-running
+    // the dedup join per consumer.
+    val survivors =
+      Dedup.incrementalKeepNewIndexed(indexPath, batch).localCheckpoint()
+    if (!survivors.isEmpty) { // K3-style empty-batch suppression
+      // Overwrite into a batch-keyed dir: a pre-commit replay rewrites
+      // the same directory instead of appending a duplicate file-set.
+      survivors.write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
+      Dedup.appendToIndex(survivors, indexPath, batchId)
+    }
+  }
 }

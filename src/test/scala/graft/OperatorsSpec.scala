@@ -333,13 +333,18 @@ class OperatorsSpec extends SparkSpec {
     val grown = tmpDir("idx-grown")
     val scratch = tmpDir("idx-scratch")
     Dedup.writeIndex(wave1, grown)
-    Dedup.appendToIndex(wave2, grown)
+    assert(Dedup.appendToIndex(wave2, grown, batchId = 0L))
     Dedup.writeIndex(wave1.union(wave2), scratch)
     val viaGrown = Dedup.incrementalKeepNewIndexed(grown, incoming)
       .select($"doc_id").as[Long].collect().toSet
     val viaScratch = Dedup.incrementalKeepNewIndexed(scratch, incoming)
       .select($"doc_id").as[Long].collect().toSet
     assert(viaGrown == viaScratch)
+    // a replayed fold of the same batchId is a committed no-op
+    assert(!Dedup.appendToIndex(wave2, grown, batchId = 0L))
+    val viaReplayed = Dedup.incrementalKeepNewIndexed(grown, incoming)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaReplayed == viaGrown)
     // and both agree with the recompute-everything operator
     val viaFull = Dedup.incrementalKeepNew(wave1.union(wave2), incoming)
       .select($"doc_id").as[Long].collect().toSet
@@ -350,6 +355,39 @@ class OperatorsSpec extends SparkSpec {
     val dfScratch = spark.read.parquet(s"$scratch/df")
       .as[(Long, Long)].collect().toMap
     assert(dfGrown == dfScratch)
+  }
+
+  test("compactIndex: K folds leave one file-set per batch; compaction " +
+    "rewrites them into a bounded hash-clustered file count with the " +
+    "dedup result unchanged and the replay ledger intact") {
+    val docs = Tables.documents(spark, sf0001)
+    val idx = tmpDir("idx-compact")
+    Dedup.writeIndex(docs.filter($"doc_id" % 5 === 0), idx)
+    for (k <- 1 to 3)
+      assert(Dedup.appendToIndex(
+        docs.filter($"doc_id" % 5 === k), idx, batchId = k.toLong))
+    val incoming = docs.filter($"doc_id" % 5 === 4)
+    val before = Dedup.incrementalKeepNewIndexed(idx, incoming)
+      .select($"doc_id").as[Long].collect().toSet
+    def dataFiles(sub: String): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(idx, sub))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    val filesBefore = dataFiles("shingles")
+    assert(filesBefore >= 4, s"expected one file-set per fold, got $filesBefore")
+    Dedup.compactIndex(spark, idx, numFiles = 2)
+    assert(dataFiles("shingles") <= 2 && dataFiles("hashes") <= 2,
+      "compaction must bound the file count")
+    val after = Dedup.incrementalKeepNewIndexed(idx, incoming)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(after == before, "compaction changed the dedup result")
+    // ledger survives compaction: a replayed old batchId stays a no-op
+    // even though its b-dir was compacted away
+    assert(!Dedup.appendToIndex(
+      docs.filter($"doc_id" % 5 === 2), idx, batchId = 2L))
+    assert(Dedup.incrementalKeepNewIndexed(idx, incoming)
+      .select($"doc_id").as[Long].collect().toSet == before)
   }
 
   test("dedup_exact groups: all singleton on sf0.001 (no exact dups)") {

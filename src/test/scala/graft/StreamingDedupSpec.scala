@@ -20,6 +20,10 @@ class StreamingDedupSpec extends SparkSpec {
   private val fresh = "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 " +
     "f11 f12 f13 f14 f15 f16 f17 f18 f19 f20"
 
+  /** The streamed corpus: one `b<batchId>` subdir per committed batch. */
+  private def corpusOf(out: String) =
+    spark.read.option("recursiveFileLookup", "true").parquet(out)
+
   test("stream dedup vs persisted index: exact/near dups drop across " +
     "micro-batches, survivors grow the index, result equals the batch " +
     "operator applied sequentially") {
@@ -47,8 +51,7 @@ class StreamingDedupSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
-    val streamed = spark.read.parquet(out)
-      .select($"doc_id").as[Long].collect().toSet
+    val streamed = corpusOf(out).select($"doc_id").as[Long].collect().toSet
     assert(streamed == Set(12L, 22L))
 
     // sequential batch reference: corpus grows by survivors only
@@ -68,12 +71,80 @@ class StreamingDedupSpec extends SparkSpec {
     // init ∪ survivors has the identical df summary
     val scratch = tmpDir("sdedup-scratch")
     Dedup.writeIndex(
-      init.union(spark.read.parquet(out).select($"doc_id", $"text")),
-      scratch)
+      init.union(corpusOf(out).select($"doc_id", $"text")), scratch)
     val dfGrown = spark.read.parquet(s"$idx/df")
       .as[(Long, Long)].collect().toMap
     val dfScratch = spark.read.parquet(s"$scratch/df")
       .as[(Long, Long)].collect().toMap
     assert(dfGrown == dfScratch)
+  }
+
+  test("replay idempotence: redelivering a batchId after every crash " +
+    "window — post-commit, between corpus write and fold, mid-fold " +
+    "before the df commit — leaves corpus and df summary exactly-once") {
+    val idx = tmpDir("sdedup-r-idx")
+    val out = tmpDir("sdedup-r-out")
+    val init = Seq((1L, base)).toDF("doc_id", "text")
+    Dedup.writeIndex(init, idx)
+
+    def state() = (
+      corpusOf(out).select($"doc_id").as[Long].collect().toSet,
+      spark.read.parquet(s"$idx/df").as[(Long, Long)].collect().toMap)
+
+    // batch 0: normal publish, then a POST-COMMIT replay (restart after
+    // the checkpoint-side crash: ledger already has the batch).
+    val b0 = Seq((10L, base), (12L, fresh)).toDF("doc_id", "text")
+    StreamingDedup.publishBatch(b0, 0L, idx, out)
+    val afterB0 = state()
+    assert(afterB0._1 == Set(12L)) // 10 = exact dup of corpus doc 1
+    StreamingDedup.publishBatch(b0, 0L, idx, out)
+    assert(state() == afterB0, "post-commit replay must be a no-op")
+
+    // batch 1: crash BETWEEN the corpus write and the index fold — the
+    // survivors' file-set exists, the ledger does not know the batch.
+    val g = "g1 g2 g3 g4 g5 g6 g7 g8 g9 g10 " +
+      "g11 g12 g13 g14 g15 g16 g17 g18 g19 g20"
+    val b1 = Seq((20L, fresh), (21L, g)).toDF("doc_id", "text")
+    val s1 = Dedup.incrementalKeepNewIndexed(idx, b1)
+    s1.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/b1") // what publishBatch wrote before the crash
+    StreamingDedup.publishBatch(b1, 1L, idx, out) // the restart's replay
+    val afterB1 = state()
+    assert(afterB1._1 == Set(12L, 21L)) // 20 = cross-batch dup of 12
+    // the df summary matches a from-scratch index over the survivors —
+    // i.e. batch 1 was folded exactly once despite the partial publish
+    val scratch1 = tmpDir("sdedup-r-scratch1")
+    Dedup.writeIndex(
+      init.union(corpusOf(out).select($"doc_id", $"text")), scratch1)
+    assert(afterB1._2 == spark.read.parquet(s"$scratch1/df")
+      .as[(Long, Long)].collect().toMap)
+
+    // batch 2: crash MID-FOLD — survivors written, shingle/hash b-dirs
+    // staged, df swap (the commit point) never ran. The orphan b-dirs
+    // must stay invisible to readers and be rewritten by the replay.
+    val h = "h1 h2 h3 h4 h5 h6 h7 h8 h9 h10 " +
+      "h11 h12 h13 h14 h15 h16 h17 h18 h19 h20"
+    val b2 = Seq((30L, h)).toDF("doc_id", "text")
+    val s2 = Dedup.incrementalKeepNewIndexed(idx, b2)
+    s2.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/b2")
+    Dedup.stageBatchFold(s2, idx, 2L) // fold dies before commitBatchFold
+    // orphan b-dirs are excluded from reads: recomputing the batch's
+    // survivors against the index still sees the PRE-fold state
+    assert(Dedup.incrementalKeepNewIndexed(idx, b2)
+      .select($"doc_id").as[Long].collect().toSet == Set(30L))
+    StreamingDedup.publishBatch(b2, 2L, idx, out) // the restart's replay
+    val afterB2 = state()
+    assert(afterB2._1 == Set(12L, 21L, 30L))
+    val scratch2 = tmpDir("sdedup-r-scratch2")
+    Dedup.writeIndex(
+      init.union(corpusOf(out).select($"doc_id", $"text")), scratch2)
+    assert(afterB2._2 == spark.read.parquet(s"$scratch2/df")
+      .as[(Long, Long)].collect().toMap)
+    // and a final full replay of everything already committed is inert
+    StreamingDedup.publishBatch(b0, 0L, idx, out)
+    StreamingDedup.publishBatch(b1, 1L, idx, out)
+    StreamingDedup.publishBatch(b2, 2L, idx, out)
+    assert(state() == afterB2)
   }
 }
