@@ -55,11 +55,11 @@ object Dedup {
     * oracle), bounding per-key join fan-out.
     */
   def docShingles(docs: DataFrame, maxDf: Int): DataFrame = {
-    // Repartition before shingling: the driver's doc files are one split,
-    // which would serialize all shingle compute; on a multi-TB corpus the
-    // scan is already wide and this is one cheap extra exchange.
-    val exploded = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // Conditional fan-out before shingling (Par.fanOut): the driver's
+    // doc files are one split, which would serialize all shingle
+    // compute; on a multi-TB corpus the scan is already wide and NO
+    // exchange is injected at all.
+    val exploded = Par.fanOut(docs)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
     // Document-frequency cap, skew-safe. A `count(*) over (partition by
     // sh)` window cannot partially aggregate: every row of a hot key
@@ -309,8 +309,7 @@ object Dedup {
     * trade every production dedup index makes.
     */
   def writeIndex(docs: DataFrame, path: String): Unit = {
-    val exploded = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val exploded = Par.fanOut(docs)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
     exploded.write.mode(SaveMode.Overwrite).parquet(s"$path/shingles/seed")
@@ -411,8 +410,7 @@ object Dedup {
   private[graft] def stageBatchFold(docs: DataFrame, path: String,
       batchId: Long): DataFrame = {
     val s = docs.sparkSession
-    val exploded = docs
-      .repartition(s.sparkContext.defaultParallelism)
+    val exploded = Par.fanOut(docs)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
     exploded.write.mode(SaveMode.Overwrite)
@@ -500,8 +498,7 @@ object Dedup {
     // (b) near: union the index pairs with the incoming batch's freshly
     // shingled pairs, cap on union df, then the same incoming-sided
     // candidate join as the non-indexed operator
-    val incSh = incoming
-      .repartition(s.sparkContext.defaultParallelism)
+    val incSh = Par.fanOut(incoming)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
     val allSh = histSh.union(incSh)
@@ -848,8 +845,7 @@ object Dedup {
          |FROM bands a JOIN bands b
          |  ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id""".stripMargin) {
       (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val e = Par.fanOut(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding").as("v"))
       // Codegen'd DotProduct is the projection kernel (the higher-order-
       // function formulation is interpreted and was ~20× slower — see
@@ -888,8 +884,7 @@ object Dedup {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4""".stripMargin) {
       (s, d) =>
-        val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = Par.fanOut(Tables.embeddings(s, d))
           .select(col("vec_id"), col("label"), col("embedding").as("v"))
         val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"))
         val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"))
@@ -922,8 +917,7 @@ object Dedup {
         |SELECT doc_id, count(*) AS n_contaminated
         |FROM corp JOIN bench USING (gk) GROUP BY doc_id""".stripMargin) {
       (s, d) =>
-        val grams = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+        val grams = Par.fanOut(Tables.documents(s, d))
           .select(col("doc_id"), col("source"),
             explode(kgrams(col("text"), 4)).as("g"))
         val bench = grams.filter(col("source") === "src0")
@@ -951,11 +945,10 @@ object Dedup {
     * collapse toward each other.
     */
   def simhashSignatures(docs: DataFrame): DataFrame =
-    docs
-      // Same rationale as docShingles: the driver's doc files are one
-      // split; fan the per-doc shingle+hash compute across the session's
-      // parallelism before the explode.
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // Same rationale as docShingles: fan the per-doc shingle+hash
+    // compute across the session's parallelism before the explode —
+    // only when the scan is narrower than the session (Par.fanOut).
+    Par.fanOut(docs)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("tok"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.SimHashAgg.simhash_agg(col("tok")).as("simhash"))

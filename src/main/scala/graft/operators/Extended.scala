@@ -306,23 +306,56 @@ object Extended {
     },
 
     // Approximate sketches: HLL distinct count + quantile sketch. Sketch
-    // algorithms differ across engines ⇒ no value-level oracle; the spec
-    // in OperatorsSpec bounds them against exact answers instead.
-    QuerySpec.noOracle("q_approx") { (s, d) =>
-      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+    // STATES differ across engines ⇒ the raw approximations have no
+    // value-level oracle; what IS oracled is the error CONTRACT. The
+    // query computes both the sketches and their exact companions in one
+    // job and emits per group: the exact row count plus two certified
+    // 0/1 verdicts —
+    //   parts_within_eps : |hll − exact| ≤ 3·rsd·exact (rsd = 0.05,
+    //     approx_count_distinct's default relative standard deviation,
+    //     so the bound is the sketch's own 3σ envelope);
+    //   median_within_eps: approx median ∈ [P49, P51] exactly. The
+    //     GK/KLL guarantee at accuracy=10000 is rank error ≤ 1e-4·n —
+    //     the ±1-percentile window is that guarantee with 100× slack,
+    //     still tight enough that a broken sketch cannot pass.
+    // The DuckDB oracle recomputes the exact counts and asserts the
+    // verdict columns are literal 1 — putting the ε-gate INSIDE the
+    // driver's hash-compare contract instead of a rows-only check.
+    QuerySpec(
+      "q_approx",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(1 AS BIGINT) AS parts_within_eps,
+        |  CAST(1 AS BIGINT) AS median_within_eps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      // Split formulation, same rationale as q_approx_exact below: the
+      // exact distinct count aggregates alone so the percentile object
+      // buffers never thread through a two-level (flag, partkey) agg.
+      val ap = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("median_price"),
+            .as("median_approx"),
+          expr("percentile(l_extendedprice, 0.49)").as("p49"),
+          expr("percentile(l_extendedprice, 0.51)").as("p51"),
           count(lit(1)).as("n"))
+      val cd = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      ap.join(cd, "l_returnflag")
+        .select(
+          col("l_returnflag"), col("n"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts").cast("double") * lit(0.15))
+            .cast("long").as("parts_within_eps"),
+          (col("median_approx") >= col("p49") &&
+            col("median_approx") <= col("p51"))
+            .cast("long").as("median_within_eps"))
     },
 
     // Exact companion to q_approx: the same readout with exact distinct
-    // count and exact interpolated median, fully oracled. The pair
-    // documents the sketches' error bound THROUGH the driver's gate
-    // (OperatorsSpec additionally asserts the bound numerically);
-    // q_approx itself stays rows-only — cross-engine sketch states have
-    // no value-level oracle by nature.
+    // count and exact interpolated median, fully oracled — the
+    // value-level reference the ε-verdicts above are certified against
+    // (ExtendedSpec additionally asserts the numeric bound end-to-end).
     QuerySpec(
       "q_approx_exact",
       """SELECT l_returnflag,

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Conditional fan-out for corpus scans.
+  *
+  * The dedup/similarity/text operators all start from a narrow corpus
+  * scan whose per-row compute (shingle explode, hashing, SRP
+  * projections) dwarfs the scan itself. The driver's bench files are a
+  * single parquet split, which would pin that compute to ONE task — so
+  * the operators historically injected an unconditional
+  * `repartition(defaultParallelism)`. Correct at bench scale, but at
+  * multi-TB scale the scan already yields thousands of splits and the
+  * unconditional form becomes a gratuitous full-corpus exchange before
+  * any filtering.
+  *
+  * `fanOut` makes the exchange conditional on the actual split count:
+  * it plans the frame (no job — a scan-only plan has no query stages,
+  * so AQE materializes nothing) and injects the repartition ONLY when
+  * the scan yields fewer splits than the session's parallelism. On a
+  * wide scan the frame is returned untouched and the plan carries no
+  * exchange at all (pinned by PlanSpec "fanOut is a no-op on wide
+  * scans").
+  */
+object Par {
+  def fanOut(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // Split count of the frame as planned: for the file scans this is
+    // applied to, the partition count is decided at planning time
+    // (file listing × maxPartitionBytes packing) — reading it runs no
+    // Spark job.
+    val splits = df.queryExecution.toRdd.getNumPartitions
+    if (splits < parallelism) df.repartition(parallelism) else df
+  }
+}

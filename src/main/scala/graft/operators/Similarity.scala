@@ -36,15 +36,14 @@ object Similarity {
     graft.functions.VectorFunctions.dot_product(a, b)
 
   /** Corpus vectors. Kept as raw array<float> (CosineSim reads floats
-    * natively — no cast pre-pass); repartitioned to the session's
-    * parallelism because the driver files are single-digit-MB single
-    * splits, which would pin all similarity compute to one task. (On a
-    * real multi-TB corpus the scan already yields thousands of splits
-    * and the repartition collapses to a no-op cost-wise.)
+    * natively — no cast pre-pass); fanned out to the session's
+    * parallelism ONLY when the scan is narrow (Par.fanOut) — the driver
+    * files are single-digit-MB single splits, which would pin all
+    * similarity compute to one task, while a real multi-TB corpus scan
+    * already yields thousands of splits and gets no exchange at all.
     */
   private def corpus(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    Par.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
 
   /** Nearest-`n` centroid assignment, shuffle-free: the K centroids

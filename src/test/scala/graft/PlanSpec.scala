@@ -379,4 +379,33 @@ class PlanSpec extends SparkSpec {
     assert(scans.head.selectedPartitions.partitionCount == 1)
     assert(q.count() == 3)
   }
+
+  test("Par.fanOut: injects the corpus exchange ONLY on narrow scans — " +
+    "a scan with splits >= parallelism passes through exchange-free") {
+    import org.apache.spark.sql.functions._
+    val p = spark.sparkContext.defaultParallelism
+    val dir = tmpDir("fanout")
+    // Wide scan: at least `p` splits (one parquet file per partition,
+    // each its own split at this size).
+    spark.range(0, 10000).select(col("id"), rand(7).as("x"))
+      .repartition(p * 2)
+      .write.parquet(s"$dir/wide")
+    val wide = spark.read.parquet(s"$dir/wide")
+    val wideOut = graft.operators.Par.fanOut(wide)
+    assert(wideOut.queryExecution.toRdd.getNumPartitions >= p)
+    assert(!wideOut.queryExecution.executedPlan.toString.contains("Exchange"),
+      "fanOut must be a no-op (no exchange) when the scan is already " +
+        "as wide as the session")
+    // Narrow scan: one file, one split — the exchange IS injected and
+    // widens the frame to the session's parallelism.
+    spark.range(0, 10000).select(col("id"), rand(7).as("x"))
+      .coalesce(1)
+      .write.parquet(s"$dir/narrow")
+    val narrow = spark.read.parquet(s"$dir/narrow")
+    assert(narrow.queryExecution.toRdd.getNumPartitions < p)
+    val narrowOut = graft.operators.Par.fanOut(narrow)
+    assert(narrowOut.queryExecution.executedPlan.toString
+      .contains("Exchange RoundRobinPartitioning"),
+      "fanOut must widen a single-split scan")
+  }
 }
