@@ -314,10 +314,11 @@ object Extended {
     //   parts_within_eps : |hll − exact| ≤ 3·rsd·exact (rsd = 0.05,
     //     approx_count_distinct's default relative standard deviation,
     //     so the bound is the sketch's own 3σ envelope);
-    //   median_within_eps: approx median ∈ [P49, P51] exactly. The
-    //     GK/KLL guarantee at accuracy=10000 is rank error ≤ 1e-4·n —
-    //     the ±1-percentile window is that guarantee with 100× slack,
-    //     still tight enough that a broken sketch cannot pass.
+    //   median_within_eps: the approx median's exact RANK is within
+    //     ±0.01·n of the true median rank. The GK/KLL guarantee at
+    //     accuracy=10000 is rank error ≤ 1e-4·n — the ±1% window is
+    //     that guarantee with 100× slack, still tight enough that a
+    //     broken sketch cannot pass.
     // The DuckDB oracle recomputes the exact counts and asserts the
     // verdict columns are literal 1 — putting the ε-gate INSIDE the
     // driver's hash-compare contract instead of a rows-only check.
@@ -328,27 +329,39 @@ object Extended {
         |  CAST(1 AS BIGINT) AS median_within_eps
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
-      // Split formulation, same rationale as q_approx_exact below: the
-      // exact distinct count aggregates alone so the percentile object
-      // buffers never thread through a two-level (flag, partkey) agg.
-      val ap = li.groupBy(col("l_returnflag"))
+      // Pass 1: the sketches themselves (one grouped object agg).
+      val sk = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
             .as("median_approx"),
-          expr("percentile(l_extendedprice, 0.49)").as("p49"),
-          expr("percentile(l_extendedprice, 0.51)").as("p51"),
           count(lit(1)).as("n"))
-      val cd = li.groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-      ap.join(cd, "l_returnflag")
+      // Pass 2 certifies by RANK, not by exact percentile: counting the
+      // rows ≤ / < the approx median is a codegen'd conditional sum —
+      // no second object-hash percentile buffer — and checks the
+      // sketch's actual contract (rank error) directly. The per-group
+      // sketch frame joins back unhinted (it is a grouped aggregate
+      // over a corpus scan — grows with group cardinality, so AQE must
+      // size it; at any scale it is |groups| rows and broadcasts).
+      // The approx median m sits at rank interval (#<m, #≤m]; the gate
+      // asserts that interval overlaps [0.49n, 0.51n].
+      li.select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+        .join(sk, "l_returnflag")
+        .groupBy(col("l_returnflag"), col("approx_parts"),
+          col("median_approx"), col("n"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          sum(when(col("l_extendedprice") <= col("median_approx"), 1L)
+            .otherwise(0L)).as("rank_le"),
+          sum(when(col("l_extendedprice") < col("median_approx"), 1L)
+            .otherwise(0L)).as("rank_lt"))
         .select(
           col("l_returnflag"), col("n"),
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts").cast("double") * lit(0.15))
             .cast("long").as("parts_within_eps"),
-          (col("median_approx") >= col("p49") &&
-            col("median_approx") <= col("p51"))
+          (col("rank_le").cast("double") >= lit(0.49) * col("n") &&
+            col("rank_lt").cast("double") <= lit(0.51) * col("n"))
             .cast("long").as("median_within_eps"))
     },
 

@@ -23,13 +23,29 @@ import org.apache.spark.sql.DataFrame
   * scans").
   */
 object Par {
+  // The narrow/wide verdict is pure function of (file set, parallelism,
+  // split conf): memoize it so repeated query builds over the same
+  // table (bench passes, multi-query jobs) don't re-pay the physical
+  // planning that computes the split count. Keyed by the scan's file
+  // NAMES — parquet part files are UUID-named, so any rewrite of the
+  // table changes the key and re-derives the verdict.
+  private val decisions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def fanOut(df: DataFrame): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     // Split count of the frame as planned: for the file scans this is
     // applied to, the partition count is decided at planning time
     // (file listing × maxPartitionBytes packing) — reading it runs no
     // Spark job.
-    val splits = df.queryExecution.toRdd.getNumPartitions
-    if (splits < parallelism) df.repartition(parallelism) else df
+    def narrow: Boolean = df.queryExecution.toRdd.getNumPartitions < parallelism
+    val files = df.inputFiles
+    val isNarrow: Boolean =
+      if (files.isEmpty) narrow // non-file frame: nothing stable to key on
+      else decisions.computeIfAbsent(
+        s"${System.identityHashCode(df.sparkSession)}:$parallelism:" +
+          s"${files.length}:${files.sorted.mkString("\n").hashCode}",
+        _ => narrow).booleanValue()
+    if (isNarrow) df.repartition(parallelism) else df
   }
 }

@@ -69,11 +69,11 @@ class ExtendedSpec extends SparkSpec {
     assert(approx.nonEmpty && approx.length == exact.size)
     approx.foreach { case (flag, n, partsOk, medianOk) =>
       assert(n == exact(flag))
-      // the in-query ε-gate (3σ HLL envelope; median ∈ [P49, P51]) is
-      // what the driver hash-compares against literal 1 — assert it
+      // the in-query ε-gate (3σ HLL envelope; median rank within ±1%)
+      // is what the driver hash-compares against literal 1 — assert it
       // end-to-end here too so a sketch regression fails fast locally
       assert(partsOk == 1L, s"$flag: HLL count outside 3σ envelope")
-      assert(medianOk == 1L, s"$flag: approx median outside [P49, P51]")
+      assert(medianOk == 1L, s"$flag: approx median rank outside ±1%")
     }
   }
 
