@@ -431,6 +431,131 @@ object Relational {
             sum(rev).cast("double").as("total_revenue"),
             round((promoRev * 100).cast("double") / sum(rev).cast("double"), 6)
               .as("promo_share_pct"))
+    },
+
+    // TPC-H Q2 shape (min-cost supplier): the correlated-MIN-over-a-
+    // multi-join planner trap — for each part, the probe must match the
+    // MINIMUM supply cost among the part's EUROPE offers, where the
+    // correlated subquery itself spans a 4-table subtree (offers ⋈
+    // supplier ⋈ nation ⋈ region). The schema has no partsupp table, so
+    // the supply relation is derived from lineitem: one (partkey,
+    // suppkey) offer per observed pair at min observed price — same
+    // shape, same trap. The Spark side is the decorrelated form written
+    // directly: ONE offers frame (derived once) feeds BOTH the per-part
+    // MIN aggregate and the equality probe, so the planner sees the
+    // shared subtree instead of re-deriving the 4-table join per side
+    // (ReusedExchange — pinned in PlanSpec). The part filter semi-reduces
+    // offers BEFORE the MIN: a part's min is unchanged by filtering
+    // WHICH parts are asked about, and at 100 TB the 6%-selective filter
+    // cuts the aggregate's input proportionally. Costs compare as exact
+    // DECIMAL(12,2) (double equality across engines would be fragile);
+    // the output cost casts to double only at the edge.
+    QuerySpec(
+      "q_tpch2_mincost",
+      """WITH partsupp AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+        |       CAST(ps.ps_supplycost AS DOUBLE) AS ps_supplycost
+        |FROM part p
+        |JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+        |JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE p.p_size <= 15 AND p.p_type = 'STANDARD'
+        |  AND r.r_name = 'EUROPE'
+        |  AND ps.ps_supplycost = (
+        |    SELECT min(ps2.ps_supplycost)
+        |    FROM partsupp ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val ps = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(dec(col("l_extendedprice"))).as("ps_supplycost"))
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"), col("ps_supplycost"))
+      // nation/region are fixed-cardinality (25/5 rows at ANY sf) —
+      // hints allowed; supplier scales: size stats / AQE decide.
+      val eur = Tables.load(s, d, "supplier")
+        .join(broadcast(Tables.load(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, d, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+      val part = Tables.load(s, d, "part")
+        .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+      val offers = ps
+        .join(eur, col("ps_suppkey") === col("s_suppkey"))
+        .join(part, col("ps_partkey") === col("p_partkey"))
+      val minCost = offers.groupBy(col("ps_partkey"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      offers
+        .join(minCost, Seq("ps_partkey"))
+        .filter(col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          col("ps_supplycost").cast("double").as("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q15 shape (top supplier by quarterly revenue): the
+    // reused-view planner trap — the `revenue` view appears twice, once
+    // under the scalar MAX and once as the probe side, and must plan
+    // ONCE (shared aggregate subtree → ReusedExchange, pinned in
+    // PlanSpec), not re-scan lineitem per reference. Revenue stays
+    // exact DECIMAL through the MAX-equality (double equality would be
+    // engine-order-dependent) and casts to double only at the edge. The
+    // scalar MAX frame is a group-less scalar aggregate — structurally
+    // bounded at ANY corpus size, so the explicit broadcast is safe
+    // (same policy as q_snapshot_latest).
+    QuerySpec(
+      "q_tpch15_topsupplier",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, s.s_acctbal,
+        |       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin) { (s, d) =>
+      val rev = Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1) - col("l_discount").cast("decimal(4,2)")))
+          .as("total_revenue"))
+        // No-op semantically (suppkey is a key; the probe's equality and
+        // join drop null revenue anyway) but load-bearing for the plan:
+        // WITHOUT it, the probe side's joins push isnotnull constraints
+        // into ITS copy of the view only, the two view subtrees stop
+        // canonicalizing equal, and ReuseExchange re-plans (and
+        // re-scans!) the whole revenue aggregate per reference. With the
+        // constraints satisfied up front, both consumers share one
+        // exchange (pinned in PlanSpec).
+        .filter(col("l_suppkey").isNotNull && col("total_revenue").isNotNull)
+      val maxRev = broadcast(
+        rev.agg(max(col("total_revenue")).as("max_revenue")))
+      rev
+        .join(maxRev, col("total_revenue") === col("max_revenue"))
+        // supplier scales with sf: no forced broadcast (see q_tpch3)
+        .join(Tables.load(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("total_revenue").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
     })
 
   /** Exact decimal image of a 2-dp double column (parity helper).

@@ -380,6 +380,32 @@ class PlanSpec extends SparkSpec {
     assert(q.count() == 3)
   }
 
+  test("q_tpch2 / q_tpch15: the shared view subtree plans ONCE — one " +
+    "lineitem scan via ReusedExchange — and Q2's top-100 is a " +
+    "TakeOrdered, with no nested-loop join anywhere") {
+    // Pinned on a no-AQE session clone: the ReuseExchange rule runs at
+    // physical planning there, so the plan string is deterministic
+    // (under AQE the same dedup happens at stage materialization, which
+    // plancheck verified but is only visible post-execution).
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    val p2 = SparkEntry.queries("q_tpch2_mincost")(noAqe, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("ReusedExchange"), p2)
+    assert("lineitem\\.parquet".r.findAllIn(p2).length == 1,
+      "Q2's correlated-MIN decorrelation must derive offers ONCE")
+    assert(p2.contains("TakeOrderedAndProject"), p2)
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"), p2)
+    val p15 = SparkEntry.queries("q_tpch15_topsupplier")(noAqe, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p15.contains("ReusedExchange"), p15)
+    assert("lineitem\\.parquet".r.findAllIn(p15).length == 1,
+      "Q15's revenue view must plan (and scan) once — if this broke, " +
+        "check the isnotnull pre-filter on rev (constraint pushdown " +
+        "de-canonicalizes the two view references)")
+  }
+
   test("Par.fanOut: injects the corpus exchange ONLY on narrow scans — " +
     "a scan with splits >= parallelism passes through exchange-free") {
     import org.apache.spark.sql.functions._
