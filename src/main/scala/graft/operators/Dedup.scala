@@ -859,16 +859,28 @@ object Dedup {
       // emitting candidates keeps the gate observable (every candidate
       // pair and its 4-dp cosine must match the oracle exactly) while
       // downstream dedup consumes `is_dup = 1` rows only.
-      val bands = srpBands(e)
-      val a = bands.select(col("vec_id").as("vec_a"), col("v").as("va"),
-        col("band"), col("bv"))
-      val b = bands.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-        col("band"), col("bv"))
-      a.join(b, Seq("band", "bv"))
+      // The band self-join runs on SKINNY rows — (vec_id, band, bv),
+      // 18 bytes — with the 64-float vector dropped before the
+      // exchange (column pruning cuts it right after the sign
+      // projections). Vectors re-join ONLY for the candidate pairs,
+      // which 16-bit banding keeps ≪ N by design: at corpus scale the
+      // alternative (each band row dragging its vector through the
+      // shuffle and the join build side) multiplies the heaviest
+      // column by LshBands× for data that candidate generation never
+      // reads. Verify joins are unhinted — corpus-derived sides, AQE
+      // sizes them (broadcast at bench scale, shuffled at web scale).
+      val bands = srpBands(e).select(col("vec_id"), col("band"), col("bv"))
+      val cand = bands.select(col("vec_id").as("vec_a"), col("band"), col("bv"))
+        .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bv")),
+          Seq("band", "bv"))
         .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
         .select(col("vec_a"), col("vec_b"),
           round(Similarity.cosine(col("va"), col("vb")), 4).as("sim"))
-        .distinct()
         .withColumn("is_dup",
           when(col("sim") >= 0.4, lit(1L)).otherwise(lit(0L)))
     },
