@@ -556,6 +556,227 @@ object Relational {
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
           col("total_revenue").cast("double").as("total_revenue"))
         .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q4 shape (order priority checking): EXISTS with a MIXED
+    // equi + non-equi correlated predicate — the semi join must carry
+    // the `l_shipdate > o_orderdate + 60 days` comparison as a join
+    // residual (both columns live on different sides), not as a
+    // pushable filter. The schema lacks commit/receipt dates, so "late
+    // line" is shipped >60 days after order date. Plan: LeftSemi on the
+    // orderkey equi pair with the interval comparison as condition —
+    // the fact table never duplicates order rows (no inner + distinct).
+    QuerySpec(
+      "q_tpch4_priority",
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // TPC-H Q8 shape (national market share): the widest join in the
+    // suite — lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ customer ⋈ nation
+    // ⋈ region ⋈ nation(again) — with a conditional-share two-level
+    // readout. nation joins TWICE under different roles (customer's
+    // nation prunes to EUROPE; supplier's nation labels the share),
+    // which exercises alias-disambiguation through a reused dimension.
+    // Share = double division of two exact decimal sums, rounded at
+    // 6 dp — identical op order in both engines.
+    QuerySpec(
+      "q_tpch8_marketshare",
+      """WITH an AS (
+        |  SELECT year(o.o_orderdate) AS o_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer cu ON o.o_custkey = cu.c_custkey
+        |  JOIN nation n1 ON cu.c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |  WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_8' THEN volume
+        |                 ELSE 0 END) AS DOUBLE)
+        |        / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM an GROUP BY o_year""".stripMargin) { (s, d) =>
+      val volume = dec(col("l_extendedprice")) *
+        (lit(1) - col("l_discount").cast("decimal(4,2)"))
+      val natSupp = Tables.load(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      Tables.load(s, d, "lineitem")
+        // part/supplier/customer scale with sf: stats/AQE pick the join
+        // side; only fixed-cardinality nation/region carry hints.
+        .join(Tables.load(s, d, "part").filter(col("p_type") === "ECONOMY"),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.load(s, d, "supplier"),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.load(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, d, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(natSupp), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_8", volume)
+            .otherwise(lit(0).cast("decimal(14,4)"))).cast("double") /
+            sum(volume).cast("double"), 6).as("mkt_share"))
+    },
+
+    // TPC-H Q9 shape (product-type profit): LIKE-filtered part drives a
+    // 6-table join including the DERIVED partsupp (same derivation as
+    // Q2 — no partsupp table in the schema), and the profit arithmetic
+    // mixes two fact columns with the joined supply cost. All exact
+    // DECIMAL until the output cast. Group by (nation, year): the
+    // aggregate's key set comes from two different dimension tables.
+    QuerySpec(
+      "q_tpch9_profit",
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |        * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+        |      - ps.ps_supplycost * CAST(l.l_quantity AS DECIMAL(12,2)))
+        |    AS DOUBLE) AS profit
+        |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val ps = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(dec(col("l_extendedprice"))).as("ps_supplycost"))
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"), col("ps_supplycost"))
+      Tables.load(s, d, "lineitem")
+        .join(Tables.load(s, d, "part").filter(col("p_name").like("%red%")),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.load(s, d, "supplier"),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(ps, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .join(Tables.load(s, d, "orders"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.load(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1) - col("l_discount").cast("decimal(4,2)")) -
+          col("ps_supplycost") * dec(col("l_quantity")))
+          .cast("double").as("profit"))
+    },
+
+    // TPC-H Q11 shape (important stock): GROUP BY ... HAVING against a
+    // scalar subquery over the SAME filtered view — the Q15 lesson
+    // squared: the nation-filtered partsupp value view feeds both the
+    // per-part aggregate and the global threshold, and must plan once.
+    // The threshold compare stays in exact DECIMAL by scaling with an
+    // integer literal (×1000) instead of multiplying by a 0.001 double,
+    // so borderline parts can't flip between engines.
+    QuerySpec(
+      "q_tpch11_stock",
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost,
+        |         sum(CAST(l_quantity AS DECIMAL(12,2))) AS ps_availqty
+        |  FROM lineitem GROUP BY 1, 2),
+        |gps AS (
+        |  SELECT ps_partkey, ps_supplycost * ps_availqty AS value
+        |  FROM ps JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name = 'NATION_8')
+        |SELECT ps_partkey, CAST(sum(value) AS DOUBLE) AS total_value
+        |FROM gps GROUP BY ps_partkey
+        |HAVING sum(value) * 1000 > (SELECT sum(value) FROM gps)""".stripMargin) {
+      (s, d) =>
+      val ps = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(dec(col("l_extendedprice"))).as("ps_supplycost"),
+          sum(dec(col("l_quantity"))).as("ps_availqty"))
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"),
+          col("ps_supplycost"), col("ps_availqty"))
+      val gps = ps
+        .join(Tables.load(s, d, "supplier"),
+          col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.load(s, d, "nation")
+          .filter(col("n_name") === "NATION_8")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("ps_partkey"),
+          (col("ps_supplycost") * col("ps_availqty")).as("value"))
+        // Q15 lesson: satisfy the constraints BOTH references need up
+        // front, or the probe side's pushed isnotnull de-canonicalizes
+        // the shared view and the whole partsupp join plans twice.
+        .filter(col("ps_partkey").isNotNull && col("value").isNotNull)
+      val total = broadcast(gps.agg(sum(col("value")).as("total")))
+      gps.groupBy(col("ps_partkey"))
+        .agg(sum(col("value")).as("sum_value"))
+        .join(total, col("sum_value") * 1000 > col("total"))
+        .select(col("ps_partkey"),
+          col("sum_value").cast("double").as("total_value"))
+    },
+
+    // TPC-H Q16 shape (supplier count by part attributes): NOT IN with
+    // a subquery — Spark's null-aware anti join — composed with a
+    // count(DISTINCT) over the join result and an IN-list scan filter.
+    // The supplier exclusion ("complaints" stand-in: negative account
+    // balance) anti-joins BEFORE the distinct count so excluded
+    // suppliers never inflate the aggregate's key space.
+    QuerySpec(
+      "q_tpch16_suppcnt",
+      """WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey,
+        |                   l_suppkey AS ps_suppkey FROM lineitem)
+        |SELECT p_brand, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'MEDIUM'
+        |  AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+        |  AND ps.ps_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val ps = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+      val excluded = Tables.load(s, d, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      ps
+        .join(excluded, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(Tables.load(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "MEDIUM" &&
+            col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)),
+          col("p_partkey") === col("ps_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
     })
 
   /** Exact decimal image of a 2-dp double column (parity helper).

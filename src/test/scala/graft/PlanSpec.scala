@@ -406,6 +406,28 @@ class PlanSpec extends SparkSpec {
         "de-canonicalizes the two view references)")
   }
 
+  test("q_tpch4 / q_tpch8 / q_tpch11 / q_tpch16: the round-7 planner " +
+    "traps keep their shapes — semi join with non-equi residual, no " +
+    "nested loop in the 8-table join, reused view under HAVING, " +
+    "anti join before the distinct count") {
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    def p(n: String) = SparkEntry.queries(n)(noAqe, sf0001)
+      .queryExecution.executedPlan.toString
+    val p4 = p("q_tpch4_priority")
+    assert(p4.contains("LeftSemi"), p4) // EXISTS ⇒ semi, never inner+distinct
+    val p8 = p("q_tpch8_marketshare")
+    assert(!p8.contains("BroadcastNestedLoopJoin") &&
+      !p8.contains("CartesianProduct"), p8)
+    val p11 = p("q_tpch11_stock")
+    assert(p11.contains("ReusedExchange") &&
+      "lineitem\\.parquet".r.findAllIn(p11).length == 1,
+      "Q11's filtered partsupp view must plan once under the HAVING " +
+        "scalar subquery (isnotnull pre-filter — see Q15)")
+    val p16 = p("q_tpch16_suppcnt")
+    assert(p16.contains("LeftAnti"), p16)
+  }
+
   test("Par.fanOut: injects the corpus exchange ONLY on narrow scans — " +
     "a scan with splits >= parallelism passes through exchange-free") {
     import org.apache.spark.sql.functions._
