@@ -672,18 +672,23 @@ object Relational {
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |WHERE p.p_name LIKE '%red%'
         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
-      val ps = Tables.load(s, d, "lineitem")
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(min(dec(col("l_extendedprice"))).as("ps_supplycost"))
-        .select(col("l_partkey").as("ps_partkey"),
-          col("l_suppkey").as("ps_suppkey"), col("ps_supplycost"))
+      // The derived partsupp is a WINDOW over the fact, not an
+      // aggregate-and-join-back: min(price) partitioned by the
+      // (partkey, suppkey) pair rides the same shuffle the fact needs
+      // anyway and the plan scans lineitem ONCE (pinned) — the
+      // aggregate form scanned it twice and joined a corpus-sized
+      // derived frame back to itself. Pair groups are lines-per-pair
+      // (single digits), so the window exposes no skew. The part
+      // filter joins AFTER the window: a pair's min is defined over
+      // ALL its lines, unaffected by which parts are asked about.
+      val wPair = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"), col("l_suppkey"))
       Tables.load(s, d, "lineitem")
+        .withColumn("ps_supplycost", min(dec(col("l_extendedprice"))).over(wPair))
         .join(Tables.load(s, d, "part").filter(col("p_name").like("%red%")),
           col("p_partkey") === col("l_partkey"))
         .join(Tables.load(s, d, "supplier"),
           col("s_suppkey") === col("l_suppkey"))
-        .join(ps, col("ps_partkey") === col("l_partkey") &&
-          col("ps_suppkey") === col("l_suppkey"))
         .join(Tables.load(s, d, "orders"),
           col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(Tables.load(s, d, "nation")),

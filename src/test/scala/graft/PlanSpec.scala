@@ -426,6 +426,12 @@ class PlanSpec extends SparkSpec {
         "scalar subquery (isnotnull pre-filter — see Q15)")
     val p16 = p("q_tpch16_suppcnt")
     assert(p16.contains("LeftAnti"), p16)
+    val p9 = p("q_tpch9_profit")
+    assert("lineitem\\.parquet".r.findAllIn(p9).length == 1,
+      "Q9's derived supply cost must ride the fact's own shuffle as a " +
+        "pair-partitioned window, not re-scan lineitem for an " +
+        "aggregate-and-join-back")
+    assert("Window".r.findAllIn(p9).nonEmpty, p9)
   }
 
   test("Par.fanOut: injects the corpus exchange ONLY on narrow scans — " +
