@@ -732,7 +732,17 @@ object Relational {
         |FROM gps GROUP BY ps_partkey
         |HAVING sum(value) * 1000 > (SELECT sum(value) FROM gps)""".stripMargin) {
       (s, d) =>
+      // Semi-reduce the fact to the target nation's suppliers BEFORE
+      // the pair aggregate (the Q2 trick): only 1/|nations| of the
+      // supply relation can reach gps, so aggregating the rest is pure
+      // waste at any scale. Unhinted — the supplier set scales with sf.
+      val natSupp = Tables.load(s, d, "supplier")
+        .join(broadcast(Tables.load(s, d, "nation")
+          .filter(col("n_name") === "NATION_8")),
+          col("s_nationkey") === col("n_nationkey"))
       val ps = Tables.load(s, d, "lineitem")
+        .join(natSupp.select(col("s_suppkey").as("sk")),
+          col("l_suppkey") === col("sk"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(dec(col("l_extendedprice"))).as("ps_supplycost"),
           sum(dec(col("l_quantity"))).as("ps_availqty"))
@@ -740,11 +750,7 @@ object Relational {
           col("l_suppkey").as("ps_suppkey"),
           col("ps_supplycost"), col("ps_availqty"))
       val gps = ps
-        .join(Tables.load(s, d, "supplier"),
-          col("ps_suppkey") === col("s_suppkey"))
-        .join(broadcast(Tables.load(s, d, "nation")
-          .filter(col("n_name") === "NATION_8")),
-          col("s_nationkey") === col("n_nationkey"))
+        .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
         .select(col("ps_partkey"),
           (col("ps_supplycost") * col("ps_availqty")).as("value"))
         // Q15 lesson: satisfy the constraints BOTH references need up
