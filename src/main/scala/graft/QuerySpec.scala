@@ -2,10 +2,12 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** One registered engine query: a Spark-first implementation plus (where
-  * expressible) equivalent ANSI SQL the driver runs in DuckDB as an oracle.
-  * `oracle = None` ⇒ the driver records a weaker rows-only check (used for
-  * ops whose hashing primitives have no portable SQL equivalent).
+/** One registered engine query: a Spark-first implementation plus
+  * equivalent ANSI SQL the driver runs in DuckDB as an oracle.
+  * `oracle = None` would fall back to the driver's weaker rows-only
+  * check — since round 7 every registered query carries an oracle
+  * (ops without a portable value image, like the sketches, are oracled
+  * through certified contract verdicts instead of raw values).
   */
 final case class QuerySpec(
     name: String,
@@ -16,8 +18,4 @@ object QuerySpec {
   def apply(name: String, oracle: String)(
       fn: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, fn, Some(oracle))
-
-  def noOracle(name: String)(
-      fn: (SparkSession, String) => DataFrame): QuerySpec =
-    QuerySpec(name, fn, None)
 }
