@@ -41,7 +41,15 @@ object Par {
     def narrow: Boolean = df.queryExecution.toRdd.getNumPartitions < parallelism
     val files = df.inputFiles
     val isNarrow: Boolean =
-      if (files.isEmpty) narrow // non-file frame: nothing stable to key on
+      if (files.length >= 4 * parallelism)
+        // Many-file short-circuit: FilePartitions pack to
+        // maxSplitBytes = min(maxPartitionBytes, max(openCost,
+        // totalBytes/parallelism)), so a scan with ≥4× parallelism
+        // files always yields ≥ parallelism splits — wide by
+        // construction, and the multi-million-file production case
+        // never pays the per-name memo key below.
+        false
+      else if (files.isEmpty) narrow // non-file frame: nothing stable to key on
       else decisions.computeIfAbsent(
         s"${System.identityHashCode(df.sparkSession)}:$parallelism:" +
           s"${files.length}:${files.sorted.mkString("\n").hashCode}",
