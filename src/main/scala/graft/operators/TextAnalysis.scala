@@ -226,6 +226,30 @@ object TextAnalysis {
           .as("vocab_fp"))
     },
 
+    // Sensitive-term redaction (the PII-scrub shape every production
+    // training-data pipeline runs before release): a word-boundary
+    // regex replaces each term-list hit with a fixed token; the query
+    // emits the hit count and an md5 of the redacted text — full
+    // redacted bodies never leave the executors, so the gate carries
+    // ~48 bytes/doc however large documents get. Pure map work: no
+    // shuffle at all beyond the scan. Patterns stay in the
+    // \b(alt|...)\b subset that Java regex and RE2 (DuckDB) agree on.
+    QuerySpec(
+      "text_redact",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|key|value)\b'))
+        |    AS BIGINT) AS n_redacted,
+        |  md5(regexp_replace(text, '\b(customer|key|value)\b',
+        |      '[REDACTED]', 'g')) AS redacted_fp
+        |FROM documents""".stripMargin) { (s, d) =>
+      val pat = "\\b(customer|key|value)\\b"
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .cast("long").as("n_redacted"),
+        md5(regexp_replace(col("text"), pat, "[REDACTED]")).as("redacted_fp"))
+    },
+
     // Repetition signals (Gopher/RefinedWeb-style quality filters): the
     // duplicate word-bigram fraction and the most-frequent-bigram share
     // of each document. Boilerplate and loop-generated text score high on

@@ -485,6 +485,28 @@ class OperatorsSpec extends SparkSpec {
     assert(rep.filter($"dup_2gram_frac" > 0).count() > 0)
   }
 
+  test("text_redact: hit counts recompute from the raw text, redacted " +
+    "fingerprints change exactly when hits exist, and the corpus " +
+    "exercises the scrub (non-vacuous gate)") {
+    val red = SparkEntry.queries("text_redact")(spark, sf0001)
+      .join(Tables.documents(spark, sf0001), "doc_id")
+    assert(red.count() == 500)
+    // independent recount via a different primitive (token equality,
+    // not regex): every term-list hit is a whole whitespace token in
+    // this corpus, so the per-doc counts must agree exactly
+    val terms = Set("customer", "key", "value")
+    val bad = red.select($"doc_id", $"n_redacted", $"text",
+        md5($"text").as("raw_fp"), $"redacted_fp")
+      .as[(Long, Long, String, String, String)].collect()
+      .filter { case (_, n, text, rawFp, redFp) =>
+        val expect = text.split(" ").count(terms)
+        n != expect || (n > 0) != (rawFp != redFp)
+      }
+    assert(bad.isEmpty, s"first bad: ${bad.headOption}")
+    val hits = red.filter($"n_redacted" > 0).count()
+    assert(hits > 0, "term list never fires — the redaction gate is vacuous")
+  }
+
   test("incrementalKeepNew: exact and near dups of history (and of " +
     "earlier incoming docs) drop; history is never dropped; fresh docs " +
     "pass") {
