@@ -226,6 +226,41 @@ object TextAnalysis {
           .as("vocab_fp"))
     },
 
+    // Unigram-LM document scoring (the corpus-statistics quality
+    // filter: docs whose tokens are improbable under the corpus' own
+    // unigram distribution are noise/ocr-garble candidates). ONE
+    // token explode feeds both the corpus frequency table and the
+    // scoring join — same exchange (word-keyed), so the planner reuses
+    // it rather than re-exploding the corpus. The frequency table is
+    // corpus-derived (vocabulary grows with the corpus) ⇒ the scoring
+    // join is UNHINTED; only the group-less token total (a true
+    // scalar at any scale) broadcasts. avg(ln p) summation order
+    // differs across engines at ~1e-14; the 4-dp round makes the
+    // comparison deterministic (boundary-hit risk ~1e-10/doc).
+    QuerySpec(
+      "text_unigram_logprob",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |f AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+        |t AS (SELECT sum(n) AS tot FROM f)
+        |SELECT doc_id,
+        |  round(avg(ln(CAST(n AS DOUBLE) / tot)), 4) AS avg_logp,
+        |  count(*) AS n_tokens
+        |FROM w JOIN f USING (word), t
+        |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val w = Par.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      val f = w.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val t = broadcast(f.agg(sum(col("n")).as("tot")))
+      w.join(f, Seq("word"))
+        .crossJoin(t)
+        .groupBy(col("doc_id"))
+        .agg(
+          round(avg(log(col("n").cast("double") / col("tot"))), 4)
+            .as("avg_logp"),
+          count(lit(1)).as("n_tokens"))
+    },
+
     // Sensitive-term redaction (the PII-scrub shape every production
     // training-data pipeline runs before release): a word-boundary
     // regex replaces each term-list hit with a fixed token; the query

@@ -485,6 +485,29 @@ class OperatorsSpec extends SparkSpec {
     assert(rep.filter($"dup_2gram_frac" > 0).count() > 0)
   }
 
+  test("text_unigram_logprob: per-doc score recomputes from raw corpus " +
+    "counts (independent Scala fold), scores are negative, token " +
+    "counts match the tokenizer") {
+    val out = SparkEntry.queries("text_unigram_logprob")(spark, sf0001)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val freq = docs.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, a) => w -> a.length.toLong }
+    val tot = freq.values.sum.toDouble
+    assert(out.size == docs.length)
+    docs.take(50).foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val expect = toks.map(w => math.log(freq(w) / tot)).sum / toks.length
+      val (_, got, n) = out(id)
+      assert(n == toks.length, s"doc $id token count")
+      assert(math.abs(got - BigDecimal(expect)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-9 ||
+        math.abs(got - expect) < 5e-5, s"doc $id: got $got expect $expect")
+      assert(got < 0, s"doc $id: unigram log-prob must be negative")
+    }
+  }
+
   test("text_redact: hit counts recompute from the raw text, redacted " +
     "fingerprints change exactly when hits exist, and the corpus " +
     "exercises the scrub (non-vacuous gate)") {
