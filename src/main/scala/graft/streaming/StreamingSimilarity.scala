@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming ANN enrichment against the PERSISTED IVF index — the
+  * serving-time shape of `sim_ivf_indexed`, the way `StreamingDedup` is
+  * the ingestion-time shape of `dedup_incremental_indexed`. Each
+  * micro-batch of query embeddings:
+  *
+  *   1. assigns every query to its `nprobe` nearest cells (in-row
+  *      ranking against the K cached centroids — pure map work),
+  *   2. reads ONLY the probed `cent_id=` directories of the
+  *      cell-partitioned vector index (static partition prune, the
+  *      nprobe/K byte bound),
+  *   3. ranks with the bounded-state `top_k` aggregate and appends
+  *      (query_id, neighbor_id, rank) to the sink.
+  *
+  * The index is READ-ONLY here, so replay idempotence needs no ledger:
+  * results land in a batchId-keyed directory with overwrite semantics —
+  * a restart that redelivers a micro-batch rewrites the same directory
+  * instead of appending duplicates. (Contrast `StreamingDedup`, whose
+  * batches MUTATE the index and therefore commit through the batch
+  * ledger.)
+  *
+  * Scale shape per batch: O(|batch| × K) centroid rankings map-side, a
+  * shuffle join keyed by cell over only the probed cells' vectors, and
+  * k-pair aggregation buffers through the final exchange. The corpus is
+  * never re-scanned and never re-assigned — ingest paid that once when
+  * the index was built.
+  */
+object StreamingSimilarity {
+
+  /** Start the enrichment stream: `queries` must be a streaming frame
+    * with (query_id, qv: array<float>). The index at `indexPath` must
+    * exist (`Similarity.ensureIvfIndex` or an equivalent build).
+    */
+  def start(queries: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, nprobe: Int = 4, k: Int = 5): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishBatch(batch, batchId, indexPath, outPath, nprobe, k)
+      }
+      .start()
+
+  /** One micro-batch publish — the replay-idempotent unit (also invoked
+    * directly by the spec to simulate a redelivered batch).
+    */
+  def publishBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      outPath: String, nprobe: Int = 4, k: Int = 5): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    Similarity.indexTopK(batch.sparkSession, indexPath, batch, nprobe, k)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
+  }
+}

@@ -110,6 +110,67 @@ class OperatorsSpec extends SparkSpec {
     assert(gated.map(_._2).sum == (exact & approx).size)
   }
 
+  test("sim_ivf_indexed: identical result to sim_ivf; the corpus is " +
+    "served from the cell-partitioned index with a STATIC partition " +
+    "prune (only probed cent_id= directories listed), and the only " +
+    "embeddings scans are query-side") {
+    val q = SparkEntry.queries("sim_ivf_indexed")(spark, sf0001)
+    val viaIndex = q.select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val rebuilt = SparkEntry.queries("sim_ivf")(spark, sf0001)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaIndex == rebuilt)
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // every embeddings.parquet scan is the query set (vec_id < 20) —
+    // the corpus vectors come from the index, never a table re-scan
+    val embScans = scans.filter(_.metadata("Location").contains("embeddings"))
+    assert(embScans.nonEmpty)
+    embScans.foreach { f =>
+      assert(f.dataFilters.mkString(";").contains("< 20"),
+        s"corpus-wide embeddings scan leaked into the indexed plan: " +
+          f.dataFilters.mkString(";"))
+    }
+    // the index scan prunes to the probed cells: partition filters
+    // present, and the listing selects fewer directories than the
+    // index holds cells
+    val idxScans = scans.filter(
+      _.metadata("Location").contains("graft_ivf_index"))
+    val vecScan = idxScans.find(_.metadata("Location").contains("vectors"))
+    assert(vecScan.nonEmpty, s"no vectors index scan in:\n$scans")
+    assert(vecScan.get.partitionFilters.nonEmpty,
+      "cell prune must be a PartitionFilter (directory-level listing)")
+    // independent recompute of the probed cell set (plain Scala, same
+    // rounded-cosine ranking): the scan must list EXACTLY those cells'
+    // directories — the nprobe/K byte bound the index exists for
+    val idx = graft.operators.Similarity.ensureIvfIndex(spark, sf0001)
+    val cents = spark.read.parquet(s"$idx/cents")
+      .as[(Long, Array[Double])].collect()
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def rcos(a: Array[Float], b: Array[Double]): BigDecimal = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i).toDouble * a(i); nb += b(i) * b(i)
+        i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val probed = queries.flatMap { case (_, v) =>
+      cents.map { case (cid, cv) => (rcos(v, cv), cid) }
+        .sortBy { case (sim, cid) => (-sim, cid) }
+        .take(4).map(_._2)
+    }.toSet
+    assert(vecScan.get.selectedPartitions.partitionCount == probed.size,
+      s"listed ${vecScan.get.selectedPartitions.partitionCount} cell " +
+        s"dirs, probes touch ${probed.size}")
+  }
+
   test("dedup_embedding_lsh: candidate cosines are exact (independent " +
     "Scala recompute), the is_dup verdict matches the threshold, and " +
     "planted high-cosine near-dups are recalled by the 16-bit bands") {
