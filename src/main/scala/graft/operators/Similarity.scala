@@ -183,6 +183,64 @@ object Similarity {
       .select(col("query_id"), col("sc.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"))
 
+  /** IVF over a GROWN index → CTE `ivfg(query_id, neighbor_id, rank)`:
+    * centroids trained on the history wave only (vec_id % 5 ≠ 4, same
+    * seeds + one Lloyd step), ALL vectors assigned to those frozen
+    * centroids — exactly what writeIvfIndex-then-appendToIvfIndex
+    * produces, so the oracle certifies the incremental fold itself.
+    */
+  private val ivfGrownCtes: String =
+    s"""hist AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 4),
+       |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM hist WHERE vec_id % 25 = 0),
+       |a0 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT h.vec_id, h.v, s.cent_id,
+       |      row_number() OVER (PARTITION BY h.vec_id
+       |        ORDER BY round(list_cosine_similarity(h.v, s.cv), 4) DESC, s.cent_id) AS rn
+       |    FROM hist h, seeds s) WHERE rn = 1),
+       |cd AS (SELECT cent_id, d, avg(v[d]) AS cx
+       |       FROM a0, range(1, 65) t(d) GROUP BY cent_id, d),
+       |cents AS (SELECT cent_id, list(cx ORDER BY d) AS cv FROM cd GROUP BY cent_id),
+       |a1 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM e, cents c) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM e, cents c WHERE e.vec_id < $NQueries) WHERE rn <= 4),
+       |iscored AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qv, a1.v), 4) AS sim
+       |  FROM probes p JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id),
+       |ivfg AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM iscored) WHERE rank <= $TopK)""".stripMargin
+
+  /** Build-if-absent the GROWN index: history wave (vec_id % 5 ≠ 4)
+    * seeds the build, the increment folds in through
+    * [[appendToIvfIndex]] — the gated proof that incremental index
+    * growth serves the same answers as the frozen-centroid construction
+    * recomputed from scratch (the `sim_ivf_grown` oracle).
+    */
+  def ensureGrownIvfIndex(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_grown$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val seeded = fs.exists(
+      new org.apache.hadoop.fs.Path(root, "vectors/seed/_SUCCESS"))
+    if (!seeded || !ivfFoldedBatches(root.toString).contains(0L)) {
+      fs.delete(root, true)
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      writeIvfIndex(e.filter(col("vec_id") % 5 =!= 4), root.toString)
+      appendToIvfIndex(e.filter(col("vec_id") % 5 === 4), root.toString, 0L)
+    }
+    root.toString
+  }
+
   /** Brute-force exact top-k: (query_id, neighbor_id, rank). */
   def bruteTopK(s: SparkSession, d: String): DataFrame =
     topkOf(corpus(s, d))
@@ -258,28 +316,156 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_index$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val done = Seq("cents", "vectors").map(f =>
+    val done = Seq("cents", "vectors/seed").map(f =>
       new org.apache.hadoop.fs.Path(root, s"$f/_SUCCESS"))
     if (!done.forall(fs.exists)) {
       fs.delete(root, true)
-      val e = corpus(s, d).select(col("vec_id"), col("v"))
-      val seeds = e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      lloydStep(e, seeds)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$root/cents")
-      // Assignment reads the centroids BACK from parquet so the index
-      // provably serves the same values later probes will read (double
-      // roundtrip is exact). repartition(cent_id) clusters each cell
-      // into one file before the partitioned write — without it every
-      // task writes a sliver of every cell (tasks × cells small files).
-      assign(e, s.read.parquet(s"$root/cents"), 1)
-        .repartition(col("cent_id"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("cent_id")
-        .parquet(s"$root/vectors")
+      writeIvfIndex(corpus(s, d).select(col("vec_id"), col("v")),
+        root.toString)
     }
     root.toString
+  }
+
+  /** Build a fresh IVF index at `path` from any `(vec_id, v)` frame:
+    * every-`seedEvery`-th vector seeds one Lloyd refinement, the
+    * refined centroids land in `cents/`, and the corpus lands
+    * cell-partitioned in `vectors/seed/`.
+    */
+  def writeIvfIndex(vecs: DataFrame, path: String,
+      seedEvery: Int = 25): Unit = {
+    val e = vecs.select(col("vec_id"), col("v"))
+    val seeds = e.filter(col("vec_id") % seedEvery === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    lloydStep(e, seeds)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/cents")
+    // Assignment reads the centroids BACK from parquet so the index
+    // provably serves the same values later probes will read (double
+    // roundtrip is exact). repartition(cent_id) clusters each cell
+    // into one file before the partitioned write — without it every
+    // task writes a sliver of every cell (tasks × cells small files).
+    assign(e, vecs.sparkSession.read.parquet(s"$path/cents"), 1)
+      .repartition(col("cent_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cent_id")
+      .parquet(s"$path/vectors/seed")
+  }
+
+  // ---- index lifecycle: `cents/` is FROZEN at build time (IVF
+  // centroids are retrained offline, never per ingest batch — drifting
+  // them would silently re-home existing cells); `vectors/` holds ONLY
+  // subdirs, each internally partitioned by `cent_id=`: `seed/`
+  // (ensureIvfIndex), `b<batchId>/` (one per folded append, rewritten
+  // in place on replay) and `compact/` (compactIvfIndex). The set of
+  // VALID b-dirs is the batch ledger at `<root>/_vec_ledger`, replaced
+  // ATOMICALLY after a batch's b-dir is fully written — that one file
+  // move is the fold's commit point. A b-dir absent from the ledger is
+  // an orphan from a crashed fold: readers skip it and the batch's
+  // replay rewrites it wholesale. Same exactly-once protocol as the
+  // dedup index (Dedup.appendToIndex); the ledger lives OUTSIDE
+  // `vectors/` so compaction's directory swap cannot touch it. ----
+
+  private val VecSchema = "vec_id BIGINT, v ARRAY<FLOAT>, cent_id BIGINT"
+
+  private def localFile(path: String, more: String*): java.nio.file.Path =
+    java.nio.file.Paths.get(path.stripPrefix("file:"), more: _*)
+
+  /** BatchIds whose vector fold is fully committed. */
+  def ivfFoldedBatches(path: String): Set[Long] = {
+    import scala.jdk.CollectionConverters._
+    val f = localFile(path, "_vec_ledger")
+    if (!java.nio.file.Files.exists(f)) Set.empty
+    else java.nio.file.Files.readAllLines(f).asScala
+      .filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  /** The committed sub-roots of `vectors/`: every non-batch dir (seed,
+    * compact) plus exactly the ledgered b-dirs. Orphan b-dirs from a
+    * crashed fold stay invisible until their replay commits.
+    */
+  private def vectorRoots(path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val root = localFile(path, "vectors")
+    val committed = ivfFoldedBatches(path)
+    val dirs = java.nio.file.Files.list(root).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filter(n => !n.startsWith(".") &&
+        (!n.matches("b\\d+") || committed.contains(n.drop(1).toLong)))
+      .map(n => s"$path/vectors/$n").toSeq.sorted
+    require(dirs.nonEmpty, "IVF index has no committed vector dirs")
+    dirs
+  }
+
+  /** All committed index vectors: a union of per-root partitioned reads
+    * (each root carries its own `cent_id=` directory tree; `basePath`
+    * scopes partition discovery per root). A `cent_id` filter pushes
+    * through the union into EVERY branch's PartitionFilters, so the
+    * static cell prune holds across seed + appended batches alike.
+    */
+  def indexVectors(s: SparkSession, path: String): DataFrame =
+    vectorRoots(path).map(r =>
+      s.read.schema(VecSchema).option("basePath", r).parquet(r))
+      .reduce(_.union(_))
+
+  /** Fold a batch of NEW vectors `(vec_id, v)` into a persisted IVF
+    * index, EXACTLY ONCE under replay: assign each vector to its
+    * nearest FROZEN centroid and land the batch cell-partitioned in
+    * `vectors/b<batchId>/`. Protocol (mirrors `Dedup.appendToIndex`):
+    * a ledgered batchId is a committed no-op (returns false); the b-dir
+    * write carries overwrite semantics, so a replay after a mid-write
+    * crash rewrites the same dirs; the atomic ledger replace is the
+    * commit point. Cost: O(|batch| × K) centroid rankings map-side +
+    * one partitioned write — the existing corpus is never touched.
+    */
+  def appendToIvfIndex(vecs: DataFrame, path: String,
+      batchId: Long): Boolean = {
+    if (ivfFoldedBatches(path).contains(batchId)) return false
+    stageIvfFold(vecs, path, batchId)
+    commitIvfFold(path, batchId)
+    true
+  }
+
+  /** Fold step 1: write the batch's assigned vectors into their b-dir
+    * (overwrite ⇒ replay-safe). Exposed to the spec so a crash between
+    * the write and the ledger commit can be simulated.
+    */
+  private[graft] def stageIvfFold(vecs: DataFrame, path: String,
+      batchId: Long): Unit =
+    assign(vecs.select(col("vec_id"), col("v")),
+      vecs.sparkSession.read.parquet(s"$path/cents"), 1)
+      .repartition(col("cent_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cent_id")
+      .parquet(s"$path/vectors/b$batchId")
+
+  /** Fold step 2: publish the grown ledger via one atomic file move. */
+  private[graft] def commitIvfFold(path: String, batchId: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val ledger = (ivfFoldedBatches(path) + batchId).toSeq.sorted
+    val tmp = localFile(path, "._vec_ledger.staging")
+    Files.write(tmp, ledger.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, localFile(path, "_vec_ledger"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Compact the index's vector frame: rewrite all committed sub-roots
+    * into ONE `compact/` dir (still cell-partitioned, one file per
+    * cell), published by the same staged-write + swap as every Layout
+    * publish. Without it batch N's readers pay an O(N) sub-root
+    * listing — one dir per fold, forever. The ledger is NOT touched:
+    * replayed batchIds keep short-circuiting after their b-dirs are
+    * compacted away. Single-writer, like `Dedup.compactIndex`.
+    */
+  def compactIvfIndex(s: SparkSession, path: String): Unit = {
+    val staging = localFile(path, ".vectors.compacting")
+    indexVectors(s, path)
+      .repartition(col("cent_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cent_id")
+      .parquet(staging.resolve("compact").toString)
+    Layout.replaceDir(staging, localFile(path, "vectors"),
+      localFile(path, ".vectors.old"))
   }
 
   /** Top-k ANN for an arbitrary query frame `(query_id, qv)` against a
@@ -312,12 +498,11 @@ object Similarity {
     // instead of a runtime join.
     val cells = probes.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0)).sorted
-    // Explicit schema: the partition column must read back as BIGINT
-    // (directory-value inference would narrow it to INT and the
-    // isin-prune would ride a cast).
-    val vecs = s.read
-      .schema("vec_id BIGINT, v ARRAY<FLOAT>, cent_id BIGINT")
-      .parquet(s"$indexPath/vectors")
+    // Committed-roots union read (seed + ledgered appends + compact):
+    // the isin prune pushes through the union into every branch's
+    // PartitionFilters — only probed cent_id= dirs are listed, in every
+    // sub-root.
+    val vecs = indexVectors(s, indexPath)
       .filter(col("cent_id").isin(cells: _*))
     val scored = probes.join(vecs, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -375,6 +560,23 @@ object Similarity {
          |$ivfCtes
          |SELECT query_id, neighbor_id, rank FROM ivf""".stripMargin)(
       (s, d) => ivfTopKIndexed(s, d)),
+
+    // The incremental-growth proof under the value-level gate: an index
+    // seeded from the history wave (vec_id % 5 ≠ 4) with the increment
+    // folded in by appendToIvfIndex must answer queries exactly like
+    // the frozen-centroid construction recomputed from scratch — which
+    // is what the oracle recomputes (centroids from history only, ALL
+    // vectors assigned to them). The dedup analogue is
+    // dedup_incremental_indexed; this is the similarity side of the
+    // same lifecycle contract.
+    QuerySpec(
+      "sim_ivf_grown",
+      s"""WITH $eCte,
+         |$ivfGrownCtes
+         |SELECT query_id, neighbor_id, rank FROM ivfg""".stripMargin)(
+      (s, d) => indexTopK(s, ensureGrownIvfIndex(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")))),
 
     // ANN quality as a GATED readout: per-query overlap between the IVF
     // top-k and the exact top-k (recall@k numerator). Both sides are

@@ -55,4 +55,30 @@ object StreamingSimilarity {
     Similarity.indexTopK(batch.sparkSession, indexPath, batch, nprobe, k)
       .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
   }
+
+  /** The WRITE side of the index lifecycle: fold micro-batches of NEW
+    * corpus vectors `(vec_id, v)` into the persisted IVF index —
+    * `Similarity.appendToIvfIndex` per batch, so each vector is
+    * assigned to its frozen nearest centroid and lands
+    * cell-partitioned in a `b<batchId>/` sub-root. Exactly-once under
+    * replay via the index's batch ledger (a redelivered batchId
+    * short-circuits post-commit, rewrites its b-dir pre-commit), the
+    * same protocol `StreamingDedup` uses for the dedup index. The NEXT
+    * enrichment batch (`start`) automatically searches the grown
+    * corpus — the committed-roots reader unions seed + ledgered
+    * appends. Run `Similarity.compactIvfIndex` every K batches to
+    * bound the sub-root listing.
+    */
+  def startIngest(vectors: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Similarity.appendToIvfIndex(batch, indexPath, batchId)
+          ()
+        }
+      }
+      .start()
 }

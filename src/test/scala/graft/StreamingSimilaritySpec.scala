@@ -54,4 +54,112 @@ class StreamingSimilaritySpec extends SparkSpec {
       qvecs.take(3).toDF("query_id", "qv"), 0L, idx, out)
     assert(resultsOf(out) == streamed, "replayed batch must not duplicate")
   }
+
+  /** Independent nearest-frozen-centroid recompute (rounded cosine
+    * desc, cent_id tie-break — the assign contract) in plain Scala.
+    */
+  private def nearestCent(v: Array[Float],
+      cents: Seq[(Long, Array[Double])]): Long =
+    cents.map { case (cid, cv) =>
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < v.length) {
+        d += v(i) * cv(i); na += v(i).toDouble * v(i); nb += cv(i) * cv(i)
+        i += 1
+      }
+      (BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP), cid)
+    }.minBy { case (sim, cid) => (-sim, cid) }._2
+
+  test("appendToIvfIndex: a batch-grown index holds exactly the union " +
+    "assigned to the FROZEN centroids; replay, crash-window and " +
+    "compaction are all exactly-once / result-identical") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".as("v"))
+    val wave1 = e.filter($"vec_id" % 3 =!= 2)
+    val wave2 = e.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 0)
+    val wave3 = e.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 1)
+    val idx = tmpDir("ivf-grown")
+    Similarity.writeIvfIndex(wave1, idx)
+    assert(Similarity.appendToIvfIndex(wave2, idx, 0L))
+
+    def contents() = Similarity.indexVectors(spark, idx)
+      .select($"vec_id", $"cent_id").as[(Long, Long)].collect().toSet
+    val cents = spark.read.parquet(s"$idx/cents")
+      .as[(Long, Array[Double])].collect().toSeq
+    val expect = wave1.union(wave2)
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> nearestCent(v, cents) }.toSet
+    val afterB0 = contents()
+    assert(afterB0 == expect,
+      "grown index must equal union-assigned-to-frozen-centroids")
+
+    // post-commit replay: committed no-op
+    assert(!Similarity.appendToIvfIndex(wave2, idx, 0L))
+    assert(contents() == afterB0)
+
+    // crash BETWEEN b-dir write and ledger commit: the orphan b-dir is
+    // invisible to readers until the batch's replay commits it
+    Similarity.stageIvfFold(wave3, idx, 1L)
+    assert(contents() == afterB0, "orphan b-dir must stay invisible")
+    assert(Similarity.appendToIvfIndex(wave3, idx, 1L))
+    val afterB1 = contents()
+    assert(afterB1.map(_._1) == afterB0.map(_._1) ++
+      wave3.select($"vec_id").as[Long].collect())
+
+    // queries before/after compaction are identical; compaction bounds
+    // the sub-root listing to ONE dir
+    val q = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val before = Similarity.indexTopK(spark, idx, q)
+      .as[(Long, Long, Int)].collect().toSet
+    Similarity.compactIvfIndex(spark, idx)
+    assert(contents() == afterB1)
+    assert(Similarity.indexTopK(spark, idx, q)
+      .as[(Long, Long, Int)].collect().toSet == before)
+    import scala.jdk.CollectionConverters._
+    val roots = java.nio.file.Files.list(
+      java.nio.file.Paths.get(idx, "vectors")).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_)).toSeq
+    assert(roots.size == 1 && roots.head.getFileName.toString == "compact")
+    // replayed batchIds keep short-circuiting after their b-dirs are
+    // compacted away
+    assert(!Similarity.appendToIvfIndex(wave2, idx, 0L))
+    assert(contents() == afterB1)
+  }
+
+  test("startIngest: streamed vector batches fold into the index " +
+    "exactly-once and the next enrichment query searches the grown " +
+    "corpus") {
+    implicit val sc = spark.sqlContext
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".as("v"))
+    val idx = tmpDir("ivf-ingest")
+    Similarity.writeIvfIndex(e.filter($"vec_id" % 2 === 0), idx)
+    val newVecs = e.filter($"vec_id" % 2 === 1)
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamingSimilarity.startIngest(
+      in.toDF().toDF("vec_id", "v"), idx, tmpDir("ivf-ingest-ckpt"))
+    try {
+      in.addData(newVecs.take(5): _*)
+      q.processAllAvailable()
+      in.addData(newVecs.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = Similarity.indexVectors(spark, idx)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(ids == e.select($"vec_id").as[Long].collect().toSet,
+      "all streamed vectors must be searchable after the folds")
+    // a streamed vector is now found by enrichment: querying WITH one
+    // of the new vectors' values returns sim-1.0 neighbors from its
+    // cell (itself excluded by id)
+    val (nid, nv) = newVecs.head
+    val hits = Similarity.indexTopK(spark, idx,
+      Seq((nid, nv)).toDF("query_id", "qv"))
+      .as[(Long, Long, Int)].collect()
+    assert(hits.nonEmpty && !hits.exists(_._2 == nid))
+  }
 }
