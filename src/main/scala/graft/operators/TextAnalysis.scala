@@ -68,6 +68,34 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
   }
 
+  /** Content-defined chunks of a document (CDC — the rsync/dedup-store
+    * boundary trick applied to words): a chunk ends after every word
+    * whose md5 starts with '0' (expected chunk length 16 words), so the
+    * SAME word run chunks the SAME way wherever it appears — shifting a
+    * document's prefix does not re-chunk its tail, which is what makes
+    * chunk hashes comparable ACROSS documents (fixed-width windows
+    * lose alignment after one inserted word). Built as one in-row fold
+    * over the word array: chunking costs zero shuffle, and md5 is the
+    * boundary hash so the DuckDB oracle reproduces the cuts exactly.
+    */
+  def cdcChunks(text: Column): Column = {
+    val ws = words(text)
+    aggregate(
+      ws,
+      struct(typedLit(Seq.empty[String]).as("done"), lit("").as("cur")),
+      (acc, w) => {
+        val cur2 = when(acc("cur") === "", w)
+          .otherwise(concat(acc("cur"), lit(" "), w))
+        val cut = md5(w).startsWith("0")
+        struct(
+          when(cut, concat(acc("done"), array(cur2)))
+            .otherwise(acc("done")).as("done"),
+          when(cut, lit("")).otherwise(cur2).as("cur"))
+      },
+      acc => when(acc("cur") === "", acc("done"))
+        .otherwise(concat(acc("done"), array(acc("cur")))))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Language ID: stopword-marker ratio per candidate language, argmax
@@ -283,6 +311,53 @@ object TextAnalysis {
         size(regexp_extract_all(col("text"), lit(pat), lit(0)))
           .cast("long").as("n_redacted"),
         md5(regexp_replace(col("text"), pat, "[REDACTED]")).as("redacted_fp"))
+    },
+
+    // Sub-document dedup via content-defined chunking: per doc, the
+    // fraction of its CDC chunks shared verbatim with ANOTHER document —
+    // the boilerplate detector (headers, navigation, license blocks)
+    // that document-level dedup misses because the surrounding text
+    // differs. Chunking is pure in-row work (see cdcChunks); the only
+    // shuffles are the chunk-hash dedup (8-byte xxhash64 keys — two
+    // distinct chunks colliding is the standard n²/2⁶⁵ signature-index
+    // trade, same as ngramPairs; the oracle groups the chunk STRINGS)
+    // and the doc_id roll-up, both map-side partial-aggregated. The dup
+    // set is corpus-derived ⇒ the flag join is UNHINTED (AQE sizes it).
+    QuerySpec(
+      "text_chunk_dedup",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, i, ws[i] AS word,
+        |        CASE WHEN md5(ws[i]) LIKE '0%' THEN 1 ELSE 0 END AS cut
+        |      FROM w, unnest(range(1, len(ws) + 1)) u(i)),
+        |c AS (SELECT doc_id, i, word,
+        |        coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ck
+        |      FROM t),
+        |ch AS (SELECT doc_id, ck, string_agg(word, ' ' ORDER BY i) AS chunk
+        |       FROM c GROUP BY doc_id, ck),
+        |nd AS (SELECT chunk FROM (
+        |         SELECT chunk, count(DISTINCT doc_id) AS ndoc
+        |         FROM ch GROUP BY chunk) WHERE ndoc > 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN chunk IN (SELECT chunk FROM nd) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS dup_chunks,
+        |  CAST(sum(CASE WHEN chunk IN (SELECT chunk FROM nd) THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS dup_frac
+        |FROM ch GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val ch = Par.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(cdcChunks(col("text"))).as("chunk"))
+        .select(col("doc_id"), xxhash64(col("chunk")).as("h"))
+      val dup = ch.groupBy(col("h"))
+        .agg(count_distinct(col("doc_id")).as("ndoc"))
+        .filter(col("ndoc") > 1)
+        .select(col("h"))
+      ch.join(dup.withColumn("hit", lit(1L)), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("hit"), lit(0L))).as("dup_chunks"))
+        .withColumn("dup_frac",
+          col("dup_chunks").cast("double") / col("n_chunks"))
     },
 
     // Repetition signals (Gopher/RefinedWeb-style quality filters): the

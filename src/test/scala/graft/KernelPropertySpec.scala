@@ -37,6 +37,39 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("CDC chunking: chunks reassemble to the document, every " +
+    "non-final chunk ends at a '0'-md5 word, and a word run shared by " +
+    "two documents with DIFFERENT prefixes yields shared chunks " +
+    "(alignment survives the shift — the property fixed windows lack)") {
+    import graft.operators.TextAnalysis
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (1 to 25).foreach { _ =>
+      // long shared run → contains interior cut words with high prob
+      val shared = randomWords(120).mkString(" ")
+      val a = randomWords(3 + rnd.nextInt(8)).mkString(" ") + " " + shared
+      val b = randomWords(3 + rnd.nextInt(8)).mkString(" ") + " " + shared
+      val rows = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+        .select($"doc_id",
+          TextAnalysis.cdcChunks($"text").as("chunks"))
+        .as[(Long, Seq[String])].collect().toMap
+      // lossless: chunks rejoin to the original text
+      assert(rows(1L).mkString(" ") == a)
+      assert(rows(2L).mkString(" ") == b)
+      // boundary contract: every non-final chunk's last word cuts
+      for (cs <- rows.values; c <- cs.dropRight(1))
+        assert(md5hex(c.split(" ").last).startsWith("0"), c)
+      // cross-doc alignment: some interior chunk of the shared run is
+      // common to both docs whenever the run has >= 2 interior cuts
+      val interiorCuts =
+        shared.split(" ").count(w => md5hex(w).startsWith("0"))
+      if (interiorCuts >= 2)
+        assert((rows(1L).toSet intersect rows(2L).toSet).nonEmpty,
+          s"no shared chunk despite $interiorCuts cuts in the shared run")
+    }
+  }
+
   test("winnowing density: fingerprint count stays near the 2/(w+1) " +
     "theoretical density, never above gram count") {
     val k = 8; val w = 16
