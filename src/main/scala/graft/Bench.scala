@@ -72,11 +72,16 @@ object Bench {
       val times = passTimes.map(_(sp.name))
       System.err.println(
         s"[bench] ${sp.name} runs=" + times.map(t => f"$t%.3f").mkString(","))
-      sp.name -> (times.min, times.max)
+      sp.name -> (times.min, times.max, times.sorted.apply(times.size / 2))
     }
-    val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }
+    val qs = results.map { case (k, (mn, _, _)) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
+    // Median-sum rides along as a second contention diagnostic: on a
+    // quiet box median ≈ min; under bursty host steal (a per-query min
+    // can dodge a burst that median can't) the gap quantifies how much
+    // of the wall-clock was noise.
+    val totalMedian = results.map(_._2._3).sum
     // Contention self-diagnostics carried IN the record: `load_avg` is
     // the box's 1-min load when the bench finished, `spread` the worst
     // per-query max/min ratio across the timed runs. A quiet dedicated
@@ -86,8 +91,9 @@ object Bench {
     // explainable from the record alone instead of needing a re-run.
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val spread = results.map { case (_, (mn, mx)) => mx / math.max(mn, 1e-9) }.max
-    val diag = f""""load_avg":$loadAvg%.2f,"spread":$spread%.2f"""
+    val spread = results.map { case (_, (mn, mx, _)) => mx / math.max(mn, 1e-9) }.max
+    val diag = f""""load_avg":$loadAvg%.2f,"spread":$spread%.2f,""" +
+      f""""total_median":$totalMedian%.2f"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$diag}""")
     // Short summary line LAST: the full per-query line above overflows
     // the driver's tail/parse (BENCH_r01/r02 recorded "parsed": null).

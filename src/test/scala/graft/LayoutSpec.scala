@@ -35,6 +35,43 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("writeSorted: the range-clustered copy answers a ts-slice " +
+    "reading a fraction of the rows the unclustered copy reads " +
+    "(row-group stats skip), with the range in PushedFilters and " +
+    "identical results") {
+    val dir = tmpDir("sorted-layout")
+    val ev = Tables.events(spark, sf0001)
+    Layout.writeSorted(ev, s"$dir/sorted", "ts")
+    // control: same rows, same file count, ts scattered by a hash key —
+    // every row group straddles the whole time domain, nothing skips
+    ev.repartition(8, col("event_id"))
+      .write.parquet(s"$dir/shuffled")
+    // no-AQE clone so scan metrics sit in a plain executed plan
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    val lo = "2024-01-05 00:00:00"; val hi = "2024-01-07 00:00:00"
+    def scan(path: String) = {
+      val q = noAqe.read.parquet(path)
+        .filter(col("ts") >= to_timestamp(lit(lo)) &&
+          col("ts") < to_timestamp(lit(hi)))
+      val rows = q.collect().map(_.getLong(0)).toSet
+      val sc = q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      (rows, sc.metrics("numOutputRows").value, sc.metadata("PushedFilters"))
+    }
+    val (sortedRows, sortedScanned, pushed) = scan(s"$dir/sorted")
+    val (shuffledRows, shuffledScanned, _) = scan(s"$dir/shuffled")
+    assert(sortedRows == shuffledRows, "layout must not change results")
+    assert(pushed.contains("GreaterThanOrEqual(ts") &&
+      pushed.contains("LessThan(ts"), pushed)
+    assert(shuffledScanned == ev.count(),
+      "control: scattered row groups must all survive pruning")
+    assert(sortedScanned * 3 < shuffledScanned,
+      s"sorted layout scanned $sortedScanned rows vs $shuffledScanned " +
+        "unclustered — row-group skipping is not engaging")
+  }
+
   test("publishOverwrite: snapshot swap replaces content completely and " +
     "leaves no staging/trash dirs behind") {
     import spark.implicits._
