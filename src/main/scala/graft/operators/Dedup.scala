@@ -544,9 +544,14 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), s"graft_dedup_index$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val done = Seq("shingles/seed", "df", "hashes/seed").map(f =>
-      new org.apache.hadoop.fs.Path(root, s"$f/_SUCCESS"))
-    if (!done.forall(fs.exists)) {
+    // seed/ OR compact/ satisfies each frame: compaction rewrites the
+    // committed sub-dirs into compact/ (seed included), and a compacted
+    // index is a complete index — rebuilding it would discard folds.
+    def frameDone(sub: String): Boolean = Seq("seed", "compact").exists(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, s"$sub/$v/_SUCCESS")))
+    val done = frameDone("shingles") && frameDone("hashes") &&
+      fs.exists(new org.apache.hadoop.fs.Path(root, "df/_SUCCESS"))
+    if (!done) {
       // a partial or stale-layout index (e.g. from a previous library
       // version) must not leak files into the rebuilt one
       fs.delete(root, true)

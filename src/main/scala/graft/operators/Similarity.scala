@@ -230,9 +230,8 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_grown$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val seeded = fs.exists(
-      new org.apache.hadoop.fs.Path(root, "vectors/seed/_SUCCESS"))
-    if (!seeded || !ivfFoldedBatches(root.toString).contains(0L)) {
+    if (!ivfIndexComplete(fs, root) ||
+        !ivfFoldedBatches(root.toString).contains(0L)) {
       fs.delete(root, true)
       val e = corpus(s, d).select(col("vec_id"), col("v"))
       writeIvfIndex(e.filter(col("vec_id") % 5 =!= 4), root.toString)
@@ -316,15 +315,23 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_index$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val done = Seq("cents", "vectors/seed").map(f =>
-      new org.apache.hadoop.fs.Path(root, s"$f/_SUCCESS"))
-    if (!done.forall(fs.exists)) {
+    if (!ivfIndexComplete(fs, root)) {
       fs.delete(root, true)
       writeIvfIndex(corpus(s, d).select(col("vec_id"), col("v")),
         root.toString)
     }
     root.toString
   }
+
+  /** cents/ plus a complete vector frame — seed/ OR compact/ (after
+    * compaction the seed dir is folded into compact/, and a compacted
+    * index is a complete index; rebuilding would discard folds).
+    */
+  private def ivfIndexComplete(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(root, "cents/_SUCCESS")) &&
+      Seq("seed", "compact").exists(v => fs.exists(
+        new org.apache.hadoop.fs.Path(root, s"vectors/$v/_SUCCESS")))
 
   /** Build a fresh IVF index at `path` from any `(vec_id, v)` frame:
     * every-`seedEvery`-th vector seeds one Lloyd refinement, the

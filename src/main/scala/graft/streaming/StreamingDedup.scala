@@ -53,12 +53,23 @@ object StreamingDedup {
     * works).
     */
   def start(docs: DataFrame, indexPath: String, outPath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, compactEvery: Int = 16): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         publishBatch(batch, batchId, indexPath, outPath)
+        // Bound the index's O(folds) file listing without an external
+        // scheduler: compact every `compactEvery` committed folds.
+        // Gated on the LEDGER, not on "this invocation folded":
+        // compaction is idempotent (it rewrites whatever sub-dirs are
+        // committed), so re-running it on a replayed batchId is safe
+        // and covers the crash window between the fold's commit and
+        // the compaction. foreachBatch is the single writer
+        // compactIndex requires.
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1
+            && Dedup.foldedBatches(indexPath).contains(batchId))
+          Dedup.compactIndex(batch.sparkSession, indexPath)
       }
       .start()
 

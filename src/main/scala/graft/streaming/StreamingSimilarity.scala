@@ -70,14 +70,24 @@ object StreamingSimilarity {
     * bound the sub-root listing.
     */
   def startIngest(vectors: DataFrame, indexPath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, compactEvery: Int = 16): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           Similarity.appendToIvfIndex(batch, indexPath, batchId)
-          ()
+          // Periodic compaction bounds the sub-root listing at
+          // O(compactEvery) without an external scheduler. Gated on
+          // the ledger (fold committed — whether by this invocation or
+          // a pre-crash one): compaction is idempotent over the
+          // committed roots, so re-running it on a replayed batchId is
+          // safe and covers the crash window between the fold's commit
+          // and the compaction. foreachBatch is the single writer
+          // compactIvfIndex requires.
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1
+              && Similarity.ivfFoldedBatches(indexPath).contains(batchId))
+            Similarity.compactIvfIndex(batch.sparkSession, indexPath)
         }
       }
       .start()

@@ -36,7 +36,7 @@ class StreamingDedupSpec extends SparkSpec {
 
     val in = MemoryStream[(Long, String)]
     val q = StreamingDedup.start(
-      in.toDF().toDF("doc_id", "text"), idx, out, ckpt)
+      in.toDF().toDF("doc_id", "text"), idx, out, ckpt, compactEvery = 2)
     try {
       // batch 1: 10 = exact dup of corpus doc 1; 11 = near dup of 1;
       // 12 = fresh
@@ -53,6 +53,19 @@ class StreamingDedupSpec extends SparkSpec {
 
     val streamed = corpusOf(out).select($"doc_id").as[Long].collect().toSet
     assert(streamed == Set(12L, 22L))
+
+    // compactEvery=2 fired after batchId 1: each index frame's listing
+    // is bounded to ONE compact/ dir (seed + b-dirs rewritten), with
+    // every assertion below still holding against the compacted index
+    for (sub <- Seq("shingles", "hashes")) {
+      import scala.jdk.CollectionConverters._
+      val roots = java.nio.file.Files.list(
+        java.nio.file.Paths.get(idx, sub)).iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq
+      assert(roots == Seq("compact"),
+        s"$sub not auto-compacted: $roots")
+    }
 
     // sequential batch reference: corpus grows by survivors only
     val b1 = Seq((10L, base), (11L, nearDup), (12L, fresh))

@@ -141,7 +141,8 @@ class StreamingSimilaritySpec extends SparkSpec {
 
     val in = MemoryStream[(Long, Array[Float])]
     val q = StreamingSimilarity.startIngest(
-      in.toDF().toDF("vec_id", "v"), idx, tmpDir("ivf-ingest-ckpt"))
+      in.toDF().toDF("vec_id", "v"), idx, tmpDir("ivf-ingest-ckpt"),
+      compactEvery = 2)
     try {
       in.addData(newVecs.take(5): _*)
       q.processAllAvailable()
@@ -153,6 +154,14 @@ class StreamingSimilaritySpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSet
     assert(ids == e.select($"vec_id").as[Long].collect().toSet,
       "all streamed vectors must be searchable after the folds")
+    // compactEvery=2 fired after batchId 1: the sub-root listing is
+    // bounded to ONE compact/ dir and nothing was lost
+    import scala.jdk.CollectionConverters._
+    val roots = java.nio.file.Files.list(
+      java.nio.file.Paths.get(idx, "vectors")).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq
+    assert(roots == Seq("compact"), s"expected auto-compacted roots: $roots")
     // a streamed vector is now found by enrichment: querying WITH one
     // of the new vectors' values returns sim-1.0 neighbors from its
     // cell (itself excluded by id)
