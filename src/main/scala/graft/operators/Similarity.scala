@@ -499,18 +499,24 @@ object Similarity {
       queries.select(col("query_id").as("vec_id"), col("qv").as("v")),
       cents, nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cent_id"))
-    // Driver-side probe-cell list: bounded by construction, the same
+    // Driver-side probe-cell list: bounded by the CELL COUNT K whatever
+    // the batch size (distinct of a partition-key domain), the same
     // class as StreamingIngest's micro-batch stamp collect. Collecting
     // it is what turns the cell prune into a static PartitionFilter
-    // instead of a runtime join.
+    // instead of a runtime join. When a large query batch probes
+    // (nearly) every cell the filter prunes nothing — skip it outright
+    // rather than planning a K-literal InSet for zero benefit.
     val cells = probes.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0)).sorted
+    val totalCells = cents.count()
     // Committed-roots union read (seed + ledgered appends + compact):
     // the isin prune pushes through the union into every branch's
     // PartitionFilters — only probed cent_id= dirs are listed, in every
     // sub-root.
-    val vecs = indexVectors(s, indexPath)
-      .filter(col("cent_id").isin(cells: _*))
+    val allVecs = indexVectors(s, indexPath)
+    val vecs =
+      if (cells.length >= totalCells) allVecs
+      else allVecs.filter(col("cent_id").isin(cells: _*))
     val scored = probes.join(vecs, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -128,6 +128,29 @@ class StreamingSimilaritySpec extends SparkSpec {
     assert(contents() == afterB1)
   }
 
+  test("indexTopK: when probes cover a STRICT subset of cells, the " +
+    "vector scan lists only the probed cent_id= directories") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".as("v"))
+    val idx = tmpDir("ivf-prune")
+    // seedEvery=10 → ~50 cells; one query probes 4 of them
+    Similarity.writeIvfIndex(e, idx, seedEvery = 10)
+    val q1 = e.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val res = Similarity.indexTopK(spark, idx, q1)
+    val vecScan = res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata("Location").contains("vectors") => f
+    }.head
+    assert(vecScan.partitionFilters.nonEmpty,
+      "strict-subset probe must plan a PartitionFilter")
+    val listed = vecScan.selectedPartitions.partitionCount
+    assert(listed <= 4, s"one query with nprobe=4 listed $listed cell dirs")
+    val totalCells = spark.read.parquet(s"$idx/cents").count()
+    assert(listed < totalCells)
+    assert(res.count() > 0)
+  }
+
   test("startIngest: streamed vector batches fold into the index " +
     "exactly-once and the next enrichment query searches the grown " +
     "corpus") {
