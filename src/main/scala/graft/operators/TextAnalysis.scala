@@ -289,6 +289,56 @@ object TextAnalysis {
           count(lit(1)).as("n_tokens"))
     },
 
+    // Bigram-LM document scoring — the perplexity filter (CCNet/KenLM
+    // shape) next to text_unigram_logprob's bag-of-words score: each
+    // doc averages ln P(w2|w1) under the corpus' own add-1-smoothed
+    // bigram model, P(w2|w1) = (c(w1 w2)+1) / (c(w1)+V). Repetitive or
+    // scrambled text scores very differently from modal word order,
+    // which the unigram model cannot see. Plan shape: ONE bigram
+    // explode feeds both the model counts and the scoring join (same
+    // word-pair-keyed exchange); the unigram table joins the BIGRAM
+    // frame (|vocab|² ≫ |vocab| — the small side joins the aggregated
+    // model, never the corpus stream twice); both model frames are
+    // corpus-derived ⇒ unhinted, only the scalar V broadcasts. The
+    // trailing count(w1) for the final word of each doc is included in
+    // c(w1) exactly as the oracle counts it (c1 counts ALL tokens).
+    QuerySpec(
+      "text_bigram_logprob",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |g AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS g2
+        |      FROM w, unnest(range(1, len(ws))) u(i)),
+        |c1 AS (SELECT word AS w1, count(*) AS n1 FROM t GROUP BY word),
+        |c2 AS (SELECT g2, count(*) AS n2 FROM g GROUP BY g2),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |m AS (SELECT c2.g2, c2.n2, c1.n1 FROM c2
+        |      JOIN c1 ON c1.w1 = string_split(c2.g2, ' ')[1])
+        |SELECT doc_id,
+        |  round(avg(ln((CAST(n2 AS DOUBLE) + 1) / (n1 + v.v))), 4)
+        |    AS avg_logp,
+        |  count(*) AS n_bigrams
+        |FROM g JOIN m USING (g2), v
+        |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Par.fanOut(Tables.documents(s, d))
+      val toks = docs
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      val grams = docs
+        .select(col("doc_id"), explode(Dedup.kgrams(col("text"), 2)).as("g2"))
+      val c1 = toks.groupBy(col("word")).agg(count(lit(1)).as("n1"))
+      val c2 = grams.groupBy(col("g2")).agg(count(lit(1)).as("n2"))
+      val v = broadcast(c1.agg(count(lit(1)).as("v")))
+      val m = c2
+        .join(c1, split(col("g2"), " ")(0) === col("word"))
+        .select(col("g2"), col("n2"), col("n1"))
+      grams.join(m, Seq("g2"))
+        .crossJoin(v)
+        .groupBy(col("doc_id"))
+        .agg(
+          round(avg(log((col("n2").cast("double") + 1) / (col("n1") + col("v")))), 4)
+            .as("avg_logp"),
+          count(lit(1)).as("n_bigrams"))
+    },
+
     // Sensitive-term redaction (the PII-scrub shape every production
     // training-data pipeline runs before release): a word-boundary
     // regex replaces each term-list hit with a fixed token; the query
