@@ -369,6 +369,64 @@ object Curation {
           .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // Leak-free train/test split — split hygiene: a random split leaks
+    // whenever a test document's near-duplicate lands in train (the
+    // model "memorizes" the eval set through its twin; the reason
+    // published pipelines decontaminate their own splits, not just
+    // external benchmarks). Base assignment is content-keyed md5
+    // (deterministic across reruns/cluster sizes, like doc_shard);
+    // every test doc with a ≥0.8-Jaccard partner in train — including
+    // exact twins, Jaccard 1 — is demoted to 'leak_dropped'. Pair
+    // generation is the existing blocked shingle machinery
+    // (Dedup.ngramPairs — never all-pairs); the repair itself is one
+    // semi join keyed by the peer id plus a doc_id-keyed flag join.
+    QuerySpec(
+      "doc_split_leakfree",
+      s"""${Dedup.shingleCte},
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |prs AS (SELECT doc_a, doc_b FROM inter
+         |        JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         |        WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
+         |base AS (SELECT doc_id,
+         |    substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+         |      IN ('0', '1', '2') AS is_test
+         |  FROM documents),
+         |edges AS (SELECT doc_a AS doc_id, doc_b AS peer FROM prs
+         |          UNION ALL SELECT doc_b, doc_a FROM prs),
+         |leak AS (SELECT DISTINCT e.doc_id FROM edges e
+         |         JOIN base b ON b.doc_id = e.doc_id AND b.is_test
+         |         JOIN base p ON p.doc_id = e.peer AND NOT p.is_test)
+         |SELECT d.doc_id,
+         |  CASE WHEN l.doc_id IS NOT NULL THEN 'leak_dropped'
+         |       WHEN b.is_test THEN 'test' ELSE 'train' END AS split
+         |FROM documents d JOIN base b ON b.doc_id = d.doc_id
+         |LEFT JOIN leak l ON l.doc_id = d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id"),
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
+          1, 1).isin("0", "1", "2").as("is_test"))
+      val pairs = Dedup.ngramPairs(docs).select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("doc_id", "peer")
+      val trainPeers = base.filter(!col("is_test"))
+        .select(col("doc_id").as("peer"))
+      val leaked = edges
+        .join(trainPeers, Seq("peer"), "left_semi")
+        .join(base.filter(col("is_test")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id")).distinct()
+      base
+        .join(leaked.withColumn("lk", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("lk") === 1, "leak_dropped")
+            .when(col("is_test"), "test")
+            .otherwise("train").as("split"))
+    },
+
     // Deterministic output sharding: the last stage of a training-data
     // pipeline writes N shards whose membership must be stable across
     // reruns and cluster sizes — so the shard key derives from CONTENT

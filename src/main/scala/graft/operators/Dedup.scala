@@ -569,8 +569,11 @@ object Dedup {
       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
       |       FROM w)""".stripMargin
 
-  /** Shared oracle CTE: capped (doc_id, shingle) pairs. */
-  private val shingleCte: String =
+  /** Shared oracle CTE: capped (doc_id, shingle) pairs. (Visible to the
+    * curation operators: doc_split_leakfree rebuilds the same near-dup
+    * pair relation in its oracle.)
+    */
+  private[operators] val shingleCte: String =
     s"""$rawShingleCte,
       |s AS (SELECT doc_id, sh FROM ex
       |      WHERE sh IN (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 50))""".stripMargin

@@ -123,6 +123,39 @@ class CurationSpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("doc_split_leakfree: every demoted doc has a train near-dup " +
+    "partner; no surviving test doc does; base assignment is the " +
+    "deterministic md5 rule") {
+    val out = run("doc_split_leakfree")
+      .as[(Long, String)].collect().toMap
+    assert(out.values.toSet == Set("train", "test", "leak_dropped"))
+    // independent near-dup pair relation (the gated dedup_ngram query)
+    val pairs = run("dedup_ngram")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def baseTest(id: Long): Boolean =
+      "012".contains(md5hex(s"split:$id").head)
+    // base rule: non-demoted docs carry exactly the md5 assignment
+    out.foreach { case (id, split) =>
+      if (split != "leak_dropped")
+        assert(split == (if (baseTest(id)) "test" else "train"))
+      else assert(baseTest(id), "only test docs can be demoted")
+    }
+    val trainPartner: Map[Long, Boolean] =
+      (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+        .map { case (id, ps) => id -> ps.exists(p => !baseTest(p._2)) }
+    out.foreach { case (id, split) =>
+      if (split == "leak_dropped")
+        assert(trainPartner.getOrElse(id, false),
+          s"$id demoted without a train partner")
+      if (split == "test")
+        assert(!trainPartner.getOrElse(id, false),
+          s"$id kept in test despite a train near-dup")
+    }
+  }
+
   test("doc_curate: composition is consistent with the standalone stage " +
     "queries — survivors pass mixture, are uncontaminated, non-benchmark") {
     val out = run("doc_curate").cache()
