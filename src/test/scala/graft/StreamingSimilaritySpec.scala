@@ -113,6 +113,24 @@ class StreamingSimilaritySpec extends SparkSpec {
       .select($"vec_id".as("query_id"), $"v".as("qv"))
     val before = Similarity.indexTopK(spark, idx, q)
       .as[(Long, Long, Int)].collect().toSet
+    // pre-compaction the index is a 3-root union (seed + b0 + b1); the
+    // static cell prune must reach EVERY branch's PartitionFilters —
+    // the property that keeps probe cost at nprobe/K across appends
+    val one = e.filter($"vec_id" === 1)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val multiScans = Similarity.indexTopK(spark, idx, one)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata("Location").contains("ivf-grown") &&
+            f.metadata("Location").contains("vectors") => f
+      }
+    assert(multiScans.size >= 3, s"expected 3 union branches: $multiScans")
+    multiScans.foreach { f =>
+      assert(f.partitionFilters.map(_.toString)
+        .exists(s => s.contains(" IN ") || s.contains("INSET")),
+        s"branch without the static cell prune: ${f.partitionFilters}")
+      assert(f.selectedPartitions.partitionCount <= 4)
+    }
     Similarity.compactIvfIndex(spark, idx)
     assert(contents() == afterB1)
     assert(Similarity.indexTopK(spark, idx, q)
