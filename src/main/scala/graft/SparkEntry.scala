@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Dedup.specs ++
       operators.Similarity.specs ++
       operators.TextAnalysis.specs ++
+      operators.Retrieval.specs ++
       operators.Multimodal.specs ++
       operators.Layout.specs
 

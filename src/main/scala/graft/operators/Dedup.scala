@@ -721,6 +721,49 @@ object Dedup {
         when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("keep"))
     },
 
+    // Soft dedup: instead of DROPPING near-duplicates, every document
+    // gets a sampling weight 1/|its near-dup cluster| (singletons keep
+    // 1.0), so a training sampler sees each CONTENT once in expectation
+    // while no document is discarded — the downweight-don't-delete
+    // policy. Reuses the dedup_cluster component labels; the only new
+    // work is a cluster-size count and one doc_id-keyed left join back
+    // to the corpus (co-partitioned fact-sized join — no broadcast, no
+    // new pair machinery).
+    QuerySpec(
+      "dedup_softweight",
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         |          WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, r) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         |cl AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+         |cs AS (SELECT cluster_id, count(*) AS nc FROM cl GROUP BY cluster_id)
+         |SELECT d.doc_id,
+         |  round(CAST(1 AS DOUBLE) / coalesce(cs.nc, 1), 4) AS weight
+         |FROM documents d
+         |LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |LEFT JOIN cs ON cl.cluster_id = cs.cluster_id""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val cc = connectedComponents(ngramPairs(docs))
+        val sized = cc.join(
+          cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("nc")),
+          Seq("cluster_id"))
+        docs.select(col("doc_id"))
+          .join(sized.select(col("doc_id"), col("nc")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            round(lit(1.0) / coalesce(col("nc"), lit(1L)), 4).as("weight"))
+    },
+
     // MinHash + LSH: 8 min-hashes from TWO md5 digests per shingle (each
     // digest splits into four independent fixed-width hex words — 8-char
     // lowercase hex compares lexicographically as its numeric value, so

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval: corpus path vs persisted inverted index (result
+  * identity on arbitrary term sets), the static bucket prune on the
+  * postings scan, and scoring sanity (rare-term dominance).
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25: rare term dominates — every top-10 doc contains 'dup', " +
+    "scores are positive and ranked") {
+    val res = Retrieval.bm25(spark, sf0001)
+      .as[(Long, Double)].collect()
+    assert(res.length == 10)
+    assert(res.forall(_._2 > 0))
+    val scores = res.map(_._2)
+    assert(scores.sameElements(scores.sortBy(-_)), "rows arrive ranked")
+    val dupDocs = Tables.documents(spark, sf0001)
+      .filter(array_contains(split($"text", " "), "dup"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(res.forall(r => dupDocs.contains(r._1)),
+      "idf must rank the rare-term docs above common-term-only docs")
+  }
+
+  test("bm25TopK serves ANY term set from the index, result-identical " +
+    "to the corpus path") {
+    val idx = tmpDir("bm25-idx")
+    Retrieval.writeBm25Index(Tables.documents(spark, sf0001), idx)
+    for (terms <- Seq(Seq("dup", "query", "scan"), Seq("window", "merge"),
+        Seq("vector"))) {
+      val fromIndex = Retrieval.bm25TopK(spark, idx, terms)
+        .as[(Long, Double)].collect().toSeq
+      val fromCorpus = Retrieval.bm25(spark, sf0001, terms)
+        .as[(Long, Double)].collect().toSeq
+      assert(fromIndex == fromCorpus, s"terms=$terms")
+    }
+  }
+
+  test("bm25TopK: the postings scan carries a STATIC bucket " +
+    "PartitionFilter and lists at most |terms| of the bucket dirs") {
+    val idx = tmpDir("bm25-prune")
+    Retrieval.writeBm25Index(Tables.documents(spark, sf0001), idx)
+    val terms = Seq("dup", "query")
+    val scan = Retrieval.bm25TopK(spark, idx, terms)
+      .queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec
+          if f.metadata("Location").contains("postings") => f
+      }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "bucket prune must be a static PartitionFilter, not a post-scan " +
+        "filter")
+    val listed = scan.selectedPartitions.partitionCount
+    assert(listed <= terms.length,
+      s"${terms.length} terms listed $listed bucket dirs")
+    // the index holds the FULL vocabulary across many buckets — the
+    // prune must be a strict subset or it prunes nothing
+    val total = spark.read.parquet(s"$idx/postings")
+      .select($"bucket").distinct().count()
+    assert(total > terms.length && listed < total)
+  }
+
+  test("dedup_softweight: singletons weigh 1.0, each near-dup cluster's " +
+    "weights sum to 1, and weights agree with dedup_cluster's sizes") {
+    val w = SparkEntry.queries("dedup_softweight")(spark, sf0001)
+      .as[(Long, Double)].collect().toMap
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(w.size == nDocs, "every document keeps a weight")
+    assert(w.values.forall(v => v > 0 && v <= 1.0))
+    val clusters = SparkEntry.queries("dedup_cluster")(spark, sf0001)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect()
+    val sizes = clusters.groupBy(_._2).view.mapValues(_.length).toMap
+    clusters.foreach { case (doc, cl) =>
+      assert(math.abs(w(doc) - 1.0 / sizes(cl)) < 1e-3,
+        s"doc $doc in cluster $cl size ${sizes(cl)} got weight ${w(doc)}")
+    }
+    val clustered = clusters.map(_._1).toSet
+    w.foreach { case (doc, wt) =>
+      if (!clustered.contains(doc)) assert(wt == 1.0, s"singleton $doc")
+    }
+    // downweight-don't-delete: expected sample mass == distinct contents
+    val mass = w.values.sum
+    val nClusters = sizes.size + (nDocs - clustered.size)
+    assert(math.abs(mass - nClusters) < 0.1,
+      s"weight mass $mass vs $nClusters effective documents")
+  }
+}
