@@ -106,56 +106,215 @@ object Retrieval {
   }
 
   // ---- persisted inverted index ----
-  //   <root>/postings/ — (word, doc_id, tf, dl) partitioned by
+  //   <root>/postings/<sub>/ — (word, doc_id, tf, dl) partitioned by
   //                      `bucket=pmod(xxhash64(word), Buckets)`; dl is
   //                      denormalized onto each posting (8 bytes/row)
   //                      so serving never joins a doc-length table.
-  //   <root>/stats/    — ONE row (n, avgdl).
-  // The full vocabulary is indexed (the index serves ANY term set, not
-  // just the gate's); all postings of a word land in one bucket dir.
+  //   <root>/stats/<sub>/ — ONE row (n, sum_dl) per sub-root: the
+  //                      MERGEABLE form of the corpus stats (avgdl is
+  //                      derived at serve time as Σsum_dl / Σn — exact
+  //                      integer sums, so growth cannot drift the
+  //                      average).
+  // Sub-roots `<sub>` are `seed/` (writeBm25Index), `b<batchId>/` (one
+  // per folded append) and `compact/` (compactBm25Index); the set of
+  // VALID b-dirs is the ledger at `<root>/_postings_ledger`, replaced
+  // atomically AFTER a batch's postings + stats dirs are fully written
+  // — the same exactly-once fold protocol as the dedup and IVF
+  // indexes. The full vocabulary is indexed (the index serves ANY term
+  // set, not just the gate's); ALL postings of a word land in the same
+  // `bucket=` value of every sub-root, so the static bucket prune
+  // pushes into every union branch.
 
   private val PostingsSchema =
     "word STRING, doc_id BIGINT, tf BIGINT, dl INT, bucket BIGINT"
+  private val StatsSchema = "n BIGINT, sum_dl BIGINT"
 
-  /** Build a fresh BM25 index at `path` from a `documents`-shaped
-    * frame. One tokenize scan feeds both outputs; `repartition(bucket)`
-    * clusters each bucket into one file before the partitioned write
-    * (without it every task writes a sliver of every bucket).
+  private def localFile(path: String, more: String*): java.nio.file.Path =
+    java.nio.file.Paths.get(path.stripPrefix("file:"), more: _*)
+
+  /** Write one sub-root's postings + mergeable stats from a
+    * `documents`-shaped frame. One tokenize scan per output;
+    * `repartition(bucket)` clusters each bucket into one file before
+    * the partitioned write (without it every task writes a sliver of
+    * every bucket). Overwrite semantics ⇒ a replayed fold rewrites the
+    * same dirs wholesale.
     */
-  def writeBm25Index(docs: DataFrame, path: String): Unit = {
-    val toks = Par.fanOut(docs)
+  private def writeSubRoot(docs: DataFrame, path: String,
+      sub: String): Unit = {
+    Par.fanOut(docs)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("dl"),
         explode(col("ws")).as("word"))
-    toks
       .groupBy(col("word"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("word")), lit(Buckets)))
       .repartition(col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket")
-      .parquet(s"$path/postings")
+      .parquet(s"$path/postings/$sub")
     docs
       .select(size(words(col("text"))).as("dl"))
-      .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("sum_dl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/stats")
+      .parquet(s"$path/stats/$sub")
+  }
+
+  /** Build a fresh BM25 index at `path`: the corpus lands in the
+    * `seed/` sub-root.
+    */
+  def writeBm25Index(docs: DataFrame, path: String): Unit =
+    writeSubRoot(docs, path, "seed")
+
+  /** BatchIds whose fold is fully committed. */
+  def bm25FoldedBatches(path: String): Set[Long] = {
+    import scala.jdk.CollectionConverters._
+    val f = localFile(path, "_postings_ledger")
+    if (!java.nio.file.Files.exists(f)) Set.empty
+    else java.nio.file.Files.readAllLines(f).asScala
+      .filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  /** Fold a batch of NEW documents into a persisted BM25 index,
+    * EXACTLY ONCE under replay: a ledgered batchId is a committed
+    * no-op; the b-dir writes carry overwrite semantics so a replay
+    * after a mid-write crash rewrites the same dirs; the atomic ledger
+    * replace is the commit point. The existing index is never touched
+    * — the fold costs one tokenize of the BATCH.
+    */
+  def appendToBm25Index(docs: DataFrame, path: String,
+      batchId: Long): Boolean = {
+    if (bm25FoldedBatches(path).contains(batchId)) return false
+    stageBm25Fold(docs, path, batchId)
+    commitBm25Fold(path, batchId)
+    true
+  }
+
+  /** Fold step 1 (exposed to the spec so a crash between the write and
+    * the ledger commit can be simulated): an uncommitted b-dir is
+    * invisible to readers.
+    */
+  private[graft] def stageBm25Fold(docs: DataFrame, path: String,
+      batchId: Long): Unit =
+    writeSubRoot(docs, path, s"b$batchId")
+
+  /** Fold step 2: publish the grown ledger via one atomic file move. */
+  private[graft] def commitBm25Fold(path: String, batchId: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val ledger = (bm25FoldedBatches(path) + batchId).toSeq.sorted
+    val tmp = localFile(path, "._postings_ledger.staging")
+    Files.write(tmp, ledger.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, localFile(path, "_postings_ledger"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The committed sub-roots under `<root>/<kind>`: every non-batch dir
+    * (seed, compact) plus exactly the ledgered b-dirs — orphan b-dirs
+    * from a crashed fold stay invisible until their replay commits.
+    */
+  private def subRoots(path: String, kind: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val root = localFile(path, kind)
+    val committed = bm25FoldedBatches(path)
+    val dirs = java.nio.file.Files.list(root).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filter(n => !n.startsWith(".") &&
+        (!n.matches("b\\d+") || committed.contains(n.drop(1).toLong)))
+      .map(n => s"$path/$kind/$n").toSeq.sorted
+    require(dirs.nonEmpty, s"BM25 index has no committed $kind dirs")
+    dirs
+  }
+
+  /** All committed postings: a union of per-sub-root partitioned reads
+    * (`basePath` scopes partition discovery per root, so a `bucket`
+    * filter pushes into EVERY branch's PartitionFilters — the prune
+    * holds across seed + appended batches alike).
+    */
+  private def indexPostings(s: SparkSession, path: String): DataFrame =
+    subRoots(path, "postings").map(r =>
+      s.read.schema(PostingsSchema).option("basePath", r).parquet(r))
+      .reduce(_.union(_))
+
+  /** Corpus stats merged across committed sub-roots: exact integer
+    * sums, divided once — growing the index cannot drift avgdl.
+    */
+  private def indexStats(s: SparkSession, path: String): DataFrame =
+    subRoots(path, "stats").map(r =>
+      s.read.schema(StatsSchema).parquet(r))
+      .reduce(_.union(_))
+      .agg(sum(col("n")).cast("double").as("n"),
+        (sum(col("sum_dl")).cast("double") / sum(col("n"))).as("avgdl"))
+
+  /** Compact the index: rewrite all committed sub-roots into ONE
+    * `compact/` dir per side (postings still bucket-partitioned, one
+    * file per bucket; stats re-merged to one row), each published by
+    * the staged-write + swap every Layout publish uses. Without it
+    * fold N's readers pay an O(N) sub-root listing. The ledger is NOT
+    * touched: replayed batchIds keep short-circuiting after their
+    * b-dirs are compacted away. The two swaps are each atomic; between
+    * them readers see compacted postings with uncompacted stats — both
+    * sides cover the corpus exactly once, so served results are
+    * identical in that window.
+    */
+  def compactBm25Index(s: SparkSession, path: String): Unit = {
+    val pStaging = localFile(path, ".postings.compacting")
+    indexPostings(s, path)
+      .repartition(col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(pStaging.resolve("compact").toString)
+    val sStaging = localFile(path, ".stats.compacting")
+    subRoots(path, "stats").map(r =>
+      s.read.schema(StatsSchema).parquet(r))
+      .reduce(_.union(_))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("sum_dl")).cast("long").as("sum_dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(sStaging.resolve("compact").toString)
+    Layout.replaceDir(pStaging, localFile(path, "postings"),
+      localFile(path, ".postings.old"))
+    Layout.replaceDir(sStaging, localFile(path, "stats"),
+      localFile(path, ".stats.old"))
   }
 
   /** Build-once cache keyed by the sf dir, same protocol as
-    * `Similarity.ensureIvfIndex`: a complete index (both _SUCCESS
-    * markers) is reused, anything partial is torn down and rebuilt.
+    * `Similarity.ensureIvfIndex`: a complete index (a seed OR compact
+    * _SUCCESS marker on both sides) is reused, anything partial is
+    * torn down and rebuilt.
     */
   def ensureBm25Index(s: SparkSession, d: String): String = {
     val suffix = d.replaceAll("\\W", "_")
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), s"graft_bm25_index$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val complete = Seq("postings", "stats").forall(v =>
-      fs.exists(new org.apache.hadoop.fs.Path(root, s"$v/_SUCCESS")))
+    val complete = Seq("postings", "stats").forall(side =>
+      Seq("seed", "compact").exists(v => fs.exists(
+        new org.apache.hadoop.fs.Path(root, s"$side/$v/_SUCCESS"))))
     if (!complete) {
       fs.delete(root, true)
       writeBm25Index(Tables.documents(s, d), root.toString)
+    }
+    root.toString
+  }
+
+  /** The grown-index gate: seed from the history wave (doc_id % 5 ≠ 4),
+    * fold the remainder as one ledgered append, serve — result must be
+    * IDENTICAL to scoring the whole corpus, so the fold itself sits
+    * under `text_bm25`'s value-level oracle. Cached like
+    * `ensureBm25Index` (the fold is deterministic, so a completed
+    * grown index re-serves without re-folding).
+    */
+  def ensureGrownBm25Index(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_bm25_grown$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val docs = Tables.documents(s, d)
+    if (!bm25FoldedBatches(root.toString).contains(0L)) {
+      fs.delete(root, true)
+      writeBm25Index(docs.filter(col("doc_id") % 5 =!= 4), root.toString)
+      appendToBm25Index(docs.filter(col("doc_id") % 5 === 4),
+        root.toString, 0L)
     }
     root.toString
   }
@@ -164,9 +323,10 @@ object Retrieval {
     * computed driver-side with the SAME xxhash64 the build used (a
     * |terms|-row local relation — bounded by the literal term list, the
     * same class as indexTopK's probe-cell collect), which turns the
-    * bucket prune into a STATIC PartitionFilter: the postings scan
-    * lists ≤ |terms| of the `Buckets` directories (plan-pinned in
-    * RetrievalSpec) and the raw corpus is never touched.
+    * bucket prune into a STATIC PartitionFilter on every committed
+    * sub-root's scan: each lists ≤ |terms| of the `Buckets` directories
+    * (plan-pinned in RetrievalSpec) and the raw corpus is never
+    * touched.
     */
   def bm25TopK(s: SparkSession, indexPath: String,
       terms: Seq[String] = QueryTerms): DataFrame = {
@@ -174,13 +334,11 @@ object Retrieval {
     val buckets = terms.toDF("word")
       .select(pmod(xxhash64(col("word")), lit(Buckets)).as("bucket"))
       .distinct().collect().map(_.getLong(0)).sorted
-    val postings = s.read.schema(PostingsSchema)
-      .option("basePath", s"$indexPath/postings")
-      .parquet(s"$indexPath/postings")
+    val postings = indexPostings(s, indexPath)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("word").isInCollection(terms))
       .select(col("word"), col("doc_id"), col("tf"), col("dl"))
-    scorePostings(postings, s.read.parquet(s"$indexPath/stats"))
+    scorePostings(postings, indexStats(s, indexPath))
   }
 
   /** Shared oracle: both serving paths are result-identical by
@@ -214,6 +372,13 @@ object Retrieval {
     QuerySpec("text_bm25", bm25OracleSql) { (s, d) => bm25(s, d) },
     QuerySpec("text_bm25_indexed", bm25OracleSql) { (s, d) =>
       bm25TopK(s, ensureBm25Index(s, d))
+    },
+    // The incremental fold under the value gate: history-seeded index +
+    // one ledgered append must serve the exact full-corpus answer (df,
+    // avgdl and N all shift with the appended wave — any drift in the
+    // merged stats or a miscommitted b-dir breaks the hash match).
+    QuerySpec("text_bm25_grown", bm25OracleSql) { (s, d) =>
+      bm25TopK(s, ensureGrownBm25Index(s, d))
     },
   )
 }

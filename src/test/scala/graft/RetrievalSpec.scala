@@ -63,6 +63,72 @@ class RetrievalSpec extends SparkSpec {
     assert(total > terms.length && listed < total)
   }
 
+  test("appendToBm25Index: a batch-grown index serves the FULL-corpus " +
+    "answer; replay, crash-window and compaction are all exactly-once " +
+    "/ result-identical") {
+    val docs = Tables.documents(spark, sf0001)
+    val wave1 = docs.filter($"doc_id" % 3 =!= 2)
+    val wave2 = docs.filter($"doc_id" % 3 === 2 && $"doc_id" % 2 === 0)
+    val wave3 = docs.filter($"doc_id" % 3 === 2 && $"doc_id" % 2 === 1)
+    val idx = tmpDir("bm25-grown")
+    Retrieval.writeBm25Index(wave1, idx)
+    assert(Retrieval.appendToBm25Index(wave2, idx, 0L))
+
+    def served(terms: Seq[String]) = Retrieval.bm25TopK(spark, idx, terms)
+      .as[(Long, Double)].collect().toSeq
+    // post-commit replay: committed no-op
+    val afterB0 = served(Seq("dup", "window"))
+    assert(!Retrieval.appendToBm25Index(wave2, idx, 0L))
+    assert(served(Seq("dup", "window")) == afterB0)
+
+    // crash BETWEEN the b-dir writes and the ledger commit: the orphan
+    // b-dir is invisible until the batch's replay commits it
+    Retrieval.stageBm25Fold(wave3, idx, 1L)
+    assert(served(Seq("dup", "window")) == afterB0,
+      "orphan b-dir must stay invisible")
+    assert(Retrieval.appendToBm25Index(wave3, idx, 1L))
+
+    // the grown index now covers the whole corpus: every term set must
+    // serve the exact corpus-path answer (df, N and avgdl all shifted
+    // with the folds — merged stats must not drift)
+    for (terms <- Seq(Seq("dup", "query", "scan"), Seq("window", "merge")))
+      assert(served(terms) ==
+        Retrieval.bm25(spark, sf0001, terms).as[(Long, Double)]
+          .collect().toSeq, s"terms=$terms")
+
+    // pre-compaction the postings read is a 3-root union (seed+b0+b1);
+    // the static bucket prune must reach EVERY branch
+    val multiScans = Retrieval.bm25TopK(spark, idx, Seq("dup", "query"))
+      .queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec
+          if f.metadata("Location").contains("bm25-grown") &&
+            f.metadata("Location").contains("postings") => f
+      }
+    assert(multiScans.size >= 3, s"expected 3 union branches: $multiScans")
+    multiScans.foreach { f =>
+      assert(f.partitionFilters.map(_.toString)
+        .exists(s => s.contains(" IN ") || s.contains("INSET")),
+        s"branch without the static bucket prune: ${f.partitionFilters}")
+      assert(f.selectedPartitions.partitionCount <= 2)
+    }
+
+    // compaction: results identical, ONE sub-root per side, replayed
+    // batchIds keep short-circuiting
+    val full = served(Seq("dup", "query", "scan"))
+    Retrieval.compactBm25Index(spark, idx)
+    assert(served(Seq("dup", "query", "scan")) == full)
+    import scala.jdk.CollectionConverters._
+    for (side <- Seq("postings", "stats")) {
+      val roots = java.nio.file.Files.list(
+        java.nio.file.Paths.get(idx, side)).iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq
+      assert(roots == Seq("compact"), s"$side roots: $roots")
+    }
+    assert(!Retrieval.appendToBm25Index(wave2, idx, 0L))
+    assert(served(Seq("dup", "query", "scan")) == full)
+  }
+
   test("dedup_softweight: singletons weigh 1.0, each near-dup cluster's " +
     "weights sum to 1, and weights agree with dedup_cluster's sizes") {
     val w = SparkEntry.queries("dedup_softweight")(spark, sf0001)
