@@ -62,18 +62,19 @@ object Retrieval {
     * ROUNDED score with doc_id tie-break so the cut is deterministic
     * across engines.
     */
+  // Literals spelled identically to the oracle SQL (2.2, 1.2, 0.25,
+  // 0.75) — deriving them (K1 + 1, 1 - B) could round to a different
+  // double than the literal the oracle parses.
+  private val idf = log(lit(1.0) +
+    (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+  private val tfNorm = col("tf") * lit(2.2) /
+    (col("tf") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+
   private def scorePostings(postings: DataFrame,
       stats: DataFrame): DataFrame = {
     val df_ = postings.groupBy(col("word"))
       .agg(count(lit(1)).cast("double").as("df"))
-    val idf = log(lit(1.0) +
-      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    // Literals spelled identically to the oracle SQL (2.2, 1.2, 0.25,
-    // 0.75) — deriving them (K1 + 1, 1 - B) could round to a different
-    // double than the literal the oracle parses.
-    val tfNorm = col("tf") * lit(2.2) /
-      (col("tf") + lit(1.2) *
-        (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
     postings.join(df_, Seq("word"))
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
@@ -341,6 +342,51 @@ object Retrieval {
     scorePostings(postings, indexStats(s, indexPath))
   }
 
+  /** MANY queries against the index in one distributed job — the
+    * serving core of `text_bm25_multi` and
+    * `streaming.StreamingRetrieval`'s per-micro-batch search. `queries`
+    * is `(query_id, terms: array<string>)`; output is
+    * `(query_id, doc_id, rank)`, rank cut per query on the ROUNDED
+    * score with doc_id tie-break (the `top_k` comparator contract).
+    *
+    * Plan shape: the batch's bucket set is collected driver-side
+    * (bounded by the query batch — a gate query set or one
+    * micro-batch, the indexTopK probe-cell class) into a static
+    * PartitionFilter; postings semi-join the batch's word list BEFORE
+    * df so a word shared by many queries counts its documents once;
+    * the per-query fan-out join comes AFTER the df aggregate; per-query
+    * ranking is the bounded-state `top_k` aggregate (k-pair buffers
+    * merge map-side — no window over the scored set). The query frame
+    * is batch-bounded and joins unhinted (AQE sizes it).
+    */
+  def bm25Batch(s: SparkSession, indexPath: String, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val qterms = queries
+      .select(col("query_id"), explode(col("terms")).as("word"))
+      .distinct()
+    val buckets = qterms
+      .select(pmod(xxhash64(col("word")), lit(Buckets)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val words = qterms.select(col("word")).distinct()
+    val qPostings = indexPostings(s, indexPath)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(words, Seq("word"), "left_semi")
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"))
+    val df_ = qPostings.groupBy(col("word"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = qPostings.join(df_, Seq("word"))
+      .crossJoin(broadcast(indexStats(s, indexPath)))
+      .join(qterms, Seq("word"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(idf * tfNorm), 4).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k(
+        col("score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("query_id"), col("sc.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Shared oracle: both serving paths are result-identical by
     * contract, so both gate against this SQL. Arithmetic mirrors the
     * Spark expression shape term-for-term (same literal constants, same
@@ -368,8 +414,55 @@ object Retrieval {
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $TopK""".stripMargin
   }
 
+  /** The multi-query gate's literal query table — shared verbatim with
+    * the oracle's VALUES list (the portability contract): one
+    * rare-term query, one mixed, one all-common.
+    */
+  val MultiQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("dup"),
+    1L -> Seq("query", "scan"),
+    2L -> Seq("window", "merge", "line"))
+
+  private val bm25MultiOracleSql: String = {
+    val values = MultiQueries.map { case (id, ts) =>
+      s"($id, [${ts.map("'" + _ + "'").mkString(", ")}])"
+    }.mkString(", ")
+    s"""WITH q AS (SELECT * FROM (VALUES $values) AS v(query_id, terms)),
+       |qt AS (SELECT DISTINCT query_id, unnest(terms) AS word FROM q),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |              avg(len(ws)) AS avgdl FROM d),
+       |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM d),
+       |tf AS (SELECT word, doc_id, dl, count(*) AS tf FROM t
+       |       WHERE word IN (SELECT word FROM qt)
+       |       GROUP BY word, doc_id, dl),
+       |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df
+       |       FROM tf GROUP BY word),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |         round(sum(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+       |             * (tf.tf * CAST(2.2 AS DOUBLE)
+       |                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)))),
+       |           4) AS score
+       |       FROM tf JOIN df USING (word) JOIN qt USING (word), st
+       |       GROUP BY qt.query_id, tf.doc_id),
+       |r AS (SELECT query_id, doc_id,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY score DESC, doc_id) AS rank
+       |      FROM sc)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank
+       |FROM r WHERE rank <= $TopK""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("text_bm25", bm25OracleSql) { (s, d) => bm25(s, d) },
+    // Many queries, one distributed job: per-query BM25 rankings via
+    // the bounded-state top_k aggregate — no window over the scored
+    // candidate set, no per-query driver loop.
+    QuerySpec("text_bm25_multi", bm25MultiOracleSql) { (s, d) =>
+      import s.implicits._
+      bm25Batch(s, ensureBm25Index(s, d),
+        MultiQueries.toDF("query_id", "terms"))
+    },
     QuerySpec("text_bm25_indexed", bm25OracleSql) { (s, d) =>
       bm25TopK(s, ensureBm25Index(s, d))
     },

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming keyword search against the PERSISTED BM25 inverted index —
+  * the serving-time shape of `text_bm25_multi`, completing the triad:
+  * `StreamingDedup` ingests into the dedup index, `StreamingSimilarity`
+  * serves/ingests the IVF index, this module serves/ingests the BM25
+  * index. Each micro-batch of queries `(query_id, terms)`:
+  *
+  *   1. collects the batch's term buckets driver-side (bounded by the
+  *      micro-batch) into a static PartitionFilter,
+  *   2. reads ONLY those `bucket=` directories of every committed
+  *      posting sub-root — |terms|/Buckets of the postings bytes, raw
+  *      corpus never touched,
+  *   3. ranks per query with the bounded-state `top_k` aggregate and
+  *      lands `(query_id, doc_id, rank)` batchId-keyed.
+  *
+  * The search side is READ-ONLY, so replay idempotence needs no
+  * ledger: a redelivered batchId rewrites its own output directory
+  * (overwrite semantics), the `StreamingSimilarity.start` contract.
+  * The ingest side MUTATES the index and therefore commits through
+  * the index's batch ledger (`Retrieval.appendToBm25Index`).
+  */
+object StreamingRetrieval {
+
+  /** Start the search stream: `queries` must be a streaming frame with
+    * (query_id, terms: array<string>). The index at `indexPath` must
+    * exist (`Retrieval.ensureBm25Index` or an equivalent build).
+    */
+  def start(queries: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, k: Int = 10): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishBatch(batch, batchId, indexPath, outPath, k)
+      }
+      .start()
+
+  /** One micro-batch publish — the replay-idempotent unit (also invoked
+    * directly by the spec to simulate a redelivered batch).
+    */
+  def publishBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      outPath: String, k: Int = 10): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    Retrieval.bm25Batch(batch.sparkSession, indexPath, batch, k)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
+  }
+
+  /** The WRITE side: fold micro-batches of NEW documents into the
+    * persisted BM25 index — `Retrieval.appendToBm25Index` per batch
+    * (tokenize the BATCH only; postings + mergeable stats land in a
+    * ledgered `b<batchId>/` sub-root), exactly-once under replay via
+    * the index ledger. The NEXT search batch automatically ranks over
+    * the grown corpus with its df/N/avgdl shifted accordingly.
+    * Periodic compaction is ledger-gated and idempotent, same as
+    * `StreamingSimilarity.startIngest`.
+    */
+  def startIngest(docs: DataFrame, indexPath: String,
+      checkpoint: String, compactEvery: Int = 16): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Retrieval.appendToBm25Index(batch, indexPath, batchId)
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1
+              && Retrieval.bm25FoldedBatches(indexPath).contains(batchId))
+            Retrieval.compactBm25Index(batch.sparkSession, indexPath)
+        }
+      }
+      .start()
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.Retrieval
+import graft.streaming.StreamingRetrieval
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming BM25 search against the persisted inverted index: each
+  * micro-batch's output must equal the batch multi-query answer over
+  * the same query set (rankings are per-query, so the union over
+  * micro-batches is the batch answer), a redelivered batchId must
+  * rewrite rather than duplicate, and streamed document folds must be
+  * searchable exactly-once.
+  */
+class StreamingRetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("dup"),
+    1L -> Seq("query", "scan"),
+    2L -> Seq("window", "merge", "line"),
+    3L -> Seq("vector"))
+
+  private def resultsOf(out: String) =
+    spark.read.option("recursiveFileLookup", "true").parquet(out)
+      .select($"query_id", $"doc_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("stream search vs persisted BM25 index: micro-batch union equals " +
+    "the batch multi-query answer; a replayed batchId is idempotent") {
+    implicit val sc = spark.sqlContext
+    val idx = Retrieval.ensureBm25Index(spark, sf0001)
+    val out = tmpDir("sbm25-out")
+    val ckpt = tmpDir("sbm25-ckpt")
+
+    val in = MemoryStream[(Long, Seq[String])]
+    val q = StreamingRetrieval.start(
+      in.toDF().toDF("query_id", "terms"), idx, out, ckpt)
+    try {
+      in.addData(queries.take(2): _*)
+      q.processAllAvailable()
+      in.addData(queries.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = resultsOf(out)
+    val batch = Retrieval.bm25Batch(spark, idx,
+      queries.toDF("query_id", "terms"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == queries.map(_._1).toSet)
+
+    // replay of batch 0 (restart between sink write and checkpoint
+    // commit): the batchId-keyed overwrite rewrites the same directory
+    StreamingRetrieval.publishBatch(
+      queries.take(2).toDF("query_id", "terms"), 0L, idx, out)
+    assert(resultsOf(out) == streamed, "replayed batch must not duplicate")
+  }
+
+  test("bm25Batch matches per-term-set bm25TopK rankings") {
+    val idx = Retrieval.ensureBm25Index(spark, sf0001)
+    val multi = Retrieval.bm25Batch(spark, idx,
+      queries.toDF("query_id", "terms"))
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    queries.foreach { case (qid, terms) =>
+      // bm25TopK orders by rounded score then doc_id; top_k breaks
+      // rounded-score ties by doc_id too — identical rankings
+      val single = Retrieval.bm25TopK(spark, idx, terms)
+        .as[(Long, Double)].collect().map(_._1).toSeq
+      assert(multi(qid) == single, s"query $qid terms=$terms")
+    }
+  }
+
+  test("startIngest: streamed document batches fold into the index " +
+    "exactly-once and the next search ranks over the grown corpus") {
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001)
+    val idx = tmpDir("bm25-ingest")
+    Retrieval.writeBm25Index(docs.filter($"doc_id" % 2 === 0), idx)
+    val newDocs = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .sortBy(_._1)
+
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamingRetrieval.startIngest(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      idx, tmpDir("bm25-ingest-ckpt"), compactEvery = 2)
+    try {
+      in.addData(newDocs.take(100): _*)
+      q.processAllAvailable()
+      in.addData(newDocs.drop(100): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // compactEvery=2 fired after batchId 1: ONE sub-root per side
+    import scala.jdk.CollectionConverters._
+    for (side <- Seq("postings", "stats")) {
+      val roots = java.nio.file.Files.list(
+        java.nio.file.Paths.get(idx, side)).iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq
+      assert(roots == Seq("compact"), s"$side roots: $roots")
+    }
+    // the grown index serves the exact full-corpus answer — df, N and
+    // avgdl all shifted with the streamed folds
+    for (terms <- Seq(Seq("dup", "query", "scan"), Seq("window", "merge")))
+      assert(Retrieval.bm25TopK(spark, idx, terms)
+        .as[(Long, Double)].collect().toSeq ==
+        Retrieval.bm25(spark, sf0001, terms)
+          .as[(Long, Double)].collect().toSeq, s"terms=$terms")
+  }
+}
