@@ -525,6 +525,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  // ---- product quantization (PQ) ----
+  // The 100-TB compression path for the embedding store itself: every
+  // vector is M sub-vectors, each replaced by the id of its nearest
+  // codebook entry — M small ints per vector (M·log2(K) bits ≈ 16 B
+  // here) instead of 256 B of float32, a 16× denser scan than raw and
+  // 4× denser than int8 (`quantized`). Serving is ADC (asymmetric
+  // distance computation): the QUERY keeps its exact floats and scores
+  // against the RECONSTRUCTED corpus (concatenated codebook entries),
+  // so only the corpus side pays the quantization error.
+  private val PqM = 16 // subspaces (M × PqSubDim = 64 dims)
+  private val PqSubDim = 4
+  // The codebook is every-25th vector BELOW A FIXED CAP: K ≤ 256 codes
+  // per subspace REGARDLESS of corpus size — unlike the IVF centroid
+  // family (K ~ N/25), PQ's codebook is a constant-size artifact, which
+  // is what makes assignment O(N·M·K) = O(N) and the codebook frame
+  // broadcastable at any scale (still unhinted — AQE's size check sees
+  // a KB-sized build side and picks the broadcast itself).
+  private val PqCodeCap = 6400
+
+  /** Nearest-codebook-entry sub-vector per (vector, subspace), folded
+    * back into the PQ-reconstructed corpus `(vec_id, rv)`. Assignment
+    * ranks each subspace's codebook in-row (the `assign` trick per
+    * subspace: one collect_list row per m, argmin by rounded cosine
+    * with code-id tie-break) — pure map work after the 16-row codebook
+    * join, no shuffle keyed by anything corpus-sized except the final
+    * per-vector regroup.
+    */
+  private def pqReconstructed(e: DataFrame): DataFrame = {
+    def subVec(v: Column): Column =
+      slice(v, col("m") * PqSubDim + 1, lit(PqSubDim))
+    val ms = explode(sequence(lit(0), lit(PqM - 1))).as("m")
+    val cb = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < PqCodeCap)
+      .select(col("vec_id").as("code_id"), ms, col("v"))
+      .select(col("m"), col("code_id"), subVec(col("v")).as("c8"))
+    val cbRow = cb.groupBy(col("m"))
+      .agg(collect_list(struct(col("code_id"), col("c8"))).as("cs"))
+    val subs = e.select(col("vec_id"), ms, col("v"))
+      .select(col("vec_id"), col("m"), subVec(col("v")).as("sv"))
+    val assigned = subs.join(cbRow, Seq("m"))
+      .select(col("vec_id"), col("m"),
+        element_at(array_sort(transform(col("cs"), c =>
+          struct((round(cosine(col("sv"), c("c8")), 4) * -1).as("nsim"),
+            c("code_id").as("code_id"), c("c8").as("c8")))), 1)("c8").as("c8"))
+    assigned.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("c8")))).as("pairs"))
+      .select(col("vec_id"),
+        flatten(transform(col("pairs"), p => p("c8"))).as("rv"))
+  }
+
   /** [[ivfTopK]] served from the PERSISTED index: result-identical by
     * construction (same centroids, same assignment, same rounded-cosine
     * ranking — gated against the SAME oracle SQL), but the corpus is
@@ -649,6 +698,65 @@ object Similarity {
       val approx = topkOf(quantized(e))
         .select(col("query_id"), col("neighbor_id"))
         .withColumn("hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+    },
+
+    // PQ quality as a gated readout: per-query overlap between ADC
+    // top-k over the PQ-reconstructed corpus and the exact top-k.
+    // Deterministic construction (fixed-cap codebook, rounded-cosine
+    // assignment with code-id tie-breaks) ⇒ the oracle mirrors it
+    // verbatim, so the gate certifies PQ's RANKING FIDELITY, not just
+    // determinism. On this synthetic corpus (uniform random vectors —
+    // no cluster structure for the codebook to exploit) recall@5 is
+    // ~25-35%, ~30× the 1% random baseline; OperatorsSpec pins that
+    // floor. The economic story gated here: 16 B/vector codes instead
+    // of 256 B float32 — the difference between an embedding store that
+    // fits hot in cluster memory and one that doesn't.
+    QuerySpec(
+      "sim_pq_recall",
+      s"""WITH $eCte,
+         |$topkCtes,
+         |cb AS (SELECT m, vec_id AS code_id,
+         |         v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS c8
+         |       FROM e, range(0, $PqM) t(m)
+         |       WHERE vec_id % 25 = 0 AND vec_id < $PqCodeCap),
+         |sub AS (SELECT vec_id, m,
+         |          v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS sv
+         |        FROM e, range(0, $PqM) t(m)),
+         |asg AS (SELECT vec_id, m, c8 FROM (
+         |    SELECT s.vec_id, s.m, c.c8,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY round(list_cosine_similarity(s.sv, c.c8), 4) DESC, c.code_id) AS rn
+         |    FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+         |recon AS (SELECT vec_id, flatten(list(c8 ORDER BY m)) AS rv
+         |          FROM asg GROUP BY vec_id),
+         |pscored AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.qv, r.rv), 4) AS sim
+         |  FROM q JOIN recon r ON r.vec_id <> q.query_id),
+         |ptopk AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM pscored) WHERE rank <= $TopK)
+         |SELECT t.query_id,
+         |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_common
+         |FROM topk t LEFT JOIN ptopk p
+         |  ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+         |GROUP BY t.query_id""".stripMargin) { (s, d) =>
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      val q = e.filter(col("vec_id") < NQueries).limit(NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = pqReconstructed(e)
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosine(col("qv"), col("rv")), 4).as("sim"))
+      val approx = rankTopK(scored)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      val exact = topkOf(e).select(col("query_id"), col("neighbor_id"))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
         .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))

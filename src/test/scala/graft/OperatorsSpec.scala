@@ -496,6 +496,19 @@ class OperatorsSpec extends SparkSpec {
     assert(qv.forall(x => x == math.rint(x) && math.abs(x) <= 127.0))
   }
 
+  test("sim_pq_recall: ADC over 16x4 PQ codes beats the random baseline " +
+    ">= 10x on the structureless synthetic corpus, one row per query") {
+    val gated = SparkEntry.queries("sim_pq_recall")(spark, sf0001)
+      .select($"query_id", $"n_common").as[(Long, Long)].collect()
+    assert(gated.length == 20) // zero-overlap queries still report a row
+    // Uniform random vectors give the codebook no cluster structure to
+    // exploit, so PQ recall is inherently modest here — the pin is that
+    // ADC ranking carries real signal: 20 queries x top-5 at N=500 give
+    // a random-overlap expectation of ~1 hit; require >= 10.
+    val hits = gated.map(_._2).sum
+    assert(hits >= 10, s"PQ recall hits=$hits")
+  }
+
   test("vocab_coverage: ranks dense from 1, counts non-increasing, " +
     "cumulative share monotone to 1.0 over the full vocabulary") {
     val v = SparkEntry.queries("vocab_coverage")(spark, sf0001)
