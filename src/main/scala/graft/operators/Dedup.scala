@@ -167,6 +167,45 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** Asymmetric containment pairs (doc_inner, doc_outer, containment):
+    * the smaller shingle set's coverage by the larger, |A∩B| / min(|A|,|B|)
+    * ≥ `tau`. Catches what Jaccard structurally cannot: a document
+    * EMBEDDED in a much larger one (a quoted article, a boilerplate
+    * wrapper around real content) has near-1 containment but Jaccard
+    * ≈ |inner|/|outer| — far below any near-dup threshold once the size
+    * ratio passes ~1.25. Same blocked candidate generation as
+    * [[ngramPairs]] (capped shingles, hashed join keys) MINUS the
+    * size-ratio prune, which containment semantics forbid — the
+    * interesting pairs are exactly the size-skewed ones. The df cap is
+    * what keeps that tractable at 100 TB: candidates are still
+    * per-shingle blocks of ≤ maxDf docs, never all-pairs.
+    */
+  def containmentPairs(docs: DataFrame, tau: Double = 0.9): DataFrame = {
+    val sh = docShingles(docs, MaxDf)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val withN = sh
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"), col("n"))
+    val a = withN.select(col("doc_id").as("doc_a"), col("shh"), col("n").as("na"))
+    val inter = a.join(
+        withN.select(col("doc_id").as("doc_b"), col("shh"), col("n").as("nb")),
+        Seq("shh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("i"))
+    // doc_a < doc_b, so the na == nb tie resolves to doc_a as inner —
+    // mirroring the oracle's CASE WHEN na <= nb.
+    inter
+      .filter(col("i").cast("double") / least(col("na"), col("nb")) >= tau)
+      .select(
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_inner"),
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_outer"),
+        round(col("i").cast("double") / least(col("na"), col("nb")), 4)
+          .as("containment"))
+  }
+
   /** Connected components of an undirected pair graph (doc_a, doc_b):
     * every vertex gets `cluster_id` = the MIN doc_id reachable from it —
     * true transitive-closure cluster semantics, vs the pair-chain
@@ -653,6 +692,29 @@ object Dedup {
         val dropped = pairs.select(col("doc_b").as("doc_id")).distinct()
         docs.join(dropped, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.9 — the
+    // subset-detection complement to dedup_ngram's Jaccard (a doc quoted
+    // inside a larger one is invisible to Jaccard past a ~1.25 size
+    // ratio, containment-1.0 here). Same capped-shingle blocking, no
+    // size-ratio prune (the size-skewed pairs ARE the signal).
+    QuerySpec(
+      "dedup_containment",
+      s"""$shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b, i, x.n AS na, y.n AS nb
+         |          FROM inter JOIN sz x ON x.doc_id = doc_a
+         |          JOIN sz y ON y.doc_id = doc_b)
+         |SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS doc_inner,
+         |  CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS doc_outer,
+         |  round(CAST(i AS DOUBLE) / least(na, nb), 4) AS containment
+         |FROM pairs
+         |WHERE CAST(i AS DOUBLE) / least(na, nb) >= 0.9""".stripMargin) {
+      (s, d) => containmentPairs(Tables.documents(s, d))
     },
 
     // Incremental dedup under the oracle gate: every 5th doc plays the

@@ -496,6 +496,19 @@ class OperatorsSpec extends SparkSpec {
     assert(qv.forall(x => x == math.rint(x) && math.abs(x) <= 127.0))
   }
 
+  test("dedup_containment: a doc fully embedded in a larger one is " +
+    "containment-1.0 even though its Jaccard is far below the 0.8 bar") {
+    val small = "alpha beta gamma delta epsilon zeta eta"
+    val big = small + " theta iota kappa lambda mu nu xi omicron pi rho " +
+      "sigma tau upsilon phi chi psi omega one two three four five six"
+    val docs = docsDf(1L -> big, 2L -> small, 3L -> base)
+    val got = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((2L, 1L, 1.0))) // inner = the smaller shingle set
+    // the same pair is invisible to the Jaccard detector (size skew)
+    assert(Dedup.ngramPairs(docs).collect().isEmpty)
+  }
+
   test("sim_pq_recall: ADC over 16x4 PQ codes beats the random baseline " +
     ">= 10x on the structureless synthetic corpus, one row per query") {
     val gated = SparkEntry.queries("sim_pq_recall")(spark, sf0001)
