@@ -302,6 +302,41 @@ object Curation {
               "cccccccc").otherwise("40000000"))
     },
 
+    // Temperature-scaled mixture resampling (the multilingual-LM
+    // rebalancing step): target share per language ∝ n^α with α = 0.5,
+    // achieved by per-doc acceptance rate sqrt(n_min / n_lang) — the
+    // smallest language keeps everything, the head is downsampled
+    // toward the flattened mixture. Portability needs NO rounding
+    // tricks: count ratios are exact in doubles, IEEE sqrt and division
+    // are correctly rounded (bit-identical across engines), and the
+    // uniform draw is 24 md5 bits over 2^24 (exact). Shape at scale:
+    // one count aggregate + a per-row content-keyed hash filter — the
+    // rate frame is one row per language (unhinted; AQE broadcasts it),
+    // the filter is shuffle-free and retry-stable.
+    QuerySpec(
+      "doc_temperature",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |        sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n) AS rate
+        |      FROM c)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 6))::UBIGINT AS DOUBLE)
+        |      / 16777216.0 < rate""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val nMin = counts.agg(min(col("n")).as("n_min"))
+      val rates = counts.join(broadcast(nMin))
+        .select(col("lang"),
+          sqrt(col("n_min").cast("double") / col("n")).as("rate"))
+      docs.join(rates, Seq("lang"))
+        .filter(
+          conv(substring(md5(concat(lit("temp:"),
+            col("doc_id").cast("string"))), 1, 6), 16, 10)
+            .cast("long").cast("double") / 16777216.0 < col("rate"))
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
     // The whole curation pipeline as ONE composed, gated query — what a
     // pretraining data run actually executes: quality filter →
     // decontaminate against the held-out benchmark → exact-dedup

@@ -123,6 +123,29 @@ class CurationSpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("doc_temperature: smallest language fully kept, achieved " +
+    "per-language keep ratio tracks sqrt(n_min/n), head downsampled") {
+    val totals = Tables.documents(spark, sf0001)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val kept = run("doc_temperature")
+      .groupBy($"lang").agg(count(lit(1)).as("k"))
+      .as[(String, Long)].collect().toMap
+    val nMin = totals.values.min
+    val (minLang, _) = totals.minBy(_._2)
+    assert(kept(minLang) == totals(minLang)) // rate 1.0 ⇒ exact retention
+    totals.foreach { case (lang, n) =>
+      val rate = math.sqrt(nMin.toDouble / n)
+      val achieved = kept.getOrElse(lang, 0L).toDouble / n
+      // content-hash draws are uniform; ±0.15 covers binomial noise at
+      // the sf0.001 group sizes (n >= 64)
+      assert(math.abs(achieved - rate) <= 0.15,
+        s"$lang: achieved=$achieved rate=$rate")
+    }
+    val (maxLang, maxN) = totals.maxBy(_._2)
+    assert(kept(maxLang) < maxN) // the head is genuinely downsampled
+  }
+
   test("doc_split_leakfree: every demoted doc has a train near-dup " +
     "partner; no surviving test doc does; base assignment is the " +
     "deterministic md5 rule") {
