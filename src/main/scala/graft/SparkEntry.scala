@@ -20,6 +20,7 @@ object SparkEntry {
       operators.TextAnalysis.specs ++
       operators.Retrieval.specs ++
       operators.Multimodal.specs ++
+      operators.Profiling.specs ++
       operators.Layout.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -34,6 +34,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("q_profile: ONE orders scan feeds every per-column aggregate " +
+    "(profiling must not re-read the table per column), with " +
+    "map-side partial aggregation") {
+    val q = SparkEntry.queries("q_profile")(spark, sf0001)
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1, s"expected 1 scan, got ${scans.length}")
+    assert(q.queryExecution.executedPlan.toString.contains("partial_"))
+    // profile invariants on the result itself
+    val rows = q.collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val (n, nNull, nDist) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nNull >= 0 && nNull <= n)
+      assert(nDist >= 1 && nDist <= n - nNull)
+      assert(r.getString(4) != null && r.getString(5) != null)
+    }
+  }
+
   test("q_topk: limit is pushed into a TakeOrdered operator, not a " +
     "global sort") {
     val p = plan("q_topk")
