@@ -16,6 +16,20 @@ object Extended {
 
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
 
+  /** Whole-row upsert (MERGE latest-wins): rows of `changes` replace
+    * base rows sharing their key; unmatched change rows insert. The
+    * snapshot-maintenance kernel of every CDC apply. ONE anti join +
+    * union at any scale — and because a CDC batch is normally ≪ the
+    * base, the anti join's build side is the CHANGE KEY SET (narrow:
+    * keys only, never change payloads), which AQE broadcasts while
+    * small and shuffles when a backfill-sized batch outgrows that.
+    */
+  def upsert(base: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame =
+    base.join(changes.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(changes)
+
   val specs: Seq[QuerySpec] = Seq(
 
     // As-of join: for every click event, the most recent error event of
@@ -755,6 +769,38 @@ object Extended {
                 .isInCollection(Seq("NATION_2", "NATION_9", "NATION_17")))),
             col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"), col("s_name"))
+    },
+
+    // MERGE / upsert (CDC apply): a deterministic change batch —
+    // updates for keys ≡ 3 (mod 7) (status 'X', price +100), inserts
+    // keyed past the base id space for keys ≡ 0 (mod 31) — lands on the
+    // orders snapshot latest-wins. Timestamps stay out of the output
+    // (oracle convention); +100.0 on a double is exact in both engines.
+    QuerySpec(
+      "q_upsert",
+      """WITH ch AS (
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |         o_totalprice + 100.0 AS o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N',
+        |         o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 31 = 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderpriority
+        |FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+        |UNION ALL
+        |SELECT * FROM ch""".stripMargin) { (s, d) =>
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+      val changes = base.filter(col("o_orderkey") % 7 === 3)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .unionByName(base.filter(col("o_orderkey") % 31 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("o_orderstatus", lit("N")))
+      upsert(base, changes, Seq("o_orderkey"))
     }
   )
 }

@@ -89,6 +89,22 @@ class ExtendedSpec extends SparkSpec {
     assert(p == totals)
   }
 
+  test("q_upsert: keys unique after the merge, updates overwrite in " +
+    "place, inserts extend the key space, untouched rows survive intact") {
+    val base = Tables.load(spark, sf0001, "orders")
+    val nBase = base.count()
+    val nIns = base.filter($"o_orderkey" % 31 === 0).count()
+    val r = SparkEntry.queries("q_upsert")(spark, sf0001)
+    assert(r.count() == nBase + nIns) // updates replace, inserts add
+    assert(r.select($"o_orderkey").distinct().count() == nBase + nIns)
+    // every key ≡ 3 (mod 7) carries the update image
+    assert(r.filter($"o_orderkey" % 7 === 3 && $"o_orderkey" < 10000000L &&
+      $"o_orderstatus" =!= "X").count() == 0)
+    // inserts all land past the base id space with status N
+    assert(r.filter($"o_orderkey" >= 10000000L && $"o_orderstatus" =!= "N")
+      .count() == 0)
+  }
+
   private implicit class Tupled3[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
