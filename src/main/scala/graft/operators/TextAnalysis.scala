@@ -68,6 +68,27 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
   }
 
+  /** Sorted distinct characters of `t` (Spark's regex split on ""
+    * keeps a trailing empty element — removed so the entropy fold and
+    * the oracle's string_split('') see the same alphabet).
+    */
+  def distinctChars(t: Column): Column =
+    array_sort(array_distinct(array_remove(split(t, ""), "")))
+
+  /** Character-level Shannon entropy (bits/char), 4-dp rounded. The
+    * per-char count is length(t) − length(replace(t, ch)) — exact
+    * integer arithmetic, no second tokenization — and the -Σ p·log2 p
+    * fold runs left-to-right over [[distinctChars]] so the float
+    * summation order is engine-independent.
+    */
+  def charEntropy(t: Column): Column = {
+    val n = length(t).cast("double")
+    def p(ch: Column): Column =
+      (length(t) - length(replace(t, ch, lit("")))).cast("double") / n
+    val terms = transform(distinctChars(t), ch => p(ch) * log2(p(ch)))
+    round(-aggregate(terms, lit(0.0), (acc, x) => acc + x), 4)
+  }
+
   /** Content-defined chunks of a document (CDC — the rsync/dedup-store
     * boundary trick applied to words): a chunk ends after every word
     * whose md5 starts with '0' (expected chunk length 16 words), so the
@@ -252,6 +273,34 @@ object TextAnalysis {
         md5(lower(trim(regexp_replace(col("text"), " +", " ")))).as("content_fp"),
         md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
           .as("vocab_fp"))
+    },
+
+    // Character-level Shannon entropy — the information-density quality
+    // signal (binary junk, base64 blobs and repeated-char padding sit
+    // far from natural text's ~4.1 bits/char): H = -Σ p_c·log2 p_c over
+    // the doc's characters. Pure per-row expression, zero shuffle,
+    // scan-parallel at 100 TB. Portability: per-char counts via the
+    // exact length(replace(...)) trick; the fold runs over the SORTED
+    // distinct-char list so both engines sum identical doubles in
+    // identical order; final 4-dp round guards the last ulp (the same
+    // contract as the logprob scores).
+    QuerySpec(
+      "text_entropy",
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(list_distinct(string_split(text, ''))) AS BIGINT) AS n_unique,
+        |  round(-list_aggregate(list_transform(
+        |      list_sort(list_distinct(string_split(text, ''))),
+        |      ch -> ((length(text) - length(replace(text, ch, '')))
+        |               / CAST(length(text) AS DOUBLE))
+        |            * log2((length(text) - length(replace(text, ch, '')))
+        |               / CAST(length(text) AS DOUBLE))),
+        |    'sum'), 4) AS entropy
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(distinctChars(col("text"))).cast("long").as("n_unique"),
+        charEntropy(col("text")).as("entropy"))
     },
 
     // Unigram-LM document scoring (the corpus-statistics quality

@@ -496,6 +496,22 @@ class OperatorsSpec extends SparkSpec {
     assert(qv.forall(x => x == math.rint(x) && math.abs(x) <= 127.0))
   }
 
+  test("text_entropy kernel: exact on uniform alphabets, zero on " +
+    "one-char runs, bounded by log2(n_unique) on the corpus") {
+    val vals = Seq("aaaa", "ab", "abcd", "aab")
+      .toDF("text")
+      .select(operators.TextAnalysis.charEntropy($"text")).as[Double]
+      .collect()
+    assert(vals(0) == 0.0)
+    assert(vals(1) == 1.0)
+    assert(vals(2) == 2.0)
+    assert(vals(3) == 0.9183) // -(2/3)log2(2/3)-(1/3)log2(1/3), 4dp
+    val bad = SparkEntry.queries("text_entropy")(spark, sf0001)
+      .filter($"entropy" < 0 ||
+        $"entropy" > log2($"n_unique".cast("double")) + 1e-9)
+    assert(bad.count() == 0)
+  }
+
   test("dedup_containment: a doc fully embedded in a larger one is " +
     "containment-1.0 even though its Jaccard is far below the 0.8 bar") {
     val small = "alpha beta gamma delta epsilon zeta eta"
