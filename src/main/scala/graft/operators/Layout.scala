@@ -59,6 +59,43 @@ object Layout {
     finally conf.set(key, prev)
   }
 
+  /** 16-bit × 16-bit Morton (z-order) interleave: bit j of `a` lands at
+    * position 2j, bit j of `b` at 2j+1, so sorting by the z-value
+    * clusters rows that are close in BOTH dimensions. Pure integer
+    * shift/mask arithmetic — codegen'd, no UDF.
+    */
+  def morton16(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { j =>
+      shiftleft(shiftrightunsigned(a.cast("long"), j).bitwiseAND(1), 2 * j)
+        .bitwiseOR(shiftleft(
+          shiftrightunsigned(b.cast("long"), j).bitwiseAND(1), 2 * j + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Write `df` z-order-clustered on two dimensions: rows range-partition
+    * and sort by the Morton interleave of the two key expressions, so
+    * every file's min/max stats cover a tight RECTANGLE of the 2-D key
+    * space instead of a stripe of one dimension. The layout for the
+    * "filter on user AND time" workload a single-column sort can only
+    * half-serve: a ts-sort skips nothing for the user predicate, a
+    * z-order skips on both. Same semantics-free contract as
+    * [[writeSorted]] (it is the same table, reordered; `q_zorder_scan`
+    * gates that) and the same INT64-timestamp footnote.
+    */
+  def writeZOrdered(df: DataFrame, path: String,
+      zCol: org.apache.spark.sql.Column, files: Int = 32): Unit = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = conf.get(key)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try df.withColumn("__z", zCol)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    finally conf.set(key, prev)
+  }
+
   /** Compact the small files of ONE partition of a date-partitioned
     * parquet table (the ingest pipeline's append-forever layout): hourly
     * appends land ~1 file per run, so a year-old partition holds
@@ -188,6 +225,33 @@ object Layout {
     loc.toString
   }
 
+  /** Day index of `ts` ZERO-BASED at the table's epoch (2024-01-01).
+    * Rebasing matters: the Morton blocks that make z-order skip are
+    * aligned at power-of-two boundaries of the RAW integer, so a domain
+    * starting at epoch-day ~19724 has its 4/8/16-day blocks straddling
+    * arbitrary offsets; rebasing to 0 aligns them with the calendar
+    * ranges queries actually use.
+    */
+  private def zDay(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_micros(ts) / 86400000000L - lit(19723L)
+
+  /** Build-if-absent the (user_id × epoch-day) z-ordered events copy
+    * for `d` (suffix-keyed warehouse convention).
+    */
+  def ensureZOrderedEvents(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_zorder_events$suffix")
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+      fs.delete(loc, true)
+      val ev = Tables.events(s, d)
+      writeZOrdered(ev, loc.toString,
+        morton16(col("user_id"), zDay(col("ts"))))
+    }
+    loc.toString
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q_bucket_join",
@@ -217,6 +281,33 @@ object Layout {
       s.read.parquet(ensureSortedEvents(s, d))
         .filter(col("ts") >= to_timestamp(lit("2024-01-05 00:00:00")) &&
           col("ts") < to_timestamp(lit("2024-01-07 00:00:00")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)"))
+            .cast("double").as("total_value"))
+    },
+
+    // The z-ordered layout as a gated query: a user-range × time-range
+    // slice read from the Morton-clustered copy. The ts-sorted layout
+    // can only skip on time and the bucketed layout only co-locates
+    // equi-keys; the 2-D rectangle predicate is where z-order earns its
+    // keep (both predicates push; files whose (user, day) rectangle
+    // misses the query box never open — effectiveness pinned in
+    // LayoutSpec against a shuffled control). Results are
+    // layout-independent; the oracle reads the unsorted source.
+    QuerySpec(
+      "q_zorder_scan",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE user_id BETWEEN 4 AND 7
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type""".stripMargin) { (s, d) =>
+      s.read.parquet(ensureZOrderedEvents(s, d))
+        .filter(col("user_id").between(4, 7) &&
+          col("ts") >= to_timestamp(lit("2024-01-05 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(12,2)"))

@@ -72,6 +72,44 @@ class LayoutSpec extends SparkSpec {
         "unclustered — row-group skipping is not engaging")
   }
 
+  test("writeZOrdered: the 2-D rectangle predicate skips files on BOTH " +
+    "dimensions — fewer rows scanned than the unclustered control AND " +
+    "than what a user-blind time-only prune could achieve") {
+    val dir = tmpDir("zorder-layout")
+    val ev = Tables.events(spark, sf0001)
+    Layout.writeZOrdered(ev, s"$dir/zorder",
+      Layout.morton16(col("user_id"),
+        unix_micros(col("ts")) / 86400000000L - 19723L))
+    ev.repartition(16, col("event_id")).write.parquet(s"$dir/shuffled")
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    def scan(path: String) = {
+      val q = noAqe.read.parquet(path)
+        .filter(col("user_id").between(4, 7) &&
+          col("ts") >= to_timestamp(lit("2024-01-05 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+      val rows = q.collect().map(_.getLong(0)).toSet
+      val sc = q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      (rows, sc.metrics("numOutputRows").value, sc.metadata("PushedFilters"))
+    }
+    val (zRows, zScanned, pushed) = scan(s"$dir/zorder")
+    val (ctlRows, ctlScanned, _) = scan(s"$dir/shuffled")
+    assert(zRows == ctlRows, "layout must not change results")
+    assert(pushed.contains("GreaterThanOrEqual(user_id,4)") &&
+      pushed.contains("LessThan(ts"), pushed)
+    assert(ctlScanned == ev.count(),
+      "control: scattered files must all survive pruning")
+    // both-dimension skipping: the 10-day window alone keeps ~1/3 of
+    // rows; z-order must beat that bound, which only the user_id
+    // dimension can explain
+    val timeOnlyBound = ev.count() / 3
+    assert(zScanned < timeOnlyBound,
+      s"z-order scanned $zScanned rows — not beating the time-only " +
+        s"bound $timeOnlyBound (control scans $ctlScanned)")
+  }
+
   test("publishOverwrite: snapshot swap replaces content completely and " +
     "leaves no staging/trash dirs behind") {
     import spark.implicits._
