@@ -771,6 +771,43 @@ object Extended {
           .select(col("s_suppkey"), col("s_name"))
     },
 
+    // Incremental aggregate maintenance — the materialized-view /
+    // streaming-state contract: a per-group aggregate STATE (count,
+    // decimal sum, min, max) computed on the history merges with the
+    // state of a new delta batch, and the merge must equal the full
+    // recompute (which is exactly what the oracle runs). This is the
+    // algebra every incremental pipeline stands on (count/sum merge by
+    // +, min/max by min/max; avg derives at read time — never stored,
+    // or it stops merging). DECIMAL sums make + associative across the
+    // regroup, so merged-vs-recomputed is EXACT equality, not ε-close.
+    // At scale: each side aggregates map-side to |groups| rows, the
+    // merge shuffles only state rows — the delta never re-touches
+    // history data, which is the entire point.
+    QuerySpec(
+      "q_incr_agg",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |       / count(*) AS DOUBLE) AS avg_value
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      val cut = to_timestamp(lit("2024-01-20 00:00:00"))
+      def state(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val ev = Tables.events(s, d)
+      state(ev.filter(col("ts") < cut))
+        .unionByName(state(ev.filter(col("ts") >= cut)))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+          min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
+        .select(col("event_type"), col("n"),
+          col("sv").cast("double").as("total_value"),
+          col("min_value"), col("max_value"),
+          (col("sv").cast("double") / col("n")).cast("double").as("avg_value"))
+    },
+
     // MERGE / upsert (CDC apply): a deterministic change batch —
     // updates for keys ≡ 3 (mod 7) (status 'X', price +100), inserts
     // keyed past the base id space for keys ≡ 0 (mod 31) — lands on the

@@ -89,6 +89,20 @@ class ExtendedSpec extends SparkSpec {
     assert(p == totals)
   }
 
+  test("q_incr_agg: merged history+delta state equals the one-shot " +
+    "recompute EXACTLY (decimal-sum associativity), including avg") {
+    val merged = SparkEntry.queries("q_incr_agg")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val direct = Tables.events(spark, sf0001)
+      .groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"value".cast("decimal(12,2)")).cast("double").as("total_value"),
+        min($"value").as("mn"), max($"value").as("mx"))
+      .withColumn("avg_value", ($"total_value" / $"n").cast("double"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(merged == direct)
+  }
+
   test("q_upsert: keys unique after the merge, updates overwrite in " +
     "place, inserts extend the key space, untouched rows survive intact") {
     val base = Tables.load(spark, sf0001, "orders")
