@@ -303,6 +303,53 @@ object TextAnalysis {
         charEntropy(col("text")).as("entropy"))
     },
 
+    // Cross-document duplication score — the corpus-level twin of
+    // text_repetition's WITHIN-doc signal: the fraction of a doc's
+    // distinct 3-gram shingles that occur in at least one OTHER doc
+    // (df > 1 over distinct-per-doc grams). High scores mark boilerplate
+    // and template families that per-pair dedup thresholds can miss but
+    // quality filters want to downweight. Plan: one shingle explode
+    // feeds both the df table and the scoring join (same sh-keyed
+    // exchange, planner reuses it — the text_unigram_logprob shape);
+    // the df frame is corpus-derived ⇒ unhinted. NO df cap here, unlike
+    // the dedup blocking path: a cap exists to bound candidate-PAIR
+    // fan-out, but this join is per-(doc, gram) — linear in the explode,
+    // hot keys collapse map-side in the df groupBy first.
+    QuerySpec(
+      "text_cross_duplication",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ex AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, greatest(len(ws) - 1, 1)),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+        |       FROM w),
+        |df AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
+        |agg AS (SELECT doc_id, count(*) AS n_grams,
+        |         sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_shared
+        |        FROM ex JOIN df USING (sh) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(a.n_shared, 0) AS BIGINT) AS n_shared,
+        |  round(CAST(coalesce(a.n_shared, 0) AS DOUBLE)
+        |        / greatest(coalesce(a.n_grams, 0), 1), 4) AS shared_frac
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val ex = Par.fanOut(docs)
+          .select(col("doc_id"),
+            explode(Dedup.shingles3(col("text"))).as("sh"))
+        val df = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        val agg = ex.join(df, Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+        docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+              greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)), 4)
+              .as("shared_frac"))
+    },
+
     // Unigram-LM document scoring (the corpus-statistics quality
     // filter: docs whose tokens are improbable under the corpus' own
     // unigram distribution are noise/ocr-garble candidates). ONE

@@ -496,6 +496,24 @@ class OperatorsSpec extends SparkSpec {
     assert(qv.forall(x => x == math.rint(x) && math.abs(x) <= 127.0))
   }
 
+  test("text_cross_duplication: exact twins score 1.0, fractions " +
+    "bounded, every doc reports a row") {
+    val r = SparkEntry.queries("text_cross_duplication")(spark, sf0001)
+    assert(r.count() == Tables.documents(spark, sf0001).count())
+    assert(r.filter($"shared_frac" < 0 || $"shared_frac" > 1 ||
+      $"n_shared" > $"n_grams").count() == 0)
+    // every doc with an exact twin (same md5 text, >= 3 words) shares
+    // ALL its shingles with the twin ⇒ shared_frac == 1.0
+    val twins = Tables.documents(spark, sf0001)
+      .groupBy(md5($"text").as("h")).agg(
+        count(lit(1)).as("c"), collect_list($"doc_id").as("ids"))
+      .filter($"c" > 1)
+      .select(explode($"ids").as("doc_id"))
+    val bad = r.join(twins, Seq("doc_id"), "left_semi")
+      .filter($"n_grams" > 0 && $"shared_frac" =!= 1.0)
+    assert(bad.count() == 0)
+  }
+
   test("text_entropy kernel: exact on uniform alphabets, zero on " +
     "one-char runs, bounded by log2(n_unique) on the corpus") {
     val vals = Seq("aaaa", "ab", "abcd", "aab")
