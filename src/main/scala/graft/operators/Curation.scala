@@ -337,6 +337,63 @@ object Curation {
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // Budgeted data selection (the curriculum/budget step): per
+    // language, take documents in QUALITY order (best first, rounded
+    // 4-dp score, doc_id tie-break) until a 5000-token budget fills —
+    // a doc enters iff its exclusive prefix sum is still under budget,
+    // so the last doc may straddle. The oracle is one flat window; the
+    // engine form is the third distributed-prefix-sum pattern in this
+    // file (doc_pack blocks the ORDER KEY arithmetically,
+    // q_percentile_scaled blocks the VALUE range) — here the order key
+    // is a derived float with no usable arithmetic blocks, so the
+    // decomposition is QUANTILE-based: repartitionByRange on
+    // (lang, ord, doc_id) assigns contiguous slices of the global
+    // order to partitions sized by DATA quantiles (skew-proof by
+    // construction), in-partition windows rank within (pid, lang)
+    // groups, and a pid-keyed offset frame (≤ partitions × languages
+    // rows) carries the preceding slices' totals. The localCheckpoint
+    // pins ONE range assignment: RangePartitioner samples its bounds
+    // per execution, so without it the rank branch and the offset
+    // branch could see DIFFERENT pid mappings.
+    QuerySpec(
+      "doc_token_budget",
+      """WITH f AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+        |    round((CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1.0
+        |           ELSE CAST(len(string_split(text, ' ')) AS DOUBLE)/20 END)
+        |      * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)/length(text))
+        |      * (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |             w -> w IN ('the','a','of','and','in','to','is','it','on','for'))) AS DOUBLE)
+        |             / len(string_split(text, ' ')) > 0.05 THEN 1.0 ELSE 0.5 END), 4) AS q
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM f)
+        |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok
+        |FROM c WHERE prior < 5000""".stripMargin) { (s, d) =>
+      val parts = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          (round(TextAnalysis.qualityScore(col("text")), 4) * -1).as("ord"))
+        .repartitionByRange(32, col("lang"), col("ord"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val wIn = Window.partitionBy(col("pid"), col("lang"))
+        .orderBy(col("ord"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inPart = parts.withColumn("in_prior",
+        coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+      val wOff = Window.partitionBy(col("lang")).orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = parts.groupBy(col("pid"), col("lang"))
+        .agg(sum(col("n_tok")).as("ptot"))
+        .withColumn("off", coalesce(sum(col("ptot")).over(wOff), lit(0L)))
+        .select(col("pid"), col("lang"), col("off"))
+      inPart.join(offs, Seq("pid", "lang"))
+        .filter(col("in_prior") + col("off") < 5000L)
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+    },
+
     // The whole curation pipeline as ONE composed, gated query — what a
     // pretraining data run actually executes: quality filter →
     // decontaminate against the held-out benchmark → exact-dedup

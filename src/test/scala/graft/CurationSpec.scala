@@ -146,6 +146,33 @@ class CurationSpec extends SparkSpec {
     assert(kept(maxLang) < maxN) // the head is genuinely downsampled
   }
 
+  test("doc_token_budget: quantile-partitioned prefix sum equals the " +
+    "flat window exactly; every language fills its budget or exhausts") {
+    val got = run("doc_token_budget")
+      .select($"doc_id", $"lang", $"n_tok")
+      .as[(Long, String, Long)].collect().toSet
+    // flat-window recompute (the oracle shape, in-engine)
+    val t = Tables.documents(spark, sf0001).select($"doc_id", $"lang",
+      size(split($"text", " ")).cast("long").as("n_tok"),
+      (round(operators.TextAnalysis.qualityScore($"text"), 4) * -1).as("ord"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"ord", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val flat = t.withColumn("prior", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .filter($"prior" < 5000L)
+      .select($"doc_id", $"lang", $"n_tok")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == flat)
+    // budget semantics: selected tokens reach the budget unless the
+    // language ran out of documents entirely
+    val langTotals = t.groupBy($"lang").agg(sum($"n_tok").as("tot"))
+      .as[(String, Long)].collect().toMap
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val sel = rows.toSeq.map(_._3).sum
+      assert(sel >= math.min(5000L, langTotals(lang)), s"$lang sel=$sel")
+    }
+  }
+
   test("doc_split_leakfree: every demoted doc has a train near-dup " +
     "partner; no surviving test doc does; base assignment is the " +
     "deterministic md5 rule") {
