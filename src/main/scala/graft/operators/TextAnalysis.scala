@@ -185,6 +185,64 @@ object TextAnalysis {
         qualityScore(t).as("quality_score"))
     },
 
+    // Gopher-style composite rule filter (Rae et al. 2021, table A1
+    // shape): per-document structural signals — word count, mean word
+    // length, duplicate-word fraction, distinct-stopword count — each
+    // gated by its own rule flag, plus the conjunction. Thresholds are
+    // tightened from the paper's (3–10 mean-wlen etc.) so every rule
+    // discriminates on the synthetic corpus (481/487/74/317 of 500 pass
+    // the four rules individually at sf0.01; 10 pass all). Pure per-row
+    // expressions — no shuffle, fully codegen'd; the rule comparisons
+    // run on the 4-dp-ROUNDED signals in both engines so the flags are
+    // decided on identical values (the float-parity convention).
+    QuerySpec(
+      "text_gopher_rules",
+      """WITH f AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+        |      / len(ws), 4) AS mean_wlen,
+        |    round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+        |      AS dup_frac,
+        |    len(list_filter(list_distinct(ws),
+        |      w -> w IN ('the','a','of','and','in','to','is','it','on','for')))
+        |      AS n_stop
+        |  FROM f)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_wlen, dup_frac,
+        |  CAST(n_stop AS BIGINT) AS n_stop,
+        |  CAST(CASE WHEN n_words BETWEEN 15 AND 10000 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+        |  CAST(CASE WHEN mean_wlen BETWEEN 4.0 AND 5.0 THEN 1 ELSE 0 END AS BIGINT) AS r_wlen,
+        |  CAST(CASE WHEN dup_frac <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS r_dup,
+        |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+        |  CAST(CASE WHEN n_words BETWEEN 15 AND 10000
+        |    AND mean_wlen BETWEEN 4.0 AND 5.0
+        |    AND dup_frac <= 0.3 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM g""".stripMargin) { (s, d) =>
+      val w = words(col("text"))
+      val nWords = size(w)
+      val meanWlen = round(
+        aggregate(transform(w, x => length(x).cast("long")), lit(0L),
+          (acc, x) => acc + x).cast("double") / nWords, 4)
+      val dupFrac = round(
+        lit(1.0) - size(array_distinct(w)).cast("double") / nWords, 4)
+      val nStop = size(filter(array_distinct(w),
+        x => x.isInCollection(Stopwords)))
+      val flag = (c: Column) => when(c, 1L).otherwise(0L)
+      val rWlen = col("mean_wlen").between(4.0, 5.0)
+      val rDup = col("dup_frac") <= 0.3
+      val rStop = col("n_stop") >= 2L
+      Tables.documents(s, d)
+        .select(col("doc_id"), nWords.cast("long").as("n_words"),
+          meanWlen.as("mean_wlen"), dupFrac.as("dup_frac"),
+          nStop.cast("long").as("n_stop"))
+        .select(col("*"),
+          flag(col("n_words").between(15, 10000)).as("r_len"),
+          flag(rWlen).as("r_wlen"), flag(rDup).as("r_dup"),
+          flag(rStop).as("r_stop"),
+          flag(col("n_words").between(15, 10000) && rWlen && rDup && rStop)
+            .as("pass"))
+    },
+
     // Token counting: whitespace tokens + BPE-ish regex word-pieces.
     QuerySpec(
       "text_tokens",

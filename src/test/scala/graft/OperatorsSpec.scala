@@ -530,6 +530,22 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("text_gopher_rules: pass is exactly the conjunction of the rule " +
+    "flags; wlen/dup/stop rules each discriminate on the corpus") {
+    val out = SparkEntry.queries("text_gopher_rules")(spark, sf0001)
+      .localCheckpoint()
+    assert(out.filter(
+      $"pass" =!= $"r_len" * $"r_wlen" * $"r_dup" * $"r_stop").count() == 0)
+    val n = out.count()
+    for (c <- Seq("r_wlen", "r_dup", "r_stop")) {
+      val k = out.filter(col(c) === 1L).count()
+      assert(k > 0 && k < n, s"$c k=$k of $n")
+    }
+    // signals land in their structural ranges
+    assert(out.filter($"dup_frac" < 0 || $"dup_frac" > 1 ||
+      $"mean_wlen" <= 0 || $"n_stop" > 10).count() == 0)
+  }
+
   test("dedup_containment: a doc fully embedded in a larger one is " +
     "containment-1.0 even though its Jaccard is far below the 0.8 bar") {
     val small = "alpha beta gamma delta epsilon zeta eta"
