@@ -166,6 +166,70 @@ object Extended {
           sum(col("pv")).cast("double").as("total_value"))
     },
 
+    // Change-data-capture delta: per-user latest (event_type, value)
+    // state inside two adjacent 12 h activity windows, diffed into
+    // added / removed / changed rows — the snapshot-diff primitive of
+    // every incremental warehouse load. The oracle materialises the two
+    // states separately and FULL-JOINs them; the engine form is ONE
+    // scan and ONE shuffle: both windows filter into the same
+    // user_id-grouped aggregate as FILTERed max_by's (ordered by
+    // (ts, event_id) — event_id is unique, so the "latest" pick is
+    // deterministic), and the full-outer semantics fall out of the
+    // aggregate's null slots. At 100 TB the windows prune at the scan
+    // (ts is the natural partition/sort column) and no join exists at
+    // all — the diff costs exactly one pass over two windows of the
+    // fact stream.
+    QuerySpec(
+      "q_cdc_delta",
+      """WITH olds AS (
+        |  SELECT user_id, last(event_type ORDER BY ts, event_id) AS old_type,
+        |         last(value ORDER BY ts, event_id) AS old_value
+        |  FROM events
+        |  WHERE ts > TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-01 12:00:00'
+        |  GROUP BY user_id),
+        |news AS (
+        |  SELECT user_id, last(event_type ORDER BY ts, event_id) AS new_type,
+        |         last(value ORDER BY ts, event_id) AS new_value
+        |  FROM events
+        |  WHERE ts > TIMESTAMP '2024-01-01 12:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-02 00:00:00'
+        |  GROUP BY user_id)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |  CASE WHEN o.user_id IS NULL THEN 'added'
+        |       WHEN n.user_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change_type,
+        |  o.old_type, n.new_type, o.old_value, n.new_value
+        |FROM olds o FULL JOIN news n ON o.user_id = n.user_id
+        |WHERE o.user_id IS NULL OR n.user_id IS NULL
+        |   OR o.old_type <> n.new_type OR o.old_value <> n.new_value""".stripMargin) {
+      (s, d) =>
+        val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+        val t1 = lit("2024-01-01 12:00:00").cast("timestamp")
+        val t2 = lit("2024-01-02 00:00:00").cast("timestamp")
+        val st = Tables.events(s, d)
+          .withColumn("in_old", col("ts") > t0 && col("ts") <= t1)
+          .withColumn("in_new", col("ts") > t1 && col("ts") <= t2)
+          .filter(col("in_old") || col("in_new"))
+          .groupBy(col("user_id"))
+          .agg(
+            expr("max_by(named_struct('t', event_type, 'v', value), " +
+              "named_struct('o', ts, 'i', event_id)) FILTER (WHERE in_old)")
+              .as("o"),
+            expr("max_by(named_struct('t', event_type, 'v', value), " +
+              "named_struct('o', ts, 'i', event_id)) FILTER (WHERE in_new)")
+              .as("n"))
+        st.select(col("user_id"),
+            when(col("o").isNull, "added")
+              .when(col("n").isNull, "removed")
+              .otherwise("changed").as("change_type"),
+            col("o.t").as("old_type"), col("n.t").as("new_type"),
+            col("o.v").as("old_value"), col("n.v").as("new_value"))
+          .filter(col("o").isNull || col("n").isNull ||
+            col("old_type") =!= col("new_type") ||
+            col("old_value") =!= col("new_value"))
+    },
+
     // CUBE: all grouping-set combinations over two dimensions.
     QuerySpec(
       "q_cube",

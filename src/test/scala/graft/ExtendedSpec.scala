@@ -27,6 +27,53 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("q_cdc_delta: null-slot discipline per change_type, and a " +
+    "brute-force per-user recompute agrees exactly") {
+    val out = SparkEntry.queries("q_cdc_delta")(spark, sf0001)
+      .select($"user_id", $"change_type", $"old_type", $"new_type",
+        $"old_value", $"new_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)),
+        Option(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(out.nonEmpty)
+    out.foreach {
+      case (_, "added", ot, _, ov, nv) =>
+        assert(ot.isEmpty && ov.isEmpty && nv.nonEmpty)
+      case (_, "removed", ot, nt, _, nv) =>
+        assert(nt.isEmpty && nv.isEmpty && ot.nonEmpty)
+      case (u, "changed", ot, nt, ov, nv) =>
+        assert(ot.nonEmpty && nt.nonEmpty)
+        assert(ot != nt || ov != nv, s"user $u reported unchanged state")
+      case (u, ct, _, _, _, _) => fail(s"user $u unknown change_type $ct")
+    }
+    // independent recompute: brute-force latest-state per user per window
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts".cast("string"), $"event_id", $"event_type",
+        $"value")
+      .as[(Long, String, Long, String, Double)].collect()
+    def state(lo: String, hi: String) = ev
+      .filter(e => e._2 > lo && e._2 <= hi)
+      .groupBy(_._1)
+      .map { case (u, es) =>
+        val last = es.maxBy(e => (e._2, e._3)); u -> (last._4, last._5) }
+    val olds = state("2024-01-01 00:00:00", "2024-01-01 12:00:00")
+    val news = state("2024-01-01 12:00:00", "2024-01-02 00:00:00")
+    val expect = (olds.keySet ++ news.keySet).flatMap { u =>
+      (olds.get(u), news.get(u)) match {
+        case (Some(o), None) => Some((u, "removed", Some(o._1), None,
+          Some(o._2), None))
+        case (None, Some(n)) => Some((u, "added", None, Some(n._1),
+          None, Some(n._2)))
+        case (Some(o), Some(n)) if o != n =>
+          Some((u, "changed", Some(o._1), Some(n._1), Some(o._2), Some(n._2)))
+        case _ => None
+      }
+    }
+    assert(out.toSet == expect)
+  }
+
   test("q_range_frame: every row is its own frame peer, and a brute-force " +
     "recount of one user's trailing window matches") {
     val out = SparkEntry.queries("q_range_frame")(spark, sf0001)
