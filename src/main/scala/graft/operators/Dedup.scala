@@ -878,6 +878,101 @@ object Dedup {
           .distinct()
     },
 
+    // MinHash estimator calibration: for every LSH candidate pair, the
+    // sketch's Jaccard estimate (matching minhash components / 8) next
+    // to the EXACT shingle Jaccard — the same certify-the-approximation
+    // pattern as sim_ivf_recall/sim_pq_recall, applied to the dedup
+    // sketch. This is what makes a threshold choice defensible at
+    // 100 TB: the estimator's error is itself an oracled query, not a
+    // paper citation. Exact Jaccard is computed ONLY for candidate
+    // pairs (shingles semi-joined down to candidate docs first), so the
+    // verify cost scales with the candidate set — the banded bound —
+    // never the corpus. The exploded shingle frame is materialised once
+    // (localCheckpoint) and feeds signature, size, and intersection
+    // branches; signatures are one tiny row per doc.
+    QuerySpec(
+      "dedup_minhash_estimate",
+      s"""$shingleCte,
+         |sig AS (SELECT doc_id,
+         |  ${(0 until 8).map { j =>
+             val c = j / 4; val p = j % 4
+             s"min(substr(md5('$c:' || sh), ${p * 8 + 1}, 8)) AS h$j"
+           }.mkString(", ")}
+         |  FROM s GROUP BY doc_id),
+         |bands AS (
+         |  ${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, md5(h${2*b} || '|' || h${2*b+1}) AS bh FROM sig")
+             .mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  round((${(0 until 8).map(j =>
+             s"CASE WHEN x.h$j = y.h$j THEN 1 ELSE 0 END").mkString(" + ")}
+         |    ) / 8.0, 4) AS est_j,
+         |  round(CAST(coalesce(i.i, 0) AS DOUBLE)
+         |    / (sx.n + sy.n - coalesce(i.i, 0)), 4) AS exact_j
+         |FROM cand c
+         |JOIN sig x ON x.doc_id = c.doc_a JOIN sig y ON y.doc_id = c.doc_b
+         |JOIN sz sx ON sx.doc_id = c.doc_a JOIN sz sy ON sy.doc_id = c.doc_b
+         |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b""".stripMargin) {
+      (s, d) =>
+        val k = 8
+        val rowsPerBand = 2
+        val sh = docShingles(Tables.documents(s, d), MaxDf)
+          .localCheckpoint()
+        val sig = sh.groupBy(col("doc_id")).agg(
+          min(substring(md5(concat(lit("0:"), col("sh"))), 1, 8)).as("h0"),
+          (1 until k).map { j =>
+            val c = j / 4; val p = j % 4
+            min(substring(md5(concat(lit(s"$c:"), col("sh"))), p * 8 + 1, 8))
+              .as(s"h$j")
+          }: _*).localCheckpoint()
+        val bandCols = (0 until k / rowsPerBand).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|",
+              (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)).as("bh"))
+        }
+        val bands = sig
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+        val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+            Seq("band", "bh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+          .localCheckpoint()
+        // exact Jaccard, candidate-pruned: shingles of candidate docs only
+        val candDocs = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val candSh = sh.join(candDocs, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+        val sz = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = candSh.select(col("doc_id").as("doc_a"), col("shh"))
+          .join(candSh.select(col("doc_id").as("doc_b"), col("shh")), Seq("shh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+        val matches = (0 until k).map(j =>
+          when(col(s"x.h$j") === col(s"y.h$j"), 1).otherwise(0))
+          .reduce((a: Column, b: Column) => a + b)
+        cand
+          .join(sig.as("x"), col("doc_a") === col("x.doc_id"))
+          .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"),
+            round(matches.cast("double") / k, 4).as("est_j"),
+            round(coalesce(col("i"), lit(0L)).cast("double")
+              / (col("na") + col("nb") - coalesce(col("i"), lit(0L))), 4)
+              .as("exact_j"))
+    },
+
     // SimHash: 64-bit signature from per-shingle bit votes; candidate
     // pairs share at least one of four 16-bit chunks (finds all pairs with
     // Hamming distance ≤ 3 by pigeonhole) and pass an exact popcount check.

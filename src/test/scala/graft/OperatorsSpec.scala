@@ -559,6 +559,26 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.ngramPairs(docs).collect().isEmpty)
   }
 
+  test("dedup_minhash_estimate: pair set == dedup_minhash candidates; " +
+    "estimates are k/8 grid points; near-dup pairs estimate high") {
+    val est = SparkEntry.queries("dedup_minhash_estimate")(spark, sf0001)
+      .select($"doc_a", $"doc_b", $"est_j", $"exact_j")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(est.nonEmpty)
+    val candPairs = SparkEntry.queries("dedup_minhash")(spark, sf0001)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(est.map(e => (e._1, e._2)).toSet == candPairs)
+    // the 8-component sketch can only emit multiples of 1/8
+    est.foreach { case (a, b, e, _) =>
+      assert((e * 8).isWhole, s"($a,$b) est=$e not on the k/8 grid") }
+    // calibration: genuinely near-dup candidates estimate high — the
+    // banding admits occasional low-exact false positives (that is what
+    // this readout exists to expose), so the floor applies only to
+    // high-exact pairs
+    est.filter(_._4 >= 0.8).foreach { case (a, b, e, x) =>
+      assert(e >= 0.5, s"($a,$b) exact=$x but est=$e") }
+  }
+
   test("sim_pq_recall: ADC over 16x4 PQ codes beats the random baseline " +
     ">= 10x on the structureless synthetic corpus, one row per query") {
     val gated = SparkEntry.queries("sim_pq_recall")(spark, sf0001)
