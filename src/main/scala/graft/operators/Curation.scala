@@ -21,6 +21,54 @@ object Curation {
 
   private val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** Distributed exclusive prefix sum of `valueCol` over the global
+    * (groupCols, orderCols) order, WITHOUT a hot-key window: a flat
+    * `sum over (partition by group order by ...)` puts every row of a
+    * group on one task — the skew hazard this repo bans. The
+    * decomposition is QUANTILE-based: `repartitionByRange` on
+    * (groupCols ++ orderCols) assigns contiguous slices of the global
+    * order to partitions sized by DATA quantiles (skew-proof by
+    * construction), in-partition windows accumulate within
+    * (pid, group) cells, and a pid-keyed offset frame
+    * (≤ partitions × |groups| rows — structurally bounded) carries the
+    * preceding slices' totals. The `localCheckpoint` pins ONE range
+    * assignment: RangePartitioner samples its bounds per execution, so
+    * without it the in-partition branch and the offset branch could
+    * see DIFFERENT pid mappings. `orderCols` must be ascending — the
+    * caller negates descending keys. Adds `priorCol` (exclusive: the
+    * row itself is not counted); with `valueCol` = a literal-1 column
+    * the prior is the 0-based global rank within the group. Shared by
+    * `doc_token_budget` and `text_perplexity_bucket`.
+    */
+  private[operators] def rangedPrefixSum(
+      df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, priorCol: String,
+      numPartitions: Int = 32): org.apache.spark.sql.DataFrame = {
+    val rangeCols = (groupCols ++ orderCols).map(col)
+    val parts = df
+      .repartitionByRange(numPartitions, rangeCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wIn = Window
+      .partitionBy((col("__pid") +: groupCols.map(col)): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inPart = parts.withColumn("__in_prior",
+      coalesce(sum(col(valueCol)).over(wIn), lit(0L)))
+    val wOff = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parts
+      .groupBy((col("__pid") +: groupCols.map(col)): _*)
+      .agg(sum(col(valueCol)).as("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
+      .select((col("__pid") +: groupCols.map(col)) :+ col("__off"): _*)
+    inPart.join(offs, "__pid" +: groupCols)
+      .withColumn(priorCol, col("__in_prior") + col("__off"))
+      .drop("__pid", "__in_prior", "__off")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Sessionization (batch): a session breaks after a 30-minute silence.
@@ -345,16 +393,9 @@ object Curation {
     // engine form is the third distributed-prefix-sum pattern in this
     // file (doc_pack blocks the ORDER KEY arithmetically,
     // q_percentile_scaled blocks the VALUE range) — here the order key
-    // is a derived float with no usable arithmetic blocks, so the
-    // decomposition is QUANTILE-based: repartitionByRange on
-    // (lang, ord, doc_id) assigns contiguous slices of the global
-    // order to partitions sized by DATA quantiles (skew-proof by
-    // construction), in-partition windows rank within (pid, lang)
-    // groups, and a pid-keyed offset frame (≤ partitions × languages
-    // rows) carries the preceding slices' totals. The localCheckpoint
-    // pins ONE range assignment: RangePartitioner samples its bounds
-    // per execution, so without it the rank branch and the offset
-    // branch could see DIFFERENT pid mappings.
+    // is a derived float with no usable arithmetic blocks, so it runs
+    // on the quantile-range-partitioned prefix sum ([[rangedPrefixSum]],
+    // shared with text_perplexity_bucket).
     QuerySpec(
       "doc_token_budget",
       """WITH f AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
@@ -371,26 +412,12 @@ object Curation {
         |  FROM f)
         |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok
         |FROM c WHERE prior < 5000""".stripMargin) { (s, d) =>
-      val parts = Tables.documents(s, d)
+      val t = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tok"),
           (round(TextAnalysis.qualityScore(col("text")), 4) * -1).as("ord"))
-        .repartitionByRange(32, col("lang"), col("ord"), col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint()
-      val wIn = Window.partitionBy(col("pid"), col("lang"))
-        .orderBy(col("ord"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val inPart = parts.withColumn("in_prior",
-        coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
-      val wOff = Window.partitionBy(col("lang")).orderBy(col("pid"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = parts.groupBy(col("pid"), col("lang"))
-        .agg(sum(col("n_tok")).as("ptot"))
-        .withColumn("off", coalesce(sum(col("ptot")).over(wOff), lit(0L)))
-        .select(col("pid"), col("lang"), col("off"))
-      inPart.join(offs, Seq("pid", "lang"))
-        .filter(col("in_prior") + col("off") < 5000L)
+      rangedPrefixSum(t, Seq("lang"), Seq("ord", "doc_id"), "n_tok", "prior")
+        .filter(col("prior") < 5000L)
         .select(col("doc_id"), col("lang"), col("n_tok"))
     },
 

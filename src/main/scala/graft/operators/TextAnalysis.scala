@@ -68,6 +68,38 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
   }
 
+  /** Per-document average add-one-smoothed bigram log-probability
+    * (doc_id, avg_logp, n_bigrams) — the kernel of
+    * `text_bigram_logprob` and `text_perplexity_bucket`. One token
+    * explode feeds both the model counts and the scoring join; the
+    * unigram table joins the aggregated BIGRAM frame (|vocab|² ≫
+    * |vocab| — the small side joins the model, never the corpus stream
+    * twice); both model frames are corpus-derived ⇒ unhinted, only the
+    * scalar V broadcasts. The trailing count(w1) for the final word of
+    * each doc is included in c(w1) exactly as the oracle counts it.
+    */
+  private def bigramLogprob(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Par.fanOut(d)
+    val toks = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val grams = docs
+      .select(col("doc_id"), explode(Dedup.kgrams(col("text"), 2)).as("g2"))
+    val c1 = toks.groupBy(col("word")).agg(count(lit(1)).as("n1"))
+    val c2 = grams.groupBy(col("g2")).agg(count(lit(1)).as("n2"))
+    val v = broadcast(c1.agg(count(lit(1)).as("v")))
+    val m = c2
+      .join(c1, split(col("g2"), " ")(0) === col("word"))
+      .select(col("g2"), col("n2"), col("n1"))
+    grams.join(m, Seq("g2"))
+      .crossJoin(v)
+      .groupBy(col("doc_id"))
+      .agg(
+        round(avg(log((col("n2").cast("double") + 1) / (col("n1") + col("v")))), 4)
+          .as("avg_logp"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Sorted distinct characters of `t` (Spark's regex split on ""
     * keeps a trailing empty element — removed so the entropy fold and
     * the oracle's string_split('') see the same alphabet).
@@ -473,24 +505,55 @@ object TextAnalysis {
         |  count(*) AS n_bigrams
         |FROM g JOIN m USING (g2), v
         |GROUP BY doc_id""".stripMargin) { (s, d) =>
-      val docs = Par.fanOut(Tables.documents(s, d))
-      val toks = docs
-        .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      val grams = docs
-        .select(col("doc_id"), explode(Dedup.kgrams(col("text"), 2)).as("g2"))
-      val c1 = toks.groupBy(col("word")).agg(count(lit(1)).as("n1"))
-      val c2 = grams.groupBy(col("g2")).agg(count(lit(1)).as("n2"))
-      val v = broadcast(c1.agg(count(lit(1)).as("v")))
-      val m = c2
-        .join(c1, split(col("g2"), " ")(0) === col("word"))
-        .select(col("g2"), col("n2"), col("n1"))
-      grams.join(m, Seq("g2"))
-        .crossJoin(v)
-        .groupBy(col("doc_id"))
-        .agg(
-          round(avg(log((col("n2").cast("double") + 1) / (col("n1") + col("v")))), 4)
-            .as("avg_logp"),
-          count(lit(1)).as("n_bigrams"))
+      bigramLogprob(Tables.documents(s, d))
+    },
+
+    // Perplexity bucketing (the CCNet head/middle/tail split): per
+    // language, documents ranked by the add-one-smoothed bigram model
+    // score (most probable first) and cut into terciles — bucket
+    // = ceil(3·rank/n), pinned by that exact integer formula in BOTH
+    // engines (not ntile, whose remainder convention is not worth
+    // cross-engine trust). Rank is deterministic (4-dp-rounded score,
+    // doc_id tie-break). The rank is the skew-sensitive part at 100 TB
+    // — a flat per-lang row_number window puts a whole language on one
+    // task — so the engine computes it as a literal-1
+    // [[Curation.rangedPrefixSum]]: quantile-range partitions, local
+    // windows, bounded offset frame. The per-lang totals join is
+    // corpus-derived ⇒ unhinted (AQE sizes it).
+    QuerySpec(
+      "text_perplexity_bucket",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |g AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS g2
+        |      FROM w, unnest(range(1, len(ws))) u(i)),
+        |c1 AS (SELECT word AS w1, count(*) AS n1 FROM t GROUP BY word),
+        |c2 AS (SELECT g2, count(*) AS n2 FROM g GROUP BY g2),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |m AS (SELECT c2.g2, c2.n2, c1.n1 FROM c2
+        |      JOIN c1 ON c1.w1 = string_split(c2.g2, ' ')[1]),
+        |lp AS (SELECT doc_id,
+        |    round(avg(ln((CAST(n2 AS DOUBLE) + 1) / (n1 + v.v))), 4) AS avg_logp
+        |  FROM g JOIN m USING (g2), v GROUP BY doc_id),
+        |b AS (SELECT d.doc_id, d.lang, lp.avg_logp
+        |      FROM lp JOIN documents d ON d.doc_id = lp.doc_id),
+        |r AS (SELECT doc_id, lang, avg_logp,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY avg_logp DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM b)
+        |SELECT doc_id, lang, avg_logp, (3*rn + n - 1) // n AS bucket
+        |FROM r""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = bigramLogprob(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("avg_logp"),
+          (-col("avg_logp")).as("ord"), lit(1L).as("one"))
+      val ranked = Curation.rangedPrefixSum(
+        scored, Seq("lang"), Seq("ord", "doc_id"), "one", "prior")
+      val totals = ranked.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      ranked.join(totals, Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("avg_logp"),
+          expr("(3 * (prior + 1) + n - 1) div n").as("bucket"))
     },
 
     // Sensitive-term redaction (the PII-scrub shape every production

@@ -559,6 +559,32 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.ngramPairs(docs).collect().isEmpty)
   }
 
+  test("text_perplexity_bucket: per-lang terciles are balanced (±1), " +
+    "ordered by score, and cover every scored doc") {
+    val out = SparkEntry.queries("text_perplexity_bucket")(spark, sf0001)
+      .select($"doc_id", $"lang", $"avg_logp", $"bucket")
+      .as[(Long, String, Double, Long)].collect()
+    assert(out.nonEmpty)
+    val scored = SparkEntry.queries("text_bigram_logprob")(spark, sf0001)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet == scored) // universe = docs with bigrams
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val byB = rows.groupBy(_._4).map { case (b, r) => b -> r.length }
+      assert(byB.keySet.subsetOf(Set(1L, 2L, 3L)), s"$lang buckets $byB")
+      if (rows.length >= 3) {
+        assert(byB.keySet == Set(1L, 2L, 3L))
+        assert(byB.values.max - byB.values.min <= 1, s"$lang sizes $byB")
+      }
+      // score ordering across bucket boundaries (ties may straddle:
+      // the doc_id tie-break splits equal scores, so >= not >)
+      for (k <- 1L to 2L if byB.contains(k) && byB.contains(k + 1)) {
+        val lo = rows.filter(_._4 == k).map(_._3).min
+        val hi = rows.filter(_._4 == k + 1).map(_._3).max
+        assert(lo >= hi, s"$lang bucket $k min=$lo < bucket ${k + 1} max=$hi")
+      }
+    }
+  }
+
   test("dedup_minhash_estimate: pair set == dedup_minhash candidates; " +
     "estimates are k/8 grid points; near-dup pairs estimate high") {
     val est = SparkEntry.queries("dedup_minhash_estimate")(spark, sf0001)
