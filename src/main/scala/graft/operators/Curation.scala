@@ -113,6 +113,59 @@ object Curation {
           sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
     },
 
+    // Type-2 slowly-changing-dimension build (the warehouse history
+    // primitive): each user's event_type is their "state"; consecutive
+    // equal states collapse into one versioned row with
+    // [valid_from, valid_to) validity and an is_current flag on the
+    // open interval. Gaps-and-islands shape: lag → change flag →
+    // running sum = version, then min(ts)/count per version and a
+    // lead() for the interval close. Same scale profile as
+    // q_sessionize — one shuffle keyed by user_id, windows stay
+    // partition-local over per-entity groups (bounded per entity, not
+    // corpus-wide).
+    QuerySpec(
+      "q_scd2",
+      """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events),
+        |l AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM e),
+        |f AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM l),
+        |s AS (SELECT user_id, ts, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM f),
+        |i AS (SELECT user_id, CAST(ver AS BIGINT) AS version,
+        |    event_type AS state, min(ts) AS vf, count(*) AS n_events
+        |  FROM s GROUP BY user_id, ver, event_type),
+        |o AS (SELECT user_id, version, state, n_events, vf,
+        |    lead(vf) OVER (PARTITION BY user_id ORDER BY version) AS vt
+        |  FROM i)
+        |SELECT user_id, version, state, n_events,
+        |  strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM o""".stripMargin) { (s, d) =>
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      Tables.events(s, d)
+        .withColumn("prev", lag(col("event_type"), 1).over(ord))
+        .withColumn("chg",
+          when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(run))
+        .groupBy(col("user_id"), col("version"), col("event_type").as("state"))
+        .agg(min(col("ts")).as("vf"), count(lit(1)).as("n_events"))
+        .withColumn("vt", lead(col("vf"), 1).over(byVer))
+        .select(col("user_id"), col("version"), col("state"), col("n_events"),
+          date_format(col("vf"), fmt).as("valid_from"),
+          date_format(col("vt"), fmt).as("valid_to"),
+          when(col("vt").isNull, 1L).otherwise(0L).as("is_current"))
+    },
+
     // Bounded interval join (batch analogue of the watermarked
     // stream-stream join): for each click, errors of the same user in the
     // preceding 10 minutes. The equi key (user_id) makes this a plain

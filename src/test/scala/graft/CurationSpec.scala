@@ -146,6 +146,34 @@ class CurationSpec extends SparkSpec {
     assert(kept(maxLang) < maxN) // the head is genuinely downsampled
   }
 
+  test("q_scd2: versions chain into a gapless partition of each user's " +
+    "history with exactly one open interval and no no-op versions") {
+    val out = SparkEntry.queries("q_scd2")(spark, sf0001)
+      .select($"user_id", $"version", $"state", $"n_events",
+        $"valid_from", $"valid_to", $"is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getString(4), Option(r.getString(5)), r.getLong(6)))
+    assert(out.nonEmpty)
+    val evCount = Tables.events(spark, sf0001)
+      .groupBy($"user_id").count().as[(Long, Long)].collect().toMap
+    out.groupBy(_._1).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"user $u versions not 1..K")
+      assert(rows.count(_._7 == 1L) == 1, s"user $u open intervals != 1")
+      assert(sorted.last._7 == 1L && sorted.last._6.isEmpty)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6.contains(b._5), s"user $u interval gap at v${b._2}")
+          assert(a._3 != b._3, s"user $u no-op version v${b._2}")
+          assert(a._5 < b._5) // strictly advancing valid_from
+        case _ =>
+      }
+      assert(rows.map(_._4).sum == evCount(u), s"user $u event count")
+    }
+  }
+
   test("doc_token_budget: quantile-partitioned prefix sum equals the " +
     "flat window exactly; every language fills its budget or exhausts") {
     val got = run("doc_token_budget")
