@@ -166,6 +166,60 @@ object Curation {
           when(col("vt").isNull, 1L).otherwise(0L).as("is_current"))
     },
 
+    // Ordered conversion funnel: per user, the first 'view', the first
+    // 'click' STRICTLY after that view, the first 'purchase' strictly
+    // after that click — stage = how deep the ordered sequence got
+    // (0–3). The sequencing is what a conditional aggregate cannot
+    // express (each stage's window opens at the previous stage's
+    // timestamp), so it runs as a cascade of per-user min-aggregates
+    // with user_id-keyed joins between stages: every frame is one row
+    // per user, every join co-partitions on the same key, and event
+    // scans prune on event_type — no window over the raw stream at
+    // all. Left joins keep partial funnels; stage counts are the
+    // readout every growth dashboard wants.
+    QuerySpec(
+      "q_funnel",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        |  strftime(t2, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  strftime(t3, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val u = ev.select(col("user_id")).distinct()
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      u.join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"),
+          date_format(col("t1"), fmt).as("view_ts"),
+          date_format(col("t2"), fmt).as("click_ts"),
+          date_format(col("t3"), fmt).as("purchase_ts"))
+    },
+
     // Bounded interval join (batch analogue of the watermarked
     // stream-stream join): for each click, errors of the same user in the
     // preceding 10 minutes. The equi key (user_id) makes this a plain

@@ -174,6 +174,41 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q_funnel: stage timestamps strictly ascend, null slots match " +
+    "the stage, and a brute-force sequential scan agrees") {
+    val out = SparkEntry.queries("q_funnel")(spark, sf0001)
+      .select($"user_id", $"stage", $"view_ts", $"click_ts", $"purchase_ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+        Option(r.getString(3)), Option(r.getString(4))))
+    assert(out.nonEmpty && out.exists(_._2 == 3L))
+    out.foreach { case (u, stage, t1, t2, t3) =>
+      assert(Seq(t1, t2, t3).count(_.nonEmpty) == stage, s"user $u")
+      (t1, t2, t3) match {
+        case (Some(a), Some(b), Some(c)) => assert(a < b && b < c)
+        case (Some(a), Some(b), None) => assert(a < b)
+        case _ =>
+      }
+    }
+    // brute force: earliest view, earliest later click, earliest later purchase
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        $"event_type")
+      .as[(Long, String, String)].collect()
+    val expect = ev.groupBy(_._1).map { case (u, es) =>
+      def firstAfter(tpe: String, after: Option[String]) = {
+        val c = es.filter(e => e._3 == tpe && after.forall(e._2 > _)).map(_._2)
+        if (after.isEmpty && c.isEmpty && es.exists(_._3 == tpe)) None
+        else c.sorted.headOption
+      }
+      val t1 = es.filter(_._3 == "view").map(_._2).sorted.headOption
+      val t2 = if (t1.isEmpty) None else firstAfter("click", t1)
+      val t3 = if (t2.isEmpty) None else firstAfter("purchase", t2)
+      (u, Seq(t1, t2, t3).count(_.nonEmpty).toLong, t1, t2, t3)
+    }.toSet
+    assert(out.toSet == expect)
+  }
+
   test("doc_token_budget: quantile-partitioned prefix sum equals the " +
     "flat window exactly; every language fills its budget or exhausts") {
     val got = run("doc_token_budget")
