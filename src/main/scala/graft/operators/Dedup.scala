@@ -668,6 +668,55 @@ object Dedup {
       (s, d) => ngramPairs(Tables.documents(s, d))
     },
 
+    // Threshold-sensitivity sweep: candidate-pair counts per Jaccard
+    // decile in ONE pass — the readout that justifies (or indicts) the
+    // 0.8 near-dup threshold before a 100 TB dedup run commits to it.
+    // Same capped-shingle candidate generation as dedup_ngram but with
+    // NO size-ratio prune and NO threshold (the prune is only lossless
+    // w.r.t. the ≥ 0.8 result set; a sweep must see the whole
+    // distribution). Bucketing is exact integer arithmetic —
+    // bucket_x10 = (10·i) div (na+nb−i) — so no float boundary can
+    // disagree across engines; min/max Jaccard per bucket ride along
+    // 4-dp-rounded. Output is ≤ 11 rows however large the corpus.
+    QuerySpec(
+      "dedup_threshold_sweep",
+      s"""$shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |j AS (SELECT (10 * i) // (x.n + y.n - i) AS bucket_x10,
+         |             CAST(i AS DOUBLE) / (x.n + y.n - i) AS jac
+         |      FROM inter JOIN sz x ON x.doc_id = doc_a
+         |                 JOIN sz y ON y.doc_id = doc_b)
+         |SELECT CAST(bucket_x10 AS BIGINT) AS bucket_x10,
+         |  count(*) AS n_pairs,
+         |  round(min(jac), 4) AS min_jac, round(max(jac), 4) AS max_jac
+         |FROM j GROUP BY bucket_x10""".stripMargin) { (s, d) =>
+      val sh = docShingles(Tables.documents(s, d), MaxDf)
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      val withN = sh
+        .withColumn("n", count(lit(1)).over(wDoc))
+        .select(col("doc_id"), xxhash64(col("sh")).as("shh"), col("n"))
+      val inter = withN
+        .select(col("doc_id").as("doc_a"), col("shh"), col("n").as("na"))
+        .join(withN.select(col("doc_id").as("doc_b"), col("shh"),
+          col("n").as("nb")), Seq("shh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .select(
+          expr("(10 * i) div (na + nb - i)").as("bucket_x10"),
+          (col("i").cast("double") / (col("na") + col("nb") - col("i")))
+            .as("jac"))
+        .groupBy(col("bucket_x10"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(min(col("jac")), 4).as("min_jac"),
+          round(max(col("jac")), 4).as("max_jac"))
+    },
+
     // The composed end product: the corpus keep-list. A document is
     // dropped iff it is the GREATER id of some ≥ 0.8-Jaccard pair — the
     // lowest id of each near-dup cluster survives (chain semantics:

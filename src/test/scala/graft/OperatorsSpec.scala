@@ -585,6 +585,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_threshold_sweep: buckets bound their jaccard ranges and " +
+    "the >=0.8 tail mass equals dedup_ngram's pair count") {
+    val sweep = SparkEntry.queries("dedup_threshold_sweep")(spark, sf0001)
+      .select($"bucket_x10", $"n_pairs", $"min_jac", $"max_jac")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(sweep.nonEmpty)
+    sweep.foreach { case (b, n, lo, hi) =>
+      assert(b >= 0 && b <= 10 && n > 0)
+      assert(lo >= b / 10.0 - 1e-4 && hi <= (b + 1) / 10.0 + 1e-4,
+        s"bucket $b range [$lo,$hi]")
+      assert(lo <= hi)
+    }
+    val tail = sweep.filter(_._1 >= 8).map(_._2).sum
+    val ngram = SparkEntry.queries("dedup_ngram")(spark, sf0001).count()
+    assert(tail == ngram, s"tail=$tail ngram=$ngram")
+  }
+
   test("dedup_minhash_estimate: pair set == dedup_minhash candidates; " +
     "estimates are k/8 grid points; near-dup pairs estimate high") {
     val est = SparkEntry.queries("dedup_minhash_estimate")(spark, sf0001)
