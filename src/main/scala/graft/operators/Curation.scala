@@ -220,6 +220,38 @@ object Curation {
           date_format(col("t3"), fmt).as("purchase_ts"))
     },
 
+    // Cohort retention: users grouped by first-activity day (cohort),
+    // activity counted per (cohort, day-offset) cell — the retention
+    // triangle every product-analytics stack computes. Two aggregates
+    // and one user_id-keyed join: the first-event frame is one row per
+    // user (corpus-derived ⇒ unhinted, AQE sizes it), the distinct
+    // count shuffles on (cohort, offset, user) with map-side partial
+    // dedup. Output is |cohorts| × |offsets| — days², corpus-size
+    // independent.
+    QuerySpec(
+      "q_cohort",
+      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT e.user_id,
+        |    date_diff('day', DATE '2024-01-01', f.d0) AS cohort_day,
+        |    date_diff('day', f.d0, CAST(e.ts AS DATE)) AS day_offset
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+        |  CAST(day_offset AS BIGINT) AS day_offset,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM a GROUP BY cohort_day, day_offset""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val f = ev.groupBy(col("user_id"))
+        .agg(to_date(min(col("ts"))).as("d0"))
+      ev.join(f, Seq("user_id"))
+        .select(col("user_id"),
+          datediff(col("d0"), lit("2024-01-01").cast("date"))
+            .cast("long").as("cohort_day"),
+          datediff(to_date(col("ts")), col("d0")).cast("long").as("day_offset"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    },
+
     // Bounded interval join (batch analogue of the watermarked
     // stream-stream join): for each click, errors of the same user in the
     // preceding 10 minutes. The equi key (user_id) makes this a plain

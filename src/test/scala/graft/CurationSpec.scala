@@ -209,6 +209,33 @@ class CurationSpec extends SparkSpec {
     assert(out.toSet == expect)
   }
 
+  test("q_cohort: offset-0 cell equals the cohort size, offsets are " +
+    "non-negative, and a brute-force recompute agrees") {
+    val out = SparkEntry.queries("q_cohort")(spark, sf0001)
+      .select($"cohort_day", $"day_offset", $"n_active")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 >= 0))
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", to_date($"ts").cast("string"))
+      .as[(Long, String)].collect()
+    def day(s: String) = java.time.LocalDate.parse(s).toEpochDay
+    val epoch = day("2024-01-01")
+    val first = ev.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+    val expect = ev.groupBy { case (u, dt) =>
+        (day(first(u)) - epoch, day(dt) - day(first(u))) }
+      .map { case (k, es) => (k._1, k._2, es.map(_._1).distinct.size.toLong) }
+      .toSet
+    assert(out.toSet == expect)
+    // every user is active in their own cohort's offset-0 cell
+    val cohortSizes = first.groupBy { case (_, d0) => day(d0) - epoch }
+      .map { case (c, us) => c -> us.size.toLong }
+    out.filter(_._2 == 0L).foreach { case (c, _, n) =>
+      assert(n == cohortSizes(c), s"cohort $c offset-0 $n != ${cohortSizes(c)}")
+    }
+    assert(out.count(_._2 == 0L) == cohortSizes.size)
+  }
+
   test("doc_token_budget: quantile-partitioned prefix sum equals the " +
     "flat window exactly; every language fills its budget or exhausts") {
     val got = run("doc_token_budget")
