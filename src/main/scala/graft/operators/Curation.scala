@@ -40,7 +40,7 @@ object Curation {
     * the prior is the 0-based global rank within the group. Shared by
     * `doc_token_budget` and `text_perplexity_bucket`.
     */
-  private[operators] def rangedPrefixSum(
+  private[graft] def rangedPrefixSum(
       df: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String], orderCols: Seq[String],
       valueCol: String, priorCol: String,

@@ -136,6 +136,31 @@ class KernelPropertySpec extends SparkSpec {
     assert(z.getDouble(0) == 0.0 && z.getDouble(1).isNaN)
   }
 
+  test("rangedPrefixSum == the flat window on random skewed frames " +
+    "(hot group, duplicate order keys, misaligned partition counts)") {
+    (1 to 5).foreach { round =>
+      val n = 200 + rnd.nextInt(300)
+      // one hot group (~60% of rows) + a long tail; order key drawn from
+      // a SMALL domain so duplicate (group, ord) prefixes are common and
+      // the doc_id-style unique tiebreak column is what totalizes
+      val rows = (0 until n).map { i =>
+        val g = if (rnd.nextInt(10) < 6) "hot" else s"g${rnd.nextInt(7)}"
+        (i.toLong, g, rnd.nextInt(9).toLong, 1L + rnd.nextInt(50))
+      }
+      val df = rows.toDF("id", "grp", "ord", "v")
+      val got = operators.Curation.rangedPrefixSum(
+          df, Seq("grp"), Seq("ord", "id"), "v", "prior",
+          numPartitions = 1 + rnd.nextInt(11))
+        .select($"id", $"prior").as[(Long, Long)].collect().toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"grp").orderBy($"ord", $"id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val flat = df.withColumn("prior", coalesce(sum($"v").over(w), lit(0L)))
+        .select($"id", $"prior").as[(Long, Long)].collect().toMap
+      assert(got == flat, s"round $round n=$n")
+    }
+  }
+
   test("byteHash matches a BigInt reference fold") {
     (1 to 50).foreach { _ =>
       val bytes = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
