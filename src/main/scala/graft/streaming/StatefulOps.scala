@@ -197,6 +197,56 @@ object StatefulOps {
       }
   }
 
+  final case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = unset
+  final case class FunnelHit(user_id: Long, stage: Int, at: Timestamp)
+
+  /** Streaming analogue of the batch `q_funnel`: a per-user state
+    * machine over the ordered view → click → purchase sequence,
+    * emitting one row per stage TRANSITION as it happens (Append
+    * mode) — the live funnel dashboard feed. State per user is three
+    * timestamps, bounded forever, so no timeout is needed (a funnel
+    * never expires here; add one knob if business rules cap the
+    * journey window). Correctness contract: with in-order delivery
+    * (sorted within each micro-batch — the fold sorts — and
+    * watermark-monotonic across batches), the first view seen IS the
+    * earliest view, so the incremental fold equals the batch
+    * min-cascade exactly; `StatefulOpsSpec` pins parity against
+    * `q_funnel` on the same events split across batches.
+    */
+  def funnelTrack(events: Dataset[Event]): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    // micros-precision fold (getTime is millis; the batch oracle
+    // compares micros-formatted timestamps, so the state machine must
+    // order and strictly-compare at the same resolution)
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def tsOf(u: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val hits = Seq.newBuilder[FunnelHit]
+          rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val t = us(e.ts)
+            if (s.t1 < 0 && e.event_type == "view") {
+              s = s.copy(t1 = t); hits += FunnelHit(userId, 1, tsOf(t))
+            } else if (s.t1 >= 0 && s.t2 < 0 && e.event_type == "click" && t > s.t1) {
+              s = s.copy(t2 = t); hits += FunnelHit(userId, 2, tsOf(t))
+            } else if (s.t2 >= 0 && s.t3 < 0 && e.event_type == "purchase" && t > s.t2) {
+              s = s.copy(t3 = t); hits += FunnelHit(userId, 3, tsOf(t))
+            }
+          }
+          state.update(s)
+          hits.result().iterator
+      }
+  }
+
   /** Event sessionization: events of a user belong to one session while
     * gaps stay under `gapMillis`; sessions flush either when a later
     * event of the same user opens a new one, or when the event-time

@@ -3,6 +3,7 @@ package graft
 import graft.streaming.StatefulOps
 import graft.streaming.StatefulOps.{Event, SessionSummary}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.date_format
 import org.apache.spark.sql.streaming.OutputMode
 
 import java.sql.Timestamp
@@ -208,6 +209,44 @@ class StatefulOpsSpec extends SparkSpec {
       val s = sessions.head
       assert(s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0)
       assert(s.started == ts(0) && s.ended == ts(5))
+    } finally q.stop()
+  }
+
+  test("funnelTrack: stage transitions across micro-batches reproduce " +
+    "the batch q_funnel cascade exactly (stages AND timestamps)") {
+    implicit val sc = spark.sqlContext
+    val evs = Tables.events(spark, sf0001).as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)) // in-order delivery
+    val in = MemoryStream[Event]
+    val q = StatefulOps.funnelTrack(in.toDS())
+      .writeStream.format("memory").queryName("funnelhits")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(evs.length / 3 + 1).foreach { chunk =>
+        in.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      val hits = spark.table("funnelhits")
+        .select($"user_id", $"stage",
+          date_format($"at", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("at"))
+        .as[(Long, Int, String)].collect()
+      // at most one transition per stage per user, stages contiguous
+      hits.groupBy(_._1).foreach { case (u, rows) =>
+        val stages = rows.map(_._2).sorted
+        assert(stages.distinct.length == stages.length, s"user $u dup stage")
+        assert(stages.toSeq == (1 to stages.length).toSeq, s"user $u gap")
+      }
+      val streamed = hits.groupBy(_._1).map { case (u, rows) =>
+        val byStage = rows.map(r => r._2 -> r._3).toMap
+        (u, rows.map(_._2).max.toLong,
+          byStage.get(1), byStage.get(2), byStage.get(3))
+      }.toSet
+      val batch = SparkEntry.queries("q_funnel")(spark, sf0001)
+        .filter($"stage" > 0) // stage-0 users emit no streaming rows
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+          Option(r.getString(3)), Option(r.getString(4))))
+        .toSet
+      assert(streamed == batch)
     } finally q.stop()
   }
 }
