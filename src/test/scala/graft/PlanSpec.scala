@@ -54,6 +54,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_cdc_delta: the snapshot diff is join-free — ONE events scan, " +
+    "ONE exchange, full-outer semantics from aggregate null slots") {
+    val q = SparkEntry.queries("q_cdc_delta")(spark, sf0001)
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1, s"expected 1 scan, got ${scans.length}")
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "oracle's FULL JOIN must not exist here")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+    assert(p.contains("partial_max_by") || p.contains("partial_"))
+  }
+
+  test("q_funnel: no window over the raw event stream — the ordered " +
+    "cascade is min-aggregates joined on the user key") {
+    val p = plan("q_funnel")
+    assert(!p.contains("Window"), "funnel must not sort the raw stream")
+    assert(p.contains("partial_min"))
+  }
+
   test("q_topk: limit is pushed into a TakeOrdered operator, not a " +
     "global sort") {
     val p = plan("q_topk")
