@@ -560,6 +560,36 @@ object Curation {
         .select(col("doc_id"), col("lang"), col("n_tok"))
     },
 
+    // Deterministic global training order (the reproducible-shuffle
+    // step): every document gets its 1-based position in the
+    // md5(doc_id:text) order — a content-keyed permutation that is
+    // stable across runs, partitionings, and engines, which is what
+    // makes a pretraining data order auditable and resumable. The
+    // global rank is the skew case of the prefix-sum problem (ONE
+    // group = the whole corpus), so it runs on [[rangedPrefixSum]]
+    // with a constant group key: quantile ranges slice the hash order
+    // evenly by construction, and the offset frame is ≤ #partitions
+    // rows. Emitting position (not a sorted corpus) keeps the output
+    // shuffle-free downstream: a trainer range-reads positions
+    // [a, b) as a pushed-down predicate.
+    QuerySpec(
+      "doc_order",
+      """WITH h AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS ok
+        |  FROM documents)
+        |SELECT doc_id, ok AS order_key,
+        |  CAST(row_number() OVER (ORDER BY ok, doc_id) AS BIGINT) AS position
+        |FROM h""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+            .as("order_key"),
+          lit(0).as("all"), lit(1L).as("one"))
+      rangedPrefixSum(t, Seq("all"), Seq("order_key", "doc_id"), "one", "prior")
+        .select(col("doc_id"), col("order_key"),
+          (col("prior") + 1L).as("position"))
+    },
+
     // The whole curation pipeline as ONE composed, gated query — what a
     // pretraining data run actually executes: quality filter →
     // decontaminate against the held-out benchmark → exact-dedup

@@ -209,6 +209,29 @@ class CurationSpec extends SparkSpec {
     assert(out.toSet == expect)
   }
 
+  test("doc_order: positions are a 1..N permutation matching the " +
+    "content-hash sort, stable across partition counts") {
+    val out = SparkEntry.queries("doc_order")(spark, sf0001)
+      .select($"doc_id", $"order_key", $"position")
+      .as[(Long, String, Long)].collect()
+    val n = out.length
+    assert(n > 0 && out.map(_._3).sorted.toSeq == (1L to n).toSeq)
+    val expected = out.sortBy(r => (r._2, r._1)).map(_._1).toSeq
+    assert(out.sortBy(_._3).map(_._1).toSeq == expected)
+    // stability: a different slice count yields the identical permutation
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id",
+        md5(concat($"doc_id".cast("string"), lit(":"), $"text"))
+          .as("order_key"),
+        lit(0).as("all"), lit(1L).as("one"))
+    val alt = operators.Curation.rangedPrefixSum(
+        docs, Seq("all"), Seq("order_key", "doc_id"), "one", "prior",
+        numPartitions = 5)
+      .select($"doc_id", ($"prior" + 1L).as("position"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.forall(r => alt(r._1) == r._3))
+  }
+
   test("q_cohort: offset-0 cell equals the cohort size, offsets are " +
     "non-negative, and a brute-force recompute agrees") {
     val out = SparkEntry.queries("q_cohort")(spark, sf0001)
