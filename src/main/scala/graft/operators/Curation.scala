@@ -38,16 +38,26 @@ object Curation {
     * caller negates descending keys. Adds `priorCol` (exclusive: the
     * row itself is not counted); with `valueCol` = a literal-1 column
     * the prior is the 0-based global rank within the group. Shared by
-    * `doc_token_budget` and `text_perplexity_bucket`.
+    * `doc_token_budget`, `text_perplexity_bucket` and `doc_order`.
+    *
+    * `numPartitions` ≤ 0 (the default) sizes the range partitioning to
+    * the session's shuffle parallelism — a fixed constant here would
+    * cap slice parallelism at 100 TB and turn each in-partition window
+    * into a corpus/K-row sort on one task.
     */
   private[graft] def rangedPrefixSum(
       df: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String], orderCols: Seq[String],
       valueCol: String, priorCol: String,
-      numPartitions: Int = 32): org.apache.spark.sql.DataFrame = {
+      numPartitions: Int = 0): org.apache.spark.sql.DataFrame = {
+    val slices =
+      if (numPartitions > 0) numPartitions
+      else math.max(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+        df.sparkSession.sparkContext.defaultParallelism)
     val rangeCols = (groupCols ++ orderCols).map(col)
     val parts = df
-      .repartitionByRange(numPartitions, rangeCols: _*)
+      .repartitionByRange(slices, rangeCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val wIn = Window
