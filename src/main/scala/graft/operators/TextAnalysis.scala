@@ -184,6 +184,55 @@ object TextAnalysis {
         n.cast("long").as("n_tokens"))
     },
 
+    // Language-ID confusion matrix: the langid heuristic judged
+    // against the corpus' true labels — (true lang, predicted lang,
+    // count, share-of-true-lang) — the certify-the-heuristic readout
+    // in the same family as the ANN recall and MinHash calibration
+    // gates: a classifier you ship at 100 TB needs its error surface
+    // in the gate, not in a notebook. Aggregate first (the matrix is
+    // ≤ |langs|² rows), then one unhinted per-lang totals join; the
+    // doc_id prediction join co-partitions with the label scan.
+    QuerySpec(
+      "text_langid_confusion",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','in'))) AS en_n,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','y'))) AS es_n,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist'))) AS de_n,
+        |    len(string_split(text,' ')) AS n
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    CASE WHEN en_n >= es_n AND en_n >= de_n AND en_n * 20 >= n THEN 'en'
+        |         WHEN es_n > en_n AND es_n >= de_n AND es_n * 20 >= n THEN 'es'
+        |         WHEN de_n > en_n AND de_n > es_n AND de_n * 20 >= n THEN 'de'
+        |         ELSE 'und' END AS pred_lang
+        |  FROM f),
+        |c AS (SELECT d.lang, p.pred_lang, count(*) AS n
+        |      FROM documents d JOIN p ON d.doc_id = p.doc_id
+        |      GROUP BY d.lang, p.pred_lang),
+        |t AS (SELECT lang, sum(n) AS tot FROM c GROUP BY lang)
+        |SELECT c.lang, c.pred_lang, c.n,
+        |  round(CAST(c.n AS DOUBLE) / t.tot, 4) AS share
+        |FROM c JOIN t ON c.lang = t.lang""".stripMargin) { (s, d) =>
+      val t = col("text")
+      val enN = markerCount(t, Seq("the", "a", "of", "and", "in"))
+      val esN = markerCount(t, Seq("el", "la", "de", "que", "y"))
+      val deN = markerCount(t, Seq("der", "die", "das", "und", "ist"))
+      val n = size(words(t))
+      val pred = Tables.documents(s, d).select(
+        col("lang"),
+        when(enN >= esN && enN >= deN && enN * 20 >= n, "en")
+          .when(esN > enN && esN >= deN && esN * 20 >= n, "es")
+          .when(deN > enN && deN > esN && deN * 20 >= n, "de")
+          .otherwise("und").as("pred_lang"))
+      val cells = pred.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
+      cells.join(totals, Seq("lang"))
+        .select(col("lang"), col("pred_lang"), col("n"),
+          round(col("n").cast("double") / col("tot"), 4).as("share"))
+    },
+
     // Quality scoring: length/word-shape/stopword signals + blended score.
     QuerySpec(
       "text_quality",

@@ -559,6 +559,27 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.ngramPairs(docs).collect().isEmpty)
   }
 
+  test("text_langid_confusion: shares sum to 1 per true lang, counts " +
+    "reconcile with text_langid's predictions joined to labels") {
+    val cells = SparkEntry.queries("text_langid_confusion")(spark, sf0001)
+      .select($"lang", $"pred_lang", $"n", $"share")
+      .as[(String, String, Long, Double)].collect()
+    assert(cells.nonEmpty)
+    cells.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3, s"$lang shares")
+    }
+    val docCount = Tables.documents(spark, sf0001).count()
+    assert(cells.map(_._3).sum == docCount) // every doc lands in one cell
+    // reconcile against the registered per-doc predictions
+    val preds = SparkEntry.queries("text_langid")(spark, sf0001)
+      .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
+    val labels = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val expect = labels.groupBy(l => (l._2, preds(l._1)))
+      .map { case (k, v) => (k._1, k._2, v.length.toLong) }.toSet
+    assert(cells.map(c => (c._1, c._2, c._3)).toSet == expect)
+  }
+
   test("text_perplexity_bucket: per-lang terciles are balanced (±1), " +
     "ordered by score, and cover every scored doc") {
     val out = SparkEntry.queries("text_perplexity_bucket")(spark, sf0001)
