@@ -57,7 +57,48 @@ object Profiling {
     round(c * 100).cast("long").cast("string")
   private def asStamp(c: Column): Column = date_format(c, fmt)
 
+  /** First 8 md5-digest bytes of `c` composed little-endian — equals
+    * DuckDB's `md5_number_upper(c)` reinterpreted as a signed 64-bit
+    * value (same contract as `SimHashAgg.tokenHash`, here as a pure
+    * Column expression so it aggregates under `bit_xor`).
+    */
+  private def md5Num(c: Column): Column =
+    (0 until 8).map(i =>
+      shiftleft(conv(substring(md5(c), 2 * i + 1, 2), 16, 10).cast("long"),
+        8 * i))
+      .reduce((a, b) => a.bitwiseOR(b))
+
   val specs: Seq[QuerySpec] = Seq(
+
+    // Partition-level content checksum: per language, row count + the
+    // XOR-fold of a 64-bit md5-derived row fingerprint (doc_id, lang,
+    // source, n_chars, md5(text)) — the cross-replica / migration /
+    // backup-restore verification primitive. XOR is the right fold:
+    // order-independent (any partitioning, any merge order gives the
+    // same checksum), incrementally maintainable (XOR a row in or out
+    // in O(1)), and map-side combinable — the shuffle carries one
+    // 8-byte word per (partition, group). The top bit is masked so
+    // the value transports as BIGINT on both engines (DuckDB's
+    // md5_number_upper is UBIGINT); XOR commutes with masking, so
+    // per-row masking equals post-fold masking.
+    QuerySpec(
+      "q_checksum",
+      """SELECT lang, count(*) AS n_rows,
+        |  CAST(bit_xor(md5_number_upper(
+        |    CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|'
+        |    || CAST(n_chars AS VARCHAR) || '|' || md5(text))
+        |    & 9223372036854775807::UBIGINT) AS BIGINT) AS checksum
+        |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+      val row = concat_ws("|",
+        col("doc_id").cast("string"), col("lang"), col("source"),
+        col("n_chars").cast("string"), md5(col("text")))
+      Tables.documents(s, d)
+        .select(col("lang"),
+          md5Num(row).bitwiseAND(lit(Long.MaxValue)).as("h"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("checksum"))
+    },
 
     QuerySpec(
       "q_profile",

@@ -559,6 +559,30 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.ngramPairs(docs).collect().isEmpty)
   }
 
+  test("q_checksum: XOR fold reproduces a driver-side tokenHash " +
+    "recompute and updates in O(1) when a row leaves") {
+    val got = SparkEntry.queries("q_checksum")(spark, sf0001)
+      .select($"lang", $"n_rows", $"checksum")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val rows = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        md5($"text").as("th"))
+      .as[(Long, String, String, Long, String)].collect()
+    def rowHash(r: (Long, String, String, Long, String)): Long =
+      functions.SimHashAgg.tokenHash(
+        s"${r._1}|${r._2}|${r._3}|${r._4}|${r._5}") & Long.MaxValue
+    val expect = rows.groupBy(_._2).map { case (lang, rs) =>
+      lang -> (rs.length.toLong, rs.map(rowHash).reduce(_ ^ _)) }
+    assert(got == expect)
+    // incremental property: dropping one row = one XOR, no rescan
+    val (lang, (n, c)) = expect.head
+    val victim = rows.find(_._2 == lang).get
+    val without = rows.filter(r => r._2 == lang && r != victim)
+      .map(rowHash).foldLeft(0L)(_ ^ _)
+    assert((c ^ rowHash(victim)) == without && n >= 1)
+  }
+
   test("text_langid_confusion: shares sum to 1 per true lang, counts " +
     "reconcile with text_langid's predictions joined to labels") {
     val cells = SparkEntry.queries("text_langid_confusion")(spark, sf0001)
