@@ -812,6 +812,48 @@ object Similarity {
     // key at scale, exactly like the IVF index the corpus would already
     // carry. Output = the keep-list with its cell (no floats → no
     // cross-engine noise in the gate).
+    // Cosine threshold-sensitivity sweep — the embedding twin of
+    // dedup_threshold_sweep: same-cell candidate-pair counts per
+    // cosine decile, the readout that justifies dedup_semantic's 0.4
+    // bar before a full semantic-dedup run commits to it. Pairs are
+    // the SAME cell-blocked candidates dedup_semantic scores (never
+    // all-pairs; cells are the IVF partitioning the corpus already
+    // carries), so the sweep costs what one dedup pass costs. Buckets
+    // come from floor(round(cos,4)·10): both engines round to the
+    // identical double first (the float-parity convention), so the
+    // multiply and floor agree bit-for-bit; output is ≤ 21 rows at
+    // any corpus size.
+    QuerySpec(
+      "sim_threshold_sweep",
+      s"""WITH $eCte,
+         |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0),
+         |cells AS (SELECT vec_id, v, cent_id FROM (
+         |    SELECT e.vec_id, e.v, s.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC, s.cent_id) AS rn
+         |    FROM e, seeds s) WHERE rn = 1),
+         |p AS (SELECT round(list_cosine_similarity(a.v, b.v), 4) AS c
+         |      FROM cells a JOIN cells b
+         |        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+         |SELECT CAST(floor(c * 10) AS BIGINT) AS bucket_x10,
+         |  count(*) AS n_pairs, min(c) AS min_cos, max(c) AS max_cos
+         |FROM p GROUP BY bucket_x10""".stripMargin) { (s, d) =>
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      val seeds = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val cells = assign(e, seeds, 1)
+      val pairs = cells
+        .select(col("cent_id"), col("vec_id").as("a_id"), col("v").as("va"))
+        .join(cells.select(col("cent_id"), col("vec_id"), col("v").as("vb")),
+          Seq("cent_id"))
+        .filter(col("a_id") < col("vec_id"))
+        .select(round(cosine(col("va"), col("vb")), 4).as("c"))
+      pairs
+        .groupBy(floor(col("c") * 10).cast("long").as("bucket_x10"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("c")).as("min_cos"), max(col("c")).as("max_cos"))
+    },
+
     QuerySpec(
       "dedup_semantic",
       s"""WITH $eCte,

@@ -559,6 +559,40 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.ngramPairs(docs).collect().isEmpty)
   }
 
+  test("sim_threshold_sweep: buckets bound their cosine ranges and " +
+    "total mass equals the same-cell pair count") {
+    val sweep = SparkEntry.queries("sim_threshold_sweep")(spark, sf0001)
+      .select($"bucket_x10", $"n_pairs", $"min_cos", $"max_cos")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(sweep.nonEmpty)
+    sweep.foreach { case (b, n, lo, hi) =>
+      assert(b >= -10 && b <= 10 && n > 0)
+      assert(lo >= b / 10.0 - 1e-9 && hi < (b + 1) / 10.0 + 1e-9,
+        s"bucket $b range [$lo,$hi]")
+      assert(lo <= hi)
+    }
+    // full brute-force recompute: assign to nearest seed (rounded
+    // cosine, seed-id tiebreak), histogram all same-cell pairs
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seeds = vecs.filter(_._1 % 25 == 0)
+    val cells = vecs.groupBy { case (_, v) =>
+      seeds.map(s => (-r4(cos(v, s._2)), s._1)).min._2 }
+    val hist = cells.values.flatMap { vs =>
+      val arr = vs.sortBy(_._1)
+      for (i <- arr.indices; j <- (i + 1) until arr.length)
+        yield math.floor(r4(cos(arr(i)._2, arr(j)._2)) * 10).toLong
+    }.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    assert(sweep.map(r => r._1 -> r._2).toMap == hist)
+  }
+
   test("q_checksum: XOR fold reproduces a driver-side tokenHash " +
     "recompute and updates in O(1) when a row leaves") {
     val got = SparkEntry.queries("q_checksum")(spark, sf0001)
