@@ -675,6 +675,34 @@ object Extended {
     },
 
     // Statistical aggregates: sample stddev/variance, covariance and
+    // Statistical outlier detection (the data-QC sweep a pipeline runs
+    // before trusting a batch): events whose value exceeds their
+    // type's mean + 3σ. The per-type moments are a tiny aggregate
+    // (5 rows) joined back unhinted; the flagging comparison runs
+    // against the 4-dp-ROUNDED mean and stddev — exact arithmetic on
+    // identical doubles in both engines, so no accumulation-order ulp
+    // can flip a borderline verdict (the q_stats convention, applied
+    // to a predicate). One scan + one broadcast-sized join; emitted
+    // rows are the outliers only.
+    QuerySpec(
+      "q_anomaly",
+      """WITH m AS (SELECT event_type,
+        |    round(avg(value), 4) AS mu, round(stddev_samp(value), 4) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(m.mu + 3 * m.sd, 4) AS threshold
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE e.value > m.mu + 3 * m.sd""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val m = ev.groupBy(col("event_type"))
+        .agg(round(avg(col("value")), 4).as("mu"),
+          round(stddev_samp(col("value")), 4).as("sd"))
+      ev.join(m, Seq("event_type"))
+        .filter(col("value") > col("mu") + lit(3) * col("sd"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("mu") + lit(3) * col("sd"), 4).as("threshold"))
+    },
+
     // Pearson correlation per group. Both engines accumulate central
     // co-moments; 4-dp rounding absorbs the accumulation-order ulps.
     QuerySpec(

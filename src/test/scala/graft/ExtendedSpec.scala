@@ -27,6 +27,32 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("q_anomaly: every flagged value clears its type's threshold, " +
+    "no unflagged value does, and thresholds match rounded moments") {
+    val out = SparkEntry.queries("q_anomaly")(spark, sf0001)
+      .select($"event_id", $"event_type", $"value", $"threshold")
+      .as[(Long, String, Double, Double)].collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val thr = ev.groupBy(_._2).map { case (t, es) =>
+      val xs = es.map(_._3); val n = xs.length
+      val mu = xs.sum / n
+      val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+      t -> (r4(mu) + 3 * r4(sd))
+    }
+    val flagged = out.map(_._1).toSet
+    ev.foreach { case (id, t, v) =>
+      assert((v > thr(t)) == flagged.contains(id), s"event $id")
+    }
+    out.foreach { case (_, t, v, th) =>
+      assert(math.abs(th - r4(thr(t))) < 1e-9 && v > th)
+    }
+  }
+
   test("q_cdc_delta: null-slot discipline per change_type, and a " +
     "brute-force per-user recompute agrees exactly") {
     val out = SparkEntry.queries("q_cdc_delta")(spark, sf0001)
