@@ -832,7 +832,7 @@ object Similarity {
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC, s.cent_id) AS rn
          |    FROM e, seeds s) WHERE rn = 1),
-         |p AS (SELECT round(list_cosine_similarity(a.v, b.v), 4) AS c
+         |p AS (SELECT round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS c
          |      FROM cells a JOIN cells b
          |        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
          |SELECT CAST(floor(c * 10) AS BIGINT) AS bucket_x10,
@@ -847,7 +847,11 @@ object Similarity {
         .join(cells.select(col("cent_id"), col("vec_id"), col("v").as("vb")),
           Seq("cent_id"))
         .filter(col("a_id") < col("vec_id"))
-        .select(round(cosine(col("va"), col("vb")), 4).as("c"))
+        // + 0.0 normalizes IEEE -0.0 (a cosine in (-5e-5, 0) rounds to
+        // the negative zero) — min/max treat the zeros as EQUAL, so
+        // which one surfaces is accumulation-order luck in both
+        // engines; canonicalizing at the source makes it one value
+        .select((round(cosine(col("va"), col("vb")), 4) + 0.0).as("c"))
       pairs
         .groupBy(floor(col("c") * 10).cast("long").as("bucket_x10"))
         .agg(count(lit(1)).as("n_pairs"),
