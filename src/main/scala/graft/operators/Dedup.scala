@@ -373,39 +373,28 @@ object Dedup {
   // rewrites it wholesale before committing. That is what makes the fold
   // exactly-once under replay. ----
 
-  /** Index paths may arrive as `file:`-scheme URIs (ensureIndex builds
-    * them from the warehouse conf); java.nio needs the bare local path.
+  /** The index's staged-commit machinery — ledger, committed-dir
+    * resolution, tombstones, publishes (see
+    * [[graft.index.FoldProtocol]]). The ledger is a `_ledger` sidecar
+    * INSIDE `df/`, so the df directory swap is also the ledger commit.
     */
-  private def localFile(path: String, more: String*): java.nio.file.Path =
-    java.nio.file.Paths.get(path.stripPrefix("file:"), more: _*)
+  private def protocol(path: String) =
+    new graft.index.FoldProtocol(path, "df/_ledger")
 
   /** BatchIds whose fold is fully committed (ledger = df sidecar). */
-  def foldedBatches(path: String): Set[Long] = {
-    import scala.jdk.CollectionConverters._
-    val f = localFile(path, "df", "_ledger")
-    if (!java.nio.file.Files.exists(f)) Set.empty
-    else java.nio.file.Files.readAllLines(f).asScala
-      .filter(_.nonEmpty).map(_.toLong).toSet
-  }
+  def foldedBatches(path: String): Set[Long] =
+    protocol(path).foldedBatches()
 
-  /** The committed files of an index sub-frame (`shingles`/`hashes`):
-    * every non-batch subdir (seed, compact) plus exactly the ledgered
-    * b-dirs. Orphan b-dirs from a crashed fold are invisible until their
-    * replay commits.
+  /** The committed files of an index sub-frame (`shingles`/`hashes`),
+    * minus committed tombstones: every non-batch subdir (seed, compact)
+    * plus exactly the ledgered b-dirs. Orphan b-dirs from a crashed
+    * fold are invisible until their replay commits.
     */
   private def indexFrame(s: SparkSession, path: String,
       sub: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val root = localFile(path, sub)
-    val committed = foldedBatches(path)
-    val dirs = java.nio.file.Files.list(root).iterator().asScala
-      .filter(java.nio.file.Files.isDirectory(_))
-      .map(_.getFileName.toString)
-      .filter(n => !n.startsWith(".") &&
-        (!n.matches("b\\d+") || committed.contains(n.drop(1).toLong)))
-      .map(n => s"$path/$sub/$n").toSeq.sorted
-    require(dirs.nonEmpty, s"index frame $sub has no committed data dirs")
-    s.read.parquet(dirs: _*)
+    val p = protocol(path)
+    p.stripTombstoned(
+      s.read.parquet(p.committedDirs(sub): _*), "doc_id")
   }
 
   /** Fold batch `batchId` into a persisted index, EXACTLY ONCE under
@@ -463,17 +452,55 @@ object Dedup {
     * and publish summary + grown ledger in one directory swap.
     */
   private[graft] def commitBatchFold(incDf: DataFrame, path: String,
-      batchId: Long): Unit = {
-    val s = incDf.sparkSession
-    val merged = s.read.parquet(s"$path/df")
-      .union(incDf)
+      batchId: Long): Unit =
+    publishDfMerge(incDf, path, batchId.toString)
+
+  /** Merge a (possibly negative) df delta into the summary and publish
+    * summary + grown ledger in ONE directory swap — the shared commit
+    * point of folds AND deletes (the ledger rides the staged `df/`
+    * dir, so the swap is atomic for both). Keys whose count reaches 0
+    * are dropped (only reachable via deletes).
+    */
+  private def publishDfMerge(delta: DataFrame, path: String,
+      entry: String): Unit = {
+    val s = delta.sparkSession
+    val p = protocol(path)
+    s.read.parquet(s"$path/df")
+      .union(delta)
       .groupBy(col("shh")).agg(sum(col("df")).as("df"))
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$path/.df.staging")
-    val ledger = (foldedBatches(path) + batchId).toSeq.sorted
-    java.nio.file.Files.write(localFile(path, ".df.staging", "_ledger"),
-      ledger.mkString("\n").getBytes("UTF-8"))
-    Layout.replaceDir(localFile(path, ".df.staging"),
-      localFile(path, "df"), localFile(path, ".df.old"))
+      .filter(col("df") =!= 0)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/.df.staging")
+    p.writeLedgerInto(".df.staging", entry)
+    p.replaceDir(".df.staging", "df")
+  }
+
+  /** Tombstone a batch of documents, EXACTLY ONCE under replay — the
+    * index-side half of a takedown/retraction request. Stage writes
+    * the victim ids under `tombstones/d<deleteId>/` (overwrite ⇒
+    * replay-safe) and computes the victims' per-shingle counts FROM THE
+    * SERVED INDEX (their (doc_id, shh) rows are right there — the text
+    * is never re-read); commit merges that delta NEGATIVELY into the df
+    * summary and publishes summary + `d<deleteId>` ledger entry in the
+    * one atomic df swap. From that instant every reader ([[indexFrame]]
+    * anti-joins committed tombstones) serves as if the docs were never
+    * indexed — result-identical to a from-scratch rebuild without them
+    * (the df stop-list sees the corrected counts, candidate joins never
+    * see the victims' shingles). [[compactIndex]] later purges the rows
+    * physically. Cost: O(victims' index rows); the corpus is never
+    * rewritten. Replay-safe: an uncommitted stage reads the UNCHANGED
+    * served index, so a crashed delete recomputes the identical delta.
+    */
+  def deleteFromIndex(ids: DataFrame, path: String,
+      deleteId: Long): Boolean = {
+    val p = protocol(path)
+    if (p.deletedBatches().contains(deleteId)) return false
+    val s = ids.sparkSession
+    p.stageTombstones(ids, "doc_id", deleteId)
+    val negDf = indexFrame(s, path, "shingles")
+      .join(ids.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .groupBy(col("shh")).agg((-count(lit(1))).as("df"))
+    publishDfMerge(negDf, path, s"d$deleteId")
+    true
   }
 
   /** Compact the index's shingle/hash frames: rewrite all committed
@@ -496,15 +523,18 @@ object Dedup {
     * after their b-dirs are compacted away.
     */
   def compactIndex(s: SparkSession, path: String, numFiles: Int = 8): Unit = {
+    val p = protocol(path)
     for ((sub, key) <- Seq("shingles" -> "shh", "hashes" -> "h")) {
-      val staging = localFile(path, s".$sub.compacting")
       indexFrame(s, path, sub)
         .repartition(numFiles, col(key))
         .write.mode(SaveMode.Overwrite)
-        .parquet(staging.resolve("compact").toString)
-      Layout.replaceDir(staging, localFile(path, sub),
-        localFile(path, s".$sub.old"))
+        .parquet(s"$path/.$sub.compacting/compact")
+      p.replaceDir(s".$sub.compacting", sub)
     }
+    // Compaction rewrote the SERVED (tombstone-stripped) frames, so the
+    // swap doubled as the physical purge; the df summary was already
+    // corrected at delete-commit time and needs no rewrite.
+    p.clearTombstones()
   }
 
   /** [[incrementalKeepNew]] against a PERSISTED index (see

@@ -130,8 +130,12 @@ object Retrieval {
     "word STRING, doc_id BIGINT, tf BIGINT, dl INT, bucket BIGINT"
   private val StatsSchema = "n BIGINT, sum_dl BIGINT"
 
-  private def localFile(path: String, more: String*): java.nio.file.Path =
-    java.nio.file.Paths.get(path.stripPrefix("file:"), more: _*)
+  /** The index's staged-commit machinery — ledger, committed-dir
+    * resolution, tombstones, publishes (see
+    * [[graft.index.FoldProtocol]]).
+    */
+  private def protocol(path: String) =
+    new graft.index.FoldProtocol(path, "_postings_ledger")
 
   /** Write one sub-root's postings + mergeable stats from a
     * `documents`-shaped frame. One tokenize scan per output;
@@ -167,13 +171,8 @@ object Retrieval {
     writeSubRoot(docs, path, "seed")
 
   /** BatchIds whose fold is fully committed. */
-  def bm25FoldedBatches(path: String): Set[Long] = {
-    import scala.jdk.CollectionConverters._
-    val f = localFile(path, "_postings_ledger")
-    if (!java.nio.file.Files.exists(f)) Set.empty
-    else java.nio.file.Files.readAllLines(f).asScala
-      .filter(_.nonEmpty).map(_.toLong).toSet
-  }
+  def bm25FoldedBatches(path: String): Set[Long] =
+    protocol(path).foldedBatches()
 
   /** Fold a batch of NEW documents into a persisted BM25 index,
     * EXACTLY ONCE under replay: a ledgered batchId is a committed
@@ -183,12 +182,8 @@ object Retrieval {
     * — the fold costs one tokenize of the BATCH.
     */
   def appendToBm25Index(docs: DataFrame, path: String,
-      batchId: Long): Boolean = {
-    if (bm25FoldedBatches(path).contains(batchId)) return false
-    stageBm25Fold(docs, path, batchId)
-    commitBm25Fold(path, batchId)
-    true
-  }
+      batchId: Long): Boolean =
+    protocol(path).fold(batchId) { stageBm25Fold(docs, path, batchId) }
 
   /** Fold step 1 (exposed to the spec so a crash between the write and
     * the ledger commit can be simulated): an uncommitted b-dir is
@@ -199,45 +194,67 @@ object Retrieval {
     writeSubRoot(docs, path, s"b$batchId")
 
   /** Fold step 2: publish the grown ledger via one atomic file move. */
-  private[graft] def commitBm25Fold(path: String, batchId: Long): Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
-    val ledger = (bm25FoldedBatches(path) + batchId).toSeq.sorted
-    val tmp = localFile(path, "._postings_ledger.staging")
-    Files.write(tmp, ledger.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, localFile(path, "_postings_ledger"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  private[graft] def commitBm25Fold(path: String, batchId: Long): Unit =
+    protocol(path).commit(batchId.toString)
+
+  /** Tombstone a batch of documents, EXACTLY ONCE under replay — the
+    * index-side half of a takedown/retraction request. Stage writes (1)
+    * the victim ids under `tombstones/d<deleteId>/` and (2) a NEGATIVE
+    * stats delta sub-root `stats/d<deleteId>/` holding `(-n, -sum_dl)`
+    * for the docs actually present in the served index (per-doc dl
+    * recovered from their own postings — a doc's postings all carry its
+    * denormalized dl), so the mergeable-stats sum stays exact without
+    * rewriting anything. The atomic ledger replace (`d<deleteId>`
+    * entry) is the commit point: postings anti-join the tombstones and
+    * the stats fold in the negative delta from the same instant, so df,
+    * N and avgdl all serve as if the docs were never indexed —
+    * result-identical to a from-scratch rebuild without them.
+    * [[compactBm25Index]] later purges the postings physically. Cost:
+    * O(|ids| + their postings) — the corpus postings are never
+    * rewritten. Replay-safe: an uncommitted stage reads the UNCHANGED
+    * served index, so recomputing the delta after a crash yields the
+    * same rows.
+    */
+  def deleteFromBm25Index(s: SparkSession, ids: DataFrame, path: String,
+      deleteId: Long): Boolean = {
+    val p = protocol(path)
+    p.delete(deleteId) {
+      p.stageTombstones(ids, "doc_id", deleteId)
+      indexPostings(s, path)
+        .join(ids.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg((-count(lit(1))).as("n"),
+          (-coalesce(sum(col("dl")), lit(0L))).cast("long").as("sum_dl"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/stats/d$deleteId")
+    }
   }
 
   /** The committed sub-roots under `<root>/<kind>`: every non-batch dir
-    * (seed, compact) plus exactly the ledgered b-dirs — orphan b-dirs
-    * from a crashed fold stay invisible until their replay commits.
+    * (seed, compact) plus exactly the ledgered b-dirs and d-dirs —
+    * orphan dirs from a crashed fold stay invisible until their replay
+    * commits.
     */
-  private def subRoots(path: String, kind: String): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    val root = localFile(path, kind)
-    val committed = bm25FoldedBatches(path)
-    val dirs = java.nio.file.Files.list(root).iterator().asScala
-      .filter(java.nio.file.Files.isDirectory(_))
-      .map(_.getFileName.toString)
-      .filter(n => !n.startsWith(".") &&
-        (!n.matches("b\\d+") || committed.contains(n.drop(1).toLong)))
-      .map(n => s"$path/$kind/$n").toSeq.sorted
-    require(dirs.nonEmpty, s"BM25 index has no committed $kind dirs")
-    dirs
-  }
+  private def subRoots(path: String, kind: String): Seq[String] =
+    protocol(path).committedDirs(kind)
 
-  /** All committed postings: a union of per-sub-root partitioned reads
-    * (`basePath` scopes partition discovery per root, so a `bucket`
-    * filter pushes into EVERY branch's PartitionFilters — the prune
-    * holds across seed + appended batches alike).
+  /** All committed postings minus committed tombstones: a union of
+    * per-sub-root partitioned reads (`basePath` scopes partition
+    * discovery per root, so a `bucket` filter pushes into EVERY
+    * branch's PartitionFilters — the prune holds across seed + appended
+    * batches alike). The tombstone anti-join sits above the union and
+    * vanishes entirely when the index has no committed deletes.
     */
   private def indexPostings(s: SparkSession, path: String): DataFrame =
-    subRoots(path, "postings").map(r =>
-      s.read.schema(PostingsSchema).option("basePath", r).parquet(r))
-      .reduce(_.union(_))
+    protocol(path).stripTombstoned(
+      subRoots(path, "postings").map(r =>
+        s.read.schema(PostingsSchema).option("basePath", r).parquet(r))
+        .reduce(_.union(_)),
+      "doc_id")
 
-  /** Corpus stats merged across committed sub-roots: exact integer
-    * sums, divided once — growing the index cannot drift avgdl.
+  /** Corpus stats merged across committed sub-roots (delete batches
+    * contribute negative deltas): exact integer sums, divided once —
+    * growing or shrinking the index cannot drift avgdl.
     */
   private def indexStats(s: SparkSession, path: String): DataFrame =
     subRoots(path, "stats").map(r =>
@@ -251,31 +268,32 @@ object Retrieval {
     * file per bucket; stats re-merged to one row), each published by
     * the staged-write + swap every Layout publish uses. Without it
     * fold N's readers pay an O(N) sub-root listing. The ledger is NOT
-    * touched: replayed batchIds keep short-circuiting after their
-    * b-dirs are compacted away. The two swaps are each atomic; between
-    * them readers see compacted postings with uncompacted stats — both
-    * sides cover the corpus exactly once, so served results are
-    * identical in that window.
+    * touched: replayed batchIds (and deleteIds) keep short-circuiting
+    * after their dirs are compacted away. The two swaps are each
+    * atomic; between them readers see compacted postings with
+    * uncompacted stats — both sides cover the corpus exactly once, so
+    * served results are identical in that window. The compaction input
+    * is the SERVED view (tombstones stripped, negative stats deltas
+    * folded in), so the swap doubles as the physical purge of deleted
+    * docs; the tombstone dirs are dropped after it.
     */
   def compactBm25Index(s: SparkSession, path: String): Unit = {
-    val pStaging = localFile(path, ".postings.compacting")
+    val p = protocol(path)
     indexPostings(s, path)
       .repartition(col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket")
-      .parquet(pStaging.resolve("compact").toString)
-    val sStaging = localFile(path, ".stats.compacting")
+      .parquet(s"$path/.postings.compacting/compact")
     subRoots(path, "stats").map(r =>
       s.read.schema(StatsSchema).parquet(r))
       .reduce(_.union(_))
       .agg(sum(col("n")).cast("long").as("n"),
         sum(col("sum_dl")).cast("long").as("sum_dl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(sStaging.resolve("compact").toString)
-    Layout.replaceDir(pStaging, localFile(path, "postings"),
-      localFile(path, ".postings.old"))
-    Layout.replaceDir(sStaging, localFile(path, "stats"),
-      localFile(path, ".stats.old"))
+      .parquet(s"$path/.stats.compacting/compact")
+    p.replaceDir(".postings.compacting", "postings")
+    p.replaceDir(".stats.compacting", "stats")
+    p.clearTombstones()
   }
 
   /** Build-once cache keyed by the sf dir, same protocol as

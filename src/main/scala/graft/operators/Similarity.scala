@@ -374,46 +374,32 @@ object Similarity {
 
   private val VecSchema = "vec_id BIGINT, v ARRAY<FLOAT>, cent_id BIGINT"
 
-  private def localFile(path: String, more: String*): java.nio.file.Path =
-    java.nio.file.Paths.get(path.stripPrefix("file:"), more: _*)
+  /** The index's staged-commit machinery — ledger, committed-dir
+    * resolution, tombstones, publishes (see
+    * [[graft.index.FoldProtocol]]).
+    */
+  private def protocol(path: String) =
+    new graft.index.FoldProtocol(path, "_vec_ledger")
 
   /** BatchIds whose vector fold is fully committed. */
-  def ivfFoldedBatches(path: String): Set[Long] = {
-    import scala.jdk.CollectionConverters._
-    val f = localFile(path, "_vec_ledger")
-    if (!java.nio.file.Files.exists(f)) Set.empty
-    else java.nio.file.Files.readAllLines(f).asScala
-      .filter(_.nonEmpty).map(_.toLong).toSet
-  }
-
-  /** The committed sub-roots of `vectors/`: every non-batch dir (seed,
-    * compact) plus exactly the ledgered b-dirs. Orphan b-dirs from a
-    * crashed fold stay invisible until their replay commits.
-    */
-  private def vectorRoots(path: String): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    val root = localFile(path, "vectors")
-    val committed = ivfFoldedBatches(path)
-    val dirs = java.nio.file.Files.list(root).iterator().asScala
-      .filter(java.nio.file.Files.isDirectory(_))
-      .map(_.getFileName.toString)
-      .filter(n => !n.startsWith(".") &&
-        (!n.matches("b\\d+") || committed.contains(n.drop(1).toLong)))
-      .map(n => s"$path/vectors/$n").toSeq.sorted
-    require(dirs.nonEmpty, "IVF index has no committed vector dirs")
-    dirs
-  }
+  def ivfFoldedBatches(path: String): Set[Long] =
+    protocol(path).foldedBatches()
 
   /** All committed index vectors: a union of per-root partitioned reads
     * (each root carries its own `cent_id=` directory tree; `basePath`
-    * scopes partition discovery per root). A `cent_id` filter pushes
-    * through the union into EVERY branch's PartitionFilters, so the
-    * static cell prune holds across seed + appended batches alike.
+    * scopes partition discovery per root), minus committed tombstones.
+    * A `cent_id` filter pushes through the union into EVERY branch's
+    * PartitionFilters, so the static cell prune holds across seed +
+    * appended batches alike.
     */
-  def indexVectors(s: SparkSession, path: String): DataFrame =
-    vectorRoots(path).map(r =>
-      s.read.schema(VecSchema).option("basePath", r).parquet(r))
-      .reduce(_.union(_))
+  def indexVectors(s: SparkSession, path: String): DataFrame = {
+    val p = protocol(path)
+    p.stripTombstoned(
+      p.committedDirs("vectors").map(r =>
+        s.read.schema(VecSchema).option("basePath", r).parquet(r))
+        .reduce(_.union(_)),
+      "vec_id")
+  }
 
   /** Fold a batch of NEW vectors `(vec_id, v)` into a persisted IVF
     * index, EXACTLY ONCE under replay: assign each vector to its
@@ -426,12 +412,8 @@ object Similarity {
     * one partitioned write — the existing corpus is never touched.
     */
   def appendToIvfIndex(vecs: DataFrame, path: String,
-      batchId: Long): Boolean = {
-    if (ivfFoldedBatches(path).contains(batchId)) return false
-    stageIvfFold(vecs, path, batchId)
-    commitIvfFold(path, batchId)
-    true
-  }
+      batchId: Long): Boolean =
+    protocol(path).fold(batchId) { stageIvfFold(vecs, path, batchId) }
 
   /** Fold step 1: write the batch's assigned vectors into their b-dir
     * (overwrite ⇒ replay-safe). Exposed to the spec so a crash between
@@ -447,32 +429,44 @@ object Similarity {
       .parquet(s"$path/vectors/b$batchId")
 
   /** Fold step 2: publish the grown ledger via one atomic file move. */
-  private[graft] def commitIvfFold(path: String, batchId: Long): Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
-    val ledger = (ivfFoldedBatches(path) + batchId).toSeq.sorted
-    val tmp = localFile(path, "._vec_ledger.staging")
-    Files.write(tmp, ledger.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, localFile(path, "_vec_ledger"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-  }
+  private[graft] def commitIvfFold(path: String, batchId: Long): Unit =
+    protocol(path).commit(batchId.toString)
+
+  /** Tombstone a batch of vector ids, EXACTLY ONCE under replay — the
+    * index-side half of a takedown/retraction request. The victim ids
+    * land under `tombstones/d<deleteId>/` (overwrite ⇒ replay-safe);
+    * the atomic ledger replace (`d<deleteId>` entry) is the commit
+    * point. Every reader ([[indexVectors]]) anti-joins committed
+    * tombstones, so the vectors disappear from ALL serving paths at the
+    * commit instant; [[compactIvfIndex]] later purges them physically.
+    * Cost: O(|ids|) — the corpus vectors are never touched.
+    */
+  def deleteFromIvfIndex(ids: DataFrame, path: String,
+      deleteId: Long): Boolean =
+    protocol(path).delete(deleteId) {
+      protocol(path).stageTombstones(ids, "vec_id", deleteId)
+    }
 
   /** Compact the index's vector frame: rewrite all committed sub-roots
     * into ONE `compact/` dir (still cell-partitioned, one file per
     * cell), published by the same staged-write + swap as every Layout
     * publish. Without it batch N's readers pay an O(N) sub-root
-    * listing — one dir per fold, forever. The ledger is NOT touched:
-    * replayed batchIds keep short-circuiting after their b-dirs are
-    * compacted away. Single-writer, like `Dedup.compactIndex`.
+    * listing — one dir per fold, forever. The compaction input is the
+    * SERVED view (tombstones already stripped), so the swap is also the
+    * physical purge of deleted vectors; the tombstone dirs are dropped
+    * after it. The ledger is NOT touched: replayed batchIds and
+    * deleteIds keep short-circuiting after their dirs are compacted
+    * away. Single-writer, like `Dedup.compactIndex`.
     */
   def compactIvfIndex(s: SparkSession, path: String): Unit = {
-    val staging = localFile(path, ".vectors.compacting")
+    val p = protocol(path)
     indexVectors(s, path)
       .repartition(col("cent_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cent_id")
-      .parquet(staging.resolve("compact").toString)
-    Layout.replaceDir(staging, localFile(path, "vectors"),
-      localFile(path, ".vectors.old"))
+      .parquet(s"$path/.vectors.compacting/compact")
+    p.replaceDir(".vectors.compacting", "vectors")
+    p.clearTombstones()
   }
 
   /** Top-k ANN for an arbitrary query frame `(query_id, qv)` against a
