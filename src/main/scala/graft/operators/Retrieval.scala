@@ -39,13 +39,35 @@ object Retrieval {
   // the oracle SQL — see the literal-parity note in scorePostings.
   private val TopK = 10
 
-  /** Posting-list hash buckets — the index's partition fan-out. The
-    * knob trades listing granularity against small-dir overhead: a
-    * query term maps to exactly ONE bucket (all its postings colocate),
-    * so a q-term query lists ≤ q of the `Buckets` directories whatever
-    * the vocabulary size.
+  /** Posting-list hash buckets — the index's LISTING fan-out. The knob
+    * trades listing granularity against small-dir overhead: a query
+    * term maps to exactly ONE bucket (all its postings colocate), so a
+    * q-term query lists ≤ q of the `Buckets` directories whatever the
+    * vocabulary size. It does NOT cap write parallelism: builds and
+    * compactions slice each bucket by a doc_id hash ([[bucketSliced]]),
+    * so a bucket directory holds as many files as the cluster has
+    * write slots.
     */
   val Buckets = 32
+
+  /** Cluster a postings frame for a bucket-partitioned write WITHOUT
+    * capping parallelism at `Buckets`: shuffle on
+    * `(bucket, hash(doc_id) % slices)` where `slices` scales with the
+    * session's shuffle parallelism, so the write runs with the same
+    * fan-out as every other shuffle in the job (at 100 TB that is
+    * thousands of tasks, not 32) and a stop-word-heavy bucket spreads
+    * across `slices` writers instead of serializing into one straggler
+    * task. Each bucket directory then holds ~`slices` files — the
+    * `bucket=` listing prune is untouched, and within-bucket file
+    * count is what compaction already manages.
+    */
+  private def bucketSliced(postings: DataFrame): DataFrame = {
+    val slices = math.max(1,
+      postings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        .toInt / Buckets)
+    postings.repartition(Buckets * slices,
+      col("bucket"), pmod(xxhash64(col("doc_id")), lit(slices)))
+  }
 
   private def words(c: Column): Column = split(c, " ")
 
@@ -139,21 +161,21 @@ object Retrieval {
 
   /** Write one sub-root's postings + mergeable stats from a
     * `documents`-shaped frame. One tokenize scan per output;
-    * `repartition(bucket)` clusters each bucket into one file before
-    * the partitioned write (without it every task writes a sliver of
-    * every bucket). Overwrite semantics ⇒ a replayed fold rewrites the
-    * same dirs wholesale.
+    * [[bucketSliced]] clusters the rows bucket-first before the
+    * partitioned write (without any clustering every task writes a
+    * sliver of every bucket) while keeping the write fan-out at the
+    * session's shuffle parallelism. Overwrite semantics ⇒ a replayed
+    * fold rewrites the same dirs wholesale.
     */
   private def writeSubRoot(docs: DataFrame, path: String,
       sub: String): Unit = {
-    Par.fanOut(docs)
+    bucketSliced(Par.fanOut(docs)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("dl"),
         explode(col("ws")).as("word"))
       .groupBy(col("word"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("word")), lit(Buckets)))
-      .repartition(col("bucket"))
+      .withColumn("bucket", pmod(xxhash64(col("word")), lit(Buckets))))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"$path/postings/$sub")
@@ -279,8 +301,7 @@ object Retrieval {
     */
   def compactBm25Index(s: SparkSession, path: String): Unit = {
     val p = protocol(path)
-    indexPostings(s, path)
-      .repartition(col("bucket"))
+    bucketSliced(indexPostings(s, path))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"$path/.postings.compacting/compact")

@@ -129,6 +129,39 @@ class RetrievalSpec extends SparkSpec {
     assert(served(Seq("dup", "query", "scan")) == full)
   }
 
+  test("bm25 index build: write parallelism scales with shuffle " +
+    "partitions instead of capping at Buckets; the bucket layout and " +
+    "serve-side prune are untouched") {
+    val idx = tmpDir("bm25-wide")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // a cluster-sized session: write fan-out must follow it
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      Retrieval.writeBm25Index(Tables.documents(spark, sf0001), idx)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(idx, "postings", "seed")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(files.size > Retrieval.Buckets,
+      s"a 128-slot write must spread past the ${Retrieval.Buckets} " +
+        s"bucket dirs, got ${files.size} files")
+    assert(files.forall(_.toString.contains("bucket=")),
+      "every posting file still lives under its bucket= dir")
+    val terms = Seq("dup", "query")
+    val scan = Retrieval.bm25TopK(spark, idx, terms)
+      .queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec
+          if f.metadata("Location").contains("postings") => f
+      }.head
+    assert(scan.selectedPartitions.partitionCount <= terms.length,
+      "the q-term directory listing bound must survive the sliced write")
+    assert(Retrieval.bm25TopK(spark, idx, terms).as[(Long, Double)]
+      .collect().toSeq ==
+      Retrieval.bm25(spark, sf0001, terms).as[(Long, Double)]
+        .collect().toSeq)
+  }
+
   test("dedup_softweight: singletons weigh 1.0, each near-dup cluster's " +
     "weights sum to 1, and weights agree with dedup_cluster's sizes") {
     val w = SparkEntry.queries("dedup_softweight")(spark, sf0001)
