@@ -31,10 +31,15 @@ object Curation {
     * construction), in-partition windows accumulate within
     * (pid, group) cells, and a pid-keyed offset frame
     * (≤ partitions × |groups| rows — structurally bounded) carries the
-    * preceding slices' totals. The `localCheckpoint` pins ONE range
-    * assignment: RangePartitioner samples its bounds per execution, so
-    * without it the in-partition branch and the offset branch could
-    * see DIFFERENT pid mappings. `orderCols` must be ascending — the
+    * preceding slices' totals. The staged warehouse write pins ONE
+    * range assignment: RangePartitioner samples its bounds per
+    * execution, so without it the in-partition branch and the offset
+    * branch could see DIFFERENT pid mappings — and because the pid
+    * column is nondeterministic under recompute, the pin must be
+    * DURABLE (a parquet roundtrip on reliable storage), not executor
+    * block storage: a `localCheckpoint` here would hold a corpus-scale
+    * lineage-free frame on executors, where one lost executor fails
+    * the whole job. `orderCols` must be ascending — the
     * caller negates descending keys. Adds `priorCol` (exclusive: the
     * row itself is not counted); with `valueCol` = a literal-1 column
     * the prior is the 0-based global rank within the group. Shared by
@@ -56,10 +61,11 @@ object Curation {
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
         df.sparkSession.sparkContext.defaultParallelism)
     val rangeCols = (groupCols ++ orderCols).map(col)
-    val parts = df
-      .repartitionByRange(slices, rangeCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val parts = Layout.stagePin(
+      df.repartitionByRange(slices, rangeCols: _*)
+        .withColumn("__pid", spark_partition_id()),
+      "rps_" + java.lang.Integer.toHexString(
+        (groupCols ++ orderCols ++ Seq(valueCol, priorCol)).hashCode))
     val wIn = Window
       .partitionBy((col("__pid") +: groupCols.map(col)): _*)
       .orderBy(orderCols.map(col): _*)

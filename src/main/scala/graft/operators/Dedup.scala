@@ -966,9 +966,14 @@ object Dedup {
     // paper citation. Exact Jaccard is computed ONLY for candidate
     // pairs (shingles semi-joined down to candidate docs first), so the
     // verify cost scales with the candidate set — the banded bound —
-    // never the corpus. The exploded shingle frame is materialised once
-    // (localCheckpoint) and feeds signature, size, and intersection
-    // branches; signatures are one tiny row per doc.
+    // never the corpus. The shingle and signature frames each feed
+    // several branches and are corpus-scale, so they pin DURABLY
+    // (Layout.stagePin — one warehouse parquet roundtrip each): a
+    // localCheckpoint would hold a corpus-expansion-scale lineage-free
+    // frame on executors, where one lost executor fails the whole job
+    // unrecoverably. Only the candidate-pair frame — bounded by the
+    // banded candidate set, not the corpus — keeps the cheap
+    // executor-local pin.
     QuerySpec(
       "dedup_minhash_estimate",
       s"""$shingleCte,
@@ -1002,15 +1007,15 @@ object Dedup {
       (s, d) =>
         val k = 8
         val rowsPerBand = 2
-        val sh = docShingles(Tables.documents(s, d), MaxDf)
-          .localCheckpoint()
-        val sig = sh.groupBy(col("doc_id")).agg(
+        val sh = Layout.stagePin(
+          docShingles(Tables.documents(s, d), MaxDf), "mhest_sh")
+        val sig = Layout.stagePin(sh.groupBy(col("doc_id")).agg(
           min(substring(md5(concat(lit("0:"), col("sh"))), 1, 8)).as("h0"),
           (1 until k).map { j =>
             val c = j / 4; val p = j % 4
             min(substring(md5(concat(lit(s"$c:"), col("sh"))), p * 8 + 1, 8))
               .as(s"h$j")
-          }: _*).localCheckpoint()
+          }: _*), "mhest_sig")
         val bandCols = (0 until k / rowsPerBand).map { b =>
           struct(lit(b).as("band"),
             md5(concat_ws("|",

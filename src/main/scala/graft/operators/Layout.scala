@@ -157,6 +157,25 @@ object Layout {
         .foreach(Files.delete)
   }
 
+  /** Durably pin a frame whose values are NONDETERMINISTIC under
+    * recompute (e.g. a `spark_partition_id` over a freshly-sampled
+    * range partitioning): write it once to a session-warehouse staging
+    * dir and read it back, so every consumer sees the same
+    * materialized rows and a lost executor recovers by re-reading
+    * reliable storage — where a `localCheckpoint` would pin a
+    * corpus-scale LINEAGE-FREE frame to executor block storage and
+    * turn one lost executor into an unrecoverable job failure. One dir
+    * per `name`, overwritten per call: single-writer per name, like
+    * every Layout publish.
+    */
+  private[graft] def stagePin(df: DataFrame, name: String): DataFrame = {
+    val s = df.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s".graft_pin/$name").toString
+    df.write.mode(SaveMode.Overwrite).parquet(dir)
+    s.read.parquet(dir)
+  }
+
   /** K2 snapshot publish, object-store-shaped: stage the full write,
     * then swap (see `replaceDir`). A reader of the snapshot path sees
     * either the previous complete snapshot or the new complete one,

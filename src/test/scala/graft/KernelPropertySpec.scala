@@ -161,6 +161,44 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("rangedPrefixSum skew probe: 90% of rows on ONE (group, order) " +
+    "key still yield balanced slices — the unique tiebreak column is " +
+    "part of the range key, so no slice exceeds ~2x the mean") {
+    val n = 2000
+    val slices = 8
+    // pathological frame: 90% of rows share a single (grp, ord) prefix —
+    // a flat hot-key window would serialize them onto one task; the
+    // kernel's range key ends in the unique id, which is what spreads
+    // the hot cell across slices
+    val rows = (0 until n).map { i =>
+      if (i % 10 != 0) (i.toLong, "hot", 0L, 1L)
+      else (i.toLong, s"g${i % 5}", (i % 9).toLong, 1L)
+    }
+    val df = rows.toDF("id", "grp", "ord", "v")
+    // the kernel's exact slice decomposition (rangeCols = group ++ order,
+    // with id as the final tiebreak — mirrors rangedPrefixSum's
+    // repartitionByRange call)
+    val counts = df.repartitionByRange(slices, $"grp", $"ord", $"id")
+      .groupBy(spark_partition_id().as("pid"))
+      .count().select($"count").as[Long].collect()
+    val mean = n.toDouble / slices
+    assert(counts.length == slices, s"expected $slices non-empty slices")
+    assert(counts.max <= 2 * mean,
+      s"slice sizes ${counts.toSeq} vs mean $mean — quantile " +
+        "decomposition must spread the hot key")
+    // and the kernel stays exact on the pathological frame
+    val got = operators.Curation.rangedPrefixSum(
+        df, Seq("grp"), Seq("ord", "id"), "v", "prior",
+        numPartitions = slices)
+      .select($"id", $"prior").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"grp").orderBy($"ord", $"id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val flat = df.withColumn("prior", coalesce(sum($"v").over(w), lit(0L)))
+      .select($"id", $"prior").as[(Long, Long)].collect().toMap
+    assert(got == flat)
+  }
+
   test("byteHash matches a BigInt reference fold") {
     (1 to 50).foreach { _ =>
       val bytes = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
