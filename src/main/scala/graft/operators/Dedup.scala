@@ -647,6 +647,58 @@ object Dedup {
       |s AS (SELECT doc_id, sh FROM ex
       |      WHERE sh IN (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 50))""".stripMargin
 
+  /** Build-if-absent the DELETED-index gate fixture: the history index
+    * (doc_id % 5 ≠ 4) with one committed delete batch (doc_id % 10 = 1
+    * — all history docs) tombstoned through [[deleteFromIndex]]. Keyed
+    * on the delete's ledger entry: a crash anywhere before the delete's
+    * commit rebuilds from scratch.
+    */
+  def ensureDeletedIndex(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_dedup_del$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!protocol(root.toString).deletedBatches().contains(0L)) {
+      fs.delete(root, true)
+      val docs = Tables.documents(s, d)
+      writeIndex(docs.filter(col("doc_id") % 5 =!= 4), root.toString)
+      deleteFromIndex(docs.filter(col("doc_id") % 10 === 1)
+        .select(col("doc_id")), root.toString, 0L)
+    }
+    root.toString
+  }
+
+  /** Oracle for the deleted-index gate: the exact incremental answer
+    * recomputed from scratch WITHOUT the tombstoned docs (doc_id % 10 =
+    * 1) — shingles, df cap, near/exact dup relations and the survivor
+    * filter all see only live documents, which is precisely what the
+    * tombstone anti-join + df correction must reproduce.
+    */
+  private val incrementalDeletedOracleSql: String =
+    """WITH live AS (SELECT * FROM documents WHERE doc_id % 10 <> 1),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM live),
+      |ex AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 1)),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+      |       FROM w),
+      |s AS (SELECT doc_id, sh FROM ex
+      |      WHERE sh IN (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 50)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |near AS (
+      |  SELECT DISTINCT doc_b AS doc_id FROM inter
+      |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
+      |exact_dup AS (SELECT DISTINCT b.doc_id
+      |       FROM live a JOIN live b
+      |         ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)
+      |SELECT doc_id, lang, source FROM documents
+      |WHERE doc_id % 5 = 4
+      |  AND doc_id NOT IN (SELECT doc_id FROM near)
+      |  AND doc_id NOT IN (SELECT doc_id FROM exact_dup)""".stripMargin
+
   /** Shared oracle for `dedup_incremental` AND `dedup_incremental_indexed`
     * — the indexed variant's contract is result-IDENTITY with the
     * recompute-everything form, so both gate against the same SQL.
@@ -830,6 +882,23 @@ object Dedup {
       (s, d) =>
         val incoming = Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
         incrementalKeepNewIndexed(ensureIndex(s, d), incoming)
+          .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // The takedown contract under the value gate: after one ledgered
+    // delete batch (doc_id % 10 = 1 tombstoned out of the history
+    // index), the incremental answer must be IDENTICAL to a
+    // from-scratch rebuild that never saw the deleted docs — the
+    // tombstone anti-join hides their shingle/hash rows and the df
+    // correction restores the stop-list counts, so a victim can no
+    // longer shield its near-dups from surviving (the oracle recomputes
+    // everything over live docs only).
+    QuerySpec(
+      "dedup_incremental_deleted",
+      incrementalDeletedOracleSql) {
+      (s, d) =>
+        val incoming = Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+        incrementalKeepNewIndexed(ensureDeletedIndex(s, d), incoming)
           .select(col("doc_id"), col("lang"), col("source"))
     },
 

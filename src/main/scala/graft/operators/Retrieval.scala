@@ -432,9 +432,10 @@ object Retrieval {
     * association) so the 4-decimal rounding is stable across engines;
     * the ORDER BY cuts on the ROUNDED score with doc_id tie-break.
     */
-  private val bm25OracleSql: String = {
+  private def bm25OracleSqlOver(docsWhere: String): String = {
     val termList = QueryTerms.map("'" + _ + "'").mkString(", ")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents WHERE $docsWhere),
        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
        |              avg(len(ws)) AS avgdl FROM d),
        |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM d),
@@ -451,6 +452,29 @@ object Retrieval {
        |       GROUP BY tf.doc_id)
        |SELECT doc_id, round(score, 4) AS score FROM sc
        |ORDER BY round(score, 4) DESC, doc_id LIMIT $TopK""".stripMargin
+  }
+
+  private val bm25OracleSql: String = bm25OracleSqlOver("TRUE")
+
+  /** Build-if-absent the DELETED-index gate fixture: the full corpus
+    * seeded, then one committed delete batch (doc_id % 7 = 3)
+    * tombstoned through [[deleteFromBm25Index]]. Keyed on the delete's
+    * ledger entry: a crash anywhere before its commit rebuilds from
+    * scratch.
+    */
+  def ensureDeletedBm25Index(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_bm25_del$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val docs = Tables.documents(s, d)
+    if (!protocol(root.toString).deletedBatches().contains(0L)) {
+      fs.delete(root, true)
+      writeBm25Index(docs, root.toString)
+      deleteFromBm25Index(s, docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")), root.toString, 0L)
+    }
+    root.toString
   }
 
   /** The multi-query gate's literal query table — shared verbatim with
@@ -511,6 +535,16 @@ object Retrieval {
     // merged stats or a miscommitted b-dir breaks the hash match).
     QuerySpec("text_bm25_grown", bm25OracleSql) { (s, d) =>
       bm25TopK(s, ensureGrownBm25Index(s, d))
+    },
+    // The takedown contract under the value gate: after one ledgered
+    // delete batch (doc_id % 7 = 3), the served ranking must be
+    // IDENTICAL to scoring a corpus that never contained those docs —
+    // df (counted from served postings), N and avgdl (negative stats
+    // delta) and the candidate set (tombstone anti-join) all shift,
+    // so any drift in the delete protocol breaks the hash match.
+    QuerySpec("text_bm25_deleted",
+      bm25OracleSqlOver("doc_id % 7 <> 3")) { (s, d) =>
+      bm25TopK(s, ensureDeletedBm25Index(s, d))
     },
   )
 }

@@ -115,8 +115,12 @@ object Similarity {
        |                       ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM bscored) WHERE rank <= $TopK)""".stripMargin
 
-  /** IVF approximate top-k → CTE `ivf(query_id, neighbor_id, rank)`. */
-  private val ivfCtes: String =
+  /** IVF approximate top-k → CTE `ivf(query_id, neighbor_id, rank)`.
+    * `neighborWhere` restricts which assigned vectors may be SERVED as
+    * neighbors (centroids, assignments and probes are untouched) — the
+    * oracle-side mirror of a tombstoned delete batch.
+    */
+  private def ivfCtesOver(neighborWhere: String): String =
     s"""seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0),
        |a0 AS (SELECT vec_id, v, cent_id FROM (
        |    SELECT e.vec_id, e.v, s.cent_id,
@@ -138,12 +142,15 @@ object Similarity {
        |    FROM e, cents c WHERE e.vec_id < $NQueries) WHERE rn <= 4),
        |iscored AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
        |    round(list_cosine_similarity(p.qv, a1.v), 4) AS sim
-       |  FROM probes p JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id),
+       |  FROM probes p JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id
+       |  WHERE $neighborWhere),
        |ivf AS (SELECT query_id, neighbor_id, rank FROM (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM iscored) WHERE rank <= $TopK)""".stripMargin
+
+  private val ivfCtes: String = ivfCtesOver("TRUE")
 
   /** Top-k per query over any (vec_id, v) frame: queries are vec_id <
     * NQueries, broadcast against one corpus scan, ranked on 4-dp-rounded
@@ -236,6 +243,27 @@ object Similarity {
       val e = corpus(s, d).select(col("vec_id"), col("v"))
       writeIvfIndex(e.filter(col("vec_id") % 5 =!= 4), root.toString)
       appendToIvfIndex(e.filter(col("vec_id") % 5 === 4), root.toString, 0L)
+    }
+    root.toString
+  }
+
+  /** Build-if-absent the DELETED-index gate fixture: the full corpus
+    * indexed, then one committed delete batch (vec_id % 9 = 0)
+    * tombstoned through [[deleteFromIvfIndex]]. Keyed on the delete's
+    * ledger entry: a crash anywhere before its commit rebuilds from
+    * scratch.
+    */
+  def ensureDeletedIvfIndex(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_del$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!protocol(root.toString).deletedBatches().contains(0L)) {
+      fs.delete(root, true)
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      writeIvfIndex(e, root.toString)
+      deleteFromIvfIndex(e.filter(col("vec_id") % 9 === 0)
+        .select(col("vec_id")), root.toString, 0L)
     }
     root.toString
   }
@@ -631,6 +659,22 @@ object Similarity {
          |$ivfGrownCtes
          |SELECT query_id, neighbor_id, rank FROM ivfg""".stripMargin)(
       (s, d) => indexTopK(s, ensureGrownIvfIndex(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")))),
+
+    // The takedown contract under the value gate: after one ledgered
+    // delete batch (vec_id % 9 = 0 tombstoned), the served rankings
+    // must be IDENTICAL to an index that never contained those vectors
+    // — centroids and probes are untouched (cells are frozen), only
+    // the serve-side candidate set shrinks, which is exactly what the
+    // tombstone anti-join must reproduce (the oracle recomputes the
+    // IVF construction and bars the victims from the neighbor side).
+    QuerySpec(
+      "sim_ivf_deleted",
+      s"""WITH $eCte,
+         |${ivfCtesOver("a1.vec_id % 9 <> 0")}
+         |SELECT query_id, neighbor_id, rank FROM ivf""".stripMargin)(
+      (s, d) => indexTopK(s, ensureDeletedIvfIndex(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv")))),
 
