@@ -268,6 +268,147 @@ object Similarity {
     root.toString
   }
 
+  // ---- centroid-refresh gate fixture: a DELIBERATE distribution
+  // shift. The append wave is the negated copy of every 5th-residue
+  // vector (vec_id + 100000, v → −v): negation is exact in float, easy
+  // for the oracle to mirror, and lands the appended mass in a region
+  // the history-trained centroids never saw — the worst realistic case
+  // for frozen-centroid growth. Queries come from BOTH populations, so
+  // recall on the shifted half is what the refresh must win back. ----
+
+  private def shiftedWave(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).filter(col("vec_id") % 5 === 4)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+        transform(col("v"), x => -x).as("v"))
+
+  private def shiftQueries(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .union(shiftedWave(s, d).filter(col("vec_id") < 100100L)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+
+  /** Exact top-k of `queries` over an explicit corpus (the combined
+    * original ∪ shifted population) — same broadcast-queries shape as
+    * [[topkOf]], with the same structural bound on the build side.
+    */
+  private def exactTopKFor(corpus: DataFrame, queries: DataFrame): DataFrame =
+    rankTopK(corpus
+      .join(broadcast(queries.limit(2 * NQueries)),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 4).as("sim")))
+
+  /** Build-if-absent the refresh-gate pair: BOTH indexes seed from the
+    * original corpus and fold the shifted wave as one ledgered append;
+    * the second then takes one [[refreshIvfIndex]] pass (refreshId 0,
+    * no drift gate). Keyed on the terminal ledger entry of each, so a
+    * crash mid-build rebuilds from scratch.
+    */
+  def ensureShiftIvfIndexes(s: SparkSession, d: String): (String, String) = {
+    val suffix = d.replaceAll("\\W", "_")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val e = corpus(s, d).select(col("vec_id"), col("v"))
+    def build(name: String, refresh: Boolean): String = {
+      val root = new org.apache.hadoop.fs.Path(wh, s"$name$suffix")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val done =
+        if (refresh) protocol(root.toString).entries().contains("r0")
+        else ivfFoldedBatches(root.toString).contains(0L)
+      if (!done) {
+        fs.delete(root, true)
+        writeIvfIndex(e, root.toString)
+        appendToIvfIndex(shiftedWave(s, d), root.toString, 0L)
+        if (refresh) refreshIvfIndex(s, root.toString, 0L)
+      }
+      root.toString
+    }
+    (build("graft_ivf_frozen", refresh = false),
+      build("graft_ivf_refresh", refresh = true))
+  }
+
+  /** Oracle for `sim_ivf_refreshed`: recompute BOTH constructions —
+    * frozen (centroids trained on the original corpus, everything
+    * assigned to them) and refreshed (one more Lloyd step over the
+    * combined population, everything reassigned) — plus the exact
+    * top-k over the combined corpus, and emit per-query recall
+    * numerators for each. Every ranking uses the module's rounded-
+    * cosine/tie-break convention.
+    */
+  private val refreshedOracleSql: String =
+    s"""WITH $eCte,
+       |sh AS (SELECT vec_id + 100000 AS vec_id,
+       |         list_transform(v, x -> -x) AS v
+       |       FROM e WHERE vec_id % 5 = 4),
+       |u AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM sh),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries
+       |      UNION ALL
+       |      SELECT vec_id AS query_id, v AS qv FROM sh WHERE vec_id < 100100),
+       |bscored AS (SELECT query_id, u.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(qv, u.v), 4) AS sim
+       |  FROM q JOIN u ON u.vec_id <> query_id),
+       |topk AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM bscored) WHERE rank <= $TopK),
+       |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0),
+       |a0 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, s.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC, s.cent_id) AS rn
+       |    FROM e, seeds s) WHERE rn = 1),
+       |cd AS (SELECT cent_id, d, avg(v[d]) AS cx
+       |       FROM a0, range(1, 65) t(d) GROUP BY cent_id, d),
+       |cents AS (SELECT cent_id, list(cx ORDER BY d) AS cv FROM cd GROUP BY cent_id),
+       |a1 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT u.vec_id, u.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY round(list_cosine_similarity(u.v, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM u, cents c) WHERE rn = 1),
+       |fprobes AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM q, cents c) WHERE rn <= 4),
+       |fscored AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qv, a1.v), 4) AS sim
+       |  FROM fprobes p JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id),
+       |ivf_f AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM fscored) WHERE rank <= $TopK),
+       |rcd AS (SELECT cent_id, d, avg(v[d]) AS cx
+       |        FROM a1, range(1, 65) t(d) GROUP BY cent_id, d),
+       |rcents AS (SELECT cent_id, list(cx ORDER BY d) AS cv FROM rcd GROUP BY cent_id),
+       |a2 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT u.vec_id, u.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY round(list_cosine_similarity(u.v, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM u, rcents c) WHERE rn = 1),
+       |rprobes AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM q, rcents c) WHERE rn <= 4),
+       |rscored AS (SELECT p.query_id, a2.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qv, a2.v), 4) AS sim
+       |  FROM rprobes p JOIN a2 ON p.cent_id = a2.cent_id AND a2.vec_id <> p.query_id),
+       |ivf_r AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rscored) WHERE rank <= $TopK)
+       |SELECT t.query_id,
+       |  CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS frozen_common,
+       |  CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS refreshed_common
+       |FROM topk t
+       |LEFT JOIN ivf_f f ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+       |LEFT JOIN ivf_r r ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+       |GROUP BY t.query_id""".stripMargin
+
   /** Brute-force exact top-k: (query_id, neighbor_id, rank). */
   def bruteTopK(s: SparkSession, d: String): DataFrame =
     topkOf(corpus(s, d))
@@ -497,6 +638,63 @@ object Similarity {
     p.clearTombstones()
   }
 
+  /** Re-cluster a persisted IVF index in place — the recovery op for
+    * distribution drift (appends are assigned to FROZEN centroids, so
+    * recall decays as the data shifts; see `sim_ivf_refreshed`). One
+    * Lloyd step over the committed (tombstone-stripped) vectors seeded
+    * from the CURRENT centroids: recompute each cell's mean, reassign
+    * every vector, rewrite `cents/` + `vectors/` via staged swaps, and
+    * record an `r<refreshId>` ledger entry — a ledgered refreshId is a
+    * committed no-op, so a restarted maintenance job cannot
+    * double-step the centroids.
+    *
+    * The DRIFT GATE: when the mean centroid movement (1 − cosine of
+    * old vs new) stays under `minDrift`, the refresh commits its
+    * ledger entry WITHOUT rewriting anything — a refresh rewrites
+    * every vector, so a barely-drifted index skips the cost.
+    *
+    * Swap order is vectors-then-cents, each swap atomic. A reader in
+    * the window between them probes OLD centroid positions against
+    * NEW cell contents: still a valid ANN candidate set (every cell
+    * holds real vectors; ranking is exact within probed cells), with
+    * recall briefly degraded — ANN semantics degrade gracefully where
+    * exact semantics would break. A crash in the window leaves a
+    * complete, servable index; the un-ledgered replay re-runs the
+    * step from the already-swapped state (one extra Lloyd step — the
+    * index stays valid, refreshes are maintenance, not replayed
+    * ingest). Single-writer, like every index publish.
+    */
+  def refreshIvfIndex(s: SparkSession, path: String, refreshId: Long,
+      minDrift: Double = 0.0): Boolean = {
+    val p = protocol(path)
+    if (p.entries().contains(s"r$refreshId")) return false
+    val vecs = indexVectors(s, path).select(col("vec_id"), col("v"))
+    val oldCents = s.read.parquet(s"$path/cents")
+    val newCents = lloydStep(vecs, oldCents)
+    val drift = oldCents.select(col("cent_id"), col("cv").as("ocv"))
+      .join(newCents.select(col("cent_id"), col("cv").as("ncv")),
+        Seq("cent_id"))
+      .agg(avg(lit(1.0) - cosine(col("ocv"), col("ncv"))))
+      .head().getDouble(0)
+    if (drift < minDrift) { p.commit(s"r$refreshId"); return false }
+    // the staging name is NOT dot-prefixed: the staged centroids are
+    // read back before the swap (double-roundtrip parity with
+    // writeIvfIndex — the index provably serves the same values later
+    // probes read), and Spark's file listing skips hidden dirs
+    newCents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/cents.refreshing")
+    assign(vecs, s.read.parquet(s"$path/cents.refreshing"), 1)
+      .repartition(col("cent_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cent_id")
+      .parquet(s"$path/.vectors.refreshing/compact")
+    p.replaceDir(".vectors.refreshing", "vectors")
+    p.replaceDir("cents.refreshing", "cents")
+    p.clearTombstones()
+    p.commit(s"r$refreshId")
+    true
+  }
+
   /** Top-k ANN for an arbitrary query frame `(query_id, qv)` against a
     * persisted IVF index (see [[ensureIvfIndex]]) — the serving core
     * shared by the gated `sim_ivf_indexed` query and
@@ -661,6 +859,35 @@ object Similarity {
       (s, d) => indexTopK(s, ensureGrownIvfIndex(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv")))),
+
+    // Centroid refresh under the value gate: the same shifted append
+    // wave served from a frozen-centroid grown index vs one refreshed
+    // by a single Lloyd re-cluster, with per-query exact-top-k recall
+    // numerators for BOTH side by side. The oracle recomputes the two
+    // constructions end-to-end, so the gate certifies the refresh op
+    // itself; the refreshed-beats-frozen inequality (the reason the op
+    // exists) is pinned in IvfRefreshSpec on the aggregate.
+    QuerySpec(
+      "sim_ivf_refreshed",
+      refreshedOracleSql) { (s, d) =>
+      val (frozen, refreshed) = ensureShiftIvfIndexes(s, d)
+      val q = shiftQueries(s, d)
+      val exact = exactTopKFor(
+        corpus(s, d).select(col("vec_id"), col("v"))
+          .union(shiftedWave(s, d)), q)
+        .select(col("query_id"), col("neighbor_id"))
+      val f = indexTopK(s, frozen, q)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("fhit", lit(1L))
+      val r = indexTopK(s, refreshed, q)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("rhit", lit(1L))
+      exact.join(f, Seq("query_id", "neighbor_id"), "left")
+        .join(r, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("fhit"), lit(0L))).as("frozen_common"),
+          sum(coalesce(col("rhit"), lit(0L))).as("refreshed_common"))
+    },
 
     // The takedown contract under the value gate: after one ledgered
     // delete batch (vec_id % 9 = 0 tombstoned), the served rankings

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Centroid refresh: the recall inequality that justifies the op, the
+  * drift gate, and the ledgered exactly-once refresh protocol.
+  */
+class IvfRefreshSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sim_ivf_refreshed: one Lloyd re-cluster wins back recall lost " +
+    "to frozen-centroid growth under a distribution shift") {
+    val rows = SparkEntry.queries("sim_ivf_refreshed")(spark, sf0001)
+      .select($"query_id", $"frozen_common", $"refreshed_common")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 40, "20 original + 20 shifted queries")
+    val frozen = rows.map(_._2).sum
+    val refreshed = rows.map(_._3).sum
+    assert(refreshed >= frozen,
+      s"refreshed recall $refreshed must not lose to frozen $frozen")
+    // the shifted half is where frozen centroids hurt: the refresh must
+    // strictly improve there (otherwise the op is vacuous on the gate)
+    val shifted = rows.filter(_._1 >= 100000L)
+    assert(shifted.map(_._3).sum > shifted.map(_._2).sum,
+      "refresh must strictly improve shifted-query recall")
+  }
+
+  test("refreshIvfIndex: drift gate skips the rewrite, ledgered " +
+    "refreshIds are exactly-once, folds keep short-circuiting") {
+    val idx = tmpDir("ivf-refresh")
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".as("v"))
+    Similarity.writeIvfIndex(e.filter($"vec_id" % 5 =!= 4), idx)
+    assert(Similarity.appendToIvfIndex(
+      e.filter($"vec_id" % 5 === 4), idx, 0L))
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    def served() = Similarity.indexTopK(spark, idx, queries)
+      .as[(Long, Long, Int)].collect().toSeq
+    val baseline = served()
+
+    // an impossible drift bar: the gate must skip the rewrite but still
+    // commit the refreshId (a restarted maintenance job is a no-op)
+    assert(!Similarity.refreshIvfIndex(spark, idx, 0L, minDrift = 10.0))
+    assert(served() == baseline, "a skipped refresh must not touch data")
+    assert(!Similarity.refreshIvfIndex(spark, idx, 0L),
+      "replayed refreshId is a committed no-op even when it skipped")
+
+    // a real refresh: rewrites, serves a complete consistent index,
+    // and neither it nor the old fold replays
+    assert(Similarity.refreshIvfIndex(spark, idx, 1L))
+    assert(!Similarity.refreshIvfIndex(spark, idx, 1L))
+    assert(!Similarity.appendToIvfIndex(
+      e.filter($"vec_id" % 5 === 4), idx, 0L),
+      "folded batches must keep short-circuiting after a refresh")
+    val after = served()
+    assert(after.map(_._1).distinct.sorted == baseline.map(_._1).distinct.sorted,
+      "every query still gets a full ranking")
+    // vectors and centroids stayed consistent: each served neighbor
+    // exists exactly once in the rewritten index
+    val n = spark.read.parquet(s"$idx/vectors/compact")
+      .groupBy($"vec_id").count().filter($"count" > 1).count()
+    assert(n == 0, "refresh must not duplicate vectors")
+    assert(spark.read.parquet(s"$idx/vectors/compact").count() == e.count())
+  }
+}
