@@ -59,14 +59,21 @@ object Layout {
     finally conf.set(key, prev)
   }
 
-  /** 16-bit × 16-bit Morton (z-order) interleave: bit j of `a` lands at
+  /** 32-bit × 32-bit Morton (z-order) interleave: bit j of `a` lands at
     * position 2j, bit j of `b` at 2j+1, so sorting by the z-value
     * clusters rows that are close in BOTH dimensions. Pure integer
-    * shift/mask arithmetic — codegen'd, no UDF.
+    * shift/mask arithmetic — codegen'd, no UDF. The full-width
+    * interleave fills the 64-bit z-value, so keys up to 2³² (user ids,
+    * epoch days, shard numbers) keep their high bits instead of
+    * silently aliasing distinct keys into one z-cell — results were
+    * always layout-independent, but skip effectiveness would have
+    * degraded silently past 16 bits. For sub-16-bit inputs the
+    * z-values are identical to the narrow interleave (high bits are
+    * zero), so existing layouts are unchanged.
     */
-  def morton16(a: org.apache.spark.sql.Column,
+  def morton32(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until 16).map { j =>
+    (0 until 32).map { j =>
       shiftleft(shiftrightunsigned(a.cast("long"), j).bitwiseAND(1), 2 * j)
         .bitwiseOR(shiftleft(
           shiftrightunsigned(b.cast("long"), j).bitwiseAND(1), 2 * j + 1))
@@ -266,7 +273,7 @@ object Layout {
       fs.delete(loc, true)
       val ev = Tables.events(s, d)
       writeZOrdered(ev, loc.toString,
-        morton16(col("user_id"), zDay(col("ts"))))
+        morton32(col("user_id"), zDay(col("ts"))))
     }
     loc.toString
   }

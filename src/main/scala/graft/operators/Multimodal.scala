@@ -43,21 +43,6 @@ object Multimodal {
     h
   }
 
-  /** STUB decoder standing in for a real image/audio decode. Deterministic
-    * pure function of the bytes so tests and reruns agree; a production
-    * build swaps only this function (same batch signature). Feature i is
-    * an exact rational in [0, 1) derived from the content hash — engine-
-    * portable (no libm calls whose last ulp differs across platforms).
-    */
-  def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
-    val h = byteHash(a.content)
-    val feats = Array.tabulate(FeatureDim) { i =>
-      (((h * 2654435761L + i * 40503L) % 1000003L).toDouble / 1000003.0).toFloat
-    }
-    AssetFeatures(a.asset_id, width = 1 + (h % 1024).toInt,
-      height = 1 + ((h / 1024) % 1024).toInt, features = feats)
-  }
-
   /** Thumbnail of one asset (stub resize: real plumbing, fake pixels). */
   final case class ResizedAsset(asset_id: Long, width: Int, height: Int,
       thumb: Array[Byte])
@@ -66,43 +51,95 @@ object Multimodal {
   final case class FrameSample(asset_id: Long, frame_idx: Int,
       n_bytes: Long, frame_hash: Long)
 
-  /** STUB resize standing in for an image scaler: deterministic bytes
-    * derived from the payload, correct output shape (w×h×1 byte).
-    */
-  def resizeBatch(batch: Seq[Asset], w: Int, h: Int): Seq[ResizedAsset] =
-    batch.map { a =>
-      // Zero-byte payloads get a zero-filled thumb: `i % max(len, 1)` is 0
-      // for empty content, and content(0) would throw.
-      val thumb =
-        if (a.content.isEmpty) new Array[Byte](w * h)
-        else Array.tabulate(w * h)(i => a.content(i % a.content.length))
-      ResizedAsset(a.asset_id, w, h, thumb)
-    }
-
   val FrameBytes = 64 // small enough that test payloads span many frames
 
-  /** STUB frame sampler standing in for video decode: treats the payload
-    * as fixed-size frames and keeps every `every`-th — the 1→N row
-    * explosion shape (one asset, many frames) that a real sampler has.
+  /** The decode SPI: everything media-library-shaped sits behind this
+    * seam, so a production build drops in a real decoder (JNI ffmpeg,
+    * ImageIO, …) WITHOUT touching the distributed plumbing or any query
+    * code — the operators capture the active kernel at plan time and
+    * ship it with the task closure (hence `Serializable`). Batch-level
+    * signatures, not per-asset, so an implementation can amortize
+    * native-call overhead across a batch exactly like Arrow record
+    * batches under `mapInPandas`.
     */
-  def sampleFrames(assets: Dataset[Asset], every: Int): Dataset[FrameSample] = {
-    import assets.sparkSession.implicits._
-    assets.mapPartitions(_.flatMap { a =>
+  trait MediaKernel extends Serializable {
+    def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures]
+    def resizeBatch(batch: Seq[Asset], w: Int, h: Int): Seq[ResizedAsset]
+    def frames(asset: Asset, every: Int): Iterator[FrameSample]
+  }
+
+  /** The default STUB kernel (no media libraries in this environment):
+    * deterministic pure functions of the bytes so tests, reruns and the
+    * DuckDB oracle all agree. Feature i is an exact rational in [0, 1)
+    * derived from the content hash — engine-portable (no libm calls
+    * whose last ulp differs across platforms).
+    */
+  object StubMediaKernel extends MediaKernel {
+    def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
+      val h = byteHash(a.content)
+      val feats = Array.tabulate(FeatureDim) { i =>
+        (((h * 2654435761L + i * 40503L) % 1000003L).toDouble / 1000003.0).toFloat
+      }
+      AssetFeatures(a.asset_id, width = 1 + (h % 1024).toInt,
+        height = 1 + ((h / 1024) % 1024).toInt, features = feats)
+    }
+
+    def resizeBatch(batch: Seq[Asset], w: Int, h: Int): Seq[ResizedAsset] =
+      batch.map { a =>
+        // Zero-byte payloads get a zero-filled thumb: `i % max(len, 1)` is
+        // 0 for empty content, and content(0) would throw.
+        val thumb =
+          if (a.content.isEmpty) new Array[Byte](w * h)
+          else Array.tabulate(w * h)(i => a.content(i % a.content.length))
+        ResizedAsset(a.asset_id, w, h, thumb)
+      }
+
+    /** Treats the payload as fixed-size frames and keeps every
+      * `every`-th — the 1→N row explosion shape (one asset, many
+      * frames) a real sampler has.
+      */
+    def frames(a: Asset, every: Int): Iterator[FrameSample] =
       a.content.grouped(FrameBytes).zipWithIndex
         .filter { case (_, i) => i % every == 0 }
         .map { case (frame, i) =>
           FrameSample(a.asset_id, i, frame.length.toLong, byteHash(frame))
         }
-    })
+  }
+
+  @volatile private var activeKernel: MediaKernel = StubMediaKernel
+
+  /** The kernel the operators will capture at plan time. */
+  def kernel: MediaKernel = activeKernel
+
+  /** Install a replacement kernel (a real decoder, or a fake in tests).
+    * Takes effect for plans built AFTER the call — running plans keep
+    * the kernel their closures captured.
+    */
+  def setKernel(k: MediaKernel): Unit = activeKernel = k
+
+  /** Stub decode at the default seam (compat + spec entry point). */
+  def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] =
+    StubMediaKernel.decodeBatch(batch)
+
+  /** Stub resize at the default seam (compat + spec entry point). */
+  def resizeBatch(batch: Seq[Asset], w: Int, h: Int): Seq[ResizedAsset] =
+    StubMediaKernel.resizeBatch(batch, w, h)
+
+  /** Frame sampling through the active kernel. */
+  def sampleFrames(assets: Dataset[Asset], every: Int): Dataset[FrameSample] = {
+    import assets.sparkSession.implicits._
+    val k = kernel // captured at plan time, serialized with the closure
+    assets.mapPartitions(_.flatMap(a => k.frames(a, every)))
   }
 
   /** Partition-parallel batched resize (same batching contract as
-    * `extractFeatures`).
+    * `extractFeatures`), through the active kernel.
     */
   def resizeAssets(assets: Dataset[Asset], w: Int, h: Int): Dataset[ResizedAsset] = {
     import assets.sparkSession.implicits._
+    val k = kernel
     assets.mapPartitions(_.grouped(DecodeBatchSize)
-      .flatMap(b => resizeBatch(b.toSeq, w, h)))
+      .flatMap(b => k.resizeBatch(b.toSeq, w, h)))
   }
 
   /** Synthesize an asset table from `documents` (text bytes as the opaque
@@ -122,13 +159,14 @@ object Multimodal {
   }
 
   /** Partition-parallel, batched decode: the distributed plumbing around
-    * the stub. Batches of `DecodeBatchSize` amortize per-call cost exactly
-    * like Arrow record batches under `mapInPandas`.
+    * the active kernel. Batches of `DecodeBatchSize` amortize per-call
+    * cost exactly like Arrow record batches under `mapInPandas`.
     */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
+    val k = kernel
     assets.mapPartitions { it =>
-      it.grouped(DecodeBatchSize).flatMap(b => decodeBatch(b.toSeq))
+      it.grouped(DecodeBatchSize).flatMap(b => k.decodeBatch(b.toSeq))
     }
   }
 

@@ -197,23 +197,35 @@ object StatefulOps {
       }
   }
 
-  final case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = unset
+  // t1..t3: -1 = unset; maxSeen tracks the committed event-time
+  // high-water mark per user, which is what makes cross-batch
+  // out-of-order arrivals DETECTABLE (see funnelTrack).
+  final case class FunnelState(t1: Long, t2: Long, t3: Long, maxSeen: Long)
   final case class FunnelHit(user_id: Long, stage: Int, at: Timestamp)
 
   /** Streaming analogue of the batch `q_funnel`: a per-user state
     * machine over the ordered view → click → purchase sequence,
     * emitting one row per stage TRANSITION as it happens (Append
     * mode) — the live funnel dashboard feed. State per user is three
-    * timestamps, bounded forever, so no timeout is needed (a funnel
-    * never expires here; add one knob if business rules cap the
-    * journey window). Correctness contract: with in-order delivery
-    * (sorted within each micro-batch — the fold sorts — and
-    * watermark-monotonic across batches), the first view seen IS the
-    * earliest view, so the incremental fold equals the batch
-    * min-cascade exactly; `StatefulOpsSpec` pins parity against
+    * timestamps plus a high-water mark, bounded forever, so no timeout
+    * is needed (a funnel never expires here; add one knob if business
+    * rules cap the journey window). Correctness contract: with
+    * in-order delivery (sorted within each micro-batch — the fold
+    * sorts — and watermark-monotonic across batches), the first view
+    * seen IS the earliest view, so the incremental fold equals the
+    * batch min-cascade exactly; `StatefulOpsSpec` pins parity against
     * `q_funnel` on the same events split across batches.
+    *
+    * Out-of-order input across batches is DETECTED, not silently
+    * folded: an event older than the user's committed high-water mark
+    * cannot be honored by an Append-mode cascade (its stage rows are
+    * already emitted), so it counts into `lateEvents` — the operator's
+    * the-contract-was-violated signal a deployment alarms on — and the
+    * cascade proceeds over the in-order remainder exactly as before.
     */
-  def funnelTrack(events: Dataset[Event]): Dataset[FunnelHit] = {
+  def funnelTrack(events: Dataset[Event],
+      lateEvents: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
     // micros-precision fold (getTime is millis; the batch oracle
     // compares micros-formatted timestamps, so the state machine must
@@ -230,10 +242,14 @@ object StatefulOps {
       .flatMapGroupsWithState[FunnelState, FunnelHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          var s = state.getOption
+            .getOrElse(FunnelState(-1L, -1L, -1L, Long.MinValue))
+          val committedMax = s.maxSeen
           val hits = Seq.newBuilder[FunnelHit]
           rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
             val t = us(e.ts)
+            if (t < committedMax) lateEvents.foreach(_.add(1L))
+            s = s.copy(maxSeen = math.max(s.maxSeen, t))
             if (s.t1 < 0 && e.event_type == "view") {
               s = s.copy(t1 = t); hits += FunnelHit(userId, 1, tsOf(t))
             } else if (s.t1 >= 0 && s.t2 < 0 && e.event_type == "click" && t > s.t1) {

@@ -78,7 +78,7 @@ class LayoutSpec extends SparkSpec {
     val dir = tmpDir("zorder-layout")
     val ev = Tables.events(spark, sf0001)
     Layout.writeZOrdered(ev, s"$dir/zorder",
-      Layout.morton16(col("user_id"),
+      Layout.morton32(col("user_id"),
         unix_micros(col("ts")) / 86400000000L - 19723L))
     ev.repartition(16, col("event_id")).write.parquet(s"$dir/shuffled")
     val noAqe = spark.newSession()

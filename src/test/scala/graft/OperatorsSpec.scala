@@ -297,6 +297,30 @@ class OperatorsSpec extends SparkSpec {
     assert(a.forall(f => f.width >= 1 && f.height >= 1))
   }
 
+  test("MediaKernel SPI: an alternate kernel drops in without touching " +
+    "query code, and the stub path is byte-identical after restore") {
+    val stub = Multimodal.extractFeatures(Multimodal.assets(spark, sf0001))
+      .collect().map(f => (f.asset_id, f.width, f.height, f.features.toSeq))
+      .toSet
+    Multimodal.setKernel(FakeMediaKernel)
+    try {
+      val fake = Multimodal.extractFeatures(Multimodal.assets(spark, sf0001))
+        .collect()
+      assert(fake.length == 500)
+      assert(fake.forall(f => f.width == 42 && f.height == 7 &&
+        f.features.forall(_ == 0.5f)),
+        "the swapped kernel must drive the same distributed plumbing")
+      val frames = Multimodal
+        .sampleFrames(Multimodal.assets(spark, sf0001), 2).collect()
+      assert(frames.length == 500 && frames.forall(_.frame_hash == -1L))
+    } finally Multimodal.setKernel(Multimodal.StubMediaKernel)
+    val restored = Multimodal
+      .extractFeatures(Multimodal.assets(spark, sf0001))
+      .collect().map(f => (f.asset_id, f.width, f.height, f.features.toSeq))
+      .toSet
+    assert(restored == stub, "restoring the stub must restore its output")
+  }
+
   test("multimodal metadata scan prunes the binary payload column") {
     val plan = SparkEntry.queries("multimodal_meta")(spark, sf0001)
       .queryExecution.executedPlan.toString
@@ -875,4 +899,20 @@ class OperatorsSpec extends SparkSpec {
       .digest(new Array[Byte](256)).map("%02x".format(_)).mkString
     assert(sparkMd5 == inlined)
   }
+}
+
+/** File-scope fake kernel for the SPI test (top-level so the task
+  * closure serializes it without dragging the suite along).
+  */
+private object FakeMediaKernel extends Multimodal.MediaKernel {
+  def decodeBatch(batch: Seq[Multimodal.Asset]): Seq[Multimodal.AssetFeatures] =
+    batch.map(a => Multimodal.AssetFeatures(a.asset_id, 42, 7,
+      Array.fill(Multimodal.FeatureDim)(0.5f)))
+  def resizeBatch(batch: Seq[Multimodal.Asset], w: Int,
+      h: Int): Seq[Multimodal.ResizedAsset] =
+    batch.map(a => Multimodal.ResizedAsset(a.asset_id, w, h,
+      Array.fill(w * h)(1.toByte)))
+  def frames(a: Multimodal.Asset,
+      every: Int): Iterator[Multimodal.FrameSample] =
+    Iterator.single(Multimodal.FrameSample(a.asset_id, 0, a.n_bytes, -1L))
 }
