@@ -212,6 +212,36 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelTrack: cross-batch out-of-order events are counted as " +
+    "late, not silently folded; the committed cascade is untouched") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val late = spark.sparkContext.longAccumulator("funnel_late_events")
+    val q = StatefulOps.funnelTrack(in.toDS(), Some(late))
+      .writeStream.format("memory").queryName("funnellate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: in-order view -> click for user 1
+      in.addData(Event(1, ts(10), 1L, "view", 1.0),
+        Event(2, ts(20), 1L, "click", 1.0))
+      q.processAllAvailable()
+      assert(late.value == 0, "in-order input must not count as late")
+      // batch 2: a view OLDER than everything committed — the batch
+      // min-cascade would have made THIS the t1, but the stage-1 row is
+      // already emitted; the fold must detect it, keep the committed
+      // cascade, and still process the in-order purchase after it
+      in.addData(Event(3, ts(5), 1L, "view", 1.0),
+        Event(4, ts(30), 1L, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(late.value == 1, "the regressed view must count as late")
+      val hits = spark.table("funnellate")
+        .select($"stage", date_format($"at", "HH:mm").as("at"))
+        .as[(Int, String)].collect().toSet
+      assert(hits == Set((1, "09:10"), (2, "09:20"), (3, "09:30")),
+        s"committed cascade must stand: $hits")
+    } finally q.stop()
+  }
+
   test("funnelTrack: stage transitions across micro-batches reproduce " +
     "the batch q_funnel cascade exactly (stages AND timestamps)") {
     implicit val sc = spark.sqlContext
