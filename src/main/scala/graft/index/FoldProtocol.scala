@@ -201,25 +201,45 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     * data — no window where the target is mid-write (which plain
     * overwrite-mode saves expose for the full write duration).
     */
-  def replaceDir(stagingRel: String, targetRel: String): Unit = {
-    val f = fs
-    val staging = new Path(rootPath, stagingRel)
-    val target = new Path(rootPath, targetRel)
-    val trash = new Path(rootPath, s".$targetRel.old")
-    if (f.exists(trash)) f.delete(trash, true)
-    if (f.exists(target)) atomicReplace(target, trash)
-    atomicReplace(staging, target)
-    f.delete(trash, true)
-  }
+  def replaceDir(stagingRel: String, targetRel: String): Unit =
+    FoldProtocol.replaceDir(conf, new Path(rootPath, stagingRel),
+      new Path(rootPath, targetRel), new Path(rootPath, s".$targetRel.old"))
+
+  private def atomicReplace(src: Path, dst: Path): Unit =
+    FoldProtocol.atomicReplace(conf, src, dst)
+}
+
+/** The filesystem publish primitives, usable outside an index root
+  * (Layout's date-partition compaction and snapshot publishes share
+  * them).
+  */
+object FoldProtocol {
 
   /** Atomic replacing rename (`FileContext.rename` with
     * `Options.Rename.OVERWRITE` — atomic on local/HDFS-like
     * filesystems, the same primitive Spark's checkpoint managers use).
+    * A pure object-store deployment (no atomic rename) publishes
+    * staged dirs via a metadata layer instead.
     */
-  private def atomicReplace(src: Path, dst: Path): Unit = {
-    val f = fs
+  def atomicReplace(conf: org.apache.hadoop.conf.Configuration,
+      src: Path, dst: Path): Unit = {
+    val f = src.getFileSystem(conf)
     val fc = FileContext.getFileContext(f.getUri, conf)
     fc.rename(f.makeQualified(src), f.makeQualified(dst),
       Options.Rename.OVERWRITE)
+  }
+
+  /** Publish `staging` at `target`: rename the live dir aside, rename
+    * staging into place, then delete the old data — readers see the
+    * previous complete state or the new complete one, never a
+    * mid-write directory.
+    */
+  def replaceDir(conf: org.apache.hadoop.conf.Configuration,
+      staging: Path, target: Path, trash: Path): Unit = {
+    val f = target.getFileSystem(conf)
+    if (f.exists(trash)) f.delete(trash, true)
+    if (f.exists(target)) atomicReplace(conf, target, trash)
+    atomicReplace(conf, staging, target)
+    f.delete(trash, true)
   }
 }

@@ -121,48 +121,49 @@ object Layout {
     * parallel for large partitions; the shuffle is the price of N
     * parallel writers and is what a 100-TB partition needs.
     *
-    * Atomicity caveat: the two `Files.move`s are atomic on a local /
-    * HDFS-like filesystem, which is where this runs. Object stores
-    * (S3/GCS) have no atomic directory rename — there, publish via a
-    * metadata layer (Iceberg/Delta snapshot commit) or leave staging
-    * dirs in place and flip a `_committed` manifest the readers resolve;
-    * the staging-then-publish split below is exactly the shape those
-    * protocols need, only the publish step differs.
+    * Atomicity caveat: the rename pair is atomic on a local /
+    * HDFS-like filesystem (Hadoop `FileContext` rename — see
+    * `FoldProtocol.atomicReplace`), which is where this runs. Object
+    * stores (S3/GCS) have no atomic directory rename — there, publish
+    * via a metadata layer (Iceberg/Delta snapshot commit) or leave
+    * staging dirs in place and flip a `_committed` manifest the
+    * readers resolve; the staging-then-publish split below is exactly
+    * the shape those protocols need, only the publish step differs.
     */
   def compactDatePartition(spark: SparkSession, tablePath: String,
       date: String, numFiles: Int = 1): Unit = {
-    import java.nio.file.{Files, Paths}
-    val partDir = Paths.get(tablePath, s"date=$date")
-    require(Files.isDirectory(partDir), s"no partition directory: $partDir")
-    val tmpDir = Paths.get(tablePath, s".date=$date.compacting")
+    val partDir = s"$tablePath/date=$date"
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(partDir)),
+      s"no partition directory: $partDir")
+    val tmpDir = s"$tablePath/.date=$date.compacting"
     // 1. Write (streaming read → shuffle → N writers); completes fully
     //    before any source file is touched.
-    spark.read.parquet(partDir.toString)
+    spark.read.parquet(partDir)
       .repartition(numFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+      .write.mode(SaveMode.Overwrite).parquet(tmpDir)
     // 2. Publish.
-    replaceDir(tmpDir, partDir, Paths.get(tablePath, s".date=$date.old"))
+    replaceDir(spark, tmpDir, partDir, s"$tablePath/.date=$date.old")
   }
 
   /** Publish `staging` at `target`: rename the live dir aside, rename
     * staging into place, then delete the old data — no window where the
     * target is mid-write, which plain `SaveMode.Overwrite` (delete THEN
     * write) exposes to every concurrent reader for the full duration of
-    * the write. Renames are atomic on local/HDFS-like filesystems (where
-    * this runs); an object-store deployment publishes the same staged
-    * dir via a metadata commit (Iceberg/Delta) or a `_committed`
-    * manifest instead of the rename pair.
+    * the write. Routed through the shared Hadoop-FS publish primitive
+    * (`FoldProtocol.replaceDir`), so it works wherever the parquet
+    * writes work (local, HDFS); an object-store deployment publishes
+    * the same staged dir via a metadata commit (Iceberg/Delta) or a
+    * `_committed` manifest instead of the rename pair.
     */
-  private[graft] def replaceDir(staging: java.nio.file.Path,
-      target: java.nio.file.Path, trash: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(target)) Files.move(target, trash)
-    Files.move(staging, target)
-    if (Files.exists(trash))
-      Files.walk(trash).iterator().asScala.toSeq.reverse
-        .foreach(Files.delete)
-  }
+  private[graft] def replaceDir(spark: SparkSession, staging: String,
+      target: String, trash: String): Unit =
+    graft.index.FoldProtocol.replaceDir(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(trash))
 
   /** Durably pin a frame whose values are NONDETERMINISTIC under
     * recompute (e.g. a `spark_partition_id` over a freshly-sampled
@@ -190,10 +191,9 @@ object Layout {
     * visible while the new files land.
     */
   def publishOverwrite(df: DataFrame, path: String): Unit = {
-    import java.nio.file.Paths
-    val staging = Paths.get(path + ".staging")
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    replaceDir(staging, Paths.get(path), Paths.get(path + ".old"))
+    val staging = path + ".staging"
+    df.write.mode(SaveMode.Overwrite).parquet(staging)
+    replaceDir(df.sparkSession, staging, path, path + ".old")
   }
 
   /** The pay-shuffle-once capability as a gated query: orders and
