@@ -34,7 +34,12 @@ import org.apache.spark.sql.functions.col
   *     compaction rewrites the stripped frames and then
   *     [[clearTombstones]] — the physical purge. The clear is safe to
   *     crash out of: stale tombstones over already-purged data
-  *     anti-join nothing.
+  *     anti-join nothing. Contract note: tombstones hide an id from
+  *     ALL committed data, including folds committed AFTER the
+  *     delete — re-appending a deleted id serves only once a
+  *     compaction has purged the tombstone. Takedowns are terminal
+  *     per id within a compaction epoch; re-ingest under the same id
+  *     is not a supported sequence (use a fresh id).
   *   - '''publish''' — [[replaceDir]] swaps a fully-staged directory
   *     into place (rename live aside, rename staging in, drop the old
   *     data), so concurrent readers see the previous complete state or

