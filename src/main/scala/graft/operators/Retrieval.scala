@@ -359,6 +359,31 @@ object Retrieval {
     root.toString
   }
 
+  /** Build-if-absent the full-lifecycle gate fixture: seed from the
+    * history wave (doc_id % 5 ≠ 4), fold the remainder as a ledgered
+    * append (batch 0), then tombstone doc_id % 7 = 3 as a ledgered
+    * delete (batch 1) whose victims span BOTH waves — the
+    * seed-append-takedown sequence a production index lives through.
+    * Keyed on the delete's ledger entry (it commits last, so its
+    * presence implies the whole sequence completed).
+    */
+  def ensureEvolvedBm25Index(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_bm25_evolved$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val docs = Tables.documents(s, d)
+    if (!protocol(root.toString).deletedBatches().contains(1L)) {
+      fs.delete(root, true)
+      writeBm25Index(docs.filter(col("doc_id") % 5 =!= 4), root.toString)
+      appendToBm25Index(docs.filter(col("doc_id") % 5 === 4),
+        root.toString, 0L)
+      deleteFromBm25Index(s, docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")), root.toString, 1L)
+    }
+    root.toString
+  }
+
   /** BM25 served from the persisted index. The query terms' buckets are
     * computed driver-side with the SAME xxhash64 the build used (a
     * |terms|-row local relation — bounded by the literal term list, the
@@ -545,6 +570,17 @@ object Retrieval {
     QuerySpec("text_bm25_deleted",
       bm25OracleSqlOver("doc_id % 7 <> 3")) { (s, d) =>
       bm25TopK(s, ensureDeletedBm25Index(s, d))
+    },
+    // The whole index lifecycle under ONE value gate: seed, ledgered
+    // append, ledgered delete whose victims span both waves. Serving
+    // must equal scoring a corpus that contains the appended docs and
+    // never contained the deleted ones — the tombstone anti-join spans
+    // seed AND b-dir sub-roots, and the merged stats fold the append's
+    // positive delta with the delete's negative one. Same oracle as
+    // text_bm25_deleted by design (history ∪ append = full corpus).
+    QuerySpec("text_bm25_evolved",
+      bm25OracleSqlOver("doc_id % 7 <> 3")) { (s, d) =>
+      bm25TopK(s, ensureEvolvedBm25Index(s, d))
     },
   )
 }

@@ -196,7 +196,7 @@ object Similarity {
     * centroids — exactly what writeIvfIndex-then-appendToIvfIndex
     * produces, so the oracle certifies the incremental fold itself.
     */
-  private val ivfGrownCtes: String =
+  private def ivfGrownCtesOver(neighborWhere: String): String =
     s"""hist AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 4),
        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM hist WHERE vec_id % 25 = 0),
        |a0 AS (SELECT vec_id, v, cent_id FROM (
@@ -219,12 +219,15 @@ object Similarity {
        |    FROM e, cents c WHERE e.vec_id < $NQueries) WHERE rn <= 4),
        |iscored AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
        |    round(list_cosine_similarity(p.qv, a1.v), 4) AS sim
-       |  FROM probes p JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id),
+       |  FROM probes p JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id
+       |  WHERE $neighborWhere),
        |ivfg AS (SELECT query_id, neighbor_id, rank FROM (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM iscored) WHERE rank <= $TopK)""".stripMargin
+
+  private val ivfGrownCtes: String = ivfGrownCtesOver("TRUE")
 
   /** Build-if-absent the GROWN index: history wave (vec_id % 5 ≠ 4)
     * seeds the build, the increment folds in through
@@ -408,6 +411,28 @@ object Similarity {
        |LEFT JOIN ivf_f f ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
        |LEFT JOIN ivf_r r ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
        |GROUP BY t.query_id""".stripMargin
+
+  /** Build-if-absent the full-lifecycle gate fixture: seed from the
+    * history wave (vec_id % 5 ≠ 4), fold the remainder as a ledgered
+    * append (batch 0), then tombstone vec_id % 9 = 0 as a ledgered
+    * delete (batch 1) whose victims span BOTH waves. Keyed on the
+    * delete's ledger entry (it commits last).
+    */
+  def ensureEvolvedIvfIndex(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_evolved$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!protocol(root.toString).deletedBatches().contains(1L)) {
+      fs.delete(root, true)
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      writeIvfIndex(e.filter(col("vec_id") % 5 =!= 4), root.toString)
+      appendToIvfIndex(e.filter(col("vec_id") % 5 === 4), root.toString, 0L)
+      deleteFromIvfIndex(e.filter(col("vec_id") % 9 === 0)
+        .select(col("vec_id")), root.toString, 1L)
+    }
+    root.toString
+  }
 
   /** Brute-force exact top-k: (query_id, neighbor_id, rank). */
   def bruteTopK(s: SparkSession, d: String): DataFrame =
@@ -857,6 +882,22 @@ object Similarity {
          |$ivfGrownCtes
          |SELECT query_id, neighbor_id, rank FROM ivfg""".stripMargin)(
       (s, d) => indexTopK(s, ensureGrownIvfIndex(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")))),
+
+    // The whole index lifecycle under ONE value gate: seed from the
+    // history wave, ledgered append of the rest, ledgered delete whose
+    // victims span both waves — the frozen-centroid grown construction
+    // with the tombstone anti-join over every sub-root. The oracle
+    // recomputes the grown construction and bars the victims from the
+    // neighbor side; any drift in fold-then-delete interplay breaks
+    // the hash match. BM25 counterpart: text_bm25_evolved.
+    QuerySpec(
+      "sim_ivf_evolved",
+      s"""WITH $eCte,
+         |${ivfGrownCtesOver("a1.vec_id % 9 <> 0")}
+         |SELECT query_id, neighbor_id, rank FROM ivfg""".stripMargin)(
+      (s, d) => indexTopK(s, ensureEvolvedIvfIndex(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv")))),
 
