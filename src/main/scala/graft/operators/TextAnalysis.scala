@@ -757,6 +757,78 @@ object TextAnalysis {
           (col("pos") + 1).as("rank"),
           (aggregate(slice(col("tk"), lit(1), col("pos") + 1), lit(0.0d),
             (acc, x) => acc + x("score")) / col("tot")).as("cum_frac"))
+    },
+
+    // Distribution-drift gate (population stability index): the word
+    // distribution of the incoming wave (doc_id % 5 = 4) against the
+    // history corpus, binned as the top-50 history words plus an
+    // <other> bin, add-one smoothed so every bin has mass on both
+    // sides. PSI is THE pre-ingest drift alarm a 100-TB pipeline runs
+    // before folding a wave in (0.1/0.25 warn/act conventions); the
+    // per-bin readout shows WHICH vocabulary moved. Plan: one tokenize
+    // scan aggregates the vocabulary frame, which is staged once
+    // (Layout.stagePin) and re-read by the top-k (TakeOrdered — no
+    // vocabulary-wide window), other-bin and totals passes — the
+    // corpus text is scanned exactly once however many passes the bin
+    // construction needs. `round(...) + 0.0` canonicalizes IEEE −0.0
+    // before the hash compare (a tiny-negative psi term rounds to
+    // −0.0, and the two engines need not agree on its sign bit).
+    QuerySpec(
+      "text_drift_psi",
+      """WITH w AS (SELECT doc_id % 5 = 4 AS inc,
+        |             unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |c AS (SELECT word,
+        |        sum(CASE WHEN inc THEN 0 ELSE 1 END) AS hist_n,
+        |        sum(CASE WHEN inc THEN 1 ELSE 0 END) AS inc_n
+        |      FROM w GROUP BY word),
+        |t AS (SELECT word, hist_n, inc_n FROM c
+        |      ORDER BY hist_n DESC, word LIMIT 50),
+        |o AS (SELECT '<other>' AS word,
+        |        (SELECT sum(hist_n) FROM c) - (SELECT sum(hist_n) FROM t)
+        |          AS hist_n,
+        |        (SELECT sum(inc_n) FROM c) - (SELECT sum(inc_n) FROM t)
+        |          AS inc_n),
+        |b AS (SELECT * FROM t UNION ALL SELECT * FROM o),
+        |tot AS (SELECT sum(hist_n) AS ht, sum(inc_n) AS it FROM b),
+        |p AS (SELECT word, hist_n, inc_n,
+        |        CAST(hist_n + 1 AS DOUBLE) / (ht + 51) AS ph,
+        |        CAST(inc_n + 1 AS DOUBLE) / (it + 51) AS pi
+        |      FROM b, tot)
+        |SELECT word,
+        |  CAST(hist_n AS BIGINT) AS hist_n,
+        |  CAST(inc_n AS BIGINT) AS inc_n,
+        |  round(ph, 6) + 0 AS hist_share,
+        |  round(pi, 6) + 0 AS inc_share,
+        |  round((ph - pi) * ln(ph / pi), 6) + 0 AS psi
+        |FROM p""".stripMargin) { (s, d) =>
+      val c = Layout.stagePin(
+        Par.fanOut(Tables.documents(s, d))
+          .select((col("doc_id") % 5 === 4).as("inc"),
+            explode(words(col("text"))).as("word"))
+          .groupBy(col("word"))
+          .agg(sum(when(col("inc"), 0L).otherwise(1L)).as("hist_n"),
+            sum(when(col("inc"), 1L).otherwise(0L)).as("inc_n")),
+        "drift_vocab")
+      val top = c.orderBy(col("hist_n").desc, col("word")).limit(50)
+      val totalsAll = c.agg(sum(col("hist_n")).as("ha"),
+        sum(col("inc_n")).as("ia"))
+      val totalsTop = top.agg(sum(col("hist_n")).as("hc"),
+        sum(col("inc_n")).as("ic"))
+      val other = totalsAll.crossJoin(totalsTop)
+        .select(lit("<other>").as("word"),
+          (col("ha") - col("hc")).as("hist_n"),
+          (col("ia") - col("ic")).as("inc_n"))
+      val bins = top.unionByName(other)
+      val tot = bins.agg(sum(col("hist_n")).as("ht"),
+        sum(col("inc_n")).as("it"))
+      val ph = (col("hist_n") + lit(1)).cast("double") / (col("ht") + lit(51))
+      val pi = (col("inc_n") + lit(1)).cast("double") / (col("it") + lit(51))
+      bins.crossJoin(broadcast(tot))
+        .select(col("word"), col("hist_n"), col("inc_n"),
+          (round(ph, 6) + 0.0).as("hist_share"),
+          (round(pi, 6) + 0.0).as("inc_share"),
+          (round((ph - pi) * log(ph / pi), 6) + 0.0).as("psi"))
     }
   )
 }
