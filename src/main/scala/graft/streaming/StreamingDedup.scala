@@ -73,6 +73,35 @@ object StreamingDedup {
       }
       .start()
 
+  /** Takedown stream: each micro-batch of victim `doc_id` rows
+    * tombstones them out of the persisted index through
+    * `Dedup.deleteFromIndex`, EXACTLY ONCE under replay — deleteIds
+    * ride the same ledger as ingest folds in their own `d` namespace,
+    * so a takedown batchId never collides with an ingest batchId and a
+    * redelivered micro-batch short-circuits. From the commit instant
+    * the victims stop shielding future ingest from dedup (their
+    * shingle/hash rows anti-join away and the df stop-list is
+    * corrected); the next scheduled compaction purges them physically.
+    *
+    * Single-writer caveat: every index publish (fold, delete, compact)
+    * assumes ONE writer at a time. Drive takedowns and ingest from the
+    * same process and do not run the two sinks' micro-batches
+    * concurrently (takedown streams are low-rate by nature; a paused
+    * trigger or a shared queue serializes them).
+    */
+  def startDeletes(ids: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Dedup.deleteFromIndex(
+          batch.select(org.apache.spark.sql.functions.col("doc_id")),
+          indexPath, batchId)
+        ()
+      }
+      .start()
+
   /** One micro-batch publish — the replay-idempotent unit (also invoked
     * directly by the restart spec, which simulates every crash window by
     * re-delivering the same batchId against partial state).

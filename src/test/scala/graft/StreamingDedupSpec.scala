@@ -92,6 +92,48 @@ class StreamingDedupSpec extends SparkSpec {
     assert(dfGrown == dfScratch)
   }
 
+  test("takedown stream: a ledgered delete batch un-shields future " +
+    "ingest exactly once; ingest folds and delete batches share the " +
+    "ledger without colliding") {
+    implicit val sc = spark.sqlContext
+    val idx = tmpDir("sdel-idx")
+    val out = tmpDir("sdel-out")
+    // corpus doc 1 shields every later exact dup of `base`
+    Dedup.writeIndex(Seq((1L, base)).toDF("doc_id", "text"), idx)
+    StreamingDedup.publishBatch(
+      Seq((10L, base)).toDF("doc_id", "text"), 0L, idx, out)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "b0")),
+      "doc 10 must drop against corpus doc 1 (empty batch suppressed)")
+
+    // takedown micro-batch 0 deletes the shield — its deleteId lives in
+    // the d-namespace, so it cannot collide with ingest fold 0
+    val ids = MemoryStream[Long]
+    val q = StreamingDedup.startDeletes(
+      ids.toDF().toDF("doc_id"), idx, tmpDir("sdel-ckpt"))
+    try {
+      ids.addData(1L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val ledger = new graft.index.FoldProtocol(idx, "df/_ledger")
+    assert(Dedup.foldedBatches(idx).isEmpty &&
+      ledger.deletedBatches() == Set(0L),
+      "the delete batch must land in the d-namespace, not as a fold")
+
+    // the next ingest batch re-submits the same content: with the
+    // shield tombstoned it must survive and fold in
+    StreamingDedup.publishBatch(
+      Seq((20L, base)).toDF("doc_id", "text"), 1L, idx, out)
+    val streamed = corpusOf(out).select($"doc_id").as[Long].collect().toSet
+    assert(streamed == Set(20L), s"un-shielded doc must survive: $streamed")
+    assert(Dedup.foldedBatches(idx) == Set(1L) &&
+      ledger.deletedBatches() == Set(0L),
+      "fold 1 and delete 0 coexist in one ledger")
+
+    // replayed delete batch is a committed no-op (state unchanged)
+    assert(!Dedup.deleteFromIndex(Seq(1L).toDF("doc_id"), idx, 0L))
+  }
+
   test("replay idempotence: redelivering a batchId after every crash " +
     "window — post-commit, between corpus write and fold, mid-fold " +
     "before the df commit — leaves corpus and df summary exactly-once") {
