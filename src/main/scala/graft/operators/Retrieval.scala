@@ -237,12 +237,12 @@ object Retrieval {
     * served index, so recomputing the delta after a crash yields the
     * same rows.
     */
-  def deleteFromBm25Index(s: SparkSession, ids: DataFrame, path: String,
+  def deleteFromBm25Index(ids: DataFrame, path: String,
       deleteId: Long): Boolean = {
     val p = protocol(path)
     p.delete(deleteId) {
       p.stageTombstones(ids, "doc_id", deleteId)
-      indexPostings(s, path)
+      indexPostings(ids.sparkSession, path)
         .join(ids.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
         .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
         .agg((-count(lit(1))).as("n"),
@@ -378,7 +378,7 @@ object Retrieval {
       writeBm25Index(docs.filter(col("doc_id") % 5 =!= 4), root.toString)
       appendToBm25Index(docs.filter(col("doc_id") % 5 === 4),
         root.toString, 0L)
-      deleteFromBm25Index(s, docs.filter(col("doc_id") % 7 === 3)
+      deleteFromBm25Index(docs.filter(col("doc_id") % 7 === 3)
         .select(col("doc_id")), root.toString, 1L)
     }
     root.toString
@@ -496,7 +496,7 @@ object Retrieval {
     if (!protocol(root.toString).deletedBatches().contains(0L)) {
       fs.delete(root, true)
       writeBm25Index(docs, root.toString)
-      deleteFromBm25Index(s, docs.filter(col("doc_id") % 7 === 3)
+      deleteFromBm25Index(docs.filter(col("doc_id") % 7 === 3)
         .select(col("doc_id")), root.toString, 0L)
     }
     root.toString

@@ -34,8 +34,8 @@ class IndexDeleteSpec extends SparkSpec {
       .stageTombstones(vdf, "doc_id", 0L)
     assert(served() == baseline, "uncommitted tombstones must not serve")
 
-    assert(Retrieval.deleteFromBm25Index(spark, vdf, idx, 0L))
-    assert(!Retrieval.deleteFromBm25Index(spark, vdf, idx, 0L),
+    assert(Retrieval.deleteFromBm25Index(vdf, idx, 0L))
+    assert(!Retrieval.deleteFromBm25Index(vdf, idx, 0L),
       "replayed deleteId must be a committed no-op")
     val afterDelete = served()
     assert(victims.forall(v => !afterDelete.exists(_._1 == v)))
@@ -57,7 +57,7 @@ class IndexDeleteSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/postings/compact")
       .filter($"doc_id".isin(victims: _*)).count() == 0,
       "compaction must purge tombstoned postings physically")
-    assert(!Retrieval.deleteFromBm25Index(spark, vdf, idx, 0L),
+    assert(!Retrieval.deleteFromBm25Index(vdf, idx, 0L),
       "deleteId keeps short-circuiting after its tombstones are purged")
   }
 
