@@ -735,9 +735,19 @@ object Similarity {
     * (plan-pinned in OperatorsSpec). That listing bound is the index's
     * reason to exist: a query batch reads ~nprobe/K of the corpus
     * bytes, not the corpus.
+    *
+    * `allowed` restricts the served candidates to a `(vec_id)` frame —
+    * filtered vector search over the index. The semi-join applies
+    * AFTER the cell prune, so its left side is the probed-cells subset
+    * (~nprobe/K of the corpus), and the allowed side is typically a
+    * predicate-pruned scan of a metadata sidecar (label/license/
+    * source). Rankings are over the restricted candidate set; a query
+    * whose probed cells hold fewer than k allowed vectors returns
+    * fewer rows, exactly like the exact filtered search would.
     */
   def indexTopK(s: SparkSession, indexPath: String, queries: DataFrame,
-      nprobe: Int = 4, k: Int = TopK): DataFrame = {
+      nprobe: Int = 4, k: Int = TopK,
+      allowed: Option[DataFrame] = None): DataFrame = {
     // K rows of a 64-double array.
     val cents = s.read.parquet(s"$indexPath/cents")
     val probes = assign(
@@ -759,9 +769,11 @@ object Similarity {
     // PartitionFilters — only probed cent_id= dirs are listed, in every
     // sub-root.
     val allVecs = indexVectors(s, indexPath)
-    val vecs =
+    val pruned =
       if (cells.length >= totalCells) allVecs
       else allVecs.filter(col("cent_id").isin(cells: _*))
+    val vecs = allowed.fold(pruned)(a =>
+      pruned.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi"))
     val scored = probes.join(vecs, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -900,6 +912,26 @@ object Similarity {
       (s, d) => indexTopK(s, ensureEvolvedIvfIndex(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv")))),
+
+    // Filtered vector search FROM THE PERSISTED INDEX: the metadata
+    // predicate restricts candidates via a semi-join applied after the
+    // cell prune (left side = probed cells only, allowed side = a
+    // predicate-pruned sidecar scan of (vec_id, label)). Same IVF
+    // construction as sim_ivf_indexed, so the oracle recomputes it and
+    // bars disallowed neighbors with the same vec_id-set predicate.
+    // Brute-force counterpart: sim_topk_filtered.
+    QuerySpec(
+      "sim_ivf_filtered",
+      s"""WITH $eCte,
+         |${ivfCtesOver(
+             "a1.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (0, 2, 4, 6, 8))")}
+         |SELECT query_id, neighbor_id, rank FROM ivf""".stripMargin)(
+      (s, d) => indexTopK(s, ensureIvfIndex(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        allowed = Some(Tables.embeddings(s, d)
+          .filter(col("label").isin(0, 2, 4, 6, 8))
+          .select(col("vec_id"))))),
 
     // Filtered vector search — the production shape "nearest neighbors
     // AMONG rows matching a metadata predicate" (source/license/language
