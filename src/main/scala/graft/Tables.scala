@@ -24,17 +24,27 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** `events.parquet` stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and convert to a µs TimestampType column.
-    * All driver-generated values are µs-aligned (checked), so the DIV 1000
-    * is lossless and matches DuckDB's native µs read exactly. Integer DIV,
-    * not `/`: ns-epoch ≈ 1.7e18 exceeds double's 2^53 exact range.
+  /** `events.parquet` normalization: the driver has shipped `ts` as
+    * TIMESTAMP(NANOS) (which Spark's parquet reader rejects — read
+    * nanos as long, then `DIV 1000` to µs; integer DIV, not `/`:
+    * ns-epoch ≈ 1.7e18 exceeds double's 2^53 exact range) and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as
+    * TIMESTAMP_NTZ — cast to TimestampType, a wall-clock no-op in the
+    * UTC session both mains pin). Both normalize to the SAME µs-exact
+    * TimestampType column DuckDB's native read produces, so every
+    * downstream query and oracle is encoding-independent.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -2,7 +2,7 @@ package graft.index
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** The staged-commit state machine shared by graft's three persisted
   * indexes (dedup shingle/hash index, BM25 postings index, IVF vector
@@ -16,34 +16,68 @@ import org.apache.spark.sql.functions.col
   *     file is replaced atomically (staging write + atomic rename), so
   *     a crash leaves either the old or the new committed set, never a
   *     partial one.
-  *   - '''sub-dirs''' — an index frame directory (`vectors/`,
-  *     `postings/`, `shingles/`, …) holds only sub-directories: build
-  *     outputs (`seed/`, `compact/`), per-fold `b<batchId>/` dirs and
-  *     per-delete `d<deleteId>/` dirs. [[committedDirs]] resolves the
-  *     readable set: every non-batch dir plus exactly the LEDGERED
-  *     b/d-dirs — orphans from a crashed fold stay invisible until
-  *     their replay commits.
+  *   - '''manifest''' — the versioned-publish pointer: a small
+  *     `_manifest` file at the root mapping each logical kind
+  *     (`vectors`, `postings`, `df`, …) to its current PHYSICAL
+  *     generation directory (`vectors.g3`). [[publishDir]] never swaps
+  *     a live directory: it renames the staged dir to a FRESH
+  *     generation name, then atomically replaces the manifest — the
+  *     manifest replace is the whole commit. Readers resolve kinds
+  *     through [[dir]]/[[committedDirs]], so there is NO window where
+  *     the served directory is missing (the pre-publish generation
+  *     stays on disk until the NEXT publish retires it, covering
+  *     readers that resolved just before the commit). A kind with no
+  *     manifest entry resolves to its plain name — fresh seed builds
+  *     write `vectors/` directly and the first publish moves the index
+  *     onto generations. This is also the object-store story: the only
+  *     operation that needs atomic-replace semantics is ONE small
+  *     pointer-file write (the same shape as a Delta/Iceberg snapshot
+  *     commit); generation dirs themselves are create-only and never
+  *     renamed over.
+  *   - '''sub-dirs''' — an index frame directory holds only
+  *     sub-directories: `seed/` (initial build), per-fold `b<batchId>/`
+  *     dirs, per-delete `d<deleteId>/` dirs and `c<hw>/` compaction
+  *     outputs (named by the max committed fold at compaction time —
+  *     the dir's FOLD ORDER, see tombstones). [[committedDirs]]
+  *     resolves the readable set: every non-batch dir plus exactly the
+  *     LEDGERED b/d-dirs — orphans from a crashed fold stay invisible
+  *     until their replay commits.
   *   - '''fold''' — stage (overwrite-mode writes into the batch's own
   *     sub-dirs, so a replay after a mid-write crash rewrites the same
   *     dirs instead of double-appending), then commit (one atomic
   *     ledger replace). A ledgered batchId short-circuits to a no-op,
   *     which is what makes replays exactly-once.
   *   - '''tombstones''' — a delete batch stages its victim ids under
-  *     `tombstones/d<deleteId>/` and commits through the same ledger.
-  *     Readers [[stripTombstoned]] (anti-join) every committed frame;
-  *     compaction rewrites the stripped frames and then
-  *     [[clearTombstones]] — the physical purge. The clear is safe to
-  *     crash out of: stale tombstones over already-purged data
-  *     anti-join nothing. Contract note: tombstones hide an id from
-  *     ALL committed data, including folds committed AFTER the
-  *     delete — re-appending a deleted id serves only once a
-  *     compaction has purged the tombstone. Takedowns are terminal
-  *     per id within a compaction epoch; re-ingest under the same id
-  *     is not a supported sequence (use a fresh id).
-  *   - '''publish''' — [[replaceDir]] swaps a fully-staged directory
-  *     into place (rename live aside, rename staging in, drop the old
-  *     data), so concurrent readers see the previous complete state or
-  *     the new complete state, never a mid-write directory.
+  *     `tombstones/d<deleteId>/` together with the delete's HIGH-WATER
+  *     MARK (the max committed fold batchId at stage time) and commits
+  *     through the same ledger. Readers ([[readCommittedStripped]])
+  *     tag every sub-dir's rows with the dir's fold order (`seed` = 0,
+  *     `b<n>` = n, `c<n>` = n) and anti-join a tombstone only against
+  *     rows whose fold order is ≤ its high-water mark — so a delete
+  *     hides exactly the data committed BEFORE it, and re-appending a
+  *     taken-down id in a LATER fold serves normally (takedown of the
+  *     old version, legitimate re-ingest of the corrected one).
+  *     Monotonicity contract: fold batchIds must increase over time
+  *     (streaming batchIds do); in the empty-index corner (a delete
+  *     before the first fold commits, high-water 0) use batchIds ≥ 1
+  *     so the re-ingest outranks the delete. Compaction rewrites the
+  *     SERVED frames into a `c<hw>/` dir — carrying the fold order its
+  *     contents reach — and then [[clearTombstones]], the physical
+  *     purge. The clear is safe to crash out of: a stale tombstone's
+  *     high-water is below the new compact dir's order, so re-ingested
+  *     ids stay visible and the already-purged victims anti-join
+  *     nothing.
+  *   - '''writer lease''' — every mutation ([[fold]], [[delete]], and
+  *     the operators' compaction/refresh paths via [[withLease]])
+  *     first acquires `_writer_lease` through an atomic
+  *     create-if-absent, so a second concurrent writer FAILS FAST with
+  *     the holder's name instead of silently interleaving staged dirs
+  *     and ledger replaces. Leases are re-entrant within a thread and
+  *     carry a TTL: a lease left by a crashed writer is stolen after
+  *     `ttlMs` (the steal is best-effort — the protocol enforces
+  *     single-writer, it does not arbitrate racing stealers, which a
+  *     deployment prevents by not scheduling two maintenance jobs on
+  *     one index).
   *
   * All filesystem access goes through the Hadoop `FileSystem` /
   * `FileContext` APIs resolved from the ACTIVE session's Hadoop conf —
@@ -51,11 +85,12 @@ import org.apache.spark.sql.functions.col
   * (local, HDFS). Atomic replacing renames use
   * `FileContext.rename(…, Options.Rename.OVERWRITE)`, the same
   * primitive Spark's own `CheckpointFileManager` treats as the atomic
-  * commit on HDFS-like filesystems; a pure object-store deployment
-  * (S3/GCS, no atomic rename) publishes staged dirs via a metadata
-  * layer instead — the stage/commit split here is exactly the shape
-  * those protocols need, only the publish step differs. Single-writer
-  * per index, like every Layout publish.
+  * commit on HDFS-like filesystems; on a pure object store the two
+  * small-file replaces (ledger, manifest) are the ONLY primitives that
+  * need a consistency shim (conditional PUT / DynamoDB-style lock —
+  * the same requirement as every table-format log commit), because
+  * generation dirs are never renamed over and never mutated after
+  * publish.
   *
   * Reference framing: the reference pipeline appends to BigQuery
   * tables and never manages index state
@@ -69,9 +104,100 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
   private def conf =
     SparkSession.active.sparkContext.hadoopConfiguration
   private def fs: FileSystem = rootPath.getFileSystem(conf)
-  private def ledgerPath = new Path(rootPath, ledgerRel)
+
+  private def atomicReplace(src: Path, dst: Path): Unit =
+    FoldProtocol.atomicReplace(conf, src, dst)
+
+  // ---- manifest ----
+
+  private def manifestPath = new Path(rootPath, "_manifest")
+
+  /** The current kind → physical-directory mapping (empty until the
+    * first [[publishDir]]).
+    */
+  def manifest(): Map[String, String] = {
+    val f = fs
+    if (!f.exists(manifestPath)) Map.empty
+    else {
+      val in = f.open(manifestPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+      finally in.close()
+    }
+  }
+
+  /** Physical directory name currently serving `kind` (the plain kind
+    * name until the first publish moves it onto generations).
+    */
+  def resolveKind(kind: String): String = manifest().getOrElse(kind, kind)
+
+  /** Absolute path of the directory currently serving `kind` — every
+    * reader and every fold stages/reads through this resolution.
+    */
+  def dir(kind: String): String = s"$root/${resolveKind(kind)}"
+
+  private def resolveRel(rel: String): String = {
+    val i = rel.indexOf('/')
+    if (i < 0) rel else resolveKind(rel.substring(0, i)) + rel.substring(i)
+  }
+
+  private def writeManifest(m: Map[String, String]): Unit = {
+    val tmp = new Path(rootPath, "._manifest.staging")
+    val out = fs.create(tmp, true)
+    try out.write(
+      m.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    atomicReplace(tmp, manifestPath)
+  }
+
+  private def genPattern(kind: String) =
+    (java.util.regex.Pattern.quote(kind) + "\\.g(\\d+)").r
+
+  /** Versioned-manifest publish of `<root>/<stagingRel>` as the new
+    * content of `kind`:
+    *
+    *   1. rename staging to a FRESH generation dir `<kind>.g<n>`
+    *      (create-only — nothing is renamed over, nothing live is
+    *      touched);
+    *   2. atomically replace the manifest to point `kind` at it — THE
+    *      commit point;
+    *   3. retire every older generation EXCEPT the one the manifest
+    *      pointed at before this publish, which stays on disk until
+    *      the next publish (grace window for readers that resolved
+    *      the manifest just before the commit). Orphan generations
+    *      from a crashed step-1 are swept here too.
+    *
+    * A crash before step 2 leaves the previous state served (the
+    * orphan gen is invisible and later swept); after step 2 the new
+    * state is served. At no instant is the served directory missing —
+    * the availability hole of a rename-aside-then-rename-in swap.
+    */
+  def publishDir(stagingRel: String, kind: String): Unit = {
+    val f = fs
+    val genRe = genPattern(kind)
+    val prev = resolveKind(kind)
+    val listed = f.listStatus(rootPath).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+    val nextGen = listed
+      .collect { case genRe(n) => n.toLong }
+      .maxOption.getOrElse(0L) + 1
+    val target = s"$kind.g$nextGen"
+    require(
+      f.rename(new Path(rootPath, stagingRel), new Path(rootPath, target)),
+      s"publish of $kind: rename $stagingRel -> $target failed")
+    writeManifest(manifest() + (kind -> target))
+    listed
+      .filter(n => n == kind || genRe.findFirstIn(n).contains(n))
+      .filterNot(n => n == target || n == prev)
+      .foreach(n => f.delete(new Path(rootPath, n), true))
+  }
 
   // ---- ledger ----
+
+  private def ledgerPath = new Path(rootPath, resolveRel(ledgerRel))
 
   /** Raw committed ledger entries (numeric = fold, `d<n>` = delete). */
   def entries(): Set[String] = {
@@ -107,8 +233,9 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
   }
 
   /** Write the grown ledger INTO a staged directory (for indexes whose
-    * ledger rides a directory swap — the swap is then both the data
-    * publish and the commit point, see `Dedup.commitBatchFold`).
+    * ledger rides a directory publish — the manifest replace is then
+    * both the data publish and the commit point, see
+    * `Dedup.commitBatchFold`).
     */
   def writeLedgerInto(dirRel: String, extra: String*): Unit = {
     val dest = new Path(new Path(rootPath, dirRel), ledgerPath.getName)
@@ -116,30 +243,55 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     try out.write(renderLedger(extra)) finally out.close()
   }
 
-  /** Run an append fold exactly once: a ledgered batchId is a committed
-    * no-op (returns false); otherwise stage (overwrite-mode b-dir
-    * writes) then commit atomically.
+  /** Run an append fold exactly once under the writer lease: a
+    * ledgered batchId is a committed no-op (returns false); otherwise
+    * stage (overwrite-mode b-dir writes) then commit atomically.
     */
   def fold(batchId: Long)(stage: => Unit): Boolean =
-    if (foldedBatches().contains(batchId)) false
-    else { stage; commit(batchId.toString); true }
+    withLease(s"fold-$batchId") {
+      if (foldedBatches().contains(batchId)) false
+      else { stage; commit(batchId.toString); true }
+    }
 
   /** Run a delete batch exactly once — same shape as [[fold]] with a
     * `d`-prefixed ledger entry.
     */
   def delete(deleteId: Long)(stage: => Unit): Boolean =
-    if (deletedBatches().contains(deleteId)) false
-    else { stage; commit(s"d$deleteId"); true }
+    withLease(s"delete-$deleteId") {
+      if (deletedBatches().contains(deleteId)) false
+      else { stage; commit(s"d$deleteId"); true }
+    }
 
   // ---- committed sub-dirs ----
 
-  /** The committed sub-dirs under `<root>/<kind>`: every non-batch dir
-    * (seed, compact) plus exactly the ledgered b/d-dirs. Empty when the
-    * kind directory does not exist.
+  /** Fold order of a sub-dir: `b<n>` and `c<n>` carry their batch /
+    * compaction high-water order, everything else (seed and other
+    * build outputs) is 0. This is the ordinal ledger-ordered
+    * tombstones compare against.
+    */
+  def dirOrd(name: String): Long =
+    if (name.matches("[bc]\\d+")) name.drop(1).toLong else 0L
+
+  /** The max committed fold order (0 when no fold has committed) — the
+    * high-water mark a new delete is scoped to and the name a new
+    * compaction dir carries.
+    */
+  def highWater(): Long = (foldedBatches() + 0L).max
+
+  /** Directory name for a compaction output staged NOW: carries the
+    * fold order its contents reach, so later deletes apply to it and
+    * earlier (stale, post-crash) tombstones do not.
+    */
+  def compactDirName(): String = s"c${highWater()}"
+
+  /** The committed sub-dirs under the CURRENT generation of `kind`:
+    * every non-batch dir (seed, `c<hw>` compactions) plus exactly the
+    * ledgered b/d-dirs. Empty when the kind directory does not exist.
     */
   def committedDirsOrEmpty(kind: String): Seq[String] = {
     val f = fs
-    val kindPath = new Path(rootPath, kind)
+    val kindRel = resolveKind(kind)
+    val kindPath = new Path(rootPath, kindRel)
     if (!f.exists(kindPath)) Seq.empty
     else {
       val folded = foldedBatches()
@@ -151,12 +303,12 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
           if (n.matches("b\\d+")) folded.contains(n.drop(1).toLong)
           else if (n.matches("d\\d+")) deleted.contains(n.drop(1).toLong)
           else true))
-        .map(n => s"$root/$kind/$n").sorted
+        .map(n => s"$root/$kindRel/$n").sorted
     }
   }
 
   /** [[committedDirsOrEmpty]], required non-empty (an index must have a
-    * seed or compact dir to be readable).
+    * seed or compaction dir to be readable).
     */
   def committedDirs(kind: String): Seq[String] = {
     val dirs = committedDirsOrEmpty(kind)
@@ -167,51 +319,129 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
   // ---- tombstones ----
 
   /** Stage a delete batch's victim-id frame (single id column) under
-    * `tombstones/d<deleteId>/` with overwrite semantics (replay-safe).
+    * `tombstones/d<deleteId>/` with overwrite semantics (replay-safe),
+    * carrying the delete's high-water mark: the max fold order
+    * committed at stage time, i.e. the newest data this delete hides.
     */
   def stageTombstones(ids: DataFrame, idCol: String, deleteId: Long): Unit =
     ids.select(col(idCol)).distinct()
+      .withColumn("hw", lit(highWater()))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/tombstones/d$deleteId")
 
-  /** All committed tombstoned ids, or None when no delete has ever
-    * committed (the common case — readers skip the anti-join
-    * entirely).
+  /** All committed tombstoned (id, hw) rows, or None when no delete
+    * has ever committed (the common case — readers skip the anti-join
+    * entirely). Tombstones written before high-water marks existed
+    * read as hw = Long.MaxValue — the old hide-from-everything
+    * semantics.
     */
   def tombstones(s: SparkSession): Option[DataFrame] = {
     val dirs = committedDirsOrEmpty("tombstones")
-    if (dirs.isEmpty) None else Some(s.read.parquet(dirs: _*))
+    if (dirs.isEmpty) None
+    else {
+      val t = s.read.parquet(dirs: _*)
+      Some(
+        if (t.columns.contains("hw")) t
+        else t.withColumn("hw", lit(Long.MaxValue)))
+    }
   }
 
-  /** Serve-side view of an index frame: anti-join away committed
-    * tombstoned ids. No-op (same frame, no extra plan nodes) when the
-    * index has no committed deletes.
+  /** Serve-side read of an index frame: read every committed sub-dir
+    * of `kind` via `readDir`, tag each with its fold order, and
+    * anti-join away tombstoned ids SCOPED BY LEDGER ORDER — a
+    * tombstone hides a row only when the row's dir order is ≤ the
+    * delete's high-water mark, so data folded AFTER a takedown (a
+    * re-ingested corrected document) serves normally. No extra plan
+    * nodes when the index has no committed deletes.
     */
-  def stripTombstoned(frame: DataFrame, idCol: String): DataFrame =
-    tombstones(frame.sparkSession).fold(frame)(t =>
-      frame.join(t.select(col(idCol)), Seq(idCol), "left_anti"))
+  def readCommittedStripped(s: SparkSession, kind: String, idCol: String)(
+      readDir: String => DataFrame): DataFrame = {
+    val frames = committedDirs(kind).map { d =>
+      val name = d.substring(d.lastIndexOf('/') + 1)
+      readDir(d).withColumn("_fold_ord", lit(dirOrd(name)))
+    }
+    val tagged = frames.reduce(_.union(_))
+    tombstones(s) match {
+      case None => tagged.drop("_fold_ord")
+      case Some(t) =>
+        val tt = t.select(col(idCol).as("_ts_id"),
+          coalesce(col("hw"), lit(Long.MaxValue)).as("_ts_hw"))
+        tagged.join(tt,
+            tagged(idCol) === tt("_ts_id") &&
+              tagged("_fold_ord") <= tt("_ts_hw"),
+            "left_anti")
+          .drop("_fold_ord")
+    }
+  }
 
-  /** Physical-purge step run AFTER compaction swapped in tombstone-
+  /** Physical-purge step run AFTER compaction published tombstone-
     * stripped data: drop the tombstone dirs (their ledger entries stay,
-    * so replayed deletes keep short-circuiting). Crash-safe: stale
-    * tombstones over already-purged frames anti-join nothing.
+    * so replayed deletes keep short-circuiting). Crash-safe: a stale
+    * tombstone's high-water is below the new `c<hw>` dir's fold order,
+    * so it neither hides re-ingested ids nor matches the purged
+    * victims.
     */
   def clearTombstones(): Unit =
     fs.delete(new Path(rootPath, "tombstones"), true)
 
-  // ---- publish ----
+  // ---- writer lease ----
 
-  /** Publish `<root>/<stagingRel>` at `<root>/<targetRel>`: rename the
-    * live dir aside, rename staging into place, then delete the old
-    * data — no window where the target is mid-write (which plain
-    * overwrite-mode saves expose for the full write duration).
+  private def leasePath = new Path(rootPath, "_writer_lease")
+
+  /** The current lease holder, if any (owner string as written at
+    * acquisition).
     */
-  def replaceDir(stagingRel: String, targetRel: String): Unit =
-    FoldProtocol.replaceDir(conf, new Path(rootPath, stagingRel),
-      new Path(rootPath, targetRel), new Path(rootPath, s".$targetRel.old"))
+  def leaseHolder(): Option[String] = {
+    val f = fs
+    if (!f.exists(leasePath)) None
+    else {
+      val in = f.open(leasePath)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
 
-  private def atomicReplace(src: Path, dst: Path): Unit =
-    FoldProtocol.atomicReplace(conf, src, dst)
+  private def leaseStampMillis(holder: String): Long =
+    holder.split('@').lastOption.flatMap(_.toLongOption).getOrElse(0L)
+
+  /** Run `body` holding this index's writer lease. Acquisition is an
+    * atomic create-if-absent of `_writer_lease`; a live second writer
+    * gets an `IllegalStateException` NAMING THE HOLDER instead of
+    * silently interleaving publishes. Re-entrant within a thread
+    * (nested folds inside a leased compaction take no second lease).
+    * A lease older than `ttlMs` is presumed crashed and stolen.
+    */
+  def withLease[T](owner: String,
+      ttlMs: Long = FoldProtocol.LeaseTtlMs)(body: => T): T = {
+    val held = FoldProtocol.heldLeases.get()
+    if (held.contains(root)) return body
+    val f = fs
+    val stamp = s"$owner@${System.currentTimeMillis()}"
+    def tryAcquire(): Boolean =
+      try {
+        val out = f.create(leasePath, false)
+        try out.write(stamp.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val holder = leaseHolder()
+      val expired = holder.forall(h =>
+        System.currentTimeMillis() - leaseStampMillis(h) > ttlMs)
+      if (expired) { f.delete(leasePath, false); acquired = tryAcquire() }
+      if (!acquired)
+        throw new IllegalStateException(
+          s"index at $root is write-locked by " +
+            s"${leaseHolder().orElse(holder).getOrElse("unknown")}; " +
+            "concurrent index writers are not supported")
+    }
+    FoldProtocol.heldLeases.set(held + root)
+    try body
+    finally {
+      FoldProtocol.heldLeases.set(FoldProtocol.heldLeases.get() - root)
+      f.delete(leasePath, false)
+    }
+  }
 }
 
 /** The filesystem publish primitives, usable outside an index root
@@ -220,11 +450,22 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
   */
 object FoldProtocol {
 
+  /** Default writer-lease TTL: long enough to cover any single
+    * fold/compaction, short enough that a crashed maintenance job
+    * does not block the index for a shift.
+    */
+  val LeaseTtlMs: Long = 15 * 60 * 1000L
+
+  private val heldLeases: ThreadLocal[Set[String]] =
+    ThreadLocal.withInitial(() => Set.empty[String])
+
   /** Atomic replacing rename (`FileContext.rename` with
     * `Options.Rename.OVERWRITE` — atomic on local/HDFS-like
     * filesystems, the same primitive Spark's checkpoint managers use).
-    * A pure object-store deployment (no atomic rename) publishes
-    * staged dirs via a metadata layer instead.
+    * Under the manifest protocol this is only ever applied to the two
+    * small pointer files (ledger, manifest) — the one primitive an
+    * object-store deployment must shim (conditional PUT), exactly as
+    * for a table-format log commit.
     */
   def atomicReplace(conf: org.apache.hadoop.conf.Configuration,
       src: Path, dst: Path): Unit = {
@@ -237,7 +478,12 @@ object FoldProtocol {
   /** Publish `staging` at `target`: rename the live dir aside, rename
     * staging into place, then delete the old data — readers see the
     * previous complete state or the new complete one, never a
-    * mid-write directory.
+    * mid-write directory. Used by Layout's PATH-ADDRESSED publishes
+    * (snapshot tables, date partitions), where the path is the API and
+    * a pointer file cannot interpose; a reader listing in the instant
+    * between the two renames can see the target missing — the
+    * manifest-protocol indexes ([[FoldProtocol.publishDir]]) close
+    * that window via pointer indirection.
     */
   def replaceDir(conf: org.apache.hadoop.conf.Configuration,
       staging: Path, target: Path, trash: Path): Unit = {

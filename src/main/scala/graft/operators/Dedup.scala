@@ -378,7 +378,7 @@ object Dedup {
     * [[graft.index.FoldProtocol]]). The ledger is a `_ledger` sidecar
     * INSIDE `df/`, so the df directory swap is also the ledger commit.
     */
-  private def protocol(path: String) =
+  private[graft] def protocol(path: String) =
     new graft.index.FoldProtocol(path, "df/_ledger")
 
   /** BatchIds whose fold is fully committed (ledger = df sidecar). */
@@ -391,11 +391,9 @@ object Dedup {
     * fold are invisible until their replay commits.
     */
   private def indexFrame(s: SparkSession, path: String,
-      sub: String): DataFrame = {
-    val p = protocol(path)
-    p.stripTombstoned(
-      s.read.parquet(p.committedDirs(sub): _*), "doc_id")
-  }
+      sub: String): DataFrame =
+    protocol(path).readCommittedStripped(s, sub, "doc_id")(d =>
+      s.read.parquet(d))
 
   /** Fold batch `batchId` into a persisted index, EXACTLY ONCE under
     * replay (the per-batch lifecycle step: after
@@ -423,12 +421,15 @@ object Dedup {
     * inputs are two AGGREGATED frames — the corpus pair frame is never
     * rewritten and never re-read.
     */
-  def appendToIndex(docs: DataFrame, path: String, batchId: Long): Boolean = {
-    if (foldedBatches(path).contains(batchId)) return false
-    val incDf = stageBatchFold(docs, path, batchId)
-    commitBatchFold(incDf, path, batchId)
-    true
-  }
+  def appendToIndex(docs: DataFrame, path: String, batchId: Long): Boolean =
+    protocol(path).withLease(s"fold-$batchId") {
+      if (foldedBatches(path).contains(batchId)) false
+      else {
+        val incDf = stageBatchFold(docs, path, batchId)
+        commitBatchFold(incDf, path, batchId)
+        true
+      }
+    }
 
   /** Steps 2 of the fold protocol: write the batch's shingle/hash rows
     * into their b-dirs (overwrite ⇒ replay-safe) and return the batch's
@@ -438,13 +439,15 @@ object Dedup {
   private[graft] def stageBatchFold(docs: DataFrame, path: String,
       batchId: Long): DataFrame = {
     val s = docs.sparkSession
+    val p = protocol(path)
     val exploded = Par.fanOut(docs)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
     exploded.write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/shingles/b$batchId")
+      .parquet(s"${p.dir("shingles")}/b$batchId")
     docs.select(col("doc_id"), md5(col("text")).as("h"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes/b$batchId")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${p.dir("hashes")}/b$batchId")
     exploded.groupBy(col("shh")).agg(count(lit(1)).as("df"))
   }
 
@@ -456,22 +459,24 @@ object Dedup {
     publishDfMerge(incDf, path, batchId.toString)
 
   /** Merge a (possibly negative) df delta into the summary and publish
-    * summary + grown ledger in ONE directory swap — the shared commit
-    * point of folds AND deletes (the ledger rides the staged `df/`
-    * dir, so the swap is atomic for both). Keys whose count reaches 0
-    * are dropped (only reachable via deletes).
+    * summary + grown ledger in ONE manifest commit — the shared commit
+    * point of folds AND deletes (the ledger rides the staged df
+    * generation, so the single pointer-file replace is atomic for
+    * both: a crash anywhere leaves the manifest naming a complete df
+    * dir whose embedded ledger matches it exactly). Keys whose count
+    * reaches 0 are dropped (only reachable via deletes).
     */
   private def publishDfMerge(delta: DataFrame, path: String,
       entry: String): Unit = {
     val s = delta.sparkSession
     val p = protocol(path)
-    s.read.parquet(s"$path/df")
+    s.read.parquet(p.dir("df"))
       .union(delta)
       .groupBy(col("shh")).agg(sum(col("df")).as("df"))
       .filter(col("df") =!= 0)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/.df.staging")
     p.writeLedgerInto(".df.staging", entry)
-    p.replaceDir(".df.staging", "df")
+    p.publishDir(".df.staging", "df")
   }
 
   /** Tombstone a batch of documents, EXACTLY ONCE under replay — the
@@ -493,14 +498,19 @@ object Dedup {
   def deleteFromIndex(ids: DataFrame, path: String,
       deleteId: Long): Boolean = {
     val p = protocol(path)
-    if (p.deletedBatches().contains(deleteId)) return false
-    val s = ids.sparkSession
-    p.stageTombstones(ids, "doc_id", deleteId)
-    val negDf = indexFrame(s, path, "shingles")
-      .join(ids.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .groupBy(col("shh")).agg((-count(lit(1))).as("df"))
-    publishDfMerge(negDf, path, s"d$deleteId")
-    true
+    p.withLease(s"delete-$deleteId") {
+      if (p.deletedBatches().contains(deleteId)) false
+      else {
+        val s = ids.sparkSession
+        p.stageTombstones(ids, "doc_id", deleteId)
+        val negDf = indexFrame(s, path, "shingles")
+          .join(ids.select(col("doc_id")).distinct(), Seq("doc_id"),
+            "left_semi")
+          .groupBy(col("shh")).agg((-count(lit(1))).as("df"))
+        publishDfMerge(negDf, path, s"d$deleteId")
+        true
+      }
+    }
   }
 
   /** Compact the index's shingle/hash frames: rewrite all committed
@@ -524,17 +534,20 @@ object Dedup {
     */
   def compactIndex(s: SparkSession, path: String, numFiles: Int = 8): Unit = {
     val p = protocol(path)
-    for ((sub, key) <- Seq("shingles" -> "shh", "hashes" -> "h")) {
-      indexFrame(s, path, sub)
-        .repartition(numFiles, col(key))
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$path/.$sub.compacting/compact")
-      p.replaceDir(s".$sub.compacting", sub)
+    p.withLease("compact-dedup") {
+      val cname = p.compactDirName()
+      for ((sub, key) <- Seq("shingles" -> "shh", "hashes" -> "h")) {
+        indexFrame(s, path, sub)
+          .repartition(numFiles, col(key))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$path/.$sub.compacting/$cname")
+        p.publishDir(s".$sub.compacting", sub)
+      }
+      // Compaction rewrote the SERVED (tombstone-stripped) frames, so
+      // the publish doubled as the physical purge; the df summary was
+      // already corrected at delete-commit time and needs no rewrite.
+      p.clearTombstones()
     }
-    // Compaction rewrote the SERVED (tombstone-stripped) frames, so the
-    // swap doubled as the physical purge; the df summary was already
-    // corrected at delete-commit time and needs no rewrite.
-    p.clearTombstones()
   }
 
   /** [[incrementalKeepNew]] against a PERSISTED index (see
@@ -575,7 +588,7 @@ object Dedup {
     // list is a full-outer merge of two AGGREGATED frames — history's
     // pair frame is never scanned for it (that scan happens once, below,
     // for candidates).
-    val histDf = s.read.parquet(s"$indexPath/df")
+    val histDf = s.read.parquet(protocol(indexPath).dir("df"))
       .select(col("shh"), col("df").as("hdf"))
     val incDf = incSh.groupBy(col("shh")).agg(count(lit(1)).as("idf"))
     val stop = histDf.join(incDf, Seq("shh"), "full")
@@ -613,13 +626,19 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), s"graft_dedup_index$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // seed/ OR compact/ satisfies each frame: compaction rewrites the
-    // committed sub-dirs into compact/ (seed included), and a compacted
-    // index is a complete index — rebuilding it would discard folds.
-    def frameDone(sub: String): Boolean = Seq("seed", "compact").exists(v =>
-      fs.exists(new org.apache.hadoop.fs.Path(root, s"$sub/$v/_SUCCESS")))
+    // seed/ OR a c<hw>/ compaction satisfies each frame: compaction
+    // rewrites the committed sub-dirs into one dir (seed included), and
+    // a compacted index is a complete index — rebuilding it would
+    // discard folds. Resolution goes through the manifest.
+    val p = protocol(root.toString)
+    def frameDone(sub: String): Boolean =
+      p.committedDirsOrEmpty(sub).exists { dir =>
+        val name = dir.substring(dir.lastIndexOf('/') + 1)
+        (name == "seed" || name.matches("c\\d+")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+      }
     val done = frameDone("shingles") && frameDone("hashes") &&
-      fs.exists(new org.apache.hadoop.fs.Path(root, "df/_SUCCESS"))
+      fs.exists(new org.apache.hadoop.fs.Path(p.dir("df"), "_SUCCESS"))
     if (!done) {
       // a partial or stale-layout index (e.g. from a previous library
       // version) must not leak files into the rebuilt one

@@ -156,7 +156,7 @@ object Retrieval {
     * resolution, tombstones, publishes (see
     * [[graft.index.FoldProtocol]]).
     */
-  private def protocol(path: String) =
+  private[graft] def protocol(path: String) =
     new graft.index.FoldProtocol(path, "_postings_ledger")
 
   /** Write one sub-root's postings + mergeable stats from a
@@ -169,6 +169,7 @@ object Retrieval {
     */
   private def writeSubRoot(docs: DataFrame, path: String,
       sub: String): Unit = {
+    val p = protocol(path)
     bucketSliced(Par.fanOut(docs)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("dl"),
@@ -178,12 +179,12 @@ object Retrieval {
       .withColumn("bucket", pmod(xxhash64(col("word")), lit(Buckets))))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket")
-      .parquet(s"$path/postings/$sub")
+      .parquet(s"${p.dir("postings")}/$sub")
     docs
       .select(size(words(col("text"))).as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("sum_dl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/stats/$sub")
+      .parquet(s"${p.dir("stats")}/$sub")
   }
 
   /** Build a fresh BM25 index at `path`: the corpus lands in the
@@ -248,7 +249,7 @@ object Retrieval {
         .agg((-count(lit(1))).as("n"),
           (-coalesce(sum(col("dl")), lit(0L))).cast("long").as("sum_dl"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/stats/d$deleteId")
+        .parquet(s"${p.dir("stats")}/d$deleteId")
     }
   }
 
@@ -268,11 +269,8 @@ object Retrieval {
     * vanishes entirely when the index has no committed deletes.
     */
   private def indexPostings(s: SparkSession, path: String): DataFrame =
-    protocol(path).stripTombstoned(
-      subRoots(path, "postings").map(r =>
-        s.read.schema(PostingsSchema).option("basePath", r).parquet(r))
-        .reduce(_.union(_)),
-      "doc_id")
+    protocol(path).readCommittedStripped(s, "postings", "doc_id")(r =>
+      s.read.schema(PostingsSchema).option("basePath", r).parquet(r))
 
   /** Corpus stats merged across committed sub-roots (delete batches
     * contribute negative deltas): exact integer sums, divided once —
@@ -286,50 +284,60 @@ object Retrieval {
         (sum(col("sum_dl")).cast("double") / sum(col("n"))).as("avgdl"))
 
   /** Compact the index: rewrite all committed sub-roots into ONE
-    * `compact/` dir per side (postings still bucket-partitioned, one
-    * file per bucket; stats re-merged to one row), each published by
-    * the staged-write + swap every Layout publish uses. Without it
-    * fold N's readers pay an O(N) sub-root listing. The ledger is NOT
-    * touched: replayed batchIds (and deleteIds) keep short-circuiting
-    * after their dirs are compacted away. The two swaps are each
-    * atomic; between them readers see compacted postings with
-    * uncompacted stats — both sides cover the corpus exactly once, so
-    * served results are identical in that window. The compaction input
-    * is the SERVED view (tombstones stripped, negative stats deltas
-    * folded in), so the swap doubles as the physical purge of deleted
-    * docs; the tombstone dirs are dropped after it.
+    * `c<hw>/` dir per side (postings still bucket-partitioned, one
+    * file per bucket; stats re-merged to one row), each published by a
+    * manifest commit (`FoldProtocol.publishDir` — no reader ever finds
+    * a missing directory; the dir name carries the compaction's fold
+    * order so later deletes apply to it and stale post-crash
+    * tombstones do not). Without it fold N's readers pay an O(N)
+    * sub-root listing. The ledger is NOT touched: replayed batchIds
+    * (and deleteIds) keep short-circuiting after their dirs are
+    * compacted away. The two publishes are each atomic; between them
+    * readers see compacted postings with uncompacted stats — both
+    * sides cover the corpus exactly once, so served results are
+    * identical in that window. The compaction input is the SERVED view
+    * (tombstones stripped, negative stats deltas folded in), so the
+    * publish doubles as the physical purge of deleted docs; the
+    * tombstone dirs are dropped after it. Writer-lease-guarded.
     */
   def compactBm25Index(s: SparkSession, path: String): Unit = {
     val p = protocol(path)
-    bucketSliced(indexPostings(s, path))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("bucket")
-      .parquet(s"$path/.postings.compacting/compact")
-    subRoots(path, "stats").map(r =>
-      s.read.schema(StatsSchema).parquet(r))
-      .reduce(_.union(_))
-      .agg(sum(col("n")).cast("long").as("n"),
-        sum(col("sum_dl")).cast("long").as("sum_dl"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/.stats.compacting/compact")
-    p.replaceDir(".postings.compacting", "postings")
-    p.replaceDir(".stats.compacting", "stats")
-    p.clearTombstones()
+    p.withLease("compact-bm25") {
+      val cname = p.compactDirName()
+      bucketSliced(indexPostings(s, path))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"$path/.postings.compacting/$cname")
+      subRoots(path, "stats").map(r =>
+        s.read.schema(StatsSchema).parquet(r))
+        .reduce(_.union(_))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("sum_dl")).cast("long").as("sum_dl"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/.stats.compacting/$cname")
+      p.publishDir(".postings.compacting", "postings")
+      p.publishDir(".stats.compacting", "stats")
+      p.clearTombstones()
+    }
   }
 
   /** Build-once cache keyed by the sf dir, same protocol as
-    * `Similarity.ensureIvfIndex`: a complete index (a seed OR compact
-    * _SUCCESS marker on both sides) is reused, anything partial is
-    * torn down and rebuilt.
+    * `Similarity.ensureIvfIndex`: a complete index (a seed OR `c<hw>`
+    * compaction _SUCCESS marker on both sides, resolved through the
+    * manifest) is reused, anything partial is torn down and rebuilt.
     */
   def ensureBm25Index(s: SparkSession, d: String): String = {
     val suffix = d.replaceAll("\\W", "_")
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), s"graft_bm25_index$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val p = protocol(root.toString)
     val complete = Seq("postings", "stats").forall(side =>
-      Seq("seed", "compact").exists(v => fs.exists(
-        new org.apache.hadoop.fs.Path(root, s"$side/$v/_SUCCESS"))))
+      p.committedDirsOrEmpty(side).exists { dir =>
+        val name = dir.substring(dir.lastIndexOf('/') + 1)
+        (name == "seed" || name.matches("c\\d+")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+      })
     if (!complete) {
       fs.delete(root, true)
       writeBm25Index(Tables.documents(s, d), root.toString)

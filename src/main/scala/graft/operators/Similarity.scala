@@ -517,15 +517,23 @@ object Similarity {
     root.toString
   }
 
-  /** cents/ plus a complete vector frame — seed/ OR compact/ (after
-    * compaction the seed dir is folded into compact/, and a compacted
-    * index is a complete index; rebuilding would discard folds).
+  /** cents plus a complete vector frame — a seed/ OR `c<hw>`
+    * compaction dir under the CURRENT vectors generation (after
+    * compaction the seed dir is folded into the compaction output, and
+    * a compacted index is a complete index; rebuilding would discard
+    * folds). Resolution goes through the manifest, so a
+    * generation-published index validates the generation it serves.
     */
   private def ivfIndexComplete(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(root, "cents/_SUCCESS")) &&
-      Seq("seed", "compact").exists(v => fs.exists(
-        new org.apache.hadoop.fs.Path(root, s"vectors/$v/_SUCCESS")))
+      root: org.apache.hadoop.fs.Path): Boolean = {
+    val p = protocol(root.toString)
+    fs.exists(new org.apache.hadoop.fs.Path(p.dir("cents"), "_SUCCESS")) &&
+      p.committedDirsOrEmpty("vectors").exists { d =>
+        val name = d.substring(d.lastIndexOf('/') + 1)
+        (name == "seed" || name.matches("c\\d+")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS"))
+      }
+  }
 
   /** Build a fresh IVF index at `path` from any `(vec_id, v)` frame:
     * every-`seedEvery`-th vector seeds one Lloyd refinement, the
@@ -572,7 +580,7 @@ object Similarity {
     * resolution, tombstones, publishes (see
     * [[graft.index.FoldProtocol]]).
     */
-  private def protocol(path: String) =
+  private[graft] def protocol(path: String) =
     new graft.index.FoldProtocol(path, "_vec_ledger")
 
   /** BatchIds whose vector fold is fully committed. */
@@ -586,14 +594,9 @@ object Similarity {
     * PartitionFilters, so the static cell prune holds across seed +
     * appended batches alike.
     */
-  def indexVectors(s: SparkSession, path: String): DataFrame = {
-    val p = protocol(path)
-    p.stripTombstoned(
-      p.committedDirs("vectors").map(r =>
-        s.read.schema(VecSchema).option("basePath", r).parquet(r))
-        .reduce(_.union(_)),
-      "vec_id")
-  }
+  def indexVectors(s: SparkSession, path: String): DataFrame =
+    protocol(path).readCommittedStripped(s, "vectors", "vec_id")(r =>
+      s.read.schema(VecSchema).option("basePath", r).parquet(r))
 
   /** Fold a batch of NEW vectors `(vec_id, v)` into a persisted IVF
     * index, EXACTLY ONCE under replay: assign each vector to its
@@ -614,13 +617,15 @@ object Similarity {
     * the write and the ledger commit can be simulated.
     */
   private[graft] def stageIvfFold(vecs: DataFrame, path: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    val p = protocol(path)
     assign(vecs.select(col("vec_id"), col("v")),
-      vecs.sparkSession.read.parquet(s"$path/cents"), 1)
+      vecs.sparkSession.read.parquet(p.dir("cents")), 1)
       .repartition(col("cent_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cent_id")
-      .parquet(s"$path/vectors/b$batchId")
+      .parquet(s"${p.dir("vectors")}/b$batchId")
+  }
 
   /** Fold step 2: publish the grown ledger via one atomic file move. */
   private[graft] def commitIvfFold(path: String, batchId: Long): Unit =
@@ -654,13 +659,15 @@ object Similarity {
     */
   def compactIvfIndex(s: SparkSession, path: String): Unit = {
     val p = protocol(path)
-    indexVectors(s, path)
-      .repartition(col("cent_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("cent_id")
-      .parquet(s"$path/.vectors.compacting/compact")
-    p.replaceDir(".vectors.compacting", "vectors")
-    p.clearTombstones()
+    p.withLease("compact-ivf") {
+      indexVectors(s, path)
+        .repartition(col("cent_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cent_id")
+        .parquet(s"$path/.vectors.compacting/${p.compactDirName()}")
+      p.publishDir(".vectors.compacting", "vectors")
+      p.clearTombstones()
+    }
   }
 
   /** Re-cluster a persisted IVF index in place — the recovery op for
@@ -678,46 +685,52 @@ object Similarity {
     * ledger entry WITHOUT rewriting anything — a refresh rewrites
     * every vector, so a barely-drifted index skips the cost.
     *
-    * Swap order is vectors-then-cents, each swap atomic. A reader in
-    * the window between them probes OLD centroid positions against
-    * NEW cell contents: still a valid ANN candidate set (every cell
-    * holds real vectors; ranking is exact within probed cells), with
-    * recall briefly degraded — ANN semantics degrade gracefully where
-    * exact semantics would break. A crash in the window leaves a
-    * complete, servable index; the un-ledgered replay re-runs the
-    * step from the already-swapped state (one extra Lloyd step — the
-    * index stays valid, refreshes are maintenance, not replayed
-    * ingest). Single-writer, like every index publish.
+    * Publish order is vectors-then-cents, each a manifest commit
+    * ([[graft.index.FoldProtocol.publishDir]] — no reader ever finds a
+    * missing directory). A reader in the window between the two
+    * commits probes OLD centroid positions against NEW cell contents:
+    * still a valid ANN candidate set (every cell holds real vectors;
+    * ranking is exact within probed cells), with recall briefly
+    * degraded — ANN semantics degrade gracefully where exact semantics
+    * would break. A crash in the window leaves a complete, servable
+    * index; the un-ledgered replay re-runs the step from the
+    * already-published state (one extra Lloyd step — the index stays
+    * valid, refreshes are maintenance, not replayed ingest).
+    * Writer-lease-guarded, like every index publish.
     */
   def refreshIvfIndex(s: SparkSession, path: String, refreshId: Long,
       minDrift: Double = 0.0): Boolean = {
     val p = protocol(path)
     if (p.entries().contains(s"r$refreshId")) return false
-    val vecs = indexVectors(s, path).select(col("vec_id"), col("v"))
-    val oldCents = s.read.parquet(s"$path/cents")
-    val newCents = lloydStep(vecs, oldCents)
-    val drift = oldCents.select(col("cent_id"), col("cv").as("ocv"))
-      .join(newCents.select(col("cent_id"), col("cv").as("ncv")),
-        Seq("cent_id"))
-      .agg(avg(lit(1.0) - cosine(col("ocv"), col("ncv"))))
-      .head().getDouble(0)
-    if (drift < minDrift) { p.commit(s"r$refreshId"); return false }
-    // the staging name is NOT dot-prefixed: the staged centroids are
-    // read back before the swap (double-roundtrip parity with
-    // writeIvfIndex — the index provably serves the same values later
-    // probes read), and Spark's file listing skips hidden dirs
-    newCents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/cents.refreshing")
-    assign(vecs, s.read.parquet(s"$path/cents.refreshing"), 1)
-      .repartition(col("cent_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("cent_id")
-      .parquet(s"$path/.vectors.refreshing/compact")
-    p.replaceDir(".vectors.refreshing", "vectors")
-    p.replaceDir("cents.refreshing", "cents")
-    p.clearTombstones()
-    p.commit(s"r$refreshId")
-    true
+    p.withLease(s"refresh-$refreshId") {
+      val vecs = indexVectors(s, path).select(col("vec_id"), col("v"))
+      val oldCents = s.read.parquet(p.dir("cents"))
+      val newCents = lloydStep(vecs, oldCents)
+      val drift = oldCents.select(col("cent_id"), col("cv").as("ocv"))
+        .join(newCents.select(col("cent_id"), col("cv").as("ncv")),
+          Seq("cent_id"))
+        .agg(avg(lit(1.0) - cosine(col("ocv"), col("ncv"))))
+        .head().getDouble(0)
+      if (drift < minDrift) { p.commit(s"r$refreshId"); false }
+      else {
+        // the staging name is NOT dot-prefixed: the staged centroids are
+        // read back before the publish (double-roundtrip parity with
+        // writeIvfIndex — the index provably serves the same values later
+        // probes read)
+        newCents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/cents.refreshing")
+        assign(vecs, s.read.parquet(s"$path/cents.refreshing"), 1)
+          .repartition(col("cent_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cent_id")
+          .parquet(s"$path/.vectors.refreshing/${p.compactDirName()}")
+        p.publishDir(".vectors.refreshing", "vectors")
+        p.publishDir("cents.refreshing", "cents")
+        p.clearTombstones()
+        p.commit(s"r$refreshId")
+        true
+      }
+    }
   }
 
   /** Top-k ANN for an arbitrary query frame `(query_id, qv)` against a
@@ -749,7 +762,7 @@ object Similarity {
       nprobe: Int = 4, k: Int = TopK,
       allowed: Option[DataFrame] = None): DataFrame = {
     // K rows of a 64-double array.
-    val cents = s.read.parquet(s"$indexPath/cents")
+    val cents = s.read.parquet(protocol(indexPath).dir("cents"))
     val probes = assign(
       queries.select(col("query_id").as("vec_id"), col("qv").as("v")),
       cents, nprobe)

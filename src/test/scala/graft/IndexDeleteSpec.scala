@@ -54,7 +54,9 @@ class IndexDeleteSpec extends SparkSpec {
     assert(served() == afterDelete)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(idx, "tombstones")))
-    assert(spark.read.parquet(s"$idx/postings/compact")
+    assert(spark.read.parquet(
+      Retrieval.protocol(idx).committedDirs("postings")
+        .filter(_.matches(".*/c\\d+$")).head)
       .filter($"doc_id".isin(victims: _*)).count() == 0,
       "compaction must purge tombstoned postings physically")
     assert(!Retrieval.deleteFromBm25Index(vdf, idx, 0L),
@@ -101,7 +103,9 @@ class IndexDeleteSpec extends SparkSpec {
     assert(served() == afterDelete)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(idx, "tombstones")))
-    assert(spark.read.parquet(s"$idx/vectors/compact")
+    assert(spark.read.parquet(
+      Similarity.protocol(idx).committedDirs("vectors")
+        .filter(_.matches(".*/c\\d+$")).head)
       .filter($"vec_id".isin(victims: _*)).count() == 0)
     assert(!Similarity.deleteFromIvfIndex(vdf, idx, 0L))
   }
@@ -158,7 +162,7 @@ class IndexDeleteSpec extends SparkSpec {
     assert(afterDelete ==
       Dedup.incrementalKeepNewIndexed(idx2, incoming)
         .select($"doc_id").as[Long].collect().toSeq.sorted)
-    def dfSummary(p: String) = spark.read.parquet(s"$p/df")
+    def dfSummary(p: String) = spark.read.parquet(Dedup.protocol(p).dir("df"))
       .select($"shh", $"df").as[(Long, Long)].collect().toSet
     assert(dfSummary(idx) == dfSummary(idx2),
       "delete-commit must leave the exact live-history df summary")
@@ -168,7 +172,9 @@ class IndexDeleteSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(idx, "tombstones")))
     for (sub <- Seq("shingles", "hashes"))
-      assert(spark.read.parquet(s"$idx/$sub/compact")
+      assert(spark.read.parquet(
+        Dedup.protocol(idx).committedDirs(sub)
+          .filter(_.matches(".*/c\\d+$")).head)
         .filter($"doc_id".isin(victims: _*)).count() == 0, sub)
     assert(!Dedup.deleteFromIndex(vdf, idx, 0L))
   }

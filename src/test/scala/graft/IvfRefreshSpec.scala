@@ -82,9 +82,11 @@ class IvfRefreshSpec extends SparkSpec {
       "every query still gets a full ranking")
     // vectors and centroids stayed consistent: each served neighbor
     // exists exactly once in the rewritten index
-    val n = spark.read.parquet(s"$idx/vectors/compact")
+    val rewritten = Similarity.protocol(idx).committedDirs("vectors")
+      .filter(_.matches(".*/c\\d+$")).head
+    val n = spark.read.parquet(rewritten)
       .groupBy($"vec_id").count().filter($"count" > 1).count()
     assert(n == 0, "refresh must not duplicate vectors")
-    assert(spark.read.parquet(s"$idx/vectors/compact").count() == e.count())
+    assert(spark.read.parquet(rewritten).count() == e.count())
   }
 }

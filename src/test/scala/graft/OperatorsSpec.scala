@@ -448,9 +448,9 @@ class OperatorsSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(viaGrown == viaFull)
     // df summaries are value-identical, not just result-equivalent
-    val dfGrown = spark.read.parquet(s"$grown/df")
+    val dfGrown = spark.read.parquet(Dedup.protocol(grown).dir("df"))
       .as[(Long, Long)].collect().toMap
-    val dfScratch = spark.read.parquet(s"$scratch/df")
+    val dfScratch = spark.read.parquet(Dedup.protocol(scratch).dir("df"))
       .as[(Long, Long)].collect().toMap
     assert(dfGrown == dfScratch)
   }
@@ -467,9 +467,12 @@ class OperatorsSpec extends SparkSpec {
     val incoming = docs.filter($"doc_id" % 5 === 4)
     val before = Dedup.incrementalKeepNewIndexed(idx, incoming)
       .select($"doc_id").as[Long].collect().toSet
+    // resolve the kind through the manifest: compaction publishes a new
+    // generation dir; the pre-publish one is retired on the NEXT publish
     def dataFiles(sub: String): Int = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(idx, sub))
+      java.nio.file.Files.walk(java.nio.file.Paths.get(
+          Dedup.protocol(idx).dir(sub)))
         .iterator().asScala.count(_.toString.endsWith(".parquet"))
     }
     val filesBefore = dataFiles("shingles")

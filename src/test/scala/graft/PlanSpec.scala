@@ -21,7 +21,11 @@ class PlanSpec extends SparkSpec {
   test("q_snapshot_latest: scalar MAX reads only ts and broadcasts") {
     val p = plan("q_snapshot_latest")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"))
-    assert(p.contains("ReadSchema: struct<ts:bigint>"))
+    // the scalar-subquery scan prunes to the single ts column; its
+    // physical type follows the driver's parquet encoding (bigint for
+    // the NANOS-as-long era, timestamp_ntz for the µs era)
+    assert(p.contains("ReadSchema: struct<ts:bigint>") ||
+      p.contains("ReadSchema: struct<ts:timestamp_ntz>"))
   }
 
   test("q_star_join: every dimension side is broadcast (no dim shuffle)") {

@@ -119,11 +119,12 @@ class RetrievalSpec extends SparkSpec {
     assert(served(Seq("dup", "query", "scan")) == full)
     import scala.jdk.CollectionConverters._
     for (side <- Seq("postings", "stats")) {
-      val roots = java.nio.file.Files.list(
-        java.nio.file.Paths.get(idx, side)).iterator().asScala
+      val roots = java.nio.file.Files.list(java.nio.file.Paths.get(
+        Retrieval.protocol(idx).dir(side))).iterator().asScala
         .filter(java.nio.file.Files.isDirectory(_))
         .map(_.getFileName.toString).toSeq
-      assert(roots == Seq("compact"), s"$side roots: $roots")
+      assert(roots.size == 1 && roots.head.matches("c\\d+"),
+        s"$side roots: $roots")
     }
     assert(!Retrieval.appendToBm25Index(wave2, idx, 0L))
     assert(served(Seq("dup", "query", "scan")) == full)

@@ -59,11 +59,11 @@ class StreamingDedupSpec extends SparkSpec {
     // every assertion below still holding against the compacted index
     for (sub <- Seq("shingles", "hashes")) {
       import scala.jdk.CollectionConverters._
-      val roots = java.nio.file.Files.list(
-        java.nio.file.Paths.get(idx, sub)).iterator().asScala
+      val roots = java.nio.file.Files.list(java.nio.file.Paths.get(
+        Dedup.protocol(idx).dir(sub))).iterator().asScala
         .filter(java.nio.file.Files.isDirectory(_))
         .map(_.getFileName.toString).toSeq
-      assert(roots == Seq("compact"),
+      assert(roots.size == 1 && roots.head.matches("c\\d+"),
         s"$sub not auto-compacted: $roots")
     }
 
@@ -85,9 +85,9 @@ class StreamingDedupSpec extends SparkSpec {
     val scratch = tmpDir("sdedup-scratch")
     Dedup.writeIndex(
       init.union(corpusOf(out).select($"doc_id", $"text")), scratch)
-    val dfGrown = spark.read.parquet(s"$idx/df")
+    val dfGrown = spark.read.parquet(Dedup.protocol(idx).dir("df"))
       .as[(Long, Long)].collect().toMap
-    val dfScratch = spark.read.parquet(s"$scratch/df")
+    val dfScratch = spark.read.parquet(Dedup.protocol(scratch).dir("df"))
       .as[(Long, Long)].collect().toMap
     assert(dfGrown == dfScratch)
   }
@@ -144,7 +144,7 @@ class StreamingDedupSpec extends SparkSpec {
 
     def state() = (
       corpusOf(out).select($"doc_id").as[Long].collect().toSet,
-      spark.read.parquet(s"$idx/df").as[(Long, Long)].collect().toMap)
+      spark.read.parquet(Dedup.protocol(idx).dir("df")).as[(Long, Long)].collect().toMap)
 
     // batch 0: normal publish, then a POST-COMMIT replay (restart after
     // the checkpoint-side crash: ledger already has the batch).
@@ -171,7 +171,7 @@ class StreamingDedupSpec extends SparkSpec {
     val scratch1 = tmpDir("sdedup-r-scratch1")
     Dedup.writeIndex(
       init.union(corpusOf(out).select($"doc_id", $"text")), scratch1)
-    assert(afterB1._2 == spark.read.parquet(s"$scratch1/df")
+    assert(afterB1._2 == spark.read.parquet(Dedup.protocol(scratch1).dir("df"))
       .as[(Long, Long)].collect().toMap)
 
     // batch 2: crash MID-FOLD — survivors written, shingle/hash b-dirs
@@ -194,7 +194,7 @@ class StreamingDedupSpec extends SparkSpec {
     val scratch2 = tmpDir("sdedup-r-scratch2")
     Dedup.writeIndex(
       init.union(corpusOf(out).select($"doc_id", $"text")), scratch2)
-    assert(afterB2._2 == spark.read.parquet(s"$scratch2/df")
+    assert(afterB2._2 == spark.read.parquet(Dedup.protocol(scratch2).dir("df"))
       .as[(Long, Long)].collect().toMap)
     // and a final full replay of everything already committed is inert
     StreamingDedup.publishBatch(b0, 0L, idx, out)

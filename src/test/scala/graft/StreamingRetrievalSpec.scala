@@ -97,11 +97,12 @@ class StreamingRetrievalSpec extends SparkSpec {
     // compactEvery=2 fired after batchId 1: ONE sub-root per side
     import scala.jdk.CollectionConverters._
     for (side <- Seq("postings", "stats")) {
-      val roots = java.nio.file.Files.list(
-        java.nio.file.Paths.get(idx, side)).iterator().asScala
+      val roots = java.nio.file.Files.list(java.nio.file.Paths.get(
+        Retrieval.protocol(idx).dir(side))).iterator().asScala
         .filter(java.nio.file.Files.isDirectory(_))
         .map(_.getFileName.toString).toSeq
-      assert(roots == Seq("compact"), s"$side roots: $roots")
+      assert(roots.size == 1 && roots.head.matches("c\\d+"),
+        s"$side roots: $roots")
     }
     // the grown index serves the exact full-corpus answer — df, N and
     // avgdl all shifted with the streamed folds

@@ -136,10 +136,11 @@ class StreamingSimilaritySpec extends SparkSpec {
     assert(Similarity.indexTopK(spark, idx, q)
       .as[(Long, Long, Int)].collect().toSet == before)
     import scala.jdk.CollectionConverters._
-    val roots = java.nio.file.Files.list(
-      java.nio.file.Paths.get(idx, "vectors")).iterator().asScala
+    val roots = java.nio.file.Files.list(java.nio.file.Paths.get(
+      Similarity.protocol(idx).dir("vectors"))).iterator().asScala
       .filter(java.nio.file.Files.isDirectory(_)).toSeq
-    assert(roots.size == 1 && roots.head.getFileName.toString == "compact")
+    assert(roots.size == 1 &&
+      roots.head.getFileName.toString.matches("c\\d+"))
     // replayed batchIds keep short-circuiting after their b-dirs are
     // compacted away
     assert(!Similarity.appendToIvfIndex(wave2, idx, 0L))
@@ -196,13 +197,14 @@ class StreamingSimilaritySpec extends SparkSpec {
     assert(ids == e.select($"vec_id").as[Long].collect().toSet,
       "all streamed vectors must be searchable after the folds")
     // compactEvery=2 fired after batchId 1: the sub-root listing is
-    // bounded to ONE compact/ dir and nothing was lost
+    // bounded to ONE compaction dir and nothing was lost
     import scala.jdk.CollectionConverters._
-    val roots = java.nio.file.Files.list(
-      java.nio.file.Paths.get(idx, "vectors")).iterator().asScala
+    val roots = java.nio.file.Files.list(java.nio.file.Paths.get(
+      Similarity.protocol(idx).dir("vectors"))).iterator().asScala
       .filter(java.nio.file.Files.isDirectory(_))
       .map(_.getFileName.toString).toSeq
-    assert(roots == Seq("compact"), s"expected auto-compacted roots: $roots")
+    assert(roots.size == 1 && roots.head.matches("c\\d+"),
+      s"expected auto-compacted roots: $roots")
     // a streamed vector is now found by enrichment: querying WITH one
     // of the new vectors' values returns sim-1.0 neighbors from its
     // cell (itself excluded by id)
