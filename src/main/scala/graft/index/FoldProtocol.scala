@@ -108,6 +108,35 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
   private def atomicReplace(src: Path, dst: Path): Unit =
     FoldProtocol.atomicReplace(conf, src, dst)
 
+  /** Read a small pointer file (manifest / ledger) as UTF-8 lines,
+    * retrying the handful of transients a concurrent atomic replace
+    * can expose on a ChecksumFileSystem (the local FS renames the data
+    * file and its `.crc` sidecar as two operations, so a reader racing
+    * the rename can see a checksum mismatch or a vanished sidecar —
+    * HDFS and object stores have no client-side sidecar and no such
+    * window). The data file itself is never torn: the rename is
+    * atomic, so one immediate re-read lands on a complete old or new
+    * file.
+    */
+  private def readLines(p: Path): Seq[String] = {
+    val f = fs
+    var attempt = 0
+    while (true) {
+      if (!f.exists(p)) return Seq.empty
+      try {
+        val in = f.open(p)
+        try return scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      } catch {
+        case e: java.io.IOException if attempt < 5 =>
+          attempt += 1; Thread.sleep(5L << attempt)
+        case e: java.io.FileNotFoundException => return Seq.empty
+      }
+    }
+    Seq.empty // unreachable
+  }
+
   // ---- manifest ----
 
   private def manifestPath = new Path(rootPath, "_manifest")
@@ -115,18 +144,10 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
   /** The current kind → physical-directory mapping (empty until the
     * first [[publishDir]]).
     */
-  def manifest(): Map[String, String] = {
-    val f = fs
-    if (!f.exists(manifestPath)) Map.empty
-    else {
-      val in = f.open(manifestPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().map(_.trim).filter(_.contains("="))
-        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
-        .toMap
-      finally in.close()
-    }
-  }
+  def manifest(): Map[String, String] =
+    readLines(manifestPath).filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+      .toMap
 
   /** Physical directory name currently serving `kind` (the plain kind
     * name until the first publish moves it onto generations).
@@ -200,16 +221,7 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
   private def ledgerPath = new Path(rootPath, resolveRel(ledgerRel))
 
   /** Raw committed ledger entries (numeric = fold, `d<n>` = delete). */
-  def entries(): Set[String] = {
-    val f = fs
-    if (!f.exists(ledgerPath)) Set.empty
-    else {
-      val in = f.open(ledgerPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().map(_.trim).filter(_.nonEmpty).toSet
-      finally in.close()
-    }
-  }
+  def entries(): Set[String] = readLines(ledgerPath).toSet
 
   /** BatchIds whose APPEND fold is fully committed. */
   def foldedBatches(): Set[Long] =

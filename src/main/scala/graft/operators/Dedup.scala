@@ -681,20 +681,27 @@ object Dedup {
       fs.delete(root, true)
       val docs = Tables.documents(s, d)
       writeIndex(docs.filter(col("doc_id") % 5 =!= 4), root.toString)
-      deleteFromIndex(docs.filter(col("doc_id") % 10 === 1)
+      // victim classes chosen to include history docs that SHIELD
+      // incoming near-dups (verified present at every gate sf): the
+      // delete must visibly change the incremental answer, not just
+      // shrink the index
+      deleteFromIndex(docs.filter(col("doc_id") % 10 === 0 ||
+          col("doc_id") % 10 === 7)
         .select(col("doc_id")), root.toString, 0L)
     }
     root.toString
   }
 
   /** Oracle for the deleted-index gate: the exact incremental answer
-    * recomputed from scratch WITHOUT the tombstoned docs (doc_id % 10 =
-    * 1) — shingles, df cap, near/exact dup relations and the survivor
-    * filter all see only live documents, which is precisely what the
-    * tombstone anti-join + df correction must reproduce.
+    * recomputed from scratch WITHOUT the tombstoned docs (doc_id % 10
+    * IN (0, 7) — classes that include shields of incoming near-dups,
+    * so the delete visibly changes the answer) — shingles, df cap,
+    * near/exact dup relations and the survivor filter all see only
+    * live documents, which is precisely what the tombstone anti-join +
+    * df correction must reproduce.
     */
   private val incrementalDeletedOracleSql: String =
-    """WITH live AS (SELECT * FROM documents WHERE doc_id % 10 <> 1),
+    """WITH live AS (SELECT * FROM documents WHERE doc_id % 10 NOT IN (0, 7)),
       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM live),
       |ex AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |         range(1, greatest(len(ws) - 1, 1)),
@@ -717,6 +724,50 @@ object Dedup {
       |WHERE doc_id % 5 = 4
       |  AND doc_id NOT IN (SELECT doc_id FROM near)
       |  AND doc_id NOT IN (SELECT doc_id FROM exact_dup)""".stripMargin
+
+  /** Build-if-absent the takedown-then-reingest gate fixture — the
+    * full ledger-ordered tombstone lifecycle: seed from the history
+    * wave minus the victims, fold the victims as ledgered batch 1,
+    * tombstone them (delete 0, high-water 1), then RE-INGEST them
+    * under the same ids as batch 2 (the corrected-version flow of a
+    * takedown pipeline; here the correction is content-identical so
+    * the oracle is the full-corpus rebuild). Ledger order makes batch
+    * 2 serve while batch 1 stays hidden. The victim classes (%10 in
+    * (0, 7)) shield incoming near-dups, so an over-hiding tombstone
+    * (the pre-ledger-order semantics: hide the id from ALL folds)
+    * visibly changes the answer — this gate and
+    * `dedup_incremental_deleted` bracket the delete semantics from
+    * both sides (shields gone there, restored here). Keyed on batch
+    * 2's ledger entry (it commits last).
+    */
+  def ensureReaddedIndex(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_dedup_readd$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!protocol(root.toString).foldedBatches().contains(2L)) {
+      fs.delete(root, true)
+      val hist = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
+      val isVictim = col("doc_id") % 10 === 0 || col("doc_id") % 10 === 7
+      writeIndex(hist.filter(!isVictim), root.toString)
+      appendToIndex(hist.filter(isVictim), root.toString, 1L)
+      deleteFromIndex(hist.filter(isVictim).select(col("doc_id")),
+        root.toString, 0L)
+      appendToIndex(hist.filter(isVictim), root.toString, 2L)
+    }
+    root.toString
+  }
+
+  /** Oracle for the readded-index gate: the corpus the lifecycle
+    * leaves is the FULL corpus (every victim's pre-delete version is
+    * hidden, its identical re-ingest serves), so the oracle is the
+    * from-scratch incremental answer over all documents — any
+    * over-hiding tombstone (hiding the re-ingested batch too) loses
+    * the victims' shields and mismatches.
+    */
+  // a def, not a val: incrementalOracleSql is initialized later in this
+  // object and a val here would capture null at init order
+  private def incrementalReaddedOracleSql: String = incrementalOracleSql
 
   /** Shared oracle for `dedup_incremental` AND `dedup_incremental_indexed`
     * — the indexed variant's contract is result-IDENTITY with the
@@ -918,6 +969,21 @@ object Dedup {
       (s, d) =>
         val incoming = Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
         incrementalKeepNewIndexed(ensureDeletedIndex(s, d), incoming)
+          .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // Takedown-then-reingest: tombstones are scoped by ledger order, so
+    // deleting a batch's documents and then folding corrected versions
+    // under the SAME ids serves the corrected corpus — delete hides
+    // only the folds committed before it. The oracle rebuilds the
+    // incremental answer over exactly that corpus (pre-delete versions
+    // absent, corrected re-ingests present).
+    QuerySpec(
+      "dedup_incremental_readded",
+      incrementalReaddedOracleSql) {
+      (s, d) =>
+        val incoming = Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+        incrementalKeepNewIndexed(ensureReaddedIndex(s, d), incoming)
           .select(col("doc_id"), col("lang"), col("source"))
     },
 

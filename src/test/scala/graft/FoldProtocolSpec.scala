@@ -1,0 +1,174 @@
+package graft
+
+import graft.index.FoldProtocol
+import graft.operators.{Dedup, Similarity}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+
+/** The versioned-manifest publish protocol and writer lease shared by
+  * the three persisted indexes: generation publishes never leave a
+  * window where the served directory is missing, a crash between the
+  * generation rename and the manifest commit serves the OLD state, and
+  * two concurrent writers cannot both commit.
+  */
+class FoldProtocolSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDir(dir: String, rows: Seq[Long]): Unit =
+    rows.toDF("v").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+
+  private def served(p: FoldProtocol): Seq[Long] =
+    spark.read.parquet(p.dir("data")).select($"v").as[Long]
+      .collect().toSeq.sorted
+
+  test("publishDir: manifest commit swaps content with no missing-dir " +
+    "window; previous generation survives one publish; older ones and " +
+    "orphans are swept") {
+    val root = tmpDir("fold-manifest")
+    val p = new FoldProtocol(root, "_ledger")
+    writeDir(s"$root/data", Seq(1L, 2L)) // pre-manifest plain layout
+    assert(served(p) == Seq(1L, 2L))
+
+    writeDir(s"$root/.data.staging", Seq(3L, 4L))
+    p.publishDir(".data.staging", "data")
+    assert(p.resolveKind("data") == "data.g1")
+    assert(served(p) == Seq(3L, 4L))
+    // grace window: the pre-publish dir is still on disk for readers
+    // that resolved the manifest just before the commit
+    assert(new java.io.File(s"$root/data").isDirectory)
+
+    writeDir(s"$root/.data.staging", Seq(5L))
+    p.publishDir(".data.staging", "data")
+    assert(p.resolveKind("data") == "data.g2")
+    assert(served(p) == Seq(5L))
+    // the plain dir (two publishes old) is retired; g1 is the grace gen
+    assert(!new java.io.File(s"$root/data").exists)
+    assert(new java.io.File(s"$root/data.g1").isDirectory)
+  }
+
+  test("publishDir crash window: a generation renamed into place " +
+    "WITHOUT its manifest commit is invisible, and the next publish " +
+    "picks a fresh generation and sweeps the orphan") {
+    val root = tmpDir("fold-crash")
+    val p = new FoldProtocol(root, "_ledger")
+    writeDir(s"$root/.data.staging", Seq(1L))
+    p.publishDir(".data.staging", "data")
+    assert(served(p) == Seq(1L))
+
+    // simulated crash: stage + rename to data.g2 happened, manifest
+    // replace did not
+    writeDir(s"$root/data.g2", Seq(99L))
+    assert(served(p) == Seq(1L), "orphan generation must not serve")
+
+    writeDir(s"$root/.data.staging", Seq(2L))
+    p.publishDir(".data.staging", "data")
+    assert(p.resolveKind("data") == "data.g3",
+      "replay must not collide with the orphan generation")
+    assert(served(p) == Seq(2L))
+    assert(!new java.io.File(s"$root/data.g2").exists, "orphan swept")
+  }
+
+  test("withLease: a second writer fails fast with the holder's name; " +
+    "an expired lease is stolen; leases are re-entrant per thread") {
+    val root = tmpDir("fold-lease")
+    val p = new FoldProtocol(root, "_ledger")
+    val secondResult = new AtomicReference[Option[Throwable]](None)
+    p.withLease("writer-a") {
+      // re-entrant on the same thread: no self-deadlock
+      assert(p.withLease("writer-a")(42) == 42)
+      val t = new Thread(() =>
+        try { p.withLease("writer-b")(()); secondResult.set(None) }
+        catch { case e: Throwable => secondResult.set(Some(e)) })
+      t.start(); t.join()
+    }
+    val err = secondResult.get()
+    assert(err.exists(_.isInstanceOf[IllegalStateException]),
+      s"second writer must fail, got $err")
+    assert(err.get.getMessage.contains("writer-a"),
+      "the error must name the live holder")
+    assert(p.leaseHolder().isEmpty, "lease released after the block")
+
+    // a crashed writer's stale lease (older than the TTL) is stolen
+    p.withLease("writer-c", ttlMs = 1L) {
+      Thread.sleep(10) // age the lease past its 1 ms TTL
+      val stole = new AtomicReference(false)
+      val t = new Thread(() =>
+        p.withLease("writer-d", ttlMs = 1L) { stole.set(true) })
+      t.start(); t.join()
+      assert(stole.get(), "expired lease must be stealable")
+    }
+  }
+
+  test("fold/delete under lease: two interleaved writers cannot both " +
+    "commit the same index mutation path concurrently") {
+    val root = tmpDir("fold-mutex")
+    val p = new FoldProtocol(root, "_ledger")
+    val failures = new AtomicInteger(0)
+    p.withLease("maintenance-job") {
+      val t = new Thread(() =>
+        try p.fold(7L) { writeDir(s"$root/data/b7", Seq(7L)) }
+        catch { case _: IllegalStateException => failures.incrementAndGet() })
+      t.start(); t.join()
+    }
+    assert(failures.get() == 1, "a fold racing a leased writer must fail")
+    assert(p.foldedBatches().isEmpty, "the losing fold must not commit")
+    // after release the same fold commits normally
+    assert(p.fold(7L) { writeDir(s"$root/data/b7", Seq(7L)) })
+    assert(p.foldedBatches() == Set(7L))
+  }
+
+  test("concurrent reads during repeated compaction publishes never " +
+    "error and always see a complete index (IVF end-to-end)") {
+    val idx = tmpDir("ivf-concurrent")
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".as("v"))
+    Similarity.writeIvfIndex(e, idx)
+    val expected = e.count()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerError = new AtomicReference[Option[Throwable]](None)
+    val reads = new AtomicInteger(0)
+    val reader = new Thread(() =>
+      try while (!stop.get()) {
+        val n = Similarity.indexVectors(spark, idx).count()
+        assert(n == expected, s"read saw $n of $expected vectors")
+        reads.incrementAndGet()
+      } catch { case t: Throwable => readerError.set(Some(t)) })
+    reader.start()
+    try for (_ <- 1 to 3) Similarity.compactIvfIndex(spark, idx)
+    finally { stop.set(true); reader.join() }
+    assert(readerError.get().isEmpty,
+      s"reader failed during publish: ${readerError.get()}")
+    assert(reads.get() > 0, "the reader must have observed the window")
+  }
+
+  test("dedup ledger rides the manifest commit: a staged df generation " +
+    "without its manifest replace leaves the old ledger AND old summary " +
+    "served (the crash cannot lose the committed-batch set)") {
+    val idx = tmpDir("dedup-ledger-crash")
+    val docs = Tables.documents(spark, sf0001)
+    Dedup.writeIndex(docs.filter($"doc_id" % 5 === 0), idx)
+    assert(Dedup.appendToIndex(docs.filter($"doc_id" % 5 === 1), idx, 1L))
+    val p = Dedup.protocol(idx)
+    assert(p.foldedBatches() == Set(1L))
+    val dfBefore = spark.read.parquet(p.dir("df")).count()
+
+    // simulated crash inside the NEXT fold's commit: the staged df
+    // generation (with the grown ledger inside) was renamed into place
+    // but the manifest replace never ran
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = s"$idx/df.g99"
+    spark.read.parquet(p.dir("df")).limit(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(gen)
+    p.writeLedgerInto("df.g99", "2")
+
+    assert(p.foldedBatches() == Set(1L),
+      "an uncommitted df generation must not change the ledger")
+    assert(spark.read.parquet(p.dir("df")).count() == dfBefore,
+      "an uncommitted df generation must not change the summary")
+    // the batch replays cleanly and retires the orphan
+    assert(Dedup.appendToIndex(docs.filter($"doc_id" % 5 === 2), idx, 2L))
+    assert(p.foldedBatches() == Set(1L, 2L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(gen)), "orphan swept")
+  }
+}

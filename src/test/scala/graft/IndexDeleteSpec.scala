@@ -178,4 +178,48 @@ class IndexDeleteSpec extends SparkSpec {
         .filter($"doc_id".isin(victims: _*)).count() == 0, sub)
     assert(!Dedup.deleteFromIndex(vdf, idx, 0L))
   }
+
+  test("ledger-ordered tombstones: a taken-down id re-ingested in a " +
+    "later fold serves again, replays stay exactly-once, and " +
+    "compaction keeps the re-ingested rows while purging the hidden " +
+    "pre-delete ones") {
+    val idx = tmpDir("dedup-readd")
+    val docs = Tables.documents(spark, sf0001)
+    val history = docs.filter($"doc_id" % 5 =!= 4)
+    val incoming = docs.filter($"doc_id" % 5 === 4)
+    val isVictim = $"doc_id" % 10 === 0 || $"doc_id" % 10 === 7
+    val victims = history.filter(isVictim)
+    val victimIds = victims.select($"doc_id").as[Long].collect().toSeq
+    Dedup.writeIndex(history.filter(!isVictim), idx)
+    assert(Dedup.appendToIndex(victims, idx, 1L))
+    def served() = Dedup.incrementalKeepNewIndexed(idx, incoming)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    val full = served()
+
+    assert(Dedup.deleteFromIndex(victims.select($"doc_id"), idx, 0L))
+    val afterDelete = served()
+    assert(afterDelete != full,
+      "fixture: the victim classes must shield incoming dups at this sf")
+
+    // re-ingest the SAME ids in a later fold: the tombstones' high-water
+    // mark (1) scopes them to batch 1, so batch 2 serves normally
+    assert(Dedup.appendToIndex(victims, idx, 2L))
+    assert(served() == full, "re-ingested ids must shield again")
+
+    // replays of both halves of the lifecycle stay committed no-ops
+    assert(!Dedup.deleteFromIndex(victims.select($"doc_id"), idx, 0L))
+    assert(!Dedup.appendToIndex(victims, idx, 2L))
+    assert(served() == full)
+
+    // compaction folds the SERVED view: the hidden batch-1 rows purge,
+    // the re-ingested rows survive exactly once
+    Dedup.compactIndex(spark, idx)
+    assert(served() == full)
+    val compactHashes = spark.read.parquet(
+      Dedup.protocol(idx).committedDirs("hashes")
+        .filter(_.matches(".*/c\\d+$")).head)
+    assert(compactHashes.filter($"doc_id".isin(victimIds: _*))
+      .groupBy($"doc_id").count().filter($"count" =!= 1).count() == 0,
+      "exactly one served row per re-ingested id after the purge")
+  }
 }
