@@ -121,7 +121,16 @@ object Similarity {
     * oracle-side mirror of a tombstoned delete batch.
     */
   private def ivfCtesOver(neighborWhere: String): String =
-    s"""seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0),
+    ivfCtesSeeded(
+      "SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0",
+      neighborWhere)
+
+  /** Same construction with the seed set pluggable (the bounded-K gate
+    * swaps in the hash-ordered LIMIT sample).
+    */
+  private def ivfCtesSeeded(seedsSql: String,
+      neighborWhere: String): String =
+    s"""seeds AS ($seedsSql),
        |a0 AS (SELECT vec_id, v, cent_id FROM (
        |    SELECT e.vec_id, e.v, s.cent_id,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -543,8 +552,51 @@ object Similarity {
   def writeIvfIndex(vecs: DataFrame, path: String,
       seedEvery: Int = 25): Unit = {
     val e = vecs.select(col("vec_id"), col("v"))
-    val seeds = e.filter(col("vec_id") % seedEvery === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    writeIvfIndexFrom(e,
+      e.filter(col("vec_id") % seedEvery === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv")),
+      path)
+  }
+
+  /** The multiplicative-hash seed order for the bounded-K build: a
+    * deterministic, corpus-order-independent shuffle of the id space
+    * (Knuth's 2654435761 multiplier mod 2^32) that both the Spark build
+    * and the DuckDB oracle can compute exactly. Plain long arithmetic —
+    * ids up to ~3×10^9 stay inside the 64-bit exact range.
+    */
+  private def seedHash(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(4294967296L))
+
+  /** Build a fresh IVF index with a FIXED centroid count: the K seeds
+    * are the smallest `targetK` ids in multiplicative-hash order (a
+    * deterministic sample, robust to clustered id ranges), then the
+    * same Lloyd refinement + cell-partitioned layout as
+    * [[writeIvfIndex]].
+    *
+    * This is the 10^9+-vector build mode: the default every-`seedEvery`
+    * seeding grows K with the corpus (N/25 cells), which keeps cells
+    * constant-SIZE but makes the in-row centroid array of [[assign]]
+    * grow as K × dim doubles — gigabytes of map-side state at billions
+    * of vectors. A fixed `targetK` caps that array at a constant
+    * (targetK × 64 doubles — broadcastable at any corpus size, same
+    * argument as the PQ codebook cap), trading per-cell size growth,
+    * which the probe-side prune pays linearly (a probe reads
+    * nprobe/targetK of the corpus regardless). Gated by
+    * `sim_ivf_fixedk_recall`: the DuckDB oracle recomputes the
+    * identical construction end-to-end and both sides report per-query
+    * recall against the exact top-k.
+    */
+  def writeIvfIndexFixedK(vecs: DataFrame, path: String,
+      targetK: Int = FixedK): Unit = {
+    val e = vecs.select(col("vec_id"), col("v"))
+    writeIvfIndexFrom(e,
+      e.orderBy(seedHash(col("vec_id")), col("vec_id")).limit(targetK)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv")),
+      path)
+  }
+
+  private def writeIvfIndexFrom(e: DataFrame, seeds: DataFrame,
+      path: String): Unit = {
     lloydStep(e, seeds)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/cents")
@@ -553,12 +605,18 @@ object Similarity {
     // roundtrip is exact). repartition(cent_id) clusters each cell
     // into one file before the partitioned write — without it every
     // task writes a sliver of every cell (tasks × cells small files).
-    assign(e, vecs.sparkSession.read.parquet(s"$path/cents"), 1)
+    assign(e, e.sparkSession.read.parquet(s"$path/cents"), 1)
       .repartition(col("cent_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cent_id")
       .parquet(s"$path/vectors/seed")
   }
+
+  /** Fixed centroid count for the bounded-K build (the gate's choice;
+    * production picks √N-ish). 32 cells over the gate corpus keeps
+    * nprobe/K = 1/8 of the corpus per probe.
+    */
+  val FixedK = 32
 
   // ---- index lifecycle: `cents/` is FROZEN at build time (IVF
   // centroids are retrained offline, never per ingest batch — drifting
