@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions.{coalesce, col, lit}
   *     a live directory: it renames the staged dir to a FRESH
   *     generation name, then atomically replaces the manifest — the
   *     manifest replace is the whole commit. Readers resolve kinds
-  *     through [[dir]]/[[committedDirs]], so there is NO window where
-  *     the served directory is missing (the pre-publish generation
-  *     stays on disk until the NEXT publish retires it, covering
-  *     readers that resolved just before the commit). A kind with no
+  *     through [[dir]]/[[committedDirs]], so the served directory is
+  *     never missing at the commit instant, and a resolved generation
+  *     stays readable for at least one further publish AND
+  *     [[FoldProtocol.PublishGraceMs]] of age (retirement is by age,
+  *     so rapid repeated publishes cannot yank a directory out from
+  *     under a scan inside the grace bound). A kind with no
   *     manifest entry resolves to its plain name — fresh seed builds
   *     write `vectors/` directly and the first publish moves the index
   *     onto generations. This is also the object-store story: the only
@@ -129,9 +131,13 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
           .getLines().map(_.trim).filter(_.nonEmpty).toList
         finally in.close()
       } catch {
-        case e: java.io.IOException if attempt < 5 =>
+        // FNF first: it extends IOException, so listed after the retry
+        // arm it would be unreachable — a file that vanishes between
+        // exists() and open() (concurrent retire) means "no entries
+        // yet", not a transient worth burning a retry sleep on.
+        case _: java.io.FileNotFoundException => return Seq.empty
+        case _: java.io.IOException if attempt < 5 =>
           attempt += 1; Thread.sleep(5L << attempt)
-        case e: java.io.FileNotFoundException => return Seq.empty
       }
     }
     Seq.empty // unreachable
@@ -185,24 +191,34 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     *      touched);
     *   2. atomically replace the manifest to point `kind` at it — THE
     *      commit point;
-    *   3. retire every older generation EXCEPT the one the manifest
-    *      pointed at before this publish, which stays on disk until
-    *      the next publish (grace window for readers that resolved
-    *      the manifest just before the commit). Orphan generations
-    *      from a crashed step-1 are swept here too.
+    *   3. retire superseded directories: the immediately-previous
+    *      generation always survives this publish (grace for readers
+    *      that resolved the manifest just before the commit); an
+    *      ORPHAN from a crashed step-1 (generation number above the
+    *      pre-publish one — it never reached a manifest, so no reader
+    *      can hold it) is swept immediately; any OLDER formerly-served
+    *      generation is deleted only once its modification time is
+    *      older than `graceMs`, so a reader's in-flight Spark action
+    *      has that long to finish however many publishes land
+    *      meanwhile.
     *
     * A crash before step 2 leaves the previous state served (the
     * orphan gen is invisible and later swept); after step 2 the new
-    * state is served. At no instant is the served directory missing —
-    * the availability hole of a rename-aside-then-rename-in swap.
+    * state is served. The served directory is never missing at the
+    * commit instant, and a resolved-but-not-yet-read generation stays
+    * readable for at least `graceMs` (or one further publish,
+    * whichever is longer) — a scan that out-sleeps BOTH bounds can
+    * still land on a retired directory, which is why the streaming
+    * readers re-resolve on retry rather than assuming immortality.
     */
-  def publishDir(stagingRel: String, kind: String): Unit = {
+  def publishDir(stagingRel: String, kind: String,
+      graceMs: Long = FoldProtocol.PublishGraceMs): Unit = {
     val f = fs
     val genRe = genPattern(kind)
     val prev = resolveKind(kind)
-    val listed = f.listStatus(rootPath).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-    val nextGen = listed
+    val listed = f.listStatus(rootPath).toSeq.filter(_.isDirectory)
+    val names = listed.map(_.getPath.getName)
+    val nextGen = names
       .collect { case genRe(n) => n.toLong }
       .maxOption.getOrElse(0L) + 1
     val target = s"$kind.g$nextGen"
@@ -210,10 +226,22 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
       f.rename(new Path(rootPath, stagingRel), new Path(rootPath, target)),
       s"publish of $kind: rename $stagingRel -> $target failed")
     writeManifest(manifest() + (kind -> target))
+    val prevNum = prev match { case genRe(n) => n.toLong; case _ => 0L }
+    val cutoff = System.currentTimeMillis() - graceMs
     listed
-      .filter(n => n == kind || genRe.findFirstIn(n).contains(n))
-      .filterNot(n => n == target || n == prev)
-      .foreach(n => f.delete(new Path(rootPath, n), true))
+      .filter { st =>
+        val n = st.getPath.getName
+        (n == kind || genRe.findFirstIn(n).contains(n)) &&
+          n != target && n != prev && {
+            val num = n match { case genRe(g) => g.toLong; case _ => 0L }
+            // above the pre-publish generation = crashed-publish orphan,
+            // never manifest-served, no reader can hold it: sweep now.
+            // At or below = a generation readers may have resolved:
+            // retire only past the grace bound.
+            num > prevNum || st.getModificationTime < cutoff
+          }
+      }
+      .foreach(st => f.delete(st.getPath, true))
   }
 
   // ---- ledger ----
@@ -422,6 +450,13 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     * silently interleaving publishes. Re-entrant within a thread
     * (nested folds inside a leased compaction take no second lease).
     * A lease older than `ttlMs` is presumed crashed and stolen.
+    * Release is CAS-guarded: the finally block deletes the lease file
+    * only while it still carries THIS writer's stamp — if the body
+    * outlived `ttlMs` and a second writer stole the lease, the
+    * stealer's lease is left intact and the steal surfaces as an
+    * `IllegalStateException` (mutual exclusion degrades to at most
+    * the documented victim/stealer overlap, never a silently admitted
+    * third writer).
     */
   def withLease[T](owner: String,
       ttlMs: Long = FoldProtocol.LeaseTtlMs)(body: => T): T = {
@@ -448,10 +483,26 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
             "concurrent index writers are not supported")
     }
     FoldProtocol.heldLeases.set(held + root)
+    var bodyFailed = false
     try body
+    catch { case e: Throwable => bodyFailed = true; throw e }
     finally {
       FoldProtocol.heldLeases.set(FoldProtocol.heldLeases.get() - root)
-      f.delete(leasePath, false)
+      // CAS-style release: delete ONLY if the file still carries this
+      // writer's stamp. If the body outlived ttlMs a stealer now owns
+      // the lease — an unconditional delete here would evict the
+      // stealer and silently admit a THIRD writer. Leave the stealer's
+      // lease intact and surface the steal loudly (unless the body is
+      // already throwing — don't mask its exception).
+      val current = leaseHolder()
+      if (current.contains(stamp)) f.delete(leasePath, false)
+      else if (!bodyFailed)
+        throw new IllegalStateException(
+          s"writer lease on $root was stolen mid-run by " +
+            s"${current.getOrElse("<released>")} (body outlived the " +
+            s"${ttlMs} ms TTL) — this writer's publishes may have " +
+            "interleaved with the stealer's; verify the index and " +
+            "re-run under a longer TTL")
     }
   }
 }
@@ -467,6 +518,16 @@ object FoldProtocol {
     * does not block the index for a shift.
     */
   val LeaseTtlMs: Long = 15 * 60 * 1000L
+
+  /** Default reader grace for retired generations: a generation other
+    * than the currently-served and immediately-previous one is deleted
+    * only once it is this old, so a reader that resolved the manifest
+    * and then ran a long Spark action survives ANY number of
+    * intervening publishes up to this bound (the one-generation grace
+    * alone is exactly one publish deep — two rapid auto-compactions
+    * during a slow scan would yank the directory out from under it).
+    */
+  val PublishGraceMs: Long = 10 * 60 * 1000L
 
   private val heldLeases: ThreadLocal[Set[String]] =
     ThreadLocal.withInitial(() => Set.empty[String])

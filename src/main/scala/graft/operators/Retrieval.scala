@@ -286,8 +286,9 @@ object Retrieval {
   /** Compact the index: rewrite all committed sub-roots into ONE
     * `c<hw>/` dir per side (postings still bucket-partitioned, one
     * file per bucket; stats re-merged to one row), each published by a
-    * manifest commit (`FoldProtocol.publishDir` — no reader ever finds
-    * a missing directory; the dir name carries the compaction's fold
+    * manifest commit (`FoldProtocol.publishDir` — a resolved
+    * generation stays readable for one further publish plus the
+    * age-based grace bound; the dir name carries the compaction's fold
     * order so later deletes apply to it and stale post-crash
     * tombstones do not). Without it fold N's readers pay an O(N)
     * sub-root listing. The ledger is NOT touched: replayed batchIds

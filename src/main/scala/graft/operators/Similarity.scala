@@ -526,6 +526,25 @@ object Similarity {
     root.toString
   }
 
+  /** Build-if-absent PERSISTED bounded-K IVF index: the
+    * [[writeIvfIndexFixedK]] construction (hash-ordered LIMIT-`FixedK`
+    * seeds, one Lloyd step, cell-partitioned layout) under its own
+    * warehouse root. Serving goes through the same [[indexTopK]] path
+    * as the default-seeded index — only the seed SET differs.
+    */
+  def ensureFixedKIvfIndex(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_fixedk$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!ivfIndexComplete(fs, root)) {
+      fs.delete(root, true)
+      writeIvfIndexFixedK(corpus(s, d).select(col("vec_id"), col("v")),
+        root.toString)
+    }
+    root.toString
+  }
+
   /** cents plus a complete vector frame — a seed/ OR `c<hw>`
     * compaction dir under the CURRENT vectors generation (after
     * compaction the seed dir is folded into the compaction output, and
@@ -744,8 +763,9 @@ object Similarity {
     * every vector, so a barely-drifted index skips the cost.
     *
     * Publish order is vectors-then-cents, each a manifest commit
-    * ([[graft.index.FoldProtocol.publishDir]] — no reader ever finds a
-    * missing directory). A reader in the window between the two
+    * ([[graft.index.FoldProtocol.publishDir]] — a resolved generation
+    * stays readable for one further publish plus the age-based grace
+    * bound). A reader in the window between the two
     * commits probes OLD centroid positions against NEW cell contents:
     * still a valid ANN candidate set (every cell holds real vectors;
     * ranking is exact within probed cells), with recall briefly
@@ -1100,6 +1120,45 @@ object Similarity {
          |GROUP BY t.query_id""".stripMargin) { (s, d) =>
       val exact = bruteTopK(s, d).select(col("query_id"), col("neighbor_id"))
       val approx = ivfTopK(s, d).select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+    },
+
+    // The bounded-K build mode under the SAME recall gate: an index
+    // built by writeIvfIndexFixedK (the smallest FixedK ids in
+    // multiplicative-hash order seed the Lloyd step — the 10^9+-vector
+    // build whose map-side centroid array is a CONSTANT FixedK × dim
+    // doubles instead of growing as N/25) served from its persisted
+    // cell-partitioned layout, with per-query overlap against the
+    // exact top-k. The oracle recomputes the identical construction:
+    // the seed CTE is the same hash order ((vec_id·2654435761) mod
+    // 2^32, id tie-break) LIMIT FixedK, then the shared seeded-IVF
+    // CTes — any drift in seeding, refinement, assignment, or serve
+    // breaks the hash match. IvfFixedKSpec pins the structural half:
+    // the persisted cents frame has exactly FixedK rows of dim-length
+    // arrays regardless of corpus size.
+    QuerySpec(
+      "sim_ivf_fixedk_recall",
+      s"""WITH $eCte,
+         |$topkCtes,
+         |${ivfCtesSeeded(
+             s"""SELECT vec_id AS cent_id, v AS cv FROM e
+                |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+                |  LIMIT $FixedK""".stripMargin,
+             "TRUE")}
+         |SELECT t.query_id,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_common
+         |FROM topk t LEFT JOIN ivf i
+         |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+         |GROUP BY t.query_id""".stripMargin) { (s, d) =>
+      val exact = bruteTopK(s, d).select(col("query_id"), col("neighbor_id"))
+      val approx = indexTopK(s, ensureFixedKIvfIndex(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+        .select(col("query_id"), col("neighbor_id"))
         .withColumn("hit", lit(1L))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))

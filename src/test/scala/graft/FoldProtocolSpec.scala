@@ -22,8 +22,8 @@ class FoldProtocolSpec extends SparkSpec {
       .collect().toSeq.sorted
 
   test("publishDir: manifest commit swaps content with no missing-dir " +
-    "window; previous generation survives one publish; older ones and " +
-    "orphans are swept") {
+    "window; previous generation always survives; older served " +
+    "generations retire by AGE, not by publish count") {
     val root = tmpDir("fold-manifest")
     val p = new FoldProtocol(root, "_ledger")
     writeDir(s"$root/data", Seq(1L, 2L)) // pre-manifest plain layout
@@ -41,9 +41,22 @@ class FoldProtocolSpec extends SparkSpec {
     p.publishDir(".data.staging", "data")
     assert(p.resolveKind("data") == "data.g2")
     assert(served(p) == Seq(5L))
-    // the plain dir (two publishes old) is retired; g1 is the grace gen
-    assert(!new java.io.File(s"$root/data").exists)
+    // age-based retirement: the plain dir is two publishes old but
+    // YOUNGER than the grace bound — a reader that resolved it and is
+    // mid-scan through rapid back-to-back publishes can still finish
+    assert(new java.io.File(s"$root/data").isDirectory)
     assert(new java.io.File(s"$root/data.g1").isDirectory)
+
+    // once the grace bound has elapsed (forced to 0 here) a publish
+    // retires everything except the new target and its predecessor
+    writeDir(s"$root/.data.staging", Seq(6L))
+    p.publishDir(".data.staging", "data", graceMs = 0L)
+    assert(p.resolveKind("data") == "data.g3")
+    assert(served(p) == Seq(6L))
+    assert(!new java.io.File(s"$root/data").exists)
+    assert(!new java.io.File(s"$root/data.g1").exists)
+    assert(new java.io.File(s"$root/data.g2").isDirectory,
+      "the immediately-previous generation survives even at grace 0")
   }
 
   test("publishDir crash window: a generation renamed into place " +
@@ -88,15 +101,64 @@ class FoldProtocolSpec extends SparkSpec {
       "the error must name the live holder")
     assert(p.leaseHolder().isEmpty, "lease released after the block")
 
-    // a crashed writer's stale lease (older than the TTL) is stolen
-    p.withLease("writer-c", ttlMs = 1L) {
-      Thread.sleep(10) // age the lease past its 1 ms TTL
-      val stole = new AtomicReference(false)
-      val t = new Thread(() =>
-        p.withLease("writer-d", ttlMs = 1L) { stole.set(true) })
-      t.start(); t.join()
-      assert(stole.get(), "expired lease must be stealable")
+    // a crashed writer's stale lease (older than the TTL) is stolen.
+    // The victim's release then sees a foreign stamp and SURFACES the
+    // steal instead of deleting the stealer's lease (asserted in the
+    // dedicated CAS-release test below); absorb that here.
+    intercept[IllegalStateException] {
+      p.withLease("writer-c", ttlMs = 1L) {
+        Thread.sleep(10) // age the lease past its 1 ms TTL
+        val stole = new AtomicReference(false)
+        val t = new Thread(() =>
+          p.withLease("writer-d", ttlMs = 1L) { stole.set(true) })
+        t.start(); t.join()
+        assert(stole.get(), "expired lease must be stealable")
+      }
     }
+  }
+
+  test("withLease release is CAS-guarded: a victim whose lease was " +
+    "stolen mid-run leaves the thief's lease intact and surfaces the " +
+    "steal instead of silently admitting a third writer") {
+    val root = tmpDir("fold-lease-cas")
+    val p = new FoldProtocol(root, "_ledger")
+    val lease = new org.apache.hadoop.fs.Path(root, "_writer_lease")
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val thiefStamp = s"thief@${System.currentTimeMillis()}"
+    val err = intercept[IllegalStateException] {
+      p.withLease("victim", ttlMs = 1L) {
+        // simulate a TTL steal exactly as withLease performs it:
+        // delete the expired lease, create-if-absent the new stamp
+        fs.delete(lease, false)
+        val out = fs.create(lease, false)
+        try out.write(thiefStamp.getBytes("UTF-8")) finally out.close()
+      }
+    }
+    assert(err.getMessage.contains("stolen"),
+      s"release must name the steal, got: ${err.getMessage}")
+    assert(p.leaseHolder().contains(thiefStamp),
+      "the thief's lease must survive the victim's release")
+    // a third writer now fails fast against the thief — mutual
+    // exclusion still holds
+    val third = intercept[IllegalStateException] {
+      p.withLease("third-writer")(())
+    }
+    assert(third.getMessage.contains("thief"))
+    fs.delete(lease, false) // cleanup: let later suites reuse tmp roots
+    // a body that THROWS under a stolen lease propagates its own
+    // exception (the steal must not mask the body's failure)
+    val boom = intercept[RuntimeException] {
+      p.withLease("victim-2", ttlMs = 1L) {
+        fs.delete(lease, false)
+        val out = fs.create(lease, false)
+        try out.write("thief2@9".getBytes("UTF-8")) finally out.close()
+        throw new RuntimeException("body failure")
+      }
+    }
+    assert(boom.getMessage == "body failure")
+    assert(p.leaseHolder().contains("thief2@9"),
+      "the foreign lease survives a failing body's release too")
+    fs.delete(lease, false)
   }
 
   test("fold/delete under lease: two interleaved writers cannot both " +
