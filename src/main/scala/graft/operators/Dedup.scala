@@ -385,6 +385,10 @@ object Dedup {
   def foldedBatches(path: String): Set[Long] =
     protocol(path).foldedBatches()
 
+  /** DeleteIds whose tombstone batch is fully committed. */
+  def deletedBatchIds(path: String): Set[Long] =
+    protocol(path).deletedBatches()
+
   /** The committed files of an index sub-frame (`shingles`/`hashes`),
     * minus committed tombstones: every non-batch subdir (seed, compact)
     * plus exactly the ledgered b-dirs. Orphan b-dirs from a crashed

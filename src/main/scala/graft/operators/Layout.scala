@@ -67,9 +67,14 @@ object Layout {
     * epoch days, shard numbers) keep their high bits instead of
     * silently aliasing distinct keys into one z-cell — results were
     * always layout-independent, but skip effectiveness would have
-    * degraded silently past 16 bits. For sub-16-bit inputs the
-    * z-values are identical to the narrow interleave (high bits are
-    * zero), so existing layouts are unchanged.
+    * degraded silently past 16 bits. Bit 31 of `b` lands at position
+    * 63 — the long's SIGN bit — so the raw interleave sorts keys
+    * ≥ 2³¹ BEFORE smaller ones under signed comparison; the final
+    * sign-bit flip (xor 2⁶³) makes signed ordering of the result equal
+    * unsigned ordering of the interleave, keeping the z-curve monotone
+    * over the full 32-bit key range. The flip is order-preserving for
+    * every input (a shared constant on the top bit), so layouts
+    * written by the unflipped version cluster identically below 2³¹.
     */
   def morton32(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -77,7 +82,7 @@ object Layout {
       shiftleft(shiftrightunsigned(a.cast("long"), j).bitwiseAND(1), 2 * j)
         .bitwiseOR(shiftleft(
           shiftrightunsigned(b.cast("long"), j).bitwiseAND(1), 2 * j + 1))
-    }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _).bitwiseXOR(lit(Long.MinValue))
 
   /** Write `df` z-order-clustered on two dimensions: rows range-partition
     * and sort by the Morton interleave of the two key expressions, so
@@ -172,17 +177,55 @@ object Layout {
     * materialized rows and a lost executor recovers by re-reading
     * reliable storage — where a `localCheckpoint` would pin a
     * corpus-scale LINEAGE-FREE frame to executor block storage and
-    * turn one lost executor into an unrecoverable job failure. One dir
-    * per `name`, overwritten per call: single-writer per name, like
-    * every Layout publish.
+    * turn one lost executor into an unrecoverable job failure. Each
+    * call gets its OWN directory (`<name>-<nonce>`): two pins of the
+    * same name — concurrent queries, or one query re-run — can never
+    * cross-serve or clobber each other's rows mid-read. The whole
+    * `.graft_pin/` root is reclaimed when the session stops (pins are
+    * session-scoped scratch, not published state), so a completed run
+    * leaves no pin litter in the warehouse.
     */
   private[graft] def stagePin(df: DataFrame, name: String): DataFrame = {
     val s = df.sparkSession
-    val dir = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s".graft_pin/$name").toString
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), ".graft_pin")
+    registerPinReclaim(s, root)
+    val dir = new org.apache.hadoop.fs.Path(root,
+      s"$name-${java.util.UUID.randomUUID().toString.take(12)}").toString
     df.write.mode(SaveMode.Overwrite).parquet(dir)
     s.read.parquet(dir)
   }
+
+  /** Delete every staged pin under this session's warehouse. Invoked
+    * automatically on application end; callable directly by batch
+    * drivers that want the scratch gone before the JVM exits.
+    */
+  private[graft] def clearPins(s: SparkSession): Unit = {
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), ".graft_pin")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    pinReclaimRegistered.remove(root.toString)
+  }
+
+  private val pinReclaimRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def registerPinReclaim(s: SparkSession,
+      root: org.apache.hadoop.fs.Path): Unit =
+    if (pinReclaimRegistered.add(root.toString)) {
+      val conf = s.sparkContext.hadoopConfiguration
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            // Hadoop FS outlives the Spark scheduler — safe during stop
+            root.getFileSystem(conf).delete(root, true)
+            pinReclaimRegistered.remove(root.toString)
+          }
+        })
+    }
 
   /** K2 snapshot publish, object-store-shaped: stage the full write,
     * then swap (see `replaceDir`). A reader of the snapshot path sees

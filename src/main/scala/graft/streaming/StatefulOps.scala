@@ -201,6 +201,9 @@ object StatefulOps {
   // high-water mark per user, which is what makes cross-batch
   // out-of-order arrivals DETECTABLE (see funnelTrack).
   final case class FunnelState(t1: Long, t2: Long, t3: Long, maxSeen: Long)
+  // stage 1..3 = funnel transition; stage 0 = late-event signal (an
+  // event that arrived below the user's committed high-water mark —
+  // `at` is the late event's own timestamp)
   final case class FunnelHit(user_id: Long, stage: Int, at: Timestamp)
 
   /** Streaming analogue of the batch `q_funnel`: a per-user state
@@ -219,13 +222,17 @@ object StatefulOps {
     * Out-of-order input across batches is DETECTED, not silently
     * folded: an event older than the user's committed high-water mark
     * cannot be honored by an Append-mode cascade (its stage rows are
-    * already emitted), so it counts into `lateEvents` — the operator's
-    * the-contract-was-violated signal a deployment alarms on — and the
-    * cascade proceeds over the in-order remainder exactly as before.
+    * already emitted), so it is EXCLUDED from the cascade — the
+    * in-order remainder folds exactly as if the late event never
+    * arrived — and surfaces as a STAGE-0 OUTPUT ROW carrying the late
+    * event's own timestamp, the operator's the-contract-was-violated
+    * signal a deployment alarms on. Late counts ride the result stream
+    * as data, so they inherit the sink's exactly-once batchId
+    * handling; a driver-side accumulator here would re-add under task
+    * retry/replay and report at-least-once counts. Consumers filter
+    * `stage >= 1` for the funnel itself.
     */
-  def funnelTrack(events: Dataset[Event],
-      lateEvents: Option[org.apache.spark.util.LongAccumulator] = None)
-      : Dataset[FunnelHit] = {
+  def funnelTrack(events: Dataset[Event]): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
     // micros-precision fold (getTime is millis; the batch oracle
     // compares micros-formatted timestamps, so the state machine must
@@ -248,14 +255,20 @@ object StatefulOps {
           val hits = Seq.newBuilder[FunnelHit]
           rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
             val t = us(e.ts)
-            if (t < committedMax) lateEvents.foreach(_.add(1L))
-            s = s.copy(maxSeen = math.max(s.maxSeen, t))
-            if (s.t1 < 0 && e.event_type == "view") {
-              s = s.copy(t1 = t); hits += FunnelHit(userId, 1, tsOf(t))
-            } else if (s.t1 >= 0 && s.t2 < 0 && e.event_type == "click" && t > s.t1) {
-              s = s.copy(t2 = t); hits += FunnelHit(userId, 2, tsOf(t))
-            } else if (s.t2 >= 0 && s.t3 < 0 && e.event_type == "purchase" && t > s.t2) {
-              s = s.copy(t3 = t); hits += FunnelHit(userId, 3, tsOf(t))
+            if (t < committedMax) {
+              // below the committed high-water mark: emit the late
+              // signal and keep the event OUT of the cascade (folding
+              // it could claim an unclaimed stage out of order)
+              hits += FunnelHit(userId, 0, tsOf(t))
+            } else {
+              s = s.copy(maxSeen = math.max(s.maxSeen, t))
+              if (s.t1 < 0 && e.event_type == "view") {
+                s = s.copy(t1 = t); hits += FunnelHit(userId, 1, tsOf(t))
+              } else if (s.t1 >= 0 && s.t2 < 0 && e.event_type == "click" && t > s.t1) {
+                s = s.copy(t2 = t); hits += FunnelHit(userId, 2, tsOf(t))
+              } else if (s.t2 >= 0 && s.t3 < 0 && e.event_type == "purchase" && t > s.t2) {
+                s = s.copy(t3 = t); hits += FunnelHit(userId, 3, tsOf(t))
+              }
             }
           }
           state.update(s)

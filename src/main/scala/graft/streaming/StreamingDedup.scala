@@ -83,6 +83,18 @@ object StreamingDedup {
     * shingle/hash rows anti-join away and the df stop-list is
     * corrected); the next scheduled compaction purges them physically.
     *
+    * CHECKPOINT-RESET safety: streaming batchIds restart at 0 on a
+    * fresh checkpoint, so a raw-batchId deleteId would find `d0`
+    * already committed and silently short-circuit a NEW takedown — a
+    * compliance hazard. DeleteIds are therefore epoch-namespaced:
+    * `deleteId = epoch << 32 | batchId`, where the epoch is pinned in
+    * a `_graft_delete_epoch` marker inside the checkpoint (replays of
+    * one checkpoint reuse it — exactly-once is untouched) and a FRESH
+    * checkpoint over an index with committed deletes mints
+    * `max committed epoch + 1`. A pre-epoch checkpoint (Spark
+    * `metadata` present, no marker) keeps epoch 0, i.e. its legacy
+    * raw-batchId deleteIds, so upgrades replay exactly.
+    *
     * Single-writer caveat: every index publish (fold, delete, compact)
     * assumes ONE writer at a time. Drive takedowns and ingest from the
     * same process and do not run the two sinks' micro-batches
@@ -90,17 +102,43 @@ object StreamingDedup {
     * trigger or a shared queue serializes them).
     */
   def startDeletes(ids: DataFrame, indexPath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    val epoch = deleteEpoch(ids, indexPath, checkpoint)
     ids.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Dedup.deleteFromIndex(
           batch.select(org.apache.spark.sql.functions.col("doc_id")),
-          indexPath, batchId)
+          indexPath, (epoch << 32) | batchId)
         ()
       }
       .start()
+  }
+
+  /** Resolve (and pin) the takedown epoch for `checkpoint` — see
+    * [[startDeletes]]. Exposed to the reset spec.
+    */
+  private[graft] def deleteEpoch(ids: DataFrame, indexPath: String,
+      checkpoint: String): Long = {
+    val cp = new org.apache.hadoop.fs.Path(checkpoint)
+    val fs = cp.getFileSystem(
+      ids.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(cp, "_graft_delete_epoch")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else {
+      val epoch =
+        if (fs.exists(new org.apache.hadoop.fs.Path(cp, "metadata"))) 0L
+        else Dedup.deletedBatchIds(indexPath)
+          .map(_ >> 32).maxOption.map(_ + 1L).getOrElse(0L)
+      val out = fs.create(marker, false)
+      try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+      epoch
+    }
+  }
 
   /** One micro-batch publish — the replay-idempotent unit (also invoked
     * directly by the restart spec, which simulates every crash window by

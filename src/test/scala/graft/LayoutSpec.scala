@@ -166,6 +166,60 @@ class LayoutSpec extends SparkSpec {
     assert(q.count() == 6)
   }
 
+  test("morton32 stays monotone past 2^31: the sign-bit flip keeps " +
+    "signed sort order equal to the unsigned interleave order for the " +
+    "full 32-bit key range") {
+    import spark.implicits._
+    // b's bit 31 lands at z-position 63 (the sign bit): without the
+    // flip, b >= 2^31 sorted BEFORE b = 0
+    val bs = Seq(0L, 1L, (1L << 31) - 1, 1L << 31, (1L << 31) + 5,
+      (1L << 32) - 1)
+    val zb = bs.toDF("b")
+      .withColumn("z", Layout.morton32(lit(0L), col("b")))
+      .orderBy(col("b")).select(col("z")).as[Long].collect()
+    assert(zb.zip(zb.tail).forall { case (x, y) => x < y },
+      s"z must increase with b across the 2^31 boundary: ${zb.toSeq}")
+    // a's bit 31 lands at position 62 — monotone too, and below b's bit
+    val za = bs.toDF("a")
+      .withColumn("z", Layout.morton32(col("a"), lit(0L)))
+      .orderBy(col("a")).select(col("z")).as[Long].collect()
+    assert(za.zip(za.tail).forall { case (x, y) => x < y },
+      s"z must increase with a across the 2^31 boundary: ${za.toSeq}")
+    // locality is preserved below the boundary: the flip is a shared
+    // constant, so relative order of small-key z-values is unchanged
+    val small = Seq((1L, 2L), (1L, 3L), (2L, 2L), (3L, 7L))
+    val zs = small.toDF("a", "b")
+      .withColumn("z", Layout.morton32(col("a"), col("b")))
+      .select(col("z")).as[Long].collect()
+    assert(zs.distinct.length == small.length,
+      "distinct small keys keep distinct z-cells")
+  }
+
+  test("stagePin: two pins under the same name serve their own rows " +
+    "(no cross-serve, no clobber), and clearPins removes the whole " +
+    "scratch root") {
+    import spark.implicits._
+    val first = Layout.stagePin(Seq(1L, 2L).toDF("v"), "samename")
+    val second = Layout.stagePin(Seq(9L).toDF("v"), "samename")
+    // the SECOND pin must not have overwritten the first's directory:
+    // both frames re-read their own materialized rows
+    assert(first.select($"v").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(second.select($"v").as[Long].collect().toSeq == Seq(9L))
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), ".graft_pin")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(root).count(
+      _.getPath.getName.startsWith("samename-")) == 2,
+      "each pin gets its own uniquely-suffixed directory")
+    // reclamation: the root vanishes (onApplicationEnd runs the same
+    // clearPins path when the session stops)
+    Layout.clearPins(spark)
+    assert(!fs.exists(root), "clearPins must remove the scratch root")
+    // pinning still works after a clear (the reclaim hook re-registers)
+    assert(Layout.stagePin(Seq(5L).toDF("v"), "post-clear")
+      .select($"v").as[Long].collect().toSeq == Seq(5L))
+  }
+
   test("bucketed groupBy on the bucket key needs no exchange") {
     Layout.writeBucketed(Tables.orders(spark, sf0001), "orders_b2", 4,
       Seq("o_custkey"))

@@ -212,33 +212,46 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("funnelTrack: cross-batch out-of-order events are counted as " +
-    "late, not silently folded; the committed cascade is untouched") {
+  test("funnelTrack: cross-batch out-of-order events surface as " +
+    "stage-0 DATA rows (exactly-once through the sink, unlike an " +
+    "accumulator), are excluded from the cascade, and can never claim " +
+    "an unclaimed stage") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
-    val late = spark.sparkContext.longAccumulator("funnel_late_events")
-    val q = StatefulOps.funnelTrack(in.toDS(), Some(late))
+    val q = StatefulOps.funnelTrack(in.toDS())
       .writeStream.format("memory").queryName("funnellate")
       .outputMode(OutputMode.Append()).start()
     try {
-      // batch 1: in-order view -> click for user 1
+      // batch 1: in-order view for user 1, then a non-stage event that
+      // advances the high-water mark to 09:20 WITHOUT claiming a stage
       in.addData(Event(1, ts(10), 1L, "view", 1.0),
-        Event(2, ts(20), 1L, "click", 1.0))
+        Event(2, ts(20), 1L, "other", 1.0))
       q.processAllAvailable()
-      assert(late.value == 0, "in-order input must not count as late")
-      // batch 2: a view OLDER than everything committed — the batch
-      // min-cascade would have made THIS the t1, but the stage-1 row is
-      // already emitted; the fold must detect it, keep the committed
-      // cascade, and still process the in-order purchase after it
-      in.addData(Event(3, ts(5), 1L, "view", 1.0),
-        Event(4, ts(30), 1L, "purchase", 1.0))
-      q.processAllAvailable()
-      assert(late.value == 1, "the regressed view must count as late")
-      val hits = spark.table("funnellate")
+      def hits() = spark.table("funnellate")
         .select($"stage", date_format($"at", "HH:mm").as("at"))
         .as[(Int, String)].collect().toSet
-      assert(hits == Set((1, "09:10"), (2, "09:20"), (3, "09:30")),
-        s"committed cascade must stand: $hits")
+      assert(hits() == Set((1, "09:10")),
+        "in-order input must emit no stage-0 rows")
+      // batch 2: a click at 09:15 — BELOW the committed high-water
+      // mark (09:20) but AFTER the committed t1 (09:10). Folding it
+      // would claim stage 2 out of order (the old fold-anyway bug);
+      // it must instead surface as a stage-0 row and leave t2 unset.
+      // The regressed view at 09:05 is a second late signal. The
+      // in-order click at 09:30 then claims stage 2 legitimately.
+      in.addData(Event(3, ts(15), 1L, "click", 1.0),
+        Event(4, ts(5), 1L, "view", 1.0),
+        Event(5, ts(30), 1L, "click", 1.0))
+      q.processAllAvailable()
+      assert(hits() == Set((1, "09:10"), (0, "09:05"), (0, "09:15"),
+        (2, "09:30")),
+        s"each late event yields exactly one stage-0 row and no stage " +
+          s"claim: ${hits()}")
+      // the cascade over the in-order remainder is exactly as if the
+      // late events never arrived: a purchase after the honored click
+      // completes the funnel
+      in.addData(Event(6, ts(40), 1L, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(hits().contains((3, "09:40")))
     } finally q.stop()
   }
 

@@ -134,6 +134,57 @@ class StreamingDedupSpec extends SparkSpec {
     assert(!Dedup.deleteFromIndex(Seq(1L).toDF("doc_id"), idx, 0L))
   }
 
+  test("checkpoint reset: a fresh takedown checkpoint mints a new " +
+    "epoch, so its batchId-0 delete still tombstones instead of " +
+    "short-circuiting against the old checkpoint's committed d0") {
+    implicit val sc = spark.sqlContext
+    val idx = tmpDir("sdel-epoch-idx")
+    val out = tmpDir("sdel-epoch-out")
+    // two shields: doc 1 (base) and doc 2 (fresh)
+    Dedup.writeIndex(
+      Seq((1L, base), (2L, fresh)).toDF("doc_id", "text"), idx)
+
+    // takedown of doc 1 through checkpoint A (epoch 0, deleteId 0)
+    val ids1 = MemoryStream[Long]
+    val q1 = StreamingDedup.startDeletes(
+      ids1.toDF().toDF("doc_id"), idx, tmpDir("sdel-epoch-ckptA"))
+    try { ids1.addData(1L); q1.processAllAvailable() } finally q1.stop()
+    assert(Dedup.deletedBatchIds(idx) == Set(0L))
+
+    // CHECKPOINT RESET: a brand-new checkpoint restarts batchIds at 0.
+    // Raw batchId deleteIds would see d0 committed and silently skip
+    // this takedown; the minted epoch keeps it live.
+    val ids2 = MemoryStream[Long]
+    val q2 = StreamingDedup.startDeletes(
+      ids2.toDF().toDF("doc_id"), idx, tmpDir("sdel-epoch-ckptB"))
+    try { ids2.addData(2L); q2.processAllAvailable() } finally q2.stop()
+    assert(Dedup.deletedBatchIds(idx) == Set(0L, 1L << 32),
+      s"fresh checkpoint must mint epoch 1: ${Dedup.deletedBatchIds(idx)}")
+
+    // the reset-epoch takedown really un-shields: a dup of doc 2's
+    // text survives ingest now
+    StreamingDedup.publishBatch(
+      Seq((30L, fresh)).toDF("doc_id", "text"), 1L, idx, out)
+    assert(corpusOf(out).select($"doc_id").as[Long].collect().toSet ==
+      Set(30L), "takedown after the reset must un-shield doc 2")
+
+    // replay WITHIN a checkpoint still short-circuits: the epoch is
+    // pinned in the marker, so redelivered batchIds map to the same
+    // committed deleteIds
+    assert(!Dedup.deleteFromIndex(Seq(2L).toDF("doc_id"), idx, 1L << 32))
+
+    // a PRE-EPOCH checkpoint (Spark metadata present, no marker) keeps
+    // epoch 0 so its replayed legacy deleteIds stay committed no-ops
+    val legacy = tmpDir("sdel-epoch-legacy")
+    val fs = new org.apache.hadoop.fs.Path(legacy)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = fs.create(
+      new org.apache.hadoop.fs.Path(legacy, "metadata"), false)
+    try meta.write("{}".getBytes("UTF-8")) finally meta.close()
+    assert(StreamingDedup.deleteEpoch(
+      Seq(0L).toDF("doc_id"), idx, legacy) == 0L)
+  }
+
   test("replay idempotence: redelivering a batchId after every crash " +
     "window — post-commit, between corpus write and fold, mid-fold " +
     "before the df commit — leaves corpus and df summary exactly-once") {
