@@ -75,11 +75,14 @@ import org.apache.spark.sql.functions.{coalesce, col, lit}
   *     create-if-absent, so a second concurrent writer FAILS FAST with
   *     the holder's name instead of silently interleaving staged dirs
   *     and ledger replaces. Leases are re-entrant within a thread and
-  *     carry a TTL: a lease left by a crashed writer is stolen after
-  *     `ttlMs` (the steal is best-effort — the protocol enforces
-  *     single-writer, it does not arbitrate racing stealers, which a
-  *     deployment prevents by not scheduling two maintenance jobs on
-  *     one index).
+  *     carry a TTL: a lease left by a CRASHED writer is stolen after
+  *     `ttlMs`, while a live holder's heartbeat re-stamps the lease
+  *     every `ttlMs / 3`, so long-running bodies are steal-proof, not
+  *     merely steal-detecting. Renewal and release are both
+  *     CAS-guarded on the stamp (the steal remains best-effort — the
+  *     protocol enforces single-writer, it does not arbitrate racing
+  *     stealers, which a deployment prevents by not scheduling two
+  *     maintenance jobs on one index).
   *
   * All filesystem access goes through the Hadoop `FileSystem` /
   * `FileContext` APIs resolved from the ACTIVE session's Hadoop conf —
@@ -429,17 +432,12 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
   private def leasePath = new Path(rootPath, "_writer_lease")
 
   /** The current lease holder, if any (owner string as written at
-    * acquisition).
+    * acquisition or last heartbeat). Reads through [[readLines]]: the
+    * heartbeat's atomic replace exposes the same ChecksumFileSystem
+    * crc-sidecar transient as a ledger replace, so a racing read must
+    * retry, not throw.
     */
-  def leaseHolder(): Option[String] = {
-    val f = fs
-    if (!f.exists(leasePath)) None
-    else {
-      val in = f.open(leasePath)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-      finally in.close()
-    }
-  }
+  def leaseHolder(): Option[String] = readLines(leasePath).headOption
 
   private def leaseStampMillis(holder: String): Long =
     holder.split('@').lastOption.flatMap(_.toLongOption).getOrElse(0L)
@@ -449,10 +447,20 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     * gets an `IllegalStateException` NAMING THE HOLDER instead of
     * silently interleaving publishes. Re-entrant within a thread
     * (nested folds inside a leased compaction take no second lease).
-    * A lease older than `ttlMs` is presumed crashed and stolen.
-    * Release is CAS-guarded: the finally block deletes the lease file
-    * only while it still carries THIS writer's stamp — if the body
-    * outlived `ttlMs` and a second writer stole the lease, the
+    * A lease whose stamp is older than `ttlMs` is presumed crashed
+    * and stolen — and a LIVE holder's stamp never gets that old: a
+    * daemon heartbeat re-stamps the lease every `ttlMs / 3` (staged
+    * write + the same atomic replace as the ledger, so readers never
+    * see a torn stamp) for as long as the body runs, which makes
+    * long-running compactions steal-proof instead of merely
+    * steal-detecting. The heartbeat is itself CAS-guarded (it renews
+    * only while the file carries this writer's current stamp, and
+    * stops the moment it sees a foreign one), so it cannot overwrite
+    * a legitimately-stolen lease after a heartbeat outage longer than
+    * the TTL.
+    * Release is CAS-guarded the same way: the finally block deletes
+    * the lease file only while it still carries this writer's latest
+    * stamp — if a stall beyond `ttlMs` let a second writer steal, the
     * stealer's lease is left intact and the steal surfaces as an
     * `IllegalStateException` (mutual exclusion degrades to at most
     * the documented victim/stealer overlap, never a silently admitted
@@ -463,11 +471,12 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     val held = FoldProtocol.heldLeases.get()
     if (held.contains(root)) return body
     val f = fs
-    val stamp = s"$owner@${System.currentTimeMillis()}"
+    val stampRef = new java.util.concurrent.atomic.AtomicReference(
+      s"$owner@${System.currentTimeMillis()}")
     def tryAcquire(): Boolean =
       try {
         val out = f.create(leasePath, false)
-        try out.write(stamp.getBytes("UTF-8")) finally out.close()
+        try out.write(stampRef.get().getBytes("UTF-8")) finally out.close()
         true
       } catch { case _: java.io.IOException => false }
     var acquired = tryAcquire()
@@ -482,27 +491,47 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
             s"${leaseHolder().orElse(holder).getOrElse("unknown")}; " +
             "concurrent index writers are not supported")
     }
+    val stopBeat = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beat = new Thread(() =>
+      try while (!stopBeat.get()) {
+        Thread.sleep(math.max(ttlMs / 3, 5L))
+        if (!stopBeat.get()) try {
+          if (leaseHolder().contains(stampRef.get())) {
+            val next = s"$owner@${System.currentTimeMillis()}"
+            val tmp = new Path(rootPath, "._writer_lease.renew")
+            val out = f.create(tmp, true)
+            try out.write(next.getBytes("UTF-8")) finally out.close()
+            atomicReplace(tmp, leasePath)
+            stampRef.set(next)
+          } else stopBeat.set(true) // stolen: release will surface it
+        } catch { case _: java.io.IOException => () } // retry next beat
+      } catch { case _: InterruptedException => () })
+    beat.setDaemon(true)
+    beat.setName(s"graft-lease-renew:$root")
+    beat.start()
     FoldProtocol.heldLeases.set(held + root)
     var bodyFailed = false
     try body
     catch { case e: Throwable => bodyFailed = true; throw e }
     finally {
       FoldProtocol.heldLeases.set(FoldProtocol.heldLeases.get() - root)
+      stopBeat.set(true); beat.interrupt(); beat.join(2000L)
       // CAS-style release: delete ONLY if the file still carries this
-      // writer's stamp. If the body outlived ttlMs a stealer now owns
-      // the lease — an unconditional delete here would evict the
-      // stealer and silently admit a THIRD writer. Leave the stealer's
-      // lease intact and surface the steal loudly (unless the body is
-      // already throwing — don't mask its exception).
+      // writer's (latest renewed) stamp. If a stall outlived ttlMs a
+      // stealer now owns the lease — an unconditional delete here
+      // would evict the stealer and silently admit a THIRD writer.
+      // Leave the stealer's lease intact and surface the steal loudly
+      // (unless the body is already throwing — don't mask its
+      // exception).
       val current = leaseHolder()
-      if (current.contains(stamp)) f.delete(leasePath, false)
+      if (current.contains(stampRef.get())) f.delete(leasePath, false)
       else if (!bodyFailed)
         throw new IllegalStateException(
           s"writer lease on $root was stolen mid-run by " +
-            s"${current.getOrElse("<released>")} (body outlived the " +
-            s"${ttlMs} ms TTL) — this writer's publishes may have " +
-            "interleaved with the stealer's; verify the index and " +
-            "re-run under a longer TTL")
+            s"${current.getOrElse("<released>")} (the holder stalled " +
+            s"past the ${ttlMs} ms TTL without a heartbeat) — this " +
+            "writer's publishes may have interleaved with the " +
+            "stealer's; verify the index and re-run under a longer TTL")
     }
   }
 }

@@ -101,20 +101,48 @@ class FoldProtocolSpec extends SparkSpec {
       "the error must name the live holder")
     assert(p.leaseHolder().isEmpty, "lease released after the block")
 
-    // a crashed writer's stale lease (older than the TTL) is stolen.
-    // The victim's release then sees a foreign stamp and SURFACES the
-    // steal instead of deleting the stealer's lease (asserted in the
-    // dedicated CAS-release test below); absorb that here.
-    intercept[IllegalStateException] {
-      p.withLease("writer-c", ttlMs = 1L) {
-        Thread.sleep(10) // age the lease past its 1 ms TTL
-        val stole = new AtomicReference(false)
-        val t = new Thread(() =>
-          p.withLease("writer-d", ttlMs = 1L) { stole.set(true) })
-        t.start(); t.join()
-        assert(stole.get(), "expired lease must be stealable")
+    // a CRASHED writer's stale lease (stamp older than the TTL, no
+    // heartbeat alive to renew it) is stolen
+    val lease = new org.apache.hadoop.fs.Path(root, "_writer_lease")
+    val lfs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = lfs.create(lease, false)
+    try out.write("crashed-writer@123".getBytes("UTF-8"))
+    finally out.close()
+    val stole = new AtomicReference(false)
+    p.withLease("writer-d", ttlMs = 50L) { stole.set(true) }
+    assert(stole.get(), "a crashed holder's expired lease must be stolen")
+    assert(p.leaseHolder().isEmpty, "the stealer's release cleans up")
+  }
+
+  test("withLease heartbeat: a LIVE body longer than the TTL keeps its " +
+    "lease — the renewal re-stamps faster than expiry, so a second " +
+    "writer still fails fast and the release is clean") {
+    val root = tmpDir("fold-lease-beat")
+    val _ = spark.sparkContext // protocol resolves its FS via the session
+    val p = new FoldProtocol(root, "_ledger")
+    val secondErr = new AtomicReference[Option[Throwable]](None)
+    val stamps = new AtomicReference(Set.empty[String])
+    p.withLease("long-compaction", ttlMs = 1000L) {
+      // body runs well past the 1000 ms TTL; the ttl/3 heartbeat must
+      // keep the stamp fresh throughout
+      val deadline = System.currentTimeMillis() + 2500L
+      while (System.currentTimeMillis() < deadline) {
+        p.leaseHolder().foreach(h => stamps.set(stamps.get() + h))
+        Thread.sleep(50L)
       }
+      val t = new Thread(() =>
+        try { p.withLease("impatient", ttlMs = 1000L)(()); secondErr.set(None) }
+        catch { case e: Throwable => secondErr.set(Some(e)) })
+      t.start(); t.join()
     }
+    assert(stamps.get().size > 1,
+      s"the heartbeat must have re-stamped the lease: ${stamps.get()}")
+    val err = secondErr.get()
+    assert(err.exists(_.isInstanceOf[IllegalStateException]),
+      s"a second writer must fail against the LIVE long holder, got $err")
+    assert(err.get.getMessage.contains("long-compaction"))
+    assert(p.leaseHolder().isEmpty,
+      "the renewed lease must release cleanly (CAS on the LATEST stamp)")
   }
 
   test("withLease release is CAS-guarded: a victim whose lease was " +
@@ -125,10 +153,12 @@ class FoldProtocolSpec extends SparkSpec {
     val lease = new org.apache.hadoop.fs.Path(root, "_writer_lease")
     val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val thiefStamp = s"thief@${System.currentTimeMillis()}"
+    // default TTL: the heartbeat's first beat is minutes away, so the
+    // hand-simulated steal below cannot race a renewal
     val err = intercept[IllegalStateException] {
-      p.withLease("victim", ttlMs = 1L) {
+      p.withLease("victim") {
         // simulate a TTL steal exactly as withLease performs it:
-        // delete the expired lease, create-if-absent the new stamp
+        // delete the (stalled) lease, create-if-absent the new stamp
         fs.delete(lease, false)
         val out = fs.create(lease, false)
         try out.write(thiefStamp.getBytes("UTF-8")) finally out.close()
@@ -148,7 +178,7 @@ class FoldProtocolSpec extends SparkSpec {
     // a body that THROWS under a stolen lease propagates its own
     // exception (the steal must not mask the body's failure)
     val boom = intercept[RuntimeException] {
-      p.withLease("victim-2", ttlMs = 1L) {
+      p.withLease("victim-2") {
         fs.delete(lease, false)
         val out = fs.create(lease, false)
         try out.write("thief2@9".getBytes("UTF-8")) finally out.close()
