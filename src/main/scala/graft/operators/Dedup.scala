@@ -1063,6 +1063,87 @@ object Dedup {
             round(lit(1.0) / coalesce(col("nc"), lit(1L)), 4).as("weight"))
     },
 
+    // Keep-BEST dedup: instead of keeping the oldest member of each
+    // near-dup cluster (dedup_cluster's min-id `keep`) or downweighting
+    // all of them (dedup_softweight), elect the highest-QUALITY member
+    // as the cluster's canonical document — the policy a training
+    // pipeline actually wants when duplicates differ in extraction
+    // quality (same article, one copy boilerplate-mangled). Composes
+    // the cluster labels with the text_quality score; election is a
+    // bounded per-cluster argmax via ONE max(struct(score, -doc_id))
+    // aggregate (4-dp-rounded score ordering with smallest-id
+    // tie-break — deterministic and engine-portable, no window over
+    // the corpus), then a cluster-keyed join back. Singletons are
+    // their own canonical. At 100 TB: quality is a per-row codegen'd
+    // projection; the cluster frame is O(near-dups); the election
+    // aggregate and the join shuffle the small cluster side only —
+    // the corpus-sized frame shuffles once on doc_id, the same
+    // partitioning the cluster labels already carry.
+    QuerySpec(
+      "dedup_canonical",
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         |          WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, r) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         |cl AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+         |qf AS (SELECT doc_id,
+         |    CASE WHEN n_words >= 20 THEN 1.0 ELSE CAST(n_words AS DOUBLE)/20 END *
+         |      (1.0 - CAST(n_punct AS DOUBLE)/n_chars) *
+         |      (CASE WHEN CAST(n_stop AS DOUBLE)/n_words > 0.05 THEN 1.0 ELSE 0.5 END)
+         |      AS q
+         |  FROM (SELECT doc_id, length(text) AS n_chars,
+         |      len(string_split(text,' ')) AS n_words,
+         |      len(list_filter(string_split(text,' '),
+         |          w -> w IN ('the','a','of','and','in','to','is','it','on','for'))) AS n_stop,
+         |      length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct
+         |    FROM documents)),
+         |m AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         |can AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+         |    SELECT m.cluster_id, m.doc_id,
+         |      row_number() OVER (PARTITION BY m.cluster_id
+         |        ORDER BY round(qf.q, 4) DESC, m.doc_id) AS rn
+         |    FROM m JOIN qf ON m.doc_id = qf.doc_id) WHERE rn = 1)
+         |SELECT m.doc_id, CAST(m.cluster_id AS BIGINT) AS cluster_id,
+         |  CAST(can.canonical_id AS BIGINT) AS canonical_id,
+         |  CAST(CASE WHEN m.doc_id = can.canonical_id THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_canonical
+         |FROM m JOIN can ON m.cluster_id = can.cluster_id""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val cc = connectedComponents(ngramPairs(docs))
+        val members = docs.select(col("doc_id"),
+            round(TextAnalysis.qualityScore(col("text")), 4).as("q"))
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+            col("q"))
+        // argmax(quality, tie: min doc_id) per cluster as ONE struct
+        // max: struct compares field-by-field, so max(q, -doc_id)
+        // yields the highest rounded score then the smallest id
+        val elected = members
+          .groupBy(col("cluster_id"))
+          .agg(max(struct(col("q"), (-col("doc_id")).as("neg_id")))
+            .as("best"))
+          .select(col("cluster_id"),
+            (-col("best.neg_id")).as("canonical_id"))
+        members.select(col("doc_id"), col("cluster_id"))
+          .join(elected, Seq("cluster_id"))
+          .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+            when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L)
+              .as("is_canonical"))
+    },
+
     // MinHash + LSH: 8 min-hashes from TWO md5 digests per shingle (each
     // digest splits into four independent fixed-width hex words — 8-char
     // lowercase hex compares lexicographically as its numeric value, so

@@ -397,6 +397,45 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("dedup_canonical: every cluster elects exactly one canonical — " +
+    "the max-quality member with smallest-id tie-break — and " +
+    "singletons are their own canonical") {
+    val rows = SparkEntry.queries("dedup_canonical")(spark, sf0001)
+      .select($"doc_id", $"cluster_id", $"canonical_id", $"is_canonical")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length ==
+      Tables.documents(spark, sf0001).count(), "one row per document")
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      val canon = members.filter(_._4 == 1L)
+      assert(canon.length == 1, s"cluster $c: ${canon.length} canonicals")
+      assert(members.forall(_._3 == canon.head._1),
+        s"cluster $c: members must point at the elected canonical")
+    }
+    // singletons: cluster of one, canonical = self
+    byCluster.filter(_._2.length == 1).foreach { case (_, Array(m)) =>
+      assert(m._3 == m._1 && m._4 == 1L)
+    }
+    // the election really is argmax quality (4-dp) with min-id ties:
+    // recompute per-doc quality driver-side and check every cluster
+    val q = Tables.documents(spark, sf0001)
+      .select($"doc_id",
+        round(graft.operators.TextAnalysis.qualityScore($"text"), 4)
+          .as("q"))
+      .as[(Long, Double)].collect().toMap
+    byCluster.filter(_._2.length > 1).foreach { case (c, members) =>
+      val expect = members.map(_._1).minBy(id => (-q(id), id))
+      assert(members.head._3 == expect,
+        s"cluster $c: canonical ${members.head._3} != argmax $expect")
+    }
+    // sanity: the corpus really exercises the policy (some cluster's
+    // canonical is NOT its min id, i.e. quality overrode age)
+    val overrides = byCluster.values.filter(m =>
+      m.length > 1 && m.head._3 != m.map(_._1).min)
+    assert(overrides.nonEmpty,
+      "expected at least one cluster where quality beats min-id")
+  }
+
   test("dedup_incremental_indexed: history text is never re-scanned — " +
     "every documents scan carries the incoming-batch filter; the " +
     "history side reads the persisted index frames") {
