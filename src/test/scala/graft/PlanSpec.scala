@@ -78,6 +78,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"))
   }
 
+  test("dedup_canonical: the per-cluster election is a struct-max " +
+    "aggregate, never a window over the corpus") {
+    val p = plan("dedup_canonical")
+    assert(!p.contains("Window"),
+      "canonical election must not rank members with a window")
+    assert(p.contains("partial_max") || p.contains("max("),
+      s"expected the struct-max election aggregate in:\n$p")
+  }
+
   test("q_topk: limit is pushed into a TakeOrdered operator, not a " +
     "global sort") {
     val p = plan("q_topk")
