@@ -1122,23 +1122,28 @@ object Dedup {
       (s, d) =>
         val docs = Tables.documents(s, d)
         val cc = connectedComponents(ngramPairs(docs))
-        val members = docs.select(col("doc_id"),
-            round(TextAnalysis.qualityScore(col("text")), 4).as("q"))
+        // (doc_id, cluster_id) membership feeds BOTH the election and
+        // the final output; the quality projection (regexp-heavy) rides
+        // ONLY the election branch, so the membership recompute — cheap
+        // against cc's checkpointed labels — is the price of reuse, not
+        // a second corpus-wide quality pass
+        val base = docs.select(col("doc_id"))
           .join(cc, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
-            col("q"))
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
         // argmax(quality, tie: min doc_id) per cluster as ONE struct
         // max: struct compares field-by-field, so max(q, -doc_id)
         // yields the highest rounded score then the smallest id
-        val elected = members
+        val elected = base
+          .join(docs.select(col("doc_id"),
+            round(TextAnalysis.qualityScore(col("text")), 4).as("q")),
+            Seq("doc_id"))
           .groupBy(col("cluster_id"))
           .agg(max(struct(col("q"), (-col("doc_id")).as("neg_id")))
             .as("best"))
           .select(col("cluster_id"),
             (-col("best.neg_id")).as("canonical_id"))
-        members.select(col("doc_id"), col("cluster_id"))
-          .join(elected, Seq("cluster_id"))
+        base.join(elected, Seq("cluster_id"))
           .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
             when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L)
               .as("is_canonical"))
