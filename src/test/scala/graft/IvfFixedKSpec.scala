@@ -52,4 +52,38 @@ class IvfFixedKSpec extends SparkSpec {
 
   private def ensureIdx(): String =
     Similarity.ensureFixedKIvfIndex(spark, sf0001)
+
+  test("bounded-K index composes with the fold/delete lifecycle: " +
+    "appends assign to the FROZEN FixedK centroids, deletes tombstone, " +
+    "replays short-circuit — centroid frame never grows") {
+    val idx = tmpDir("ivf-fixedk-life")
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".as("v"))
+    val history = e.filter($"vec_id" % 5 =!= 4)
+    val wave = e.filter($"vec_id" % 5 === 4)
+    Similarity.writeIvfIndexFixedK(history, idx)
+    val centsBefore = spark.read.parquet(
+        Similarity.protocol(idx).dir("cents"))
+      .orderBy($"cent_id").collect().map(_.toString).toSeq
+
+    assert(Similarity.appendToIvfIndex(wave, idx, 1L))
+    assert(Similarity.indexVectors(spark, idx).count() == e.count(),
+      "fold must add exactly the wave")
+    // frozen-centroid contract: the fold reuses the FixedK cells
+    val centsAfter = spark.read.parquet(
+        Similarity.protocol(idx).dir("cents"))
+      .orderBy($"cent_id").collect().map(_.toString).toSeq
+    assert(centsAfter == centsBefore,
+      "append must not touch the bounded centroid frame")
+    assert(!Similarity.appendToIvfIndex(wave, idx, 1L),
+      "replayed fold is a committed no-op")
+
+    Similarity.deleteFromIvfIndex(
+      e.filter($"vec_id" % 10 === 0).select($"vec_id"), idx, 1L)
+    val served = Similarity.indexVectors(spark, idx)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(served == e.select($"vec_id").as[Long].collect().toSet
+      .filterNot(_ % 10 == 0),
+      "tombstoned ids must stop serving; everything else must remain")
+  }
 }
