@@ -1482,6 +1482,59 @@ object Dedup {
           .distinct() // each shared gram counted once per doc
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_contaminated"))
+    },
+
+    // SOFT decontamination: instead of the hard drop-list above, every
+    // corpus document gets its contaminated-gram FRACTION (|distinct
+    // 4-grams shared with the benchmark| / |its distinct 4-grams|) and
+    // a flag at the 5% bar — the GPT-3-style "dirty document" report a
+    // pipeline reviews before deciding drop vs keep, and the evidence
+    // for wherever the threshold lands (on the gate corpus the planted
+    // contaminated docs sit at 1.0 against a ≤2% n-gram-collision
+    // background). Same gram machinery as `decontaminate`; the only
+    // additions are a per-doc distinct-gram count off the SAME corp
+    // frame and a left join so zero-overlap docs report 0.0 instead of
+    // vanishing. Scale shape unchanged: gram join on the hashed key,
+    // both aggregates partial, no new corpus pass.
+    QuerySpec(
+      "decontaminate_score",
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        list_aggregate(ws[i:i+3], 'string_agg', ' ') AS gk
+        |      FROM w, unnest(range(1, len(ws) - 2)) t(i)),
+        |bench AS (SELECT DISTINCT gk FROM g WHERE source = 'src0'),
+        |corp AS (SELECT DISTINCT doc_id, gk FROM g WHERE source <> 'src0'),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) AS n_contaminated
+        |        FROM corp JOIN bench USING (gk) GROUP BY doc_id)
+        |SELECT tot.doc_id, CAST(tot.n_grams AS BIGINT) AS n_grams,
+        |  CAST(coalesce(hit.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |  round(CAST(coalesce(hit.n_contaminated, 0) AS DOUBLE)
+        |    / tot.n_grams, 4) AS frac,
+        |  CAST(CASE WHEN CAST(coalesce(hit.n_contaminated, 0) AS DOUBLE)
+        |    / tot.n_grams > 0.05 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""".stripMargin) {
+      (s, d) =>
+        val grams = Par.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"), col("source"),
+            explode(kgrams(col("text"), 4)).as("g"))
+        val bench = grams.filter(col("source") === "src0")
+          .select(xxhash64(col("g")).as("gh")).distinct()
+        val corp = grams.filter(col("source") =!= "src0")
+          .select(col("doc_id"), xxhash64(col("g")).as("gh")).distinct()
+        val tot = corp.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"))
+        val hit = corp.join(bench, Seq("gh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_contaminated"))
+        val frac = coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_grams")
+        tot.join(hit, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            round(frac, 4).as("frac"),
+            when(frac > 0.05, 1L).otherwise(0L).as("flagged"))
     }
   )
 

@@ -827,6 +827,32 @@ class OperatorsSpec extends SparkSpec {
     assert((docGrams & benchSet).size == worstN)
   }
 
+  test("decontaminate_score: every non-benchmark doc reports a " +
+    "fraction in [0,1], counts reconcile with the hard drop-list, and " +
+    "the 5% flag separates planted contamination from n-gram noise") {
+    val rows = SparkEntry.queries("decontaminate_score")(spark, sf0001)
+      .select($"doc_id", $"n_grams", $"n_contaminated", $"frac", $"flagged")
+      .as[(Long, Long, Long, Double, Long)].collect()
+    val docs = Tables.documents(spark, sf0001)
+    val nonBench = docs.filter($"source" =!= "src0").count()
+    assert(rows.length == nonBench,
+      "one score row per NON-benchmark doc (zero-overlap docs included)")
+    assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0 && r._3 <= r._2))
+    assert(rows.forall(r => (r._5 == 1L) == (r._3.toDouble / r._2 > 0.05)),
+      "flag must be exactly the 5% rule")
+    // counts agree with the hard query on its flagged set
+    val hard = SparkEntry.queries("decontaminate")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val soft = rows.map(r => r._1 -> r._3).toMap
+    assert(hard.forall { case (id, n) => soft(id) == n },
+      "soft counts must equal the hard drop-list counts")
+    assert(rows.filter(_._5 == 1L).map(_._1).toSet.subsetOf(hard.keySet),
+      "every flagged doc is on the hard list")
+    assert(rows.exists(_._5 == 1L) && rows.exists(r =>
+      r._3 > 0 && r._5 == 0L),
+      "the corpus must exercise both flagged and sub-threshold overlap")
+  }
+
   test("text_repetition: per-doc 2-gram count is tokens−1, fractions " +
     "bounded and exactly (n−d)/n") {
     val rep = SparkEntry.queries("text_repetition")(spark, sf0001)
