@@ -327,6 +327,32 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     */
   def compactDirName(): String = s"c${highWater()}"
 
+  /** One-line operational snapshot of the index for monitoring /
+    * debugging: generation mapping, committed ledger state, sub-dir
+    * counts per kind, live tombstone batches, and the current lease
+    * holder. Driver-side small-file reads and directory listings only
+    * — nothing scans data, so it is safe to poll.
+    */
+  def describe(kinds: String*): IndexStatus = {
+    val f = fs
+    val tsDir = new Path(rootPath, "tombstones")
+    val liveTombstones =
+      if (!f.exists(tsDir)) Seq.empty
+      else f.listStatus(tsDir).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.matches("d\\d+"))
+        .map(_.drop(1).toLong).sorted
+    IndexStatus(
+      root = root,
+      generations = manifest(),
+      foldedBatches = foldedBatches().toSeq.sorted,
+      deletedBatches = deletedBatches().toSeq.sorted,
+      highWater = highWater(),
+      committedDirCounts =
+        kinds.map(k => k -> committedDirsOrEmpty(k).size).toMap,
+      liveTombstones = liveTombstones,
+      leaseHolder = leaseHolder())
+  }
+
   /** The committed sub-dirs under the CURRENT generation of `kind`:
     * every non-batch dir (seed, `c<hw>` compactions) plus exactly the
     * ledgered b/d-dirs. Empty when the kind directory does not exist.
@@ -535,6 +561,22 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     }
   }
 }
+
+/** Operational snapshot of one index root — see
+  * [[FoldProtocol.describe]]. `committedDirCounts` keys are the kinds
+  * the caller asked about; a count of 0 means the kind has no readable
+  * frame yet. `liveTombstones` are delete batches staged but not yet
+  * physically purged by a compaction's `clearTombstones`.
+  */
+final case class IndexStatus(
+    root: String,
+    generations: Map[String, String],
+    foldedBatches: Seq[Long],
+    deletedBatches: Seq[Long],
+    highWater: Long,
+    committedDirCounts: Map[String, Int],
+    liveTombstones: Seq[Long],
+    leaseHolder: Option[String])
 
 /** The filesystem publish primitives, usable outside an index root
   * (Layout's date-partition compaction and snapshot publishes share

@@ -233,6 +233,44 @@ class FoldProtocolSpec extends SparkSpec {
     assert(reads.get() > 0, "the reader must have observed the window")
   }
 
+  test("describe: the operational snapshot tracks the whole lifecycle " +
+    "— folds, deletes, tombstone purge, generations, lease — without " +
+    "scanning data") {
+    val idx = tmpDir("fold-describe")
+    val docs = Tables.documents(spark, sf0001)
+    Dedup.writeIndex(docs.filter($"doc_id" % 5 === 0), idx)
+    val p = Dedup.protocol(idx)
+
+    val fresh = p.describe("shingles", "hashes")
+    assert(fresh.foldedBatches.isEmpty && fresh.deletedBatches.isEmpty)
+    assert(fresh.highWater == 0L && fresh.liveTombstones.isEmpty)
+    assert(fresh.committedDirCounts("shingles") >= 1)
+    assert(fresh.leaseHolder.isEmpty)
+
+    assert(Dedup.appendToIndex(docs.filter($"doc_id" % 5 === 1), idx, 3L))
+    Dedup.deleteFromIndex(Seq(0L, 5L).toDF("doc_id"), idx, 1L)
+    val grown = p.describe("shingles")
+    assert(grown.foldedBatches == Seq(3L))
+    assert(grown.deletedBatches == Seq(1L))
+    assert(grown.highWater == 3L)
+    assert(grown.liveTombstones == Seq(1L),
+      "staged tombstones must be visible until compaction purges them")
+
+    Dedup.compactIndex(spark, idx)
+    val compacted = p.describe("shingles")
+    assert(compacted.liveTombstones.isEmpty,
+      "compaction's clearTombstones must empty the live set")
+    assert(compacted.foldedBatches == Seq(3L),
+      "the replay ledger survives compaction")
+    assert(compacted.generations.nonEmpty,
+      "compaction publishes land the index on manifest generations")
+
+    p.withLease("ops-probe") {
+      assert(p.describe("shingles").leaseHolder
+        .exists(_.startsWith("ops-probe@")))
+    }
+  }
+
   test("dedup ledger rides the manifest commit: a staged df generation " +
     "without its manifest replace leaves the old ledger AND old summary " +
     "served (the crash cannot lose the committed-batch set)") {
