@@ -591,5 +591,93 @@ object Retrieval {
       bm25OracleSqlOver("doc_id % 7 <> 3")) { (s, d) =>
       bm25TopK(s, ensureEvolvedBm25Index(s, d))
     },
+
+    // Hybrid retrieval via reciprocal-rank fusion: the standard "fuse
+    // two rankers that disagree" shape of production search (usually
+    // BM25 + dense; here BM25 + a query-term-coverage Jaccard ranker —
+    // BM25 rewards rare-term frequency, coverage rewards matching MORE
+    // of the query in a small vocabulary, so the orderings genuinely
+    // differ). Each ranker's top-10 ranks come from the bounded-state
+    // top_k aggregate (k-pair buffers, partial-merged — the repo-wide
+    // no-unpartitioned-window rule), fused as
+    // rrf = Σ 1/(60 + rank) over the lists a doc appears in, absent
+    // ranks reported as 0. The fusion join is ≤ 2·k rows; everything
+    // corpus-scale is the two rankers' existing one-pass shapes. The
+    // oracle recomputes both rankings and the fusion end-to-end.
+    QuerySpec(
+      "text_hybrid_rrf",
+      {
+        val termList = QueryTerms.map("'" + _ + "'").mkString(", ")
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+           |           FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(len(ws)) AS avgdl FROM d),
+           |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM d),
+           |tf AS (SELECT word, doc_id, dl, count(*) AS tf FROM t
+           |       WHERE word IN ($termList) GROUP BY word, doc_id, dl),
+           |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df
+           |       FROM tf GROUP BY word),
+           |sc AS (SELECT tf.doc_id,
+           |         sum(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           |             * (tf.tf * CAST(2.2 AS DOUBLE)
+           |                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))))
+           |           AS score
+           |       FROM tf JOIN df USING (word), st
+           |       GROUP BY tf.doc_id),
+           |br AS (SELECT doc_id, r FROM (
+           |    SELECT doc_id, row_number() OVER (
+           |      ORDER BY round(score, 4) DESC, doc_id) AS r FROM sc)
+           |  WHERE r <= $TopK),
+           |jv AS (SELECT doc_id, list_distinct(ws) AS vs FROM d),
+           |jsc AS (SELECT doc_id,
+           |    CAST(hits AS DOUBLE) / (nv + ${QueryTerms.length} - hits) AS jac
+           |  FROM (SELECT doc_id,
+           |      len(list_intersect(vs, [$termList])) AS hits,
+           |      len(vs) AS nv FROM jv)
+           |  WHERE hits > 0),
+           |jr AS (SELECT doc_id, r FROM (
+           |    SELECT doc_id, row_number() OVER (
+           |      ORDER BY round(jac, 4) DESC, doc_id) AS r FROM jsc)
+           |  WHERE r <= $TopK),
+           |f AS (SELECT coalesce(br.doc_id, jr.doc_id) AS doc_id,
+           |    CAST(coalesce(br.r, 0) AS BIGINT) AS bm25_rank,
+           |    CAST(coalesce(jr.r, 0) AS BIGINT) AS coverage_rank,
+           |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + br.r), 0)
+           |        + coalesce(CAST(1.0 AS DOUBLE) / (60 + jr.r), 0), 4) AS rrf
+           |  FROM br FULL JOIN jr ON br.doc_id = jr.doc_id)
+           |SELECT doc_id, bm25_rank, coverage_rank, rrf FROM f
+           |ORDER BY rrf DESC, doc_id LIMIT $TopK""".stripMargin
+      }) { (s, d) =>
+      def ranksOf(scored: DataFrame): DataFrame = scored
+        .agg(graft.functions.TopKAgg.top_k(
+          col("s"), col("doc_id"), TopK).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "sc")))
+        .select(col("sc.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("r"))
+      val lex = ranksOf(bm25(s, d)
+        .select(col("doc_id"), col("score").as("s")))
+        .withColumnRenamed("r", "br")
+      val qTerms = array(QueryTerms.map(lit): _*)
+      val cov = ranksOf(
+        Par.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"),
+            array_distinct(words(col("text"))).as("vs"))
+          .select(col("doc_id"),
+            size(array_intersect(col("vs"), qTerms)).as("hits"),
+            size(col("vs")).as("nv"))
+          .filter(col("hits") > 0)
+          .select(col("doc_id"), round(col("hits").cast("double") /
+            (col("nv") + QueryTerms.length - col("hits")), 4).as("s")))
+        .withColumnRenamed("r", "jr")
+      lex.join(cov, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          coalesce(col("br"), lit(0L)).as("bm25_rank"),
+          coalesce(col("jr"), lit(0L)).as("coverage_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("jr")), lit(0.0)), 4)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(TopK)
+    },
   )
 }

@@ -187,4 +187,32 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(mass - nClusters) < 0.1,
       s"weight mass $mass vs $nClusters effective documents")
   }
+
+  test("text_hybrid_rrf: the two rankers genuinely disagree on the " +
+    "gate corpus, fused scores are exactly the reciprocal-rank sum, " +
+    "and a doc ranked by both lists beats its single-list score") {
+    val rows = SparkEntry.queries("text_hybrid_rrf")(spark, sf0001)
+      .select($"doc_id", $"bm25_rank", $"coverage_rank", $"rrf")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 10)
+    // non-vacuous fusion: at least one doc is in exactly one list, and
+    // the two rank columns are not identical across the board
+    assert(rows.exists(r => r._2 == 0L ^ r._3 == 0L),
+      s"expected a single-list doc: ${rows.toSeq}")
+    assert(rows.exists(r => r._2 > 0 && r._3 > 0 && r._2 != r._3),
+      "expected a doc the two rankers order differently")
+    // rrf arithmetic: recompute from the reported ranks
+    rows.foreach { case (id, br, jr, rrf) =>
+      val expect = BigDecimal(
+        (if (br > 0) 1.0 / (60 + br) else 0.0) +
+        (if (jr > 0) 1.0 / (60 + jr) else 0.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf == expect, s"doc $id: rrf $rrf != $expect")
+    }
+    // consensus wins: the best fused score belongs to a doc both
+    // rankers surfaced
+    val best = rows.maxBy(_._4)
+    assert(best._2 > 0 && best._3 > 0,
+      s"top fused doc should be a consensus doc: $best")
+  }
 }
