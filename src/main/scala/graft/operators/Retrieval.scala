@@ -606,9 +606,22 @@ object Retrieval {
     // oracle recomputes both rankings and the fusion end-to-end.
     QuerySpec(
       "text_hybrid_rrf",
-      {
-        val termList = QueryTerms.map("'" + _ + "'").mkString(", ")
-        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+      hybridRrfOracleSql) { (s, d) => hybridRrf(s, d, bm25(s, d)) },
+    // The same hybrid contract SERVED FROM THE PERSISTED inverted
+    // index: the lexical side is bm25TopK over ensureBm25Index (static
+    // bucket-pruned postings, no corpus re-tokenization) — result-
+    // identical to corpus-direct BM25 by the text_bm25_indexed gate,
+    // so this query shares text_hybrid_rrf's oracle verbatim. What it
+    // banks: fusion serving needs only the index's pruned read plus
+    // the coverage ranker's one-pass scan.
+    QuerySpec("text_hybrid_rrf_indexed", hybridRrfOracleSql) { (s, d) =>
+      hybridRrf(s, d, bm25TopK(s, ensureBm25Index(s, d)))
+    },
+  )
+
+  private lazy val hybridRrfOracleSql: String = {
+    val termList = QueryTerms.map("'" + _ + "'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
            |           FROM documents),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
            |              avg(len(ws)) AS avgdl FROM d),
@@ -647,37 +660,43 @@ object Retrieval {
            |  FROM br FULL JOIN jr ON br.doc_id = jr.doc_id)
            |SELECT doc_id, bm25_rank, coverage_rank, rrf FROM f
            |ORDER BY rrf DESC, doc_id LIMIT $TopK""".stripMargin
-      }) { (s, d) =>
-      def ranksOf(scored: DataFrame): DataFrame = scored
-        .agg(graft.functions.TopKAgg.top_k(
-          col("s"), col("doc_id"), TopK).as("top"))
-        .select(posexplode(col("top")).as(Seq("pos", "sc")))
-        .select(col("sc.id").as("doc_id"),
-          (col("pos") + 1).cast("long").as("r"))
-      val lex = ranksOf(bm25(s, d)
-        .select(col("doc_id"), col("score").as("s")))
-        .withColumnRenamed("r", "br")
-      val qTerms = array(QueryTerms.map(lit): _*)
-      val cov = ranksOf(
-        Par.fanOut(Tables.documents(s, d))
-          .select(col("doc_id"),
-            array_distinct(words(col("text"))).as("vs"))
-          .select(col("doc_id"),
-            size(array_intersect(col("vs"), qTerms)).as("hits"),
-            size(col("vs")).as("nv"))
-          .filter(col("hits") > 0)
-          .select(col("doc_id"), round(col("hits").cast("double") /
-            (col("nv") + QueryTerms.length - col("hits")), 4).as("s")))
-        .withColumnRenamed("r", "jr")
-      lex.join(cov, Seq("doc_id"), "full")
+  }
+
+  /** Reciprocal-rank fusion of a (doc_id, score) lexical ranking with
+    * the query-term-coverage Jaccard ranking — see `text_hybrid_rrf`.
+    * Ranks via the bounded-state top_k aggregate; the fusion join is
+    * ≤ 2·TopK rows.
+    */
+  private def hybridRrf(s: SparkSession, d: String,
+      lexical: DataFrame): DataFrame = {
+    def ranksOf(scored: DataFrame): DataFrame = scored
+      .agg(graft.functions.TopKAgg.top_k(
+        col("s"), col("doc_id"), TopK).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("sc.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("r"))
+    val lex = ranksOf(lexical.select(col("doc_id"), col("score").as("s")))
+      .withColumnRenamed("r", "br")
+    val qTerms = array(QueryTerms.map(lit): _*)
+    val cov = ranksOf(
+      Par.fanOut(Tables.documents(s, d))
         .select(col("doc_id"),
-          coalesce(col("br"), lit(0L)).as("bm25_rank"),
-          coalesce(col("jr"), lit(0L)).as("coverage_rank"),
-          round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("jr")), lit(0.0)), 4)
-            .as("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-        .limit(TopK)
-    },
-  )
+          array_distinct(words(col("text"))).as("vs"))
+        .select(col("doc_id"),
+          size(array_intersect(col("vs"), qTerms)).as("hits"),
+          size(col("vs")).as("nv"))
+        .filter(col("hits") > 0)
+        .select(col("doc_id"), round(col("hits").cast("double") /
+          (col("nv") + QueryTerms.length - col("hits")), 4).as("s")))
+      .withColumnRenamed("r", "jr")
+    lex.join(cov, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("br"), lit(0L)).as("bm25_rank"),
+        coalesce(col("jr"), lit(0L)).as("coverage_rank"),
+        round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("jr")), lit(0.0)), 4)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(TopK)
+  }
 }
