@@ -518,19 +518,29 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
             "concurrent index writers are not supported")
     }
     val stopBeat = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // Serializes each renewal against the release: without it, a
+    // release whose join() timed out could CAS-delete the old stamp
+    // while a stalled beat is mid-replace — the beat's rename would
+    // then resurrect a fresh-stamped orphan lease that blocks the next
+    // writer for a full TTL. Inside the lock the beat re-checks
+    // stopBeat, so a release that set it can never be trailed by a
+    // renewal.
+    val renewLock = new Object
     val beat = new Thread(() =>
       try while (!stopBeat.get()) {
         Thread.sleep(math.max(ttlMs / 3, 5L))
-        if (!stopBeat.get()) try {
-          if (leaseHolder().contains(stampRef.get())) {
-            val next = s"$owner@${System.currentTimeMillis()}"
-            val tmp = new Path(rootPath, "._writer_lease.renew")
-            val out = f.create(tmp, true)
-            try out.write(next.getBytes("UTF-8")) finally out.close()
-            atomicReplace(tmp, leasePath)
-            stampRef.set(next)
-          } else stopBeat.set(true) // stolen: release will surface it
-        } catch { case _: java.io.IOException => () } // retry next beat
+        renewLock.synchronized {
+          if (!stopBeat.get()) try {
+            if (leaseHolder().contains(stampRef.get())) {
+              val next = s"$owner@${System.currentTimeMillis()}"
+              val tmp = new Path(rootPath, "._writer_lease.renew")
+              val out = f.create(tmp, true)
+              try out.write(next.getBytes("UTF-8")) finally out.close()
+              atomicReplace(tmp, leasePath)
+              stampRef.set(next)
+            } else stopBeat.set(true) // stolen: release will surface it
+          } catch { case _: java.io.IOException => () } // retry next beat
+        }
       } catch { case _: InterruptedException => () })
     beat.setDaemon(true)
     beat.setName(s"graft-lease-renew:$root")
@@ -541,23 +551,28 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     catch { case e: Throwable => bodyFailed = true; throw e }
     finally {
       FoldProtocol.heldLeases.set(FoldProtocol.heldLeases.get() - root)
-      stopBeat.set(true); beat.interrupt(); beat.join(2000L)
-      // CAS-style release: delete ONLY if the file still carries this
-      // writer's (latest renewed) stamp. If a stall outlived ttlMs a
-      // stealer now owns the lease — an unconditional delete here
-      // would evict the stealer and silently admit a THIRD writer.
-      // Leave the stealer's lease intact and surface the steal loudly
-      // (unless the body is already throwing — don't mask its
+      beat.interrupt()
+      // CAS-style release, under the renewal lock (stop-flag set inside
+      // it, so no renewal can trail this block even if the beat thread
+      // outlives the join elsewhere): delete ONLY if the file still
+      // carries this writer's (latest renewed) stamp. If a stall
+      // outlived ttlMs a stealer now owns the lease — an unconditional
+      // delete here would evict the stealer and silently admit a THIRD
+      // writer. Leave the stealer's lease intact and surface the steal
+      // loudly (unless the body is already throwing — don't mask its
       // exception).
-      val current = leaseHolder()
-      if (current.contains(stampRef.get())) f.delete(leasePath, false)
-      else if (!bodyFailed)
-        throw new IllegalStateException(
-          s"writer lease on $root was stolen mid-run by " +
-            s"${current.getOrElse("<released>")} (the holder stalled " +
-            s"past the ${ttlMs} ms TTL without a heartbeat) — this " +
-            "writer's publishes may have interleaved with the " +
-            "stealer's; verify the index and re-run under a longer TTL")
+      renewLock.synchronized {
+        stopBeat.set(true)
+        val current = leaseHolder()
+        if (current.contains(stampRef.get())) f.delete(leasePath, false)
+        else if (!bodyFailed)
+          throw new IllegalStateException(
+            s"writer lease on $root was stolen mid-run by " +
+              s"${current.getOrElse("<released>")} (the holder stalled " +
+              s"past the ${ttlMs} ms TTL without a heartbeat) — this " +
+              "writer's publishes may have interleaved with the " +
+              "stealer's; verify the index and re-run under a longer TTL")
+      }
     }
   }
 }
