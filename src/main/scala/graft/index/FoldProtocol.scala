@@ -79,10 +79,17 @@ import org.apache.spark.sql.functions.{coalesce, col, lit}
   *     `ttlMs`, while a live holder's heartbeat re-stamps the lease
   *     every `ttlMs / 3`, so long-running bodies are steal-proof, not
   *     merely steal-detecting. Renewal and release are both
-  *     CAS-guarded on the stamp (the steal remains best-effort — the
-  *     protocol enforces single-writer, it does not arbitrate racing
-  *     stealers, which a deployment prevents by not scheduling two
-  *     maintenance jobs on one index).
+  *     CAS-guarded on the stamp, and the stamp doubles as a FENCING
+  *     TOKEN: every commit point ([[commit]]'s ledger replace,
+  *     [[publishDir]]'s pointer swap) verifies the lease file still
+  *     carries this writer's stamp before landing, so a writer whose
+  *     lease was stolen mid-body fails its publish with its staged
+  *     data left an invisible orphan — the steal can no longer
+  *     interleave two writers' commits. (The check is verify-then-
+  *     rename, not a conditional rename, so a steal landing INSIDE
+  *     that microsecond window is the residual exposure; an
+  *     object-store deployment closes it with the same conditional
+  *     PUT that the pointer replace already needs there.)
   *
   * All filesystem access goes through the Hadoop `FileSystem` /
   * `FileContext` APIs resolved from the ACTIVE session's Hadoop conf —
@@ -154,7 +161,9 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     * first [[publishDir]]).
     */
   def manifest(): Map[String, String] =
-    readLines(manifestPath).filter(_.contains("="))
+    readLines(manifestPath)
+      .filterNot(_.startsWith("#")) // audit lines (#fence=…) are not entries
+      .filter(_.contains("="))
       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
       .toMap
 
@@ -176,9 +185,10 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
   private def writeManifest(m: Map[String, String]): Unit = {
     val tmp = new Path(rootPath, "._manifest.staging")
     val out = fs.create(tmp, true)
+    val audit = currentFenceStamp().map(s => s"#fence=$s\n").getOrElse("")
     try out.write(
-      m.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-        .mkString("\n").getBytes("UTF-8"))
+      (audit + m.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString("\n")).getBytes("UTF-8"))
     finally out.close()
     atomicReplace(tmp, manifestPath)
   }
@@ -200,10 +210,14 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     *      ORPHAN from a crashed step-1 (generation number above the
     *      pre-publish one — it never reached a manifest, so no reader
     *      can hold it) is swept immediately; any OLDER formerly-served
-    *      generation is deleted only once its modification time is
-    *      older than `graceMs`, so a reader's in-flight Spark action
-    *      has that long to finish however many publishes land
-    *      meanwhile.
+    *      generation is deleted only once `graceMs` has elapsed since
+    *      it was RETIRED from current (each publish re-stamps the
+    *      superseded dir's mtime, so the grace clock starts at the
+    *      last instant a reader could newly resolve it — not at its
+    *      staging-write time, which for a long-serving generation
+    *      would already be past the cutoff). A reader's in-flight
+    *      Spark action therefore has the full grace to finish however
+    *      many publishes land meanwhile.
     *
     * A crash before step 2 leaves the previous state served (the
     * orphan gen is invisible and later swept); after step 2 the new
@@ -228,7 +242,21 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     require(
       f.rename(new Path(rootPath, stagingRel), new Path(rootPath, target)),
       s"publish of $kind: rename $stagingRel -> $target failed")
+    // Fencing check at the commit point: if this writer's lease was
+    // stolen mid-body, FAIL before the pointer swap — the renamed
+    // generation above never reached a manifest, so it is an invisible
+    // orphan the next (legitimate) publish sweeps.
+    verifyFence(s"publish of $kind")
     writeManifest(manifest() + (kind -> target))
+    // Re-stamp the generation that just stopped being current so the
+    // age-based retirement grace below runs from RETIREMENT, not from
+    // its staging-write time: the last instant a reader can newly
+    // resolve `prev` is this manifest swap, so its grace clock starts
+    // here. Without this, a generation that served longer than graceMs
+    // is already past the cutoff the moment it stops being `prev`.
+    if (prev != target)
+      try f.setTimes(new Path(rootPath, prev), System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () } // plain-kind dir may not exist
     val prevNum = prev match { case genRe(n) => n.toLong; case _ => 0L }
     val cutoff = System.currentTimeMillis() - graceMs
     listed
@@ -251,24 +279,33 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
 
   private def ledgerPath = new Path(rootPath, resolveRel(ledgerRel))
 
-  /** Raw committed ledger entries (numeric = fold, `d<n>` = delete). */
-  def entries(): Set[String] = readLines(ledgerPath).toSet
+  /** Raw committed ledger entries (numeric = fold, `d<n>` = delete);
+    * `#`-prefixed audit lines (the fence stamp) are not entries.
+    */
+  def entries(): Set[String] =
+    readLines(ledgerPath).filterNot(_.startsWith("#")).toSet
 
   /** BatchIds whose APPEND fold is fully committed. */
   def foldedBatches(): Set[Long] =
-    entries().filter(_.forall(_.isDigit)).map(_.toLong)
+    entries().filter(e => e.nonEmpty && e.forall(_.isDigit)).map(_.toLong)
 
   /** DeleteIds whose tombstone batch is fully committed. */
   def deletedBatches(): Set[Long] =
     entries().collect { case e if e.matches("d\\d+") => e.drop(1).toLong }
 
-  private def renderLedger(extra: Seq[String]): Array[Byte] =
-    (entries() ++ extra).toSeq.sorted.mkString("\n").getBytes("UTF-8")
+  private def renderLedger(extra: Seq[String]): Array[Byte] = {
+    val audit = currentFenceStamp().map(s => s"#fence=$s\n").getOrElse("")
+    (audit + (entries() ++ extra).toSeq.sorted.mkString("\n"))
+      .getBytes("UTF-8")
+  }
 
   /** Publish the grown ledger via one atomic file replace — the commit
-    * point of a fold or delete.
+    * point of a fold or delete. Fenced: a writer whose lease was stolen
+    * mid-body fails HERE, before the replace, leaving the ledger (and
+    * therefore the committed-batch set) untouched.
     */
   def commit(extra: String*): Unit = {
+    verifyFence(s"ledger commit of ${extra.mkString(",")}")
     val tmp = new Path(ledgerPath.getParent, s".${ledgerPath.getName}.staging")
     val out = fs.create(tmp, true)
     try out.write(renderLedger(extra)) finally out.close()
@@ -457,6 +494,39 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
 
   private def leasePath = new Path(rootPath, "_writer_lease")
 
+  /** The lease stamp this thread's live [[withLease]] body currently
+    * holds for this root, if any — the fencing token every commit
+    * point is stamped with and verified against.
+    */
+  private def currentFenceStamp(): Option[String] =
+    FoldProtocol.fences.get().get(root).map(_.ref.get())
+
+  /** Fencing check at a commit point ([[commit]], [[publishDir]]'s
+    * pointer swap): when this thread runs under [[withLease]], verify
+    * the lease file STILL carries this writer's (latest renewed) stamp
+    * before the atomic replace lands. A writer whose lease was stolen
+    * mid-body (a stall past the TTL let another writer take over)
+    * FAILS its publish here instead of interleaving with the stealer
+    * and only detecting the theft at release time. Reads under the
+    * renewal lock, so a heartbeat mid-replace cannot produce a false
+    * mismatch. Outside a lease (seed builds, single-writer test
+    * harnesses) there is no fence and no check — acquisition-time
+    * mutual exclusion is the only guard, as before.
+    */
+  private def verifyFence(action: String): Unit =
+    FoldProtocol.fences.get().get(root).foreach { fence =>
+      val ok = fence.lock.synchronized {
+        leaseHolder().contains(fence.ref.get())
+      }
+      if (!ok)
+        throw new IllegalStateException(
+          s"fencing check failed: $action on $root aborted — the writer " +
+            "lease no longer carries this writer's stamp (now held by " +
+            s"${leaseHolder().getOrElse("<released>")}). The lease was " +
+            "stolen mid-run; this writer's staged data stays an " +
+            "invisible orphan and the stealer's generation serves.")
+    }
+
   /** The current lease holder, if any (owner string as written at
     * acquisition or last heartbeat). Reads through [[readLines]]: the
     * heartbeat's atomic replace exposes the same ChecksumFileSystem
@@ -546,11 +616,15 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     beat.setName(s"graft-lease-renew:$root")
     beat.start()
     FoldProtocol.heldLeases.set(held + root)
+    FoldProtocol.fences.set(
+      FoldProtocol.fences.get() +
+        (root -> FoldProtocol.Fence(stampRef, renewLock)))
     var bodyFailed = false
     try body
     catch { case e: Throwable => bodyFailed = true; throw e }
     finally {
       FoldProtocol.heldLeases.set(FoldProtocol.heldLeases.get() - root)
+      FoldProtocol.fences.set(FoldProtocol.fences.get() - root)
       beat.interrupt()
       // CAS-style release, under the renewal lock (stop-flag set inside
       // it, so no renewal can trail this block even if the beat thread
@@ -617,6 +691,23 @@ object FoldProtocol {
 
   private val heldLeases: ThreadLocal[Set[String]] =
     ThreadLocal.withInitial(() => Set.empty[String])
+
+  /** A live lease's fencing state: the (heartbeat-renewed) stamp the
+    * lease file must still carry for this writer's commits to land,
+    * and the lock that serializes reads against renewal/release.
+    */
+  private[index] final case class Fence(
+      ref: java.util.concurrent.atomic.AtomicReference[String],
+      lock: Object)
+
+  /** root → live fence for leases held by the CURRENT thread — how
+    * commit points inside a [[FoldProtocol.withLease]] body find the
+    * stamp to verify (thread-local, like [[heldLeases]]: Spark actions
+    * fan out to executors, but every protocol commit runs on the
+    * driver thread that acquired the lease).
+    */
+  private val fences: ThreadLocal[Map[String, Fence]] =
+    ThreadLocal.withInitial(() => Map.empty[String, Fence])
 
   /** Atomic replacing rename (`FileContext.rename` with
     * `Options.Rename.OVERWRITE` — atomic on local/HDFS-like

@@ -182,17 +182,38 @@ object Layout {
     * same name — concurrent queries, or one query re-run — can never
     * cross-serve or clobber each other's rows mid-read. The whole
     * `.graft_pin/` root is reclaimed when the session stops (pins are
-    * session-scoped scratch, not published state), so a completed run
-    * leaves no pin litter in the warehouse.
+    * session-scoped scratch, not published state), and a subsequent pin
+    * of the SAME name prunes prior siblings past the reader grace —
+    * so a long-running session that re-executes pinned plans holds at
+    * most a grace-window of scratch per name, not its whole lifetime's.
     */
   private[graft] def stagePin(df: DataFrame, name: String): DataFrame = {
     val s = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), ".graft_pin")
     registerPinReclaim(s, root)
-    val dir = new org.apache.hadoop.fs.Path(root,
-      s"$name-${java.util.UUID.randomUUID().toString.take(12)}").toString
+    val pinName = s"$name-${java.util.UUID.randomUUID().toString.take(12)}"
+    val dir = new org.apache.hadoop.fs.Path(root, pinName).toString
     df.write.mode(SaveMode.Overwrite).parquet(dir)
+    // Reclaim STALE prior pins of this name: once this newer pin has
+    // committed, an older sibling is only reachable by a plan already
+    // mid-read, so it is deleted after the same reader grace the
+    // manifest publishes grant (never yanked from a younger in-flight
+    // scan). The nonce alphabet is hex+dash, so a name that happens to
+    // prefix another pin's name cannot over-match its siblings.
+    val sibRe = (java.util.regex.Pattern.quote(name) + "-[0-9a-f-]{12}").r
+    val cutoff =
+      System.currentTimeMillis() - graft.index.FoldProtocol.PublishGraceMs
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try fs.listStatus(root)
+      .filter(_.isDirectory)
+      .filter { st =>
+        val n = st.getPath.getName
+        n != pinName && sibRe.pattern.matcher(n).matches() &&
+          st.getModificationTime < cutoff
+      }
+      .foreach(st => fs.delete(st.getPath, true))
+    catch { case _: java.io.IOException => () } // prune is best-effort
     s.read.parquet(dir)
   }
 

@@ -159,7 +159,11 @@ object Multimodal {
       i += 1 // the single post-maxval whitespace byte
       val (w, h, mx) = (vals(0), vals(1), vals(2))
       if (w <= 0 || h <= 0 || mx <= 0 || mx > 255) return None
-      if (b.length - i < 3L * w * h) return None
+      // Overflow-safe bound: 3L*w*h can wrap past Long.MaxValue for an
+      // adversarial ~2e9 × 2e9 header; w.toLong*h (product of two ≤2^31
+      // values) cannot, and passing it also guarantees w*h fits an Int
+      // for the downstream pixel loops.
+      if (w.toLong * h > (b.length - i) / 3) return None
       Some((w, h, mx, i))
     }
 

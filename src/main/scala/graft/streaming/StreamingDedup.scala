@@ -125,17 +125,30 @@ object StreamingDedup {
     val fs = cp.getFileSystem(
       ids.sparkSession.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(cp, "_graft_delete_epoch")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    } else {
+    // An empty/truncated marker (a crash between create and close under
+    // the old plain-write scheme) reads as ABSENT and is re-minted —
+    // never a permanently wedged takedown stream.
+    val existing: Option[Long] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        txt.toLongOption
+      }
+    existing.getOrElse {
       val epoch =
         if (fs.exists(new org.apache.hadoop.fs.Path(cp, "metadata"))) 0L
         else Dedup.deletedBatchIds(indexPath)
           .map(_ >> 32).maxOption.map(_ + 1L).getOrElse(0L)
-      val out = fs.create(marker, false)
+      // Staged write + atomic replace (the ledger/manifest commit
+      // primitive): a crash leaves either no marker or a complete one.
+      val tmp = new org.apache.hadoop.fs.Path(cp, "._graft_delete_epoch.tmp")
+      val out = fs.create(tmp, true)
       try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+      graft.index.FoldProtocol.atomicReplace(
+        ids.sparkSession.sparkContext.hadoopConfiguration, tmp, marker)
       epoch
     }
   }

@@ -191,6 +191,80 @@ class FoldProtocolSpec extends SparkSpec {
     fs.delete(lease, false)
   }
 
+  test("retirement grace runs from RETIREMENT, not creation: a " +
+    "generation that served far longer than graceMs still survives " +
+    "the publishes after it stops being current") {
+    val root = tmpDir("fold-retire-grace")
+    val p = new FoldProtocol(root, "_ledger")
+    writeDir(s"$root/.data.staging", Seq(1L))
+    p.publishDir(".data.staging", "data") // data.g1
+    // simulate a LONG-SERVING generation: g1's staging-write mtime is
+    // an hour in the past when the next publish retires it
+    assert(new java.io.File(s"$root/data.g1")
+      .setLastModified(System.currentTimeMillis() - 3600 * 1000L))
+    writeDir(s"$root/.data.staging", Seq(2L))
+    p.publishDir(".data.staging", "data", graceMs = 60 * 1000L) // g2
+    writeDir(s"$root/.data.staging", Seq(3L))
+    p.publishDir(".data.staging", "data", graceMs = 60 * 1000L) // g3
+    assert(served(p) == Seq(3L))
+    assert(new java.io.File(s"$root/data.g1").isDirectory,
+      "a generation retired seconds ago must survive a 60 s grace " +
+        "regardless of how long it SERVED before retirement")
+  }
+
+  test("fencing token: a victim whose lease was stolen mid-body FAILS " +
+    "its publish and its ledger commit — the staged data never lands " +
+    "and the pre-steal state keeps serving") {
+    val root = tmpDir("fold-fence")
+    val p = new FoldProtocol(root, "_ledger")
+    val lease = new org.apache.hadoop.fs.Path(root, "_writer_lease")
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeDir(s"$root/.data.staging", Seq(1L, 2L))
+    p.publishDir(".data.staging", "data") // baseline: data.g1 serves
+    def steal(stamp: String): Unit = {
+      fs.delete(lease, false)
+      val out = fs.create(lease, false)
+      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+    }
+    // publishDir path: the pointer swap must be fenced
+    val pubErr = intercept[IllegalStateException] {
+      p.withLease("victim-pub") {
+        steal(s"thief-pub@${System.currentTimeMillis()}")
+        writeDir(s"$root/.data.staging", Seq(99L))
+        p.publishDir(".data.staging", "data")
+      }
+    }
+    assert(pubErr.getMessage.contains("fencing check failed"),
+      s"the publish must fail the fence, got: ${pubErr.getMessage}")
+    assert(served(p) == Seq(1L, 2L),
+      "the victim's staged generation must not serve")
+    assert(p.resolveKind("data") == "data.g1",
+      "the manifest must still point at the pre-steal generation")
+    fs.delete(lease, false)
+    // the fenced victim's renamed-but-never-published generation is an
+    // orphan: invisible now, swept by the next legitimate publish
+    writeDir(s"$root/.data.staging", Seq(3L))
+    p.publishDir(".data.staging", "data")
+    assert(served(p) == Seq(3L))
+    assert(!new java.io.File(s"$root/data.g2").exists, "orphan swept")
+
+    // ledger-commit path: fold's commit must be fenced too
+    val foldErr = intercept[IllegalStateException] {
+      p.withLease("victim-fold") {
+        steal(s"thief-fold@${System.currentTimeMillis()}")
+        p.commit("7")
+      }
+    }
+    assert(foldErr.getMessage.contains("fencing check failed"))
+    assert(p.foldedBatches().isEmpty,
+      "the victim's fold must not reach the ledger")
+    fs.delete(lease, false)
+
+    // and an UN-stolen lease commits normally through the same fence
+    p.withLease("legit") { p.commit("8") }
+    assert(p.foldedBatches() == Set(8L))
+  }
+
   test("fold/delete under lease: two interleaved writers cannot both " +
     "commit the same index mutation path concurrently") {
     val root = tmpDir("fold-mutex")

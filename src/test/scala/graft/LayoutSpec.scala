@@ -220,6 +220,33 @@ class LayoutSpec extends SparkSpec {
       .select($"v").as[Long].collect().toSeq == Seq(5L))
   }
 
+  test("stagePin prunes prior same-name pins past the reader grace, " +
+    "never younger ones — a long session's scratch stays bounded") {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), ".graft_pin")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.stagePin(Seq(1L).toDF("v"), "prune-name")
+    def pins() = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("prune-name-")).toSeq
+    val firstDir = pins() match { case Seq(p) => p }
+    // young sibling: a re-pin must NOT reclaim it (a concurrent query
+    // inside the grace window may still be scanning it)
+    val second = Layout.stagePin(Seq(2L).toDF("v"), "prune-name")
+    assert(pins().size == 2, "a young prior pin survives a re-pin")
+    // age the first pin past the grace: the next re-pin reclaims it
+    assert(new java.io.File(firstDir.toUri.getPath)
+      .setLastModified(System.currentTimeMillis() - 3600 * 1000L))
+    val third = Layout.stagePin(Seq(3L).toDF("v"), "prune-name")
+    val left = pins()
+    assert(!left.contains(firstDir) && left.size == 2,
+      s"the stale pin must be reclaimed, younger ones kept: $left")
+    // the surviving frames still serve their own rows
+    assert(second.select($"v").as[Long].collect().toSeq == Seq(2L))
+    assert(third.select($"v").as[Long].collect().toSeq == Seq(3L))
+    Layout.clearPins(spark)
+  }
+
   test("bucketed groupBy on the bucket key needs no exchange") {
     Layout.writeBucketed(Tables.orders(spark, sf0001), "orders_b2", 4,
       Seq("o_custkey"))

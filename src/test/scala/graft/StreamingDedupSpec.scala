@@ -183,6 +183,23 @@ class StreamingDedupSpec extends SparkSpec {
     try meta.write("{}".getBytes("UTF-8")) finally meta.close()
     assert(StreamingDedup.deleteEpoch(
       Seq(0L).toDF("doc_id"), idx, legacy) == 0L)
+
+    // a TRUNCATED marker (crash between create and close under the old
+    // plain-write scheme) reads as absent and is re-minted atomically —
+    // the takedown stream must not be permanently wedged by it
+    val wedged = tmpDir("sdel-epoch-truncated")
+    val wfs = new org.apache.hadoop.fs.Path(wedged)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    wfs.mkdirs(new org.apache.hadoop.fs.Path(wedged))
+    wfs.create(new org.apache.hadoop.fs.Path(
+      wedged, "_graft_delete_epoch"), false).close() // 0-byte marker
+    val reminted = StreamingDedup.deleteEpoch(
+      Seq(0L).toDF("doc_id"), idx, wedged)
+    assert(reminted == 2L,
+      s"truncated marker must re-mint max committed epoch + 1: $reminted")
+    assert(StreamingDedup.deleteEpoch(
+      Seq(0L).toDF("doc_id"), idx, wedged) == 2L,
+      "the re-minted marker must be pinned for subsequent resolutions")
   }
 
   test("replay idempotence: redelivering a batchId after every crash " +
