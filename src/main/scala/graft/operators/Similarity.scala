@@ -125,11 +125,12 @@ object Similarity {
       "SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0",
       neighborWhere)
 
-  /** Same construction with the seed set pluggable (the bounded-K gate
-    * swaps in the hash-ordered LIMIT sample).
+  /** The seed→Lloyd→assign→probe half of the IVF construction, seed
+    * set pluggable — shared verbatim by the scored IVF CTEs below and
+    * by the IVF-PQ oracle (which swaps the SCORING side for ADC over
+    * the PQ-reconstructed vectors but probes the identical cells).
     */
-  private def ivfCtesSeeded(seedsSql: String,
-      neighborWhere: String): String =
+  private def ivfAssignCtes(seedsSql: String): String =
     s"""seeds AS ($seedsSql),
        |a0 AS (SELECT vec_id, v, cent_id FROM (
        |    SELECT e.vec_id, e.v, s.cent_id,
@@ -148,7 +149,14 @@ object Similarity {
        |    SELECT e.vec_id, e.v, c.cent_id,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
-       |    FROM e, cents c WHERE e.vec_id < $NQueries) WHERE rn <= 4),
+       |    FROM e, cents c WHERE e.vec_id < $NQueries) WHERE rn <= 4)""".stripMargin
+
+  /** Same construction with the seed set pluggable (the bounded-K gate
+    * swaps in the hash-ordered LIMIT sample).
+    */
+  private def ivfCtesSeeded(seedsSql: String,
+      neighborWhere: String): String =
+    s"""${ivfAssignCtes(seedsSql)},
        |iscored AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
        |    round(list_cosine_similarity(p.qv, a1.v), 4) AS sim
        |  FROM probes p JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id
@@ -892,34 +900,232 @@ object Similarity {
   // a KB-sized build side and picks the broadcast itself).
   private val PqCodeCap = 6400
 
-  /** Nearest-codebook-entry sub-vector per (vector, subspace), folded
-    * back into the PQ-reconstructed corpus `(vec_id, rv)`. Assignment
-    * ranks each subspace's codebook in-row (the `assign` trick per
-    * subspace: one collect_list row per m, argmin by rounded cosine
-    * with code-id tie-break) — pure map work after the 16-row codebook
-    * join, no shuffle keyed by anything corpus-sized except the final
-    * per-vector regroup.
+  private def pqSubVec(v: Column): Column =
+    slice(v, col("m") * PqSubDim + 1, lit(PqSubDim))
+
+  /** The PQ codebook trained on `e`: one `(m, code_id, c8)` row per
+    * (subspace, code) — every-25th vector below the fixed cap supplies
+    * each subspace's candidate sub-vectors. Constant-size by
+    * construction (≤ PqM × PqCodeCap/25 rows) whatever the corpus.
     */
-  private def pqReconstructed(e: DataFrame): DataFrame = {
-    def subVec(v: Column): Column =
-      slice(v, col("m") * PqSubDim + 1, lit(PqSubDim))
+  private def pqCodebookOf(e: DataFrame): DataFrame = {
     val ms = explode(sequence(lit(0), lit(PqM - 1))).as("m")
-    val cb = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < PqCodeCap)
+    e.filter(col("vec_id") % 25 === 0 && col("vec_id") < PqCodeCap)
       .select(col("vec_id").as("code_id"), ms, col("v"))
-      .select(col("m"), col("code_id"), subVec(col("v")).as("c8"))
+      .select(col("m"), col("code_id"), pqSubVec(col("v")).as("c8"))
+  }
+
+  /** PQ-encode `(vec_id, v)` against a trained codebook →
+    * `(vec_id, codes)`: the per-subspace nearest code ids, ordered by
+    * subspace — the M-small-ints-per-vector representation the IVF-PQ
+    * index persists. Assignment ranks each subspace's codebook in-row
+    * (the `assign` trick per subspace: one collect_list row per m,
+    * argmin by rounded cosine with code-id tie-break) — pure map work
+    * after the PqM-row codebook join, no shuffle keyed by anything
+    * corpus-sized except the final per-vector regroup.
+    */
+  private def pqEncode(e: DataFrame, cb: DataFrame): DataFrame = {
+    val ms = explode(sequence(lit(0), lit(PqM - 1))).as("m")
     val cbRow = cb.groupBy(col("m"))
       .agg(collect_list(struct(col("code_id"), col("c8"))).as("cs"))
     val subs = e.select(col("vec_id"), ms, col("v"))
-      .select(col("vec_id"), col("m"), subVec(col("v")).as("sv"))
-    val assigned = subs.join(cbRow, Seq("m"))
+      .select(col("vec_id"), col("m"), pqSubVec(col("v")).as("sv"))
+    subs.join(cbRow, Seq("m"))
       .select(col("vec_id"), col("m"),
         element_at(array_sort(transform(col("cs"), c =>
           struct((round(cosine(col("sv"), c("c8")), 4) * -1).as("nsim"),
-            c("code_id").as("code_id"), c("c8").as("c8")))), 1)("c8").as("c8"))
-    assigned.groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("m"), col("c8")))).as("pairs"))
+            c("code_id").as("code_id")))), 1)("code_id").as("code_id"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code_id")))).as("pairs"))
       .select(col("vec_id"),
-        flatten(transform(col("pairs"), p => p("c8"))).as("rv"))
+        transform(col("pairs"), p => p("code_id").cast("int")).as("codes"))
+  }
+
+  /** PQ-decode: append the reconstructed vector `rv` to any frame
+    * carrying a `codes` column, shuffle-free — the whole codebook is
+    * keyed into ONE map row ((m, code) → sub-vector; M×K entries of
+    * PqSubDim floats, a CONSTANT-size artifact by the PqCodeCap bound,
+    * so the single-row frame is bounded in rows AND bytes — unlike the
+    * corpus-derived collection aggregates the hazard sweep rejects),
+    * and each row rebuilds rv by M in-row map lookups. No broadcast
+    * hint: AQE's size check sees a KB-scale build side.
+    */
+  private def pqDecode(coded: DataFrame, cb: DataFrame): DataFrame = {
+    val cbRow = cb.agg(map_from_entries(collect_list(struct(
+      (col("m") * lit(1000000L) + col("code_id")).as("k"),
+      col("c8").as("v")))).as("cbm"))
+    coded.crossJoin(cbRow)
+      .withColumn("rv", flatten(transform(col("codes"),
+        (code, i) => element_at(col("cbm"),
+          i.cast("long") * lit(1000000L) + code.cast("long")))))
+      .drop("cbm")
+  }
+
+  /** The PQ-reconstructed corpus `(vec_id, rv)` — encode then decode
+    * against the corpus-trained codebook (the `sim_pq_recall`
+    * certification construction; the IVF-PQ index persists the encode
+    * half and decodes at serve time from the same codebook).
+    */
+  private def pqReconstructed(e: DataFrame): DataFrame = {
+    val cb = pqCodebookOf(e)
+    pqDecode(pqEncode(e, cb), cb).select(col("vec_id"), col("rv"))
+  }
+
+  // ---- IVF-PQ persisted index ----
+  // The composition of the two scale artifacts above: the
+  // cell-partitioned IVF layout prunes WHICH vectors a probe reads,
+  // and PQ codes shrink WHAT is stored per vector (M small ints ≈ 16 B
+  // instead of 256 B of float32) — the shape a 10⁹+-vector corpus
+  // actually serves from. Serving is ADC over the pruned cells (query
+  // floats vs codebook-reconstructed candidates) to a rerank-sized
+  // shortlist, then an EXACT re-rank of the shortlist against the
+  // full-precision sidecar — so the quantization error can demote a
+  // true neighbor out of the shortlist but never mis-rank the final k.
+  // Index layout (FoldProtocol-managed like the float IVF index):
+  //   cents/    — frozen IVF centroids
+  //   codebook/ — frozen PQ codebook (m, code_id, c8)
+  //   vectors/  — (vec_id, codes, cent_id) cell-partitioned sub-dirs
+  //               (seed/, ledgered b<id>/, c<hw>/ compactions)
+
+  /** ADC shortlist size: the exact re-rank reads this many candidates
+    * per query from the full-precision sidecar (4× the served k — the
+    * standard headroom for PQ's ranking noise at these code sizes).
+    */
+  val PqRerank = 20
+
+  private val CodedSchema = "vec_id BIGINT, codes ARRAY<INT>, cent_id BIGINT"
+
+  /** Build a fresh IVF-PQ index at `path`: train the IVF centroids
+    * (same every-25th seeds + one Lloyd step as [[writeIvfIndex]]) and
+    * the PQ codebook on the build corpus, then land every vector as
+    * `(vec_id, codes)` cell-partitioned by its nearest centroid. Both
+    * artifacts are read BACK from parquet before assignment/encoding
+    * (double-roundtrip parity — the index provably serves the values
+    * later probes read).
+    */
+  def writeIvfPqIndex(vecs: DataFrame, path: String): Unit = {
+    val e = vecs.select(col("vec_id"), col("v"))
+    lloydStep(e, e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/cents")
+    pqCodebookOf(e)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/codebook")
+    stageIvfPqDir(e, path, s"$path/vectors/seed")
+  }
+
+  /** Assign + encode `e` against the index's FROZEN artifacts and land
+    * it cell-partitioned at `dir` (overwrite ⇒ replay-safe) — the
+    * staging step shared by the seed build and every fold.
+    */
+  private def stageIvfPqDir(e: DataFrame, path: String, dir: String): Unit = {
+    val s = e.sparkSession
+    val p = protocol(path)
+    val cents = s.read.parquet(p.dir("cents"))
+    val cb = s.read.parquet(p.dir("codebook"))
+    assign(e, cents, 1).select(col("vec_id"), col("cent_id"))
+      .join(pqEncode(e, cb), Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("cent_id"))
+      .repartition(col("cent_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cent_id")
+      .parquet(dir)
+  }
+
+  /** Fold a batch of new vectors into a persisted IVF-PQ index,
+    * exactly once under replay — [[appendToIvfIndex]]'s contract with
+    * the PQ encode added: new vectors take the FROZEN centroids and
+    * codebook (both are retrained offline like every IVF refresh,
+    * never per ingest batch).
+    */
+  def appendToIvfPqIndex(vecs: DataFrame, path: String,
+      batchId: Long): Boolean =
+    protocol(path).fold(batchId) {
+      stageIvfPqDir(vecs.select(col("vec_id"), col("v")), path,
+        s"${protocol(path).dir("vectors")}/b$batchId")
+    }
+
+  /** Tombstone vector ids out of a persisted IVF-PQ index — identical
+    * protocol to [[deleteFromIvfIndex]] (the coded frame anti-joins the
+    * same tombstones at serve time).
+    */
+  def deleteFromIvfPqIndex(ids: DataFrame, path: String,
+      deleteId: Long): Boolean =
+    protocol(path).delete(deleteId) {
+      protocol(path).stageTombstones(ids, "vec_id", deleteId)
+    }
+
+  /** All committed coded index rows `(vec_id, codes, cent_id)`, minus
+    * committed tombstones — the IVF-PQ twin of [[indexVectors]].
+    */
+  def indexCodes(s: SparkSession, path: String): DataFrame =
+    protocol(path).readCommittedStripped(s, "vectors", "vec_id")(r =>
+      s.read.schema(CodedSchema).option("basePath", r).parquet(r))
+
+  /** Top-k ANN for `(query_id, qv)` queries against a persisted IVF-PQ
+    * index. Same static cell prune as [[indexTopK]] (probed `cent_id=`
+    * directories only), but the pruned scan reads CODES (≈16 B/vector),
+    * not float vectors; candidates are scored by ADC — rounded cosine
+    * of the query's exact floats against the codebook-reconstructed
+    * candidate — to a `rerank`-deep shortlist per query, and the
+    * shortlist alone is re-ranked exactly against `full`, the
+    * full-precision `(vec_id, v)` sidecar (queries × rerank point
+    * lookups — the only touch of float vectors on the serve path).
+    */
+  def ivfPqTopK(s: SparkSession, indexPath: String, queries: DataFrame,
+      full: DataFrame, nprobe: Int = 4, k: Int = TopK,
+      rerank: Int = PqRerank): DataFrame = {
+    val p = protocol(indexPath)
+    val cents = s.read.parquet(p.dir("cents"))
+    val cb = s.read.parquet(p.dir("codebook"))
+    val probes = assign(
+      queries.select(col("query_id").as("vec_id"), col("qv").as("v")),
+      cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cent_id"))
+    // Driver-side probe-cell list: bounded by the cell count K, same
+    // class as indexTopK's (what turns the prune into a static
+    // PartitionFilter).
+    val cells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val totalCells = cents.count()
+    val allCoded = indexCodes(s, indexPath)
+    val pruned =
+      if (cells.length >= totalCells) allCoded
+      else allCoded.filter(col("cent_id").isin(cells: _*))
+    val adc = probes.join(pqDecode(pruned, cb), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("rv")), 4).as("sim"))
+    val shortlist = rankTopK(adc, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = shortlist
+      .join(full.select(col("vec_id").as("neighbor_id"), col("v")),
+        Seq("neighbor_id"))
+      .join(queries.select(col("query_id"), col("qv")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 4).as("sim"))
+    rankTopK(rescored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Build-if-absent the persisted IVF-PQ index over the gate corpus —
+    * complete when centroids, codebook and a committed coded frame all
+    * landed (a crash anywhere mid-build rebuilds from scratch).
+    */
+  def ensureIvfPqIndex(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivfpq$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!ivfIndexComplete(fs, root) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          protocol(root.toString).dir("codebook"), "_SUCCESS"))) {
+      fs.delete(root, true)
+      writeIvfPqIndex(corpus(s, d).select(col("vec_id"), col("v")),
+        root.toString)
+    }
+    root.toString
   }
 
   /** [[ivfTopK]] served from the PERSISTED index: result-identical by
@@ -1158,6 +1364,75 @@ object Similarity {
       val approx = indexTopK(s, ensureFixedKIvfIndex(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+    },
+
+    // The production serving shape under the recall gate: the
+    // PERSISTED IVF-PQ index (cell-partitioned PQ codes ≈16 B/vector;
+    // ensureIvfPqIndex) served by ADC over the probed cells with an
+    // exact re-rank of the PqRerank-deep shortlist against the
+    // full-precision sidecar. The oracle recomputes the ENTIRE
+    // composition — IVF seeds/Lloyd/assignment/probes (the shared
+    // ivfAssignCtes text), PQ codebook/encode/reconstruct (the
+    // sim_pq_recall CTEs verbatim), ADC shortlist, exact re-rank —
+    // so any drift in either artifact, their composition, or the
+    // serve path breaks the hash match. Per-query overlap against the
+    // exact top-k, like every recall gate; IvfPqSpec pins the
+    // structural halves (code width M, fold/delete lifecycle).
+    QuerySpec(
+      "sim_ivfpq_recall",
+      s"""WITH $eCte,
+         |$topkCtes,
+         |${ivfAssignCtes(
+             "SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0")},
+         |cb AS (SELECT m, vec_id AS code_id,
+         |         v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS c8
+         |       FROM e, range(0, $PqM) t(m)
+         |       WHERE vec_id % 25 = 0 AND vec_id < $PqCodeCap),
+         |sub AS (SELECT vec_id, m,
+         |          v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS sv
+         |        FROM e, range(0, $PqM) t(m)),
+         |asg AS (SELECT vec_id, m, c8 FROM (
+         |    SELECT s.vec_id, s.m, c.c8,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY round(list_cosine_similarity(s.sv, c.c8), 4) DESC, c.code_id) AS rn
+         |    FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+         |recon AS (SELECT vec_id, flatten(list(c8 ORDER BY m)) AS rv
+         |          FROM asg GROUP BY vec_id),
+         |adc AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(p.qv, r.rv), 4) AS sim
+         |  FROM probes p
+         |  JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id
+         |  JOIN recon r ON r.vec_id = a1.vec_id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM adc) WHERE rank <= $PqRerank),
+         |rescored AS (SELECT sh.query_id, sh.neighbor_id,
+         |    round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+         |  FROM short sh JOIN e ON e.vec_id = sh.neighbor_id
+         |  JOIN q ON q.query_id = sh.query_id),
+         |ivfpq AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM rescored) WHERE rank <= $TopK)
+         |SELECT t.query_id,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_common
+         |FROM topk t LEFT JOIN ivfpq i
+         |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+         |GROUP BY t.query_id""".stripMargin) { (s, d) =>
+      val exact = bruteTopK(s, d).select(col("query_id"), col("neighbor_id"))
+      val approx = ivfPqTopK(s, ensureIvfPqIndex(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        corpus(s, d).select(col("vec_id"), col("v")))
         .select(col("query_id"), col("neighbor_id"))
         .withColumn("hit", lit(1L))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")

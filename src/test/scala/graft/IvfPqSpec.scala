@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** The persisted IVF-PQ index — structural halves of the
+  * `sim_ivfpq_recall` gate: the coded frame stores exactly M small ints
+  * per vector (the ≈16 B/vector representation), serving composes the
+  * cell prune with ADC + exact re-rank, and the index runs the same
+  * fold/delete lifecycle as the float IVF index (frozen centroids AND
+  * frozen codebook across appends; tombstones hide served candidates).
+  */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus() = Tables.embeddings(spark, sf0001)
+    .select($"vec_id", $"embedding".as("v"))
+
+  private def queries() = Tables.embeddings(spark, sf0001)
+    .filter($"vec_id" < 20)
+    .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+
+  test("writeIvfPqIndex: every vector lands as exactly M code ids in " +
+    "one cell; codebook is the fixed-cap artifact; nothing stores " +
+    "float vectors") {
+    val root = Similarity.ensureIvfPqIndex(spark, sf0001)
+    val coded = Similarity.indexCodes(spark, root)
+    assert(coded.count() == corpus().count(),
+      "every corpus vector must be encoded exactly once")
+    val widths = coded.select(size($"codes")).distinct().as[Int].collect()
+    assert(widths.sameElements(Array(16)),
+      s"every vector must carry exactly M=16 code ids, got ${widths.toSeq}")
+    assert(!coded.columns.contains("v"),
+      "the coded frame must not carry float vectors — codes are the point")
+    val cb = spark.read.parquet(
+      Similarity.protocol(root).dir("codebook"))
+    assert(cb.select($"m").distinct().count() == 16,
+      "one codebook per subspace")
+    // per-subspace code count is the fixed-cap sample size, constant in
+    // the corpus (PqCodeCap/25 candidates at most)
+    val perM = cb.groupBy($"m").count().select($"count").distinct()
+      .as[Long].collect()
+    assert(perM.length == 1 && perM.head <= 256,
+      s"codebook size must be capped per subspace, got ${perM.toSeq}")
+  }
+
+  test("sim_ivfpq_recall: the ADC + exact-re-rank serve clears the " +
+    "recall floor and never exceeds the exact top-k size") {
+    val rows = SparkEntry.queries("sim_ivfpq_recall")(spark, sf0001)
+      .select($"query_id", $"n_common").as[(Long, Long)].collect()
+    assert(rows.length == 20, "one recall row per gate query")
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 5),
+      "per-query overlap is bounded by k")
+    // IVF-PQ compounds two approximations (cell prune + quantization);
+    // the exact re-rank claws ranking fidelity back inside the
+    // shortlist. The value-level gate is the oracle hash match — this
+    // floor pins that the composition stays USEFUL (≫ the ~1% random
+    // baseline) on the no-cluster-structure synthetic corpus.
+    val total = rows.map(_._2).sum
+    assert(total >= 15,
+      s"aggregate recall@5 must clear 15% on the gate corpus, got $total/100")
+  }
+
+  test("IVF-PQ fold/delete lifecycle: appends encode against the FROZEN " +
+    "centroids and codebook, replays short-circuit, tombstones hide " +
+    "served candidates") {
+    val idx = tmpDir("ivfpq-life")
+    val e = corpus()
+    val history = e.filter($"vec_id" % 5 =!= 4)
+    val wave = e.filter($"vec_id" % 5 === 4)
+    Similarity.writeIvfPqIndex(history, idx)
+    val p = Similarity.protocol(idx)
+    val centsBefore = spark.read.parquet(p.dir("cents"))
+      .orderBy($"cent_id").collect().map(_.toString).toSeq
+    val cbBefore = spark.read.parquet(p.dir("codebook"))
+      .orderBy($"m", $"code_id").collect().map(_.toString).toSeq
+
+    assert(Similarity.appendToIvfPqIndex(wave, idx, 1L))
+    assert(Similarity.indexCodes(spark, idx).count() == e.count(),
+      "fold must add exactly the wave")
+    assert(spark.read.parquet(p.dir("cents"))
+      .orderBy($"cent_id").collect().map(_.toString).toSeq == centsBefore,
+      "append must not touch the centroid frame")
+    assert(spark.read.parquet(p.dir("codebook"))
+      .orderBy($"m", $"code_id").collect().map(_.toString).toSeq == cbBefore,
+      "append must not touch the codebook")
+    assert(!Similarity.appendToIvfPqIndex(wave, idx, 1L),
+      "replayed fold is a committed no-op")
+
+    // serve sanity on the grown index: k rows per query, no self-match
+    val served = Similarity.ivfPqTopK(spark, idx, queries(), e)
+    val perQ = served.groupBy($"query_id").count()
+      .select($"count").distinct().as[Long].collect()
+    assert(perQ.sameElements(Array(5L)), s"5 rows per query, got ${perQ.toSeq}")
+    assert(served.filter($"query_id" === $"neighbor_id").isEmpty,
+      "no self-matches")
+
+    // tombstone a victim set overlapping current results: victims stop
+    // serving; survivors' relative order is preserved (the candidate
+    // set shrinks, nothing is re-scored)
+    // pin the victim set driver-side first: a limit over an unordered
+    // distinct is nondeterministic, so the staged tombstones and the
+    // spec's expectation must come from ONE evaluation
+    val victimIds = served.select($"neighbor_id").distinct().limit(10)
+      .as[Long].collect().toSet
+    val victims = victimIds.toSeq.toDF("vec_id")
+    assert(Similarity.deleteFromIvfPqIndex(victims, idx, 2L))
+    val after = Similarity.ivfPqTopK(spark, idx, queries(), e)
+    val afterIds = after.select($"neighbor_id").as[Long].collect().toSet
+    assert(afterIds.intersect(victimIds).isEmpty,
+      "tombstoned vectors must not serve as neighbors")
+    assert(!Similarity.deleteFromIvfPqIndex(victims, idx, 2L),
+      "replayed delete is a committed no-op")
+  }
+}
