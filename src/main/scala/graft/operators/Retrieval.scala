@@ -617,7 +617,122 @@ object Retrieval {
     QuerySpec("text_hybrid_rrf_indexed", hybridRrfOracleSql) { (s, d) =>
       hybridRrf(s, d, bm25TopK(s, ensureBm25Index(s, d)))
     },
+
+    // TRUE dense+lexical hybrid — both rankers served from their
+    // PERSISTED indexes: BM25 from the bucket-pruned inverted index
+    // (bm25TopK / ensureBm25Index) fused with IVF vector search from
+    // the cell-partitioned vector index (Similarity.indexTopK /
+    // ensureIvfIndex) over a SYNTHETIC query embedding — the per-dim
+    // mean of the first 20 document embeddings (vec_id ≡ doc_id in the
+    // corpus, both 0..N), a non-corpus vector that exercises the probe
+    // path the way a real encoded query would. Fusion is the same RRF
+    // as text_hybrid_rrf (Σ 1/(60+rank), absent ranks 0, ≤ 2·k fusion
+    // join — plan-pinned in RetrievalSpec). The oracle recomputes BOTH
+    // index constructions (BM25 arithmetic verbatim; the IVF
+    // seed→Lloyd→assign→probe chain of sim_ivf) and the fusion
+    // end-to-end. This replaces the coverage-ranker stand-in as the
+    // production shape the module comment names.
+    QuerySpec("text_hybrid_dense", hybridDenseOracleSql) { (s, d) =>
+      val lex = ranksOf(
+        bm25TopK(s, ensureBm25Index(s, d))
+          .select(col("doc_id"), col("score").as("s")))
+        .withColumnRenamed("r", "br")
+      val dense = Similarity.indexTopK(
+        s, Similarity.ensureIvfIndex(s, d), denseQuery(s, d), k = TopK)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("dr"))
+      lex.join(dense, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          coalesce(col("br"), lit(0L)).as("bm25_rank"),
+          coalesce(col("dr"), lit(0L)).as("dense_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(TopK)
+    },
   )
+
+  /** The synthetic dense query: one `(query_id = -1, qv)` row, the
+    * element-wise mean of the first 20 document embeddings. query_id
+    * −1 sits outside the id domain, so the index's self-match
+    * exclusion never bars a corpus vector.
+    */
+  private def denseQuery(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 20)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(avg(col("x")).as("qx"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("qx"))))
+        .as("pairs"))
+      .select(lit(-1L).as("query_id"),
+        transform(col("pairs"), p => p("qx")).as("qv"))
+
+  private lazy val hybridDenseOracleSql: String = {
+    val termList = QueryTerms.map("'" + _ + "'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |              avg(len(ws)) AS avgdl FROM d),
+       |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM d),
+       |tf AS (SELECT word, doc_id, dl, count(*) AS tf FROM t
+       |       WHERE word IN ($termList) GROUP BY word, doc_id, dl),
+       |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df
+       |       FROM tf GROUP BY word),
+       |sc AS (SELECT tf.doc_id,
+       |         sum(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+       |             * (tf.tf * CAST(2.2 AS DOUBLE)
+       |                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))))
+       |           AS score
+       |       FROM tf JOIN df USING (word), st
+       |       GROUP BY tf.doc_id),
+       |br AS (SELECT doc_id, r FROM (
+       |    SELECT doc_id, row_number() OVER (
+       |      ORDER BY round(score, 4) DESC, doc_id) AS r FROM sc)
+       |  WHERE r <= $TopK),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings),
+       |qm AS (SELECT dd, avg(v[dd]) AS qx
+       |       FROM e, range(1, 65) rr(dd) WHERE vec_id < 20 GROUP BY dd),
+       |qd AS (SELECT CAST(-1 AS BIGINT) AS query_id,
+       |              list(qx ORDER BY dd) AS qv FROM qm),
+       |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |          WHERE vec_id % 25 = 0),
+       |a0 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, s.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC, s.cent_id) AS rn
+       |    FROM e, seeds s) WHERE rn = 1),
+       |cd AS (SELECT cent_id, dd, avg(v[dd]) AS cx
+       |       FROM a0, range(1, 65) rr(dd) GROUP BY cent_id, dd),
+       |cents AS (SELECT cent_id, list(cx ORDER BY dd) AS cv
+       |          FROM cd GROUP BY cent_id),
+       |a1 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM e, cents c) WHERE rn = 1),
+       |dpr AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM qd q, cents c) WHERE rn <= 4),
+       |dsc AS (SELECT p.query_id, a1.vec_id AS doc_id,
+       |    round(list_cosine_similarity(p.qv, a1.v), 4) AS sim
+       |  FROM dpr p JOIN a1 ON p.cent_id = a1.cent_id
+       |    AND a1.vec_id <> p.query_id),
+       |dr AS (SELECT doc_id, r FROM (
+       |    SELECT doc_id, row_number() OVER (
+       |      ORDER BY sim DESC, doc_id) AS r FROM dsc)
+       |  WHERE r <= $TopK),
+       |f AS (SELECT coalesce(br.doc_id, dr.doc_id) AS doc_id,
+       |    CAST(coalesce(br.r, 0) AS BIGINT) AS bm25_rank,
+       |    CAST(coalesce(dr.r, 0) AS BIGINT) AS dense_rank,
+       |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + br.r), 0)
+       |        + coalesce(CAST(1.0 AS DOUBLE) / (60 + dr.r), 0), 4) AS rrf
+       |  FROM br FULL JOIN dr ON br.doc_id = dr.doc_id)
+       |SELECT doc_id, bm25_rank, dense_rank, rrf FROM f
+       |ORDER BY rrf DESC, doc_id LIMIT $TopK""".stripMargin
+  }
 
   private lazy val hybridRrfOracleSql: String = {
     val termList = QueryTerms.map("'" + _ + "'").mkString(", ")
@@ -667,14 +782,19 @@ object Retrieval {
     * Ranks via the bounded-state top_k aggregate; the fusion join is
     * ≤ 2·TopK rows.
     */
+  /** Top-`TopK` ranks of a `(doc_id, s)` scored frame via the
+    * bounded-state top_k aggregate (score desc, doc_id tie-break) —
+    * the per-ranker half both hybrid fusions share.
+    */
+  private def ranksOf(scored: DataFrame): DataFrame = scored
+    .agg(graft.functions.TopKAgg.top_k(
+      col("s"), col("doc_id"), TopK).as("top"))
+    .select(posexplode(col("top")).as(Seq("pos", "sc")))
+    .select(col("sc.id").as("doc_id"),
+      (col("pos") + 1).cast("long").as("r"))
+
   private def hybridRrf(s: SparkSession, d: String,
       lexical: DataFrame): DataFrame = {
-    def ranksOf(scored: DataFrame): DataFrame = scored
-      .agg(graft.functions.TopKAgg.top_k(
-        col("s"), col("doc_id"), TopK).as("top"))
-      .select(posexplode(col("top")).as(Seq("pos", "sc")))
-      .select(col("sc.id").as("doc_id"),
-        (col("pos") + 1).cast("long").as("r"))
     val lex = ranksOf(lexical.select(col("doc_id"), col("score").as("s")))
       .withColumnRenamed("r", "br")
     val qTerms = array(QueryTerms.map(lit): _*)

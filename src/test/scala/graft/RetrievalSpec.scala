@@ -215,4 +215,41 @@ class RetrievalSpec extends SparkSpec {
     assert(best._2 > 0 && best._3 > 0,
       s"top fused doc should be a consensus doc: $best")
   }
+
+  test("text_hybrid_dense: BM25 and IVF rankers fuse by RRF, both " +
+    "serve from their PERSISTED indexes (bucket-pruned postings scan, " +
+    "cell-pruned vector scan — never the raw corpus text)") {
+    val q = SparkEntry.queries("text_hybrid_dense")(spark, sf0001)
+    val rows = q.select($"doc_id", $"bm25_rank", $"dense_rank", $"rrf")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 10)
+    // both rankers contribute: some doc carries a dense rank, some a
+    // bm25 rank, and the fusion is the exact reciprocal-rank sum
+    assert(rows.exists(_._2 > 0) && rows.exists(_._3 > 0),
+      s"both rankers must surface docs: ${rows.toSeq}")
+    rows.foreach { case (id, br, dr, rrf) =>
+      val expect = BigDecimal(
+        (if (br > 0) 1.0 / (60 + br) else 0.0) +
+        (if (dr > 0) 1.0 / (60 + dr) else 0.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf == expect, s"doc $id: rrf $rrf != $expect")
+    }
+    // fusion input is ≤ 2·TopK rows by construction: every fused doc
+    // came from one of the two top-10 lists
+    assert(rows.forall(r => r._2 > 0 || r._3 > 0),
+      "a fused doc must come from at least one ranker's top-k")
+    // plan pin: the serve path reads BOTH persisted indexes and never
+    // re-tokenizes the corpus — the scans are the index roots, not
+    // documents.parquet
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString).mkString(",")
+    }
+    assert(scans.exists(_.contains("graft_bm25_index")),
+      s"lexical side must serve from the inverted index: $scans")
+    assert(scans.exists(_.contains("graft_ivf_index")),
+      s"dense side must serve from the IVF index: $scans")
+    assert(!scans.exists(_.contains("documents.parquet")),
+      s"the fused serve must not re-scan the raw corpus text: $scans")
+  }
 }
