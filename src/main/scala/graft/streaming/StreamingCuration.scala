@@ -9,14 +9,28 @@ import org.apache.spark.sql.functions._
   * anything lands in the corpus: quality floor + n-gram decontamination
   * against a held-out benchmark.
   *
-  * The benchmark ships as its distinct 4-gram xxhash64 set, broadcast
-  * as a literal (eval suites are small — thousands of docs, not
-  * corpora; a larger drop-list would ship a bloom filter the same way).
-  * Both stages are STATELESS per-row expressions: no watermark, no
-  * state store, valid in every output mode, and the stream plan is the
-  * identical expression tree the batch pipeline runs — curation
-  * semantics cannot drift between the hourly batch path and the
-  * streaming path.
+  * Three decontamination routes, by benchmark scale:
+  *
+  *   - [[curate]]       — the benchmark's distinct 4-gram xxhash64 set
+  *                        ships as a literal in-row set (EXACT; driver
+  *                        memory O(|grams|) — fine for a small fixture,
+  *                        the shape that rots as the benchmark suite
+  *                        grows).
+  *   - [[curateBloom]]  — a distributed-built Bloom ships instead
+  *                        (driver memory O(bloom bits); one-sided
+  *                        error: never keeps a contaminated doc,
+  *                        over-drops clean docs at ~fpp per gram).
+  *   - [[curateExact]]  — the production route: the Bloom probes
+  *                        in-row and the RARE hits are exact-verified
+  *                        by a distributed semi-join against the
+  *                        benchmark gram FRAME — EXACT semantics with
+  *                        driver memory bounded by the bloom, never by
+  *                        the gram count. Needs batch semantics for
+  *                        the per-doc verdict regroup, so streams run
+  *                        it per micro-batch via [[startCurated]]
+  *                        (foreachBatch), where the quality floor and
+  *                        bloom probe remain the identical row-local
+  *                        expressions the pure-append routes use.
   *
   * The stateful stages of corpus curation (cross-document dedup,
   * mixture accounting) stay in the batch/compaction tier by design:
@@ -26,15 +40,21 @@ import org.apache.spark.sql.functions._
   */
 object StreamingCuration {
 
-  /** Distinct 4-gram hashes of a static benchmark frame (the value to
-    * broadcast into [[curate]]).
+  /** The distinct 4-gram hash FRAME `(gh)` of a benchmark — the
+    * distributed drop-list representation ([[curateExact]]'s verify
+    * side and the input both builds below aggregate). Never collected.
     */
-  def benchmarkGramHashes(bench: DataFrame): Array[Long] =
+  def benchmarkGramFrame(bench: DataFrame): DataFrame =
     bench
       .select(explode(array_distinct(Dedup.kgrams(col("text"), 4))).as("g"))
       .select(xxhash64(col("g")).as("gh")).distinct()
-      .orderBy("gh")
-      .collect().map(_.getLong(0))
+
+  /** Distinct 4-gram hashes of a static benchmark frame (the value to
+    * broadcast into [[curate]]). Driver memory grows with the
+    * benchmark suite — past fixture scale, use [[curateExact]].
+    */
+  def benchmarkGramHashes(bench: DataFrame): Array[Long] =
+    benchmarkGramFrame(bench).orderBy("gh").collect().map(_.getLong(0))
 
   /** Gram-hash column of a text column (shared by tests/diagnostics). */
   def gramHashes(text: Column): Column =
@@ -79,4 +99,64 @@ object StreamingCuration {
       .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
       .filter(!exists(gramHashes(col("text")),
         g => graft.functions.BloomMightContain.might_contain(g, bloom)))
+
+  /** Bloom-ROUTED exact decontamination of one (micro-)batch: the
+    * quality floor and the in-row bloom probe split the batch into
+    * definitely-clean rows (no gram might be in the benchmark — kept
+    * outright, no join) and SUSPECTS (≥1 probe hit: the truly
+    * contaminated plus ~fpp false positives), and only the suspects'
+    * grams take the distributed semi-join against `benchGrams`
+    * ([[benchmarkGramFrame]]) for the exact verdict. Result-identical
+    * to [[curate]] with the exact gram array (batch-parity spec'd at
+    * 100× the fixture benchmark), but nothing driver-side ever holds
+    * the gram set: the driver carries the BLOOM (fixed bits), the gram
+    * frame stays distributed, and the join side is O(|suspects| ×
+    * grams/doc) rows — fpp-small however large the corpus batch.
+    *
+    * Batch-shaped (the per-doc verdict is a distinct + anti-join);
+    * streams run it per micro-batch via [[startCurated]].
+    */
+  def curateExact(docs: DataFrame, bloom: org.apache.spark.util.sketch.BloomFilter,
+      benchGrams: DataFrame, minQuality: Double = 0.75): DataFrame = {
+    val cols = docs.columns.map(col).toSeq
+    val q = docs
+      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .withColumn("_grams", gramHashes(col("text")))
+      .withColumn("_suspect", exists(col("_grams"),
+        g => graft.functions.BloomMightContain.might_contain(g, bloom)))
+    val suspects = q.filter(col("_suspect"))
+    val contaminated = suspects
+      .select(col("doc_id"), explode(col("_grams")).as("gh"))
+      .join(benchGrams.select(col("gh")), Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    q.filter(!col("_suspect")).select(cols: _*)
+      .unionByName(
+        suspects.join(contaminated, Seq("doc_id"), "left_anti")
+          .select(cols: _*))
+  }
+
+  /** Streaming [[curateExact]]: each micro-batch takes the bloom probe
+    * + exact-verify route and survivors land in a batchId-keyed dir
+    * with overwrite semantics (`outPath/b<batchId>` — a replay after a
+    * crash rewrites the same directory wholesale, so the curated
+    * corpus stays exactly-once without a ledger: the batch's survivor
+    * set is deterministic given the static benchmark artifacts).
+    * Empty batches are suppressed (K3).
+    */
+  def startCurated(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      benchGrams: DataFrame, outPath: String, checkpoint: String,
+      minQuality: Double = 0.75)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val kept = curateExact(batch, bloom, benchGrams, minQuality)
+        if (!kept.isEmpty)
+          kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outPath/b$batchId")
+        ()
+      }
+      .start()
 }

@@ -62,6 +62,75 @@ class StreamingCurationSpec extends SparkSpec {
       s"over-dropped ${(exactKeep -- bloomKeep).size} of ${exactKeep.size}")
   }
 
+  test("bloom-routed EXACT decontamination: verdict parity with the " +
+    "exact gram array at 100x the fixture benchmark — driver holds the " +
+    "bloom, the gram set stays a distributed frame") {
+    val docs = Tables.documents(spark, sf0001)
+    val bench0 = docs.filter($"source" === "src0")
+    val corpus = docs.filter($"source" =!= "src0")
+    // 100× benchmark: the fixture plus 99 word-salted copies — every
+    // word of a copy carries its copy tag, so each copy contributes a
+    // DISJOINT 4-gram set and the gram count scales ~100×, exactly the
+    // suite growth that breaks a driver-collected array
+    val bench100 = bench0.select($"doc_id", $"text")
+      .crossJoin(spark.range(0, 100).toDF("rep"))
+      .select($"doc_id",
+        when($"rep" === 0, $"text").otherwise(
+          concat_ws(" ", transform(split($"text", " "),
+            w => concat(w, lit("_"), $"rep")))).as("text"))
+    val grams100 = StreamingCuration.benchmarkGramFrame(bench100)
+    val nGrams = grams100.count()
+    val nBase = StreamingCuration.benchmarkGramFrame(bench0).count()
+    assert(nGrams >= 90 * nBase,
+      s"salted copies must multiply the gram set: $nGrams vs base $nBase")
+    val bloom = StreamingCuration.benchmarkBloom(bench100, nGrams, 0.01)
+    val routedKeep = StreamingCuration.curateExact(corpus, bloom, grams100)
+      .select($"doc_id").as[Long].collect().toSet
+    // parity with the exact-array route over the SAME 100× benchmark
+    val exactKeep = StreamingCuration.curate(corpus,
+        StreamingCuration.benchmarkGramHashes(bench100))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(routedKeep == exactKeep,
+      "bloom-routed exact verify must equal the exact-array verdicts " +
+        "(the fpp false positives must all be clawed back)")
+    // and the salted grams match no real text, so the verdicts equal
+    // the original benchmark's too — the bloom's over-drop is gone
+    val keep0 = StreamingCuration.curate(corpus,
+        StreamingCuration.benchmarkGramHashes(bench0))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(routedKeep == keep0,
+      "routing must not change which docs the benchmark condemns")
+    assert(routedKeep.nonEmpty)
+  }
+
+  test("startCurated: micro-batches through the bloom-routed exact " +
+    "path land batch-keyed survivors identical to the batch operator") {
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001)
+    val bench = docs.filter($"source" === "src0")
+    val corpus = docs.filter($"source" =!= "src0")
+    val grams = StreamingCuration.benchmarkGramFrame(bench)
+      .localCheckpoint() // static side of every micro-batch's verify
+    val bloom = StreamingCuration.benchmarkBloom(bench, grams.count(), 0.01)
+    val batchKeep = StreamingCuration.curateExact(corpus, bloom, grams)
+      .select($"doc_id").as[Long].collect().toSet
+    val out = tmpDir("curated-stream-out")
+    val in = MemoryStream[Doc]
+    val q = StreamingCuration.startCurated(
+      in.toDF(), bloom, grams, out, tmpDir("curated-stream-ckpt"))
+    try {
+      val rows = corpus.select($"doc_id", $"text").as[(Long, String)]
+        .collect().map { case (id, t) => Doc(id, t) }
+      val (half1, half2) = rows.splitAt(rows.length / 2)
+      in.addData(half1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(half2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).select($"doc_id").as[Long].collect().toSet
+    assert(streamed == batchKeep,
+      "streaming micro-batches must reproduce the batch verdicts")
+  }
+
   test("stream and batch curation agree: the same expressions filter the " +
     "documents table to the same survivors") {
     implicit val sc = spark.sqlContext
