@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Dedup.specs ++
       operators.Similarity.specs ++
       operators.TextAnalysis.specs ++
+      operators.Bpe.specs ++
       operators.Retrieval.specs ++
       operators.Multimodal.specs ++
       operators.Profiling.specs ++

@@ -1,0 +1,291 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: bounded-round greedy pair-merge LEARN
+  * over the corpus word-frequency frame, then APPLY as a vocabulary
+  * join — the tokenizer-fidelity step between `vocab_coverage`'s
+  * whitespace curve and what a training pipeline actually meters
+  * budgets in (BPE subword counts, Sennrich et al. 2016).
+  *
+  * Learn runs on the WORD-FREQUENCY frame, not the corpus: classic BPE
+  * trains on (word, freq) pairs, so however large the corpus, each
+  * merge round aggregates a vocabulary-sized frame (the same frame
+  * `vocab_coverage` tops — ~10⁸ rows at web scale, corpus-independent
+  * once counted). One tokenize shuffle builds that frame; each of the
+  * `Rounds` rounds is then one pair-count aggregate (map-side partial,
+  * shuffled by pair) plus a TakeOrdered argmax — no window, no global
+  * sort. The winning pair per round is a ONE-ROW driver collect
+  * (O(rounds) rows total over the whole learn, same bounded-collect
+  * class as the IVF probe-cell lists), after which the merge rewrite is
+  * a pure per-row `replace` stacked on the cached base — lineage depth
+  * stays `Rounds`, linear, no checkpoint needed.
+  *
+  * Merge-application semantics are pinned EXACTLY (and identically in
+  * the DuckDB oracles): a round replaces occurrences of its winning
+  * pair leftmost-first, non-overlapping, in ONE pass — the semantics
+  * both engines' `replace` share. (Strict HF-style BPE re-scans after
+  * each in-word merge; the one-pass variant differs only on runs of a
+  * pair overlapping itself, is deterministic, and keeps apply a pure
+  * in-row fold on both engines.) Ties break (count DESC, pair ASC);
+  * symbols never contain spaces, so ` pair ` cannot straddle symbol
+  * boundaries. A round with no remaining pairs elects the untouchable
+  * `chr(1) chr(1)` sentinel (control chars cannot appear in text), so
+  * both engines emit exactly `Rounds` merges whatever the corpus.
+  *
+  * Apply = join: the learn's final segmentation already fixes every
+  * vocabulary word's subword count, so metering a document is explode →
+  * (broadcast) vocab join → per-doc sum — zero shuffle on the corpus
+  * side beyond the final doc_id aggregate. Out-of-vocabulary words
+  * (impossible when scoring the training corpus itself, routine when
+  * metering NEW text against a frozen tokenizer) fall back to
+  * char-count, encoded identically in the oracles.
+  */
+object Bpe {
+
+  /** Merge rounds the gated queries learn. Bounded by design: real
+    * tokenizers run 30k–100k merges, but each round is the SAME
+    * aggregate shape — the gate pins the machinery, the constant is a
+    * knob.
+    */
+  val Rounds = 8
+
+  /** Per-language BPE-token budget of `doc_token_budget_bpe` (vs 5000
+    * whitespace tokens in `doc_token_budget` — subword counts run
+    * higher).
+    */
+  val Budget = 8000L
+
+  /** Elected when a round has no pairs left; `replace` of its framed
+    * form is a no-op on any real segmentation.
+    */
+  private[graft] val Sentinel = "\u0001 \u0001"
+
+  /** Word-frequency frame with the initial character segmentation:
+    * `seq` is the word's symbols space-joined with sentinel spaces at
+    * both ends, so every symbol occurrence — first, last, interior —
+    * is ` sym `-framed and one `replace(' a b ', ' ab ')` rewrites it.
+    */
+  private def initVocab(docs: DataFrame): DataFrame =
+    Par.fanOut(docs)
+      .select(explode(filter(split(col("text"), " "), w => w =!= ""))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("seq",
+        concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1 ")),
+          lit(" ")))
+
+  /** One round's (pair, summed word-frequency) aggregate. */
+  private def pairCounts(vocab: DataFrame): DataFrame = {
+    val syms = split(trim(col("seq")), " ")
+    vocab
+      .select(col("freq"),
+        explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+  }
+
+  /** Greedy pair-merge learn: returns the `rounds` winning pairs in
+    * merge order, the final per-word segmentation frame
+    * (word, freq, seq), and the CACHED base frame the segmentation's
+    * lineage stacks its replaces on — the caller unpersists that base
+    * once the segmentation is consumed.
+    */
+  private[graft] def learn(docs: DataFrame,
+      rounds: Int): (Seq[String], DataFrame, DataFrame) = {
+    val base = initVocab(docs).persist()
+    var vocab = base
+    val merges = Seq.newBuilder[String]
+    val sentinelRow = docs.sparkSession.range(1)
+      .select(lit(Sentinel).as("pair"), lit(-1L).as("cnt"))
+    for (_ <- 1 to rounds) {
+      // One-row driver collect per round (bounded: `rounds` rows total).
+      val best = pairCounts(vocab)
+        .unionByName(sentinelRow)
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1)
+        .head().getString(0)
+      merges += best
+      vocab = vocab.withColumn("seq",
+        replace(col("seq"), lit(s" $best "),
+          lit(" " + best.replace(" ", "") + " ")))
+    }
+    (merges.result(), vocab, base)
+  }
+
+  /** Build-if-absent the persisted model for `d` (suffix-keyed
+    * warehouse convention, same completeness contract as
+    * `Retrieval.ensureBm25Index`): `merges/` (rank, pair, merged) and
+    * `vocab/` (word, freq, n_bpe) parquet dirs; complete iff both
+    * carry `_SUCCESS`. The learn is deterministic, so a completed
+    * model re-serves without re-learning.
+    */
+  def ensureBpeModel(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_bpe_model$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val complete = Seq("merges", "vocab").forall(side => fs.exists(
+      new org.apache.hadoop.fs.Path(root, side + "/_SUCCESS")))
+    if (!complete) {
+      fs.delete(root, true)
+      val (merges, vocab, base) = learn(Tables.documents(s, d), Rounds)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case (p, i) => (i + 1, p, p.replace(" ", "")) }
+        .toDF("rank", "pair", "merged")
+        .coalesce(1)
+        .write.parquet(new org.apache.hadoop.fs.Path(root, "merges").toString)
+      vocab
+        .select(col("word"), col("freq"),
+          size(split(trim(col("seq")), " ")).cast("long").as("n_bpe"))
+        .write.parquet(new org.apache.hadoop.fs.Path(root, "vocab").toString)
+      base.unpersist()
+    }
+    root.toString
+  }
+
+  /** Per-doc BPE token meter against the persisted model: explode →
+    * broadcast vocab join → one doc_id aggregate. The broadcast is the
+    * bench-scale choice; a 10⁸-row production vocabulary drops the
+    * hint and takes the shuffle join on `word` — the plan shape
+    * downstream is unchanged.
+    */
+  private def tokenCounts(s: SparkSession, d: String,
+      root: String): DataFrame = {
+    val vt = broadcast(s.read.parquet(s"$root/vocab")
+      .select(col("word"), col("n_bpe")))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), w => w =!= "")).as("word"))
+      .join(vt, Seq("word"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bpe"), length(col("word")).cast("long"))
+          .as("n_bpe"))
+  }
+
+  /** Shared learn-chain prefix of the three oracles: the full
+    * `Rounds`-round merge election unrolled as chained CTEs — word
+    * frequencies → char segmentation → per round (pair counts →
+    * sentinel-guarded argmax → one-pass framed replace). Functionally
+    * identical to [[learn]] by construction: same normalization, same
+    * tie-break (ASCII corpus, so the engines' string orders agree),
+    * same one-pass `replace` semantics.
+    */
+  private def learnSql(rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= """WITH wf AS (SELECT w AS word, count(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |v0 AS (SELECT word, freq,
+      |  ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' ' AS seq
+      |  FROM wf)""".stripMargin
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      b ++= s""",
+        |e$r AS (SELECT freq, syms, i
+        |  FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM v$p) s,
+        |       unnest(range(1, len(syms))) t(i)),
+        |p$r AS (SELECT syms[i] || ' ' || syms[i + 1] AS pair, sum(freq) AS cnt
+        |  FROM e$r GROUP BY 1),
+        |b$r AS (SELECT pair FROM (SELECT pair, cnt FROM p$r
+        |    UNION ALL SELECT chr(1) || ' ' || chr(1), CAST(-1 AS BIGINT)) u
+        |  ORDER BY cnt DESC, pair LIMIT 1),
+        |v$r AS (SELECT word, freq,
+        |  replace(seq, ' ' || b.pair || ' ',
+        |          ' ' || replace(b.pair, ' ', '') || ' ') AS seq
+        |  FROM v$p, b$r b)""".stripMargin
+    }
+    b.toString
+  }
+
+  /** Oracle tail shared by the two metering queries: final
+    * segmentation → per-word subword count → per-doc token stream.
+    */
+  private def meterSql(rounds: Int): String =
+    s""",
+      |vt AS (SELECT word, len(string_split(trim(seq), ' ')) AS n_bpe
+      |       FROM v$rounds),
+      |dw AS (SELECT doc_id, w AS word
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE w <> '')""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // The learned merge table itself, value-gated: rank-ordered winning
+    // pairs and their merged symbols. Gating the MERGES (not just the
+    // counts they induce) pins the learn loop — election order,
+    // tie-break, rewrite semantics — independently of the apply layer.
+    QuerySpec(
+      "text_bpe_vocab",
+      learnSql(Rounds) + s""",
+        |m AS (${(1 to Rounds)
+          .map(r => s"SELECT $r AS rank, pair FROM b$r")
+          .mkString("\n|      UNION ALL ")})
+        |SELECT rank, pair, replace(pair, ' ', '') AS merged FROM m"""
+        .stripMargin) { (s, d) =>
+      s.read.parquet(ensureBpeModel(s, d) + "/merges")
+    },
+
+    // Per-doc BPE token meter: n_words (whitespace) alongside
+    // bpe_tokens (subword) — the pair of numbers a data pipeline
+    // reports per document once a tokenizer is frozen.
+    QuerySpec(
+      "text_bpe_tokens",
+      learnSql(Rounds) + meterSql(Rounds) + """
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(coalesce(n_bpe, length(word))) AS BIGINT) AS bpe_tokens
+        |FROM dw LEFT JOIN vt USING (word) GROUP BY doc_id"""
+        .stripMargin) { (s, d) =>
+      val root = ensureBpeModel(s, d)
+      tokenCounts(s, d, root)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_bpe")).as("bpe_tokens"))
+    },
+
+    // doc_token_budget re-metered in BPE tokens: per language, best
+    // quality first until the subword budget fills. Same quantile-
+    // range-partitioned prefix sum as the whitespace variant
+    // (Curation.rangedPrefixSum — no per-language window), with the
+    // meter swapped for the model join.
+    QuerySpec(
+      "doc_token_budget_bpe",
+      learnSql(Rounds) + meterSql(Rounds) + s""",
+        |ct AS (SELECT doc_id, sum(coalesce(n_bpe, length(word))) AS n_tok
+        |       FROM dw LEFT JOIN vt USING (word) GROUP BY doc_id),
+        |qs AS (SELECT doc_id, lang,
+        |    round((CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1.0
+        |           ELSE CAST(len(string_split(text, ' ')) AS DOUBLE)/20 END)
+        |      * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)/length(text))
+        |      * (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |             w -> w IN ('the','a','of','and','in','to','is','it','on','for'))) AS DOUBLE)
+        |             / len(string_split(text, ' ')) > 0.05 THEN 1.0 ELSE 0.5 END), 4) AS q
+        |  FROM documents),
+        |c AS (SELECT qs.doc_id, qs.lang, ct.n_tok,
+        |    coalesce(sum(ct.n_tok) OVER (PARTITION BY lang
+        |      ORDER BY q DESC, qs.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM qs JOIN ct ON qs.doc_id = ct.doc_id)
+        |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok
+        |FROM c WHERE prior < $Budget""".stripMargin) { (s, d) =>
+      val root = ensureBpeModel(s, d)
+      val counts = tokenCounts(s, d, root)
+        .groupBy("doc_id")
+        .agg(sum(col("n_bpe")).as("n_tok"))
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          (round(TextAnalysis.qualityScore(col("text")), 4) * -1).as("ord"))
+        .join(counts, "doc_id")
+      Curation.rangedPrefixSum(t, Seq("lang"), Seq("ord", "doc_id"),
+          "n_tok", "prior")
+        .filter(col("prior") < Budget)
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+    }
+  )
+}

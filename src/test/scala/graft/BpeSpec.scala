@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+/** BPE learn/apply: hand-derivable micro-corpus election order (merge
+  * list, tie-breaks, sentinel exhaustion, one-pass replace semantics),
+  * model persistence contract, meter bounds, and the window-free plan
+  * of the budget variant.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsFrame(texts: String*) = {
+    val dir = tmpDir("bpe-docs")
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, "en", "srcX", t) }
+      .toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("learn elects merges in hand-derived order: count desc, pair " +
+    "asc tie-break, sentinel once pairs are exhausted") {
+    // Corpus "the the the cat": word freqs {the:3, cat:1}.
+    //  r1 pairs: (t h)=3 (h e)=3 (c a)=1 (a t)=1 → tie 3/3 → "h e" wins
+    //  r2: "t he"=3 beats (c a)/(a t)             → "the" closes
+    //  r3: only cat's (c a)=1 (a t)=1 → "a t" wins (asc)
+    //  r4: (c at)=1                                → "cat" closes
+    //  r5: no pairs anywhere                       → sentinel
+    val d = docsFrame("the the the cat")
+    val (merges, vocab, base) = Bpe.learn(Tables.documents(spark, d), 5)
+    assert(merges == Seq("h e", "t he", "a t", "c at", Bpe.Sentinel))
+    val segs = vocab.select($"word", trim($"seq").as("s"))
+      .as[(String, String)].collect().toMap
+    assert(segs == Map("the" -> "the", "cat" -> "cat"))
+    base.unpersist()
+  }
+
+  test("one-pass replace semantics: a pair overlapping its own run " +
+    "merges leftmost-first, non-overlapping — 'aaaaa' → aa a aa") {
+    // " a a a a a ": match at 0 consumes its trailing space, so the
+    // 2nd 'a' run can only rematch from the 4th 'a' → "aa a aa".
+    val d = docsFrame("aaaaa")
+    val (merges, vocab, base) = Bpe.learn(Tables.documents(spark, d), 1)
+    assert(merges == Seq("a a"))
+    val seg = vocab.select(trim($"seq")).as[String].head()
+    assert(seg == "aa a aa")
+    base.unpersist()
+  }
+
+  test("persisted model: exactly Rounds ranked merges, merged = pair " +
+    "sans space, vocab covers every corpus word, and a second ensure " +
+    "re-serves without rebuilding") {
+    val root = Bpe.ensureBpeModel(spark, sf0001)
+    val merges = spark.read.parquet(s"$root/merges")
+      .orderBy("rank")
+      .as[(Int, String, String)].collect()
+    assert(merges.length == Bpe.Rounds)
+    assert(merges.map(_._1).toSeq == (1 to Bpe.Rounds))
+    assert(merges.forall { case (_, p, m) => m == p.replace(" ", "") })
+    assert(merges.map(_._2).distinct.length == Bpe.Rounds,
+      "a pair merged away cannot recur")
+    val vocabWords = spark.read.parquet(s"$root/vocab")
+      .select("word").as[String].collect().toSet
+    val corpusWords = Tables.documents(spark, sf0001)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "").select("w").as[String].collect().toSet
+    assert(vocabWords == corpusWords)
+    val stamp = new java.io.File(s"$root/merges").lastModified()
+    assert(Bpe.ensureBpeModel(spark, sf0001) == root)
+    assert(new java.io.File(s"$root/merges").lastModified() == stamp,
+      "complete model must re-serve, not rebuild")
+  }
+
+  test("meter bounds: for every doc, n_words <= bpe_tokens <= chars " +
+    "sans spaces, and 8 merges strictly compress the corpus total") {
+    val byName = SparkEntry.queries
+    val metered = byName("text_bpe_tokens")(spark, sf0001)
+      .join(Tables.documents(spark, sf0001), "doc_id")
+      .select($"n_words", $"bpe_tokens",
+        length(regexp_replace($"text", " ", "")).cast("long").as("n_chars"))
+      .as[(Long, Long, Long)].collect()
+    assert(metered.nonEmpty)
+    assert(metered.forall { case (w, b, c) => w <= b && b <= c })
+    val (totB, totC) = metered.foldLeft((0L, 0L)) {
+      case ((b, c), (_, tb, tc)) => (b + tb, c + tc)
+    }
+    assert(totB < totC, "merges must beat the char-level segmentation")
+  }
+
+  test("doc_token_budget_bpe: per-lang BPE-token prefix under budget, " +
+    "and the plan carries no window over the corpus order") {
+    val res = SparkEntry.queries("doc_token_budget_bpe")(spark, sf0001)
+    val rows = res.select($"lang", $"n_tok").as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    // Every selected doc entered while its language's budget was open,
+    // so no language's selected total can exceed budget + one max doc.
+    val perLang = rows.groupBy(_._1).view.mapValues(_.map(_._2))
+    perLang.foreach { case (lang, toks) =>
+      assert(toks.sum < Bpe.Budget + toks.max,
+        s"$lang straddles more than one doc past the budget")
+    }
+    // sparkPlan, not executedPlan: AQE wraps the executed tree as a
+    // leaf, so collect() must walk the pre-adaptive physical plan.
+    val windows = res.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(windows.isEmpty, "no unpartitioned window over the corpus")
+  }
+
+  test("text_bpe_tokens serve path: vocab joins broadcast — no shuffle " +
+    "of the exploded corpus token stream") {
+    val plan = SparkEntry.queries("text_bpe_tokens")(spark, sf0001)
+      .queryExecution.sparkPlan
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    // One shuffle only: the final doc_id aggregate's exchange (plus
+    // AQE coalescing underneath it); the vocab side must ride the
+    // broadcast, never a sort-merge exchange on `word`.
+    assert(shuffles.size <= 1, s"expected <=1 exchange, got: $shuffles")
+  }
+}
