@@ -96,10 +96,28 @@ object Bpe {
     * once the segmentation is consumed.
     */
   private[graft] def learn(docs: DataFrame,
-      rounds: Int): (Seq[String], DataFrame, DataFrame) = {
+      rounds: Int): (Seq[String], DataFrame, DataFrame) =
+    learnWithCurve(docs, rounds) match { case (m, _, v, b) => (m, v, b) }
+
+  /** [[learn]] plus the merge-gain curve: corpus token total after
+    * round r for r = 0 (character baseline) .. `rounds` — the readout
+    * a tokenizer build uses to size its vocabulary (marginal
+    * compression per merge). Measured, not derived: one-pass replace
+    * can merge FEWER occurrences than the pair count (a pair
+    * overlapping its own run), so total_r is an aggregate over the
+    * round's segmentation, not total_{r-1} − cnt_r. One extra one-row
+    * collect per round, same bounded class as the election itself.
+    */
+  private[graft] def learnWithCurve(docs: DataFrame,
+      rounds: Int): (Seq[String], Seq[Long], DataFrame, DataFrame) = {
     val base = initVocab(docs).persist()
     var vocab = base
+    def total(v: DataFrame): Long = v
+      .agg(sum(col("freq") * size(split(trim(col("seq")), " "))))
+      .head().getLong(0)
     val merges = Seq.newBuilder[String]
+    val totals = Seq.newBuilder[Long]
+    totals += total(base)
     val sentinelRow = docs.sparkSession.range(1)
       .select(lit(Sentinel).as("pair"), lit(-1L).as("cnt"))
     for (_ <- 1 to rounds) {
@@ -113,8 +131,9 @@ object Bpe {
       vocab = vocab.withColumn("seq",
         replace(col("seq"), lit(s" $best "),
           lit(" " + best.replace(" ", "") + " ")))
+      totals += total(vocab)
     }
-    (merges.result(), vocab, base)
+    (merges.result(), totals.result(), vocab, base)
   }
 
   /** Build-if-absent the persisted model for `d` (suffix-keyed
@@ -129,17 +148,23 @@ object Bpe {
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), s"graft_bpe_model$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val complete = Seq("merges", "vocab").forall(side => fs.exists(
+    val complete = Seq("merges", "vocab", "curve").forall(side => fs.exists(
       new org.apache.hadoop.fs.Path(root, side + "/_SUCCESS")))
     if (!complete) {
       fs.delete(root, true)
-      val (merges, vocab, base) = learn(Tables.documents(s, d), Rounds)
+      val (merges, totals, vocab, base) =
+        learnWithCurve(Tables.documents(s, d), Rounds)
       import s.implicits._
       merges.zipWithIndex
         .map { case (p, i) => (i + 1, p, p.replace(" ", "")) }
         .toDF("rank", "pair", "merged")
         .coalesce(1)
         .write.parquet(new org.apache.hadoop.fs.Path(root, "merges").toString)
+      totals.zipWithIndex
+        .map { case (t, r) => (r, t) }
+        .toDF("rank", "total_tokens")
+        .coalesce(1)
+        .write.parquet(new org.apache.hadoop.fs.Path(root, "curve").toString)
       vocab
         .select(col("word"), col("freq"),
           size(split(trim(col("seq")), " ")).cast("long").as("n_bpe"))
@@ -230,6 +255,22 @@ object Bpe {
         |SELECT rank, pair, replace(pair, ' ', '') AS merged FROM m"""
         .stripMargin) { (s, d) =>
       s.read.parquet(ensureBpeModel(s, d) + "/merges")
+    },
+
+    // The merge-gain curve: corpus token total after 0..Rounds merges —
+    // the marginal-compression readout that sizes a production
+    // vocabulary (stop merging when the curve flattens). Served from
+    // the persisted model; the oracle re-measures every round's
+    // segmentation from the unrolled learn chain.
+    QuerySpec(
+      "text_bpe_curve",
+      learnSql(Rounds) + s"""
+        |${(0 to Rounds).map(r =>
+          s"""SELECT $r AS rank,
+             |  (SELECT CAST(sum(freq * len(string_split(trim(seq), ' ')))
+             |          AS BIGINT) FROM v$r) AS total_tokens""".stripMargin)
+          .mkString("\nUNION ALL\n")}""".stripMargin) { (s, d) =>
+      s.read.parquet(ensureBpeModel(s, d) + "/curve")
     },
 
     // Per-doc BPE token meter: n_words (whitespace) alongside

@@ -75,6 +75,23 @@ class BpeSpec extends SparkSpec {
       "complete model must re-serve, not rebuild")
   }
 
+  test("merge-gain curve: rank 0 is the char baseline, totals are " +
+    "non-increasing, and the final total equals the vocab's metered sum") {
+    val root = Bpe.ensureBpeModel(spark, sf0001)
+    val curve = spark.read.parquet(s"$root/curve")
+      .orderBy("rank").as[(Int, Long)].collect()
+    assert(curve.map(_._1).toSeq == (0 to Bpe.Rounds))
+    val chars = Tables.documents(spark, sf0001)
+      .select(sum(length(regexp_replace($"text", " ", ""))))
+      .as[Long].head()
+    assert(curve.head._2 == chars, "rank 0 = one token per character")
+    assert(curve.sliding(2).forall(w => w(0)._2 >= w(1)._2),
+      "a merge can only shrink the corpus")
+    val vocabTotal = spark.read.parquet(s"$root/vocab")
+      .select(sum($"freq" * $"n_bpe")).as[Long].head()
+    assert(curve.last._2 == vocabTotal)
+  }
+
   test("meter bounds: for every doc, n_words <= bpe_tokens <= chars " +
     "sans spaces, and 8 merges strictly compress the corpus total") {
     val byName = SparkEntry.queries
