@@ -174,24 +174,30 @@ object Bpe {
     root.toString
   }
 
-  /** Per-doc BPE token meter against the persisted model: explode →
-    * broadcast vocab join → one doc_id aggregate. The broadcast is the
-    * bench-scale choice; a 10⁸-row production vocabulary drops the
-    * hint and takes the shuffle join on `word` — the plan shape
-    * downstream is unchanged.
+  /** Per-doc BPE token meter of an ARBITRARY document frame
+    * (`doc_id`, `text`) against a vocab segmentation frame
+    * (`word`, `n_bpe`): explode → broadcast vocab join → one doc_id
+    * aggregate; out-of-vocabulary words fall back to char count.
+    * Shared by the batch gates and `streaming.StreamingMeter` (the
+    * same frozen-model arithmetic applies per micro-batch). The
+    * broadcast is the bench-scale choice; a 10⁸-row production
+    * vocabulary drops the hint and takes the shuffle join on `word` —
+    * the plan shape downstream is unchanged.
     */
-  private def tokenCounts(s: SparkSession, d: String,
-      root: String): DataFrame = {
-    val vt = broadcast(s.read.parquet(s"$root/vocab")
-      .select(col("word"), col("n_bpe")))
-    Tables.documents(s, d)
+  def meter(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(filter(split(col("text"), " "), w => w =!= "")).as("word"))
-      .join(vt, Seq("word"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bpe"), length(col("word")).cast("long"))
-          .as("n_bpe"))
-  }
+      .join(broadcast(vocab.select(col("word"), col("n_bpe"))),
+        Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_bpe"), length(col("word")).cast("long")))
+          .as("bpe_tokens"))
+
+  /** The persisted model's vocab segmentation frame. */
+  def modelVocab(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/vocab")
 
   /** Shared learn-chain prefix of the three oracles: the full
     * `Rounds`-round merge election unrolled as chained CTEs — word
@@ -283,11 +289,7 @@ object Bpe {
         |  CAST(sum(coalesce(n_bpe, length(word))) AS BIGINT) AS bpe_tokens
         |FROM dw LEFT JOIN vt USING (word) GROUP BY doc_id"""
         .stripMargin) { (s, d) =>
-      val root = ensureBpeModel(s, d)
-      tokenCounts(s, d, root)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"),
-          sum(col("n_bpe")).as("bpe_tokens"))
+      meter(Tables.documents(s, d), modelVocab(s, ensureBpeModel(s, d)))
     },
 
     // doc_token_budget re-metered in BPE tokens: per language, best
@@ -315,10 +317,9 @@ object Bpe {
         |  FROM qs JOIN ct ON qs.doc_id = ct.doc_id)
         |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok
         |FROM c WHERE prior < $Budget""".stripMargin) { (s, d) =>
-      val root = ensureBpeModel(s, d)
-      val counts = tokenCounts(s, d, root)
-        .groupBy("doc_id")
-        .agg(sum(col("n_bpe")).as("n_tok"))
+      val counts =
+        meter(Tables.documents(s, d), modelVocab(s, ensureBpeModel(s, d)))
+          .select(col("doc_id"), col("bpe_tokens").as("n_tok"))
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           (round(TextAnalysis.qualityScore(col("text")), 4) * -1).as("ord"))

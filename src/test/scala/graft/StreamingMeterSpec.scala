@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Bpe
+import graft.streaming.StreamingMeter
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming token-budget metering against the frozen BPE model:
+  * micro-batch parity with the batch meter, OOV char fallback,
+  * per-batch totals, and the cumulative budget gate.
+  */
+class StreamingMeterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream meter: per-doc parity with the batch meter across " +
+    "micro-batches, committed totals drive the budget gate") {
+    implicit val sc = spark.sqlContext
+    val modelRoot = Bpe.ensureBpeModel(spark, sf0001)
+    val out = tmpDir("meter-out")
+    val ckpt = tmpDir("meter-ckpt")
+
+    val corpus = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val wave1 = corpus.take(3).toSeq
+    // wave 2 includes an out-of-vocabulary word -> char-count fallback
+    val wave2 = Seq((9001L, "zzzqqq " + corpus(3)._2))
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingMeter.startMetered(
+      in.toDF().toDF("doc_id", "text"), modelRoot, out, ckpt)
+    try {
+      in.addData(wave1: _*)
+      q.processAllAvailable()
+      in.addData(wave2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$out/b0", s"$out/b1")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val batchEquiv = Bpe.meter(
+      (wave1 ++ wave2).toDF("doc_id", "text"),
+      Bpe.modelVocab(spark, modelRoot))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batchEquiv,
+      "stream meters must equal the one-shot batch meter")
+
+    // the OOV word contributes exactly its char count on top of the
+    // base document's own meter
+    val base = Bpe.meter(Seq((1L, corpus(3)._2)).toDF("doc_id", "text"),
+      Bpe.modelVocab(spark, modelRoot)).as[(Long, Long, Long)].head()
+    val oov = streamed.find(_._1 == 9001L).get
+    assert(oov._2 == base._2 + 1 && oov._3 == base._3 + 6,
+      s"OOV 'zzzqqq' must meter as 6 chars: $oov vs base $base")
+
+    val totals = StreamingMeter.batchTotals(spark, out)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(totals.map(t => (t._1, t._2)) == Seq((0L, 3L), (1L, 1L)))
+    assert(totals.map(_._3).sum == streamed.map(_._3).sum)
+
+    val all = StreamingMeter.totalTokens(spark, out)
+    assert(all == streamed.map(_._3).sum)
+    assert(StreamingMeter.budgetReached(spark, out, all))
+    assert(!StreamingMeter.budgetReached(spark, out, all + 1))
+  }
+
+  test("empty output: totals read as zero before any batch commits") {
+    val out = tmpDir("meter-empty")
+    assert(StreamingMeter.totalTokens(spark, out) == 0L)
+    assert(!StreamingMeter.budgetReached(spark, out, 1L))
+  }
+}
