@@ -138,22 +138,34 @@ object Bpe {
 
   /** Build-if-absent the persisted model for `d` (suffix-keyed
     * warehouse convention, same completeness contract as
-    * `Retrieval.ensureBm25Index`): `merges/` (rank, pair, merged) and
-    * `vocab/` (word, freq, n_bpe) parquet dirs; complete iff both
-    * carry `_SUCCESS`. The learn is deterministic, so a completed
-    * model re-serves without re-learning.
+    * `Retrieval.ensureBm25Index`): `merges/` (rank, pair, merged),
+    * `vocab/` (word, freq, n_bpe) and `curve/` (rank, total_tokens)
+    * parquet dirs; complete iff all carry `_SUCCESS`. The learn is
+    * deterministic, so a completed model re-serves without
+    * re-learning.
     */
-  def ensureBpeModel(s: SparkSession, d: String): String = {
+  def ensureBpeModel(s: SparkSession, d: String): String =
+    ensureModel(s, d, "graft_bpe_model", identity)
+
+  /** The model trained on the HISTORY wave only (doc_id % 5 ≠ 4) — the
+    * frozen-tokenizer fixture `text_oov_rate` meters the incoming wave
+    * against.
+    */
+  def ensureHistoryBpeModel(s: SparkSession, d: String): String =
+    ensureModel(s, d, "graft_bpe_hist", _.filter(col("doc_id") % 5 =!= 4))
+
+  private def ensureModel(s: SparkSession, d: String, name: String,
+      slice: DataFrame => DataFrame): String = {
     val suffix = d.replaceAll("\\W", "_")
     val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_bpe_model$suffix")
+      s.conf.get("spark.sql.warehouse.dir"), s"$name$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val complete = Seq("merges", "vocab", "curve").forall(side => fs.exists(
       new org.apache.hadoop.fs.Path(root, side + "/_SUCCESS")))
     if (!complete) {
       fs.delete(root, true)
       val (merges, totals, vocab, base) =
-        learnWithCurve(Tables.documents(s, d), Rounds)
+        learnWithCurve(slice(Tables.documents(s, d)), Rounds)
       import s.implicits._
       merges.zipWithIndex
         .map { case (p, i) => (i + 1, p, p.replace(" ", "")) }
@@ -207,13 +219,14 @@ object Bpe {
     * tie-break (ASCII corpus, so the engines' string orders agree),
     * same one-pass `replace` semantics.
     */
-  private def learnSql(rounds: Int): String = {
+  private def learnSql(rounds: Int, docWhere: String = ""): String = {
     val b = new StringBuilder
-    b ++= """WITH wf AS (SELECT w AS word, count(*) AS freq
-      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    b ++= s"""WITH wf AS (SELECT w AS word, count(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM documents$docWhere)
       |  WHERE w <> '' GROUP BY w),
       |v0 AS (SELECT word, freq,
-      |  ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' ' AS seq
+      |  ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS seq
       |  FROM wf)""".stripMargin
     for (r <- 1 to rounds) {
       val p = r - 1
@@ -244,6 +257,19 @@ object Bpe {
       |dw AS (SELECT doc_id, w AS word
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
       |        FROM documents)
+      |  WHERE w <> '')""".stripMargin
+
+  /** [[meterSql]]'s incoming-wave variant: the wave's token stream with
+    * `lang` carried, metered against whatever learn chain precedes it
+    * (history-frozen for `text_oov_rate`).
+    */
+  private def meterSqlWave(rounds: Int): String =
+    s""",
+      |vt AS (SELECT word, len(string_split(trim(seq), ' ')) AS n_bpe
+      |       FROM v$rounds),
+      |dw AS (SELECT lang, w AS word
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |        FROM documents WHERE doc_id % 5 = 4)
       |  WHERE w <> '')""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
@@ -290,6 +316,44 @@ object Bpe {
         |FROM dw LEFT JOIN vt USING (word) GROUP BY doc_id"""
         .stripMargin) { (s, d) =>
       meter(Tables.documents(s, d), modelVocab(s, ensureBpeModel(s, d)))
+    },
+
+    // Tokenizer-drift alarm: the incoming wave (doc_id % 5 = 4) metered
+    // against the model FROZEN on history — per language, how many wave
+    // tokens miss the frozen vocabulary (and so pay the char-level
+    // fallback), and what the wave costs in the frozen tokenizer's
+    // units. A rising oov_rate is THE signal a production pipeline
+    // watches to schedule tokenizer retraining — the text sibling of
+    // sim_cell_drift's embedding alarm. Plan: explode → broadcast
+    // frozen-vocab join → one lang aggregate; corpus scanned once.
+    QuerySpec(
+      "text_oov_rate",
+      learnSql(Rounds, " WHERE doc_id % 5 <> 4") + meterSqlWave(Rounds) +
+        """
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN n_bpe IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(CAST(sum(CASE WHEN n_bpe IS NULL THEN 1 ELSE 0 END)
+        |        AS DOUBLE) / count(*), 6) + 0 AS oov_rate,
+        |  CAST(sum(coalesce(n_bpe, length(word))) AS BIGINT) AS bpe_tokens
+        |FROM dw LEFT JOIN vt USING (word) GROUP BY lang"""
+        .stripMargin) { (s, d) =>
+      val vt = broadcast(
+        modelVocab(s, ensureHistoryBpeModel(s, d))
+          .select(col("word"), col("n_bpe")))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 4)
+        .select(col("lang"),
+          explode(filter(split(col("text"), " "), w => w =!= ""))
+            .as("word"))
+        .join(vt, Seq("word"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("n_bpe").isNull, 1L).otherwise(0L)).as("n_oov"),
+          (round(sum(when(col("n_bpe").isNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6) + 0.0).as("oov_rate"),
+          sum(coalesce(col("n_bpe"), length(col("word")).cast("long")))
+            .as("bpe_tokens"))
     },
 
     // doc_token_budget re-metered in BPE tokens: per language, best

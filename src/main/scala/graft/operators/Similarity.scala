@@ -213,7 +213,14 @@ object Similarity {
     * centroids — exactly what writeIvfIndex-then-appendToIvfIndex
     * produces, so the oracle certifies the incremental fold itself.
     */
-  private def ivfGrownCtesOver(neighborWhere: String): String =
+  /** The history-frozen half of the grown construction: centroids
+    * trained on the history wave only (vec_id % 5 ≠ 4, same seeds + one
+    * Lloyd step), ALL vectors assigned to them → CTE
+    * `a1(vec_id, v, cent_id)`. Shared by the grown serve CTEs and the
+    * cell-drift gate (which histograms the same assignment instead of
+    * scoring it).
+    */
+  private val ivfGrownAssignCtes: String =
     s"""hist AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 4),
        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM hist WHERE vec_id % 25 = 0),
        |a0 AS (SELECT vec_id, v, cent_id FROM (
@@ -228,7 +235,10 @@ object Similarity {
        |    SELECT e.vec_id, e.v, c.cent_id,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
-       |    FROM e, cents c) WHERE rn = 1),
+       |    FROM e, cents c) WHERE rn = 1)""".stripMargin
+
+  private def ivfGrownCtesOver(neighborWhere: String): String =
+    s"""$ivfGrownAssignCtes,
        |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id FROM (
        |    SELECT e.vec_id, e.v, c.cent_id,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -1664,6 +1674,70 @@ object Similarity {
         .select(col("vec_id")).distinct()
       cells.join(dropped, Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("cent_id"))
+    },
+
+    // Embedding-distribution drift gate (the vector twin of
+    // text_drift_psi): the incoming wave's occupancy of the
+    // HISTORY-TRAINED IVF cells against the history wave's, add-one
+    // smoothed over all K cells, PSI per cell. This is the pre-fold
+    // alarm an embedding store runs before appending a wave to the ANN
+    // index: frozen-centroid growth (sim_ivf_grown) serves exactly
+    // while the incoming distribution matches history, and THIS
+    // readout is what says it stopped matching (the shifted-wave
+    // fixture behind sim_ivf_refreshed is the failure it catches).
+    // Plan: the same in-row frozen-centroid assignment the grown index
+    // uses (no window, no per-vector shuffle), one cell histogram
+    // aggregate, a K-row bins frame with a broadcast totals row —
+    // corpus scanned once. Same −0.0 canonicalization as
+    // text_drift_psi.
+    QuerySpec(
+      "sim_cell_drift",
+      s"""WITH $eCte,
+         |$ivfGrownAssignCtes,
+         |cnt AS (SELECT cent_id,
+         |    sum(CASE WHEN vec_id % 5 = 4 THEN 0 ELSE 1 END) AS hist_n,
+         |    sum(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END) AS inc_n
+         |  FROM a1 GROUP BY cent_id),
+         |bins AS (SELECT c.cent_id,
+         |    coalesce(cnt.hist_n, 0) AS hist_n,
+         |    coalesce(cnt.inc_n, 0) AS inc_n
+         |  FROM cents c LEFT JOIN cnt ON c.cent_id = cnt.cent_id),
+         |tot AS (SELECT sum(hist_n) AS ht, sum(inc_n) AS it,
+         |               count(*) AS k FROM bins),
+         |p AS (SELECT cent_id, hist_n, inc_n,
+         |    CAST(hist_n + 1 AS DOUBLE) / (ht + k) AS ph,
+         |    CAST(inc_n + 1 AS DOUBLE) / (it + k) AS pi
+         |  FROM bins, tot)
+         |SELECT cent_id, CAST(hist_n AS BIGINT) AS hist_n,
+         |  CAST(inc_n AS BIGINT) AS inc_n,
+         |  round(ph, 6) + 0 AS hist_share,
+         |  round(pi, 6) + 0 AS inc_share,
+         |  round((ph - pi) * ln(ph / pi), 6) + 0 AS psi
+         |FROM p""".stripMargin) { (s, d) =>
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      val hist = e.filter(col("vec_id") % 5 =!= 4)
+      val seeds = hist.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val cents = lloydStep(hist, seeds).cache()
+      val counts = assign(e, cents, 1)
+        .groupBy(col("cent_id"))
+        .agg(sum(when(col("vec_id") % 5 === 4, 0L).otherwise(1L))
+            .as("hist_n"),
+          sum(when(col("vec_id") % 5 === 4, 1L).otherwise(0L)).as("inc_n"))
+      val bins = cents.select(col("cent_id"))
+        .join(counts, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("hist_n"), lit(0L)).as("hist_n"),
+          coalesce(col("inc_n"), lit(0L)).as("inc_n"))
+      val tot = bins.agg(sum(col("hist_n")).as("ht"),
+        sum(col("inc_n")).as("it"), count(lit(1)).as("k"))
+      val ph = (col("hist_n") + 1).cast("double") / (col("ht") + col("k"))
+      val pi = (col("inc_n") + 1).cast("double") / (col("it") + col("k"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("cent_id"), col("hist_n"), col("inc_n"),
+          (round(ph, 6) + 0.0).as("hist_share"),
+          (round(pi, 6) + 0.0).as("inc_share"),
+          (round((ph - pi) * log(ph / pi), 6) + 0.0).as("psi"))
     }
   )
 }

@@ -128,6 +128,28 @@ class BpeSpec extends SparkSpec {
     assert(windows.isEmpty, "no unpartitioned window over the corpus")
   }
 
+  test("text_oov_rate: OOV counts recompute from the raw word sets — " +
+    "wave tokens outside the history vocabulary, per language") {
+    val res = SparkEntry.queries("text_oov_rate")(spark, sf0001)
+      .select($"lang", $"n_tokens", $"n_oov", $"oov_rate")
+      .as[(String, Long, Long, Double)].collect()
+    assert(res.nonEmpty)
+    val docs = Tables.documents(spark, sf0001)
+    val histWords = docs.filter($"doc_id" % 5 =!= 4)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "").as[String].collect().toSet
+    val wave = docs.filter($"doc_id" % 5 === 4)
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "").as[(String, String)].collect()
+    val byLang = wave.groupBy(_._1)
+    for ((lang, n, oov, rate) <- res) {
+      val ws = byLang(lang).map(_._2)
+      assert(n == ws.length, s"$lang token count")
+      assert(oov == ws.count(w => !histWords.contains(w)), s"$lang oov")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("text_bpe_tokens serve path: vocab joins broadcast — no shuffle " +
     "of the exploded corpus token stream") {
     val plan = SparkEntry.queries("text_bpe_tokens")(spark, sf0001)

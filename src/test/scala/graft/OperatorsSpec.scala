@@ -967,6 +967,26 @@ class OperatorsSpec extends SparkSpec {
       .digest(new Array[Byte](256)).map("%02x".format(_)).mkString
     assert(sparkMd5 == inlined)
   }
+
+  test("sim_cell_drift: one row per history-trained cell, waves " +
+    "account exactly, PSI terms non-negative, plan window-free") {
+    val res = SparkEntry.queries("sim_cell_drift")(spark, sf0001)
+    val rows = res.select($"cent_id", $"hist_n", $"inc_n", $"psi")
+      .as[(Long, Long, Long, Double)].collect()
+    val e = Tables.embeddings(spark, sf0001)
+    val histSeeds = e.filter($"vec_id" % 5 =!= 4 && $"vec_id" % 25 === 0)
+      .count()
+    assert(rows.length == histSeeds, "K bins = the history seed count")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.map(_._2).sum == e.filter($"vec_id" % 5 =!= 4).count())
+    assert(rows.map(_._3).sum == e.filter($"vec_id" % 5 === 4).count())
+    // (ph − pi) and ln(ph/pi) always share a sign
+    assert(rows.forall(_._4 >= 0.0), "per-cell PSI terms are >= 0")
+    val windows = res.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "assignment must stay in-row, never a window")
+  }
 }
 
 /** File-scope fake kernel for the SPI test (top-level so the task
