@@ -1738,6 +1738,61 @@ object Similarity {
           (round(ph, 6) + 0.0).as("hist_share"),
           (round(pi, 6) + 0.0).as("inc_share"),
           (round((ph - pi) * log(ph / pi), 6) + 0.0).as("psi"))
+    },
+
+    // Index-health readout, served from the PERSISTED index: cell-size
+    // balance of the cell-partitioned layout (empty cells included —
+    // a centroid that captured nothing still costs a directory). The
+    // imbalance factor (max cell / mean cell) is what an operator
+    // alarms on: probe cost is proportional to the probed cells'
+    // sizes, so a hot cell makes every query that probes it pay —
+    // the signal that schedules a refreshIvfIndex the way
+    // sim_cell_drift schedules one for distribution shift. Variance
+    // is derived from exact integer sums (E[x²] − E[x]², identical
+    // expression order both engines), not a streaming stddev whose
+    // accumulation order floats. Plan: one K-row aggregate off the
+    // index's partition-key column — the corpus vectors' payload
+    // bytes are never read (column pruning to cent_id/vec_id).
+    QuerySpec(
+      "sim_index_stats",
+      s"""WITH $eCte,
+         |${ivfAssignCtes(
+             "SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0")},
+         |sz AS (SELECT c.cent_id, count(a1.vec_id) AS n
+         |  FROM cents c LEFT JOIN a1 ON a1.cent_id = c.cent_id
+         |  GROUP BY c.cent_id),
+         |t AS (SELECT count(*) AS k, sum(n) AS nv, min(n) AS mn,
+         |             max(n) AS mx, sum(n * n) AS s2 FROM sz)
+         |SELECT CAST(k AS BIGINT) AS n_cells, CAST(nv AS BIGINT) AS n_vectors,
+         |  CAST(mn AS BIGINT) AS min_cell, CAST(mx AS BIGINT) AS max_cell,
+         |  round(CAST(nv AS DOUBLE) / k, 6) + 0 AS mean_cell,
+         |  round(CAST(s2 AS DOUBLE) / k
+         |        - (CAST(nv AS DOUBLE) / k) * (CAST(nv AS DOUBLE) / k), 6)
+         |    + 0 AS var_cell,
+         |  round(CAST(mx AS DOUBLE) * k / nv, 6) + 0 AS imbalance
+         |FROM t""".stripMargin) { (s, d) =>
+      val root = ensureIvfIndex(s, d)
+      val cents = s.read.parquet(protocol(root).dir("cents"))
+      val sizes = cents.select(col("cent_id"))
+        .join(indexVectors(s, root).groupBy(col("cent_id"))
+            .agg(count(lit(1)).as("n0")),
+          Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("n0"), lit(0L)).as("n"))
+      sizes
+        .agg(count(lit(1)).as("k"), sum(col("n")).as("nv"),
+          min(col("n")).as("mn"), max(col("n")).as("mx"),
+          sum(col("n") * col("n")).as("s2"))
+        .select(col("k").cast("long").as("n_cells"),
+          col("nv").as("n_vectors"),
+          col("mn").as("min_cell"), col("mx").as("max_cell"),
+          (round(col("nv").cast("double") / col("k"), 6) + 0.0)
+            .as("mean_cell"),
+          (round(col("s2").cast("double") / col("k")
+            - (col("nv").cast("double") / col("k"))
+              * (col("nv").cast("double") / col("k")), 6) + 0.0)
+            .as("var_cell"),
+          (round(col("mx").cast("double") * col("k") / col("nv"), 6) + 0.0)
+            .as("imbalance"))
     }
   )
 }

@@ -987,6 +987,29 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(windows.isEmpty, "assignment must stay in-row, never a window")
   }
+
+  test("sim_index_stats: totals account for every indexed vector and " +
+    "every cell, moments are internally consistent, and the scan " +
+    "prunes the vector payload column") {
+    val q = SparkEntry.queries("sim_index_stats")(spark, sf0001)
+    val r = q.select($"n_cells", $"n_vectors", $"min_cell", $"max_cell",
+        $"mean_cell", $"var_cell", $"imbalance")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    val e = Tables.embeddings(spark, sf0001)
+    assert(r._2 == e.count(), "every corpus vector is in exactly one cell")
+    assert(r._1 == e.filter($"vec_id" % 25 === 0).count())
+    assert(r._3 <= r._5 && r._5 <= r._4, "min <= mean <= max")
+    assert(r._6 >= 0.0 && r._7 >= 1.0)
+    // the health readout must not read the 64-float payloads: every
+    // parquet scan in the plan prunes down to ids/partition keys
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.requiredSchema.fieldNames.toSeq
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(cols => !cols.contains("v") && !cols.contains("cv")),
+      s"payload column read by a stats scan: $scans")
+  }
 }
 
 /** File-scope fake kernel for the SPI test (top-level so the task
