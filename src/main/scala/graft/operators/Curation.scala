@@ -85,6 +85,80 @@ object Curation {
       .drop("__pid", "__in_prior", "__off")
   }
 
+  /** The doc_curate oracle's staged CTE chain (f → k1 quality → bg/cg
+    * gram tables → k2 decontaminated → k3 deduped), shared verbatim by
+    * the composition gate and the survivor-accounting report so the
+    * two can never drift apart.
+    */
+  private val curateCtes: String =
+    """WITH f AS (SELECT doc_id, lang, source, text, length(text) AS n_chars,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','of','and','in','to','is','it','on','for'))) AS n_stop,
+      |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct
+      |  FROM documents),
+      |k1 AS (SELECT doc_id, lang, source, text FROM f
+      |  WHERE (CASE WHEN n_words >= 20 THEN 1.0 ELSE CAST(n_words AS DOUBLE)/20 END)
+      |      * (1.0 - CAST(n_punct AS DOUBLE)/n_chars)
+      |      * (CASE WHEN CAST(n_stop AS DOUBLE)/n_words > 0.05 THEN 1.0 ELSE 0.5 END) >= 0.75),
+      |bw AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE source = 'src0'),
+      |bg AS (SELECT DISTINCT list_aggregate(ws[i:i+3], 'string_agg', ' ') AS gk
+      |       FROM bw, unnest(range(1, len(ws) - 2)) t(i)),
+      |cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM k1 WHERE source <> 'src0'),
+      |cg AS (SELECT DISTINCT doc_id, list_aggregate(ws[i:i+3], 'string_agg', ' ') AS gk
+      |       FROM cw, unnest(range(1, len(ws) - 2)) t(i)),
+      |cont AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gk)),
+      |k2 AS (SELECT * FROM k1 WHERE source <> 'src0'
+      |       AND doc_id NOT IN (SELECT doc_id FROM cont)),
+      |k3 AS (SELECT * FROM k2 WHERE doc_id IN
+      |       (SELECT min(doc_id) FROM k2 GROUP BY md5(text)))""".stripMargin
+
+  private val mixtureWhereSql: String =
+    """substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      |      CASE WHEN source IN ('src0','src1','src2')
+      |           THEN 'cccccccc' ELSE '40000000' END""".stripMargin
+
+  /** The curation pipeline's stage frames in order, each the survivor
+    * set entering the next stage: input → quality floor → benchmark
+    * holdout excluded → decontaminated → exact-deduped → mixture
+    * sampled. `doc_curate` serves the last; `doc_curate_report` counts
+    * them all. Stage shapes at scale: per-row predicate (no shuffle) →
+    * broadcast-filtered gram stream → hash-groupBy keep-list → per-row
+    * hash threshold (no shuffle).
+    */
+  private def curateStages(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(String, org.apache.spark.sql.DataFrame)] = {
+    val docs = Tables.documents(s, d)
+    // stage 1: quality floor (the shared text_quality kernel)
+    val k1 = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.75)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    // stage 2: decontaminate — contaminated ids anti-joined away
+    val bench = docs.filter(col("source") === "src0")
+      .select(explode(array_distinct(Dedup.kgrams(col("text"), 4))).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    val corpus = k1.filter(col("source") =!= "src0")
+    val cont = corpus
+      .select(col("doc_id"), explode(Dedup.kgrams(col("text"), 4)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      // unhinted: the gated bench side derives from the corpus (see
+      // Dedup `decontaminate`) — AQE broadcasts it at bench scale
+      .join(bench, Seq("gh"))
+      .select(col("doc_id")).distinct()
+    val k2 = corpus.join(cont, Seq("doc_id"), "left_anti")
+    // stage 3: exact-dedup keep-list (min doc_id per content hash)
+    val keep = k2.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val k3 = k2.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // stage 4: mixture sampling (same thresholds as doc_mixture)
+    val m = k3.filter(
+      substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+        1, 8) <
+        when(col("source").isInCollection(Seq("src0", "src1", "src2")),
+          "cccccccc").otherwise("40000000"))
+    Seq("input" -> docs, "quality" -> k1, "holdout" -> corpus,
+      "decontaminate" -> k2, "dedup" -> k3, "mixture" -> m)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Sessionization (batch): a session breaks after a 30-minute silence.
@@ -617,60 +691,41 @@ object Curation {
     // per-row hash threshold (no shuffle).
     QuerySpec(
       "doc_curate",
-      """WITH f AS (SELECT doc_id, lang, source, text, length(text) AS n_chars,
-        |    len(string_split(text, ' ')) AS n_words,
-        |    len(list_filter(string_split(text, ' '),
-        |        w -> w IN ('the','a','of','and','in','to','is','it','on','for'))) AS n_stop,
-        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct
-        |  FROM documents),
-        |k1 AS (SELECT doc_id, lang, source, text FROM f
-        |  WHERE (CASE WHEN n_words >= 20 THEN 1.0 ELSE CAST(n_words AS DOUBLE)/20 END)
-        |      * (1.0 - CAST(n_punct AS DOUBLE)/n_chars)
-        |      * (CASE WHEN CAST(n_stop AS DOUBLE)/n_words > 0.05 THEN 1.0 ELSE 0.5 END) >= 0.75),
-        |bw AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE source = 'src0'),
-        |bg AS (SELECT DISTINCT list_aggregate(ws[i:i+3], 'string_agg', ' ') AS gk
-        |       FROM bw, unnest(range(1, len(ws) - 2)) t(i)),
-        |cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM k1 WHERE source <> 'src0'),
-        |cg AS (SELECT DISTINCT doc_id, list_aggregate(ws[i:i+3], 'string_agg', ' ') AS gk
-        |       FROM cw, unnest(range(1, len(ws) - 2)) t(i)),
-        |cont AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gk)),
-        |k2 AS (SELECT * FROM k1 WHERE source <> 'src0'
-        |       AND doc_id NOT IN (SELECT doc_id FROM cont)),
-        |k3 AS (SELECT * FROM k2 WHERE doc_id IN
-        |       (SELECT min(doc_id) FROM k2 GROUP BY md5(text)))
+      s"""$curateCtes
         |SELECT doc_id, lang, source FROM k3
-        |WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) <
-        |      CASE WHEN source IN ('src0','src1','src2')
-        |           THEN 'cccccccc' ELSE '40000000' END""".stripMargin) {
-      (s, d) =>
-        val docs = Tables.documents(s, d)
-        // stage 1: quality floor (the shared text_quality kernel)
-        val k1 = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.75)
-          .select(col("doc_id"), col("lang"), col("source"), col("text"))
-        // stage 2: decontaminate — contaminated ids anti-joined away
-        val bench = docs.filter(col("source") === "src0")
-          .select(explode(array_distinct(Dedup.kgrams(col("text"), 4))).as("g"))
-          .select(xxhash64(col("g")).as("gh")).distinct()
-        val corpus = k1.filter(col("source") =!= "src0")
-        val cont = corpus
-          .select(col("doc_id"), explode(Dedup.kgrams(col("text"), 4)).as("g"))
-          .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-          // unhinted: the gated bench side derives from the corpus (see
-          // Dedup `decontaminate`) — AQE broadcasts it at bench scale
-          .join(bench, Seq("gh"))
-          .select(col("doc_id")).distinct()
-        val k2 = corpus.join(cont, Seq("doc_id"), "left_anti")
-        // stage 3: exact-dedup keep-list (min doc_id per content hash)
-        val keep = k2.groupBy(md5(col("text")).as("h"))
-          .agg(min(col("doc_id")).as("doc_id"))
-        val k3 = k2.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
-        // stage 4: mixture sampling (same thresholds as doc_mixture)
-        k3.filter(
-            substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
-              1, 8) <
-              when(col("source").isInCollection(Seq("src0", "src1", "src2")),
-                "cccccccc").otherwise("40000000"))
-          .select(col("doc_id"), col("lang"), col("source"))
+        |WHERE $mixtureWhereSql""".stripMargin) {
+      (s, d) => curateStages(s, d).last._2
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // The pipeline's survivor accounting as its own gated readout: one
+    // row per stage with the doc count entering the next stage — the
+    // audit trail a production curation run publishes next to its
+    // output (how much did quality cost, how much did the benchmark
+    // holdout take, how aggressive was dedup, did mixture hit its
+    // rates). The stage frames are the SAME formulations doc_curate
+    // composes (shared helper), so this gate and the composition gate
+    // can never drift apart. Plan: a union of one-row aggregates —
+    // each branch a column-pruned scan/count, no new shuffle shapes.
+    QuerySpec(
+      "doc_curate_report",
+      s"""$curateCtes,
+        |m AS (SELECT doc_id FROM k3 WHERE $mixtureWhereSql)
+        |SELECT 0 AS stage_ord, 'input' AS stage,
+        |  (SELECT count(*) FROM documents) AS n_docs
+        |UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM k1)
+        |UNION ALL SELECT 2, 'holdout',
+        |  (SELECT count(*) FROM k1 WHERE source <> 'src0')
+        |UNION ALL SELECT 3, 'decontaminate', (SELECT count(*) FROM k2)
+        |UNION ALL SELECT 4, 'dedup', (SELECT count(*) FROM k3)
+        |UNION ALL SELECT 5, 'mixture', (SELECT count(*) FROM m)"""
+        .stripMargin) { (s, d) =>
+      val stages = curateStages(s, d)
+      stages.zipWithIndex.map { case ((name, df), ord) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+            col("n_docs"))
+      }.reduce(_.unionByName(_))
     },
 
     // Leak-free train/test split — split hygiene: a random split leaks

@@ -334,4 +334,20 @@ class CurationSpec extends SparkSpec {
     assert((outIds & contaminated).isEmpty)
     out.unpersist()
   }
+
+  test("doc_curate_report: stage counts shrink monotonically and the " +
+    "mixture stage equals doc_curate's own output cardinality") {
+    val rows = SparkEntry.queries("doc_curate_report")(spark, sf0001)
+      .orderBy($"stage_ord")
+      .select($"stage_ord", $"stage", $"n_docs")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2)) == Seq((0, "input"), (1, "quality"),
+      (2, "holdout"), (3, "decontaminate"), (4, "dedup"), (5, "mixture")))
+    assert(rows.sliding(2).forall(w => w(0)._3 >= w(1)._3),
+      s"every stage can only drop documents: $rows")
+    assert(rows.head._3 ==
+      Tables.documents(spark, sf0001).count())
+    assert(rows.last._3 ==
+      SparkEntry.queries("doc_curate")(spark, sf0001).count())
+  }
 }
