@@ -728,6 +728,46 @@ object Curation {
       }.reduce(_.unionByName(_))
     },
 
+    // Row-level drop audit — the rejects side-channel of the curation
+    // pipeline: every document that did NOT survive, labeled with the
+    // FIRST stage that dropped it. Production pipelines publish this
+    // next to the corpus (compliance evidence: WHY is a document
+    // absent — failed quality, held out as benchmark, contaminated,
+    // duplicate, or sampled out), the row-level complement to
+    // doc_curate_report's counts. Same shared stage frames; the labels
+    // are presence flags from doc_id-keyed left joins — each a hash
+    // join on the key, no new shuffle shapes.
+    QuerySpec(
+      "doc_curate_rejects",
+      s"""$curateCtes,
+        |m AS (SELECT doc_id FROM k3 WHERE $mixtureWhereSql)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM k1) THEN 'quality'
+        |       WHEN d.source = 'src0' THEN 'holdout'
+        |       WHEN d.doc_id NOT IN (SELECT doc_id FROM k2) THEN 'contaminated'
+        |       WHEN d.doc_id NOT IN (SELECT doc_id FROM k3) THEN 'duplicate'
+        |       ELSE 'mixture' END AS reason
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin) {
+      (s, d) =>
+      val stages = curateStages(s, d).toMap
+      def flag(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.select(col("doc_id"), lit(true).as(name))
+      stages("input")
+        .select(col("doc_id"), col("source"))
+        .join(flag(stages("quality"), "in_k1"), Seq("doc_id"), "left")
+        .join(flag(stages("decontaminate"), "in_k2"), Seq("doc_id"), "left")
+        .join(flag(stages("dedup"), "in_k3"), Seq("doc_id"), "left")
+        .join(flag(stages("mixture"), "in_m"), Seq("doc_id"), "left")
+        .filter(col("in_m").isNull)
+        .select(col("doc_id"),
+          when(col("in_k1").isNull, "quality")
+            .when(col("source") === "src0", "holdout")
+            .when(col("in_k2").isNull, "contaminated")
+            .when(col("in_k3").isNull, "duplicate")
+            .otherwise("mixture").as("reason"))
+    },
+
     // Leak-free train/test split — split hygiene: a random split leaks
     // whenever a test document's near-duplicate lands in train (the
     // model "memorizes" the eval set through its twin; the reason

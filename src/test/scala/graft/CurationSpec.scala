@@ -350,4 +350,21 @@ class CurationSpec extends SparkSpec {
     assert(rows.last._3 ==
       SparkEntry.queries("doc_curate")(spark, sf0001).count())
   }
+
+  test("doc_curate_rejects: per-reason counts reconcile exactly with " +
+    "the report's stage-to-stage deltas, and rejects + survivors " +
+    "partition the corpus") {
+    val rep = SparkEntry.queries("doc_curate_report")(spark, sf0001)
+      .orderBy($"stage_ord").select($"n_docs").as[Long].collect()
+    val rej = SparkEntry.queries("doc_curate_rejects")(spark, sf0001)
+      .groupBy($"reason").count()
+      .as[(String, Long)].collect().toMap
+    assert(rej.getOrElse("quality", 0L) == rep(0) - rep(1))
+    assert(rej.getOrElse("holdout", 0L) == rep(1) - rep(2))
+    assert(rej.getOrElse("contaminated", 0L) == rep(2) - rep(3))
+    assert(rej.getOrElse("duplicate", 0L) == rep(3) - rep(4))
+    assert(rej.getOrElse("mixture", 0L) == rep(4) - rep(5))
+    assert(rej.values.sum + rep(5) == rep(0),
+      "every input doc is either rejected with a reason or served")
+  }
 }
