@@ -144,7 +144,16 @@ object Curation {
       // Dedup `decontaminate`) — AQE broadcasts it at bench scale
       .join(bench, Seq("gh"))
       .select(col("doc_id")).distinct()
-    val k2 = corpus.join(cont, Seq("doc_id"), "left_anti")
+    // The decontaminated corpus is pinned: every consumer below (k3's
+    // keep-list derives from k2 AND semi-joins back to it; the report
+    // and rejects gates count/flag several stages) would otherwise
+    // re-run the gram explode+join chain per branch — the most
+    // expensive stage of the pipeline, measured 2-3× recomputed. At
+    // scale this materialization is not overhead: a production run
+    // lands its curated intermediate anyway (it IS the corpus the
+    // later stages and audits read), and the pin is that landing.
+    val k2 = Layout.stagePin(
+      corpus.join(cont, Seq("doc_id"), "left_anti"), "curate_k2")
     // stage 3: exact-dedup keep-list (min doc_id per content hash)
     val keep = k2.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))

@@ -1724,11 +1724,17 @@ object Similarity {
         .agg(sum(when(col("vec_id") % 5 === 4, 0L).otherwise(1L))
             .as("hist_n"),
           sum(when(col("vec_id") % 5 === 4, 1L).otherwise(0L)).as("inc_n"))
-      val bins = cents.select(col("cent_id"))
-        .join(counts, Seq("cent_id"), "left")
-        .select(col("cent_id"),
-          coalesce(col("hist_n"), lit(0L)).as("hist_n"),
-          coalesce(col("inc_n"), lit(0L)).as("inc_n"))
+      // K-row pin (like text_drift_psi's vocab frame): bins feeds both
+      // the totals row and the per-cell output, and without the pin
+      // each branch re-runs the full corpus assignment — the pin makes
+      // the corpus scan-and-assign happen exactly once.
+      val bins = Layout.stagePin(
+        cents.select(col("cent_id"))
+          .join(counts, Seq("cent_id"), "left")
+          .select(col("cent_id"),
+            coalesce(col("hist_n"), lit(0L)).as("hist_n"),
+            coalesce(col("inc_n"), lit(0L)).as("inc_n")),
+        "cell_drift_bins")
       val tot = bins.agg(sum(col("hist_n")).as("ht"),
         sum(col("inc_n")).as("it"), count(lit(1)).as("k"))
       val ph = (col("hist_n") + 1).cast("double") / (col("ht") + col("k"))
