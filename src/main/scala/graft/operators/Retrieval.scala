@@ -651,6 +651,23 @@ object Retrieval {
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(TopK)
     },
+
+    // MANY hybrid queries, one distributed job — the batch analog of
+    // text_bm25_multi lifted to the dense+lexical fusion: every query
+    // carries a term set AND an embedding, the batch pays ONE bucket
+    // prune on the inverted index and ONE cell prune on the vector
+    // index, and fusion + per-query ranking run window-free on the
+    // ≤ 2·k-per-query fused frame. The oracle recomputes both index
+    // constructions, all three queries' rankings, and the fusion
+    // end-to-end. streaming.StreamingHybrid serves the same core per
+    // micro-batch.
+    QuerySpec("text_hybrid_multi", hybridMultiOracleSql) { (s, d) =>
+      import s.implicits._
+      val q = HybridMultiQueries.toDF("query_id", "terms")
+        .join(denseQueryBatch(s, d), Seq("query_id"))
+      hybridBatch(s, ensureBm25Index(s, d),
+        Similarity.ensureIvfIndex(s, d), q)
+    },
   )
 
   /** The synthetic dense query: one `(query_id = -1, qv)` row, the
@@ -732,6 +749,144 @@ object Retrieval {
        |  FROM br FULL JOIN dr ON br.doc_id = dr.doc_id)
        |SELECT doc_id, bm25_rank, dense_rank, rrf FROM f
        |ORDER BY rrf DESC, doc_id LIMIT $TopK""".stripMargin
+  }
+
+  /** The hybrid-serving batch: negative ids (outside the corpus id
+    * domain, so the vector index's self-match exclusion never bars a
+    * document), each with a term set AND a deterministic query
+    * embedding (per-dim mean of its vec_id % 3 residue class).
+    */
+  val HybridMultiQueries: Seq[(Long, Seq[String])] = Seq(
+    -1L -> Seq("dup"),
+    -2L -> Seq("query", "scan"),
+    -3L -> Seq("window", "merge", "line"))
+
+  /** The batch's dense side: query −(g+1) carries the element-wise
+    * mean of the embeddings with vec_id % 3 = g.
+    */
+  private def denseQueryBatch(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select((col("vec_id") % 3).as("g"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("g"), col("dim")).agg(avg(col("x")).as("qx"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("qx"))))
+        .as("pairs"))
+      .select((-(col("g") + 1)).cast("long").as("query_id"),
+        transform(col("pairs"), p => p("qx")).as("qv"))
+
+  /** MANY hybrid queries in one distributed job — the serving core of
+    * `text_hybrid_multi` and `streaming.StreamingHybrid`: the batch's
+    * lexical side rides `bm25Batch` (one static bucket prune for the
+    * whole batch), the dense side rides `Similarity.indexTopK` (one
+    * cell prune for the whole batch), and the RRF fusion + per-query
+    * ranking run on the ≤ 2·k-per-query fused frame via the
+    * bounded-state top_k aggregate — no window, no per-query driver
+    * loop, both corpus-scale structures read only through their
+    * pruned persisted indexes. `queries`: (query_id, terms, qv).
+    */
+  def hybridBatch(s: SparkSession, bmIndex: String, ivfIndex: String,
+      queries: DataFrame, k: Int = TopK): DataFrame = {
+    val lex = bm25Batch(s, bmIndex,
+      queries.select(col("query_id"), col("terms")), k)
+      .withColumnRenamed("rank", "br")
+    val dense = Similarity.indexTopK(s, ivfIndex,
+      queries.select(col("query_id"), col("qv")), k = k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dr"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("br"), lit(0)).cast("long").as("bm25_rank"),
+        coalesce(col("dr"), lit(0)).cast("long").as("dense_rank"),
+        round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
+          .as("rrf"))
+    val ranked = fused.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k(
+        col("rrf"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("query_id"), col("sc.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+    // decorate the ranked ids with their per-ranker evidence — a join
+    // on the ≤ 2k-per-query fused frame, nothing corpus-scale
+    ranked.join(fused, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("doc_id"), col("bm25_rank"),
+        col("dense_rank"), col("rrf"), col("rank"))
+  }
+
+  private lazy val hybridMultiOracleSql: String = {
+    val values = HybridMultiQueries.map { case (id, ts) =>
+      s"($id, [${ts.map("'" + _ + "'").mkString(", ")}])"
+    }.mkString(", ")
+    s"""WITH hq AS (SELECT * FROM (VALUES $values) AS v(query_id, terms)),
+       |qt AS (SELECT DISTINCT query_id, unnest(terms) AS word FROM hq),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |              avg(len(ws)) AS avgdl FROM d),
+       |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM d),
+       |tf AS (SELECT word, doc_id, dl, count(*) AS tf FROM t
+       |       WHERE word IN (SELECT word FROM qt)
+       |       GROUP BY word, doc_id, dl),
+       |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df
+       |       FROM tf GROUP BY word),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |         round(sum(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+       |             * (tf.tf * CAST(2.2 AS DOUBLE)
+       |                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)))),
+       |           4) AS score
+       |       FROM tf JOIN df USING (word) JOIN qt USING (word), st
+       |       GROUP BY qt.query_id, tf.doc_id),
+       |lr AS (SELECT query_id, doc_id, r FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS r
+       |    FROM sc) WHERE r <= $TopK),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings),
+       |qm AS (SELECT CAST(vec_id % 3 AS BIGINT) AS g, dd, avg(v[dd]) AS qx
+       |       FROM e, range(1, 65) rr(dd) GROUP BY vec_id % 3, dd),
+       |qd AS (SELECT -(g + 1) AS query_id, list(qx ORDER BY dd) AS qv
+       |       FROM qm GROUP BY g),
+       |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |          WHERE vec_id % 25 = 0),
+       |a0 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, s.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC, s.cent_id) AS rn
+       |    FROM e, seeds s) WHERE rn = 1),
+       |cd AS (SELECT cent_id, dd, avg(v[dd]) AS cx
+       |       FROM a0, range(1, 65) rr(dd) GROUP BY cent_id, dd),
+       |cents AS (SELECT cent_id, list(cx ORDER BY dd) AS cv
+       |          FROM cd GROUP BY cent_id),
+       |a1 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM e, cents c) WHERE rn = 1),
+       |dpr AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM qd q, cents c) WHERE rn <= 4),
+       |dsc AS (SELECT p.query_id, a1.vec_id AS doc_id,
+       |    round(list_cosine_similarity(p.qv, a1.v), 4) AS sim
+       |  FROM dpr p JOIN a1 ON p.cent_id = a1.cent_id
+       |    AND a1.vec_id <> p.query_id),
+       |dnr AS (SELECT query_id, doc_id, r FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY sim DESC, doc_id) AS r
+       |    FROM dsc) WHERE r <= $TopK),
+       |f AS (SELECT coalesce(l.query_id, dn.query_id) AS query_id,
+       |    coalesce(l.doc_id, dn.doc_id) AS doc_id,
+       |    CAST(coalesce(l.r, 0) AS BIGINT) AS bm25_rank,
+       |    CAST(coalesce(dn.r, 0) AS BIGINT) AS dense_rank,
+       |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.r), 0)
+       |        + coalesce(CAST(1.0 AS DOUBLE) / (60 + dn.r), 0), 4) AS rrf
+       |  FROM lr l FULL JOIN dnr dn
+       |    ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id)
+       |SELECT query_id, doc_id, bm25_rank, dense_rank, rrf, rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM f) WHERE rank <= $TopK""".stripMargin
   }
 
   private lazy val hybridRrfOracleSql: String = {
