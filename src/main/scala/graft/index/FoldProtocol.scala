@@ -390,6 +390,125 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
       leaseHolder = leaseHolder())
   }
 
+  /** Consistency audit (and optional repair) of the index root — the
+    * fsck a production deployment runs before trusting an index after
+    * crashes, partial migrations, or manual surgery. Small-file reads
+    * and directory listings only; never scans data. Three severities:
+    *
+    *   - `fatal`: the index serves WRONG or partial data and needs
+    *     human/rebuild intervention — a manifest pointer at a missing
+    *     generation, a LEDGERED batch dir that vanished without a
+    *     covering compaction (the serve path would silently drop that
+    *     batch's rows), a committed dir with no `_SUCCESS` marker.
+    *     Never auto-repaired.
+    *   - `reclaimable`: crash litter that is provably dead — an
+    *     UNCOMMITTED b/d-dir or dot-staging artifact older than the
+    *     writer grace (its fold/publish can no longer commit: any live
+    *     writer re-stages under overwrite semantics anyway), or a
+    *     superseded generation past the retirement grace. Deleted when
+    *     `repair = true`.
+    *   - `info`: benign observations — an uncommitted dir still inside
+    *     the grace (a fold may be in flight), a missing d-dir whose
+    *     purge a compaction already performed, the current lease
+    *     holder's stamp age.
+    *
+    * `.crc` checksum sidecars are never touched (ChecksumFileSystem
+    * needs them to read their primaries).
+    */
+  def fsck(kinds: Seq[String], repair: Boolean = false,
+      graceMs: Long = FoldProtocol.PublishGraceMs): FsckReport = {
+    val f = fs
+    val now = System.currentTimeMillis()
+    val issues = Seq.newBuilder[FsckIssue]
+    val reclaimed = Seq.newBuilder[String]
+    def reclaim(p: Path, what: String): Unit = {
+      issues += FsckIssue("reclaimable", p.toString, what)
+      if (repair) { f.delete(p, true); reclaimed += p.toString }
+    }
+    val folded = foldedBatches()
+    val deleted = deletedBatches()
+    for (k <- kinds) {
+      val rel = resolveKind(k)
+      val kp = new Path(rootPath, rel)
+      if (!f.exists(kp)) {
+        issues += FsckIssue("fatal", kp.toString,
+          s"manifest resolves kind '$k' to a missing generation dir")
+      } else {
+        val dirs = f.listStatus(kp).toSeq.filter(_.isDirectory)
+        val names = dirs.map(_.getPath.getName).toSet
+        // the newest compaction's fold order: batches at or below it
+        // were purged ON PURPOSE and their ledger entries kept only to
+        // short-circuit replays
+        val maxCompact = names.collect {
+          case n if n.matches("c\\d+") => n.drop(1).toLong
+        }.foldLeft(0L)(math.max)
+        for (st <- dirs) {
+          val n = st.getPath.getName
+          val committed =
+            if (n.matches("b\\d+")) folded.contains(n.drop(1).toLong)
+            else if (n.matches("d\\d+")) deleted.contains(n.drop(1).toLong)
+            else !n.startsWith(".")
+          if (!committed) {
+            if (now - st.getModificationTime > graceMs)
+              reclaim(st.getPath, "uncommitted batch/staging dir past " +
+                "the writer grace — its fold crashed before the ledger " +
+                "commit and any replay re-stages with overwrite semantics")
+            else issues += FsckIssue("info", st.getPath.toString,
+              "uncommitted dir inside the writer grace (a fold may be " +
+                "in flight)")
+          } else if (!n.startsWith(".") &&
+              !f.exists(new Path(st.getPath, "_SUCCESS")))
+            issues += FsckIssue("fatal", st.getPath.toString,
+              "committed dir is missing its _SUCCESS marker — a " +
+                "partial write is serving")
+        }
+        // b-dirs land under the data kinds, d-dirs under `tombstones`
+        // (stageTombstones) — check each ledger namespace only where
+        // its dirs actually live
+        if (k == "tombstones") {
+          for (dd <- deleted.toSeq.sorted if !names.contains(s"d$dd"))
+            issues += FsckIssue("info", s"$root/$rel/d$dd",
+              "ledgered delete dir absent (normal after a compaction's " +
+                "physical purge)")
+        } else {
+          for (b <- folded.toSeq.sorted
+              if !names.contains(s"b$b") && b > maxCompact)
+            issues += FsckIssue("fatal", s"$root/$rel/b$b",
+              "ledgered fold dir is MISSING and no compaction covers " +
+                "its order — the serve path silently drops this " +
+                "batch's rows")
+        }
+      }
+      // superseded generations of this kind past the retirement grace
+      // (publishDir reclaims them at the NEXT publish; fsck does it on
+      // demand) — mtime is the retirement stamp, see publishDir
+      val genRe = genPattern(k)
+      for (st <- f.listStatus(rootPath).toSeq.filter(_.isDirectory)) {
+        val n = st.getPath.getName
+        val isGen = n == k || genRe.pattern.matcher(n).matches()
+        if (isGen && n != rel && now - st.getModificationTime > graceMs)
+          reclaim(st.getPath,
+            "superseded generation past the retirement grace")
+      }
+    }
+    // root-level dot-staging leftovers (crashed ledger/manifest
+    // replaces, abandoned publish stagings) — directories and
+    // `.*.staging` files only; checksum sidecars stay
+    for (st <- f.listStatus(rootPath).toSeq) {
+      val n = st.getPath.getName
+      val isStaging = n.startsWith(".") && !n.endsWith(".crc") &&
+        (st.isDirectory || n.endsWith(".staging"))
+      if (isStaging && now - st.getModificationTime > graceMs)
+        reclaim(st.getPath, "abandoned staging artifact past the grace")
+    }
+    leaseHolder().foreach { h =>
+      issues += FsckIssue("info", leasePath.toString,
+        s"writer lease held by $h (stamp age " +
+          s"${now - leaseStampMillis(h)} ms)")
+    }
+    FsckReport(issues.result(), reclaimed.result())
+  }
+
   /** The committed sub-dirs under the CURRENT generation of `kind`:
     * every non-batch dir (seed, `c<hw>` compactions) plus exactly the
     * ledgered b/d-dirs. Empty when the kind directory does not exist.
@@ -657,6 +776,20 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
   * frame yet. `liveTombstones` are delete batches staged but not yet
   * physically purged by a compaction's `clearTombstones`.
   */
+/** One [[FoldProtocol.fsck]] finding: `severity` is `fatal` (serves
+  * wrong/partial data — human intervention), `reclaimable` (provably
+  * dead crash litter — deleted under `repair = true`) or `info`.
+  */
+final case class FsckIssue(severity: String, path: String, problem: String)
+
+/** [[FoldProtocol.fsck]] result: all findings plus the paths actually
+  * deleted this run (empty unless `repair = true`).
+  */
+final case class FsckReport(issues: Seq[FsckIssue], reclaimed: Seq[String]) {
+  def fatal: Seq[FsckIssue] = issues.filter(_.severity == "fatal")
+  def clean: Boolean = issues.forall(_.severity == "info")
+}
+
 final case class IndexStatus(
     root: String,
     generations: Map[String, String],

@@ -375,4 +375,99 @@ class FoldProtocolSpec extends SparkSpec {
     assert(p.foldedBatches() == Set(1L, 2L))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(gen)), "orphan swept")
   }
+
+  test("fsck: a healthy index (folds, deletes, compaction, publish) " +
+    "reports nothing beyond info") {
+    val root = tmpDir("fsck-clean")
+    val p = new FoldProtocol(root, "_ledger")
+    writeDir(s"$root/data/seed", Seq(1L, 2L))
+    assert(p.fold(1L) { writeDir(s"$root/data/b1", Seq(3L)) })
+    assert(p.delete(0L) { writeDir(s"$root/tombstones/d0", Seq(2L)) })
+    val rep = p.fsck(Seq("data", "tombstones"))
+    assert(rep.clean, rep.issues.toString)
+    assert(rep.reclaimed.isEmpty)
+  }
+
+  test("fsck: an uncommitted batch dir is info inside the grace, " +
+    "reclaimable past it, and repair deletes it without touching " +
+    "committed state") {
+    val root = tmpDir("fsck-uncommitted")
+    val p = new FoldProtocol(root, "_ledger")
+    writeDir(s"$root/data/seed", Seq(1L))
+    assert(p.fold(1L) { writeDir(s"$root/data/b1", Seq(2L)) })
+    writeDir(s"$root/data/b7", Seq(9L)) // staged, never ledgered
+    val young = p.fsck(Seq("data"))
+    assert(young.clean, "inside the grace the crashed fold is only info")
+    assert(young.issues.exists(i => i.severity == "info" &&
+      i.path.endsWith("/b7")))
+    new java.io.File(s"$root/data/b7").setLastModified(1000L)
+    val old = p.fsck(Seq("data"))
+    assert(old.issues.exists(i => i.severity == "reclaimable" &&
+      i.path.endsWith("/b7")))
+    val repaired = p.fsck(Seq("data"), repair = true)
+    assert(repaired.reclaimed.exists(_.endsWith("/b7")))
+    assert(!new java.io.File(s"$root/data/b7").exists)
+    assert(new java.io.File(s"$root/data/b1").isDirectory)
+    assert(p.fsck(Seq("data")).clean)
+  }
+
+  test("fsck: a LEDGERED fold dir that vanished is fatal — unless a " +
+    "compaction at or above its order covers the purge") {
+    val root = tmpDir("fsck-missing")
+    val p = new FoldProtocol(root, "_ledger")
+    writeDir(s"$root/data/seed", Seq(1L))
+    assert(p.fold(3L) { writeDir(s"$root/data/b3", Seq(2L)) })
+    val b3 = new org.apache.hadoop.fs.Path(s"$root/data/b3")
+    b3.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(b3, true)
+    val rep = p.fsck(Seq("data"))
+    assert(rep.fatal.exists(_.path.endsWith("/b3")),
+      "the serve path would silently drop batch 3")
+    writeDir(s"$root/data/c3", Seq(1L, 2L)) // compaction covering b3
+    assert(p.fsck(Seq("data")).clean)
+  }
+
+  test("fsck: a committed dir stripped of _SUCCESS is fatal; " +
+    "abandoned dot-staging artifacts reclaim past the grace but " +
+    "checksum sidecars survive") {
+    val root = tmpDir("fsck-partial")
+    val p = new FoldProtocol(root, "_ledger")
+    writeDir(s"$root/data/seed", Seq(1L))
+    assert(new java.io.File(s"$root/data/seed/_SUCCESS").delete())
+    assert(p.fsck(Seq("data")).fatal.exists(_.path.endsWith("/seed")))
+
+    writeDir(s"$root/.data.staging", Seq(9L)) // abandoned publish
+    new java.io.File(s"$root/.data.staging").setLastModified(1000L)
+    val rep = p.fsck(Seq("data"), repair = true)
+    assert(rep.reclaimed.exists(_.endsWith("/.data.staging")))
+    assert(!new java.io.File(s"$root/.data.staging").exists)
+    // the ledger's crc sidecar (local ChecksumFileSystem) is never
+    // treated as litter, however old
+    val crcs = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".crc"))
+    crcs.foreach(_.setLastModified(1000L))
+    p.fsck(Seq("data"), repair = true)
+    crcs.foreach(c => assert(c.exists, s"$c must survive fsck"))
+  }
+
+  test("fsck: superseded generations reclaim past the retirement " +
+    "grace on demand, current and predecessor stay") {
+    val root = tmpDir("fsck-gens")
+    val p = new FoldProtocol(root, "_ledger")
+    writeDir(s"$root/data", Seq(1L))
+    writeDir(s"$root/.data.staging", Seq(2L))
+    p.publishDir(".data.staging", "data")
+    writeDir(s"$root/.data.staging", Seq(3L))
+    p.publishDir(".data.staging", "data")
+    // three generations on disk: data (plain), data.g1, data.g2
+    assert(p.fsck(Seq("data")).clean,
+      "every superseded generation is inside its retirement grace")
+    new java.io.File(s"$root/data").setLastModified(1000L)
+    val rep = p.fsck(Seq("data"), repair = true)
+    assert(rep.reclaimed.exists(_.endsWith("/data")))
+    assert(!new java.io.File(s"$root/data").exists)
+    assert(new java.io.File(s"$root/data.g1").isDirectory,
+      "the in-grace predecessor survives")
+    assert(served(p) == Seq(3L))
+  }
 }
