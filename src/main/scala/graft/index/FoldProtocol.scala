@@ -427,12 +427,17 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     }
     val folded = foldedBatches()
     val deleted = deletedBatches()
+    val m = manifest()
     for (k <- kinds) {
       val rel = resolveKind(k)
       val kp = new Path(rootPath, rel)
       if (!f.exists(kp)) {
-        issues += FsckIssue("fatal", kp.toString,
-          s"manifest resolves kind '$k' to a missing generation dir")
+        // absent is fine for a kind the manifest never published (the
+        // common tombstones case: no delete ever staged); fatal only
+        // when an EXPLICIT manifest pointer dangles
+        if (m.contains(k))
+          issues += FsckIssue("fatal", kp.toString,
+            s"manifest resolves kind '$k' to a missing generation dir")
       } else {
         val dirs = f.listStatus(kp).toSeq.filter(_.isDirectory)
         val names = dirs.map(_.getPath.getName).toSet

@@ -470,4 +470,20 @@ class FoldProtocolSpec extends SparkSpec {
       "the in-grace predecessor survives")
     assert(served(p) == Seq(3L))
   }
+
+  test("fsck: the real persisted indexes audit clean after their " +
+    "build / fold / delete lifecycles") {
+    val ivf = Similarity.ensureIvfIndex(spark, sf0001)
+    assert(Similarity.protocol(ivf)
+      .fsck(Seq("cents", "vectors", "tombstones")).clean)
+    val ivfDel = Similarity.ensureDeletedIvfIndex(spark, sf0001)
+    assert(Similarity.protocol(ivfDel)
+      .fsck(Seq("cents", "vectors", "tombstones")).clean)
+    val bm25 = graft.operators.Retrieval.ensureBm25Index(spark, sf0001)
+    assert(graft.operators.Retrieval.protocol(bm25)
+      .fsck(Seq("postings", "stats", "tombstones")).clean)
+    val dedup = Dedup.ensureIndex(spark, sf0001)
+    assert(Dedup.protocol(dedup)
+      .fsck(Seq("shingles", "hashes", "df", "tombstones")).clean)
+  }
 }
