@@ -794,13 +794,19 @@ object Retrieval {
       queries.select(col("query_id"), col("qv")), k = k)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dr"))
-    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full")
-      .select(col("query_id"), col("doc_id"),
-        coalesce(col("br"), lit(0)).cast("long").as("bm25_rank"),
-        coalesce(col("dr"), lit(0)).cast("long").as("dense_rank"),
-        round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
-          .as("rrf"))
+    // pinned: the fused frame feeds BOTH the ranking aggregate and the
+    // evidence join below, and without the pin each branch re-serves
+    // both indexes; it is ≤ 2·k rows per query, so the pin roundtrip
+    // is trivial while the serves run exactly once
+    val fused = Layout.stagePin(
+      lex.join(dense, Seq("query_id", "doc_id"), "full")
+        .select(col("query_id"), col("doc_id"),
+          coalesce(col("br"), lit(0)).cast("long").as("bm25_rank"),
+          coalesce(col("dr"), lit(0)).cast("long").as("dense_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
+            .as("rrf")),
+      "hybrid_fused")
     val ranked = fused.groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg.top_k(
         col("rrf"), col("doc_id"), k).as("top"))
