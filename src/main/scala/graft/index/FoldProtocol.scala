@@ -421,10 +421,24 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     val now = System.currentTimeMillis()
     val issues = Seq.newBuilder[FsckIssue]
     val reclaimed = Seq.newBuilder[String]
-    def reclaim(p: Path, what: String): Unit = {
-      issues += FsckIssue("reclaimable", p.toString, what)
-      if (repair) { f.delete(p, true); reclaimed += p.toString }
-    }
+    // A LIVE writer lease (stamp fresher than the grace — the heartbeat
+    // re-stamps at ttl/3, so a fresh stamp means a writer is mid-body)
+    // makes "uncommitted past the grace" unprovable: that writer may be
+    // mid-stage on exactly those dirs, and deleting them would turn its
+    // imminent ledger commit into the missing-fold-dir FATAL state this
+    // audit exists to catch. Downgrade every reclaimable to info and
+    // withhold repair until the lease is released or expires.
+    val liveWriter = leaseHolder()
+      .exists(h => now - leaseStampMillis(h) < graceMs)
+    def reclaim(p: Path, what: String): Unit =
+      if (liveWriter) {
+        issues += FsckIssue("info", p.toString,
+          what + " — NOT reclaimed: a writer lease is live and may be " +
+            "mid-stage here")
+      } else {
+        issues += FsckIssue("reclaimable", p.toString, what)
+        if (repair) { f.delete(p, true); reclaimed += p.toString }
+      }
     val folded = foldedBatches()
     val deleted = deletedBatches()
     val m = manifest()

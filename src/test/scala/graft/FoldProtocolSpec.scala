@@ -486,4 +486,25 @@ class FoldProtocolSpec extends SparkSpec {
     assert(Dedup.protocol(dedup)
       .fsck(Seq("shingles", "hashes", "df", "tombstones")).clean)
   }
+
+  test("fsck: a LIVE writer lease withholds reclamation — an aged " +
+    "uncommitted dir stays on disk until the lease releases") {
+    val root = tmpDir("fsck-live-writer")
+    val p = new FoldProtocol(root, "_ledger")
+    writeDir(s"$root/data/seed", Seq(1L))
+    writeDir(s"$root/data/b7", Seq(9L)) // staged, never ledgered
+    new java.io.File(s"$root/data/b7").setLastModified(1000L)
+    p.withLease("slow-folder") {
+      val rep = p.fsck(Seq("data"), repair = true)
+      assert(rep.reclaimed.isEmpty,
+        "repair must not delete under a live lease")
+      assert(new java.io.File(s"$root/data/b7").isDirectory)
+      assert(rep.issues.exists(i => i.severity == "info" &&
+        i.problem.contains("NOT reclaimed")))
+    }
+    // lease released: the same audit now reclaims
+    val after = p.fsck(Seq("data"), repair = true)
+    assert(after.reclaimed.exists(_.endsWith("/b7")))
+    assert(!new java.io.File(s"$root/data/b7").exists)
+  }
 }
