@@ -455,6 +455,15 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
       } else {
         val dirs = f.listStatus(kp).toSeq.filter(_.isDirectory)
         val names = dirs.map(_.getPath.getName).toSet
+        def isProto(n: String) = n == "seed" || n.matches("[bcd]\\d+")
+        // Two layouts share the protocol: MULTI-ROOT kinds (a seed /
+        // b<id> / c<hw> / d<id> sub-root per commit — vectors,
+        // postings, shingles, tombstones) and FLAT kinds (one parquet
+        // frame, possibly hive-partitioned — cents, codebook, df).
+        // The ledger names sub-roots, so its cross-checks only apply
+        // to the multi-root shape; a flat kind's integrity is its own
+        // top-level _SUCCESS.
+        val multiRoot = k == "tombstones" || names.exists(isProto)
         // the newest compaction's fold order: batches at or below it
         // were purged ON PURPOSE and their ledger entries kept only to
         // short-circuit replays
@@ -475,28 +484,31 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
             else issues += FsckIssue("info", st.getPath.toString,
               "uncommitted dir inside the writer grace (a fold may be " +
                 "in flight)")
-          } else if (!n.startsWith(".") &&
+          } else if (isProto(n) &&
               !f.exists(new Path(st.getPath, "_SUCCESS")))
             issues += FsckIssue("fatal", st.getPath.toString,
               "committed dir is missing its _SUCCESS marker — a " +
                 "partial write is serving")
         }
-        // b-dirs land under the data kinds, d-dirs under `tombstones`
-        // (stageTombstones) — check each ledger namespace only where
-        // its dirs actually live
+        // b-dirs land under the multi-root data kinds, d-dirs under
+        // `tombstones` (stageTombstones) — check each ledger namespace
+        // only where its dirs actually live
         if (k == "tombstones") {
           for (dd <- deleted.toSeq.sorted if !names.contains(s"d$dd"))
             issues += FsckIssue("info", s"$root/$rel/d$dd",
               "ledgered delete dir absent (normal after a compaction's " +
                 "physical purge)")
-        } else {
+        } else if (multiRoot) {
           for (b <- folded.toSeq.sorted
               if !names.contains(s"b$b") && b > maxCompact)
             issues += FsckIssue("fatal", s"$root/$rel/b$b",
               "ledgered fold dir is MISSING and no compaction covers " +
                 "its order — the serve path silently drops this " +
                 "batch's rows")
-        }
+        } else if (!f.exists(new Path(kp, "_SUCCESS")))
+          issues += FsckIssue("fatal", kp.toString,
+            "flat kind dir is missing its _SUCCESS marker — a partial " +
+              "write is serving")
       }
       // superseded generations of this kind past the retirement grace
       // (publishDir reclaims them at the NEXT publish; fsck does it on

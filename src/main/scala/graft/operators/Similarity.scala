@@ -1073,6 +1073,27 @@ object Similarity {
     protocol(path).readCommittedStripped(s, "vectors", "vec_id")(r =>
       s.read.schema(CodedSchema).option("basePath", r).parquet(r))
 
+  /** Rewrite the committed coded sub-roots into one `c<hw>` dir —
+    * [[compactIvfIndex]]'s contract on the coded frame: the input is
+    * the SERVED view (tombstones already stripped), so the swap is
+    * also the physical purge; the ledger stays so replayed
+    * batch/delete ids keep short-circuiting. Codes are opaque to the
+    * rewrite — centroids and codebook stay frozen, so a compacted
+    * IVF-PQ index serves byte-identically.
+    */
+  def compactIvfPqIndex(s: SparkSession, path: String): Unit = {
+    val p = protocol(path)
+    p.withLease("compact-ivfpq") {
+      indexCodes(s, path)
+        .repartition(col("cent_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cent_id")
+        .parquet(s"$path/.vectors.compacting/${p.compactDirName()}")
+      p.publishDir(".vectors.compacting", "vectors")
+      p.clearTombstones()
+    }
+  }
+
   /** Top-k ANN for `(query_id, qv)` queries against a persisted IVF-PQ
     * index. Same static cell prune as [[indexTopK]] (probed `cent_id=`
     * directories only), but the pruned scan reads CODES (≈16 B/vector),

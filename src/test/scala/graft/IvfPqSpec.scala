@@ -112,4 +112,35 @@ class IvfPqSpec extends SparkSpec {
     assert(!Similarity.deleteFromIvfPqIndex(victims, idx, 2L),
       "replayed delete is a committed no-op")
   }
+
+  test("IVF-PQ compaction: serve is byte-identical, fold/delete dirs " +
+    "purge physically, replays still short-circuit, fsck audits clean") {
+    val idx = tmpDir("ivfpq-compact")
+    val e = corpus()
+    Similarity.writeIvfPqIndex(e.filter($"vec_id" % 5 =!= 4), idx)
+    assert(Similarity.appendToIvfPqIndex(
+      e.filter($"vec_id" % 5 === 4), idx, 1L))
+    assert(Similarity.deleteFromIvfPqIndex(
+      Seq(3L, 7L, 11L).toDF("vec_id"), idx, 2L))
+    val before = Similarity.ivfPqTopK(spark, idx, queries(), e)
+      .collect().map(_.toString).toSet
+
+    Similarity.compactIvfPqIndex(spark, idx)
+    val p = Similarity.protocol(idx)
+    val vecDir = new java.io.File(
+      p.dir("vectors").stripPrefix("file:"))
+    val subdirs = vecDir.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(subdirs.forall(n => n.matches("c\\d+") || n.startsWith("cent_id=")),
+      s"b/d sub-roots must purge physically, got ${subdirs.toSeq}")
+    val after = Similarity.ivfPqTopK(spark, idx, queries(), e)
+      .collect().map(_.toString).toSet
+    assert(after == before, "compaction must not move a single result")
+    assert(!Similarity.appendToIvfPqIndex(
+      e.filter($"vec_id" % 5 === 4), idx, 1L),
+      "ledger survives compaction: replayed fold still short-circuits")
+    assert(!Similarity.deleteFromIvfPqIndex(
+      Seq(3L).toDF("vec_id"), idx, 2L),
+      "replayed delete still short-circuits")
+    assert(p.fsck(Seq("cents", "codebook", "vectors", "tombstones")).clean)
+  }
 }
