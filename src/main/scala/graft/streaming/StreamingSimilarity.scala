@@ -91,4 +91,28 @@ object StreamingSimilarity {
         }
       }
       .start()
+
+  /** [[startIngest]] for a persisted IVF-PQ index: each micro-batch of
+    * `(vec_id, v)` vectors encodes against the FROZEN centroids and
+    * codebook and folds exactly-once through the same ledger
+    * ([[graft.operators.Similarity.appendToIvfPqIndex]]), with the
+    * identical ledger-gated periodic compaction. The stream never
+    * retrains either artifact — refreshes are offline maintenance,
+    * exactly like the float index's centroid policy.
+    */
+  def startPqIngest(vectors: DataFrame, indexPath: String,
+      checkpoint: String, compactEvery: Int = 16): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Similarity.appendToIvfPqIndex(batch, indexPath, batchId)
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1
+              && Similarity.protocol(indexPath).foldedBatches()
+                .contains(batchId))
+            Similarity.compactIvfPqIndex(batch.sparkSession, indexPath)
+        }
+      }
+      .start()
 }

@@ -214,4 +214,59 @@ class StreamingSimilaritySpec extends SparkSpec {
       .as[(Long, Long, Int)].collect()
     assert(hits.nonEmpty && !hits.exists(_._2 == nid))
   }
+
+  test("startPqIngest: streamed batches encode against the frozen " +
+    "artifacts, fold exactly-once, auto-compact, and serve with the " +
+    "one-shot index's results") {
+    implicit val sc = spark.sqlContext
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".as("v"))
+    val idx = tmpDir("ivfpq-ingest")
+    Similarity.writeIvfPqIndex(e.filter($"vec_id" % 2 === 0), idx)
+    val newVecs = e.filter($"vec_id" % 2 === 1)
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamingSimilarity.startPqIngest(
+      in.toDF().toDF("vec_id", "v"), idx, tmpDir("ivfpq-ingest-ckpt"),
+      compactEvery = 2)
+    try {
+      in.addData(newVecs.take(5): _*)
+      q.processAllAvailable()
+      in.addData(newVecs.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(Similarity.indexCodes(spark, idx)
+      .select($"vec_id").as[Long].collect().toSet ==
+      e.select($"vec_id").as[Long].collect().toSet,
+      "every streamed vector must be coded into the index")
+    import scala.jdk.CollectionConverters._
+    val roots = java.nio.file.Files.list(java.nio.file.Paths.get(
+      Similarity.protocol(idx).dir("vectors"))).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq
+    assert(roots.size == 1 && roots.head.matches("c\\d+"),
+      s"expected auto-compacted roots: $roots")
+    // the streamed-and-compacted index serves the same results as an
+    // index built in ONE shot over the same corpus (frozen-artifact
+    // encode is order-independent given identical seeds/codebook
+    // training inputs... the artifacts differ: seed-built on evens vs
+    // full - so compare against a replica of the SAME lifecycle)
+    val replica = tmpDir("ivfpq-replica")
+    Similarity.writeIvfPqIndex(e.filter($"vec_id" % 2 === 0), replica)
+    Similarity.appendToIvfPqIndex(
+      e.filter($"vec_id" % 2 === 1), replica, 0L)
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val served = Similarity.ivfPqTopK(spark, idx, queries, e)
+      .collect().map(_.toString).toSet
+    val oneShot = Similarity.ivfPqTopK(spark, replica, queries, e)
+      .collect().map(_.toString).toSet
+    assert(served == oneShot,
+      "streamed folds + compaction must serve the replica's results")
+    assert(Similarity.protocol(idx)
+      .fsck(Seq("cents", "codebook", "vectors", "tombstones")).clean)
+  }
 }
