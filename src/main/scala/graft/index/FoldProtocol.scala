@@ -427,9 +427,14 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     // mid-stage on exactly those dirs, and deleting them would turn its
     // imminent ledger commit into the missing-fold-dir FATAL state this
     // audit exists to catch. Downgrade every reclaimable to info and
-    // withhold repair until the lease is released or expires.
-    val liveWriter = leaseHolder()
-      .exists(h => now - leaseStampMillis(h) < graceMs)
+    // withhold repair until the lease is released or expires — UNLESS
+    // the live lease is THIS thread's own (`withLease { fsck(repair) }`,
+    // the blessed single-writer maintenance pattern: the holder knows
+    // it is not mid-stage, and the lease is exactly what excludes every
+    // other writer while it reclaims).
+    val ownLease = currentFenceStamp()
+    val liveWriter = leaseHolder().exists(h =>
+      now - leaseStampMillis(h) < graceMs && !ownLease.contains(h))
     def reclaim(p: Path, what: String): Unit =
       if (liveWriter) {
         issues += FsckIssue("info", p.toString,

@@ -494,17 +494,28 @@ class FoldProtocolSpec extends SparkSpec {
     writeDir(s"$root/data/seed", Seq(1L))
     writeDir(s"$root/data/b7", Seq(9L)) // staged, never ledgered
     new java.io.File(s"$root/data/b7").setLastModified(1000L)
-    p.withLease("slow-folder") {
-      val rep = p.fsck(Seq("data"), repair = true)
-      assert(rep.reclaimed.isEmpty,
-        "repair must not delete under a live lease")
-      assert(new java.io.File(s"$root/data/b7").isDirectory)
-      assert(rep.issues.exists(i => i.severity == "info" &&
-        i.problem.contains("NOT reclaimed")))
+    // ANOTHER writer's live lease (fresh stamp, not this thread's
+    // fence): reclamation is withheld — that writer may be mid-stage
+    val lease = new org.apache.hadoop.fs.Path(root, "_writer_lease")
+    val lfs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = lfs.create(lease, false)
+    try out.write(s"other-writer@${System.currentTimeMillis()}"
+      .getBytes("UTF-8")) finally out.close()
+    val rep = p.fsck(Seq("data"), repair = true)
+    assert(rep.reclaimed.isEmpty,
+      "repair must not delete under another writer's live lease")
+    assert(new java.io.File(s"$root/data/b7").isDirectory)
+    assert(rep.issues.exists(i => i.severity == "info" &&
+      i.problem.contains("NOT reclaimed")))
+    lfs.delete(lease, false)
+    // the holder ITSELF repairs under its own lease: withLease {
+    // fsck(repair) } is the blessed single-writer maintenance pattern
+    p.withLease("maintenance") {
+      val own = p.fsck(Seq("data"), repair = true)
+      assert(own.reclaimed.exists(_.endsWith("/b7")),
+        "the lease HOLDER must be able to repair under its own lease")
     }
-    // lease released: the same audit now reclaims
-    val after = p.fsck(Seq("data"), repair = true)
-    assert(after.reclaimed.exists(_.endsWith("/b7")))
     assert(!new java.io.File(s"$root/data/b7").exists)
+    assert(p.fsck(Seq("data"), repair = true).clean)
   }
 }
