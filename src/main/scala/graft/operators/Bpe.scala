@@ -37,8 +37,9 @@ import org.apache.spark.sql.functions._
   *
   * Apply = join: the learn's final segmentation already fixes every
   * vocabulary word's subword count, so metering a document is explode →
-  * (broadcast) vocab join → per-doc sum — zero shuffle on the corpus
-  * side beyond the final doc_id aggregate. Out-of-vocabulary words
+  * vocab join (planner-size-checked broadcast at gate scale) → per-doc
+  * sum — zero shuffle on the corpus side beyond the final doc_id
+  * aggregate. Out-of-vocabulary words
   * (impossible when scoring the training corpus itself, routine when
   * metering NEW text against a frozen tokenizer) fall back to
   * char-count, encoded identically in the oracles.
@@ -188,19 +189,22 @@ object Bpe {
 
   /** Per-doc BPE token meter of an ARBITRARY document frame
     * (`doc_id`, `text`) against a vocab segmentation frame
-    * (`word`, `n_bpe`): explode → broadcast vocab join → one doc_id
-    * aggregate; out-of-vocabulary words fall back to char count.
-    * Shared by the batch gates and `streaming.StreamingMeter` (the
-    * same frozen-model arithmetic applies per micro-batch). The
-    * broadcast is the bench-scale choice; a 10⁸-row production
-    * vocabulary drops the hint and takes the shuffle join on `word` —
-    * the plan shape downstream is unchanged.
+    * (`word`, `n_bpe`): explode → vocab join → one doc_id aggregate;
+    * out-of-vocabulary words fall back to char count. Shared by the
+    * batch gates and `streaming.StreamingMeter` (the same frozen-model
+    * arithmetic applies per micro-batch). The vocab side carries NO
+    * broadcast hint — it is a scale-GROWING frame (distinct corpus
+    * words), so the broadcast decision belongs to the planner's size
+    * check, per the repo-wide rule: at bench scale the KB-sized
+    * parquet statistics pick the broadcast anyway (plan-pinned in
+    * BpeSpec), and a 10⁸-word production vocabulary degrades to the
+    * shuffle join on `word` instead of a forced multi-GB broadcast.
     */
   def meter(docs: DataFrame, vocab: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         explode(filter(split(col("text"), " "), w => w =!= "")).as("word"))
-      .join(broadcast(vocab.select(col("word"), col("n_bpe"))),
+      .join(vocab.select(col("word"), col("n_bpe")),
         Seq("word"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
@@ -338,9 +342,10 @@ object Bpe {
         |  CAST(sum(coalesce(n_bpe, length(word))) AS BIGINT) AS bpe_tokens
         |FROM dw LEFT JOIN vt USING (word) GROUP BY lang"""
         .stripMargin) { (s, d) =>
-      val vt = broadcast(
-        modelVocab(s, ensureHistoryBpeModel(s, d))
-          .select(col("word"), col("n_bpe")))
+      // unhinted like Bpe.meter: the frozen vocab is scale-growing,
+      // the planner's size check owns the broadcast decision
+      val vt = modelVocab(s, ensureHistoryBpeModel(s, d))
+        .select(col("word"), col("n_bpe"))
       Tables.documents(s, d)
         .filter(col("doc_id") % 5 === 4)
         .select(col("lang"),
