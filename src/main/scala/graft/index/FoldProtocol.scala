@@ -81,15 +81,17 @@ import org.apache.spark.sql.functions.{coalesce, col, lit}
   *     merely steal-detecting. Renewal and release are both
   *     CAS-guarded on the stamp, and the stamp doubles as a FENCING
   *     TOKEN: every commit point ([[commit]]'s ledger replace,
-  *     [[publishDir]]'s pointer swap) verifies the lease file still
-  *     carries this writer's stamp before landing, so a writer whose
-  *     lease was stolen mid-body fails its publish with its staged
-  *     data left an invisible orphan — the steal can no longer
-  *     interleave two writers' commits. (The check is verify-then-
-  *     rename, not a conditional rename, so a steal landing INSIDE
-  *     that microsecond window is the residual exposure; an
-  *     object-store deployment closes it with the same conditional
-  *     PUT that the pointer replace already needs there.)
+  *     [[publishDir]]'s pointer swap) lands through
+  *     [[FoldProtocol.commitPrimitive]] — a CONDITIONAL replace that
+  *     checks the lease file still carries this writer's stamp and
+  *     performs the atomic rename as one operation (in-process: both
+  *     under the root's [[FoldProtocol.rootLock]], which every lease
+  *     mutation also takes; object stores: a conditional PUT
+  *     implementing the same [[FoldProtocol.CommitPrimitive]]
+  *     contract). A writer whose lease was stolen mid-body therefore
+  *     fails its publish even when the steal lands INSIDE the old
+  *     verify→replace window — its staged data stays an invisible
+  *     orphan, and two writers' commits can no longer interleave.
   *
   * All filesystem access goes through the Hadoop `FileSystem` /
   * `FileContext` APIs resolved from the ACTIVE session's Hadoop conf —
@@ -102,7 +104,10 @@ import org.apache.spark.sql.functions.{coalesce, col, lit}
   * need a consistency shim (conditional PUT / DynamoDB-style lock —
   * the same requirement as every table-format log commit), because
   * generation dirs are never renamed over and never mutated after
-  * publish.
+  * publish. That shim has a concrete seam here:
+  * [[FoldProtocol.CommitPrimitive]] is injectable via
+  * [[FoldProtocol.commitPrimitive]], and every fenced commit already
+  * routes through it.
   *
   * Reference framing: the reference pipeline appends to BigQuery
   * tables and never manages index state
@@ -183,15 +188,46 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
   }
 
   private def writeManifest(m: Map[String, String]): Unit = {
-    val tmp = new Path(rootPath, "._manifest.staging")
-    val out = fs.create(tmp, true)
     val audit = currentFenceStamp().map(s => s"#fence=$s\n").getOrElse("")
-    try out.write(
+    fencedReplace(manifestPath,
       (audit + m.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-        .mkString("\n")).getBytes("UTF-8"))
-    finally out.close()
-    atomicReplace(tmp, manifestPath)
+        .mkString("\n")).getBytes("UTF-8"),
+      "manifest replace")
   }
+
+  /** The ONE way a pointer file (ledger, manifest) changes: under a
+    * live lease the replace goes through
+    * [[FoldProtocol.commitPrimitive]] CARRYING the fence stamp — the
+    * stamp check and the atomic rename are one conditional operation,
+    * so a steal landing at ANY point before the replace (including
+    * inside the old verify→replace microsecond window) makes the
+    * replace itself fail, not just the advisory check before it. The
+    * fence lock serializes against the heartbeat so a mid-call renewal
+    * cannot produce a false mismatch. Outside a lease the replace is
+    * the plain unconditional atomic rename (acquisition-time mutual
+    * exclusion is the only guard, as before).
+    */
+  private def fencedReplace(dst: Path, content: Array[Byte],
+      action: String): Unit =
+    FoldProtocol.fences.get().get(root) match {
+      case None =>
+        val tmp = new Path(dst.getParent, s".${dst.getName}.staging")
+        val out = fs.create(tmp, true)
+        try out.write(content) finally out.close()
+        atomicReplace(tmp, dst)
+      case Some(fence) =>
+        val landed = fence.lock.synchronized {
+          FoldProtocol.commitPrimitive.replaceIfFenced(
+            conf, root, dst, content, leasePath, Some(fence.ref.get()))
+        }
+        if (!landed)
+          throw new IllegalStateException(
+            s"conditional commit failed: $action on $root aborted — the " +
+              "writer lease no longer carries this writer's stamp (now " +
+              s"held by ${leaseHolder().getOrElse("<released>")}). The " +
+              "lease was stolen mid-run; this writer's staged data stays " +
+              "an invisible orphan and the stealer's generation serves.")
+    }
 
   private def genPattern(kind: String) =
     (java.util.regex.Pattern.quote(kind) + "\\.g(\\d+)").r
@@ -306,10 +342,8 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     */
   def commit(extra: String*): Unit = {
     verifyFence(s"ledger commit of ${extra.mkString(",")}")
-    val tmp = new Path(ledgerPath.getParent, s".${ledgerPath.getName}.staging")
-    val out = fs.create(tmp, true)
-    try out.write(renderLedger(extra)) finally out.close()
-    atomicReplace(tmp, ledgerPath)
+    fencedReplace(ledgerPath, renderLedger(extra),
+      s"ledger commit of ${extra.mkString(",")}")
   }
 
   /** Write the grown ledger INTO a staged directory (for indexes whose
@@ -433,8 +467,10 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     // it is not mid-stage, and the lease is exactly what excludes every
     // other writer while it reclaims).
     val ownLease = currentFenceStamp()
-    val liveWriter = leaseHolder().exists(h =>
-      now - leaseStampMillis(h) < graceMs && !ownLease.contains(h))
+    def liveForeignWriter(): Boolean = leaseHolder().exists(h =>
+      System.currentTimeMillis() - leaseStampMillis(h) < graceMs &&
+        !ownLease.contains(h))
+    val liveWriter = liveForeignWriter()
     def reclaim(p: Path, what: String): Unit =
       if (liveWriter) {
         issues += FsckIssue("info", p.toString,
@@ -442,7 +478,22 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
             "mid-stage here")
       } else {
         issues += FsckIssue("reclaimable", p.toString, what)
-        if (repair) { f.delete(p, true); reclaimed += p.toString }
+        if (repair) {
+          // Re-verify the lease immediately before EACH delete, not
+          // just once at entry: a writer that acquires the lease while
+          // this audit walks the tree may have re-staged this very
+          // path, and deleting it just before that writer's ledger
+          // commit would manufacture the missing-ledgered-dir fatal
+          // state fsck exists to catch. (Under the auditor's OWN lease
+          // the foreign check stays false and repair proceeds — the
+          // lease is exactly what excludes other writers.)
+          FoldProtocol.fsckPreReclaimHook()
+          if (liveForeignWriter())
+            issues += FsckIssue("info", p.toString,
+              "repair WITHHELD: a writer lease went live after the " +
+                "audit started — re-run once it is released or expires")
+          else { f.delete(p, true); reclaimed += p.toString }
+        }
       }
     val folded = foldedBatches()
     val deleted = deletedBatches()
@@ -724,18 +775,35 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     val f = fs
     val stampRef = new java.util.concurrent.atomic.AtomicReference(
       s"$owner@${System.currentTimeMillis()}")
+    // Every lease-file mutation below runs under the root's JVM-global
+    // lock — the same lock the conditional commit primitive holds for
+    // its stamp-check-plus-rename, so an in-process steal can never
+    // land BETWEEN a commit's fence check and its pointer replace.
+    // (A cross-process steal is excluded by the injected conditional-
+    // PUT implementation instead — same contract, store-side.)
     def tryAcquire(): Boolean =
-      try {
-        val out = f.create(leasePath, false)
-        try out.write(stampRef.get().getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      FoldProtocol.rootLock(root).synchronized {
+        try {
+          val out = f.create(leasePath, false)
+          try out.write(stampRef.get().getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      }
     var acquired = tryAcquire()
     if (!acquired) {
       val holder = leaseHolder()
       val expired = holder.forall(h =>
         System.currentTimeMillis() - leaseStampMillis(h) > ttlMs)
-      if (expired) { f.delete(leasePath, false); acquired = tryAcquire() }
+      if (expired) {
+        FoldProtocol.rootLock(root).synchronized {
+          // re-check under the lock: the holder may have renewed (or a
+          // faster stealer may have replaced the lease) since the stat
+          if (leaseHolder().forall(h =>
+              System.currentTimeMillis() - leaseStampMillis(h) > ttlMs))
+            f.delete(leasePath, false)
+        }
+        acquired = tryAcquire()
+      }
       if (!acquired)
         throw new IllegalStateException(
           s"index at $root is write-locked by " +
@@ -756,14 +824,19 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
         Thread.sleep(math.max(ttlMs / 3, 5L))
         renewLock.synchronized {
           if (!stopBeat.get()) try {
-            if (leaseHolder().contains(stampRef.get())) {
-              val next = s"$owner@${System.currentTimeMillis()}"
-              val tmp = new Path(rootPath, "._writer_lease.renew")
-              val out = f.create(tmp, true)
-              try out.write(next.getBytes("UTF-8")) finally out.close()
-              atomicReplace(tmp, leasePath)
-              stampRef.set(next)
-            } else stopBeat.set(true) // stolen: release will surface it
+            // rootLock inside renewLock — same order as a conditional
+            // commit (fence.lock then rootLock), so no deadlock; the
+            // CAS-guarded renewal itself is atomic vs commits and steals
+            FoldProtocol.rootLock(root).synchronized {
+              if (leaseHolder().contains(stampRef.get())) {
+                val next = s"$owner@${System.currentTimeMillis()}"
+                val tmp = new Path(rootPath, "._writer_lease.renew")
+                val out = f.create(tmp, true)
+                try out.write(next.getBytes("UTF-8")) finally out.close()
+                atomicReplace(tmp, leasePath)
+                stampRef.set(next)
+              } else stopBeat.set(true) // stolen: release will surface it
+            }
           } catch { case _: java.io.IOException => () } // retry next beat
         }
       } catch { case _: InterruptedException => () })
@@ -792,8 +865,12 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
       // exception).
       renewLock.synchronized {
         stopBeat.set(true)
-        val current = leaseHolder()
-        if (current.contains(stampRef.get())) f.delete(leasePath, false)
+        val current = FoldProtocol.rootLock(root).synchronized {
+          val c = leaseHolder()
+          if (c.contains(stampRef.get())) f.delete(leasePath, false)
+          c
+        }
+        if (current.contains(stampRef.get())) ()
         else if (!bodyFailed)
           throw new IllegalStateException(
             s"writer lease on $root was stolen mid-run by " +
@@ -877,6 +954,86 @@ object FoldProtocol {
     */
   private val fences: ThreadLocal[Map[String, Fence]] =
     ThreadLocal.withInitial(() => Map.empty[String, Fence])
+
+  /** One JVM-global lock per index root, shared by the conditional
+    * commit primitive and EVERY lease-file mutation (acquire,
+    * expired-steal, heartbeat renewal, release). Holding it makes
+    * "check the lease stamp AND land the pointer replace" one atomic
+    * step against "overwrite the lease" — the in-process realization
+    * of the conditional-PUT contract.
+    */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[index] def rootLock(root: String): Object =
+    rootLocks.computeIfAbsent(root, _ => new Object)
+
+  /** The conditional-commit contract for the two pointer files (ledger,
+    * manifest): atomically replace `dst` with `content` IFF the lease
+    * file still carries `expectFence` (when present) — the
+    * compare-and-swap a fenced commit needs to make a mid-window lease
+    * steal impossible rather than merely detected. Returns false (and
+    * writes nothing) on a fence mismatch. This trait is exactly the
+    * object-store shim surface: a deployment on S3/GCS implements it
+    * with a conditional PUT (If-Match on the pointer object, the same
+    * primitive every table-format log commit needs) and injects it via
+    * [[FoldProtocol.commitPrimitive]]; the default implementation
+    * realizes the same contract in-process by running the stamp check
+    * and the atomic rename under the root's [[rootLock]], which every
+    * lease mutation also takes.
+    */
+  trait CommitPrimitive {
+    def replaceIfFenced(conf: org.apache.hadoop.conf.Configuration,
+        root: String, dst: Path, content: Array[Byte],
+        leaseFile: Path, expectFence: Option[String]): Boolean
+  }
+
+  /** Default conditional commit: stamp check + staged write + atomic
+    * rename as ONE critical section on the root's lock. With no fence
+    * expected (unleased writers — seed builds, single-writer
+    * harnesses) it degrades to the plain atomic replace.
+    */
+  object LockedCommitPrimitive extends CommitPrimitive {
+    def replaceIfFenced(conf: org.apache.hadoop.conf.Configuration,
+        root: String, dst: Path, content: Array[Byte],
+        leaseFile: Path, expectFence: Option[String]): Boolean =
+      rootLock(root).synchronized {
+        val f = dst.getFileSystem(conf)
+        val fenceHolds = expectFence.forall { stamp =>
+          try {
+            if (!f.exists(leaseFile)) false
+            else {
+              val in = f.open(leaseFile)
+              try scala.io.Source.fromInputStream(in, "UTF-8")
+                .getLines().map(_.trim).find(_.nonEmpty).contains(stamp)
+              finally in.close()
+            }
+          } catch { case _: java.io.IOException => false }
+        }
+        if (!fenceHolds) false
+        else {
+          val tmp = new Path(dst.getParent, s".${dst.getName}.staging")
+          val out = f.create(tmp, true)
+          try out.write(content) finally out.close()
+          atomicReplace(conf, tmp, dst)
+          true
+        }
+      }
+  }
+
+  /** The commit primitive in force — injectable (tests interleave a
+    * deterministic steal inside the verify→replace window; an
+    * object-store deployment swaps in its conditional-PUT shim).
+    */
+  @volatile private[graft] var commitPrimitive: CommitPrimitive =
+    LockedCommitPrimitive
+
+  /** Test seam for [[FoldProtocol.fsck]]'s repair path: invoked just
+    * before each reclaim delete's lease re-verification, letting a spec
+    * interleave a foreign lease acquisition deterministically between
+    * the audit's entry check and the delete. No-op in production.
+    */
+  @volatile private[graft] var fsckPreReclaimHook: () => Unit = () => ()
 
   /** Atomic replacing rename (`FileContext.rename` with
     * `Options.Rename.OVERWRITE` — atomic on local/HDFS-like

@@ -20,8 +20,16 @@ import org.apache.spark.sql.functions._
   * sort. The winning pair per round is a ONE-ROW driver collect
   * (O(rounds) rows total over the whole learn, same bounded-collect
   * class as the IVF probe-cell lists), after which the merge rewrite is
-  * a pure per-row `replace` stacked on the cached base — lineage depth
-  * stays `Rounds`, linear, no checkpoint needed.
+  * a pure per-row `replace` stacked on the segmentation lineage. That
+  * stack is CHECKPOINTED every [[CheckpointEvery]] rounds
+  * (`Layout.stagePin`, the curation chain's pattern): the frame is
+  * staged to parquet and the lineage restarts from the read-back, so
+  * plan depth is bounded by the cadence — a constant — however many
+  * merges are learned. That bound is what makes `Rounds` genuinely a
+  * knob: at the 30k–100k merges of a production tokenizer the
+  * per-round work is still one vocabulary-sized aggregate + one
+  * TakeOrdered, and the analyzed plan never grows past the cadence
+  * (BpeSpec pins both at 64 rounds).
   *
   * Merge-application semantics are pinned EXACTLY (and identically in
   * the DuckDB oracles): a round replaces occurrences of its winning
@@ -58,6 +66,18 @@ object Bpe {
     * higher).
     */
   val Budget = 8000L
+
+  /** Segmentation-checkpoint cadence of the learn loop: after every
+    * this-many merge rounds the (word, freq, seq) frame is staged to
+    * parquet and the replace stack restarts from the read-back. Bounds
+    * the analyzed-plan depth at a CONSTANT whatever `rounds` is — the
+    * property that lets the merge count scale to production (30k+)
+    * without the stacked-`withColumn` lineage and per-round codegen
+    * growing linearly. The gate's `Rounds = 8` never reaches the
+    * cadence, so the gated queries' plans are byte-identical to the
+    * un-checkpointed learn.
+    */
+  private[graft] val CheckpointEvery = 16
 
   /** Elected when a round has no pairs left; `replace` of its framed
     * form is a no-op on any real segmentation.
@@ -121,7 +141,7 @@ object Bpe {
     totals += total(base)
     val sentinelRow = docs.sparkSession.range(1)
       .select(lit(Sentinel).as("pair"), lit(-1L).as("cnt"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       // One-row driver collect per round (bounded: `rounds` rows total).
       val best = pairCounts(vocab)
         .unionByName(sentinelRow)
@@ -132,6 +152,12 @@ object Bpe {
       vocab = vocab.withColumn("seq",
         replace(col("seq"), lit(s" $best "),
           lit(" " + best.replace(" ", "") + " ")))
+      // Bounded-lineage checkpoint: restart the replace stack from a
+      // parquet pin every CheckpointEvery rounds (skip on the final
+      // round — the caller persists the result itself). Not reached at
+      // the gate's Rounds = 8; proven at 64 rounds in BpeSpec.
+      if (r % CheckpointEvery == 0 && r < rounds)
+        vocab = Layout.stagePin(vocab, "bpe_seg")
       totals += total(vocab)
     }
     (merges.result(), totals.result(), vocab, base)
@@ -143,7 +169,13 @@ object Bpe {
     * `vocab/` (word, freq, n_bpe) and `curve/` (rank, total_tokens)
     * parquet dirs; complete iff all carry `_SUCCESS`. The learn is
     * deterministic, so a completed model re-serves without
-    * re-learning.
+    * re-learning. Single-session contract (the `ensureBm25Index`
+    * convention): the build-if-absent is delete-then-write with no
+    * concurrency guard — two sessions racing one warehouse can
+    * interleave and leave an incomplete model (self-healing: the next
+    * ensure rebuilds). A multi-session warehouse would stage-and-
+    * publish the model dirs through `FoldProtocol.publishDir` like the
+    * persisted indexes do.
     */
   def ensureBpeModel(s: SparkSession, d: String): String =
     ensureModel(s, d, "graft_bpe_model", identity)

@@ -591,12 +591,242 @@ object Multimodal {
       }
   }
 
+  /** Pure-JVM kernel with REAL decode for PNG images — the first
+    * REAL-WORLD container in the kernel mix (PPM/WAV/Y4M are
+    * headerless-simple interchange formats; PNG is what an actual
+    * crawled corpus contains). Full pipeline with no media library:
+    * signature + CRC-checked chunk walk, IHDR/PLTE/IDAT assembly,
+    * zlib inflate (`java.util.zip.Inflater`), per-scanline unfilter
+    * (all five PNG filter types incl. Paeth), and color-type expansion
+    * (gray / RGB / palette / gray+alpha / RGBA, 8-bit depth) to a flat
+    * RGB frame. Same dispatch contract as the other kernels: anything
+    * else — interlaced, 16-bit, bad CRC, truncated IDAT — is an opaque
+    * blob for the stub, so the oracle-gated queries hold byte-identical
+    * with this kernel active. PngKernelSpec pins hand-computed pixels
+    * through a from-scratch encoder.
+    *
+    * Feature layout matches [[PpmMediaKernel]] exactly (mean R/G/B,
+    * mean luma, max R/G/B, bright fraction — all over 255), so an
+    * image's statistics are container-invariant: the SAME pixels as
+    * P6 or PNG yield the SAME feature vector (pinned in the spec).
+    */
+  object PngMediaKernel extends MediaKernel {
+
+    private[graft] final case class PngImage(w: Int, h: Int,
+        rgb: Array[Byte])
+
+    private val Signature =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** Max decoded RGB bytes (64 MB): an inflate bound, not a format
+      * rule — a 4-KB zip-bomb IDAT claiming a 10⁹-pixel IHDR must not
+      * allocate the claim.
+      */
+    private val MaxPixelBytes = 64 << 20
+
+    private def beU32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+    /** Full PNG decode to a flat RGB8 frame; None for anything this
+      * kernel does not carry (16-bit depth, Adam7 interlace, unknown
+      * color type, CRC mismatch, truncated or oversized streams) —
+      * an opaque blob, not a decode error.
+      */
+    private[graft] def decodePng(b: Array[Byte]): Option[PngImage] = {
+      if (b.length < Signature.length + 12 ||
+          !Signature.indices.forall(i => b(i) == Signature(i))) return None
+      var i = Signature.length
+      var w, h, colorType = -1
+      var plte: Array[Byte] = null
+      val idat = new java.io.ByteArrayOutputStream()
+      var ended = false
+      while (!ended) {
+        if (i + 12 > b.length) return None // no room for len+type+crc
+        val len = beU32(b, i)
+        if (len > b.length - i - 12) return None // chunk overruns payload
+        val n = len.toInt
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, i + 4, 4 + n)
+        if (crc.getValue != beU32(b, i + 8 + n)) return None
+        val t = new String(b, i + 4, 4, "US-ASCII")
+        t match {
+          case "IHDR" =>
+            if (n != 13 || w >= 0) return None // exactly one, first seen
+            val (ww, hh) = (beU32(b, i + 8), beU32(b, i + 12))
+            // 8-bit depth, compression 0, filter 0, no interlace only
+            if (ww < 1 || hh < 1 || ww > Int.MaxValue || hh > Int.MaxValue ||
+                b(i + 16) != 8 || b(i + 18) != 0 || b(i + 19) != 0 ||
+                b(i + 20) != 0) return None
+            w = ww.toInt; h = hh.toInt
+            colorType = b(i + 17) & 0xff
+          case "PLTE" =>
+            if (n == 0 || n % 3 != 0 || n > 768) return None
+            plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + n)
+          case "IDAT" => idat.write(b, i + 8, n)
+          case "IEND" => ended = true
+          case _ => () // ancillary chunks don't affect the pixels
+        }
+        i += 12 + n
+      }
+      if (w < 0 || idat.size == 0) return None
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => return None
+      }
+      if (colorType == 3 && plte == null) return None
+      val stride = w.toLong * channels
+      if (h * (stride + 1) > MaxPixelBytes) return None
+      val rawLen = (h * (stride + 1)).toInt
+      val raw = new Array[Byte](rawLen)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      try {
+        while (off < rawLen && !inf.finished()) {
+          val got = inf.inflate(raw, off, rawLen - off)
+          if (got == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return None // truncated or preset-dictionary stream
+          off += got
+        }
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      if (off != rawLen) return None
+      // per-scanline unfilter, in place into the filtered-bytes-stripped
+      // frame; `left` reaches back one PIXEL (channels bytes), per spec
+      val sw = stride.toInt
+      val out = new Array[Byte](h * sw)
+      var y = 0
+      while (y < h) {
+        val ft = raw(y * (sw + 1)) & 0xff
+        val src = y * (sw + 1) + 1
+        val dst = y * sw
+        var x = 0
+        while (x < sw) {
+          val cur = raw(src + x) & 0xff
+          val left = if (x >= channels) out(dst + x - channels) & 0xff else 0
+          val up = if (y > 0) out(dst - sw + x) & 0xff else 0
+          val ul =
+            if (y > 0 && x >= channels) out(dst - sw + x - channels) & 0xff
+            else 0
+          val rec = ft match {
+            case 0 => cur
+            case 1 => cur + left
+            case 2 => cur + up
+            case 3 => cur + (left + up) / 2
+            case 4 =>
+              // Paeth predictor: nearest of left/up/upper-left to their
+              // linear estimate, ties left > up > upper-left
+              val p = left + up - ul
+              val (pa, pb, pc) =
+                (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+              cur + (if (pa <= pb && pa <= pc) left
+                     else if (pb <= pc) up
+                     else ul)
+            case _ => return None
+          }
+          out(dst + x) = rec.toByte
+          x += 1
+        }
+        y += 1
+      }
+      // expand every color type to flat RGB (alpha dropped — statistics
+      // are over the color channels, the PPM-parity contract)
+      val rgb = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < w * h) {
+        colorType match {
+          case 2 | 6 =>
+            val q = p * channels
+            rgb(3 * p) = out(q); rgb(3 * p + 1) = out(q + 1)
+            rgb(3 * p + 2) = out(q + 2)
+          case 0 | 4 =>
+            val g = out(p * channels)
+            rgb(3 * p) = g; rgb(3 * p + 1) = g; rgb(3 * p + 2) = g
+          case 3 =>
+            val idx = out(p) & 0xff
+            if (3 * idx + 2 >= plte.length) return None
+            rgb(3 * p) = plte(3 * idx); rgb(3 * p + 1) = plte(3 * idx + 1)
+            rgb(3 * p + 2) = plte(3 * idx + 2)
+        }
+        p += 1
+      }
+      Some(PngImage(w, h, rgb))
+    }
+
+    def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
+      decodePng(a.content) match {
+        case None => StubMediaKernel.decodeBatch(Seq(a)).head
+        case Some(img) =>
+          val n = img.w * img.h
+          var sr, sg, sb = 0L
+          var mr, mg, mb = 0
+          var bright = 0
+          var p = 0
+          while (p < n) {
+            val r = img.rgb(3 * p) & 0xff
+            val g = img.rgb(3 * p + 1) & 0xff
+            val b = img.rgb(3 * p + 2) & 0xff
+            sr += r; sg += g; sb += b
+            if (r > mr) mr = r
+            if (g > mg) mg = g
+            if (b > mb) mb = b
+            if (2L * (r + g + b) > 3L * 255) bright += 1
+            p += 1
+          }
+          val d = 255.0 * n
+          AssetFeatures(a.asset_id, img.w, img.h, Array(
+            (sr / d).toFloat, (sg / d).toFloat, (sb / d).toFloat,
+            ((sr + sg + sb) / (3.0 * d)).toFloat,
+            (mr / 255.0).toFloat, (mg / 255.0).toFloat,
+            (mb / 255.0).toFloat,
+            (bright.toDouble / n).toFloat))
+      }
+    }
+
+    /** Nearest-neighbor luma thumbnail, the [[PpmMediaKernel]] sampling
+      * rule over the decoded RGB frame.
+      */
+    def resizeBatch(batch: Seq[Asset], w: Int, h: Int): Seq[ResizedAsset] =
+      batch.map { a =>
+        decodePng(a.content) match {
+          case None => StubMediaKernel.resizeBatch(Seq(a), w, h).head
+          case Some(img) =>
+            val thumb = Array.tabulate(w * h) { i =>
+              val sy = ((i / w).toLong * img.h / h).toInt
+              val sx = ((i % w).toLong * img.w / w).toInt
+              val q = 3 * (sy * img.w + sx)
+              (((img.rgb(q) & 0xff) + (img.rgb(q + 1) & 0xff) +
+                (img.rgb(q + 2) & 0xff)) / 3).toByte
+            }
+            ResizedAsset(a.asset_id, w, h, thumb)
+        }
+      }
+
+    /** Every `every`-th DECODED pixel row as one sample (3·width bytes,
+      * portable hash) — identical sample semantics to the PPM row
+      * sampler, so the same pixels hash the same whichever container
+      * carried them.
+      */
+    def frames(a: Asset, every: Int): Iterator[FrameSample] =
+      decodePng(a.content) match {
+        case None => StubMediaKernel.frames(a, every)
+        case Some(img) =>
+          (0 until img.h).iterator.filter(_ % every == 0).map { y =>
+            val row = java.util.Arrays.copyOfRange(
+              img.rgb, 3 * y * img.w, 3 * (y + 1) * img.w)
+            FrameSample(a.asset_id, y, row.length.toLong, byteHash(row))
+          }
+      }
+  }
+
   /** Magic-byte router over the real kernels — the production shape: a
     * mixed corpus decodes each payload with the implementation its
-    * container asks for (P6 pixmaps, RIFF/WAVE PCM, YUV4MPEG2 video),
-    * and anything unrecognized stays on the stub arithmetic (so the
-    * oracle-gated queries hold byte-identical under this kernel too,
-    * pinned in WavKernelSpec).
+    * container asks for (PNG images, P6 pixmaps, RIFF/WAVE PCM,
+    * YUV4MPEG2 video), and anything unrecognized stays on the stub
+    * arithmetic (so the oracle-gated queries hold byte-identical under
+    * this kernel too, pinned in WavKernelSpec/PngKernelSpec).
     */
   object DispatchMediaKernel extends MediaKernel {
     private def magic(b: Array[Byte], s: String, off: Int): Boolean =
@@ -604,7 +834,9 @@ object Multimodal {
         (0 until s.length).forall(j => b(off + j) == s.charAt(j).toByte)
     private def route(a: Asset): MediaKernel = {
       val b = a.content
-      if (magic(b, "P6", 0)) PpmMediaKernel
+      if (b.length >= 4 && b(0) == 0x89.toByte && magic(b, "PNG", 1))
+        PngMediaKernel
+      else if (magic(b, "P6", 0)) PpmMediaKernel
       else if (magic(b, "RIFF", 0) && magic(b, "WAVE", 8)) WavMediaKernel
       else if (magic(b, "YUV4MPEG2", 0)) Y4mMediaKernel
       else StubMediaKernel

@@ -626,11 +626,17 @@ object Similarity {
   def writeIvfIndexFixedK(vecs: DataFrame, path: String,
       targetK: Int = FixedK): Unit = {
     val e = vecs.select(col("vec_id"), col("v"))
-    writeIvfIndexFrom(e,
-      e.orderBy(seedHash(col("vec_id")), col("vec_id")).limit(targetK)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv")),
-      path)
+    writeIvfIndexFrom(e, fixedKSeeds(e, targetK), path)
   }
+
+  /** The bounded-K seed frame: the smallest `targetK` ids in
+    * multiplicative-hash order — shared by the float FixedK build and
+    * the IVF-PQ FixedK build so both cap the map-side centroid array at
+    * the same constant.
+    */
+  private def fixedKSeeds(e: DataFrame, targetK: Int): DataFrame =
+    e.orderBy(seedHash(col("vec_id")), col("vec_id")).limit(targetK)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
 
   private def writeIvfIndexFrom(e: DataFrame, seeds: DataFrame,
       path: String): Unit = {
@@ -1015,8 +1021,35 @@ object Similarity {
     */
   def writeIvfPqIndex(vecs: DataFrame, path: String): Unit = {
     val e = vecs.select(col("vec_id"), col("v"))
-    lloydStep(e, e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+    writeIvfPqIndexFrom(e, e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")), path)
+  }
+
+  /** The 10^9+-vector IVF-PQ build: [[writeIvfPqIndex]] with the
+    * bounded-K centroid seeding of [[writeIvfIndexFixedK]] (the
+    * smallest `targetK` ids in multiplicative-hash order). This is the
+    * build mode that actually delivers the PQ pitch at scale — the
+    * every-25th default grows the IVF centroid set as N/25, which makes
+    * [[assign]]'s in-row centroid array grow as (N/25) × dim doubles
+    * and [[ivfPqTopK]]'s probe-cell driver collect grow as O(N/25),
+    * exactly the unbounded-K failure the FixedK float build exists to
+    * cap. With a fixed `targetK` both are constants whatever the corpus
+    * (targetK × 64 doubles map-side; ≤ targetK cells on the driver),
+    * while the PQ codes keep storage at ~16 B/vector. The codebook is
+    * already bounded (≤ PqM × PqCodeCap/25 rows) and unchanged. Gated
+    * by `sim_ivfpq_fixedk_recall`: the DuckDB oracle recomputes the
+    * bounded construction end-to-end (hash-ordered LIMIT-K seeds, then
+    * the identical Lloyd/assign/ADC/re-rank composition).
+    */
+  def writeIvfPqIndexFixedK(vecs: DataFrame, path: String,
+      targetK: Int = FixedK): Unit = {
+    val e = vecs.select(col("vec_id"), col("v"))
+    writeIvfPqIndexFrom(e, fixedKSeeds(e, targetK), path)
+  }
+
+  private def writeIvfPqIndexFrom(e: DataFrame, seeds: DataFrame,
+      path: String): Unit = {
+    lloydStep(e, seeds)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/cents")
     pqCodebookOf(e)
@@ -1159,6 +1192,26 @@ object Similarity {
     root.toString
   }
 
+  /** Build-if-absent the BOUNDED-K persisted IVF-PQ index
+    * ([[writeIvfPqIndexFixedK]]) under its own warehouse root. Serving
+    * goes through the same [[ivfPqTopK]] path — only the seed SET (and
+    * therefore the centroid count) differs.
+    */
+  def ensureFixedKIvfPqIndex(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivfpq_fixedk$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!ivfIndexComplete(fs, root) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          protocol(root.toString).dir("codebook"), "_SUCCESS"))) {
+      fs.delete(root, true)
+      writeIvfPqIndexFixedK(corpus(s, d).select(col("vec_id"), col("v")),
+        root.toString)
+    }
+    root.toString
+  }
+
   /** [[ivfTopK]] served from the PERSISTED index: result-identical by
     * construction (same centroids, same assignment, same rounded-cosine
     * ranking — gated against the SAME oracle SQL), but the corpus is
@@ -1168,6 +1221,76 @@ object Similarity {
     indexTopK(s, ensureIvfIndex(s, d),
       Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+
+  /** The full IVF-PQ recall-gate oracle, seed set pluggable: IVF
+    * seeds/Lloyd/assignment/probes (the shared [[ivfAssignCtes]] text),
+    * PQ codebook/encode/reconstruct (the sim_pq_recall CTEs verbatim),
+    * ADC shortlist, exact re-rank, per-query overlap vs the exact
+    * top-k. `sim_ivfpq_recall` plugs the default every-25th seeds;
+    * `sim_ivfpq_fixedk_recall` plugs the hash-ordered LIMIT-K sample —
+    * everything downstream of the seed CTE is byte-identical text, so
+    * the two gates certify the same composition under both build modes.
+    */
+  private def ivfPqRecallSql(seedsSql: String): String =
+    s"""WITH $eCte,
+       |$topkCtes,
+       |${ivfAssignCtes(seedsSql)},
+       |cb AS (SELECT m, vec_id AS code_id,
+       |         v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS c8
+       |       FROM e, range(0, $PqM) t(m)
+       |       WHERE vec_id % 25 = 0 AND vec_id < $PqCodeCap),
+       |sub AS (SELECT vec_id, m,
+       |          v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS sv
+       |        FROM e, range(0, $PqM) t(m)),
+       |asg AS (SELECT vec_id, m, c8 FROM (
+       |    SELECT s.vec_id, s.m, c.c8,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY round(list_cosine_similarity(s.sv, c.c8), 4) DESC, c.code_id) AS rn
+       |    FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+       |recon AS (SELECT vec_id, flatten(list(c8 ORDER BY m)) AS rv
+       |          FROM asg GROUP BY vec_id),
+       |adc AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qv, r.rv), 4) AS sim
+       |  FROM probes p
+       |  JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id
+       |  JOIN recon r ON r.vec_id = a1.vec_id),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM adc) WHERE rank <= $PqRerank),
+       |rescored AS (SELECT sh.query_id, sh.neighbor_id,
+       |    round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+       |  FROM short sh JOIN e ON e.vec_id = sh.neighbor_id
+       |  JOIN q ON q.query_id = sh.query_id),
+       |ivfpq AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rescored) WHERE rank <= $TopK)
+       |SELECT t.query_id,
+       |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_common
+       |FROM topk t LEFT JOIN ivfpq i
+       |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+       |GROUP BY t.query_id""".stripMargin
+
+  /** The Spark side of both IVF-PQ recall gates: [[ivfPqTopK]] against
+    * the given persisted index, per-query overlap vs [[bruteTopK]].
+    */
+  private def ivfPqRecallOver(s: SparkSession, d: String,
+      indexPath: String): DataFrame = {
+    val exact = bruteTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = ivfPqTopK(s, indexPath,
+      Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      corpus(s, d).select(col("vec_id"), col("v")))
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+  }
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -1416,59 +1539,28 @@ object Similarity {
     // structural halves (code width M, fold/delete lifecycle).
     QuerySpec(
       "sim_ivfpq_recall",
-      s"""WITH $eCte,
-         |$topkCtes,
-         |${ivfAssignCtes(
-             "SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0")},
-         |cb AS (SELECT m, vec_id AS code_id,
-         |         v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS c8
-         |       FROM e, range(0, $PqM) t(m)
-         |       WHERE vec_id % 25 = 0 AND vec_id < $PqCodeCap),
-         |sub AS (SELECT vec_id, m,
-         |          v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS sv
-         |        FROM e, range(0, $PqM) t(m)),
-         |asg AS (SELECT vec_id, m, c8 FROM (
-         |    SELECT s.vec_id, s.m, c.c8,
-         |      row_number() OVER (PARTITION BY s.vec_id, s.m
-         |        ORDER BY round(list_cosine_similarity(s.sv, c.c8), 4) DESC, c.code_id) AS rn
-         |    FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
-         |recon AS (SELECT vec_id, flatten(list(c8 ORDER BY m)) AS rv
-         |          FROM asg GROUP BY vec_id),
-         |adc AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
-         |    round(list_cosine_similarity(p.qv, r.rv), 4) AS sim
-         |  FROM probes p
-         |  JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id
-         |  JOIN recon r ON r.vec_id = a1.vec_id),
-         |short AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |                       ORDER BY sim DESC, neighbor_id) AS rank
-         |  FROM adc) WHERE rank <= $PqRerank),
-         |rescored AS (SELECT sh.query_id, sh.neighbor_id,
-         |    round(list_cosine_similarity(q.qv, e.v), 4) AS sim
-         |  FROM short sh JOIN e ON e.vec_id = sh.neighbor_id
-         |  JOIN q ON q.query_id = sh.query_id),
-         |ivfpq AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |                       ORDER BY sim DESC, neighbor_id) AS rank
-         |  FROM rescored) WHERE rank <= $TopK)
-         |SELECT t.query_id,
-         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_common
-         |FROM topk t LEFT JOIN ivfpq i
-         |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
-         |GROUP BY t.query_id""".stripMargin) { (s, d) =>
-      val exact = bruteTopK(s, d).select(col("query_id"), col("neighbor_id"))
-      val approx = ivfPqTopK(s, ensureIvfPqIndex(s, d),
-        Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-        corpus(s, d).select(col("vec_id"), col("v")))
-        .select(col("query_id"), col("neighbor_id"))
-        .withColumn("hit", lit(1L))
-      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-        .groupBy(col("query_id"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+      ivfPqRecallSql(
+        "SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0")) {
+      (s, d) => ivfPqRecallOver(s, d, ensureIvfPqIndex(s, d))
+    },
+
+    // The bounded-K IVF-PQ build under the SAME recall gate: an index
+    // built by writeIvfPqIndexFixedK (hash-ordered LIMIT-FixedK seeds —
+    // the 10^9+-vector build whose map-side centroid array AND
+    // probe-cell driver collect are CONSTANTS instead of growing as
+    // N/25) served by the identical ADC + exact-re-rank path. The
+    // oracle swaps ONLY the seed CTE (same hash order as
+    // sim_ivf_fixedk_recall) inside the full IVF-PQ composition — any
+    // drift in seeding, Lloyd step, assignment, encode, ADC or re-rank
+    // breaks the hash match. IvfPqSpec pins the structural half: the
+    // persisted cents frame is exactly FixedK rows whatever the corpus.
+    QuerySpec(
+      "sim_ivfpq_fixedk_recall",
+      ivfPqRecallSql(
+        s"""SELECT vec_id AS cent_id, v AS cv FROM e
+           |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+           |  LIMIT $FixedK""".stripMargin)) {
+      (s, d) => ivfPqRecallOver(s, d, ensureFixedKIvfPqIndex(s, d))
     },
 
     // Int8-quantization quality as a gated readout: per-query overlap
@@ -1756,6 +1848,11 @@ object Similarity {
             coalesce(col("hist_n"), lit(0L)).as("hist_n"),
             coalesce(col("inc_n"), lit(0L)).as("inc_n")),
         "cell_drift_bins")
+      // stagePin is eager, so both consumers of cents (the assignment
+      // and the cell-id spine) have materialized by here — release the
+      // cached centroid frame instead of leaking it into executor
+      // storage on every gate execution.
+      cents.unpersist()
       val tot = bins.agg(sum(col("hist_n")).as("ht"),
         sum(col("inc_n")).as("it"), count(lit(1)).as("k"))
       val ph = (col("hist_n") + 1).cast("double") / (col("ht") + col("k"))

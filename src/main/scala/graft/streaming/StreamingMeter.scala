@@ -35,13 +35,24 @@ object StreamingMeter {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val metered = Bpe.meter(batch, Bpe.modelVocab(s, modelRoot))
-        if (!metered.isEmpty) {
-          metered.write.mode(SaveMode.Overwrite)
+        // cheap emptiness gate on the BATCH (one in-memory limit-1
+        // probe), not on the metered frame — probing the latter would
+        // run the whole explode + vocab-join + aggregate once for the
+        // probe and again for the write, doubling every batch's cost
+        if (!batch.isEmpty) {
+          Bpe.meter(batch, Bpe.modelVocab(s, modelRoot))
+            .write.mode(SaveMode.Overwrite)
             .parquet(s"$outPath/b$batchId")
           // totals from the COMMITTED per-doc dir (one small scan), so
           // the two artifacts can never disagree after a partial crash
-          s.read.parquet(s"$outPath/b$batchId")
+          val committed = s.read.parquet(s"$outPath/b$batchId")
+          if (committed.isEmpty) {
+            // all-word-less batch metered to nothing: suppress the pair
+            // of dirs wholesale (K3 — a replay rewrites and re-deletes)
+            val b = new org.apache.hadoop.fs.Path(s"$outPath/b$batchId")
+            b.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .delete(b, true)
+          } else committed
             .agg(lit(batchId).as("batch_id"),
               count(lit(1)).as("n_docs"),
               sum(col("bpe_tokens")).as("bpe_tokens"))

@@ -150,6 +150,37 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("learn at 64 rounds: the segmentation checkpoint bounds plan " +
+    "depth at the cadence — Rounds is genuinely a knob, not a " +
+    "lineage-stacking limit") {
+    assert(64 > Bpe.CheckpointEvery * 3,
+      "the case must cross several checkpoint boundaries to prove the " +
+        "reset")
+    val (merges, totals, seg, base) =
+      Bpe.learnWithCurve(Tables.documents(spark, sf0001), 64)
+    try {
+      assert(merges.length == 64, "one elected merge per round")
+      assert(totals.length == 65, "char baseline + one total per round")
+      assert(totals.zip(totals.tail).forall { case (a, b) => b <= a },
+        "each merge can only shrink (or hold) the corpus token total")
+      // The 8-round prefix is the gate's learn exactly: checkpointing
+      // only restarts lineage, it must not move one election.
+      val gate = spark.read
+        .parquet(Bpe.ensureBpeModel(spark, sf0001) + "/merges")
+        .orderBy($"rank").select($"pair").as[String].collect().toSeq
+      assert(merges.take(gate.length) == gate,
+        "the long learn's prefix must equal the gated 8-round learn")
+      // Bounded depth: the final segmentation's analyzed plan stacks at
+      // most CheckpointEvery replaces — the rest were absorbed into
+      // parquet pins. Without the checkpoint this count is 64.
+      val stacked = "replace\\(".r
+        .findAllIn(seg.queryExecution.analyzed.toString).size
+      assert(stacked <= Bpe.CheckpointEvery,
+        s"plan must stack at most ${Bpe.CheckpointEvery} replaces after " +
+          s"the last checkpoint, found $stacked")
+    } finally base.unpersist()
+  }
+
   test("text_bpe_tokens serve path: vocab joins broadcast — no shuffle " +
     "of the exploded corpus token stream") {
     val plan = SparkEntry.queries("text_bpe_tokens")(spark, sf0001)

@@ -518,4 +518,93 @@ class FoldProtocolSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/data/b7").exists)
     assert(p.fsck(Seq("data"), repair = true).clean)
   }
+
+  test("conditional commit: a steal landing INSIDE the verify→replace " +
+    "window still fails the victim — the replace itself carries the " +
+    "fence, not just the advisory check before it") {
+    val root = tmpDir("fold-window-steal")
+    val p = new FoldProtocol(root, "_ledger")
+    val lease = new org.apache.hadoop.fs.Path(root, "_writer_lease")
+    val lfs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def steal(stamp: String): Unit = {
+      lfs.delete(lease, false)
+      val out = lfs.create(lease, false)
+      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+    }
+    // Inject a primitive that interleaves the steal EXACTLY between the
+    // victim's fence verification (already passed by the time the
+    // primitive is invoked) and the conditional replace — the
+    // microsecond window the old verify-then-rename check could not
+    // close. The default primitive then evaluates the fence ATOMICALLY
+    // with the rename and must refuse to land.
+    val default = FoldProtocol.commitPrimitive
+    val fired = new AtomicReference(false)
+    FoldProtocol.commitPrimitive = new FoldProtocol.CommitPrimitive {
+      def replaceIfFenced(conf: org.apache.hadoop.conf.Configuration,
+          r: String, dst: org.apache.hadoop.fs.Path, content: Array[Byte],
+          leaseFile: org.apache.hadoop.fs.Path,
+          expectFence: Option[String]): Boolean = {
+        if (!fired.get()) {
+          fired.set(true)
+          steal(s"window-thief@${System.currentTimeMillis()}")
+        }
+        default.replaceIfFenced(conf, r, dst, content, leaseFile,
+          expectFence)
+      }
+    }
+    try {
+      val err = intercept[IllegalStateException] {
+        p.withLease("victim-window") { p.commit("11") }
+      }
+      assert(err.getMessage.contains("conditional commit failed"),
+        s"the conditional replace must refuse, got: ${err.getMessage}")
+      assert(p.foldedBatches().isEmpty,
+        "the victim's entry must never reach the ledger")
+    } finally {
+      FoldProtocol.commitPrimitive = default
+      lfs.delete(lease, false)
+    }
+    // with the window clear, the same commit lands through the same
+    // conditional primitive
+    p.withLease("legit-window") { p.commit("11") }
+    assert(p.foldedBatches() == Set(11L))
+  }
+
+  test("fsck repair re-verifies the lease per reclaim: a writer lease " +
+    "acquired AFTER the audit's entry check withholds the delete " +
+    "instead of racing the writer's re-staged dirs") {
+    val root = tmpDir("fsck-midrun-lease")
+    val p = new FoldProtocol(root, "_ledger")
+    writeDir(s"$root/data/seed", Seq(1L))
+    writeDir(s"$root/data/b7", Seq(9L)) // staged, never ledgered
+    new java.io.File(s"$root/data/b7").setLastModified(1000L)
+    val lease = new org.apache.hadoop.fs.Path(root, "_writer_lease")
+    val lfs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // deterministic interleave: the foreign lease goes live between
+    // fsck's entry liveness check (no lease yet → reclaimable) and the
+    // repair delete (lease live → withheld)
+    FoldProtocol.fsckPreReclaimHook = () =>
+      if (!lfs.exists(lease)) {
+        val out = lfs.create(lease, false)
+        try out.write(s"mid-run-writer@${System.currentTimeMillis()}"
+          .getBytes("UTF-8")) finally out.close()
+      }
+    try {
+      val rep = p.fsck(Seq("data"), repair = true)
+      assert(rep.reclaimed.isEmpty,
+        "nothing may be deleted once a lease went live mid-audit")
+      assert(new java.io.File(s"$root/data/b7").isDirectory,
+        "the possibly-re-staged dir must survive")
+      assert(rep.issues.exists(i => i.severity == "info" &&
+        i.problem.contains("WITHHELD")),
+        s"the withheld repair must be reported, got ${rep.issues}")
+    } finally {
+      FoldProtocol.fsckPreReclaimHook = () => ()
+      lfs.delete(lease, false)
+    }
+    // lease released: the same audit reclaims normally
+    val rep2 = p.fsck(Seq("data"), repair = true)
+    assert(rep2.reclaimed.exists(_.endsWith("/b7")))
+    assert(!new java.io.File(s"$root/data/b7").exists)
+  }
 }

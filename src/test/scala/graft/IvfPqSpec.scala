@@ -61,6 +61,41 @@ class IvfPqSpec extends SparkSpec {
       s"aggregate recall@5 must clear 15% on the gate corpus, got $total/100")
   }
 
+  test("writeIvfPqIndexFixedK: centroid frame is FixedK rows however " +
+    "large the input — the bounded-K property that caps the map-side " +
+    "centroid array AND the probe-cell driver collect at constants") {
+    val root = Similarity.ensureFixedKIvfPqIndex(spark, sf0001)
+    val cents = spark.read.parquet(Similarity.protocol(root).dir("cents"))
+    assert(cents.count() == Similarity.FixedK,
+      s"bounded-K PQ build must persist exactly ${Similarity.FixedK} centroids")
+    val dims = cents.select(size($"cv")).distinct().as[Int].collect()
+    assert(dims.sameElements(Array(64)),
+      s"every centroid must be the full 64-dim mean, got ${dims.toSeq}")
+    // codes and assignment stay total: same coded-frame contract as the
+    // default build, just homed into the FixedK cells
+    val coded = Similarity.indexCodes(spark, root)
+    assert(coded.count() == corpus().count(),
+      "every corpus vector must be encoded exactly once")
+    val cellIds = cents.select($"cent_id").as[Long].collect().toSet
+    val homed = coded.select($"cent_id").distinct().as[Long].collect()
+    assert(homed.forall(cellIds), "codes reference only built cells")
+  }
+
+  test("sim_ivfpq_fixedk_recall: hash-seeded bounded-K IVF-PQ clears " +
+    "the recall floor and never exceeds the exact top-k size") {
+    val rows = SparkEntry.queries("sim_ivfpq_fixedk_recall")(spark, sf0001)
+      .select($"query_id", $"n_common").as[(Long, Long)].collect()
+    assert(rows.length == 20, "one recall row per gate query")
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 5),
+      "per-query overlap is bounded by k")
+    // fixed K=32 + nprobe=4 probes 1/8 of the corpus AND PQ compounds
+    // quantization noise on top (vs 15% for the N/25-seeded PQ gate);
+    // the value-level gate is the oracle hash match, not this floor
+    val total = rows.map(_._2).sum
+    assert(total >= 15,
+      s"aggregate recall@5 must clear 15% on the gate corpus, got $total/100")
+  }
+
   test("IVF-PQ fold/delete lifecycle: appends encode against the FROZEN " +
     "centroids and codebook, replays short-circuit, tombstones hide " +
     "served candidates") {

