@@ -1017,7 +1017,10 @@ object Similarity {
     * `(vec_id, codes)` cell-partitioned by its nearest centroid. Both
     * artifacts are read BACK from parquet before assignment/encoding
     * (double-roundtrip parity — the index provably serves the values
-    * later probes read).
+    * later probes read). Like [[writeIvfIndex]], the every-25th
+    * seeding keeps cells constant-SIZE but grows K with the corpus —
+    * at 10⁹ vectors use [[writeIvfPqIndexFixedK]], which caps the
+    * centroid set (and everything whose cost is O(K)) at a constant.
     */
   def writeIvfPqIndex(vecs: DataFrame, path: String): Unit = {
     val e = vecs.select(col("vec_id"), col("v"))
