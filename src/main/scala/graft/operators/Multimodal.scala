@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   * default decode / feature-extract kernel is a deterministic
   * byte-driven STUB (no media libraries in this environment), but the
   * SPI demonstrably carries real implementations for ALL THREE mime
-  * families, pure-JVM: [[PpmMediaKernel]] (binary PPM/P6 images —
+  * families, pure-JVM — including the two real-world image containers:
+  * [[PngMediaKernel]] (full PNG: CRC chunk walk, inflate, all five
+  * scanline filters, every 8-bit color type), [[JpegMediaKernel]]
+  * (baseline JFIF: Huffman entropy decode, dequant, IDCT, chroma
+  * upsampling, YCbCr→RGB), [[PpmMediaKernel]] (binary PPM/P6 images —
   * header parse, pixel statistics, nearest-neighbor resample, row
   * sampling), [[WavMediaKernel]] (RIFF/WAVE PCM audio — chunk walk,
   * waveform statistics, integer thumbnail requantization, block
@@ -17,7 +21,8 @@ import org.apache.spark.sql.functions._
   * parse, luma/chroma/motion statistics, poster thumbnails, TRUE
   * frame sampling), composed by the magic-byte
   * [[DispatchMediaKernel]] router; the gate queries stay
-  * byte-identical with any of them active (Ppm/Wav/Y4mKernelSpec).
+  * byte-identical with any of them active
+  * (Ppm/Wav/Y4m/Png/JpegKernelSpec).
   * The Spark-side contract (schema, batching, partition-parallel
   * execution, feature vector shape) is real and tested either way.
   *
@@ -610,7 +615,7 @@ object Multimodal {
     * image's statistics are container-invariant: the SAME pixels as
     * P6 or PNG yield the SAME feature vector (pinned in the spec).
     */
-  object PngMediaKernel extends MediaKernel {
+  object PngMediaKernel extends RgbFrameKernel {
 
     private[graft] final case class PngImage(w: Int, h: Int,
         rgb: Array[Byte])
@@ -755,19 +760,37 @@ object Multimodal {
       Some(PngImage(w, h, rgb))
     }
 
+    protected def decodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      decodePng(b).map(img => (img.w, img.h, img.rgb))
+  }
+
+  /** Shared serve-side arithmetic for kernels that decode a container
+    * to a flat 8-bit RGB frame ([[PngMediaKernel]],
+    * [[JpegMediaKernel]]): identical statistics, thumbnail sampling and
+    * row hashing to [[PpmMediaKernel]], so an image's readouts are
+    * container-invariant — only `decodeRgb` differs per format, and a
+    * payload it rejects takes the stub arithmetic exactly.
+    */
+  sealed trait RgbFrameKernel extends MediaKernel {
+
+    /** (width, height, 3·w·h RGB bytes), or None for a payload this
+      * container's decoder does not carry (→ stub fallback).
+      */
+    protected def decodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])]
+
     def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
-      decodePng(a.content) match {
+      decodeRgb(a.content) match {
         case None => StubMediaKernel.decodeBatch(Seq(a)).head
-        case Some(img) =>
-          val n = img.w * img.h
+        case Some((w, h, rgb)) =>
+          val n = w * h
           var sr, sg, sb = 0L
           var mr, mg, mb = 0
           var bright = 0
           var p = 0
           while (p < n) {
-            val r = img.rgb(3 * p) & 0xff
-            val g = img.rgb(3 * p + 1) & 0xff
-            val b = img.rgb(3 * p + 2) & 0xff
+            val r = rgb(3 * p) & 0xff
+            val g = rgb(3 * p + 1) & 0xff
+            val b = rgb(3 * p + 2) & 0xff
             sr += r; sg += g; sb += b
             if (r > mr) mr = r
             if (g > mg) mg = g
@@ -776,7 +799,7 @@ object Multimodal {
             p += 1
           }
           val d = 255.0 * n
-          AssetFeatures(a.asset_id, img.w, img.h, Array(
+          AssetFeatures(a.asset_id, w, h, Array(
             (sr / d).toFloat, (sg / d).toFloat, (sb / d).toFloat,
             ((sr + sg + sb) / (3.0 * d)).toFloat,
             (mr / 255.0).toFloat, (mg / 255.0).toFloat,
@@ -790,15 +813,15 @@ object Multimodal {
       */
     def resizeBatch(batch: Seq[Asset], w: Int, h: Int): Seq[ResizedAsset] =
       batch.map { a =>
-        decodePng(a.content) match {
+        decodeRgb(a.content) match {
           case None => StubMediaKernel.resizeBatch(Seq(a), w, h).head
-          case Some(img) =>
+          case Some((sw, sh, rgb)) =>
             val thumb = Array.tabulate(w * h) { i =>
-              val sy = ((i / w).toLong * img.h / h).toInt
-              val sx = ((i % w).toLong * img.w / w).toInt
-              val q = 3 * (sy * img.w + sx)
-              (((img.rgb(q) & 0xff) + (img.rgb(q + 1) & 0xff) +
-                (img.rgb(q + 2) & 0xff)) / 3).toByte
+              val sy = ((i / w).toLong * sh / h).toInt
+              val sx = ((i % w).toLong * sw / w).toInt
+              val q = 3 * (sy * sw + sx)
+              (((rgb(q) & 0xff) + (rgb(q + 1) & 0xff) +
+                (rgb(q + 2) & 0xff)) / 3).toByte
             }
             ResizedAsset(a.asset_id, w, h, thumb)
         }
@@ -810,23 +833,384 @@ object Multimodal {
       * carried them.
       */
     def frames(a: Asset, every: Int): Iterator[FrameSample] =
-      decodePng(a.content) match {
+      decodeRgb(a.content) match {
         case None => StubMediaKernel.frames(a, every)
-        case Some(img) =>
-          (0 until img.h).iterator.filter(_ % every == 0).map { y =>
+        case Some((w, h, rgb)) =>
+          (0 until h).iterator.filter(_ % every == 0).map { y =>
             val row = java.util.Arrays.copyOfRange(
-              img.rgb, 3 * y * img.w, 3 * (y + 1) * img.w)
+              rgb, 3 * y * w, 3 * (y + 1) * w)
             FrameSample(a.asset_id, y, row.length.toLong, byteHash(row))
           }
       }
   }
 
+  /** Pure-JVM kernel with REAL decode for baseline JPEG (JFIF /
+    * SOF0-SOF1 Huffman sequential) — with [[PngMediaKernel]] this
+    * covers the two containers a crawled image corpus actually
+    * consists of, end-to-end with no media library: marker walk
+    * (DQT/DHT/SOF/DRI/SOS, APPn skipped), canonical Huffman table
+    * construction (JPEG spec F.2.2.3 MINCODE/MAXCODE/VALPTR), an
+    * FF-stuffing-aware bit reader, MCU entropy decode with DC
+    * prediction and restart-marker resets, dequantization through the
+    * zigzag map, a separable float IDCT, sample-replication chroma
+    * upsampling for any 1-4 sampling factors, and JFIF YCbCr→RGB.
+    * Same dispatch contract as every kernel: progressive (SOF2),
+    * arithmetic-coded, 12-bit, truncated or otherwise malformed
+    * streams are opaque blobs for the stub — decode never throws.
+    * Serve arithmetic is the shared [[RgbFrameKernel]], so the SAME
+    * pixels yield the SAME statistics as P6/PNG (JpegKernelSpec pins
+    * exactness on quantizer-1 grayscale streams, where baseline JPEG
+    * is lossless end-to-end, and ±1 on color roundtrips).
+    */
+  object JpegMediaKernel extends RgbFrameKernel {
+
+    /** Zigzag position → natural (row-major) coefficient position. */
+    private val Zigzag: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10,
+      17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34,
+      27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36,
+      29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46,
+      53, 60, 61, 54, 47, 55, 62, 63)
+
+    /** cos((2x+1)·u·π/16) — the separable IDCT basis. */
+    private val Cos: Array[Array[Double]] =
+      Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+    private val C: Array[Double] =
+      Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+    /** Decode-failure control signal — stack-trace-free, caught at the
+      * [[decodeRgb]] boundary (the "opaque blob" contract).
+      */
+    private object Malformed
+      extends RuntimeException(null, null, false, false)
+
+    /** Canonical Huffman table (counts per code length 1..16 + the
+      * symbol list), decode via the spec's MINCODE/MAXCODE/VALPTR walk.
+      */
+    private final class Huff(counts: Array[Int], vals: Array[Int]) {
+      val minCode = new Array[Int](17)
+      val maxCode = Array.fill(17)(-1)
+      val valPtr = new Array[Int](17)
+      locally {
+        var code = 0
+        var k = 0
+        var l = 1
+        while (l <= 16) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l - 1)
+          k += counts(l - 1)
+          if (counts(l - 1) > 0) maxCode(l) = code - 1
+          code <<= 1
+          l += 1
+        }
+        if (k != vals.length) throw Malformed
+      }
+      def value(l: Int, code: Int): Int = vals(valPtr(l) + code - minCode(l))
+    }
+
+    /** MSB-first bit reader over the entropy-coded segment: a 0xFF00
+      * pair is a stuffed data byte; any other 0xFF-marker stops the
+      * stream (restart markers are consumed explicitly between
+      * intervals, never mid-block).
+      */
+    private final class BitReader(b: Array[Byte], var pos: Int) {
+      private var cur = 0
+      private var nbits = 0
+      def bit(): Int = {
+        if (nbits == 0) {
+          if (pos >= b.length) throw Malformed
+          var v = b(pos) & 0xff
+          pos += 1
+          if (v == 0xff) {
+            if (pos >= b.length) throw Malformed
+            if ((b(pos) & 0xff) == 0x00) pos += 1
+            else throw Malformed // real marker inside a block
+          }
+          cur = v; nbits = 8
+        }
+        nbits -= 1
+        (cur >> nbits) & 1
+      }
+      def receive(n: Int): Int = {
+        var v = 0
+        var i = 0
+        while (i < n) { v = (v << 1) | bit(); i += 1 }
+        v
+      }
+      def align(): Unit = nbits = 0
+      /** Consume the expected restart marker at a byte boundary,
+        * skipping unconsumed pad/stuffed bytes before it (a pad byte
+        * whose fill bits make it 0xFF is written as a stuffed FF00
+        * pair that no block ever read).
+        */
+      def expectRst(n: Int): Unit = {
+        align()
+        while (pos + 2 <= b.length &&
+            !((b(pos) & 0xff) == 0xff && (b(pos + 1) & 0xff) != 0x00))
+          pos += 1
+        if (pos + 2 > b.length ||
+            (b(pos + 1) & 0xff) != (0xd0 | (n & 7))) throw Malformed
+        pos += 2
+      }
+    }
+
+    private def huffDecode(r: BitReader, t: Huff): Int = {
+      var code = r.bit()
+      var l = 1
+      while (l <= 16) {
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l)) return t.value(l, code)
+        code = (code << 1) | r.bit()
+        l += 1
+      }
+      throw Malformed
+    }
+
+    /** DIFF/coefficient magnitude extension (spec F.12): an s-bit value
+      * below 2^(s-1) encodes a negative number.
+      */
+    private def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+    private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
+      var td = 0
+      var ta = 0
+    }
+
+    /** Pixel cap shared with the PNG kernel's reasoning: the IHDR-said
+      * size is attacker-controlled; never allocate more than 64 MB of
+      * RGB for one asset.
+      */
+    private val MaxPixels = (64 << 20) / 3
+
+    protected def decodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      try decode(b)
+      catch {
+        case Malformed => None
+        case _: ArrayIndexOutOfBoundsException => None
+      }
+
+    private def decode(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      val qt = new Array[Array[Int]](4)
+      val dcT = new Array[Huff](4)
+      val acT = new Array[Huff](4)
+      var w, h = -1
+      var comps: Array[Component] = null
+      var ri = 0
+      var scanStart = -1
+      var i = 2
+      while (scanStart < 0) {
+        if (i + 2 > b.length || (b(i) & 0xff) != 0xff) throw Malformed
+        val m = b(i + 1) & 0xff
+        if (m == 0xff) { i += 1 } // fill byte
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone
+        else {
+          if (i + 4 > b.length) throw Malformed
+          val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+          if (len < 2 || i + 2 + len > b.length) throw Malformed
+          val end = i + 2 + len
+          m match {
+            case 0xdb => // DQT: one or more (precision/id, 64 zigzag)
+              var p = i + 4
+              while (p < end) {
+                val pq = (b(p) & 0xff) >> 4
+                val tq = b(p) & 0x0f
+                if (pq != 0 || tq > 3 || p + 65 > end) throw Malformed
+                qt(tq) = Array.tabulate(64)(k => b(p + 1 + k) & 0xff)
+                p += 65
+              }
+            case 0xc4 => // DHT: one or more (class/id, 16 counts, values)
+              var p = i + 4
+              while (p < end) {
+                if (p + 17 > end) throw Malformed
+                val tc = (b(p) & 0xff) >> 4
+                val th = b(p) & 0x0f
+                if (tc > 1 || th > 3) throw Malformed
+                val counts = Array.tabulate(16)(k => b(p + 1 + k) & 0xff)
+                val n = counts.sum
+                if (p + 17 + n > end || n > 256) throw Malformed
+                val vals = Array.tabulate(n)(k => b(p + 17 + k) & 0xff)
+                val t = new Huff(counts, vals)
+                if (tc == 0) dcT(th) = t else acT(th) = t
+                p += 17 + n
+              }
+            case 0xc0 | 0xc1 => // baseline / extended sequential Huffman
+              if (w >= 0 || len < 8) throw Malformed
+              if ((b(i + 4) & 0xff) != 8) throw Malformed // 8-bit only
+              h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+              w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+              val nf = b(i + 9) & 0xff
+              if (w < 1 || h < 1 || w.toLong * h > MaxPixels ||
+                  (nf != 1 && nf != 3) || len != 8 + 3 * nf) throw Malformed
+              comps = Array.tabulate(nf) { c =>
+                val o = i + 10 + 3 * c
+                val comp = Component(b(o) & 0xff, (b(o + 1) & 0xff) >> 4,
+                  b(o + 1) & 0x0f, b(o + 2) & 0xff)
+                if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4 ||
+                    comp.tq > 3) throw Malformed
+                comp
+              }
+            case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+                0xcd | 0xce | 0xcf =>
+              throw Malformed // progressive / arithmetic / lossless
+            case 0xdd =>
+              if (len != 4) throw Malformed
+              ri = ((b(i + 4) & 0xff) << 8) | (b(i + 5) & 0xff)
+            case 0xda => // SOS
+              if (comps == null) throw Malformed
+              val ns = b(i + 4) & 0xff
+              if (ns != comps.length || len != 6 + 2 * ns) throw Malformed
+              for (c <- 0 until ns) {
+                val cs = b(i + 5 + 2 * c) & 0xff
+                val comp = comps.find(_.id == cs).getOrElse(throw Malformed)
+                comp.td = (b(i + 6 + 2 * c) & 0xff) >> 4
+                comp.ta = b(i + 6 + 2 * c) & 0x0f
+              }
+              scanStart = end
+            case 0xd9 => throw Malformed // EOI before any scan
+            case _ => () // APPn / COM / DNL: skip
+          }
+          if (scanStart < 0) i = end
+        }
+      }
+      // entropy decode: MCU walk over the padded component planes
+      val hmax = comps.map(_.h).max
+      val vmax = comps.map(_.v).max
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      val planes = comps.map(c =>
+        new Array[Byte](mcusX * 8 * c.h * mcusY * 8 * c.v))
+      for (c <- comps) {
+        if (qt(c.tq) == null || dcT(c.td) == null || acT(c.ta) == null)
+          throw Malformed
+      }
+      val r = new BitReader(b, scanStart)
+      val preds = new Array[Int](comps.length)
+      val coef = new Array[Int](64)
+      val block = new Array[Double](64)
+      var mcu = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+            r.expectRst((mcu / ri - 1) % 8)
+            java.util.Arrays.fill(preds, 0)
+          }
+          var ci = 0
+          while (ci < comps.length) {
+            val c = comps(ci)
+            val q = qt(c.tq)
+            val pw = mcusX * 8 * c.h
+            var vy = 0
+            while (vy < c.v) {
+              var vx = 0
+              while (vx < c.h) {
+                // -- one 8×8 block: DC diff + AC run-length, dequantized
+                java.util.Arrays.fill(coef, 0)
+                val s0 = huffDecode(r, dcT(c.td))
+                if (s0 > 11) throw Malformed
+                preds(ci) += extend(r.receive(s0), s0)
+                coef(0) = preds(ci) * q(0)
+                var k = 1
+                var open = true
+                while (open && k < 64) {
+                  val rs = huffDecode(r, acT(c.ta))
+                  val run = rs >> 4
+                  val sz = rs & 0x0f
+                  if (sz == 0) {
+                    if (run == 15) k += 16 else open = false // ZRL / EOB
+                  } else {
+                    k += run
+                    if (k > 63) throw Malformed
+                    coef(Zigzag(k)) = extend(r.receive(sz), sz) * q(k)
+                    k += 1
+                  }
+                }
+                // -- separable IDCT + level shift into the plane
+                var u = 0
+                while (u < 64) { block(u) = coef(u); u += 1 }
+                val bx = (mx * c.h + vx) * 8
+                val by = (my * c.v + vy) * 8
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    var s = 0.0
+                    var uu = 0
+                    while (uu < 8) {
+                      var vv = 0
+                      while (vv < 8) {
+                        val f = block(vv * 8 + uu)
+                        if (f != 0.0)
+                          s += C(uu) * C(vv) * f * Cos(x)(uu) * Cos(y)(vv)
+                        vv += 1
+                      }
+                      uu += 1
+                    }
+                    val px = math.round(s / 4.0 + 128.0).toInt
+                    planes(ci)((by + y) * pw + bx + x) =
+                      math.max(0, math.min(255, px)).toByte
+                    x += 1
+                  }
+                  y += 1
+                }
+                vx += 1
+              }
+              vy += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+      // color conversion + sample-replication chroma upsampling
+      val rgb = new Array[Byte](w * h * 3)
+      def sample(ci: Int, x: Int, y: Int): Int = {
+        val c = comps(ci)
+        val pw = mcusX * 8 * c.h
+        planes(ci)((y * c.v / vmax) * pw + (x * c.h / hmax)) & 0xff
+      }
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = 3 * (y * w + x)
+          if (comps.length == 1) {
+            val g = sample(0, x, y).toByte
+            rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g
+          } else {
+            val yy = sample(0, x, y)
+            val cb = sample(1, x, y) - 128
+            val cr = sample(2, x, y) - 128
+            def clamp(v: Double): Byte =
+              math.max(0, math.min(255, math.round(v).toInt)).toByte
+            rgb(p) = clamp(yy + 1.402 * cr)
+            rgb(p + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+            rgb(p + 2) = clamp(yy + 1.772 * cb)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, rgb))
+    }
+  }
+
   /** Magic-byte router over the real kernels — the production shape: a
     * mixed corpus decodes each payload with the implementation its
-    * container asks for (PNG images, P6 pixmaps, RIFF/WAVE PCM,
-    * YUV4MPEG2 video), and anything unrecognized stays on the stub
-    * arithmetic (so the oracle-gated queries hold byte-identical under
-    * this kernel too, pinned in WavKernelSpec/PngKernelSpec).
+    * container asks for (PNG and baseline JPEG images, P6 pixmaps,
+    * RIFF/WAVE PCM, YUV4MPEG2 video), and anything unrecognized stays
+    * on the stub arithmetic (so the oracle-gated queries hold
+    * byte-identical under this kernel too, pinned in
+    * WavKernelSpec/PngKernelSpec/JpegKernelSpec).
     */
   object DispatchMediaKernel extends MediaKernel {
     private def magic(b: Array[Byte], s: String, off: Int): Boolean =
@@ -836,6 +1220,9 @@ object Multimodal {
       val b = a.content
       if (b.length >= 4 && b(0) == 0x89.toByte && magic(b, "PNG", 1))
         PngMediaKernel
+      else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+          (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)
+        JpegMediaKernel
       else if (magic(b, "P6", 0)) PpmMediaKernel
       else if (magic(b, "RIFF", 0) && magic(b, "WAVE", 8)) WavMediaKernel
       else if (magic(b, "YUV4MPEG2", 0)) Y4mMediaKernel
