@@ -1137,8 +1137,11 @@ object Similarity {
     * of the query's exact floats against the codebook-reconstructed
     * candidate — to a `rerank`-deep shortlist per query, and the
     * shortlist alone is re-ranked exactly against `full`, the
-    * full-precision `(vec_id, v)` sidecar (queries × rerank point
-    * lookups — the only touch of float vectors on the serve path).
+    * full-precision `(vec_id, v)` sidecar — queries × rerank point
+    * lookups, the only touch of float vectors on the serve path, and
+    * genuinely point-shaped: the collected shortlist becomes an
+    * `In(vec_id, …)` pushdown on the sidecar scan (row-group skips),
+    * never a full float-corpus stream past a broadcast join.
     */
   def ivfPqTopK(s: SparkSession, indexPath: String, queries: DataFrame,
       full: DataFrame, nprobe: Int = 4, k: Int = TopK,
@@ -1164,10 +1167,21 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(col("qv"), col("rv")), 4).as("sim"))
-    val shortlist = rankTopK(adc, rerank)
+    // Bounded driver collect (≤ |queries| × rerank pairs — the same
+    // class as the probe-cell list above): materializing the shortlist
+    // lets the exact re-rank push an In(vec_id, …) predicate INTO the
+    // full-precision sidecar's scan, so the point lookups are
+    // row-group-stat skips instead of streaming the whole float corpus
+    // past a broadcast join — the difference between "read ~400 rows"
+    // and "read 256 B × 10⁹ vectors" on the serve path.
+    import s.implicits._
+    val short = rankTopK(adc, rerank)
       .select(col("query_id"), col("neighbor_id"))
-    val rescored = shortlist
-      .join(full.select(col("vec_id").as("neighbor_id"), col("v")),
+      .as[(Long, Long)].collect()
+    val shortIds = short.map(_._2).distinct.toSeq
+    val rescored = short.toSeq.toDF("query_id", "neighbor_id")
+      .join(full.filter(col("vec_id").isin(shortIds: _*))
+        .select(col("vec_id").as("neighbor_id"), col("v")),
         Seq("neighbor_id"))
       .join(queries.select(col("query_id"), col("qv")), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
