@@ -993,6 +993,13 @@ object Multimodal {
         case _: ArrayIndexOutOfBoundsException => None
       }
 
+    /** Spec access to the decoded RGB frame (the protected SPI method
+      * under its container-specific name, like [[PngMediaKernel]]'s
+      * `decodePng`).
+      */
+    private[graft] def decodeJpeg(
+        b: Array[Byte]): Option[(Int, Int, Array[Byte])] = decodeRgb(b)
+
     private def decode(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
       if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
         return None
@@ -1228,10 +1235,27 @@ object Multimodal {
       else if (magic(b, "YUV4MPEG2", 0)) Y4mMediaKernel
       else StubMediaKernel
     }
+    /** Route a batch while PRESERVING the per-kernel batch shape: the
+      * SPI's batch-level signature exists so implementations amortize
+      * per-call overhead (native contexts, codec setup) across a
+      * batch, and per-asset dispatch would quietly reduce every batch
+      * to size 1. Each kernel sees one sub-batch in input order; the
+      * results reassemble positionally.
+      */
+    private def byKernel[T](batch: Seq[Asset])(
+        run: (MediaKernel, Seq[Asset]) => Seq[T]): Seq[T] = {
+      val routed = batch.map(a => (route(a), a)).zipWithIndex
+      val out = new Array[Any](batch.length)
+      for ((k, group) <- routed.groupBy(_._1._1)) {
+        val results = run(k, group.map(_._1._2))
+        for (((_, idx), r) <- group.zip(results)) out(idx) = r
+      }
+      out.toSeq.map(_.asInstanceOf[T])
+    }
     def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] =
-      batch.map(a => route(a).decodeBatch(Seq(a)).head)
+      byKernel(batch)((k, b) => k.decodeBatch(b))
     def resizeBatch(batch: Seq[Asset], w: Int, h: Int): Seq[ResizedAsset] =
-      batch.map(a => route(a).resizeBatch(Seq(a), w, h).head)
+      byKernel(batch)((k, b) => k.resizeBatch(b, w, h))
     def frames(a: Asset, every: Int): Iterator[FrameSample] =
       route(a).frames(a, every)
   }

@@ -278,6 +278,32 @@ class JpegKernelSpec extends SparkSpec {
     assert(math.abs(f.features(4) - srcMax) * 255 <= 1.0, "max channel")
   }
 
+  test("property: random grayscale images round-trip within the " +
+    "quantizer-1 coefficient-rounding bound (seeded, 20 images)") {
+    // each of the 64 coefficients rounds by <= 0.5, so per-pixel IDCT
+    // error is bounded by 0.5/4 · (Σu C(u))² ≈ 7.4; typical error is
+    // far smaller — assert the provable max AND a tight mean
+    val rnd = new scala.util.Random(20260814L)
+    for (round <- 1 to 20) {
+      val w = 8 * (1 + rnd.nextInt(3))
+      val h = 8 * (1 + rnd.nextInt(3))
+      val plane = Array.fill(w * h)(rnd.nextInt(256))
+      val (dw, dh, rgb) = JpegMediaKernel
+        .decodeJpeg(jpeg(w, h, Seq(plane), Seq((1, 1))))
+        .getOrElse(fail(s"round $round: valid stream must parse"))
+      assert(dw == w && dh == h)
+      val errs = (0 until w * h).map(p =>
+        math.abs((rgb(3 * p) & 0xff) - plane(p)))
+      assert(errs.max <= 8,
+        s"round $round ${w}x$h: max error ${errs.max}")
+      assert(errs.sum.toDouble / errs.length <= 1.5,
+        s"round $round: mean error ${errs.sum.toDouble / errs.length}")
+      // gray replication: all three channels carry the same value
+      assert((0 until w * h).forall(p =>
+        rgb(3 * p) == rgb(3 * p + 1) && rgb(3 * p) == rgb(3 * p + 2)))
+    }
+  }
+
   test("dispatch contract: progressive SOF2, truncated scans and text " +
     "payloads take the stub arithmetic exactly") {
     val good = jpeg(8, 8, Seq(Array.fill(64)(100)), Seq((1, 1)))

@@ -68,4 +68,31 @@ class StreamingMeterSpec extends SparkSpec {
     assert(StreamingMeter.totalTokens(spark, out) == 0L)
     assert(!StreamingMeter.budgetReached(spark, out, 1L))
   }
+
+  test("word-less batch suppression: a non-empty batch whose docs " +
+    "meter to zero rows commits NO dirs (K3 holds past the cheap " +
+    "batch.isEmpty gate)") {
+    implicit val sc = spark.sqlContext
+    val modelRoot = Bpe.ensureBpeModel(spark, sf0001)
+    val out = tmpDir("meter-wordless")
+    val ckpt = tmpDir("meter-wordless-ckpt")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingMeter.startMetered(
+      in.toDF().toDF("doc_id", "text"), modelRoot, out, ckpt)
+    try {
+      in.addData((1L, "   "), (2L, "")) // words explode to nothing
+      q.processAllAvailable()
+      in.addData((3L, "real words here"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!dirs.exists(_.startsWith("b0")) && !dirs.exists(_.startsWith("t0")),
+      s"the word-less batch must leave no committed dirs, got $dirs")
+    assert(dirs.contains("b1") && dirs.contains("t1"),
+      s"the real batch commits normally, got $dirs")
+    val totals = StreamingMeter.batchTotals(spark, out)
+      .select($"batch_id", $"n_docs").as[(Long, Long)].collect().toSeq
+    assert(totals == Seq((1L, 1L)))
+  }
 }
