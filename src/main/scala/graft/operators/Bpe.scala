@@ -169,13 +169,12 @@ object Bpe {
     * `vocab/` (word, freq, n_bpe) and `curve/` (rank, total_tokens)
     * parquet dirs; complete iff all carry `_SUCCESS`. The learn is
     * deterministic, so a completed model re-serves without
-    * re-learning. Single-session contract (the `ensureBm25Index`
-    * convention): the build-if-absent is delete-then-write with no
-    * concurrency guard — two sessions racing one warehouse can
-    * interleave and leave an incomplete model (self-healing: the next
-    * ensure rebuilds). A multi-session warehouse would stage-and-
-    * publish the model dirs through `FoldProtocol.publishDir` like the
-    * persisted indexes do.
+    * re-learning. The build STAGES-AND-PUBLISHES
+    * (`Layout.ensurePublishedDir`): the three dirs land in a private
+    * staging sibling and swap in atomically, so two sessions racing
+    * one warehouse can never interleave into a half-written model —
+    * each stages privately, publishes serialize at the rename, and a
+    * crashed build's staging is swept by age.
     */
   def ensureBpeModel(s: SparkSession, d: String): String =
     ensureModel(s, d, "graft_bpe_model", identity)
@@ -193,10 +192,10 @@ object Bpe {
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), s"$name$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val complete = Seq("merges", "vocab", "curve").forall(side => fs.exists(
-      new org.apache.hadoop.fs.Path(root, side + "/_SUCCESS")))
-    if (!complete) {
-      fs.delete(root, true)
+    Layout.ensurePublishedDir(s, root.toString)(r =>
+      Seq("merges", "vocab", "curve").forall(side => fs.exists(
+        new org.apache.hadoop.fs.Path(r, side + "/_SUCCESS")))
+    ) { staging =>
       val (merges, totals, vocab, base) =
         learnWithCurve(slice(Tables.documents(s, d)), Rounds)
       import s.implicits._
@@ -204,19 +203,18 @@ object Bpe {
         .map { case (p, i) => (i + 1, p, p.replace(" ", "")) }
         .toDF("rank", "pair", "merged")
         .coalesce(1)
-        .write.parquet(new org.apache.hadoop.fs.Path(root, "merges").toString)
+        .write.parquet(s"$staging/merges")
       totals.zipWithIndex
         .map { case (t, r) => (r, t) }
         .toDF("rank", "total_tokens")
         .coalesce(1)
-        .write.parquet(new org.apache.hadoop.fs.Path(root, "curve").toString)
+        .write.parquet(s"$staging/curve")
       vocab
         .select(col("word"), col("freq"),
           size(split(trim(col("seq")), " ")).cast("long").as("n_bpe"))
-        .write.parquet(new org.apache.hadoop.fs.Path(root, "vocab").toString)
+        .write.parquet(s"$staging/vocab")
       base.unpersist()
     }
-    root.toString
   }
 
   /** Per-doc BPE token meter of an ARBITRARY document frame

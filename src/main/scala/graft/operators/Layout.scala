@@ -170,6 +170,49 @@ object Layout {
       new org.apache.hadoop.fs.Path(target),
       new org.apache.hadoop.fs.Path(trash))
 
+  /** Build-if-absent with STAGE-AND-PUBLISH semantics — the crash- and
+    * concurrency-safe form of the warehouse build-if-absent convention
+    * (vs the older delete-then-write, whose interleavings could leave a
+    * half-written artifact serving): `build` writes the artifact into a
+    * fresh dot-prefixed staging sibling, and the completed staging
+    * swaps into place through the same rename-aside/rename-in publish
+    * the snapshot sinks use ([[replaceDir]]). `complete` decides
+    * whether the existing root already serves (typically a set of
+    * `_SUCCESS` markers). Two sessions racing the same warehouse each
+    * stage privately and their publishes serialize at the rename:
+    * readers see an absent root, the old complete artifact, or the new
+    * complete one — never an interleaved partial. Builds are
+    * deterministic, so last-writer-wins is value-neutral. Abandoned
+    * stagings/trash from crashed builds are swept once they age past
+    * the reader grace.
+    */
+  private[graft] def ensurePublishedDir(s: SparkSession, root: String)(
+      complete: String => Boolean)(build: String => Unit): String = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // sweep crash litter first: dot-siblings of this root older than
+    // the grace (a live builder's staging is younger by construction)
+    val sibRe = (java.util.regex.Pattern.quote(s".${rootPath.getName}.") +
+      "(staging|trash)-[0-9a-f-]{12}").r
+    val cutoff =
+      System.currentTimeMillis() - graft.index.FoldProtocol.PublishGraceMs
+    if (fs.exists(rootPath.getParent))
+      fs.listStatus(rootPath.getParent)
+        .filter(st => sibRe.pattern.matcher(st.getPath.getName).matches() &&
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+    if (!fs.exists(rootPath) || !complete(root)) {
+      val nonce = java.util.UUID.randomUUID().toString.take(12)
+      val staging = new org.apache.hadoop.fs.Path(rootPath.getParent,
+        s".${rootPath.getName}.staging-$nonce")
+      build(staging.toString)
+      replaceDir(s, staging.toString, root,
+        new org.apache.hadoop.fs.Path(rootPath.getParent,
+          s".${rootPath.getName}.trash-$nonce").toString)
+    }
+    root
+  }
+
   /** Durably pin a frame whose values are NONDETERMINISTIC under
     * recompute (e.g. a `spark_partition_id` over a freshly-sampled
     * range partitioning): write it once to a session-warehouse staging

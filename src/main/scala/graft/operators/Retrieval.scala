@@ -694,11 +694,11 @@ object Retrieval {
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), s"graft_hybrid_qdense$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
-      fs.delete(root, true)
-      denseQuery(s, d).coalesce(1).write.parquet(root.toString)
+    Layout.ensurePublishedDir(s, root.toString)(r =>
+      fs.exists(new org.apache.hadoop.fs.Path(r, "_SUCCESS"))
+    ) { staging =>
+      denseQuery(s, d).coalesce(1).write.parquet(staging)
     }
-    root.toString
   }
 
   private lazy val hybridDenseOracleSql: String = {
@@ -806,15 +806,15 @@ object Retrieval {
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), s"graft_hybrid_queries$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
-      fs.delete(root, true)
+    Layout.ensurePublishedDir(s, root.toString)(r =>
+      fs.exists(new org.apache.hadoop.fs.Path(r, "_SUCCESS"))
+    ) { staging =>
       import s.implicits._
       HybridMultiQueries.toDF("query_id", "terms")
         .join(denseQueryBatch(s, d), Seq("query_id"))
         .coalesce(1)
-        .write.parquet(root.toString)
+        .write.parquet(staging)
     }
-    root.toString
   }
 
   /** MANY hybrid queries in one distributed job — the serving core of

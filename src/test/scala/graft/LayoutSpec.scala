@@ -4,6 +4,7 @@ import graft.operators.Layout
 import org.apache.spark.sql.functions._
 
 class LayoutSpec extends SparkSpec {
+  import spark.implicits._
 
   test("bucketed tables join without any exchange (co-located join)") {
     val o = Tables.orders(spark, sf0001)
@@ -245,6 +246,50 @@ class LayoutSpec extends SparkSpec {
     assert(second.select($"v").as[Long].collect().toSeq == Seq(2L))
     assert(third.select($"v").as[Long].collect().toSeq == Seq(3L))
     Layout.clearPins(spark)
+  }
+
+  test("ensurePublishedDir: stage-and-publish build-if-absent — " +
+    "complete artifacts re-serve, a crashed build leaves the old " +
+    "artifact serving and its litter sweeps by age, an incomplete " +
+    "root rebuilds atomically") {
+    val root = tmpDir("ensure-pub") + "/artifact"
+    var builds = 0
+    def ensure(): Unit =
+      Layout.ensurePublishedDir(spark, root)(r =>
+        new java.io.File(r, "_SUCCESS").exists) { staging =>
+        builds += 1
+        Seq(1L, 2L).toDF("v").coalesce(1).write.parquet(staging)
+      }
+    ensure()
+    assert(builds == 1 && spark.read.parquet(root).count() == 2)
+    ensure()
+    assert(builds == 1, "a complete artifact must re-serve, not rebuild")
+
+    // crashed build: the staged partial never publishes — the old
+    // artifact keeps serving, the staging dir is litter
+    intercept[RuntimeException] {
+      Layout.ensurePublishedDir(spark, root)(_ => false) { staging =>
+        Seq(9L).toDF("v").write.parquet(staging + "/partial")
+        throw new RuntimeException("simulated build crash")
+      }
+    }
+    assert(spark.read.parquet(root).select($"v").as[Long].collect()
+      .sorted.toSeq == Seq(1L, 2L), "old artifact intact after the crash")
+    val parent = new java.io.File(root).getParentFile
+    assert(parent.listFiles().exists(_.getName.contains(".staging-")),
+      "the crashed staging is visible litter")
+    // aged past the grace, the next ensure sweeps it without rebuilding
+    parent.listFiles().filter(_.getName.contains(".staging-"))
+      .foreach(f => assert(f.setLastModified(1000L)))
+    ensure()
+    assert(builds == 1)
+    assert(!parent.listFiles().exists(_.getName.contains(".staging-")),
+      "aged litter must sweep")
+
+    // an incomplete root (lost _SUCCESS) rebuilds through the same swap
+    assert(new java.io.File(root, "_SUCCESS").delete())
+    ensure()
+    assert(builds == 2 && spark.read.parquet(root).count() == 2)
   }
 
   test("bucketed groupBy on the bucket key needs no exchange") {
