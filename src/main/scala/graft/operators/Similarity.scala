@@ -237,13 +237,19 @@ object Similarity {
        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
        |    FROM e, cents c) WHERE rn = 1)""".stripMargin
 
-  private def ivfGrownCtesOver(neighborWhere: String): String =
-    s"""$ivfGrownAssignCtes,
-       |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id FROM (
+  /** The query-probe CTE over whatever `cents` frame precedes it —
+    * shared by the grown-index serve oracles (float and PQ).
+    */
+  private val ivfGrownProbesCte: String =
+    s"""probes AS (SELECT vec_id AS query_id, v AS qv, cent_id FROM (
        |    SELECT e.vec_id, e.v, c.cent_id,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
-       |    FROM e, cents c WHERE e.vec_id < $NQueries) WHERE rn <= 4),
+       |    FROM e, cents c WHERE e.vec_id < $NQueries) WHERE rn <= 4)""".stripMargin
+
+  private def ivfGrownCtesOver(neighborWhere: String): String =
+    s"""$ivfGrownAssignCtes,
+       |$ivfGrownProbesCte,
        |iscored AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
        |    round(list_cosine_similarity(p.qv, a1.v), 4) AS sim
        |  FROM probes p JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id
@@ -1209,6 +1215,31 @@ object Similarity {
     root.toString
   }
 
+  /** Build-if-absent the GROWN IVF-PQ gate fixture — the PQ twin of
+    * [[ensureGrownIvfIndex]]: centroids + codebook trained on the
+    * history wave (vec_id % 5 ≠ 4), the incoming wave folded through
+    * [[appendToIvfPqIndex]] against the FROZEN artifacts. Keyed on the
+    * fold's ledger entry: a crash before its commit rebuilds from
+    * scratch.
+    */
+  def ensureGrownIvfPqIndex(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivfpq_grown$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!ivfIndexComplete(fs, root) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          protocol(root.toString).dir("codebook"), "_SUCCESS")) ||
+        !protocol(root.toString).foldedBatches().contains(1L)) {
+      fs.delete(root, true)
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      writeIvfPqIndex(e.filter(col("vec_id") % 5 =!= 4), root.toString)
+      appendToIvfPqIndex(e.filter(col("vec_id") % 5 === 4),
+        root.toString, 1L)
+    }
+    root.toString
+  }
+
   /** Build-if-absent the BOUNDED-K persisted IVF-PQ index
     * ([[writeIvfPqIndexFixedK]]) under its own warehouse root. Serving
     * goes through the same [[ivfPqTopK]] path — only the seed SET (and
@@ -1239,23 +1270,27 @@ object Similarity {
       Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
 
-  /** The full IVF-PQ recall-gate oracle, seed set pluggable: IVF
-    * seeds/Lloyd/assignment/probes (the shared [[ivfAssignCtes]] text),
-    * PQ codebook/encode/reconstruct (the sim_pq_recall CTEs verbatim),
-    * ADC shortlist, exact re-rank, per-query overlap vs the exact
-    * top-k. `sim_ivfpq_recall` plugs the default every-25th seeds;
-    * `sim_ivfpq_fixedk_recall` plugs the hash-ordered LIMIT-K sample —
-    * everything downstream of the seed CTE is byte-identical text, so
-    * the two gates certify the same composition under both build modes.
+  /** The full IVF-PQ recall-gate oracle, assign block and codebook
+    * training set pluggable: IVF seeds/Lloyd/assignment/probes (the
+    * shared CTE texts), PQ codebook/encode/reconstruct (the
+    * sim_pq_recall CTEs verbatim), ADC shortlist, exact re-rank,
+    * per-query overlap vs the exact top-k. `sim_ivfpq_recall` plugs
+    * the default every-25th seeds; `sim_ivfpq_fixedk_recall` the
+    * hash-ordered LIMIT-K sample; `sim_ivfpq_grown_recall` the
+    * HISTORY-trained assign block ([[ivfGrownAssignCtes]]) with the
+    * codebook training likewise restricted to history — everything
+    * downstream is byte-identical text, so all three gates certify
+    * the same composition under their respective build modes.
     */
-  private def ivfPqRecallSql(seedsSql: String): String =
+  private def ivfPqRecallSql(assignCtes: String,
+      cbWhere: String = ""): String =
     s"""WITH $eCte,
        |$topkCtes,
-       |${ivfAssignCtes(seedsSql)},
+       |$assignCtes,
        |cb AS (SELECT m, vec_id AS code_id,
        |         v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS c8
        |       FROM e, range(0, $PqM) t(m)
-       |       WHERE vec_id % 25 = 0 AND vec_id < $PqCodeCap),
+       |       WHERE vec_id % 25 = 0 AND vec_id < $PqCodeCap$cbWhere),
        |sub AS (SELECT vec_id, m,
        |          v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS sv
        |        FROM e, range(0, $PqM) t(m)),
@@ -1556,9 +1591,26 @@ object Similarity {
     // structural halves (code width M, fold/delete lifecycle).
     QuerySpec(
       "sim_ivfpq_recall",
-      ivfPqRecallSql(
-        "SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0")) {
+      ivfPqRecallSql(ivfAssignCtes(
+        "SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0"))) {
       (s, d) => ivfPqRecallOver(s, d, ensureIvfPqIndex(s, d))
+    },
+
+    // The IVF-PQ GROWN lifecycle under the value gate — the PQ twin of
+    // sim_ivf_grown: centroids AND codebook trained on the history
+    // wave (doc 80%), the incoming wave folded through
+    // appendToIvfPqIndex against both FROZEN artifacts, the whole
+    // index served by the same ADC + exact-re-rank path. The oracle
+    // recomputes the history-trained construction end-to-end (hist
+    // Lloyd step, hist-restricted codebook sample, ALL vectors
+    // assigned/encoded against the frozen artifacts) — any drift in
+    // the fold's frozen-artifact contract breaks the hash match.
+    // This lifts the fold lifecycle from spec-gated to oracle-gated.
+    QuerySpec(
+      "sim_ivfpq_grown_recall",
+      ivfPqRecallSql(s"$ivfGrownAssignCtes,\n$ivfGrownProbesCte",
+        cbWhere = " AND vec_id % 5 <> 4")) {
+      (s, d) => ivfPqRecallOver(s, d, ensureGrownIvfPqIndex(s, d))
     },
 
     // The bounded-K IVF-PQ build under the SAME recall gate: an index
@@ -1573,10 +1625,10 @@ object Similarity {
     // persisted cents frame is exactly FixedK rows whatever the corpus.
     QuerySpec(
       "sim_ivfpq_fixedk_recall",
-      ivfPqRecallSql(
+      ivfPqRecallSql(ivfAssignCtes(
         s"""SELECT vec_id AS cent_id, v AS cv FROM e
            |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
-           |  LIMIT $FixedK""".stripMargin)) {
+           |  LIMIT $FixedK""".stripMargin))) {
       (s, d) => ivfPqRecallOver(s, d, ensureFixedKIvfPqIndex(s, d))
     },
 
