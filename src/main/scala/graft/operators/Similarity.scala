@@ -1240,6 +1240,28 @@ object Similarity {
     root.toString
   }
 
+  /** Build-if-absent the EVOLVED IVF-PQ gate fixture — the PQ twin of
+    * [[ensureEvolvedIvfIndex]]: the grown construction plus one
+    * committed delete batch (vec_id % 9 = 0) tombstoned through
+    * [[deleteFromIvfPqIndex]]. Keyed on the delete's ledger entry.
+    */
+  def ensureEvolvedIvfPqIndex(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivfpq_evolved$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!protocol(root.toString).deletedBatches().contains(2L)) {
+      fs.delete(root, true)
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      writeIvfPqIndex(e.filter(col("vec_id") % 5 =!= 4), root.toString)
+      appendToIvfPqIndex(e.filter(col("vec_id") % 5 === 4),
+        root.toString, 1L)
+      deleteFromIvfPqIndex(e.filter(col("vec_id") % 9 === 0)
+        .select(col("vec_id")), root.toString, 2L)
+    }
+    root.toString
+  }
+
   /** Build-if-absent the BOUNDED-K persisted IVF-PQ index
     * ([[writeIvfPqIndexFixedK]]) under its own warehouse root. Serving
     * goes through the same [[ivfPqTopK]] path — only the seed SET (and
@@ -1282,8 +1304,8 @@ object Similarity {
     * downstream is byte-identical text, so all three gates certify
     * the same composition under their respective build modes.
     */
-  private def ivfPqRecallSql(assignCtes: String,
-      cbWhere: String = ""): String =
+  private def ivfPqRecallSql(assignCtes: String, cbWhere: String = "",
+      adcWhere: String = "TRUE"): String =
     s"""WITH $eCte,
        |$topkCtes,
        |$assignCtes,
@@ -1305,7 +1327,8 @@ object Similarity {
        |    round(list_cosine_similarity(p.qv, r.rv), 4) AS sim
        |  FROM probes p
        |  JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id
-       |  JOIN recon r ON r.vec_id = a1.vec_id),
+       |  JOIN recon r ON r.vec_id = a1.vec_id
+       |  WHERE $adcWhere),
        |short AS (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id
@@ -1611,6 +1634,21 @@ object Similarity {
       ivfPqRecallSql(s"$ivfGrownAssignCtes,\n$ivfGrownProbesCte",
         cbWhere = " AND vec_id % 5 <> 4")) {
       (s, d) => ivfPqRecallOver(s, d, ensureGrownIvfPqIndex(s, d))
+    },
+
+    // The FULL IVF-PQ lifecycle under one value gate — the PQ twin of
+    // sim_ivf_evolved: the grown construction plus a committed delete
+    // batch (vec_id % 9 = 0) whose victims span both waves. The oracle
+    // bars the victims from the ADC candidate side (they can neither
+    // enter the shortlist nor the re-rank), so any drift in the
+    // fold-then-delete interplay — a tombstone leaking into the coded
+    // frame, a fold resurrecting a victim — breaks the hash match.
+    QuerySpec(
+      "sim_ivfpq_evolved_recall",
+      ivfPqRecallSql(s"$ivfGrownAssignCtes,\n$ivfGrownProbesCte",
+        cbWhere = " AND vec_id % 5 <> 4",
+        adcWhere = "a1.vec_id % 9 <> 0")) {
+      (s, d) => ivfPqRecallOver(s, d, ensureEvolvedIvfPqIndex(s, d))
     },
 
     // The bounded-K IVF-PQ build under the SAME recall gate: an index
