@@ -870,8 +870,7 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
           if (c.contains(stampRef.get())) f.delete(leasePath, false)
           c
         }
-        if (current.contains(stampRef.get())) ()
-        else if (!bodyFailed)
+        if (!current.contains(stampRef.get()) && !bodyFailed)
           throw new IllegalStateException(
             s"writer lease on $root was stolen mid-run by " +
               s"${current.getOrElse("<released>")} (the holder stalled " +

@@ -139,6 +139,14 @@ object Bpe {
     val merges = Seq.newBuilder[String]
     val totals = Seq.newBuilder[Long]
     totals += total(base)
+    // One pin base name PER LEARN INVOCATION: stagePin prunes aged
+    // siblings of the same name, and two sessions learning on one
+    // warehouse must never prune each other's still-referenced
+    // checkpoints. Within one learn the self-prune is safe — by the
+    // time round r+CheckpointEvery pins, the round-r pin has no
+    // remaining reader.
+    val pinName =
+      s"bpe_seg_${java.util.UUID.randomUUID().toString.take(8)}"
     val sentinelRow = docs.sparkSession.range(1)
       .select(lit(Sentinel).as("pair"), lit(-1L).as("cnt"))
     for (r <- 1 to rounds) {
@@ -157,7 +165,7 @@ object Bpe {
       // round — the caller persists the result itself). Not reached at
       // the gate's Rounds = 8; proven at 64 rounds in BpeSpec.
       if (r % CheckpointEvery == 0 && r < rounds)
-        vocab = Layout.stagePin(vocab, "bpe_seg")
+        vocab = Layout.stagePin(vocab, pinName)
       totals += total(vocab)
     }
     (merges.result(), totals.result(), vocab, base)

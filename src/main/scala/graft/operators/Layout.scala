@@ -182,16 +182,40 @@ object Layout {
     * stage privately and their publishes serialize at the rename:
     * readers see an absent root, the old complete artifact, or the new
     * complete one — never an interleaved partial. Builds are
-    * deterministic, so last-writer-wins is value-neutral. Abandoned
-    * stagings/trash from crashed builds are swept once they age past
-    * the reader grace.
+    * deterministic, so last-writer-wins is value-neutral — including
+    * the rename-level race (a loser whose rename-in finds the winner's
+    * freshly-published root keeps that equivalent artifact and drops
+    * its own staging). Abandoned stagings/trash from crashed builds
+    * are swept once the NEWEST file in their tree ages past the reader
+    * grace (top-level mtime alone would race a live builder whose
+    * parquet tasks write deep under `_temporary/`).
     */
   private[graft] def ensurePublishedDir(s: SparkSession, root: String)(
       complete: String => Boolean)(build: String => Unit): String = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // sweep crash litter first: dot-siblings of this root older than
-    // the grace (a live builder's staging is younger by construction)
+    // Sweep crash litter first: dot-siblings of this root whose NEWEST
+    // file anywhere in the tree is older than the grace. The top-level
+    // mtime alone is not a liveness signal — a long parquet job writes
+    // task files under `_temporary/...` grandchildren without touching
+    // the staging dir itself, so a live builder's staging can look
+    // aged at the top; the recursive newest-mtime is what actually
+    // proves abandonment. The walk is bounded (these artifacts are
+    // small); if the budget trips, the dir is treated as LIVE —
+    // sweeping is an optimization, never worth racing a writer for.
+    val statBudget = new java.util.concurrent.atomic.AtomicInteger(4096)
+    def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+      val kids = try fs.listStatus(p)
+        catch { case _: java.io.IOException => return Long.MaxValue }
+      if (statBudget.addAndGet(-kids.length) <= 0) return Long.MaxValue
+      var newest = 0L
+      for (st <- kids) {
+        newest = math.max(newest, st.getModificationTime)
+        if (st.isDirectory)
+          newest = math.max(newest, newestMtime(st.getPath))
+      }
+      newest
+    }
     val sibRe = (java.util.regex.Pattern.quote(s".${rootPath.getName}.") +
       "(staging|trash)-[0-9a-f-]{12}").r
     val cutoff =
@@ -199,16 +223,28 @@ object Layout {
     if (fs.exists(rootPath.getParent))
       fs.listStatus(rootPath.getParent)
         .filter(st => sibRe.pattern.matcher(st.getPath.getName).matches() &&
-          st.getModificationTime < cutoff)
+          st.getModificationTime < cutoff &&
+          newestMtime(st.getPath) < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
     if (!fs.exists(rootPath) || !complete(root)) {
       val nonce = java.util.UUID.randomUUID().toString.take(12)
       val staging = new org.apache.hadoop.fs.Path(rootPath.getParent,
         s".${rootPath.getName}.staging-$nonce")
       build(staging.toString)
-      replaceDir(s, staging.toString, root,
+      try replaceDir(s, staging.toString, root,
         new org.apache.hadoop.fs.Path(rootPath.getParent,
           s".${rootPath.getName}.trash-$nonce").toString)
+      catch {
+        // Two racing builders can interleave inside replaceDir (the
+        // loser's rename-in hits the winner's freshly-published
+        // non-empty root, which an OVERWRITE rename cannot replace).
+        // Builds are deterministic, so losing to an equivalent
+        // complete artifact IS success — keep it and drop our staging.
+        case e: java.io.IOException =>
+          if (fs.exists(rootPath) && complete(root))
+            fs.delete(staging, true)
+          else throw e
+      }
     }
     root
   }

@@ -681,7 +681,13 @@ object Multimodal {
       }
       if (colorType == 3 && plte == null) return None
       val stride = w.toLong * channels
-      if (h * (stride + 1) > MaxPixelBytes) return None
+      // Overflow-safe size guards (w and h are attacker-controlled up
+      // to 2^31-1 each, so their product can wrap a Long): bound the
+      // filtered raw bytes AND the decoded RGB frame — the comment's
+      // "never allocate the claim" must hold for 1-channel color types
+      // too, where raw is a third of the RGB expansion.
+      if (stride + 1 > MaxPixelBytes / h) return None
+      if (w > MaxPixelBytes / 3 / h) return None
       val rawLen = (h * (stride + 1)).toInt
       val raw = new Array[Byte](rawLen)
       val inf = new java.util.zip.Inflater()
@@ -761,7 +767,10 @@ object Multimodal {
     }
 
     protected def decodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-      decodePng(b).map(img => (img.w, img.h, img.rgb))
+      // belt to the parser's own guards: NO malformed payload may
+      // escape as an exception — the opaque-blob contract
+      try decodePng(b).map(img => (img.w, img.h, img.rgb))
+      catch { case _: RuntimeException => None }
   }
 
   /** Shared serve-side arithmetic for kernels that decode a container
@@ -987,11 +996,12 @@ object Multimodal {
     private val MaxPixels = (64 << 20) / 3
 
     protected def decodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      // Malformed is the parser's own signal; any other RuntimeException
+      // (index/size arithmetic on adversarial headers) is equally "not
+      // a JPEG we carry" — the opaque-blob contract means decode never
+      // throws
       try decode(b)
-      catch {
-        case Malformed => None
-        case _: ArrayIndexOutOfBoundsException => None
-      }
+      catch { case _: RuntimeException => None }
 
     /** Spec access to the decoded RGB frame (the protected SPI method
       * under its container-specific name, like [[PngMediaKernel]]'s
@@ -1060,7 +1070,12 @@ object Multimodal {
                   b(o + 1) & 0x0f, b(o + 2) & 0xff)
                 if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4 ||
                     comp.tq > 3) throw Malformed
-                comp
+                // T.81 A.2.2: a SINGLE-component scan is non-interleaved
+                // — one 8×8 data unit per MCU in raster order, whatever
+                // sampling factors the SOF declares (they only shape
+                // MULTI-component interleave). Normalizing to 1×1 makes
+                // the generic MCU walk exactly that raster walk.
+                if (nf == 1) comp.copy(h = 1, v = 1) else comp
               }
             case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                 0xcd | 0xce | 0xcf =>

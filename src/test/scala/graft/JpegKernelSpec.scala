@@ -278,6 +278,28 @@ class JpegKernelSpec extends SparkSpec {
     assert(math.abs(f.features(4) - srcMax) * 255 <= 1.0, "max channel")
   }
 
+  test("single-component scan is NON-INTERLEAVED (T.81 A.2.2): a " +
+    "grayscale stream whose SOF declares 2x2 sampling decodes " +
+    "identically to the 1x1 stream — sampling factors shape only " +
+    "multi-component interleave") {
+    val plane = Array.tabulate(8 * 16)(i => if (i % 16 < 8) 80 else 160)
+    val base = jpeg(16, 8, Seq(plane), Seq((1, 1)))
+    val declared22 = base.clone()
+    // the SOF0 H/V byte sits 11 bytes past the FF C0 marker
+    // (marker 2 + len 2 + precision 1 + h 2 + w 2 + nf 1 + id 1);
+    // JPEG has no chunk CRCs, so the patch is a legal stream
+    val sofAt = (0 until base.length - 1).find(i =>
+      (base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xc0).get
+    assert((declared22(sofAt + 11) & 0xff) == 0x11)
+    declared22(sofAt + 11) = 0x22.toByte
+    val a = JpegMediaKernel.decodeJpeg(base).get
+    val b = JpegMediaKernel.decodeJpeg(declared22)
+      .getOrElse(fail("declared-2x2 grayscale must still decode"))
+    assert(b._1 == 16 && b._2 == 8)
+    assert(b._3.toSeq == a._3.toSeq,
+      "pixels must not move when a one-component SOF declares sampling")
+  }
+
   test("property: random grayscale images round-trip within the " +
     "quantizer-1 coefficient-rounding bound (seeded, 20 images)") {
     // each of the 64 coefficients rounds by <= 0.5, so per-pixel IDCT

@@ -278,9 +278,24 @@ class LayoutSpec extends SparkSpec {
     val parent = new java.io.File(root).getParentFile
     assert(parent.listFiles().exists(_.getName.contains(".staging-")),
       "the crashed staging is visible litter")
-    // aged past the grace, the next ensure sweeps it without rebuilding
-    parent.listFiles().filter(_.getName.contains(".staging-"))
+    // top-level aging alone must NOT sweep: the staging's inner files
+    // are fresh, and liveness is judged by the newest file in the TREE
+    // (a live builder's parquet tasks write deep under _temporary/
+    // without touching the staging dir's own mtime)
+    def ageTop(): Unit = parent.listFiles()
+      .filter(_.getName.contains(".staging-"))
       .foreach(f => assert(f.setLastModified(1000L)))
+    ageTop()
+    ensure()
+    assert(parent.listFiles().exists(_.getName.contains(".staging-")),
+      "fresh-inside staging must be treated as live, not swept")
+    // once the WHOLE tree is aged past the grace, the next ensure sweeps
+    def ageTree(f: java.io.File): Unit = {
+      f.setLastModified(1000L)
+      Option(f.listFiles()).foreach(_.foreach(ageTree))
+    }
+    parent.listFiles().filter(_.getName.contains(".staging-"))
+      .foreach(ageTree)
     ensure()
     assert(builds == 1)
     assert(!parent.listFiles().exists(_.getName.contains(".staging-")),

@@ -215,6 +215,36 @@ class PngKernelSpec extends SparkSpec {
     }
   }
 
+  test("adversarial IHDR dimensions: a CRC-valid header claiming " +
+    "2^31-1 x 2^31-1 pixels is an opaque blob, not an allocation or a " +
+    "crash (the size guards must be overflow-safe)") {
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(Int.MaxValue).putInt(Int.MaxValue)
+      .put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val bytes =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", ihdr.array()) ++
+        chunk("IDAT", Array[Byte](0x78, 0x01)) ++
+        chunk("IEND", Array.empty[Byte])
+    assert(PngMediaKernel.decodePng(bytes).isEmpty)
+    // and the full dispatch path takes the stub without throwing
+    val a = asset(30L, bytes)
+    assert(PngMediaKernel.decodeBatch(Seq(a)).head.features.toSeq ==
+      StubMediaKernel.decodeBatch(Seq(a)).head.features.toSeq)
+    // a large-but-1-channel claim must ALSO bound the RGB expansion
+    val gray = ByteBuffer.allocate(13)
+    gray.putInt(8192).putInt(4096) // raw ~34MB passes; RGB 100MB must not
+    gray.put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte)
+    val grayBytes =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", gray.array()) ++
+        chunk("IDAT", Array[Byte](0x78, 0x01)) ++
+        chunk("IEND", Array.empty[Byte])
+    assert(PngMediaKernel.decodePng(grayBytes).isEmpty,
+      "the decoded-RGB bound must hold for 1-channel color types too")
+  }
+
   test("property: random images of every non-palette color type with " +
     "mixed per-row filters round-trip EXACTLY (seeded, 40 images)") {
     val rnd = new scala.util.Random(20260814L)
