@@ -1196,91 +1196,85 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Build-if-absent the persisted IVF-PQ index over the gate corpus —
-    * complete when centroids, codebook and a committed coded frame all
-    * landed (a crash anywhere mid-build rebuilds from scratch).
+  /** Centroids + codebook + a committed coded frame all landed — the
+    * IVF-PQ completeness contract the ensure fixtures check before
+    * re-serving a root.
     */
-  def ensureIvfPqIndex(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivfpq$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!ivfIndexComplete(fs, root) ||
-        !fs.exists(new org.apache.hadoop.fs.Path(
-          protocol(root.toString).dir("codebook"), "_SUCCESS"))) {
-      fs.delete(root, true)
-      writeIvfPqIndex(corpus(s, d).select(col("vec_id"), col("v")),
-        root.toString)
-    }
-    root.toString
+  private def ivfPqComplete(s: SparkSession, r: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(r)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    ivfIndexComplete(fs, p) &&
+      fs.exists(new org.apache.hadoop.fs.Path(
+        protocol(r).dir("codebook"), "_SUCCESS"))
   }
+
+  private def pqFixtureRoot(s: SparkSession, d: String,
+      name: String): String =
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      name + d.replaceAll("\\W", "_")).toString
+
+  /** Build-if-absent the persisted IVF-PQ index over the gate corpus.
+    * All four PQ fixtures build STAGE-AND-PUBLISH
+    * (`Layout.ensurePublishedDir`): the whole index root — protocol
+    * ledger included, it lives inside the root — lands in a private
+    * staging sibling and swaps in atomically, so a reader never sees a
+    * mid-build root (cents without codebook, fold not yet applied).
+    */
+  def ensureIvfPqIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, pqFixtureRoot(s, d, "graft_ivfpq"))(
+      ivfPqComplete(s, _)) { staging =>
+      writeIvfPqIndex(corpus(s, d).select(col("vec_id"), col("v")),
+        staging)
+    }
 
   /** Build-if-absent the GROWN IVF-PQ gate fixture — the PQ twin of
     * [[ensureGrownIvfIndex]]: centroids + codebook trained on the
     * history wave (vec_id % 5 ≠ 4), the incoming wave folded through
-    * [[appendToIvfPqIndex]] against the FROZEN artifacts. Keyed on the
-    * fold's ledger entry: a crash before its commit rebuilds from
-    * scratch.
+    * [[appendToIvfPqIndex]] against the FROZEN artifacts. Complete iff
+    * the fold's ledger entry committed; built stage-and-publish like
+    * every PQ fixture.
     */
-  def ensureGrownIvfPqIndex(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivfpq_grown$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!ivfIndexComplete(fs, root) ||
-        !fs.exists(new org.apache.hadoop.fs.Path(
-          protocol(root.toString).dir("codebook"), "_SUCCESS")) ||
-        !protocol(root.toString).foldedBatches().contains(1L)) {
-      fs.delete(root, true)
+  def ensureGrownIvfPqIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, pqFixtureRoot(s, d, "graft_ivfpq_grown"))(
+      r => ivfPqComplete(s, r) && protocol(r).foldedBatches().contains(1L)
+    ) { staging =>
       val e = corpus(s, d).select(col("vec_id"), col("v"))
-      writeIvfPqIndex(e.filter(col("vec_id") % 5 =!= 4), root.toString)
-      appendToIvfPqIndex(e.filter(col("vec_id") % 5 === 4),
-        root.toString, 1L)
+      writeIvfPqIndex(e.filter(col("vec_id") % 5 =!= 4), staging)
+      appendToIvfPqIndex(e.filter(col("vec_id") % 5 === 4), staging, 1L)
     }
-    root.toString
-  }
 
   /** Build-if-absent the EVOLVED IVF-PQ gate fixture — the PQ twin of
     * [[ensureEvolvedIvfIndex]]: the grown construction plus one
     * committed delete batch (vec_id % 9 = 0) tombstoned through
-    * [[deleteFromIvfPqIndex]]. Keyed on the delete's ledger entry.
+    * [[deleteFromIvfPqIndex]]. Complete iff the delete's ledger entry
+    * committed; built stage-and-publish like every PQ fixture.
     */
-  def ensureEvolvedIvfPqIndex(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivfpq_evolved$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!protocol(root.toString).deletedBatches().contains(2L)) {
-      fs.delete(root, true)
+  def ensureEvolvedIvfPqIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s,
+      pqFixtureRoot(s, d, "graft_ivfpq_evolved"))(
+      r => protocol(r).deletedBatches().contains(2L)
+    ) { staging =>
       val e = corpus(s, d).select(col("vec_id"), col("v"))
-      writeIvfPqIndex(e.filter(col("vec_id") % 5 =!= 4), root.toString)
-      appendToIvfPqIndex(e.filter(col("vec_id") % 5 === 4),
-        root.toString, 1L)
+      writeIvfPqIndex(e.filter(col("vec_id") % 5 =!= 4), staging)
+      appendToIvfPqIndex(e.filter(col("vec_id") % 5 === 4), staging, 1L)
       deleteFromIvfPqIndex(e.filter(col("vec_id") % 9 === 0)
-        .select(col("vec_id")), root.toString, 2L)
+        .select(col("vec_id")), staging, 2L)
     }
-    root.toString
-  }
 
   /** Build-if-absent the BOUNDED-K persisted IVF-PQ index
     * ([[writeIvfPqIndexFixedK]]) under its own warehouse root. Serving
     * goes through the same [[ivfPqTopK]] path — only the seed SET (and
-    * therefore the centroid count) differs.
+    * therefore the centroid count) differs. Built stage-and-publish
+    * like every PQ fixture.
     */
-  def ensureFixedKIvfPqIndex(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivfpq_fixedk$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!ivfIndexComplete(fs, root) ||
-        !fs.exists(new org.apache.hadoop.fs.Path(
-          protocol(root.toString).dir("codebook"), "_SUCCESS"))) {
-      fs.delete(root, true)
+  def ensureFixedKIvfPqIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s,
+      pqFixtureRoot(s, d, "graft_ivfpq_fixedk"))(
+      ivfPqComplete(s, _)) { staging =>
       writeIvfPqIndexFixedK(corpus(s, d).select(col("vec_id"), col("v")),
-        root.toString)
+        staging)
     }
-    root.toString
-  }
 
   /** [[ivfTopK]] served from the PERSISTED index: result-identical by
     * construction (same centroids, same assignment, same rounded-cosine
