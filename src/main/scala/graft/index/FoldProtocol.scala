@@ -208,15 +208,17 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     * exclusion is the only guard, as before).
     */
   private def fencedReplace(dst: Path, content: Array[Byte],
-      action: String): Unit =
+      action: String, guard: () => Unit = () => ()): Unit =
     FoldProtocol.fences.get().get(root) match {
       case None =>
+        guard()
         val tmp = new Path(dst.getParent, s".${dst.getName}.staging")
         val out = fs.create(tmp, true)
         try out.write(content) finally out.close()
         atomicReplace(tmp, dst)
       case Some(fence) =>
         val landed = fence.lock.synchronized {
+          guard() // inside the conditional-commit critical section
           FoldProtocol.commitPrimitive.replaceIfFenced(
             conf, root, dst, content, leasePath, Some(fence.ref.get()))
         }
@@ -340,11 +342,39 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     * mid-body fails HERE, before the replace, leaving the ledger (and
     * therefore the committed-batch set) untouched.
     */
-  def commit(extra: String*): Unit = {
-    verifyFence(s"ledger commit of ${extra.mkString(",")}")
-    fencedReplace(ledgerPath, renderLedger(extra),
-      s"ledger commit of ${extra.mkString(",")}")
+  def commit(extra: String*): Unit = commitStaged(Nil, extra: _*)
+
+  /** [[commit]] with a staged-dir guard: the ledger replace verifies —
+    * inside the conditional-commit critical section — that each of
+    * `stagedRels` (kind-relative dirs, resolved through the manifest)
+    * still exists WITH its `_SUCCESS` marker. An out-of-band deletion
+    * of staged data between stage and commit (a misconfigured sweeper,
+    * a manual rm) therefore turns into a FAILED fold instead of a
+    * ledger entry pointing at a missing dir — the
+    * missing-ledgered-dir fatal state [[fsck]] exists to catch becomes
+    * unreachable from the protocol's own API.
+    */
+  def commitStaged(stagedRels: Seq[String], extra: String*): Unit = {
+    val action = s"ledger commit of ${extra.mkString(",")}"
+    verifyFence(action)
+    fencedReplace(ledgerPath, renderLedger(extra), action,
+      () => verifyStaged(stagedRels, action))
   }
+
+  /** The staged-dir guard body: every guarded dir must still carry its
+    * `_SUCCESS` marker at the commit instant.
+    */
+  private def verifyStaged(stagedRels: Seq[String], action: String): Unit =
+    for (rel <- stagedRels) {
+      val d = new Path(rootPath, resolveRel(rel))
+      if (!fs.exists(new Path(d, "_SUCCESS")))
+        throw new IllegalStateException(
+          s"staged-dir guard failed: $action on $root aborted — staged " +
+            s"dir $d vanished (or lost its _SUCCESS marker) between " +
+            "stage and commit. Something deleted staged data out of " +
+            "band; failing the fold rather than committing a ledger " +
+            "entry that points at missing data.")
+    }
 
   /** Write the grown ledger INTO a staged directory (for indexes whose
     * ledger rides a directory publish — the manifest replace is then
@@ -360,20 +390,39 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
   /** Run an append fold exactly once under the writer lease: a
     * ledgered batchId is a committed no-op (returns false); otherwise
     * stage (overwrite-mode b-dir writes) then commit atomically.
+    * `stagedKinds` names the kinds whose `b<batchId>` dirs the stage
+    * writes — the commit re-verifies each still exists (with its
+    * `_SUCCESS` marker) inside the conditional-commit critical
+    * section, see [[commitStaged]].
     */
-  def fold(batchId: Long)(stage: => Unit): Boolean =
+  def fold(batchId: Long, stagedKinds: Seq[String] = Nil)(
+      stage: => Unit): Boolean =
     withLease(s"fold-$batchId") {
       if (foldedBatches().contains(batchId)) false
-      else { stage; commit(batchId.toString); true }
+      else {
+        stage
+        commitStaged(stagedKinds.map(k => s"$k/b$batchId"),
+          batchId.toString)
+        true
+      }
     }
 
   /** Run a delete batch exactly once — same shape as [[fold]] with a
-    * `d`-prefixed ledger entry.
+    * `d`-prefixed ledger entry. The delete's tombstone dir
+    * (`tombstones/d<deleteId>`, the [[stageTombstones]] convention) is
+    * always guarded at the commit; `stagedRels` adds any further
+    * staged dirs (e.g. a BM25 delete's negative stats delta).
     */
-  def delete(deleteId: Long)(stage: => Unit): Boolean =
+  def delete(deleteId: Long, stagedRels: Seq[String] = Nil)(
+      stage: => Unit): Boolean =
     withLease(s"delete-$deleteId") {
       if (deletedBatches().contains(deleteId)) false
-      else { stage; commit(s"d$deleteId"); true }
+      else {
+        stage
+        commitStaged(s"tombstones/d$deleteId" +: stagedRels,
+          s"d$deleteId")
+        true
+      }
     }
 
   // ---- committed sub-dirs ----
@@ -466,10 +515,15 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     // the blessed single-writer maintenance pattern: the holder knows
     // it is not mid-stage, and the lease is exactly what excludes every
     // other writer while it reclaims).
-    val ownLease = currentFenceStamp()
+    // The own-lease stamp is recomputed PER CHECK, not snapshotted at
+    // entry: the heartbeat renews the stamp mid-audit (the Fence's
+    // AtomicReference tracks renewals), and comparing the holder
+    // against an entry-time snapshot would read the auditor's own
+    // renewed lease as foreign — spuriously withholding repair under
+    // the very lease that authorizes it.
     def liveForeignWriter(): Boolean = leaseHolder().exists(h =>
       System.currentTimeMillis() - leaseStampMillis(h) < graceMs &&
-        !ownLease.contains(h))
+        !currentFenceStamp().contains(h))
     val liveWriter = liveForeignWriter()
     def reclaim(p: Path, what: String): Unit =
       if (liveWriter) {

@@ -230,7 +230,24 @@ object Layout {
       val nonce = java.util.UUID.randomUUID().toString.take(12)
       val staging = new org.apache.hadoop.fs.Path(rootPath.getParent,
         s".${rootPath.getName}.staging-$nonce")
+      // Stamp the staging with a marker file BEFORE the build so the
+      // litter sweep's newest-mtime liveness has a file to see from the
+      // first instant (a build whose first phase is compute-only writes
+      // nothing for its whole duration). Dot-prefixed: invisible to
+      // parquet readers of the published artifact.
+      fs.mkdirs(staging)
+      fs.create(new org.apache.hadoop.fs.Path(staging, "._graft_building"),
+        true).close()
       build(staging.toString)
+      // Completeness backstop at the publish boundary: if a concurrent
+      // sweeper (or anything out of band) deleted this staging
+      // mid-build — and later writes silently recreated the dir minus
+      // already-written sides — FAIL here instead of publishing an
+      // incomplete root that serves until the next ensure's check.
+      require(complete(staging.toString),
+        s"ensurePublishedDir: staging $staging is incomplete at publish " +
+          "time — it was deleted or damaged mid-build (concurrent " +
+          "sweep?); nothing was published")
       try replaceDir(s, staging.toString, root,
         new org.apache.hadoop.fs.Path(rootPath.getParent,
           s".${rootPath.getName}.trash-$nonce").toString)

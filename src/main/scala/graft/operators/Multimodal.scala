@@ -1093,6 +1093,14 @@ object Multimodal {
                 comp.td = (b(i + 6 + 2 * c) & 0xff) >> 4
                 comp.ta = b(i + 6 + 2 * c) & 0x0f
               }
+              // Spectral-selection bytes: a baseline sequential scan is
+              // Ss=0, Se=63, Ah=Al=0 (T.81 B.2.3). Anything else (e.g.
+              // a nonzero successive-approximation Al) would be decoded
+              // here under full-spectral assumptions and yield WRONG
+              // features — route it to the stub as an opaque blob like
+              // every other unsupported variant.
+              if ((b(end - 3) & 0xff) != 0 || (b(end - 2) & 0xff) != 63 ||
+                  (b(end - 1) & 0xff) != 0) throw Malformed
               scanStart = end
             case 0xd9 => throw Malformed // EOI before any scan
             case _ => () // APPn / COM / DNL: skip

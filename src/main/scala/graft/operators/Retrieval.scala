@@ -206,7 +206,9 @@ object Retrieval {
     */
   def appendToBm25Index(docs: DataFrame, path: String,
       batchId: Long): Boolean =
-    protocol(path).fold(batchId) { stageBm25Fold(docs, path, batchId) }
+    protocol(path).fold(batchId, Seq("postings", "stats")) {
+      stageBm25Fold(docs, path, batchId)
+    }
 
   /** Fold step 1 (exposed to the spec so a crash between the write and
     * the ledger commit can be simulated): an uncommitted b-dir is
@@ -241,7 +243,7 @@ object Retrieval {
   def deleteFromBm25Index(ids: DataFrame, path: String,
       deleteId: Long): Boolean = {
     val p = protocol(path)
-    p.delete(deleteId) {
+    p.delete(deleteId, Seq(s"stats/d$deleteId")) {
       p.stageTombstones(ids, "doc_id", deleteId)
       indexPostings(ids.sparkSession, path)
         .join(ids.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
@@ -697,7 +699,11 @@ object Retrieval {
     Layout.ensurePublishedDir(s, root.toString)(r =>
       fs.exists(new org.apache.hadoop.fs.Path(r, "_SUCCESS"))
     ) { staging =>
-      denseQuery(s, d).coalesce(1).write.parquet(staging)
+      // Overwrite: the staging dir pre-exists (ensurePublishedDir
+      // stamps it with a liveness marker before the build)
+      denseQuery(s, d).coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(staging)
     }
   }
 
@@ -813,7 +819,8 @@ object Retrieval {
       HybridMultiQueries.toDF("query_id", "terms")
         .join(denseQueryBatch(s, d), Seq("query_id"))
         .coalesce(1)
-        .write.parquet(staging)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(staging)
     }
   }
 

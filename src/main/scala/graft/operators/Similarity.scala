@@ -717,7 +717,9 @@ object Similarity {
     */
   def appendToIvfIndex(vecs: DataFrame, path: String,
       batchId: Long): Boolean =
-    protocol(path).fold(batchId) { stageIvfFold(vecs, path, batchId) }
+    protocol(path).fold(batchId, Seq("vectors")) {
+      stageIvfFold(vecs, path, batchId)
+    }
 
   /** Fold step 1: write the batch's assigned vectors into their b-dir
     * (overwrite ⇒ replay-safe). Exposed to the spec so a crash between
@@ -1093,7 +1095,7 @@ object Similarity {
     */
   def appendToIvfPqIndex(vecs: DataFrame, path: String,
       batchId: Long): Boolean =
-    protocol(path).fold(batchId) {
+    protocol(path).fold(batchId, Seq("vectors")) {
       stageIvfPqDir(vecs.select(col("vec_id"), col("v")), path,
         s"${protocol(path).dir("vectors")}/b$batchId")
     }

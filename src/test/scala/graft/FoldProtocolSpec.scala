@@ -570,6 +570,66 @@ class FoldProtocolSpec extends SparkSpec {
     assert(p.foldedBatches() == Set(11L))
   }
 
+  test("fsck repair under the auditor's OWN lease survives a heartbeat " +
+    "renewal mid-audit: the own-stamp check tracks the renewed fence, " +
+    "not an entry-time snapshot") {
+    val root = tmpDir("fsck-own-renewed")
+    val p = new FoldProtocol(root, "_ledger")
+    writeDir(s"$root/data/seed", Seq(1L))
+    writeDir(s"$root/data/b7", Seq(9L)) // staged, never ledgered
+    new java.io.File(s"$root/data/b7").setLastModified(1000L)
+    p.withLease("maintenance-renewing", ttlMs = 300L) {
+      // force ≥1 heartbeat renewal (ttl/3 = 100 ms) BETWEEN the audit's
+      // entry liveness check and the per-reclaim re-verification — the
+      // renewed stamp must still read as the auditor's own
+      FoldProtocol.fsckPreReclaimHook = () => Thread.sleep(450L)
+      try {
+        val rep = p.fsck(Seq("data"), repair = true)
+        assert(rep.reclaimed.exists(_.endsWith("/b7")),
+          "repair must proceed under the auditor's RENEWED own lease, " +
+            s"got ${rep.issues}")
+      } finally FoldProtocol.fsckPreReclaimHook = () => ()
+    }
+    assert(!new java.io.File(s"$root/data/b7").exists)
+  }
+
+  test("fold commit staged-dir guard: a staged b-dir deleted out of " +
+    "band between stage and commit FAILS the fold — the ledger never " +
+    "points at missing data") {
+    val root = tmpDir("fold-staged-guard")
+    val p = new FoldProtocol(root, "_ledger")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val err = intercept[IllegalStateException] {
+      p.fold(7L, Seq("data")) {
+        writeDir(s"$root/data/b7", Seq(7L))
+        // out-of-band deletion (misconfigured sweeper, manual rm)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/data/b7"), true)
+      }
+    }
+    assert(err.getMessage.contains("staged-dir guard failed"),
+      s"the commit must refuse, got: ${err.getMessage}")
+    assert(p.foldedBatches().isEmpty,
+      "the fold must not reach the ledger — fsck's " +
+        "missing-ledgered-dir fatal state stays unreachable")
+    // the replay re-stages and commits normally
+    assert(p.fold(7L, Seq("data")) { writeDir(s"$root/data/b7", Seq(7L)) })
+    assert(p.foldedBatches() == Set(7L))
+
+    // the delete path guards its tombstone dir the same way
+    val derr = intercept[IllegalStateException] {
+      p.delete(3L) {
+        writeDir(s"$root/tombstones/d3", Seq(7L))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones/d3"),
+          true)
+      }
+    }
+    assert(derr.getMessage.contains("staged-dir guard failed"))
+    assert(p.deletedBatches().isEmpty)
+    assert(p.delete(3L) { writeDir(s"$root/tombstones/d3", Seq(7L)) })
+    assert(p.deletedBatches() == Set(3L))
+  }
+
   test("fsck repair re-verifies the lease per reclaim: a writer lease " +
     "acquired AFTER the audit's entry check withholds the delete " +
     "instead of racing the writer's re-staged dirs") {

@@ -132,7 +132,8 @@ class JpegKernelSpec extends SparkSpec {
     * replication. `restartEvery` > 0 emits DRI + RSTn markers.
     */
   private def jpeg(w: Int, h: Int, planes: Seq[Array[Int]],
-      sampling: Seq[(Int, Int)], restartEvery: Int = 0): Array[Byte] = {
+      sampling: Seq[(Int, Int)], restartEvery: Int = 0,
+      sosTrailer: Seq[Int] = Seq(0, 63, 0)): Array[Byte] = {
     val nf = planes.length
     val hmax = sampling.map(_._1).max
     val vmax = sampling.map(_._2).max
@@ -151,7 +152,7 @@ class JpegKernelSpec extends SparkSpec {
       head.write(seg(0xdd, Array(restartEvery >> 8, restartEvery & 0xff)))
     head.write(seg(0xda,
       Array(nf) ++ (0 until nf).flatMap(c => Seq(c + 1, 0x00)) ++
-        Seq(0, 63, 0)))
+        sosTrailer))
     val wtr = new BitWriter
     val preds = new Array[Int](nf)
     var mcu = 0
@@ -347,6 +348,30 @@ class JpegKernelSpec extends SparkSpec {
       assert(JpegMediaKernel.frames(a, 2).toSeq.map(_.frame_hash) ==
         StubMediaKernel.frames(a, 2).toSeq.map(_.frame_hash))
     }
+  }
+
+  test("non-baseline spectral selection (Ss/Se/Ah/Al) routes to the " +
+    "stub: a sequential stream with successive-approximation Al=1 is " +
+    "an opaque blob, never decoded under full-spectral assumptions") {
+    val plane = Array.fill(64)(100)
+    for ((trailer, id) <- Seq(
+        Seq(0, 63, 1) -> 20L,   // Al = 1 (successive approximation)
+        Seq(1, 63, 0) -> 21L,   // Ss = 1 (spectral band, not full)
+        Seq(0, 62, 0) -> 22L,   // Se = 62
+        Seq(0, 63, 0x10) -> 23L // Ah = 1
+      )) {
+      val bytes = jpeg(8, 8, Seq(plane), Seq((1, 1)), sosTrailer = trailer)
+      assert(JpegMediaKernel.decodeJpeg(bytes).isEmpty,
+        s"trailer $trailer must be rejected, not misdecoded")
+      val a = asset(id, bytes)
+      val viaJpeg = JpegMediaKernel.decodeBatch(Seq(a)).head
+      val viaStub = StubMediaKernel.decodeBatch(Seq(a)).head
+      assert(viaJpeg.features.toSeq == viaStub.features.toSeq,
+        s"trailer $trailer must take the stub")
+    }
+    // the canonical baseline trailer still decodes
+    assert(JpegMediaKernel.decodeJpeg(
+      jpeg(8, 8, Seq(plane), Seq((1, 1)))).nonEmpty)
   }
 
   test("container invariance + router: the same gray pixels as PNG and " +

@@ -258,7 +258,10 @@ class LayoutSpec extends SparkSpec {
       Layout.ensurePublishedDir(spark, root)(r =>
         new java.io.File(r, "_SUCCESS").exists) { staging =>
         builds += 1
-        Seq(1L, 2L).toDF("v").coalesce(1).write.parquet(staging)
+        // Overwrite: the staging dir pre-exists (liveness marker)
+        Seq(1L, 2L).toDF("v").coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(staging)
       }
     ensure()
     assert(builds == 1 && spark.read.parquet(root).count() == 2)
@@ -305,6 +308,36 @@ class LayoutSpec extends SparkSpec {
     assert(new java.io.File(root, "_SUCCESS").delete())
     ensure()
     assert(builds == 2 && spark.read.parquet(root).count() == 2)
+  }
+
+  test("ensurePublishedDir: a staging deleted out of band mid-build " +
+    "(sweeper race) FAILS the publish loudly instead of serving an " +
+    "incomplete root; the liveness marker exists from the first instant") {
+    import spark.implicits._
+    val root = tmpDir("ensure-sweepable") + "/artifact"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Two-sided artifact: complete = both sides' _SUCCESS markers
+    def complete(r: String): Boolean =
+      new java.io.File(s"$r/a/_SUCCESS").exists &&
+        new java.io.File(s"$r/b/_SUCCESS").exists
+    val err = intercept[IllegalArgumentException] {
+      Layout.ensurePublishedDir(spark, root)(complete) { staging =>
+        // the liveness marker is already there before any build write —
+        // a compute-only first phase still registers as live to sweeps
+        assert(new java.io.File(staging, "._graft_building").exists,
+          "the staging must carry a liveness marker from creation")
+        Seq(1L).toDF("v").write.parquet(s"$staging/a")
+        // out-of-band deletion (a misconfigured sweeper, a manual rm)
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        // subsequent writes silently recreate the dir MINUS side a
+        Seq(2L).toDF("v").write.parquet(s"$staging/b")
+      }
+    }
+    assert(err.getMessage.contains("incomplete at publish"),
+      s"the publish guard must name the damage, got: ${err.getMessage}")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root)),
+      "nothing may publish from a damaged staging")
   }
 
   test("bucketed groupBy on the bucket key needs no exchange") {
