@@ -220,9 +220,19 @@ object Similarity {
     * cell-drift gate (which histograms the same assignment instead of
     * scoring it).
     */
-  private val ivfGrownAssignCtes: String =
+  /** The hash-ordered LIMIT-k seed CTE text — the oracle mirror of
+    * [[fixedKSeeds]], `FROM` frame and k pluggable (the bounded-K
+    * gates compose it over the full corpus `e` or the grown gates'
+    * history wave `hist`, at [[FixedK]] or the [[FixedKWide]] knob).
+    */
+  private def fixedKSeedSql(from: String, k: Int): String =
+    s"""SELECT vec_id AS cent_id, v AS cv FROM $from
+       |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+       |  LIMIT $k""".stripMargin
+
+  private def ivfGrownAssignCtesSeeded(seedsSql: String): String =
     s"""hist AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 4),
-       |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM hist WHERE vec_id % 25 = 0),
+       |seeds AS ($seedsSql),
        |a0 AS (SELECT vec_id, v, cent_id FROM (
        |    SELECT h.vec_id, h.v, s.cent_id,
        |      row_number() OVER (PARTITION BY h.vec_id
@@ -236,6 +246,15 @@ object Similarity {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
        |    FROM e, cents c) WHERE rn = 1)""".stripMargin
+
+  /** The float grown gates' instantiation: every-25th seeds over the
+    * history wave (the float index's [[writeIvfIndex]] default). The
+    * PQ grown gates compose [[fixedKSeedSql]] over `hist` instead —
+    * the bounded-K default their fixtures build with.
+    */
+  private val ivfGrownAssignCtes: String =
+    ivfGrownAssignCtesSeeded(
+      "SELECT vec_id AS cent_id, v AS cv FROM hist WHERE vec_id % 25 = 0")
 
   /** The query-probe CTE over whatever `cents` frame precedes it —
     * shared by the grown-index serve oracles (float and PQ).
@@ -667,6 +686,14 @@ object Similarity {
     */
   val FixedK = 32
 
+  /** The `targetK` KNOB's second gated setting: the
+    * `sim_ivfpq_fixedk_recall` / `sim_ivfpq_fixedk_grown_recall` pair
+    * builds (and folds) at this K, so the bounded build is value-gated
+    * at TWO distinct cell counts — proving targetK is a genuine knob,
+    * not a constant the gates happen to agree on.
+    */
+  val FixedKWide = 48
+
   // ---- index lifecycle: `cents/` is FROZEN at build time (IVF
   // centroids are retrained offline, never per ingest batch — drifting
   // them would silently re-home existing cells); `vectors/` holds ONLY
@@ -1019,43 +1046,55 @@ object Similarity {
 
   private val CodedSchema = "vec_id BIGINT, codes ARRAY<INT>, cent_id BIGINT"
 
-  /** Build a fresh IVF-PQ index at `path`: train the IVF centroids
-    * (same every-25th seeds + one Lloyd step as [[writeIvfIndex]]) and
+  /** Build a fresh IVF-PQ index at `path`: train the IVF centroids and
     * the PQ codebook on the build corpus, then land every vector as
     * `(vec_id, codes)` cell-partitioned by its nearest centroid. Both
     * artifacts are read BACK from parquet before assignment/encoding
     * (double-roundtrip parity — the index provably serves the values
-    * later probes read). Like [[writeIvfIndex]], the every-25th
-    * seeding keeps cells constant-SIZE but grows K with the corpus —
-    * at 10⁹ vectors use [[writeIvfPqIndexFixedK]], which caps the
-    * centroid set (and everything whose cost is O(K)) at a constant.
+    * later probes read).
+    *
+    * The DEFAULT seeding is BOUNDED-K ([[fixedKSeeds]]: the smallest
+    * `targetK` ids in multiplicative-hash order, one Lloyd step) — the
+    * build mode that actually delivers the PQ pitch at 10⁹+ vectors:
+    * K is a constant whatever the corpus, so [[assign]]'s in-row
+    * centroid array stays at targetK × 64 doubles and [[ivfPqTopK]]'s
+    * probe-cell driver collect at ≤ targetK cells, while PQ codes keep
+    * storage at ~16 B/vector. (The legacy every-`seedEvery` mode —
+    * [[writeIvfPqIndexSeedEvery]] — grows K as N/seedEvery, which
+    * makes both of those O(N): constant-size cells bought with
+    * unbounded map-side state, the wrong trade at scale.) Gated by
+    * `sim_ivfpq_recall` (this default, K = [[FixedK]]) and
+    * `sim_ivfpq_fixedk_recall` (the `targetK` KNOB at [[FixedKWide]]):
+    * each oracle recomputes its construction end-to-end — hash-ordered
+    * LIMIT-K seeds, then the identical Lloyd/assign/encode/ADC/re-rank
+    * composition.
     */
-  def writeIvfPqIndex(vecs: DataFrame, path: String): Unit = {
-    val e = vecs.select(col("vec_id"), col("v"))
-    writeIvfPqIndexFrom(e, e.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv")), path)
-  }
-
-  /** The 10^9+-vector IVF-PQ build: [[writeIvfPqIndex]] with the
-    * bounded-K centroid seeding of [[writeIvfIndexFixedK]] (the
-    * smallest `targetK` ids in multiplicative-hash order). This is the
-    * build mode that actually delivers the PQ pitch at scale — the
-    * every-25th default grows the IVF centroid set as N/25, which makes
-    * [[assign]]'s in-row centroid array grow as (N/25) × dim doubles
-    * and [[ivfPqTopK]]'s probe-cell driver collect grow as O(N/25),
-    * exactly the unbounded-K failure the FixedK float build exists to
-    * cap. With a fixed `targetK` both are constants whatever the corpus
-    * (targetK × 64 doubles map-side; ≤ targetK cells on the driver),
-    * while the PQ codes keep storage at ~16 B/vector. The codebook is
-    * already bounded (≤ PqM × PqCodeCap/25 rows) and unchanged. Gated
-    * by `sim_ivfpq_fixedk_recall`: the DuckDB oracle recomputes the
-    * bounded construction end-to-end (hash-ordered LIMIT-K seeds, then
-    * the identical Lloyd/assign/ADC/re-rank composition).
-    */
-  def writeIvfPqIndexFixedK(vecs: DataFrame, path: String,
+  def writeIvfPqIndex(vecs: DataFrame, path: String,
       targetK: Int = FixedK): Unit = {
     val e = vecs.select(col("vec_id"), col("v"))
     writeIvfPqIndexFrom(e, fixedKSeeds(e, targetK), path)
+  }
+
+  /** Alias of the bounded-K default build, kept under the explicit
+    * name (the mode's original entry point before bounded-K became
+    * [[writeIvfPqIndex]]'s default).
+    */
+  def writeIvfPqIndexFixedK(vecs: DataFrame, path: String,
+      targetK: Int = FixedK): Unit =
+    writeIvfPqIndex(vecs, path, targetK)
+
+  /** LEGACY every-`seedEvery`-th seeding (the pre-bounded-K default,
+    * kept for corpora small enough that N/seedEvery centroids are
+    * acceptable): cells stay constant-SIZE but K grows with the
+    * corpus, so the map-side centroid array and the probe-cell driver
+    * collect grow as O(N/seedEvery) — do NOT use at 10⁹ vectors;
+    * [[writeIvfPqIndex]]'s bounded-K default is the scale path.
+    */
+  def writeIvfPqIndexSeedEvery(vecs: DataFrame, path: String,
+      seedEvery: Int = 25): Unit = {
+    val e = vecs.select(col("vec_id"), col("v"))
+    writeIvfPqIndexFrom(e, e.filter(col("vec_id") % seedEvery === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")), path)
   }
 
   private def writeIvfPqIndexFrom(e: DataFrame, seeds: DataFrame,
@@ -1216,15 +1255,24 @@ object Similarity {
       s.conf.get("spark.sql.warehouse.dir"),
       name + d.replaceAll("\\W", "_")).toString
 
-  /** Build-if-absent the persisted IVF-PQ index over the gate corpus.
-    * All four PQ fixtures build STAGE-AND-PUBLISH
-    * (`Layout.ensurePublishedDir`): the whole index root — protocol
-    * ledger included, it lives inside the root — lands in a private
-    * staging sibling and swaps in atomically, so a reader never sees a
-    * mid-build root (cents without codebook, fold not yet applied).
+  /** Build-if-absent the persisted IVF-PQ index over the gate corpus,
+    * built through [[writeIvfPqIndex]]'s DEFAULT (bounded-K, K =
+    * [[FixedK]]) — so `sim_ivfpq_recall` value-gates exactly the build
+    * a production operator gets from the obvious API. All PQ fixtures
+    * build STAGE-AND-PUBLISH (`Layout.ensurePublishedDir`): the whole
+    * index root — protocol ledger included, it lives inside the root —
+    * lands in a private staging sibling and swaps in atomically, so a
+    * reader never sees a mid-build root (cents without codebook, fold
+    * not yet applied).
     */
   def ensureIvfPqIndex(s: SparkSession, d: String): String =
-    Layout.ensurePublishedDir(s, pqFixtureRoot(s, d, "graft_ivfpq"))(
+    // The root name carries the build K: ivfPqComplete can only attest
+    // "a complete index is here", not WHICH construction built it, so
+    // any change of build mode must change the root — otherwise a
+    // persisted warehouse re-serves the previous mode's artifact under
+    // the new oracle (exactly what the pre-bounded-K "graft_ivfpq"
+    // roots would do).
+    Layout.ensurePublishedDir(s, pqFixtureRoot(s, d, s"graft_ivfpq_k$FixedK"))(
       ivfPqComplete(s, _)) { staging =>
       writeIvfPqIndex(corpus(s, d).select(col("vec_id"), col("v")),
         staging)
@@ -1232,17 +1280,37 @@ object Similarity {
 
   /** Build-if-absent the GROWN IVF-PQ gate fixture — the PQ twin of
     * [[ensureGrownIvfIndex]]: centroids + codebook trained on the
-    * history wave (vec_id % 5 ≠ 4), the incoming wave folded through
-    * [[appendToIvfPqIndex]] against the FROZEN artifacts. Complete iff
-    * the fold's ledger entry committed; built stage-and-publish like
-    * every PQ fixture.
+    * history wave (vec_id % 5 ≠ 4) through the bounded-K DEFAULT
+    * build, the incoming wave folded through [[appendToIvfPqIndex]]
+    * against the FROZEN artifacts — so `sim_ivfpq_grown_recall`
+    * value-gates the fold contract on the build mode production
+    * actually runs. Complete iff the fold's ledger entry committed;
+    * built stage-and-publish like every PQ fixture.
     */
   def ensureGrownIvfPqIndex(s: SparkSession, d: String): String =
-    Layout.ensurePublishedDir(s, pqFixtureRoot(s, d, "graft_ivfpq_grown"))(
+    Layout.ensurePublishedDir(s,
+      pqFixtureRoot(s, d, s"graft_ivfpq_grown_k$FixedK"))(
       r => ivfPqComplete(s, r) && protocol(r).foldedBatches().contains(1L)
     ) { staging =>
       val e = corpus(s, d).select(col("vec_id"), col("v"))
       writeIvfPqIndex(e.filter(col("vec_id") % 5 =!= 4), staging)
+      appendToIvfPqIndex(e.filter(col("vec_id") % 5 === 4), staging, 1L)
+    }
+
+  /** Build-if-absent the GROWN bounded-K fixture at the KNOB setting
+    * ([[FixedKWide]]) — `sim_ivfpq_fixedk_grown_recall`'s fixture: the
+    * same history-build-then-fold lifecycle as
+    * [[ensureGrownIvfPqIndex]], at a different targetK, so the fold
+    * contract is value-gated at TWO cell counts.
+    */
+  def ensureFixedKGrownIvfPqIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s,
+      pqFixtureRoot(s, d, "graft_ivfpq_fixedk_grown"))(
+      r => ivfPqComplete(s, r) && protocol(r).foldedBatches().contains(1L)
+    ) { staging =>
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      writeIvfPqIndex(e.filter(col("vec_id") % 5 =!= 4), staging,
+        FixedKWide)
       appendToIvfPqIndex(e.filter(col("vec_id") % 5 === 4), staging, 1L)
     }
 
@@ -1254,7 +1322,7 @@ object Similarity {
     */
   def ensureEvolvedIvfPqIndex(s: SparkSession, d: String): String =
     Layout.ensurePublishedDir(s,
-      pqFixtureRoot(s, d, "graft_ivfpq_evolved"))(
+      pqFixtureRoot(s, d, s"graft_ivfpq_evolved_k$FixedK"))(
       r => protocol(r).deletedBatches().contains(2L)
     ) { staging =>
       val e = corpus(s, d).select(col("vec_id"), col("v"))
@@ -1264,18 +1332,21 @@ object Similarity {
         .select(col("vec_id")), staging, 2L)
     }
 
-  /** Build-if-absent the BOUNDED-K persisted IVF-PQ index
-    * ([[writeIvfPqIndexFixedK]]) under its own warehouse root. Serving
-    * goes through the same [[ivfPqTopK]] path — only the seed SET (and
-    * therefore the centroid count) differs. Built stage-and-publish
-    * like every PQ fixture.
+  /** Build-if-absent the bounded-K IVF-PQ index at the KNOB setting
+    * ([[FixedKWide]] — the default fixture already builds at
+    * [[FixedK]]) under its own warehouse root. Serving goes through
+    * the same [[ivfPqTopK]] path — only targetK (and therefore the
+    * centroid count and per-cell size) differs. Built
+    * stage-and-publish like every PQ fixture. The fixture root keeps
+    * a K-suffixed name so a prior-round K=32 artifact can never
+    * satisfy the K=48 gate's build-if-absent check.
     */
   def ensureFixedKIvfPqIndex(s: SparkSession, d: String): String =
     Layout.ensurePublishedDir(s,
-      pqFixtureRoot(s, d, "graft_ivfpq_fixedk"))(
+      pqFixtureRoot(s, d, s"graft_ivfpq_fixedk$FixedKWide"))(
       ivfPqComplete(s, _)) { staging =>
-      writeIvfPqIndexFixedK(corpus(s, d).select(col("vec_id"), col("v")),
-        staging)
+      writeIvfPqIndex(corpus(s, d).select(col("vec_id"), col("v")),
+        staging, FixedKWide)
     }
 
   /** [[ivfTopK]] served from the PERSISTED index: result-identical by
@@ -1574,11 +1645,7 @@ object Similarity {
       "sim_ivf_fixedk_recall",
       s"""WITH $eCte,
          |$topkCtes,
-         |${ivfCtesSeeded(
-             s"""SELECT vec_id AS cent_id, v AS cv FROM e
-                |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
-                |  LIMIT $FixedK""".stripMargin,
-             "TRUE")}
+         |${ivfCtesSeeded(fixedKSeedSql("e", FixedK), "TRUE")}
          |SELECT t.query_id,
          |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_common
@@ -1598,72 +1665,91 @@ object Similarity {
 
     // The production serving shape under the recall gate: the
     // PERSISTED IVF-PQ index (cell-partitioned PQ codes ≈16 B/vector;
-    // ensureIvfPqIndex) served by ADC over the probed cells with an
-    // exact re-rank of the PqRerank-deep shortlist against the
+    // ensureIvfPqIndex, built through writeIvfPqIndex's bounded-K
+    // DEFAULT — hash-ordered LIMIT-FixedK seeds, the 10⁹-vector build
+    // whose map-side centroid array and probe-cell driver collect are
+    // CONSTANTS) served by ADC over the probed cells with an exact
+    // re-rank of the PqRerank-deep shortlist against the
     // full-precision sidecar. The oracle recomputes the ENTIRE
-    // composition — IVF seeds/Lloyd/assignment/probes (the shared
-    // ivfAssignCtes text), PQ codebook/encode/reconstruct (the
-    // sim_pq_recall CTEs verbatim), ADC shortlist, exact re-rank —
-    // so any drift in either artifact, their composition, or the
-    // serve path breaks the hash match. Per-query overlap against the
-    // exact top-k, like every recall gate; IvfPqSpec pins the
-    // structural halves (code width M, fold/delete lifecycle).
+    // composition — bounded seeds/Lloyd/assignment/probes (the shared
+    // ivfAssignCtes text over the fixedKSeedSql sample), PQ
+    // codebook/encode/reconstruct (the sim_pq_recall CTEs verbatim),
+    // ADC shortlist, exact re-rank — so any drift in either artifact,
+    // their composition, or the serve path breaks the hash match.
+    // Per-query overlap against the exact top-k, like every recall
+    // gate; IvfPqSpec pins the structural halves (code width M,
+    // fold/delete lifecycle).
     QuerySpec(
       "sim_ivfpq_recall",
-      ivfPqRecallSql(ivfAssignCtes(
-        "SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0"))) {
+      ivfPqRecallSql(ivfAssignCtes(fixedKSeedSql("e", FixedK)))) {
       (s, d) => ivfPqRecallOver(s, d, ensureIvfPqIndex(s, d))
     },
 
     // The IVF-PQ GROWN lifecycle under the value gate — the PQ twin of
-    // sim_ivf_grown: centroids AND codebook trained on the history
-    // wave (doc 80%), the incoming wave folded through
-    // appendToIvfPqIndex against both FROZEN artifacts, the whole
-    // index served by the same ADC + exact-re-rank path. The oracle
-    // recomputes the history-trained construction end-to-end (hist
-    // Lloyd step, hist-restricted codebook sample, ALL vectors
-    // assigned/encoded against the frozen artifacts) — any drift in
-    // the fold's frozen-artifact contract breaks the hash match.
-    // This lifts the fold lifecycle from spec-gated to oracle-gated.
+    // sim_ivf_grown, on the bounded-K DEFAULT build: centroids (the
+    // hash-ordered LIMIT-FixedK sample OF THE HISTORY WAVE) and
+    // codebook trained on history only (doc 80%), the incoming wave
+    // folded through appendToIvfPqIndex against both FROZEN artifacts,
+    // the whole index served by the same ADC + exact-re-rank path. The
+    // oracle recomputes the history-trained bounded construction
+    // end-to-end (hist-sampled bounded seeds, hist Lloyd step,
+    // hist-restricted codebook sample, ALL vectors assigned/encoded
+    // against the frozen artifacts) — any drift in the fold's
+    // frozen-artifact contract breaks the hash match. The fold
+    // contract is therefore value-gated on the build mode production
+    // actually runs at 10⁹ vectors.
     QuerySpec(
       "sim_ivfpq_grown_recall",
-      ivfPqRecallSql(s"$ivfGrownAssignCtes,\n$ivfGrownProbesCte",
+      ivfPqRecallSql(s"${ivfGrownAssignCtesSeeded(
+          fixedKSeedSql("hist", FixedK))},\n$ivfGrownProbesCte",
         cbWhere = " AND vec_id % 5 <> 4")) {
       (s, d) => ivfPqRecallOver(s, d, ensureGrownIvfPqIndex(s, d))
     },
 
     // The FULL IVF-PQ lifecycle under one value gate — the PQ twin of
-    // sim_ivf_evolved: the grown construction plus a committed delete
-    // batch (vec_id % 9 = 0) whose victims span both waves. The oracle
-    // bars the victims from the ADC candidate side (they can neither
-    // enter the shortlist nor the re-rank), so any drift in the
-    // fold-then-delete interplay — a tombstone leaking into the coded
-    // frame, a fold resurrecting a victim — breaks the hash match.
+    // sim_ivf_evolved, on the bounded-K DEFAULT build: the grown
+    // construction plus a committed delete batch (vec_id % 9 = 0)
+    // whose victims span both waves. The oracle bars the victims from
+    // the ADC candidate side (they can neither enter the shortlist nor
+    // the re-rank), so any drift in the fold-then-delete interplay — a
+    // tombstone leaking into the coded frame, a fold resurrecting a
+    // victim — breaks the hash match.
     QuerySpec(
       "sim_ivfpq_evolved_recall",
-      ivfPqRecallSql(s"$ivfGrownAssignCtes,\n$ivfGrownProbesCte",
+      ivfPqRecallSql(s"${ivfGrownAssignCtesSeeded(
+          fixedKSeedSql("hist", FixedK))},\n$ivfGrownProbesCte",
         cbWhere = " AND vec_id % 5 <> 4",
         adcWhere = "a1.vec_id % 9 <> 0")) {
       (s, d) => ivfPqRecallOver(s, d, ensureEvolvedIvfPqIndex(s, d))
     },
 
-    // The bounded-K IVF-PQ build under the SAME recall gate: an index
-    // built by writeIvfPqIndexFixedK (hash-ordered LIMIT-FixedK seeds —
-    // the 10^9+-vector build whose map-side centroid array AND
-    // probe-cell driver collect are CONSTANTS instead of growing as
-    // N/25) served by the identical ADC + exact-re-rank path. The
-    // oracle swaps ONLY the seed CTE (same hash order as
-    // sim_ivf_fixedk_recall) inside the full IVF-PQ composition — any
-    // drift in seeding, Lloyd step, assignment, encode, ADC or re-rank
-    // breaks the hash match. IvfPqSpec pins the structural half: the
-    // persisted cents frame is exactly FixedK rows whatever the corpus.
+    // The targetK KNOB under the recall gate: the same bounded-K
+    // build at a SECOND cell count (FixedKWide = 48 vs the default
+    // fixture's 32), served by the identical ADC + exact-re-rank
+    // path. The oracle swaps ONLY the LIMIT inside the seed CTE —
+    // with bounded-K now writeIvfPqIndex's default, this gate is what
+    // proves targetK is a genuine knob (two Ks value-gated end to
+    // end), not a constant the default gate happens to bake in.
+    // IvfPqSpec pins the structural half: the persisted cents frame
+    // is exactly FixedKWide rows whatever the corpus.
     QuerySpec(
       "sim_ivfpq_fixedk_recall",
-      ivfPqRecallSql(ivfAssignCtes(
-        s"""SELECT vec_id AS cent_id, v AS cv FROM e
-           |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
-           |  LIMIT $FixedK""".stripMargin))) {
+      ivfPqRecallSql(ivfAssignCtes(fixedKSeedSql("e", FixedKWide)))) {
       (s, d) => ivfPqRecallOver(s, d, ensureFixedKIvfPqIndex(s, d))
+    },
+
+    // The targetK knob UNDER THE FOLD LIFECYCLE: the grown
+    // construction (history-trained frozen artifacts + one ledgered
+    // append) at FixedKWide — so the fold contract is value-gated at
+    // two distinct cell counts, proving the knob survives the
+    // lifecycle, not just the fresh build. Oracle: the grown
+    // composition with the hist-sampled seed CTE at the knob's LIMIT.
+    QuerySpec(
+      "sim_ivfpq_fixedk_grown_recall",
+      ivfPqRecallSql(s"${ivfGrownAssignCtesSeeded(
+          fixedKSeedSql("hist", FixedKWide))},\n$ivfGrownProbesCte",
+        cbWhere = " AND vec_id % 5 <> 4")) {
+      (s, d) => ivfPqRecallOver(s, d, ensureFixedKGrownIvfPqIndex(s, d))
     },
 
     // Int8-quantization quality as a gated readout: per-query overlap

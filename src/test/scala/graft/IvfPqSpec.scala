@@ -61,13 +61,14 @@ class IvfPqSpec extends SparkSpec {
       s"aggregate recall@5 must clear 15% on the gate corpus, got $total/100")
   }
 
-  test("writeIvfPqIndexFixedK: centroid frame is FixedK rows however " +
-    "large the input — the bounded-K property that caps the map-side " +
-    "centroid array AND the probe-cell driver collect at constants") {
+  test("writeIvfPqIndex at the targetK knob: centroid frame is exactly " +
+    "targetK rows however large the input — the bounded-K property " +
+    "that caps the map-side centroid array AND the probe-cell driver " +
+    "collect at constants, at a second gated K") {
     val root = Similarity.ensureFixedKIvfPqIndex(spark, sf0001)
     val cents = spark.read.parquet(Similarity.protocol(root).dir("cents"))
-    assert(cents.count() == Similarity.FixedK,
-      s"bounded-K PQ build must persist exactly ${Similarity.FixedK} centroids")
+    assert(cents.count() == Similarity.FixedKWide,
+      s"knob build must persist exactly ${Similarity.FixedKWide} centroids")
     val dims = cents.select(size($"cv")).distinct().as[Int].collect()
     assert(dims.sameElements(Array(64)),
       s"every centroid must be the full 64-dim mean, got ${dims.toSeq}")
@@ -81,19 +82,40 @@ class IvfPqSpec extends SparkSpec {
     assert(homed.forall(cellIds), "codes reference only built cells")
   }
 
-  test("sim_ivfpq_fixedk_recall: hash-seeded bounded-K IVF-PQ clears " +
-    "the recall floor and never exceeds the exact top-k size") {
+  test("sim_ivfpq_fixedk_recall: the targetK-knob build (FixedKWide) " +
+    "clears the recall floor and never exceeds the exact top-k size") {
     val rows = SparkEntry.queries("sim_ivfpq_fixedk_recall")(spark, sf0001)
       .select($"query_id", $"n_common").as[(Long, Long)].collect()
     assert(rows.length == 20, "one recall row per gate query")
     assert(rows.forall(r => r._2 >= 0 && r._2 <= 5),
       "per-query overlap is bounded by k")
-    // fixed K=32 + nprobe=4 probes 1/8 of the corpus AND PQ compounds
-    // quantization noise on top (vs 15% for the N/25-seeded PQ gate);
-    // the value-level gate is the oracle hash match, not this floor
+    // K=48 + nprobe=4 probes 1/12 of the corpus AND PQ compounds
+    // quantization noise on top; the value-level gate is the oracle
+    // hash match, not this floor
     val total = rows.map(_._2).sum
-    assert(total >= 15,
-      s"aggregate recall@5 must clear 15% on the gate corpus, got $total/100")
+    assert(total >= 10,
+      s"aggregate recall@5 must clear 10% on the gate corpus, got $total/100")
+  }
+
+  test("sim_ivfpq_fixedk_grown_recall: the knob survives the fold " +
+    "lifecycle — history-trained FixedKWide artifacts stay frozen " +
+    "across the append, recall floor holds") {
+    val rows = SparkEntry.queries("sim_ivfpq_fixedk_grown_recall")(
+      spark, sf0001)
+      .select($"query_id", $"n_common").as[(Long, Long)].collect()
+    assert(rows.length == 20, "one recall row per gate query")
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 5),
+      "per-query overlap is bounded by k")
+    assert(rows.map(_._2).sum >= 10,
+      s"aggregate recall@5 must clear 10%, got ${rows.map(_._2).sum}/100")
+    // structural half: the grown fixture's centroid frame is exactly
+    // the knob's K — the fold must not have grown it
+    val root = Similarity.ensureFixedKGrownIvfPqIndex(spark, sf0001)
+    val p = Similarity.protocol(root)
+    assert(spark.read.parquet(p.dir("cents")).count() ==
+      Similarity.FixedKWide,
+      "the fold must not grow the knob-K centroid frame")
+    assert(p.foldedBatches() == Set(1L), "the wave's fold is ledgered")
   }
 
   test("bounded-K PQ root composes with the fold lifecycle: appends " +
