@@ -625,32 +625,37 @@ object Dedup {
     * under the session warehouse (suffix-keyed per source dir, like
     * Layout's bucketed tables), and return its path.
     */
-  def ensureIndex(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_dedup_index$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // seed/ OR a c<hw>/ compaction satisfies each frame: compaction
-    // rewrites the committed sub-dirs into one dir (seed included), and
-    // a compacted index is a complete index — rebuilding it would
-    // discard folds. Resolution goes through the manifest.
-    val p = protocol(root.toString)
+  def ensureIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_dedup_index"))(
+      dedupComplete(s, _)) { staging =>
+      val history = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
+      writeIndex(history, staging)
+    }
+
+  private def fixtureRoot(s: SparkSession, d: String,
+      name: String): String =
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      name + d.replaceAll("\\W", "_")).toString
+
+  /** Completeness predicate for the stage-and-publish fixtures: seed/
+    * OR a c<hw>/ compaction satisfies each frame (compaction rewrites
+    * the committed sub-dirs into one dir, and a compacted index is a
+    * complete index — rebuilding it would discard folds; resolution
+    * goes through the manifest), plus a committed df summary.
+    */
+  private def dedupComplete(s: SparkSession, r: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val p = protocol(r)
     def frameDone(sub: String): Boolean =
       p.committedDirsOrEmpty(sub).exists { dir =>
         val name = dir.substring(dir.lastIndexOf('/') + 1)
         (name == "seed" || name.matches("c\\d+")) &&
           fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
       }
-    val done = frameDone("shingles") && frameDone("hashes") &&
+    frameDone("shingles") && frameDone("hashes") &&
       fs.exists(new org.apache.hadoop.fs.Path(p.dir("df"), "_SUCCESS"))
-    if (!done) {
-      // a partial or stale-layout index (e.g. from a previous library
-      // version) must not leak files into the rebuilt one
-      fs.delete(root, true)
-      val history = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
-      writeIndex(history, root.toString)
-    }
-    root.toString
   }
 
   /** Oracle CTE: exploded distinct (doc_id, shingle) pairs, no df cap. */
@@ -676,25 +681,20 @@ object Dedup {
     * on the delete's ledger entry: a crash anywhere before the delete's
     * commit rebuilds from scratch.
     */
-  def ensureDeletedIndex(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_dedup_del$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!protocol(root.toString).deletedBatches().contains(0L)) {
-      fs.delete(root, true)
+  def ensureDeletedIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_dedup_del"))(
+      r => protocol(r).deletedBatches().contains(0L)
+    ) { staging =>
       val docs = Tables.documents(s, d)
-      writeIndex(docs.filter(col("doc_id") % 5 =!= 4), root.toString)
+      writeIndex(docs.filter(col("doc_id") % 5 =!= 4), staging)
       // victim classes chosen to include history docs that SHIELD
       // incoming near-dups (verified present at every gate sf): the
       // delete must visibly change the incremental answer, not just
       // shrink the index
       deleteFromIndex(docs.filter(col("doc_id") % 10 === 0 ||
           col("doc_id") % 10 === 7)
-        .select(col("doc_id")), root.toString, 0L)
+        .select(col("doc_id")), staging, 0L)
     }
-    root.toString
-  }
 
   /** Oracle for the deleted-index gate: the exact incremental answer
     * recomputed from scratch WITHOUT the tombstoned docs (doc_id % 10
@@ -744,23 +744,18 @@ object Dedup {
     * both sides (shields gone there, restored here). Keyed on batch
     * 2's ledger entry (it commits last).
     */
-  def ensureReaddedIndex(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_dedup_readd$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!protocol(root.toString).foldedBatches().contains(2L)) {
-      fs.delete(root, true)
+  def ensureReaddedIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_dedup_readd"))(
+      r => protocol(r).foldedBatches().contains(2L)
+    ) { staging =>
       val hist = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
       val isVictim = col("doc_id") % 10 === 0 || col("doc_id") % 10 === 7
-      writeIndex(hist.filter(!isVictim), root.toString)
-      appendToIndex(hist.filter(isVictim), root.toString, 1L)
+      writeIndex(hist.filter(!isVictim), staging)
+      appendToIndex(hist.filter(isVictim), staging, 1L)
       deleteFromIndex(hist.filter(isVictim).select(col("doc_id")),
-        root.toString, 0L)
-      appendToIndex(hist.filter(isVictim), root.toString, 2L)
+        staging, 0L)
+      appendToIndex(hist.filter(isVictim), staging, 2L)
     }
-    root.toString
-  }
 
   /** Oracle for the readded-index gate: the corpus the lifecycle
     * leaves is the FULL corpus (every victim's pre-delete version is

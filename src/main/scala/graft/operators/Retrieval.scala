@@ -329,23 +329,33 @@ object Retrieval {
     * compaction _SUCCESS marker on both sides, resolved through the
     * manifest) is reused, anything partial is torn down and rebuilt.
     */
-  def ensureBm25Index(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_bm25_index$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val p = protocol(root.toString)
-    val complete = Seq("postings", "stats").forall(side =>
+  def ensureBm25Index(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_bm25_index"))(
+      bm25Complete(s, _)) { staging =>
+      writeBm25Index(Tables.documents(s, d), staging)
+    }
+
+  private def fixtureRoot(s: SparkSession, d: String,
+      name: String): String =
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      name + d.replaceAll("\\W", "_")).toString
+
+  /** Both index sides carry a committed seed OR compaction dir with its
+    * `_SUCCESS` — the completeness predicate the stage-and-publish
+    * fixtures hand to `Layout.ensurePublishedDir` (it must also hold
+    * against the staging dir at the publish boundary).
+    */
+  private def bm25Complete(s: SparkSession, r: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val p = protocol(r)
+    Seq("postings", "stats").forall(side =>
       p.committedDirsOrEmpty(side).exists { dir =>
         val name = dir.substring(dir.lastIndexOf('/') + 1)
         (name == "seed" || name.matches("c\\d+")) &&
           fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
       })
-    if (!complete) {
-      fs.delete(root, true)
-      writeBm25Index(Tables.documents(s, d), root.toString)
-    }
-    root.toString
   }
 
   /** The grown-index gate: seed from the history wave (doc_id % 5 ≠ 4),
@@ -355,20 +365,14 @@ object Retrieval {
     * `ensureBm25Index` (the fold is deterministic, so a completed
     * grown index re-serves without re-folding).
     */
-  def ensureGrownBm25Index(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_bm25_grown$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val docs = Tables.documents(s, d)
-    if (!bm25FoldedBatches(root.toString).contains(0L)) {
-      fs.delete(root, true)
-      writeBm25Index(docs.filter(col("doc_id") % 5 =!= 4), root.toString)
-      appendToBm25Index(docs.filter(col("doc_id") % 5 === 4),
-        root.toString, 0L)
+  def ensureGrownBm25Index(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_bm25_grown"))(
+      r => protocol(r).foldedBatches().contains(0L)
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      writeBm25Index(docs.filter(col("doc_id") % 5 =!= 4), staging)
+      appendToBm25Index(docs.filter(col("doc_id") % 5 === 4), staging, 0L)
     }
-    root.toString
-  }
 
   /** Build-if-absent the full-lifecycle gate fixture: seed from the
     * history wave (doc_id % 5 ≠ 4), fold the remainder as a ledgered
@@ -378,22 +382,16 @@ object Retrieval {
     * Keyed on the delete's ledger entry (it commits last, so its
     * presence implies the whole sequence completed).
     */
-  def ensureEvolvedBm25Index(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_bm25_evolved$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val docs = Tables.documents(s, d)
-    if (!protocol(root.toString).deletedBatches().contains(1L)) {
-      fs.delete(root, true)
-      writeBm25Index(docs.filter(col("doc_id") % 5 =!= 4), root.toString)
-      appendToBm25Index(docs.filter(col("doc_id") % 5 === 4),
-        root.toString, 0L)
+  def ensureEvolvedBm25Index(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_bm25_evolved"))(
+      r => protocol(r).deletedBatches().contains(1L)
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      writeBm25Index(docs.filter(col("doc_id") % 5 =!= 4), staging)
+      appendToBm25Index(docs.filter(col("doc_id") % 5 === 4), staging, 0L)
       deleteFromBm25Index(docs.filter(col("doc_id") % 7 === 3)
-        .select(col("doc_id")), root.toString, 1L)
+        .select(col("doc_id")), staging, 1L)
     }
-    root.toString
-  }
 
   /** BM25 served from the persisted index. The query terms' buckets are
     * computed driver-side with the SAME xxhash64 the build used (a
@@ -498,20 +496,15 @@ object Retrieval {
     * ledger entry: a crash anywhere before its commit rebuilds from
     * scratch.
     */
-  def ensureDeletedBm25Index(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_bm25_del$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val docs = Tables.documents(s, d)
-    if (!protocol(root.toString).deletedBatches().contains(0L)) {
-      fs.delete(root, true)
-      writeBm25Index(docs, root.toString)
+  def ensureDeletedBm25Index(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_bm25_del"))(
+      r => protocol(r).deletedBatches().contains(0L)
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      writeBm25Index(docs, staging)
       deleteFromBm25Index(docs.filter(col("doc_id") % 7 === 3)
-        .select(col("doc_id")), root.toString, 0L)
+        .select(col("doc_id")), staging, 0L)
     }
-    root.toString
-  }
 
   /** The multi-query gate's literal query table — shared verbatim with
     * the oracle's VALUES list (the portability contract): one

@@ -287,19 +287,24 @@ object Similarity {
     * growth serves the same answers as the frozen-centroid construction
     * recomputed from scratch (the `sim_ivf_grown` oracle).
     */
-  def ensureGrownIvfIndex(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_grown$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!ivfIndexComplete(fs, root) ||
-        !ivfFoldedBatches(root.toString).contains(0L)) {
-      fs.delete(root, true)
+  def ensureGrownIvfIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_ivf_grown"))(
+      r => ivfComplete(s, r) && protocol(r).foldedBatches().contains(0L)
+    ) { staging =>
       val e = corpus(s, d).select(col("vec_id"), col("v"))
-      writeIvfIndex(e.filter(col("vec_id") % 5 =!= 4), root.toString)
-      appendToIvfIndex(e.filter(col("vec_id") % 5 === 4), root.toString, 0L)
+      writeIvfIndex(e.filter(col("vec_id") % 5 =!= 4), staging)
+      appendToIvfIndex(e.filter(col("vec_id") % 5 === 4), staging, 0L)
     }
-    root.toString
+
+  /** [[ivfIndexComplete]] over a path string — the completeness
+    * predicate the stage-and-publish fixtures hand to
+    * `Layout.ensurePublishedDir` (it must run against the staging dir
+    * at the publish boundary too).
+    */
+  private def ivfComplete(s: SparkSession, r: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(r)
+    ivfIndexComplete(
+      p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
   }
 
   /** Build-if-absent the DELETED-index gate fixture: the full corpus
@@ -308,20 +313,15 @@ object Similarity {
     * ledger entry: a crash anywhere before its commit rebuilds from
     * scratch.
     */
-  def ensureDeletedIvfIndex(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_del$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!protocol(root.toString).deletedBatches().contains(0L)) {
-      fs.delete(root, true)
+  def ensureDeletedIvfIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_ivf_del"))(
+      r => protocol(r).deletedBatches().contains(0L)
+    ) { staging =>
       val e = corpus(s, d).select(col("vec_id"), col("v"))
-      writeIvfIndex(e, root.toString)
+      writeIvfIndex(e, staging)
       deleteFromIvfIndex(e.filter(col("vec_id") % 9 === 0)
-        .select(col("vec_id")), root.toString, 0L)
+        .select(col("vec_id")), staging, 0L)
     }
-    root.toString
-  }
 
   // ---- centroid-refresh gate fixture: a DELIBERATE distribution
   // shift. The append wave is the negated copy of every 5th-residue
@@ -360,23 +360,17 @@ object Similarity {
     * crash mid-build rebuilds from scratch.
     */
   def ensureShiftIvfIndexes(s: SparkSession, d: String): (String, String) = {
-    val suffix = d.replaceAll("\\W", "_")
-    val wh = s.conf.get("spark.sql.warehouse.dir")
     val e = corpus(s, d).select(col("vec_id"), col("v"))
-    def build(name: String, refresh: Boolean): String = {
-      val root = new org.apache.hadoop.fs.Path(wh, s"$name$suffix")
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val done =
-        if (refresh) protocol(root.toString).entries().contains("r0")
-        else ivfFoldedBatches(root.toString).contains(0L)
-      if (!done) {
-        fs.delete(root, true)
-        writeIvfIndex(e, root.toString)
-        appendToIvfIndex(shiftedWave(s, d), root.toString, 0L)
-        if (refresh) refreshIvfIndex(s, root.toString, 0L)
+    def build(name: String, refresh: Boolean): String =
+      Layout.ensurePublishedDir(s, fixtureRoot(s, d, name))(
+        r =>
+          if (refresh) protocol(r).entries().contains("r0")
+          else protocol(r).foldedBatches().contains(0L)
+      ) { staging =>
+        writeIvfIndex(e, staging)
+        appendToIvfIndex(shiftedWave(s, d), staging, 0L)
+        if (refresh) refreshIvfIndex(s, staging, 0L)
       }
-      root.toString
-    }
     (build("graft_ivf_frozen", refresh = false),
       build("graft_ivf_refresh", refresh = true))
   }
@@ -470,21 +464,16 @@ object Similarity {
     * delete (batch 1) whose victims span BOTH waves. Keyed on the
     * delete's ledger entry (it commits last).
     */
-  def ensureEvolvedIvfIndex(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_evolved$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!protocol(root.toString).deletedBatches().contains(1L)) {
-      fs.delete(root, true)
+  def ensureEvolvedIvfIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_ivf_evolved"))(
+      r => protocol(r).deletedBatches().contains(1L)
+    ) { staging =>
       val e = corpus(s, d).select(col("vec_id"), col("v"))
-      writeIvfIndex(e.filter(col("vec_id") % 5 =!= 4), root.toString)
-      appendToIvfIndex(e.filter(col("vec_id") % 5 === 4), root.toString, 0L)
+      writeIvfIndex(e.filter(col("vec_id") % 5 =!= 4), staging)
+      appendToIvfIndex(e.filter(col("vec_id") % 5 === 4), staging, 0L)
       deleteFromIvfIndex(e.filter(col("vec_id") % 9 === 0)
-        .select(col("vec_id")), root.toString, 1L)
+        .select(col("vec_id")), staging, 1L)
     }
-    root.toString
-  }
 
   /** Brute-force exact top-k: (query_id, neighbor_id, rank). */
   def bruteTopK(s: SparkSession, d: String): DataFrame =
@@ -556,18 +545,12 @@ object Similarity {
     * `writeIndex`/`incrementalKeepNewIndexed` is to dedup: the corpus
     * pays assignment once at ingest, queries pay only their probes.
     */
-  def ensureIvfIndex(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_index$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!ivfIndexComplete(fs, root)) {
-      fs.delete(root, true)
+  def ensureIvfIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_ivf_index"))(
+      ivfComplete(s, _)) { staging =>
       writeIvfIndex(corpus(s, d).select(col("vec_id"), col("v")),
-        root.toString)
+        staging)
     }
-    root.toString
-  }
 
   /** Build-if-absent PERSISTED bounded-K IVF index: the
     * [[writeIvfIndexFixedK]] construction (hash-ordered LIMIT-`FixedK`
@@ -575,18 +558,12 @@ object Similarity {
     * warehouse root. Serving goes through the same [[indexTopK]] path
     * as the default-seeded index — only the seed SET differs.
     */
-  def ensureFixedKIvfIndex(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_fixedk$suffix")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!ivfIndexComplete(fs, root)) {
-      fs.delete(root, true)
+  def ensureFixedKIvfIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_ivf_fixedk"))(
+      ivfComplete(s, _)) { staging =>
       writeIvfIndexFixedK(corpus(s, d).select(col("vec_id"), col("v")),
-        root.toString)
+        staging)
     }
-    root.toString
-  }
 
   /** cents plus a complete vector frame — a seed/ OR `c<hw>`
     * compaction dir under the CURRENT vectors generation (after
@@ -1249,7 +1226,7 @@ object Similarity {
         protocol(r).dir("codebook"), "_SUCCESS"))
   }
 
-  private def pqFixtureRoot(s: SparkSession, d: String,
+  private def fixtureRoot(s: SparkSession, d: String,
       name: String): String =
     new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"),
@@ -1272,7 +1249,7 @@ object Similarity {
     // persisted warehouse re-serves the previous mode's artifact under
     // the new oracle (exactly what the pre-bounded-K "graft_ivfpq"
     // roots would do).
-    Layout.ensurePublishedDir(s, pqFixtureRoot(s, d, s"graft_ivfpq_k$FixedK"))(
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, s"graft_ivfpq_k$FixedK"))(
       ivfPqComplete(s, _)) { staging =>
       writeIvfPqIndex(corpus(s, d).select(col("vec_id"), col("v")),
         staging)
@@ -1289,7 +1266,7 @@ object Similarity {
     */
   def ensureGrownIvfPqIndex(s: SparkSession, d: String): String =
     Layout.ensurePublishedDir(s,
-      pqFixtureRoot(s, d, s"graft_ivfpq_grown_k$FixedK"))(
+      fixtureRoot(s, d, s"graft_ivfpq_grown_k$FixedK"))(
       r => ivfPqComplete(s, r) && protocol(r).foldedBatches().contains(1L)
     ) { staging =>
       val e = corpus(s, d).select(col("vec_id"), col("v"))
@@ -1305,7 +1282,7 @@ object Similarity {
     */
   def ensureFixedKGrownIvfPqIndex(s: SparkSession, d: String): String =
     Layout.ensurePublishedDir(s,
-      pqFixtureRoot(s, d, "graft_ivfpq_fixedk_grown"))(
+      fixtureRoot(s, d, "graft_ivfpq_fixedk_grown"))(
       r => ivfPqComplete(s, r) && protocol(r).foldedBatches().contains(1L)
     ) { staging =>
       val e = corpus(s, d).select(col("vec_id"), col("v"))
@@ -1322,7 +1299,7 @@ object Similarity {
     */
   def ensureEvolvedIvfPqIndex(s: SparkSession, d: String): String =
     Layout.ensurePublishedDir(s,
-      pqFixtureRoot(s, d, s"graft_ivfpq_evolved_k$FixedK"))(
+      fixtureRoot(s, d, s"graft_ivfpq_evolved_k$FixedK"))(
       r => protocol(r).deletedBatches().contains(2L)
     ) { staging =>
       val e = corpus(s, d).select(col("vec_id"), col("v"))
@@ -1343,7 +1320,7 @@ object Similarity {
     */
   def ensureFixedKIvfPqIndex(s: SparkSession, d: String): String =
     Layout.ensurePublishedDir(s,
-      pqFixtureRoot(s, d, s"graft_ivfpq_fixedk$FixedKWide"))(
+      fixtureRoot(s, d, s"graft_ivfpq_fixedk$FixedKWide"))(
       ivfPqComplete(s, _)) { staging =>
       writeIvfPqIndex(corpus(s, d).select(col("vec_id"), col("v")),
         staging, FixedKWide)

@@ -40,6 +40,33 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("ensureBm25Index is stage-and-publish: an incomplete root (lost " +
+    "_SUCCESS) rebuilds through a private staging and the rebuilt index " +
+    "serves the gate answer; a crashed build leaves the old root intact") {
+    val baseline = Retrieval.bm25TopK(
+      spark, Retrieval.ensureBm25Index(spark, sf0001))
+      .as[(Long, Double)].collect().toSeq
+    val root = new java.io.File(
+      Retrieval.ensureBm25Index(spark, sf0001).stripPrefix("file:"))
+    // damage the artifact: drop the postings seed's _SUCCESS, so the
+    // completeness predicate fails and the next ensure must REBUILD
+    val seedSuccess = new java.io.File(root, "postings/seed/_SUCCESS")
+    assert(seedSuccess.exists && seedSuccess.delete())
+    val rebuilt = Retrieval.ensureBm25Index(spark, sf0001)
+    assert(new java.io.File(new java.io.File(rebuilt.stripPrefix("file:")),
+      "postings/seed/_SUCCESS").exists,
+      "the incomplete root must rebuild")
+    assert(Retrieval.bm25TopK(spark, rebuilt)
+      .as[(Long, Double)].collect().toSeq == baseline,
+      "the rebuilt index serves the identical gate answer")
+    // no staging/trash litter left beside the fixture after the publish
+    val wh = root.getParentFile
+    assert(!wh.listFiles().exists(f =>
+      f.getName.contains("graft_bm25_index") &&
+        (f.getName.contains(".staging-") || f.getName.contains(".trash-"))),
+      "publish must leave no staging/trash siblings")
+  }
+
   test("bm25TopK: the postings scan carries a STATIC bucket " +
     "PartitionFilter and lists at most |terms| of the bucket dirs") {
     val idx = tmpDir("bm25-prune")
