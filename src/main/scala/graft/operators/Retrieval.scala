@@ -94,16 +94,26 @@ object Retrieval {
       (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
 
   private def scorePostings(postings: DataFrame,
-      stats: DataFrame): DataFrame = {
-    val df_ = postings.groupBy(col("word"))
-      .agg(count(lit(1)).cast("double").as("df"))
+      stats: DataFrame): DataFrame =
+    scoreWithDf(postings,
+      postings.groupBy(col("word"))
+        .agg(count(lit(1)).cast("double").as("df")),
+      stats)
+
+  /** The BM25 scoring tail with the df frame EXPLICIT — the filtered
+    * serve path computes df over the UNFILTERED postings (scores stay
+    * identical to the unrestricted ranking; only the candidate set
+    * shrinks — the `sim_topk_filtered` semantics lifted to BM25) and
+    * then scores a restricted postings frame against it.
+    */
+  private def scoreWithDf(postings: DataFrame, df_ : DataFrame,
+      stats: DataFrame): DataFrame =
     postings.join(df_, Seq("word"))
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
       .agg(round(sum(idf * tfNorm), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(TopK)
-  }
 
   /** Corpus-direct BM25: the postings of the query terms survive an
     * isin filter applied DIRECTLY on the exploded token stream, so
@@ -403,16 +413,47 @@ object Retrieval {
     * touched.
     */
   def bm25TopK(s: SparkSession, indexPath: String,
-      terms: Seq[String] = QueryTerms): DataFrame = {
+      terms: Seq[String] = QueryTerms): DataFrame =
+    scorePostings(queryPostings(s, indexPath, terms),
+      indexStats(s, indexPath))
+
+  /** The query terms' full posting set off the pruned index read —
+    * shared by the unfiltered and filtered serves.
+    */
+  private def queryPostings(s: SparkSession, indexPath: String,
+      terms: Seq[String]): DataFrame = {
     import s.implicits._
     val buckets = terms.toDF("word")
       .select(pmod(xxhash64(col("word")), lit(Buckets)).as("bucket"))
       .distinct().collect().map(_.getLong(0)).sorted
-    val postings = indexPostings(s, indexPath)
+    indexPostings(s, indexPath)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("word").isInCollection(terms))
       .select(col("word"), col("doc_id"), col("tf"), col("dl"))
-    scorePostings(postings, indexStats(s, indexPath))
+  }
+
+  /** BM25 restricted to an allowed doc set — the production "search
+    * within a tenant/language/license slice" shape, from the persisted
+    * index: the bucket prune and term filter run first (the only
+    * corpus-scale reads, unchanged), df comes off the UNFILTERED
+    * query-term postings (global scores — the predicate restricts
+    * CANDIDATES, it does not redefine the corpus), and the allowed set
+    * lands as a posting-side semi-join after the prune, so the
+    * restriction costs one join on a |terms|-bounded frame, never a
+    * second index pass. `allowed` is a `(doc_id)` frame — in
+    * production a metadata-table sidecar scan with the predicate
+    * pushed down.
+    */
+  def bm25TopKFiltered(s: SparkSession, indexPath: String,
+      allowed: DataFrame,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    val postings = queryPostings(s, indexPath, terms)
+    scoreWithDf(
+      postings.join(allowed.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"),
+      postings.groupBy(col("word"))
+        .agg(count(lit(1)).cast("double").as("df")),
+      indexStats(s, indexPath))
   }
 
   /** MANY queries against the index in one distributed job — the
@@ -648,6 +689,48 @@ object Retrieval {
         .limit(TopK)
     },
 
+    // FILTERED dense+lexical hybrid — the production "search within a
+    // tenant/language slice" shape: the same two persisted-index
+    // rankers as text_hybrid_dense, each with the metadata predicate
+    // pushed into ITS candidate side — the BM25 leg as a posting-side
+    // semi-join after the bucket prune (df and corpus stats stay
+    // global: the filter restricts candidates, it does not redefine
+    // the ranking), the IVF leg as the sim_ivf_filtered allowed-set
+    // semi-join after the cell prune — fused by the same RRF. The
+    // allowed set is a (vec_id, label) sidecar scan with the label
+    // predicate pushed down (In → parquet PushedFilters); the corpus
+    // text and float vectors are still never re-read. The oracle
+    // recomputes both filtered legs and the fusion end-to-end.
+    QuerySpec("text_hybrid_filtered",
+      hybridDenseOracleSqlOver(
+        "tf.doc_id IN (SELECT vec_id FROM embeddings WHERE label IN (0, 2, 4, 6, 8))",
+        "a1.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (0, 2, 4, 6, 8))")) {
+      (s, d) =>
+      val allowedIds = Tables.embeddings(s, d)
+        .filter(col("label").isin(0, 2, 4, 6, 8))
+        .select(col("vec_id"))
+      val lex = ranksOf(
+        bm25TopKFiltered(s, ensureBm25Index(s, d),
+          allowedIds.select(col("vec_id").as("doc_id")))
+          .select(col("doc_id"), col("score").as("s")))
+        .withColumnRenamed("r", "br")
+      val dense = Similarity.indexTopK(
+        s, Similarity.ensureIvfIndex(s, d),
+        s.read.parquet(ensureDenseQuery(s, d)), k = TopK,
+        allowed = Some(allowedIds))
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("dr"))
+      lex.join(dense, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          coalesce(col("br"), lit(0L)).as("bm25_rank"),
+          coalesce(col("dr"), lit(0L)).as("dense_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(TopK)
+    },
+
     // MANY hybrid queries, one distributed job — the batch analog of
     // text_bm25_multi lifted to the dense+lexical fusion: every query
     // carries a term set AND an embedding, the batch pays ONE bucket
@@ -700,7 +783,18 @@ object Retrieval {
     }
   }
 
-  private lazy val hybridDenseOracleSql: String = {
+  private lazy val hybridDenseOracleSql: String =
+    hybridDenseOracleSqlOver("TRUE", "TRUE")
+
+  /** The dense+lexical hybrid oracle, candidate restrictions pluggable:
+    * `lexWhere` bars docs from the BM25 scoring side (df and corpus
+    * stats stay GLOBAL — the filter restricts candidates, it does not
+    * redefine the corpus) and `denseWhere` bars vectors from the IVF
+    * candidate side. `text_hybrid_dense` plugs TRUE/TRUE;
+    * `text_hybrid_filtered` the label-slice predicate on both legs.
+    */
+  private def hybridDenseOracleSqlOver(lexWhere: String,
+      denseWhere: String): String = {
     val termList = QueryTerms.map("'" + _ + "'").mkString(", ")
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
        |           FROM documents),
@@ -717,6 +811,7 @@ object Retrieval {
        |                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))))
        |           AS score
        |       FROM tf JOIN df USING (word), st
+       |       WHERE $lexWhere
        |       GROUP BY tf.doc_id),
        |br AS (SELECT doc_id, r FROM (
        |    SELECT doc_id, row_number() OVER (
@@ -752,7 +847,8 @@ object Retrieval {
        |dsc AS (SELECT p.query_id, a1.vec_id AS doc_id,
        |    round(list_cosine_similarity(p.qv, a1.v), 4) AS sim
        |  FROM dpr p JOIN a1 ON p.cent_id = a1.cent_id
-       |    AND a1.vec_id <> p.query_id),
+       |    AND a1.vec_id <> p.query_id
+       |  WHERE $denseWhere),
        |dr AS (SELECT doc_id, r FROM (
        |    SELECT doc_id, row_number() OVER (
        |      ORDER BY sim DESC, doc_id) AS r FROM dsc)

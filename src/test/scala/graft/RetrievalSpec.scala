@@ -280,6 +280,55 @@ class RetrievalSpec extends SparkSpec {
       s"the fused serve must not re-scan the raw corpus text: $scans")
   }
 
+  test("text_hybrid_filtered: every fused doc is in the allowed label " +
+    "slice, surviving scores match the unfiltered ranking, and the " +
+    "serve boundary holds — scans read the two index roots, the query " +
+    "frame, and the (vec_id,label)-pruned metadata sidecar only") {
+    val q = SparkEntry.queries("text_hybrid_filtered")(spark, sf0001)
+    val rows = q.select($"doc_id", $"bm25_rank", $"dense_rank", $"rrf")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 10)
+    val allowedIds = Tables.embeddings(spark, sf0001)
+      .filter($"label".isin(0, 2, 4, 6, 8))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(rows.forall(r => allowedIds.contains(r._1)),
+      "every fused doc must satisfy the metadata predicate")
+    assert(rows.exists(_._2 > 0) && rows.exists(_._3 > 0),
+      s"both filtered rankers must surface docs: ${rows.toSeq}")
+    // candidate-restriction semantics: a doc surviving the filter keeps
+    // the SAME BM25 score it has in the unfiltered ranking (df and
+    // corpus stats stay global; only the candidate set shrinks)
+    val filteredScores = Retrieval.bm25TopKFiltered(
+      spark, Retrieval.ensureBm25Index(spark, sf0001),
+      allowedIds.toSeq.toDF("doc_id"))
+      .as[(Long, Double)].collect().toMap
+    val globalScores = Retrieval.bm25TopK(
+      spark, Retrieval.ensureBm25Index(spark, sf0001))
+      .as[(Long, Double)].collect().toMap
+    for ((id, s) <- filteredScores if globalScores.contains(id))
+      assert(s == globalScores(id),
+        s"doc $id: filtered score $s != global ${globalScores(id)}")
+    // serve boundary: index roots + staged query frame + the label
+    // sidecar (embeddings pruned to (vec_id, label) — metadata, not
+    // the float corpus)
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    val embScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("embeddings.parquet")))
+    assert(embScans.nonEmpty, "the allowed-set sidecar must be read")
+    embScans.foreach { f =>
+      val cols = f.requiredSchema.fieldNames.toSet
+      assert(cols.subsetOf(Set("vec_id", "label")),
+        s"sidecar scan must prune to metadata columns, read $cols")
+      assert(f.metadata("PushedFilters").contains("In(label"),
+        s"label predicate must push to the scan: ${f.metadata("PushedFilters")}")
+    }
+    assert(!scans.exists(_.relation.location.rootPaths
+      .exists(_.toString.contains("documents.parquet"))),
+      "the corpus text must never appear in the filtered serve plan")
+  }
+
   test("hybridBatch serve boundary: with the query frame PROVIDED (the " +
     "production contract), every file scan in the fused serve plan " +
     "reads an index root or the query frame — the corpus never appears") {
