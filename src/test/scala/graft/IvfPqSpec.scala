@@ -139,6 +139,26 @@ class IvfPqSpec extends SparkSpec {
       s"grown bounded-K index serves k rows per query, got ${perQ.toSeq}")
   }
 
+  test("writeIvfPqIndexSeedEvery (legacy mode): K grows as N/seedEvery " +
+    "— the documented reason bounded-K is the default — and the built " +
+    "index still serves k rows per query through the same path") {
+    val idx = tmpDir("ivfpq-seedevery")
+    val e = corpus()
+    Similarity.writeIvfPqIndexSeedEvery(e, idx)
+    val p = Similarity.protocol(idx)
+    val cents = spark.read.parquet(p.dir("cents")).count()
+    val expected = e.filter($"vec_id" % 25 === 0).count()
+    assert(cents == expected,
+      s"legacy mode must seed every 25th vector: $cents vs $expected")
+    assert(cents != Similarity.FixedK,
+      "the legacy K is corpus-proportional, not the bounded constant")
+    val perQ = Similarity.ivfPqTopK(spark, idx, queries(), e)
+      .groupBy($"query_id").count().select($"count").distinct()
+      .as[Long].collect()
+    assert(perQ.sameElements(Array(5L)),
+      s"legacy index serves k rows per query, got ${perQ.toSeq}")
+  }
+
   test("IVF-PQ fold/delete lifecycle: appends encode against the FROZEN " +
     "centroids and codebook, replays short-circuit, tombstones hide " +
     "served candidates") {
