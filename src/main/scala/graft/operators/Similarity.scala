@@ -115,6 +115,23 @@ object Similarity {
        |                       ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM bscored) WHERE rank <= $TopK)""".stripMargin
 
+  /** [[topkCtes]] with the exact side restricted to an allowed
+    * neighbor set — the baseline a FILTERED recall gate compares
+    * against (recall is measured within the slice, like the filtered
+    * exact search the user would otherwise run).
+    */
+  private def topkCtesOver(neighborWhere: String): String =
+    s"""q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |bscored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(qv, e.v), 4) AS sim
+       |  FROM q JOIN e ON e.vec_id <> query_id AND ($neighborWhere)),
+       |topk AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM bscored) WHERE rank <= $TopK)""".stripMargin
+
   /** IVF approximate top-k → CTE `ivf(query_id, neighbor_id, rank)`.
     * `neighborWhere` restricts which assigned vectors may be SERVED as
     * neighbors (centroids, assignments and probes are untouched) — the
@@ -1166,10 +1183,19 @@ object Similarity {
     * genuinely point-shaped: the collected shortlist becomes an
     * `In(vec_id, …)` pushdown on the sidecar scan (row-group skips),
     * never a full float-corpus stream past a broadcast join.
+    *
+    * `allowed` restricts the served candidates to a `(vec_id)` frame —
+    * filtered vector search over the PQ index, the same contract as
+    * [[indexTopK]]'s: the semi-join applies AFTER the cell prune and
+    * BEFORE ADC, so its left side is the probed-cells CODES subset
+    * (≈16 B/vector of ~nprobe/K of the corpus) and disallowed
+    * candidates never reach scoring, the shortlist, or the sidecar
+    * lookups. Rankings are over the restricted set.
     */
   def ivfPqTopK(s: SparkSession, indexPath: String, queries: DataFrame,
       full: DataFrame, nprobe: Int = 4, k: Int = TopK,
-      rerank: Int = PqRerank): DataFrame = {
+      rerank: Int = PqRerank,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val p = protocol(indexPath)
     val cents = s.read.parquet(p.dir("cents"))
     val cb = s.read.parquet(p.dir("codebook"))
@@ -1187,7 +1213,9 @@ object Similarity {
     val pruned =
       if (cells.length >= totalCells) allCoded
       else allCoded.filter(col("cent_id").isin(cells: _*))
-    val adc = probes.join(pqDecode(pruned, cb), Seq("cent_id"))
+    val candidates = allowed.fold(pruned)(a =>
+      pruned.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+    val adc = probes.join(pqDecode(candidates, cb), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(col("qv"), col("rv")), 4).as("sim"))
@@ -1349,9 +1377,9 @@ object Similarity {
     * the same composition under their respective build modes.
     */
   private def ivfPqRecallSql(assignCtes: String, cbWhere: String = "",
-      adcWhere: String = "TRUE"): String =
+      adcWhere: String = "TRUE", topk: String = topkCtes): String =
     s"""WITH $eCte,
-       |$topkCtes,
+       |$topk,
        |$assignCtes,
        |cb AS (SELECT m, vec_id AS code_id,
        |         v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS c8
@@ -1660,6 +1688,52 @@ object Similarity {
       "sim_ivfpq_recall",
       ivfPqRecallSql(ivfAssignCtes(fixedKSeedSql("e", FixedK)))) {
       (s, d) => ivfPqRecallOver(s, d, ensureIvfPqIndex(s, d))
+    },
+
+    // Filtered vector search FROM THE PERSISTED PQ INDEX — the last
+    // index family to gain the "nearest neighbors AMONG rows matching
+    // a metadata predicate" contract (brute: sim_topk_filtered, float
+    // IVF: sim_ivf_filtered). The allowed set semi-joins the probed
+    // cells' CODES before ADC, so disallowed candidates never reach
+    // scoring, the shortlist, or the sidecar point lookups; the recall
+    // baseline is the exact FILTERED top-k (recall within the slice,
+    // matching the filtered exact search the user would otherwise
+    // run). Oracle = the full bounded-default IVF-PQ composition with
+    // the allowed predicate on the ADC candidates and on the exact
+    // baseline — served from the SAME fixture as sim_ivfpq_recall, so
+    // the gate isolates the restriction, not a new build.
+    QuerySpec(
+      "sim_ivfpq_filtered",
+      ivfPqRecallSql(ivfAssignCtes(fixedKSeedSql("e", FixedK)),
+        adcWhere = "a1.vec_id IN (SELECT vec_id FROM embeddings" +
+          " WHERE label IN (0, 2, 4, 6, 8))",
+        topk = topkCtesOver("e.vec_id IN (SELECT vec_id FROM embeddings" +
+          " WHERE label IN (0, 2, 4, 6, 8))"))) { (s, d) =>
+      val allowedIds = Tables.embeddings(s, d)
+        .filter(col("label").isin(0, 2, 4, 6, 8)).select(col("vec_id"))
+      // limit(NQueries) is a semantic no-op (vec_id unique) that makes
+      // the query frame's bound STRUCTURAL for the broadcast below —
+      // the PlanSpec hazard sweep requires a GlobalLimit/scalar-agg in
+      // any hinted subtree that reads a corpus table.
+      val q = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+        .limit(NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      // Exact filtered baseline: the isin predicate pushes into the
+      // embedding scan (the sim_topk_filtered shape).
+      val exact = rankTopK(corpus(s, d)
+        .filter(col("label").isin(0, 2, 4, 6, 8))
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosine(col("qv"), col("v")), 4).as("sim")))
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = ivfPqTopK(s, ensureIvfPqIndex(s, d), q,
+        corpus(s, d).select(col("vec_id"), col("v")),
+        allowed = Some(allowedIds))
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
     },
 
     // The IVF-PQ GROWN lifecycle under the value gate — the PQ twin of

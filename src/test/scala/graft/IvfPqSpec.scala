@@ -139,6 +139,26 @@ class IvfPqSpec extends SparkSpec {
       s"grown bounded-K index serves k rows per query, got ${perQ.toSeq}")
   }
 
+  test("sim_ivfpq_filtered: every served neighbor satisfies the " +
+    "metadata predicate, and the slice-recall floor holds") {
+    val allowed = Tables.embeddings(spark, sf0001)
+      .filter($"label".isin(0, 2, 4, 6, 8)).select($"vec_id")
+    val served = Similarity.ivfPqTopK(spark,
+      Similarity.ensureIvfPqIndex(spark, sf0001), queries(), corpus(),
+      allowed = Some(allowed))
+    assert(served.join(allowed,
+        served("neighbor_id") === allowed("vec_id"), "left_anti")
+      .count() == 0,
+      "a disallowed vec_id must never be served as a neighbor")
+    val rows = SparkEntry.queries("sim_ivfpq_filtered")(spark, sf0001)
+      .select($"query_id", $"n_common").as[(Long, Long)].collect()
+    assert(rows.length == 20, "one recall row per gate query")
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 5),
+      "per-query slice overlap is bounded by k")
+    assert(rows.map(_._2).sum >= 15,
+      "the filtered composition must stay useful within the slice")
+  }
+
   test("writeIvfPqIndexSeedEvery (legacy mode): K grows as N/seedEvery " +
     "— the documented reason bounded-K is the default — and the built " +
     "index still serves k rows per query through the same path") {
