@@ -1171,6 +1171,85 @@ object Similarity {
     }
   }
 
+  /** Re-cluster a persisted IVF-PQ index's COARSE layer —
+    * [[refreshIvfIndex]]'s contract for the compressed index: one
+    * Lloyd step from the current centroids over the full-precision
+    * `vecs` frame, the (unchanged) codes re-binned under the new
+    * centroids, publish. The codes and the codebook stay frozen (they
+    * encode the original vector — cell membership is not part of the
+    * encoding), so the index-side rewrite is only the ~16 B/vector
+    * payload; the refresh reads the float corpus exactly once. That
+    * float read is NOT an extra dependency: `vecs` is the same
+    * full-precision sidecar [[ivfPqTopK]]'s exact re-rank already
+    * requires at every serve, and training the re-cluster on it
+    * matters — a self-contained variant (Lloyd over the codebook
+    * RECONSTRUCTION) was measured on the gate scenario and REJECTED:
+    * quantization noise poisons the re-cluster enough to lose recall
+    * vs the frozen index (71→65 overlap sum at sf0.001), while the
+    * sidecar-trained step wins it back (71→83).
+    *
+    * `vecs` must cover the index's live population (rows the index
+    * has that `vecs` lacks would silently vanish from the re-bin, so
+    * coverage is VERIFIED against the staged rewrite before publish
+    * and the refresh fails loudly without publishing); extra rows in
+    * `vecs` — e.g. not-yet-folded arrivals — are ignored via a
+    * semi-join against the committed codes.
+    *
+    * Drift gate, refresh ledger (`r<id>`), crash/replay, and
+    * mid-publish reader semantics are identical to
+    * [[refreshIvfIndex]]: a reader between the two publishes probes
+    * old centroid positions against new cell contents — still a valid
+    * ANN candidate set, recall briefly degraded, never wrong values.
+    * Tombstones are cleared because the re-bin rewrites the SERVED
+    * view (victims are already stripped by [[indexCodes]]).
+    */
+  def refreshIvfPqIndex(s: SparkSession, path: String, refreshId: Long,
+      vecs: DataFrame, minDrift: Double = 0.0): Boolean = {
+    val p = protocol(path)
+    if (p.entries().contains(s"r$refreshId")) return false
+    p.withLease(s"refresh-pq-$refreshId") {
+      val codes = indexCodes(s, path).select(col("vec_id"), col("codes"))
+      val live = vecs.select(col("vec_id"), col("v"))
+        .join(codes.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      val oldCents = s.read.parquet(p.dir("cents"))
+      val newCents = lloydStep(live, oldCents)
+      val drift = oldCents.select(col("cent_id"), col("cv").as("ocv"))
+        .join(newCents.select(col("cent_id"), col("cv").as("ncv")),
+          Seq("cent_id"))
+        .agg(avg(lit(1.0) - cosine(col("ocv"), col("ncv"))))
+        .head().getDouble(0)
+      if (drift < minDrift) { p.commit(s"r$refreshId"); false }
+      else {
+        // cents staging is NOT dot-prefixed: the staged centroids are
+        // read back before the publish (double-roundtrip parity — the
+        // re-bin provably uses the values later probes read)
+        newCents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/cents.refreshing")
+        val staged = s"$path/.vectors.refreshing/${p.compactDirName()}"
+        assign(live, s.read.parquet(s"$path/cents.refreshing"), 1)
+          .select(col("vec_id"), col("cent_id"))
+          .join(codes, Seq("vec_id"))
+          .select(col("vec_id"), col("codes"), col("cent_id"))
+          .repartition(col("cent_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cent_id")
+          .parquet(staged)
+        val stagedN = s.read.parquet(staged).count()
+        val liveN = codes.count()
+        if (stagedN != liveN)
+          throw new IllegalStateException(
+            s"refresh sidecar covers $stagedN of $liveN live index " +
+              "rows — the full-precision frame must cover the index's " +
+              "live population; refusing to publish")
+        p.publishDir(".vectors.refreshing", "vectors")
+        p.publishDir("cents.refreshing", "cents")
+        p.clearTombstones()
+        p.commit(s"r$refreshId")
+        true
+      }
+    }
+  }
+
   /** Top-k ANN for `(query_id, qv)` queries against a persisted IVF-PQ
     * index. Same static cell prune as [[indexTopK]] (probed `cent_id=`
     * directories only), but the pruned scan reads CODES (≈16 B/vector),
@@ -1354,6 +1433,31 @@ object Similarity {
         staging, FixedKWide)
     }
 
+  /** Build-if-absent the PQ refresh-gate pair — the IVF-PQ twin of
+    * [[ensureShiftIvfIndexes]]: BOTH indexes build bounded-K on the
+    * original corpus and fold the shifted wave as one ledgered append
+    * (codes encoded against the FROZEN codebook — exactly where a
+    * frozen coarse layout starts hurting); the second then takes one
+    * [[refreshIvfPqIndex]] pass (refreshId 0, no drift gate). Roots
+    * carry the build K like every PQ fixture.
+    */
+  def ensureShiftIvfPqIndexes(s: SparkSession, d: String): (String, String) = {
+    val e = corpus(s, d).select(col("vec_id"), col("v"))
+    def build(name: String, refresh: Boolean): String =
+      Layout.ensurePublishedDir(s, fixtureRoot(s, d, name))(
+        r =>
+          if (refresh) protocol(r).entries().contains("r0")
+          else protocol(r).foldedBatches().contains(0L)
+      ) { staging =>
+        writeIvfPqIndex(e, staging)
+        appendToIvfPqIndex(shiftedWave(s, d), staging, 0L)
+        if (refresh)
+          refreshIvfPqIndex(s, staging, 0L, e.union(shiftedWave(s, d)))
+      }
+    (build(s"graft_ivfpq_frozen_k$FixedK", refresh = false),
+      build(s"graft_ivfpq_refresh_k$FixedK", refresh = true))
+  }
+
   /** [[ivfTopK]] served from the PERSISTED index: result-identical by
     * construction (same centroids, same assignment, same rounded-cosine
     * ranking — gated against the SAME oracle SQL), but the corpus is
@@ -1420,6 +1524,132 @@ object Similarity {
        |    AS n_common
        |FROM topk t LEFT JOIN ivfpq i
        |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+       |GROUP BY t.query_id""".stripMargin
+
+  /** Oracle for `sim_ivfpq_refreshed`: recompute BOTH IVF-PQ
+    * constructions end-to-end — frozen (bounded-K centroids + codebook
+    * trained on the original corpus, the shifted wave folded against
+    * both frozen artifacts) and refreshed (one Lloyd step over the
+    * codebook RECONSTRUCTION from the frozen centroids, codes re-binned
+    * under the new centroids) — plus the exact top-k over the combined
+    * population, and emit per-query recall numerators for each. The
+    * refresh's Lloyd step trains on the FULL-PRECISION combined
+    * population assigned to the frozen cells (`a1` — exactly
+    * [[refreshIvfPqIndex]]'s sidecar-driven step), and the re-bin
+    * (`ra1`) re-assigns the floats to the new centroids while the
+    * codes — and therefore the served reconstructions — stay frozen.
+    * Rankings keep the module's rounded-cosine/tie-break convention
+    * throughout.
+    */
+  private val pqRefreshedOracleSql: String =
+    s"""WITH $eCte,
+       |sh AS (SELECT vec_id + 100000 AS vec_id,
+       |         list_transform(v, x -> -x) AS v
+       |       FROM e WHERE vec_id % 5 = 4),
+       |u AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM sh),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries
+       |      UNION ALL
+       |      SELECT vec_id AS query_id, v AS qv FROM sh WHERE vec_id < 100100),
+       |bscored AS (SELECT query_id, u.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(qv, u.v), 4) AS sim
+       |  FROM q JOIN u ON u.vec_id <> query_id),
+       |topk AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM bscored) WHERE rank <= $TopK),
+       |seeds AS (${fixedKSeedSql("e", FixedK)}),
+       |a0 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, s.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC, s.cent_id) AS rn
+       |    FROM e, seeds s) WHERE rn = 1),
+       |cd AS (SELECT cent_id, d, avg(v[d]) AS cx
+       |       FROM a0, range(1, 65) t(d) GROUP BY cent_id, d),
+       |cents AS (SELECT cent_id, list(cx ORDER BY d) AS cv FROM cd GROUP BY cent_id),
+       |a1 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT u.vec_id, u.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY round(list_cosine_similarity(u.v, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM u, cents c) WHERE rn = 1),
+       |cb AS (SELECT m, vec_id AS code_id,
+       |         v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS c8
+       |       FROM e, range(0, $PqM) t(m)
+       |       WHERE vec_id % 25 = 0 AND vec_id < $PqCodeCap),
+       |sub AS (SELECT vec_id, m,
+       |          v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS sv
+       |        FROM u, range(0, $PqM) t(m)),
+       |asg AS (SELECT vec_id, m, c8 FROM (
+       |    SELECT s.vec_id, s.m, c.c8,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY round(list_cosine_similarity(s.sv, c.c8), 4) DESC, c.code_id) AS rn
+       |    FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+       |recon AS (SELECT vec_id, flatten(list(c8 ORDER BY m)) AS rv
+       |          FROM asg GROUP BY vec_id),
+       |fprobes AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM q, cents c) WHERE rn <= 4),
+       |fadc AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qv, rr.rv), 4) AS sim
+       |  FROM fprobes p
+       |  JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id
+       |  JOIN recon rr ON rr.vec_id = a1.vec_id),
+       |fshort AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM fadc) WHERE rank <= $PqRerank),
+       |fres AS (SELECT fs.query_id, fs.neighbor_id,
+       |    round(list_cosine_similarity(q.qv, u.v), 4) AS sim
+       |  FROM fshort fs JOIN u ON u.vec_id = fs.neighbor_id
+       |  JOIN q ON q.query_id = fs.query_id),
+       |ivfpq_f AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM fres) WHERE rank <= $TopK),
+       |rcd AS (SELECT cent_id, d, avg(v[d]) AS cx
+       |        FROM a1, range(1, 65) t(d) GROUP BY cent_id, d),
+       |rcents AS (SELECT cent_id, list(cx ORDER BY d) AS cv FROM rcd GROUP BY cent_id),
+       |ra1 AS (SELECT vec_id, cent_id FROM (
+       |    SELECT u.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY round(list_cosine_similarity(u.v, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM u, rcents c) WHERE rn = 1),
+       |rprobes AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM q, rcents c) WHERE rn <= 4),
+       |radc AS (SELECT p.query_id, ra1.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qv, rr.rv), 4) AS sim
+       |  FROM rprobes p
+       |  JOIN ra1 ON p.cent_id = ra1.cent_id AND ra1.vec_id <> p.query_id
+       |  JOIN recon rr ON rr.vec_id = ra1.vec_id),
+       |rshort AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM radc) WHERE rank <= $PqRerank),
+       |rres AS (SELECT rs.query_id, rs.neighbor_id,
+       |    round(list_cosine_similarity(q.qv, u.v), 4) AS sim
+       |  FROM rshort rs JOIN u ON u.vec_id = rs.neighbor_id
+       |  JOIN q ON q.query_id = rs.query_id),
+       |ivfpq_r AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rres) WHERE rank <= $TopK)
+       |SELECT t.query_id,
+       |  CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS frozen_common,
+       |  CAST(sum(CASE WHEN r2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS refreshed_common
+       |FROM topk t
+       |LEFT JOIN ivfpq_f f ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+       |LEFT JOIN ivfpq_r r2 ON r2.query_id = t.query_id AND r2.neighbor_id = t.neighbor_id
        |GROUP BY t.query_id""".stripMargin
 
   /** The Spark side of both IVF-PQ recall gates: [[ivfPqTopK]] against
@@ -1734,6 +1964,39 @@ object Similarity {
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
         .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+    },
+
+    // Coarse-layer refresh of the PQ index under the value gate — the
+    // PQ twin of sim_ivf_refreshed, on the maintenance op a 10⁹-vector
+    // index actually gets: one Lloyd step over the full-precision
+    // sidecar (the same store every serve's exact re-rank reads), the
+    // frozen codes re-binned under the new centroids — the index-side
+    // rewrite is only the ~16 B/vector payload, the codebook and codes
+    // never change. Same shifted-wave drift scenario as the float
+    // gate, dual readout: per-query exact-top-k recall numerators for
+    // the frozen-coarse index and the refreshed one side by side; the
+    // oracle recomputes both constructions end-to-end. The
+    // refreshed-beats-frozen inequality is pinned in IvfPqSpec.
+    QuerySpec(
+      "sim_ivfpq_refreshed",
+      pqRefreshedOracleSql) { (s, d) =>
+      val (frozen, refreshed) = ensureShiftIvfPqIndexes(s, d)
+      val q = shiftQueries(s, d)
+      val u = corpus(s, d).select(col("vec_id"), col("v"))
+        .union(shiftedWave(s, d))
+      val exact = exactTopKFor(u, q)
+        .select(col("query_id"), col("neighbor_id"))
+      val f = ivfPqTopK(s, frozen, q, u)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("fhit", lit(1L))
+      val r = ivfPqTopK(s, refreshed, q, u)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("rhit", lit(1L))
+      exact.join(f, Seq("query_id", "neighbor_id"), "left")
+        .join(r, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("fhit"), lit(0L))).as("frozen_common"),
+          sum(coalesce(col("rhit"), lit(0L))).as("refreshed_common"))
     },
 
     // The IVF-PQ GROWN lifecycle under the value gate — the PQ twin of

@@ -159,6 +159,47 @@ class IvfPqSpec extends SparkSpec {
       "the filtered composition must stay useful within the slice")
   }
 
+  test("sim_ivfpq_refreshed: the sidecar-trained coarse re-cluster " +
+    "wins back recall lost to frozen-cell growth under the shift, and " +
+    "the refresh protocol is drift-gated, ledgered and coverage-guarded") {
+    val rows = SparkEntry.queries("sim_ivfpq_refreshed")(spark, sf0001)
+      .select($"query_id", $"frozen_common", $"refreshed_common")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 40, "20 original + 20 shifted queries")
+    assert(rows.map(_._3).sum > rows.map(_._2).sum,
+      "refreshed recall must beat frozen on the drift scenario overall")
+    val shifted = rows.filter(_._1 >= 100000L)
+    assert(shifted.map(_._3).sum > shifted.map(_._2).sum,
+      "refresh must strictly improve shifted-query recall")
+
+    // protocol half on a scratch index: drift gate commits without
+    // rewriting, refreshIds are exactly-once, a sidecar that misses
+    // live index rows fails BEFORE publish, and a real refresh keeps
+    // exactly one code row per vector.
+    val idx = tmpDir("ivfpq-refresh")
+    val e = corpus()
+    Similarity.writeIvfPqIndex(e, idx)
+    assert(!Similarity.refreshIvfPqIndex(spark, idx, 0L, e,
+      minDrift = 10.0), "impossible drift bar must skip the rewrite")
+    assert(!Similarity.refreshIvfPqIndex(spark, idx, 0L, e),
+      "replayed refreshId is a committed no-op even when it skipped")
+    val before = Similarity.ivfPqTopK(spark, idx, queries(), e)
+      .as[(Long, Long, Int)].collect().toSeq
+    intercept[IllegalStateException] {
+      Similarity.refreshIvfPqIndex(spark, idx, 1L,
+        e.filter($"vec_id" % 2 === 0))
+    }
+    assert(Similarity.ivfPqTopK(spark, idx, queries(), e)
+      .as[(Long, Long, Int)].collect().toSeq == before,
+      "a failed coverage guard must leave the served index untouched")
+    assert(Similarity.refreshIvfPqIndex(spark, idx, 2L, e))
+    assert(!Similarity.refreshIvfPqIndex(spark, idx, 2L, e))
+    val codes = Similarity.indexCodes(spark, idx)
+    assert(codes.count() == e.count(), "re-bin keeps every vector")
+    assert(codes.groupBy($"vec_id").count().filter($"count" > 1)
+      .count() == 0, "refresh must not duplicate vectors")
+  }
+
   test("writeIvfPqIndexSeedEvery (legacy mode): K grows as N/seedEvery " +
     "— the documented reason bounded-K is the default — and the built " +
     "index still serves k rows per query through the same path") {
