@@ -689,6 +689,40 @@ object Retrieval {
         .limit(TopK)
     },
 
+    // Hybrid with the dense leg served from the PERSISTED IVF-PQ
+    // index — the configuration a 10⁹-vector corpus actually runs:
+    // the coarse prune reads ~nprobe/K of the corpus at ~16 B/vector
+    // of CODES (vs 256 B of floats on the text_hybrid_dense leg), ADC
+    // scores reconstructions, and only the ≤ rerank shortlist touches
+    // full precision — as In(vec_id,…) point lookups on the
+    // embeddings sidecar, never a corpus stream. Lexical leg and RRF
+    // fusion are text_hybrid_dense's verbatim; the oracle recomputes
+    // the full PQ composition (Similarity.ivfPqServeCtes) in place of
+    // the float IVF chain.
+    QuerySpec("text_hybrid_pq", hybridPqOracleSql) { (s, d) =>
+      val lex = ranksOf(
+        bm25TopK(s, ensureBm25Index(s, d))
+          .select(col("doc_id"), col("score").as("s")))
+        .withColumnRenamed("r", "br")
+      val dense = Similarity.ivfPqTopK(
+        s, Similarity.ensureIvfPqIndex(s, d),
+        s.read.parquet(ensureDenseQuery(s, d)),
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").as("v")),
+        k = TopK)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("dr"))
+      lex.join(dense, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          coalesce(col("br"), lit(0L)).as("bm25_rank"),
+          coalesce(col("dr"), lit(0L)).as("dense_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(TopK)
+    },
+
     // FILTERED dense+lexical hybrid — the production "search within a
     // tenant/language slice" shape: the same two persisted-index
     // rankers as text_hybrid_dense, each with the metadata predicate
@@ -793,10 +827,13 @@ object Retrieval {
     * candidate side. `text_hybrid_dense` plugs TRUE/TRUE;
     * `text_hybrid_filtered` the label-slice predicate on both legs.
     */
-  private def hybridDenseOracleSqlOver(lexWhere: String,
-      denseWhere: String): String = {
+  /** The hybrid oracles' shared lexical leg: BM25 arithmetic over the
+    * gate terms, candidates optionally restricted by `lexWhere` (df
+    * and corpus stats stay GLOBAL) → `br(doc_id, r)`.
+    */
+  private def hybridLexCtes(lexWhere: String): String = {
     val termList = QueryTerms.map("'" + _ + "'").mkString(", ")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS ws
        |           FROM documents),
        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
        |              avg(len(ws)) AS avgdl FROM d),
@@ -816,13 +853,38 @@ object Retrieval {
        |br AS (SELECT doc_id, r FROM (
        |    SELECT doc_id, row_number() OVER (
        |      ORDER BY round(score, 4) DESC, doc_id) AS r FROM sc)
-       |  WHERE r <= $TopK),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  WHERE r <= $TopK)""".stripMargin
+  }
+
+  /** The hybrid oracles' shared synthetic dense query: the corpus
+    * frame `e` plus the one-row per-dim-mean query `qd(query_id, qv)`
+    * ([[denseQuery]]'s arithmetic).
+    */
+  private val hybridDenseQueryCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |      FROM embeddings),
        |qm AS (SELECT dd, avg(v[dd]) AS qx
        |       FROM e, range(1, 65) rr(dd) WHERE vec_id < 20 GROUP BY dd),
        |qd AS (SELECT CAST(-1 AS BIGINT) AS query_id,
-       |              list(qx ORDER BY dd) AS qv FROM qm),
+       |              list(qx ORDER BY dd) AS qv FROM qm)""".stripMargin
+
+  /** The hybrid oracles' shared RRF fusion tail over `br(doc_id, r)`
+    * and `dr(doc_id, r)`.
+    */
+  private val hybridFusionTail: String =
+    s"""f AS (SELECT coalesce(br.doc_id, dr.doc_id) AS doc_id,
+       |    CAST(coalesce(br.r, 0) AS BIGINT) AS bm25_rank,
+       |    CAST(coalesce(dr.r, 0) AS BIGINT) AS dense_rank,
+       |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + br.r), 0)
+       |        + coalesce(CAST(1.0 AS DOUBLE) / (60 + dr.r), 0), 4) AS rrf
+       |  FROM br FULL JOIN dr ON br.doc_id = dr.doc_id)
+       |SELECT doc_id, bm25_rank, dense_rank, rrf FROM f
+       |ORDER BY rrf DESC, doc_id LIMIT $TopK""".stripMargin
+
+  private def hybridDenseOracleSqlOver(lexWhere: String,
+      denseWhere: String): String = {
+    s"""WITH ${hybridLexCtes(lexWhere)},
+       |$hybridDenseQueryCtes,
        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e
        |          WHERE vec_id % 25 = 0),
        |a0 AS (SELECT vec_id, v, cent_id FROM (
@@ -853,15 +915,21 @@ object Retrieval {
        |    SELECT doc_id, row_number() OVER (
        |      ORDER BY sim DESC, doc_id) AS r FROM dsc)
        |  WHERE r <= $TopK),
-       |f AS (SELECT coalesce(br.doc_id, dr.doc_id) AS doc_id,
-       |    CAST(coalesce(br.r, 0) AS BIGINT) AS bm25_rank,
-       |    CAST(coalesce(dr.r, 0) AS BIGINT) AS dense_rank,
-       |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + br.r), 0)
-       |        + coalesce(CAST(1.0 AS DOUBLE) / (60 + dr.r), 0), 4) AS rrf
-       |  FROM br FULL JOIN dr ON br.doc_id = dr.doc_id)
-       |SELECT doc_id, bm25_rank, dense_rank, rrf FROM f
-       |ORDER BY rrf DESC, doc_id LIMIT $TopK""".stripMargin
+       |$hybridFusionTail""".stripMargin
   }
+
+  /** Oracle for `text_hybrid_pq`: the same lexical leg and fusion as
+    * `text_hybrid_dense`, the dense leg the FULL bounded-K IVF-PQ
+    * serve composition (`Similarity.ivfPqServeCtes` — seeds, Lloyd,
+    * codebook, ADC over probed cells, rerank-deep shortlist, exact
+    * re-rank) over the same synthetic query.
+    */
+  private lazy val hybridPqOracleSql: String =
+    s"""WITH ${hybridLexCtes("TRUE")},
+       |$hybridDenseQueryCtes,
+       |${Similarity.ivfPqServeCtes("qd", "pqtop")},
+       |dr AS (SELECT neighbor_id AS doc_id, rank AS r FROM pqtop),
+       |$hybridFusionTail""".stripMargin
 
   /** The hybrid-serving batch: negative ids (outside the corpus id
     * domain, so the vector index's self-match exclusion never bars a

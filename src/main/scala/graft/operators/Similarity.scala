@@ -1652,6 +1652,73 @@ object Similarity {
        |LEFT JOIN ivfpq_r r2 ON r2.query_id = t.query_id AND r2.neighbor_id = t.neighbor_id
        |GROUP BY t.query_id""".stripMargin
 
+  /** The bounded-K-default IVF-PQ serve chain as oracle CTE text,
+    * parameterized on the query-frame CTE (must expose
+    * `(query_id, qv)`) — for composing the PQ dense leg into OTHER
+    * modules' oracles (the hybrid gates in `Retrieval`). Expects
+    * `e(vec_id, v)` in scope; emits `<out>(query_id, neighbor_id,
+    * rank)`. CTE names are pq_-prefixed so the composition cannot
+    * collide with a host oracle's frames; the chain itself — seeds,
+    * Lloyd, assignment, codebook, ADC, rerank-deep shortlist, exact
+    * re-rank — mirrors [[ivfPqRecallSql]] line for line, so the gates
+    * sharing it certify one construction.
+    */
+  private[graft] def ivfPqServeCtes(queryCte: String,
+      out: String): String =
+    s"""pq_seeds AS (${fixedKSeedSql("e", FixedK)}),
+       |pq_a0 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, s.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC, s.cent_id) AS rn
+       |    FROM e, pq_seeds s) WHERE rn = 1),
+       |pq_cd AS (SELECT cent_id, dd, avg(v[dd]) AS cx
+       |       FROM pq_a0, range(1, 65) t(dd) GROUP BY cent_id, dd),
+       |pq_cents AS (SELECT cent_id, list(cx ORDER BY dd) AS cv
+       |             FROM pq_cd GROUP BY cent_id),
+       |pq_a1 AS (SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM e, pq_cents c) WHERE rn = 1),
+       |pq_cb AS (SELECT m, vec_id AS code_id,
+       |         v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS c8
+       |       FROM e, range(0, $PqM) t(m)
+       |       WHERE vec_id % 25 = 0 AND vec_id < $PqCodeCap),
+       |pq_sub AS (SELECT vec_id, m,
+       |          v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS sv
+       |        FROM e, range(0, $PqM) t(m)),
+       |pq_asg AS (SELECT vec_id, m, c8 FROM (
+       |    SELECT s.vec_id, s.m, c.c8,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY round(list_cosine_similarity(s.sv, c.c8), 4) DESC, c.code_id) AS rn
+       |    FROM pq_sub s JOIN pq_cb c ON s.m = c.m) WHERE rn = 1),
+       |pq_recon AS (SELECT vec_id, flatten(list(c8 ORDER BY m)) AS rv
+       |          FROM pq_asg GROUP BY vec_id),
+       |pq_probes AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM $queryCte q, pq_cents c) WHERE rn <= 4),
+       |pq_adc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qv, rr.rv), 4) AS sim
+       |  FROM pq_probes p
+       |  JOIN pq_a1 a ON p.cent_id = a.cent_id AND a.vec_id <> p.query_id
+       |  JOIN pq_recon rr ON rr.vec_id = a.vec_id),
+       |pq_short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM pq_adc) WHERE rank <= $PqRerank),
+       |pq_res AS (SELECT sh.query_id, sh.neighbor_id,
+       |    round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+       |  FROM pq_short sh JOIN e ON e.vec_id = sh.neighbor_id
+       |  JOIN $queryCte q ON q.query_id = sh.query_id),
+       |$out AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM pq_res) WHERE rank <= $TopK)""".stripMargin
+
   /** The Spark side of both IVF-PQ recall gates: [[ivfPqTopK]] against
     * the given persisted index, per-query overlap vs [[bruteTopK]].
     */

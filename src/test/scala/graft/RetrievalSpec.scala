@@ -280,6 +280,49 @@ class RetrievalSpec extends SparkSpec {
       s"the fused serve must not re-scan the raw corpus text: $scans")
   }
 
+  test("text_hybrid_pq: the dense leg serves from the PERSISTED IVF-PQ " +
+    "index, full precision is touched only as In-pruned point lookups " +
+    "on the embeddings sidecar, and the fusion arithmetic is exact") {
+    val q = SparkEntry.queries("text_hybrid_pq")(spark, sf0001)
+    val rows = q.select($"doc_id", $"bm25_rank", $"dense_rank", $"rrf")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 10)
+    assert(rows.exists(_._2 > 0) && rows.exists(_._3 > 0),
+      s"both rankers must surface docs: ${rows.toSeq}")
+    rows.foreach { case (id, br, dr, rrf) =>
+      val expect = BigDecimal(
+        (if (br > 0) 1.0 / (60 + br) else 0.0) +
+        (if (dr > 0) 1.0 / (60 + dr) else 0.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf == expect, s"doc $id: rrf $rrf != $expect")
+    }
+    // serve boundary: the lexical side reads the inverted index, the
+    // query frame is the staged one-row parquet, and the ONLY
+    // full-precision read is the exact re-rank's point lookups — an
+    // embeddings scan carrying the shortlist as an In(vec_id, …)
+    // pushdown (the ADC itself ran over the PQ index's codes at
+    // construction time). The corpus text never appears.
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    def roots(f: FileSourceScanExec) =
+      f.relation.location.rootPaths.map(_.toString)
+    assert(scans.exists(roots(_).exists(_.contains("graft_bm25_index"))),
+      "lexical side must serve from the inverted index")
+    assert(scans.exists(roots(_).exists(_.contains("graft_hybrid_qdense"))),
+      "the query frame must be the staged parquet")
+    val embScans = scans.filter(
+      roots(_).exists(_.contains("embeddings.parquet")))
+    assert(embScans.nonEmpty, "the re-rank sidecar must be read")
+    embScans.foreach { f =>
+      assert(f.metadata("PushedFilters").contains("In(vec_id"),
+        s"the shortlist must push as point lookups: " +
+          f.metadata("PushedFilters"))
+    }
+    assert(!scans.exists(roots(_).exists(_.contains("documents.parquet"))),
+      "the fused serve must not re-scan the raw corpus text")
+  }
+
   test("text_hybrid_filtered: every fused doc is in the allowed label " +
     "slice, surviving scores match the unfiltered ranking, and the " +
     "serve boundary holds — scans read the two index roots, the query " +
