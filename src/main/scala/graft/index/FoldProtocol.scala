@@ -721,13 +721,69 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     * nodes when the index has no committed deletes.
     */
   def readCommittedStripped(s: SparkSession, kind: String, idCol: String)(
+      readDir: String => DataFrame): DataFrame =
+    readStrippedFrom(committedDirs(kind), tombstones(s), idCol)(readDir)
+
+  /** [[readCommittedStripped]] AS OF a ledger horizon: serve the index
+    * exactly as it stood after ledger id `asOf` — folds (`b<id>`),
+    * compactions (`c<hw>`) and per-kind delete deltas (`d<id>`) with
+    * id ≤ asOf are included, later ones excluded, and only tombstone
+    * batches with deleteId ≤ asOf anti-join. Writers here allocate
+    * fold / delete / refresh ids from ONE monotonically increasing
+    * sequence per index, so a ledger id IS a consistent snapshot
+    * point — the reproducibility contract a training run pins its
+    * corpus to ("train against the index as of fold 41").
+    *
+    * Honesty guards — the read REFUSES (IllegalArgumentException via
+    * require) instead of serving a lie when physical maintenance has
+    * collapsed the requested history:
+    *   - a compaction with hw > asOf replaced the per-fold dirs the
+    *     horizon needs (no included base dir remains — compaction is
+    *     the documented trade: physical purge for ledger history);
+    *   - a committed refresh `r<id>` with id > asOf rewrote the
+    *     kind's layout in place.
+    * Frozen artifacts OUTSIDE the folded kind (centroids, codebooks)
+    * are by construction identical at every refresh-free horizon, so
+    * the caller may read them current.
+    */
+  def readCommittedStrippedAsOf(s: SparkSession, kind: String,
+      idCol: String, asOf: Long)(
       readDir: String => DataFrame): DataFrame = {
-    val frames = committedDirs(kind).map { d =>
+    val lateRefresh = entries().filter(_.matches("r\\d+"))
+      .map(_.drop(1).toLong).filter(_ > asOf)
+    require(lateRefresh.isEmpty,
+      s"index at $root cannot serve as-of $asOf: refresh(es) r" +
+        s"${lateRefresh.toSeq.sorted.mkString(", r")} rewrote it in place")
+    def name(d: String) = d.substring(d.lastIndexOf('/') + 1)
+    def asOfOrd(d: String): Long =
+      if (name(d).matches("[bcd]\\d+")) name(d).drop(1).toLong else 0L
+    val dirs = committedDirs(kind).filter(asOfOrd(_) <= asOf)
+    require(dirs.exists(d => !name(d).matches("[bd]\\d+")),
+      s"index at $root cannot serve $kind as-of $asOf: compaction " +
+        "collapsed the per-fold history this horizon needs")
+    val ts = committedDirsOrEmpty("tombstones")
+      .filter(d => name(d).drop(1).toLong <= asOf) match {
+      case Nil => None
+      case kept =>
+        val t = s.read.parquet(kept: _*)
+        Some(
+          if (t.columns.contains("hw")) t
+          else t.withColumn("hw", lit(Long.MaxValue)))
+    }
+    readStrippedFrom(dirs, ts, idCol)(readDir)
+  }
+
+  /** Shared serve core: union `dirs` tagged with their fold order,
+    * anti-join the given tombstone frame scoped by ledger order.
+    */
+  private def readStrippedFrom(dirs: Seq[String], ts: Option[DataFrame],
+      idCol: String)(readDir: String => DataFrame): DataFrame = {
+    val frames = dirs.map { d =>
       val name = d.substring(d.lastIndexOf('/') + 1)
       readDir(d).withColumn("_fold_ord", lit(dirOrd(name)))
     }
     val tagged = frames.reduce(_.union(_))
-    tombstones(s) match {
+    ts match {
       case None => tagged.drop("_fold_ord")
       case Some(t) =>
         val tt = t.select(col(idCol).as("_ts_id"),

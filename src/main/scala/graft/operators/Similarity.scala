@@ -492,6 +492,58 @@ object Similarity {
         .select(col("vec_id")), staging, 1L)
     }
 
+  /** Build-if-absent the AS-OF gate fixture: the evolved lifecycle
+    * with ledger ids drawn from one increasing sequence at DISTINCT
+    * dir orders — seed (order 0), fold `b1`, delete `d2` — so every
+    * ledger id is a distinguishable snapshot horizon (the float
+    * evolved fixture's 0/1 ids would alias the fold with the seed).
+    */
+  def ensureAsOfIvfIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_ivf_asof"))(
+      r => protocol(r).deletedBatches().contains(2L)
+    ) { staging =>
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      writeIvfIndex(e.filter(col("vec_id") % 5 =!= 4), staging)
+      appendToIvfIndex(e.filter(col("vec_id") % 5 === 4), staging, 1L)
+      deleteFromIvfIndex(e.filter(col("vec_id") % 9 === 0)
+        .select(col("vec_id")), staging, 2L)
+    }
+
+  /** One horizon's ranked serve for the as-of oracle: the shared
+    * grown-index assign/probe frames restricted to the candidates the
+    * horizon may serve.
+    */
+  private def asofHorizonCte(name: String, horizon: Int,
+      where: String): String =
+    s"""$name AS (SELECT CAST($horizon AS BIGINT) AS horizon, query_id,
+       |    neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM (SELECT p.query_id, a1.vec_id AS neighbor_id,
+       |      round(list_cosine_similarity(p.qv, a1.v), 4) AS sim
+       |    FROM probes p JOIN a1 ON p.cent_id = a1.cent_id
+       |      AND a1.vec_id <> p.query_id
+       |    WHERE $where)) WHERE rank <= $TopK)""".stripMargin
+
+  /** Oracle for `sim_ivf_asof`: ONE shared index construction (the
+    * history-trained grown chain — centroids never change across the
+    * lifecycle), three candidate restrictions: horizon 0 = seed only
+    * (the history wave), horizon 1 = seed + fold, horizon 2 = fold +
+    * delete applied. Exactly what the ledger-scoped dir/tombstone
+    * filters must reproduce.
+    */
+  private val asofOracleSql: String =
+    s"""WITH $eCte,
+       |$ivfGrownAssignCtes,
+       |$ivfGrownProbesCte,
+       |${asofHorizonCte("h0", 0, "a1.vec_id % 5 <> 4")},
+       |${asofHorizonCte("h1", 1, "TRUE")},
+       |${asofHorizonCte("h2", 2, "a1.vec_id % 9 <> 0")}
+       |SELECT horizon, query_id, neighbor_id, rank FROM h0
+       |UNION ALL SELECT horizon, query_id, neighbor_id, rank FROM h1
+       |UNION ALL SELECT horizon, query_id, neighbor_id, rank FROM h2""".stripMargin
+
   /** Brute-force exact top-k: (query_id, neighbor_id, rank). */
   def bruteTopK(s: SparkSession, d: String): DataFrame =
     topkOf(corpus(s, d))
@@ -726,6 +778,19 @@ object Similarity {
     protocol(path).readCommittedStripped(s, "vectors", "vec_id")(r =>
       s.read.schema(VecSchema).option("basePath", r).parquet(r))
 
+  /** [[indexVectors]] AS OF a ledger horizon (see
+    * `FoldProtocol.readCommittedStrippedAsOf`): the served view
+    * includes exactly the folds and deletes with ledger id ≤ asOf —
+    * the reproducibility read a training run pins its corpus to.
+    * Centroids are valid at every servable horizon (they only change
+    * under a refresh, and a refresh past the horizon makes the
+    * protocol refuse).
+    */
+  def indexVectorsAsOf(s: SparkSession, path: String,
+      asOf: Long): DataFrame =
+    protocol(path).readCommittedStrippedAsOf(s, "vectors", "vec_id",
+      asOf)(r => s.read.schema(VecSchema).option("basePath", r).parquet(r))
+
   /** Fold a batch of NEW vectors `(vec_id, v)` into a persisted IVF
     * index, EXACTLY ONCE under replay: assign each vector to its
     * nearest FROZEN centroid and land the batch cell-partitioned in
@@ -891,7 +956,8 @@ object Similarity {
     */
   def indexTopK(s: SparkSession, indexPath: String, queries: DataFrame,
       nprobe: Int = 4, k: Int = TopK,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      asOf: Option[Long] = None): DataFrame = {
     // K rows of a 64-double array.
     val cents = s.read.parquet(protocol(indexPath).dir("cents"))
     val probes = assign(
@@ -912,7 +978,8 @@ object Similarity {
     // the isin prune pushes through the union into every branch's
     // PartitionFilters — only probed cent_id= dirs are listed, in every
     // sub-root.
-    val allVecs = indexVectors(s, indexPath)
+    val allVecs = asOf.fold(indexVectors(s, indexPath))(
+      indexVectorsAsOf(s, indexPath, _))
     val pruned =
       if (cells.length >= totalCells) allVecs
       else allVecs.filter(col("cent_id").isin(cells: _*))
@@ -1906,6 +1973,28 @@ object Similarity {
       (s, d) => indexTopK(s, ensureDeletedIvfIndex(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv")))),
+
+    // AS-OF (time-travel) serve under the value gate: the SAME
+    // persisted index answers at three ledger horizons — post-seed
+    // (the fold and the delete invisible), post-fold (delete
+    // invisible), post-delete (current) — by ledger-scoped dir and
+    // tombstone filters at LIST time (no data cost: as-of changes
+    // which sub-dirs and tombstone batches are read, nothing else).
+    // The reproducibility contract a training run pins its corpus to;
+    // the honesty guards (compaction collapsed history, refresh
+    // rewrote in place → refuse) are spec'd in AsOfIndexSpec.
+    QuerySpec(
+      "sim_ivf_asof",
+      asofOracleSql) { (s, d) =>
+      val idx = ensureAsOfIvfIndex(s, d)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Seq(0L, 1L, 2L).map { h =>
+        indexTopK(s, idx, q, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("query_id"),
+            col("neighbor_id"), col("rank"))
+      }.reduce(_.union(_))
+    },
 
     // ANN quality as a GATED readout: per-query overlap between the IVF
     // top-k and the exact top-k (recall@k numerator). Both sides are

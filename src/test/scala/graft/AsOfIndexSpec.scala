@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** As-of (ledger time-travel) reads of the persisted indexes: the
+  * horizon semantics behind the `sim_ivf_asof` value gate, and the
+  * honesty guards — the protocol must REFUSE to serve a horizon whose
+  * physical history no longer exists rather than approximate it.
+  */
+class AsOfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def e = Tables.embeddings(spark, sf0001)
+    .select($"vec_id", $"embedding".as("v"))
+
+  private def queries() = Tables.embeddings(spark, sf0001)
+    .filter($"vec_id" < 20)
+    .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+
+  private def served(idx: String, asOf: Option[Long] = None) =
+    Similarity.indexTopK(spark, idx, queries(), asOf = asOf)
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+
+  test("as-of 0 on the evolved index serves EXACTLY what a fresh " +
+    "history-only build serves — the snapshot is the index that " +
+    "existed, not an approximation") {
+    val evolved = Similarity.ensureAsOfIvfIndex(spark, sf0001)
+    val fresh = tmpDir("asof-hist-only")
+    Similarity.writeIvfIndex(e.filter($"vec_id" % 5 =!= 4), fresh)
+    assert(served(evolved, asOf = Some(0L)) == served(fresh),
+      "the pre-fold horizon must reproduce the history-only index")
+    // horizon 1 folds the wave in but hides the delete; horizon 2 is
+    // the current view
+    val h1 = served(evolved, asOf = Some(1L))
+    val victims = e.filter($"vec_id" % 9 === 0)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(h1.exists(r => victims.contains(r._2)),
+      "pre-delete horizon must still serve eventual victims")
+    val h2 = served(evolved, asOf = Some(2L))
+    assert(h2 == served(evolved),
+      "the max horizon must equal the current view")
+    assert(!h2.exists(r => victims.contains(r._2)),
+      "the post-delete horizon must hide every victim")
+  }
+
+  test("honesty guards: a compaction refuses horizons under its " +
+    "high-water, a refresh refuses every earlier horizon, and " +
+    "servable horizons keep working") {
+    val idx = tmpDir("asof-guards")
+    Similarity.writeIvfIndex(e.filter($"vec_id" % 5 =!= 4), idx)
+    assert(Similarity.appendToIvfIndex(
+      e.filter($"vec_id" % 5 === 4), idx, 1L))
+    val h0 = served(idx, asOf = Some(0L))
+    assert(h0.nonEmpty)
+    // compaction folds seed + b1 into c1: horizon 0's per-fold dirs
+    // are gone — asOf 0 must refuse, asOf 1 must keep serving
+    Similarity.compactIvfIndex(spark, idx)
+    val err = intercept[IllegalArgumentException] {
+      served(idx, asOf = Some(0L))
+    }
+    assert(err.getMessage.contains("compaction"),
+      s"wrong refusal reason: ${err.getMessage}")
+    assert(served(idx, asOf = Some(1L)) == served(idx),
+      "the at-or-above-high-water horizon serves the compacted view")
+    // a refresh rewrites cells in place: every horizon below its id
+    // must refuse, the current view stays servable
+    assert(Similarity.refreshIvfIndex(spark, idx, 2L))
+    val err2 = intercept[IllegalArgumentException] {
+      served(idx, asOf = Some(1L))
+    }
+    assert(err2.getMessage.contains("refresh"),
+      s"wrong refusal reason: ${err2.getMessage}")
+    assert(served(idx, asOf = Some(2L)) == served(idx),
+      "the post-refresh horizon serves the refreshed view")
+  }
+}
