@@ -1217,6 +1217,18 @@ object Similarity {
     protocol(path).readCommittedStripped(s, "vectors", "vec_id")(r =>
       s.read.schema(CodedSchema).option("basePath", r).parquet(r))
 
+  /** [[indexCodes]] AS OF a ledger horizon — [[indexVectorsAsOf]]'s
+    * contract on the coded frame (same honesty guards: compaction or
+    * refresh past the horizon refuse). Centroids AND codebook are
+    * valid at every servable horizon: both are frozen across
+    * folds/deletes and only a refresh moves centroids.
+    */
+  def indexCodesAsOf(s: SparkSession, path: String,
+      asOf: Long): DataFrame =
+    protocol(path).readCommittedStrippedAsOf(s, "vectors", "vec_id",
+      asOf)(r =>
+      s.read.schema(CodedSchema).option("basePath", r).parquet(r))
+
   /** Rewrite the committed coded sub-roots into one `c<hw>` dir —
     * [[compactIvfIndex]]'s contract on the coded frame: the input is
     * the SERVED view (tombstones already stripped), so the swap is
@@ -1341,7 +1353,8 @@ object Similarity {
   def ivfPqTopK(s: SparkSession, indexPath: String, queries: DataFrame,
       full: DataFrame, nprobe: Int = 4, k: Int = TopK,
       rerank: Int = PqRerank,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      asOf: Option[Long] = None): DataFrame = {
     val p = protocol(indexPath)
     val cents = s.read.parquet(p.dir("cents"))
     val cb = s.read.parquet(p.dir("codebook"))
@@ -1355,7 +1368,8 @@ object Similarity {
     val cells = probes.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     val totalCells = cents.count()
-    val allCoded = indexCodes(s, indexPath)
+    val allCoded = asOf.fold(indexCodes(s, indexPath))(
+      indexCodesAsOf(s, indexPath, _))
     val pruned =
       if (cells.length >= totalCells) allCoded
       else allCoded.filter(col("cent_id").isin(cells: _*))

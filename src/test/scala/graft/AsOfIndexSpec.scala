@@ -44,6 +44,32 @@ class AsOfIndexSpec extends SparkSpec {
       "the post-delete horizon must hide every victim")
   }
 
+  test("the PQ read path shares the horizon semantics: as-of 0 on an " +
+    "evolved IVF-PQ index serves what a fresh history-only PQ build " +
+    "serves, and the max horizon equals the current view") {
+    def pqServed(idx: String, asOf: Option[Long] = None) =
+      Similarity.ivfPqTopK(spark, idx, queries(), e, asOf = asOf)
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+    val evolved = tmpDir("asof-pq")
+    val hist = e.filter($"vec_id" % 5 =!= 4)
+    Similarity.writeIvfPqIndex(hist, evolved)
+    assert(Similarity.appendToIvfPqIndex(
+      e.filter($"vec_id" % 5 === 4), evolved, 1L))
+    assert(Similarity.deleteFromIvfPqIndex(
+      e.filter($"vec_id" % 9 === 0).select($"vec_id"), evolved, 2L))
+    val fresh = tmpDir("asof-pq-hist")
+    Similarity.writeIvfPqIndex(hist, fresh)
+    assert(pqServed(evolved, asOf = Some(0L)) == pqServed(fresh),
+      "the pre-fold horizon must reproduce the history-only PQ index")
+    assert(pqServed(evolved, asOf = Some(2L)) == pqServed(evolved),
+      "the max horizon must equal the current view")
+    val victims = e.filter($"vec_id" % 9 === 0)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(pqServed(evolved, asOf = Some(1L))
+      .exists(r => victims.contains(r._2)),
+      "the pre-delete horizon must still serve eventual victims")
+  }
+
   test("honesty guards: a compaction refuses horizons under its " +
     "high-water, a refresh refuses every earlier horizon, and " +
     "servable horizons keep working") {
