@@ -749,6 +749,27 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
   def readCommittedStrippedAsOf(s: SparkSession, kind: String,
       idCol: String, asOf: Long)(
       readDir: String => DataFrame): DataFrame = {
+    val dirs = committedDirsAsOf(kind, asOf)
+    def name(d: String) = d.substring(d.lastIndexOf('/') + 1)
+    val ts = committedDirsOrEmpty("tombstones")
+      .filter(d => name(d).drop(1).toLong <= asOf) match {
+      case Nil => None
+      case kept =>
+        val t = s.read.parquet(kept: _*)
+        Some(
+          if (t.columns.contains("hw")) t
+          else t.withColumn("hw", lit(Long.MaxValue)))
+    }
+    readStrippedFrom(dirs, ts, idCol)(readDir)
+  }
+
+  /** [[committedDirs]] restricted to a ledger horizon, with
+    * [[readCommittedStrippedAsOf]]'s honesty guards (late refresh,
+    * compaction-collapsed history) — for kinds read WITHOUT a
+    * tombstone anti-join (merged stats sides, whose `d<id>` delete
+    * deltas the horizon filter scopes the same way as fold dirs).
+    */
+  def committedDirsAsOf(kind: String, asOf: Long): Seq[String] = {
     val lateRefresh = entries().filter(_.matches("r\\d+"))
       .map(_.drop(1).toLong).filter(_ > asOf)
     require(lateRefresh.isEmpty,
@@ -761,16 +782,7 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     require(dirs.exists(d => !name(d).matches("[bd]\\d+")),
       s"index at $root cannot serve $kind as-of $asOf: compaction " +
         "collapsed the per-fold history this horizon needs")
-    val ts = committedDirsOrEmpty("tombstones")
-      .filter(d => name(d).drop(1).toLong <= asOf) match {
-      case Nil => None
-      case kept =>
-        val t = s.read.parquet(kept: _*)
-        Some(
-          if (t.columns.contains("hw")) t
-          else t.withColumn("hw", lit(Long.MaxValue)))
-    }
-    readStrippedFrom(dirs, ts, idCol)(readDir)
+    dirs
   }
 
   /** Shared serve core: union `dirs` tagged with their fold order,

@@ -284,13 +284,34 @@ object Retrieval {
     protocol(path).readCommittedStripped(s, "postings", "doc_id")(r =>
       s.read.schema(PostingsSchema).option("basePath", r).parquet(r))
 
+  /** [[indexPostings]] AS OF a ledger horizon (see
+    * `FoldProtocol.readCommittedStrippedAsOf`): fold sub-roots and
+    * tombstone batches above the horizon are invisible.
+    */
+  private def indexPostingsAsOf(s: SparkSession, path: String,
+      asOf: Long): DataFrame =
+    protocol(path).readCommittedStrippedAsOf(s, "postings", "doc_id",
+      asOf)(r =>
+      s.read.schema(PostingsSchema).option("basePath", r).parquet(r))
+
   /** Corpus stats merged across committed sub-roots (delete batches
     * contribute negative deltas): exact integer sums, divided once —
     * growing or shrinking the index cannot drift avgdl.
     */
   private def indexStats(s: SparkSession, path: String): DataFrame =
-    subRoots(path, "stats").map(r =>
-      s.read.schema(StatsSchema).parquet(r))
+    statsOf(s, subRoots(path, "stats"))
+
+  /** [[indexStats]] AS OF a ledger horizon: the same merged-delta
+    * arithmetic over only the stats sides (seed, `b<id>` positive,
+    * `d<id>` negative) whose ledger id is ≤ asOf — so N and avgdl are
+    * exactly the horizon corpus's.
+    */
+  private def indexStatsAsOf(s: SparkSession, path: String,
+      asOf: Long): DataFrame =
+    statsOf(s, protocol(path).committedDirsAsOf("stats", asOf))
+
+  private def statsOf(s: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map(r => s.read.schema(StatsSchema).parquet(r))
       .reduce(_.union(_))
       .agg(sum(col("n")).cast("double").as("n"),
         (sum(col("sum_dl")).cast("double") / sum(col("n"))).as("avgdl"))
@@ -403,6 +424,23 @@ object Retrieval {
         .select(col("doc_id")), staging, 1L)
     }
 
+  /** Build-if-absent the AS-OF gate fixture — `Similarity
+    * .ensureAsOfIvfIndex`'s contract on the inverted index: ledger ids
+    * at DISTINCT dir orders (seed 0, fold `b1`, delete `d2`) so every
+    * id is a distinguishable snapshot horizon, including the stats
+    * side's `d2` negative delta.
+    */
+  def ensureAsOfBm25Index(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_bm25_asof"))(
+      r => protocol(r).deletedBatches().contains(2L)
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      writeBm25Index(docs.filter(col("doc_id") % 5 =!= 4), staging)
+      appendToBm25Index(docs.filter(col("doc_id") % 5 === 4), staging, 1L)
+      deleteFromBm25Index(docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")), staging, 2L)
+    }
+
   /** BM25 served from the persisted index. The query terms' buckets are
     * computed driver-side with the SAME xxhash64 the build used (a
     * |terms|-row local relation — bounded by the literal term list, the
@@ -413,20 +451,23 @@ object Retrieval {
     * touched.
     */
   def bm25TopK(s: SparkSession, indexPath: String,
-      terms: Seq[String] = QueryTerms): DataFrame =
-    scorePostings(queryPostings(s, indexPath, terms),
-      indexStats(s, indexPath))
+      terms: Seq[String] = QueryTerms,
+      asOf: Option[Long] = None): DataFrame =
+    scorePostings(queryPostings(s, indexPath, terms, asOf),
+      asOf.fold(indexStats(s, indexPath))(
+        indexStatsAsOf(s, indexPath, _)))
 
   /** The query terms' full posting set off the pruned index read —
-    * shared by the unfiltered and filtered serves.
+    * shared by the unfiltered, filtered and as-of serves.
     */
   private def queryPostings(s: SparkSession, indexPath: String,
-      terms: Seq[String]): DataFrame = {
+      terms: Seq[String], asOf: Option[Long] = None): DataFrame = {
     import s.implicits._
     val buckets = terms.toDF("word")
       .select(pmod(xxhash64(col("word")), lit(Buckets)).as("bucket"))
       .distinct().collect().map(_.getLong(0)).sorted
-    indexPostings(s, indexPath)
+    asOf.fold(indexPostings(s, indexPath))(
+        indexPostingsAsOf(s, indexPath, _))
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("word").isInCollection(terms))
       .select(col("word"), col("doc_id"), col("tf"), col("dl"))
@@ -626,6 +667,30 @@ object Retrieval {
     QuerySpec("text_bm25_evolved",
       bm25OracleSqlOver("doc_id % 7 <> 3")) { (s, d) =>
       bm25TopK(s, ensureEvolvedBm25Index(s, d))
+    },
+
+    // AS-OF (time-travel) BM25 — the inverted-index twin of
+    // sim_ivf_asof, proving the protocol feature is kind-generic: the
+    // postings read drops fold sub-roots and tombstone batches above
+    // the horizon at LIST time, and the merged stats exclude the
+    // delete's d2 negative delta below its horizon, so N, avgdl, df
+    // AND the candidate set are exactly the horizon corpus's. Oracle =
+    // the full BM25 arithmetic over each horizon's document set.
+    QuerySpec("text_bm25_asof",
+      s"""SELECT CAST(0 AS BIGINT) AS horizon, doc_id, score
+         |FROM (${bm25OracleSqlOver("doc_id % 5 <> 4")})
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS horizon, doc_id, score
+         |FROM (${bm25OracleSqlOver("TRUE")})
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS horizon, doc_id, score
+         |FROM (${bm25OracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
+      (s, d) =>
+      val idx = ensureAsOfBm25Index(s, d)
+      Seq(0L, 1L, 2L).map { h =>
+        bm25TopK(s, idx, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("doc_id"), col("score"))
+      }.reduce(_.union(_))
     },
 
     // Hybrid retrieval via reciprocal-rank fusion: the standard "fuse

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{Retrieval, Similarity}
 import org.apache.spark.sql.functions._
 
 /** As-of (ledger time-travel) reads of the persisted indexes: the
@@ -68,6 +68,33 @@ class AsOfIndexSpec extends SparkSpec {
     assert(pqServed(evolved, asOf = Some(1L))
       .exists(r => victims.contains(r._2)),
       "the pre-delete horizon must still serve eventual victims")
+  }
+
+  test("the BM25 read path shares the horizon semantics: as-of 0 on " +
+    "the evolved inverted index scores EXACTLY what a fresh " +
+    "history-only index scores (stats deltas included), and the max " +
+    "horizon equals the current view") {
+    def bmServed(idx: String, asOf: Option[Long] = None) =
+      Retrieval.bm25TopK(spark, idx, asOf = asOf)
+        .as[(Long, Double)].collect().toSeq.sorted
+    val evolved = Retrieval.ensureAsOfBm25Index(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val fresh = tmpDir("asof-bm25-hist")
+    Retrieval.writeBm25Index(docs.filter($"doc_id" % 5 =!= 4), fresh)
+    assert(bmServed(evolved, asOf = Some(0L)) == bmServed(fresh),
+      "the pre-fold horizon must reproduce the history-only index " +
+        "(postings AND stats)")
+    assert(bmServed(evolved, asOf = Some(2L)) == bmServed(evolved),
+      "the max horizon must equal the current view")
+    val victims = docs.filter($"doc_id" % 7 === 3)
+      .select($"doc_id").as[Long].collect().toSet
+    val h1 = bmServed(evolved, asOf = Some(1L))
+    assert(h1 != bmServed(evolved),
+      "the pre-delete horizon must differ from the post-delete view " +
+        "(the delete shifts stats and candidates)")
+    assert(!bmServed(evolved, asOf = Some(2L))
+      .exists(r => victims.contains(r._1)),
+      "the post-delete horizon must hide every victim")
   }
 
   test("honesty guards: a compaction refuses horizons under its " +
