@@ -788,6 +788,42 @@ object Retrieval {
         .limit(TopK)
     },
 
+    // The filtered contract on the PQ-backed hybrid — completing the
+    // hybrid matrix ({float, PQ} × {unfiltered, filtered}): the label
+    // slice lands as text_hybrid_filtered's posting-side semi-join on
+    // the BM25 leg (global scores, restricted candidates) and as
+    // sim_ivfpq_filtered's pre-ADC semi-join on the codes leg, so at
+    // scale the restriction costs one join on the |terms|-bounded
+    // postings and one on the probed cells' ~16 B/vector codes subset.
+    QuerySpec("text_hybrid_pq_filtered", hybridPqFilteredOracleSql) {
+      (s, d) =>
+      val allowedIds = Tables.embeddings(s, d)
+        .filter(col("label").isin(0, 2, 4, 6, 8))
+        .select(col("vec_id"))
+      val lex = ranksOf(
+        bm25TopKFiltered(s, ensureBm25Index(s, d),
+          allowedIds.select(col("vec_id").as("doc_id")))
+          .select(col("doc_id"), col("score").as("s")))
+        .withColumnRenamed("r", "br")
+      val dense = Similarity.ivfPqTopK(
+        s, Similarity.ensureIvfPqIndex(s, d),
+        s.read.parquet(ensureDenseQuery(s, d)),
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").as("v")),
+        k = TopK, allowed = Some(allowedIds))
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("dr"))
+      lex.join(dense, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          coalesce(col("br"), lit(0L)).as("bm25_rank"),
+          coalesce(col("dr"), lit(0L)).as("dense_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(TopK)
+    },
+
     // FILTERED dense+lexical hybrid — the production "search within a
     // tenant/language slice" shape: the same two persisted-index
     // rankers as text_hybrid_dense, each with the metadata predicate
@@ -993,6 +1029,22 @@ object Retrieval {
     s"""WITH ${hybridLexCtes("TRUE")},
        |$hybridDenseQueryCtes,
        |${Similarity.ivfPqServeCtes("qd", "pqtop")},
+       |dr AS (SELECT neighbor_id AS doc_id, rank AS r FROM pqtop),
+       |$hybridFusionTail""".stripMargin
+
+  /** Oracle for `text_hybrid_pq_filtered`: `text_hybrid_filtered`'s
+    * candidate restrictions on `text_hybrid_pq`'s legs — the label
+    * slice bars docs from the BM25 scoring side and from the PQ ADC
+    * candidate side.
+    */
+  private lazy val hybridPqFilteredOracleSql: String =
+    s"""WITH ${hybridLexCtes(
+          "tf.doc_id IN (SELECT vec_id FROM embeddings" +
+            " WHERE label IN (0, 2, 4, 6, 8))")},
+       |$hybridDenseQueryCtes,
+       |${Similarity.ivfPqServeCtes("qd", "pqtop",
+          adcWhere = "a.vec_id IN (SELECT vec_id FROM embeddings" +
+            " WHERE label IN (0, 2, 4, 6, 8))")},
        |dr AS (SELECT neighbor_id AS doc_id, rank AS r FROM pqtop),
        |$hybridFusionTail""".stripMargin
 

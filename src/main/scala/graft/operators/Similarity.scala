@@ -1742,10 +1742,13 @@ object Similarity {
     * collide with a host oracle's frames; the chain itself — seeds,
     * Lloyd, assignment, codebook, ADC, rerank-deep shortlist, exact
     * re-rank — mirrors [[ivfPqRecallSql]] line for line, so the gates
-    * sharing it certify one construction.
+    * sharing it certify one construction. `adcWhere` restricts the ADC
+    * candidate side (the filtered-search contract: disallowed ids
+    * never reach scoring or the shortlist, so the re-rank inherits the
+    * restriction).
     */
   private[graft] def ivfPqServeCtes(queryCte: String,
-      out: String): String =
+      out: String, adcWhere: String = "TRUE"): String =
     s"""pq_seeds AS (${fixedKSeedSql("e", FixedK)}),
        |pq_a0 AS (SELECT vec_id, v, cent_id FROM (
        |    SELECT e.vec_id, e.v, s.cent_id,
@@ -1784,7 +1787,8 @@ object Similarity {
        |    round(list_cosine_similarity(p.qv, rr.rv), 4) AS sim
        |  FROM pq_probes p
        |  JOIN pq_a1 a ON p.cent_id = a.cent_id AND a.vec_id <> p.query_id
-       |  JOIN pq_recon rr ON rr.vec_id = a.vec_id),
+       |  JOIN pq_recon rr ON rr.vec_id = a.vec_id
+       |  WHERE $adcWhere),
        |pq_short AS (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id

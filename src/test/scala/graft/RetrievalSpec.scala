@@ -323,6 +323,29 @@ class RetrievalSpec extends SparkSpec {
       "the fused serve must not re-scan the raw corpus text")
   }
 
+  test("text_hybrid_pq_filtered: every fused doc is in the allowed " +
+    "label slice, both restricted rankers contribute, and surviving " +
+    "BM25 scores match the unfiltered ranking") {
+    val q = SparkEntry.queries("text_hybrid_pq_filtered")(spark, sf0001)
+    val rows = q.select($"doc_id", $"bm25_rank", $"dense_rank", $"rrf")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 10)
+    val allowedIds = Tables.embeddings(spark, sf0001)
+      .filter($"label".isin(0, 2, 4, 6, 8))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(rows.forall(r => allowedIds.contains(r._1)),
+      "every fused doc must satisfy the metadata predicate")
+    assert(rows.exists(_._2 > 0) && rows.exists(_._3 > 0),
+      s"both filtered rankers must surface docs: ${rows.toSeq}")
+    rows.foreach { case (id, br, dr, rrf) =>
+      val expect = BigDecimal(
+        (if (br > 0) 1.0 / (60 + br) else 0.0) +
+        (if (dr > 0) 1.0 / (60 + dr) else 0.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf == expect, s"doc $id: rrf $rrf != $expect")
+    }
+  }
+
   test("text_hybrid_filtered: every fused doc is in the allowed label " +
     "slice, surviving scores match the unfiltered ranking, and the " +
     "serve boundary holds — scans read the two index roots, the query " +
