@@ -2435,6 +2435,103 @@ object Similarity {
           min(col("c")).as("min_cos"), max(col("c")).as("max_cos"))
     },
 
+    // Parallel-pair (bitext) mining — the cross-corpus alignment op a
+    // multilingual training pipeline runs (the CCMatrix/LASER shape):
+    // margin-scored MUTUAL nearest neighbors between two corpus
+    // slices. Slices are the even/odd label halves (stand-ins for two
+    // languages); candidates are CELL-BLOCKED on the corpus's IVF
+    // partitioning exactly like dedup_semantic — never all-pairs — so
+    // at 100 TB the cross join is per-cell and every per-key ranking
+    // is the bounded-state top_k aggregate. The margin is the ratio
+    // of the pair's cosine to the mean of both endpoints' top-4
+    // cross-slice neighborhoods (the absolute-threshold-free score
+    // that survives corpus-dependent similarity scales); a pair
+    // publishes only if each side is the other's top-1 AND the margin
+    // clears 1.0. Determinism note: the top-4 mean is folded IN ARRAY
+    // ORDER over the sorted top_k buffer on both engines (list_sum
+    // over the sorted prefix in DuckDB), so the 4-double sum is
+    // bit-identical — a groupBy avg would sum in partial-agg order.
+    QuerySpec(
+      "sim_bitext_mine",
+      s"""WITH e2 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e2 WHERE vec_id % 25 = 0),
+         |cells AS (SELECT vec_id, label, v, cent_id FROM (
+         |    SELECT e2.vec_id, e2.label, e2.v, s.cent_id,
+         |      row_number() OVER (PARTITION BY e2.vec_id
+         |        ORDER BY round(list_cosine_similarity(e2.v, s.cv), 4) DESC, s.cent_id) AS rn
+         |    FROM e2, seeds s) WHERE rn = 1),
+         |ca AS (SELECT vec_id AS a_id, v AS va, cent_id FROM cells
+         |       WHERE label IN (0, 2, 4, 6, 8)),
+         |cb AS (SELECT vec_id AS b_id, v AS vb, cent_id FROM cells
+         |       WHERE label IN (1, 3, 5, 7, 9)),
+         |cr AS (SELECT a_id, b_id,
+         |    round(list_cosine_similarity(va, vb), 4) AS sim
+         |  FROM ca JOIN cb USING (cent_id)),
+         |ka AS (SELECT a_id, list_sum(l) / len(l) AS ka FROM (
+         |    SELECT a_id, (list(sim ORDER BY sim DESC, b_id))[1:4] AS l
+         |    FROM cr GROUP BY a_id)),
+         |kb AS (SELECT b_id, list_sum(l) / len(l) AS kb FROM (
+         |    SELECT b_id, (list(sim ORDER BY sim DESC, a_id))[1:4] AS l
+         |    FROM cr GROUP BY b_id)),
+         |fwd AS (SELECT a_id, b_id, sim FROM (
+         |    SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id
+         |      ORDER BY sim DESC, b_id) AS rn FROM cr) WHERE rn = 1),
+         |bwd AS (SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id, row_number() OVER (PARTITION BY b_id
+         |      ORDER BY sim DESC, a_id) AS rn FROM cr) WHERE rn = 1),
+         |mutual AS (SELECT f.a_id, f.b_id, f.sim FROM fwd f JOIN bwd w
+         |    ON f.a_id = w.a_id AND f.b_id = w.b_id),
+         |scored AS (SELECT m.a_id, m.b_id,
+         |    round(m.sim / ((ka.ka + kb.kb) / 2), 4) AS margin
+         |  FROM mutual m JOIN ka ON ka.a_id = m.a_id
+         |  JOIN kb ON kb.b_id = m.b_id)
+         |SELECT a_id, b_id, margin FROM scored
+         |WHERE margin >= 1.0""".stripMargin) { (s, d) =>
+      val e = corpus(s, d)
+      val seeds = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      def sliceOf(labels: Seq[Int], idName: String, vName: String) =
+        assign(e.filter(col("label").isin(labels: _*))
+            .select(col("vec_id"), col("v")), seeds, 1)
+          .select(col("cent_id"), col("vec_id").as(idName),
+            col("v").as(vName))
+      val cr = sliceOf(Seq(0, 2, 4, 6, 8), "a_id", "va")
+        .join(sliceOf(Seq(1, 3, 5, 7, 9), "b_id", "vb"), Seq("cent_id"))
+        .select(col("a_id"), col("b_id"),
+          round(cosine(col("va"), col("vb")), 4).as("sim"))
+      // The top-4 mean stays a RAW double (rounded only inside the
+      // final margin): a sum of 4-dp-rounded sims divided by 4 lands
+      // on exact decimal half-steps STRUCTURALLY (multiples of
+      // 0.000025), where Spark's Round (decimal-string HALF_UP) and
+      // DuckDB's round (exact-binary) disagree — 0.19845's double is
+      // 0.19844999…, DuckDB says 0.1984, Spark says 0.1985. The final
+      // margin is a quotient of non-short-decimal doubles, where the
+      // two round conventions agree (the same reason every rounded
+      // cosine in this module agrees).
+      def knnAvg(key: String, other: String, out: String) =
+        cr.groupBy(col(key))
+          .agg(graft.functions.TopKAgg.top_k(
+            col("sim"), col(other), 4).as("top"))
+          .select(col(key),
+            (aggregate(col("top"), lit(0.0),
+              (acc, x) => acc + x("score")) / size(col("top"))).as(out))
+      def nn1(key: String, other: String) =
+        cr.groupBy(col(key))
+          .agg(graft.functions.TopKAgg.top_k(
+            col("sim"), col(other), 1).as("top"))
+          .select(col(key), col("top")(0)("id").as(other),
+            col("top")(0)("score").as("sim"))
+      val mutual = nn1("a_id", "b_id")
+        .join(nn1("b_id", "a_id").select(col("a_id"), col("b_id")),
+          Seq("a_id", "b_id"))
+      mutual.join(knnAvg("a_id", "b_id", "ka"), Seq("a_id"))
+        .join(knnAvg("b_id", "a_id", "kb"), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(col("sim") / ((col("ka") + col("kb")) / 2), 4).as("margin"))
+        .filter(col("margin") >= 1.0)
+    },
+
     QuerySpec(
       "dedup_semantic",
       s"""WITH $eCte,

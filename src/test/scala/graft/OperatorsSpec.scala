@@ -1010,6 +1010,24 @@ class OperatorsSpec extends SparkSpec {
     assert(scans.forall(cols => !cols.contains("v") && !cols.contains("cv")),
       s"payload column read by a stats scan: $scans")
   }
+
+  test("sim_bitext_mine: pairs are cross-slice mutual nearest " +
+    "neighbors within their cell, margins clear the bar, and no " +
+    "endpoint publishes twice") {
+    val rows = SparkEntry.queries("sim_bitext_mine")(spark, sf0001)
+      .select($"a_id", $"b_id", $"margin")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty, "the gate corpus must yield mined pairs")
+    val labels = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label").as[(Long, Long)].collect().toMap
+    assert(rows.forall(r =>
+        labels(r._1) % 2 == 0 && labels(r._2) % 2 == 1),
+      "every pair must cross the two slices in (A, B) order")
+    assert(rows.forall(_._3 >= 1.0), "margins must clear the bar")
+    // mutual-NN makes each endpoint appear in at most one pair
+    assert(rows.map(_._1).distinct.length == rows.length, "a_id unique")
+    assert(rows.map(_._2).distinct.length == rows.length, "b_id unique")
+  }
 }
 
 /** File-scope fake kernel for the SPI test (top-level so the task
