@@ -693,6 +693,69 @@ object Retrieval {
       }.reduce(_.union(_))
     },
 
+    // Hard-negative mining — the retrieval-training-data op (the
+    // DPR/contrastive shape): for each training query, the top
+    // retrieved documents that are NOT its labeled positives become
+    // its negatives. Contract: retrieve to DEPTH 2k from the persisted
+    // index (one bm25Batch pass — the whole batch pays one bucket
+    // prune), drop positives (here the query's doc_id ≡ query_id mod 3
+    // residue class — the fixture's labeling convention), keep the
+    // first k survivors with BOTH their original retrieval rank and
+    // their negative rank. Per-query cuts are the bounded top_k
+    // aggregate on the negated rank (ranks are unique per query, so
+    // the tie rule never fires); nothing re-scores and nothing
+    // re-reads the corpus.
+    QuerySpec("text_hard_negatives", {
+      val values = MultiQueries.map { case (id, ts) =>
+        s"($id, [${ts.map("'" + _ + "'").mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH q AS (SELECT * FROM (VALUES $values) AS v(query_id, terms)),
+         |qt AS (SELECT DISTINCT query_id, unnest(terms) AS word FROM q),
+         |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |              avg(len(ws)) AS avgdl FROM d),
+         |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM d),
+         |tf AS (SELECT word, doc_id, dl, count(*) AS tf FROM t
+         |       WHERE word IN (SELECT word FROM qt)
+         |       GROUP BY word, doc_id, dl),
+         |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df
+         |       FROM tf GROUP BY word),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |         round(sum(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+         |             * (tf.tf * CAST(2.2 AS DOUBLE)
+         |                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)))),
+         |           4) AS score
+         |       FROM tf JOIN df USING (word) JOIN qt USING (word), st
+         |       GROUP BY qt.query_id, tf.doc_id),
+         |r AS (SELECT query_id, doc_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, doc_id) AS rank
+         |      FROM sc),
+         |neg AS (SELECT query_id, doc_id, rank FROM r
+         |        WHERE rank <= ${2 * TopK}
+         |          AND doc_id % 3 <> query_id % 3),
+         |nr AS (SELECT query_id, doc_id, rank AS bm25_rank,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY rank) AS neg_rank
+         |       FROM neg)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |  bm25_rank, neg_rank
+         |FROM nr WHERE neg_rank <= $TopK""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val retrieved = bm25Batch(s, ensureBm25Index(s, d),
+        MultiQueries.toDF("query_id", "terms"), k = 2 * TopK)
+      retrieved
+        .filter(col("doc_id") % 3 =!= col("query_id") % 3)
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopKAgg.top_k(
+          -col("rank").cast("double"), col("doc_id"), TopK).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sc")))
+        .select(col("query_id"), col("sc.id").as("doc_id"),
+          (-col("sc.score")).cast("int").as("bm25_rank"),
+          (col("pos") + 1).cast("int").as("neg_rank"))
+    },
+
     // Hybrid retrieval via reciprocal-rank fusion: the standard "fuse
     // two rankers that disagree" shape of production search (usually
     // BM25 + dense; here BM25 + a query-term-coverage Jaccard ranker —

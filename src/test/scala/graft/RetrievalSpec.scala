@@ -323,6 +323,33 @@ class RetrievalSpec extends SparkSpec {
       "the fused serve must not re-scan the raw corpus text")
   }
 
+  test("text_hard_negatives: no positive leaks into the negatives, " +
+    "retrieval ranks come from the real top-2k retrieval, and " +
+    "negative ranks are dense per query") {
+    val rows = SparkEntry.queries("text_hard_negatives")(spark, sf0001)
+      .select($"query_id", $"doc_id", $"bm25_rank", $"neg_rank")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 % 3 != r._1 % 3),
+      "a labeled positive must never be mined as a negative")
+    val retrieved = Retrieval.bm25Batch(spark,
+      Retrieval.ensureBm25Index(spark, sf0001),
+      Retrieval.MultiQueries.toDF("query_id", "terms"), k = 20)
+      .select($"query_id", $"doc_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(rows.forall(r => retrieved.get((r._1, r._2)).contains(r._3)),
+      "bm25_rank must be the document's true retrieval rank")
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.sameElements(1 to rs.length),
+        s"query $q: negative ranks must be dense 1..n")
+      // negatives preserve retrieval order
+      assert(rs.sortBy(_._4).map(_._3).sliding(2)
+        .forall(p => p.length < 2 || p(0) < p(1)),
+        s"query $q: neg_rank order must follow retrieval order")
+    }
+  }
+
   test("text_hybrid_pq_filtered: every fused doc is in the allowed " +
     "label slice, both restricted rankers contribute, and surviving " +
     "BM25 scores match the unfiltered ranking") {
