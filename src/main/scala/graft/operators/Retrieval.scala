@@ -693,6 +693,95 @@ object Retrieval {
       }.reduce(_.union(_))
     },
 
+    // Pseudo-relevance-feedback query expansion (the RM3 shape): the
+    // initial BM25 retrieval's top-3 docs nominate expansion terms,
+    // scored ftf × ln(N/df) — feedback term frequency times rarity —
+    // the best 5 non-query terms join the query, and the EXPANDED
+    // term set re-retrieves. Scale shape: feedback docs are k point
+    // lookups on the documents table (In(doc_id) pushdown), candidate
+    // df comes off the INDEX (bucket prune + semi-join — candidates
+    // are bounded by the feedback docs' token count, the buckets by
+    // construction ≤ 32), expansion selection is one bounded
+    // top_k_str aggregate, and both retrievals are the standard
+    // bucket-pruned index serves. Driver collects: 3 feedback ids,
+    // ≤ 32 bucket ids, 5 expansion terms — all constants.
+    QuerySpec("text_bm25_prf", {
+      val termList = QueryTerms.map("'" + _ + "'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |              avg(len(ws)) AS avgdl FROM d),
+         |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM d),
+         |tf0 AS (SELECT word, doc_id, dl, count(*) AS tf FROM t
+         |       WHERE word IN ($termList) GROUP BY word, doc_id, dl),
+         |df0 AS (SELECT word, CAST(count(*) AS DOUBLE) AS df
+         |       FROM tf0 GROUP BY word),
+         |sc0 AS (SELECT tf0.doc_id,
+         |         sum(ln(1.0 + (st.n - df0.df + 0.5) / (df0.df + 0.5))
+         |             * (tf0.tf * CAST(2.2 AS DOUBLE)
+         |                / (tf0.tf + 1.2 * (0.25 + 0.75 * tf0.dl / st.avgdl))))
+         |           AS score
+         |       FROM tf0 JOIN df0 USING (word), st
+         |       GROUP BY tf0.doc_id),
+         |fb AS (SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      ORDER BY round(score, 4) DESC, doc_id) AS r FROM sc0)
+         |  WHERE r <= 3),
+         |cand AS (SELECT word, count(*) AS ftf FROM t JOIN fb USING (doc_id)
+         |         WHERE word NOT IN ($termList) GROUP BY word),
+         |cdf AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         |        FROM t WHERE word IN (SELECT word FROM cand)
+         |        GROUP BY word),
+         |exp AS (SELECT word FROM (
+         |    SELECT c.word, row_number() OVER (
+         |      ORDER BY round(c.ftf * ln(st.n / cdf.df), 4) DESC, c.word) AS r
+         |    FROM cand c JOIN cdf USING (word), st)
+         |  WHERE r <= 5),
+         |qset AS (SELECT word FROM exp
+         |         UNION ALL SELECT unnest([$termList]) AS word),
+         |tf1 AS (SELECT word, doc_id, dl, count(*) AS tf FROM t
+         |       WHERE word IN (SELECT word FROM qset)
+         |       GROUP BY word, doc_id, dl),
+         |df1 AS (SELECT word, CAST(count(*) AS DOUBLE) AS df
+         |       FROM tf1 GROUP BY word),
+         |sc1 AS (SELECT tf1.doc_id,
+         |         sum(ln(1.0 + (st.n - df1.df + 0.5) / (df1.df + 0.5))
+         |             * (tf1.tf * CAST(2.2 AS DOUBLE)
+         |                / (tf1.tf + 1.2 * (0.25 + 0.75 * tf1.dl / st.avgdl))))
+         |           AS score
+         |       FROM tf1 JOIN df1 USING (word), st
+         |       GROUP BY tf1.doc_id)
+         |SELECT doc_id, round(score, 4) AS score FROM sc1
+         |ORDER BY round(score, 4) DESC, doc_id LIMIT $TopK""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val idx = ensureBm25Index(s, d)
+      val fbIds = bm25TopK(s, idx)
+        .orderBy(col("score").desc, col("doc_id")).limit(3)
+        .select(col("doc_id")).as[Long].collect().toSeq
+      val cand = Tables.documents(s, d)
+        .filter(col("doc_id").isin(fbIds: _*))
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(!col("word").isInCollection(QueryTerms))
+        .groupBy(col("word")).agg(count(lit(1)).as("ftf"))
+      val candBuckets = cand
+        .select(pmod(xxhash64(col("word")), lit(Buckets)).as("bucket"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      val cdf = indexPostings(s, idx)
+        .filter(col("bucket").isin(candBuckets: _*))
+        .join(cand.select(col("word")), Seq("word"), "left_semi")
+        .groupBy(col("word")).agg(count(lit(1)).cast("double").as("df"))
+      val expanded = cand.join(cdf, Seq("word"))
+        .crossJoin(broadcast(indexStats(s, idx).select(col("n"))))
+        .select(col("word"),
+          round(col("ftf") * log(col("n") / col("df")), 4).as("es"))
+        .agg(graft.functions.TopKAgg.top_k_str(
+          col("es"), col("word"), 5).as("top"))
+        .select(explode(col("top")).as("sc"))
+        .select(col("sc.id")).as[String].collect().toSeq
+      bm25TopK(s, idx, QueryTerms ++ expanded)
+    },
+
     // Hard-negative mining — the retrieval-training-data op (the
     // DPR/contrastive shape): for each training query, the top
     // retrieved documents that are NOT its labeled positives become

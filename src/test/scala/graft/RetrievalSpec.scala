@@ -323,6 +323,26 @@ class RetrievalSpec extends SparkSpec {
       "the fused serve must not re-scan the raw corpus text")
   }
 
+  test("text_bm25_prf: expansion genuinely moves the ranking (PRF is " +
+    "not a no-op on the gate corpus) and the result is a valid " +
+    "top-k over the expanded term set") {
+    val prf = SparkEntry.queries("text_bm25_prf")(spark, sf0001)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toSeq
+    val base = Retrieval.bm25TopK(spark,
+      Retrieval.ensureBm25Index(spark, sf0001))
+      .as[(Long, Double)].collect().toSeq
+    assert(prf.length == 10)
+    assert(prf.sorted != base.sorted,
+      "the expanded retrieval must differ from the unexpanded one")
+    // every PRF score is at least the doc's base score: expansion only
+    // ADDS term contributions (same corpus stats, superset term set)
+    val baseMap = base.toMap
+    prf.foreach { case (id, s0) =>
+      baseMap.get(id).foreach(b => assert(s0 >= b - 0.0001,
+        s"doc $id: expanded score $s0 below base $b"))
+    }
+  }
+
   test("text_hard_negatives: no positive leaks into the negatives, " +
     "retrieval ranks come from the real top-2k retrieval, and " +
     "negative ranks are dense per query") {
