@@ -97,6 +97,29 @@ class AsOfIndexSpec extends SparkSpec {
       "the post-delete horizon must hide every victim")
   }
 
+  test("snapshot isolation: an as-of frame constructed BEFORE a " +
+    "concurrent fold and delete keeps serving its horizon unchanged — " +
+    "the dir list is pinned at construction, and later ledger " +
+    "activity cannot leak in") {
+    val idx = tmpDir("asof-isolation")
+    Similarity.writeIvfIndex(e.filter($"vec_id" % 5 =!= 4), idx)
+    val frame = Similarity.indexTopK(spark, idx, queries(),
+      asOf = Some(0L))
+    val before = frame.as[(Long, Long, Int)].collect().toSeq.sorted
+    // a writer folds a wave and commits a delete AFTER the reader's
+    // frame exists — the training job holding the snapshot must not
+    // see either
+    assert(Similarity.appendToIvfIndex(
+      e.filter($"vec_id" % 5 === 4), idx, 1L))
+    assert(Similarity.deleteFromIvfIndex(
+      e.filter($"vec_id" % 9 === 0).select($"vec_id"), idx, 2L))
+    assert(frame.as[(Long, Long, Int)].collect().toSeq.sorted == before,
+      "the held as-of frame must re-evaluate to the same snapshot")
+    // and a FRESH as-of read at the same horizon agrees with it
+    assert(served(idx, asOf = Some(0L)) == before,
+      "a new reader at the old horizon sees the same snapshot")
+  }
+
   test("honesty guards: a compaction refuses horizons under its " +
     "high-water, a refresh refuses every earlier horizon, and " +
     "servable horizons keep working") {
