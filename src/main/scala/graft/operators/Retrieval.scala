@@ -588,6 +588,177 @@ object Retrieval {
         .select(col("doc_id")), staging, 0L)
     }
 
+  // ---- positional phrase index (next-word postings) ----
+  //   <root>/postings/<sub>/ — (bg, doc_id, pos) partitioned by
+  //                      `bucket=pmod(xxhash64(bg), Buckets)`: one row
+  //                      per OCCURRENCE of each ADJACENT word pair,
+  //                      `pos` the pair's 0-based anchor in the
+  //                      document. The next-word index is what makes
+  //                      exact-phrase and proximity queries servable
+  //                      without re-scanning text: a phrase of L words
+  //                      decomposes into L-1 pair lookups, each a
+  //                      bucket-pruned point read, and occurrences fall
+  //                      out of position arithmetic — no substring scan
+  //                      over 100 TB of bodies. Postings cost one row
+  //                      per token (vs one per (term, doc) for BM25's),
+  //                      the standard positional-index trade.
+  // The root speaks the SAME FoldProtocol dialect as the BM25 index
+  // (seed/b/c/d sub-roots, `_postings_ledger`, doc_id tombstones), so
+  // ledgered folds, takedowns and compaction compose identically; the
+  // gate exercises the seed build.
+
+  private val PhraseSchema = "bg STRING, doc_id BIGINT, pos INT, bucket BIGINT"
+
+  /** Adjacent word pairs of each document with their 0-based anchor
+    * position — pure in-row work (one tokenize scan, an array
+    * transform, one explode); no shuffle until the partitioned write
+    * clusters by bucket.
+    */
+  private def bigramPostings(docs: DataFrame): DataFrame =
+    Par.fanOut(docs)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(slice(ws, 1, size(ws) - 1)," +
+          " (x, i) -> concat(x, ' ', element_at(ws, i + 2)))"))
+        .as(Seq("pos", "bg")))
+
+  private def writePhraseSubRoot(docs: DataFrame, path: String,
+      sub: String): Unit =
+    bucketSliced(bigramPostings(docs)
+      .withColumn("bucket", pmod(xxhash64(col("bg")), lit(Buckets))))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"${protocol(path).dir("postings")}/$sub")
+
+  /** Build a fresh phrase index at `path` (seed sub-root, same
+    * write-fan-out discipline as [[writeBm25Index]]).
+    */
+  def writePhraseIndex(docs: DataFrame, path: String): Unit =
+    writePhraseSubRoot(docs, path, "seed")
+
+  /** Ledgered append, exactly once under replay — the BM25 fold
+    * contract on the positional postings (no stats side: the phrase
+    * serve needs no corpus statistics, so a fold stages exactly one
+    * guarded dir).
+    */
+  def appendToPhraseIndex(docs: DataFrame, path: String,
+      batchId: Long): Boolean =
+    protocol(path).fold(batchId, Seq("postings")) {
+      writePhraseSubRoot(docs, path, s"b$batchId")
+    }
+
+  /** Ledgered document takedown, exactly once — tombstones only (the
+    * postings anti-join them at serve time; no stats delta to stage).
+    * O(|ids|): nothing is rewritten until compaction.
+    */
+  def deleteFromPhraseIndex(ids: DataFrame, path: String,
+      deleteId: Long): Boolean = {
+    val p = protocol(path)
+    p.delete(deleteId) { p.stageTombstones(ids, "doc_id", deleteId) }
+  }
+
+  /** Build-if-absent gate fixture (stage-and-publish, like every
+    * warehouse fixture).
+    */
+  def ensurePhraseIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_phrase_index"))(
+      phraseComplete(s, _)) { staging =>
+      writePhraseIndex(Tables.documents(s, d), staging)
+    }
+
+  private def phraseComplete(s: SparkSession, r: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    protocol(r).committedDirsOrEmpty("postings").exists { dir =>
+      val name = dir.substring(dir.lastIndexOf('/') + 1)
+      (name == "seed" || name.matches("c\\d+")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+    }
+  }
+
+  /** The gate's probe phrase — present at every shipped scale. */
+  val ProbePhrase = "hash join key"
+
+  /** Exact phrase search from the persisted positional index: the
+    * phrase's adjacent pairs map to ≤ L-1 buckets (computed driver-side
+    * with the build's own hash — a static PartitionFilter), each pair
+    * posting shifts back by its offset in the phrase, and a document
+    * position where ALL offsets land is one occurrence. Output is the
+    * top-k documents by occurrence count (doc_id tie-break) with the
+    * first match position. The offsets frame is literal-sized (L-1
+    * rows) ⇒ broadcast; the anchor aggregate is keyed by (doc_id, pos)
+    * so per-key state is the distinct-offset set, bounded by L.
+    */
+  def phraseTopK(s: SparkSession, indexPath: String, phrase: String,
+      k: Int = TopK): DataFrame = {
+    import s.implicits._
+    val ws = phrase.trim.split(" ").toSeq
+    require(ws.length >= 2, "phrase search needs at least two words")
+    val pairs = ws.sliding(2).map(_.mkString(" ")).toVector
+    val offsets = pairs.zipWithIndex
+    val buckets = pairs.distinct.toDF("bg")
+      .select(pmod(xxhash64(col("bg")), lit(Buckets)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val posts = protocol(indexPath)
+      .readCommittedStripped(s, "postings", "doc_id")(r =>
+        s.read.schema(PhraseSchema).option("basePath", r).parquet(r))
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("bg").isInCollection(pairs.distinct))
+    posts.join(broadcast(offsets.toDF("bg", "off")), Seq("bg"))
+      .groupBy(col("doc_id"), (col("pos") - col("off")).as("anchor"))
+      .agg(count_distinct(col("off")).as("nparts"))
+      .filter(col("nparts") === lit(pairs.length.toLong))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("anchor")).cast("long").as("first_pos"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  // The oracle decomposes the phrase into WORDS at offsets where the
+  // serve decomposes into adjacent PAIRS at offsets — equivalent for a
+  // contiguous phrase (pair (i, i+1) matching at anchor a ⇔ word i and
+  // word i+1 matching at a; the conjunction over all offsets is the
+  // same condition), and the word form is what DuckDB can state without
+  // re-deriving the pair transform.
+  private def phraseOracleSqlOver(docsWhere: String): String = {
+    val values = ProbePhrase.split(" ").zipWithIndex
+      .map { case (w, i) => s"('$w', $i)" }.mkString(", ")
+    val n = ProbePhrase.split(" ").length
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |      FROM documents WHERE $docsWhere),
+       |t AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word
+       |      FROM w, unnest(range(1, len(ws) + 1)) u(i)),
+       |q AS (SELECT * FROM (VALUES $values) v(word, off)),
+       |a AS (SELECT t.doc_id, t.pos - q.off AS anchor
+       |      FROM t JOIN q USING (word)
+       |      GROUP BY t.doc_id, t.pos - q.off
+       |      HAVING count(DISTINCT q.off) = $n)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |  CAST(min(anchor) AS BIGINT) AS first_pos
+       |FROM a GROUP BY doc_id ORDER BY n_hits DESC, doc_id LIMIT $TopK""".stripMargin
+  }
+
+  private val phraseOracleSql: String = phraseOracleSqlOver("1 = 1")
+
+  /** Build-if-absent the phrase-index LIFECYCLE gate fixture: seed
+    * from the history wave (doc_id % 5 ≠ 4), fold the remainder as a
+    * ledgered append (batch 0), tombstone doc_id % 7 = 3 as a ledgered
+    * delete (batch 1) with victims in BOTH waves — keyed on the
+    * delete's ledger entry (it commits last).
+    */
+  def ensureEvolvedPhraseIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_phrase_evolved"))(
+      r => protocol(r).deletedBatches().contains(1L)
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      writePhraseIndex(docs.filter(col("doc_id") % 5 =!= 4), staging)
+      appendToPhraseIndex(docs.filter(col("doc_id") % 5 === 4), staging, 0L)
+      deleteFromPhraseIndex(docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")), staging, 1L)
+    }
+
   /** The multi-query gate's literal query table — shared verbatim with
     * the oracle's VALUES list (the portability contract): one
     * rare-term query, one mixed, one all-common.
@@ -639,6 +810,22 @@ object Retrieval {
     },
     QuerySpec("text_bm25_indexed", bm25OracleSql) { (s, d) =>
       bm25TopK(s, ensureBm25Index(s, d))
+    },
+    // Exact-phrase search from the persisted next-word positional
+    // index: L-1 bucket-pruned pair lookups + position arithmetic, no
+    // text re-scan — the capability BM25's bag-of-words index cannot
+    // express (term adjacency).
+    QuerySpec("text_phrase", phraseOracleSql) { (s, d) =>
+      phraseTopK(s, ensurePhraseIndex(s, d), ProbePhrase)
+    },
+    // The positional index's whole FoldProtocol lifecycle under one
+    // value gate: seed, ledgered append, ledgered takedown — the serve
+    // must equal phrase search over a corpus that never contained the
+    // deleted docs (tombstone anti-join + fold union, same dialect as
+    // the BM25 index).
+    QuerySpec("text_phrase_evolved",
+      phraseOracleSqlOver("doc_id % 7 <> 3")) { (s, d) =>
+      phraseTopK(s, ensureEvolvedPhraseIndex(s, d), ProbePhrase)
     },
     // The incremental fold under the value gate: history-seeded index +
     // one ledgered append must serve the exact full-corpus answer (df,

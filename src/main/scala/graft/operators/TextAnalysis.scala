@@ -100,6 +100,54 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** The structured-PII categories: (name, detection pattern, mask
+    * token). Patterns stay in the Java-regex ∩ RE2 subset (\b, \d,
+    * bounded repeats) so the Spark expression and the DuckDB oracle
+    * match the same spans; the Seq order is the MASKING order, applied
+    * identically in both engines.
+    */
+  private[graft] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,4}",
+      "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("id", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"))
+
+  /** The gate's deterministic PII plant over `text`/`doc_id`:
+    * md5(doc_id)-gated categories with values derived from doc_id, so
+    * both engines recompute the identical augmented body (the
+    * construct-the-signal pattern — the corpus itself carries no PII).
+    * Category payloads are mutually non-matching (the email value has
+    * no dotted-digit runs, the dashed-digit shapes can't prefix into
+    * each other across their \b boundaries).
+    */
+  private[graft] def piiAugmented: Column = {
+    val h = md5(col("doc_id").cast("string"))
+    val id = col("doc_id")
+    concat(
+      col("text"),
+      when(substring(h, 1, 1).between("0", "7"),
+        concat(lit(" contact user"), id.cast("string"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+      when(substring(h, 2, 1).between("0", "7"),
+        concat(lit(" host 10."), (id % 200).cast("string"), lit("."),
+          (id % 13).cast("string"), lit("."),
+          (id % 251).cast("string"))).otherwise(lit("")),
+      when(substring(h, 3, 1).between("0", "3"),
+        concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(substring(h, 4, 1).between("0", "1"),
+        concat(lit(" ref 123-45-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+  }
+
+  /** All four category masks applied in [[PiiPatterns]] order. */
+  private[graft] def piiMasked(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, pat, tok)) =>
+      regexp_replace(acc, pat, tok)
+    }
+
   /** Sorted distinct characters of `t` (Spark's regex split on ""
     * keeps a trailing empty element — removed so the entropy fold and
     * the oracle's string_split('') see the same alphabet).
@@ -627,6 +675,57 @@ object TextAnalysis {
         size(regexp_extract_all(col("text"), lit(pat), lit(0)))
           .cast("long").as("n_redacted"),
         md5(regexp_replace(col("text"), pat, "[REDACTED]")).as("redacted_fp"))
+    },
+
+    // Structured-PII scrub (the release-hygiene pass next to
+    // text_redact's term-list scrub): emails, IPv4s, phone numbers and
+    // SSN-shaped ids detected by pattern, counted per category, and
+    // masked to typed tokens — what C4/CCNet-style pipelines run before
+    // any corpus leaves the building. The synthetic corpus carries no
+    // PII, so the gate PLANTS a deterministic payload per document
+    // (md5(doc_id)-gated categories, values derived from doc_id — the
+    // construct-the-signal pattern the dedup fixtures use) and both
+    // engines recompute the identical augmentation before detecting.
+    // Patterns stay in the Java-regex ∩ RE2 subset (\b, \d, bounded
+    // repeats); masking applies the four replaces in one fixed order so
+    // the fingerprint is cross-engine stable. Pure map work — no
+    // shuffle beyond the scan, ~48 bytes/doc however large bodies get.
+    QuerySpec(
+      "text_pii",
+      """WITH base AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |aug AS (
+        |  SELECT d.doc_id,
+        |    d.text
+        |    || CASE WHEN substr(b.h, 1, 1) BETWEEN '0' AND '7'
+        |       THEN ' contact user' || CAST(d.doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+        |    || CASE WHEN substr(b.h, 2, 1) BETWEEN '0' AND '7'
+        |       THEN ' host 10.' || CAST(d.doc_id % 200 AS VARCHAR) || '.' || CAST(d.doc_id % 13 AS VARCHAR) || '.' || CAST(d.doc_id % 251 AS VARCHAR) ELSE '' END
+        |    || CASE WHEN substr(b.h, 3, 1) BETWEEN '0' AND '3'
+        |       THEN ' call 555-' || lpad(CAST(d.doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(d.doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN substr(b.h, 4, 1) BETWEEN '0' AND '1'
+        |       THEN ' ref 123-45-' || lpad(CAST(d.doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    AS t2
+        |  FROM documents d JOIN base b USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,4}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,4}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g')) AS masked_fp
+        |FROM aug""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), piiAugmented.as("t2"))
+        .select(
+          Seq(col("doc_id")) ++
+            PiiPatterns.map { case (name, pat, _) =>
+              size(regexp_extract_all(col("t2"), lit(pat), lit(0)))
+                .cast("long").as(s"n_$name")
+            } :+ md5(piiMasked(col("t2"))).as("masked_fp"): _*)
     },
 
     // Sub-document dedup via content-defined chunking: per doc, the

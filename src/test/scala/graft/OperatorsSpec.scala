@@ -1028,6 +1028,34 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length == rows.length, "a_id unique")
     assert(rows.map(_._2).distinct.length == rows.length, "b_id unique")
   }
+
+  test("text_pii: the planted corpus is non-vacuous in EVERY category " +
+    "and masking is complete — re-scanning the masked body finds zero " +
+    "spans of any pattern") {
+    import graft.operators.TextAnalysis
+    val frame = Tables.documents(spark, sf0001)
+      .select($"doc_id", TextAnalysis.piiAugmented.as("t2"))
+      .select(Seq(TextAnalysis.piiMasked($"t2").as("m")) ++
+        TextAnalysis.PiiPatterns.map { case (name, pat, _) =>
+          size(regexp_extract_all($"t2", lit(pat), lit(0)))
+            .as(s"pre_$name")
+        }: _*)
+    val aggs =
+      TextAnalysis.PiiPatterns.map { case (name, pat, _) =>
+        sum(size(regexp_extract_all($"m", lit(pat), lit(0))))
+          .as(s"post_$name")
+      } ++ TextAnalysis.PiiPatterns.map { case (name, _, _) =>
+        sum(col(s"pre_$name")).as(s"sum_$name")
+      }
+    val row = frame.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = TextAnalysis.PiiPatterns.length
+    TextAnalysis.PiiPatterns.zipWithIndex.foreach { case ((name, _, _), i) =>
+      assert(row.getLong(i) == 0L,
+        s"masked text still matches the $name pattern")
+      assert(row.getLong(n + i) > 0L,
+        s"the plant must make the $name category non-vacuous")
+    }
+  }
 }
 
 /** File-scope fake kernel for the SPI test (top-level so the task

@@ -470,4 +470,87 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(rows.size == 30, "3 queries x top-10")
   }
+
+  // ---- positional phrase index ----
+
+  /** Unigram-offset recompute straight off the corpus — the reference
+    * the pair-decomposed index serve must match on any phrase.
+    */
+  private def bruteForcePhrase(d: String, phrase: String) = {
+    val ws = phrase.split(" ").toSeq
+    val q = ws.zipWithIndex.toDF("w", "off")
+    Tables.documents(spark, d)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .join(q, Seq("w"))
+      .groupBy($"doc_id", ($"pos" - $"off").as("anchor"))
+      .agg(countDistinct($"off").as("np"))
+      .filter($"np" === ws.length)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min($"anchor").cast("long").as("first_pos"))
+      .orderBy($"n_hits".desc, $"doc_id").limit(10)
+  }
+
+  test("phraseTopK serves ANY phrase from the positional index " +
+    "identically to a corpus-direct recompute — 2-word, 3-word, " +
+    "repeated-pair and absent phrases") {
+    val idx = tmpDir("phrase-idx")
+    Retrieval.writePhraseIndex(Tables.documents(spark, sf0001), idx)
+    for (ph <- Seq("table scan", Retrieval.ProbePhrase, "a a a",
+        "zebra quantum phrase")) {
+      val served = Retrieval.phraseTopK(spark, idx, ph)
+        .as[(Long, Long, Long)].collect().toSeq
+      val brute = bruteForcePhrase(sf0001, ph)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(served == brute, s"phrase='$ph'")
+    }
+    assert(Retrieval.phraseTopK(spark, idx, Retrieval.ProbePhrase)
+      .count() > 0, "the probe phrase must be non-vacuous at sf0.001")
+  }
+
+  test("phrase index lifecycle: seed + ledgered fold + ledgered " +
+    "takedown serves identically to a fresh index over the " +
+    "never-deleted corpus on arbitrary phrases; replayed fold and " +
+    "delete are no-ops") {
+    val docs = Tables.documents(spark, sf0001)
+    val idx = tmpDir("phrase-lifecycle")
+    Retrieval.writePhraseIndex(docs.filter($"doc_id" % 5 =!= 4), idx)
+    assert(Retrieval.appendToPhraseIndex(
+      docs.filter($"doc_id" % 5 === 4), idx, 0L))
+    assert(!Retrieval.appendToPhraseIndex(
+      docs.filter($"doc_id" % 5 === 4), idx, 0L),
+      "a replayed fold must be a ledger-detected no-op")
+    val victims = docs.filter($"doc_id" % 7 === 3).select($"doc_id")
+    assert(Retrieval.deleteFromPhraseIndex(victims, idx, 1L))
+    assert(!Retrieval.deleteFromPhraseIndex(victims, idx, 1L),
+      "a replayed delete must be a ledger-detected no-op")
+    val fresh = tmpDir("phrase-fresh")
+    Retrieval.writePhraseIndex(docs.filter($"doc_id" % 7 =!= 3), fresh)
+    for (ph <- Seq("table scan", Retrieval.ProbePhrase, "a the")) {
+      val evolved = Retrieval.phraseTopK(spark, idx, ph)
+        .as[(Long, Long, Long)].collect().toSeq
+      val rebuilt = Retrieval.phraseTopK(spark, fresh, ph)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(evolved == rebuilt, s"phrase='$ph'")
+    }
+  }
+
+  test("phraseTopK: the postings scan carries a STATIC bucket " +
+    "PartitionFilter and lists at most |pairs| of the bucket dirs") {
+    val idx = tmpDir("phrase-prune")
+    Retrieval.writePhraseIndex(Tables.documents(spark, sf0001), idx)
+    val scan = Retrieval.phraseTopK(spark, idx, Retrieval.ProbePhrase)
+      .queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec
+          if f.metadata("Location").contains("postings") => f
+      }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "bucket prune must be a static PartitionFilter")
+    val listed = scan.selectedPartitions.partitionCount
+    assert(listed <= 2, s"2 pairs listed $listed bucket dirs")
+    val total = spark.read.parquet(s"$idx/postings")
+      .select($"bucket").distinct().count()
+    assert(total > 2 && listed < total,
+      "the prune must be a strict subset of a many-bucket index")
+  }
 }
