@@ -677,6 +677,35 @@ object Retrieval {
     }
   }
 
+  /** All committed positional postings minus committed tombstones —
+    * the phrase twin of [[indexPostings]] (same basePath-scoped
+    * per-sub-root partitioned reads, so a `bucket` filter pushes into
+    * every union branch).
+    */
+  private def phrasePostings(s: SparkSession, path: String): DataFrame =
+    protocol(path).readCommittedStripped(s, "postings", "doc_id")(r =>
+      s.read.schema(PhraseSchema).option("basePath", r).parquet(r))
+
+  /** Compact the phrase index: every committed posting (tombstones
+    * already anti-joined away) rewritten as ONE `c<hw>` dir; sub-roots
+    * and tombstones retire atomically through the same
+    * publish-and-clear as [[compactBm25Index]]. Serve-identical by
+    * construction — the reader sees either the old union or the new
+    * single root.
+    */
+  def compactPhraseIndex(s: SparkSession, path: String): Unit = {
+    val p = protocol(path)
+    p.withLease("compact-phrase") {
+      val cname = p.compactDirName()
+      bucketSliced(phrasePostings(s, path))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"$path/.postings.compacting/$cname")
+      p.publishDir(".postings.compacting", "postings")
+      p.clearTombstones()
+    }
+  }
+
   /** The gate's probe phrase — present at every shipped scale. */
   val ProbePhrase = "hash join key"
 
@@ -700,9 +729,7 @@ object Retrieval {
     val buckets = pairs.distinct.toDF("bg")
       .select(pmod(xxhash64(col("bg")), lit(Buckets)).as("bucket"))
       .distinct().collect().map(_.getLong(0)).sorted
-    val posts = protocol(indexPath)
-      .readCommittedStripped(s, "postings", "doc_id")(r =>
-        s.read.schema(PhraseSchema).option("basePath", r).parquet(r))
+    val posts = phrasePostings(s, indexPath)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("bg").isInCollection(pairs.distinct))
     posts.join(broadcast(offsets.toDF("bg", "off")), Seq("bg"))
@@ -741,6 +768,82 @@ object Retrieval {
   }
 
   private val phraseOracleSql: String = phraseOracleSqlOver("1 = 1")
+
+  /** The multi-phrase gate's literal query table — shared verbatim
+    * with the oracle's VALUES list: the 3-word probe, a common 2-word
+    * phrase, and the degenerate self-pair.
+    */
+  val PhraseQueries: Seq[(Long, String)] = Seq(
+    0L -> ProbePhrase, 1L -> "table scan", 2L -> "a a")
+
+  /** MANY phrases against the positional index in one distributed job
+    * — the phrase twin of [[bm25Batch]]: the batch's pair set prunes
+    * buckets once (one static PartitionFilter for the whole batch),
+    * postings semi-join the batch's pairs BEFORE the per-query fan-out
+    * join, anchors aggregate per (query, doc, anchor) with ≤ L
+    * distinct-offset state, and per-query ranking is the bounded-state
+    * `top_k` aggregate on the integer-exact occurrence count — no
+    * window, no per-phrase driver loop. `queries` is
+    * `(query_id, phrase)`; output `(query_id, doc_id, rank)`.
+    */
+  def phraseBatch(s: SparkSession, indexPath: String, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val qpairs = queries
+      .select(col("query_id"), split(col("phrase"), " ").as("ws"))
+      .select(col("query_id"), (size(col("ws")) - 1).as("np"),
+        posexplode(expr(
+          "transform(slice(ws, 1, size(ws) - 1)," +
+            " (x, i) -> concat(x, ' ', element_at(ws, i + 2)))"))
+          .as(Seq("off", "bg")))
+    val pairSet = qpairs.select(col("bg")).distinct()
+    val buckets = pairSet
+      .select(pmod(xxhash64(col("bg")), lit(Buckets)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val posts = phrasePostings(s, indexPath)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(pairSet, Seq("bg"), "left_semi")
+      .select(col("bg"), col("doc_id"), col("pos"))
+    posts.join(qpairs, Seq("bg"))
+      .groupBy(col("query_id"), col("doc_id"),
+        (col("pos") - col("off")).as("anchor"))
+      .agg(count_distinct(col("off")).as("nf"), first(col("np")).as("np"))
+      .filter(col("nf") === col("np"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("n_hits"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k(
+        col("n_hits"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("query_id"), col("sc.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  // The multi oracle counts WORDS per query (qn.n = L) where the serve
+  // counts PAIRS (np = L-1) — each side checks its own full-offset-set
+  // condition, which is the same phrase-at-anchor predicate (see the
+  // word/pair equivalence note above phraseOracleSqlOver).
+  private val phraseMultiOracleSql: String = {
+    val values = PhraseQueries.flatMap { case (id, ph) =>
+      ph.split(" ").zipWithIndex.map { case (w, i) => s"($id, '$w', $i)" }
+    }.mkString(", ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |t AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word
+       |      FROM w, unnest(range(1, len(ws) + 1)) u(i)),
+       |q AS (SELECT * FROM (VALUES $values) v(query_id, word, off)),
+       |qn AS (SELECT query_id, count(*) AS n FROM q GROUP BY query_id),
+       |a AS (SELECT q.query_id, t.doc_id, t.pos - q.off AS anchor
+       |      FROM t JOIN q USING (word) JOIN qn ON qn.query_id = q.query_id
+       |      GROUP BY q.query_id, t.doc_id, t.pos - q.off, qn.n
+       |      HAVING count(DISTINCT q.off) = qn.n),
+       |h AS (SELECT query_id, doc_id, count(*) AS n_hits
+       |      FROM a GROUP BY query_id, doc_id),
+       |r AS (SELECT query_id, doc_id,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY n_hits DESC, doc_id) AS rank
+       |      FROM h)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank
+       |FROM r WHERE rank <= $TopK""".stripMargin
+  }
 
   /** Build-if-absent the phrase-index LIFECYCLE gate fixture: seed
     * from the history wave (doc_id % 5 ≠ 4), fold the remainder as a
@@ -826,6 +929,13 @@ object Retrieval {
     QuerySpec("text_phrase_evolved",
       phraseOracleSqlOver("doc_id % 7 <> 3")) { (s, d) =>
       phraseTopK(s, ensureEvolvedPhraseIndex(s, d), ProbePhrase)
+    },
+    // Many phrases, one distributed job: one bucket prune for the
+    // whole batch, per-query rankings via the bounded top_k aggregate.
+    QuerySpec("text_phrase_multi", phraseMultiOracleSql) { (s, d) =>
+      import s.implicits._
+      phraseBatch(s, ensurePhraseIndex(s, d),
+        PhraseQueries.toDF("query_id", "phrase"))
     },
     // The incremental fold under the value gate: history-seeded index +
     // one ledgered append must serve the exact full-corpus answer (df,

@@ -533,6 +533,28 @@ class RetrievalSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSeq
       assert(evolved == rebuilt, s"phrase='$ph'")
     }
+    // compaction folds the whole lifecycle into one c-dir,
+    // serve-identical, and the compacted root audits clean
+    val before = Retrieval.phraseTopK(spark, idx, Retrieval.ProbePhrase)
+      .as[(Long, Long, Long)].collect().toSeq
+    Retrieval.compactPhraseIndex(spark, idx)
+    assert(Retrieval.phraseTopK(spark, idx, Retrieval.ProbePhrase)
+      .as[(Long, Long, Long)].collect().toSeq == before,
+      "compaction must be serve-identical")
+    val rep = Retrieval.protocol(idx).fsck(Seq("postings", "tombstones"))
+    assert(rep.clean,
+      s"compacted lifecycle root must audit clean: ${rep.issues}")
+    // batch serving agrees with the single-phrase serve per query
+    val batch = Retrieval.phraseBatch(spark, idx,
+      Seq(0L -> "table scan", 1L -> Retrieval.ProbePhrase)
+        .toDF("query_id", "phrase"))
+      .as[(Long, Long, Int)].collect().toSeq.groupBy(_._1)
+    for ((qid, ph) <- Seq(0L -> "table scan", 1L -> Retrieval.ProbePhrase)) {
+      val single = Retrieval.phraseTopK(spark, idx, ph)
+        .as[(Long, Long, Long)].collect().toSeq.map(_._1)
+      val ranked = batch.getOrElse(qid, Nil).sortBy(_._3).map(_._2)
+      assert(ranked == single, s"batch vs single for '$ph'")
+    }
   }
 
   test("phraseTopK: the postings scan carries a STATIC bucket " +
