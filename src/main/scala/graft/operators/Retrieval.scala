@@ -207,6 +207,13 @@ object Retrieval {
   def bm25FoldedBatches(path: String): Set[Long] =
     protocol(path).foldedBatches()
 
+  /** Committed fold batchIds of a PHRASE index root (same ledger
+    * dialect — named separately so call sites read against the right
+    * index kind).
+    */
+  def phraseFoldedBatches(path: String): Set[Long] =
+    protocol(path).foldedBatches()
+
   /** Fold a batch of NEW documents into a persisted BM25 index,
     * EXACTLY ONCE under replay: a ledgered batchId is a committed
     * no-op; the b-dir writes carry overwrite semantics so a replay

@@ -73,4 +73,49 @@ object StreamingRetrieval {
         }
       }
       .start()
+
+  /** Streaming EXACT-PHRASE search against the persisted positional
+    * index — `Retrieval.phraseBatch` per micro-batch of
+    * `(query_id, phrase)`: one static bucket PartitionFilter per
+    * batch, batchId-keyed overwrite output. Read-only ⇒
+    * replay-idempotent without a ledger, the [[start]] contract.
+    */
+  def startPhrase(queries: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, k: Int = 10): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishPhraseBatch(batch, batchId, indexPath, outPath, k)
+      }
+      .start()
+
+  /** One phrase micro-batch publish — the replay-idempotent unit. */
+  def publishPhraseBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, outPath: String, k: Int = 10): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    Retrieval.phraseBatch(batch.sparkSession, indexPath, batch, k)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
+  }
+
+  /** Fold micro-batches of NEW documents into the positional index —
+    * `Retrieval.appendToPhraseIndex` per batch (pair postings of the
+    * BATCH only land in a ledgered `b<batchId>/` sub-root),
+    * exactly-once under replay via the index ledger; ledger-gated
+    * periodic compaction, same as [[startIngest]].
+    */
+  def startPhraseIngest(docs: DataFrame, indexPath: String,
+      checkpoint: String, compactEvery: Int = 16): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Retrieval.appendToPhraseIndex(batch, indexPath, batchId)
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1
+              && Retrieval.phraseFoldedBatches(indexPath).contains(batchId))
+            Retrieval.compactPhraseIndex(batch.sparkSession, indexPath)
+        }
+      }
+      .start()
 }

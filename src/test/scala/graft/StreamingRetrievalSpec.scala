@@ -112,4 +112,68 @@ class StreamingRetrievalSpec extends SparkSpec {
         Retrieval.bm25(spark, sf0001, terms)
           .as[(Long, Double)].collect().toSeq, s"terms=$terms")
   }
+
+  test("streaming phrase search + ingest: micro-batch union equals the " +
+    "batch answer, a replayed batchId is idempotent, and streamed " +
+    "document folds serve the full-corpus phrase answer exactly-once") {
+    implicit val sc = spark.sqlContext
+    val phrases: Seq[(Long, String)] = Seq(
+      0L -> "table scan", 1L -> Retrieval.ProbePhrase, 2L -> "a a")
+    val docs = Tables.documents(spark, sf0001)
+
+    // search side: serve from a full persisted index
+    val idx = tmpDir("phrase-stream-idx")
+    Retrieval.writePhraseIndex(docs, idx)
+    val out = tmpDir("sphrase-out")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingRetrieval.startPhrase(
+      in.toDF().toDF("query_id", "phrase"), idx, out,
+      tmpDir("sphrase-ckpt"))
+    try {
+      in.addData(phrases.take(2): _*)
+      q.processAllAvailable()
+      in.addData(phrases.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = resultsOf(out)
+    val batch = Retrieval.phraseBatch(spark, idx,
+      phrases.toDF("query_id", "phrase"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed == batch)
+    // replay of batch 0: the batchId-keyed overwrite must not duplicate
+    StreamingRetrieval.publishPhraseBatch(
+      phrases.take(2).toDF("query_id", "phrase"), 0L, idx, out)
+    assert(resultsOf(out) == streamed, "replayed batch must not duplicate")
+
+    // ingest side: half-seeded index grows to the full-corpus answer
+    val grown = tmpDir("phrase-stream-grown")
+    Retrieval.writePhraseIndex(docs.filter($"doc_id" % 2 === 0), grown)
+    val newDocs = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .sortBy(_._1)
+    val din = MemoryStream[(Long, String, String, String, Long)]
+    val dq = StreamingRetrieval.startPhraseIngest(
+      din.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      grown, tmpDir("phrase-stream-grown-ckpt"), compactEvery = 2)
+    try {
+      din.addData(newDocs.take(100): _*)
+      dq.processAllAvailable()
+      din.addData(newDocs.drop(100): _*)
+      dq.processAllAvailable()
+    } finally dq.stop()
+    // compactEvery=2 fired after batchId 1: ONE compacted postings root
+    import scala.jdk.CollectionConverters._
+    val roots = java.nio.file.Files.list(java.nio.file.Paths.get(
+      Retrieval.protocol(grown).dir("postings"))).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq
+    assert(roots.size == 1 && roots.head.matches("c\\d+"),
+      s"postings roots: $roots")
+    for (ph <- phrases.map(_._2))
+      assert(Retrieval.phraseTopK(spark, grown, ph)
+        .as[(Long, Long, Long)].collect().toSeq ==
+        Retrieval.phraseTopK(spark, idx, ph)
+          .as[(Long, Long, Long)].collect().toSeq, s"phrase='$ph'")
+  }
 }
