@@ -869,6 +869,219 @@ object Retrieval {
         .select(col("doc_id")), staging, 1L)
     }
 
+  // ---- character-trigram substring (grep) index ----
+  //   <root>/postings/<sub>/ — (tg, doc_id) DISTINCT rows partitioned
+  //                      by `bucket=pmod(xxhash64(tg), Buckets)`: one
+  //                      row per distinct character 3-gram per
+  //                      document. Trigram postings answer SUBSTRING
+  //                      queries (grep at corpus scale — contamination
+  //                      needles, PII probes, code-snippet search) the
+  //                      way pg_trgm / Google Code Search do: a needle
+  //                      of length n decomposes into n-2 overlapping
+  //                      trigrams, every containing document holds ALL
+  //                      of them, so candidates = the bucket-pruned
+  //                      intersection, and a point verify on the
+  //                      candidates' raw text removes the
+  //                      non-contiguous false positives. 100-TB shape:
+  //                      the text column is scanned ONCE at build time;
+  //                      a query reads ≤ n-2 of the `Buckets` posting
+  //                      directories plus the candidate docs' rows —
+  //                      never the corpus.
+  // The root speaks the same FoldProtocol dialect as the BM25/phrase
+  // indexes (seed/b/c/d sub-roots, `_postings_ledger`, doc_id
+  // tombstones), so ledgered folds, takedowns and compaction compose
+  // identically; `text_substring_evolved` value-gates the lifecycle.
+
+  private val TrigramSchema = "tg STRING, doc_id BIGINT, bucket BIGINT"
+
+  /** Distinct character trigrams of each document — in-row work (the
+    * lambda captures only the raw `text` ATTRIBUTE, so unlike the
+    * computed-capture pitfall documented at `Dedup.kgrams` nothing is
+    * re-evaluated per element); no shuffle until the partitioned write
+    * clusters by bucket. Documents shorter than 3 chars yield no rows
+    * (the `when` guard keeps `sequence` ascending).
+    */
+  private def trigramPostings(docs: DataFrame): DataFrame =
+    Par.fanOut(docs)
+      .select(col("doc_id"), explode(when(length(col("text")) >= 3,
+        array_distinct(transform(
+          sequence(lit(1), length(col("text")) - lit(2)),
+          i => col("text").substr(i, lit(3)))))
+        .otherwise(typedLit(Seq.empty[String]))).as("tg"))
+
+  private def writeSubstringSubRoot(docs: DataFrame, path: String,
+      sub: String): Unit =
+    bucketSliced(trigramPostings(docs)
+      .withColumn("bucket", pmod(xxhash64(col("tg")), lit(Buckets))))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"${protocol(path).dir("postings")}/$sub")
+
+  /** Build a fresh substring index at `path` (seed sub-root). */
+  def writeSubstringIndex(docs: DataFrame, path: String): Unit =
+    writeSubstringSubRoot(docs, path, "seed")
+
+  /** Ledgered append of new documents' trigram postings — the phrase
+    * fold contract (postings only, no stats side).
+    */
+  def appendToSubstringIndex(docs: DataFrame, path: String,
+      batchId: Long): Boolean =
+    protocol(path).fold(batchId, Seq("postings")) {
+      writeSubstringSubRoot(docs, path, s"b$batchId")
+    }
+
+  /** Ledgered document takedown — tombstones only, O(|ids|). */
+  def deleteFromSubstringIndex(ids: DataFrame, path: String,
+      deleteId: Long): Boolean = {
+    val p = protocol(path)
+    p.delete(deleteId) { p.stageTombstones(ids, "doc_id", deleteId) }
+  }
+
+  /** All committed trigram postings minus committed tombstones. */
+  private def substringPostings(s: SparkSession, path: String): DataFrame =
+    protocol(path).readCommittedStripped(s, "postings", "doc_id")(r =>
+      s.read.schema(TrigramSchema).option("basePath", r).parquet(r))
+
+  /** Build-if-absent gate fixture (stage-and-publish). */
+  def ensureSubstringIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_trgm_index"))(
+      phraseComplete(s, _)) { staging =>
+      writeSubstringIndex(Tables.documents(s, d), staging)
+    }
+
+  /** Lifecycle fixture: seed the history wave, fold the remainder
+    * (batch 0), tombstone doc_id % 7 = 3 (batch 1) — victims span both
+    * waves, keyed on the delete's ledger entry (it commits last).
+    */
+  def ensureEvolvedSubstringIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_trgm_evolved"))(
+      r => protocol(r).deletedBatches().contains(1L)
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      writeSubstringIndex(docs.filter(col("doc_id") % 5 =!= 4), staging)
+      appendToSubstringIndex(docs.filter(col("doc_id") % 5 === 4),
+        staging, 0L)
+      deleteFromSubstringIndex(docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")), staging, 1L)
+    }
+
+  /** The gate's probe needle — deliberately NOT token-aligned (spans a
+    * word boundary mid-word), the capability tokenized indexes cannot
+    * express; present at every shipped scale.
+    */
+  val ProbeNeedle = "can fil"
+
+  /** CANDIDATE doc_ids for `needle` from the index alone — every doc
+    * containing all of the needle's distinct trigrams (a superset of
+    * the true matches: trigrams may co-occur non-contiguously). The
+    * needle's trigrams are literal-sized, so the bucket set is a
+    * driver-side constant (static PartitionFilter) and the gram filter
+    * an isin; the only aggregate is per-doc distinct-gram counting with
+    * ≤ n-2 state per key.
+    */
+  private[graft] def substringCandidates(s: SparkSession, indexPath: String,
+      needle: String): DataFrame = {
+    import s.implicits._
+    require(needle.length >= 3, "substring search needs >= 3 chars")
+    val grams = needle.sliding(3).toVector.distinct
+    val buckets = grams.toDF("tg")
+      .select(pmod(xxhash64(col("tg")), lit(Buckets)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    substringPostings(s, indexPath)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("tg").isInCollection(grams))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("tg")).as("ng"))
+      .filter(col("ng") === lit(grams.length.toLong))
+      .select(col("doc_id"))
+  }
+
+  /** Substring (grep) search: trigram candidates verified against the
+    * candidates' raw text — a semi-join restricts the documents scan to
+    * candidate rows (NO driver collect: the candidate set is corpus-
+    * dependent, so it flows as a join — AQE broadcasts it when small,
+    * degrades to a shuffled semi-join when a stop-gram-ish needle
+    * matches wide), then an exact `contains` keeps true matches.
+    * Output (doc_id, n_occ) with the non-overlapping occurrence count.
+    */
+  def substringSearch(s: SparkSession, indexPath: String,
+      docs: DataFrame, needle: String): DataFrame =
+    docs
+      .join(substringCandidates(s, indexPath, needle), Seq("doc_id"),
+        "left_semi")
+      .filter(col("text").contains(needle))
+      .select(col("doc_id"),
+        ((length(col("text")) -
+          length(replace(col("text"), lit(needle), lit("")))) /
+          lit(needle.length)).cast("long").as("n_occ"))
+      .orderBy(col("doc_id"))
+
+  private def substringOracleSqlOver(docsWhere: String): String =
+    s"""SELECT doc_id,
+       |  CAST((len(text) - len(replace(text, '$ProbeNeedle', '')))
+       |       / len('$ProbeNeedle') AS BIGINT) AS n_occ
+       |FROM documents
+       |WHERE contains(text, '$ProbeNeedle') AND $docsWhere
+       |ORDER BY doc_id""".stripMargin
+
+  /** The multi-needle gate's literal query table — shared verbatim
+    * with the oracle's VALUES list: one rare needle, one mid, one
+    * common (all mid-word, none token-aligned).
+    */
+  val NeedleQueries: Seq[(Long, String)] = Seq(
+    0L -> "sh join k", 1L -> "alue tab", 2L -> "w merge")
+
+  /** MANY needles in one distributed job: the batch's gram set prunes
+    * buckets once, postings semi-join the gram set BEFORE the per-query
+    * fan-out join, per-(query, doc) distinct-gram counting yields
+    * candidates, and ONE corpus join verifies all queries' candidates
+    * together (`contains` on the joined needle). `queries` is
+    * `(query_id, needle)`; output `(query_id, doc_id, n_occ)`.
+    */
+  def substringBatch(s: SparkSession, indexPath: String,
+      docs: DataFrame, queries: DataFrame): DataFrame = {
+    val qgrams = queries
+      .select(col("query_id"), col("needle"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("needle")) - lit(2)),
+          i => col("needle").substr(i, lit(3))))).as("tg"))
+    val qn = qgrams.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("nq"))
+    val gramSet = qgrams.select(col("tg")).distinct()
+    val buckets = gramSet
+      .select(pmod(xxhash64(col("tg")), lit(Buckets)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val cands = substringPostings(s, indexPath)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(gramSet, Seq("tg"), "left_semi")
+      .join(qgrams.select(col("query_id"), col("tg")), Seq("tg"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count_distinct(col("tg")).as("ng"))
+      .join(qn, Seq("query_id"))
+      .filter(col("ng") === col("nq"))
+      .select(col("query_id"), col("doc_id"))
+    docs
+      .join(cands, Seq("doc_id"))
+      .join(queries, Seq("query_id"))
+      .filter(col("text").contains(col("needle")))
+      .select(col("query_id"), col("doc_id"),
+        ((length(col("text")) -
+          length(replace(col("text"), col("needle"), lit("")))) /
+          length(col("needle"))).cast("long").as("n_occ"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  private val substringMultiOracleSql: String = {
+    val values = NeedleQueries
+      .map { case (id, n) => s"($id, '$n')" }.mkString(", ")
+    s"""WITH q AS (SELECT * FROM (VALUES $values) v(query_id, needle))
+       |SELECT CAST(q.query_id AS BIGINT) AS query_id, d.doc_id,
+       |  CAST((len(d.text) - len(replace(d.text, q.needle, '')))
+       |       / len(q.needle) AS BIGINT) AS n_occ
+       |FROM documents d JOIN q ON contains(d.text, q.needle)
+       |ORDER BY query_id, doc_id""".stripMargin
+  }
+
   /** The multi-query gate's literal query table — shared verbatim with
     * the oracle's VALUES list (the portability contract): one
     * rare-term query, one mixed, one all-common.
@@ -943,6 +1156,31 @@ object Retrieval {
       import s.implicits._
       phraseBatch(s, ensurePhraseIndex(s, d),
         PhraseQueries.toDF("query_id", "phrase"))
+    },
+    // Substring (grep) search from the persisted trigram index: the
+    // needle spans a word boundary mid-word — the query class neither
+    // the BM25 nor the positional index can answer — served as a
+    // bucket-pruned trigram intersection plus a candidate-restricted
+    // exact verify; the oracle greps the corpus directly.
+    QuerySpec("text_substring", substringOracleSqlOver("1 = 1")) {
+      (s, d) => substringSearch(s, ensureSubstringIndex(s, d),
+        Tables.documents(s, d), ProbeNeedle)
+    },
+    // The trigram index's FoldProtocol lifecycle under one value gate:
+    // seed, ledgered append, ledgered takedown — the serve must equal
+    // grepping a corpus that never contained the deleted docs.
+    QuerySpec("text_substring_evolved",
+      substringOracleSqlOver("doc_id % 7 <> 3")) { (s, d) =>
+      substringSearch(s, ensureEvolvedSubstringIndex(s, d),
+        Tables.documents(s, d), ProbeNeedle)
+    },
+    // Many needles, one distributed job: one bucket prune + ONE
+    // verify join for the whole batch.
+    QuerySpec("text_substring_multi", substringMultiOracleSql) {
+      (s, d) =>
+      import s.implicits._
+      substringBatch(s, ensureSubstringIndex(s, d),
+        Tables.documents(s, d), NeedleQueries.toDF("query_id", "needle"))
     },
     // The incremental fold under the value gate: history-seeded index +
     // one ledgered append must serve the exact full-corpus answer (df,

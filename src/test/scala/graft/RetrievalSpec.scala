@@ -575,4 +575,100 @@ class RetrievalSpec extends SparkSpec {
     assert(total > 2 && listed < total,
       "the prune must be a strict subset of a many-bucket index")
   }
+
+  // ---- character-trigram substring index ----
+
+  test("substringSearch serves ANY needle identically to a direct " +
+    "grep, and the exact verify removes a crafted false positive " +
+    "whose text holds every trigram but not the substring") {
+    val needle = "abcdef" // trigrams abc, bcd, cde, def
+    val falsePos = 999999L -> "abcd cdef" // all 4 trigrams, no needle
+    val truePos = 999998L -> s"x${needle}y $needle"
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+      .union(Seq(falsePos, truePos).toDF("doc_id", "text"))
+    val idx = tmpDir("trgm-idx")
+    Retrieval.writeSubstringIndex(docs, idx)
+    // direct-grep identity on corpus-native needles (incl. the probe)
+    for (n <- Seq(Retrieval.ProbeNeedle, "sh join k", "zebraquantum")) {
+      val served = Retrieval.substringSearch(spark, idx, docs, n)
+        .as[(Long, Long)].collect().toSeq
+      val brute = docs.filter($"text".contains(n))
+        .select($"doc_id", ((length($"text") -
+          length(replace($"text", lit(n), lit("")))) / lit(n.length))
+          .cast("long"))
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(served == brute, s"needle='$n'")
+    }
+    assert(Retrieval.substringSearch(spark, idx, docs, Retrieval.ProbeNeedle)
+      .count() > 0, "the probe needle must be non-vacuous at sf0.001")
+    // the crafted doc is a CANDIDATE (trigram intersection cannot see
+    // contiguity) but not a MATCH (the verify greps the real text)
+    val cands = Retrieval.substringCandidates(spark, idx, needle)
+      .as[Long].collect().toSet
+    assert(cands.contains(falsePos._1),
+      "the all-trigrams doc must survive candidate generation")
+    val matches = Retrieval.substringSearch(spark, idx, docs, needle)
+      .as[(Long, Long)].collect().toSeq
+    assert(matches == Seq(truePos._1 -> 2L),
+      "the verify must keep exactly the true match with its count")
+  }
+
+  test("substring index lifecycle: seed + ledgered fold + ledgered " +
+    "takedown serves identically to a fresh index; replays are " +
+    "no-ops; batch serving agrees with single-needle serves") {
+    val docs = Tables.documents(spark, sf0001)
+    val idx = tmpDir("trgm-lifecycle")
+    Retrieval.writeSubstringIndex(docs.filter($"doc_id" % 5 =!= 4), idx)
+    assert(Retrieval.appendToSubstringIndex(
+      docs.filter($"doc_id" % 5 === 4), idx, 0L))
+    assert(!Retrieval.appendToSubstringIndex(
+      docs.filter($"doc_id" % 5 === 4), idx, 0L),
+      "a replayed fold must be a ledger-detected no-op")
+    val victims = docs.filter($"doc_id" % 7 === 3).select($"doc_id")
+    assert(Retrieval.deleteFromSubstringIndex(victims, idx, 1L))
+    assert(!Retrieval.deleteFromSubstringIndex(victims, idx, 1L),
+      "a replayed delete must be a ledger-detected no-op")
+    val surviving = docs.filter($"doc_id" % 7 =!= 3)
+    val fresh = tmpDir("trgm-fresh")
+    Retrieval.writeSubstringIndex(surviving, fresh)
+    for (n <- Seq(Retrieval.ProbeNeedle, "w merge")) {
+      val evolved = Retrieval.substringSearch(spark, idx, surviving, n)
+        .as[(Long, Long)].collect().toSeq
+      val rebuilt = Retrieval.substringSearch(spark, fresh, surviving, n)
+        .as[(Long, Long)].collect().toSeq
+      assert(evolved == rebuilt, s"needle='$n'")
+    }
+    // batch serving agrees with the single-needle serve per query
+    val qs = Seq(0L -> Retrieval.ProbeNeedle, 1L -> "w merge")
+    val batch = Retrieval.substringBatch(spark, idx, surviving,
+      qs.toDF("query_id", "needle"))
+      .as[(Long, Long, Long)].collect().toSeq.groupBy(_._1)
+    for ((qid, n) <- qs)
+      assert(batch.getOrElse(qid, Nil).map(t => (t._2, t._3)) ==
+        Retrieval.substringSearch(spark, idx, surviving, n)
+          .as[(Long, Long)].collect().toSeq, s"batch vs single for '$n'")
+  }
+
+  test("substringSearch: the trigram postings scan carries a STATIC " +
+    "bucket PartitionFilter listing at most |grams| bucket dirs") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val idx = tmpDir("trgm-prune")
+    Retrieval.writeSubstringIndex(docs, idx)
+    val plan = Retrieval.substringSearch(spark, idx, docs,
+      Retrieval.ProbeNeedle).queryExecution.sparkPlan
+    val scan = plan.collect {
+      case f: FileSourceScanExec
+        if f.metadata("Location").contains("postings") => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "bucket prune must be a static PartitionFilter")
+    val grams = Retrieval.ProbeNeedle.sliding(3).toSeq.distinct.length
+    val listed = scan.selectedPartitions.partitionCount
+    assert(listed <= grams, s"$grams grams listed $listed bucket dirs")
+    val total = spark.read.parquet(s"$idx/postings")
+      .select($"bucket").distinct().count()
+    assert(total > grams && listed < total,
+      "the prune must be a strict subset of a many-bucket index")
+  }
 }
