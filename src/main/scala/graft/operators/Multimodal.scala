@@ -988,6 +988,156 @@ object Multimodal {
       }
   }
 
+  /** Pure-JVM kernel for FLAC audio — a metadata-block walk, NO codec
+    * decode: like [[Mp4MediaKernel]], the metering a crawled audio
+    * corpus needs (duration, channel layout, bit depth, compression
+    * ratio) is fully determined by the container's mandatory
+    * STREAMINFO block (sample rate, channels, bits/sample, total
+    * samples, block/frame-size bounds), so walking the length-prefixed
+    * metadata chain yields exact metering without touching a single
+    * entropy-coded byte. The magic, a complete block chain (each
+    * 1-byte type+last-flag header, 3-byte big-endian length, payload
+    * in-bounds, STREAMINFO first with its fixed 34-byte layout and a
+    * nonzero sample rate) and a last-block flag inside the payload are
+    * required; anything else is an opaque blob for the stub.
+    * FlacKernelSpec pins hand-built streams.
+    *
+    * `AssetFeatures.width`/`height` carry sample rate and channel
+    * count (the WAV/MP3 convention). Feature layout: duration seconds,
+    * total samples, bits per sample, metadata block count, audio byte
+    * fraction of the payload, min block size, max block size, and the
+    * compression ratio (coded audio bytes over the PCM bytes the
+    * stream decodes to; 0 when the stream declares no samples).
+    */
+  object FlacMediaKernel extends MediaKernel {
+
+    private[operators] final case class FlacInfo(sampleRate: Int,
+        channels: Int, bitsPerSample: Int, totalSamples: Long,
+        minBlock: Int, maxBlock: Int, nMetaBlocks: Int, audioOff: Int) {
+      def durationSec: Double = totalSamples.toDouble / sampleRate
+    }
+
+    private def u16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def u24(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i + 2) & 0xff)
+    private def u32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+    /** Magic + metadata-block chain walk. STREAMINFO's packed layout
+      * (RFC 9639 §8.2): u16 min/max block size, u24 min/max frame
+      * size, then 20-bit sample rate, 3-bit channels-1, 5-bit bps-1,
+      * 36-bit total samples, 16-byte MD5.
+      */
+    private[graft] def parseFlac(b: Array[Byte]): Option[FlacInfo] = {
+      if (b.length < 4 + 4 + 34 || b(0) != 'f' || b(1) != 'L' ||
+          b(2) != 'a' || b(3) != 'C') return None
+      var i = 4
+      var n = 0
+      var info: Option[FlacInfo] = None
+      var last = false
+      while (!last) {
+        if (i + 4 > b.length) return None
+        val hdr = b(i) & 0xff
+        last = (hdr & 0x80) != 0
+        val typ = hdr & 0x7f
+        val len = u24(b, i + 1)
+        if (typ == 127) return None // forbidden type, per spec
+        if (i + 4 + len > b.length) return None
+        if (n == 0) {
+          // STREAMINFO must be first, with its exact fixed length
+          if (typ != 0 || len != 34) return None
+          val s = i + 4
+          val rate = ((b(s + 10) & 0xff) << 12) |
+            ((b(s + 11) & 0xff) << 4) | ((b(s + 12) & 0xff) >> 4)
+          if (rate == 0) return None
+          val channels = ((b(s + 12) >> 1) & 7) + 1
+          val bps = (((b(s + 12) & 1) << 4) |
+            ((b(s + 13) >> 4) & 0xf)) + 1
+          val total = ((b(s + 13) & 0xfL) << 32) | u32(b, s + 14)
+          info = Some(FlacInfo(rate, channels, bps, total,
+            u16(b, s), u16(b, s + 2), 0, 0))
+        } else if (typ == 0) return None // duplicate STREAMINFO
+        n += 1
+        i += 4 + len
+      }
+      info.map(_.copy(nMetaBlocks = n, audioOff = i))
+    }
+
+    def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
+      parseFlac(a.content) match {
+        case None => StubMediaKernel.decodeBatch(Seq(a)).head
+        case Some(f) =>
+          val audioBytes = (a.content.length - f.audioOff).toLong
+          val pcmBytes =
+            f.totalSamples * f.channels * f.bitsPerSample / 8.0
+          AssetFeatures(a.asset_id, f.sampleRate, f.channels, Array(
+            f.durationSec.toFloat,
+            f.totalSamples.toFloat,
+            f.bitsPerSample.toFloat,
+            f.nMetaBlocks.toFloat,
+            (audioBytes.toDouble / a.content.length).toFloat,
+            f.minBlock.toFloat,
+            f.maxBlock.toFloat,
+            (if (pcmBytes > 0) audioBytes / pcmBytes else 0.0).toFloat))
+      }
+    }
+
+    /** Coded-byte envelope thumbnail: `w*h` bytes, nearest-neighbor
+      * over the audio region's raw coded bytes — without entropy
+      * decode the coded stream itself is the only per-position signal,
+      * and its local byte density tracks the frame structure the way
+      * the MP3 bitrate envelope does. Empty audio regions (metadata-
+      * only streams) fall back to the stub.
+      */
+    def resizeBatch(batch: Seq[Asset], w: Int, h: Int): Seq[ResizedAsset] =
+      batch.map { a =>
+        parseFlac(a.content) match {
+          case Some(f) if a.content.length > f.audioOff =>
+            val n = a.content.length - f.audioOff
+            val thumb = Array.tabulate(w * h) { i =>
+              a.content(f.audioOff + (i.toLong * n / (w.toLong * h)).toInt)
+            }
+            ResizedAsset(a.asset_id, w, h, thumb)
+          case _ => StubMediaKernel.resizeBatch(Seq(a), w, h).head
+        }
+      }
+
+    /** The container's own chunking: each metadata block (header
+      * included) is one sample, then the audio region in fixed
+      * [[FrameBytes]] chunks — FLAC frame boundaries are not
+      * header-derivable without entropy decode, so the audio region
+      * chunks like the stub while the metadata chain keeps its true
+      * spans.
+      */
+    def frames(a: Asset, every: Int): Iterator[FrameSample] =
+      parseFlac(a.content) match {
+        case None => StubMediaKernel.frames(a, every)
+        case Some(f) =>
+          val blocks = {
+            val out = Vector.newBuilder[(Int, Int)]
+            var i = 4
+            while (i < f.audioOff) {
+              val len = 4 + u24(a.content, i + 1)
+              out += ((i, len))
+              i += len
+            }
+            out.result()
+          }
+          val audio = (f.audioOff until a.content.length by FrameBytes)
+            .map(o => (o, math.min(FrameBytes, a.content.length - o)))
+          (blocks ++ audio).iterator.zipWithIndex
+            .filter(_._2 % every == 0)
+            .map { case ((off, len), k) =>
+              val bytes = java.util.Arrays.copyOfRange(
+                a.content, off, off + len)
+              FrameSample(a.asset_id, k, bytes.length.toLong,
+                byteHash(bytes))
+            }
+      }
+  }
+
   /** Pure-JVM kernel with REAL decode for PNG images — the first
     * REAL-WORLD container in the kernel mix (PPM/WAV/Y4M are
     * headerless-simple interchange formats; PNG is what an actual
@@ -1629,8 +1779,8 @@ object Multimodal {
   /** Magic-byte router over the real kernels — the production shape: a
     * mixed corpus decodes each payload with the implementation its
     * container asks for (PNG and baseline JPEG images, P6 pixmaps,
-    * RIFF/WAVE PCM, MPEG-1 Layer III audio, ISO BMFF / MP4 video
-    * containers, YUV4MPEG2 raw video), and
+    * RIFF/WAVE PCM, MPEG-1 Layer III and FLAC audio, ISO BMFF / MP4
+    * video containers, YUV4MPEG2 raw video), and
     * anything unrecognized stays on the stub arithmetic (so the
     * oracle-gated queries hold byte-identical under this kernel too,
     * pinned in WavKernelSpec/PngKernelSpec/JpegKernelSpec/
@@ -1652,6 +1802,7 @@ object Multimodal {
         JpegMediaKernel
       else if (magic(b, "P6", 0)) PpmMediaKernel
       else if (magic(b, "RIFF", 0) && magic(b, "WAVE", 8)) WavMediaKernel
+      else if (magic(b, "fLaC", 0)) FlacMediaKernel
       // MP3: a leading ID3v2 tag, or a raw stream opening on a valid
       // MPEG-1 Layer III frame header; parseMp3 decides full validity
       // and malformed payloads still land on the stub
