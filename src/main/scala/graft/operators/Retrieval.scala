@@ -942,6 +942,23 @@ object Retrieval {
     protocol(path).readCommittedStripped(s, "postings", "doc_id")(r =>
       s.read.schema(TrigramSchema).option("basePath", r).parquet(r))
 
+  /** Compact the trigram index: every committed posting (tombstones
+    * already anti-joined away) rewritten as ONE `c<hw>` dir — the
+    * [[compactPhraseIndex]] publish-and-clear on trigram postings.
+    */
+  def compactSubstringIndex(s: SparkSession, path: String): Unit = {
+    val p = protocol(path)
+    p.withLease("compact-trgm") {
+      val cname = p.compactDirName()
+      bucketSliced(substringPostings(s, path))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"$path/.postings.compacting/$cname")
+      p.publishDir(".postings.compacting", "postings")
+      p.clearTombstones()
+    }
+  }
+
   /** Build-if-absent gate fixture (stage-and-publish). */
   def ensureSubstringIndex(s: SparkSession, d: String): String =
     Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_trgm_index"))(

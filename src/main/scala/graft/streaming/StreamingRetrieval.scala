@@ -118,4 +118,49 @@ object StreamingRetrieval {
         }
       }
       .start()
+
+  /** Streaming SUBSTRING (grep) search against the persisted trigram
+    * index — `Retrieval.substringBatch` per micro-batch of
+    * `(query_id, needle)`: one static bucket PartitionFilter + one
+    * candidate-verify join per batch, batchId-keyed overwrite output.
+    * Read-only ⇒ replay-idempotent without a ledger. `docs` is the
+    * corpus frame the exact verify greps (the serve contract of
+    * `text_substring`).
+    */
+  def startSubstring(queries: DataFrame, indexPath: String,
+      docs: DataFrame, outPath: String, checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishSubstringBatch(batch, batchId, indexPath, docs, outPath)
+      }
+      .start()
+
+  /** One substring micro-batch publish — the replay-idempotent unit. */
+  def publishSubstringBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, docs: DataFrame, outPath: String): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    Retrieval.substringBatch(batch.sparkSession, indexPath, docs, batch)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
+  }
+
+  /** Fold micro-batches of NEW documents into the trigram index —
+    * ledgered postings-only folds with ledger-gated periodic
+    * compaction via the shared [[Retrieval.compactSubstringIndex]].
+    */
+  def startSubstringIngest(docs: DataFrame, indexPath: String,
+      checkpoint: String, compactEvery: Int = 16): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Retrieval.appendToSubstringIndex(batch, indexPath, batchId)
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1
+              && Retrieval.phraseFoldedBatches(indexPath).contains(batchId))
+            Retrieval.compactSubstringIndex(batch.sparkSession, indexPath)
+        }
+      }
+      .start()
 }

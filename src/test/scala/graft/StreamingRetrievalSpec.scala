@@ -176,4 +176,72 @@ class StreamingRetrievalSpec extends SparkSpec {
         Retrieval.phraseTopK(spark, idx, ph)
           .as[(Long, Long, Long)].collect().toSeq, s"phrase='$ph'")
   }
+
+  test("streaming substring search + ingest: micro-batch union equals " +
+    "the batch answer, a replayed batchId is idempotent, and streamed " +
+    "document folds serve the full-corpus grep answer") {
+    implicit val sc = spark.sqlContext
+    val needles: Seq[(Long, String)] = Seq(
+      0L -> Retrieval.ProbeNeedle, 1L -> "sh join k", 2L -> "w merge")
+    val docs = Tables.documents(spark, sf0001)
+
+    // search side: serve from a full persisted index
+    val idx = tmpDir("trgm-stream-idx")
+    Retrieval.writeSubstringIndex(docs, idx)
+    val out = tmpDir("strgm-out")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingRetrieval.startSubstring(
+      in.toDF().toDF("query_id", "needle"), idx, docs, out,
+      tmpDir("strgm-ckpt"))
+    try {
+      in.addData(needles.take(2): _*)
+      q.processAllAvailable()
+      in.addData(needles.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def grepResults() = spark.read
+      .option("recursiveFileLookup", "true").parquet(out)
+      .select($"query_id", $"doc_id", $"n_occ")
+      .as[(Long, Long, Long)].collect().toSet
+    val streamed = grepResults()
+    val batch = Retrieval.substringBatch(spark, idx, docs,
+      needles.toDF("query_id", "needle"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // replay of batch 0: the batchId-keyed overwrite must not duplicate
+    StreamingRetrieval.publishSubstringBatch(
+      needles.take(2).toDF("query_id", "needle"), 0L, idx, docs, out)
+    assert(grepResults() == streamed, "replayed batch must not duplicate")
+
+    // ingest side: half-seeded index grows to the full-corpus answer,
+    // compaction folds the postings into one c-dir
+    val grown = tmpDir("trgm-stream-grown")
+    Retrieval.writeSubstringIndex(docs.filter($"doc_id" % 2 === 0), grown)
+    val newDocs = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .sortBy(_._1)
+    val din = MemoryStream[(Long, String, String, String, Long)]
+    val dq = StreamingRetrieval.startSubstringIngest(
+      din.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      grown, tmpDir("trgm-stream-grown-ckpt"), compactEvery = 2)
+    try {
+      din.addData(newDocs.take(100): _*)
+      dq.processAllAvailable()
+      din.addData(newDocs.drop(100): _*)
+      dq.processAllAvailable()
+    } finally dq.stop()
+    import scala.jdk.CollectionConverters._
+    val roots = java.nio.file.Files.list(java.nio.file.Paths.get(
+      Retrieval.protocol(grown).dir("postings"))).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq
+    assert(roots.size == 1 && roots.head.matches("c\\d+"),
+      s"postings roots: $roots")
+    for (n <- needles.map(_._2))
+      assert(Retrieval.substringSearch(spark, grown, docs, n)
+        .as[(Long, Long)].collect().toSeq ==
+        Retrieval.substringSearch(spark, idx, docs, n)
+          .as[(Long, Long)].collect().toSeq, s"needle='$n'")
+  }
 }
