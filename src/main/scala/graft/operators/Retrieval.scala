@@ -982,6 +982,156 @@ object Retrieval {
         .select(col("doc_id")), staging, 1L)
     }
 
+  // ---- word-positional (unigram) index — proximity / NEAR queries ----
+  //   <root>/postings/<sub>/ — (word, doc_id, pos) rows partitioned by
+  //                      `bucket=pmod(xxhash64(word), Buckets)`: one row
+  //                      per TOKEN with its 0-based position — the
+  //                      Lucene-positions structure. Where the
+  //                      next-word index answers ADJACENCY (exact
+  //                      phrase), this one answers PROXIMITY: "all of
+  //                      these words within a W-word window" (NEAR),
+  //                      the query class neither the bag-of-words nor
+  //                      the pair index can express. A NEAR query of L
+  //                      words serves as L bucket-pruned point
+  //                      lookups; the L-leg doc_id join is
+  //                      window-BOUNDED (every intermediate row set is
+  //                      span-filtered, so per-position fan-out is
+  //                      ≤ (2W-1)^(L-1), a query constant — the
+  //                      join-based analog of Lucene's doc-at-a-time
+  //                      position merge). Same FoldProtocol dialect as
+  //                      every other postings index.
+
+  private val WordPosSchema =
+    "word STRING, doc_id BIGINT, pos INT, bucket BIGINT"
+
+  /** One row per token with its position — pure in-row work. */
+  private def wordPositions(docs: DataFrame): DataFrame =
+    Par.fanOut(docs)
+      .select(col("doc_id"),
+        posexplode(words(col("text"))).as(Seq("pos", "word")))
+
+  private def writeNearSubRoot(docs: DataFrame, path: String,
+      sub: String): Unit =
+    bucketSliced(wordPositions(docs)
+      .withColumn("bucket", pmod(xxhash64(col("word")), lit(Buckets))))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"${protocol(path).dir("postings")}/$sub")
+
+  /** Build a fresh word-positional index at `path` (seed sub-root). */
+  def writeNearIndex(docs: DataFrame, path: String): Unit =
+    writeNearSubRoot(docs, path, "seed")
+
+  /** Ledgered append — the postings-only fold contract. */
+  def appendToNearIndex(docs: DataFrame, path: String,
+      batchId: Long): Boolean =
+    protocol(path).fold(batchId, Seq("postings")) {
+      writeNearSubRoot(docs, path, s"b$batchId")
+    }
+
+  /** Ledgered document takedown — tombstones only, O(|ids|). */
+  def deleteFromNearIndex(ids: DataFrame, path: String,
+      deleteId: Long): Boolean = {
+    val p = protocol(path)
+    p.delete(deleteId) { p.stageTombstones(ids, "doc_id", deleteId) }
+  }
+
+  private def nearPostings(s: SparkSession, path: String): DataFrame =
+    protocol(path).readCommittedStripped(s, "postings", "doc_id")(r =>
+      s.read.schema(WordPosSchema).option("basePath", r).parquet(r))
+
+  /** Build-if-absent gate fixture (stage-and-publish). */
+  def ensureNearIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_near_index"))(
+      phraseComplete(s, _)) { staging =>
+      writeNearIndex(Tables.documents(s, d), staging)
+    }
+
+  /** Lifecycle fixture: seed, ledgered fold, ledgered takedown. */
+  def ensureEvolvedNearIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_near_evolved"))(
+      r => protocol(r).deletedBatches().contains(1L)
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      writeNearIndex(docs.filter(col("doc_id") % 5 =!= 4), staging)
+      appendToNearIndex(docs.filter(col("doc_id") % 5 === 4), staging, 0L)
+      deleteFromNearIndex(docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")), staging, 1L)
+    }
+
+  /** The gate's probe NEAR query: three words that co-occur both as
+    * the probe phrase and scattered, inside an 8-word window.
+    */
+  val NearWords: Seq[String] = Seq("hash", "join", "key")
+  val NearWindow = 8
+
+  /** Proximity (NEAR) search: documents where every query word occurs
+    * inside a `window`-word span. The L legs are bucket-pruned point
+    * lookups on the word-positional index; they join on doc_id with
+    * the span bound re-applied after EVERY leg, so intermediate
+    * fan-out per position is capped by the window (a query constant),
+    * never by document length. Output per matching doc: the minimal
+    * covering span (`best_span` = max-min position over the best
+    * window, ≤ window-1) and the qualifying position-combination
+    * count — both integer-exact across engines.
+    */
+  def nearSearch(s: SparkSession, indexPath: String, wordsQ: Seq[String],
+      window: Int): DataFrame = {
+    import s.implicits._
+    require(wordsQ.nonEmpty && wordsQ.distinct.length == wordsQ.length,
+      "NEAR takes distinct words")
+    require(window >= wordsQ.length,
+      "window must be at least the word count")
+    val posts = nearPostings(s, indexPath)
+    // one |words|-row local relation computes EVERY leg's bucket with
+    // the build's own hash (the queryPostings idiom) — one tiny job,
+    // not one per leg
+    val buckets = wordsQ.toDF("word")
+      .select(col("word"),
+        pmod(xxhash64(col("word")), lit(Buckets)).as("bucket"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val legs = wordsQ.zipWithIndex.map { case (w, i) =>
+      posts.filter(col("bucket") === lit(buckets(w)))
+        .filter(col("word") === lit(w))
+        .select(col("doc_id"), col("pos").as(s"p$i"))
+    }
+    val joined = legs.zipWithIndex.tail
+      .foldLeft(legs.head) { case (acc, (leg, i)) =>
+        val ps = (0 to i).map(k => col(s"p$k"))
+        acc.join(leg, Seq("doc_id"))
+          .filter(greatest(ps: _*) - least(ps: _*) <= lit(window - 1))
+      }
+    val all = wordsQ.indices.map(k => col(s"p$k"))
+    joined
+      .select(col("doc_id"),
+        (greatest(all: _*) - least(all: _*)).as("span"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("span")).cast("long").as("best_span"),
+        count(lit(1)).as("n_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def nearOracleSqlOver(docsWhere: String): String = {
+    val legs = NearWords.zipWithIndex.map { case (w, i) =>
+      s"p$i AS (SELECT doc_id, pos FROM t WHERE word = '$w')"
+    }.mkString(",\n")
+    val joins = NearWords.indices.tail
+      .map(i => s"JOIN p$i USING (doc_id)").mkString(" ")
+    val ps = NearWords.indices.map(i => s"p$i.pos").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |      FROM documents WHERE $docsWhere),
+       |t AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word
+       |      FROM w, unnest(range(1, len(ws) + 1)) u(i)),
+       |$legs,
+       |c AS (SELECT p0.doc_id,
+       |        greatest($ps) - least($ps) AS span
+       |      FROM p0 $joins
+       |      WHERE greatest($ps) - least($ps) <= ${NearWindow - 1})
+       |SELECT doc_id, CAST(min(span) AS BIGINT) AS best_span,
+       |  CAST(count(*) AS BIGINT) AS n_windows
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** The gate's probe needle — deliberately NOT token-aligned (spans a
     * word boundary mid-word), the capability tokenized indexes cannot
     * express; present at every shipped scale.
@@ -1198,6 +1348,20 @@ object Retrieval {
       import s.implicits._
       substringBatch(s, ensureSubstringIndex(s, d),
         Tables.documents(s, d), NeedleQueries.toDF("query_id", "needle"))
+    },
+    // Proximity (NEAR) search from the word-positional index: all
+    // query words within an 8-word window — the query class neither
+    // the bag-of-words (no positions) nor the next-word (adjacency
+    // only) index can answer; minimal covering span + window count,
+    // integer-exact in both engines.
+    QuerySpec("text_near", nearOracleSqlOver("1 = 1")) { (s, d) =>
+      nearSearch(s, ensureNearIndex(s, d), NearWords, NearWindow)
+    },
+    // The word-positional index's FoldProtocol lifecycle under one
+    // value gate: seed, ledgered append, ledgered takedown.
+    QuerySpec("text_near_evolved",
+      nearOracleSqlOver("doc_id % 7 <> 3")) { (s, d) =>
+      nearSearch(s, ensureEvolvedNearIndex(s, d), NearWords, NearWindow)
     },
     // The incremental fold under the value gate: history-seeded index +
     // one ledgered append must serve the exact full-corpus answer (df,

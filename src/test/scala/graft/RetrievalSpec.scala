@@ -650,6 +650,100 @@ class RetrievalSpec extends SparkSpec {
           .as[(Long, Long)].collect().toSeq, s"batch vs single for '$n'")
   }
 
+  // ---- word-positional (NEAR) index ----
+
+  /** Position-join recompute straight off the corpus — the reference
+    * the index serve must match on any word set and window.
+    */
+  private def bruteForceNear(d: String, ws: Seq[String], window: Int) = {
+    val t = Tables.documents(spark, d)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+    val legs = ws.zipWithIndex.map { case (w, i) =>
+      t.filter($"w" === w).select($"doc_id", $"pos".as(s"p$i"))
+    }
+    val joined = legs.tail.foldLeft(legs.head)(_.join(_, Seq("doc_id")))
+    val all = ws.indices.map(k => col(s"p$k"))
+    joined
+      .select($"doc_id", (greatest(all: _*) - least(all: _*)).as("span"))
+      .filter($"span" <= window - 1)
+      .groupBy($"doc_id")
+      .agg(min($"span").cast("long").as("best_span"),
+        count(lit(1)).as("n_windows"))
+      .orderBy($"doc_id")
+  }
+
+  test("nearSearch serves ANY word set and window from the positional " +
+    "index identically to a corpus-direct recompute — 2 and 3 words, " +
+    "tight and loose windows, absent words") {
+    val idx = tmpDir("near-idx")
+    Retrieval.writeNearIndex(Tables.documents(spark, sf0001), idx)
+    for ((ws, win) <- Seq(
+        (Seq("hash", "join", "key"), 8),
+        (Seq("hash", "join", "key"), 3), // tight: only the exact phrase
+        (Seq("table", "scan"), 5),
+        (Seq("zebra", "quantum"), 10))) { // absent words: empty result
+      val served = Retrieval.nearSearch(spark, idx, ws, win)
+        .as[(Long, Long, Long)].collect().toSeq
+      val brute = bruteForceNear(sf0001, ws, win)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(served == brute, s"words=$ws window=$win")
+    }
+    assert(Retrieval.nearSearch(spark, idx,
+      Retrieval.NearWords, Retrieval.NearWindow).count() > 0,
+      "the probe NEAR query must be non-vacuous at sf0.001")
+    // a phrase occurrence IS a NEAR match at the tightest window —
+    // but NEAR is ORDER-FREE, so the tight set is a SUPERSET of the
+    // phrase docs (it adds permuted occurrences): phrase ⊆ tight-NEAR,
+    // and every tight match has the forced span L-1 (L distinct words
+    // inside an L-wide window occupy consecutive positions)
+    val tight = Retrieval.nearSearch(spark, idx,
+      Retrieval.ProbePhrase.split(" ").toSeq,
+      Retrieval.ProbePhrase.split(" ").length)
+      .as[(Long, Long, Long)].collect()
+    val phraseDocs = Retrieval.phraseTopK(spark,
+      { val p = tmpDir("near-phrase-idx")
+        Retrieval.writePhraseIndex(Tables.documents(spark, sf0001), p); p },
+      Retrieval.ProbePhrase, k = 1000)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(phraseDocs.subsetOf(tight.map(_._1).toSet),
+      "every exact-phrase doc must be a tightest-window NEAR match")
+    assert(tight.forall(_._2 == 2), "best_span = L-1 at the tight window")
+  }
+
+  test("near index lifecycle: seed + ledgered fold + ledgered " +
+    "takedown serves identically to a fresh index; the postings scan " +
+    "carries a STATIC bucket PartitionFilter of at most |words| dirs") {
+    val docs = Tables.documents(spark, sf0001)
+    val idx = tmpDir("near-lifecycle")
+    Retrieval.writeNearIndex(docs.filter($"doc_id" % 5 =!= 4), idx)
+    assert(Retrieval.appendToNearIndex(
+      docs.filter($"doc_id" % 5 === 4), idx, 0L))
+    assert(!Retrieval.appendToNearIndex(
+      docs.filter($"doc_id" % 5 === 4), idx, 0L),
+      "a replayed fold must be a ledger-detected no-op")
+    val victims = docs.filter($"doc_id" % 7 === 3).select($"doc_id")
+    assert(Retrieval.deleteFromNearIndex(victims, idx, 1L))
+    val fresh = tmpDir("near-fresh")
+    Retrieval.writeNearIndex(docs.filter($"doc_id" % 7 =!= 3), fresh)
+    for ((ws, win) <- Seq((Retrieval.NearWords, Retrieval.NearWindow),
+        (Seq("table", "scan"), 4)))
+      assert(Retrieval.nearSearch(spark, idx, ws, win)
+        .as[(Long, Long, Long)].collect().toSeq ==
+        Retrieval.nearSearch(spark, fresh, ws, win)
+          .as[(Long, Long, Long)].collect().toSeq,
+        s"words=$ws")
+    val scans = Retrieval.nearSearch(spark, fresh,
+      Retrieval.NearWords, Retrieval.NearWindow)
+      .queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec
+          if f.metadata("Location").contains("postings") => f
+      }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "every leg must carry a static bucket PartitionFilter")
+    assert(scans.forall(_.selectedPartitions.partitionCount <= 1),
+      "each leg reads exactly its word's bucket dir")
+  }
+
   test("substringSearch: the trigram postings scan carries a STATIC " +
     "bucket PartitionFilter listing at most |grams| bucket dirs") {
     val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
