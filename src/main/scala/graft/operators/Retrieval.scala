@@ -1249,6 +1249,245 @@ object Retrieval {
        |ORDER BY query_id, doc_id""".stripMargin
   }
 
+  // ---- regex search (codesearch-style trigram prune) ----
+  // A regex whose language is FINITE (alternations of literals, char
+  // classes — no unbounded repetition) expands to the literal strings
+  // it can match; a document matches the regex only if it contains at
+  // least ONE expansion literal, hence ALL of that literal's trigrams
+  // — so candidates = the per-literal trigram intersections, unioned,
+  // off the SAME persisted trigram index substring search reads (the
+  // Google Code Search / postgres pg_trgm architecture: the index
+  // prunes with a NECESSARY condition, a regex engine verifies only
+  // the candidates). 100-TB shape: the corpus text is touched only on
+  // candidate rows; the index read is ≤ Σ|literal| bucket directories.
+
+  /** The gate's probe regex — a 4-literal finite language whose
+    * alternation/extraction semantics agree between Java regex (Spark)
+    * and RE2 (DuckDB): distinct first words mean at most one branch
+    * can match at any position, so non-overlapping match COUNTS are
+    * engine-independent.
+    */
+  val ProbeRegex = "(hash|merge) (join|scan)"
+
+  /** Expand a finite regex into the literal strings of its language:
+    * plain characters, `(a|b)` groups (nestable), `[abc]` / `[a-c]`
+    * classes, `\x` escapes. Returns None when the pattern uses
+    * anything with an unbounded or non-literal language (`* + ? . { ^
+    * $`) or the expansion exceeds `cap` — the caller then degrades to
+    * a full-corpus verify (the index simply cannot prune that query).
+    * Driver-side work on a query literal; never touches data.
+    */
+  private[graft] def expandFiniteRegex(pattern: String,
+      cap: Int = 64): Option[Seq[String]] = {
+    // recursive descent over alt := seq ('|' seq)*; seq := atom*;
+    // atom := char | escape | group | class. Each level returns the
+    // language (all strings) or None (unsupported/over cap).
+    var i = 0
+    val n = pattern.length
+    def alt(): Option[Vector[String]] = {
+      var acc = seq().getOrElse(return None)
+      while (i < n && pattern(i) == '|') {
+        i += 1
+        val branch = seq().getOrElse(return None)
+        acc = acc ++ branch
+        if (acc.length > cap) return None
+      }
+      Some(acc)
+    }
+    def seq(): Option[Vector[String]] = {
+      var acc = Vector("")
+      while (i < n && pattern(i) != '|' && pattern(i) != ')') {
+        val piece: Vector[String] = pattern(i) match {
+          case '(' =>
+            i += 1
+            val inner = alt().getOrElse(return None)
+            if (i >= n || pattern(i) != ')') return None
+            i += 1
+            inner
+          case '[' =>
+            i += 1
+            var chars = Vector.empty[Char]
+            while (i < n && pattern(i) != ']') {
+              if (i + 2 < n && pattern(i + 1) == '-' &&
+                  pattern(i + 2) != ']') {
+                if (pattern(i) > pattern(i + 2)) return None
+                chars = chars ++ (pattern(i) to pattern(i + 2))
+                i += 3
+              } else { chars = chars :+ pattern(i); i += 1 }
+              if (chars.length > cap) return None
+            }
+            if (i >= n) return None
+            i += 1
+            chars.map(_.toString)
+          case '\\' =>
+            if (i + 1 >= n) return None
+            val c = pattern(i + 1)
+            // only escapes that denote ONE literal char; \d \w \s etc.
+            // are classes we don't expand
+            if (c.isLetterOrDigit) return None
+            i += 2
+            Vector(c.toString)
+          case c @ ('*' | '+' | '?' | '.' | '{' | '}' | '^' | '$' |
+                    ']') =>
+            return None
+          case c =>
+            i += 1
+            Vector(c.toString)
+        }
+        acc = for (a <- acc; p <- piece) yield a + p
+        if (acc.isEmpty || acc.length > cap) return None
+      }
+      Some(acc)
+    }
+    val out = alt()
+    if (i < n) None else out.map(_.distinct)
+  }
+
+  /** CANDIDATE doc_ids for a finite-language regex: docs containing
+    * every trigram of at least one expansion literal — the batch shape
+    * of [[substringCandidates]] (one bucket prune + one distinct-gram
+    * count for ALL literals), with a per-literal ALL-grams bar and a
+    * distinct union across literals. Requires every literal ≥ 3 chars
+    * (shorter literals constrain no trigram — callers fall back).
+    */
+  private[graft] def regexCandidates(s: SparkSession, indexPath: String,
+      literals: Seq[String]): DataFrame = {
+    import s.implicits._
+    require(literals.nonEmpty && literals.forall(_.length >= 3),
+      "trigram pruning needs every expansion literal >= 3 chars")
+    val lg = literals.zipWithIndex.flatMap { case (l, id) =>
+      l.sliding(3).toVector.distinct.map(tg => (id.toLong, tg))
+    }
+    val grams = lg.map(_._2).distinct
+    val lgDf = lg.toDF("lit_id", "tg")
+    val ln = lg.groupBy(_._1).map { case (id, g) => (id, g.length.toLong) }
+      .toSeq.toDF("lit_id", "nq")
+    val buckets = grams.toDF("tg")
+      .select(pmod(xxhash64(col("tg")), lit(Buckets)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    substringPostings(s, indexPath)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("tg").isInCollection(grams))
+      .join(lgDf, Seq("tg"))
+      .groupBy(col("lit_id"), col("doc_id"))
+      .agg(count_distinct(col("tg")).as("ng"))
+      .join(ln, Seq("lit_id"))
+      .filter(col("ng") === col("nq"))
+      .select(col("doc_id")).distinct()
+  }
+
+  /** Regex (grep -E) search: expand the pattern's finite language,
+    * trigram-prune candidates off the persisted index, verify only the
+    * candidates with the real regex engine; `(doc_id, n_match)` with
+    * the non-overlapping match count. A pattern the index cannot prune
+    * (infinite language, over-cap expansion, or a literal < 3 chars)
+    * degrades to verifying the whole corpus — correct, just unpruned,
+    * and the degradation is an explicit code path, not a silent scan.
+    */
+  def regexSearch(s: SparkSession, indexPath: String, docs: DataFrame,
+      pattern: String): DataFrame = {
+    val pruned = expandFiniteRegex(pattern) match {
+      case Some(lits) if lits.forall(_.length >= 3) =>
+        docs.join(regexCandidates(s, indexPath, lits), Seq("doc_id"),
+          "left_semi")
+      case _ => docs
+    }
+    pruned
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+          .cast("long").as("n_match"))
+      .filter(col("n_match") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private def regexOracleSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$ProbeRegex')) AS BIGINT)
+       |    AS n_match
+       |FROM documents
+       |WHERE len(regexp_extract_all(text, '$ProbeRegex')) > 0
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- fuzzy (edit-distance) term search off the trigram index ----
+  // The pg_trgm fuzzy architecture: one edit (insert/delete/
+  // substitute) can remove at most 3 of the query term's distinct
+  // trigrams from a string, so any word within levenshtein distance d
+  // of the query shares >= |T(q)| - 3d of q's trigrams — and a
+  // document containing such a word contains those shared trigrams as
+  // substrings. That is a NECESSARY condition readable straight off
+  // the persisted doc-level trigram index (a RELAXED-count variant of
+  // the substring intersection), so the levenshtein verify — the only
+  // part a 100-TB engine cannot index — runs on candidate docs only.
+
+  /** The gate's probe: a misspelling (dropped 'o') of the corpus term
+    * `customer`, max distance 1. |T("custmer")| = 5, so the index bar
+    * is 5 − 3·1 = 2 shared trigrams — a real prune (docs without a
+    * customer-ish token are skipped), while completeness is
+    * guaranteed by the 3-grams-per-edit bound.
+    */
+  val FuzzyTerm = "custmer"
+  val FuzzyMaxDist = 1
+
+  /** CANDIDATE doc_ids: docs containing at least `minShared` of
+    * `term`'s distinct trigrams — [[substringCandidates]] with the
+    * ALL-grams equality relaxed to a >= bar.
+    */
+  private[graft] def fuzzyCandidates(s: SparkSession, indexPath: String,
+      term: String, minShared: Int): DataFrame = {
+    import s.implicits._
+    val grams = term.sliding(3).toVector.distinct
+    require(minShared >= 1 && minShared <= grams.length,
+      s"minShared must be in [1, ${grams.length}]")
+    val buckets = grams.toDF("tg")
+      .select(pmod(xxhash64(col("tg")), lit(Buckets)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    substringPostings(s, indexPath)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("tg").isInCollection(grams))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("tg")).as("ng"))
+      .filter(col("ng") >= lit(minShared.toLong))
+      .select(col("doc_id"))
+  }
+
+  /** Fuzzy term search: docs containing any token within levenshtein
+    * distance `maxDist` of `term`, with the matched-variant count,
+    * total occurrences and best distance — integer-exact in both
+    * engines. When the trigram bar |T(term)| − 3·maxDist is < 1 the
+    * index cannot prune (short term / large distance) and the verify
+    * runs over the whole corpus — explicit fallback, same results.
+    */
+  def fuzzySearch(s: SparkSession, indexPath: String, docs: DataFrame,
+      term: String, maxDist: Int): DataFrame = {
+    val bar = term.sliding(3).toVector.distinct.length - 3 * maxDist
+    val pruned =
+      if (bar >= 1)
+        docs.join(fuzzyCandidates(s, indexPath, term, bar),
+          Seq("doc_id"), "left_semi")
+      else docs
+    pruned
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), col("word"),
+        levenshtein(col("word"), lit(term)).as("dist"))
+      .filter(col("dist") <= lit(maxDist))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("word")).as("n_variants"),
+        count(lit(1)).as("tf_sum"),
+        min(col("dist")).cast("long").as("best_dist"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def fuzzyOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |           FROM documents),
+       |m AS (SELECT doc_id, word,
+       |        levenshtein(word, '$FuzzyTerm') AS dist
+       |      FROM t WHERE levenshtein(word, '$FuzzyTerm') <= $FuzzyMaxDist)
+       |SELECT doc_id, CAST(count(DISTINCT word) AS BIGINT) AS n_variants,
+       |  CAST(count(*) AS BIGINT) AS tf_sum,
+       |  CAST(min(dist) AS BIGINT) AS best_dist
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** The multi-query gate's literal query table — shared verbatim with
     * the oracle's VALUES list (the portability contract): one
     * rare-term query, one mixed, one all-common.
@@ -1348,6 +1587,24 @@ object Retrieval {
       import s.implicits._
       substringBatch(s, ensureSubstringIndex(s, d),
         Tables.documents(s, d), NeedleQueries.toDF("query_id", "needle"))
+    },
+    // Regex (grep -E) search from the SAME persisted trigram index:
+    // the pattern's finite language expands to literals, candidates =
+    // docs holding every trigram of some literal (codesearch's
+    // necessary-condition prune), and only candidates meet the real
+    // regex engine; the oracle regexes the corpus directly.
+    QuerySpec("text_regex", regexOracleSql) { (s, d) =>
+      regexSearch(s, ensureSubstringIndex(s, d),
+        Tables.documents(s, d), ProbeRegex)
+    },
+    // Fuzzy (edit-distance <= 1) term search from the trigram index:
+    // candidates = docs sharing >= |T(q)| - 3d of the query term's
+    // trigrams (one edit kills at most 3 trigrams — the pg_trgm
+    // bound, so the prune is lossless), levenshtein verifies only the
+    // candidates; the oracle scores every token of every doc.
+    QuerySpec("text_fuzzy", fuzzyOracleSql) { (s, d) =>
+      fuzzySearch(s, ensureSubstringIndex(s, d),
+        Tables.documents(s, d), FuzzyTerm, FuzzyMaxDist)
     },
     // Proximity (NEAR) search from the word-positional index: all
     // query words within an 8-word window — the query class neither

@@ -744,6 +744,96 @@ class RetrievalSpec extends SparkSpec {
       "each leg reads exactly its word's bucket dir")
   }
 
+  test("expandFiniteRegex: expands alternations, nested groups and " +
+    "classes; rejects unbounded operators, over-cap products and " +
+    "unbalanced syntax") {
+    import Retrieval.expandFiniteRegex
+    assert(expandFiniteRegex(Retrieval.ProbeRegex).map(_.toSet) ==
+      Some(Set("hash join", "hash scan", "merge join", "merge scan")))
+    assert(expandFiniteRegex("a(b|c(d|e))f").map(_.toSet) ==
+      Some(Set("abf", "acdf", "acef")))
+    assert(expandFiniteRegex("x[a-c]y").map(_.toSet) ==
+      Some(Set("xay", "xby", "xcy")))
+    assert(expandFiniteRegex("""a\.b""").map(_.toSet) == Some(Set("a.b")))
+    for (p <- Seq("ab*", "a+b", "a.b", "a{2}", "^ab", "ab$", "(ab",
+        "ab)", "[ab", """a\d""")) {
+      assert(expandFiniteRegex(p).isEmpty, s"pattern '$p' must not expand")
+    }
+    // cap: [a-z][a-z] = 676 products > 64
+    assert(expandFiniteRegex("[a-z][a-z]").isEmpty)
+  }
+
+  test("regexSearch serves identically to a full-corpus regex scan on " +
+    "both the PRUNED path (finite language) and the FALLBACK path " +
+    "(unprunable pattern), and the verify removes a crafted doc that " +
+    "holds every trigram of a literal without matching it") {
+    // all 7 trigrams of "hash join" (has ash 'sh ' 'h j' ' jo' joi oin)
+    // scattered across tokens that never form the literal
+    val falsePos = 999999L -> "hash blah join"
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+      .union(Seq(falsePos).toDF("doc_id", "text"))
+    val idx = tmpDir("trgm-regex")
+    Retrieval.writeSubstringIndex(docs, idx)
+    def brute(pattern: String) = docs
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit(pattern), lit(0)))
+          .cast("long").as("n_match"))
+      .filter($"n_match" > 0)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    // pruned path: the probe's finite language
+    val servedProbe = Retrieval.regexSearch(spark, idx, docs,
+      Retrieval.ProbeRegex).as[(Long, Long)].collect().toSeq
+    assert(servedProbe == brute(Retrieval.ProbeRegex))
+    assert(servedProbe.nonEmpty, "probe regex must be non-vacuous")
+    assert(!servedProbe.map(_._1).contains(falsePos._1),
+      "the all-trigrams non-match must be verified away")
+    assert(Retrieval.regexCandidates(spark, idx, Seq("hash join"))
+      .as[Long].collect().toSet.contains(falsePos._1),
+      "…but it must be a CANDIDATE (the prune can't see contiguity)")
+    // fallback path: '+' has an infinite language — same results, no
+    // index prune
+    val fb = "(hash|merge) +(join|scan)"
+    assert(Retrieval.regexSearch(spark, idx, docs, fb)
+      .as[(Long, Long)].collect().toSeq == brute(fb))
+  }
+
+  test("fuzzySearch serves identically to a full-corpus levenshtein " +
+    "scan on both the PRUNED path (long term) and the FALLBACK path " +
+    "(short term, vacuous trigram bar), and the prune genuinely " +
+    "shrinks the verify set") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val idx = tmpDir("trgm-fuzzy")
+    Retrieval.writeSubstringIndex(docs, idx)
+    def brute(term: String, d: Int) = docs
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .select($"doc_id", $"word",
+        levenshtein($"word", lit(term)).as("dist"))
+      .filter($"dist" <= d)
+      .groupBy($"doc_id")
+      .agg(countDistinct($"word").as("nv"), count(lit(1)).as("tf"),
+        min($"dist").cast("long").as("bd"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val probe = Retrieval.fuzzySearch(spark, idx, docs,
+      Retrieval.FuzzyTerm, Retrieval.FuzzyMaxDist)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(probe == brute(Retrieval.FuzzyTerm, Retrieval.FuzzyMaxDist))
+    assert(probe.nonEmpty, "probe term must be non-vacuous")
+    // fallback: |T("key")| = 1, bar = 1 - 3 < 1 — full verify, same
+    // contract
+    assert(Retrieval.fuzzySearch(spark, idx, docs, "key", 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq == brute("key", 1))
+    // the bar-2 candidate set is a strict subset of the corpus and a
+    // superset of the matches (the 3-grams-per-edit bound is sound)
+    val bar = Retrieval.FuzzyTerm.sliding(3).toVector.distinct.length -
+      3 * Retrieval.FuzzyMaxDist
+    val cands = Retrieval.fuzzyCandidates(spark, idx,
+      Retrieval.FuzzyTerm, bar).as[Long].collect().toSet
+    assert(probe.map(_._1).toSet.subsetOf(cands))
+    assert(cands.size < docs.count(),
+      "the trigram bar must exclude at least one document")
+  }
+
   test("substringSearch: the trigram postings scan carries a STATIC " +
     "bucket PartitionFilter listing at most |grams| bucket dirs") {
     val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
