@@ -2036,11 +2036,263 @@ object Multimodal {
     }
   }
 
+  /** Pure-JVM kernel with REAL decode for GIF (87a/89a) — the fourth
+    * image container of a crawled corpus after PNG/JPEG/PPM: header +
+    * logical-screen parse, global/local color tables, extension-block
+    * skip, first-frame image descriptor, the GIF flavor of LZW
+    * (LSB-first variable-width codes 3-12 bits, CLEAR/END, KwKwK
+    * case, deferred-clear 4096-entry table) over the concatenated
+    * data sub-blocks, and 4-pass interlace row mapping. Animated GIFs
+    * decode their FIRST frame (the thumbnail/statistics contract —
+    * later frames need composition state no statistics gate reads).
+    * Same opaque-blob contract as every kernel: truncated streams,
+    * missing color tables, out-of-palette indexes or LZW codes, and
+    * pixel claims over the [[PngMediaKernel]]-style inflate bound all
+    * fall back to the stub — decode never throws.
+    */
+  object GifMediaKernel extends RgbFrameKernel {
+
+    /** Max decoded pixels (first frame): the same zip-bomb stance as
+      * PNG's 64 MB RGB bound (LZW expands ~1000:1 at worst; a 4-KB
+      * stream claiming a 10⁹-pixel frame must not allocate the claim).
+      */
+    private val MaxPixels = (64 << 20) / 3
+
+    private object Malformed
+      extends RuntimeException(null, null, false, false)
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    /** GIF-LZW decode of `data` (concatenated sub-blocks) into exactly
+      * `expected` palette indexes — variable-width LSB-first codes, a
+      * CLEAR resets the table, the stream must cover every pixel
+      * (an early END or bit exhaustion is malformed).
+      */
+    private[graft] def lzwDecode(minCodeSize: Int, data: Array[Byte],
+        expected: Int): Array[Byte] = {
+      if (minCodeSize < 2 || minCodeSize > 8) throw Malformed
+      val clear = 1 << minCodeSize
+      val endCode = clear + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      val stack = new Array[Byte](4096)
+      val out = new Array[Byte](expected)
+      var outPos = 0
+      var next = endCode + 1
+      var codeSize = minCodeSize + 1
+      var prev = -1
+      var bitPos = 0
+      val nBits = data.length * 8
+      def read(): Int = {
+        if (bitPos + codeSize > nBits) throw Malformed
+        var v = 0
+        var i = 0
+        while (i < codeSize) {
+          val bp = bitPos + i
+          if (((data(bp >> 3) >> (bp & 7)) & 1) != 0) v |= 1 << i
+          i += 1
+        }
+        bitPos += codeSize
+        v
+      }
+      while (outPos < expected) {
+        val code = read()
+        if (code == clear) {
+          next = endCode + 1; codeSize = minCodeSize + 1; prev = -1
+        } else if (code == endCode) {
+          throw Malformed // stream ended before covering every pixel
+        } else {
+          // valid codes: literals, table entries, or exactly `next`
+          // with a predecessor (the KwKwK case)
+          if (code > next || (code == next && prev == -1)) throw Malformed
+          val kwkwk = code == next
+          var cur = if (kwkwk) prev else code
+          var sp = 0
+          while (cur >= clear + 2) {
+            stack(sp) = suffix(cur); sp += 1; cur = prefix(cur)
+          }
+          val first = cur.toByte // expansion always bottoms at a literal
+          if (outPos + sp + 1 + (if (kwkwk) 1 else 0) > expected)
+            throw Malformed
+          out(outPos) = first; outPos += 1
+          var i = sp - 1
+          while (i >= 0) { out(outPos) = stack(i); outPos += 1; i -= 1 }
+          if (kwkwk) { out(outPos) = first; outPos += 1 }
+          if (prev != -1 && next < 4096) {
+            prefix(next) = prev; suffix(next) = first
+            next += 1
+            // width grows when the NEXT entry would not fit; at 4096
+            // the table freezes (deferred clear) and codes stay 12-bit
+            if (next < 4096 && next == (1 << codeSize)) codeSize += 1
+          }
+          prev = code
+        }
+      }
+      out
+    }
+
+    private[graft] def decodeGif(
+        b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (b.length < 13) return None
+      val hdr = new String(b, 0, 6, java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (hdr != "GIF87a" && hdr != "GIF89a") return None
+      val packed = b(10) & 0xff
+      var pos = 13
+      var gct: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val n = 2 << (packed & 7)
+        if (pos + 3 * n > b.length) throw Malformed
+        gct = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n)
+        pos += 3 * n
+      }
+      while (true) {
+        if (pos >= b.length) throw Malformed
+        (b(pos) & 0xff) match {
+          case 0x21 => // extension: introducer + label, then sub-blocks
+            pos += 2
+            var n = -1
+            while (n != 0) {
+              if (pos >= b.length) throw Malformed
+              n = b(pos) & 0xff
+              pos += 1 + n
+            }
+          case 0x2c => // image descriptor — the first frame
+            if (pos + 10 > b.length) throw Malformed
+            val w = u16(b, pos + 5)
+            val h = u16(b, pos + 7)
+            val ip = b(pos + 9) & 0xff
+            pos += 10
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels)
+              throw Malformed
+            var ct = gct
+            if ((ip & 0x80) != 0) {
+              val n = 2 << (ip & 7)
+              if (pos + 3 * n > b.length) throw Malformed
+              ct = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n)
+              pos += 3 * n
+            }
+            if (ct == null) throw Malformed
+            val interlaced = (ip & 0x40) != 0
+            if (pos >= b.length) throw Malformed
+            val minCode = b(pos) & 0xff
+            pos += 1
+            val data = new java.io.ByteArrayOutputStream()
+            var n = -1
+            while (n != 0) {
+              if (pos >= b.length) throw Malformed
+              n = b(pos) & 0xff
+              pos += 1
+              if (n > 0) {
+                if (pos + n > b.length) throw Malformed
+                data.write(b, pos, n)
+                pos += n
+              }
+            }
+            val idx = lzwDecode(minCode, data.toByteArray, w * h)
+            // decoded row i displays at rowOrder(i) — 4-pass interlace
+            val rowOrder: IndexedSeq[Int] =
+              if (!interlaced) 0 until h
+              else (0 until h by 8) ++ (4 until h by 8) ++
+                (2 until h by 4) ++ (1 until h by 2)
+            val rgb = new Array[Byte](3 * w * h)
+            var i = 0
+            while (i < h) {
+              val dy = rowOrder(i)
+              var x = 0
+              while (x < w) {
+                val ci = idx(i * w + x) & 0xff
+                if (3 * ci + 2 >= ct.length) throw Malformed
+                val q = 3 * (dy * w + x)
+                rgb(q) = ct(3 * ci); rgb(q + 1) = ct(3 * ci + 1)
+                rgb(q + 2) = ct(3 * ci + 2)
+                x += 1
+              }
+              i += 1
+            }
+            return Some((w, h, rgb))
+          case 0x3b => throw Malformed // trailer before any image
+          case _ => throw Malformed
+        }
+      }
+      None // unreachable
+    }
+
+    protected def decodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      try decodeGif(b)
+      catch { case _: RuntimeException => None }
+  }
+
+  /** Pure-JVM kernel with REAL decode for uncompressed Windows BMP
+    * (BITMAPINFOHEADER-or-later, BI_RGB, 24/32-bit) — the format
+    * screenshots and scanned-document corpora arrive in: little-endian
+    * header parse, 4-byte row padding, BGR(A)→RGB channel swap,
+    * bottom-up (positive height) and top-down (negative) row order.
+    * Palettized, RLE-compressed, bitfield and 16-bit variants are
+    * opaque blobs for the stub, same contract as every kernel.
+    */
+  object BmpMediaKernel extends RgbFrameKernel {
+
+    private val MaxPixels = (64 << 20) / 3
+
+    private object Malformed
+      extends RuntimeException(null, null, false, false)
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    private[graft] def decodeBmp(
+        b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte)
+        return None
+      val dataOff = i32(b, 10)
+      val hdrSize = i32(b, 14)
+      if (hdrSize < 40) throw Malformed // BITMAPCOREHEADER: unsupported
+      val w = i32(b, 18)
+      val hRaw = i32(b, 22)
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      val planes = u16(b, 26)
+      val bpp = u16(b, 28)
+      val comp = i32(b, 30)
+      if (planes != 1 || comp != 0 || (bpp != 24 && bpp != 32))
+        throw Malformed
+      if (w <= 0 || h <= 0 || hRaw == Int.MinValue ||
+          w.toLong * h > MaxPixels) throw Malformed
+      val bytesPp = bpp / 8
+      val rowSize = ((bpp * w + 31) / 32) * 4
+      if (dataOff < 54 || dataOff.toLong + rowSize.toLong * h > b.length)
+        throw Malformed
+      val rgb = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        val ro = dataOff + (if (topDown) y else h - 1 - y) * rowSize
+        var x = 0
+        while (x < w) {
+          val p = ro + x * bytesPp
+          val q = 3 * (y * w + x)
+          rgb(q) = b(p + 2); rgb(q + 1) = b(p + 1); rgb(q + 2) = b(p)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, rgb))
+    }
+
+    protected def decodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      try decodeBmp(b)
+      catch { case _: RuntimeException => None }
+  }
+
   /** Magic-byte router over the real kernels — the production shape: a
     * mixed corpus decodes each payload with the implementation its
-    * container asks for (PNG and baseline JPEG images, P6 pixmaps,
-    * RIFF/WAVE PCM, MPEG-1 Layer III and FLAC audio, ISO BMFF / MP4
-    * and Matroska/WebM video containers, YUV4MPEG2 raw video), and
+    * container asks for (PNG, baseline JPEG, GIF and uncompressed BMP
+    * images, P6 pixmaps, RIFF/WAVE PCM, MPEG-1 Layer III and FLAC
+    * audio, ISO BMFF / MP4 and Matroska/WebM video containers,
+    * YUV4MPEG2 raw video), and
     * anything unrecognized stays on the stub arithmetic (so the
     * oracle-gated queries hold byte-identical under this kernel too,
     * pinned in WavKernelSpec/PngKernelSpec/JpegKernelSpec/
@@ -2076,6 +2328,11 @@ object Multimodal {
           (b(3) & 0xff) == 0xa3)
         MkvMediaKernel
       else if (magic(b, "YUV4MPEG2", 0)) Y4mMediaKernel
+      else if (magic(b, "GIF8", 0)) GifMediaKernel
+      // BMP's 2-byte magic is weak — route LAST among the containers
+      // so a payload another magic claims never lands here; a
+      // non-BMP 'BM…' payload fails the header parse onto the stub
+      else if (magic(b, "BM", 0)) BmpMediaKernel
       else StubMediaKernel
     }
     /** Route a batch while PRESERVING the per-kernel batch shape: the
