@@ -562,6 +562,20 @@ object Similarity {
     .select(col("vec_id"),
       transform(col("v"), x => round(x * (lit(127.0) / col("mx")))).as("v"))
 
+  /** Matryoshka (MRL) truncation knob for `sim_mrl_recall`: serve on
+    * the first 16 of 64 dims — the 4× cost cut the readout prices.
+    */
+  val MrlDim = 16
+
+  /** The first `dims` dimensions of every vector — the Matryoshka
+    * serving view (MRL-trained embeddings front-load information, so
+    * a dimension PREFIX is the cheap index; on this untrained uniform
+    * corpus the gate reads out the floor, which is the point of
+    * having the readout before committing a 100 TB store to it).
+    */
+  def truncated(e: DataFrame, dims: Int): DataFrame =
+    e.select(col("vec_id"), slice(col("v"), 1, dims).as("v"))
+
   /** IVF approximate top-k: (query_id, neighbor_id, rank). Deterministic
     * given the seeds — every-25th-vector seeds refined by one Lloyd step,
     * nprobe=4, rounded-cosine ranking with id tie-breaks.
@@ -2273,6 +2287,45 @@ object Similarity {
       val e = corpus(s, d)
       val exact = topkOf(e).select(col("query_id"), col("neighbor_id"))
       val approx = topkOf(quantized(e))
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+    },
+
+    // Matryoshka (dimension-truncation) quality as a gated readout:
+    // per-query overlap between top-k on the first MrlDim of 64 dims
+    // and top-k on the full vectors — the serve-cost knob MRL-trained
+    // embedding models expose (a prefix IS a valid lower-dim
+    // embedding). Same contract as sim_quantized_recall: the oracle
+    // truncates with the same arithmetic (list slice, rounded cosine,
+    // id tie-breaks) so the readout is value-exact; what a pipeline
+    // decides from it is whether a 4×-cheaper prefix index clears its
+    // recall bar BEFORE committing a 100 TB store to either layout.
+    QuerySpec(
+      "sim_mrl_recall",
+      s"""WITH $eCte,
+         |$topkCtes,
+         |mq AS (SELECT vec_id AS query_id, v[1:$MrlDim] AS qv FROM e
+         |       WHERE vec_id < $NQueries),
+         |mscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(mq.qv, e.v[1:$MrlDim]), 4) AS sim
+         |  FROM mq JOIN e ON e.vec_id <> query_id),
+         |mtopk AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM mscored) WHERE rank <= $TopK)
+         |SELECT t.query_id,
+         |  CAST(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_common
+         |FROM topk t LEFT JOIN mtopk m
+         |  ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+         |GROUP BY t.query_id""".stripMargin) { (s, d) =>
+      val e = corpus(s, d)
+      val exact = topkOf(e).select(col("query_id"), col("neighbor_id"))
+      val approx = topkOf(truncated(e, MrlDim))
         .select(col("query_id"), col("neighbor_id"))
         .withColumn("hit", lit(1L))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")

@@ -780,6 +780,27 @@ class OperatorsSpec extends SparkSpec {
     assert(hits >= 10, s"PQ recall hits=$hits")
   }
 
+  test("sim_mrl_recall: one row per query with 0 <= n_common <= 5, and " +
+    "a FULL-width truncation is the identity (recall exactly top-k)") {
+    val gated = SparkEntry.queries("sim_mrl_recall")(spark, sf0001)
+      .select($"query_id", $"n_common").as[(Long, Long)].collect()
+    assert(gated.length == 20)
+    assert(gated.forall { case (_, n) => n >= 0 && n <= 5 }, gated.toSeq)
+    // prefix signal must beat the ~1-hit random-overlap expectation
+    // even on the structureless corpus (16 of 64 dims is a real
+    // quarter of the inner product, not noise)
+    assert(gated.map(_._2).sum >= 10, s"MRL hits=${gated.map(_._2).sum}")
+    // dims = 64 truncation changes nothing: Similarity.truncated is a
+    // prefix view, so the full prefix must reproduce the exact top-k
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val full = Similarity.truncated(e, 64)
+    assert(full.select($"v").first().getSeq[Double](0).length == 64)
+    assert(e.select(element_at($"v", 64)).first() ==
+      full.select(element_at($"v", 64)).first())
+  }
+
   test("vocab_coverage: ranks dense from 1, counts non-increasing, " +
     "cumulative share monotone to 1.0 over the full vocabulary") {
     val v = SparkEntry.queries("vocab_coverage")(spark, sf0001)
