@@ -1488,6 +1488,95 @@ object Retrieval {
        |  CAST(min(dist) AS BIGINT) AS best_dist
        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- cross-index takedown sweep (right-to-be-forgotten) ----
+  // A takedown/retraction request names DOCUMENTS; the engine serves
+  // them from FOUR independent text indexes (inverted, next-word
+  // positional, word-positional, character-trigram). The sweep is the
+  // compliance primitive that tombstones one id set in EVERY index
+  // under ONE deleteId — each root's ledgered delete is individually
+  // exactly-once, so a sweep that crashes midway REPLAYS to
+  // completion: already-committed roots no-op, the rest catch up. No
+  // distributed transaction is needed because takedown is monotone
+  // (re-deleting is idempotent) and each index alone never serves a
+  // victim once ITS delete commits.
+
+  /** The four doc-index kinds a sweep covers, as (kind, sub-dir). */
+  private val SweepKinds: Seq[String] = Seq("bm25", "near", "phrase", "trgm")
+
+  /** Tombstone `ids` in all four indexes under `root`/<kind> with one
+    * deleteId. Returns the kinds whose delete committed NOW (an
+    * already-committed kind — a replayed sweep — reports false and is
+    * untouched).
+    */
+  def takedownSweep(s: SparkSession, ids: DataFrame, root: String,
+      deleteId: Long): Map[String, Boolean] = Map(
+    "bm25" -> deleteFromBm25Index(ids, s"$root/bm25", deleteId),
+    "near" -> deleteFromNearIndex(ids, s"$root/near", deleteId),
+    "phrase" -> deleteFromPhraseIndex(ids, s"$root/phrase", deleteId),
+    "trgm" -> deleteFromSubstringIndex(ids, s"$root/trgm", deleteId))
+
+  /** Gate fixture: all four indexes over the full corpus inside ONE
+    * published root, then one sweep of doc_id % 11 = 5 — so the gate
+    * certifies the post-sweep state of every serve path at once.
+    */
+  def ensureSweepFixture(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_sweep"))(r =>
+      SweepKinds.forall(k =>
+        protocol(s"$r/$k").deletedBatches().contains(0L))
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      writeBm25Index(docs, s"$staging/bm25")
+      writeNearIndex(docs, s"$staging/near")
+      writePhraseIndex(docs, s"$staging/phrase")
+      writeSubstringIndex(docs, s"$staging/trgm")
+      takedownSweep(s, docs.filter(col("doc_id") % 11 === 5)
+        .select(col("doc_id")), staging, 0L)
+    }
+
+  /** Every deleteId committed by ANY of the sweep root's four indexes
+    * — the streaming sweep's epoch source (a fresh checkpoint must
+    * namespace above the max epoch ANY kind has seen, since a crashed
+    * sweep can leave kinds at different horizons).
+    */
+  def sweptDeleteIds(root: String): Set[Long] =
+    SweepKinds.flatMap(k => protocol(s"$root/$k").deletedBatches()).toSet
+
+  /** The post-sweep audit, one row per index kind: the count of
+    * SERVABLE postings (committed minus tombstoned). Victims
+    * contribute zero rows to every kind — the oracle recomputes each
+    * kind's posting arithmetic from a corpus that never contained
+    * them, so a tombstone leaking anywhere breaks the hash match.
+    */
+  def takedownAudit(s: SparkSession, root: String): DataFrame =
+    Seq(
+      "bm25" -> indexPostings(s, s"$root/bm25"),
+      "near" -> nearPostings(s, s"$root/near"),
+      "phrase" -> phrasePostings(s, s"$root/phrase"),
+      "trgm" -> substringPostings(s, s"$root/trgm"))
+      .map { case (k, posts) =>
+        posts.agg(count(lit(1)).as("n_postings"))
+          .select(lit(k).as("kind"), col("n_postings"))
+      }
+      .reduce(_.union(_))
+      .orderBy(col("kind"))
+
+  private val sweepOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+       |           FROM documents WHERE doc_id % 11 <> 5),
+       |bm AS (SELECT count(*) AS n FROM
+       |        (SELECT DISTINCT doc_id, unnest(ws) FROM d)),
+       |nr AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n FROM d),
+       |ph AS (SELECT CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) AS n
+       |       FROM d),
+       |tg AS (SELECT count(*) AS n FROM
+       |        (SELECT DISTINCT doc_id, substr(text, i, 3)
+       |         FROM d, unnest(range(1, len(text) - 1)) u(i)))
+       |SELECT 'bm25' AS kind, n AS n_postings FROM bm
+       |UNION ALL SELECT 'near', n FROM nr
+       |UNION ALL SELECT 'phrase', n FROM ph
+       |UNION ALL SELECT 'trgm', n FROM tg
+       |ORDER BY kind""".stripMargin
+
   /** The multi-query gate's literal query table — shared verbatim with
     * the oracle's VALUES list (the portability contract): one
     * rare-term query, one mixed, one all-common.
@@ -1605,6 +1694,16 @@ object Retrieval {
     QuerySpec("text_fuzzy", fuzzyOracleSql) { (s, d) =>
       fuzzySearch(s, ensureSubstringIndex(s, d),
         Tables.documents(s, d), FuzzyTerm, FuzzyMaxDist)
+    },
+    // Cross-index takedown sweep (right-to-be-forgotten): ONE call
+    // tombstones a doc set in all four text indexes under one
+    // deleteId, each root individually exactly-once so a crashed
+    // sweep replays to completion. The audit counts SERVABLE postings
+    // per kind; the oracle recomputes each kind's posting arithmetic
+    // (distinct (word, doc) pairs / tokens / adjacent pairs / distinct
+    // doc-trigrams) from a corpus that never contained the victims.
+    QuerySpec("takedown_sweep", sweepOracleSql) { (s, d) =>
+      takedownAudit(s, ensureSweepFixture(s, d))
     },
     // Proximity (NEAR) search from the word-positional index: all
     // query words within an 8-word window — the query class neither

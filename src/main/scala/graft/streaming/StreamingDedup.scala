@@ -120,7 +120,16 @@ object StreamingDedup {
     * [[startDeletes]]. Exposed to the reset spec.
     */
   private[graft] def deleteEpoch(ids: DataFrame, indexPath: String,
-      checkpoint: String): Long = {
+      checkpoint: String): Long =
+    epochFor(ids, checkpoint,
+      Dedup.deletedBatchIds(indexPath))
+
+  /** The epoch resolution generalized over WHICH ledger(s) hold the
+    * already-committed deleteIds — the cross-index sweep passes the
+    * union over its four roots, single-index streams their own.
+    */
+  private[graft] def epochFor(ids: DataFrame, checkpoint: String,
+      committedDeleteIds: => Set[Long]): Long = {
     val cp = new org.apache.hadoop.fs.Path(checkpoint)
     val fs = cp.getFileSystem(
       ids.sparkSession.sparkContext.hadoopConfiguration)
@@ -140,7 +149,7 @@ object StreamingDedup {
     existing.getOrElse {
       val epoch =
         if (fs.exists(new org.apache.hadoop.fs.Path(cp, "metadata"))) 0L
-        else Dedup.deletedBatchIds(indexPath)
+        else committedDeleteIds
           .map(_ >> 32).maxOption.map(_ + 1L).getOrElse(0L)
       // Staged write + atomic replace (the ledger/manifest commit
       // primitive): a crash leaves either no marker or a complete one.

@@ -163,4 +163,40 @@ object StreamingRetrieval {
         }
       }
       .start()
+
+  /** Stream takedown requests `(doc_id)` through the CROSS-INDEX sweep
+    * — each micro-batch tombstones its ids in all four indexes under
+    * `root` via [[Retrieval.takedownSweep]], with the epoch-namespaced
+    * deleteId scheme of `StreamingDedup.startDeletes` (a fresh
+    * checkpoint must not let batchId 0 collide with an OLD sweep's
+    * committed id 0 and silently short-circuit — the epoch source is
+    * the union of all four ledgers, since a crashed sweep can leave
+    * kinds at different horizons). Replay safety is per-kind
+    * exactly-once: a redelivered batch no-ops on committed kinds and
+    * completes the rest.
+    */
+  def startSweep(ids: DataFrame, root: String,
+      checkpoint: String): StreamingQuery = {
+    val epoch = StreamingDedup.epochFor(ids, checkpoint,
+      Retrieval.sweptDeleteIds(root))
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishSweep(batch, batchId, root, epoch)
+      }
+      .start()
+  }
+
+  /** One sweep micro-batch — the replay-idempotent unit (exposed so
+    * the spec can re-deliver a batchId against partial state).
+    */
+  def publishSweep(batch: DataFrame, batchId: Long, root: String,
+      epoch: Long): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    Retrieval.takedownSweep(batch.sparkSession,
+      batch.select(org.apache.spark.sql.functions.col("doc_id")),
+      root, (epoch << 32) | batchId)
+    ()
+  }
 }

@@ -834,6 +834,58 @@ class RetrievalSpec extends SparkSpec {
       "the trigram bar must exclude at least one document")
   }
 
+  test("takedownSweep: one call tombstones a doc set in all FOUR " +
+    "indexes exactly-once — victims unreachable on every serve path, " +
+    "replay a committed no-op, a later sweep composes under a new id") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val root = tmpDir("sweep")
+    Retrieval.writeBm25Index(docs, s"$root/bm25")
+    Retrieval.writeNearIndex(docs, s"$root/near")
+    Retrieval.writePhraseIndex(docs, s"$root/phrase")
+    Retrieval.writeSubstringIndex(docs, s"$root/trgm")
+    def audit() = Retrieval.takedownAudit(spark, root)
+      .as[(String, Long)].collect().toMap
+    def counts(d: org.apache.spark.sql.DataFrame) = {
+      val perDoc = d.select($"doc_id", $"text", split($"text", " ").as("ws"))
+        .select($"doc_id", size($"ws").as("dl"),
+          size(array_distinct($"ws")).as("du"),
+          size(array_distinct(when(length($"text") >= 3,
+            transform(sequence(lit(1), length($"text") - lit(2)),
+              i => $"text".substr(i, lit(3))))
+            .otherwise(typedLit(Seq.empty[String])))).as("tgd"))
+        .agg(sum($"du"), sum($"dl"),
+          sum(greatest($"dl" - 1, lit(0))), sum($"tgd"))
+        .as[(Long, Long, Long, Long)].first()
+      Map("bm25" -> perDoc._1, "near" -> perDoc._2,
+        "phrase" -> perDoc._3, "trgm" -> perDoc._4)
+    }
+    assert(audit() == counts(docs), "pre-sweep audit == full corpus")
+    val victims = docs.filter($"doc_id" % 11 === 5).select($"doc_id")
+    val first = Retrieval.takedownSweep(spark, victims, root, 0L)
+    assert(first.values.forall(identity), "every kind must commit")
+    val swept = counts(docs.filter($"doc_id" % 11 =!= 5))
+    assert(audit() == swept, "post-sweep audit == victimless corpus")
+    // victims are unreachable through a REAL serve, not just counts
+    val victimIds = victims.as[Long].collect().toSet
+    val served = Retrieval.substringSearch(spark, s"$root/trgm", docs,
+      Retrieval.ProbeNeedle).select($"doc_id").as[Long].collect().toSet
+    assert(served.intersect(victimIds).isEmpty, "trgm serve leaks victim")
+    val near = Retrieval.nearSearch(spark, s"$root/near",
+      Retrieval.NearWords, Retrieval.NearWindow)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(near.intersect(victimIds).isEmpty, "near serve leaks victim")
+    // replay: every kind reports already-committed, nothing moves
+    val replay = Retrieval.takedownSweep(spark, victims, root, 0L)
+    assert(replay.values.forall(!_), "replayed sweep must be a no-op")
+    assert(audit() == swept)
+    // a second request composes under its own ledger id
+    val second = Retrieval.takedownSweep(spark,
+      docs.filter($"doc_id" % 13 === 7).select($"doc_id"), root, 1L)
+    assert(second.values.forall(identity))
+    assert(audit() == counts(
+      docs.filter($"doc_id" % 11 =!= 5).filter($"doc_id" % 13 =!= 7)))
+  }
+
   test("substringSearch: the trigram postings scan carries a STATIC " +
     "bucket PartitionFilter listing at most |grams| bucket dirs") {
     val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")

@@ -3,6 +3,7 @@ package graft
 import graft.operators.Retrieval
 import graft.streaming.StreamingRetrieval
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{size, split}
 
 /** Streaming BM25 search against the persisted inverted index: each
   * micro-batch's output must equal the batch multi-query answer over
@@ -243,5 +244,49 @@ class StreamingRetrievalSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSeq ==
         Retrieval.substringSearch(spark, idx, docs, n)
           .as[(Long, Long)].collect().toSeq, s"needle='$n'")
+  }
+
+  test("streaming cross-index sweep: two takedown micro-batches " +
+    "tombstone all four indexes, a redelivered batch no-ops, and a " +
+    "fresh checkpoint epochs above the committed sweep ids") {
+    implicit val sc = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    val root = tmpDir("ssweep")
+    Retrieval.writeBm25Index(docs, s"$root/bm25")
+    Retrieval.writeNearIndex(docs, s"$root/near")
+    Retrieval.writePhraseIndex(docs, s"$root/phrase")
+    Retrieval.writeSubstringIndex(docs, s"$root/trgm")
+    def audit() = Retrieval.takedownAudit(spark, root)
+      .as[(String, Long)].collect().toMap
+    val full = audit()
+    val ids = MemoryStream[Long]
+    val q = StreamingRetrieval.startSweep(
+      ids.toDF().toDF("doc_id"), root, tmpDir("ssweep-ckpt"))
+    val (v1, v2) = (Seq(5L, 16L, 27L), Seq(38L, 49L))
+    try {
+      ids.addData(v1: _*); q.processAllAvailable()
+      ids.addData(v2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val swept = audit()
+    assert(swept("near") == full("near") -
+      docs.filter($"doc_id".isin((v1 ++ v2): _*))
+        .select(size(split($"text", " "))).as[Int].collect().sum,
+      "near postings must drop by exactly the victims' token count")
+    assert(Retrieval.sweptDeleteIds(root) == Set(0L, 1L),
+      "two epoch-0 micro-batches commit as deleteIds 0 and 1")
+    // redelivery of batch 0 against the committed state is a no-op
+    StreamingRetrieval.publishSweep(v1.toDF("doc_id"), 0L, root, 0L)
+    assert(audit() == swept)
+    // a FRESH checkpoint mints epoch 1: its batchId 0 must tombstone
+    // (deleteId 1<<32) instead of short-circuiting against id 0
+    val ids2 = MemoryStream[Long]
+    val q2 = StreamingRetrieval.startSweep(
+      ids2.toDF().toDF("doc_id"), root, tmpDir("ssweep-ckpt2"))
+    try { ids2.addData(60L); q2.processAllAvailable() } finally q2.stop()
+    assert(Retrieval.sweptDeleteIds(root) == Set(0L, 1L, 1L << 32))
+    assert(audit()("near") == swept("near") -
+      docs.filter($"doc_id" === 60L)
+        .select(size(split($"text", " "))).as[Int].collect().sum)
   }
 }
