@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.ByteBuffer
+
+/** Misra-Gries heavy-hitter summary: at most `c` (key, count) counters.
+  *
+  * Stream update is the classic algorithm — increment a present key,
+  * admit a new key while capacity remains, otherwise decrement EVERY
+  * counter by one (dropping zeros). Merge is the mergeable-summaries
+  * rule (Agarwal et al., PODS'12): pointwise-sum the two counter sets,
+  * then subtract the (c+1)-th largest count from all and drop the
+  * non-positive — at most c survive, and the summed decrements stay
+  * within the stream bound. The invariant both operations preserve:
+  * every key's counter undercounts its true frequency by at most
+  * N/(c+1), so ANY key with true frequency > N/(c+1) has a positive
+  * counter and is retained. The summary's key SET is therefore a
+  * guaranteed superset of the heavy hitters — the caller re-counts the
+  * ≤ c candidates exactly and filters, making the end-to-end result
+  * exact and deterministic even though which EXTRA candidates survive
+  * depends on partitioning.
+  *
+  * Public: ObjectHashAggregate constructs buffer objects across
+  * classloaders.
+  */
+final class MgBuffer(val c: Int) {
+  import scala.collection.mutable
+  val counts: mutable.HashMap[UTF8String, Long] = mutable.HashMap.empty
+
+  def offer(key: UTF8String): Unit = {
+    counts.get(key) match {
+      case Some(v) => counts.update(key, v + 1L)
+      case None if counts.size < c =>
+        // inputs hand out UTF8Strings backed by reused row buffers
+        counts.update(key.clone(), 1L)
+      case None =>
+        val dead = mutable.ArrayBuffer.empty[UTF8String]
+        counts.foreach { case (k, v) =>
+          if (v == 1L) dead += k else counts.update(k, v - 1L)
+        }
+        dead.foreach(counts.remove)
+    }
+  }
+
+  def add(key: UTF8String, n: Long): Unit =
+    counts.update(key, counts.getOrElse(key, 0L) + n)
+
+  def mergeFrom(o: MgBuffer): MgBuffer = {
+    o.counts.foreach { case (k, v) => add(k, v) }
+    if (counts.size > c) {
+      val vs = counts.values.toArray
+      java.util.Arrays.sort(vs)
+      val sub = vs(vs.length - 1 - c) // (c+1)-th largest
+      val keys = counts.keys.toArray
+      keys.foreach { k =>
+        val nv = counts(k) - sub
+        if (nv <= 0L) counts.remove(k) else counts.update(k, nv)
+      }
+    }
+    this
+  }
+
+  /** Candidate keys, sorted (binary UTF8 order) for a deterministic
+    * output array.
+    */
+  def keysSorted: Array[UTF8String] = {
+    val ks = counts.keys.toArray
+    java.util.Arrays.sort(ks,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    ks
+  }
+}
+
+/** `misra_gries(key, c)` — bounded-state heavy-hitter CANDIDATES as
+  * `array<string>`: the ≤ c keys whose true frequency may exceed
+  * N/(c+1), guaranteed to include every key that actually does.
+  *
+  * The scale contract: a `groupBy(key).count` pre-pass shuffles the
+  * ENTIRE key vocabulary (billions of rows for URL/author-shaped keys)
+  * to answer what is usually a tiny question — which handful of keys
+  * are hot enough to need salting / capping / a skew-join hint. This
+  * aggregate's state is c counters per partition, merged map-side like
+  * any partial agg, so the exchange carries c entries per map task and
+  * the follow-up EXACT count restricts to the ≤ c candidates via a
+  * broadcast semi-join — no vocabulary-wide shuffle anywhere.
+  */
+case class MisraGriesAgg(
+    child: Expression, c: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgBuffer]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+
+  require(c > 0 && c <= (1 << 16),
+    s"misra_gries: c must be in [1, 2^16], got $c")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(c)
+
+  override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {
+    val k = child.eval(input)
+    if (k != null) buf.offer(k.asInstanceOf[UTF8String])
+    buf
+  }
+
+  override def merge(a: MgBuffer, b: MgBuffer): MgBuffer = a.mergeFrom(b)
+
+  override def eval(buf: MgBuffer): Any =
+    new GenericArrayData(buf.keysSorted.asInstanceOf[Array[Any]])
+
+  override def serialize(buf: MgBuffer): Array[Byte] = {
+    var bytes = 0
+    buf.counts.foreach { case (k, _) => bytes += k.numBytes() }
+    val bb = ByteBuffer.allocate(8 + buf.counts.size * 12 + bytes)
+    bb.putInt(buf.c).putInt(buf.counts.size)
+    buf.counts.foreach { case (k, v) =>
+      val b = k.getBytes
+      bb.putInt(b.length).put(b).putLong(v)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MgBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new MgBuffer(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val b = new Array[Byte](bb.getInt)
+      bb.get(b)
+      buf.add(UTF8String.fromBytes(b), bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries"
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(
+      newChild: Expression): MisraGriesAgg = copy(child = newChild)
+}
+
+object MisraGriesAgg {
+  /** Column-level entry point:
+    * `df.agg(misra_gries($"k", 8))` → `array<string>` candidates.
+    */
+  def misra_gries(key: Column, c: Int): Column =
+    Bridge.column(
+      MisraGriesAgg(Bridge.expression(key), c).toAggregateExpression())
+}

@@ -1530,6 +1530,71 @@ object Dedup {
             coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
             round(frac, 4).as("frac"),
             when(frac > 0.05, 1L).otherwise(0L).as("flagged"))
+    },
+
+    // Record linkage / entity resolution — the STRUCTURED-records
+    // flavor of dedup: link dirty free-text entity names back to a
+    // canonical catalog via blocking + edit-distance verify (the
+    // Fellegi-Sunter block-and-compare architecture every MDM / customer
+    // -360 pipeline runs). The corpus carries no dirty names, so the
+    // gate PLANTS them deterministically (the construct-the-signal
+    // pattern `text_pii` uses): every third part's name loses one
+    // character at position 4 + (key mod (len-4)) — past the blocking
+    // prefix, so the TRUE match always shares the block. Linkage:
+    // candidates = equi-join on the 3-char prefix block (never
+    // all-pairs — the quadratic work is confined to same-block groups,
+    // exactly the dedup blocking story; at 100 TB the block key grows a
+    // length band / phonetic code, same shape), verify = levenshtein
+    // ≤ 2 (integer-exact in both engines), resolve = min (dist, name)
+    // per record via one struct-min aggregate (no window). The ≤ 2 bar
+    // makes resolution non-vacuous: single-edit-apart catalog names
+    // compete inside the block (51 multi-candidate records at sf0.01)
+    // and the true dist-1 match must win the ordering.
+    QuerySpec(
+      "q_record_linkage",
+      """WITH catalog AS (SELECT DISTINCT p_name FROM part),
+        |dirty AS (SELECT p_partkey AS rec_id, p_name,
+        |    4 + (p_partkey % (length(p_name) - 4)) AS pos
+        |  FROM part WHERE p_partkey % 3 = 0),
+        |drec AS (SELECT rec_id,
+        |    concat(substr(p_name, 1, CAST(pos - 1 AS INT)),
+        |           substr(p_name, CAST(pos + 1 AS INT))) AS dirty_name
+        |  FROM dirty),
+        |cand AS (SELECT d.rec_id, d.dirty_name, c.p_name AS cand_name,
+        |    levenshtein(d.dirty_name, c.p_name) AS dist
+        |  FROM drec d JOIN catalog c
+        |    ON substr(d.dirty_name, 1, 3) = substr(c.p_name, 1, 3)
+        |  WHERE levenshtein(d.dirty_name, c.p_name) <= 2)
+        |SELECT rec_id, min(dirty_name) AS dirty_name,
+        |  first(cand_name ORDER BY dist, cand_name) AS match_name,
+        |  CAST(min(dist) AS INT) AS dist,
+        |  CAST(count(*) AS BIGINT) AS n_candidates
+        |FROM cand GROUP BY rec_id""".stripMargin) { (s, d) =>
+      val part = Tables.part(s, d)
+      val catalog = part.select(col("p_name")).distinct()
+        .select(col("p_name").as("cand_name"),
+          substring(col("p_name"), 1, 3).as("blk"))
+      val drec = part.filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("rec_id"), col("p_name"),
+          (lit(4) + col("p_partkey") % (length(col("p_name")) - 4))
+            .cast("int").as("pos"))
+        .select(col("rec_id"),
+          concat(col("p_name").substr(lit(1), col("pos") - 1),
+            col("p_name").substr(col("pos") + 1, length(col("p_name"))))
+            .as("dirty_name"))
+        .select(col("rec_id"), col("dirty_name"),
+          substring(col("dirty_name"), 1, 3).as("blk"))
+      drec.join(catalog, Seq("blk"))
+        .select(col("rec_id"), col("dirty_name"), col("cand_name"),
+          levenshtein(col("dirty_name"), col("cand_name")).as("dist"))
+        .filter(col("dist") <= 2)
+        .groupBy(col("rec_id"))
+        .agg(min(col("dirty_name")).as("dirty_name"),
+          min(struct(col("dist"), col("cand_name"))).as("best"),
+          count(lit(1)).as("n_candidates"))
+        .select(col("rec_id"), col("dirty_name"),
+          col("best.cand_name").as("match_name"),
+          col("best.dist").as("dist"), col("n_candidates"))
     }
   )
 

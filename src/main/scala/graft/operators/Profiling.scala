@@ -140,6 +140,94 @@ object Profiling {
         "o_totalprice" -> asCents _,
         "o_orderdate" -> asStamp _,
         "o_orderpriority" -> asString _))
+    },
+
+    // Hot-key detection — the pre-pass a skew-aware pipeline runs
+    // before keying a 100-TB shuffle: which keys exceed 1/(c+1) of the
+    // stream and need salting / capping / a skew-join hint. The
+    // scale-correct shape is a SKETCH, not a groupBy: `groupBy(k).count`
+    // shuffles the whole key vocabulary (billions of distinct URLs /
+    // authors / session ids) to answer a ≤ c-row question, where the
+    // Misra-Gries aggregate (`functions.MisraGriesAgg`) carries c
+    // counters per partition, merges map-side, and GUARANTEES its ≤ c
+    // candidates include every key above the N/(c+1) bar — so one
+    // broadcast semi-join re-counts just the candidates exactly and the
+    // final filter makes the end-to-end result EXACT and deterministic
+    // (extra candidates vary with partitioning; the answer set never
+    // does). Two scans of the key column total, zero vocabulary-wide
+    // shuffles. The corpus's own keys flatten at scale, so the gate
+    // PLANTS the skew deterministically (the construct-the-signal
+    // pattern): 70% of events hash to 3 hot keys, the rest stay
+    // per-user — at every SF exactly the 3 hot keys clear the c=8 bar
+    // while the per-user tail (≤ ~9%) stays under it. The oracle is the
+    // exact GROUP BY + HAVING semantics the sketch path must reproduce.
+    QuerySpec(
+      "q_hot_keys",
+      """WITH ev AS (SELECT CASE WHEN user_id % 10 < 7
+        |      THEN concat('hot', CAST(user_id % 3 AS VARCHAR))
+        |      ELSE concat('u', CAST(user_id AS VARCHAR)) END AS k
+        |    FROM events),
+        |tot AS (SELECT count(*) AS n FROM ev),
+        |f AS (SELECT k, count(*) AS cnt FROM ev GROUP BY k)
+        |SELECT k, CAST(cnt AS BIGINT) AS cnt FROM f, tot
+        |WHERE cnt * 9 > n""".stripMargin) { (s, d) =>
+      val C = 8
+      val ev = Tables.events(s, d).select(
+        when(col("user_id") % 10 < 7,
+          concat(lit("hot"), (col("user_id") % 3).cast("string")))
+          .otherwise(concat(lit("u"), col("user_id").cast("string")))
+          .as("k"))
+      // Pass 1: one group-less partial-aggregating pass → ≤ C candidate
+      // keys + the exact stream length. limit(C) is a semantic no-op
+      // (the aggregate's array is ≤ C by construction) that makes the
+      // bound STRUCTURAL for the broadcast below.
+      val cand = ev
+        .agg(graft.functions.MisraGriesAgg.misra_gries(col("k"), C)
+          .as("cands"), count(lit(1)).as("n"))
+        .select(explode(col("cands")).as("k"), col("n"))
+        .limit(C)
+      // Pass 2: exact re-count restricted to the candidates — the join
+      // is a broadcast of ≤ C rows, the aggregate has ≤ C groups.
+      ev.join(broadcast(cand), Seq("k"))
+        .groupBy(col("k"), col("n"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * (C + 1) > col("n"))
+        .select(col("k"), col("cnt"))
+    },
+
+    // Distinct-count sketch — HyperLogLog registers, value-gated: exact
+    // COUNT(DISTINCT key) over a 100-TB table is an Expand plus a
+    // shuffle carrying the FULL distinct key set; the HLL aggregate
+    // (`functions.HllAgg`) carries a constant 2^10 = 1 KiB register
+    // file per partition, merges bytewise-max map-side, and estimates
+    // within ~3% (1.04/√m). The gate certifies the sketch
+    // CONSTRUCTION, not a ballpark: both engines derive the same
+    // md5-based 64-bit hash (the `q_checksum` fingerprint contract),
+    // split it top-10-bits/register + leading-zero rank — rho's
+    // bit-length arithmetic is `bin()`-string length in the oracle and
+    // numberOfLeadingZeros in the aggregate, provably equal — so the
+    // occupied-register rows are bit-identical, integer-exact, and
+    // partitioning-independent (max is order-free). The estimate
+    // itself is one driver-side formula over ≤ 1024 rows
+    // (`HllAgg.estimate`; accuracy pinned in `OperatorsSpec` at 5%
+    // against the exact count).
+    QuerySpec(
+      "q_hll_distinct",
+      """WITH h AS (SELECT md5_number_upper(CAST(l_orderkey AS VARCHAR))
+        |             AS h FROM lineitem),
+        |reg AS (SELECT CAST(h >> 54 AS INT) AS register,
+        |               CAST(h & ((1::UBIGINT << 54) - 1) AS BIGINT) AS m
+        |        FROM h)
+        |SELECT register,
+        |  CAST(max(CASE WHEN m = 0 THEN 55
+        |           ELSE 55 - length(bin(m)) END) AS INT) AS max_rho
+        |FROM reg GROUP BY register""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .select(md5Num(col("l_orderkey").cast("string")).as("h"))
+        .agg(graft.functions.HllAgg.hll_registers(col("h"), 10).as("rs"))
+        .select(explode(col("rs")).as("r"))
+        .select(col("r.register").as("register"),
+          col("r.max_rho").as("max_rho"))
     }
   )
 }

@@ -576,6 +576,28 @@ object Similarity {
   def truncated(e: DataFrame, dims: Int): DataFrame =
     e.select(col("vec_id"), slice(col("v"), 1, dims).as("v"))
 
+  /** Sign-bit binary quantization: the 64 dims pack into two 32-bit
+    * sign words (dim i → bit i of word i/32, set iff vᵢ > 0) — the
+    * 8 B/vector bottom of the compression ladder (float32 256 B →
+    * int8 64 B → PQ ~16 B → binary 8 B), and the only rung whose
+    * distance kernel is pure integer ALU: Hamming = popcount(xor),
+    * no multiplies, no rounding surface anywhere. Two 32-bit words in
+    * BIGINTs rather than one 64-bit word so neither engine ever shifts
+    * into a sign bit. The in-row pack is `aggregate` over a constant
+    * 32-element sequence (exact powers of two through double `pow` —
+    * integral and ≤ 2³¹, so exactly representable); at corpus scale
+    * the words are computed once at index-build time and stored as a
+    * 16-byte sidecar, not re-derived per serve.
+    */
+  def binarized(e: DataFrame): DataFrame = {
+    def word(off: Int): Column =
+      aggregate(sequence(lit(0), lit(31)), lit(0L),
+        (acc, i) => acc + when(
+          element_at(col("v"), i + lit(off + 1)) > lit(0d),
+          pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
+    e.select(col("vec_id"), word(0).as("w0"), word(32).as("w1"))
+  }
+
   /** IVF approximate top-k: (query_id, neighbor_id, rank). Deterministic
     * given the seeds — every-25th-vector seeds refined by one Lloyd step,
     * nprobe=4, rounded-cosine ranking with id tie-breaks.
@@ -2326,6 +2348,61 @@ object Similarity {
       val e = corpus(s, d)
       val exact = topkOf(e).select(col("query_id"), col("neighbor_id"))
       val approx = topkOf(truncated(e, MrlDim))
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+    },
+
+    // Binary (sign-bit) quantization quality as a gated readout:
+    // per-query overlap between Hamming top-k on the two packed sign
+    // words and the exact float top-k — the 8 B/vector bottom rung of
+    // the compression ladder (32× smaller than float32), whose serve
+    // kernel is two popcount(xor) per candidate: no floats, no
+    // rounding surface, so ranking parity across engines is
+    // integer-EXACT (ham asc, id tie-break ≡ -ham desc under the
+    // bounded top_k aggregate). On this uniform corpus the overlap
+    // floor is ~20/100 vs the 1/100 random baseline — the readout a
+    // pipeline prices a binary prefilter stage with.
+    QuerySpec(
+      "sim_binary_recall",
+      s"""WITH $eCte,
+         |$topkCtes,
+         |bz AS (SELECT vec_id,
+         |   CAST(list_sum(list_transform(range(0,32),
+         |     i -> CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS w0,
+         |   CAST(list_sum(list_transform(range(0,32),
+         |     i -> CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS w1
+         | FROM e),
+         |hq AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM bz
+         |       WHERE vec_id < $NQueries),
+         |hscored AS (SELECT query_id, b.vec_id AS neighbor_id,
+         |    bit_count(xor(q0, b.w0)) + bit_count(xor(q1, b.w1)) AS ham
+         |  FROM hq JOIN bz b ON b.vec_id <> query_id),
+         |htopk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY ham ASC, neighbor_id) AS rank
+         |  FROM hscored) WHERE rank <= $TopK)
+         |SELECT t.query_id,
+         |  CAST(sum(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_common
+         |FROM topk t LEFT JOIN htopk h
+         |  ON t.query_id = h.query_id AND t.neighbor_id = h.neighbor_id
+         |GROUP BY t.query_id""".stripMargin) { (s, d) =>
+      val e = corpus(s, d)
+      val exact = topkOf(e).select(col("query_id"), col("neighbor_id"))
+      val b = binarized(e)
+      val q = b.filter(col("vec_id") < NQueries).limit(NQueries)
+        .select(col("vec_id").as("query_id"),
+          col("w0").as("q0"), col("w1").as("q1"))
+      val scored = b.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (bit_count(col("q0").bitwiseXOR(col("w0"))) +
+            bit_count(col("q1").bitwiseXOR(col("w1"))))
+            .cast("double").*(lit(-1d)).as("sim"))
+      val approx = rankTopK(scored)
         .select(col("query_id"), col("neighbor_id"))
         .withColumn("hit", lit(1L))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")

@@ -801,6 +801,109 @@ class OperatorsSpec extends SparkSpec {
       full.select(element_at($"v", 64)).first())
   }
 
+  test("sim_binary_recall: one row per query with 0 <= n_common <= 5, " +
+    "Hamming signal beats random, and the sign-pack is bit-exact") {
+    val gated = SparkEntry.queries("sim_binary_recall")(spark, sf0001)
+      .select($"query_id", $"n_common").as[(Long, Long)].collect()
+    assert(gated.length == 20)
+    assert(gated.forall { case (_, n) => n >= 0 && n <= 5 }, gated.toSeq)
+    // sign bits of a structureless corpus still retain real cosine
+    // signal: measured 22/100 at sf0.001 vs the ~1/100 random
+    // baseline; pin a conservative floor
+    assert(gated.map(_._2).sum >= 10, s"binary hits=${gated.map(_._2).sum}")
+    // hand-checked pack: dims 0,2,33 positive → w0 = 2^0 + 2^2 = 5,
+    // w1 = 2^(33-32) = 2; an all-nonpositive vector packs to (0, 0)
+    val v1 = Array.fill(64)(-1.0)
+    v1(0) = 1.0; v1(2) = 0.5; v1(33) = 2.0
+    val v2 = Array.fill(64)(0.0) // zeros are NOT set bits (> 0 strict)
+    val packed = Similarity.binarized(
+      Seq((1L, v1.toSeq), (2L, v2.toSeq)).toDF("vec_id", "v"))
+      .orderBy($"vec_id")
+      .select($"w0", $"w1").as[(Long, Long)].collect()
+    assert(packed(0) == ((5L, 2L)), packed.toSeq)
+    assert(packed(1) == ((0L, 0L)), packed.toSeq)
+  }
+
+  test("q_record_linkage: every planted dirty record resolves to its " +
+    "true canonical at distance 1, and blocks genuinely compete") {
+    val linked = SparkEntry.queries("q_record_linkage")(spark, sf0001)
+      .select($"rec_id", $"match_name", $"dist", $"n_candidates")
+      .as[(Long, String, Int, Long)].collect()
+    assert(linked.nonEmpty)
+    // the dirty name is a single deletion of the canonical, so the
+    // true match is at distance exactly 1 — and min (dist, name) must
+    // find it: re-derive the dirty record's source name and compare
+    val part = spark.read.parquet(s"$sf0001/part.parquet")
+      .select($"p_partkey", $"p_name").as[(Long, String)].collect().toMap
+    assert(linked.forall(_._3 == 1), linked.filter(_._3 != 1).toSeq)
+    assert(linked.forall { case (id, m, _, _) => part(id) == m },
+      linked.filterNot { case (id, m, _, _) => part(id) == m }.toSeq)
+    // every third part row is planted
+    assert(linked.length == part.keys.count(_ % 3 == 0))
+    // the <=2 verify bar admits competing same-block candidates for
+    // some records (resolution is exercised, not vacuous)
+    assert(linked.exists(_._4 > 1), "no multi-candidate record")
+  }
+
+  test("misra_gries: candidate set is a guaranteed superset of keys " +
+    "above N/(c+1) under forced multi-partition merges") {
+    import graft.functions.MisraGriesAgg.misra_gries
+    // 60% 'a', 20% 'b', rest singletons: with c=4 both a and b exceed
+    // N/5; singletons must never evict them whatever the partitioning
+    val rows = (Seq.fill(600)("a") ++ Seq.fill(200)("b") ++
+      (0 until 200).map(i => s"t$i"))
+    for (parts <- Seq(1, 7, 32)) {
+      val cands = rows.toDF("k").repartition(parts)
+        .agg(misra_gries($"k", 4).as("c"))
+        .select(explode($"c").as("k")).as[String].collect().toSet
+      assert(cands.size <= 4, s"parts=$parts: ${cands.size} > c")
+      assert(cands.contains("a") && cands.contains("b"),
+        s"parts=$parts: heavy hitters evicted: $cands")
+    }
+  }
+
+  test("q_hot_keys: exactly the three planted hot keys, with exact " +
+    "counts, independent of partitioning") {
+    val got = SparkEntry.queries("q_hot_keys")(spark, sf0001)
+      .select($"k", $"cnt").as[(String, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq("hot0", "hot1", "hot2"), got.toSeq)
+    // exact recount: sums must cover ~70% of the 1000-event stream
+    val total = got.map(_._2).sum
+    assert(total > 700 && total < 850, s"hot mass=$total")
+  }
+
+  test("q_hll_distinct: registers are partitioning-independent and the " +
+    "estimate lands within 5% of the exact distinct count") {
+    import graft.functions.HllAgg
+    val regs = SparkEntry.queries("q_hll_distinct")(spark, sf0001)
+      .select($"register", $"max_rho").as[(Int, Int)].collect()
+    assert(regs.forall { case (r, rho) =>
+      r >= 0 && r < 1024 && rho >= 1 && rho <= 55 })
+    val est = HllAgg.estimate(regs.toMap, 10)
+    val exact = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey").distinct().count()
+    assert(math.abs(est - exact) / exact < 0.05,
+      s"estimate=$est exact=$exact")
+    // bytewise-max merge is order-free: a different partitioning must
+    // produce the identical register file
+    val h = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(md5(($"l_orderkey").cast("string")).as("hex"))
+      .select((0 until 8).map(i =>
+        shiftleft(conv(substring($"hex", 2 * i + 1, 2), 16, 10)
+          .cast("long"), 8 * i)).reduce(_ bitwiseOR _).as("h"))
+    val again = h.repartition(17)
+      .agg(HllAgg.hll_registers($"h", 10).as("rs"))
+      .select(explode($"rs").as("r"))
+      .select($"r.register", $"r.max_rho").as[(Int, Int)].collect()
+    assert(again.sorted.toSeq == regs.sorted.toSeq)
+    // rho == 55 - bitlen(m) == 55 - length(bin(m)), the oracle formula
+    val buf = new graft.functions.HllBuffer(10)
+    buf.offer(1L)                    // m = 1 → bin "1" → rho 54
+    buf.offer(1L << 53 | (5L << 54)) // reg 5, m = 2^53 → rho 1
+    buf.offer(0L)                    // m = 0 → rho 55 (all-zero tail)
+    assert(buf.regs(0) == 55 && buf.regs(5) == 1)
+  }
+
   test("vocab_coverage: ranks dense from 1, counts non-increasing, " +
     "cumulative share monotone to 1.0 over the full vocabulary") {
     val v = SparkEntry.queries("vocab_coverage")(spark, sf0001)
