@@ -166,6 +166,58 @@ object Extended {
           sum(col("pv")).cast("double").as("total_value"))
     },
 
+    // Salted JOIN — q_skew_agg's sibling for the other skewed shuffle:
+    // a fact⋈dim equi-join whose hottest key carries ~23% of the fact
+    // (the q_hot_keys planted distribution — exactly what that gate's
+    // sketch detects). A plain hash join lands the hot key's entire
+    // fact slice in ONE task; salting fans the fact out by an 8-way
+    // row salt and EXPLODES the dim 8× (each dim row must meet every
+    // salt), so the join key becomes (k, salt) and the hot key spreads
+    // over 8 tasks. The dim side takes a shuffle_hash hint — the
+    // technique targets the case where the dim is too big to broadcast
+    // (here it scales with the user population) but salt-explodable;
+    // AQE's runtime skew-join split covers sort-merge plans, salting
+    // is the static form that also composes with the downstream
+    // aggregate (which reuses the same salt for its partial stage
+    // before folding it back — no row ever meets a skewed reducer).
+    // Result-identical to the oracle's plain join + GROUP BY (counts
+    // exact, sums via exact decimals, attr integer).
+    QuerySpec(
+      "q_skew_join",
+      """WITH ev AS (SELECT event_id, CASE WHEN user_id % 10 < 7
+        |      THEN concat('hot', CAST(user_id % 3 AS VARCHAR))
+        |      ELSE concat('u', CAST(user_id AS VARCHAR)) END AS k, value
+        |    FROM events),
+        |dim AS (SELECT k, length(k) AS attr FROM
+        |        (SELECT DISTINCT k FROM ev))
+        |SELECT ev.k, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  CAST(max(attr) AS INT) AS attr
+        |FROM ev JOIN dim ON ev.k = dim.k GROUP BY ev.k""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d).select(
+          col("event_id"),
+          when(col("user_id") % 10 < 7,
+            concat(lit("hot"), (col("user_id") % 3).cast("string")))
+            .otherwise(concat(lit("u"), col("user_id").cast("string")))
+            .as("k"),
+          col("value"))
+        val dim = ev.select(col("k")).distinct()
+          .select(col("k"), length(col("k")).as("attr"))
+        val salted = ev
+          .withColumn("salt", pmod(xxhash64(col("event_id")), lit(8)))
+        val dimx = dim
+          .withColumn("salt", explode(sequence(lit(0L), lit(7L))))
+        salted.join(dimx.hint("shuffle_hash"), Seq("k", "salt"))
+          .groupBy(col("k"), col("salt"))
+          .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("pv"),
+            max(col("attr")).as("pa"))
+          .groupBy(col("k"))
+          .agg(sum(col("pn")).as("n"),
+            sum(col("pv")).cast("double").as("total_value"),
+            max(col("pa")).cast("int").as("attr"))
+    },
+
     // Change-data-capture delta: per-user latest (event_type, value)
     // state inside two adjacent 12 h activity windows, diffed into
     // added / removed / changed rows — the snapshot-diff primitive of
