@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.HllAgg
+import graft.streaming.StreamingProfiling
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming HLL register maintenance: micro-batch-union parity with
+  * the one-shot batch sketch, replay idempotence from the max algebra,
+  * and the estimate's accuracy over the published table.
+  */
+class StreamingProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream hll: two micro-batches fold to exactly the one-shot " +
+    "batch registers, and the estimate tracks the true distinct count") {
+    implicit val sc = spark.sqlContext
+    val out = tmpDir("hll-out")
+    val ckpt = tmpDir("hll-ckpt")
+
+    val wave1 = (0 until 400).map(i => s"user-$i")
+    val wave2 = (300 until 700).map(i => s"user-$i") // 300..399 repeat
+
+    val in = MemoryStream[String]
+    val q = StreamingProfiling.startHllIngest(
+      in.toDF().toDF("k"), out, ckpt)
+    try {
+      in.addData(wave1: _*)
+      q.processAllAvailable()
+      in.addData(wave2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = StreamingProfiling.readRegisters(spark, out)
+      .as[(Int, Int)].collect().sorted.toSeq
+    val oneShot = StreamingProfiling.registersOf(
+      (wave1 ++ wave2).toDF("k"))
+      .as[(Int, Int)].collect().sorted.toSeq
+    assert(streamed == oneShot,
+      "streamed registers must equal the one-shot batch sketch")
+
+    val est = StreamingProfiling.estimate(spark, out)
+    assert(math.abs(est - 700.0) / 700.0 < 0.15, s"estimate=$est")
+  }
+
+  test("replay idempotence and order independence: re-folding a batch " +
+    "is a register no-op (max algebra, no ledger needed)") {
+    val out = tmpDir("hll-replay")
+    val a = (0 until 100).map(i => s"a-$i").toDF("k")
+    val b = (0 until 50).map(i => s"b-$i").toDF("k")
+
+    StreamingProfiling.foldRegisters(a, out)
+    StreamingProfiling.foldRegisters(b, out)
+    val once = StreamingProfiling.readRegisters(spark, out)
+      .as[(Int, Int)].collect().sorted.toSeq
+
+    StreamingProfiling.foldRegisters(b, out) // crash-replay of batch b
+    StreamingProfiling.foldRegisters(a, out) // and an out-of-order one
+    val replayed = StreamingProfiling.readRegisters(spark, out)
+      .as[(Int, Int)].collect().sorted.toSeq
+    assert(replayed == once, "replayed folds must not move registers")
+
+    // order independence from scratch: b then a
+    val out2 = tmpDir("hll-replay2")
+    StreamingProfiling.foldRegisters(b, out2)
+    StreamingProfiling.foldRegisters(a, out2)
+    val swapped = StreamingProfiling.readRegisters(spark, out2)
+      .as[(Int, Int)].collect().sorted.toSeq
+    assert(swapped == once)
+  }
+
+  test("empty state: estimate reads 0 occupied registers before any " +
+    "fold; HllAgg.estimate applies the linear-counting zero branch") {
+    val out = tmpDir("hll-empty")
+    assert(StreamingProfiling.readRegisters(spark, out).isEmpty)
+    assert(HllAgg.estimate(Map.empty, 10) == 0.0)
+  }
+}
