@@ -96,5 +96,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val w = if (args.length > 2) intArg(2, "w") else 16
         RollingHashMinima(args.head, k, w) // k/w positivity checked there
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(
+        classOf[graft.functions.MisraGriesAgg].getName, "misra_gries"),
+      (args: Seq[Expression]) => {
+        if (args.length != 2) throw new IllegalArgumentException(
+          "misra_gries expects (key, c)")
+        graft.functions.MisraGriesAgg(args(0),
+          intLiteral(args(1), "misra_gries", "c")).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_registers"),
+      new ExpressionInfo(
+        classOf[graft.functions.HllAgg].getName, "hll_registers"),
+      (args: Seq[Expression]) => {
+        if (args.length != 2) throw new IllegalArgumentException(
+          "hll_registers expects (hash64, p)")
+        graft.functions.HllAgg(args(0),
+          intLiteral(args(1), "hll_registers", "p")).toAggregateExpression()
+      }))
+  }
+
+  /** Foldable-integer argument extraction shared by the sketch
+    * aggregates' SQL surfaces (same contract as top_k's k).
+    */
+  private def intLiteral(e: Expression, fn: String, name: String): Int = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    e match {
+      case l if l.foldable && (l.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }) && l.eval() != null =>
+        try Math.toIntExact(l.eval().asInstanceOf[Number].longValue())
+        catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"$fn: $name out of Int range: ${l.eval()}")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $name must be an integer literal")
+    }
   }
 }

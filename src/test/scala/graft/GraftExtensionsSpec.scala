@@ -123,6 +123,25 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(tvf.queryExecution.executedPlan.toString.contains("AsOfJoin"))
       assert(tvf.collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
         == Seq(("x", 2.0)))
+      // misra_gries: SQL-callable heavy-hitter candidates; c literal-only
+      val mg = s.sql(
+        """SELECT misra_gries(k, 2) AS c FROM VALUES
+          |  ('a'), ('a'), ('a'), ('b'), ('b'), ('z') v(k)""".stripMargin)
+        .select(explode(col("c"))).collect().map(_.getString(0)).toSet
+      assert(mg.contains("a") && mg.size <= 2, mg.mkString(","))
+      intercept[Exception](
+        s.sql("SELECT misra_gries(k, id) FROM VALUES ('a', 1L) v(k, id)")
+          .collect())
+      // hll_registers: SQL-callable register file; p literal-only.
+      // hash 1L: register 0, m = 1 -> rho = 54 at p = 10
+      val hll = s.sql(
+        "SELECT hll_registers(h, 10) AS r FROM VALUES (1L) v(h)")
+        .select(explode(col("r")))
+        .collect().map(r => (r.getStruct(0).getInt(0),
+          r.getStruct(0).getInt(1))).toSeq
+      assert(hll == Seq((0, 54)), hll.mkString(","))
+      intercept[Exception](
+        s.sql("SELECT hll_registers(h, h) FROM VALUES (1L) v(h)").collect())
     } finally {
       // restore the suite-shared session (same SparkContext; don't stop)
       SparkSession.setDefaultSession(shared)
