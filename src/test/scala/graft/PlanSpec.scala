@@ -28,6 +28,46 @@ class PlanSpec extends SparkSpec {
       p.contains("ReadSchema: struct<ts:timestamp_ntz>"))
   }
 
+  test("q_hll_distinct: ONE scan, sketch partial-aggregates map-side") {
+    val q = SparkEntry.queries("q_hll_distinct")(spark, sf0001)
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1, s"expected 1 scan, got ${scans.length}")
+    // two ObjectHashAggregates (partial + final) around one exchange:
+    // the register file merges map-side like any partial agg
+    val p = q.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_hot_keys: two scans total (sketch + exact re-count), the " +
+    "candidate set broadcasts, both aggregates partial") {
+    val q = SparkEntry.queries("q_hot_keys")(spark, sf0001)
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 2, s"expected 2 scans, got ${scans.length}")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("q_skew_join: the shuffle_hash hint is honored (no broadcast of " +
+    "the salt-exploded dim) and the salted partial aggregate reuses " +
+    "the join's (k, salt) partitioning — no extra exchange") {
+    val q = SparkEntry.queries("q_skew_join")(spark, sf0001)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // exchanges: the dim derivation's distinct (k), fact by (k, salt),
+    // exploded dim by (k, salt), final fold by k — exactly four; the
+    // (k, salt) PARTIAL aggregate adds none, it reuses the join's
+    // partitioning. (String count: EnsureRequirements only plants
+    // exchanges in the executedPlan; sparkPlan predates them.)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 4,
+      s"expected 4 exchanges: $p")
+  }
+
   test("q_star_join: every dimension side is broadcast (no dim shuffle)") {
     val p = plan("q_star_join")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3)
@@ -239,8 +279,15 @@ class PlanSpec extends SparkSpec {
         catch { case e: Throwable =>
           fail(s"${sp.name}: failed to analyze: ${e.getMessage}")
         }
+      // Only BROADCAST-class hints are the hazard: they bypass AQE's
+      // size check and materialize the side on every executor (and the
+      // driver). Shuffle-class hints (shuffle_hash / merge) keep the
+      // side distributed — q_skew_join's shuffle_hash on the
+      // salt-exploded dim is the technique, not a hazard.
       val hints = analyzed.collect {
-        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.hints.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
       }
       val hintedCols = hints.flatMap(_.child.output.map(_.name))
         .toSet.intersect(scalingDimCols)
