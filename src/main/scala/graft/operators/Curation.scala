@@ -863,6 +863,45 @@ object Curation {
           sum(col("n_chars")).as("total_chars"),
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
+    },
+
+    // Sliding-window chunking with overlap — the RAG / embedding-prep
+    // op: every document splits into 64-token windows on a 48-token
+    // stride (16 tokens of overlap, so no retrieval-relevant span is
+    // ever cut without a copy that keeps it whole), each chunk
+    // published with its token count and a content fingerprint (the
+    // downstream embed step's dedup/cache key — overlapping chunks of
+    // IDENTICAL text collide on it, the point of fingerprinting before
+    // paying an embedding call). Pure in-row work: one explode of the
+    // start sequence per document, chunk text via array slice, NO
+    // shuffle anywhere — at 100 TB this is a map-only pass whose
+    // output lands partitioned however the scan was. Chunk starts,
+    // slice truncation at document end, and the space-join feeding the
+    // fingerprint are integer/string-exact in both engines.
+    QuerySpec(
+      "doc_chunk_overlap",
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, ws,
+        |        CAST(s AS BIGINT) AS s FROM w,
+        |        unnest(range(1, len(ws) + 1, 48)) t(s))
+        |SELECT doc_id, lang,
+        |  CAST((s - 1) // 48 AS INT) AS chunk_idx,
+        |  CAST(least(64, len(ws) - s + 1) AS INT) AS n_tokens,
+        |  md5(list_aggregate(ws[s:s+63], 'string_agg', ' ')) AS fp
+        |FROM c""".stripMargin) { (s, d) =>
+      val w = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), w.as("ws"))
+        .select(col("doc_id"), col("lang"), col("ws"),
+          explode(sequence(lit(1), greatest(size(col("ws")), lit(1)),
+            lit(48))).as("s"))
+        .select(col("doc_id"), col("lang"),
+          ((col("s") - 1) / 48).cast("int").as("chunk_idx"),
+          least(lit(64), size(col("ws")) - col("s") + 1).cast("int")
+            .as("n_tokens"),
+          md5(array_join(slice(col("ws"), col("s"), lit(64)), " "))
+            .as("fp"))
     }
   )
 }

@@ -908,6 +908,31 @@ class OperatorsSpec extends SparkSpec {
     assert(total > 700 && total < 850, s"hot mass=$total")
   }
 
+  test("doc_chunk_overlap: stride-48 windows tile every document — " +
+    "chunk count, tail truncation, and the 64-cap all follow from the " +
+    "token count; identical chunk text collides on the fingerprint") {
+    val chunks = SparkEntry.queries("doc_chunk_overlap")(spark, sf0001)
+      .select($"doc_id", $"chunk_idx", $"n_tokens", $"fp")
+      .as[(Long, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val n = docs(id)
+      assert(cs.length == (n - 1) / 48 + 1, s"doc $id: ${cs.length} vs n=$n")
+      assert(cs.map(_._2).toSeq == cs.indices.toSeq) // dense chunk ids
+      cs.foreach { case (_, idx, nt, _) =>
+        assert(nt == math.min(64, n - 48 * idx), s"doc $id chunk $idx")
+      }
+    }
+    // fingerprints are content keys: two single-chunk docs with equal
+    // text must collide; the corpus genuinely exercises this
+    val all = chunks.values.flatten.map(_._4).toSeq
+    assert(all.distinct.size < all.size, "expected some chunk collisions")
+  }
+
   test("q_hll_distinct: registers are partitioning-independent and the " +
     "estimate lands within 5% of the exact distinct count") {
     import graft.functions.HllAgg
