@@ -228,6 +228,36 @@ object Profiling {
         .select(explode(col("rs")).as("r"))
         .select(col("r.register").as("register"),
           col("r.max_rho").as("max_rho"))
+    },
+
+    // The sketch as a GROUPED aggregate — distinct users per event
+    // type, the "cardinality by segment" profile every warehouse
+    // publishes. Per-group per-partition state is the constant 2^10
+    // bytes (groups × 1 KiB map-side, merged bytewise-max like any
+    // partial agg), vs the Expand + full-vocabulary shuffle an exact
+    // grouped COUNT(DISTINCT) pays per group. Register rows stay
+    // bit-identical to the GROUP BY (type, register) oracle; the
+    // per-group estimates are the same driver-side formula over each
+    // group's ≤ 1024 rows.
+    QuerySpec(
+      "q_hll_grouped",
+      """WITH h AS (SELECT event_type,
+        |  md5_number_upper(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |reg AS (SELECT event_type, CAST(h >> 54 AS INT) AS register,
+        |               CAST(h & ((1::UBIGINT << 54) - 1) AS BIGINT) AS m
+        |        FROM h)
+        |SELECT event_type, register,
+        |  CAST(max(CASE WHEN m = 0 THEN 55
+        |           ELSE 55 - length(bin(m)) END) AS INT) AS max_rho
+        |FROM reg GROUP BY event_type, register""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          md5Num(col("user_id").cast("string")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.HllAgg.hll_registers(col("h"), 10).as("rs"))
+        .select(col("event_type"), explode(col("rs")).as("r"))
+        .select(col("event_type"), col("r.register").as("register"),
+          col("r.max_rho").as("max_rho"))
     }
   )
 }

@@ -589,14 +589,23 @@ object Similarity {
     * the words are computed once at index-build time and stored as a
     * 16-byte sidecar, not re-derived per serve.
     */
-  def binarized(e: DataFrame): DataFrame = {
-    def word(off: Int): Column =
-      aggregate(sequence(lit(0), lit(31)), lit(0L),
-        (acc, i) => acc + when(
-          element_at(col("v"), i + lit(off + 1)) > lit(0d),
-          pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
-    e.select(col("vec_id"), word(0).as("w0"), word(32).as("w1"))
-  }
+  /** One packed 32-bit sign word of vector column `v` (dims
+    * [off, off+32), bit i set iff v(off+i) > 0).
+    */
+  private def signWord(v: Column, off: Int): Column =
+    aggregate(sequence(lit(0), lit(31)), lit(0L),
+      (acc, i) => acc + when(
+        element_at(v, i + lit(off + 1)) > lit(0d),
+        pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
+
+  def binarized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      signWord(col("v"), 0).as("w0"), signWord(col("v"), 32).as("w1"))
+
+  /** SQL form of [[signWord]] over list column `v`, for oracle CTEs. */
+  private def packSql(v: String, off: Int): String =
+    s"CAST(list_sum(list_transform(range(0,32), i -> CASE WHEN " +
+      s"$v[i+${off + 1}] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)"
 
   /** Shared oracle CTEs for the binary rung: sign-word pack (`bz`),
     * the packed query set (`hq`), and per-candidate Hamming scores
@@ -606,10 +615,8 @@ object Similarity {
     */
   private val binCtes: String =
     s"""bz AS (SELECT vec_id,
-       |   CAST(list_sum(list_transform(range(0,32),
-       |     i -> CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS w0,
-       |   CAST(list_sum(list_transform(range(0,32),
-       |     i -> CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS w1
+       |   ${packSql("v", 0)} AS w0,
+       |   ${packSql("v", 32)} AS w1
        | FROM e),
        |hq AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM bz
        |       WHERE vec_id < $NQueries),
@@ -621,6 +628,123 @@ object Similarity {
     * served k, the same headroom convention as [[PqRerank]].
     */
   val BinaryRerank = 20
+
+  // ---- persisted IVF + binary sidecar ----
+  // The binary rung INSIDE the cell-partitioned index: like IVF-PQ,
+  // the coarse layer prunes WHICH cells a probe reads, and the packed
+  // sign words shrink WHAT each cell stores to 16 B/row (two BIGINTs +
+  // id) — the cheapest persisted serve in the family. A probe reads
+  // ~nprobe/K of the corpus as sign words, Hamming-shortlists with
+  // pure integer ALU, and touches full precision only as the
+  // shortlist's In(vec_id,…) point lookups on the embeddings sidecar
+  // (the ivfPqTopK rerank contract verbatim).
+
+  /** Build a fresh IVF+binary index at `path`: BOUNDED-K coarse build
+    * ([[fixedKSeeds]] at K = [[FixedK]], one Lloyd step → `cents/` —
+    * the scale-safe default the PQ index also uses, constant map-side
+    * centroid array and probe-cell collect at any corpus size), every
+    * vector's two sign words landed cell-partitioned in `bwords/`.
+    * Centroids are read BACK before assignment (double-roundtrip
+    * parity).
+    */
+  def writeIvfBinaryIndex(vecs: DataFrame, path: String,
+      targetK: Int = FixedK): Unit = {
+    val e = vecs.select(col("vec_id"), col("v"))
+    lloydStep(e, fixedKSeeds(e, targetK))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/cents")
+    val cents = e.sparkSession.read.parquet(s"$path/cents")
+    assign(e, cents, 1)
+      .select(col("vec_id"), signWord(col("v"), 0).as("w0"),
+        signWord(col("v"), 32).as("w1"), col("cent_id"))
+      .repartition(col("cent_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cent_id")
+      .parquet(s"$path/bwords")
+  }
+
+  private def ivfBinaryComplete(s: SparkSession, r: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(r)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$r/cents/_SUCCESS")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$r/bwords/_SUCCESS"))
+  }
+
+  /** Build-if-absent the persisted IVF+binary gate fixture (root name
+    * carries the build K — the construction-in-the-name lesson from
+    * the PQ flip: a completeness predicate can only attest "a complete
+    * index is here", not which build mode made it).
+    */
+  def ensureIvfBinaryIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, s"graft_ivf_bin_k$FixedK"))(
+      ivfBinaryComplete(s, _)) { staging =>
+      writeIvfBinaryIndex(corpus(s, d).select(col("vec_id"), col("v")),
+        staging)
+    }
+
+  /** Serve approximate top-k from a persisted IVF+binary index:
+    * probe `nprobe` cells, Hamming-shortlist `rerank` candidates per
+    * query over the cells' 16 B/row sign words, exact re-rank of only
+    * the shortlist against the full-precision sidecar `full` — the
+    * [[ivfPqTopK]] serve shape with popcount(xor) in place of ADC.
+    */
+  /** The Hamming-scoring frame of the persisted binary serve — the
+    * pre-shortlist phase, exposed so its plan (static cell prune on
+    * the bwords scan) is pinnable in specs: (query_id, neighbor_id,
+    * sim = −hamming).
+    */
+  private[graft] def ivfBinaryScored(s: SparkSession, indexPath: String,
+      queries: DataFrame, nprobe: Int = 4): DataFrame = {
+    val cents = s.read.parquet(s"$indexPath/cents")
+    val probes = assign(
+      queries.select(col("query_id").as("vec_id"), col("qv").as("v")),
+      cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    // Driver-side probe-cell list — bounded by the cell count K (the
+    // indexTopK prune class); turns the cell read into a static
+    // PartitionFilter on the bwords scan.
+    val cells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val totalCells = cents.count()
+    val allWords = s.read.option("basePath", s"$indexPath/bwords")
+      .parquet(s"$indexPath/bwords")
+    val pruned =
+      if (cells.length >= totalCells) allWords
+      else allWords.filter(col("cent_id").isin(cells: _*))
+    val qb = binarized(
+      queries.select(col("query_id").as("vec_id"), col("qv").as("v")))
+      .select(col("vec_id").as("query_id"),
+        col("w0").as("q0"), col("w1").as("q1"))
+    probes.join(broadcast(qb), Seq("query_id"))
+      .join(pruned, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("q0").bitwiseXOR(col("w0"))) +
+          bit_count(col("q1").bitwiseXOR(col("w1"))))
+          .cast("double").*(lit(-1d)).as("sim"))
+  }
+
+  def ivfBinaryTopK(s: SparkSession, indexPath: String,
+      queries: DataFrame, full: DataFrame, nprobe: Int = 4,
+      k: Int = TopK, rerank: Int = BinaryRerank): DataFrame = {
+    val scored = ivfBinaryScored(s, indexPath, queries, nprobe)
+    // Bounded collect (≤ |queries| × rerank) → In pushdown on the
+    // sidecar scan, identical to the PQ rerank.
+    import s.implicits._
+    val short = rankTopK(scored, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect()
+    val shortIds = short.map(_._2).distinct.toSeq
+    val rescored = short.toSeq.toDF("query_id", "neighbor_id")
+      .join(full.filter(col("vec_id").isin(shortIds: _*))
+        .select(col("vec_id").as("neighbor_id"), col("v")),
+        Seq("neighbor_id"))
+      .join(queries.select(col("query_id"), col("qv")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 4).as("sim"))
+    rankTopK(rescored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
 
   /** IVF approximate top-k: (query_id, neighbor_id, rank). Deterministic
     * given the seeds — every-25th-vector seeds refined by one Lloyd step,
@@ -2483,6 +2607,69 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"),
           round(cosine(col("qv"), col("v")), 4).as("sim"))
       val approx = rankTopK(rr)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+    },
+
+    // The binary rung PERSISTED: IVF coarse layer + cell-partitioned
+    // sign words at 16 B/row — the ivfPqTopK serve architecture with
+    // popcount(xor) in place of ADC, and the cheapest persisted serve
+    // in the index family. A probe reads ~nprobe/K of the corpus as
+    // sign words (static PartitionFilter), Hamming-shortlists 4k per
+    // query in pure integer ALU, and touches full precision only as
+    // the shortlist's In(vec_id,…) point lookups. Oracle composes the
+    // shared IVF construction (ivfAssignCtes over the BOUNDED-K seed
+    // sample — the same scale-safe default the PQ index builds with)
+    // with the sign-pack arithmetic (packSql — the same text the flat
+    // binary gates use), so all three binary gates and the IVF family
+    // certify one construction. Overlap on the gate corpus: 41/100 at
+    // K=32/nprobe=4 vs the whole-corpus Hamming rerank's 45/100 —
+    // ~1/8 of the sign-word bytes for ~90% of the recall, which is
+    // the knob the readout prices.
+    QuerySpec(
+      "sim_ivf_binary_recall",
+      s"""WITH $eCte,
+         |$topkCtes,
+         |${ivfAssignCtes(fixedKSeedSql("e", FixedK))},
+         |bv AS (SELECT vec_id, cent_id, ${packSql("v", 0)} AS w0,
+         |         ${packSql("v", 32)} AS w1 FROM a1),
+         |qb AS (SELECT query_id, ${packSql("qv", 0)} AS q0,
+         |         ${packSql("qv", 32)} AS q1
+         |       FROM (SELECT DISTINCT query_id, qv FROM probes)),
+         |iscored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+         |    bit_count(xor(qb.q0, b.w0)) + bit_count(xor(qb.q1, b.w1)) AS ham
+         |  FROM probes p JOIN bv b
+         |    ON p.cent_id = b.cent_id AND b.vec_id <> p.query_id
+         |  JOIN qb ON qb.query_id = p.query_id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY ham ASC, neighbor_id) AS rank
+         |  FROM iscored) WHERE rank <= $BinaryRerank),
+         |rr AS (SELECT s.query_id, s.neighbor_id,
+         |    round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+         |  FROM short s JOIN q ON q.query_id = s.query_id
+         |  JOIN e ON e.vec_id = s.neighbor_id),
+         |rtopk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM rr) WHERE rank <= $TopK)
+         |SELECT t.query_id,
+         |  CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_common
+         |FROM topk t LEFT JOIN rtopk r
+         |  ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+         |GROUP BY t.query_id""".stripMargin) { (s, d) =>
+      val e = corpus(s, d)
+      val exact = topkOf(e).select(col("query_id"), col("neighbor_id"))
+      val q = e.filter(col("vec_id") < NQueries).limit(NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val approx = ivfBinaryTopK(s, ensureIvfBinaryIndex(s, d), q,
+        e.select(col("vec_id"), col("v")))
         .select(col("query_id"), col("neighbor_id"))
         .withColumn("hit", lit(1L))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")

@@ -965,6 +965,64 @@ class OperatorsSpec extends SparkSpec {
     assert(buf.regs(0) == 55 && buf.regs(5) == 1)
   }
 
+  test("sim_ivf_binary_recall: real signal through the persisted " +
+    "serve; bwords read under a static cell prune; full precision " +
+    "touched only as query-side or In-pushdown point scans") {
+    val q = SparkEntry.queries("sim_ivf_binary_recall")(spark, sf0001)
+    val gated = q.select($"query_id", $"n_common")
+      .as[(Long, Long)].collect()
+    assert(gated.length == 20)
+    assert(gated.forall { case (_, n) => n >= 0 && n <= 5 })
+    // measured 41/100 at sf0.001 (K=32, nprobe=4; the whole-corpus
+    // Hamming rerank reads 45); pin a conservative floor
+    assert(gated.map(_._2).sum >= 15, s"hits=${gated.map(_._2).sum}")
+    // the rerank's sidecar read is In-pushdown point lookups, never a
+    // corpus-wide float stream (the exact-BASELINE side of the overlap
+    // join legitimately scans the corpus — exclude scans without
+    // vec_id pushdowns only if they carry the In set)
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.metadata("PushedFilters").contains("In(vec_id")),
+      s"no In-pushdown sidecar scan in:\n$scans")
+    // the SERVE's sign-word scan (pre-shortlist phase, materialized
+    // eagerly inside ivfBinaryTopK) is cell-pruned: partition filters
+    // present on the bwords read
+    val idx = Similarity.ensureIvfBinaryIndex(spark, sf0001)
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" < 20).limit(20)
+      .select($"vec_id".as("query_id"),
+        $"embedding".cast("array<double>").as("qv"))
+    val served = Similarity.ivfBinaryScored(spark, idx, queries)
+    val bw = served.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata("Location").contains("bwords") => f
+    }
+    assert(bw.nonEmpty, "no bwords scan in the serve plan")
+    bw.foreach(f => assert(f.partitionFilters.nonEmpty,
+      "bwords scan lost its cell prune"))
+  }
+
+  test("q_hll_grouped: one register file per event type, each group's " +
+    "estimate within 15% of its exact distinct-user count") {
+    import graft.functions.HllAgg
+    val rows = SparkEntry.queries("q_hll_grouped")(spark, sf0001)
+      .select($"event_type", $"register", $"max_rho")
+      .as[(String, Int, Int)].collect()
+    val types = rows.map(_._1).toSet
+    val exact = Tables.events(spark, sf0001)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(types == exact.keySet)
+    types.foreach { t =>
+      val occ = rows.filter(_._1 == t).map(r => r._2 -> r._3).toMap
+      val est = HllAgg.estimate(occ, 10)
+      assert(math.abs(est - exact(t)) / exact(t) < 0.15,
+        s"$t: est=$est exact=${exact(t)}")
+    }
+  }
+
   test("vocab_coverage: ranks dense from 1, counts non-increasing, " +
     "cumulative share monotone to 1.0 over the full vocabulary") {
     val v = SparkEntry.queries("vocab_coverage")(spark, sf0001)
