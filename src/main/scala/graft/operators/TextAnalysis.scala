@@ -728,6 +728,58 @@ object TextAnalysis {
             } :+ md5(piiMasked(col("t2"))).as("masked_fp"): _*)
     },
 
+    // Text normalization — the canonicalization stage every dedup /
+    // fingerprint pass runs first (case folding, accent stripping,
+    // punctuation removal, whitespace collapse), so "Héllo,  WÖRLD!"
+    // and "hello world" land on the same key. The corpus is already
+    // clean, so the gate PLANTS dirt on an md5(doc_id)-gated half
+    // (the text_pii construct-the-signal pattern): a suffix carrying
+    // uppercase, three accented letters, punctuation runs and double
+    // spaces. Normalization is lower → three literal accent replaces
+    // (applied post-lower so only lowercase forms need mapping) →
+    // non-[a-z0-9 ] to space (Java regex and RE2 agree on the class;
+    // DuckDB takes the 'g' flag Spark applies by default) → space
+    // collapse → trim. Pure map work, no shuffle beyond the scan;
+    // clean docs prove the pass is a no-op (changed = 0), planted
+    // docs land on the canonical fingerprint of their clean body +
+    // normalized suffix.
+    QuerySpec(
+      "text_normalize",
+      """WITH base AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |aug AS (
+        |  SELECT d.doc_id, d.text
+        |    || CASE WHEN substr(b.h, 1, 1) BETWEEN '0' AND '7'
+        |       THEN '  Héllo,  WÖRLD!!  Ñoisy__text' ELSE '' END AS t2
+        |  FROM documents d JOIN base b USING (doc_id)),
+        |norm AS (
+        |  SELECT doc_id, t2,
+        |    trim(regexp_replace(regexp_replace(
+        |      replace(replace(replace(lower(t2), 'é', 'e'), 'ö', 'o'), 'ñ', 'n'),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM aug)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN nt <> t2 THEN 1 ELSE 0 END AS BIGINT) AS changed,
+        |  CAST(length(nt) AS BIGINT) AS n_chars_norm,
+        |  md5(nt) AS fp
+        |FROM norm""".stripMargin) { (s, d) =>
+      val h = md5(col("doc_id").cast("string"))
+      val t2 = concat(col("text"),
+        when(substring(h, 1, 1).between("0", "7"),
+          lit("  Héllo,  WÖRLD!!  Ñoisy__text")).otherwise(lit("")))
+      val lowered = regexp_replace(regexp_replace(regexp_replace(
+        lower(col("t2")), "é", "e"), "ö", "o"), "ñ", "n")
+      val nt = trim(regexp_replace(regexp_replace(
+        lowered, "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), t2.as("t2"))
+        .select(col("doc_id"), col("t2"), nt.as("nt"))
+        .select(col("doc_id"),
+          when(col("nt") =!= col("t2"), 1L).otherwise(0L).as("changed"),
+          length(col("nt")).cast("long").as("n_chars_norm"),
+          md5(col("nt")).as("fp"))
+    },
+
     // Sub-document dedup via content-defined chunking: per doc, the
     // fraction of its CDC chunks shared verbatim with ANOTHER document —
     // the boilerplate detector (headers, navigation, license blocks)

@@ -933,6 +933,39 @@ class OperatorsSpec extends SparkSpec {
     assert(all.distinct.size < all.size, "expected some chunk collisions")
   }
 
+  test("text_normalize: clean docs are a no-op, planted docs normalize " +
+    "to the canonical form, and the pass is idempotent") {
+    val rows = SparkEntry.queries("text_normalize")(spark, sf0001)
+      .select($"doc_id", $"changed", $"fp").as[(Long, Long, String)]
+      .collect()
+    assert(rows.map(_._2).toSet == Set(0L, 1L),
+      "both planted and clean docs must appear")
+    // recompute one planted doc's canonical form in plain Scala
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    def gated(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = h.map("%02x".format(_)).mkString
+      hex(0) >= '0' && hex(0) <= '7'
+    }
+    def norm(s: String): String = s.toLowerCase
+      .replace("é", "e").replace("ö", "o").replace("ñ", "n")
+      .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    val planted = rows.find(r => gated(r._1)).get
+    val expected = norm(docs(planted._1) + "  Héllo,  WÖRLD!!  Ñoisy__text")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(planted._2 == 1L && planted._3 == fp)
+    // idempotence: normalizing a normalized body changes nothing
+    assert(norm(expected) == expected)
+    // a clean doc's fingerprint is the md5 of its own body
+    val clean = rows.find(r => !gated(r._1)).get
+    val cfp = java.security.MessageDigest.getInstance("MD5")
+      .digest(docs(clean._1).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(clean._2 == 0L && clean._3 == cfp)
+  }
+
   test("q_hll_distinct: registers are partitioning-independent and the " +
     "estimate lands within 5% of the exact distinct count") {
     import graft.functions.HllAgg
