@@ -78,6 +78,34 @@ final class MgBuffer(val c: Int) {
       (a: UTF8String, b: UTF8String) => a.compareTo(b))
     ks
   }
+
+  def toBytes: Array[Byte] = {
+    var bytes = 0
+    counts.foreach { case (k, _) => bytes += k.numBytes() }
+    val bb = ByteBuffer.allocate(8 + counts.size * 12 + bytes)
+    bb.putInt(c).putInt(counts.size)
+    counts.foreach { case (k, v) =>
+      val b = k.getBytes
+      bb.putInt(b.length).put(b).putLong(v)
+    }
+    bb.array()
+  }
+}
+
+object MgBuffer {
+  def fromBytes(bytes: Array[Byte]): MgBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new MgBuffer(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val b = new Array[Byte](bb.getInt)
+      bb.get(b)
+      buf.add(UTF8String.fromBytes(b), bb.getLong)
+      i += 1
+    }
+    buf
+  }
 }
 
 /** `misra_gries(key, c)` — bounded-state heavy-hitter CANDIDATES as
@@ -118,31 +146,10 @@ case class MisraGriesAgg(
   override def eval(buf: MgBuffer): Any =
     new GenericArrayData(buf.keysSorted.asInstanceOf[Array[Any]])
 
-  override def serialize(buf: MgBuffer): Array[Byte] = {
-    var bytes = 0
-    buf.counts.foreach { case (k, _) => bytes += k.numBytes() }
-    val bb = ByteBuffer.allocate(8 + buf.counts.size * 12 + bytes)
-    bb.putInt(buf.c).putInt(buf.counts.size)
-    buf.counts.foreach { case (k, v) =>
-      val b = k.getBytes
-      bb.putInt(b.length).put(b).putLong(v)
-    }
-    bb.array()
-  }
+  override def serialize(buf: MgBuffer): Array[Byte] = buf.toBytes
 
-  override def deserialize(bytes: Array[Byte]): MgBuffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val buf = new MgBuffer(bb.getInt)
-    val n = bb.getInt
-    var i = 0
-    while (i < n) {
-      val b = new Array[Byte](bb.getInt)
-      bb.get(b)
-      buf.add(UTF8String.fromBytes(b), bb.getLong)
-      i += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): MgBuffer =
+    MgBuffer.fromBytes(bytes)
 
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
@@ -164,4 +171,98 @@ object MisraGriesAgg {
   def misra_gries(key: Column, c: Int): Column =
     Bridge.column(
       MisraGriesAgg(Bridge.expression(key), c).toAggregateExpression())
+
+  /** Counts-carrying variant: `array<struct<k string, cnt long>>` —
+    * the summary form a STREAM persists per micro-batch so later
+    * batches' summaries can keep merging (the counts are what the
+    * mergeable-summaries rule folds; the key-only form suffices when
+    * the caller re-counts exactly in the same job).
+    */
+  def misra_gries_counts(key: Column, c: Int): Column =
+    Bridge.column(
+      MisraGriesCountsAgg(Bridge.expression(key), c)
+        .toAggregateExpression())
+
+  /** The pairwise mergeable-summaries fold over materialized
+    * summaries, driver-side (for stream readouts over O(batches) × c
+    * rows): same rule as [[MgBuffer.mergeFrom]].
+    */
+  def mergeSummaries(batches: Seq[Seq[(String, Long)]],
+      c: Int): Map[String, Long] = {
+    val acc = scala.collection.mutable.HashMap.empty[String, Long]
+    batches.foreach { b =>
+      b.foreach { case (k, v) => acc.update(k, acc.getOrElse(k, 0L) + v) }
+      if (acc.size > c) {
+        val vs = acc.values.toArray
+        java.util.Arrays.sort(vs)
+        val sub = vs(vs.length - 1 - c)
+        acc.keys.toArray.foreach { k =>
+          val nv = acc(k) - sub
+          if (nv <= 0L) acc.remove(k) else acc.update(k, nv)
+        }
+      }
+    }
+    acc.toMap
+  }
+}
+
+/** [[MisraGriesAgg]] with counts in the output —
+  * `array<struct<k string, cnt long>>`, key-ascending. Same buffer,
+  * same guarantee; the counts make persisted summaries MERGEABLE
+  * across micro-batches (a later summary folds in via
+  * [[MisraGriesAgg.mergeSummaries]]).
+  */
+case class MisraGriesCountsAgg(
+    child: Expression, c: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgBuffer]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+
+  require(c > 0 && c <= (1 << 16),
+    s"misra_gries_counts: c must be in [1, 2^16], got $c")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(c)
+
+  override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {
+    val k = child.eval(input)
+    if (k != null) buf.offer(k.asInstanceOf[UTF8String])
+    buf
+  }
+
+  override def merge(a: MgBuffer, b: MgBuffer): MgBuffer = a.mergeFrom(b)
+
+  override def eval(buf: MgBuffer): Any = {
+    val ks = buf.keysSorted
+    val out = new Array[Any](ks.length)
+    var i = 0
+    while (i < ks.length) {
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(2)
+      row.update(0, ks(i))
+      row.update(1, buf.counts(ks(i)))
+      out(i) = row
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: MgBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): MgBuffer =
+    MgBuffer.fromBytes(bytes)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("k", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries_counts"
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesCountsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesCountsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(
+      newChild: Expression): MisraGriesCountsAgg = copy(child = newChild)
 }

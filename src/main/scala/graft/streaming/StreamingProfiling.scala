@@ -93,4 +93,72 @@ object StreamingProfiling {
         ()
       }
       .start()
+
+  // ---- streaming heavy hitters ----
+  // The Misra-Gries contrast to the HLL table above: MG summaries
+  // merge by SUM, which is monotone but NOT idempotent — re-folding a
+  // replayed batch would inflate counts — so the stream persists one
+  // summary PER micro-batch under a batchId-keyed overwrite dir
+  // (replay rewrites the same ≤ c rows wholesale; deterministic given
+  // the batch), and the cumulative summary is a read-time
+  // mergeable-summaries fold over the O(batches) × c persisted rows.
+  // The exactly-once story is the StreamingMeter convention, where
+  // the HLL table needed no convention at all — the algebra decides
+  // the bookkeeping.
+
+  /** One batch's (k, cnt, n) summary rows: ≤ c keys plus the batch's
+    * total stream length on every row (denormalized so the readout
+    * needs no second artifact).
+    */
+  def batchSummary(batch: DataFrame, c: Int): DataFrame =
+    batch
+      .agg(graft.functions.MisraGriesAgg
+        .misra_gries_counts(col("k"), c).as("s"),
+        count(lit(1)).as("n"))
+      .select(explode(col("s")).as("e"), col("n"))
+      .select(col("e.k").as("k"), col("e.cnt").as("cnt"), col("n"))
+
+  /** Stream a key column (`k` string) into per-batch MG summaries at
+    * `outPath/s<batchId>`. Empty batches are suppressed (K3).
+    */
+  def startHotKeys(keys: DataFrame, outPath: String, checkpoint: String,
+      c: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    keys.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          batchSummary(batch, c).coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outPath/s$batchId")
+        ()
+      }
+      .start()
+
+  /** The stream's heavy-hitter CANDIDATES so far — a driver-side
+    * mergeable-summaries fold over the committed per-batch summaries
+    * (batch order; O(batches) small reads, ≤ c keys of state) — plus
+    * the total stream length. Guaranteed superset of every key above
+    * N/(c+1) of the whole stream; the exact re-count is one batch job
+    * over the landed corpus restricted to the ≤ c candidates.
+    */
+  def hotKeyCandidates(s: SparkSession, outPath: String,
+      c: Int = 8): (Map[String, Long], Long) = {
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (Map.empty, 0L)
+    val dirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("s"))
+      .map(_.getPath)
+      .sortBy(_.getName.drop(1).toLong)
+    var total = 0L
+    val waves = dirs.toSeq.map { p =>
+      val rows = s.read.parquet(p.toString)
+        .select(col("k"), col("cnt"), col("n"))
+        .collect()
+      if (rows.nonEmpty) total += rows.head.getLong(2)
+      rows.map(r => r.getString(0) -> r.getLong(1)).toSeq
+    }
+    (graft.functions.MisraGriesAgg.mergeSummaries(waves, c), total)
+  }
 }

@@ -74,4 +74,48 @@ class StreamingProfilingSpec extends SparkSpec {
     assert(StreamingProfiling.readRegisters(spark, out).isEmpty)
     assert(HllAgg.estimate(Map.empty, 10) == 0.0)
   }
+
+  test("stream hot keys: per-batch summaries merge to a guaranteed " +
+    "superset of whole-stream heavy hitters — including a key heavy " +
+    "only in AGGREGATE — and a replayed batch cannot inflate counts") {
+    implicit val sc = spark.sqlContext
+    val out = tmpDir("hot-out")
+    val ckpt = tmpDir("hot-ckpt")
+    // 'H' is 30% of EVERY wave (never the within-wave majority against
+    // the wave's own tail), the tails are disjoint singletons — so H
+    // is heavy only over the union, the cross-batch case the merge
+    // rule exists for. c=4, threshold N/5 = 20% < 30%.
+    def wave(tag: String) =
+      Seq.fill(30)("H") ++ (0 until 70).map(i => s"$tag-$i")
+    val in = MemoryStream[String]
+    val q = StreamingProfiling.startHotKeys(
+      in.toDF().toDF("k"), out, ckpt, c = 4)
+    try {
+      in.addData(wave("a"): _*); q.processAllAvailable()
+      in.addData(wave("b"): _*); q.processAllAvailable()
+      in.addData(wave("c"): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val (cands, total) = StreamingProfiling.hotKeyCandidates(spark, out, 4)
+    assert(total == 300L)
+    assert(cands.size <= 4 && cands.contains("H"),
+      s"heavy hitter evicted: $cands")
+    // the MG undercount bound holds on the merged summary
+    assert(cands("H") <= 90L && cands("H") >= 90L - total / 5)
+
+    // replay: a crash-replayed batch OVERWRITES its summary dir
+    // wholesale (never appends), so the batch count stays one and the
+    // superset guarantee survives — which MG counter values the
+    // replay lands on may legitimately differ with partitioning, so
+    // the pinned invariants are the contractual ones, not byte
+    // equality
+    StreamingProfiling.batchSummary(wave("b").toDF("k"), 4)
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/s1")
+    val (cands2, total2) = StreamingProfiling.hotKeyCandidates(spark, out, 4)
+    assert(total2 == 300L, s"replay double-counted: $total2")
+    assert(cands2.size <= 4 && cands2.contains("H"),
+      s"replay broke the guarantee: $cands2")
+  }
 }
