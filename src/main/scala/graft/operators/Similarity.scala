@@ -639,13 +639,18 @@ object Similarity {
   // shortlist's In(vec_id,…) point lookups on the embeddings sidecar
   // (the ivfPqTopK rerank contract verbatim).
 
+  private val BWordsSchema =
+    "vec_id BIGINT, w0 BIGINT, w1 BIGINT, cent_id BIGINT"
+
   /** Build a fresh IVF+binary index at `path`: BOUNDED-K coarse build
     * ([[fixedKSeeds]] at K = [[FixedK]], one Lloyd step → `cents/` —
     * the scale-safe default the PQ index also uses, constant map-side
     * centroid array and probe-cell collect at any corpus size), every
-    * vector's two sign words landed cell-partitioned in `bwords/`.
-    * Centroids are read BACK before assignment (double-roundtrip
-    * parity).
+    * vector's two sign words landed cell-partitioned in
+    * `bwords/seed/`. The root speaks the FoldProtocol dialect like
+    * the float and PQ indexes, so ledgered folds, tombstoned deletes
+    * and fsck compose unchanged. Centroids are read BACK before
+    * assignment (double-roundtrip parity).
     */
   def writeIvfBinaryIndex(vecs: DataFrame, path: String,
       targetK: Int = FixedK): Unit = {
@@ -653,33 +658,95 @@ object Similarity {
     lloydStep(e, fixedKSeeds(e, targetK))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/cents")
-    val cents = e.sparkSession.read.parquet(s"$path/cents")
+    stageBWords(e, path, s"$path/bwords/seed")
+  }
+
+  /** Assign + sign-pack `e` against the index's FROZEN centroids and
+    * land it cell-partitioned at `dir` — shared by the seed build and
+    * every fold (the [[stageIvfPqDir]] contract on sign words).
+    */
+  private def stageBWords(e: DataFrame, path: String,
+      dir: String): Unit = {
+    val cents = e.sparkSession.read.parquet(protocol(path).dir("cents"))
     assign(e, cents, 1)
       .select(col("vec_id"), signWord(col("v"), 0).as("w0"),
         signWord(col("v"), 32).as("w1"), col("cent_id"))
       .repartition(col("cent_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cent_id")
-      .parquet(s"$path/bwords")
+      .parquet(dir)
   }
+
+  /** Fold a batch of new vectors into a persisted IVF+binary index,
+    * exactly once under replay — [[appendToIvfPqIndex]]'s contract on
+    * sign words (new vectors take the FROZEN centroids).
+    */
+  def appendToIvfBinaryIndex(vecs: DataFrame, path: String,
+      batchId: Long): Boolean =
+    protocol(path).fold(batchId, Seq("bwords")) {
+      stageBWords(vecs.select(col("vec_id"), col("v")), path,
+        s"${protocol(path).dir("bwords")}/b$batchId")
+    }
+
+  /** Tombstone vector ids out of a persisted IVF+binary index —
+    * identical protocol to [[deleteFromIvfPqIndex]].
+    */
+  def deleteFromIvfBinaryIndex(ids: DataFrame, path: String,
+      deleteId: Long): Boolean =
+    protocol(path).delete(deleteId) {
+      protocol(path).stageTombstones(ids, "vec_id", deleteId)
+    }
+
+  /** All committed sign-word rows minus committed tombstones — the
+    * binary twin of [[indexVectors]]/[[indexCodes]].
+    */
+  def indexBWords(s: SparkSession, path: String): DataFrame =
+    protocol(path).readCommittedStripped(s, "bwords", "vec_id")(r =>
+      s.read.schema(BWordsSchema).option("basePath", r).parquet(r))
 
   private def ivfBinaryComplete(s: SparkSession, r: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(r)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.exists(new org.apache.hadoop.fs.Path(s"$r/cents/_SUCCESS")) &&
-      fs.exists(new org.apache.hadoop.fs.Path(s"$r/bwords/_SUCCESS"))
+    fs.exists(new org.apache.hadoop.fs.Path(
+      protocol(r).dir("cents"), "_SUCCESS")) &&
+      protocol(r).committedDirsOrEmpty("bwords").exists { d =>
+        val name = d.substring(d.lastIndexOf('/') + 1)
+        (name == "seed" || name.matches("c\\d+")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS"))
+      }
   }
 
   /** Build-if-absent the persisted IVF+binary gate fixture (root name
-    * carries the build K — the construction-in-the-name lesson from
-    * the PQ flip: a completeness predicate can only attest "a complete
-    * index is here", not which build mode made it).
+    * carries the build K AND the ledgered layout — the
+    * construction-in-the-name lesson from the PQ flip: a completeness
+    * predicate can only attest "a complete index is here", not which
+    * construction made it).
     */
   def ensureIvfBinaryIndex(s: SparkSession, d: String): String =
-    Layout.ensurePublishedDir(s, fixtureRoot(s, d, s"graft_ivf_bin_k$FixedK"))(
+    Layout.ensurePublishedDir(s,
+      fixtureRoot(s, d, s"graft_ivf_binl_k$FixedK"))(
       ivfBinaryComplete(s, _)) { staging =>
       writeIvfBinaryIndex(corpus(s, d).select(col("vec_id"), col("v")),
         staging)
+    }
+
+  /** Build-if-absent the full-lifecycle binary gate fixture: seed
+    * from the history wave (vec_id % 5 ≠ 4, bounded-K), fold the
+    * remainder as ledgered batch 0, tombstone vec_id % 9 = 0 as
+    * ledgered delete 1 — the [[ensureEvolvedIvfIndex]] scenario on
+    * the sign-word index. Keyed on the delete's ledger entry.
+    */
+  def ensureEvolvedIvfBinaryIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s,
+      fixtureRoot(s, d, s"graft_ivf_binl_evolved_k$FixedK"))(
+      r => protocol(r).deletedBatches().contains(1L)
+    ) { staging =>
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      writeIvfBinaryIndex(e.filter(col("vec_id") % 5 =!= 4), staging)
+      appendToIvfBinaryIndex(e.filter(col("vec_id") % 5 === 4),
+        staging, 0L)
+      deleteFromIvfBinaryIndex(e.filter(col("vec_id") % 9 === 0)
+        .select(col("vec_id")), staging, 1L)
     }
 
   /** Serve approximate top-k from a persisted IVF+binary index:
@@ -695,7 +762,7 @@ object Similarity {
     */
   private[graft] def ivfBinaryScored(s: SparkSession, indexPath: String,
       queries: DataFrame, nprobe: Int = 4): DataFrame = {
-    val cents = s.read.parquet(s"$indexPath/cents")
+    val cents = s.read.parquet(protocol(indexPath).dir("cents"))
     val probes = assign(
       queries.select(col("query_id").as("vec_id"), col("qv").as("v")),
       cents, nprobe)
@@ -706,8 +773,10 @@ object Similarity {
     val cells = probes.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     val totalCells = cents.count()
-    val allWords = s.read.option("basePath", s"$indexPath/bwords")
-      .parquet(s"$indexPath/bwords")
+    // committed-roots union read (seed + ledgered appends + compact)
+    // minus tombstones; the isin prune pushes into every sub-root's
+    // PartitionFilters like indexVectors' (see indexTopK)
+    val allWords = indexBWords(s, indexPath)
     val pruned =
       if (cells.length >= totalCells) allWords
       else allWords.filter(col("cent_id").isin(cells: _*))
@@ -2675,6 +2744,60 @@ object Similarity {
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
         .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+    },
+
+    // The binary index's whole FoldProtocol lifecycle under ONE value
+    // gate — seed from the history wave, ledgered fold of the rest,
+    // ledgered delete spanning both waves (the sim_ivf_evolved
+    // scenario on sign words), value-gated on the FULL RANKED SERVE
+    // (not an overlap readout): the oracle recomputes the
+    // history-trained bounded-K construction, packs the a1 frame,
+    // bars victims from the candidate side, and replays the
+    // shortlist-then-exact-rerank serve — any drift in fold/delete
+    // interplay, tombstone stripping, or the two-phase ranking breaks
+    // the hash match. Completes lifecycle symmetry across the index
+    // family: float, PQ, and binary all fold, delete, and serve
+    // through one protocol.
+    QuerySpec(
+      "sim_ivf_binary_evolved",
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |      WHERE vec_id < $NQueries),
+         |${ivfGrownAssignCtesSeeded(fixedKSeedSql("hist", FixedK))},
+         |$ivfGrownProbesCte,
+         |bv AS (SELECT vec_id, cent_id, ${packSql("v", 0)} AS w0,
+         |         ${packSql("v", 32)} AS w1 FROM a1
+         |       WHERE vec_id % 9 <> 0),
+         |qb AS (SELECT query_id, ${packSql("qv", 0)} AS q0,
+         |         ${packSql("qv", 32)} AS q1
+         |       FROM (SELECT DISTINCT query_id, qv FROM probes)),
+         |iscored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+         |    bit_count(xor(qb.q0, b.w0)) + bit_count(xor(qb.q1, b.w1)) AS ham
+         |  FROM probes p JOIN bv b
+         |    ON p.cent_id = b.cent_id AND b.vec_id <> p.query_id
+         |  JOIN qb ON qb.query_id = p.query_id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY ham ASC, neighbor_id) AS rank
+         |  FROM iscored) WHERE rank <= $BinaryRerank),
+         |rr AS (SELECT s.query_id, s.neighbor_id,
+         |    round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+         |  FROM short s JOIN q ON q.query_id = s.query_id
+         |  JOIN e ON e.vec_id = s.neighbor_id),
+         |rtopk AS (SELECT query_id, neighbor_id,
+         |    CAST(rank AS INT) AS rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM rr) WHERE rank <= $TopK)
+         |SELECT query_id, neighbor_id, rank FROM rtopk""".stripMargin) {
+      (s, d) =>
+        val e = corpus(s, d)
+        val q = e.filter(col("vec_id") < NQueries).limit(NQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        ivfBinaryTopK(s, ensureEvolvedIvfBinaryIndex(s, d), q,
+          e.select(col("vec_id"), col("v")))
     },
 
     // PQ quality as a gated readout: per-query overlap between ADC

@@ -1036,6 +1036,30 @@ class OperatorsSpec extends SparkSpec {
       "bwords scan lost its cell prune"))
   }
 
+  test("sim_ivf_binary_evolved: victims are unreachable through the " +
+    "served ranking, and fold/delete replays are ledgered no-ops") {
+    val served = SparkEntry.queries("sim_ivf_binary_evolved")(spark, sf0001)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+    assert(served.length == 100) // 20 queries x top-5
+    assert(served.forall(_._2 % 9 != 0), "tombstoned victim served")
+    // replaying the committed fold and delete ids must short-circuit
+    // (exactly-once ledger) and leave the served ranking unchanged
+    import graft.operators.Similarity
+    val root = Similarity.ensureEvolvedIvfBinaryIndex(spark, sf0001)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    assert(!Similarity.appendToIvfBinaryIndex(
+      e.filter($"vec_id" % 5 === 4), root, 0L), "fold replay re-ran")
+    assert(!Similarity.deleteFromIvfBinaryIndex(
+      e.filter($"vec_id" % 9 === 0).select($"vec_id"), root, 1L),
+      "delete replay re-ran")
+    val again = SparkEntry.queries("sim_ivf_binary_evolved")(spark, sf0001)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+    assert(again.sorted.toSeq == served.sorted.toSeq)
+  }
+
   test("q_hll_grouped: one register file per event type, each group's " +
     "estimate within 15% of its exact distinct-user count") {
     import graft.functions.HllAgg
