@@ -704,6 +704,26 @@ object Similarity {
     protocol(path).readCommittedStripped(s, "bwords", "vec_id")(r =>
       s.read.schema(BWordsSchema).option("basePath", r).parquet(r))
 
+  /** Rewrite the committed sign-word sub-roots into one `c<hw>` dir —
+    * [[compactIvfPqIndex]]'s contract on the binary payload: the input
+    * is the SERVED view (tombstones already stripped), so the swap is
+    * also the physical purge; the ledger stays so replayed
+    * batch/delete ids keep short-circuiting; centroids are untouched,
+    * so a compacted index serves byte-identically.
+    */
+  def compactIvfBinaryIndex(s: SparkSession, path: String): Unit = {
+    val p = protocol(path)
+    p.withLease("compact-ivfbin") {
+      indexBWords(s, path)
+        .repartition(col("cent_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cent_id")
+        .parquet(s"$path/.bwords.compacting/${p.compactDirName()}")
+      p.publishDir(".bwords.compacting", "bwords")
+      p.clearTombstones()
+    }
+  }
+
   private def ivfBinaryComplete(s: SparkSession, r: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(r)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

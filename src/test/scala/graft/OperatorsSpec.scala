@@ -1058,6 +1058,31 @@ class OperatorsSpec extends SparkSpec {
       .select($"query_id", $"neighbor_id", $"rank")
       .as[(Long, Long, Int)].collect()
     assert(again.sorted.toSeq == served.sorted.toSeq)
+    // compaction folds seed + b0 minus tombstones into ONE c-dir and
+    // serves byte-identically (and physically purges the victims)
+    val work = tmpDir("binl-compact") + "/idx" // non-existent target:
+    // FileUtil.copy nests the source INSIDE an existing directory
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(root), fs,
+      new org.apache.hadoop.fs.Path(work), false, false,
+      spark.sparkContext.hadoopConfiguration)
+    Similarity.compactIvfBinaryIndex(spark, work)
+    val dirs = Similarity.protocol(work).committedDirsOrEmpty("bwords")
+    assert(dirs.length == 1 &&
+      dirs.head.substring(dirs.head.lastIndexOf('/') + 1).matches("c\\d+"),
+      dirs.toSeq)
+    val compacted = Similarity.indexBWords(spark, work)
+    assert(compacted.filter($"vec_id" % 9 === 0).isEmpty,
+      "compaction kept a purged victim")
+    val q = e.filter($"vec_id" < 20).limit(20)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val viaCompact = Similarity.ivfBinaryTopK(spark, work, q,
+      e.select($"vec_id", $"v"))
+      .as[(Long, Long, Int)].collect()
+    assert(viaCompact.sorted.toSeq == served.sorted.toSeq,
+      "compacted index served a different ranking")
   }
 
   test("q_hll_grouped: one register file per event type, each group's " +
