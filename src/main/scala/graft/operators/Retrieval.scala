@@ -1477,6 +1477,35 @@ object Retrieval {
       .orderBy(col("doc_id"))
   }
 
+  /** Prefix (wildcard / autocomplete) term search — `custom*` — off
+    * the SAME persisted trigram index: a token starting with a ≥
+    * 3-char prefix necessarily contains every trigram OF that prefix
+    * as substrings, so candidates are one all-grams trigram
+    * intersection ([[fuzzyCandidates]] at the full-bar setting — the
+    * necessary-condition machinery shared with fuzzy and substring
+    * search) and only candidates pay the token-anchored
+    * `startsWith` verify. A sub-3-char prefix cannot prune (no
+    * trigram exists) and takes the explicit full-corpus verify —
+    * correct, just unpruned, exactly the fuzzy fallback contract.
+    */
+  def prefixSearch(s: SparkSession, indexPath: String, docs: DataFrame,
+      prefix: String): DataFrame = {
+    val grams = prefix.sliding(3).toVector.distinct
+    val pruned =
+      if (grams.nonEmpty && grams.head.length == 3)
+        docs.join(fuzzyCandidates(s, indexPath, prefix, grams.length),
+          Seq("doc_id"), "left_semi")
+      else docs
+    pruned
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(col("word").startsWith(prefix))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        count_distinct(col("word")).as("n_variants"))
+      .select(lit(prefix).as("prefix"), col("doc_id"),
+        col("tf"), col("n_variants"))
+  }
+
   private def fuzzyOracleSql: String =
     s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |           FROM documents),
@@ -1694,6 +1723,26 @@ object Retrieval {
     QuerySpec("text_fuzzy", fuzzyOracleSql) { (s, d) =>
       fuzzySearch(s, ensureSubstringIndex(s, d),
         Tables.documents(s, d), FuzzyTerm, FuzzyMaxDist)
+    },
+    // Prefix (wildcard) term search — the autocomplete query class:
+    // one ≥ 3-char probe serves index-pruned (all-grams trigram
+    // intersection, then token-anchored startsWith verify on
+    // candidates only), one 2-char probe exercises the EXPLICIT
+    // full-verify fallback — both paths value-gated in one result.
+    QuerySpec(
+      "text_prefix",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |m AS (SELECT p.prefix, doc_id, w
+        |      FROM t, (VALUES ('sca'), ('da')) p(prefix)
+        |      WHERE starts_with(w, p.prefix))
+        |SELECT prefix, doc_id, CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(count(DISTINCT w) AS BIGINT) AS n_variants
+        |FROM m GROUP BY prefix, doc_id""".stripMargin) { (s, d) =>
+      val idx = ensureSubstringIndex(s, d)
+      val docs = Tables.documents(s, d)
+      prefixSearch(s, idx, docs, "sca")
+        .unionByName(prefixSearch(s, idx, docs, "da"))
     },
     // Cross-index takedown sweep (right-to-be-forgotten): ONE call
     // tombstones a doc set in all four text indexes under one

@@ -834,6 +834,32 @@ class RetrievalSpec extends SparkSpec {
       "the trigram bar must exclude at least one document")
   }
 
+  test("prefixSearch serves identically to a full-corpus startsWith " +
+    "scan on both the PRUNED (>= 3 chars) and FALLBACK (2 chars) " +
+    "paths, and the all-grams prune genuinely shrinks the verify set") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val idx = tmpDir("trgm-prefix")
+    Retrieval.writeSubstringIndex(docs, idx)
+    def brute(p: String) = docs
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word".startsWith(p))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("tf"), countDistinct($"word").as("nv"))
+      .select(lit(p).as("prefix"), $"doc_id", $"tf", $"nv")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    for (p <- Seq("sca", "da", "spark", "zz")) {
+      val got = Retrieval.prefixSearch(spark, idx, docs, p)
+        .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+      assert(got == brute(p), s"prefix '$p' diverged")
+    }
+    assert(Retrieval.prefixSearch(spark, idx, docs, "sca").count() > 0)
+    // the 'sca' all-grams candidate set excludes at least one doc
+    val cands = Retrieval.fuzzyCandidates(spark, idx, "sca", 1)
+      .as[Long].collect().toSet
+    assert(cands.size < docs.count(),
+      "the prefix trigram prune must exclude at least one document")
+  }
+
   test("takedownSweep: one call tombstones a doc set in all FOUR " +
     "indexes exactly-once — victims unreachable on every serve path, " +
     "replay a committed no-op, a later sweep composes under a new id") {
