@@ -2068,6 +2068,39 @@ object Retrieval {
         .limit(TopK)
     },
 
+    // The hybrid fusion's dense leg from the BINARY index — the
+    // cheapest-rung member of the hybrid family ({float 256 B, PQ
+    // ~16 B, binary 16 B/row with integer-ALU scoring}): identical
+    // lexical leg and RRF fusion, the dense leg's probed cells read
+    // as two BIGINTs per vector, Hamming-shortlisted, full precision
+    // touched only as the shortlist's In(vec_id,…) point lookups.
+    // Oracle composes ivfBinaryServeCtes in place of the PQ chain —
+    // all hybrid gates certify one lexical construction and one
+    // fusion tail.
+    QuerySpec("text_hybrid_binary", hybridBinaryOracleSql) { (s, d) =>
+      val lex = ranksOf(
+        bm25TopK(s, ensureBm25Index(s, d))
+          .select(col("doc_id"), col("score").as("s")))
+        .withColumnRenamed("r", "br")
+      val dense = Similarity.ivfBinaryTopK(
+        s, Similarity.ensureIvfBinaryIndex(s, d),
+        s.read.parquet(ensureDenseQuery(s, d)),
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").as("v")),
+        k = TopK)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("dr"))
+      lex.join(dense, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          coalesce(col("br"), lit(0L)).as("bm25_rank"),
+          coalesce(col("dr"), lit(0L)).as("dense_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(TopK)
+    },
+
     // The filtered contract on the PQ-backed hybrid — completing the
     // hybrid matrix ({float, PQ} × {unfiltered, filtered}): the label
     // slice lands as text_hybrid_filtered's posting-side semi-join on
@@ -2310,6 +2343,19 @@ object Retrieval {
        |$hybridDenseQueryCtes,
        |${Similarity.ivfPqServeCtes("qd", "pqtop")},
        |dr AS (SELECT neighbor_id AS doc_id, rank AS r FROM pqtop),
+       |$hybridFusionTail""".stripMargin
+
+  /** Oracle for `text_hybrid_binary`: the same lexical leg and fusion
+    * as `text_hybrid_dense`, the dense leg the FULL bounded-K
+    * IVF+binary serve composition (`Similarity.ivfBinaryServeCtes` —
+    * seeds, Lloyd, sign-pack, probe-cell Hamming shortlist, exact
+    * re-rank) over the same synthetic query.
+    */
+  private lazy val hybridBinaryOracleSql: String =
+    s"""WITH ${hybridLexCtes("TRUE")},
+       |$hybridDenseQueryCtes,
+       |${Similarity.ivfBinaryServeCtes("qd", "bntop")},
+       |dr AS (SELECT neighbor_id AS doc_id, rank AS r FROM bntop),
        |$hybridFusionTail""".stripMargin
 
   /** Oracle for `text_hybrid_pq_filtered`: `text_hybrid_filtered`'s

@@ -724,6 +724,60 @@ object Similarity {
     }
   }
 
+  /** The full IVF+binary serve as composable oracle text (bn_-prefixed
+    * CTEs): bounded-K seeds, one Lloyd step, sign-pack of the assigned
+    * frame, probe-cell Hamming shortlist, exact re-rank — `out` is the
+    * ranked (query_id, neighbor_id, rank ≤ TopK) CTE over whatever
+    * query frame `queryCte` names (columns query_id, qv). The
+    * [[ivfPqServeCtes]] contract at the binary rung; `sim_ivf_binary_
+    * recall`'s oracle and the binary-backed hybrid compose it.
+    */
+  private[graft] def ivfBinaryServeCtes(queryCte: String,
+      out: String): String =
+    s"""bn_seeds AS (${fixedKSeedSql("e", FixedK)}),
+       |bn_a0 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, s.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC, s.cent_id) AS rn
+       |    FROM e, bn_seeds s) WHERE rn = 1),
+       |bn_cd AS (SELECT cent_id, dd, avg(v[dd]) AS cx
+       |       FROM bn_a0, range(1, 65) t(dd) GROUP BY cent_id, dd),
+       |bn_cents AS (SELECT cent_id, list(cx ORDER BY dd) AS cv
+       |             FROM bn_cd GROUP BY cent_id),
+       |bn_a1 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM e, bn_cents c) WHERE rn = 1),
+       |bn_bv AS (SELECT vec_id, cent_id, ${packSql("v", 0)} AS w0,
+       |            ${packSql("v", 32)} AS w1 FROM bn_a1),
+       |bn_probes AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM $queryCte q, bn_cents c) WHERE rn <= 4),
+       |bn_qb AS (SELECT query_id, ${packSql("qv", 0)} AS q0,
+       |            ${packSql("qv", 32)} AS q1 FROM $queryCte),
+       |bn_sc AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    bit_count(xor(qb.q0, b.w0)) + bit_count(xor(qb.q1, b.w1)) AS ham
+       |  FROM bn_probes p JOIN bn_bv b
+       |    ON p.cent_id = b.cent_id AND b.vec_id <> p.query_id
+       |  JOIN bn_qb qb ON qb.query_id = p.query_id),
+       |bn_short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY ham ASC, neighbor_id) AS rank
+       |  FROM bn_sc) WHERE rank <= $BinaryRerank),
+       |bn_res AS (SELECT sh.query_id, sh.neighbor_id,
+       |    round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+       |  FROM bn_short sh JOIN e ON e.vec_id = sh.neighbor_id
+       |  JOIN $queryCte q ON q.query_id = sh.query_id),
+       |$out AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM bn_res) WHERE rank <= $TopK)""".stripMargin
+
   private def ivfBinaryComplete(s: SparkSession, r: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(r)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -323,6 +323,41 @@ class RetrievalSpec extends SparkSpec {
       "the fused serve must not re-scan the raw corpus text")
   }
 
+  test("text_hybrid_binary: the dense leg serves from the persisted " +
+    "binary index (full precision only as In-pruned point lookups), " +
+    "fusion arithmetic exact, corpus text never scanned") {
+    val q = SparkEntry.queries("text_hybrid_binary")(spark, sf0001)
+    val rows = q.select($"doc_id", $"bm25_rank", $"dense_rank", $"rrf")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 10)
+    assert(rows.exists(_._2 > 0) && rows.exists(_._3 > 0),
+      s"both rankers must surface docs: ${rows.toSeq}")
+    rows.foreach { case (id, br, dr, rrf) =>
+      val expect = BigDecimal(
+        (if (br > 0) 1.0 / (60 + br) else 0.0) +
+        (if (dr > 0) 1.0 / (60 + dr) else 0.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf == expect, s"doc $id: rrf $rrf != $expect")
+    }
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    def roots(f: FileSourceScanExec) =
+      f.relation.location.rootPaths.map(_.toString)
+    assert(scans.exists(roots(_).exists(_.contains("graft_bm25_index"))),
+      "lexical side must serve from the inverted index")
+    val embScans = scans.filter(
+      roots(_).exists(_.contains("embeddings.parquet")))
+    assert(embScans.nonEmpty, "the re-rank sidecar must be read")
+    embScans.foreach { f =>
+      assert(f.metadata("PushedFilters").contains("In(vec_id"),
+        s"the shortlist must push as point lookups: " +
+          f.metadata("PushedFilters"))
+    }
+    assert(!scans.exists(roots(_).exists(_.contains("documents.parquet"))),
+      "the fused serve must not re-scan the raw corpus text")
+  }
+
   test("text_bm25_prf: expansion genuinely moves the ranking (PRF is " +
     "not a no-op on the gate corpus) and the result is a valid " +
     "top-k over the expanded term set") {
