@@ -115,4 +115,27 @@ object StreamingSimilarity {
         }
       }
       .start()
+
+  /** Stream new vectors into a persisted IVF+BINARY index — the
+    * [[startPqIngest]] contract on the sign-word payload: every
+    * micro-batch folds exactly-once through the shared ledger against
+    * the FROZEN centroids, with the same ledger-gated periodic
+    * compaction. Completes streaming-ingest symmetry across the index
+    * family (float, PQ, binary).
+    */
+  def startBinaryIngest(vectors: DataFrame, indexPath: String,
+      checkpoint: String, compactEvery: Int = 16): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Similarity.appendToIvfBinaryIndex(batch, indexPath, batchId)
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1
+              && Similarity.protocol(indexPath).foldedBatches()
+                .contains(batchId))
+            Similarity.compactIvfBinaryIndex(batch.sparkSession, indexPath)
+        }
+      }
+      .start()
 }

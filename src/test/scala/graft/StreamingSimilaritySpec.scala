@@ -269,4 +269,54 @@ class StreamingSimilaritySpec extends SparkSpec {
     assert(Similarity.protocol(idx)
       .fsck(Seq("cents", "codebook", "vectors", "tombstones")).clean)
   }
+
+  test("startBinaryIngest: streamed batches sign-pack against the " +
+    "frozen centroids, fold exactly-once, auto-compact, and serve the " +
+    "same-lifecycle replica's results") {
+    implicit val sc = spark.sqlContext
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".as("v"))
+    val idx = tmpDir("ivfbin-ingest")
+    Similarity.writeIvfBinaryIndex(e.filter($"vec_id" % 2 === 0), idx)
+    val newVecs = e.filter($"vec_id" % 2 === 1)
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamingSimilarity.startBinaryIngest(
+      in.toDF().toDF("vec_id", "v"), idx, tmpDir("ivfbin-ingest-ckpt"),
+      compactEvery = 2)
+    try {
+      in.addData(newVecs.take(5): _*)
+      q.processAllAvailable()
+      in.addData(newVecs.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(Similarity.indexBWords(spark, idx)
+      .select($"vec_id").as[Long].collect().toSet ==
+      e.select($"vec_id").as[Long].collect().toSet,
+      "every streamed vector must be sign-packed into the index")
+    import scala.jdk.CollectionConverters._
+    val roots = java.nio.file.Files.list(java.nio.file.Paths.get(
+      Similarity.protocol(idx).dir("bwords"))).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq
+    assert(roots.size == 1 && roots.head.matches("c\\d+"),
+      s"expected auto-compacted roots: $roots")
+    val replica = tmpDir("ivfbin-replica")
+    Similarity.writeIvfBinaryIndex(e.filter($"vec_id" % 2 === 0), replica)
+    Similarity.appendToIvfBinaryIndex(
+      e.filter($"vec_id" % 2 === 1), replica, 0L)
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val served = Similarity.ivfBinaryTopK(spark, idx, queries, e)
+      .collect().map(_.toString).toSet
+    val oneShot = Similarity.ivfBinaryTopK(spark, replica, queries, e)
+      .collect().map(_.toString).toSet
+    assert(served == oneShot,
+      "streamed folds + compaction must serve the replica's results")
+    assert(Similarity.protocol(idx)
+      .fsck(Seq("cents", "bwords", "tombstones")).clean)
+  }
 }
