@@ -835,7 +835,8 @@ object Similarity {
     * sim = −hamming).
     */
   private[graft] def ivfBinaryScored(s: SparkSession, indexPath: String,
-      queries: DataFrame, nprobe: Int = 4): DataFrame = {
+      queries: DataFrame, nprobe: Int = 4,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val cents = s.read.parquet(protocol(indexPath).dir("cents"))
     val probes = assign(
       queries.select(col("query_id").as("vec_id"), col("qv").as("v")),
@@ -851,9 +852,16 @@ object Similarity {
     // minus tombstones; the isin prune pushes into every sub-root's
     // PartitionFilters like indexVectors' (see indexTopK)
     val allWords = indexBWords(s, indexPath)
-    val pruned =
+    val cellPruned =
       if (cells.length >= totalCells) allWords
       else allWords.filter(col("cent_id").isin(cells: _*))
+    // metadata restriction AFTER the cell prune, BEFORE Hamming — the
+    // sim_ivfpq_filtered placement: the semi-join's left side is
+    // ~nprobe/K of the corpus at 16 B/row, and disallowed candidates
+    // never reach scoring, the shortlist, or the sidecar lookups
+    val pruned = allowed.fold(cellPruned)(a =>
+      cellPruned.join(a.select(col("vec_id")), Seq("vec_id"),
+        "left_semi"))
     val qb = binarized(
       queries.select(col("query_id").as("vec_id"), col("qv").as("v")))
       .select(col("vec_id").as("query_id"),
@@ -869,8 +877,9 @@ object Similarity {
 
   def ivfBinaryTopK(s: SparkSession, indexPath: String,
       queries: DataFrame, full: DataFrame, nprobe: Int = 4,
-      k: Int = TopK, rerank: Int = BinaryRerank): DataFrame = {
-    val scored = ivfBinaryScored(s, indexPath, queries, nprobe)
+      k: Int = TopK, rerank: Int = BinaryRerank,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val scored = ivfBinaryScored(s, indexPath, queries, nprobe, allowed)
     // Bounded collect (≤ |queries| × rerank) → In pushdown on the
     // sidecar scan, identical to the PQ rerank.
     import s.implicits._
@@ -2872,6 +2881,77 @@ object Similarity {
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         ivfBinaryTopK(s, ensureEvolvedIvfBinaryIndex(s, d), q,
           e.select(col("vec_id"), col("v")))
+    },
+
+    // Filtered vector search FROM the persisted binary index —
+    // completing the filtered contract across all four search
+    // families (brute, float IVF, PQ, binary): the allowed set
+    // semi-joins the probed cells' 16 B/row sign words AFTER the cell
+    // prune and BEFORE Hamming, so disallowed candidates never reach
+    // scoring, the shortlist, or the sidecar point lookups. Recall
+    // baseline is the exact FILTERED top-k (recall within the slice);
+    // same bounded-K fixture as sim_ivf_binary_recall.
+    QuerySpec(
+      "sim_ivf_binary_filtered",
+      s"""WITH $eCte,
+         |${topkCtesOver(
+            "e.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (0, 2, 4, 6, 8))")},
+         |${ivfAssignCtes(fixedKSeedSql("e", FixedK))},
+         |bv AS (SELECT vec_id, cent_id, ${packSql("v", 0)} AS w0,
+         |         ${packSql("v", 32)} AS w1 FROM a1
+         |       WHERE vec_id IN (SELECT vec_id FROM embeddings
+         |                        WHERE label IN (0, 2, 4, 6, 8))),
+         |qb AS (SELECT query_id, ${packSql("qv", 0)} AS q0,
+         |         ${packSql("qv", 32)} AS q1
+         |       FROM (SELECT DISTINCT query_id, qv FROM probes)),
+         |iscored AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+         |    bit_count(xor(qb.q0, b.w0)) + bit_count(xor(qb.q1, b.w1)) AS ham
+         |  FROM probes p JOIN bv b
+         |    ON p.cent_id = b.cent_id AND b.vec_id <> p.query_id
+         |  JOIN qb ON qb.query_id = p.query_id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY ham ASC, neighbor_id) AS rank
+         |  FROM iscored) WHERE rank <= $BinaryRerank),
+         |rr AS (SELECT s.query_id, s.neighbor_id,
+         |    round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+         |  FROM short s JOIN q ON q.query_id = s.query_id
+         |  JOIN e ON e.vec_id = s.neighbor_id),
+         |rtopk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM rr) WHERE rank <= $TopK)
+         |SELECT t.query_id,
+         |  CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_common
+         |FROM topk t LEFT JOIN rtopk r
+         |  ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+         |GROUP BY t.query_id""".stripMargin) { (s, d) =>
+      val slice = Tables.embeddings(s, d)
+        .filter(col("label").isin(0, 2, 4, 6, 8))
+        .select(col("vec_id"))
+      val q = corpus(s, d).filter(col("vec_id") < NQueries)
+        .limit(NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      // exact filtered baseline: queries from the FULL corpus, the
+      // label predicate pushed into the baseline's embedding scan
+      // (the sim_ivfpq_filtered shape)
+      val exact = rankTopK(corpus(s, d)
+        .filter(col("label").isin(0, 2, 4, 6, 8))
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosine(col("qv"), col("v")), 4).as("sim")))
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = ivfBinaryTopK(s, ensureIvfBinaryIndex(s, d), q,
+        corpus(s, d).select(col("vec_id"), col("v")),
+        allowed = Some(slice))
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
     },
 
     // PQ quality as a gated readout: per-query overlap between ADC

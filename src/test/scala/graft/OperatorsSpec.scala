@@ -1085,6 +1085,34 @@ class OperatorsSpec extends SparkSpec {
       "compacted index served a different ranking")
   }
 
+  test("sim_ivf_binary_filtered: every served neighbor is inside the " +
+    "label slice, and the restriction genuinely changes the serve") {
+    val got = SparkEntry.queries("sim_ivf_binary_filtered")(spark, sf0001)
+      .select($"query_id", $"n_common").as[(Long, Long)].collect()
+    assert(got.length == 20)
+    assert(got.forall { case (_, n) => n >= 0 && n <= 5 })
+    assert(got.map(_._2).sum >= 10, s"hits=${got.map(_._2).sum}")
+    // restriction property on the serve itself
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val slice = e.filter($"label".isin(0, 2, 4, 6, 8)).select($"vec_id")
+    val allowed = slice.as[Long].collect().toSet
+    val q = e.filter($"vec_id" < 20).limit(20)
+      .select($"vec_id".as("query_id"),
+        $"embedding".cast("array<double>").as("qv"))
+    val full = e.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val served = Similarity.ivfBinaryTopK(spark,
+      Similarity.ensureIvfBinaryIndex(spark, sf0001), q, full,
+      allowed = Some(slice))
+      .select($"neighbor_id").as[Long].collect()
+    assert(served.forall(allowed.contains), "disallowed neighbor served")
+    val unfiltered = Similarity.ivfBinaryTopK(spark,
+      Similarity.ensureIvfBinaryIndex(spark, sf0001), q, full)
+      .select($"neighbor_id").as[Long].collect()
+    assert(!unfiltered.forall(allowed.contains),
+      "the slice must actually exclude some unfiltered neighbors")
+  }
+
   test("q_hll_grouped: one register file per event type, each group's " +
     "estimate within 15% of its exact distinct-user count") {
     import graft.functions.HllAgg
