@@ -2108,6 +2108,41 @@ object Retrieval {
     // sim_ivfpq_filtered's pre-ADC semi-join on the codes leg, so at
     // scale the restriction costs one join on the |terms|-bounded
     // postings and one on the probed cells' ~16 B/vector codes subset.
+    // The filtered contract at the binary rung — completing the
+    // hybrid matrix {float, PQ, binary} × {unfiltered, filtered}: the
+    // label slice lands posting-side on the BM25 leg (global scores,
+    // restricted candidates) and pre-Hamming on the sign-word leg, so
+    // the restriction costs one join on the |terms|-bounded postings
+    // and one on the probed cells' 16 B/row sign words.
+    QuerySpec("text_hybrid_binary_filtered",
+        hybridBinaryFilteredOracleSql) { (s, d) =>
+      val allowedIds = Tables.embeddings(s, d)
+        .filter(col("label").isin(0, 2, 4, 6, 8))
+        .select(col("vec_id"))
+      val lex = ranksOf(
+        bm25TopKFiltered(s, ensureBm25Index(s, d),
+          allowedIds.select(col("vec_id").as("doc_id")))
+          .select(col("doc_id"), col("score").as("s")))
+        .withColumnRenamed("r", "br")
+      val dense = Similarity.ivfBinaryTopK(
+        s, Similarity.ensureIvfBinaryIndex(s, d),
+        s.read.parquet(ensureDenseQuery(s, d)),
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").as("v")),
+        k = TopK, allowed = Some(allowedIds))
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("dr"))
+      lex.join(dense, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          coalesce(col("br"), lit(0L)).as("bm25_rank"),
+          coalesce(col("dr"), lit(0L)).as("dense_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(TopK)
+    },
+
     QuerySpec("text_hybrid_pq_filtered", hybridPqFilteredOracleSql) {
       (s, d) =>
       val allowedIds = Tables.embeddings(s, d)
@@ -2355,6 +2390,23 @@ object Retrieval {
     s"""WITH ${hybridLexCtes("TRUE")},
        |$hybridDenseQueryCtes,
        |${Similarity.ivfBinaryServeCtes("qd", "bntop")},
+       |dr AS (SELECT neighbor_id AS doc_id, rank AS r FROM bntop),
+       |$hybridFusionTail""".stripMargin
+
+  /** Oracle for `text_hybrid_binary_filtered`: the label slice bars
+    * docs from the BM25 scoring side (text_hybrid_filtered's
+    * posting-side restriction) and from the binary Hamming candidate
+    * side (ivfBinaryServeCtes' scWhere hook) — the PQ-filtered
+    * composition at the binary rung.
+    */
+  private lazy val hybridBinaryFilteredOracleSql: String =
+    s"""WITH ${hybridLexCtes(
+          "tf.doc_id IN (SELECT vec_id FROM embeddings" +
+            " WHERE label IN (0, 2, 4, 6, 8))")},
+       |$hybridDenseQueryCtes,
+       |${Similarity.ivfBinaryServeCtes("qd", "bntop",
+          scWhere = "b.vec_id IN (SELECT vec_id FROM embeddings" +
+            " WHERE label IN (0, 2, 4, 6, 8))")},
        |dr AS (SELECT neighbor_id AS doc_id, rank AS r FROM bntop),
        |$hybridFusionTail""".stripMargin
 

@@ -733,7 +733,7 @@ object Similarity {
     * recall`'s oracle and the binary-backed hybrid compose it.
     */
   private[graft] def ivfBinaryServeCtes(queryCte: String,
-      out: String): String =
+      out: String, scWhere: String = "TRUE"): String =
     s"""bn_seeds AS (${fixedKSeedSql("e", FixedK)}),
        |bn_a0 AS (SELECT vec_id, v, cent_id FROM (
        |    SELECT e.vec_id, e.v, s.cent_id,
@@ -762,7 +762,8 @@ object Similarity {
        |    bit_count(xor(qb.q0, b.w0)) + bit_count(xor(qb.q1, b.w1)) AS ham
        |  FROM bn_probes p JOIN bn_bv b
        |    ON p.cent_id = b.cent_id AND b.vec_id <> p.query_id
-       |  JOIN bn_qb qb ON qb.query_id = p.query_id),
+       |  JOIN bn_qb qb ON qb.query_id = p.query_id
+       |  WHERE $scWhere),
        |bn_short AS (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id

@@ -358,6 +358,24 @@ class RetrievalSpec extends SparkSpec {
       "the fused serve must not re-scan the raw corpus text")
   }
 
+  test("text_hybrid_binary_filtered: every fused doc is in the allowed " +
+    "slice and the restriction moves the fusion vs the unfiltered " +
+    "binary hybrid") {
+    val rows = SparkEntry.queries("text_hybrid_binary_filtered")(
+      spark, sf0001)
+      .select($"doc_id", $"rrf").as[(Long, Double)].collect()
+    assert(rows.length == 10)
+    val allowed = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter($"label".isin(0, 2, 4, 6, 8))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(rows.forall(r => allowed.contains(r._1)),
+      s"disallowed doc fused: ${rows.filterNot(r => allowed.contains(r._1)).toSeq}")
+    val unfiltered = SparkEntry.queries("text_hybrid_binary")(spark, sf0001)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet != unfiltered,
+      "the slice must actually move the fused set")
+  }
+
   test("text_bm25_prf: expansion genuinely moves the ranking (PRF is " +
     "not a no-op on the gate corpus) and the result is a valid " +
     "top-k over the expanded term set") {
