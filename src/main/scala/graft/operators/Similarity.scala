@@ -2777,7 +2777,7 @@ object Similarity {
     // shared IVF construction (ivfAssignCtes over the BOUNDED-K seed
     // sample — the same scale-safe default the PQ index builds with)
     // with the sign-pack arithmetic (packSql — the same text the flat
-    // binary gates use), so all three binary gates and the IVF family
+    // binary gates use), so the whole binary family and the IVF family
     // certify one construction. Overlap on the gate corpus: 41/100 at
     // K=32/nprobe=4 vs the whole-corpus Hamming rerank's 45/100 —
     // ~1/8 of the sign-word bytes for ~90% of the recall, which is
