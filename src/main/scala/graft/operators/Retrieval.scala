@@ -1306,10 +1306,17 @@ object Retrieval {
             inner
           case '[' =>
             i += 1
+            // only POSITIVE classes of plain literals / a-b ranges are
+            // a finite language we can enumerate: '^' (negation) and
+            // '\' (in-class escapes like [\d]) must force the caller's
+            // full-corpus-verify fallback, never expand as literals
+            if (i < n && pattern(i) == '^') return None
             var chars = Vector.empty[Char]
             while (i < n && pattern(i) != ']') {
+              if (pattern(i) == '\\') return None
               if (i + 2 < n && pattern(i + 1) == '-' &&
                   pattern(i + 2) != ']') {
+                if (pattern(i + 2) == '\\') return None
                 if (pattern(i) > pattern(i + 2)) return None
                 chars = chars ++ (pattern(i) to pattern(i + 2))
                 i += 3

@@ -150,6 +150,10 @@ object StreamingProfiling {
     val dirs = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("s"))
       .map(_.getPath)
+      // only COMMITTED summaries: a readout concurrent with a crashed
+      // or in-flight batch write must skip the partial dir (the batch
+      // replays and completes it) rather than fail or double-read
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
       .sortBy(_.getName.drop(1).toLong)
     var total = 0L
     val waves = dirs.toSeq.map { p =>

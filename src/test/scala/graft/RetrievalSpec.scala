@@ -809,7 +809,11 @@ class RetrievalSpec extends SparkSpec {
       Some(Set("xay", "xby", "xcy")))
     assert(expandFiniteRegex("""a\.b""").map(_.toSet) == Some(Set("a.b")))
     for (p <- Seq("ab*", "a+b", "a.b", "a{2}", "^ab", "ab$", "(ab",
-        "ab)", "[ab", """a\d""")) {
+        "ab)", "[ab", """a\d""",
+        // negated and escaped classes are NOT finite literal languages
+        // — expanding '^'/'\' as member chars would make the trigram
+        // prune unsound (drop true matches); they must force fallback
+        "ab[^x]cd", """ab[\d]cd""", """x[a\-b]y""", """x[a-\\]y""")) {
       assert(expandFiniteRegex(p).isEmpty, s"pattern '$p' must not expand")
     }
     // cap: [a-z][a-z] = 676 products > 64

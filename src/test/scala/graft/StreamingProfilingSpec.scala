@@ -117,5 +117,17 @@ class StreamingProfilingSpec extends SparkSpec {
     assert(total2 == 300L, s"replay double-counted: $total2")
     assert(cands2.size <= 4 && cands2.contains("H"),
       s"replay broke the guarantee: $cands2")
+
+    // a crashed in-flight batch leaves a dir WITHOUT _SUCCESS; a
+    // concurrent readout must skip it (the replay will complete it)
+    // rather than fail on the partial parquet or count it twice
+    val partial = new java.io.File(s"$out/s3")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/s3/part-00000.parquet"),
+      Array[Byte](0x50, 0x41, 0x52)) // truncated magic, unreadable
+    val (cands3, total3) = StreamingProfiling.hotKeyCandidates(spark, out, 4)
+    assert(total3 == 300L, s"uncommitted dir was read: $total3")
+    assert(cands3 == cands2, "uncommitted dir changed the candidates")
   }
 }
