@@ -81,6 +81,16 @@ object Multimodal {
     def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures]
     def resizeBatch(batch: Seq[Asset], w: Int, h: Int): Seq[ResizedAsset]
     def frames(asset: Asset, every: Int): Iterator[FrameSample]
+
+    /** The decoded RGB frame of a still image — (width, height,
+      * 3·w·h bytes) — or None when the payload carries no decodable
+      * pixel frame. This is the pixel-level access the perceptual-hash
+      * operator builds on; audio/video/stub kernels keep the default
+      * None (an asset with no decodable frame gets NO perceptual hash,
+      * never a fake one — unlike the statistics paths, where the stub
+      * fallback is the documented contract).
+      */
+    def rgbFrame(a: Asset): Option[(Int, Int, Array[Byte])] = None
   }
 
   /** The default STUB kernel (no media libraries in this environment):
@@ -240,6 +250,14 @@ object Multimodal {
               a.content, off + 3 * y * w, off + 3 * (y + 1) * w)
             FrameSample(a.asset_id, y, row.length.toLong, byteHash(row))
           }
+      }
+
+    /** Raw pixel bytes (0..maxval per channel — a flat scale factor,
+      * which every luma-ORDER consumer like dHash is invariant to).
+      */
+    override def rgbFrame(a: Asset): Option[(Int, Int, Array[Byte])] =
+      parseP6(a.content).map { case (w, h, _, off) =>
+        (w, h, java.util.Arrays.copyOfRange(a.content, off, off + 3 * w * h))
       }
   }
 
@@ -1589,6 +1607,9 @@ object Multimodal {
       */
     protected def decodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])]
 
+    override def rgbFrame(a: Asset): Option[(Int, Int, Array[Byte])] =
+      decodeRgb(a.content)
+
     def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
       decodeRgb(a.content) match {
         case None => StubMediaKernel.decodeBatch(Seq(a)).head
@@ -2358,6 +2379,8 @@ object Multimodal {
       byKernel(batch)((k, b) => k.resizeBatch(b, w, h))
     def frames(a: Asset, every: Int): Iterator[FrameSample] =
       route(a).frames(a, every)
+    override def rgbFrame(a: Asset): Option[(Int, Int, Array[Byte])] =
+      route(a).rgbFrame(a)
   }
 
   @volatile private var activeKernel: MediaKernel = StubMediaKernel
@@ -2423,6 +2446,206 @@ object Multimodal {
       it.grouped(DecodeBatchSize).flatMap(b => k.decodeBatch(b.toSeq))
     }
   }
+
+  // ---------------------------------------------------------------------
+  // Perceptual image near-dup dedup — the multimodal twin of
+  // dedup_simhash: dHash over the decoded pixel frame, Hamming-banded
+  // LSH candidates, exact popcount verify, connected components.
+  // ---------------------------------------------------------------------
+
+  /** dHash grid: 8×8 horizontal-gradient bits need a 9-column grid. */
+  val DHashGridW = 9
+  val DHashGridH = 8
+
+  /** One asset's 64-bit perceptual hash. */
+  final case class PerceptualHash(asset_id: Long, phash: Long)
+
+  /** Difference hash (dHash) of one decoded RGB frame: integer luma
+    * (299r + 587g + 114b)/1000 per pixel, floor-boundary box-average
+    * downsample to a 9×8 grid (box for cell (cx,cy) spans
+    * x ∈ [cx·w/9, (cx+1)·w/9) — every box non-empty for w ≥ 9), then
+    * bit (cy·8 + cx) set iff grid(cx+1,cy) > grid(cx,cy). All
+    * arithmetic is exact integer — no float resampling — so the DuckDB
+    * oracle re-derives hashes bit-for-bit from the same pixel values.
+    * None for frames smaller than the grid. A flat channel scale (PPM
+    * maxval < 255) cannot flip a strict luma ORDER comparison, so raw
+    * bytes are hashed as-is.
+    */
+  def dHash64(w: Int, h: Int, rgb: Array[Byte]): Option[Long] = {
+    if (w < DHashGridW || h < DHashGridH) return None
+    val grid = new Array[Long](DHashGridW * DHashGridH)
+    var cy = 0
+    while (cy < DHashGridH) {
+      val y0 = cy * h / DHashGridH
+      val y1 = (cy + 1) * h / DHashGridH
+      var cx = 0
+      while (cx < DHashGridW) {
+        val x0 = cx * w / DHashGridW
+        val x1 = (cx + 1) * w / DHashGridW
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = 3 * (y * w + x)
+            sum += (299 * (rgb(p) & 0xff) + 587 * (rgb(p + 1) & 0xff) +
+              114 * (rgb(p + 2) & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        grid(cy * DHashGridW + cx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      val gcy = k / 8
+      val gcx = k % 8
+      if (grid(gcy * DHashGridW + gcx + 1) > grid(gcy * DHashGridW + gcx))
+        bits |= 1L << k
+      k += 1
+    }
+    Some(bits)
+  }
+
+  /** Perceptual hash of every DECODABLE image asset — a distributed map
+    * at the kernel SPI seam (same confinement rule as decode/resize).
+    * Assets with no decodable ≥ 9×8 frame yield NO row: they are simply
+    * not near-dup candidates, never hashed from fake pixels.
+    */
+  def perceptualHashes(assets: Dataset[Asset],
+      k: MediaKernel): Dataset[PerceptualHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      k.rgbFrame(a).flatMap { case (w, h, rgb) => dHash64(w, h, rgb) }
+        .map(PerceptualHash(a.asset_id, _))
+    })
+  }
+
+  /** Planted 18×16 grayscale P6 corpus for the image-dedup gates: docs
+    * with doc_id % 8 < 3 share a FAMILY seed (doc_id − doc_id % 8);
+    * the rest are singletons. Pixel (x,y) is an exact integer formula
+    * of (seed, k = y·18 + x), and family variants 1–2 additionally
+    * shift the four pixels of ONE 2×2 downsample box (grid cell
+    * (7,3)) — so family members differ in at most the 2 dHash bits
+    * that compare that cell, and 4-band/16-bit Hamming LSH (lossless
+    * to distance ≤ 3 by pigeonhole) must surface every planted pair.
+    * The oracle re-derives every pixel, grid cell, hash bit, band and
+    * popcount from the same closed-form arithmetic — bit-exact across
+    * engines because everything is integer.
+    */
+  val PlantW = 18
+  val PlantH = 16
+
+  def plantedImages(spark: SparkSession, sfDir: String): Dataset[Asset] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long].map { id =>
+      val fam = if (id % 8 < 3) id - (id % 8) else id
+      val seed = (fam * 2654435761L) % 1000000007L
+      val variant = id - fam
+      val header = s"P6 $PlantW $PlantH 255\n".getBytes("US-ASCII")
+      val px = new Array[Byte](3 * PlantW * PlantH)
+      var y = 0
+      while (y < PlantH) {
+        var x = 0
+        while (x < PlantW) {
+          val k = y * PlantW + x
+          val bump =
+            if (variant > 0 && x >= 14 && x <= 15 && y >= 6 && y <= 7)
+              variant * 64L
+            else 0L
+          // seed×(k+7) mod p decorrelates pixel walks ACROSS seeds (a
+          // purely additive seed term left only ~117 distinct hashes
+          // per 500 docs — wrap-pattern clustering — which overloads
+          // the band buckets downstream)
+          val v = (((seed * (k + 7L) + k.toLong * k * 97L) % 1000000007L
+            + bump) % 256L).toByte
+          val p = 3 * k
+          px(p) = v; px(p + 1) = v; px(p + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      Asset(id, "image/x-portable-pixmap",
+        (header.length + px.length).toLong, header ++ px)
+    }
+  }
+
+  /** Near-dup image pairs over the planted corpus: REAL container
+    * round-trip (encode P6 → magic-routed kernel decode → luma → dHash),
+    * then the dedup_simhash banding shape — 4 × 16-bit chunks, pairs
+    * collide on a chunk (finds ALL pairs at Hamming ≤ 3 by pigeonhole,
+    * never all-pairs), exact popcount verify on survivors. The band
+    * self-join runs on skinny (asset_id, chunk, cv, phash) rows; the
+    * image bytes are dropped right after the hash map.
+    */
+  def perceptualDupPairs(s: SparkSession, d: String): DataFrame = {
+    val hashes = perceptualHashes(plantedImages(s, d), DispatchMediaKernel)
+      .toDF()
+    val chunks = hashes.select(
+      col("asset_id"), col("phash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("phash"), c * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("cc"))
+      .select(col("asset_id"), col("phash"),
+        col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+    val a = chunks.select(col("asset_id").as("asset_a"),
+      col("phash").as("ha"), col("chunk"), col("cv"))
+    val b = chunks.select(col("asset_id").as("asset_b"),
+      col("phash").as("hb"), col("chunk"), col("cv"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("asset_a") < col("asset_b"))
+      .select(col("asset_a"), col("asset_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Oracle CTE chain shared by the two image-dedup gates: closed-form
+    * pixel values → 2×2 box averages → gradient bits → bands → verified
+    * pairs, mirroring [[plantedImages]] + [[dHash64]] +
+    * [[perceptualDupPairs]] integer-exactly (luma of a gray pixel
+    * (v,v,v) is (299+587+114)·v/1000 = v, so the SQL skips the no-op).
+    */
+  private def phashPairsCte: String =
+    s"""WITH RECURSIVE sd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 8 < 3 THEN doc_id % 8 ELSE 0 END AS var,
+       |    ((CASE WHEN doc_id % 8 < 3 THEN doc_id - (doc_id % 8)
+       |           ELSE doc_id END) * 2654435761) % 1000000007 AS seed
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, x, y,
+       |    ((seed * (y*$PlantW+x+7) + (y*$PlantW+x)*(y*$PlantW+x)*97)
+       |       % 1000000007
+       |      + CASE WHEN var > 0 AND x BETWEEN 14 AND 15
+       |                  AND y BETWEEN 6 AND 7
+       |             THEN var*64 ELSE 0 END) % 256 AS v
+       |  FROM sd, range(0, $PlantW) tx(x), range(0, $PlantH) ty(y)),
+       |g AS (
+       |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, sum(v) // 4 AS gv
+       |  FROM px GROUP BY doc_id, x // 2, y // 2),
+       |sigs AS (
+       |  SELECT a.doc_id,
+       |    bit_or(CASE WHEN b.gv > a.gv
+       |           THEN (1::HUGEINT << (a.cy*8 + a.cx))::UBIGINT
+       |           ELSE 0::UBIGINT END) AS sig
+       |  FROM g a JOIN g b
+       |    ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < 8
+       |  GROUP BY a.doc_id),
+       |chunks AS (SELECT doc_id, sig, c, (sig >> (c*16)) & 65535 AS cv
+       |           FROM sigs, range(0, 4) t(c)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS asset_a, b.doc_id AS asset_b,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM chunks a JOIN chunks b
+       |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3)""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -2509,6 +2732,44 @@ object Multimodal {
         .select(col("asset_id"),
           col("frame_idx").cast("long").as("frame_idx"),
           col("n_bytes"), col("frame_hash"))
+    },
+
+    // Perceptual image near-dup pairs: planted P6 corpus → real
+    // magic-routed decode → dHash → Hamming-banded LSH → popcount
+    // verify. The oracle recomputes every pixel, grid cell, hash bit,
+    // band bucket and popcount in closed-form integer SQL — a
+    // value-level cross-check of the whole encode/decode/hash/band
+    // path.
+    QuerySpec(
+      "multimodal_dedup",
+      s"""$phashPairsCte
+         |SELECT asset_a, asset_b, hamming FROM pairs""".stripMargin) {
+      (s, d) => perceptualDupPairs(s, d)
+    },
+
+    // Transitive closure of the near-dup pairs: every matched image
+    // gets cluster_id = min reachable asset_id (the canonical survivor),
+    // via the same iterative min-label + pointer-jumping components the
+    // text dedup uses. The oracle walks reachability with a recursive
+    // CTE over the pair set it just re-derived.
+    QuerySpec(
+      "multimodal_dedup_cluster",
+      s"""$phashPairsCte,
+         |edges AS (SELECT asset_a AS u, asset_b AS v FROM pairs
+         |          UNION ALL SELECT asset_b, asset_a FROM pairs),
+         |reach(u, r) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+         |SELECT u AS asset_id, CAST(min(r) AS BIGINT) AS cluster_id,
+         |  CAST(CASE WHEN u = min(r) THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM reach GROUP BY u""".stripMargin) { (s, d) =>
+      val pairs = perceptualDupPairs(s, d)
+        .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
+      Dedup.connectedComponents(pairs)
+        .select(col("doc_id").as("asset_id"), col("cluster_id"),
+          when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)
+            .as("keep"))
     }
   )
 

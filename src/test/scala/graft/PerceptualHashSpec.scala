@@ -1,0 +1,191 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal}
+import graft.operators.Multimodal.{Asset, DispatchMediaKernel, PpmMediaKernel,
+  StubMediaKernel, WavMediaKernel}
+
+/** Perceptual image near-dup dedup: the dHash kernel (integer luma,
+  * floor-boundary box averaging, gradient-sign bits), the rgbFrame SPI
+  * surface it reads pixels through, cross-container hash invariance
+  * (same pixels → same phash whichever container carried them), and
+  * the planted-corpus banding contract (every planted family pair is
+  * within the banding's lossless Hamming radius, and the candidate
+  * join is band-bucketed, never all-pairs).
+  */
+class PerceptualHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def p6(w: Int, h: Int, pixels: Seq[(Int, Int, Int)]): Array[Byte] =
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+      pixels.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }
+
+  private def gray(w: Int, h: Int, v: Int => Int): Array[Byte] = {
+    val rgb = new Array[Byte](3 * w * h)
+    for (k <- 0 until w * h) {
+      val b = v(k).toByte
+      rgb(3 * k) = b; rgb(3 * k + 1) = b; rgb(3 * k + 2) = b
+    }
+    rgb
+  }
+
+  // --- minimal truecolor PNG encoder (filter 0, one IDAT) so the
+  // cross-container pin needs no fixture files ---
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit =
+      (24 to 0 by -8).foreach(s => out.write(((v >> s) & 0xff).toInt))
+    be32(data.length.toLong)
+    out.write(typ.getBytes("US-ASCII")); out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    be32(crc.getValue)
+    out.toByteArray
+  }
+
+  private def png(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw.write(0) // filter None per scanline
+      raw.write(rgb, 3 * y * w, 3 * w)
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw.toByteArray); d.finish()
+    val buf = new Array[Byte](raw.size() + 64)
+    val n = d.deflate(buf)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", buf.take(n)) ++
+      pngChunk("IEND", Array.empty[Byte])
+  }
+
+  test("dHash64: gradient-sign bits on an identity-size (9×8) grid " +
+    "match a hand-walked derivation; sub-grid frames hash to None") {
+    // strictly increasing lumas across each row → every horizontal
+    // gradient is positive → all 64 bits set
+    val inc = gray(9, 8, k => (k % 9) * 10)
+    assert(Multimodal.dHash64(9, 8, inc) == Some(-1L))
+    // strictly decreasing → no bit set
+    val dec = gray(9, 8, k => 200 - (k % 9) * 10)
+    assert(Multimodal.dHash64(9, 8, dec) == Some(0L))
+    // single flip: only pixel (1,0) raised above pixel (2,0) — bits 0
+    // (grid 0→1 rises) stays set, bit 1 (grid 1→2 falls) clears; rows
+    // 1..7 keep the increasing pattern
+    val one = gray(9, 8, k => if (k == 1) 90 else (k % 9) * 10)
+    val got = Multimodal.dHash64(9, 8, one).get
+    assert((got & 1L) == 1L && (got & 2L) == 0L)
+    // smaller than the grid in either dimension → no hash
+    assert(Multimodal.dHash64(8, 8, gray(8, 8, _ => 0)).isEmpty)
+    assert(Multimodal.dHash64(9, 7, gray(9, 7, _ => 0)).isEmpty)
+  }
+
+  test("dHash64: 18×16 box-average downsample is exact 2×2 integer " +
+    "mean (floor), pinned against a direct 9×8 rendering of the " +
+    "averaged grid — and luma uses the 299/587/114 integer weights") {
+    def v(k: Int): Int = (k * 37 + 11) % 256
+    val big = gray(18, 16, v)
+    // hand-average each 2×2 box into the 9×8 image (the left 9 columns
+    // of the 18-wide frame form cx 0..8 after pairing)
+    val avg = Array.tabulate(9 * 8) { c =>
+      val cx = c % 9; val cy = c / 9
+      val ks = Seq((2 * cy) * 18 + 2 * cx, (2 * cy) * 18 + 2 * cx + 1,
+        (2 * cy + 1) * 18 + 2 * cx, (2 * cy + 1) * 18 + 2 * cx + 1)
+      ks.map(v).sum / 4
+    }
+    val small = gray(9, 8, k => avg(k))
+    assert(Multimodal.dHash64(18, 16, big) ==
+      Multimodal.dHash64(9, 8, small))
+    // color luma: (299R+587G+114B)/1000 — pixel 1 of row 0 gets R=255
+    // (luma 76), the rest luma 100 via G=170,B=2 → (587*170+114*2)/1000
+    // = (99790+228)/1000 = 100; bit 0 must read 76 < 100 correctly
+    val rgb = new Array[Byte](3 * 9 * 8)
+    for (k <- 0 until 9 * 8) {
+      if (k == 0) { rgb(0) = 255.toByte }
+      else { rgb(3 * k + 1) = 170.toByte; rgb(3 * k + 2) = 2.toByte }
+    }
+    val h = Multimodal.dHash64(9, 8, rgb).get
+    assert((h & 1L) == 1L, "luma(255,0,0)=76 must read BELOW luma 100")
+    assert((h & 2L) == 0L, "flat 100s right of cell 1 have no gradient")
+  }
+
+  test("cross-container invariance: the SAME pixels carried as P6 and " +
+    "as PNG hash identically through the magic-routed dispatch; " +
+    "audio/undecodable payloads yield NO hash row") {
+    val rgb = gray(18, 16, k => (k * 53 + 7) % 256)
+    val assets = Seq(
+      Asset(1L, "image/x-portable-pixmap", 0L, p6(18, 16,
+        (0 until 18 * 16).map { k =>
+          val v = (k * 53 + 7) % 256; (v, v, v)
+        })),
+      Asset(2L, "image/png", 0L, png(18, 16, rgb)),
+      Asset(3L, "audio/wav", 0L, "RIFF1234WAVEjunk".getBytes("US-ASCII")),
+      Asset(4L, "text/plain", 0L, "not an image".getBytes("US-ASCII")))
+    val hashes = Multimodal
+      .perceptualHashes(assets.toDS(), DispatchMediaKernel)
+      .collect().map(p => p.asset_id -> p.phash).toMap
+    assert(hashes.keySet == Set(1L, 2L),
+      s"only the two image containers hash: $hashes")
+    assert(hashes(1L) == hashes(2L),
+      "same pixels must hash identically whichever container carried them")
+    // and the direct kernels agree with the dispatch route
+    assert(PpmMediaKernel.rgbFrame(assets.head).isDefined)
+    assert(WavMediaKernel.rgbFrame(assets(2)).isEmpty)
+    assert(StubMediaKernel.rgbFrame(assets(3)).isEmpty)
+  }
+
+  test("planted corpus: every family pair is within Hamming ≤ 2 (so " +
+    "4×16-bit banding is lossless for it), banded candidates equal " +
+    "brute-force all-pairs at the ≤ 3 radius, and clusters elect the " +
+    "min-id canonical") {
+    val hashes = Multimodal
+      .perceptualHashes(Multimodal.plantedImages(spark, sf0001),
+        DispatchMediaKernel)
+      .collect().map(p => p.asset_id -> p.phash).toMap
+    val docs = hashes.keySet
+    assert(docs.nonEmpty && docs.forall(hashes.contains),
+      "every planted image must decode and hash")
+    // planted family members: ≤ 2 bits apart (only grid cell (7,3)
+    // comparisons can move)
+    for (id <- docs if id % 8 > 0 && id % 8 < 3; base = id - (id % 8)
+         if docs.contains(base)) {
+      val d = java.lang.Long.bitCount(hashes(id) ^ hashes(base))
+      assert(d <= 2, s"family ($base, $id) drifted to Hamming $d")
+    }
+    // banding vs brute force at radius ≤ 3 (banding is LOSSLESS there)
+    val brute = (for {
+      a <- docs; b <- docs if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val banded = Multimodal.perceptualDupPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      s"banding missed/invented pairs: ${banded.diff(brute)} / ${brute.diff(banded)}")
+    // components: canonical is the min reachable id
+    val cc = Dedup.connectedComponents(
+      Multimodal.perceptualDupPairs(spark, sf0001)
+        .select($"asset_a".as("doc_a"), $"asset_b".as("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, cl) <- cc) assert(cl <= id && cc(cl) == cl,
+      s"cluster label $cl of $id is not a canonical min")
+  }
+
+  test("never-all-pairs: the candidate join keys are the band chunks " +
+    "(chunk, cv), not a cross of the corpus") {
+    val analyzed = Multimodal.perceptualDupPairs(spark, sf0001)
+      .queryExecution.analyzed
+    val joins = analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    val keyed = joins.forall(_.condition.exists(c =>
+      c.references.map(_.name).toSet.intersect(Set("chunk", "cv")).nonEmpty ||
+        c.references.map(_.name).exists(_.startsWith("asset"))))
+    assert(keyed, "every join must be band- or id-keyed")
+    assert(!analyzed.exists {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.isEmpty
+      case _ => false
+    }, "no condition-free (cross) join in the pair pipeline")
+  }
+}
