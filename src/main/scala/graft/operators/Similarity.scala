@@ -704,6 +704,18 @@ object Similarity {
     protocol(path).readCommittedStripped(s, "bwords", "vec_id")(r =>
       s.read.schema(BWordsSchema).option("basePath", r).parquet(r))
 
+  /** [[indexBWords]] AS OF a ledger horizon — [[indexCodesAsOf]]'s
+    * contract on the sign-word frame (same honesty guards: compaction
+    * or refresh past the horizon refuse). Centroids are valid at every
+    * servable horizon: frozen across folds/deletes, and only a refresh
+    * — which the guard refuses past — moves them.
+    */
+  def indexBWordsAsOf(s: SparkSession, path: String,
+      asOf: Long): DataFrame =
+    protocol(path).readCommittedStrippedAsOf(s, "bwords", "vec_id",
+      asOf)(r =>
+      s.read.schema(BWordsSchema).option("basePath", r).parquet(r))
+
   /** Rewrite the committed sign-word sub-roots into one `c<hw>` dir —
     * [[compactIvfPqIndex]]'s contract on the binary payload: the input
     * is the SERVED view (tombstones already stripped), so the swap is
@@ -721,6 +733,69 @@ object Similarity {
         .parquet(s"$path/.bwords.compacting/${p.compactDirName()}")
       p.publishDir(".bwords.compacting", "bwords")
       p.clearTombstones()
+    }
+  }
+
+  /** Re-cluster a persisted IVF+binary index's COARSE layer —
+    * [[refreshIvfPqIndex]]'s contract at the sign-word rung: one Lloyd
+    * step from the current centroids over the full-precision `vecs`
+    * frame (restricted to the index's live population), the
+    * (unchanged) sign words re-binned under the new centroids,
+    * coverage-verified against the staged rewrite, published. Sign
+    * words stay frozen — they encode the original vector's signs, not
+    * cell membership — so the index-side rewrite is only the
+    * ~16 B/vector payload. Drift gate, refresh ledger (`r<id>`),
+    * crash/replay and mid-publish reader semantics are identical to
+    * the float/PQ refreshes: a reader between the two publishes probes
+    * old centroid positions against new cell contents — still a valid
+    * ANN candidate set, recall briefly degraded, never wrong values.
+    */
+  def refreshIvfBinaryIndex(s: SparkSession, path: String,
+      refreshId: Long, vecs: DataFrame,
+      minDrift: Double = 0.0): Boolean = {
+    val p = protocol(path)
+    if (p.entries().contains(s"r$refreshId")) return false
+    p.withLease(s"refresh-bin-$refreshId") {
+      val words = indexBWords(s, path)
+        .select(col("vec_id"), col("w0"), col("w1"))
+      val live = vecs.select(col("vec_id"), col("v"))
+        .join(words.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      val oldCents = s.read.parquet(p.dir("cents"))
+      val newCents = lloydStep(live, oldCents)
+      val drift = oldCents.select(col("cent_id"), col("cv").as("ocv"))
+        .join(newCents.select(col("cent_id"), col("cv").as("ncv")),
+          Seq("cent_id"))
+        .agg(avg(lit(1.0) - cosine(col("ocv"), col("ncv"))))
+        .head().getDouble(0)
+      if (drift < minDrift) { p.commit(s"r$refreshId"); false }
+      else {
+        // cents staging is NOT dot-prefixed: the staged centroids are
+        // read back before the publish (double-roundtrip parity — the
+        // re-bin provably uses the values later probes read)
+        newCents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/cents.refreshing")
+        val staged = s"$path/.bwords.refreshing/${p.compactDirName()}"
+        assign(live, s.read.parquet(s"$path/cents.refreshing"), 1)
+          .select(col("vec_id"), col("cent_id"))
+          .join(words, Seq("vec_id"))
+          .select(col("vec_id"), col("w0"), col("w1"), col("cent_id"))
+          .repartition(col("cent_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cent_id")
+          .parquet(staged)
+        val stagedN = s.read.parquet(staged).count()
+        val liveN = words.count()
+        if (stagedN != liveN)
+          throw new IllegalStateException(
+            s"refresh sidecar covers $stagedN of $liveN live index " +
+              "rows — the full-precision frame must cover the index's " +
+              "live population; refusing to publish")
+        p.publishDir(".bwords.refreshing", "bwords")
+        p.publishDir("cents.refreshing", "cents")
+        p.clearTombstones()
+        p.commit(s"r$refreshId")
+        true
+      }
     }
   }
 
@@ -779,6 +854,137 @@ object Similarity {
        |                       ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM bn_res) WHERE rank <= $TopK)""".stripMargin
 
+  /** One binary shortlist-then-exact-rerank serve as composable oracle
+    * text — the `_bv/_sc/_sh/_rr/_tk` CTE chain over an assigned frame
+    * (`bvFrom`, restricted by `bvWhere`), a probe frame (`probes`:
+    * query_id, cent_id) and a rerank corpus (`corpusFrame`: vec_id, v).
+    * Requires sibling CTEs `q` (query_id, qv) and `qb` (query_id, q0,
+    * q1). Composed by the refreshed (two constructions) and as-of
+    * (three horizons) binary oracles.
+    */
+  private def binServeChain(name: String, bvFrom: String, bvWhere: String,
+      probes: String, corpusFrame: String): String =
+    s"""${name}_bv AS (SELECT vec_id, cent_id, ${packSql("v", 0)} AS w0,
+       |    ${packSql("v", 32)} AS w1 FROM $bvFrom WHERE $bvWhere),
+       |${name}_sc AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    bit_count(xor(qb.q0, b.w0)) + bit_count(xor(qb.q1, b.w1)) AS ham
+       |  FROM $probes p JOIN ${name}_bv b
+       |    ON p.cent_id = b.cent_id AND b.vec_id <> p.query_id
+       |  JOIN qb ON qb.query_id = p.query_id),
+       |${name}_sh AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY ham ASC, neighbor_id) AS rank
+       |  FROM ${name}_sc) WHERE rank <= $BinaryRerank),
+       |${name}_rr AS (SELECT s.query_id, s.neighbor_id,
+       |    round(list_cosine_similarity(q.qv, c.v), 4) AS sim
+       |  FROM ${name}_sh s JOIN q ON q.query_id = s.query_id
+       |  JOIN $corpusFrame c ON c.vec_id = s.neighbor_id),
+       |${name}_tk AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM ${name}_rr) WHERE rank <= $TopK)""".stripMargin
+
+  /** Oracle for `sim_ivf_binary_refreshed`: recompute BOTH binary
+    * constructions — frozen (bounded-K centroids trained on the
+    * original corpus, the combined population assigned and sign-packed
+    * under them) and refreshed (one more Lloyd step over the combined
+    * population, everything re-binned) — plus the exact top-k over the
+    * combined corpus, and emit per-query recall numerators for each;
+    * the [[refreshedOracleSql]] contract at the sign-word rung.
+    */
+  private def binaryRefreshedOracleSql: String =
+    s"""WITH $eCte,
+       |sh AS (SELECT vec_id + 100000 AS vec_id,
+       |         list_transform(v, x -> -x) AS v
+       |       FROM e WHERE vec_id % 5 = 4),
+       |u AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM sh),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries
+       |      UNION ALL
+       |      SELECT vec_id AS query_id, v AS qv FROM sh WHERE vec_id < 100100),
+       |bscored AS (SELECT query_id, u.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(qv, u.v), 4) AS sim
+       |  FROM q JOIN u ON u.vec_id <> query_id),
+       |topk AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM bscored) WHERE rank <= $TopK),
+       |seeds AS (${fixedKSeedSql("e", FixedK)}),
+       |a0 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, s.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC, s.cent_id) AS rn
+       |    FROM e, seeds s) WHERE rn = 1),
+       |cd AS (SELECT cent_id, dd, avg(v[dd]) AS cx
+       |       FROM a0, range(1, 65) t(dd) GROUP BY cent_id, dd),
+       |cents AS (SELECT cent_id, list(cx ORDER BY dd) AS cv
+       |          FROM cd GROUP BY cent_id),
+       |a1 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT u.vec_id, u.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY round(list_cosine_similarity(u.v, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM u, cents c) WHERE rn = 1),
+       |qb AS (SELECT query_id, ${packSql("qv", 0)} AS q0,
+       |         ${packSql("qv", 32)} AS q1 FROM q),
+       |fprobes AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM q, cents c) WHERE rn <= 4),
+       |${binServeChain("f", "a1", "TRUE", "fprobes", "u")},
+       |rcd AS (SELECT cent_id, dd, avg(v[dd]) AS cx
+       |        FROM a1, range(1, 65) t(dd) GROUP BY cent_id, dd),
+       |rcents AS (SELECT cent_id, list(cx ORDER BY dd) AS cv
+       |           FROM rcd GROUP BY cent_id),
+       |a2 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT u.vec_id, u.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY round(list_cosine_similarity(u.v, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM u, rcents c) WHERE rn = 1),
+       |rprobes AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM q, rcents c) WHERE rn <= 4),
+       |${binServeChain("r", "a2", "TRUE", "rprobes", "u")}
+       |SELECT t.query_id,
+       |  CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS frozen_common,
+       |  CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS refreshed_common
+       |FROM topk t
+       |LEFT JOIN f_tk f ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+       |LEFT JOIN r_tk r ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+       |GROUP BY t.query_id""".stripMargin
+
+  /** Oracle for `sim_ivf_binary_asof`: ONE shared history-trained
+    * bounded-K construction (centroids never change across the
+    * lifecycle), three candidate restrictions on the sign-word side —
+    * horizon 0 = seed only, 1 = seed + fold, 2 = delete applied —
+    * each through the full shortlist-then-exact-rerank serve; the
+    * [[asofOracleSql]] contract at the sign-word rung.
+    */
+  private def binaryAsofOracleSql: String =
+    s"""WITH $eCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id < $NQueries),
+       |${ivfGrownAssignCtesSeeded(fixedKSeedSql("hist", FixedK))},
+       |$ivfGrownProbesCte,
+       |qb AS (SELECT query_id, ${packSql("qv", 0)} AS q0,
+       |         ${packSql("qv", 32)} AS q1
+       |       FROM (SELECT DISTINCT query_id, qv FROM probes)),
+       |${binServeChain("h0", "a1", "vec_id % 5 <> 4", "probes", "e")},
+       |${binServeChain("h1", "a1", "TRUE", "probes", "e")},
+       |${binServeChain("h2", "a1", "vec_id % 9 <> 0", "probes", "e")}
+       |SELECT CAST(0 AS BIGINT) AS horizon, query_id, neighbor_id,
+       |  CAST(rank AS INT) AS rank FROM h0_tk
+       |UNION ALL SELECT CAST(1 AS BIGINT), query_id, neighbor_id,
+       |  CAST(rank AS INT) FROM h1_tk
+       |UNION ALL SELECT CAST(2 AS BIGINT), query_id, neighbor_id,
+       |  CAST(rank AS INT) FROM h2_tk""".stripMargin
+
   private def ivfBinaryComplete(s: SparkSession, r: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(r)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -824,6 +1030,51 @@ object Similarity {
         .select(col("vec_id")), staging, 1L)
     }
 
+  /** Build-if-absent the binary refresh-gate pair — the
+    * [[ensureShiftIvfIndexes]] scenario on the sign-word index: both
+    * seed from the original corpus and fold the shifted wave as one
+    * ledgered append; the second takes one [[refreshIvfBinaryIndex]]
+    * pass over the combined full-precision population (refreshId 0,
+    * no drift gate). Root names carry build K AND refresh state.
+    */
+  def ensureShiftIvfBinaryIndexes(s: SparkSession,
+      d: String): (String, String) = {
+    val e = corpus(s, d).select(col("vec_id"), col("v"))
+    def build(name: String, refresh: Boolean): String =
+      Layout.ensurePublishedDir(s, fixtureRoot(s, d, name))(
+        r =>
+          if (refresh) protocol(r).entries().contains("r0")
+          else protocol(r).foldedBatches().contains(0L)
+      ) { staging =>
+        writeIvfBinaryIndex(e, staging)
+        appendToIvfBinaryIndex(shiftedWave(s, d), staging, 0L)
+        if (refresh)
+          refreshIvfBinaryIndex(s, staging, 0L,
+            e.union(shiftedWave(s, d)))
+      }
+    (build(s"graft_ivf_binl_frozen_k$FixedK", refresh = false),
+      build(s"graft_ivf_binl_refresh_k$FixedK", refresh = true))
+  }
+
+  /** Build-if-absent the binary AS-OF gate fixture — the
+    * [[ensureAsOfIvfIndex]] lifecycle on the sign-word index: seed
+    * from the history wave (dir order 0), fold the remainder as `b1`,
+    * tombstone vec_id % 9 = 0 as `d2` — distinct ledger ids per dir
+    * order so every horizon is distinguishable.
+    */
+  def ensureAsOfIvfBinaryIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s,
+      fixtureRoot(s, d, s"graft_ivf_binl_asof_k$FixedK"))(
+      r => protocol(r).deletedBatches().contains(2L)
+    ) { staging =>
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      writeIvfBinaryIndex(e.filter(col("vec_id") % 5 =!= 4), staging)
+      appendToIvfBinaryIndex(e.filter(col("vec_id") % 5 === 4),
+        staging, 1L)
+      deleteFromIvfBinaryIndex(e.filter(col("vec_id") % 9 === 0)
+        .select(col("vec_id")), staging, 2L)
+    }
+
   /** Serve approximate top-k from a persisted IVF+binary index:
     * probe `nprobe` cells, Hamming-shortlist `rerank` candidates per
     * query over the cells' 16 B/row sign words, exact re-rank of only
@@ -837,7 +1088,8 @@ object Similarity {
     */
   private[graft] def ivfBinaryScored(s: SparkSession, indexPath: String,
       queries: DataFrame, nprobe: Int = 4,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      asOf: Option[Long] = None): DataFrame = {
     val cents = s.read.parquet(protocol(indexPath).dir("cents"))
     val probes = assign(
       queries.select(col("query_id").as("vec_id"), col("qv").as("v")),
@@ -851,8 +1103,11 @@ object Similarity {
     val totalCells = cents.count()
     // committed-roots union read (seed + ledgered appends + compact)
     // minus tombstones; the isin prune pushes into every sub-root's
-    // PartitionFilters like indexVectors' (see indexTopK)
-    val allWords = indexBWords(s, indexPath)
+    // PartitionFilters like indexVectors' (see indexTopK). An asOf
+    // horizon swaps ONLY the list-time dir/tombstone scope — zero
+    // data cost, like indexVectorsAsOf/indexCodesAsOf.
+    val allWords = asOf.fold(indexBWords(s, indexPath))(h =>
+      indexBWordsAsOf(s, indexPath, h))
     val cellPruned =
       if (cells.length >= totalCells) allWords
       else allWords.filter(col("cent_id").isin(cells: _*))
@@ -879,8 +1134,10 @@ object Similarity {
   def ivfBinaryTopK(s: SparkSession, indexPath: String,
       queries: DataFrame, full: DataFrame, nprobe: Int = 4,
       k: Int = TopK, rerank: Int = BinaryRerank,
-      allowed: Option[DataFrame] = None): DataFrame = {
-    val scored = ivfBinaryScored(s, indexPath, queries, nprobe, allowed)
+      allowed: Option[DataFrame] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    val scored = ivfBinaryScored(s, indexPath, queries, nprobe, allowed,
+      asOf)
     // Bounded collect (≤ |queries| × rerank) → In pushdown on the
     // sidecar scan, identical to the PQ rerank.
     import s.implicits._
@@ -2953,6 +3210,60 @@ object Similarity {
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
         .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+    },
+
+    // Centroid refresh at the binary rung under the value gate — the
+    // sim_ivf_refreshed scenario on sign words: the shifted append
+    // wave served from a frozen-centroid grown binary index vs one
+    // refreshed by a single Lloyd re-cluster over the full-precision
+    // sidecar (sign words stay frozen, only cell membership is
+    // rewritten — ~16 B/vector), with per-query exact-top-k recall
+    // numerators for BOTH side by side. The oracle recomputes the two
+    // constructions end-to-end through the shortlist-then-exact-rerank
+    // serve; the refreshed-beats-frozen inequality is pinned in
+    // IvfRefreshSpec on the aggregate.
+    QuerySpec(
+      "sim_ivf_binary_refreshed",
+      binaryRefreshedOracleSql) { (s, d) =>
+      val (frozen, refreshed) = ensureShiftIvfBinaryIndexes(s, d)
+      val q = shiftQueries(s, d)
+      val full = corpus(s, d).select(col("vec_id"), col("v"))
+        .union(shiftedWave(s, d))
+      val exact = exactTopKFor(full, q)
+        .select(col("query_id"), col("neighbor_id"))
+      val f = ivfBinaryTopK(s, frozen, q, full)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("fhit", lit(1L))
+      val r = ivfBinaryTopK(s, refreshed, q, full)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("rhit", lit(1L))
+      exact.join(f, Seq("query_id", "neighbor_id"), "left")
+        .join(r, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("fhit"), lit(0L))).as("frozen_common"),
+          sum(coalesce(col("rhit"), lit(0L))).as("refreshed_common"))
+    },
+
+    // AS-OF (time-travel) serve from the persisted binary index — the
+    // sim_ivf_asof contract at the cheapest (and at 10⁹ vectors, most
+    // used) rung: the SAME index answers at three ledger horizons by
+    // list-time dir/tombstone scoping of the sign-word read (zero data
+    // cost; centroids are frozen across the lifecycle, and a refresh
+    // past the horizon makes the protocol refuse — AsOfIndexSpec).
+    // With this, ALL THREE rungs (float, PQ, binary) serve as-of.
+    QuerySpec(
+      "sim_ivf_binary_asof",
+      binaryAsofOracleSql) { (s, d) =>
+      val idx = ensureAsOfIvfBinaryIndex(s, d)
+      val e = corpus(s, d)
+      val q = e.filter(col("vec_id") < NQueries).limit(NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val full = e.select(col("vec_id"), col("v"))
+      Seq(0L, 1L, 2L).map { h =>
+        ivfBinaryTopK(s, idx, q, full, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("query_id"),
+            col("neighbor_id"), col("rank"))
+      }.reduce(_.union(_))
     },
 
     // PQ quality as a gated readout: per-query overlap between ADC

@@ -70,6 +70,46 @@ class AsOfIndexSpec extends SparkSpec {
       "the pre-delete horizon must still serve eventual victims")
   }
 
+  test("the binary read path shares the horizon semantics: as-of 0 on " +
+    "an evolved IVF+binary index serves what a fresh history-only " +
+    "build serves, the max horizon equals the current view, and the " +
+    "pre-delete horizon still serves eventual victims — and the " +
+    "refresh honesty guard refuses earlier horizons") {
+    def binServed(idx: String, asOf: Option[Long] = None) =
+      Similarity.ivfBinaryTopK(spark, idx, queries(), e, asOf = asOf)
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+    val evolved = tmpDir("asof-bin")
+    val hist = e.filter($"vec_id" % 5 =!= 4)
+    Similarity.writeIvfBinaryIndex(hist, evolved)
+    assert(Similarity.appendToIvfBinaryIndex(
+      e.filter($"vec_id" % 5 === 4), evolved, 1L))
+    assert(Similarity.deleteFromIvfBinaryIndex(
+      e.filter($"vec_id" % 9 === 0).select($"vec_id"), evolved, 2L))
+    val fresh = tmpDir("asof-bin-hist")
+    Similarity.writeIvfBinaryIndex(hist, fresh)
+    assert(binServed(evolved, asOf = Some(0L)) == binServed(fresh),
+      "the pre-fold horizon must reproduce the history-only binary index")
+    assert(binServed(evolved, asOf = Some(2L)) == binServed(evolved),
+      "the max horizon must equal the current view")
+    val victims = e.filter($"vec_id" % 9 === 0)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(binServed(evolved, asOf = Some(1L))
+      .exists(r => victims.contains(r._2)),
+      "the pre-delete horizon must still serve eventual victims")
+    assert(!binServed(evolved, asOf = Some(2L))
+      .exists(r => victims.contains(r._2)),
+      "the post-delete horizon must hide every victim")
+    // refresh honesty: earlier horizons refuse after an in-place rewrite
+    assert(Similarity.refreshIvfBinaryIndex(spark, evolved, 3L, e))
+    val err = intercept[IllegalArgumentException] {
+      binServed(evolved, asOf = Some(1L))
+    }
+    assert(err.getMessage.contains("refresh"),
+      s"wrong refusal reason: ${err.getMessage}")
+    assert(binServed(evolved, asOf = Some(3L)) == binServed(evolved),
+      "the post-refresh horizon serves the refreshed view")
+  }
+
   test("the BM25 read path shares the horizon semantics: as-of 0 on " +
     "the evolved inverted index scores EXACTLY what a fresh " +
     "history-only index scores (stats deltas included), and the max " +

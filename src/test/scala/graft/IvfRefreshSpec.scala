@@ -26,6 +26,78 @@ class IvfRefreshSpec extends SparkSpec {
       "refresh must strictly improve shifted-query recall")
   }
 
+  test("sim_ivf_binary_refreshed: the re-cluster inequality holds at " +
+    "the sign-word rung too — refreshed recall never loses overall " +
+    "and strictly improves on the shifted half") {
+    val rows = SparkEntry.queries("sim_ivf_binary_refreshed")(spark, sf0001)
+      .select($"query_id", $"frozen_common", $"refreshed_common")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 40, "20 original + 20 shifted queries")
+    assert(rows.map(_._3).sum >= rows.map(_._2).sum,
+      "refreshed binary recall must not lose to frozen")
+    val shifted = rows.filter(_._1 >= 100000L)
+    assert(shifted.map(_._3).sum > shifted.map(_._2).sum,
+      "binary refresh must strictly improve shifted-query recall")
+  }
+
+  test("refreshIvfBinaryIndex: drift gate skips the rewrite, ledgered " +
+    "refreshIds are exactly-once, the re-bin rewrites every live sign " +
+    "word exactly once, and a short sidecar refuses to publish") {
+    val idx = tmpDir("ivfbin-refresh")
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".as("v"))
+    Similarity.writeIvfBinaryIndex(e.filter($"vec_id" % 5 =!= 4), idx)
+    assert(Similarity.appendToIvfBinaryIndex(
+      e.filter($"vec_id" % 5 === 4), idx, 0L))
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    def served() = Similarity.ivfBinaryTopK(spark, idx, queries, e)
+      .as[(Long, Long, Int)].collect().toSeq
+    val baseline = served()
+
+    // impossible drift bar: skip the rewrite, still commit the id
+    assert(!Similarity.refreshIvfBinaryIndex(spark, idx, 0L, e,
+      minDrift = 10.0))
+    assert(served() == baseline, "a skipped refresh must not touch data")
+    assert(!Similarity.refreshIvfBinaryIndex(spark, idx, 0L, e),
+      "replayed refreshId is a committed no-op even when it skipped")
+
+    // a sidecar that misses live rows must refuse loudly
+    intercept[IllegalStateException] {
+      Similarity.refreshIvfBinaryIndex(spark, idx, 1L,
+        e.filter($"vec_id" % 2 === 0))
+    }
+
+    // a real refresh: rewrites, serves a complete consistent index,
+    // neither it nor the old fold replays
+    assert(Similarity.refreshIvfBinaryIndex(spark, idx, 2L, e))
+    assert(!Similarity.refreshIvfBinaryIndex(spark, idx, 2L, e))
+    assert(!Similarity.appendToIvfBinaryIndex(
+      e.filter($"vec_id" % 5 === 4), idx, 0L),
+      "folded batches must keep short-circuiting after a refresh")
+    val after = served()
+    assert(after.map(_._1).distinct.sorted ==
+      baseline.map(_._1).distinct.sorted,
+      "every query still gets a full ranking")
+    val rewritten = Similarity.protocol(idx).committedDirs("bwords")
+      .filter(_.matches(".*/c\\d+$")).head
+    val words = spark.read.option("basePath", rewritten).parquet(rewritten)
+    assert(words.groupBy($"vec_id").count()
+      .filter($"count" > 1).count() == 0,
+      "refresh must not duplicate sign words")
+    assert(words.count() == e.count())
+    // sign words are FROZEN across the refresh: only cent_id moved
+    val packed3 = Similarity.binarized(e)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val afterWords = words.select($"vec_id", $"w0", $"w1")
+      .as[(Long, Long, Long)].collect()
+    assert(afterWords.forall { case (id, w0, w1) =>
+      packed3(id) == ((w0, w1)) },
+      "the refresh must re-bin, never re-encode, the sign words")
+  }
+
   test("sim_topk_filtered: the label predicate reaches the parquet " +
     "scan as a PushedFilter, every neighbor satisfies it, and rankings " +
     "agree with a driver-side recompute over the filtered corpus") {
