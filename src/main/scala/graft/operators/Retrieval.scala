@@ -689,9 +689,17 @@ object Retrieval {
     * per-sub-root partitioned reads, so a `bucket` filter pushes into
     * every union branch).
     */
-  private def phrasePostings(s: SparkSession, path: String): DataFrame =
-    protocol(path).readCommittedStripped(s, "postings", "doc_id")(r =>
-      s.read.schema(PhraseSchema).option("basePath", r).parquet(r))
+  private def phrasePostings(s: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = asOf match {
+    case None =>
+      protocol(path).readCommittedStripped(s, "postings", "doc_id")(r =>
+        s.read.schema(PhraseSchema).option("basePath", r).parquet(r))
+    case Some(h) =>
+      // list-time dir/tombstone scoping — the indexPostingsAsOf
+      // contract on the next-word positional payload
+      protocol(path).readCommittedStrippedAsOf(s, "postings", "doc_id",
+        h)(r => s.read.schema(PhraseSchema).option("basePath", r).parquet(r))
+  }
 
   /** Compact the phrase index: every committed posting (tombstones
     * already anti-joined away) rewritten as ONE `c<hw>` dir; sub-roots
@@ -727,7 +735,7 @@ object Retrieval {
     * so per-key state is the distinct-offset set, bounded by L.
     */
   def phraseTopK(s: SparkSession, indexPath: String, phrase: String,
-      k: Int = TopK): DataFrame = {
+      k: Int = TopK, asOf: Option[Long] = None): DataFrame = {
     import s.implicits._
     val ws = phrase.trim.split(" ").toSeq
     require(ws.length >= 2, "phrase search needs at least two words")
@@ -736,7 +744,7 @@ object Retrieval {
     val buckets = pairs.distinct.toDF("bg")
       .select(pmod(xxhash64(col("bg")), lit(Buckets)).as("bucket"))
       .distinct().collect().map(_.getLong(0)).sorted
-    val posts = phrasePostings(s, indexPath)
+    val posts = phrasePostings(s, indexPath, asOf)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("bg").isInCollection(pairs.distinct))
     posts.join(broadcast(offsets.toDF("bg", "off")), Seq("bg"))
@@ -869,6 +877,23 @@ object Retrieval {
         .select(col("doc_id")), staging, 1L)
     }
 
+  /** Build-if-absent the phrase AS-OF gate fixture — the
+    * [[ensureAsOfBm25Index]] lifecycle on the next-word index: seed
+    * the history wave (dir order 0), fold the remainder as `b1`,
+    * tombstone doc_id % 7 = 3 as `d2` — distinct ledger ids per dir
+    * order so every horizon is a distinguishable snapshot.
+    */
+  def ensureAsOfPhraseIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_phrase_asof"))(
+      r => protocol(r).deletedBatches().contains(2L)
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      writePhraseIndex(docs.filter(col("doc_id") % 5 =!= 4), staging)
+      appendToPhraseIndex(docs.filter(col("doc_id") % 5 === 4), staging, 1L)
+      deleteFromPhraseIndex(docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")), staging, 2L)
+    }
+
   // ---- character-trigram substring (grep) index ----
   //   <root>/postings/<sub>/ — (tg, doc_id) DISTINCT rows partitioned
   //                      by `bucket=pmod(xxhash64(tg), Buckets)`: one
@@ -938,9 +963,16 @@ object Retrieval {
   }
 
   /** All committed trigram postings minus committed tombstones. */
-  private def substringPostings(s: SparkSession, path: String): DataFrame =
-    protocol(path).readCommittedStripped(s, "postings", "doc_id")(r =>
-      s.read.schema(TrigramSchema).option("basePath", r).parquet(r))
+  private def substringPostings(s: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = asOf match {
+    case None =>
+      protocol(path).readCommittedStripped(s, "postings", "doc_id")(r =>
+        s.read.schema(TrigramSchema).option("basePath", r).parquet(r))
+    case Some(h) =>
+      protocol(path).readCommittedStrippedAsOf(s, "postings", "doc_id",
+        h)(r =>
+        s.read.schema(TrigramSchema).option("basePath", r).parquet(r))
+  }
 
   /** Compact the trigram index: every committed posting (tombstones
     * already anti-joined away) rewritten as ONE `c<hw>` dir — the
@@ -980,6 +1012,21 @@ object Retrieval {
         staging, 0L)
       deleteFromSubstringIndex(docs.filter(col("doc_id") % 7 === 3)
         .select(col("doc_id")), staging, 1L)
+    }
+
+  /** Build-if-absent the trigram AS-OF gate fixture (seed / `b1` /
+    * `d2` — the [[ensureAsOfPhraseIndex]] ledger layout).
+    */
+  def ensureAsOfSubstringIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_trgm_asof"))(
+      r => protocol(r).deletedBatches().contains(2L)
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      writeSubstringIndex(docs.filter(col("doc_id") % 5 =!= 4), staging)
+      appendToSubstringIndex(docs.filter(col("doc_id") % 5 === 4),
+        staging, 1L)
+      deleteFromSubstringIndex(docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")), staging, 2L)
     }
 
   // ---- word-positional (unigram) index — proximity / NEAR queries ----
@@ -1036,9 +1083,35 @@ object Retrieval {
     p.delete(deleteId) { p.stageTombstones(ids, "doc_id", deleteId) }
   }
 
-  private def nearPostings(s: SparkSession, path: String): DataFrame =
-    protocol(path).readCommittedStripped(s, "postings", "doc_id")(r =>
-      s.read.schema(WordPosSchema).option("basePath", r).parquet(r))
+  private def nearPostings(s: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = asOf match {
+    case None =>
+      protocol(path).readCommittedStripped(s, "postings", "doc_id")(r =>
+        s.read.schema(WordPosSchema).option("basePath", r).parquet(r))
+    case Some(h) =>
+      protocol(path).readCommittedStrippedAsOf(s, "postings", "doc_id",
+        h)(r =>
+        s.read.schema(WordPosSchema).option("basePath", r).parquet(r))
+  }
+
+  /** Compact the word-positional index: every committed posting
+    * (tombstones already anti-joined away) rewritten as ONE `c<hw>`
+    * dir — the [[compactPhraseIndex]] publish-and-clear on positional
+    * postings (this closes the one lifecycle verb the NEAR index was
+    * missing; fold/delete/serve/as-of already speak the protocol).
+    */
+  def compactNearIndex(s: SparkSession, path: String): Unit = {
+    val p = protocol(path)
+    p.withLease("compact-near") {
+      val cname = p.compactDirName()
+      bucketSliced(nearPostings(s, path))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"$path/.postings.compacting/$cname")
+      p.publishDir(".postings.compacting", "postings")
+      p.clearTombstones()
+    }
+  }
 
   /** Build-if-absent gate fixture (stage-and-publish). */
   def ensureNearIndex(s: SparkSession, d: String): String =
@@ -1059,6 +1132,20 @@ object Retrieval {
         .select(col("doc_id")), staging, 1L)
     }
 
+  /** Build-if-absent the word-positional AS-OF gate fixture (seed /
+    * `b1` / `d2` — the [[ensureAsOfPhraseIndex]] ledger layout).
+    */
+  def ensureAsOfNearIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_near_asof"))(
+      r => protocol(r).deletedBatches().contains(2L)
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      writeNearIndex(docs.filter(col("doc_id") % 5 =!= 4), staging)
+      appendToNearIndex(docs.filter(col("doc_id") % 5 === 4), staging, 1L)
+      deleteFromNearIndex(docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")), staging, 2L)
+    }
+
   /** The gate's probe NEAR query: three words that co-occur both as
     * the probe phrase and scattered, inside an 8-word window.
     */
@@ -1076,13 +1163,13 @@ object Retrieval {
     * count — both integer-exact across engines.
     */
   def nearSearch(s: SparkSession, indexPath: String, wordsQ: Seq[String],
-      window: Int): DataFrame = {
+      window: Int, asOf: Option[Long] = None): DataFrame = {
     import s.implicits._
     require(wordsQ.nonEmpty && wordsQ.distinct.length == wordsQ.length,
       "NEAR takes distinct words")
     require(window >= wordsQ.length,
       "window must be at least the word count")
-    val posts = nearPostings(s, indexPath)
+    val posts = nearPostings(s, indexPath, asOf)
     // one |words|-row local relation computes EVERY leg's bucket with
     // the build's own hash (the queryPostings idiom) — one tiny job,
     // not one per leg
@@ -1147,14 +1234,14 @@ object Retrieval {
     * ≤ n-2 state per key.
     */
   private[graft] def substringCandidates(s: SparkSession, indexPath: String,
-      needle: String): DataFrame = {
+      needle: String, asOf: Option[Long] = None): DataFrame = {
     import s.implicits._
     require(needle.length >= 3, "substring search needs >= 3 chars")
     val grams = needle.sliding(3).toVector.distinct
     val buckets = grams.toDF("tg")
       .select(pmod(xxhash64(col("tg")), lit(Buckets)).as("bucket"))
       .distinct().collect().map(_.getLong(0)).sorted
-    substringPostings(s, indexPath)
+    substringPostings(s, indexPath, asOf)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("tg").isInCollection(grams))
       .groupBy(col("doc_id"))
@@ -1172,10 +1259,11 @@ object Retrieval {
     * Output (doc_id, n_occ) with the non-overlapping occurrence count.
     */
   def substringSearch(s: SparkSession, indexPath: String,
-      docs: DataFrame, needle: String): DataFrame =
+      docs: DataFrame, needle: String,
+      asOf: Option[Long] = None): DataFrame =
     docs
-      .join(substringCandidates(s, indexPath, needle), Seq("doc_id"),
-        "left_semi")
+      .join(substringCandidates(s, indexPath, needle, asOf),
+        Seq("doc_id"), "left_semi")
       .filter(col("text").contains(needle))
       .select(col("doc_id"),
         ((length(col("text")) -
@@ -1825,6 +1913,74 @@ object Retrieval {
       Seq(0L, 1L, 2L).map { h =>
         bm25TopK(s, idx, asOf = Some(h))
           .select(lit(h).as("horizon"), col("doc_id"), col("score"))
+      }.reduce(_.union(_))
+    },
+
+    // AS-OF exact-phrase search — the positional index joins the
+    // time-travel family: the pair-postings read drops fold sub-roots
+    // and tombstone batches above the horizon at LIST time, so a
+    // training run can pin "the corpus as the phrase filter saw it at
+    // fold N". Oracle = the word-offset conjunction over each
+    // horizon's document set.
+    QuerySpec("text_phrase_asof",
+      s"""SELECT CAST(0 AS BIGINT) AS horizon, doc_id, n_hits, first_pos
+         |FROM (${phraseOracleSqlOver("doc_id % 5 <> 4")})
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS horizon, doc_id, n_hits, first_pos
+         |FROM (${phraseOracleSqlOver("1 = 1")})
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS horizon, doc_id, n_hits, first_pos
+         |FROM (${phraseOracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
+      (s, d) =>
+      val idx = ensureAsOfPhraseIndex(s, d)
+      Seq(0L, 1L, 2L).map { h =>
+        phraseTopK(s, idx, ProbePhrase, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("doc_id"),
+            col("n_hits"), col("first_pos"))
+      }.reduce(_.union(_))
+    },
+
+    // AS-OF substring (grep) search: horizon-scoped trigram
+    // CANDIDATES (the verify semi-join then admits only those, so the
+    // horizon restriction rides the index read — the corpus text scan
+    // needs no time-travel of its own for planted-free tables).
+    QuerySpec("text_substring_asof",
+      s"""SELECT CAST(0 AS BIGINT) AS horizon, doc_id, n_occ
+         |FROM (${substringOracleSqlOver("doc_id % 5 <> 4")})
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS horizon, doc_id, n_occ
+         |FROM (${substringOracleSqlOver("1 = 1")})
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS horizon, doc_id, n_occ
+         |FROM (${substringOracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
+      (s, d) =>
+      val idx = ensureAsOfSubstringIndex(s, d)
+      val docs = Tables.documents(s, d)
+      Seq(0L, 1L, 2L).map { h =>
+        substringSearch(s, idx, docs, ProbeNeedle, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("doc_id"), col("n_occ"))
+      }.reduce(_.union(_))
+    },
+
+    // AS-OF proximity (NEAR) search: all three positional/trigram
+    // index kinds now serve ledger horizons — with BM25 and the two
+    // ANN-side as-ofs, EVERY persisted index kind in the engine can
+    // reproduce "what the filter saw at fold N".
+    QuerySpec("text_near_asof",
+      s"""SELECT CAST(0 AS BIGINT) AS horizon, doc_id, best_span, n_windows
+         |FROM (${nearOracleSqlOver("doc_id % 5 <> 4")})
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS horizon, doc_id, best_span, n_windows
+         |FROM (${nearOracleSqlOver("1 = 1")})
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS horizon, doc_id, best_span, n_windows
+         |FROM (${nearOracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
+      (s, d) =>
+      val idx = ensureAsOfNearIndex(s, d)
+      Seq(0L, 1L, 2L).map { h =>
+        nearSearch(s, idx, NearWords, NearWindow, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("doc_id"),
+            col("best_span"), col("n_windows"))
       }.reduce(_.union(_))
     },
 

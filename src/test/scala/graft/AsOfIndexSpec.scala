@@ -137,6 +137,80 @@ class AsOfIndexSpec extends SparkSpec {
       "the post-delete horizon must hide every victim")
   }
 
+  test("the phrase, substring and NEAR read paths share the horizon " +
+    "semantics: as-of 0 equals a fresh history-only build, the max " +
+    "horizon equals the current view, and compaction makes every " +
+    "collapsed horizon refuse") {
+    val docs = Tables.documents(spark, sf0001)
+    val hist = docs.filter($"doc_id" % 5 =!= 4)
+
+    // phrase
+    val ph = tmpDir("asof-phrase")
+    Retrieval.writePhraseIndex(hist, ph)
+    assert(Retrieval.appendToPhraseIndex(
+      docs.filter($"doc_id" % 5 === 4), ph, 1L))
+    val phFresh = tmpDir("asof-phrase-hist")
+    Retrieval.writePhraseIndex(hist, phFresh)
+    def phServed(idx: String, asOf: Option[Long] = None) =
+      Retrieval.phraseTopK(spark, idx, Retrieval.ProbePhrase, asOf = asOf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    assert(phServed(ph, Some(0L)) == phServed(phFresh),
+      "phrase pre-fold horizon must reproduce the history-only index")
+    assert(phServed(ph, Some(1L)) == phServed(ph),
+      "phrase max horizon must equal the current view")
+
+    // substring
+    val tg = tmpDir("asof-trgm")
+    Retrieval.writeSubstringIndex(hist, tg)
+    assert(Retrieval.appendToSubstringIndex(
+      docs.filter($"doc_id" % 5 === 4), tg, 1L))
+    val tgFresh = tmpDir("asof-trgm-hist")
+    Retrieval.writeSubstringIndex(hist, tgFresh)
+    def tgServed(idx: String, asOf: Option[Long] = None) =
+      Retrieval.substringSearch(spark, idx, docs, Retrieval.ProbeNeedle,
+        asOf = asOf)
+        .as[(Long, Long)].collect().toSeq.sorted
+    assert(tgServed(tg, Some(0L)) == tgServed(tgFresh),
+      "substring pre-fold horizon must reproduce the history-only index")
+    assert(tgServed(tg, Some(1L)) == tgServed(tg),
+      "substring max horizon must equal the current view")
+
+    // NEAR
+    val nr = tmpDir("asof-near")
+    Retrieval.writeNearIndex(hist, nr)
+    assert(Retrieval.appendToNearIndex(
+      docs.filter($"doc_id" % 5 === 4), nr, 1L))
+    val nrFresh = tmpDir("asof-near-hist")
+    Retrieval.writeNearIndex(hist, nrFresh)
+    def nrServed(idx: String, asOf: Option[Long] = None) =
+      Retrieval.nearSearch(spark, idx, Retrieval.NearWords,
+        Retrieval.NearWindow, asOf = asOf)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(nrServed(nr, Some(0L)) == nrServed(nrFresh),
+      "NEAR pre-fold horizon must reproduce the history-only index")
+    assert(nrServed(nr, Some(1L)) == nrServed(nr),
+      "NEAR max horizon must equal the current view")
+
+    // honesty guard: compaction collapses per-fold history — every
+    // horizon under the compaction high-water must REFUSE, the
+    // current view keeps serving, on all three kinds
+    Retrieval.compactPhraseIndex(spark, ph)
+    Retrieval.compactSubstringIndex(spark, tg)
+    graft.operators.Retrieval.compactNearIndex(spark, nr)
+    for ((name, f) <- Seq[(String, () => Any)](
+        "phrase" -> (() => phServed(ph, Some(0L))),
+        "substring" -> (() => tgServed(tg, Some(0L))),
+        "near" -> (() => nrServed(nr, Some(0L))))) {
+      val err = intercept[IllegalArgumentException] { f() }
+      assert(err.getMessage.contains("compaction"),
+        s"$name: wrong refusal reason: ${err.getMessage}")
+    }
+    assert(phServed(ph, Some(1L)) == phServed(ph))
+    assert(tgServed(tg, Some(1L)) == tgServed(tg))
+    assert(nrServed(nr, Some(1L)) == nrServed(nr))
+  }
+
   test("snapshot isolation: an as-of frame constructed BEFORE a " +
     "concurrent fold and delete keeps serving its horizon unchanged — " +
     "the dir list is pinned at construction, and later ledger " +
