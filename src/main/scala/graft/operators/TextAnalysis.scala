@@ -121,6 +121,69 @@ object TextAnalysis {
     * no dotted-digit runs, the dashed-digit shapes can't prefix into
     * each other across their \b boundaries).
     */
+  /** The markup scaffold the `text_extract` gate plants around the
+    * md5-gated half's text (shared verbatim with the oracle literal):
+    * style + script to drop, a link-only nav div and link-only list
+    * items to fail the link-density filter, the document body as the
+    * surviving content block, and an entity-carrying footer block.
+    */
+  private[graft] val MarkupPre: String =
+    "<html><head><style>body{margin:0}</style>" +
+      "<script>var tracker=1;</script></head><body>" +
+      "<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/b\">More</a></div><p>"
+  private[graft] val MarkupPost: String =
+    "</p><ul><li><a href=\"/x\">x</a></li><li><a href=\"/y\">y</a></li>" +
+      "</ul><p>Footer &amp; contact &lt;info&gt;</p></body></html>"
+
+  /** HTML/markup extraction — the stage a crawled corpus runs before
+    * everything else in this module (trafilatura shape, from scratch):
+    * (1) drop `<script>`/`<style>` elements wholesale; (2) split on
+    * block-level tags (`p div li h1-6 br`); (3) per block, strip tags,
+    * collapse whitespace, and compute LINK DENSITY — total `<a>` anchor
+    * text over block text — dropping empty blocks and blocks that are
+    * ≥ half link text (nav/menu/footer boilerplate); (4) rejoin the
+    * survivors in document order, unescape the core entities
+    * (`&lt; &gt; &amp;`, ampersand last), collapse again. Every step is
+    * integer/regex arithmetic the oracle restates in RE2-compatible
+    * SQL. Already-clean text passes through unchanged (single block,
+    * zero links — the idempotence contract pinned in OperatorsSpec).
+    *
+    * Scale shape: pure map work plus ONE doc_id-keyed reassembly
+    * aggregate whose per-key state is the document's own block list —
+    * no corpus-wide shuffle, no window. Input `(doc_id, t2)`; output
+    * `(doc_id, t2, ext)`.
+    */
+  def extractHtml(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val noScript = regexp_replace(regexp_replace(col("t2"),
+      "<script[^>]*>[^<]*</script>", " "),
+      "<style[^>]*>[^<]*</style>", " ")
+    val blocks = docs.select(col("doc_id"),
+      posexplode(split(noScript, "</?(p|div|li|h[1-6]|br)[^>]*>"))
+        .as(Seq("i", "blk")))
+    val scored = blocks.select(col("doc_id"), col("i"),
+      trim(regexp_replace(regexp_replace(col("blk"), "<[^>]*>", " "),
+        " +", " ")).as("clean"),
+      coalesce(aggregate(transform(
+        regexp_extract_all(col("blk"), lit("<a[^>]*>([^<]*)</a>"),
+          lit(1)),
+        x => length(x)), lit(0), (a, x) => a + x), lit(0)).as("alen"))
+    val cat = scored
+      .filter(length(col("clean")) > 0 &&
+        col("alen") * 2 <= length(col("clean")))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("clean")))),
+        p => p("clean")), " ").as("cat"))
+    docs.join(cat, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("t2"),
+        trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          coalesce(col("cat"), lit("")),
+          "&lt;", "<"), "&gt;", ">"), "&amp;", "&"), " +", " "))
+          .as("ext"))
+  }
+
   private[graft] def piiAugmented: Column = {
     val h = md5(col("doc_id").cast("string"))
     val id = col("doc_id")
@@ -778,6 +841,69 @@ object TextAnalysis {
           when(col("nt") =!= col("t2"), 1L).otherwise(0L).as("changed"),
           length(col("nt")).cast("long").as("n_chars_norm"),
           md5(col("nt")).as("fp"))
+    },
+
+    // HTML/markup extraction — the stage before text_normalize in any
+    // crawled pipeline. The corpus is plain text, so the gate PLANTS a
+    // full markup scaffold on the md5(doc_id)-gated half (style +
+    // script to drop, a link-only nav and link-only list items for the
+    // link-density filter to kill, the body text as the surviving
+    // block, an entity-carrying footer) and the oracle recomputes the
+    // ENTIRE extraction — script/style drop, block split, per-block
+    // tag strip + anchor-length sum, the alen*2 <= len(clean) keep
+    // rule, ordered reassembly, entity unescape — in RE2-compatible
+    // SQL. Clean docs pass through unchanged (changed = 0 on the
+    // ungated half IS the idempotence readout).
+    QuerySpec(
+      "text_extract",
+      s"""WITH base AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |aug AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN substr(b.h, 1, 1) BETWEEN '0' AND '7'
+         |    THEN '$MarkupPre' || d.text || '$MarkupPost'
+         |    ELSE d.text END AS t2
+         |  FROM documents d JOIN base b USING (doc_id)),
+         |ns AS (SELECT doc_id, t2,
+         |    regexp_replace(regexp_replace(t2,
+         |      '<script[^>]*>[^<]*</script>', ' ', 'g'),
+         |      '<style[^>]*>[^<]*</style>', ' ', 'g') AS t3 FROM aug),
+         |sp AS (SELECT doc_id,
+         |    regexp_split_to_array(t3, '</?(p|div|li|h[1-6]|br)[^>]*>')
+         |      AS arr FROM ns),
+         |blk AS (SELECT doc_id, i, arr[i] AS blk
+         |        FROM sp, unnest(range(1, len(arr) + 1)) u(i)),
+         |sc AS (SELECT doc_id, i,
+         |    trim(regexp_replace(regexp_replace(blk, '<[^>]*>', ' ', 'g'),
+         |      ' +', ' ', 'g')) AS clean,
+         |    coalesce(list_sum(list_transform(
+         |      regexp_extract_all(blk, '<a[^>]*>([^<]*)</a>', 1),
+         |      x -> len(x))), 0) AS alen
+         |  FROM blk),
+         |cat AS (SELECT doc_id, string_agg(clean, ' ' ORDER BY i) AS cat
+         |        FROM sc WHERE len(clean) > 0 AND alen * 2 <= len(clean)
+         |        GROUP BY doc_id),
+         |fin AS (SELECT a.doc_id, a.t2,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(coalesce(c.cat, ''),
+         |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&amp;', '&', 'g'),
+         |      ' +', ' ', 'g')) AS ext
+         |  FROM aug a LEFT JOIN cat c USING (doc_id))
+         |SELECT doc_id,
+         |  CAST(CASE WHEN ext <> t2 THEN 1 ELSE 0 END AS BIGINT) AS changed,
+         |  CAST(length(ext) AS BIGINT) AS n_chars,
+         |  md5(ext) AS fp
+         |FROM fin""".stripMargin) { (s, d) =>
+      val h = md5(col("doc_id").cast("string"))
+      val t2 = when(substring(h, 1, 1).between("0", "7"),
+        concat(lit(MarkupPre), col("text"), lit(MarkupPost)))
+        .otherwise(col("text"))
+      val aug = Tables.documents(s, d).select(col("doc_id"), t2.as("t2"))
+      extractHtml(aug)
+        .select(col("doc_id"),
+          when(col("ext") =!= col("t2"), 1L).otherwise(0L).as("changed"),
+          length(col("ext")).cast("long").as("n_chars"),
+          md5(col("ext")).as("fp"))
     },
 
     // Sub-document dedup via content-defined chunking: per doc, the

