@@ -164,6 +164,139 @@ object StreamingRetrieval {
       }
       .start()
 
+  // ---- streaming serves for the remaining retrieval classes ----
+  // NEAR / regex / fuzzy / prefix complete the streaming-serve
+  // symmetry: every batch retrieval class the engine answers now has
+  // a batchId-keyed replay-idempotent streaming twin. Unlike
+  // bm25Batch/phraseBatch/substringBatch (whole-batch distributed
+  // formulations), these four serve per-query plans UNIONED into one
+  // job per micro-batch: the batch's queries are collected
+  // driver-side — bounded by the micro-batch itself, the same bound
+  // class as the probe-cell collects — and each query's serve is
+  // already bucket-pruned (or an explicit full-verify fallback), so
+  // the union is q cheap scans, not q corpus passes. Read-only ⇒
+  // replay-idempotent via batchId-keyed overwrite, no ledger.
+
+  /** Streaming NEAR search: micro-batches of
+    * `(query_id, words: array<string>)` against the word-positional
+    * index.
+    */
+  def startNear(queries: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String,
+      window: Int = Retrieval.NearWindow): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishNearBatch(batch, batchId, indexPath, outPath, window)
+      }
+      .start()
+
+  /** One NEAR micro-batch publish — the replay-idempotent unit. */
+  def publishNearBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, outPath: String, window: Int): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    val s = batch.sparkSession
+    import org.apache.spark.sql.functions.{col, lit}
+    val qs = batch.select(col("query_id"), col("words")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    qs.map { case (qid, ws) =>
+      Retrieval.nearSearch(s, indexPath, ws, window)
+        .select(lit(qid).as("query_id"), col("doc_id"),
+          col("best_span"), col("n_windows"))
+    }.reduce(_.union(_))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
+  }
+
+  /** Streaming regex (grep -E) search: micro-batches of
+    * `(query_id, pattern)` against the trigram index; `docs` is the
+    * verify corpus, the `text_regex` contract (finite-language prune
+    * where possible, explicit full-verify fallback otherwise).
+    */
+  def startRegex(queries: DataFrame, indexPath: String, docs: DataFrame,
+      outPath: String, checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishRegexBatch(batch, batchId, indexPath, docs, outPath)
+      }
+      .start()
+
+  /** One regex micro-batch publish — the replay-idempotent unit. */
+  def publishRegexBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, docs: DataFrame, outPath: String): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    val s = batch.sparkSession
+    import org.apache.spark.sql.functions.{col, lit}
+    val qs = batch.select(col("query_id"), col("pattern")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    qs.map { case (qid, pat) =>
+      Retrieval.regexSearch(s, indexPath, docs, pat)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("n_match"))
+    }.reduce(_.union(_))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
+  }
+
+  /** Streaming fuzzy (edit-distance) term search: micro-batches of
+    * `(query_id, term, max_dist)` against the trigram index.
+    */
+  def startFuzzy(queries: DataFrame, indexPath: String, docs: DataFrame,
+      outPath: String, checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishFuzzyBatch(batch, batchId, indexPath, docs, outPath)
+      }
+      .start()
+
+  /** One fuzzy micro-batch publish — the replay-idempotent unit. */
+  def publishFuzzyBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, docs: DataFrame, outPath: String): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    val s = batch.sparkSession
+    import org.apache.spark.sql.functions.{col, lit}
+    val qs = batch.select(col("query_id"), col("term"), col("max_dist"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    qs.map { case (qid, term, d) =>
+      Retrieval.fuzzySearch(s, indexPath, docs, term, d)
+        .select(lit(qid).as("query_id"), col("doc_id"),
+          col("n_variants"), col("tf_sum"), col("best_dist"))
+    }.reduce(_.union(_))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
+  }
+
+  /** Streaming prefix (autocomplete) search: micro-batches of
+    * `(query_id, prefix)` against the trigram index.
+    */
+  def startPrefix(queries: DataFrame, indexPath: String, docs: DataFrame,
+      outPath: String, checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishPrefixBatch(batch, batchId, indexPath, docs, outPath)
+      }
+      .start()
+
+  /** One prefix micro-batch publish — the replay-idempotent unit. */
+  def publishPrefixBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, docs: DataFrame, outPath: String): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    val s = batch.sparkSession
+    import org.apache.spark.sql.functions.{col, lit}
+    val qs = batch.select(col("query_id"), col("prefix")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    qs.map { case (qid, pre) =>
+      Retrieval.prefixSearch(s, indexPath, docs, pre)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("tf"),
+          col("n_variants"))
+    }.reduce(_.union(_))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
+  }
+
   /** Stream takedown requests `(doc_id)` through the CROSS-INDEX sweep
     * — each micro-batch tombstones its ids in all four indexes under
     * `root` via [[Retrieval.takedownSweep]], with the epoch-namespaced

@@ -57,6 +57,92 @@ class StreamingRetrievalSpec extends SparkSpec {
     assert(resultsOf(out) == streamed, "replayed batch must not duplicate")
   }
 
+  test("streaming NEAR / regex / fuzzy / prefix serves: every " +
+    "retrieval class's micro-batch output equals its batch serve, and " +
+    "a replayed batchId rewrites rather than duplicates") {
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001)
+    val nearIdx = Retrieval.ensureNearIndex(spark, sf0001)
+    val trgmIdx = Retrieval.ensureSubstringIndex(spark, sf0001)
+
+    // NEAR: two word-set queries across two micro-batches
+    val nearQs = Seq(0L -> Retrieval.NearWords, 1L -> Seq("table", "scan"))
+    val nOut = tmpDir("snear-out"); val nCk = tmpDir("snear-ckpt")
+    val nIn = MemoryStream[(Long, Seq[String])]
+    val nq = StreamingRetrieval.startNear(
+      nIn.toDF().toDF("query_id", "words"), nearIdx, nOut, nCk)
+    try {
+      nIn.addData(nearQs.head); nq.processAllAvailable()
+      nIn.addData(nearQs(1)); nq.processAllAvailable()
+    } finally nq.stop()
+    val nStreamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(nOut).as[(Long, Long, Long, Long)].collect().toSet
+    val nBatch = nearQs.flatMap { case (qid, ws) =>
+      Retrieval.nearSearch(spark, nearIdx, ws, Retrieval.NearWindow)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (qid, r._1, r._2, r._3))
+    }.toSet
+    assert(nStreamed == nBatch, "NEAR stream must equal batch serve")
+
+    // regex: a prunable pattern and a fallback pattern in one batch
+    val reQs = Seq(0L -> Retrieval.ProbeRegex, 1L -> "qu.ry")
+    val rOut = tmpDir("sre-out"); val rCk = tmpDir("sre-ckpt")
+    val rIn = MemoryStream[(Long, String)]
+    val rq = StreamingRetrieval.startRegex(
+      rIn.toDF().toDF("query_id", "pattern"), trgmIdx, docs, rOut, rCk)
+    try { rIn.addData(reQs: _*); rq.processAllAvailable() }
+    finally rq.stop()
+    def reRead() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(rOut).as[(Long, Long, Long)].collect().toSet
+    val rStreamed = reRead()
+    val rBatch = reQs.flatMap { case (qid, pat) =>
+      Retrieval.regexSearch(spark, trgmIdx, docs, pat)
+        .as[(Long, Long)].collect().map(r => (qid, r._1, r._2))
+    }.toSet
+    assert(rStreamed == rBatch, "regex stream must equal batch serve")
+    // replay: the batchId-keyed overwrite rewrites the same directory
+    StreamingRetrieval.publishRegexBatch(
+      reQs.toDF("query_id", "pattern"), 0L, trgmIdx, docs, rOut)
+    assert(reRead() == rStreamed, "replayed batch must not duplicate")
+
+    // fuzzy: the gate probe plus a no-prune short term (fallback path)
+    val fzQs = Seq((0L, Retrieval.FuzzyTerm, Retrieval.FuzzyMaxDist),
+      (1L, "ke", 1))
+    val fOut = tmpDir("sfz-out"); val fCk = tmpDir("sfz-ckpt")
+    val fIn = MemoryStream[(Long, String, Int)]
+    val fq = StreamingRetrieval.startFuzzy(
+      fIn.toDF().toDF("query_id", "term", "max_dist"), trgmIdx, docs,
+      fOut, fCk)
+    try { fIn.addData(fzQs: _*); fq.processAllAvailable() }
+    finally fq.stop()
+    val fStreamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(fOut).as[(Long, Long, Long, Long, Long)].collect().toSet
+    val fBatch = fzQs.flatMap { case (qid, term, d) =>
+      Retrieval.fuzzySearch(spark, trgmIdx, docs, term, d)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (qid, r._1, r._2, r._3, r._4))
+    }.toSet
+    assert(fStreamed == fBatch, "fuzzy stream must equal batch serve")
+
+    // prefix: a pruned 3-char probe and the sub-3-char fallback probe
+    val pfQs = Seq(0L -> "sca", 1L -> "da")
+    val pOut = tmpDir("spf-out"); val pCk = tmpDir("spf-ckpt")
+    val pIn = MemoryStream[(Long, String)]
+    val pq = StreamingRetrieval.startPrefix(
+      pIn.toDF().toDF("query_id", "prefix"), trgmIdx, docs, pOut, pCk)
+    try { pIn.addData(pfQs: _*); pq.processAllAvailable() }
+    finally pq.stop()
+    val pStreamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(pOut).as[(Long, Long, Long, Long)].collect().toSet
+    val pBatch = pfQs.flatMap { case (qid, pre) =>
+      Retrieval.prefixSearch(spark, trgmIdx, docs, pre)
+        .select($"doc_id", $"tf", $"n_variants")
+        .as[(Long, Long, Long)].collect()
+        .map(r => (qid, r._1, r._2, r._3))
+    }.toSet
+    assert(pStreamed == pBatch, "prefix stream must equal batch serve")
+  }
+
   test("bm25Batch matches per-term-set bm25TopK rankings") {
     val idx = Retrieval.ensureBm25Index(spark, sf0001)
     val multi = Retrieval.bm25Batch(spark, idx,
