@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Similarity.specs ++
       operators.TextAnalysis.specs ++
       operators.Bpe.specs ++
+      operators.Unigram.specs ++
       operators.Retrieval.specs ++
       operators.Multimodal.specs ++
       operators.Profiling.specs ++

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Unigram
+import org.apache.spark.sql.functions._
+
+/** The unigram-LM (SentencePiece-shape) tokenizer: hand-walked Viterbi
+  * segmentation (scores, split choice, the ascending-j first-max
+  * tie-break), hard-EM pruning behavior, model persistence, and the
+  * structural bounds that make the apply meter trustworthy.
+  */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("viterbiPieces: picks the max-score segmentation, prefers the " +
+    "longest piece on ties, and covers every character") {
+    // vocab: 'ab' beats 'a'+'b' (-1.0 > -1.5-1.5); for 'ba' only the
+    // char path exists
+    val m = typedlit(Map("ab" -> -1.0, "a" -> -1.5, "b" -> -1.5))
+    val out = Seq("abab", "ba", "aabb")
+      .toDF("word")
+      .select($"word", Unigram.viterbiPieces($"word", m).as("pieces"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("abab").sorted == Seq("ab", "ab"),
+      "two merged pieces must beat four chars")
+    assert(out("ba").sorted == Seq("a", "b"))
+    assert(out("aabb").sorted == Seq("a", "ab", "b"),
+      "the interior 'ab' must be found across the aa/bb runs")
+    // tie-break: 'xy' scored exactly like 'x'+'y' — the FIRST max over
+    // ascending split points j keeps the longer piece (smaller j)
+    val tie = typedlit(Map("xy" -> -2.0, "x" -> -1.0, "y" -> -1.0))
+    val t = Seq("xy").toDF("word")
+      .select(Unigram.viterbiPieces($"word", tie).as("p"))
+      .as[Seq[String]].head()
+    assert(t == Seq("xy"),
+      s"equal-score paths must resolve to the longest piece, got $t")
+  }
+
+  test("learnModel: hard EM prunes seed pieces the best paths never " +
+    "use, keeps every single char, and the persisted model re-serves " +
+    "without re-learning") {
+    val (pieces, wordseg) = Unigram.learnModel(
+      Tables.documents(spark, sf0001))
+    val ps = pieces.as[(String, Double, Long)].collect()
+    assert(ps.nonEmpty && ps.length <= Unigram.SeedSize + 64)
+    // every multi-char survivor was genuinely used; chars may be 0
+    assert(ps.filter(_._1.length > 1).forall(_._3 > 0),
+      "an unused multi-char piece survived the prune")
+    // every character of the corpus vocabulary is coverable
+    val chars = ps.filter(_._1.length == 1).map(_._1.head).toSet
+    val words = wordseg.select($"word").as[String].collect()
+    assert(words.forall(_.forall(chars.contains)),
+      "single-char coverage must span the corpus alphabet")
+    // scores are log-probs of a proper distribution: all negative
+    assert(ps.forall(_._2 < 0.0))
+    // segmentation bounds: ceil(len/MaxPieceLen) <= n_pieces <= len
+    val segs = wordseg.select($"word", $"n_pieces")
+      .as[(String, Long)].collect()
+    assert(segs.forall { case (w, n) =>
+      n <= w.length &&
+        n >= (w.length + Unigram.MaxPieceLen - 1) / Unigram.MaxPieceLen })
+    // EM genuinely pruned: the seed had SeedSize multi pieces (or all
+    // available), the survivors are strictly fewer at this corpus
+    assert(ps.count(_._1.length > 1) < Unigram.SeedSize)
+
+    // persistence: a second ensure serves the identical model
+    val root = Unigram.ensureUnigramModel(spark, sf0001)
+    val served = spark.read.parquet(s"$root/pieces")
+      .as[(String, Double, Long)].collect().sortBy(_._1)
+    assert(served.toSeq == ps.sortBy(_._1).toSeq,
+      "the persisted model must equal the in-memory learn")
+  }
+
+  test("meter: unigram_tokens sums the wordseg counts with char-count " +
+    "fallback for out-of-vocabulary words") {
+    val wordseg = Seq(("alpha", 1L, 2L), ("beta", 1L, 1L))
+      .toDF("word", "freq", "n_pieces")
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma beta"))
+      .toDF("doc_id", "text")
+    val rows = Unigram.meter(docs, wordseg)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(rows(1L) == ((3L, 5L)), "2 + 1 + 2 pieces")
+    assert(rows(2L) == ((2L, 6L)),
+      "OOV 'gamma' pays its 5 chars + beta's 1 piece")
+  }
+}
