@@ -2540,13 +2540,45 @@ object Multimodal {
   val PlantW = 18
   val PlantH = 16
 
+  /** Minimal 24-bit BI_RGB BMP encode (bottom-up rows, 4-byte row
+    * padding) — the second REAL container the planted corpus ships
+    * in, so the dedup gates exercise the magic router and two genuine
+    * decoders end-to-end, not just one. Round-trips through
+    * [[BmpMediaKernel.decodeBmp]] pixel-exactly.
+    */
+  private[graft] def encodeBmp(w: Int, h: Int,
+      rgb: Array[Byte]): Array[Byte] = {
+    val rowBytes = (3 * w + 3) / 4 * 4
+    val imgSize = rowBytes * h
+    val out = java.nio.ByteBuffer.allocate(54 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + imgSize)
+      .putInt(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(imgSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val p = 3 * (y * w + x)
+        out.put(rgb(p + 2)).put(rgb(p + 1)).put(rgb(p))
+        x += 1
+      }
+      var pad = rowBytes - 3 * w
+      while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    out.array()
+  }
+
   def plantedImages(spark: SparkSession, sfDir: String): Dataset[Asset] = {
     import spark.implicits._
     Tables.documents(spark, sfDir).select(col("doc_id")).as[Long].map { id =>
       val fam = if (id % 8 < 3) id - (id % 8) else id
       val seed = (fam * 2654435761L) % 1000000007L
       val variant = id - fam
-      val header = s"P6 $PlantW $PlantH 255\n".getBytes("US-ASCII")
       val px = new Array[Byte](3 * PlantW * PlantH)
       var y = 0
       while (y < PlantH) {
@@ -2569,8 +2601,18 @@ object Multimodal {
         }
         y += 1
       }
-      Asset(id, "image/x-portable-pixmap",
-        (header.length + px.length).toLong, header ++ px)
+      // container diversity INSIDE families: variant 1 ships as BMP,
+      // the rest as P6 — near-dups must be found ACROSS containers,
+      // which only holds if both real decoders emit identical pixels
+      // through the magic router (the oracle knows pixels, not
+      // containers, so any decoder drift breaks the hash match)
+      if (variant == 1L || (id % 8 >= 3 && id % 2 == 1))
+        Asset(id, "image/bmp", 0L, encodeBmp(PlantW, PlantH, px))
+      else {
+        val header = s"P6 $PlantW $PlantH 255\n".getBytes("US-ASCII")
+        Asset(id, "image/x-portable-pixmap",
+          (header.length + px.length).toLong, header ++ px)
+      }
     }
   }
 
@@ -2603,6 +2645,137 @@ object Multimodal {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted perceptual-hash index — the operational image-dedup shape
+  // at 100 TB: history images are hashed ONCE and their band entries
+  // persisted; each new wave bands against the index (and itself),
+  // never re-decoding or re-pairing the history. Speaks the same
+  // FoldProtocol dialect as every other index: ledgered folds,
+  // tombstoned takedowns, compaction, fsck.
+  // ---------------------------------------------------------------------
+
+  private val PhashSchema =
+    "asset_id BIGINT, phash BIGINT, chunk INT, cv BIGINT, bucket BIGINT"
+
+  /** Band-entry buckets per index (the Retrieval.Buckets convention). */
+  val PhashBuckets = 32
+
+  private[graft] def phashProtocol(path: String) =
+    new graft.index.FoldProtocol(path, "_phash_ledger")
+
+  /** One (asset_id, phash) row → its 4 band entries with the bucket
+    * partition key: bucket = pmod(xxhash64(chunk:cv), 32), so a
+    * bounded query set's candidate read is a static PartitionFilter.
+    */
+  private def bandEntries(hashes: DataFrame): DataFrame =
+    hashes.select(col("asset_id"), col("phash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("phash"), c * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("cc"))
+      .select(col("asset_id"), col("phash"),
+        col("cc.chunk").as("chunk"), col("cc.cv").as("cv"),
+        pmod(xxhash64(concat_ws(":", col("cc.chunk"), col("cc.cv"))),
+          lit(PhashBuckets.toLong)).as("bucket"))
+
+  private def stagePhashes(hashes: DataFrame, path: String,
+      dir: String): Unit =
+    bandEntries(hashes)
+      .repartition(col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(dir)
+
+  /** Build a fresh perceptual-hash index at `path` (seed sub-root). */
+  def writePhashIndex(hashes: DataFrame, path: String): Unit =
+    stagePhashes(hashes,
+      path, s"${phashProtocol(path).dir("phashes")}/seed")
+
+  /** Ledgered fold of a new image wave's hashes — exactly once under
+    * replay, the appendToIvfBinaryIndex contract on band entries.
+    */
+  def appendToPhashIndex(hashes: DataFrame, path: String,
+      batchId: Long): Boolean =
+    phashProtocol(path).fold(batchId, Seq("phashes")) {
+      stagePhashes(hashes, path,
+        s"${phashProtocol(path).dir("phashes")}/b$batchId")
+    }
+
+  /** Ledgered image takedown — tombstones only, O(|ids|). */
+  def deleteFromPhashIndex(ids: DataFrame, path: String,
+      deleteId: Long): Boolean = {
+    val p = phashProtocol(path)
+    p.delete(deleteId) { p.stageTombstones(ids, "asset_id", deleteId) }
+  }
+
+  /** All committed band entries minus committed tombstones. */
+  def indexPhashes(s: SparkSession, path: String): DataFrame =
+    phashProtocol(path).readCommittedStripped(s, "phashes", "asset_id")(
+      r => s.read.schema(PhashSchema).option("basePath", r).parquet(r))
+
+  /** Rewrite committed sub-roots into one `c<hw>` dir — the shared
+    * compaction contract (served view in, tombstones purged, ledger
+    * kept).
+    */
+  def compactPhashIndex(s: SparkSession, path: String): Unit = {
+    val p = phashProtocol(path)
+    p.withLease("compact-phash") {
+      indexPhashes(s, path)
+        .repartition(col("bucket"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"$path/.phashes.compacting/${p.compactDirName()}")
+      p.publishDir(".phashes.compacting", "phashes")
+      p.clearTombstones()
+    }
+  }
+
+  /** Incremental image dedup — the `Dedup.incrementalKeepNew` contract
+    * on perceptual hashes: an incoming image SURVIVES iff no image
+    * with a smaller asset_id (indexed history OR earlier in the
+    * incoming wave) sits within Hamming ≤ 3 of it. Candidates come
+    * from band collisions against the index ∪ the wave itself (never
+    * all-pairs); the popcount verify runs on collisions only. The
+    * history is never re-decoded, re-hashed or re-paired.
+    */
+  def phashKeepNew(s: SparkSession, indexPath: String,
+      incoming: DataFrame): DataFrame = {
+    val inc = bandEntries(incoming.select(col("asset_id"), col("phash")))
+    val partners = indexPhashes(s, indexPath)
+      .select(col("asset_id"), col("phash"), col("chunk"), col("cv"))
+      .unionByName(inc.select(col("asset_id"), col("phash"),
+        col("chunk"), col("cv")))
+    val rejected = inc.alias("i")
+      .join(partners.alias("p"),
+        col("i.chunk") === col("p.chunk") && col("i.cv") === col("p.cv")
+          && col("p.asset_id") < col("i.asset_id"))
+      .filter(bit_count(col("i.phash").bitwiseXOR(col("p.phash"))) <= 3)
+      .select(col("i.asset_id").as("asset_id"))
+      .distinct()
+    incoming.select(col("asset_id"), col("phash"))
+      .join(rejected, Seq("asset_id"), "left_anti")
+  }
+
+  /** Build-if-absent the incremental gate's HISTORY index: the planted
+    * corpus' doc_id % 5 ≠ 4 wave hashed through the real decode and
+    * seeded, keyed on the seed's completeness.
+    */
+  def ensureIncrementalPhashIndex(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_phash_index$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.ensurePublishedDir(s, root.toString)(r =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        phashProtocol(r).dir("phashes") + "/seed", "_SUCCESS"))
+    ) { staging =>
+      val history = perceptualHashes(
+        plantedImages(s, d).filter(col("asset_id") % 5 =!= 4),
+        DispatchMediaKernel).toDF()
+      writePhashIndex(history, staging)
+    }
   }
 
   /** Oracle CTE chain shared by the two image-dedup gates: closed-form
@@ -2770,6 +2943,34 @@ object Multimodal {
         .select(col("doc_id").as("asset_id"), col("cluster_id"),
           when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)
             .as("keep"))
+    },
+
+    // Incremental image dedup against the PERSISTED perceptual-hash
+    // index — the Dedup.incrementalKeepNew contract on pixels: the
+    // history wave is hashed once and indexed; the incoming wave
+    // bands against the index (and itself) and an incoming image
+    // survives iff no smaller-id image sits within Hamming ≤ 3. The
+    // oracle rebuilds the full-corpus banding from the closed-form
+    // pixel arithmetic and bars every incoming image that is the
+    // greater id of a verified pair — incremental ingestion must
+    // converge to exactly what a full re-dedup would keep.
+    QuerySpec(
+      "multimodal_dedup_incremental",
+      s"""$phashPairsCte
+         |SELECT s.doc_id AS asset_id,
+         |  CAST(CASE WHEN s.sig >= 9223372036854775808::UBIGINT
+         |       THEN CAST(s.sig AS HUGEINT) - 18446744073709551616::HUGEINT
+         |       ELSE CAST(s.sig AS HUGEINT) END AS BIGINT) AS phash
+         |FROM sigs s
+         |WHERE s.doc_id % 5 = 4
+         |  AND s.doc_id NOT IN (SELECT asset_b FROM pairs
+         |                       WHERE asset_b % 5 = 4)""".stripMargin) {
+      (s, d) =>
+      val idx = ensureIncrementalPhashIndex(s, d)
+      val incoming = perceptualHashes(
+        plantedImages(s, d).filter(col("asset_id") % 5 === 4),
+        DispatchMediaKernel).toDF()
+      phashKeepNew(s, idx, incoming)
     }
   )
 

@@ -186,16 +186,29 @@ object Unigram {
     * parquet dirs under the stage-and-publish convention —
     * [[Bpe.ensureBpeModel]]'s contract for the unigram family.
     */
-  def ensureUnigramModel(s: SparkSession, d: String): String = {
+  def ensureUnigramModel(s: SparkSession, d: String): String =
+    ensureModel(s, d, "graft_unigram_model", identity)
+
+  /** The model trained on the HISTORY wave only (doc_id % 5 ≠ 4) —
+    * the frozen-tokenizer fixture `text_unigram_oov` meters the
+    * incoming wave against, [[Bpe.ensureHistoryBpeModel]]'s contract
+    * for the unigram family.
+    */
+  def ensureHistoryUnigramModel(s: SparkSession, d: String): String =
+    ensureModel(s, d, "graft_unigram_hist",
+      _.filter(col("doc_id") % 5 =!= 4))
+
+  private def ensureModel(s: SparkSession, d: String, name: String,
+      slice: DataFrame => DataFrame): String = {
     val suffix = d.replaceAll("\\W", "_")
     val root = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_unigram_model$suffix")
+      s.conf.get("spark.sql.warehouse.dir"), s"$name$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     Layout.ensurePublishedDir(s, root.toString)(r =>
       Seq("pieces", "wordseg").forall(side => fs.exists(
         new org.apache.hadoop.fs.Path(r, side + "/_SUCCESS")))
     ) { staging =>
-      val (pieces, wordseg) = learnModel(Tables.documents(s, d))
+      val (pieces, wordseg) = learnModel(slice(Tables.documents(s, d)))
       pieces.coalesce(1).write.parquet(s"$staging/pieces")
       wordseg.write.parquet(s"$staging/wordseg")
     }
@@ -264,11 +277,14 @@ object Unigram {
   /** The learn chain: wf → seed scores s0 → EmRounds × (DP block +
     * usage + prune + rescore) → s<EmRounds>(piece, usage, score).
     */
-  private def learnSql: String = {
+  private def learnSql: String = learnSqlOver("")
+
+  private def learnSqlOver(docWhere: String): String = {
     val b = new StringBuilder
     b ++= s"""WITH RECURSIVE wf AS MATERIALIZED (
       |  SELECT w AS word, count(*) AS freq
-      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM documents$docWhere)
       |  WHERE w <> '' GROUP BY w),
       |cand AS (
       |  SELECT substr(word, p, L) AS piece, sum(freq) AS cnt
@@ -320,6 +336,21 @@ object Unigram {
       |        FROM documents)
       |  WHERE w <> '')""".stripMargin
 
+  /** [[applySql]]'s incoming-wave variant: the wave's token stream
+    * with `lang` carried, metered against whatever (history-frozen)
+    * learn chain precedes it — wave words absent from the history
+    * word frame get NO np row and pay the char fallback, exactly the
+    * frozen-tokenizer semantics.
+    */
+  private def applyWaveSql: String =
+    ",\n" + dpSql(EmRounds + 1, s"s$EmRounds") + s""",
+      |np AS MATERIALIZED (SELECT word, len(pieces) AS n_pieces
+      |                    FROM seg${EmRounds + 1}),
+      |dw AS (SELECT lang, w AS word
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |        FROM documents WHERE doc_id % 5 = 4)
+      |  WHERE w <> '')""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // The EM-pruned vocabulary itself, value-gated: every surviving
@@ -349,6 +380,42 @@ object Unigram {
         .stripMargin) { (s, d) =>
       meter(Tables.documents(s, d),
         s.read.parquet(ensureUnigramModel(s, d) + "/wordseg"))
+    },
+
+    // Tokenizer-drift alarm for the unigram family — text_oov_rate's
+    // contract with the model swapped: the incoming wave (doc_id % 5
+    // = 4) metered against the unigram model FROZEN on history, per
+    // language: wave tokens missing the frozen word frame (paying the
+    // char fallback) and the wave's cost in frozen-tokenizer units.
+    // With this both tokenizer families carry the retraining signal.
+    QuerySpec(
+      "text_unigram_oov",
+      learnSqlOver(" WHERE doc_id % 5 <> 4") + applyWaveSql + """
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN n_pieces IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(CAST(sum(CASE WHEN n_pieces IS NULL THEN 1 ELSE 0 END)
+        |        AS DOUBLE) / count(*), 6) + 0 AS oov_rate,
+        |  CAST(sum(coalesce(n_pieces, length(word))) AS BIGINT)
+        |    AS unigram_tokens
+        |FROM dw LEFT JOIN np USING (word) GROUP BY lang"""
+        .stripMargin) { (s, d) =>
+      val ws = s.read
+        .parquet(ensureHistoryUnigramModel(s, d) + "/wordseg")
+        .select(col("word"), col("n_pieces"))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 4)
+        .select(col("lang"),
+          explode(filter(split(col("text"), " "), w => w =!= ""))
+            .as("word"))
+        .join(ws, Seq("word"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("n_pieces").isNull, 1L).otherwise(0L)).as("n_oov"),
+          (round(sum(when(col("n_pieces").isNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6) + 0.0).as("oov_rate"),
+          sum(coalesce(col("n_pieces"), length(col("word")).cast("long")))
+            .as("unigram_tokens"))
     },
 
     // doc_token_budget re-metered in unigram tokens — the

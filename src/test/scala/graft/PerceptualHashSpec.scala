@@ -170,6 +170,85 @@ class PerceptualHashSpec extends SparkSpec {
       s"cluster label $cl of $id is not a canonical min")
   }
 
+  test("encodeBmp: the planted BMP container round-trips through the " +
+    "magic-routed decode pixel-exactly, so a family mixing P6 and BMP " +
+    "variants still hashes consistently") {
+    val rgb = gray(18, 16, k => (k * 91 + 3) % 256)
+    val bmp = Multimodal.encodeBmp(18, 16, rgb)
+    val a = Asset(7L, "image/bmp", bmp.length.toLong, bmp)
+    val got = DispatchMediaKernel.rgbFrame(a)
+    assert(got.isDefined, "BMP must route and decode")
+    val (w, h, out) = got.get
+    assert(w == 18 && h == 16)
+    assert(out.toSeq == rgb.toSeq, "BGR/bottom-up/padding must invert")
+    // and the planted corpus genuinely ships both containers
+    val mimes = Multimodal.plantedImages(spark, sf0001)
+      .collect().map(_.mime).toSet
+    assert(mimes == Set("image/x-portable-pixmap", "image/bmp"))
+  }
+
+  test("incremental image dedup: phashKeepNew against the persisted " +
+    "index equals the full-rebuild keep-list restricted to the " +
+    "incoming wave, and the index lifecycle (fold, delete, compact, " +
+    "replay) serves consistently") {
+    val hashes = Multimodal
+      .perceptualHashes(Multimodal.plantedImages(spark, sf0001),
+        DispatchMediaKernel)
+      .collect().map(p => p.asset_id -> p.phash).toMap
+    // full-rebuild truth: an asset survives iff no smaller id within 3
+    // AMONG BAND COLLISIONS (banding is part of the contract; at ≤ 3
+    // it is lossless anyway by pigeonhole)
+    def chunkSet(h: Long) = (0 until 4).map(c => (c, (h >>> (c * 16)) & 0xFFFFL)).toSet
+    def rejected(id: Long): Boolean = hashes.exists { case (o, oh) =>
+      o < id && chunkSet(oh).intersect(chunkSet(hashes(id))).nonEmpty &&
+        java.lang.Long.bitCount(oh ^ hashes(id)) <= 3
+    }
+    val expect = hashes.keySet.filter(id => id % 5 == 4 && !rejected(id))
+
+    val idx = Multimodal.ensureIncrementalPhashIndex(spark, sf0001)
+    val incoming = Multimodal.perceptualHashes(
+      Multimodal.plantedImages(spark, sf0001)
+        .filter($"asset_id" % 5 === 4), DispatchMediaKernel).toDF()
+    val got = Multimodal.phashKeepNew(spark, idx, incoming)
+      .select($"asset_id").as[Long].collect().toSet
+    assert(got == expect,
+      s"keep-list drift: extra=${got.diff(expect)} missing=${expect.diff(got)}")
+
+    // lifecycle on a scratch index: fold exactly-once, takedown
+    // unshields a victim's near-dups, compaction serve-identical
+    val scratch = tmpDir("phash-idx")
+    val hist = incoming.sparkSession.createDataFrame(
+      hashes.toSeq.filter(_._1 % 5 != 4).map(identity))
+      .toDF("asset_id", "phash")
+    Multimodal.writePhashIndex(hist.filter($"asset_id" % 2 === 0), scratch)
+    assert(Multimodal.appendToPhashIndex(
+      hist.filter($"asset_id" % 2 =!= 0), scratch, 0L))
+    assert(!Multimodal.appendToPhashIndex(
+      hist.filter($"asset_id" % 2 =!= 0), scratch, 0L),
+      "a committed fold must short-circuit")
+    val full = Multimodal.phashKeepNew(spark, scratch, incoming)
+      .select($"asset_id").as[Long].collect().toSet
+    assert(full == expect, "seed+fold must serve like the one-shot index")
+    // takedown: deleting every indexed history row leaves only
+    // wave-internal partners
+    assert(Multimodal.deleteFromPhashIndex(
+      hist.select($"asset_id"), scratch, 1L))
+    val waveOnly = Multimodal.phashKeepNew(spark, scratch, incoming)
+      .select($"asset_id").as[Long].collect().toSet
+    def rejectedByWave(id: Long): Boolean = hashes.exists { case (o, oh) =>
+      o < id && o % 5 == 4 &&
+        chunkSet(oh).intersect(chunkSet(hashes(id))).nonEmpty &&
+        java.lang.Long.bitCount(oh ^ hashes(id)) <= 3
+    }
+    assert(waveOnly ==
+      hashes.keySet.filter(id => id % 5 == 4 && !rejectedByWave(id)),
+      "tombstoned history must stop shielding")
+    // compaction is serve-identical
+    Multimodal.compactPhashIndex(spark, scratch)
+    assert(Multimodal.phashKeepNew(spark, scratch, incoming)
+      .select($"asset_id").as[Long].collect().toSet == waveOnly)
+  }
+
   test("never-all-pairs: the candidate join keys are the band chunks " +
     "(chunk, cv), not a cross of the corpus") {
     val analyzed = Multimodal.perceptualDupPairs(spark, sf0001)

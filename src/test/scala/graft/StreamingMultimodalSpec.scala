@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.DispatchMediaKernel
+import graft.streaming.StreamingMultimodal
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming image dedup-and-ingest: micro-batched arrival must
+  * converge to the one-shot batch keep-list, later batches must dedup
+  * against earlier ones through the index, and a redelivered batchId —
+  * including one whose FOLD already committed — must reproduce its own
+  * survivors exactly.
+  */
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("micro-batched image waves dedup against the growing index; " +
+    "the union of survivors equals the one-shot keep-list; a replay " +
+    "after the fold committed is idempotent") {
+    implicit val sc = spark.sqlContext
+    val hashes = Multimodal
+      .perceptualHashes(Multimodal.plantedImages(spark, sf0001),
+        DispatchMediaKernel)
+      .collect().map(p => p.asset_id -> p.phash).toSeq.sortBy(_._1)
+    val idx = tmpDir("sphash-idx")
+    val out = tmpDir("sphash-out")
+    val ckpt = tmpDir("sphash-ckpt")
+    // seed an EMPTY index root (the stream builds the rest)
+    Multimodal.writePhashIndex(
+      Seq.empty[(Long, Long)].toDF("asset_id", "phash"), idx)
+
+    val (w1, w2) = hashes.splitAt(hashes.length / 2)
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamingMultimodal.start(
+      in.toDF().toDF("asset_id", "phash"), idx, out, ckpt)
+    try {
+      in.addData(w1: _*); q.processAllAvailable()
+      in.addData(w2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def survivors() = spark.read
+      .option("recursiveFileLookup", "true").parquet(out)
+      .select($"asset_id").as[Long].collect().toSet
+    val streamed = survivors()
+    // one-shot truth: smallest-id-wins over band collisions at <= 3
+    val hm = hashes.toMap
+    def chunkSet(h: Long) =
+      (0 until 4).map(c => (c, (h >>> (c * 16)) & 0xFFFFL)).toSet
+    val expect = hm.keySet.filter(id => !hm.exists { case (o, oh) =>
+      o < id && chunkSet(oh).intersect(chunkSet(hm(id))).nonEmpty &&
+        java.lang.Long.bitCount(oh ^ hm(id)) <= 3
+    })
+    assert(streamed == expect,
+      s"extra=${streamed.diff(expect)} missing=${expect.diff(streamed)}")
+
+    // replay batch 1 AFTER its fold committed: the batch's rows now
+    // sit in the index too, but self-partners are excluded by the
+    // strict smaller-id rule, so the rewritten survivor dir is
+    // identical and the fold short-circuits
+    StreamingMultimodal.publishBatch(
+      w2.toDF("asset_id", "phash"), 1L, idx, out)
+    assert(survivors() == streamed,
+      "a replayed batch must reproduce its own survivors")
+  }
+}
+
