@@ -91,6 +91,16 @@ object Multimodal {
       * fallback is the documented contract).
       */
     def rgbFrame(a: Asset): Option[(Int, Int, Array[Byte])] = None
+
+    /** Decoded RGB pixel FRAMES — (frame_idx, width, height, rgb) for
+      * every `every`-th frame. A still image is its own one-frame
+      * video (idx 0); video kernels override with real frame
+      * iteration. The pixel surface behind per-frame perceptual
+      * hashing.
+      */
+    def rgbFrames(a: Asset,
+        every: Int): Iterator[(Int, Int, Int, Array[Byte])] =
+      rgbFrame(a).iterator.map { case (w, h, rgb) => (0, w, h, rgb) }
   }
 
   /** The default STUB kernel (no media libraries in this environment):
@@ -918,6 +928,67 @@ object Multimodal {
       while (i < n) { s += b(off + i) & 0xff; i += 1 }
       s
     }
+
+    /** One frame's RGB via full-range integer BT.601 (JPEG levels):
+      * R = Y + 1.402·(V−128), G = Y − 0.344·(U−128) − 0.714·(V−128),
+      * B = Y + 1.772·(U−128), in 16.16 fixed point — NEUTRAL chroma
+      * (128) reproduces the luma byte EXACTLY, which is what keeps
+      * grayscale planted streams oracle-exact while color streams take
+      * the same genuine conversion. Chroma upsampling is nearest
+      * (sample replication), the JPEG-kernel convention. Colorspace is
+      * recovered from the plane geometry (mono/420/422/444 have
+      * distinct chroma byte counts for any valid W×H).
+      */
+    private def frameRgb(b: Array[Byte], info: Y4mInfo,
+        off: Int): Array[Byte] = {
+      val w = info.w; val h = info.h
+      val rgb = new Array[Byte](3 * w * h)
+      def clamp(v: Int): Byte =
+        (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+      val uOff = off + info.lumaBytes
+      val vOff = uOff + info.chromaBytes
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yv = b(off + y * w + x) & 0xff
+          val (u, v) =
+            if (info.chromaBytes == 0) (128, 128) // mono
+            else if (info.chromaBytes == info.lumaBytes) { // 444
+              val ci = y * w + x
+              (b(uOff + ci) & 0xff, b(vOff + ci) & 0xff)
+            } else if (info.chromaBytes == (w / 2) * h) { // 422
+              val ci = y * (w / 2) + x / 2
+              (b(uOff + ci) & 0xff, b(vOff + ci) & 0xff)
+            } else { // 420
+              val ci = (y / 2) * (w / 2) + x / 2
+              (b(uOff + ci) & 0xff, b(vOff + ci) & 0xff)
+            }
+          val d = u - 128; val e = v - 128
+          val q = 3 * (y * w + x)
+          rgb(q) = clamp(yv + ((91881 * e) >> 16))
+          rgb(q + 1) = clamp(yv - ((22554 * d + 46802 * e) >> 16))
+          rgb(q + 2) = clamp(yv + ((116130 * d) >> 16))
+          x += 1
+        }
+        y += 1
+      }
+      rgb
+    }
+
+    /** TRUE per-frame pixel access — the surface video near-dup
+      * hashing reads; every `every`-th frame decodes to RGB.
+      */
+    override def rgbFrames(a: Asset,
+        every: Int): Iterator[(Int, Int, Int, Array[Byte])] =
+      parseY4m(a.content) match {
+        case None => Iterator.empty
+        case Some(info) =>
+          info.frameOff.iterator.zipWithIndex
+            .filter { case (_, idx) => idx % every == 0 }
+            .map { case (off, idx) =>
+              (idx, info.w, info.h, frameRgb(a.content, info, off)) }
+      }
 
     def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
       parseY4m(a.content) match {
@@ -2381,6 +2452,9 @@ object Multimodal {
       route(a).frames(a, every)
     override def rgbFrame(a: Asset): Option[(Int, Int, Array[Byte])] =
       route(a).rgbFrame(a)
+    override def rgbFrames(a: Asset,
+        every: Int): Iterator[(Int, Int, Int, Array[Byte])] =
+      route(a).rgbFrames(a, every)
   }
 
   @volatile private var activeKernel: MediaKernel = StubMediaKernel
@@ -2645,6 +2719,115 @@ object Multimodal {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
+  }
+
+  // ---------------------------------------------------------------------
+  // Video near-dup: per-frame dHash over REAL frame decode (Y4M), then
+  // aligned-frame Hamming banding — two videos are near-dups when
+  // enough of their same-index sampled frames land within the image
+  // dedup's Hamming radius. Never all-pairs: candidates must collide
+  // on a (frame_idx, chunk, cv) band bucket first.
+  // ---------------------------------------------------------------------
+
+  /** One sampled frame's perceptual hash. */
+  final case class FramePHash(asset_id: Long, frame_idx: Int, phash: Long)
+
+  /** Per-frame dHash of every decodable video (or still — a still is
+    * its one-frame video) — the distributed map at the kernel SPI
+    * seam; frames smaller than the 9×8 grid yield no row.
+    */
+  def framePerceptualHashes(assets: Dataset[Asset], k: MediaKernel,
+      every: Int = 1): Dataset[FramePHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      k.rgbFrames(a, every).flatMap { case (idx, w, h, rgb) =>
+        dHash64(w, h, rgb).map(FramePHash(a.asset_id, idx, _))
+      }
+    })
+  }
+
+  /** Frames per planted video; matching ≥ [[VideoMinMatch]] aligned
+    * frames at Hamming ≤ 3 makes a near-dup pair.
+    */
+  val PlantFrames = 4
+  val VideoMinMatch = 2
+
+  /** Planted Y4M (C420, neutral chroma) corpus for the video-dedup
+    * gate — the [[plantedImages]] families extended with a frame
+    * dimension: luma(f, x, y) adds a per-frame f·(k+131) term to the
+    * image formula (decorrelating frames within a stream), variants
+    * perturb the SAME 2×2 box on EVERY frame (≤ 2 dHash bits per
+    * frame), and chroma planes sit at 128 so the full-range BT.601
+    * decode reproduces the luma byte exactly — the closed form the
+    * oracle re-derives.
+    */
+  def plantedVideos(spark: SparkSession, sfDir: String): Dataset[Asset] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long].map { id =>
+      val fam = if (id % 8 < 3) id - (id % 8) else id
+      val seed = (fam * 2654435761L) % 1000000007L
+      val variant = id - fam
+      val header =
+        s"YUV4MPEG2 W$PlantW H$PlantH F25:1 Ip A1:1 C420\n"
+          .getBytes("US-ASCII")
+      val frameHdr = "FRAME\n".getBytes("US-ASCII")
+      val luma = PlantW * PlantH
+      val chroma = (PlantW / 2) * (PlantH / 2)
+      val buf = new java.io.ByteArrayOutputStream(
+        header.length + PlantFrames * (frameHdr.length + luma + 2 * chroma))
+      buf.write(header)
+      var f = 0
+      while (f < PlantFrames) {
+        buf.write(frameHdr)
+        var k = 0
+        while (k < luma) {
+          val x = k % PlantW; val y = k / PlantW
+          val bump =
+            if (variant > 0 && x >= 14 && x <= 15 && y >= 6 && y <= 7)
+              variant * 64L
+            else 0L
+          val v = (((seed * (k + 7L) + k.toLong * k * 97L +
+            f.toLong * (k + 131L)) % 1000000007L + bump) % 256L).toInt
+          buf.write(v)
+          k += 1
+        }
+        var c = 0
+        while (c < 2 * chroma) { buf.write(128); c += 1 }
+        f += 1
+      }
+      val bytes = buf.toByteArray
+      Asset(id, "video/x-yuv4mpeg", bytes.length.toLong, bytes)
+    }
+  }
+
+  /** Video near-dup pairs: per-frame hashes band on
+    * (frame_idx, chunk, cv), colliding same-index frames verify with
+    * exact popcount at ≤ 3, and a pair qualifies at ≥ VideoMinMatch
+    * matched frames — output (asset_a, asset_b, n_frames_matched).
+    */
+  def videoDupPairs(s: SparkSession, d: String): DataFrame = {
+    val hashes = framePerceptualHashes(plantedVideos(s, d),
+      DispatchMediaKernel).toDF()
+    val chunks = hashes.select(
+      col("asset_id"), col("frame_idx"), col("phash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("phash"), c * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("cc"))
+      .select(col("asset_id"), col("frame_idx"), col("phash"),
+        col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+    val a = chunks.select(col("asset_id").as("asset_a"),
+      col("phash").as("ha"), col("frame_idx"), col("chunk"), col("cv"))
+    val b = chunks.select(col("asset_id").as("asset_b"),
+      col("phash").as("hb"), col("frame_idx"), col("chunk"), col("cv"))
+    val frameMatches = a.join(b, Seq("frame_idx", "chunk", "cv"))
+      .filter(col("asset_a") < col("asset_b"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+      .select(col("asset_a"), col("asset_b"), col("frame_idx"))
+      .distinct()
+    frameMatches.groupBy(col("asset_a"), col("asset_b"))
+      .agg(count(lit(1)).as("n_frames_matched"))
+      .filter(col("n_frames_matched") >= VideoMinMatch)
   }
 
   // ---------------------------------------------------------------------
@@ -2971,6 +3154,58 @@ object Multimodal {
         plantedImages(s, d).filter(col("asset_id") % 5 === 4),
         DispatchMediaKernel).toDF()
       phashKeepNew(s, idx, incoming)
+    },
+
+    // Video near-dup pairs: planted Y4M streams (C420, neutral
+    // chroma) through the REAL frame decode (header walk, per-frame
+    // plane offsets, fixed-point BT.601) → per-frame dHash →
+    // aligned-frame Hamming banding → matched-frame count. The oracle
+    // re-derives every frame's luma, grid, hash bit, band bucket,
+    // per-frame popcount and the ≥ VideoMinMatch threshold in
+    // closed-form integer SQL.
+    QuerySpec(
+      "multimodal_video_dedup",
+      s"""WITH sd AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 8 < 3 THEN doc_id % 8 ELSE 0 END AS var,
+         |    ((CASE WHEN doc_id % 8 < 3 THEN doc_id - (doc_id % 8)
+         |           ELSE doc_id END) * 2654435761) % 1000000007 AS seed
+         |  FROM documents),
+         |px AS (
+         |  SELECT doc_id, f, x, y,
+         |    ((seed * (y*$PlantW+x+7) + (y*$PlantW+x)*(y*$PlantW+x)*97
+         |        + f*((y*$PlantW+x)+131)) % 1000000007
+         |      + CASE WHEN var > 0 AND x BETWEEN 14 AND 15
+         |                  AND y BETWEEN 6 AND 7
+         |             THEN var*64 ELSE 0 END) % 256 AS v
+         |  FROM sd, range(0, $PlantFrames) tf(f),
+         |       range(0, $PlantW) tx(x), range(0, $PlantH) ty(y)),
+         |g AS (
+         |  SELECT doc_id, f, x // 2 AS cx, y // 2 AS cy, sum(v) // 4 AS gv
+         |  FROM px GROUP BY doc_id, f, x // 2, y // 2),
+         |sigs AS (
+         |  SELECT a.doc_id, a.f,
+         |    bit_or(CASE WHEN b.gv > a.gv
+         |           THEN (1::HUGEINT << (a.cy*8 + a.cx))::UBIGINT
+         |           ELSE 0::UBIGINT END) AS sig
+         |  FROM g a JOIN g b
+         |    ON b.doc_id = a.doc_id AND b.f = a.f AND b.cy = a.cy
+         |      AND b.cx = a.cx + 1
+         |  WHERE a.cx < 8
+         |  GROUP BY a.doc_id, a.f),
+         |chunks AS (SELECT doc_id, f, sig, c, (sig >> (c*16)) & 65535 AS cv
+         |           FROM sigs, range(0, 4) t(c)),
+         |fm AS (
+         |  SELECT DISTINCT a.doc_id AS asset_a, b.doc_id AS asset_b, a.f
+         |  FROM chunks a JOIN chunks b
+         |    ON a.f = b.f AND a.c = b.c AND a.cv = b.cv
+         |      AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3)
+         |SELECT asset_a, asset_b,
+         |  CAST(count(*) AS BIGINT) AS n_frames_matched
+         |FROM fm GROUP BY asset_a, asset_b
+         |HAVING count(*) >= $VideoMinMatch""".stripMargin) {
+      (s, d) => videoDupPairs(s, d)
     }
   )
 

@@ -249,6 +249,78 @@ class PerceptualHashSpec extends SparkSpec {
       .select($"asset_id").as[Long].collect().toSet == waveOnly)
   }
 
+  test("video frames: Y4M rgbFrames decodes every-th frame, neutral " +
+    "chroma reproduces luma exactly, real chroma takes the fixed-point " +
+    "BT.601 path, and a still image is its own one-frame video") {
+    import Multimodal.DispatchMediaKernel
+    // hand-built 2-frame 2×2 C420 stream: frame 0 neutral chroma
+    // (RGB must equal luma), frame 1 pure-red-ish chroma
+    val header = "YUV4MPEG2 W2 H2 F25:1 C420\n".getBytes("US-ASCII")
+    val fh = "FRAME\n".getBytes("US-ASCII")
+    def frame(y: Seq[Int], u: Int, v: Int): Array[Byte] =
+      fh ++ (y.map(_.toByte) :+ u.toByte :+ v.toByte)
+    val y4m = header ++ frame(Seq(10, 20, 30, 40), 128, 128) ++
+      frame(Seq(100, 100, 100, 100), 128, 228)
+    val a = Asset(1L, "video/x-yuv4mpeg", y4m.length.toLong, y4m)
+    val frames = DispatchMediaKernel.rgbFrames(a, 1).toSeq
+    assert(frames.map(_._1) == Seq(0, 1))
+    val (_, w0, h0, rgb0) = frames.head
+    assert(w0 == 2 && h0 == 2)
+    assert(rgb0.toSeq == Seq(10, 20, 30, 40).flatMap(v =>
+      Seq(v.toByte, v.toByte, v.toByte)),
+      "neutral chroma must reproduce the luma byte exactly")
+    // frame 1: e = 100 → R = 100 + (91881*100 >> 16) = 100 + 140 = 240,
+    // G = 100 - (46802*100 >> 16) = 100 - 71 = 29, B = 100
+    val (_, _, _, rgb1) = frames(1)
+    assert((rgb1(0) & 0xff, rgb1(1) & 0xff, rgb1(2) & 0xff) ==
+      ((240, 29, 100)), s"BT.601 fixed point drifted: ${rgb1.toSeq}")
+    // sampling: every=2 keeps frame 0 only
+    assert(DispatchMediaKernel.rgbFrames(a, 2).map(_._1).toSeq == Seq(0))
+    // a still image serves one frame at idx 0 through the same surface
+    val still = Asset(2L, "image/x-portable-pixmap", 0L,
+      p6(18, 16, (0 until 288).map(k => (k % 256, k % 256, k % 256))))
+    assert(DispatchMediaKernel.rgbFrames(still, 1).map(_._1).toSeq ==
+      Seq(0))
+  }
+
+  test("planted videos: every family's aligned frames stay within " +
+    "Hamming ≤ 2, videoDupPairs finds each planted family pair with " +
+    "all frames matched, and banding equals brute force at the " +
+    "video threshold") {
+    val fh = Multimodal.framePerceptualHashes(
+      Multimodal.plantedVideos(spark, sf0001),
+      Multimodal.DispatchMediaKernel)
+      .collect().map(p => (p.asset_id, p.frame_idx) -> p.phash).toMap
+    val ids = fh.keys.map(_._1).toSet
+    assert(fh.size == ids.size * Multimodal.PlantFrames,
+      "every planted video must hash all its frames")
+    for (id <- ids if id % 8 > 0 && id % 8 < 3; base = id - (id % 8)
+         if ids.contains(base); f <- 0 until Multimodal.PlantFrames) {
+      val d = java.lang.Long.bitCount(fh((id, f)) ^ fh((base, f)))
+      assert(d <= 2, s"family ($base, $id) frame $f drifted to $d")
+    }
+    val got = Multimodal.videoDupPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // brute force at the same banded-then-verify semantics
+    def chunkSet(h: Long) =
+      (0 until 4).map(c => (c, (h >>> (c * 16)) & 0xFFFFL)).toSet
+    val brute = (for {
+      x <- ids; y <- ids if x < y
+      n = (0 until Multimodal.PlantFrames).count { f =>
+        chunkSet(fh((x, f))).intersect(chunkSet(fh((y, f)))).nonEmpty &&
+          java.lang.Long.bitCount(fh((x, f)) ^ fh((y, f))) <= 3
+      } if n >= Multimodal.VideoMinMatch
+    } yield (x, y) -> n.toLong).toMap
+    assert(got == brute)
+    // planted family pairs match on ALL frames
+    for (id <- ids if id % 8 > 0 && id % 8 < 3; base = id - (id % 8)
+         if ids.contains(base)) {
+      assert(got.get((base, id)).contains(Multimodal.PlantFrames.toLong),
+        s"family pair ($base, $id) must match every aligned frame")
+    }
+  }
+
   test("never-all-pairs: the candidate join keys are the band chunks " +
     "(chunk, cv), not a cross of the corpus") {
     val analyzed = Multimodal.perceptualDupPairs(spark, sf0001)
