@@ -101,6 +101,15 @@ object Multimodal {
     def rgbFrames(a: Asset,
         every: Int): Iterator[(Int, Int, Int, Array[Byte])] =
       rgbFrame(a).iterator.map { case (w, h, rgb) => (0, w, h, rgb) }
+
+    /** The decoded waveform's |amplitude| ENVELOPE in `bins` equal
+      * time bins (integer sample units summed per bin), or None when
+      * the payload carries no sample-decodable audio of ≥ `bins`
+      * frames. The audio analog of [[rgbFrame]]: the surface the
+      * audio fingerprint reads. Kernels that meter audio WITHOUT
+      * entropy-decoding samples (MP3, FLAC) honestly return None.
+      */
+    def audioEnvelope(a: Asset, bins: Int): Option[Array[Long]] = None
   }
 
   /** The default STUB kernel (no media libraries in this environment):
@@ -347,6 +356,23 @@ object Multimodal {
       * resize thumbnails are byte-deterministic with no float in the
       * path.
       */
+    /** |amplitude| envelope over `bins` equal time bins: frame t lands
+      * in bin t·bins/frames (integer floor — surjective for
+      * frames ≥ bins, so every bin holds ≥ 1 frame), summing
+      * |channel-averaged mono| in the kernel's integer sample units.
+      */
+    override def audioEnvelope(a: Asset, bins: Int): Option[Array[Long]] =
+      parseWav(a.content).filter(_.frames >= bins).map { w =>
+        val env = new Array[Long](bins)
+        var t = 0
+        while (t < w.frames) {
+          env((t.toLong * bins / w.frames).toInt) +=
+            math.abs(monoInt(a.content, w, t)).toLong
+          t += 1
+        }
+        env
+      }
+
     private def monoInt(b: Array[Byte], w: WavInfo, t: Int): Int = {
       val base = w.dataOff + t * w.blockAlign
       var s = 0
@@ -2455,6 +2481,8 @@ object Multimodal {
     override def rgbFrames(a: Asset,
         every: Int): Iterator[(Int, Int, Int, Array[Byte])] =
       route(a).rgbFrames(a, every)
+    override def audioEnvelope(a: Asset, bins: Int): Option[Array[Long]] =
+      route(a).audioEnvelope(a, bins)
   }
 
   @volatile private var activeKernel: MediaKernel = StubMediaKernel
@@ -2717,6 +2745,103 @@ object Multimodal {
       .filter(col("asset_a") < col("asset_b"))
       .select(col("asset_a"), col("asset_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  // ---------------------------------------------------------------------
+  // Audio near-dup: dHash's gradient-sign construction on the |x|
+  // time-envelope of REAL sample decode (WAV PCM) — the acoustic
+  // fingerprint's cheapest honest form (energy-contour signs; the
+  // spectral-peak variants need an FFT this container set doesn't
+  // justify). Same 64-bit hash ⇒ the SAME Hamming-band machinery as
+  // images, completing near-dup dedup across all three media families.
+  // ---------------------------------------------------------------------
+
+  /** Envelope bins per fingerprint: 65 bins → 64 gradient bits. */
+  val AudioBins = 65
+
+  /** Planted samples per stream (2 per bin). */
+  val AudioSamples = 130
+
+  /** Gradient-sign bits of an envelope: bit k set iff
+    * env(k+1) > env(k) — [[dHash64]]'s comparison on the time axis.
+    */
+  private def gradientBits(env: Array[Long]): Long = {
+    var bits = 0L
+    var k = 0
+    while (k < env.length - 1) {
+      if (env(k + 1) > env(k)) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** 64-bit audio fingerprint of every sample-decodable asset;
+    * payloads with no decodable waveform of ≥ AudioBins frames yield
+    * NO row (the perceptualHashes contract on sound).
+    */
+  def audioFingerprints(assets: Dataset[Asset],
+      k: MediaKernel): Dataset[PerceptualHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      k.audioEnvelope(a, AudioBins)
+        .map(env => PerceptualHash(a.asset_id, gradientBits(env)))
+    })
+  }
+
+  /** Planted 8-bit mono PCM corpus (8 kHz, AudioSamples frames) —
+    * the image families on the time axis: sample byte
+    * v(t) = ((seed·(t+7) + t²·97) mod p) mod 256, variants bump the
+    * two samples of ONE envelope bin (bin 30, t ∈ {60, 61}) by
+    * variant·64 — ≤ 2 fingerprint bits per variant. The kernel's
+    * envelope is Σ|v−128|·256 per bin (monoInt's 16-bit rebase), an
+    * exact integer the oracle restates.
+    */
+  def plantedAudio(spark: SparkSession, sfDir: String): Dataset[Asset] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long].map { id =>
+      val fam = if (id % 8 < 3) id - (id % 8) else id
+      val seed = (fam * 2654435761L) % 1000000007L
+      val variant = id - fam
+      val n = AudioSamples
+      val out = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+      out.put("data".getBytes("US-ASCII")).putInt(n)
+      var t = 0
+      while (t < n) {
+        val bump =
+          if (variant > 0 && (t == 60 || t == 61)) variant * 64L else 0L
+        out.put((((seed * (t + 7L) + t.toLong * t * 97L) % 1000000007L
+          + bump) % 256L).toByte)
+        t += 1
+      }
+      val bytes = out.array()
+      Asset(id, "audio/wav", bytes.length.toLong, bytes)
+    }
+  }
+
+  /** Near-dup audio pairs — [[perceptualDupPairs]]' banding on the
+    * acoustic fingerprints: 4 × 16-bit chunks, collide, popcount ≤ 3.
+    */
+  def audioDupPairs(s: SparkSession, d: String): DataFrame = {
+    val hashes = audioFingerprints(plantedAudio(s, d),
+      DispatchMediaKernel).toDF()
+    val chunks = bandEntries(hashes)
+    val a = chunks.select(col("asset_id").as("asset_a"),
+      col("phash").as("ha"), col("chunk"), col("cv"))
+    val b = chunks.select(col("asset_id").as("asset_b"),
+      col("phash").as("hb"), col("chunk"), col("cv"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("asset_a") < col("asset_b"))
+      .select(col("asset_a"), col("asset_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
   }
@@ -3163,6 +3288,48 @@ object Multimodal {
     // re-derives every frame's luma, grid, hash bit, band bucket,
     // per-frame popcount and the ≥ VideoMinMatch threshold in
     // closed-form integer SQL.
+    // Audio near-dup pairs: planted PCM streams through the REAL
+    // sample decode (RIFF chunk walk, monoInt rebase) → |x| envelope →
+    // gradient-sign fingerprint → the image-dedup banding. The oracle
+    // re-derives every sample, bin sum, gradient bit, band bucket and
+    // popcount in closed-form integer SQL.
+    QuerySpec(
+      "multimodal_audio_dedup",
+      s"""WITH sd AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 8 < 3 THEN doc_id % 8 ELSE 0 END AS var,
+         |    ((CASE WHEN doc_id % 8 < 3 THEN doc_id - (doc_id % 8)
+         |           ELSE doc_id END) * 2654435761) % 1000000007 AS seed
+         |  FROM documents),
+         |sm AS (
+         |  SELECT doc_id, t,
+         |    abs((((seed * (t+7) + t*t*97) % 1000000007)
+         |        + CASE WHEN var > 0 AND t IN (60, 61)
+         |               THEN var*64 ELSE 0 END) % 256 - 128) * 256 AS av
+         |  FROM sd, range(0, $AudioSamples) tt(t)),
+         |env AS (
+         |  SELECT doc_id, (t * $AudioBins) // $AudioSamples AS bin,
+         |    sum(av) AS e
+         |  FROM sm GROUP BY doc_id, (t * $AudioBins) // $AudioSamples),
+         |sigs AS (
+         |  SELECT a.doc_id,
+         |    bit_or(CASE WHEN b.e > a.e
+         |           THEN (1::HUGEINT << a.bin)::UBIGINT
+         |           ELSE 0::UBIGINT END) AS sig
+         |  FROM env a JOIN env b
+         |    ON b.doc_id = a.doc_id AND b.bin = a.bin + 1
+         |  WHERE a.bin < ${AudioBins - 1}
+         |  GROUP BY a.doc_id),
+         |chunks AS (SELECT doc_id, sig, c, (sig >> (c*16)) & 65535 AS cv
+         |           FROM sigs, range(0, 4) t(c))
+         |SELECT DISTINCT a.doc_id AS asset_a, b.doc_id AS asset_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM chunks a JOIN chunks b
+         |  ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin) {
+      (s, d) => audioDupPairs(s, d)
+    },
+
     QuerySpec(
       "multimodal_video_dedup",
       s"""WITH sd AS (

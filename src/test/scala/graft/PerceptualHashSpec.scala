@@ -321,6 +321,68 @@ class PerceptualHashSpec extends SparkSpec {
     }
   }
 
+  test("audio fingerprints: the |x| envelope sums monoInt units per " +
+    "time bin, gradient bits follow the envelope, non-decodable " +
+    "payloads yield no fingerprint, and planted families stay within " +
+    "Hamming ≤ 2 with banding equal to brute force") {
+    import Multimodal.DispatchMediaKernel
+    // hand-built 8-bit mono WAV, 130 samples: first 65 quiet (128 →
+    // |x| 0), last 65 loud (0 → |x| 128·256) — envelope rises once at
+    // the midpoint, so exactly bit 31 is set (bin 31 → 32 boundary:
+    // samples 62..63 quiet, 64..65 mixed? — compute: bin = t·65/130 =
+    // t/2; bins 0..31 quiet (t ≤ 63), bin 32 holds t=64 (quiet) and
+    // t=65 (loud), bins 33+ loud — env: 0×32, then 32768, then 65536×32
+    // → rises at bins 31→32 and 32→33: bits 31 and 32
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val n = samples.length
+      val out = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+      out.put("data".getBytes("US-ASCII")).putInt(n)
+      samples.foreach(v => out.put(v.toByte))
+      out.array()
+    }
+    val bytes = wav(Seq.fill(65)(128) ++ Seq.fill(65)(0))
+    val a = Asset(1L, "audio/wav", bytes.length.toLong, bytes)
+    val env = DispatchMediaKernel.audioEnvelope(a, 65).get
+    assert(env.length == 65)
+    assert(env.take(32).forall(_ == 0L))
+    assert(env(32) == 128L * 256, "bin 32 holds one quiet + one loud")
+    assert(env.drop(33).forall(_ == 2L * 128 * 256))
+    val fp = Multimodal.audioFingerprints(Seq(a).toDS(),
+      DispatchMediaKernel).collect()
+    assert(fp.length == 1)
+    assert(fp.head.phash == ((1L << 31) | (1L << 32)),
+      s"exactly the two rise bits must be set: ${fp.head.phash.toBinaryString}")
+    // too short / non-audio: no fingerprint row
+    val short = Asset(2L, "audio/wav", 0L, wav(Seq.fill(10)(0)))
+    val text = Asset(3L, "text/plain", 0L, "not audio".getBytes)
+    assert(Multimodal.audioFingerprints(Seq(short, text).toDS(),
+      DispatchMediaKernel).collect().isEmpty)
+
+    // planted corpus: family drift ≤ 2 bits; banding == brute force
+    val hashes = Multimodal.audioFingerprints(
+      Multimodal.plantedAudio(spark, sf0001), DispatchMediaKernel)
+      .collect().map(p => p.asset_id -> p.phash).toMap
+    for (id <- hashes.keySet if id % 8 > 0 && id % 8 < 3;
+         base = id - (id % 8) if hashes.contains(base)) {
+      val d = java.lang.Long.bitCount(hashes(id) ^ hashes(base))
+      assert(d <= 2, s"audio family ($base, $id) drifted to $d")
+    }
+    val brute = (for {
+      x <- hashes.keySet; y <- hashes.keySet if x < y
+      d = java.lang.Long.bitCount(hashes(x) ^ hashes(y)) if d <= 3
+    } yield (x, y, d.toLong)).toSet
+    val banded = Multimodal.audioDupPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(banded == brute)
+  }
+
   test("never-all-pairs: the candidate join keys are the band chunks " +
     "(chunk, cv), not a cross of the corpus") {
     val analyzed = Multimodal.perceptualDupPairs(spark, sf0001)
