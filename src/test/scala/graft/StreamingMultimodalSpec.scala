@@ -62,5 +62,30 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(survivors() == streamed,
       "a replayed batch must reproduce its own survivors")
   }
+
+  test("one banding machine: AUDIO fingerprints flow through the same " +
+    "persisted index and keep-new contract unchanged — the 64-bit hash " +
+    "convention is modality-agnostic") {
+    val hashes = Multimodal.audioFingerprints(
+      Multimodal.plantedAudio(spark, sf0001), DispatchMediaKernel)
+      .collect().map(p => p.asset_id -> p.phash).toMap
+    val idx = tmpDir("aphash-idx")
+    val hist = hashes.toSeq.filter(_._1 % 5 != 4)
+      .toDF("asset_id", "phash")
+    Multimodal.writePhashIndex(hist, idx)
+    val incoming = hashes.toSeq.filter(_._1 % 5 == 4)
+      .toDF("asset_id", "phash")
+    val got = Multimodal.phashKeepNew(spark, idx, incoming)
+      .select($"asset_id").as[Long].collect().toSet
+    def chunkSet(h: Long) =
+      (0 until 4).map(c => (c, (h >>> (c * 16)) & 0xFFFFL)).toSet
+    val expect = hashes.keySet.filter(id => id % 5 == 4 &&
+      !hashes.exists { case (o, oh) =>
+        o < id && chunkSet(oh).intersect(chunkSet(hashes(id))).nonEmpty &&
+          java.lang.Long.bitCount(oh ^ hashes(id)) <= 3
+      })
+    assert(got == expect,
+      "the audio wave must dedup through the unmodified image index")
+  }
 }
 
