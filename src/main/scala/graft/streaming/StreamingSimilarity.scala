@@ -56,6 +56,36 @@ object StreamingSimilarity {
       .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
   }
 
+  /** Streaming serve from the persisted IVF+BINARY index — [[start]]'s
+    * contract at the cheapest rung: each micro-batch of
+    * `(query_id, qv)` probes cells, Hamming-shortlists over the
+    * 16 B/row sign words, and exact-reranks only the shortlist against
+    * `full`, the full-precision sidecar (bounded In(vec_id) point
+    * lookups). Read-only ⇒ batchId-keyed overwrite, no ledger.
+    * Completes streaming-SERVE symmetry across the ANN rungs.
+    */
+  def startBinary(queries: DataFrame, indexPath: String, full: DataFrame,
+      outPath: String, checkpoint: String, nprobe: Int = 4,
+      k: Int = 5): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishBinaryBatch(batch, batchId, indexPath, full, outPath,
+          nprobe, k)
+      }
+      .start()
+
+  /** One binary-serve micro-batch — the replay-idempotent unit. */
+  def publishBinaryBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, full: DataFrame, outPath: String,
+      nprobe: Int = 4, k: Int = 5): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    Similarity.ivfBinaryTopK(batch.sparkSession, indexPath, batch, full,
+      nprobe, k)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
+  }
+
   /** The WRITE side of the index lifecycle: fold micro-batches of NEW
     * corpus vectors `(vec_id, v)` into the persisted IVF index —
     * `Similarity.appendToIvfIndex` per batch, so each vector is

@@ -71,6 +71,43 @@ class StreamingSimilaritySpec extends SparkSpec {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP), cid)
     }.minBy { case (sim, cid) => (-sim, cid) }._2
 
+  test("streaming BINARY serve vs persisted IVF+binary index: " +
+    "micro-batch union equals the batch serve (shortlist + exact " +
+    "rerank included); a replayed batchId is idempotent") {
+    implicit val sc = spark.sqlContext
+    val idx = Similarity.ensureIvfBinaryIndex(spark, sf0001)
+    val full = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".as("v"))
+    val out = tmpDir("sbin-out")
+    val ckpt = tmpDir("sbin-ckpt")
+    val qvecs = Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" < 6)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamingSimilarity.startBinary(
+      in.toDF().toDF("query_id", "qv"), idx, full, out, ckpt)
+    try {
+      in.addData(qvecs.take(3): _*)
+      q.processAllAvailable()
+      in.addData(qvecs.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = resultsOf(out)
+    val batch = Similarity.ivfBinaryTopK(spark, idx,
+      qvecs.toDF("query_id", "qv"), full)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed == batch,
+      "micro-batch union must equal the batch binary serve")
+    // replay batch 0
+    StreamingSimilarity.publishBinaryBatch(
+      qvecs.take(3).toDF("query_id", "qv"), 0L, idx, full, out)
+    assert(resultsOf(out) == streamed,
+      "a replayed batch must not duplicate")
+  }
+
   test("appendToIvfIndex: a batch-grown index holds exactly the union " +
     "assigned to the FROZEN centroids; replay, crash-window and " +
     "compaction are all exactly-once / result-identical") {
