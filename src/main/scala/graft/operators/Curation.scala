@@ -482,6 +482,59 @@ object Curation {
           .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    // A-ES): per language, 50 docs with inclusion probability
+    // proportional to their whitespace-token count — the
+    // length-proportional draw a token-budgeted mixture builder runs
+    // where the stratified gate's uniform draw won't do. Key =
+    // ln(u)/w with u a deterministic md5-derived uniform in (0, 1]
+    // (top-k by key ⇔ top-k by u^(1/w)); u's integer comes from 15
+    // md5 hex chars parsed identically on both engines (Spark conv ==
+    // DuckDB '0x'-cast, value-checked), the 2⁶⁰ divisor is an exact
+    // power of two, and the key has NO summation — both engines run
+    // the identical IEEE op chain per row, so the ranking agrees
+    // without a rounding crutch (ln parity per the
+    // text_unigram_logprob precedent); the OUTPUT key is 6-dp-rounded
+    // for display only. Two-stage salted windows keep any one task's
+    // sort bounded, the stratified-sample shape.
+    QuerySpec(
+      "doc_sample_weighted",
+      """WITH t AS (SELECT doc_id, lang,
+        |    greatest(len(string_split(text, ' ')), 1) AS w,
+        |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        + 1) / 1152921504606846976.0)
+        |      / greatest(len(string_split(text, ' ')), 1) AS k
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, w, k,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY k DESC, doc_id) AS rn
+        |  FROM t)
+        |SELECT doc_id, lang, CAST(w AS BIGINT) AS w,
+        |  round(k, 6) AS sample_key
+        |FROM r WHERE rn <= 50""".stripMargin) { (s, d) =>
+      val wgt = greatest(size(split(col("text"), " ")), lit(1))
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long") + 1).cast("double") /
+        lit(1152921504606846976.0)
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          wgt.cast("long").as("w"),
+          (log(u) / wgt.cast("double")).as("k"))
+      val wSalt = Window.partitionBy(col("lang"), col("salt"))
+        .orderBy(col("k").desc, col("doc_id"))
+      val cand = t
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)))
+        .withColumn("r0", row_number().over(wSalt))
+        .filter(col("r0") <= 50)
+        .drop("r0", "salt")
+      val wLang = Window.partitionBy(col("lang"))
+        .orderBy(col("k").desc, col("doc_id"))
+      cand.withColumn("rn", row_number().over(wLang))
+        .filter(col("rn") <= 50)
+        .select(col("doc_id"), col("lang"), col("w"),
+          round(col("k"), 6).as("sample_key"))
+    },
+
     // Fixed-budget sequence packing (pretraining-style chunked concat):
     // docs in deterministic order accumulate whitespace-token counts; a
     // doc's bin is its exclusive prefix sum ÷ budget. Bins close at the

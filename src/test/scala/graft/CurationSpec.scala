@@ -48,6 +48,43 @@ class CurationSpec extends SparkSpec {
       b.orderBy("doc_id").collect().toSeq)
   }
 
+  test("weighted sample: keys reproduce the A-ES formula exactly, the " +
+    "per-language quota holds, the draw is length-biased, and the " +
+    "two-stage windows equal a single global ranking") {
+    val a = run("doc_sample_weighted").cache()
+    val perLang = a.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.values.forall(_ <= 50) && perLang("en") == 50L)
+    // recompute every doc's key in plain Scala and rank per language —
+    // the two-stage salted take must equal the one-stage global top-50
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect()
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val keyed = docs.map { case (id, lang, text) =>
+      val w = math.max(text.split(" ", -1).length, 1)
+      val u = (java.lang.Long.parseLong(md5hex(id.toString).take(15), 16)
+        + 1).toDouble / 1152921504606846976.0
+      (id, lang, w.toLong, math.log(u) / w)
+    }
+    val expect = keyed.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._4, r._1)).take(50).toSeq
+    }.map(r => (r._1, r._2, r._3)).toSet
+    val got = a.select($"doc_id", $"lang", $"w")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == expect,
+      s"A-ES drift: extra=${got.diff(expect).take(3)} missing=${expect.diff(got).take(3)}")
+    // length bias: sampled docs are heavier on average than the corpus
+    // (en stratum — the one where the quota genuinely selects)
+    val corpusAvg = keyed.filter(_._2 == "en").map(_._3).sum.toDouble /
+      keyed.count(_._2 == "en")
+    val sampleAvg = got.toSeq.filter(_._2 == "en").map(_._3).sum.toDouble /
+      got.count(_._2 == "en")
+    assert(sampleAvg > corpusAvg,
+      s"weighted draw must be length-biased: $sampleAvg vs $corpusAvg")
+  }
+
   test("packing: bins partition the corpus and respect the budget boundary") {
     val p = run("doc_pack").cache()
     val docs = Tables.documents(spark, sf0001)
