@@ -1601,6 +1601,34 @@ object Retrieval {
         col("tf"), col("n_variants"))
   }
 
+  /** Suffix (trailing-wildcard, `*tion`) term search — [[prefixSearch]]
+    * mirrored: a token ENDING with a ≥ 3-char suffix contains every
+    * trigram of that suffix, so the same all-grams intersection prunes
+    * and only candidates pay the token-anchored `endsWith` verify;
+    * sub-3-char suffixes take the explicit full-corpus verify, the
+    * shared fallback contract. Completes the wildcard pair — a real
+    * suffix workload (morphology probes, file-extension search) needs
+    * no reversed second index because the trigram index is
+    * position-free.
+    */
+  def suffixSearch(s: SparkSession, indexPath: String, docs: DataFrame,
+      suffix: String): DataFrame = {
+    val grams = suffix.sliding(3).toVector.distinct
+    val pruned =
+      if (grams.nonEmpty && grams.head.length == 3)
+        docs.join(fuzzyCandidates(s, indexPath, suffix, grams.length),
+          Seq("doc_id"), "left_semi")
+      else docs
+    pruned
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(col("word").endsWith(suffix))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        count_distinct(col("word")).as("n_variants"))
+      .select(lit(suffix).as("suffix"), col("doc_id"),
+        col("tf"), col("n_variants"))
+  }
+
   private def fuzzyOracleSql: String =
     s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |           FROM documents),
@@ -1838,6 +1866,25 @@ object Retrieval {
       val docs = Tables.documents(s, d)
       prefixSearch(s, idx, docs, "sca")
         .unionByName(prefixSearch(s, idx, docs, "da"))
+    },
+    // Suffix (trailing-wildcard) term search — the prefix gate
+    // mirrored: one ≥ 3-char probe serves index-pruned, one 2-char
+    // probe exercises the explicit full-verify fallback, both
+    // value-gated in one result.
+    QuerySpec(
+      "text_suffix",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |m AS (SELECT p.suffix, doc_id, w
+        |      FROM t, (VALUES ('ter'), ('ow')) p(suffix)
+        |      WHERE ends_with(w, p.suffix))
+        |SELECT suffix, doc_id, CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(count(DISTINCT w) AS BIGINT) AS n_variants
+        |FROM m GROUP BY suffix, doc_id""".stripMargin) { (s, d) =>
+      val idx = ensureSubstringIndex(s, d)
+      val docs = Tables.documents(s, d)
+      suffixSearch(s, idx, docs, "ter")
+        .unionByName(suffixSearch(s, idx, docs, "ow"))
     },
     // Cross-index takedown sweep (right-to-be-forgotten): ONE call
     // tombstones a doc set in all four text indexes under one

@@ -917,6 +917,31 @@ class RetrievalSpec extends SparkSpec {
       "the prefix trigram prune must exclude at least one document")
   }
 
+  test("suffixSearch serves identically to a full-corpus endsWith " +
+    "scan on both the PRUNED (>= 3 chars) and FALLBACK (2 chars) " +
+    "paths — the position-free trigram index needs no reversed twin") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val idx = tmpDir("trgm-suffix")
+    Retrieval.writeSubstringIndex(docs, idx)
+    def brute(p: String) = docs
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word".endsWith(p))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("tf"), countDistinct($"word").as("nv"))
+      .select(lit(p).as("suffix"), $"doc_id", $"tf", $"nv")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    for (p <- Seq("ter", "ow", "ream", "zz")) {
+      val got = Retrieval.suffixSearch(spark, idx, docs, p)
+        .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+      assert(got == brute(p), s"suffix '$p' diverged")
+    }
+    assert(Retrieval.suffixSearch(spark, idx, docs, "ter").count() > 0)
+    val cands = Retrieval.fuzzyCandidates(spark, idx, "ter", 1)
+      .as[Long].collect().toSet
+    assert(cands.size < docs.count(),
+      "the suffix trigram prune must exclude at least one document")
+  }
+
   test("takedownSweep: one call tombstones a doc set in all FOUR " +
     "indexes exactly-once — victims unreachable on every serve path, " +
     "replay a committed no-op, a later sweep composes under a new id") {
