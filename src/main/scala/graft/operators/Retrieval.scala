@@ -2586,7 +2586,7 @@ object Retrieval {
   private lazy val hybridPqOracleSql: String =
     s"""WITH ${hybridLexCtes("TRUE")},
        |$hybridDenseQueryCtes,
-       |${Similarity.ivfPqServeCtes("qd", "pqtop")},
+       |${Similarity.ivfPqServeCtes("qd", "pqtop", k = TopK)},
        |dr AS (SELECT neighbor_id AS doc_id, rank AS r FROM pqtop),
        |$hybridFusionTail""".stripMargin
 
@@ -2599,7 +2599,7 @@ object Retrieval {
   private lazy val hybridBinaryOracleSql: String =
     s"""WITH ${hybridLexCtes("TRUE")},
        |$hybridDenseQueryCtes,
-       |${Similarity.ivfBinaryServeCtes("qd", "bntop")},
+       |${Similarity.ivfBinaryServeCtes("qd", "bntop", k = TopK)},
        |dr AS (SELECT neighbor_id AS doc_id, rank AS r FROM bntop),
        |$hybridFusionTail""".stripMargin
 
@@ -2616,7 +2616,7 @@ object Retrieval {
        |$hybridDenseQueryCtes,
        |${Similarity.ivfBinaryServeCtes("qd", "bntop",
           scWhere = "b.vec_id IN (SELECT vec_id FROM embeddings" +
-            " WHERE label IN (0, 2, 4, 6, 8))")},
+            " WHERE label IN (0, 2, 4, 6, 8))", k = TopK)},
        |dr AS (SELECT neighbor_id AS doc_id, rank AS r FROM bntop),
        |$hybridFusionTail""".stripMargin
 
@@ -2632,7 +2632,7 @@ object Retrieval {
        |$hybridDenseQueryCtes,
        |${Similarity.ivfPqServeCtes("qd", "pqtop",
           adcWhere = "a.vec_id IN (SELECT vec_id FROM embeddings" +
-            " WHERE label IN (0, 2, 4, 6, 8))")},
+            " WHERE label IN (0, 2, 4, 6, 8))", k = TopK)},
        |dr AS (SELECT neighbor_id AS doc_id, rank AS r FROM pqtop),
        |$hybridFusionTail""".stripMargin
 

@@ -808,7 +808,8 @@ object Similarity {
     * recall`'s oracle and the binary-backed hybrid compose it.
     */
   private[graft] def ivfBinaryServeCtes(queryCte: String,
-      out: String, scWhere: String = "TRUE"): String =
+      out: String, scWhere: String = "TRUE",
+      k: Int = TopK): String =
     s"""bn_seeds AS (${fixedKSeedSql("e", FixedK)}),
        |bn_a0 AS (SELECT vec_id, v, cent_id FROM (
        |    SELECT e.vec_id, e.v, s.cent_id,
@@ -852,7 +853,7 @@ object Similarity {
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY sim DESC, neighbor_id) AS rank
-       |  FROM bn_res) WHERE rank <= $TopK)""".stripMargin
+       |  FROM bn_res) WHERE rank <= $k)""".stripMargin
 
   /** One binary shortlist-then-exact-rerank serve as composable oracle
     * text — the `_bv/_sc/_sh/_rr/_tk` CTE chain over an assigned frame
@@ -2342,7 +2343,8 @@ object Similarity {
     * restriction).
     */
   private[graft] def ivfPqServeCtes(queryCte: String,
-      out: String, adcWhere: String = "TRUE"): String =
+      out: String, adcWhere: String = "TRUE",
+      k: Int = TopK): String =
     s"""pq_seeds AS (${fixedKSeedSql("e", FixedK)}),
        |pq_a0 AS (SELECT vec_id, v, cent_id FROM (
        |    SELECT e.vec_id, e.v, s.cent_id,
@@ -2396,7 +2398,7 @@ object Similarity {
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY sim DESC, neighbor_id) AS rank
-       |  FROM pq_res) WHERE rank <= $TopK)""".stripMargin
+       |  FROM pq_res) WHERE rank <= $k)""".stripMargin
 
   /** The Spark side of both IVF-PQ recall gates: [[ivfPqTopK]] against
     * the given persisted index, per-query overlap vs [[bruteTopK]].
