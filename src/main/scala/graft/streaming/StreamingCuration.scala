@@ -159,4 +159,35 @@ object StreamingCuration {
         ()
       }
       .start()
+
+  /** Streaming markup extraction — the crawled-ingest FRONT stage,
+    * upstream of everything above: each micro-batch of raw
+    * `(doc_id, t2)` markup runs `TextAnalysis.extractHtml`
+    * (script/style drop, link-density block filter, entity unescape)
+    * and lands `(doc_id, ext, changed)` batchId-keyed. The per-doc
+    * block reassembly is a doc_id-keyed aggregate WITHIN the batch —
+    * no cross-batch state — so foreachBatch is the natural unit and
+    * replay is a pure overwrite (no ledger; extraction is
+    * deterministic and read-only).
+    */
+  def startExtract(docs: DataFrame, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishExtractBatch(batch, batchId, outPath)
+      }
+      .start()
+
+  /** One extraction micro-batch — the replay-idempotent unit. */
+  def publishExtractBatch(batch: DataFrame, batchId: Long,
+      outPath: String): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    TextAnalysis.extractHtml(batch.select(col("doc_id"), col("t2")))
+      .select(col("doc_id"), col("ext"),
+        when(col("ext") =!= col("t2"), 1L).otherwise(0L).as("changed"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outPath/b$batchId")
+  }
 }

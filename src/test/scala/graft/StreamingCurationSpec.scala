@@ -131,6 +131,41 @@ class StreamingCurationSpec extends SparkSpec {
       "streaming micro-batches must reproduce the batch verdicts")
   }
 
+  test("startExtract: streamed markup extraction equals the batch " +
+    "extractor per micro-batch, clean docs pass unchanged, and a " +
+    "replayed batchId rewrites rather than duplicates") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val raw = Seq(
+      1L -> (TextAnalysis.MarkupPre + "alpha beta" + TextAnalysis.MarkupPost),
+      2L -> "already clean text",
+      3L -> (TextAnalysis.MarkupPre + "gamma" + TextAnalysis.MarkupPost))
+    val out = tmpDir("sext-out"); val ckpt = tmpDir("sext-ckpt")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingCuration.startExtract(
+      in.toDF().toDF("doc_id", "t2"), out, ckpt)
+    try {
+      in.addData(raw.take(2): _*); q.processAllAvailable()
+      in.addData(raw.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def read() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).as[(Long, String, Long)].collect().toSet
+    val streamed = read()
+    val batch = TextAnalysis.extractHtml(raw.toDF("doc_id", "t2"))
+      .select($"doc_id", $"ext",
+        when($"ext" =!= $"t2", 1L).otherwise(0L).as("changed"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch, "stream must equal the batch extractor")
+    assert(streamed.exists(r => r._1 == 2L && r._3 == 0L &&
+      r._2 == "already clean text"), "clean docs pass unchanged")
+    assert(streamed.exists(r => r._1 == 1L && r._3 == 1L &&
+      r._2.startsWith("alpha beta")), "markup docs extract their body")
+    // replay batch 0
+    StreamingCuration.publishExtractBatch(
+      raw.take(2).toDF("doc_id", "t2"), 0L, out)
+    assert(read() == streamed, "replayed batch must not duplicate")
+  }
+
   test("stream and batch curation agree: the same expressions filter the " +
     "documents table to the same survivors") {
     implicit val sc = spark.sqlContext
