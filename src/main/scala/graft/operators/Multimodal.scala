@@ -3023,6 +3023,17 @@ object Multimodal {
     phashProtocol(path).readCommittedStripped(s, "phashes", "asset_id")(
       r => s.read.schema(PhashSchema).option("basePath", r).parquet(r))
 
+  /** [[indexPhashes]] AS OF a ledger horizon — the shared list-time
+    * dir/tombstone scoping, zero data cost. With this every persisted
+    * index kind in the engine (BM25, phrase, trigram, word-positional,
+    * float/PQ/binary ANN, perceptual-hash) serves ledger horizons.
+    */
+  def indexPhashesAsOf(s: SparkSession, path: String,
+      asOf: Long): DataFrame =
+    phashProtocol(path).readCommittedStrippedAsOf(s, "phashes",
+      "asset_id", asOf)(
+      r => s.read.schema(PhashSchema).option("basePath", r).parquet(r))
+
   /** Rewrite committed sub-roots into one `c<hw>` dir — the shared
     * compaction contract (served view in, tombstones purged, ledger
     * kept).
@@ -3049,9 +3060,10 @@ object Multimodal {
     * history is never re-decoded, re-hashed or re-paired.
     */
   def phashKeepNew(s: SparkSession, indexPath: String,
-      incoming: DataFrame): DataFrame = {
+      incoming: DataFrame, asOf: Option[Long] = None): DataFrame = {
     val inc = bandEntries(incoming.select(col("asset_id"), col("phash")))
-    val partners = indexPhashes(s, indexPath)
+    val partners = asOf.fold(indexPhashes(s, indexPath))(h =>
+      indexPhashesAsOf(s, indexPath, h))
       .select(col("asset_id"), col("phash"), col("chunk"), col("cv"))
       .unionByName(inc.select(col("asset_id"), col("phash"),
         col("chunk"), col("cv")))

@@ -383,6 +383,42 @@ class PerceptualHashSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("phash index as-of: horizon 0 on an evolved index dedups like " +
+    "a fresh history-only index, the pre-delete horizon still lets " +
+    "victims shield, and the max horizon equals the current view — " +
+    "every persisted index kind now serves ledger horizons") {
+    val hashes = Multimodal
+      .perceptualHashes(Multimodal.plantedImages(spark, sf0001),
+        DispatchMediaKernel)
+      .collect().map(p => p.asset_id -> p.phash).toMap
+    val histA = hashes.toSeq.filter { case (id, _) =>
+      id % 5 != 4 && id % 2 == 0 }.toDF("asset_id", "phash")
+    val histB = hashes.toSeq.filter { case (id, _) =>
+      id % 5 != 4 && id % 2 != 0 }.toDF("asset_id", "phash")
+    val incoming = hashes.toSeq.filter(_._1 % 5 == 4)
+      .toDF("asset_id", "phash")
+    // evolved: seed half the history, fold the rest as b1, tombstone
+    // the seed half as d2
+    val evolved = tmpDir("phash-asof")
+    Multimodal.writePhashIndex(histA, evolved)
+    assert(Multimodal.appendToPhashIndex(histB, evolved, 1L))
+    assert(Multimodal.deleteFromPhashIndex(
+      histA.select($"asset_id"), evolved, 2L))
+    val fresh = tmpDir("phash-asof-hist")
+    Multimodal.writePhashIndex(histA, fresh)
+    def keep(idx: String, asOf: Option[Long] = None) =
+      Multimodal.phashKeepNew(spark, idx, incoming, asOf = asOf)
+        .select($"asset_id").as[Long].collect().toSet
+    assert(keep(evolved, Some(0L)) == keep(fresh),
+      "horizon 0 must dedup exactly like the history-only index")
+    assert(keep(evolved, Some(2L)) == keep(evolved),
+      "the max horizon must equal the current view")
+    // the delete UNSHIELDS: horizon 2 keeps at least everything
+    // horizon 1 kept (fewer partners can only admit more survivors)
+    assert(keep(evolved, Some(1L)).subsetOf(keep(evolved, Some(2L))),
+      "removing partners must never reject a previously-kept asset")
+  }
+
   test("never-all-pairs: the candidate join keys are the band chunks " +
     "(chunk, cv), not a cross of the corpus") {
     val analyzed = Multimodal.perceptualDupPairs(spark, sf0001)
