@@ -15,6 +15,7 @@ object SparkEntry {
     operators.Relational.specs ++
       operators.Extended.specs ++
       operators.Curation.specs ++
+      operators.CorpusPipeline.specs ++
       operators.Dedup.specs ++
       operators.Similarity.specs ++
       operators.TextAnalysis.specs ++

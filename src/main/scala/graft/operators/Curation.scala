@@ -507,7 +507,7 @@ object Curation {
         |  FROM documents),
         |r AS (SELECT doc_id, lang, w, k,
         |    row_number() OVER (PARTITION BY lang
-        |                       ORDER BY k DESC, doc_id) AS rn
+        |                       ORDER BY round(k, 6) DESC, doc_id) AS rn
         |  FROM t)
         |SELECT doc_id, lang, CAST(w AS BIGINT) AS w,
         |  round(k, 6) AS sample_key
@@ -516,10 +516,15 @@ object Curation {
       val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 15),
         16, 10).cast("long") + 1).cast("double") /
         lit(1152921504606846976.0)
+      // Ranking runs on the 6-dp-ROUNDED key (doc_id tie-break), not the
+      // raw ln(u)/w double: ln is not correctly rounded in either
+      // engine's libm, so a one-ulp divergence at a quota boundary could
+      // flip the sample — rounding before cross-engine comparison is the
+      // file's float-parity convention (see text_unigram_logprob).
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           wgt.cast("long").as("w"),
-          (log(u) / wgt.cast("double")).as("k"))
+          round(log(u) / wgt.cast("double"), 6).as("k"))
       val wSalt = Window.partitionBy(col("lang"), col("salt"))
         .orderBy(col("k").desc, col("doc_id"))
       val cand = t

@@ -129,7 +129,8 @@ object TextAnalysis {
     */
   private[graft] val MarkupPre: String =
     "<html><head><style>body{margin:0}</style>" +
-      "<script>var tracker=1;</script></head><body>" +
+      "<script>for(var i=0;i<3;i++){track(i);}</script></head>" +
+      "<!-- layout a>b --><body>" +
       "<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
       "<a href=\"/b\">More</a></div><p>"
   private[graft] val MarkupPost: String =
@@ -138,7 +139,9 @@ object TextAnalysis {
 
   /** HTML/markup extraction — the stage a crawled corpus runs before
     * everything else in this module (trafilatura shape, from scratch):
-    * (1) drop `<script>`/`<style>` elements wholesale; (2) split on
+    * (1) drop `<script>`/`<style>` elements wholesale (cross-char
+    * non-greedy bodies — scripts containing '<' count) and `<!-- -->`
+    * comments; (2) split on
     * block-level tags (`p div li h1-6 br`); (3) per block, strip tags,
     * collapse whitespace, and compute LINK DENSITY — total `<a>` anchor
     * text over block text — dropping empty blocks and blocks that are
@@ -156,9 +159,17 @@ object TextAnalysis {
     */
   def extractHtml(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val noScript = regexp_replace(regexp_replace(col("t2"),
-      "<script[^>]*>[^<]*</script>", " "),
-      "<style[^>]*>[^<]*</style>", " ")
+    // Element bodies use non-greedy CROSS-char matches ((?s).*?), not
+    // [^<]*: real-world scripts contain '<' (for(i=0;i<n;i++)) and the
+    // wholesale-drop contract must hold for them, not just for bodies
+    // that happen to avoid the character. HTML comments are stripped
+    // too (a '>' inside a comment would otherwise split the comment
+    // across the tag-strip rule and leak its tail as text). Order —
+    // script, style, comments — is shared with the oracle.
+    val noScript = regexp_replace(regexp_replace(regexp_replace(col("t2"),
+      "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
     val blocks = docs.select(col("doc_id"),
       posexplode(split(noScript, "</?(p|div|li|h[1-6]|br)[^>]*>"))
         .as(Seq("i", "blk")))
@@ -865,9 +876,10 @@ object TextAnalysis {
          |    ELSE d.text END AS t2
          |  FROM documents d JOIN base b USING (doc_id)),
          |ns AS (SELECT doc_id, t2,
-         |    regexp_replace(regexp_replace(t2,
-         |      '<script[^>]*>[^<]*</script>', ' ', 'g'),
-         |      '<style[^>]*>[^<]*</style>', ' ', 'g') AS t3 FROM aug),
+         |    regexp_replace(regexp_replace(regexp_replace(t2,
+         |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+         |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+         |      '(?s)<!--.*?-->', ' ', 'g') AS t3 FROM aug),
          |sp AS (SELECT doc_id,
          |    regexp_split_to_array(t3, '</?(p|div|li|h[1-6]|br)[^>]*>')
          |      AS arr FROM ns),

@@ -257,7 +257,11 @@ object StreamingRetrieval {
     if (batch.isEmpty) return // empty-batch suppression (K3)
     val s = batch.sparkSession
     import org.apache.spark.sql.functions.{col, lit}
-    val qs = batch.select(col("query_id"), col("term"), col("max_dist"))
+    // max_dist arrives as whatever integer type the stream's source
+    // inferred (LongType for parquet/JSON) — cast in the plan so the
+    // row read below never depends on the source's physical type.
+    val qs = batch.select(col("query_id"), col("term"),
+        col("max_dist").cast("int"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     qs.map { case (qid, term, d) =>

@@ -190,4 +190,57 @@ class StreamingCurationSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(streamIds == batchIds)
   }
+
+  test("extract → curate chain: startExtract's landed output streams " +
+    "into startCurated and the end-to-end survivors equal the batch " +
+    "composition of the two operators") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val bench = Seq((0L, goodText)).toDF("doc_id", "text")
+    val grams = StreamingCuration.benchmarkGramFrame(bench).localCheckpoint()
+    val bloom = StreamingCuration.benchmarkBloom(bench, grams.count(), 0.01)
+    val raw = Seq(
+      1L -> (TextAnalysis.MarkupPre +
+        "an original body of twenty plus words that talks about the " +
+        "harbour and the wind and the city it describes at length" +
+        TextAnalysis.MarkupPost),
+      2L -> (TextAnalysis.MarkupPre + "too short" + TextAnalysis.MarkupPost),
+      3L -> ("a clean body of twenty plus words that walks along the " +
+        "river and the bridge and the square it describes in detail " +
+        "for some time"),
+      4L -> (TextAnalysis.MarkupPre +
+        "the quick brown fox jumps straight into this body which has " +
+        "more than twenty words and it keeps going on much longer" +
+        TextAnalysis.MarkupPost))
+    // the batch composition of the two operators is the contract
+    val extracted = TextAnalysis.extractHtml(raw.toDF("doc_id", "t2"))
+      .select($"doc_id", $"ext".as("text"))
+    val batchKeep = StreamingCuration.curateExact(extracted, bloom, grams)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchKeep == Set(1L, 3L),
+      "fixture: 2 must fail quality, 4 must hit the benchmark")
+    // stage 1: raw markup → extracted parquet, batchId-keyed
+    val mid = tmpDir("chain-mid")
+    val in = MemoryStream[(Long, String)]
+    val q1 = StreamingCuration.startExtract(
+      in.toDF().toDF("doc_id", "t2"), mid, tmpDir("chain-ck1"))
+    try {
+      in.addData(raw.take(2): _*); q1.processAllAvailable()
+      in.addData(raw.drop(2): _*); q1.processAllAvailable()
+    } finally q1.stop()
+    // stage 2: the landed extraction output IS the next stage's source —
+    // a file-source stream over the batchId-keyed directories
+    val midSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("ext", "string").add("changed", "long")
+    val src = spark.readStream.schema(midSchema).parquet(s"$mid/b*")
+      .select($"doc_id", $"ext".as("text"))
+    val out = tmpDir("chain-out")
+    val q2 = StreamingCuration.startCurated(
+      src, bloom, grams, out, tmpDir("chain-ck2"))
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).select($"doc_id").as[Long].collect().toSet
+    assert(streamed == batchKeep,
+      "the chained streams must reproduce the composed batch verdicts")
+  }
 }
