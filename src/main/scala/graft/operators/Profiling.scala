@@ -49,6 +49,58 @@ object Profiling {
     one.select(explode(array(rows: _*)).as("m")).select(col("m.*"))
   }
 
+  /** The profile with the per-column exact distinct swapped for the HLL
+    * register sketch — the 100-TB variant: `profile`'s Expand-based
+    * multi-distinct shuffles near-distinct cardinality PER COLUMN
+    * (superlinear in shuffle bytes as columns approach key-like
+    * cardinality), where this pass carries a constant 2^12 = 4 KiB
+    * register file per (column, partition), merged bytewise-max
+    * map-side — the shuffle is one register file per map task however
+    * wide the table. Everything else (counts, nulls, native min/max +
+    * canonicalizers) is identical. The estimate (standard HLL formula
+    * with the linear-counting small-range correction, ~1.6% at p=12 —
+    * a 5% certification bound is ~3 standard errors) is
+    * computed as an in-row fold over the occupied-register array —
+    * no driver collect. Still ONE scan.
+    */
+  def profileApprox(df: DataFrame,
+      cols: Seq[(String, Column => Column)]): DataFrame = {
+    val P = 12
+    val m = 1 << P
+    val aggs = cols.flatMap { case (name, repr) =>
+      Seq(
+        count(col(name)).as(s"${name}__n"),
+        graft.functions.HllAgg
+          .hll_registers(md5Num(col(name).cast("string")), P)
+          .as(s"${name}__rs"),
+        repr(min(col(name))).as(s"${name}__min"),
+        repr(max(col(name))).as(s"${name}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    // HllAgg.estimate as a Column fold: z sums 2^-rho over ALL m
+    // registers (empty registers contribute 2^0 = 1 each), then the
+    // bias-corrected harmonic estimate with the small-range correction.
+    def est(rs: Column): Column = {
+      val zeros = (lit(m) - size(rs)).cast("double")
+      val z = zeros + aggregate(rs, lit(0.0),
+        (acc, r) => acc + pow(lit(2.0), -r("max_rho").cast("double")))
+      val alpha = lit(0.7213 / (1 + 1.079 / m))
+      val e = alpha * m * m / z
+      when(e <= 2.5 * m && zeros > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(e)
+    }
+    val rows = cols.map { case (name, _) =>
+      struct(
+        lit(name).as("col_name"),
+        col("__total").as("n_rows"),
+        (col("__total") - col(s"${name}__n")).as("n_null"),
+        est(col(s"${name}__rs")).as("nd_est"),
+        col(s"${name}__min").as("min_repr"),
+        col(s"${name}__max").as("max_repr"))
+    }
+    one.select(explode(array(rows: _*)).as("m")).select(col("m.*"))
+  }
+
   private def asString(c: Column): Column = c.cast("string")
   /** Doubles canonicalize through exact cents (round-to-int of x·100):
     * double formatting is NOT portable across engines, integer strings
@@ -140,6 +192,62 @@ object Profiling {
         "o_totalprice" -> asCents _,
         "o_orderdate" -> asStamp _,
         "o_orderpriority" -> asString _))
+    },
+
+    // The approximate profile, certified: `profileApprox` is the
+    // production shape at 100 TB (constant sketch state per column —
+    // see its Scaladoc); this gate runs it NEXT TO the exact profile
+    // and emits a per-column 0/1 verdict that the HLL estimate lands
+    // within 5% of the exact distinct count — the q_approx
+    // error-contract pattern (the estimate itself is approximate, so
+    // the oracle asserts the CONTRACT, not the value; counts, nulls
+    // and min/max reprs stay value-oracled). The exact branch exists
+    // only to certify — a production run calls profileApprox alone.
+    QuerySpec(
+      "q_profile_approx",
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_null,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_repr,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_repr,
+        |  CAST(1 AS BIGINT) AS nd_within_eps FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR),
+        |  CAST(1 AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus), CAST(1 AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  CAST(CAST(round(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+        |  CAST(CAST(round(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+        |  CAST(1 AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S.%f'),
+        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S.%f'),
+        |  CAST(1 AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority), CAST(1 AS BIGINT)
+        |FROM orders""".stripMargin) { (s, d) =>
+      val cols: Seq[(String, Column => Column)] = Seq(
+        "o_orderkey" -> asString _,
+        "o_custkey" -> asString _,
+        "o_orderstatus" -> asString _,
+        "o_totalprice" -> asCents _,
+        "o_orderdate" -> asStamp _,
+        "o_orderpriority" -> asString _)
+      val approx = profileApprox(Tables.load(s, d, "orders"), cols)
+      val exact = profile(Tables.load(s, d, "orders"), cols)
+        .select(col("col_name"), col("n_distinct"))
+      approx.join(exact, Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("min_repr"), col("max_repr"),
+          (abs(col("nd_est") - col("n_distinct"))
+            <= col("n_distinct").cast("double") * lit(0.05))
+            .cast("long").as("nd_within_eps"))
     },
 
     // Hot-key detection — the pre-pass a skew-aware pipeline runs

@@ -1012,6 +1012,37 @@ class OperatorsSpec extends SparkSpec {
       "extract(extract(clean)) must equal extract(clean)")
   }
 
+  test("profileApprox: every column's HLL distinct estimate lands " +
+    "within 5% of the exact profile, and the shared columns match it " +
+    "exactly") {
+    import graft.operators.Profiling
+    val cols: Seq[(String, org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column)] = Seq(
+      "o_orderkey" -> (c => c.cast("string")),
+      "o_custkey" -> (c => c.cast("string")),
+      "o_orderstatus" -> (c => c.cast("string")),
+      "o_orderpriority" -> (c => c.cast("string")))
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val exact = Profiling.profile(orders, cols)
+      .select($"col_name", $"n_rows", $"n_null", $"n_distinct",
+        $"min_repr", $"max_repr")
+      .as[(String, Long, Long, Long, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    val approx = Profiling.profileApprox(orders, cols)
+      .select($"col_name", $"n_rows", $"n_null", $"nd_est",
+        $"min_repr", $"max_repr")
+      .as[(String, Long, Long, Double, String, String)].collect()
+    assert(approx.length == cols.length)
+    approx.foreach { case (name, nRows, nNull, ndEst, minR, maxR) =>
+      val (_, eRows, eNull, eNd, eMin, eMax) = exact(name)
+      assert(nRows == eRows && nNull == eNull &&
+        minR == eMin && maxR == eMax,
+        s"$name: the non-sketch columns must match the exact profile")
+      assert(math.abs(ndEst - eNd) <= eNd * 0.05,
+        s"$name: estimate $ndEst vs exact $eNd exceeds 5%")
+    }
+  }
+
   test("q_hll_distinct: registers are partitioning-independent and the " +
     "estimate lands within 5% of the exact distinct count") {
     import graft.functions.HllAgg
