@@ -880,7 +880,7 @@ object Multimodal {
 
     private[graft] final case class Y4mInfo(w: Int, h: Int, num: Int,
         den: Int, lumaBytes: Int, chromaBytes: Int,
-        frameOff: Array[Int]) {
+        cs: String, frameOff: Array[Int]) {
       def frameBytes: Int = lumaBytes + 2 * chromaBytes
       def frames: Int = frameOff.length
     }
@@ -921,14 +921,26 @@ object Multimodal {
       }
       if (w <= 0 || h <= 0 || w.toLong * h > b.length) return None
       val luma = w * h
-      val chroma =
-        if (cs.startsWith("420")) {
-          if (w % 2 != 0 || h % 2 != 0) return None else (w / 2) * (h / 2)
-        } else if (cs == "422") {
-          if (w % 2 != 0) return None else (w / 2) * h
-        } else if (cs == "444") luma
-        else if (cs == "mono") 0
+      // Normalized colorspace tag, CARRIED on Y4mInfo: frameRgb used to
+      // re-derive it from chroma byte counts, whose claimed uniqueness
+      // breaks on degenerate dimensions (h=1 C420 or w=1 C422 give
+      // chromaBytes == 0 and silently decoded as mono with misaligned
+      // plane offsets) — the parser read the tag, so the decoder
+      // switches on it.
+      val csNorm =
+        if (cs.startsWith("420")) "420"
+        else if (cs == "422") "422"
+        else if (cs == "444") "444"
+        else if (cs == "mono") "mono"
         else return None
+      val chroma = csNorm match {
+        case "420" =>
+          if (w % 2 != 0 || h % 2 != 0) return None else (w / 2) * (h / 2)
+        case "422" =>
+          if (w % 2 != 0) return None else (w / 2) * h
+        case "444" => luma
+        case _ => 0
+      }
       val frameBytes = luma + 2L * chroma
       val offs = Array.newBuilder[Int]
       var i = eol + 1
@@ -945,7 +957,7 @@ object Multimodal {
       }
       val arr = offs.result()
       if (arr.isEmpty) None
-      else Some(Y4mInfo(w, h, num, den, luma, chroma, arr))
+      else Some(Y4mInfo(w, h, num, den, luma, chroma, csNorm, arr))
     }
 
     private def planeSum(b: Array[Byte], off: Int, n: Int): Long = {
@@ -962,8 +974,8 @@ object Multimodal {
       * grayscale planted streams oracle-exact while color streams take
       * the same genuine conversion. Chroma upsampling is nearest
       * (sample replication), the JPEG-kernel convention. Colorspace is
-      * recovered from the plane geometry (mono/420/422/444 have
-      * distinct chroma byte counts for any valid W×H).
+      * the tag the parser read (carried on Y4mInfo) — never re-derived
+      * from plane geometry, which degenerate dimensions alias.
       */
     private def frameRgb(b: Array[Byte], info: Y4mInfo,
         off: Int): Array[Byte] = {
@@ -978,18 +990,18 @@ object Multimodal {
         var x = 0
         while (x < w) {
           val yv = b(off + y * w + x) & 0xff
-          val (u, v) =
-            if (info.chromaBytes == 0) (128, 128) // mono
-            else if (info.chromaBytes == info.lumaBytes) { // 444
+          val (u, v) = info.cs match {
+            case "mono" => (128, 128)
+            case "444" =>
               val ci = y * w + x
               (b(uOff + ci) & 0xff, b(vOff + ci) & 0xff)
-            } else if (info.chromaBytes == (w / 2) * h) { // 422
+            case "422" =>
               val ci = y * (w / 2) + x / 2
               (b(uOff + ci) & 0xff, b(vOff + ci) & 0xff)
-            } else { // 420
+            case _ => // 420
               val ci = (y / 2) * (w / 2) + x / 2
               (b(uOff + ci) & 0xff, b(vOff + ci) & 0xff)
-            }
+          }
           val d = u - 128; val e = v - 128
           val q = 3 * (y * w + x)
           rgb(q) = clamp(yv + ((91881 * e) >> 16))
