@@ -143,11 +143,18 @@ object Unigram {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
 
   /** The full hard-EM learn: returns the final (piece, score, usage)
-    * model frame and the final per-word segmentation frame
-    * (word, freq, n_pieces) — everything the persisted model carries.
+    * model frame, the final per-word segmentation frame
+    * (word, freq, n_pieces), and the prune curve — per EM round,
+    * (rank, vocab_size, total corpus tokens when segmenting under that
+    * round's scores), the unigram twin of [[Bpe.learnWithCurve]]'s
+    * merge-gain curve. The curve is measured off statistics the learn
+    * already materializes: round r's total is the SAME usage aggregate
+    * the re-estimate consumes (Σ usage = Σ freq·n_pieces), so the
+    * readout costs one extra one-row aggregate per round, the bounded
+    * collect class.
     */
   private[graft] def learnModel(docs: DataFrame)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Seq[(Int, Long, Long)]) = {
     val s = docs.sparkSession
     val wf = Layout.stagePin(wordFreq(docs), "uni_wf")
     val cand = wf
@@ -162,12 +169,19 @@ object Unigram {
     val tot0 = v0.agg(sum(col("eu"))).head().getLong(0)
     var scores = v0.select(col("piece"), col("usage"),
       round(log(col("eu").cast("double") / tot0.toDouble), 6).as("score"))
-    for (_ <- 1 to EmRounds) {
+    val curve = Seq.newBuilder[(Int, Long, Long)]
+    for (r <- 1 to EmRounds) {
       val m = scoreMap(scores)
+      // localCheckpoint: the usage frame (≤ vocab rows) feeds BOTH the
+      // curve total and the rescore join — unpinned, each consumer
+      // re-runs the Viterbi explode over the word frame
       val usage = wf
         .select(col("freq"),
           explode(viterbiPieces(col("word"), m)).as("piece"))
         .groupBy("piece").agg(sum("freq").as("usage"))
+        .localCheckpoint()
+      curve += ((r - 1, scores.count(),
+        usage.agg(sum(col("usage"))).head().getLong(0)))
       scores = rescore(
         scores.select(col("piece"))
           .join(usage, Seq("piece"), "left")
@@ -178,7 +192,11 @@ object Unigram {
     val wordseg = wf.select(col("word"), col("freq"),
       size(viterbiPieces(col("word"), mFinal)).cast("long")
         .as("n_pieces"))
-    (scores.select(col("piece"), col("score"), col("usage")), wordseg)
+      .localCheckpoint()
+    curve += ((EmRounds, scores.count(),
+      wordseg.agg(sum(col("freq") * col("n_pieces"))).head().getLong(0)))
+    (scores.select(col("piece"), col("score"), col("usage")), wordseg,
+      curve.result())
   }
 
   /** Build-if-absent the persisted model for `d`: `pieces/`
@@ -205,12 +223,16 @@ object Unigram {
       s.conf.get("spark.sql.warehouse.dir"), s"$name$suffix")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     Layout.ensurePublishedDir(s, root.toString)(r =>
-      Seq("pieces", "wordseg").forall(side => fs.exists(
+      Seq("pieces", "wordseg", "curve").forall(side => fs.exists(
         new org.apache.hadoop.fs.Path(r, side + "/_SUCCESS")))
     ) { staging =>
-      val (pieces, wordseg) = learnModel(slice(Tables.documents(s, d)))
+      val (pieces, wordseg, curve) =
+        learnModel(slice(Tables.documents(s, d)))
+      import s.implicits._
       pieces.coalesce(1).write.parquet(s"$staging/pieces")
       wordseg.write.parquet(s"$staging/wordseg")
+      curve.toDF("rank", "vocab_size", "total_tokens")
+        .coalesce(1).write.parquet(s"$staging/curve")
     }
   }
 
@@ -364,6 +386,29 @@ object Unigram {
         |FROM s$EmRounds""".stripMargin) { (s, d) =>
       s.read.parquet(ensureUnigramModel(s, d) + "/pieces")
         .select(col("piece"), col("score"), col("usage"))
+    },
+
+    // The EM-prune curve — the unigram twin of text_bpe_curve: per EM
+    // round, the vocabulary size and the corpus token total when
+    // segmenting under that round's scores. The readout a tokenizer
+    // build uses to size the seed and the prune schedule (stop when
+    // the curve flattens). Served from the persisted model (the curve
+    // is measured during the checkpointed learn off statistics the
+    // EM already materializes — one extra one-row aggregate per
+    // round); the oracle replays the whole learn and re-measures each
+    // round's segmentation.
+    QuerySpec(
+      "text_unigram_curve",
+      learnSql + ",\n" + dpSql(EmRounds + 1, s"s$EmRounds") + s"""
+        |${(0 to EmRounds).map { r =>
+          s"""SELECT $r AS rank,
+             |  CAST((SELECT count(*) FROM s$r) AS BIGINT) AS vocab_size,
+             |  (SELECT CAST(sum(freq * len(pieces)) AS BIGINT)
+             |   FROM seg${r + 1} JOIN wf USING (word)) AS total_tokens"""
+            .stripMargin
+        }.mkString("\nUNION ALL\n")}""".stripMargin) { (s, d) =>
+      s.read.parquet(ensureUnigramModel(s, d) + "/curve")
+        .select(col("rank"), col("vocab_size"), col("total_tokens"))
     },
 
     // Per-doc unigram token meter: n_words alongside unigram_tokens —

@@ -301,6 +301,36 @@ object StreamingRetrieval {
       .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
   }
 
+  /** Streaming suffix (trailing-wildcard) search: micro-batches of
+    * `(query_id, suffix)` against the same trigram index the prefix
+    * serve reads — the symmetry twin of [[startPrefix]].
+    */
+  def startSuffix(queries: DataFrame, indexPath: String, docs: DataFrame,
+      outPath: String, checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishSuffixBatch(batch, batchId, indexPath, docs, outPath)
+      }
+      .start()
+
+  /** One suffix micro-batch publish — the replay-idempotent unit. */
+  def publishSuffixBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, docs: DataFrame, outPath: String): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    val s = batch.sparkSession
+    import org.apache.spark.sql.functions.{col, lit}
+    val qs = batch.select(col("query_id"), col("suffix")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    qs.map { case (qid, suf) =>
+      Retrieval.suffixSearch(s, indexPath, docs, suf)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("tf"),
+          col("n_variants"))
+    }.reduce(_.union(_))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
+  }
+
   /** Stream takedown requests `(doc_id)` through the CROSS-INDEX sweep
     * — each micro-batch tombstones its ids in all four indexes under
     * `root` via [[Retrieval.takedownSweep]], with the epoch-namespaced

@@ -141,6 +141,24 @@ class StreamingRetrievalSpec extends SparkSpec {
         .map(r => (qid, r._1, r._2, r._3))
     }.toSet
     assert(pStreamed == pBatch, "prefix stream must equal batch serve")
+
+    // suffix: a pruned 3-char probe and the sub-3-char fallback probe
+    val sfQs = Seq(0L -> "ing", 1L -> "er")
+    val sOut = tmpDir("ssf-out"); val sCk = tmpDir("ssf-ckpt")
+    val sIn = MemoryStream[(Long, String)]
+    val sq = StreamingRetrieval.startSuffix(
+      sIn.toDF().toDF("query_id", "suffix"), trgmIdx, docs, sOut, sCk)
+    try { sIn.addData(sfQs: _*); sq.processAllAvailable() }
+    finally sq.stop()
+    val sStreamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(sOut).as[(Long, Long, Long, Long)].collect().toSet
+    val sBatch = sfQs.flatMap { case (qid, suf) =>
+      Retrieval.suffixSearch(spark, trgmIdx, docs, suf)
+        .select($"doc_id", $"tf", $"n_variants")
+        .as[(Long, Long, Long)].collect()
+        .map(r => (qid, r._1, r._2, r._3))
+    }.toSet
+    assert(sStreamed == sBatch, "suffix stream must equal batch serve")
   }
 
   test("bm25Batch matches per-term-set bm25TopK rankings") {

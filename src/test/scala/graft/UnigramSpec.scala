@@ -38,7 +38,7 @@ class UnigramSpec extends SparkSpec {
   test("learnModel: hard EM prunes seed pieces the best paths never " +
     "use, keeps every single char, and the persisted model re-serves " +
     "without re-learning") {
-    val (pieces, wordseg) = Unigram.learnModel(
+    val (pieces, wordseg, curve) = Unigram.learnModel(
       Tables.documents(spark, sf0001))
     val ps = pieces.as[(String, Double, Long)].collect()
     assert(ps.nonEmpty && ps.length <= Unigram.SeedSize + 64)
@@ -61,6 +61,20 @@ class UnigramSpec extends SparkSpec {
     // EM genuinely pruned: the seed had SeedSize multi pieces (or all
     // available), the survivors are strictly fewer at this corpus
     assert(ps.count(_._1.length > 1) < Unigram.SeedSize)
+    // the prune curve: one point per EM round, vocab monotonically
+    // non-increasing (EM only prunes), the final point consistent with
+    // the returned model and segmentation
+    assert(curve.map(_._1) == (0 to Unigram.EmRounds))
+    assert(curve.sliding(2).forall {
+      case Seq((_, v1, _), (_, v2, _)) => v2 <= v1
+      case _ => true
+    }, "vocab size must be non-increasing across EM rounds")
+    assert(curve.last._2 == ps.length.toLong)
+    val freqs = wordseg.select($"word", $"freq")
+      .as[(String, Long)].collect().toMap
+    val totalFinal = segs.map { case (w, n) => n * freqs(w) }.sum
+    assert(curve.last._3 == totalFinal,
+      "final curve total must equal sum(freq * n_pieces)")
 
     // persistence: a second ensure serves the identical model
     val root = Unigram.ensureUnigramModel(spark, sf0001)
