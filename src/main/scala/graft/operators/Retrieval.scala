@@ -2031,6 +2031,32 @@ object Retrieval {
       }.reduce(_.union(_))
     },
 
+    // Cross-index consistent-horizon serve — the reproducible-
+    // training-run story that motivates as-of, now that every index
+    // kind speaks it: ONE query serving THREE persisted index kinds
+    // (BM25 inverted, trigram substring, float IVF) at the SAME
+    // ledger horizon and fusing them — the lexical top-K RRF-fused
+    // with the dense top-K, each row flagged with its horizon-scoped
+    // substring membership. A training run that pins "fold N" gets
+    // the same retrieval surface back across every index it reads.
+    // Each index's horizon state is its OWN ledger fact (the text
+    // ledgers delete doc_id % 7 = 3 at fold 2; the ANN ledger deletes
+    // vec_id % 9 = 0) — consistency means same HORIZON NUMBER, and
+    // the oracle recomputes each kind's horizon-restricted rebuild
+    // and the fusion end-to-end. The refusal path (one index
+    // compacted past the horizon ⇒ the whole matrix serve refuses)
+    // is pinned in AsOfIndexSpec.
+    QuerySpec("q_asof_matrix", asofMatrixOracleSql) { (s, d) =>
+      val bmIdx = ensureAsOfBm25Index(s, d)
+      val subIdx = ensureAsOfSubstringIndex(s, d)
+      val annIdx = Similarity.ensureAsOfIvfIndex(s, d)
+      val qd = s.read.parquet(ensureDenseQuery(s, d))
+      val docs = Tables.documents(s, d)
+      Seq(0L, 1L, 2L)
+        .map(h => asOfMatrixServe(s, bmIdx, subIdx, annIdx, qd, docs, h))
+        .reduce(_.unionByName(_))
+    },
+
     // Pseudo-relevance-feedback query expansion (the RM3 shape): the
     // initial BM25 retrieval's top-3 docs nominate expansion terms,
     // scored ftf × ln(N/df) — feedback term frequency times rarity —
@@ -2576,6 +2602,86 @@ object Retrieval {
        |  WHERE r <= $TopK),
        |$hybridFusionTail""".stripMargin
   }
+
+  /** One horizon of the `q_asof_matrix` oracle: the horizon's BM25
+    * rebuild (stats over the horizon corpus — the as-of contract,
+    * unlike the hybrid gates' global-stats candidate filter), the
+    * horizon-restricted dense serve over the shared grown construction
+    * (`Similarity.asofMatrixDenseCtes`), the substring rebuild as a
+    * membership flag, and the RRF fusion tail.
+    */
+  private def asofMatrixHorizonSql(h: Int, textWhere: String,
+      annWhere: String): String =
+    s"""m$h AS (SELECT * FROM (
+       |  SELECT CAST($h AS BIGINT) AS horizon,
+       |    coalesce(br.doc_id, dr.doc_id) AS doc_id,
+       |    CAST(coalesce(br.r, 0) AS BIGINT) AS bm25_rank,
+       |    CAST(coalesce(dr.r, 0) AS BIGINT) AS dense_rank,
+       |    CAST(CASE WHEN sub.doc_id IS NOT NULL THEN 1 ELSE 0 END
+       |      AS BIGINT) AS in_substring,
+       |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + br.r), 0)
+       |        + coalesce(CAST(1.0 AS DOUBLE) / (60 + dr.r), 0), 4) AS rrf
+       |  FROM
+       |    (SELECT doc_id,
+       |       row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       |     FROM (${bm25OracleSqlOver(textWhere)})) br
+       |  FULL JOIN
+       |    (SELECT doc_id, r FROM (
+       |       SELECT a1.vec_id AS doc_id,
+       |         row_number() OVER (
+       |           ORDER BY round(list_cosine_similarity(p.qv, a1.v), 4)
+       |             DESC, a1.vec_id) AS r
+       |       FROM mdpr p JOIN a1 ON p.cent_id = a1.cent_id
+       |         AND a1.vec_id <> p.query_id
+       |       WHERE $annWhere) WHERE r <= $TopK) dr
+       |  ON br.doc_id = dr.doc_id
+       |  LEFT JOIN (SELECT DISTINCT doc_id
+       |             FROM (${substringOracleSqlOver(textWhere)})) sub
+       |    ON coalesce(br.doc_id, dr.doc_id) = sub.doc_id
+       |) ORDER BY rrf DESC, doc_id LIMIT $TopK)""".stripMargin
+
+  /** One horizon of the cross-index matrix serve: BM25, substring and
+    * dense ANN all read their ledgers asOf `h` and fuse. Any leg whose
+    * ledger cannot honestly serve `h` (compacted or refreshed past it)
+    * throws its honesty-guard refusal, refusing the WHOLE matrix — a
+    * partially-consistent readout would silently mix horizons, the
+    * exact failure mode the consistent-horizon serve exists to
+    * prevent. Refusal path pinned in `AsOfIndexSpec`.
+    */
+  private[graft] def asOfMatrixServe(s: SparkSession, bmIdx: String,
+      subIdx: String, annIdx: String, qd: DataFrame, docs: DataFrame,
+      h: Long): DataFrame = {
+    val lex = ranksOf(bm25TopK(s, bmIdx, asOf = Some(h))
+        .select(col("doc_id"), col("score").as("s")))
+      .withColumnRenamed("r", "br")
+    val dense = Similarity.indexTopK(s, annIdx, qd, k = TopK,
+        asOf = Some(h))
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("dr"))
+    val sub = substringSearch(s, subIdx, docs, ProbeNeedle,
+        asOf = Some(h))
+      .select(col("doc_id"), lit(1L).as("sub"))
+    lex.join(dense, Seq("doc_id"), "full")
+      .join(sub, Seq("doc_id"), "left")
+      .select(lit(h).as("horizon"), col("doc_id"),
+        coalesce(col("br"), lit(0L)).as("bm25_rank"),
+        coalesce(col("dr"), lit(0L)).as("dense_rank"),
+        coalesce(col("sub"), lit(0L)).as("in_substring"),
+        round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
+  private def asofMatrixOracleSql: String =
+    s"""WITH ${Similarity.asofMatrixDenseCtes},
+       |${asofMatrixHorizonSql(0, "doc_id % 5 <> 4", "a1.vec_id % 5 <> 4")},
+       |${asofMatrixHorizonSql(1, "1 = 1", "TRUE")},
+       |${asofMatrixHorizonSql(2, "doc_id % 7 <> 3", "a1.vec_id % 9 <> 0")}
+       |SELECT * FROM m0
+       |UNION ALL SELECT * FROM m1
+       |UNION ALL SELECT * FROM m2""".stripMargin
 
   /** Oracle for `text_hybrid_pq`: the same lexical leg and fusion as
     * `text_hybrid_dense`, the dense leg the FULL bounded-K IVF-PQ

@@ -544,6 +544,28 @@ object Similarity {
        |UNION ALL SELECT horizon, query_id, neighbor_id, rank FROM h1
        |UNION ALL SELECT horizon, query_id, neighbor_id, rank FROM h2""".stripMargin
 
+  /** The as-of float-IVF serve composition for the cross-index
+    * consistent-horizon gate (`q_asof_matrix` in [[Retrieval]]): the
+    * embeddings frame, the history-trained grown assignment
+    * (hist/seeds/a0/cd/cents/a1 — exactly what `ensureAsOfIvfIndex`'s
+    * ledger holds at every horizon, centroids frozen), the hybrid
+    * gates' per-dim-mean synthetic query `qd`, and its probe cells
+    * `mdpr` (nprobe = 4, the indexTopK default). Horizon restrictions
+    * compose downstream over `a1`, the `asofHorizonCte` contract.
+    */
+  private[operators] def asofMatrixDenseCtes: String =
+    s"""$eCte,
+       |$ivfGrownAssignCtes,
+       |qm AS (SELECT dd, avg(v[dd]) AS qx
+       |       FROM e, range(1, 65) rr(dd) WHERE vec_id < 20 GROUP BY dd),
+       |qd AS (SELECT CAST(-1 AS BIGINT) AS query_id,
+       |              list(qx ORDER BY dd) AS qv FROM qm),
+       |mdpr AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM qd q, cents c) WHERE rn <= 4)""".stripMargin
+
   /** Brute-force exact top-k: (query_id, neighbor_id, rank). */
   def bruteTopK(s: SparkSession, d: String): DataFrame =
     topkOf(corpus(s, d))

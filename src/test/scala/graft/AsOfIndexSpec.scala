@@ -211,6 +211,41 @@ class AsOfIndexSpec extends SparkSpec {
     assert(nrServed(nr, Some(1L)) == nrServed(nr))
   }
 
+  test("the cross-index matrix serve is all-or-nothing: when ONE leg " +
+    "(substring) is compacted past the horizon, the WHOLE matrix " +
+    "refuses that horizon — a partially-consistent readout never " +
+    "escapes — while horizons every leg can still serve keep working") {
+    val docs = Tables.documents(spark, sf0001)
+    val hist = docs.filter($"doc_id" % 5 =!= 4)
+    val wave = docs.filter($"doc_id" % 5 === 4)
+    val bm = tmpDir("matrix-bm25")
+    Retrieval.writeBm25Index(hist, bm)
+    assert(Retrieval.appendToBm25Index(wave, bm, 1L))
+    val tg = tmpDir("matrix-trgm")
+    Retrieval.writeSubstringIndex(hist, tg)
+    assert(Retrieval.appendToSubstringIndex(wave, tg, 1L))
+    val ann = tmpDir("matrix-ivf")
+    Similarity.writeIvfIndex(e.filter($"vec_id" % 5 =!= 4), ann)
+    assert(Similarity.appendToIvfIndex(
+      e.filter($"vec_id" % 5 === 4), ann, 1L))
+    val qd = e.filter($"vec_id" === 0)
+      .select(lit(-1L).as("query_id"), $"v".as("qv"))
+    def matrix(h: Long) =
+      Retrieval.asOfMatrixServe(spark, bm, tg, ann, qd, docs, h)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val h0 = matrix(0L)
+    assert(h0.nonEmpty, "pre-compaction horizon 0 must serve")
+    val h1 = matrix(1L)
+    assert(h1.nonEmpty, "horizon 1 must serve")
+    // one leg loses horizon 0's physical history
+    Retrieval.compactSubstringIndex(spark, tg)
+    val err = intercept[IllegalArgumentException] { matrix(0L) }
+    assert(err.getMessage.contains("compaction"),
+      s"wrong refusal reason: ${err.getMessage}")
+    assert(matrix(1L) == h1,
+      "the horizon every leg still holds must serve unchanged")
+  }
+
   test("snapshot isolation: an as-of frame constructed BEFORE a " +
     "concurrent fold and delete keeps serving its horizon unchanged — " +
     "the dir list is pinned at construction, and later ledger " +
