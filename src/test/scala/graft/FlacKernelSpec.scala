@@ -183,4 +183,110 @@ class FlacKernelSpec extends SparkSpec {
     // WavKernelSpec — no FLAC payloads exist in the asset tables, so
     // the router addition cannot perturb it
   }
+
+  // -------------------------------------------------------------------
+  // The lossless decode tier: encode→decode roundtrips across every
+  // subframe type / stereo mode / residual form, tamper refusal, and
+  // the cross-container fingerprint identity the dedup gate rides on.
+  // -------------------------------------------------------------------
+
+  private def pcm(n: Int, seed: Long, scale: Int): Array[Int] =
+    Array.tabulate(n)(t =>
+      (((seed * (t + 7L) + t.toLong * t * 97L) % 1000000007L)
+        % (2L * scale)).toInt - scale)
+
+  import FlacMediaKernel.{FlacEncOpts, decodePcm, encodeFlac}
+
+  test("roundtrip: mono 8-bit fixed-predictor/Rice encode decodes to " +
+    "the exact samples, including a short last frame, and the " +
+    "STREAMINFO fields survive") {
+    val s = pcm(130, 99L, 128)
+    val enc = encodeFlac(Array(s), 8000, 8, FlacEncOpts(blockSize = 26))
+    val Some((info, out)) = decodePcm(enc)
+    assert(info.sampleRate == 8000 && info.channels == 1 &&
+      info.bitsPerSample == 8 && info.totalSamples == 130L)
+    assert(out.toSeq == s.toSeq)
+    // short last frame: 130 = 4×31 + 6 with blockSize 31
+    val enc2 = encodeFlac(Array(s), 8000, 8, FlacEncOpts(blockSize = 31))
+    assert(decodePcm(enc2).get._2.toSeq == s.toSeq)
+  }
+
+  test("roundtrip: every subframe type — constant (auto-detected), " +
+    "verbatim, fixed, LPC, and the escape residual form — decodes " +
+    "bit-exactly") {
+    val flat = Array.fill(64)(-37)
+    assert(decodePcm(encodeFlac(Array(flat), 8000, 8))
+      .get._2.toSeq == flat.toSeq)
+    val s = pcm(96, 7L, 120)
+    for (opts <- Seq(
+        FlacEncOpts(mode = "verbatim"),
+        FlacEncOpts(mode = "lpc"),
+        FlacEncOpts(forceEscape = true),
+        FlacEncOpts(mode = "lpc", forceEscape = true))) {
+      assert(decodePcm(encodeFlac(Array(s), 8000, 8, opts))
+        .get._2.toSeq == s.toSeq, s"mode=${opts.mode} esc=${opts.forceEscape}")
+    }
+  }
+
+  test("roundtrip: 16-bit stereo through all four channel layouts — " +
+    "independent, left/side, right/side, mid/side — recovers both " +
+    "channels exactly") {
+    val l = pcm(90, 3L, 30000)
+    val r = pcm(90, 11L, 30000)
+    for (st <- Seq("indep", "ls", "rs", "ms")) {
+      val Some((info, out)) =
+        decodePcm(encodeFlac(Array(l, r), 44100, 16,
+          FlacEncOpts(blockSize = 30, stereo = st)))
+      assert(info.channels == 2, st)
+      val dl = Array.tabulate(90)(i => out(2 * i))
+      val dr = Array.tabulate(90)(i => out(2 * i + 1))
+      assert(dl.toSeq == l.toSeq && dr.toSeq == r.toSeq, st)
+    }
+  }
+
+  test("tamper refusal: a flipped bit in the coded audio region, a " +
+    "corrupted frame-header byte, and a corrupted STREAMINFO MD5 all " +
+    "decode to None — never to wrong samples") {
+    val s = pcm(130, 42L, 128)
+    val enc = encodeFlac(Array(s), 8000, 8)
+    assert(decodePcm(enc).isDefined)
+    val audioOff = 4 + 4 + 34 // magic + block header + STREAMINFO
+    // flip a residual bit mid-frame (CRC-16 must catch it)
+    val t1 = enc.clone(); t1(enc.length - 10) = (t1(enc.length - 10) ^ 0x10).toByte
+    assert(decodePcm(t1).isEmpty)
+    // corrupt the first frame header's blocksize-1 byte (CRC-8 catches)
+    val t2 = enc.clone(); t2(audioOff + 5) = (t2(audioOff + 5) ^ 0x01).toByte
+    assert(decodePcm(t2).isEmpty)
+    // corrupt the signed MD5 (frames decode fine; the signature gate refuses)
+    val t3 = enc.clone(); t3(4 + 4 + 18) = (t3(4 + 4 + 18) ^ 0x01).toByte
+    assert(decodePcm(t3).isEmpty)
+  }
+
+  test("cross-container fingerprint identity: a WAV and a FLAC of the " +
+    "same PCM produce the SAME envelope and the same 64-bit " +
+    "fingerprint through the dispatch kernel — the invariant that " +
+    "lets one oracle gate both dedup containers") {
+    val n = 130
+    val bytesPcm = pcm(n, 5L, 128)
+    val wav = {
+      val out = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+      out.put("data".getBytes("US-ASCII")).putInt(n)
+      bytesPcm.foreach(v => out.put((v + 128).toByte))
+      Asset(1L, "audio/wav", (44 + n).toLong, out.array())
+    }
+    val fl = {
+      val b = encodeFlac(Array(bytesPcm), 8000, 8)
+      Asset(2L, "audio/flac", b.length.toLong, b)
+    }
+    val envW = DispatchMediaKernel.audioEnvelope(wav, 65)
+    val envF = DispatchMediaKernel.audioEnvelope(fl, 65)
+    assert(envW.isDefined && envF.isDefined)
+    assert(envW.get.toSeq == envF.get.toSeq)
+  }
 }
