@@ -270,6 +270,41 @@ object CorpusPipeline {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
        |  FROM k4)""".stripMargin
 
+  // pipeline_rag constants + helpers: declared BEFORE `specs` — the
+  // oracle builder runs during object init, and an object-body val
+  // referencing a LATER val silently captures its zero default (the
+  // FixedK lesson from round 13).
+  private val EmbedDim = 8
+  private val RagTopK = 20
+
+  /** One fake-embedding component: md5(key) folded to a uniform in
+    * [-0.5, 0.5) — integer md5 arithmetic then one exact double
+    * division, so Scala, Spark and DuckDB all derive the identical
+    * value (the md5-hex → BIGINT convention from Relational.scala).
+    */
+  private def embComp(fp: Column, j: Int): Column =
+    (conv(substring(md5(concat(fp, lit(s":$j"))), 1, 15), 16, 10)
+      .cast("long") % 1000003L).cast("double") / 1000003.0 - 0.5
+
+  private def embCompSql(key: String, j: Int): String =
+    s"(('0x' || substr(md5($key || ':$j'), 1, 15))::BIGINT % 1000003)" +
+      s" / 1000003.0 - 0.5"
+
+  private def mdComponent(key: String): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000003L)
+      .toDouble / 1000003.0 - 0.5
+  }
+
+  /** The probe query's fake embedding — driver-side constants from
+    * the SAME md5 arithmetic the oracle recomputes in SQL.
+    */
+  private val ProbeVec: IndexedSeq[Double] =
+    (0 until EmbedDim).map(j => mdComponent(s"graftprobe:$j"))
+  private val ProbeNorm: Double =
+    math.sqrt(ProbeVec.map(x => x * x).reduce(_ + _))
+
   val specs: Seq[QuerySpec] = Seq(
 
     // The composed pipeline's OUTPUT: every surviving document with its
@@ -321,6 +356,80 @@ object CorpusPipeline {
             .when(col("source") === "src0", "holdout")
             .when(col("in_k3").isNull, "contaminated")
             .otherwise("sampled_out").as("reason"))
+    },
+
+    // The RAG-ingest composition: chunk (doc_chunk_overlap's 64/48
+    // windows, tail fragments < 16 tokens dropped) → EMBED → brute
+    // cosine top-k for a probe query. The embed step is the
+    // multimodal decode pattern at the text seam: a DETERMINISTIC
+    // md5-derived fake (component j = md5(fp:j) folded to a uniform
+    // in [-0.5, 0.5)) stands in for the encoder model — the chunking,
+    // vector plumbing, scoring arithmetic and ranking are real and
+    // oracle-able, and a production run swaps ONE select for a
+    // mapInPandas/ONNX call. The serve is the brute baseline rung
+    // (one scan, TakeOrdered top-k, no shuffle); at corpus scale the
+    // chunks land in the certified IVF/PQ/binary index family
+    // instead — this gate certifies the chunk→vector→rank chain those
+    // rungs consume. Cosine parity: components materialize once, dot
+    // and norms are EXPLICIT 8-term + chains (identical fold order in
+    // both engines), probe constants derive from the same md5
+    // arithmetic driver-side, only the final quotient rounds (the
+    // Relational.scala convention).
+    QuerySpec("pipeline_rag", ragOracleSql) { (s, d) =>
+      val w = split(col("text"), " ")
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), w.as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(1), greatest(size(col("ws")), lit(1)),
+            lit(48))).as("st"))
+        .filter(least(lit(64), size(col("ws")) - col("st") + 1) >= 16)
+        .select(col("doc_id"),
+          ((col("st") - 1) / 48).cast("int").as("chunk_idx"),
+          md5(array_join(slice(col("ws"), col("st"), lit(64)), " "))
+            .as("fp"))
+      val withE = chunks.select(col("doc_id") +: col("chunk_idx") +:
+        (0 until EmbedDim).map(j => embComp(col("fp"), j).as(s"e$j")): _*)
+      val dot = (0 until EmbedDim)
+        .map(j => col(s"e$j") * lit(ProbeVec(j))).reduce(_ + _)
+      val nv = (0 until EmbedDim)
+        .map(j => col(s"e$j") * col(s"e$j")).reduce(_ + _)
+      val sim = round(dot / (sqrt(nv) * lit(ProbeNorm)), 4)
+      val top = withE
+        .select(col("doc_id"), col("chunk_idx"), sim.as("sim"))
+        .orderBy(col("sim").desc, col("doc_id"), col("chunk_idx"))
+        .limit(RagTopK)
+      top.withColumn("rnk", row_number().over(Window.orderBy(
+          col("sim").desc, col("doc_id"), col("chunk_idx"))))
+        .select(col("rnk").cast("long").as("rnk"), col("doc_id"),
+          col("chunk_idx"), col("sim"))
     }
   )
+
+  private def ragOracleSql: String = {
+    val es = (0 until EmbedDim)
+      .map(j => s"${embCompSql("fp", j)} AS e$j").mkString(",\n|        ")
+    val qs = (0 until EmbedDim)
+      .map(j => s"${embCompSql("'graftprobe'", j)} AS q$j")
+      .mkString(",\n|             ")
+    val dot = (0 until EmbedDim).map(j => s"e$j*q$j").mkString(" + ")
+    val nv = (0 until EmbedDim).map(j => s"e$j*e$j").mkString(" + ")
+    val nq = (0 until EmbedDim).map(j => s"q$j*q$j").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+       |        md5(list_aggregate(ws[s:s+63], 'string_agg', ' ')) AS fp
+       |      FROM w, unnest(range(1, len(ws) + 1, 48)) t(s)
+       |      WHERE least(64, len(ws) - s + 1) >= 16),
+       |e AS (SELECT doc_id, chunk_idx,
+       |        $es
+       |      FROM c),
+       |q AS (SELECT $qs),
+       |sc AS (SELECT doc_id, chunk_idx,
+       |        round(($dot) / (sqrt($nv) * sqrt($nq)), 4) AS sim
+       |      FROM e, q)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, chunk_idx, sim FROM (
+       |  SELECT doc_id, chunk_idx, sim,
+       |    row_number() OVER (ORDER BY sim DESC, doc_id, chunk_idx) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $RagTopK""".stripMargin
+  }
 }

@@ -652,6 +652,15 @@ object Multimodal {
     * undersized box, a truncated sample table — is an opaque blob for
     * the stub. Mp4KernelSpec pins hand-built box trees.
     *
+    * Decoding the codec payloads themselves (H.264/H.265 entropy
+    * coding) is genuinely out of pure-JVM from-scratch scope — that is
+    * the [[MediaKernel]] SPI boundary where a native decoder plugs in,
+    * not a TODO: raw video ([[Y4mMediaKernel]]) and lossless audio
+    * ([[FlacMediaKernel]]) mark the limit of what this library decodes
+    * itself, and every pixel/sample-level operator (dedup
+    * fingerprints, frame hashing) already runs against the SPI, so a
+    * plugged kernel lights them up for compressed video unchanged.
+    *
     * `AssetFeatures.width`/`height` carry the first video track's
     * pixel dimensions (the image/video convention; 0×0 when no video
     * track). Feature layout: duration seconds, track count, video
@@ -1657,7 +1666,8 @@ object Multimodal {
     private[graft] final case class FlacEncOpts(blockSize: Int = 26,
         stereo: String = "indep", // indep | ls | rs | ms
         mode: String = "auto",    // auto | verbatim | constant | lpc
-        forceEscape: Boolean = false)
+        forceEscape: Boolean = false,
+        wasted: Int = 0) // declare w wasted bits (samples must be ≪-able)
 
     private final class Bw {
       private val out = new java.io.ByteArrayOutputStream()
@@ -1746,24 +1756,37 @@ object Multimodal {
     private val LpcShift = 2
     private val LpcPrec = 5
 
-    private def writeSubframe(w: Bw, s: Array[Long], bps: Int,
+    private def writeSubframe(w: Bw, s0: Array[Long], bps0: Int,
         opts: FlacEncOpts): Unit = {
+      // wasted bits: every sample must carry `wasted` trailing zeros;
+      // the subframe codes s >> wasted at bps − wasted effective bits
+      val s = if (opts.wasted == 0) s0 else s0.map { v =>
+        require((v & ((1L << opts.wasted) - 1)) == 0,
+          "wasted-bit encode needs samples with that many trailing zeros")
+        v >> opts.wasted
+      }
+      val bps = bps0 - opts.wasted
       val n = s.length
       w.put(0L, 1) // pad
+      // the wasted-bits field follows the 6 type bits: flag 0, or
+      // flag 1 + unary(wasted − 1)
+      def putWasted(): Unit =
+        if (opts.wasted == 0) w.put(0L, 1)
+        else { w.put(1L, 1); w.put(1L, opts.wasted) } // w−1 zeros then 1
       val constant = opts.mode != "verbatim" && s.forall(_ == s(0))
       if (opts.mode == "constant" && !constant)
         throw new IllegalArgumentException("constant mode on varying samples")
       if (constant && opts.mode != "lpc") {
-        w.put(0L, 6); w.put(0L, 1)
+        w.put(0L, 6); putWasted()
         w.put(s(0) & ((1L << bps) - 1), bps)
       } else if (opts.mode == "verbatim") {
-        w.put(1L, 6); w.put(0L, 1)
+        w.put(1L, 6); putWasted()
         var i = 0
         while (i < n) { w.put(s(i) & ((1L << bps) - 1), bps); i += 1 }
       } else if (opts.mode == "lpc") {
         val o = 2
         require(n > o, "lpc mode needs blocks longer than the order")
-        w.put(0x20L | (o - 1), 6); w.put(0L, 1)
+        w.put(0x20L | (o - 1), 6); putWasted()
         var i = 0
         while (i < o) { w.put(s(i) & ((1L << bps) - 1), bps); i += 1 }
         w.put((LpcPrec - 1).toLong, 4)
@@ -1798,7 +1821,7 @@ object Multimodal {
           if (sum < bestSum) { bestSum = sum; bestO = o; bestRes = res }
           o += 1
         }
-        w.put(8L | bestO, 6); w.put(0L, 1)
+        w.put(8L | bestO, 6); putWasted()
         var i = 0
         while (i < bestO) { w.put(s(i) & ((1L << bps) - 1), bps); i += 1 }
         writeResidual(w, bestRes, bestO, opts.forceEscape)
@@ -3820,6 +3843,41 @@ object Multimodal {
       .join(rejected, Seq("asset_id"), "left_anti")
   }
 
+  /** Perceptual-hash SEARCH from the persisted index — the retrieval
+    * twin of [[phashKeepNew]]: every indexed asset within Hamming ≤
+    * `radius` of each probe hash (self-matches included — a search
+    * legitimately returns the identical asset). Candidates come from
+    * band collisions (lossless for radius ≤ 3 by pigeonhole over the
+    * 4 × 16-bit chunks); the popcount verify runs on collisions only.
+    * The probes' band BUCKETS are collected driver-side as the
+    * candidate read's static PartitionFilter — a bounded pushdown: ≤
+    * [[PhashBuckets]] distinct values by construction, and a
+    * point/batch query touches ≤ 4·|probes| of the 32, which is the
+    * whole point of the bucket layout at reverse-image-search scale.
+    */
+  def phashSearch(s: SparkSession, indexPath: String, probes: DataFrame,
+      radius: Int = 3, asOf: Option[Long] = None): DataFrame = {
+    require(radius <= 3,
+      "band candidates are lossless only to radius 3; larger radii " +
+        "need a wider band split")
+    val pb = bandEntries(probes.select(
+        col("query_id").as("asset_id"), col("phash")))
+      .select(col("asset_id").as("query_id"), col("phash").as("qhash"),
+        col("chunk"), col("cv"), col("bucket"))
+    val buckets = pb.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)) // ≤ PhashBuckets = 32 rows
+    val idx = asOf.fold(indexPhashes(s, indexPath))(h =>
+        indexPhashesAsOf(s, indexPath, h))
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+      .select(col("asset_id"), col("phash"), col("chunk"), col("cv"))
+    pb.drop("bucket").join(idx, Seq("chunk", "cv"))
+      .filter(bit_count(col("qhash").bitwiseXOR(col("phash"))) <= radius)
+      .select(col("query_id"), col("asset_id"),
+        bit_count(col("qhash").bitwiseXOR(col("phash"))).cast("long")
+          .as("hamming"))
+      .distinct()
+  }
+
   /** Build-if-absent the incremental gate's HISTORY index: the planted
     * corpus' doc_id % 5 ≠ 4 wave hashed through the real decode and
     * seeded, keyed on the seed's completeness.
@@ -3840,13 +3898,13 @@ object Multimodal {
     }
   }
 
-  /** Oracle CTE chain shared by the two image-dedup gates: closed-form
-    * pixel values → 2×2 box averages → gradient bits → bands → verified
-    * pairs, mirroring [[plantedImages]] + [[dHash64]] +
-    * [[perceptualDupPairs]] integer-exactly (luma of a gray pixel
-    * (v,v,v) is (299+587+114)·v/1000 = v, so the SQL skips the no-op).
+  /** Oracle CTE chain shared by the image-dedup and phash-search
+    * gates: closed-form pixel values → 2×2 box averages → gradient
+    * bits → band chunks, mirroring [[plantedImages]] + [[dHash64]]
+    * integer-exactly (luma of a gray pixel (v,v,v) is
+    * (299+587+114)·v/1000 = v, so the SQL skips the no-op).
     */
-  private def phashPairsCte: String =
+  private def phashChunksCte: String =
     s"""WITH RECURSIVE sd AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 8 < 3 THEN doc_id % 8 ELSE 0 END AS var,
@@ -3874,7 +3932,13 @@ object Multimodal {
        |  WHERE a.cx < 8
        |  GROUP BY a.doc_id),
        |chunks AS (SELECT doc_id, sig, c, (sig >> (c*16)) & 65535 AS cv
-       |           FROM sigs, range(0, 4) t(c)),
+       |           FROM sigs, range(0, 4) t(c))""".stripMargin
+
+  /** [[phashChunksCte]] extended with the dedup gates' verified-pairs
+    * CTE (smaller-vs-larger id, radius 3).
+    */
+  private def phashPairsCte: String =
+    s"""$phashChunksCte,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS asset_a, b.doc_id AS asset_b,
        |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
@@ -4033,6 +4097,33 @@ object Multimodal {
         plantedImages(s, d).filter(col("asset_id") % 5 === 4),
         DispatchMediaKernel).toDF()
       phashKeepNew(s, idx, incoming)
+    },
+
+    // Reverse-image SEARCH from the persisted perceptual-hash index —
+    // the retrieval twin of the dedup serve (same bands, same
+    // popcount verify, probe-bucket static prune): every indexed
+    // asset within Hamming ≤ 3 of each probe, self-matches included.
+    // Probes are the variant-1 family members; the index is the
+    // incremental gate's history wave. The oracle re-derives both
+    // sides' hashes in closed form and joins chunks a (probes) ×
+    // chunks b (history) with no id ordering — search is directed,
+    // unlike dedup's a < b pairs.
+    QuerySpec(
+      "multimodal_phash_search",
+      s"""$phashChunksCte
+         |SELECT DISTINCT a.doc_id AS query_id, b.doc_id AS asset_id,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM chunks a JOIN chunks b
+         |  ON a.c = b.c AND a.cv = b.cv
+         |WHERE a.doc_id % 8 = 1 AND b.doc_id % 5 <> 4
+         |  AND bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin) {
+      (s, d) =>
+      val idx = ensureIncrementalPhashIndex(s, d)
+      val probes = perceptualHashes(
+        plantedImages(s, d).filter(col("asset_id") % 8 === 1),
+        DispatchMediaKernel).toDF()
+        .select(col("asset_id").as("query_id"), col("phash"))
+      phashSearch(s, idx, probes)
     },
 
     // Video near-dup pairs: planted Y4M streams (C420, neutral

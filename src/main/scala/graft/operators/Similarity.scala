@@ -3573,6 +3573,53 @@ object Similarity {
         .select(col("vec_id"), col("cent_id"))
     },
 
+    // SEMANTIC decontamination — the embedding-space twin of the
+    // n-gram `decontaminate` gate: a corpus vector is contaminated
+    // when some benchmark vector sits at cosine ≥ 0.3, the paraphrase
+    // class n-gram overlap cannot see. τ = 0.3 is fixture-calibrated
+    // (the synthetic embeddings' cross-slice cosines top out in
+    // [0.3, 0.4) at gate scale — sim_threshold_sweep is the evidence
+    // pattern; production tunes τ per encoder). Candidates are
+    // cell-blocked on
+    // the SAME in-row nearest-seed assignment dedup_semantic uses
+    // (never all-pairs; cross-cell misses are the documented recall
+    // trade, exactly as in SemDeDup); the benchmark side is a slice
+    // of the corpus frame, so both sides ride ONE scan + ONE
+    // same-cell join. Output: per contaminated corpus vector, the
+    // hit count and the strongest benchmark similarity.
+    QuerySpec(
+      "decontaminate_semantic",
+      s"""WITH $eCte,
+         |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0),
+         |cells AS (SELECT vec_id, v, cent_id FROM (
+         |    SELECT e.vec_id, e.v, s.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC, s.cent_id) AS rn
+         |    FROM e, seeds s) WHERE rn = 1),
+         |hits AS (
+         |  SELECT c.vec_id, round(list_cosine_similarity(c.v, b.v), 4) AS sim
+         |  FROM cells c JOIN cells b ON c.cent_id = b.cent_id
+         |  WHERE c.vec_id % 17 <> 5 AND b.vec_id % 17 = 5
+         |    AND round(list_cosine_similarity(c.v, b.v), 4) >= 0.3)
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |  max(sim) AS max_sim
+         |FROM hits GROUP BY vec_id""".stripMargin) { (s, d) =>
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      val seeds = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val cells = assign(e, seeds, 1)
+      val bench = cells.filter(col("vec_id") % 17 === 5)
+        .select(col("cent_id"), col("v").as("vb"))
+      val scored = cells.filter(col("vec_id") % 17 =!= 5)
+        .select(col("cent_id"), col("vec_id"), col("v").as("vc"))
+        .join(bench, Seq("cent_id"))
+        .select(col("vec_id"), round(cosine(col("vc"), col("vb")), 4)
+          .as("sim"))
+        .filter(col("sim") >= 0.3)
+      scored.groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("max_sim"))
+    },
+
     // Embedding-distribution drift gate (the vector twin of
     // text_drift_psi): the incoming wave's occupancy of the
     // HISTORY-TRAINED IVF cells against the history wave's, add-one

@@ -51,4 +51,32 @@ object StreamingMultimodal {
       Multimodal.compactPhashIndex(s, indexPath)
     ()
   }
+
+  /** Streaming reverse-image SEARCH — the query-side twin of the
+    * ingest stream, the `StreamingRetrieval.startPrefix` shape on the
+    * phash index: each micro-batch of probe hashes
+    * `(query_id, phash)` serves `Multimodal.phashSearch` against the
+    * PERSISTED index and lands the matches batchId-keyed
+    * (overwrite-on-replay ⇒ idempotent redelivery).
+    */
+  def startSearch(probes: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, radius: Int = 3): StreamingQuery =
+    probes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishSearchBatch(batch, batchId, indexPath, outPath, radius)
+      }
+      .start()
+
+  /** One search micro-batch (exposed for replay-idempotence specs). */
+  def publishSearchBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, outPath: String, radius: Int = 3): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    Multimodal.phashSearch(batch.sparkSession, indexPath,
+        batch.select(batch("query_id").cast("long").as("query_id"),
+          batch("phash").cast("long").as("phash")), radius)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
+    ()
+  }
 }

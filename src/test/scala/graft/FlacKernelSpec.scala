@@ -226,6 +226,11 @@ class FlacKernelSpec extends SparkSpec {
       assert(decodePcm(encodeFlac(Array(s), 8000, 8, opts))
         .get._2.toSeq == s.toSeq, s"mode=${opts.mode} esc=${opts.forceEscape}")
     }
+    // wasted bits: samples with 2 trailing zero bits declared as such —
+    // the subframe codes s >> 2 and the decoder must shift back
+    val sw = pcm(96, 13L, 8000).map(_ & ~3) // 2 trailing zeros, 16-bit range
+    assert(decodePcm(encodeFlac(Array(sw), 8000, 16,
+      FlacEncOpts(wasted = 2))).get._2.toSeq == sw.toSeq)
   }
 
   test("roundtrip: 16-bit stereo through all four channel layouts — " +

@@ -87,5 +87,59 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got == expect,
       "the audio wave must dedup through the unmodified image index")
   }
+
+  test("streaming reverse-image search: micro-batched probes serve " +
+    "Hamming matches off the persisted index batchId-keyed, equal to " +
+    "the batch serve, and a redelivered batch rewrites identically") {
+    implicit val sc = spark.sqlContext
+    val hashes = Multimodal
+      .perceptualHashes(Multimodal.plantedImages(spark, sf0001),
+        DispatchMediaKernel)
+      .collect().map(p => p.asset_id -> p.phash).toSeq.sortBy(_._1)
+    val idx = tmpDir("searchphash-idx")
+    Multimodal.writePhashIndex(hashes.toDF("asset_id", "phash"), idx)
+    val probes = hashes.filter(_._1 % 8 == 1)
+    val out = tmpDir("searchphash-out")
+    val ckpt = tmpDir("searchphash-ckpt")
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamingMultimodal.startSearch(
+      in.toDF().toDF("query_id", "phash"), idx, out, ckpt)
+    val (p1, p2) = probes.splitAt(probes.length / 2)
+    try {
+      in.addData(p1: _*); q.processAllAvailable()
+      in.addData(p2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(path: String) = spark.read
+      .option("recursiveFileLookup", "true").parquet(path)
+      .select($"query_id", $"asset_id", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val streamed = rows(out)
+    val oneShot = Multimodal.phashSearch(spark, idx,
+        probes.toDF("query_id", "phash"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == oneShot,
+      "streamed matches must equal the one-shot batch serve")
+    assert(streamed.nonEmpty && streamed.exists(r => r._3 == 0L),
+      "probes indexed themselves must self-match at Hamming 0")
+    // redelivery of batch 0 overwrites its dir with identical content
+    StreamingMultimodal.publishSearchBatch(
+      p1.toDF("query_id", "phash"), 0L, idx, out)
+    assert(rows(out) == streamed,
+      "a replayed search batch must be byte-idempotent")
+  }
+
+  test("the COMPRESSED container is transparent to the machine: the " +
+    "planted FLAC corpus fingerprints asset-for-asset identically to " +
+    "the WAV corpus (lossless decode), so every index/serve built on " +
+    "one container answers for the other") {
+    val wav = Multimodal.audioFingerprints(
+      Multimodal.plantedAudio(spark, sf0001), DispatchMediaKernel)
+      .collect().map(p => p.asset_id -> p.phash).toMap
+    val fl = Multimodal.audioFingerprints(
+      Multimodal.plantedFlacAudio(spark, sf0001), DispatchMediaKernel)
+      .collect().map(p => p.asset_id -> p.phash).toMap
+    assert(fl == wav,
+      "FLAC fingerprints must equal the WAV corpus's bit-for-bit")
+  }
 }
 
