@@ -1729,6 +1729,91 @@ object Retrieval {
        |UNION ALL SELECT 'trgm', n FROM tg
        |ORDER BY kind""".stripMargin
 
+  /** Right-to-be-forgotten across EVERY index family — the text sweep
+    * extended to the vector and perceptual-hash roots: one victim
+    * entity's ids (its documents, its embedding vectors, its media
+    * assets) tombstoned in all SIX index kinds under one deleteId.
+    * Each root's ledgered delete is individually exactly-once, and
+    * takedown is monotone, so a crashed sweep REPLAYS to completion
+    * with committed roots no-op'ing — the takedownSweep argument,
+    * now kind-universal: no distributed transaction at any index
+    * count.
+    */
+  def takedownSweepAll(s: SparkSession, docIds: DataFrame,
+      vecIds: DataFrame, assetIds: DataFrame, root: String,
+      deleteId: Long): Map[String, Boolean] =
+    takedownSweep(s, docIds, root, deleteId) ++ Map(
+      "ann" -> Similarity.deleteFromIvfIndex(vecIds, s"$root/ann",
+        deleteId),
+      "phash" -> Multimodal.deleteFromPhashIndex(assetIds,
+        s"$root/phash", deleteId))
+
+  /** The post-sweep audit over all six kinds: servable entries per
+    * root (postings for the text kinds, vectors for the ANN root,
+    * band entries for the perceptual-hash root). The oracle recomputes
+    * every count from tables that never contained the victims.
+    */
+  def takedownAuditAll(s: SparkSession, root: String): DataFrame =
+    takedownAudit(s, root)
+      .unionByName(Seq(
+          "ann" -> Similarity.indexVectors(s, s"$root/ann"),
+          "phash" -> Multimodal.indexPhashes(s, s"$root/phash"))
+        .map { case (k, df) =>
+          df.agg(count(lit(1)).as("n_postings"))
+            .select(lit(k).as("kind"), col("n_postings"))
+        }
+        .reduce(_.union(_)))
+      .orderBy(col("kind"))
+
+  /** Gate fixture: four text indexes (corpus), the float IVF index
+    * (embeddings), and the perceptual-hash index (planted images) in
+    * ONE published root, then one universal sweep of the % 11 = 5
+    * victims in each id domain under deleteId 0.
+    */
+  def ensureSweepAllFixture(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_sweep_all"))(r =>
+      SweepKinds.forall(k =>
+        protocol(s"$r/$k").deletedBatches().contains(0L)) &&
+        Similarity.protocol(s"$r/ann").deletedBatches().contains(0L) &&
+        Multimodal.phashProtocol(s"$r/phash").deletedBatches()
+          .contains(0L)
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      writeBm25Index(docs, s"$staging/bm25")
+      writeNearIndex(docs, s"$staging/near")
+      writePhraseIndex(docs, s"$staging/phrase")
+      writeSubstringIndex(docs, s"$staging/trgm")
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("v"))
+      Similarity.writeIvfIndex(e, s"$staging/ann")
+      Multimodal.writePhashIndex(
+        Multimodal.perceptualHashes(Multimodal.plantedImages(s, d),
+          Multimodal.DispatchMediaKernel).toDF(), s"$staging/phash")
+      takedownSweepAll(s,
+        docs.filter(col("doc_id") % 11 === 5).select(col("doc_id")),
+        e.filter(col("vec_id") % 11 === 5).select(col("vec_id")),
+        docs.filter(col("doc_id") % 11 === 5)
+          .select(col("doc_id").as("asset_id")),
+        staging, 0L)
+    }
+
+  private val sweepAllOracleSql: String = {
+    // the text kinds' victimless counts verbatim from sweepOracleSql
+    val textCtes = sweepOracleSql
+      .substring(sweepOracleSql.indexOf("WITH") + 4,
+        sweepOracleSql.indexOf("SELECT 'bm25'"))
+    s"""WITH ${textCtes.trim},
+       |an AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 11 <> 5),
+       |ih AS (SELECT 4 * count(*) AS n FROM documents WHERE doc_id % 11 <> 5)
+       |SELECT 'ann' AS kind, n AS n_postings FROM an
+       |UNION ALL SELECT 'bm25', n FROM bm
+       |UNION ALL SELECT 'near', n FROM nr
+       |UNION ALL SELECT 'phash', n FROM ih
+       |UNION ALL SELECT 'phrase', n FROM ph
+       |UNION ALL SELECT 'trgm', n FROM tg
+       |ORDER BY kind""".stripMargin
+  }
+
   /** The multi-query gate's literal query table — shared verbatim with
     * the oracle's VALUES list (the portability contract): one
     * rare-term query, one mixed, one all-common.
@@ -1895,6 +1980,16 @@ object Retrieval {
     // doc-trigrams) from a corpus that never contained the victims.
     QuerySpec("takedown_sweep", sweepOracleSql) { (s, d) =>
       takedownAudit(s, ensureSweepFixture(s, d))
+    },
+    // Right-to-be-forgotten across EVERY index family: the text sweep
+    // extended to the ANN and perceptual-hash roots — one victim
+    // entity's ids tombstoned in all six kinds under one deleteId,
+    // audited as servable entries per kind against an oracle that
+    // recomputes each count from tables that never contained the
+    // victims. Replay no-op + victim serve-unreachability on the two
+    // new kinds pinned in RetrievalSpec.
+    QuerySpec("takedown_universal", sweepAllOracleSql) { (s, d) =>
+      takedownAuditAll(s, ensureSweepAllFixture(s, d))
     },
     // Proximity (NEAR) search from the word-positional index: all
     // query words within an 8-word window — the query class neither

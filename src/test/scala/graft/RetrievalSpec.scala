@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Retrieval
+import graft.operators.{Multimodal, Retrieval}
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
@@ -992,6 +992,59 @@ class RetrievalSpec extends SparkSpec {
     assert(second.values.forall(identity))
     assert(audit() == counts(
       docs.filter($"doc_id" % 11 =!= 5).filter($"doc_id" % 13 =!= 7)))
+  }
+
+  test("takedownSweepAll: the universal sweep reaches the ANN and " +
+    "perceptual-hash roots too — victims unreachable through the " +
+    "vector and Hamming serves, replay a committed no-op") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".as("v"))
+    val root = tmpDir("sweep-all")
+    Retrieval.writeBm25Index(docs, s"$root/bm25")
+    Retrieval.writeNearIndex(docs, s"$root/near")
+    Retrieval.writePhraseIndex(docs, s"$root/phrase")
+    Retrieval.writeSubstringIndex(docs, s"$root/trgm")
+    graft.operators.Similarity.writeIvfIndex(e, s"$root/ann")
+    val hashes = Multimodal.perceptualHashes(
+      Multimodal.plantedImages(spark, sf0001),
+      Multimodal.DispatchMediaKernel).toDF()
+    Multimodal.writePhashIndex(hashes, s"$root/phash")
+    val docV = docs.filter($"doc_id" % 11 === 5).select($"doc_id")
+    val vecV = e.filter($"vec_id" % 11 === 5).select($"vec_id")
+    val assetV = docV.select($"doc_id".as("asset_id"))
+    val first = Retrieval.takedownSweepAll(
+      spark, docV, vecV, assetV, root, 0L)
+    assert(first.keySet ==
+      Set("bm25", "near", "phrase", "trgm", "ann", "phash"))
+    assert(first.values.forall(identity), "every kind must commit")
+    // victims unreachable through the two NEW kinds' real serves
+    val vecVictims = vecV.as[Long].collect().toSet
+    val qd = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val neigh = graft.operators.Similarity
+      .indexTopK(spark, s"$root/ann", qd)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(neigh.intersect(vecVictims).isEmpty, "ANN serve leaks victim")
+    val assetVictims = docV.as[Long].collect().toSet
+    val found = Multimodal.phashSearch(spark, s"$root/phash",
+        hashes.select($"asset_id".as("query_id"), $"phash"))
+      .select($"asset_id").as[Long].collect().toSet
+    assert(found.intersect(assetVictims).isEmpty,
+      "phash search leaks victim")
+    // replay: every kind reports already-committed
+    val audit = Retrieval.takedownAuditAll(spark, root)
+      .as[(String, Long)].collect().toMap
+    val replay = Retrieval.takedownSweepAll(
+      spark, docV, vecV, assetV, root, 0L)
+    assert(replay.values.forall(!_), "replayed sweep must be a no-op")
+    assert(Retrieval.takedownAuditAll(spark, root)
+      .as[(String, Long)].collect().toMap == audit)
+    assert(audit("ann") ==
+      e.filter($"vec_id" % 11 =!= 5).count(), "ann audit arithmetic")
+    assert(audit("phash") ==
+      4 * docs.filter($"doc_id" % 11 =!= 5).count(),
+      "phash audit arithmetic")
   }
 
   test("substringSearch: the trigram postings scan carries a STATIC " +
