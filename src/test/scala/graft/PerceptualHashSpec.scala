@@ -417,6 +417,20 @@ class PerceptualHashSpec extends SparkSpec {
     // horizon 1 kept (fewer partners can only admit more survivors)
     assert(keep(evolved, Some(1L)).subsetOf(keep(evolved, Some(2L))),
       "removing partners must never reject a previously-kept asset")
+    // the SEARCH serve shares the horizon semantics: horizon 0 finds
+    // exactly what the history-only index finds, and the post-delete
+    // horizon hides every tombstoned asset
+    val probes = incoming.select($"asset_id".as("query_id"), $"phash")
+    def search(idx: String, asOf: Option[Long] = None) =
+      Multimodal.phashSearch(spark, idx, probes, asOf = asOf)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(search(evolved, Some(0L)) == search(fresh),
+      "search at horizon 0 must equal the history-only index")
+    val deleted = histA.select($"asset_id").as[Long].collect().toSet
+    assert(!search(evolved, Some(2L)).exists(r => deleted.contains(r._2)),
+      "post-delete search must hide every tombstoned asset")
+    assert(search(evolved, Some(1L)).exists(r => deleted.contains(r._2)),
+      "the pre-delete horizon must still serve eventual victims")
   }
 
   test("never-all-pairs: the candidate join keys are the band chunks " +
