@@ -37,4 +37,43 @@ class CorpusPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("pipeline_rag: chunks are exactly doc_chunk_overlap's >= 16-token " +
+    "windows, the serve is a correctly ranked top-20, and the " +
+    "md5-embedding recompute matches every served score") {
+    val served = SparkEntry.queries("pipeline_rag")(spark, sf0001)
+      .select($"rnk", $"doc_id", $"chunk_idx", $"sim")
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._1)
+    assert(served.length == 20 && served.map(_._1).toSeq == (1L to 20L))
+    // ranks strictly follow (sim desc, doc_id, chunk_idx)
+    served.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 > b._4 || (a._4 == b._4 &&
+        (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3))))
+    }
+    // recompute each served chunk's fake embedding + cosine from the
+    // raw text with plain Scala — the full chunk→embed→score chain
+    val text = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def comp(key: String) =
+      (java.lang.Long.parseLong(md5hex(key).substring(0, 15), 16)
+        % 1000003L).toDouble / 1000003.0 - 0.5
+    val qv = (0 until 8).map(j => comp(s"graftprobe:$j"))
+    val qn = math.sqrt(qv.map(x => x * x).reduce(_ + _))
+    served.foreach { case (_, docId, chunkIdx, sim) =>
+      val ws = text(docId).split(" ", -1)
+      val st = chunkIdx * 48
+      val slice = ws.slice(st, st + 64)
+      assert(slice.length >= 16, "served chunk must pass the tail filter")
+      val fp = md5hex(slice.mkString(" "))
+      val ev = (0 until 8).map(j => comp(s"$fp:$j"))
+      val dot = (0 until 8).map(j => ev(j) * qv(j)).reduce(_ + _)
+      val nv = math.sqrt(ev.map(x => x * x).reduce(_ + _))
+      val expect = BigDecimal(dot / (nv * qn))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(expect - sim) < 1e-9,
+        s"doc $docId chunk $chunkIdx: $expect vs $sim")
+    }
+  }
 }
