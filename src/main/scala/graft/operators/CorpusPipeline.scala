@@ -367,7 +367,7 @@ object CorpusPipeline {
     // vector plumbing, scoring arithmetic and ranking are real and
     // oracle-able, and a production run swaps ONE select for a
     // mapInPandas/ONNX call. The serve is the brute baseline rung
-    // (one scan, TakeOrdered top-k, no shuffle); at corpus scale the
+    // (one scan, one bounded top_k aggregate — window-free); at corpus scale the
     // chunks land in the certified IVF/PQ/binary index family
     // instead — this gate certifies the chunk→vector→rank chain those
     // rungs consume. Cosine parity: components materialize once, dot
@@ -394,14 +394,21 @@ object CorpusPipeline {
       val nv = (0 until EmbedDim)
         .map(j => col(s"e$j") * col(s"e$j")).reduce(_ + _)
       val sim = round(dot / (sqrt(nv) * lit(ProbeNorm)), 4)
-      val top = withE
-        .select(col("doc_id"), col("chunk_idx"), sim.as("sim"))
-        .orderBy(col("sim").desc, col("doc_id"), col("chunk_idx"))
-        .limit(RagTopK)
-      top.withColumn("rnk", row_number().over(Window.orderBy(
-          col("sim").desc, col("doc_id"), col("chunk_idx"))))
-        .select(col("rnk").cast("long").as("rnk"), col("doc_id"),
-          col("chunk_idx"), col("sim"))
+      // window-free top-k via the bounded top_k aggregate (the ranksOf
+      // convention): the composite id packs (doc_id, chunk_idx) so the
+      // buffer's smaller-id tie-break IS the oracle's
+      // (sim DESC, doc_id, chunk_idx) order
+      withE
+        .select((shiftleft(col("doc_id"), 20) + col("chunk_idx"))
+          .as("cid"), sim.as("sim"))
+        .agg(graft.functions.TopKAgg.top_k(
+          col("sim"), col("cid"), RagTopK).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "sc")))
+        .select((col("pos") + 1).cast("long").as("rnk"),
+          shiftright(col("sc.id"), 20).as("doc_id"),
+          col("sc.id").bitwiseAND(lit((1L << 20) - 1)).cast("int")
+            .as("chunk_idx"),
+          col("sc.score").as("sim"))
     }
   )
 
