@@ -43,9 +43,6 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  private def markerCount(c: Column, markers: Seq[String]): Column =
-    size(filter(split(c, " "), w => w.isInCollection(markers)))
-
   private val QualityFloor = 0.75
   private val Quota = 50
   private val BinBudget = 2048
@@ -73,12 +70,9 @@ object CorpusPipeline {
     val ext = TextAnalysis.extractHtml(aug.select(col("doc_id"), col("t2")))
       .join(docs.select(col("doc_id"), col("lang"), col("source")),
         Seq("doc_id"))
-    // stage 2: normalization (the text_normalize kernel) — docs whose
-    // extraction came back empty leave the pipeline here
-    val lowered = regexp_replace(regexp_replace(regexp_replace(
-      lower(col("ext")), "é", "e"), "ö", "o"), "ñ", "n")
-    val ntExpr = trim(regexp_replace(regexp_replace(
-      lowered, "[^a-z0-9 ]", " "), " +", " "))
+    // stage 2: normalization (the SHARED text_normalize kernel) — docs
+    // whose extraction came back empty leave the pipeline here
+    val ntExpr = TextAnalysis.normalizeExpr(col("ext"))
     // Pinned: the regex-heavy extract+normalize chain feeds the filter,
     // BOTH dedup shingle sides, and the benchmark gram build — 2-3×
     // recomputed without the pin, and it IS the intermediate a
@@ -92,18 +86,11 @@ object CorpusPipeline {
     // normalized text), confident language ID (text_langid kernel),
     // and the gopher word-count rule
     val nt = col("nt")
-    val enN = markerCount(nt, Seq("the", "a", "of", "and", "in"))
-    val esN = markerCount(nt, Seq("el", "la", "de", "que", "y"))
-    val deN = markerCount(nt, Seq("der", "die", "das", "und", "ist"))
     val nWords = size(split(nt, " "))
-    val predLang =
-      when(enN >= esN && enN >= deN && enN * 20 >= nWords, "en")
-        .when(esN > enN && esN >= deN && esN * 20 >= nWords, "es")
-        .when(deN > enN && deN > esN && deN * 20 >= nWords, "de")
-        .otherwise("und")
     val k1 = nrm
       .filter(TextAnalysis.qualityScore(nt) >= QualityFloor &&
-        predLang =!= "und" && nWords.between(15, 10000))
+        TextAnalysis.predLang(nt) =!= "und" &&
+        nWords.between(15, 10000))
       .select(col("doc_id"), col("lang"), col("source"), col("nt"),
         nWords.cast("long").as("n_tok"))
     // stage 4: near-dup dedup, keep the cluster-canonical (min-id)
@@ -398,8 +385,14 @@ object CorpusPipeline {
       // convention): the composite id packs (doc_id, chunk_idx) so the
       // buffer's smaller-id tie-break IS the oracle's
       // (sim DESC, doc_id, chunk_idx) order
+      // the pack needs chunk_idx < 2^20 (~50M whitespace tokens per
+      // doc); overflow must FAIL, not silently attribute the chunk to
+      // the next doc_id and corrupt the tie order
+      val safeIdx = when(col("chunk_idx") < (1 << 20), col("chunk_idx"))
+        .otherwise(raise_error(lit(
+          "pipeline_rag: chunk_idx overflows the 20-bit (doc_id, chunk_idx) pack")))
       withE
-        .select((shiftleft(col("doc_id"), 20) + col("chunk_idx"))
+        .select((shiftleft(col("doc_id"), 20) + safeIdx)
           .as("cid"), sim.as("sim"))
         .agg(graft.functions.TopKAgg.top_k(
           col("sim"), col("cid"), RagTopK).as("top"))

@@ -490,13 +490,14 @@ object Curation {
     // ln(u)/w with u a deterministic md5-derived uniform in (0, 1]
     // (top-k by key ⇔ top-k by u^(1/w)); u's integer comes from 15
     // md5 hex chars parsed identically on both engines (Spark conv ==
-    // DuckDB '0x'-cast, value-checked), the 2⁶⁰ divisor is an exact
-    // power of two, and the key has NO summation — both engines run
-    // the identical IEEE op chain per row, so the ranking agrees
-    // without a rounding crutch (ln parity per the
-    // text_unigram_logprob precedent); the OUTPUT key is 6-dp-rounded
-    // for display only. Two-stage salted windows keep any one task's
-    // sort bounded, the stratified-sample shape.
+    // DuckDB '0x'-cast, value-checked) and the 2⁶⁰ divisor is an
+    // exact power of two — but ln is NOT correctly rounded in either
+    // engine's libm, so the RANKING runs on the 6-dp-ROUNDED key
+    // (doc_id tie-break) in BOTH engines: a one-ulp ln divergence at
+    // a quota boundary must not flip the sample (the file's
+    // round-before-cross-engine-comparison convention; see the
+    // inline note at the key definition). Two-stage salted windows
+    // keep any one task's sort bounded, the stratified-sample shape.
     QuerySpec(
       "doc_sample_weighted",
       """WITH t AS (SELECT doc_id, lang,

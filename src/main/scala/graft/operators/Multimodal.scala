@@ -1322,7 +1322,11 @@ object Multimodal {
       }
       def unary(): Int = {
         var q = 0
-        while (bit() == 0) { q += 1; if (q > (b.length << 3)) throw Bad }
+        // runaway guard in Long: an Int shift wraps negative past
+        // 256 MiB and would reject every large valid stream
+        while (bit() == 0) {
+          q += 1; if (q > (b.length.toLong << 3)) throw Bad
+        }
         q
       }
       /** Byte offset of the NEXT unread byte (only valid aligned). */

@@ -1712,8 +1712,12 @@ object Retrieval {
       .reduce(_.union(_))
       .orderBy(col("kind"))
 
-  private val sweepOracleSql: String =
-    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+  /** The four text kinds' victimless posting counts as a CTE block —
+    * shared VERBATIM by the four-kind and six-kind sweep oracles so
+    * the two can never drift.
+    */
+  private val sweepTextCtes: String =
+    s"""d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
        |           FROM documents WHERE doc_id % 11 <> 5),
        |bm AS (SELECT count(*) AS n FROM
        |        (SELECT DISTINCT doc_id, unnest(ws) FROM d)),
@@ -1722,7 +1726,10 @@ object Retrieval {
        |       FROM d),
        |tg AS (SELECT count(*) AS n FROM
        |        (SELECT DISTINCT doc_id, substr(text, i, 3)
-       |         FROM d, unnest(range(1, len(text) - 1)) u(i)))
+       |         FROM d, unnest(range(1, len(text) - 1)) u(i)))""".stripMargin
+
+  private val sweepOracleSql: String =
+    s"""WITH $sweepTextCtes
        |SELECT 'bm25' AS kind, n AS n_postings FROM bm
        |UNION ALL SELECT 'near', n FROM nr
        |UNION ALL SELECT 'phrase', n FROM ph
@@ -1797,12 +1804,8 @@ object Retrieval {
         staging, 0L)
     }
 
-  private val sweepAllOracleSql: String = {
-    // the text kinds' victimless counts verbatim from sweepOracleSql
-    val textCtes = sweepOracleSql
-      .substring(sweepOracleSql.indexOf("WITH") + 4,
-        sweepOracleSql.indexOf("SELECT 'bm25'"))
-    s"""WITH ${textCtes.trim},
+  private val sweepAllOracleSql: String =
+    s"""WITH $sweepTextCtes,
        |an AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 11 <> 5),
        |ih AS (SELECT 4 * count(*) AS n FROM documents WHERE doc_id % 11 <> 5)
        |SELECT 'ann' AS kind, n AS n_postings FROM an
@@ -1812,7 +1815,6 @@ object Retrieval {
        |UNION ALL SELECT 'phrase', n FROM ph
        |UNION ALL SELECT 'trgm', n FROM tg
        |ORDER BY kind""".stripMargin
-  }
 
   /** The multi-query gate's literal query table — shared verbatim with
     * the oracle's VALUES list (the portability contract): one

@@ -21,6 +21,34 @@ object TextAnalysis {
   private val Stopwords =
     Seq("the", "a", "of", "and", "in", "to", "is", "it", "on", "for")
 
+  /** The `text_normalize` kernel as one expression: case fold, accent
+    * strip, punctuation→space, whitespace collapse. Shared by the
+    * standalone gate and `CorpusPipeline`'s stage 2 so the two
+    * formulations cannot drift.
+    */
+  private[operators] def normalizeExpr(c: Column): Column = {
+    val lowered = regexp_replace(regexp_replace(regexp_replace(
+      lower(c), "é", "e"), "ö", "o"), "ñ", "n")
+    trim(regexp_replace(regexp_replace(
+      lowered, "[^a-z0-9 ]", " "), " +", " "))
+  }
+
+  /** The `text_langid` marker-argmax as one expression (same tie and
+    * ≥5%-marker-density confidence rules as the standalone gate).
+    * Shared by `text_langid`, `text_langid_confusion`, and
+    * `CorpusPipeline`'s stage 3.
+    */
+  private[operators] def predLang(t: Column): Column = {
+    val enN = markerCount(t, Seq("the", "a", "of", "and", "in"))
+    val esN = markerCount(t, Seq("el", "la", "de", "que", "y"))
+    val deN = markerCount(t, Seq("der", "die", "das", "und", "ist"))
+    val n = size(words(t))
+    when(enN >= esN && enN >= deN && enN * 20 >= n, "en")
+      .when(esN > enN && esN >= deN && esN * 20 >= n, "es")
+      .when(deN > enN && deN > esN && deN * 20 >= n, "de")
+      .otherwise("und")
+  }
+
   /** Blended quality score in [0, 1] (length, punctuation, stopword
     * signals) — the shared kernel of `text_quality`, `doc_curate`'s
     * stage 1, and `streaming.StreamingCuration`. Pure per-row
@@ -293,15 +321,10 @@ object TextAnalysis {
         |FROM f""".stripMargin) { (s, d) =>
       val t = col("text")
       val enN = markerCount(t, Seq("the", "a", "of", "and", "in"))
-      val esN = markerCount(t, Seq("el", "la", "de", "que", "y"))
-      val deN = markerCount(t, Seq("der", "die", "das", "und", "ist"))
       val n = size(words(t))
       Tables.documents(s, d).select(
         col("doc_id"),
-        when(enN >= esN && enN >= deN && enN * 20 >= n, "en")
-          .when(esN > enN && esN >= deN && esN * 20 >= n, "es")
-          .when(deN > enN && deN > esN && deN * 20 >= n, "de")
-          .otherwise("und").as("pred_lang"),
+        predLang(t).as("pred_lang"),
         enN.cast("long").as("en_markers"),
         n.cast("long").as("n_tokens"))
     },
@@ -336,17 +359,8 @@ object TextAnalysis {
         |SELECT c.lang, c.pred_lang, c.n,
         |  round(CAST(c.n AS DOUBLE) / t.tot, 4) AS share
         |FROM c JOIN t ON c.lang = t.lang""".stripMargin) { (s, d) =>
-      val t = col("text")
-      val enN = markerCount(t, Seq("the", "a", "of", "and", "in"))
-      val esN = markerCount(t, Seq("el", "la", "de", "que", "y"))
-      val deN = markerCount(t, Seq("der", "die", "das", "und", "ist"))
-      val n = size(words(t))
       val pred = Tables.documents(s, d).select(
-        col("lang"),
-        when(enN >= esN && enN >= deN && enN * 20 >= n, "en")
-          .when(esN > enN && esN >= deN && esN * 20 >= n, "es")
-          .when(deN > enN && deN > esN && deN * 20 >= n, "de")
-          .otherwise("und").as("pred_lang"))
+        col("lang"), predLang(col("text")).as("pred_lang"))
       val cells = pred.groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
       val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
