@@ -1787,9 +1787,11 @@ object Multimodal {
         w.put(1L, 6); putWasted()
         var i = 0
         while (i < n) { w.put(s(i) & ((1L << bps) - 1), bps); i += 1 }
-      } else if (opts.mode == "lpc") {
+      } else if (opts.mode == "lpc" && n > 2) {
+        // blocks too short for the order-2 predictor (a ragged last
+        // frame) fall through to the fixed-predictor branch — the
+        // mode is a knob, the stream must stay valid at every length
         val o = 2
-        require(n > o, "lpc mode needs blocks longer than the order")
         w.put(0x20L | (o - 1), 6); putWasted()
         var i = 0
         while (i < o) { w.put(s(i) & ((1L << bps) - 1), bps); i += 1 }

@@ -208,4 +208,59 @@ class KernelPropertySpec extends SparkSpec {
       assert(Multimodal.byteHash(bytes) == expected)
     }
   }
+
+  test("FLAC roundtrip property: random PCM survives encode->decode " +
+    "bit-exactly across bit depths, channel layouts, block sizes, " +
+    "subframe modes, escapes and wasted bits — including degenerate " +
+    "lengths and full-scale extremes") {
+    import Multimodal.FlacMediaKernel.{FlacEncOpts, decodePcm, encodeFlac}
+    def pcm(n: Int, bits: Int): Array[Int] = {
+      val lim = 1 << (bits - 1)
+      Array.fill(n)(rnd.nextInt(2 * lim) - lim)
+    }
+    def check(chs: Array[Array[Int]], bits: Int,
+        opts: FlacEncOpts, label: String): Unit = {
+      val dec = decodePcm(encodeFlac(chs, 8000, bits, opts))
+      assert(dec.isDefined, s"$label: decode refused")
+      val (info, out) = dec.get
+      assert(info.channels == chs.length && info.bitsPerSample == bits,
+        label)
+      val n = chs(0).length
+      chs.indices.foreach { c =>
+        val got = Array.tabulate(n)(i => out(i * chs.length + c))
+        assert(got.toSeq == chs(c).toSeq, s"$label: channel $c differs")
+      }
+    }
+    // parameter sweep: every mode × stereo × escape × block size
+    for {
+      bits <- Seq(8, 16)
+      bs <- Seq(2, 3, 17, 256)
+      mode <- Seq("auto", "verbatim", "lpc")
+      esc <- Seq(false, true)
+    } {
+      val n = bs + rnd.nextInt(2 * bs + 1) // 1-3 frames, ragged tail
+      check(Array(pcm(n, bits)), bits,
+        FlacEncOpts(blockSize = bs, mode = mode, forceEscape = esc),
+        s"mono bits=$bits bs=$bs mode=$mode esc=$esc n=$n")
+    }
+    for (st <- Seq("indep", "ls", "rs", "ms"); esc <- Seq(false, true)) {
+      val n = 40 + rnd.nextInt(60)
+      check(Array(pcm(n, 16), pcm(n, 16)), 16,
+        FlacEncOpts(blockSize = 32, stereo = st, forceEscape = esc),
+        s"stereo $st esc=$esc n=$n")
+    }
+    // degenerate lengths and full-scale extremes
+    check(Array(Array(-128)), 8, FlacEncOpts(blockSize = 2), "n=1")
+    check(Array(Array.fill(26)(0)), 8, FlacEncOpts(), "silence")
+    check(Array(Array.tabulate(52)(i =>
+      if (i % 2 == 0) -32768 else 32767)), 16, FlacEncOpts(),
+      "16-bit full-scale alternation")
+    check(Array(Array.fill(26)(127), Array.fill(26)(-128)), 8,
+      FlacEncOpts(stereo = "ms"), "8-bit extremes mid/side")
+    // wasted bits at both depths
+    check(Array(pcm(60, 16).map(_ & ~7)), 16,
+      FlacEncOpts(wasted = 3), "wasted=3 16-bit")
+    check(Array(pcm(60, 8).map(_ & ~1)), 8,
+      FlacEncOpts(wasted = 1, mode = "verbatim"), "wasted=1 verbatim")
+  }
 }
