@@ -206,6 +206,84 @@ object Dedup {
           .as("containment"))
   }
 
+  /** Prefix-filtering EXACT set-similarity self-join (the PPJoin family:
+    * Chaudhuri et al. SSJoin, Xiao et al. PPJoin) over distinct 3-word
+    * shingles, Jaccard ≥ 0.8 — the LOSSLESS twin of [[ngramPairs]]:
+    * same set semantics and threshold, but no df cap (which silently
+    * ignores pairs whose only shared shingles are stop-shingles) and no
+    * MinHash banding (which is probabilistic). Every shingle set is
+    * sorted under ONE global order — document frequency ascending,
+    * shingle ascending — and only its PREFIX of length n − ⌈0.8·n⌉ + 1
+    * enters the candidate join. Correctness (the textbook lemma):
+    * J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and the smallest common
+    * element under the global order sits within the first
+    * |X| − |A∩B| + 1 positions of BOTH sets, which the prefix covers —
+    * so every qualifying pair shares a prefix element and the join
+    * misses nothing.
+    *
+    * Scale design: the join keys are each document's RAREST shingles by
+    * construction (df-ascending order pushes boilerplate n-grams to the
+    * END of every set, outside the prefix), so per-key fan-out stays
+    * small on any Zipfian corpus without dropping a single pair — the
+    * mirror image of the stop-shingle cap, which bounds fan-out by
+    * sacrificing completeness. Candidates verify against full per-doc
+    * shingle arrays carried in-row (`array_intersect`, bounded by
+    * document length — no second corpus-wide shuffle per pair); the
+    * candidate join keys on xxhash64(shingle) for shuffle width (a hash
+    * collision can only ADD a candidate, which the exact verify then
+    * scores correctly). The size filter (5·min ≥ 4·max) and the final
+    * threshold (5·i ≥ 4·(na+nb−i)) are INTEGER comparisons, so no float
+    * boundary can disagree across engines. Losslessness vs a
+    * brute-force all-pairs recompute is pinned in OperatorsSpec.
+    */
+  def prefixJoinPairs(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = Par.fanOut(docs)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("tok"))
+    // Global document frequency: groupBy (map-side combine collapses hot
+    // shingles before the shuffle), never a count-over-window on tok.
+    val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // Rank each doc's shingles under the global (df, tok) order; both
+    // windows share the one doc_id exchange. The order is total within a
+    // doc (shingles are distinct), so row_number is deterministic.
+    val ranked = toks.join(dfTab, Seq("tok"))
+      .withColumn("n", count(lit(1)).over(w.partitionBy(col("doc_id"))))
+      .withColumn("r", row_number().over(
+        w.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+    // Prefix length n − ⌈0.8n⌉ + 1, with ⌈0.8n⌉ = (4n+4) div 5 exact.
+    val prefix = ranked
+      .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select(col("doc_id"), xxhash64(col("tok")).as("tokh"), col("n"))
+    val a = prefix.select(col("doc_id").as("doc_a"), col("tokh"),
+      col("n").as("na"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("tokh"),
+      col("n").as("nb"))
+    // Candidates: prefixes share an element + the lossless size filter
+    // (J ≥ t forces min ≥ t·max). Distinct before the verify join so a
+    // pair sharing k prefix elements verifies once, not k times.
+    val cand = a.join(b, Seq("tokh"))
+      .filter(col("doc_a") < col("doc_b") &&
+        lit(5) * least(col("na"), col("nb")) >=
+          lit(4) * greatest(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .distinct()
+    // Exact verify: full shingle sets ride in-row (per-doc bounded), the
+    // intersection is a codegen'd array op — no corpus-wide re-shuffle.
+    val sets = toks.groupBy(col("doc_id"))
+      .agg(collect_set(col("tok")).as("toks"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+        Seq("doc_b"))
+      .withColumn("i", size(array_intersect(col("ta"), col("tb")))
+        .cast("long"))
+      .filter(lit(5) * col("i") >= lit(4) * (col("na") + col("nb") - col("i")))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)
+          .as("jaccard"))
+  }
+
   /** Connected components of an undirected pair graph (doc_a, doc_b):
     * every vertex gets `cluster_id` = the MIN doc_id reachable from it —
     * true transitive-closure cluster semantics, vs the pair-chain
@@ -915,6 +993,40 @@ object Dedup {
          |FROM pairs
          |WHERE CAST(i AS DOUBLE) / least(na, nb) >= 0.9""".stripMargin) {
       (s, d) => containmentPairs(Tables.documents(s, d))
+    },
+
+    // Prefix-filtering EXACT similarity join (PPJoin family): shingle
+    // Jaccard ≥ 0.8 with NO df cap and NO banding — lossless by the
+    // prefix-filter lemma (see prefixJoinPairs). The oracle mirrors the
+    // same prefix machinery over the UNCAPPED shingle stream (windows +
+    // integer prefix arithmetic); the equivalence of the pruned join to
+    // brute-force all-pairs is pinned separately in OperatorsSpec,
+    // where brute force is affordable.
+    QuerySpec(
+      "dedup_prefix_join",
+      s"""$rawShingleCte,
+        |dfx AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+        |r AS (SELECT ex.doc_id, ex.sh, sz.n,
+        |        row_number() OVER (PARTITION BY ex.doc_id
+        |                           ORDER BY dfx.df, ex.sh) AS r
+        |      FROM ex JOIN dfx USING (sh) JOIN sz USING (doc_id)),
+        |p AS (SELECT doc_id, sh, n FROM r
+        |      WHERE r <= n - (4 * n + 4) // 5 + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n AS na, b.n AS nb
+        |  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  WHERE 5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS i
+        |  FROM cand c JOIN ex x ON x.doc_id = c.doc_a
+        |              JOIN ex y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+        |FROM inter WHERE 5 * i >= 4 * (na + nb - i)""".stripMargin) {
+      (s, d) => prefixJoinPairs(Tables.documents(s, d))
     },
 
     // Incremental dedup under the oracle gate: every 5th doc plays the
