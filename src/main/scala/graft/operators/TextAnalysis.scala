@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -299,6 +299,243 @@ object TextAnalysis {
         .otherwise(concat(acc("done"), array(acc("cur")))))
   }
 
+  /** Multinomial Naive Bayes language classifier — train on the
+    * doc_id % 5 ≠ 4 split, score the % 5 = 4 holdout. See the
+    * `text_nb_langid` QuerySpec comment for the full design; the short
+    * version: training is one token-keyed aggregation pass (closed-form,
+    * no iteration), scoring sums 1e-6-scaled BIGINT log-likelihood
+    * surrogates (order-free integer arithmetic — cross-engine exact),
+    * unseen tokens take the per-lang smoothed default so the model join
+    * carries only observed (lang, token) rows, and the argmax tie-breaks
+    * on lang ascending. Semantics pinned in OperatorsSpec (hand-computed
+    * planted model where NB provably separates, exact-tie fixture). On
+    * the driver's synthetic corpus the lang labels are content-
+    * independent, so holdout accuracy sits at the majority prior — the
+    * gate certifies the OPERATOR (exact scores, exact argmax), and the
+    * planted-corpus spec certifies that it learns when there is signal.
+    */
+  def nbLangid(docs: DataFrame): DataFrame = {
+    val (model, langs) = nbModelFrames(docs.filter(col("doc_id") % 5 =!= 4))
+    nbClassify(docs.filter(col("doc_id") % 5 === 4), model, langs)
+  }
+
+  /** Fit the NB model on a labeled `(doc_id, lang, text)` frame: returns
+    * (model = (lang, tok, c, l_i), langs = (lang, dl, t, v, dd, prior_i,
+    * def_i)) — the two frames [[nbClassify]] consumes (it reads only the
+    * integer surrogates) and exactly what [[ensureNbModel]] persists.
+    * The RAW sufficient statistics (c, dl, t, v, dd) ride along because
+    * they are what makes the model family EXACTLY maintainable: counts
+    * are subtractable, so [[nbForget]] can unlearn a document set
+    * decrementally and land bit-identically on the from-scratch refit —
+    * the closed-form-model property no SGD classifier has.
+    */
+  def nbModelFrames(train: DataFrame): (DataFrame, DataFrame) = {
+    val trainToks = Par.fanOut(train)
+      .select(col("lang"), explode(words(col("text"))).as("tok"))
+    val cnt = trainToks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val priors = train.groupBy(col("lang")).agg(count(lit(1)).as("dl"))
+    nbFinalize(cnt, priors)
+  }
+
+  /** The fit's FINALIZE stage: sufficient statistics → integer
+    * log-likelihood surrogates. Shared verbatim by the from-scratch fit
+    * and the decremental [[nbForget]], so the two paths cannot drift.
+    * `cnt` = (lang, tok, c > 0), `priors` = (lang, dl).
+    */
+  private def nbFinalize(cnt: DataFrame,
+      priors: DataFrame): (DataFrame, DataFrame) = {
+    // Group-less scalars (vocab size, train doc count) — true scalars at
+    // any corpus size, so the cross joins below are 1-row broadcasts.
+    val vocab = cnt.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
+    val dTot = priors.agg(sum(col("dl")).as("dd"))
+    val langTot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    // ≤ |langs| rows: prior + smoothed-zero default per language.
+    val langs = langTot.join(priors, Seq("lang"))
+      .crossJoin(vocab).crossJoin(dTot)
+      .select(col("lang"), col("dl"), col("t"), col("v"), col("dd"),
+        round(log(col("dl").cast("double") / col("dd")) * 1e6)
+          .cast("long").as("prior_i"),
+        round(log(lit(1.0) / (col("t") + col("v"))) * 1e6)
+          .cast("long").as("def_i"))
+    // The model: observed (lang, token) smoothed log-likelihoods as
+    // 1e-6-scaled integers. Corpus-derived cardinality ⇒ never hinted.
+    val model = cnt.join(langTot, Seq("lang")).crossJoin(vocab)
+      .select(col("lang"), col("tok"), col("c"),
+        round(log((col("c") + 1).cast("double") / (col("t") + col("v")))
+          * 1e6).cast("long").as("l_i"))
+    (model, langs)
+  }
+
+  /** EXACT unlearning: remove `forget` (a labeled `(doc_id, lang, text)`
+    * frame) from a fitted model WITHOUT touching the rest of the train
+    * corpus — subtract its per-(lang, token) counts and per-lang doc
+    * counts from the persisted sufficient statistics, drop zeroed rows
+    * (vocabulary shrinks exactly like a refit's would), and re-finalize
+    * through the same [[nbFinalize]] kernel. Bit-identical to the
+    * from-scratch refit on train ∖ forget (gated by `text_nb_forgotten`
+    * against the refit ORACLE, and spec-pinned frame-for-frame) at the
+    * cost of scoring only the FORGOTTEN docs — the right-to-be-forgotten
+    * path for a model whose training corpus no longer fits a refit
+    * window.
+    */
+  def nbForget(model: DataFrame, langs: DataFrame,
+      forget: DataFrame): (DataFrame, DataFrame) = {
+    val fCnt = Par.fanOut(forget)
+      .select(col("lang"), explode(words(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("fc"))
+    val cnt = model.select(col("lang"), col("tok"), col("c"))
+      .join(fCnt, Seq("lang", "tok"), "left")
+      .select(col("lang"), col("tok"),
+        (col("c") - coalesce(col("fc"), lit(0L))).as("c"))
+      .filter(col("c") > 0)
+    val fDocs = forget.groupBy(col("lang")).agg(count(lit(1)).as("fdl"))
+    val priors = langs.select(col("lang"), col("dl"))
+      .join(fDocs, Seq("lang"), "left")
+      .select(col("lang"),
+        (col("dl") - coalesce(col("fdl"), lit(0L))).as("dl"))
+      .filter(col("dl") > 0)
+    nbFinalize(cnt, priors)
+  }
+
+  /** Score a `(doc_id, lang, text)` frame against a fitted NB model —
+    * the frozen-model arithmetic shared by the batch gates, the
+    * persisted-model serve and the streaming classify (same kernel per
+    * micro-batch). The input's `lang` column rides through as
+    * `true_lang`; prediction uses only `text`.
+    */
+  def nbClassify(docs: DataFrame, model: DataFrame,
+      langs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    // Tokens with multiplicity, collapsed to (doc, tok, k) so the model
+    // join carries one row per distinct token, not per occurrence.
+    val docToks = Par.fanOut(docs)
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
+    val seen = docToks.join(model, Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("k") * col("l_i")).as("seen_sum"),
+        sum(col("k")).as("seen_k"))
+    val scored = docs
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        size(words(col("text"))).cast("long").as("n_toks"))
+      .crossJoin(broadcast(langs))
+      .join(seen, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("true_lang"), col("lang"),
+        (col("prior_i") + coalesce(col("seen_sum"), lit(0L)) +
+          (col("n_toks") - coalesce(col("seen_k"), lit(0L))) * col("def_i"))
+          .as("nb_score"))
+    scored
+      .withColumn("rn", row_number().over(w.partitionBy(col("doc_id"))
+        .orderBy(col("nb_score").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("true_lang"),
+        col("lang").as("pred_lang"), col("nb_score"))
+  }
+
+  /** Build-if-absent the PERSISTED NB model for `d` (model/ + langs/
+    * sides under one published root, the BPE-model convention): the
+    * train-once-serve-many lifecycle — `text_nb_indexed` and the
+    * streaming classify read these frames and never re-scan train text.
+    */
+  def ensureNbModel(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_nb_model$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.ensurePublishedDir(s, root.toString)(r =>
+      Seq("model", "langs").forall(side => fs.exists(
+        new org.apache.hadoop.fs.Path(r, side + "/_SUCCESS")))
+    ) { staging =>
+      val (model, langs) = nbModelFrames(
+        Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4))
+      model.write.parquet(s"$staging/model")
+      langs.coalesce(1).write.parquet(s"$staging/langs")
+    }
+  }
+
+  /** Interpolated Kneser–Ney bigram document scoring — see the
+    * `text_kn_logprob` QuerySpec comment. Model = one bigram-type frame
+    * (c2) folded three ways: prefix totals + distinct-continuation
+    * counts (pre), distinct-context counts (cont), scalar type total.
+    * Same one-explode-feeds-model-and-scoring shape as
+    * [[bigramLogprob]]; all model frames corpus-derived ⇒ unhinted,
+    * only the scalar type total broadcasts.
+    */
+  private[graft] def knLogprob(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Par.fanOut(d)
+    val grams = docs
+      .select(col("doc_id"), explode(Dedup.kgrams(col("text"), 2)).as("g2"))
+    val c2 = grams.groupBy(col("g2")).agg(count(lit(1)).as("n2"))
+    val sp = c2.select(col("g2"), col("n2"),
+      split(col("g2"), " ")(0).as("w1"), split(col("g2"), " ")(1).as("w2"))
+    val pre = sp.groupBy(col("w1"))
+      .agg(sum(col("n2")).as("cw1"), count(lit(1)).as("nf"))
+    val cont = sp.groupBy(col("w2")).agg(count(lit(1)).as("np"))
+    val tt = broadcast(c2.agg(count(lit(1)).as("t")))
+    val m = sp.join(pre, Seq("w1")).join(cont, Seq("w2")).crossJoin(tt)
+      .select(col("g2"),
+        ((col("n2") - 0.75) / col("cw1") +
+          lit(0.75) * col("nf") / col("cw1") *
+            (col("np") / col("t").cast("double"))).as("p"))
+    grams.join(m, Seq("g2"))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("p"))), 4).as("avg_logp"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** The NB classification oracle, parameterized ONLY by the train-split
+    * predicate (one interpolation point, no substring surgery): shared
+    * VERBATIM by `text_nb_langid` (direct) and `text_nb_indexed`
+    * (persisted-model serve), and with the forget-set excluded by
+    * `text_nb_forgotten` — whose oracle is thus the from-scratch REFIT,
+    * the exact-unlearning contract.
+    */
+  private def nbOracle(trainWhere: String): String =
+    s"""WITH train AS (SELECT * FROM documents WHERE $trainWhere),
+      |test AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
+      |tt AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |       FROM train),
+      |cnt AS (SELECT lang, tok, count(*) AS c FROM tt GROUP BY 1, 2),
+      |v AS (SELECT count(DISTINCT tok) AS v FROM tt),
+      |lt AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY 1),
+      |pr AS (SELECT lang, count(*) AS dl FROM train GROUP BY 1),
+      |dd AS (SELECT count(*) AS dd FROM train),
+      |langs AS (
+      |  SELECT lt.lang, lt.t,
+      |    CAST(round(ln(CAST(pr.dl AS DOUBLE) / dd.dd) * 1e6) AS BIGINT)
+      |      AS prior_i,
+      |    CAST(round(ln(1.0 / (lt.t + v.v)) * 1e6) AS BIGINT) AS def_i
+      |  FROM lt JOIN pr USING (lang), v, dd),
+      |model AS (
+      |  SELECT cnt.lang, cnt.tok,
+      |    CAST(round(ln(CAST(cnt.c + 1 AS DOUBLE) / (lt.t + v.v)) * 1e6)
+      |      AS BIGINT) AS l_i
+      |  FROM cnt JOIN lt USING (lang), v),
+      |ttoks AS (
+      |  SELECT doc_id, tok, count(*) AS k
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM test) GROUP BY 1, 2),
+      |seen AS (
+      |  SELECT q.doc_id, m.lang,
+      |    sum(q.k * m.l_i) AS seen_sum, sum(q.k) AS seen_k
+      |  FROM ttoks q JOIN model m ON m.tok = q.tok GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT te.doc_id, te.lang AS true_lang, l.lang,
+      |    CAST(l.prior_i + coalesce(s.seen_sum, 0) +
+      |      (CAST(len(string_split(te.text, ' ')) AS BIGINT)
+      |        - coalesce(s.seen_k, 0)) * l.def_i AS BIGINT) AS nb_score
+      |  FROM test te CROSS JOIN langs l
+      |  LEFT JOIN seen s ON s.doc_id = te.doc_id AND s.lang = l.lang)
+      |SELECT doc_id, true_lang, lang AS pred_lang, nb_score
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY nb_score DESC, lang) AS rn FROM scored)
+      |WHERE rn = 1""".stripMargin
+
+  private val nbOracleSql: String = nbOracle("doc_id % 5 <> 4")
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Language ID: stopword-marker ratio per candidate language, argmax
@@ -367,6 +604,71 @@ object TextAnalysis {
       cells.join(totals, Seq("lang"))
         .select(col("lang"), col("pred_lang"), col("n"),
           round(col("n").cast("double") / col("tot"), 4).as("share"))
+    },
+
+    // TRAINED language classifier: multinomial Naive Bayes with add-one
+    // smoothing, learned from the corpus' own labels — the supervised
+    // upgrade of the text_langid marker heuristic. Training is PURE
+    // AGGREGATION (per-(lang, token) counts + per-lang totals + one
+    // scalar vocabulary size), so the "fit" distributes as one
+    // token-keyed shuffle with map-side combine — no SGD, no driver
+    // loop, no iteration: the closed-form classifier a 100 TB corpus
+    // can actually train in one pass. Scoring: every per-(lang, token)
+    // log-likelihood is pre-rounded to a 1e-6-scaled BIGINT surrogate,
+    // so per-doc scores are INTEGER sums — associative, order-free, and
+    // bit-identical across engines (a raw double sum would diverge in
+    // accumulation order; the unigram-LM 4-dp-round convention, applied
+    // at the term level so the argmax can never flip on ulps). Unseen
+    // tokens take the smoothed zero-count mass (1/(t_l+V)) via a
+    // per-lang default — computed from the doc's token total minus its
+    // seen-token count, so the model join only ever carries tokens the
+    // train split actually has. Held-out protocol: every 5th doc is
+    // test (the repo's split convention), the rest train; the model
+    // frame is corpus-derived (vocab × langs ⇒ grows with the corpus)
+    // so the scoring join is UNHINTED; only the ≤|langs|-row per-lang
+    // frame broadcasts.
+    QuerySpec(
+      "text_nb_langid",
+      nbOracleSql) { (s, d) =>
+      nbLangid(Tables.documents(s, d))
+    },
+
+    // The SAME classification served from the PERSISTED model (the
+    // train-once-serve-many lifecycle every other model family here
+    // has): identical contract, identical oracle — but the serve reads
+    // only the published model/ + langs/ frames and the holdout slice;
+    // train text is never re-scanned. Output equality with the direct
+    // gate is additionally pinned in OperatorsSpec.
+    QuerySpec(
+      "text_nb_indexed",
+      nbOracleSql) { (s, d) =>
+      val root = ensureNbModel(s, d)
+      nbClassify(
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 4),
+        s.read.parquet(s"$root/model"),
+        s.read.parquet(s"$root/langs"))
+    },
+
+    // EXACT unlearning (the model-side right-to-be-forgotten): every
+    // 25th doc is taken down from the PERSISTED model by decremental
+    // count subtraction (nbForget — cost ∝ the forgotten docs, never
+    // the train corpus), then the holdout classifies under the
+    // shrunken model. The ORACLE is the from-scratch refit without
+    // those docs — so the gate certifies that subtraction lands
+    // bit-identically on retraining, the property only closed-form
+    // sufficient-statistics models have (an SGD model would need the
+    // full corpus back). Frame-level refit equality is additionally
+    // pinned in OperatorsSpec.
+    QuerySpec(
+      "text_nb_forgotten",
+      nbOracle("doc_id % 5 <> 4 AND doc_id % 25 <> 0")) { (s, d) =>
+      val root = ensureNbModel(s, d)
+      val docs = Tables.documents(s, d)
+      val (m2, l2) = nbForget(
+        s.read.parquet(s"$root/model"),
+        s.read.parquet(s"$root/langs"),
+        docs.filter(col("doc_id") % 5 =!= 4 && col("doc_id") % 25 === 0))
+      nbClassify(docs.filter(col("doc_id") % 5 === 4), m2, l2)
     },
 
     // Quality scoring: length/word-shape/stopword signals + blended score.
@@ -691,6 +993,46 @@ object TextAnalysis {
         |FROM g JOIN m USING (g2), v
         |GROUP BY doc_id""".stripMargin) { (s, d) =>
       bigramLogprob(Tables.documents(s, d))
+    },
+
+    // Interpolated Kneser–Ney bigram scoring — the smoothing actually
+    // shipped in KenLM-class perplexity filters, next to the add-1
+    // baseline above: P(w2|w1) = max(c(w1w2)−D, 0)/c(w1•) +
+    // D·N1+(w1•)/c(w1•) · N1+(•w2)/N1+(••), absolute discount D = 0.75
+    // (exact in binary: 3/4). The continuation probability scores w2 by
+    // how many DISTINCT contexts it follows, not raw frequency — the
+    // "San Francisco" fix: "Francisco" is frequent but predicts nothing
+    // outside one context, and add-1 smoothing cannot see that. All
+    // model quantities are COUNTS off the one bigram-type frame (prefix
+    // totals, distinct-continuation and distinct-context type counts,
+    // one scalar type total), so the fit distributes exactly like the
+    // add-1 model's; corpus self-scoring means every scored bigram was
+    // observed (c ≥ 1 ⇒ the max(·,0) clamp never binds — noted, not
+    // elided). The per-value double chain is written in the same
+    // left-associative order in both engines; per-doc avg rides the
+    // file's 4-dp-round convention. Normalization (Σ_w2 P(w2|w1) = 1,
+    // the KN invariant) is pinned in OperatorsSpec on a planted corpus.
+    QuerySpec(
+      "text_kn_logprob",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g2
+        |      FROM w, unnest(range(1, len(ws))) u(i)),
+        |c2 AS (SELECT g2, count(*) AS n2 FROM g GROUP BY g2),
+        |sp AS (SELECT g2, n2, string_split(g2, ' ')[1] AS w1,
+        |              string_split(g2, ' ')[2] AS w2 FROM c2),
+        |pre AS (SELECT w1, sum(n2) AS cw1, count(*) AS nf
+        |        FROM sp GROUP BY w1),
+        |cont AS (SELECT w2, count(*) AS np FROM sp GROUP BY w2),
+        |tt AS (SELECT count(*) AS t FROM c2),
+        |m AS (SELECT sp.g2,
+        |        (sp.n2 - 0.75) / pre.cw1 +
+        |          0.75 * pre.nf / pre.cw1 * (cont.np / CAST(tt.t AS DOUBLE))
+        |          AS p
+        |      FROM sp JOIN pre USING (w1) JOIN cont USING (w2), tt)
+        |SELECT doc_id, round(avg(ln(p)), 4) AS avg_logp,
+        |  count(*) AS n_bigrams
+        |FROM g JOIN m USING (g2) GROUP BY doc_id""".stripMargin) { (s, d) =>
+      knLogprob(Tables.documents(s, d))
     },
 
     // Perplexity bucketing (the CCNet head/middle/tail split): per

@@ -180,6 +180,38 @@ object StreamingCuration {
       }
       .start()
 
+  /** Streaming Naive-Bayes classification against the PERSISTED model
+    * (`TextAnalysis.ensureNbModel`'s model/ + langs/ frames): each
+    * micro-batch of `(doc_id, lang, text)` documents scores through the
+    * SAME frozen-model kernel the batch serve uses
+    * (`TextAnalysis.nbClassify`) and lands batchId-keyed — the model is
+    * fitted once, offline; classification is per-batch map+join work
+    * with no cross-batch state, so foreachBatch is the natural unit and
+    * replay is a pure overwrite.
+    */
+  def startNbClassify(docs: DataFrame, modelRoot: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishNbBatch(batch, batchId, modelRoot, outPath)
+      }
+      .start()
+
+  /** One NB-classify micro-batch — the replay-idempotent unit. */
+  def publishNbBatch(batch: DataFrame, batchId: Long, modelRoot: String,
+      outPath: String): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    val s = batch.sparkSession
+    graft.operators.TextAnalysis.nbClassify(
+        batch.select(col("doc_id"), col("lang"), col("text")),
+        s.read.parquet(s"$modelRoot/model"),
+        s.read.parquet(s"$modelRoot/langs"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outPath/b$batchId")
+  }
+
   /** One extraction micro-batch — the replay-idempotent unit. */
   def publishExtractBatch(batch: DataFrame, batchId: Long,
       outPath: String): Unit = {

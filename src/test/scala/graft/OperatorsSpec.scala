@@ -548,6 +548,163 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((2L, 3L)))
   }
 
+  test("dedup_prefix_join: prefix filtering is LOSSLESS vs brute-force " +
+    "all-pairs shingle Jaccard on sf0.001 (finds pairs the df cap " +
+    "hides), and the 0.8 boundary is integer-exact") {
+    val got = SparkEntry.queries("dedup_prefix_join")(spark, sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // Brute force: every pair, no prefix prune, no size filter — the
+    // ground truth the prefix lemma claims the pruned join reproduces.
+    def sh3(t: String): Set[String] =
+      t.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> sh3(r.getString(1)))
+      .filter(_._2.nonEmpty)
+    val brute = (for {
+      (ia, sa) <- docs
+      (ib, sb) <- docs if ia < ib
+      i = (sa intersect sb).size
+      u = sa.size + sb.size - i
+      if 5L * i >= 4L * u
+    } yield ((ia, ib), math.round(i.toDouble / u * 1e4) / 1e4)).toMap
+    assert(got.keySet == brute.keySet)
+    brute.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-9) }
+    assert(got.nonEmpty) // planted exact dups are shingle-level dups too
+    // Exact threshold boundary: 11-word docs → 9 shingles each; changing
+    // the LAST word flips exactly one shingle → overlap 8, J = 8/10 =
+    // 0.8, INCLUDED (5·8 ≥ 4·10 with equality); changing the last TWO
+    // words flips two shingles → overlap 7, J = 7/11, excluded.
+    val a11 = (1 to 11).map(i => s"w$i").mkString(" ")
+    val b80 = ((1 to 10).map(i => s"w$i") :+ "x11").mkString(" ")
+    val b72 = ((1 to 9).map(i => s"w$i") ++ Seq("y10", "y11")).mkString(" ")
+    val edge = Dedup.prefixJoinPairs(
+        docsDf(1L -> a11, 2L -> b80, 3L -> b72, 4L -> "zz yy qq rr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(edge == Seq((1L, 2L, 0.8)))
+  }
+
+  test("text_kn_logprob: Kneser-Ney conditionals NORMALIZE (sum to 1 " +
+    "over the continuation vocabulary per prefix) and the scored " +
+    "bigram stream matches the add-1 gate's") {
+    // planted corpus with repeated contexts so discount + backoff both
+    // carry mass ("francisco" is frequent but follows only "san")
+    val df = docsDf(
+      1L -> "san francisco is big san francisco is old",
+      2L -> "new york is big new york is loud",
+      3L -> "san jose is small")
+    // brute-force the model exactly as specified
+    val grams = df.collect().flatMap { r =>
+      r.getString(1).split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(a => (a(0), a(1)))
+    }
+    val c2 = grams.groupBy(identity).view.mapValues(_.size).toMap
+    val types = c2.keys.toSeq
+    val cw1 = types.groupBy(_._1).view
+      .mapValues(_.map(c2).sum.toDouble).toMap
+    val nf = types.groupBy(_._1).view.mapValues(_.size).toMap
+    val np = types.groupBy(_._2).view.mapValues(_.size).toMap
+    val t = types.size.toDouble
+    val contVocab = np.keys.toSeq
+    // THE KN invariant: for every prefix, the conditional distribution
+    // over the whole continuation vocabulary sums to exactly 1.
+    cw1.keys.foreach { w1 =>
+      val total = contVocab.map { w2 =>
+        val disc = c2.get((w1, w2))
+          .map(c => (c - 0.75) / cw1(w1)).getOrElse(0.0)
+        disc + 0.75 * nf(w1) / cw1(w1) * (np(w2) / t)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"prefix $w1 sums to $total")
+    }
+    // engine vs brute force on the planted corpus
+    val got = operators.TextAnalysis.knLogprob(df).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val expected = df.collect().map { r =>
+      val gs = r.getString(1).split(" ", -1).sliding(2)
+        .filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+      val lps = gs.map { case (w1, w2) =>
+        math.log((c2((w1, w2)) - 0.75) / cw1(w1) +
+          0.75 * nf(w1) / cw1(w1) * (np(w2) / t))
+      }
+      r.getLong(0) ->
+        ((math.round(lps.sum / lps.size * 1e4) / 1e4, gs.size.toLong))
+    }.toMap
+    expected.foreach { case (id, (lp, n)) =>
+      assert(got(id)._2 == n)
+      assert(math.abs(got(id)._1 - lp) < 2e-4, s"doc $id: ${got(id)._1} vs $lp")
+    }
+    // the KN gate scores exactly the bigram stream the add-1 gate scores
+    val knN = SparkEntry.queries("text_kn_logprob")(spark, sf0001)
+      .agg(sum($"n_bigrams")).collect()(0).getLong(0)
+    val addN = SparkEntry.queries("text_bigram_logprob")(spark, sf0001)
+      .agg(sum($"n_bigrams")).collect()(0).getLong(0)
+    assert(knN == addN)
+  }
+
+  test("text_nb_forgotten: decremental unlearning lands frame-for-frame " +
+    "identically on the from-scratch refit (counts, scalars and " +
+    "integer surrogates)") {
+    import org.apache.spark.sql.DataFrame
+    val docs = Tables.documents(spark, sf0001)
+    val train = docs.filter($"doc_id" % 5 =!= 4)
+    val forget = train.filter($"doc_id" % 25 === 0)
+    assert(forget.count() > 0, "fixture: the forget set must be non-empty")
+    val root = operators.TextAnalysis.ensureNbModel(spark, sf0001)
+    val (m2, l2) = operators.TextAnalysis.nbForget(
+      spark.read.parquet(s"$root/model"),
+      spark.read.parquet(s"$root/langs"), forget)
+    val (mr, lr) = operators.TextAnalysis.nbModelFrames(
+      train.filter($"doc_id" % 25 =!= 0))
+    def mkey(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    def lkey(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(mkey(m2) == mkey(mr), "model frame must equal the refit")
+    assert(lkey(l2) == lkey(lr), "langs frame must equal the refit")
+  }
+
+  test("text_nb_langid: planted Naive Bayes model scores hand-exactly, " +
+    "learns when there is signal, and exact ties break on lang asc") {
+    // Train (ids % 5 != 4): two langs with disjoint vocabularies, equal
+    // priors (2 docs each) and equal token totals (6 each); V = 4.
+    val df = Seq(
+      (0L, "ant ant bee", "aa"), (1L, "ant bee bee", "aa"),
+      (2L, "cat cat dog", "bb"), (3L, "cat dog dog", "bb"),
+      (9L, "ant bee", "aa"),   // holdout: pure aa vocabulary
+      (14L, "cat dog", "bb"),  // holdout: pure bb vocabulary
+      (19L, "zz zz", "aa")     // holdout: fully unseen → exact tie
+    ).toDF("doc_id", "text", "lang")
+    val got = operators.TextAnalysis.nbLangid(df)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    def li(p: Double): Long = math.round(math.log(p) * 1e6)
+    // doc 9: c(aa,ant)=3, c(aa,bee)=3, t=6, V=4 → each token ln(4/10);
+    // bb never saw either token → ln(1/10). Priors ln(2/4) both.
+    assert(got(9L) == ("aa", li(0.5) + 2 * li(0.4)))
+    assert(got(14L) == ("bb", li(0.5) + 2 * li(0.4)))
+    // doc 19: both langs score prior + 2·default, identical by
+    // construction → the lang-ascending tie-break must pick "aa".
+    assert(got(19L) == ("aa", li(0.5) + 2 * li(0.1)))
+    // Corpus smoke: one row per holdout doc, preds drawn from train langs.
+    val sf = SparkEntry.queries("text_nb_langid")(spark, sf0001).collect()
+    val holdout = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 5 === 4).count()
+    assert(sf.length == holdout)
+    assert(sf.map(_.getString(2)).toSet.subsetOf(
+      Set("en", "es", "de", "fr", "zh")))
+    // persisted-model serve returns the identical classification
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    val idx = SparkEntry.queries("text_nb_indexed")(spark, sf0001).collect()
+    assert(key(idx) == key(sf))
+  }
+
   test("sim_quantized_recall: int8 codes keep >= 0.8 of exact top-5 " +
     "(the 4x-compression fidelity argument), quantized values integral " +
     "in [-127, 127]") {

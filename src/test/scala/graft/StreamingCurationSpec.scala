@@ -166,6 +166,37 @@ class StreamingCurationSpec extends SparkSpec {
     assert(read() == streamed, "replayed batch must not duplicate")
   }
 
+  test("startNbClassify: streamed classification against the persisted " +
+    "NB model equals the batch serve per micro-batch, and a replayed " +
+    "batchId rewrites rather than duplicates") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val modelRoot = TextAnalysis.ensureNbModel(spark, sf0001)
+    val holdout = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 5 === 4)
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect().toSeq
+    val out = tmpDir("snb-out"); val ckpt = tmpDir("snb-ckpt")
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingCuration.startNbClassify(
+      in.toDF().toDF("doc_id", "lang", "text"), modelRoot, out, ckpt)
+    try {
+      in.addData(holdout.take(30): _*); q.processAllAvailable()
+      in.addData(holdout.drop(30): _*); q.processAllAvailable()
+    } finally q.stop()
+    def read() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).as[(Long, String, String, Long)].collect().toSet
+    val streamed = read()
+    val batch = SparkEntry.queries("text_nb_indexed")(spark, sf0001)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(streamed == batch,
+      "streamed classification must equal the persisted-model batch serve")
+    // replay batch 0
+    StreamingCuration.publishNbBatch(
+      holdout.take(30).toDF("doc_id", "lang", "text"), 0L, modelRoot, out)
+    assert(read() == streamed, "replayed batch must not duplicate")
+  }
+
   test("stream and batch curation agree: the same expressions filter the " +
     "documents table to the same survivors") {
     implicit val sc = spark.sqlContext
