@@ -541,6 +541,102 @@ object Curation {
           round(col("k"), 6).as("sample_key"))
     },
 
+    // DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): select the 100
+    // raw-corpus docs whose hashed-bigram distribution looks most like a
+    // TARGET domain (source = 'src0' plays the in-domain seed).
+    // Importance weight = Π p_target(feature)/p_raw(feature) over the
+    // doc's hashed bigrams, estimated by two add-1-smoothed bag-of-
+    // hashed-bigram models (1024 buckets — the DSIR recipe's fixed
+    // feature space); selection is Gumbel-top-k over log-weights (the
+    // without-replacement sampler that ranks by logw + Gumbel noise).
+    // Cross-engine exactness: bucket hash is the md5-15-hex integer
+    // convention (Spark conv == DuckDB '0x' cast) mod 1024; both
+    // per-bucket log-likelihood DELTAS and the Gumbel noise are
+    // pre-rounded 1e-6-scaled BIGINTs, so the per-doc log-weight is an
+    // order-free INTEGER sum and the top-k can never flip on ulps (the
+    // text_nb_langid convention). The Gumbel uniform uses 11 md5 hex
+    // chars over 2^44+1 so u < 1 strictly (−ln(−ln 1) would be ∞).
+    // Scale: models are ≤ 1024 rows by construction (hash-mod feature
+    // space) ⇒ the scoring join is a PRINCIPLED broadcast — per-doc
+    // scoring is pure map work; the only corpus-wide shuffles are the
+    // (doc, bucket) count and the final TakeOrdered top-k (per-partition
+    // top-100 then driver merge — never a global sort).
+    QuerySpec(
+      "doc_dsir",
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        unnest(list_transform(range(1, greatest(len(ws), 1)),
+        |          i -> ws[i] || ' ' || ws[i+1])) AS gm
+        |      FROM w),
+        |b AS (SELECT doc_id, source,
+        |        ('0x' || substr(md5(gm), 1, 15))::BIGINT % 1024 AS bkt
+        |      FROM g),
+        |braw AS (SELECT bkt, count(*) AS cr FROM b GROUP BY 1),
+        |btgt AS (SELECT bkt, count(*) AS ct FROM b
+        |         WHERE source = 'src0' GROUP BY 1),
+        |tr AS (SELECT count(*) AS tot FROM b),
+        |tt AS (SELECT count(*) AS tot FROM b WHERE source = 'src0'),
+        |model AS (
+        |  SELECT braw.bkt,
+        |    CAST(round((ln((coalesce(btgt.ct, 0) + 1)
+        |          / CAST(tt.tot + 1024 AS DOUBLE))
+        |        - ln((braw.cr + 1) / CAST(tr.tot + 1024 AS DOUBLE)))
+        |      * 1e6) AS BIGINT) AS dlt
+        |  FROM braw LEFT JOIN btgt USING (bkt), tr, tt),
+        |dcnt AS (SELECT doc_id, bkt, count(*) AS k FROM b GROUP BY 1, 2),
+        |lw AS (SELECT d.doc_id, CAST(sum(d.k * m.dlt) AS BIGINT) AS logw_i
+        |       FROM dcnt d JOIN model m USING (bkt) GROUP BY 1),
+        |keyed AS (
+        |  SELECT doc_id, source, coalesce(lw.logw_i, 0) AS logw_i,
+        |    coalesce(lw.logw_i, 0) + CAST(round(-ln(-ln(
+        |        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 11))::BIGINT
+        |          + 1) / 17592186044417.0)) * 1e6) AS BIGINT) AS dsir_key
+        |  FROM documents LEFT JOIN lw USING (doc_id))
+        |SELECT doc_id, source, logw_i, dsir_key FROM keyed
+        |ORDER BY dsir_key DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val buckets = Par.fanOut(docs)
+        .select(col("doc_id"), col("source"),
+          explode(Dedup.kgrams(col("text"), 2)).as("gm"))
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(col("gm")), 1, 15), 16, 10).cast("long")
+            % 1024).as("bkt"))
+      val braw = buckets.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+      val btgt = buckets.filter(col("source") === "src0")
+        .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+      val tr = buckets.agg(count(lit(1)).as("tot_r"))
+      val tt = buckets.filter(col("source") === "src0")
+        .agg(count(lit(1)).as("tot_t"))
+      // ≤ 1024 rows by construction (hash-mod feature space): the one
+      // per-bucket integer log-likelihood delta both models fold into.
+      val model = braw.join(btgt, Seq("bkt"), "left")
+        .crossJoin(tr).crossJoin(tt)
+        .select(col("bkt"),
+          round((log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+              (col("tot_t") + 1024).cast("double"))
+            - log((col("cr") + 1).cast("double") /
+              (col("tot_r") + 1024).cast("double"))) * 1e6)
+            .cast("long").as("dlt"))
+      val dcnt = buckets.groupBy(col("doc_id"), col("bkt"))
+        .agg(count(lit(1)).as("k"))
+      val lw = dcnt.join(broadcast(model), Seq("bkt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k") * col("dlt")).as("logw_i"))
+      // Gumbel key: u strictly inside (0, 1) via 44 md5 bits / (2^44+1).
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 11),
+        16, 10).cast("long") + 1).cast("double") / lit(17592186044417.0)
+      docs.select(col("doc_id"), col("source"))
+        .join(lw, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("logw_i"), lit(0L)).as("logw_i"),
+          (coalesce(col("logw_i"), lit(0L)) +
+            round(-log(-log(u)) * 1e6).cast("long")).as("dsir_key"))
+        .orderBy(col("dsir_key").desc, col("doc_id"))
+        .limit(100)
+    },
+
     // Fixed-budget sequence packing (pretraining-style chunked concat):
     // docs in deterministic order accumulate whitespace-token counts; a
     // doc's bin is its exclusive prefix sum ÷ budget. Bins close at the

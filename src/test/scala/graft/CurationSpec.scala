@@ -10,6 +10,52 @@ class CurationSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
 
+  test("doc_dsir: importance-resampled top-100 matches an independent " +
+    "third-implementation recompute (hashed-bigram models, integer " +
+    "surrogates, Gumbel keys) on sf0.001") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigrams(t: String): Seq[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 2) Seq.empty
+      else ws.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    def bkt(g: String): Long =
+      (BigInt(md5hex(g).take(15), 16) % 1024).toLong
+    val docBkts = rows.map { case (id, src, t) =>
+      (id, src, bigrams(t).map(bkt))
+    }
+    val all = docBkts.flatMap(_._3)
+    val tgt = docBkts.filter(_._2 == "src0").flatMap(_._3)
+    val cr = all.groupBy(identity).view.mapValues(_.size).toMap
+    val ct = tgt.groupBy(identity).view.mapValues(_.size).toMap
+    val (totR, totT) = (all.size.toLong, tgt.size.toLong)
+    val dlt: Map[Long, Long] = cr.keys.map { b =>
+      b -> math.round((math.log((ct.getOrElse(b, 0) + 1).toDouble /
+        (totT + 1024)) -
+        math.log((cr(b) + 1).toDouble / (totR + 1024))) * 1e6)
+    }.toMap
+    val expected = docBkts.map { case (id, src, bs) =>
+      val logw = bs.map(dlt).sum
+      val u = (BigInt(md5hex(id.toString).take(11), 16).toLong + 1)
+        .toDouble / 17592186044417.0
+      (id, src, logw, logw + math.round(-math.log(-math.log(u)) * 1e6))
+    }.sortBy { case (id, _, _, k) => (-k, id) }.take(100).toSeq
+    val got = run("doc_dsir").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // the Gumbel perturbation actually reorders: selection is not just
+    // the logw top-100 (otherwise the sampler adds nothing)
+    val logwTop = docBkts.map { case (id, _, bs) => (id, bs.map(dlt).sum) }
+      .sortBy { case (id, w) => (-w, id) }.take(100).map(_._1).toSet
+    assert(got.map(_._1).toSet != logwTop)
+  }
+
   test("sessionize: no session spans a >30min gap, bounds are ordered") {
     val s = run("q_sessionize")
     assert(s.count() > 0)
