@@ -84,6 +84,55 @@ object Layout {
           shiftrightunsigned(b.cast("long"), j).bitwiseAND(1), 2 * j + 1))
     }.reduce(_ bitwiseOR _).bitwiseXOR(lit(Long.MinValue))
 
+  /** Hilbert-curve index of a 2-D point — the locality-optimal
+    * space-filling curve next to [[morton32]]'s z-order: consecutive
+    * Hilbert positions are always GRID NEIGHBORS (unit step in exactly
+    * one dimension), so a file holding a contiguous Hilbert range covers
+    * a tighter rectangle than the same-size Morton range, whose curve
+    * teleports across the key space at power-of-two seams (the classic
+    * worst case: z-values 2^(2k)−1 → 2^(2k) jump half the grid). The
+    * standard iterative xy2d transform (quadrant digit + rotate/flip per
+    * level, classic public-domain formulation) runs as ONE in-row
+    * `aggregate` fold over the `order` levels — runtime iteration keeps
+    * the expression tree CONSTANT-SIZE (an unrolled version would
+    * double per level: x and y each feed the next level twice), and the
+    * fold is still pure codegen-able column arithmetic, no UDF.
+    * Coordinates are masked to `order` bits (documented aliasing above
+    * 2^order, same caveat as any fixed-resolution cluster key — size
+    * `order` to the key range; results are always layout-independent,
+    * only skip tightness degrades). Bijectivity + the unit-step
+    * adjacency property (which Morton lacks) are pinned on a full
+    * 64×64 grid in `LayoutSpec`.
+    */
+  def hilbert(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      order: Int = 16): org.apache.spark.sql.Column = {
+    require(order >= 1 && order <= 31, s"order $order out of range")
+    val side = 1L << order
+    val mask = side - 1L
+    val levels = sequence(lit(1), lit(order)) // fold `order` times
+    val init = struct(
+      x.cast("long").bitwiseAND(mask).as("x"),
+      y.cast("long").bitwiseAND(mask).as("y"),
+      lit(0L).as("d"),
+      lit(side / 2).as("s"))
+    val folded = aggregate(levels, init, (acc, _) => {
+      val (ax, ay, s) = (acc("x"), acc("y"), acc("s"))
+      val rx = when(ax.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(ay.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+      val d2 = acc("d") + s * s * (rx * 3).bitwiseXOR(ry)
+      // rotate/flip the quadrant: on ry == 0, flip both coords when
+      // rx == 1 (about the FULL side − 1, not s − 1), then swap.
+      val fx = when(rx === 1, lit(mask) - ax).otherwise(ax)
+      val fy = when(rx === 1, lit(mask) - ay).otherwise(ay)
+      struct(
+        when(ry === 1, ax).otherwise(fy).as("x"),
+        when(ry === 1, ay).otherwise(fx).as("y"),
+        d2.as("d"),
+        (s.cast("long") / 2).cast("long").as("s"))
+    })
+    folded("d")
+  }
+
   /** Write `df` z-order-clustered on two dimensions: rows range-partition
     * and sort by the Morton interleave of the two key expressions, so
     * every file's min/max stats cover a tight RECTANGLE of the 2-D key
@@ -438,6 +487,26 @@ object Layout {
     loc.toString
   }
 
+  /** Build-if-absent the (user_id × epoch-day) HILBERT-clustered events
+    * copy for `d` — same contract as [[ensureZOrderedEvents]], tighter
+    * curve. Order 16 covers the gate's key ranges exactly like the
+    * Morton copy's 32-bit lanes cover them (both dimensions are far
+    * below 2^16 here; production sizes the order to the key range).
+    */
+  def ensureHilbertEvents(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_hilbert_events$suffix")
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+      fs.delete(loc, true)
+      val ev = Tables.events(s, d)
+      writeZOrdered(ev, loc.toString,
+        hilbert(col("user_id"), zDay(col("ts"))))
+    }
+    loc.toString
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q_bucket_join",
@@ -494,6 +563,34 @@ object Layout {
         .filter(col("user_id").between(4, 7) &&
           col("ts") >= to_timestamp(lit("2024-01-05 00:00:00")) &&
           col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)"))
+            .cast("double").as("total_value"))
+    },
+
+    // The Hilbert-clustered layout as a gated query: a different
+    // user-range × time-range rectangle read from the Hilbert copy.
+    // Same semantics-free contract as q_zorder_scan (the oracle reads
+    // the unsorted source); what Hilbert buys over Morton is curve
+    // CONTINUITY — every consecutive pair of positions is a grid
+    // neighbor, so equal-size position ranges cover tighter rectangles
+    // and range-partitioned files skip at least as well (bijectivity +
+    // adjacency pinned in LayoutSpec, where Morton's seam-jump is shown
+    // failing the same adjacency check).
+    QuerySpec(
+      "q_hilbert_scan",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE user_id BETWEEN 2 AND 5
+        |  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-18 00:00:00'
+        |GROUP BY event_type""".stripMargin) { (s, d) =>
+      s.read.parquet(ensureHilbertEvents(s, d))
+        .filter(col("user_id").between(2, 5) &&
+          col("ts") >= to_timestamp(lit("2024-01-08 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-18 00:00:00")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(12,2)"))

@@ -111,6 +111,66 @@ class LayoutSpec extends SparkSpec {
         s"bound $timeOnlyBound (control scans $ctlScanned)")
   }
 
+  test("hilbert: bijective over the full 64x64 grid and UNIT-STEP " +
+    "continuous (every consecutive pair of curve positions is a grid " +
+    "neighbor) — the locality property Morton provably lacks") {
+    import spark.implicits._
+    val n = 64
+    val grid = (0 until n).flatMap(x => (0 until n).map(y => (x, y)))
+      .toDF("x", "y")
+    val got = grid.select($"x", $"y",
+        Layout.hilbert($"x", $"y", order = 6).as("d"),
+        Layout.morton32($"x", $"y").as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // bijection: 4096 distinct d covering exactly 0..4095
+    val ds = got.map(_._3)
+    assert(ds.toSet == (0L until (n.toLong * n)).toSet)
+    // adjacency: walking the curve in d order only ever takes unit steps
+    val byD = got.sortBy(_._3)
+    byD.sliding(2).foreach { case Array(a, b) =>
+      val step = math.abs(a._1 - b._1) + math.abs(a._2 - b._2)
+      assert(step == 1, s"non-unit step between d=${a._3} and d=${b._3}")
+    }
+    // Morton on the same grid is NOT unit-step continuous (seam jumps)
+    val byZ = got.sortBy(_._4)
+    val zJumps = byZ.sliding(2).count { case Array(a, b) =>
+      math.abs(a._1 - b._1) + math.abs(a._2 - b._2) > 1
+    }
+    assert(zJumps > 0, "control: Morton should show seam jumps")
+  }
+
+  test("hilbert layout: the 2-D rectangle predicate skips on BOTH " +
+    "dimensions, beating the time-only bound like z-order does") {
+    val dir = tmpDir("hilbert-layout")
+    val ev = Tables.events(spark, sf0001)
+    Layout.writeZOrdered(ev, s"$dir/hilbert",
+      Layout.hilbert(col("user_id"),
+        unix_micros(col("ts")) / 86400000000L - 19723L))
+    ev.repartition(16, col("event_id")).write.parquet(s"$dir/shuffled")
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    def scan(path: String) = {
+      val q = noAqe.read.parquet(path)
+        .filter(col("user_id").between(2, 5) &&
+          col("ts") >= to_timestamp(lit("2024-01-08 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-18 00:00:00")))
+      val rows = q.collect().map(_.getLong(0)).toSet
+      val sc = q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      (rows, sc.metrics("numOutputRows").value)
+    }
+    val (hRows, hScanned) = scan(s"$dir/hilbert")
+    val (ctlRows, ctlScanned) = scan(s"$dir/shuffled")
+    assert(hRows == ctlRows, "layout must not change results")
+    assert(ctlScanned == ev.count(),
+      "control: scattered files must all survive pruning")
+    val timeOnlyBound = ev.count() / 3
+    assert(hScanned < timeOnlyBound,
+      s"hilbert scanned $hScanned rows — not beating the time-only " +
+        s"bound $timeOnlyBound (control scans $ctlScanned)")
+  }
+
   test("publishOverwrite: snapshot swap replaces content completely and " +
     "leaves no staging/trash dirs behind") {
     import spark.implicits._
