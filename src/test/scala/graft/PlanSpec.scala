@@ -506,6 +506,21 @@ class PlanSpec extends SparkSpec {
         "de-canonicalizes the two view references)")
   }
 
+  test("dedup_prefix_join: the a/b prefix branches and the two full-set " +
+    "branches plan through ReusedExchange — the shingle pipeline " +
+    "computes once per role, not once per join side") {
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = SparkEntry.queries("dedup_prefix_join")(noAqe, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p)
+    // one scan for the prefix pipeline + one for the collect_set
+    // pipeline is the floor; anything past 3 means a branch stopped
+    // canonicalizing and the explode work multiplied
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 3, s"$scans documents scans:\n$p")
+  }
+
   test("q_tpch4 / q_tpch8 / q_tpch11 / q_tpch16: the round-7 planner " +
     "traps keep their shapes — semi join with non-equi residual, no " +
     "nested loop in the 8-table join, reused view under HAVING, " +
