@@ -480,6 +480,97 @@ object Retrieval {
       .select(col("word"), col("doc_id"), col("tf"), col("dl"))
   }
 
+  /** Boolean retrieval fixture: (query_id, must, should, must_not) —
+    * interpolated verbatim into the oracle (the literal-parity
+    * convention). Roles are disjoint within a query and every must set
+    * is non-empty (a pure-should query is ranked retrieval, which BM25
+    * already serves).
+    */
+  val BoolQueries: Seq[(Long, Seq[String], Seq[String], Seq[String])] = Seq(
+    (1L, Seq("query", "scan"), Seq("join", "hash"), Seq("dup")),
+    (2L, Seq("join"), Seq("sort", "merge", "table"), Seq.empty),
+    (3L, Seq("customer", "vector"), Seq.empty, Seq("slow")))
+
+  /** Boolean (must / should / must-not) retrieval from the persisted
+    * inverted index — the query class BM25's ranked serve cannot
+    * express (hard conjunction and negation): a doc matches iff it
+    * contains EVERY must term and NO must-not term; matches rank by how
+    * many should terms they contain (doc_id tie-break), top 10 per
+    * query. All queries evaluate in ONE distributed job: the batch's
+    * term set prunes index buckets once, postings collapse to distinct
+    * (word, doc) pairs, the (query, term, role) frame is a ≤
+    * Σ|terms|-row literal joined on word, and match/negate/rank are one
+    * doc-keyed aggregate + one query-partitioned window — the text is
+    * never re-scanned.
+    */
+  def booleanSearch(s: SparkSession, indexPath: String,
+      queries: Seq[(Long, Seq[String], Seq[String], Seq[String])] =
+        BoolQueries,
+      asOf: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val qRows = queries.flatMap { case (qid, must, should, not) =>
+      must.map((qid, _, "must")) ++ should.map((qid, _, "should")) ++
+        not.map((qid, _, "not"))
+    }
+    val qdf = qRows.toDF("query_id", "word", "role")
+    val req = queries.map { case (qid, must, _, _) => (qid, must.size.toLong) }
+      .toDF("query_id", "n_req")
+    val posts = queryPostings(s, indexPath, qRows.map(_._2).distinct, asOf)
+      .select(col("word"), col("doc_id")).distinct()
+    val hits = posts.join(qdf, Seq("word"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        count(when(col("role") === "must", 1)).as("n_must"),
+        count(when(col("role") === "should", 1)).as("n_should"),
+        count(when(col("role") === "not", 1)).as("n_not"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("n_should").desc, col("doc_id"))
+    hits.join(broadcast(req), Seq("query_id"))
+      .filter(col("n_must") === col("n_req") && col("n_not") === 0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("n_should"), col("rank"))
+  }
+
+  /** The boolean-retrieval oracle, generated from [[BoolQueries]] so the
+    * fixture cannot drift between engines: recomputes must/should/not
+    * coverage from RAW text (distinct words per doc), making the gate an
+    * end-to-end certificate of the index serve.
+    */
+  private def boolOracleSql: String = boolOracleSqlOver("TRUE")
+
+  /** The boolean oracle restricted to a doc predicate — `TRUE` for the
+    * direct gate, the three horizon slices for `text_boolean_asof`.
+    */
+  private def boolOracleSqlOver(docsWhere: String): String = {
+    val qVals = BoolQueries.flatMap { case (qid, m, sh, nt) =>
+      m.map(w => s"($qid, '$w', 'must')") ++
+        sh.map(w => s"($qid, '$w', 'should')") ++
+        nt.map(w => s"($qid, '$w', 'not')")
+    }.mkString(", ")
+    val reqVals = BoolQueries
+      .map { case (qid, m, _, _) => s"($qid, ${m.size})" }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id,
+       |    unnest(list_distinct(string_split(text, ' '))) AS word
+       |  FROM documents WHERE $docsWhere),
+       |q(query_id, word, role) AS (SELECT * FROM (VALUES $qVals)),
+       |req(query_id, n_req) AS (SELECT * FROM (VALUES $reqVals)),
+       |a AS (SELECT q.query_id, t.doc_id,
+       |    count(CASE WHEN q.role = 'must' THEN 1 END) AS n_must,
+       |    count(CASE WHEN q.role = 'should' THEN 1 END) AS n_should,
+       |    count(CASE WHEN q.role = 'not' THEN 1 END) AS n_not
+       |  FROM t JOIN q USING (word) GROUP BY 1, 2),
+       |r AS (SELECT a.query_id, a.doc_id, a.n_should,
+       |    row_number() OVER (PARTITION BY a.query_id
+       |                       ORDER BY a.n_should DESC, a.doc_id) AS rank
+       |  FROM a JOIN req USING (query_id)
+       |  WHERE a.n_must = req.n_req AND a.n_not = 0)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_should,
+       |  rank
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   /** BM25 restricted to an allowed doc set — the production "search
     * within a tenant/language/license slice" shape, from the persisted
     * index: the bucket prune and term filter run first (the only
@@ -1867,6 +1958,36 @@ object Retrieval {
     },
     QuerySpec("text_bm25_indexed", bm25OracleSql) { (s, d) =>
       bm25TopK(s, ensureBm25Index(s, d))
+    },
+    // Boolean retrieval (must / should / must-not) off the SAME
+    // persisted inverted index — hard conjunction + negation, ranked by
+    // should-coverage; the oracle recomputes from raw text, so the gate
+    // certifies the index serve end-to-end.
+    QuerySpec("text_boolean", boolOracleSql) { (s, d) =>
+      booleanSearch(s, ensureBm25Index(s, d))
+    },
+    // AS-OF boolean retrieval: the same must/should/must-not serve
+    // pinned at each ledger horizon of the evolving index (seed →
+    // appends folded → deletes committed); the oracle recomputes each
+    // horizon from the matching corpus slice. Conjunction + negation
+    // time-travel with the corpus: a doc deleted at horizon 2 neither
+    // matches nor NEGATES (its must_not terms no longer veto).
+    QuerySpec("text_boolean_asof",
+      s"""SELECT CAST(0 AS BIGINT) AS horizon, *
+         |FROM (${boolOracleSqlOver("doc_id % 5 <> 4")})
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS horizon, *
+         |FROM (${boolOracleSqlOver("TRUE")})
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS horizon, *
+         |FROM (${boolOracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
+      (s, d) =>
+      val idx = ensureAsOfBm25Index(s, d)
+      Seq(0L, 1L, 2L).map { h =>
+        booleanSearch(s, idx, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("query_id"), col("doc_id"),
+            col("n_should"), col("rank"))
+      }.reduce(_.union(_))
     },
     // Exact-phrase search from the persisted next-word positional
     // index: L-1 bucket-pruned pair lookups + position arithmetic, no

@@ -331,6 +331,40 @@ object StreamingRetrieval {
       .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
   }
 
+  /** Streaming boolean (must / should / must-not) retrieval: micro-
+    * batches of `(query_id, must, should, must_not)` array queries
+    * against the persisted inverted index. Unlike the per-term serves
+    * above, the WHOLE batch evaluates in one distributed job
+    * ([[Retrieval.booleanSearch]] is natively multi-query): the batch's
+    * union term set prunes index buckets once and every query rides the
+    * same postings read.
+    */
+  def startBoolean(queries: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishBooleanBatch(batch, batchId, indexPath, outPath)
+      }
+      .start()
+
+  /** One boolean micro-batch publish — the replay-idempotent unit. */
+  def publishBooleanBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, outPath: String): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    val s = batch.sparkSession
+    import org.apache.spark.sql.functions.col
+    val qs = batch
+      .select(col("query_id"), col("must"), col("should"), col("must_not"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[String](2),
+        r.getSeq[String](3)))
+      .toSeq
+    Retrieval.booleanSearch(s, indexPath, qs)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
+  }
+
   /** Stream takedown requests `(doc_id)` through the CROSS-INDEX sweep
     * — each micro-batch tombstones its ids in all four indexes under
     * `root` via [[Retrieval.takedownSweep]], with the epoch-namespaced

@@ -11,6 +11,32 @@ import org.apache.spark.sql.functions._
 class RetrievalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("text_boolean: index serve equals a brute-force recompute of " +
+    "must/should/must-not semantics, and negation is load-bearing") {
+    val got = SparkEntry.queries("text_boolean")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSet)
+    val expected = Retrieval.BoolQueries.flatMap {
+      case (qid, must, should, not) =>
+        docs.filter { case (_, ws) => must.forall(ws) && !not.exists(ws) }
+          .map { case (id, ws) => (id, should.count(ws).toLong) }
+          .sortBy { case (id, n) => (-n, id) }.take(10)
+          .zipWithIndex.map { case ((id, n), i) => (qid, id, n, i + 1L) }
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the fixture actually exercises negation: at least one doc matches
+    // query 1's musts but carries its negated term (and is excluded)
+    val q1 = Retrieval.BoolQueries.find(_._1 == 1L).get
+    val negated = docs.count { case (_, ws) =>
+      q1._2.forall(ws) && q1._4.exists(ws)
+    }
+    assert(negated > 0, "fixture: negation must exclude at least one doc")
+  }
+
   test("bm25: rare term dominates — every top-10 doc contains 'dup', " +
     "scores are positive and ranked") {
     val res = Retrieval.bm25(spark, sf0001)

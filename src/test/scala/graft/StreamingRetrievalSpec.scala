@@ -161,6 +161,34 @@ class StreamingRetrievalSpec extends SparkSpec {
     assert(sStreamed == sBatch, "suffix stream must equal batch serve")
   }
 
+  test("streamed boolean retrieval equals the batch serve per " +
+    "micro-batch, and a replayed batchId rewrites rather than " +
+    "duplicates") {
+    implicit val sc = spark.sqlContext
+    val idx = Retrieval.ensureBm25Index(spark, sf0001)
+    val qs = Retrieval.BoolQueries
+    val out = tmpDir("sbool-out"); val ckpt = tmpDir("sbool-ckpt")
+    val in = MemoryStream[(Long, Seq[String], Seq[String], Seq[String])]
+    val q = StreamingRetrieval.startBoolean(
+      in.toDF().toDF("query_id", "must", "should", "must_not"),
+      idx, out, ckpt)
+    try {
+      in.addData(qs.take(1): _*); q.processAllAvailable()
+      in.addData(qs.drop(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    def read() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).as[(Long, Long, Long, Long)].collect().toSet
+    val streamed = read()
+    val batch = Retrieval.booleanSearch(spark, idx, qs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch, "boolean stream must equal batch serve")
+    // replay batch 0
+    StreamingRetrieval.publishBooleanBatch(
+      qs.take(1).toDF("query_id", "must", "should", "must_not"),
+      0L, idx, out)
+    assert(read() == streamed, "replayed batch must not duplicate")
+  }
+
   test("bm25Batch matches per-term-set bm25TopK rankings") {
     val idx = Retrieval.ensureBm25Index(spark, sf0001)
     val multi = Retrieval.bm25Batch(spark, idx,
