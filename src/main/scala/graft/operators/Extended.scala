@@ -952,6 +952,46 @@ object Extended {
           (col("sv").cast("double") / col("n")).cast("double").as("avg_value"))
     },
 
+    // Incremental maintenance of an aggregate-over-JOIN view (the
+    // DBToaster delta rule, next to q_incr_agg's plain aggregate
+    // states): with old states A, B and increments dA, dB,
+    // d(A JOIN B) = dA JOIN B  ∪  A JOIN dB  ∪  dA JOIN dB — three
+    // joins whose smaller side is DELTA-sized, never a recompute of
+    // A JOIN B (whose agg state the view already holds; here the base
+    // term is computed once to stand in for the materialized view).
+    // The merged count/DECIMAL-sum states then fold exactly like
+    // q_incr_agg's. At 100 TB this is the difference between joining
+    // tonight's increment against the bucketed base and re-joining two
+    // full tables; the oracle IS the full recompute, so the gate
+    // certifies the delta algebra lands bit-identically on it.
+    QuerySpec(
+      "q_incr_join",
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_custkey""".stripMargin) { (s, d) =>
+      val orders = Tables.load(s, d, "orders")
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"))
+      val oB = orders.filter(col("o_orderkey") % 11 =!= 5)
+      val oD = orders.filter(col("o_orderkey") % 11 === 5)
+      val cB = cust.filter(col("c_custkey") % 13 =!= 6)
+      val cD = cust.filter(col("c_custkey") % 13 === 6)
+      def state(o: org.apache.spark.sql.DataFrame,
+          c: org.apache.spark.sql.DataFrame) =
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("sv"))
+      state(oB, cB) // the materialized view's state (computed once here)
+        .unionByName(state(oD, cB)) // dA ⋈ B
+        .unionByName(state(oB, cD)) // A ⋈ dB
+        .unionByName(state(oD, cD)) // dA ⋈ dB
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n")).as("n_orders"),
+          sum(col("sv")).cast("double").as("total_spend"))
+    },
+
     // MERGE / upsert (CDC apply): a deterministic change batch —
     // updates for keys ≡ 3 (mod 7) (status 'X', price +100), inserts
     // keyed past the base id space for keys ≡ 0 (mod 31) — lands on the

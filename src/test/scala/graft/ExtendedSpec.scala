@@ -176,6 +176,29 @@ class ExtendedSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("q_incr_join: the delta-rule maintained view equals the one-shot " +
+    "join recompute EXACTLY, and the increments are genuine (every " +
+    "delta term contributes rows)") {
+    val maintained = SparkEntry.queries("q_incr_join")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val orders = Tables.load(spark, sf0001, "orders")
+    val direct = orders
+      .join(Tables.load(spark, sf0001, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double").as("tv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(maintained == direct)
+    // the fixture exercises all three delta terms: orders and customers
+    // both have non-empty increments
+    assert(orders.filter($"o_orderkey" % 11 === 5).count() > 0)
+    assert(Tables.load(spark, sf0001, "customer")
+      .filter($"c_custkey" % 13 === 6).count() > 0)
+  }
+
   test("q_upsert: keys unique after the merge, updates overwrite in " +
     "place, inserts extend the key space, untouched rows survive intact") {
     val base = Tables.load(spark, sf0001, "orders")
