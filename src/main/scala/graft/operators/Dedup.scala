@@ -1029,6 +1029,55 @@ object Dedup {
       (s, d) => prefixJoinPairs(Tables.documents(s, d))
     },
 
+    // COLLECTION-level overlap: pairwise shingle-set Jaccard between
+    // SOURCES — the corpus-composition readout run before mixing
+    // datasets (two crawls of the same site, a re-release of a known
+    // dump, a benchmark hiding inside a crawl all show up here before
+    // any doc-level pass runs). Exact, not sketched: sets are DISTINCT
+    // (source, shingle) pairs, so the self-join's per-key fan-out is
+    // bounded by #sources (≤ 20 rows per shingle however large the
+    // corpus — the join cannot skew), intersections aggregate map-side,
+    // and the output is ≤ C(#sources, 2) rows at any scale. No
+    // threshold: the whole 190-pair matrix IS the readout.
+    QuerySpec(
+      "dedup_source_overlap",
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |ex AS (SELECT DISTINCT source,
+        |         unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |       FROM w),
+        |sz AS (SELECT source, count(*) AS n FROM ex GROUP BY source),
+        |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+        |            count(*) AS i
+        |          FROM ex a JOIN ex b ON a.sh = b.sh AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT source_a, source_b, i AS n_shared,
+        |  round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+        |FROM inter JOIN sz x ON x.source = source_a
+        |           JOIN sz y ON y.source = source_b""".stripMargin) {
+      (s, d) =>
+        val ex = Par.fanOut(Tables.documents(s, d))
+          .select(col("source"), explode(shingles3(col("text"))).as("sh"))
+          .distinct()
+        val sz = ex.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = ex.select(col("source").as("source_a"), col("sh"))
+          .join(ex.select(col("source").as("source_b"), col("sh")),
+            Seq("sh"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sz.select(col("source").as("source_a"), col("n").as("na")),
+            Seq("source_a"))
+          .join(sz.select(col("source").as("source_b"), col("n").as("nb")),
+            Seq("source_b"))
+          .select(col("source_a"), col("source_b"),
+            col("i").as("n_shared"),
+            round(col("i").cast("double") /
+              (col("na") + col("nb") - col("i")), 4).as("jaccard"))
+    },
+
     // Incremental dedup under the oracle gate: every 5th doc plays the
     // incoming batch, the rest the already-ingested corpus. Survivors =
     // incoming docs with NO smaller-id exact twin (md5) and NO

@@ -587,6 +587,24 @@ class OperatorsSpec extends SparkSpec {
     assert(edge == Seq((1L, 2L, 0.8)))
   }
 
+  test("dedup_source_overlap: the full source-pair matrix emits (every " +
+    "pair shares vocabulary on this corpus), jaccard bounded, and the " +
+    "join key is fan-out-bounded by construction") {
+    val r = SparkEntry.queries("dedup_source_overlap")(spark, sf0001)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getDouble(3)))
+    assert(r.length == 190) // C(20, 2) — corpus-size independent
+    assert(r.forall(p => p._4 > 0.0 && p._4 <= 1.0 && p._3 > 0))
+    // distinct (source, shingle) pairs: no shingle key can exceed
+    // #sources rows — the skew-impossibility the operator is built on
+    val maxFanOut = operators.Par.fanOut(Tables.documents(spark, sf0001))
+      .select($"source", explode(operators.Dedup.shingles3($"text"))
+        .as("sh"))
+      .distinct().groupBy($"sh").count()
+      .agg(max($"count")).collect()(0).getLong(0)
+    assert(maxFanOut <= 20)
+  }
+
   test("text_kn_logprob: Kneser-Ney conditionals NORMALIZE (sum to 1 " +
     "over the continuation vocabulary per prefix) and the scored " +
     "bigram stream matches the add-1 gate's") {
