@@ -584,6 +584,43 @@ object Similarity {
     .select(col("vec_id"),
       transform(col("v"), x => round(x * (lit(127.0) / col("mx")))).as("v"))
 
+  /** Johnson–Lindenstrauss random projection to `RpDim` dims: a fixed
+    * ±1 (Rademacher) matrix — the Achlioptas database-friendly JL
+    * variant: E[⟨Rx, Ry⟩] ∝ ⟨x, y⟩ with distortion bounded by the JL
+    * lemma, no Gaussians needed. The matrix is a DRIVER-SIDE fixed-seed
+    * constant shared verbatim by the Spark plan (typedLit rows through
+    * the codegen'd DotProduct) and the oracle SQL (interpolated
+    * literals through list_dot_product) — the LshPlanes portability
+    * convention. Unlike MRL truncation (which needs prefix-trained
+    * embeddings) RP works on ANY embedding model, and unlike sign-bit
+    * quantization it keeps magnitudes — the third lossy-compression
+    * lever next to those two, priced by `sim_rp_recall` the same way.
+    */
+  val RpDim = 16
+  private val RpPlanes: Seq[Array[Double]] =
+    (0 until RpDim).map { j =>
+      val rnd = new scala.util.Random(1099511628211L * (j + 7) + 2017)
+      Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    }
+
+  /** Every vector projected to its RpDim-dim JL image (array<double> —
+    * double-accumulated dots on both engines, so the downstream rounded
+    * cosine sits ulps-deep inside the 4-dp comparison grid).
+    */
+  def rpProjected(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      array((0 until RpDim).map(j =>
+        dot(col("v"), typedLit(RpPlanes(j).toSeq))): _*).as("v"))
+
+  /** The projection CTE for the oracle — 16 list_dot_product terms over
+    * the interpolated ±1 rows.
+    */
+  private def rpCte: String = {
+    val terms = (0 until RpDim).map(j =>
+      s"list_dot_product(v, ${RpPlanes(j).mkString("[", ",", "]")})")
+    s"rproj AS (SELECT vec_id, ${terms.mkString("[", ",\n  ", "]")} AS v FROM e)"
+  }
+
   /** Matryoshka (MRL) truncation knob for `sim_mrl_recall`: serve on
     * the first 16 of 64 dims — the 4× cost cut the readout prices.
     */
@@ -2930,6 +2967,45 @@ object Similarity {
       val e = corpus(s, d)
       val exact = topkOf(e).select(col("query_id"), col("neighbor_id"))
       val approx = topkOf(truncated(e, MrlDim))
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+    },
+
+    // Random-projection (Johnson–Lindenstrauss) quality as a gated
+    // readout: per-query overlap between top-k on the RpDim-dim ±1
+    // projection and top-k on the full vectors — the model-agnostic
+    // 4× serve-cost knob next to MRL's (which needs prefix-trained
+    // embeddings) and binary's (which drops magnitudes). Same contract
+    // as the sibling gates: the oracle projects with the same
+    // interpolated matrix and ranks on the same rounded cosine, so the
+    // readout is value-exact across engines.
+    QuerySpec(
+      "sim_rp_recall",
+      s"""WITH $eCte,
+         |$topkCtes,
+         |$rpCte,
+         |rq AS (SELECT vec_id AS query_id, v AS qv FROM rproj
+         |       WHERE vec_id < $NQueries),
+         |rscored AS (SELECT query_id, r.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(qv, r.v), 4) AS sim
+         |  FROM rq JOIN rproj r ON r.vec_id <> query_id),
+         |rtopk AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM rscored) WHERE rank <= $TopK)
+         |SELECT t.query_id,
+         |  CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_common
+         |FROM topk t LEFT JOIN rtopk r
+         |  ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+         |GROUP BY t.query_id""".stripMargin) { (s, d) =>
+      val e = corpus(s, d)
+      val exact = topkOf(e).select(col("query_id"), col("neighbor_id"))
+      val approx = topkOf(rpProjected(e))
         .select(col("query_id"), col("neighbor_id"))
         .withColumn("hit", lit(1L))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")

@@ -723,6 +723,23 @@ class OperatorsSpec extends SparkSpec {
     assert(key(idx) == key(sf))
   }
 
+  test("sim_rp_recall: the 16-dim JL projection clears the above-random " +
+    "floor on the uniform corpus and projected vectors have RpDim dims") {
+    val gated = SparkEntry.queries("sim_rp_recall")(spark, sf0001)
+      .select($"query_id", $"n_common").as[(Long, Long)].collect()
+    assert(gated.length == 20)
+    // uniform-random 64-dim corpus is the JL worst case (all cosines
+    // concentrate): 16 dims keep ~11 of 100 exact-top-5 slots vs ~1.25
+    // random — the readout a pipeline uses to REJECT this knob here,
+    // and to accept it on clustered real embeddings
+    assert(gated.map(_._2).sum >= 5, s"sum=${gated.map(_._2).sum}")
+    val dims = Similarity.rpProjected(
+        Tables.embeddings(spark, sf0001)
+          .select($"vec_id", $"embedding".as("v")))
+      .select(size($"v")).distinct().collect().map(_.getInt(0)).toSeq
+    assert(dims == Seq(Similarity.RpDim))
+  }
+
   test("sim_quantized_recall: int8 codes keep >= 0.8 of exact top-5 " +
     "(the 4x-compression fidelity argument), quantized values integral " +
     "in [-127, 127]") {
