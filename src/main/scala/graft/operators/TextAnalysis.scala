@@ -671,6 +671,87 @@ object TextAnalysis {
       nbClassify(docs.filter(col("doc_id") % 5 === 4), m2, l2)
     },
 
+    // Token↔label mutual information — the label-LEAKAGE detector (and
+    // classic feature selector): for every token, MI between its
+    // per-doc presence and the lang label, I(X;Y) = Σ_{x,y} p·ln(p/pq).
+    // A token with high MI IS the label smuggled into the text — the
+    // thing a split-hygiene audit wants surfaced before training a
+    // classifier that "wins" by reading it. All probabilities come from
+    // four count frames (N, N_t, N_l, N_tl — one explode, map-side
+    // combining aggregates); the per-(token, lang) two-term
+    // contribution is computed in a FIXED order and pre-rounded to a
+    // 1e-9-scaled BIGINT, so the per-token MI is an order-free integer
+    // sum (the text_nb_langid convention) and the top-50 cut can never
+    // flip on accumulation ulps. Zero cells take 0·ln0 = 0 via lazy
+    // guards on BOTH engines (CASE / when evaluate only the taken
+    // branch, so the 1/0 inside a guarded branch never runs). The
+    // ≤|langs| label frame broadcasts; everything else is vocab-scale
+    // map work; the cut is TakeOrdered.
+    QuerySpec(
+      "text_label_mi",
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |lab AS (SELECT doc_id, lang FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |nt AS (SELECT tok, count(*) AS n_t FROM t GROUP BY tok),
+        |nl AS (SELECT lang, count(*) AS n_l FROM lab GROUP BY lang),
+        |ntl AS (SELECT t.tok, lab.lang, count(*) AS n_tl
+        |        FROM t JOIN lab USING (doc_id) GROUP BY 1, 2),
+        |grid AS (SELECT nt.tok, nt.n_t, nl.lang, nl.n_l,
+        |           coalesce(ntl.n_tl, 0) AS n_tl, nn.n
+        |         FROM nt CROSS JOIN nl
+        |         LEFT JOIN ntl ON ntl.tok = nt.tok AND ntl.lang = nl.lang,
+        |         nn),
+        |terms AS (SELECT tok, n_t,
+        |    CAST(round((
+        |      CASE WHEN n_tl > 0 THEN
+        |        (CAST(n_tl AS DOUBLE) / n) *
+        |          ln((CAST(n_tl AS DOUBLE) / n) /
+        |             ((CAST(n_t AS DOUBLE) / n) * (CAST(n_l AS DOUBLE) / n)))
+        |      ELSE 0.0 END +
+        |      CASE WHEN n_l - n_tl > 0 AND n - n_t > 0 THEN
+        |        (CAST(n_l - n_tl AS DOUBLE) / n) *
+        |          ln((CAST(n_l - n_tl AS DOUBLE) / n) /
+        |             ((CAST(n - n_t AS DOUBLE) / n) * (CAST(n_l AS DOUBLE) / n)))
+        |      ELSE 0.0 END) * 1e9) AS BIGINT) AS mi_term
+        |  FROM grid)
+        |SELECT tok, CAST(sum(mi_term) AS BIGINT) AS mi_e9,
+        |  CAST(min(n_t) AS BIGINT) AS n_docs
+        |FROM terms GROUP BY tok
+        |ORDER BY mi_e9 DESC, tok LIMIT 50""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val t = Par.fanOut(docs).select(col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("tok"))
+      val lab = docs.select(col("doc_id"), col("lang"))
+      val nn = docs.agg(count(lit(1)).as("n"))
+      val nt = t.groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
+      val nl = lab.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val ntl = t.join(lab, Seq("doc_id"))
+        .groupBy(col("tok"), col("lang")).agg(count(lit(1)).as("n_tl"))
+      val grid = nt.crossJoin(broadcast(nl))
+        .join(ntl, Seq("tok", "lang"), "left")
+        .crossJoin(nn)
+        .select(col("tok"), col("n_t"), col("n_l"),
+          coalesce(col("n_tl"), lit(0L)).as("n_tl"), col("n"))
+      val dN = col("n").cast("double")
+      val p1 = col("n_tl").cast("double") / dN
+      val p0 = (col("n_l") - col("n_tl")).cast("double") / dN
+      val term1 = when(col("n_tl") > 0,
+        p1 * log(p1 / ((col("n_t").cast("double") / dN) *
+          (col("n_l").cast("double") / dN)))).otherwise(lit(0.0))
+      val term0 = when(col("n_l") - col("n_tl") > 0 && col("n") - col("n_t") > 0,
+        p0 * log(p0 / (((col("n") - col("n_t")).cast("double") / dN) *
+          (col("n_l").cast("double") / dN)))).otherwise(lit(0.0))
+      grid
+        .select(col("tok"), col("n_t"),
+          round((term1 + term0) * 1e9).cast("long").as("mi_term"))
+        .groupBy(col("tok"))
+        .agg(sum(col("mi_term")).as("mi_e9"), min(col("n_t")).as("n_docs"))
+        .orderBy(col("mi_e9").desc, col("tok"))
+        .limit(50)
+    },
+
     // Quality scoring: length/word-shape/stopword signals + blended score.
     QuerySpec(
       "text_quality",

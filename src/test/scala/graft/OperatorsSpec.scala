@@ -723,6 +723,40 @@ class OperatorsSpec extends SparkSpec {
     assert(key(idx) == key(sf))
   }
 
+  test("text_label_mi: engine output equals an independent brute-force " +
+    "MI recompute, and every token's MI is non-negative (up to per-term " +
+    "rounding)") {
+    val got = SparkEntry.queries("text_label_mi")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val rows = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).toSet))
+    val n = rows.length.toDouble
+    val langs = rows.map(_._2).distinct
+    val nl = langs.map(l => l -> rows.count(_._2 == l)).toMap
+    val vocab = rows.flatMap(_._3).distinct
+    val expected = vocab.map { t =>
+      val nt = rows.count(_._3(t))
+      val mi = langs.map { l =>
+        val ntl = rows.count(r => r._2 == l && r._3(t))
+        val t1 = if (ntl > 0)
+          (ntl / n) * math.log((ntl / n) / ((nt / n) * (nl(l) / n)))
+        else 0.0
+        val t0 = if (nl(l) - ntl > 0 && rows.length - nt > 0)
+          ((nl(l) - ntl) / n) * math.log(((nl(l) - ntl) / n) /
+            (((rows.length - nt) / n) * (nl(l) / n)))
+        else 0.0
+        math.round((t1 + t0) * 1e9)
+      }.sum
+      (t, mi, nt.toLong)
+    }.sortBy { case (t, mi, _) => (-mi, t) }.take(50).toSeq
+    assert(got == expected)
+    // MI is non-negative; the integer surrogate may sit a few 1e-9
+    // units below zero from per-term rounding, never more
+    assert(got.forall(_._2 >= -langs.length.toLong))
+  }
+
   test("sim_rp_recall: the 16-dim JL projection clears the above-random " +
     "floor on the uniform corpus and projected vectors have RpDim dims") {
     val gated = SparkEntry.queries("sim_rp_recall")(spark, sf0001)
