@@ -66,6 +66,24 @@ object Similarity {
     * group-less aggregate's 1-row size estimate), and falls back once
     * it is not — the same policy as every corpus-derived build side.
     */
+  /** [[assign]] keeping the probe ORDER: (vec_id, v, cent_id, prank)
+    * with prank 1..n — the frame the nprobe tuning curve slices.
+    */
+  private def assignRanked(vecs: DataFrame, cents: DataFrame,
+      n: Int): DataFrame = {
+    val centsRow = cents
+      .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cs"))
+    vecs.crossJoin(centsRow)
+      .select(col("vec_id"), col("v"),
+        slice(array_sort(transform(col("cs"), c =>
+          struct((round(cosine(col("v"), c("cv")), 4) * -1).as("nsim"),
+            c("cent_id").as("cent_id")))), 1, n).as("top"))
+      .select(col("vec_id"), col("v"),
+        posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("vec_id"), col("v"), col("sc.cent_id").as("cent_id"),
+        (col("pos") + 1).as("prank"))
+  }
+
   private def assign(vecs: DataFrame, cents: DataFrame, n: Int): DataFrame = {
     val centsRow = cents
       .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cs"))
@@ -147,7 +165,11 @@ object Similarity {
     * by the IVF-PQ oracle (which swaps the SCORING side for ADC over
     * the PQ-reconstructed vectors but probes the identical cells).
     */
-  private def ivfAssignCtes(seedsSql: String): String =
+  private def ivfAssignCtes(seedsSql: String, nprobe: Int = 4,
+      keepProbeRank: Boolean = false): String = {
+    val probeCols = if (keepProbeRank)
+      "vec_id AS query_id, v AS qv, cent_id, rn AS prank"
+    else "vec_id AS query_id, v AS qv, cent_id"
     s"""seeds AS ($seedsSql),
        |a0 AS (SELECT vec_id, v, cent_id FROM (
        |    SELECT e.vec_id, e.v, s.cent_id,
@@ -162,11 +184,12 @@ object Similarity {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
        |    FROM e, cents c) WHERE rn = 1),
-       |probes AS (SELECT vec_id AS query_id, v AS qv, cent_id FROM (
+       |probes AS (SELECT $probeCols FROM (
        |    SELECT e.vec_id, e.v, c.cent_id,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
-       |    FROM e, cents c WHERE e.vec_id < $NQueries) WHERE rn <= 4)""".stripMargin
+       |    FROM e, cents c WHERE e.vec_id < $NQueries) WHERE rn <= $nprobe)""".stripMargin
+  }
 
   /** Same construction with the seed set pluggable (the bounded-K gate
     * swaps in the hash-ordered LIMIT sample).
@@ -185,6 +208,39 @@ object Similarity {
        |  FROM iscored) WHERE rank <= $TopK)""".stripMargin
 
   private val ivfCtes: String = ivfCtesOver("TRUE")
+
+  /** The nprobe tuning-curve oracle: one widest-probe candidate CTE
+    * (probe rank kept), ranked per nprobe slice — the same composition
+    * the engine runs.
+    */
+  private def probeCurveSql: String = {
+    val ps = Seq(1, 2, 4, 8)
+    val blocks = ps.map { p =>
+      s"""ivf$p AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM cand WHERE prank <= $p) WHERE rank <= $TopK),
+         |c$p AS (SELECT CAST($p AS BIGINT) AS nprobe,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_common
+         |  FROM topk t LEFT JOIN ivf$p i
+         |    ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $eCte,
+       |$topkCtes,
+       |${ivfAssignCtes(
+           "SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0",
+           nprobe = 8, keepProbeRank = true)},
+       |cand AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qv, a1.v), 4) AS sim, p.prank
+       |  FROM probes p JOIN a1 ON p.cent_id = a1.cent_id
+       |                       AND a1.vec_id <> p.query_id),
+       |$blocks
+       |SELECT * FROM c1 UNION ALL SELECT * FROM c2
+       |UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM c8""".stripMargin
+  }
 
   /** Top-k per query over any (vec_id, v) frame: queries are vec_id <
     * NQueries, broadcast against one corpus scan, ranked on 4-dp-rounded
@@ -2972,6 +3028,50 @@ object Similarity {
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
         .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+    },
+
+    // The nprobe TUNING CURVE: total exact-top-k overlap at nprobe ∈
+    // {1, 2, 4, 8} in one pass — the readout that justifies (or
+    // indicts) sim_ivf's nprobe=4 before a 100 TB index commits to it,
+    // exactly as dedup_threshold_sweep justifies the 0.8 Jaccard bar.
+    // One candidate frame (queries probed to the WIDEST nprobe, joined
+    // to assignments once, probe rank riding along) is pinned and
+    // sliced four ways; each slice ranks through the bounded top_k
+    // aggregate. Output is 4 rows at any corpus size; monotonicity in
+    // nprobe and agreement with sim_ivf_recall's total at nprobe=4 are
+    // pinned in OperatorsSpec.
+    QuerySpec(
+      "sim_ivf_probe_curve",
+      probeCurveSql) { (s, d) =>
+      val e = corpus(s, d)
+      val seeds = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val cents = lloydStep(e, seeds).cache()
+      val assigned = assign(e, cents, 1)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+          col("cent_id"))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id"), col("v"))
+      val probes = assignRanked(q, cents, 8)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("cent_id"), col("prank"))
+      // Pinned once, sliced four times — without the pin each nprobe
+      // branch would replay the assignment join.
+      val cand = probes.join(assigned, Seq("cent_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qv"), col("nv")), 4).as("sim"), col("prank"))
+        .localCheckpoint()
+      val exact = topkOf(e).select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
+      Seq(1, 2, 4, 8).map { p =>
+        val hits = rankTopK(cand.filter(col("prank") <= p))
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1L))
+        exact.join(hits, Seq("query_id", "neighbor_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+          .select(lit(p.toLong).as("nprobe"), col("n_common"))
+      }.reduce(_.unionByName(_))
     },
 
     // Random-projection (Johnson–Lindenstrauss) quality as a gated

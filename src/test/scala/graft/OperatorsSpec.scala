@@ -757,6 +757,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got.forall(_._2 >= -langs.length.toLong))
   }
 
+  test("sim_ivf_probe_curve: recall is monotone in nprobe and the " +
+    "nprobe=4 point equals sim_ivf_recall's total (cross-gate " +
+    "consistency)") {
+    val curve = SparkEntry.queries("sim_ivf_probe_curve")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(curve.keySet == Set(1L, 2L, 4L, 8L))
+    assert(curve(1L) <= curve(2L) && curve(2L) <= curve(4L) &&
+      curve(4L) <= curve(8L), curve.toString)
+    assert(curve(8L) > curve(1L), "widening probes must add recall here")
+    val ivfTotal = SparkEntry.queries("sim_ivf_recall")(spark, sf0001)
+      .agg(sum($"n_common")).collect()(0).getLong(0)
+    assert(curve(4L) == ivfTotal,
+      s"curve@4=${curve(4L)} != sim_ivf_recall total $ivfTotal")
+  }
+
   test("sim_rp_recall: the 16-dim JL projection clears the above-random " +
     "floor on the uniform corpus and projected vectors have RpDim dims") {
     val gated = SparkEntry.queries("sim_rp_recall")(spark, sf0001)
