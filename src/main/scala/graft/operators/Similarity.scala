@@ -84,18 +84,8 @@ object Similarity {
         (col("pos") + 1).as("prank"))
   }
 
-  private def assign(vecs: DataFrame, cents: DataFrame, n: Int): DataFrame = {
-    val centsRow = cents
-      .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cs"))
-    vecs.crossJoin(centsRow)
-      .select(col("vec_id"), col("v"),
-        slice(array_sort(transform(col("cs"), c =>
-          struct((round(cosine(col("v"), c("cv")), 4) * -1).as("nsim"),
-            c("cent_id").as("cent_id")))), 1, n).as("top"))
-      .select(col("vec_id"), col("v"),
-        explode(col("top")).as("sc"))
-      .select(col("vec_id"), col("v"), col("sc.cent_id").as("cent_id"))
-  }
+  private def assign(vecs: DataFrame, cents: DataFrame, n: Int): DataFrame =
+    assignRanked(vecs, cents, n).drop("prank")
 
   /** One Lloyd (k-means) iteration: assign every vector to its nearest
     * seed, replace each seed with its cell's element-wise mean. The
