@@ -416,10 +416,14 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("k") * col("l_i")).as("seen_sum"),
         sum(col("k")).as("seen_k"))
+    // langs is ≤ |distinct labels| rows but still corpus-DERIVED, so it
+    // joins UNHINTED per the repo-wide rule (the planner's size check
+    // broadcasts it at any sane scale; a pathological label column
+    // degrades gracefully instead of OOMing a forced broadcast).
     val scored = docs
       .select(col("doc_id"), col("lang").as("true_lang"),
         size(words(col("text"))).cast("long").as("n_toks"))
-      .crossJoin(broadcast(langs))
+      .crossJoin(langs)
       .join(seen, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("true_lang"), col("lang"),
         (col("prior_i") + coalesce(col("seen_sum"), lit(0L)) +
@@ -729,7 +733,11 @@ object TextAnalysis {
       val nl = lab.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
       val ntl = t.join(lab, Seq("doc_id"))
         .groupBy(col("tok"), col("lang")).agg(count(lit(1)).as("n_tl"))
-      val grid = nt.crossJoin(broadcast(nl))
+      // nl is corpus-derived (distinct label values) ⇒ UNHINTED per the
+      // repo-wide rule — the planner's size check picks the broadcast
+      // nested-loop at bench scale, and a pathological label column
+      // degrades gracefully instead of OOMing a forced broadcast.
+      val grid = nt.crossJoin(nl)
         .join(ntl, Seq("tok", "lang"), "left")
         .crossJoin(nn)
         .select(col("tok"), col("n_t"), col("n_l"),
