@@ -437,6 +437,35 @@ object TextAnalysis {
         col("lang").as("pred_lang"), col("nb_score"))
   }
 
+  /** EXACT incremental training — [[nbForget]]'s mirror: fold a NEW
+    * labeled document batch into a fitted model by ADDING its
+    * per-(lang, token) counts and per-lang doc counts to the persisted
+    * sufficient statistics (full-outer on the key: unseen tokens and
+    * new languages create rows), then re-finalize through the same
+    * [[nbFinalize]] kernel. Bit-identical to the from-scratch refit on
+    * train ∪ increment at the cost of counting only the INCREMENT —
+    * with nbForget this closes the lifecycle triangle (fit / grow /
+    * forget), all three landing on the same finalize arithmetic.
+    */
+  def nbGrow(model: DataFrame, langs: DataFrame,
+      increment: DataFrame): (DataFrame, DataFrame) = {
+    val gCnt = Par.fanOut(increment)
+      .select(col("lang"), explode(words(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("gc"))
+    val cnt = model.select(col("lang"), col("tok"), col("c"))
+      .join(gCnt, Seq("lang", "tok"), "full_outer")
+      .select(col("lang"), col("tok"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("gc"), lit(0L)))
+          .as("c"))
+    val gDocs = increment.groupBy(col("lang")).agg(count(lit(1)).as("gdl"))
+    val priors = langs.select(col("lang"), col("dl"))
+      .join(gDocs, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("dl"), lit(0L)) + coalesce(col("gdl"), lit(0L)))
+          .as("dl"))
+    nbFinalize(cnt, priors)
+  }
+
   /** Build-if-absent the PERSISTED NB model for `d` (model/ + langs/
     * sides under one published root, the BPE-model convention): the
     * train-once-serve-many lifecycle — `text_nb_indexed` and the
@@ -450,7 +479,16 @@ object TextAnalysis {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     Layout.ensurePublishedDir(s, root.toString)(r =>
       Seq("model", "langs").forall(side => fs.exists(
-        new org.apache.hadoop.fs.Path(r, side + "/_SUCCESS")))
+        new org.apache.hadoop.fs.Path(r, side + "/_SUCCESS"))) &&
+        // Schema gate: the persisted shape is part of the contract
+        // (nbForget needs the raw counts) — a root written by an older
+        // code version rebuilds instead of serving stale frames.
+        scala.util.Try(
+          s.read.parquet(s"$r/model").columns.toSet
+            == Set("lang", "tok", "c", "l_i") &&
+          s.read.parquet(s"$r/langs").columns.toSet
+            == Set("lang", "dl", "t", "v", "dd", "prior_i", "def_i"))
+          .getOrElse(false)
     ) { staging =>
       val (model, langs) = nbModelFrames(
         Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4))
@@ -651,6 +689,23 @@ object TextAnalysis {
         Tables.documents(s, d).filter(col("doc_id") % 5 === 4),
         s.read.parquet(s"$root/model"),
         s.read.parquet(s"$root/langs"))
+    },
+
+    // EXACT incremental training (nbForget's mirror — the lifecycle
+    // triangle's third side): the model seeds on two thirds of the
+    // train split, the remaining third folds in as a counted INCREMENT
+    // (full-outer count addition + the shared finalize), and the
+    // holdout classifies under the grown model. The ORACLE is the
+    // DIRECT gate's full-train oracle VERBATIM — growth must land
+    // bit-identically on training from scratch.
+    QuerySpec(
+      "text_nb_grown",
+      nbOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 5 =!= 4)
+      val (m0, l0) = nbModelFrames(train.filter(col("doc_id") % 3 =!= 0))
+      val (m1, l1) = nbGrow(m0, l0, train.filter(col("doc_id") % 3 === 0))
+      nbClassify(docs.filter(col("doc_id") % 5 === 4), m1, l1)
     },
 
     // EXACT unlearning (the model-side right-to-be-forgotten): every

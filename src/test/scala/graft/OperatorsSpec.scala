@@ -684,6 +684,12 @@ class OperatorsSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
     assert(mkey(m2) == mkey(mr), "model frame must equal the refit")
     assert(lkey(l2) == lkey(lr), "langs frame must equal the refit")
+    // and the MIRROR: growing the shrunken model by the same docs lands
+    // back on the full fit — the lifecycle triangle closes exactly
+    val (mg, lg) = operators.TextAnalysis.nbGrow(m2, l2, forget)
+    val (mf, lf) = operators.TextAnalysis.nbModelFrames(train)
+    assert(mkey(mg) == mkey(mf), "grow(forget(M)) must equal the full fit")
+    assert(lkey(lg) == lkey(lf))
   }
 
   test("text_nb_langid: planted Naive Bayes model scores hand-exactly, " +
