@@ -395,7 +395,12 @@ object TextAnalysis {
       .select(col("lang"),
         (col("dl") - coalesce(col("fdl"), lit(0L))).as("dl"))
       .filter(col("dl") > 0)
-    nbFinalize(cnt, priors)
+    // Pin the folded statistics ONCE: nbFinalize reads cnt three ways
+    // (vocab scalar, per-lang totals, the model map) — without the pin
+    // each reader replays the subtraction join. The pinned frame is
+    // model-sized (vocab × langs), exactly what a production fold
+    // persists anyway.
+    nbFinalize(cnt.localCheckpoint(), priors.localCheckpoint())
   }
 
   /** Score a `(doc_id, lang, text)` frame against a fitted NB model —
@@ -463,7 +468,8 @@ object TextAnalysis {
       .select(col("lang"),
         (coalesce(col("dl"), lit(0L)) + coalesce(col("gdl"), lit(0L)))
           .as("dl"))
-    nbFinalize(cnt, priors)
+    // Same pin as nbForget: one materialization of the addition fold.
+    nbFinalize(cnt.localCheckpoint(), priors.localCheckpoint())
   }
 
   /** Build-if-absent the PERSISTED NB model for `d` (model/ + langs/
