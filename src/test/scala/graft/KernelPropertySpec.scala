@@ -96,6 +96,48 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-join losslessness property: on random overlapping corpora " +
+    "the pruned join equals brute-force all-pairs shingle Jaccard " +
+    "(10 rounds, boundary-heavy mixes)") {
+    (1 to 10).foreach { round =>
+      // a shared word pool breeds genuine near-dup structure: docs draw
+      // from a small pool, and 4 docs are (possibly jittered) copies of
+      // earlier ones — exact dups, one-word edits, and sub-threshold
+      // lookalikes all occur across rounds
+      val pool = randomWords(12)
+      val base10 = (0 until 10).map(_ =>
+        Seq.fill(5 + rnd.nextInt(8))(pool(rnd.nextInt(pool.size)))
+          .mkString(" "))
+      val copies = (0 until 4).map { j =>
+        val b = base10(j).split(" ").toSeq
+        (if (rnd.nextBoolean())
+          b.updated(rnd.nextInt(b.size), "z" + round + j)
+        else b).mkString(" ")
+      }
+      val docs = base10 ++ copies
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.prefixJoinPairs(df).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          math.round(r.getDouble(2) * 1e4))).toMap
+      def sh3(t: String) = t.split(" ", -1).sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toSet
+      val sets = docs.zipWithIndex.map { case (t, i) => i.toLong -> sh3(t) }
+        .filter(_._2.nonEmpty)
+      val brute = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        i = (sa intersect sb).size
+        u = sa.size + sb.size - i
+        if 5L * i >= 4L * u
+      } yield ((ia, ib),
+        math.round(math.round(i.toDouble / u * 1e4).toDouble))).toMap
+      assert(got.keySet == brute.keySet, s"round $round pair sets differ")
+      brute.foreach { case (k, j) =>
+        assert(got(k) == j, s"round $round pair $k jaccard differs")
+      }
+    }
+  }
+
   test("tokenHash bit balance: each of the 64 bits is ~uniform over " +
     "random tokens (SimHash needs unbiased votes)") {
     val n = 2000
