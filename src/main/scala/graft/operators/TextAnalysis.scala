@@ -697,6 +697,29 @@ object TextAnalysis {
         s.read.parquet(s"$root/langs"))
     },
 
+    // The TRAINED classifier's confusion matrix — the same
+    // certify-the-classifier readout text_langid_confusion gives the
+    // marker heuristic: (true, predicted, count, share-of-true) over
+    // the holdout. Aggregate of the nbLangid frame (≤ |langs|² rows at
+    // any corpus size), one unhinted totals join.
+    QuerySpec(
+      "text_nb_confusion",
+      s"""WITH nb AS ($nbOracleSql),
+         |c AS (SELECT true_lang, pred_lang, count(*) AS n
+         |      FROM nb GROUP BY 1, 2),
+         |t AS (SELECT true_lang, sum(n) AS tot FROM c GROUP BY 1)
+         |SELECT c.true_lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+         |  round(CAST(c.n AS DOUBLE) / t.tot, 4) AS share
+         |FROM c JOIN t USING (true_lang)""".stripMargin) { (s, d) =>
+      val cells = nbLangid(Tables.documents(s, d))
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy(col("true_lang")).agg(sum(col("n")).as("tot"))
+      cells.join(totals, Seq("true_lang"))
+        .select(col("true_lang"), col("pred_lang"), col("n"),
+          round(col("n").cast("double") / col("tot"), 4).as("share"))
+    },
+
     // EXACT incremental training (nbForget's mirror — the lifecycle
     // triangle's third side): the model seeds on two thirds of the
     // train split, the remaining third folds in as a counted INCREMENT
