@@ -168,6 +168,126 @@ object Curation {
       "decontaminate" -> k2, "dedup" -> k3, "mixture" -> m)
   }
 
+  // ---- DSIR kernels (shared by doc_dsir, the persisted serve and the
+  //      streaming scorer — one arithmetic, three entry points) ----
+
+  /** Hashed-bigram bucket stream of a (doc_id, source, text) frame:
+    * md5-15-hex integer (the cross-engine convention) mod 1024.
+    */
+  private def dsirBuckets(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    Par.fanOut(docs)
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.kgrams(col("text"), 2)).as("gm"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("gm")), 1, 15), 16, 10).cast("long")
+          % 1024).as("bkt"))
+
+  /** Fit the DSIR model: per-bucket 1e-6-scaled integer log-likelihood
+    * delta between the target-domain and whole-corpus add-1-smoothed
+    * hashed-bigram distributions — ≤ 1024 rows by construction.
+    */
+  def dsirModel(docs: org.apache.spark.sql.DataFrame,
+      target: String = "src0"): org.apache.spark.sql.DataFrame = {
+    val buckets = dsirBuckets(docs)
+    val braw = buckets.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+    val btgt = buckets.filter(col("source") === target)
+      .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+    val tr = buckets.agg(count(lit(1)).as("tot_r"))
+    val tt = buckets.filter(col("source") === target)
+      .agg(count(lit(1)).as("tot_t"))
+    braw.join(btgt, Seq("bkt"), "left")
+      .crossJoin(tr).crossJoin(tt)
+      .select(col("bkt"),
+        round((log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("tot_t") + 1024).cast("double"))
+          - log((col("cr") + 1).cast("double") /
+            (col("tot_r") + 1024).cast("double"))) * 1e6)
+          .cast("long").as("dlt"))
+  }
+
+  /** Score a (doc_id, source, text) frame against a FROZEN model:
+    * (doc_id, source, logw_i, dsir_key) — integer log-weight sum plus
+    * the md5-derived Gumbel key (u strictly inside (0, 1) via 44 md5
+    * bits / (2^44+1)). The ≤ 1024-row model broadcast is PRINCIPLED
+    * (hash-mod feature space); scoring is pure map work.
+    */
+  def dsirScore(docs: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dcnt = dsirBuckets(docs).groupBy(col("doc_id"), col("bkt"))
+      .agg(count(lit(1)).as("k"))
+    val lw = dcnt.join(broadcast(model), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k") * col("dlt")).as("logw_i"))
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 11),
+      16, 10).cast("long") + 1).cast("double") / lit(17592186044417.0)
+    docs.select(col("doc_id"), col("source"))
+      .join(lw, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("logw_i"), lit(0L)).as("logw_i"),
+        (coalesce(col("logw_i"), lit(0L)) +
+          round(-log(-log(u)) * 1e6).cast("long")).as("dsir_key"))
+  }
+
+  /** Build-if-absent the PERSISTED DSIR model for `d` (one model/ side,
+    * schema-gated like the NB root so a format change rebuilds).
+    */
+  def ensureDsirModel(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_dsir_model$suffix")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.ensurePublishedDir(s, root.toString)(r =>
+      fs.exists(new org.apache.hadoop.fs.Path(r, "model/_SUCCESS")) &&
+        scala.util.Try(
+          s.read.parquet(s"$r/model").columns.toSet == Set("bkt", "dlt"))
+          .getOrElse(false)
+    ) { staging =>
+      dsirModel(Tables.documents(s, d))
+        .coalesce(1).write.parquet(s"$staging/model")
+    }
+    root.toString
+  }
+
+  /** The doc_dsir oracle — shared VERBATIM with `doc_dsir_indexed`: the
+    * persisted serve's contract is exactly the direct gate's answer.
+    */
+  private val dsirOracleSql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |g AS (SELECT doc_id, source,
+      |        unnest(list_transform(range(1, greatest(len(ws), 1)),
+      |          i -> ws[i] || ' ' || ws[i+1])) AS gm
+      |      FROM w),
+      |b AS (SELECT doc_id, source,
+      |        ('0x' || substr(md5(gm), 1, 15))::BIGINT % 1024 AS bkt
+      |      FROM g),
+      |braw AS (SELECT bkt, count(*) AS cr FROM b GROUP BY 1),
+      |btgt AS (SELECT bkt, count(*) AS ct FROM b
+      |         WHERE source = 'src0' GROUP BY 1),
+      |tr AS (SELECT count(*) AS tot FROM b),
+      |tt AS (SELECT count(*) AS tot FROM b WHERE source = 'src0'),
+      |model AS (
+      |  SELECT braw.bkt,
+      |    CAST(round((ln((coalesce(btgt.ct, 0) + 1)
+      |          / CAST(tt.tot + 1024 AS DOUBLE))
+      |        - ln((braw.cr + 1) / CAST(tr.tot + 1024 AS DOUBLE)))
+      |      * 1e6) AS BIGINT) AS dlt
+      |  FROM braw LEFT JOIN btgt USING (bkt), tr, tt),
+      |dcnt AS (SELECT doc_id, bkt, count(*) AS k FROM b GROUP BY 1, 2),
+      |lw AS (SELECT d.doc_id, CAST(sum(d.k * m.dlt) AS BIGINT) AS logw_i
+      |       FROM dcnt d JOIN model m USING (bkt) GROUP BY 1),
+      |keyed AS (
+      |  SELECT doc_id, source, coalesce(lw.logw_i, 0) AS logw_i,
+      |    coalesce(lw.logw_i, 0) + CAST(round(-ln(-ln(
+      |        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 11))::BIGINT
+      |          + 1) / 17592186044417.0)) * 1e6) AS BIGINT) AS dsir_key
+      |  FROM documents LEFT JOIN lw USING (doc_id))
+      |SELECT doc_id, source, logw_i, dsir_key FROM keyed
+      |ORDER BY dsir_key DESC, doc_id LIMIT 100""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Sessionization (batch): a session breaks after a 30-minute silence.
@@ -564,75 +684,26 @@ object Curation {
     // top-100 then driver merge — never a global sort).
     QuerySpec(
       "doc_dsir",
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
-        |           FROM documents),
-        |g AS (SELECT doc_id, source,
-        |        unnest(list_transform(range(1, greatest(len(ws), 1)),
-        |          i -> ws[i] || ' ' || ws[i+1])) AS gm
-        |      FROM w),
-        |b AS (SELECT doc_id, source,
-        |        ('0x' || substr(md5(gm), 1, 15))::BIGINT % 1024 AS bkt
-        |      FROM g),
-        |braw AS (SELECT bkt, count(*) AS cr FROM b GROUP BY 1),
-        |btgt AS (SELECT bkt, count(*) AS ct FROM b
-        |         WHERE source = 'src0' GROUP BY 1),
-        |tr AS (SELECT count(*) AS tot FROM b),
-        |tt AS (SELECT count(*) AS tot FROM b WHERE source = 'src0'),
-        |model AS (
-        |  SELECT braw.bkt,
-        |    CAST(round((ln((coalesce(btgt.ct, 0) + 1)
-        |          / CAST(tt.tot + 1024 AS DOUBLE))
-        |        - ln((braw.cr + 1) / CAST(tr.tot + 1024 AS DOUBLE)))
-        |      * 1e6) AS BIGINT) AS dlt
-        |  FROM braw LEFT JOIN btgt USING (bkt), tr, tt),
-        |dcnt AS (SELECT doc_id, bkt, count(*) AS k FROM b GROUP BY 1, 2),
-        |lw AS (SELECT d.doc_id, CAST(sum(d.k * m.dlt) AS BIGINT) AS logw_i
-        |       FROM dcnt d JOIN model m USING (bkt) GROUP BY 1),
-        |keyed AS (
-        |  SELECT doc_id, source, coalesce(lw.logw_i, 0) AS logw_i,
-        |    coalesce(lw.logw_i, 0) + CAST(round(-ln(-ln(
-        |        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 11))::BIGINT
-        |          + 1) / 17592186044417.0)) * 1e6) AS BIGINT) AS dsir_key
-        |  FROM documents LEFT JOIN lw USING (doc_id))
-        |SELECT doc_id, source, logw_i, dsir_key FROM keyed
-        |ORDER BY dsir_key DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      dsirOracleSql) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val buckets = Par.fanOut(docs)
-        .select(col("doc_id"), col("source"),
-          explode(Dedup.kgrams(col("text"), 2)).as("gm"))
-        .select(col("doc_id"), col("source"),
-          (conv(substring(md5(col("gm")), 1, 15), 16, 10).cast("long")
-            % 1024).as("bkt"))
-      val braw = buckets.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
-      val btgt = buckets.filter(col("source") === "src0")
-        .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
-      val tr = buckets.agg(count(lit(1)).as("tot_r"))
-      val tt = buckets.filter(col("source") === "src0")
-        .agg(count(lit(1)).as("tot_t"))
-      // ≤ 1024 rows by construction (hash-mod feature space): the one
-      // per-bucket integer log-likelihood delta both models fold into.
-      val model = braw.join(btgt, Seq("bkt"), "left")
-        .crossJoin(tr).crossJoin(tt)
-        .select(col("bkt"),
-          round((log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
-              (col("tot_t") + 1024).cast("double"))
-            - log((col("cr") + 1).cast("double") /
-              (col("tot_r") + 1024).cast("double"))) * 1e6)
-            .cast("long").as("dlt"))
-      val dcnt = buckets.groupBy(col("doc_id"), col("bkt"))
-        .agg(count(lit(1)).as("k"))
-      val lw = dcnt.join(broadcast(model), Seq("bkt"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("k") * col("dlt")).as("logw_i"))
-      // Gumbel key: u strictly inside (0, 1) via 44 md5 bits / (2^44+1).
-      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 11),
-        16, 10).cast("long") + 1).cast("double") / lit(17592186044417.0)
-      docs.select(col("doc_id"), col("source"))
-        .join(lw, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"),
-          coalesce(col("logw_i"), lit(0L)).as("logw_i"),
-          (coalesce(col("logw_i"), lit(0L)) +
-            round(-log(-log(u)) * 1e6).cast("long")).as("dsir_key"))
+      dsirScore(docs, dsirModel(docs))
+        .orderBy(col("dsir_key").desc, col("doc_id"))
+        .limit(100)
+    },
+
+    // The SAME selection served from the PERSISTED model (the
+    // train-once-serve-many lifecycle the NB/BPE/unigram families
+    // have): identical contract, identical oracle — the serve reads
+    // only the ≤ 1024-row published model and scores the corpus, never
+    // re-fitting. The streaming twin (StreamingCuration.startDsirScore)
+    // scores micro-batches of incoming docs through the same frozen
+    // kernel — the production shape: fit the domain model once, meter
+    // every crawled batch's domain fit as it lands.
+    QuerySpec(
+      "doc_dsir_indexed",
+      dsirOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      dsirScore(docs, s.read.parquet(ensureDsirModel(s, d) + "/model"))
         .orderBy(col("dsir_key").desc, col("doc_id"))
         .limit(100)
     },

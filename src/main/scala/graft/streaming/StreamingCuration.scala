@@ -199,6 +199,38 @@ object StreamingCuration {
       }
       .start()
 
+  /** Streaming DSIR domain-fit metering against the PERSISTED model
+    * (`Curation.ensureDsirModel`): each micro-batch of
+    * `(doc_id, source, text)` documents scores through the same frozen
+    * kernel the batch serve uses (`Curation.dsirScore` — hashed-bigram
+    * buckets × the ≤ 1024-row model broadcast, integer log-weights,
+    * md5-derived Gumbel keys) and lands batchId-keyed — the production
+    * shape: fit the target-domain model once offline, meter every
+    * crawled batch's domain fit as it arrives, and let the downstream
+    * selection rank on the accumulated keys.
+    */
+  def startDsirScore(docs: DataFrame, modelRoot: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishDsirBatch(batch, batchId, modelRoot, outPath)
+      }
+      .start()
+
+  /** One DSIR-score micro-batch — the replay-idempotent unit. */
+  def publishDsirBatch(batch: DataFrame, batchId: Long, modelRoot: String,
+      outPath: String): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    val s = batch.sparkSession
+    graft.operators.Curation.dsirScore(
+        batch.select(col("doc_id"), col("source"), col("text")),
+        s.read.parquet(s"$modelRoot/model"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outPath/b$batchId")
+  }
+
   /** One NB-classify micro-batch — the replay-idempotent unit. */
   def publishNbBatch(batch: DataFrame, batchId: Long, modelRoot: String,
       outPath: String): Unit = {

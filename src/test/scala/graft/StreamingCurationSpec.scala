@@ -197,6 +197,38 @@ class StreamingCurationSpec extends SparkSpec {
     assert(read() == streamed, "replayed batch must not duplicate")
   }
 
+  test("startDsirScore: streamed domain-fit scores against the persisted " +
+    "DSIR model equal the batch kernel per micro-batch, and a replayed " +
+    "batchId rewrites rather than duplicates") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.Curation
+    val modelRoot = Curation.ensureDsirModel(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect().toSeq.take(60)
+    val out = tmpDir("sdsir-out"); val ckpt = tmpDir("sdsir-ckpt")
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingCuration.startDsirScore(
+      in.toDF().toDF("doc_id", "source", "text"), modelRoot, out, ckpt)
+    try {
+      in.addData(docs.take(25): _*); q.processAllAvailable()
+      in.addData(docs.drop(25): _*); q.processAllAvailable()
+    } finally q.stop()
+    def read() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).as[(Long, String, Long, Long)].collect().toSet
+    val streamed = read()
+    val batch = Curation.dsirScore(
+        docs.toDF("doc_id", "source", "text"),
+        spark.read.parquet(s"$modelRoot/model"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      "streamed scores must equal the frozen-model batch kernel")
+    // replay batch 0
+    StreamingCuration.publishDsirBatch(
+      docs.take(25).toDF("doc_id", "source", "text"), 0L, modelRoot, out)
+    assert(read() == streamed, "replayed batch must not duplicate")
+  }
+
   test("stream and batch curation agree: the same expressions filter the " +
     "documents table to the same survivors") {
     implicit val sc = spark.sqlContext
