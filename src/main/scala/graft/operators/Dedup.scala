@@ -284,6 +284,94 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** ExactSubstr anchor length (characters). A shared byte-span of
+    * length ≥ SubstrK appears as a run of ≥ 1 matching SubstrK-grams on
+    * one (doc_a, doc_b, ai−bi) diagonal, so anchoring at every offset is
+    * LOSSLESS for spans ≥ SubstrK. 30 chars keeps natural-language
+    * anchors near-unique (join fan-out bounded) while staying below the
+    * 40-char report floor.
+    */
+  val SubstrK = 30
+
+  /** Minimum reported shared-span length (characters) — the ExactSubstr
+    * paper's 50-token floor, scaled to this corpus' short documents.
+    */
+  val SubstrFloor = 40
+
+  /** All SubstrK-char grams of `text` at every 1-based offset. The HOF
+    * lambda only captures the `text` attribute (an O(1) row-field read
+    * per element — not the recomputed-`split` trap `kgrams` documents),
+    * and the `when` guard keeps `sequence` ascending on short docs.
+    */
+  private def charGrams(text: Column): Column = {
+    val n = length(text) - (SubstrK - 1)
+    when(n >= 1, transform(sequence(lit(1), n),
+      i => text.substr(i, lit(SubstrK))))
+      .otherwise(typedLit(Seq.empty[String]))
+  }
+
+  /** ExactSubstr cross-doc substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): for
+    * every unordered doc pair sharing at least one byte-span of length
+    * ≥ `SubstrFloor`, emit the LONGEST maximal shared span —
+    * (doc_a, doc_b, span_len, a_off, b_off) with 1-based offsets, ties
+    * broken by (a_off, b_off) — plus `n_spans`, the count of maximal
+    * shared spans ≥ the floor.
+    *
+    * Algorithm (diagonal islands, the distributed twin of the paper's
+    * suffix-array scan): anchor every SubstrK-char gram at every offset
+    * (O(corpus bytes) rows — the same asymptotics as suffix-array
+    * construction), equi-join on the gram across docs, then observe that
+    * a maximal shared span of length L is exactly a maximal run of
+    * L − SubstrK + 1 consecutive anchor matches on one (pair, ai−bi)
+    * diagonal. Runs are grouped with the classic ai − row_number() trick
+    * (ai is unique within a diagonal: bi = ai − diag), so the maximal
+    * span falls out of a groupBy — no per-pair text re-join, no in-row
+    * quadratic extension.
+    *
+    * Scale: never all-pairs — the quadratic work is confined to docs
+    * sharing a 30-char gram, which in natural text is (unlike the 3-word
+    * shingles the Jaccard family blocks on) almost always a true
+    * duplicated span, so candidate fan-out tracks the actual duplication
+    * rate. Both windows partition by (pair[, diag]) — bounded by doc
+    * lengths, never corpus-wide. Boilerplate-heavy corpora (license
+    * headers) fatten gram buckets; the production guard is the same
+    * df-cap `docShingles` uses, deliberately NOT applied here so the
+    * gate stays lossless (the PPJoin precedent).
+    */
+  def substringSpans(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val g = Par.fanOut(docs)
+      .select(col("doc_id"), posexplode(charGrams(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("kg"))
+    val a = g.select(col("doc_id").as("doc_a"), col("i").as("ai"), col("kg"))
+    val b = g.select(col("doc_id").as("doc_b"), col("i").as("bi"), col("kg"))
+    val m = a.join(b, Seq("kg"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ai"), col("bi"),
+        (col("ai") - col("bi")).as("diag"))
+    val spans = m
+      .withColumn("grp", col("ai") - row_number().over(
+        w.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+          .orderBy(col("ai"))))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("ai")).as("a_off"), min(col("bi")).as("b_off"),
+        (count(lit(1)) + (SubstrK - 1)).as("span_len"))
+      .filter(col("span_len") >= SubstrFloor)
+    // Both pair-partitioned windows share one (doc_a, doc_b) exchange;
+    // the row_number ≤ 1 filter plans as WindowGroupLimit.
+    spans
+      .withColumn("n_spans",
+        count(lit(1)).over(w.partitionBy(col("doc_a"), col("doc_b"))))
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("doc_a"), col("doc_b"))
+          .orderBy(col("span_len").desc, col("a_off"), col("b_off"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_a"), col("doc_b"), col("span_len"),
+        col("a_off"), col("b_off"), col("n_spans"))
+  }
+
   /** Connected components of an undirected pair graph (doc_a, doc_b):
     * every vertex gets `cluster_id` = the MIN doc_id reachable from it —
     * true transitive-closure cluster semantics, vs the pair-chain
@@ -1027,6 +1115,48 @@ object Dedup {
         |  round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
         |FROM inter WHERE 5 * i >= 4 * (na + nb - i)""".stripMargin) {
       (s, d) => prefixJoinPairs(Tables.documents(s, d))
+    },
+
+    // ExactSubstr cross-doc substring dedup (Lee et al. 2022): longest
+    // maximal shared byte-span ≥ 40 chars per doc pair, via every-offset
+    // 30-char anchors + diagonal-run islands (see substringSpans). The
+    // oracle mirrors the identical diagonal-island formulation over
+    // per-position substrings; brute-force diagonal-scan equality is
+    // pinned separately in OperatorsSpec where quadratic scan is
+    // affordable. All arithmetic is integer (offsets, run counts), so
+    // the gate is exact by construction.
+    QuerySpec(
+      "dedup_substring",
+      s"""WITH g AS (
+        |  SELECT doc_id, u.i::BIGINT AS i,
+        |         substr(text, u.i::INT, $SubstrK) AS kg
+        |  FROM documents,
+        |       unnest(range(1, greatest(length(text) - ${SubstrK - 1}, 0) + 1))
+        |         AS u(i)),
+        |m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.i AS ai, b.i AS bi, a.i - b.i AS diag
+        |  FROM g a JOIN g b ON a.kg = b.kg AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT doc_a, doc_b, diag, ai, bi,
+        |         ai - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+        |                                 ORDER BY ai) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT doc_a, doc_b, min(ai) AS a_off, min(bi) AS b_off,
+        |         (count(*) + ${SubstrK - 1})::BIGINT AS span_len
+        |  FROM isl GROUP BY doc_a, doc_b, diag, grp),
+        |best AS (
+        |  SELECT doc_a, doc_b, span_len, a_off, b_off,
+        |         count(*) OVER (PARTITION BY doc_a, doc_b) AS n_spans,
+        |         row_number() OVER (PARTITION BY doc_a, doc_b
+        |                            ORDER BY span_len DESC, a_off, b_off)
+        |           AS rn
+        |  FROM spans WHERE span_len >= $SubstrFloor)
+        |SELECT doc_a, doc_b, span_len, a_off, b_off,
+        |       n_spans::BIGINT AS n_spans
+        |FROM best WHERE rn = 1""".stripMargin) {
+      (s, d) => substringSpans(Tables.documents(s, d))
     },
 
     // COLLECTION-level overlap: pairwise shingle-set Jaccard between

@@ -470,22 +470,32 @@ object Layout {
   private def zDay(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     unix_micros(ts) / 86400000000L - lit(19723L)
 
+  /** Build-if-absent a curve-clustered events copy under the warehouse,
+    * through [[ensurePublishedDir]]'s staging + atomic-publish protocol
+    * (the NB/DSIR model-root convention): two concurrent sessions each
+    * stage privately and a reader sees an absent root, the old complete
+    * copy, or the new one — never the half-written state the previous
+    * exists/_SUCCESS→delete→write form could expose.
+    */
+  private def ensureClusteredEvents(
+      s: SparkSession, d: String, name: String,
+      key: org.apache.spark.sql.Column): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"$name$suffix")
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    ensurePublishedDir(s, loc.toString)(root =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
+      staging => writeZOrdered(Tables.events(s, d), staging, key)
+    }
+  }
+
   /** Build-if-absent the (user_id × epoch-day) z-ordered events copy
     * for `d` (suffix-keyed warehouse convention).
     */
-  def ensureZOrderedEvents(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_zorder_events$suffix")
-    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
-      fs.delete(loc, true)
-      val ev = Tables.events(s, d)
-      writeZOrdered(ev, loc.toString,
-        morton32(col("user_id"), zDay(col("ts"))))
-    }
-    loc.toString
-  }
+  def ensureZOrderedEvents(s: SparkSession, d: String): String =
+    ensureClusteredEvents(s, d, "graft_zorder_events",
+      morton32(col("user_id"), zDay(col("ts"))))
 
   /** Build-if-absent the (user_id × epoch-day) HILBERT-clustered events
     * copy for `d` — same contract as [[ensureZOrderedEvents]], tighter
@@ -493,19 +503,9 @@ object Layout {
     * Morton copy's 32-bit lanes cover them (both dimensions are far
     * below 2^16 here; production sizes the order to the key range).
     */
-  def ensureHilbertEvents(s: SparkSession, d: String): String = {
-    val suffix = d.replaceAll("\\W", "_")
-    val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), s"graft_hilbert_events$suffix")
-    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
-      fs.delete(loc, true)
-      val ev = Tables.events(s, d)
-      writeZOrdered(ev, loc.toString,
-        hilbert(col("user_id"), zDay(col("ts"))))
-    }
-    loc.toString
-  }
+  def ensureHilbertEvents(s: SparkSession, d: String): String =
+    ensureClusteredEvents(s, d, "graft_hilbert_events",
+      hilbert(col("user_id"), zDay(col("ts"))))
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(

@@ -349,14 +349,26 @@ object StreamingRetrieval {
       }
       .start()
 
-  /** One boolean micro-batch publish — the replay-idempotent unit. */
+  /** One boolean micro-batch publish — the replay-idempotent unit.
+    *
+    * The collect here is the established query-batch pushdown
+    * convention: its bound is the MICRO-BATCH of queries (human-issued,
+    * orders of magnitude below corpus scale — the same bound every
+    * per-term serve above relies on), never the corpus. NULL clause
+    * arrays (a source that emits NULL where this schema means "empty
+    * clause") coalesce to empty before the row read, so query 2's empty
+    * must_not arriving as NULL can't NPE the batch.
+    */
   def publishBooleanBatch(batch: DataFrame, batchId: Long,
       indexPath: String, outPath: String): Unit = {
     if (batch.isEmpty) return // empty-batch suppression (K3)
     val s = batch.sparkSession
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, typedLit}
+    def clause(c: String) =
+      coalesce(col(c), typedLit(Seq.empty[String])).as(c)
     val qs = batch
-      .select(col("query_id"), col("must"), col("should"), col("must_not"))
+      .select(col("query_id"), clause("must"), clause("should"),
+        clause("must_not"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[String](2),
         r.getSeq[String](3)))

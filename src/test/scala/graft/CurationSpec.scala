@@ -10,6 +10,14 @@ class CurationSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
 
+  /** Engine rounding convention for integer surrogates: half AWAY from
+    * zero (Spark `round` and DuckDB `round` both do this), vs Scala
+    * `math.round`'s half-toward-+∞ — they disagree on negative exact-.5
+    * boundaries, and the DSIR dlt / Gumbel terms are routinely negative.
+    */
+  private def roundAway(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   test("doc_dsir: importance-resampled top-100 matches an independent " +
     "third-implementation recompute (hashed-bigram models, integer " +
     "surrogates, Gumbel keys) on sf0.001") {
@@ -35,7 +43,7 @@ class CurationSpec extends SparkSpec {
     val ct = tgt.groupBy(identity).view.mapValues(_.size).toMap
     val (totR, totT) = (all.size.toLong, tgt.size.toLong)
     val dlt: Map[Long, Long] = cr.keys.map { b =>
-      b -> math.round((math.log((ct.getOrElse(b, 0) + 1).toDouble /
+      b -> roundAway((math.log((ct.getOrElse(b, 0) + 1).toDouble /
         (totT + 1024)) -
         math.log((cr(b) + 1).toDouble / (totR + 1024))) * 1e6)
     }.toMap
@@ -43,7 +51,7 @@ class CurationSpec extends SparkSpec {
       val logw = bs.map(dlt).sum
       val u = (BigInt(md5hex(id.toString).take(11), 16).toLong + 1)
         .toDouble / 17592186044417.0
-      (id, src, logw, logw + math.round(-math.log(-math.log(u)) * 1e6))
+      (id, src, logw, logw + roundAway(-math.log(-math.log(u)) * 1e6))
     }.sortBy { case (id, _, _, k) => (-k, id) }.take(100).toSeq
     val got = run("doc_dsir").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -587,6 +587,73 @@ class OperatorsSpec extends SparkSpec {
     assert(edge == Seq((1L, 2L, 0.8)))
   }
 
+  test("dedup_substring: diagonal-island spans equal a brute-force " +
+    "per-diagonal char scan on sf0.001 (doc_id < 100 slice), and the " +
+    "40-char floor / maximality / n_spans semantics are pinned on a " +
+    "planted corpus") {
+    // Brute force: maximal matching char-runs per (pair, diagonal). A
+    // maximal char-run of length L ≥ 30 is exactly a maximal run of
+    // L−29 matching 30-gram anchors (a single char mismatch breaks
+    // both), so this is the operator's ground truth.
+    def bruteSpans(a: String, b: String): Seq[(Long, Long, Long)] = {
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      var d = -(b.length - 1)
+      while (d <= a.length - 1) {
+        var i = math.max(0, d)
+        while (i < a.length && i - d < b.length) {
+          if (a(i) == b(i - d)) {
+            var j = i
+            while (j < a.length && j - d < b.length && a(j) == b(j - d))
+              j += 1
+            if (j - i >= Dedup.SubstrFloor)
+              out += ((i + 1L, i - d + 1L, (j - i).toLong))
+            i = j
+          } else i += 1
+        }
+        d += 1
+      }
+      out.result()
+    }
+    def best(sp: Seq[(Long, Long, Long)]): (Long, Long, Long, Long) = {
+      val b = sp.minBy { case (ao, bo, l) => (-l, ao, bo) }
+      (b._3, b._1, b._2, sp.size.toLong)
+    }
+    val texts = Tables.documents(spark, sf0001)
+      .filter($"doc_id" < 100).select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val brute = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      sp = bruteSpans(ta, tb) if sp.nonEmpty
+    } yield (ia, ib) -> best(sp)).toMap
+    val got = SparkEntry.queries("dedup_substring")(spark, sf0001)
+      .filter($"doc_a" < 100 && $"doc_b" < 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == brute)
+    assert(got.nonEmpty) // 4 qualifying pairs in the slice at sf0.001
+    // Planted semantics: s40/t40 share no 30-char window with anything
+    // else; differing flanks pin maximality at exactly the planted span.
+    val s40 = "0123456789abcdefghijklmnopqrstuvwxyzABCD"
+    val t40 = "ZYXWVUTSRQPONMLKJIHGFEDCBA9876543210zyxw"
+    val planted = Dedup.substringSpans(docsDf(
+        1L -> s"X${s40}Y",                // 40-char span, flanks differ
+        2L -> s"P${s40}Q",                // → included at exactly 40
+        3L -> s"X${s40.dropRight(1)}Y",   // vs 4: 39 shared chars —
+        4L -> s"P${s40.dropRight(1)}Q",   //   under the floor, excluded
+        5L -> s"$s40####$t40",            // two disjoint 40-char spans
+        6L -> s"zz$s40@@@@$t40"))         // → n_spans 2, tie → min a_off
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(planted == Set(
+      (1L, 2L, 40L, 2L, 2L, 1L),
+      // flank char + 39-char prefix = exactly 40 consecutive chars:
+      (1L, 3L, 40L, 1L, 1L, 1L), (2L, 4L, 40L, 1L, 1L, 1L),
+      (5L, 6L, 40L, 1L, 3L, 2L),
+      (1L, 5L, 40L, 2L, 1L, 1L), (1L, 6L, 40L, 2L, 3L, 1L),
+      (2L, 5L, 40L, 2L, 1L, 1L), (2L, 6L, 40L, 2L, 3L, 1L)))
+    // (3,4) absent: 39 < the 40-char floor — the exact boundary.
+  }
+
   test("dedup_source_overlap: the full source-pair matrix emits (every " +
     "pair shares vocabulary on this corpus), jaccard bounded, and the " +
     "join key is fan-out-bounded by construction") {
@@ -706,7 +773,10 @@ class OperatorsSpec extends SparkSpec {
     val got = operators.TextAnalysis.nbLangid(df)
       .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3))))
       .toMap
-    def li(p: Double): Long = math.round(math.log(p) * 1e6)
+    // Half-away-from-zero, the Spark/DuckDB round convention (math.round
+    // rounds negative exact-.5 toward +∞ — wrong for these log terms).
+    def li(p: Double): Long = BigDecimal(math.log(p) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     // doc 9: c(aa,ant)=3, c(aa,bee)=3, t=6, V=4 → each token ln(4/10);
     // bb never saw either token → ln(1/10). Priors ln(2/4) both.
     assert(got(9L) == ("aa", li(0.5) + 2 * li(0.4)))
@@ -753,7 +823,10 @@ class OperatorsSpec extends SparkSpec {
           ((nl(l) - ntl) / n) * math.log(((nl(l) - ntl) / n) /
             (((rows.length - nt) / n) * (nl(l) / n)))
         else 0.0
-        math.round((t1 + t0) * 1e9)
+        // half away from zero — the engines' round() convention on the
+        // frequently-negative 1e-9-scaled MI terms
+        BigDecimal((t1 + t0) * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       }.sum
       (t, mi, nt.toLong)
     }.sortBy { case (t, mi, _) => (-mi, t) }.take(50).toSeq
@@ -793,6 +866,35 @@ class OperatorsSpec extends SparkSpec {
           .select($"vec_id", $"embedding".as("v")))
       .select(size($"v")).distinct().collect().map(_.getInt(0)).toSeq
     assert(dims == Seq(Similarity.RpDim))
+    // BIT-EXACT projection pin: the gate's cross-engine value parity
+    // rests on Spark DotProduct and DuckDB list_dot_product both
+    // accumulating the 64-term dot strictly left to right in IEEE
+    // doubles. Pin Spark's half here against an independent sequential
+    // fold (planes re-derived from the documented seed formula), so an
+    // engine-version accumulation-order drift fails THIS spec with a
+    // clear signal instead of a nondeterministic rank flip in the gate.
+    val planes = (0 until Similarity.RpDim).map { j =>
+      val rnd = new scala.util.Random(1099511628211L * (j + 7) + 2017)
+      Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    }
+    val projected = Similarity.rpProjected(
+        Tables.embeddings(spark, sf0001)
+          .select($"vec_id", $"embedding".as("v")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val raw = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(raw.nonEmpty)
+    raw.foreach { case (id, v) =>
+      val expect = planes.map { p =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i).toDouble * p(i); i += 1 }
+        acc
+      }
+      // == on doubles: bit-exactness IS the claim
+      assert(projected(id) == expect.toSeq,
+        s"vec $id: Spark projection diverged from the sequential fold")
+    }
   }
 
   test("sim_quantized_recall: int8 codes keep >= 0.8 of exact top-5 " +

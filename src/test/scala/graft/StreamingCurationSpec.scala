@@ -5,10 +5,19 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
+/** Top level, NOT nested in the spec: Janino cannot instantiate an
+  * encoder target scoped to an outer test-class instance, so a nested
+  * case class silently demotes every stream below it to the
+  * interpreted (non-codegen) path (3× "Expr codegen error ... falling
+  * back to interpreter" in the suite logs before this was hoisted).
+  */
+case class StreamingCurationDoc(doc_id: Long, text: String)
+
 class StreamingCurationSpec extends SparkSpec {
   import spark.implicits._
 
-  private case class Doc(doc_id: Long, text: String)
+  private type Doc = StreamingCurationDoc
+  private val Doc = StreamingCurationDoc
 
   // 25 words, stopword-rich → quality 1.0
   private val goodText = ("the quick brown fox jumps over a lazy dog and " +
