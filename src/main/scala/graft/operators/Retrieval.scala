@@ -396,6 +396,68 @@ object Retrieval {
       })
   }
 
+  /** Merge two independently-built BM25 roots into ONE servable root —
+    * the inverted-index half of the cross-root union
+    * (`Similarity.mergeIvfIndexes` is the ANN half). The postings
+    * layout makes this a pure INDEX-level merge with no re-tokenize
+    * pass: `bucket = pmod(xxhash64(word), Buckets)` is a global
+    * function of the word, so both roots already agree on every word's
+    * bucket and the static bucket prune keeps pushing into every
+    * branch of the merged union. The primary's committed
+    * (tombstone-stripped) postings land as `seed/`, the secondary's as
+    * ledgered fold `b0` with a `merged-from=` provenance line; the
+    * mergeable `(n, sum_dl)` stats rows ride along per side and df
+    * re-aggregates at serve time from the unioned postings themselves
+    * — so over disjoint doc spaces the merged root serves EXACTLY what
+    * a from-scratch build over the union corpus serves
+    * (`text_bm25_merged` reuses `text_bm25`'s oracle verbatim).
+    *
+    * Cost: two partitioned copies, zero tokenization, zero joins; at
+    * 100 TB an in-place variant folds the secondary's postings straight
+    * into the primary root as its next b-dir and skips the seed copy.
+    */
+  def mergeBm25Indexes(s: SparkSession, primary: String,
+      secondary: String, dest: String): Unit = {
+    val p = protocol(dest)
+    def mergedStats(src: String): DataFrame =
+      subRoots(src, "stats").map(r =>
+        s.read.schema(StatsSchema).parquet(r))
+        .reduce(_.union(_))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("sum_dl")).cast("long").as("sum_dl"))
+    def copySide(src: String, sub: String): Unit = {
+      bucketSliced(indexPostings(s, src))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"${p.dir("postings")}/$sub")
+      mergedStats(src)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"${p.dir("stats")}/$sub")
+    }
+    copySide(primary, "seed")
+    copySide(secondary, "b0")
+    p.commitStaged(Seq("postings/b0", "stats/b0"), "0", "merged-from=" +
+      s"${new org.apache.hadoop.fs.Path(primary).getName}+" +
+      new org.apache.hadoop.fs.Path(secondary).getName)
+  }
+
+  /** Build-if-absent the merged-index gate fixture: two INDEPENDENT
+    * roots (crawl A = doc_id % 3 ≠ 2, crawl B = the rest), merged via
+    * [[mergeBm25Indexes]] with A primary.
+    */
+  def ensureMergedBm25Index(s: SparkSession, d: String): String = {
+    val docs = Tables.documents(s, d)
+    val srcA = Layout.ensurePublishedDir(
+      s, fixtureRoot(s, d, "graft_bm25_src_a"))(bm25Complete(s, _))(
+      st => writeBm25Index(docs.filter(col("doc_id") % 3 =!= 2), st))
+    val srcB = Layout.ensurePublishedDir(
+      s, fixtureRoot(s, d, "graft_bm25_src_b"))(bm25Complete(s, _))(
+      st => writeBm25Index(docs.filter(col("doc_id") % 3 === 2), st))
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_bm25_merged"))(
+      r => bm25Complete(s, r) && protocol(r).foldedBatches().contains(0L)
+    )(st => mergeBm25Indexes(s, srcA, srcB, st))
+  }
+
   /** The grown-index gate: seed from the history wave (doc_id % 5 ≠ 4),
     * fold the remainder as one ledgered append, serve — result must be
     * IDENTICAL to scoring the whole corpus, so the fold itself sits
@@ -1958,6 +2020,17 @@ object Retrieval {
     },
     QuerySpec("text_bm25_indexed", bm25OracleSql) { (s, d) =>
       bm25TopK(s, ensureBm25Index(s, d))
+    },
+    // Cross-root MERGE under the value gate: two independently-built
+    // roots (crawl A = doc_id % 3 ≠ 2, crawl B = the rest) unioned by
+    // mergeBm25Indexes — postings copied bucket-aligned, stats folded
+    // as mergeable sums, df re-aggregated at serve time. Disjoint doc
+    // spaces make the merged serve EXACTLY the from-scratch build over
+    // the union corpus, so this reuses text_bm25's oracle verbatim:
+    // the merge changes cost, not one row. ANN counterpart:
+    // sim_ivf_merged.
+    QuerySpec("text_bm25_merged", bm25OracleSql) { (s, d) =>
+      bm25TopK(s, ensureMergedBm25Index(s, d))
     },
     // Boolean retrieval (must / should / must-not) off the SAME
     // persisted inverted index — hard conjunction + negation, ranked by

@@ -293,8 +293,9 @@ object Similarity {
        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
        |  LIMIT $k""".stripMargin
 
-  private def ivfGrownAssignCtesSeeded(seedsSql: String): String =
-    s"""hist AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 4),
+  private def ivfGrownAssignCtesSeeded(seedsSql: String,
+      histWhere: String = "vec_id % 5 <> 4"): String =
+    s"""hist AS (SELECT vec_id, v FROM e WHERE $histWhere),
        |seeds AS ($seedsSql),
        |a0 AS (SELECT vec_id, v, cent_id FROM (
        |    SELECT h.vec_id, h.v, s.cent_id,
@@ -329,8 +330,17 @@ object Similarity {
        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
        |    FROM e, cents c WHERE e.vec_id < $NQueries) WHERE rn <= 4)""".stripMargin
 
-  private def ivfGrownCtesOver(neighborWhere: String): String =
-    s"""$ivfGrownAssignCtes,
+  /** The frozen-centroid serve oracle, history predicate pluggable:
+    * centroids trained on the `histWhere` slice only (every-25th seeds
+    * + one Lloyd step), ALL vectors assigned to them, probes + rank →
+    * CTE `ivfg`. Instantiated by the grown gates (hist = the pre-append
+    * wave) and the merged gate (hist = the primary root's crawl).
+    */
+  private def ivfFrozenCtesOver(histWhere: String,
+      neighborWhere: String = "TRUE"): String =
+    s"""${ivfGrownAssignCtesSeeded(
+         "SELECT vec_id AS cent_id, v AS cv FROM hist WHERE vec_id % 25 = 0",
+         histWhere)},
        |$ivfGrownProbesCte,
        |iscored AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
        |    round(list_cosine_similarity(p.qv, a1.v), 4) AS sim
@@ -341,6 +351,9 @@ object Similarity {
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM iscored) WHERE rank <= $TopK)""".stripMargin
+
+  private def ivfGrownCtesOver(neighborWhere: String): String =
+    ivfFrozenCtesOver("vec_id % 5 <> 4", neighborWhere)
 
   private val ivfGrownCtes: String = ivfGrownCtesOver("TRUE")
 
@@ -358,6 +371,64 @@ object Similarity {
       writeIvfIndex(e.filter(col("vec_id") % 5 =!= 4), staging)
       appendToIvfIndex(e.filter(col("vec_id") % 5 === 4), staging, 0L)
     }
+
+  /** Merge two independently-built IVF roots into ONE servable root —
+    * the cross-root union the fold protocol lacked (two crawls, two
+    * datacenters, a backfill built offline). The PRIMARY root's
+    * centroids survive unchanged, so its corpus keeps its build-time
+    * cell assignment verbatim; the SECONDARY root's committed
+    * (tombstone-stripped) vectors are re-homed into those frozen
+    * centroids through the SAME assignment kernel the grow path uses
+    * ([[stageIvfFold]]'s assign), landing as ledgered fold b0 with a
+    * `merged-from=` provenance line. Serving the merged root is
+    * therefore result-identical to the frozen-centroid construction
+    * over the union corpus — exactly what `sim_ivf_merged`'s oracle
+    * recomputes from the raw tables.
+    *
+    * Direction matters only for cost, not correctness: re-homing pays
+    * O(|secondary| × K) map-side centroid rankings, so the smaller
+    * root should be secondary. `dest` is a fresh staging root
+    * (ensurePublishedDir publishes it atomically); the primary copy is
+    * one partitioned write — at 100 TB an in-place variant folds the
+    * secondary straight into the primary root with the identical
+    * kernel and skips the copy.
+    */
+  def mergeIvfIndexes(s: SparkSession, primary: String,
+      secondary: String, dest: String): Unit = {
+    s.read.parquet(protocol(primary).dir("cents"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dest/cents")
+    indexVectors(s, primary)
+      .repartition(col("cent_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cent_id")
+      .parquet(s"$dest/vectors/seed")
+    appendToIvfIndex(
+      indexVectors(s, secondary).select(col("vec_id"), col("v")),
+      dest, 0L)
+    protocol(dest).commit("merged-from=" +
+      s"${new org.apache.hadoop.fs.Path(primary).getName}+" +
+      new org.apache.hadoop.fs.Path(secondary).getName)
+  }
+
+  /** Build-if-absent the merged-index gate fixture: two INDEPENDENT
+    * roots (crawl A = vec_id % 3 ≠ 2, crawl B = the rest — each with
+    * its own seeds, Lloyd step and cell layout), then
+    * [[mergeIvfIndexes]] with A primary (the larger side keeps its
+    * centroids; re-homing the smaller side is the cheap direction).
+    */
+  def ensureMergedIvfIndex(s: SparkSession, d: String): String = {
+    val e = corpus(s, d).select(col("vec_id"), col("v"))
+    val srcA = Layout.ensurePublishedDir(
+      s, fixtureRoot(s, d, "graft_ivf_src_a"))(ivfComplete(s, _))(
+      st => writeIvfIndex(e.filter(col("vec_id") % 3 =!= 2), st))
+    val srcB = Layout.ensurePublishedDir(
+      s, fixtureRoot(s, d, "graft_ivf_src_b"))(ivfComplete(s, _))(
+      st => writeIvfIndex(e.filter(col("vec_id") % 3 === 2), st))
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_ivf_merged"))(
+      r => ivfComplete(s, r) && protocol(r).foldedBatches().contains(0L)
+    )(st => mergeIvfIndexes(s, srcA, srcB, st))
+  }
 
   /** [[ivfIndexComplete]] over a path string — the completeness
     * predicate the stage-and-publish fixtures hand to
@@ -2575,6 +2646,24 @@ object Similarity {
          |$ivfGrownCtes
          |SELECT query_id, neighbor_id, rank FROM ivfg""".stripMargin)(
       (s, d) => indexTopK(s, ensureGrownIvfIndex(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")))),
+
+    // Cross-root index MERGE under the value gate: two INDEPENDENTLY
+    // BUILT roots (crawl A = vec_id % 3 ≠ 2 with its own seeds/Lloyd/
+    // layout, crawl B = the rest) unioned into one servable root by
+    // mergeIvfIndexes — A's centroids frozen, B's vectors re-homed
+    // through the grow kernel as ledgered fold b0. The oracle recomputes
+    // the frozen-centroid construction over the union from the raw
+    // tables (centroids from crawl A only, ALL vectors assigned to
+    // them), so any drift in the merge's copy/re-bin/ledger interplay
+    // breaks the hash match. BM25 counterpart: text_bm25_merged.
+    QuerySpec(
+      "sim_ivf_merged",
+      s"""WITH $eCte,
+         |${ivfFrozenCtesOver("vec_id % 3 <> 2")}
+         |SELECT query_id, neighbor_id, rank FROM ivfg""".stripMargin)(
+      (s, d) => indexTopK(s, ensureMergedIvfIndex(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv")))),
 

@@ -161,4 +161,43 @@ class IvfRefreshSpec extends SparkSpec {
     assert(n == 0, "refresh must not duplicate vectors")
     assert(spark.read.parquet(rewritten).count() == e.count())
   }
+
+  test("mergeIvfIndexes: the merged root serves IDENTICALLY to the " +
+    "grow path over the same split (merge(build A, build B) == " +
+    "build(A) + append(raw B)), carries merged-from provenance, and " +
+    "covers the union corpus exactly once") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".as("v"))
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    def served(idx: String) = Similarity.indexTopK(spark, idx, queries)
+      .as[(Long, Long, Int)].collect().toSet
+
+    val merged = Similarity.ensureMergedIvfIndex(spark, sf0001)
+    // the grow-path construction over the SAME split: centroids from
+    // crawl A's build, crawl B folded from RAW vectors — a different
+    // code path (no index-level copy, no re-read of B's root) that the
+    // merge contract says must serve the same rankings
+    val grown = tmpDir("ivf-merge-grow")
+    Similarity.writeIvfIndex(e.filter($"vec_id" % 3 =!= 2), grown)
+    assert(Similarity.appendToIvfIndex(
+      e.filter($"vec_id" % 3 === 2), grown, 0L))
+    assert(served(merged) == served(grown),
+      "merged root must serve exactly what the grow path serves")
+
+    // ledger provenance: the merge records where the fold came from,
+    // and the fold itself is a committed, replay-safe batch
+    val p = Similarity.protocol(merged)
+    assert(p.foldedBatches().contains(0L))
+    assert(p.entries().exists(_.startsWith("merged-from=graft_ivf_src_a")),
+      s"provenance line missing from ${p.entries()}")
+
+    // union coverage: every corpus vector exactly once
+    val vecs = Similarity.indexVectors(spark, merged)
+    assert(vecs.count() == e.count())
+    assert(vecs.groupBy($"vec_id").count()
+      .filter($"count" > 1).count() == 0,
+      "merge must not duplicate vectors")
+  }
 }

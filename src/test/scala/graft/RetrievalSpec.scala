@@ -66,6 +66,39 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("mergeBm25Indexes: the merged root serves ANY term set " +
+    "identically to a from-scratch index over the union corpus, stats " +
+    "sum exactly, and the fold carries merged-from provenance") {
+    val merged = Retrieval.ensureMergedBm25Index(spark, sf0001)
+    val full = Retrieval.ensureBm25Index(spark, sf0001)
+    // arbitrary term sets, not just the gate's — the merge must serve
+    // the whole vocabulary (df re-aggregation across sub-roots is the
+    // part a bad merge would get wrong: a word split across crawls has
+    // its df summed at serve time)
+    for (terms <- Seq(Seq("dup", "query", "scan"), Seq("window", "merge"),
+        Seq("vector"))) {
+      val fromMerged = Retrieval.bm25TopK(spark, merged, terms)
+        .as[(Long, Double)].collect().toSeq
+      val fromFull = Retrieval.bm25TopK(spark, full, terms)
+        .as[(Long, Double)].collect().toSeq
+      assert(fromMerged == fromFull, s"terms=$terms")
+    }
+    // exact mergeable stats: Σn and Σsum_dl across the merged root's
+    // stats sub-roots equal the union corpus's own counts
+    val p = Retrieval.protocol(merged)
+    assert(p.foldedBatches().contains(0L))
+    assert(p.entries().exists(_.startsWith("merged-from=graft_bm25_src_a")),
+      s"provenance line missing from ${p.entries()}")
+    val stats = p.committedDirs("stats")
+      .map(r => spark.read.schema("n BIGINT, sum_dl BIGINT").parquet(r))
+      .reduce(_.union(_))
+      .agg(sum($"n"), sum($"sum_dl")).as[(Long, Long)].head()
+    val corpus = Tables.documents(spark, sf0001)
+      .select(size(split($"text", " ")).as("dl"))
+      .agg(count(lit(1)), sum($"dl")).as[(Long, Long)].head()
+    assert(stats == corpus, "merged stats must sum to the union corpus")
+  }
+
   test("ensureBm25Index is stage-and-publish: an incomplete root (lost " +
     "_SUCCESS) rebuilds through a private staging and the rebuilt index " +
     "serves the gate answer; a crashed build leaves the old root intact") {
