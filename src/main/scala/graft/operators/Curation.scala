@@ -251,6 +251,103 @@ object Curation {
     root.toString
   }
 
+  // ---- link-graph score propagation (PageRank shape) ----
+  // Quality propagation over a doc-link graph is a standard
+  // crawl-curation stage (a page linked from many high-scoring pages
+  // inherits score). The corpus carries no hyperlinks, so the gate
+  // PLANTS a deterministic link graph (the construct-the-signal
+  // pattern q_record_linkage uses): every doc links to its three
+  // modular images (id·31+7, id·17+3, id·13+11 mod N), self-loops
+  // dropped, duplicate targets collapsed — a fixed expander-ish graph
+  // both engines derive identically from the id column alone.
+  //
+  // Arithmetic is INTEGER-EXACT end to end (the cross-engine parity
+  // convention): scores live in 1e9-scaled units, every division is
+  // floor division of non-negatives (Spark DIV ≡ DuckDB // there), so
+  // ten iterations cannot drift an ulp between engines. Production
+  // would run float PageRank to a convergence tolerance; the gate runs
+  // a FIXED 10 iterations so the oracle is closed-form (DuckDB has no
+  // aggregation in recursive CTEs — the oracle unrolls instead).
+  private val PrScale = 1000000000L
+  private val PrIters = 10
+  private val PrTopK = 20
+
+  /** Fixed-iteration integer PageRank over the planted doc-link graph:
+    * top-`PrTopK` docs by propagated score (desc, id tiebreak).
+    *
+    * Scale: per iteration ONE shuffle join (edges ⋈ ranks on src) +
+    * one map-side-combining groupBy(dst) + a left join back onto the
+    * node frame — the `Dedup.connectedComponents` skeleton, with
+    * `localCheckpoint` truncating lineage each round so iteration r
+    * never replays 1..r−1. The edge frame (built once, 3·N rows) is
+    * cached; nothing collects to the driver but the node COUNT.
+    */
+  def pagerank(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nodes = docs.select(col("doc_id").as("id"))
+    val n = nodes.count()
+    val r0 = PrScale / n
+    val base = (r0 * 15) / 100
+    val edges = Seq((31L, 7L), (17L, 3L), (13L, 11L))
+      .map { case (a, b) =>
+        nodes.select(col("id").as("src"),
+          ((col("id") * a + b) % n).as("dst"))
+      }
+      .reduce(_.union(_))
+      .filter(col("dst") =!= col("src"))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // (src, dst, d) built once and cached — reused by all iterations
+    val ed = edges.join(deg, Seq("src")).cache()
+    var r = nodes.select(col("id"), lit(r0).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = ed.join(r, ed("src") === r("id"))
+        .select(col("dst").as("id"), expr("r DIV d").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("c"))
+      r = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(c, 0L)) DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    ed.unpersist()
+    // top-k via TakeOrderedAndProject (orderBy+limit) — no rank column:
+    // a global row_number would be an unpartitioned window, the hazard
+    // class the repo-wide PlanSpec sweep bans.
+    r.select(col("id").as("doc_id"), col("r").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(PrTopK)
+  }
+
+  /** The pagerank oracle: the identical integer recurrence unrolled
+    * `PrIters` times as chained CTEs.
+    */
+  private def pagerankOracleSql: String = {
+    val head =
+      s"""nodes AS (SELECT doc_id AS id FROM documents),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT id AS src, (id*31+7) % (SELECT n FROM nn) AS dst FROM nodes
+         |    UNION ALL SELECT id, (id*17+3) % (SELECT n FROM nn) FROM nodes
+         |    UNION ALL SELECT id, (id*13+11) % (SELECT n FROM nn) FROM nodes)
+         |  WHERE dst <> src),
+         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, g.d FROM edges e JOIN deg g ON g.src = e.src),
+         |r0 AS (SELECT id, (SELECT $PrScale // n FROM nn) AS r FROM nodes)"""
+        .stripMargin
+    val iters = (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT v.id, CAST((SELECT (($PrScale // n) * 15) // 100 FROM nn)
+         |       + ((85 * COALESCE(s.c, 0)) // 100) AS BIGINT) AS r
+         |  FROM nodes v LEFT JOIN (
+         |    SELECT ed.dst AS id, CAST(SUM(p.r // ed.d) AS BIGINT) AS c
+         |    FROM r${k - 1} p JOIN ed ON ed.src = p.id
+         |    GROUP BY ed.dst) s ON s.id = v.id)""".stripMargin
+    }
+    (Seq("WITH " + head) ++ iters).mkString(",\n") +
+      s"""
+         |SELECT id AS doc_id, r AS score
+         |FROM r$PrIters ORDER BY r DESC, id LIMIT $PrTopK""".stripMargin
+  }
+
   /** The doc_dsir oracle — shared VERBATIM with `doc_dsir_indexed`: the
     * persisted serve's contract is exactly the direct gate's answer.
     */
@@ -289,6 +386,16 @@ object Curation {
       |ORDER BY dsir_key DESC, doc_id LIMIT 100""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
+
+    // Link-graph score propagation (PageRank, damping 0.85, 10 fixed
+    // iterations) over the planted modular link graph — integer-exact
+    // in 1e9-scaled units, so the oracle's unrolled recurrence matches
+    // hash-for-hash. See the `pagerank` scaladoc for the scale story
+    // (one join + one combining groupBy per iteration, lineage
+    // truncated per round, nothing driver-side but the node count).
+    QuerySpec("q_pagerank", pagerankOracleSql) {
+      (s, d) => pagerank(Tables.documents(s, d))
+    },
 
     // Sessionization (batch): a session breaks after a 30-minute silence.
     // lag → boundary flag → running sum = session id; one shuffle keyed by

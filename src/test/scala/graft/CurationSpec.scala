@@ -64,6 +64,34 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._1).toSet != logwTop)
   }
 
+  test("q_pagerank: engine top-20 equals an independent integer " +
+    "recurrence recompute, and propagation is non-vacuous (scores " +
+    "spread beyond the uniform start)") {
+    val n = Tables.documents(spark, sf0001).count()
+    val nodes = (0L until n)
+    val edges = nodes.flatMap { id =>
+      Seq((id * 31 + 7) % n, (id * 17 + 3) % n, (id * 13 + 11) % n)
+        .distinct.filter(_ != id).map(id -> _)
+    }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val scale = 1000000000L
+    val base = (scale / n) * 15 / 100
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to 10) {
+      val c = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = nodes.map(v => v -> (base + 85 * c.getOrElse(v, 0L) / 100)).toMap
+    }
+    val expected = r.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(20)
+      .map { case (id, sc) => (id, sc) }
+    val got = run("q_pagerank").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got == expected)
+    // non-vacuous: the graph's in-degree structure actually moved mass
+    assert(got.map(_._2).distinct.size > 1)
+    assert(got.head._2 > scale / n, "top score must exceed uniform start")
+  }
+
   test("sessionize: no session spans a >30min gap, bounds are ordered") {
     val s = run("q_sessionize")
     assert(s.count() > 0)
