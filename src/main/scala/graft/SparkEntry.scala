@@ -21,6 +21,7 @@ object SparkEntry {
       operators.TextAnalysis.specs ++
       operators.Bpe.specs ++
       operators.Unigram.specs ++
+      operators.WordPiece.specs ++
       operators.Retrieval.specs ++
       operators.Multimodal.specs ++
       operators.Profiling.specs ++
