@@ -25,7 +25,8 @@ object SparkEntry {
       operators.Retrieval.specs ++
       operators.Multimodal.specs ++
       operators.Profiling.specs ++
-      operators.Layout.specs
+      operators.Layout.specs ++
+      operators.TimeTravel.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's latest-snapshot pattern (F1+J2+A1): scalar-subquery
