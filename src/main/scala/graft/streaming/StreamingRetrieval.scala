@@ -377,6 +377,48 @@ object StreamingRetrieval {
       .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
   }
 
+  /** Streaming twin of `q_asof_matrix`: micro-batches of horizon
+    * requests `(horizon)` served through the SAME consistent-horizon
+    * cross-index fusion the batch gate runs
+    * ([[Retrieval.asOfMatrixServe]] — BM25 + trigram substring +
+    * float IVF all read their ledgers AS OF the requested horizon and
+    * RRF-fuse). The all-or-nothing honesty contract carries over
+    * verbatim: a leg that cannot honestly serve a requested horizon
+    * (compacted or refreshed past it) throws its refusal and FAILS the
+    * micro-batch rather than publishing a horizon-mixed readout.
+    */
+  def startAsOfMatrix(horizons: DataFrame, bmIdx: String, subIdx: String,
+      annIdx: String, queryPath: String, docs: DataFrame,
+      outPath: String, checkpoint: String): StreamingQuery =
+    horizons.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishAsOfMatrixBatch(batch, batchId, bmIdx, subIdx, annIdx,
+          queryPath, docs, outPath)
+      }
+      .start()
+
+  /** One as-of-matrix micro-batch publish — the replay-idempotent
+    * unit. The horizon collect is bounded by the micro-batch of
+    * requests (the query-batch pushdown convention), and further by
+    * the ledger id domain after the distinct.
+    */
+  def publishAsOfMatrixBatch(batch: DataFrame, batchId: Long,
+      bmIdx: String, subIdx: String, annIdx: String, queryPath: String,
+      docs: DataFrame, outPath: String): Unit = {
+    if (batch.isEmpty) return // empty-batch suppression (K3)
+    val s = batch.sparkSession
+    import org.apache.spark.sql.functions.col
+    val hs = batch.select(col("horizon")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val qd = s.read.parquet(queryPath)
+    hs.map(h =>
+        Retrieval.asOfMatrixServe(s, bmIdx, subIdx, annIdx, qd, docs, h))
+      .reduce(_.unionByName(_))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/b$batchId")
+  }
+
   /** Stream takedown requests `(doc_id)` through the CROSS-INDEX sweep
     * — each micro-batch tombstones its ids in all four indexes under
     * `root` via [[Retrieval.takedownSweep]], with the epoch-namespaced

@@ -189,6 +189,39 @@ class StreamingRetrievalSpec extends SparkSpec {
     assert(read() == streamed, "replayed batch must not duplicate")
   }
 
+  test("streamed as-of matrix equals the batch consistent-horizon " +
+    "serve at every horizon, and a replayed batchId rewrites rather " +
+    "than duplicates") {
+    implicit val sc = spark.sqlContext
+    val bmIdx = Retrieval.ensureAsOfBm25Index(spark, sf0001)
+    val subIdx = Retrieval.ensureAsOfSubstringIndex(spark, sf0001)
+    val annIdx = graft.operators.Similarity.ensureAsOfIvfIndex(spark, sf0001)
+    val qPath = Retrieval.ensureDenseQuery(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val out = tmpDir("samx-out"); val ckpt = tmpDir("samx-ckpt")
+    val in = MemoryStream[Long]
+    val q = StreamingRetrieval.startAsOfMatrix(
+      in.toDF().toDF("horizon"), bmIdx, subIdx, annIdx, qPath, docs,
+      out, ckpt)
+    try {
+      in.addData(0L); q.processAllAvailable()       // one horizon alone
+      in.addData(1L, 2L); q.processAllAvailable()   // two in one batch
+    } finally q.stop()
+    def read() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val streamed = read()
+    val batch = SparkEntry.queries("q_asof_matrix")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      "streamed matrix must equal the batch gate at every horizon")
+    // replay micro-batch 0 — same dir rewritten, nothing duplicated
+    StreamingRetrieval.publishAsOfMatrixBatch(
+      Seq(0L).toDF("horizon"), 0L, bmIdx, subIdx, annIdx, qPath, docs,
+      out)
+    assert(read() == streamed, "replayed batch must not duplicate")
+  }
+
   test("bm25Batch matches per-term-set bm25TopK rankings") {
     val idx = Retrieval.ensureBm25Index(spark, sf0001)
     val multi = Retrieval.bm25Batch(spark, idx,
