@@ -1948,7 +1948,7 @@ object Retrieval {
       Similarity.writeIvfIndex(e, s"$staging/ann")
       Multimodal.writePhashIndex(
         Multimodal.perceptualHashes(Multimodal.plantedImages(s, d),
-          Multimodal.DispatchMediaKernel).toDF(), s"$staging/phash")
+          graft.media.DispatchMediaKernel).toDF(), s"$staging/phash")
       takedownSweepAll(s,
         docs.filter(col("doc_id") % 11 === 5).select(col("doc_id")),
         e.filter(col("vec_id") % 11 === 5).select(col("vec_id")),

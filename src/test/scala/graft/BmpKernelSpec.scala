@@ -1,7 +1,6 @@
 package graft
 
-import graft.operators.Multimodal.{Asset, BmpMediaKernel,
-  DispatchMediaKernel, PpmMediaKernel, StubMediaKernel}
+import graft.media.{Asset, BmpMediaKernel, DispatchMediaKernel, PpmMediaKernel, StubMediaKernel}
 
 /** The pure-JVM BMP kernel: uncompressed BITMAPINFOHEADER decode —
   * little-endian header, 4-byte row padding, BGR(A)→RGB swap,
@@ -57,7 +56,7 @@ class BmpKernelSpec extends SparkSpec {
   /** Value view of AssetFeatures (the features array compares by
     * reference in the case class).
     */
-  private def feat(f: graft.operators.Multimodal.AssetFeatures) =
+  private def feat(f: graft.media.AssetFeatures) =
     (f.asset_id, f.width, f.height, f.features.toSeq)
 
   private val Rgb2x2 = Array[Byte](

@@ -1,8 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{Asset, DispatchMediaKernel,
-  FlacMediaKernel, StubMediaKernel}
+import graft.media.{Asset, DispatchMediaKernel, FlacMediaKernel, StubMediaKernel}
 
 /** The FLAC metadata-walk kernel: magic + block-chain parse, the
   * packed STREAMINFO layout (20-bit sample rate, 3-bit channels,
@@ -98,7 +97,7 @@ class FlacKernelSpec extends SparkSpec {
     assert(all.map(_.frame_idx) == Seq(0, 1, 2, 3, 4))
     // spans are the real bytes: re-hash the expected slices
     val expected = Seq((4, 38), (42, 9), (51, 64), (115, 64), (179, 22))
-      .map { case (off, len) => Multimodal.byteHash(
+      .map { case (off, len) => graft.media.Media.byteHash(
         java.util.Arrays.copyOfRange(bytes, off, off + len)) }
     assert(all.map(_.frame_hash) == expected)
     val every2 = FlacMediaKernel.frames(asset(3L, bytes), 2).toSeq

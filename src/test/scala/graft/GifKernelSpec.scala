@@ -1,8 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{Asset, DispatchMediaKernel,
-  GifMediaKernel, PpmMediaKernel, StubMediaKernel}
+import graft.media.{Asset, DispatchMediaKernel, GifMediaKernel, PpmMediaKernel, StubMediaKernel}
 
 /** The pure-JVM GIF kernel: REAL first-frame decode — header/LSD
   * parse, color tables, GIF-LZW (variable-width LSB-first codes,
@@ -126,7 +125,7 @@ class GifKernelSpec extends SparkSpec {
   /** Value view of AssetFeatures (the features array compares by
     * reference in the case class).
     */
-  private def feat(f: graft.operators.Multimodal.AssetFeatures) =
+  private def feat(f: graft.media.AssetFeatures) =
     (f.asset_id, f.width, f.height, f.features.toSeq)
 
   // the PNG spec's 2x2: red, green, blue, white

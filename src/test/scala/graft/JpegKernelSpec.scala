@@ -1,8 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{Asset, DispatchMediaKernel,
-  JpegMediaKernel, PngMediaKernel, StubMediaKernel}
+import graft.media.{Asset, DispatchMediaKernel, JpegMediaKernel, PngMediaKernel, StubMediaKernel}
 
 /** The pure-JVM baseline-JPEG kernel, pinned against a from-scratch
   * encoder (marker writer, forward DCT, canonical-Huffman entropy
@@ -207,7 +206,7 @@ class JpegKernelSpec extends SparkSpec {
     val row = JpegMediaKernel.frames(a, 1).toSeq.head
     val expect = Array.tabulate(48)(i =>
       (if (i / 3 < 8) 80 else 160).toByte)
-    assert(row.frame_hash == Multimodal.byteHash(expect),
+    assert(row.frame_hash == graft.media.Media.byteHash(expect),
       "decode must be bit-exact on the quantizer-1 constant blocks")
   }
 
@@ -254,7 +253,7 @@ class JpegKernelSpec extends SparkSpec {
       restartEvery = 1))
     val row = JpegMediaKernel.frames(a, 1).toSeq.head
     val expect = Array.tabulate(96)(i => vals((i / 3) / 8).toByte)
-    assert(row.frame_hash == Multimodal.byteHash(expect),
+    assert(row.frame_hash == graft.media.Media.byteHash(expect),
       "restart-interval stream must decode bit-exact")
   }
 

@@ -247,7 +247,7 @@ class KernelPropertySpec extends SparkSpec {
       val expected = bytes.foldLeft(BigInt(0)) { (h, b) =>
         (h * 31 + (b & 0xff)) % BigInt(1000000007)
       }.toLong
-      assert(Multimodal.byteHash(bytes) == expected)
+      assert(graft.media.Media.byteHash(bytes) == expected)
     }
   }
 
@@ -255,7 +255,7 @@ class KernelPropertySpec extends SparkSpec {
     "bit-exactly across bit depths, channel layouts, block sizes, " +
     "subframe modes, escapes and wasted bits — including degenerate " +
     "lengths and full-scale extremes") {
-    import Multimodal.FlacMediaKernel.{FlacEncOpts, decodePcm, encodeFlac}
+    import graft.media.FlacMediaKernel.{FlacEncOpts, decodePcm, encodeFlac}
     def pcm(n: Int, bits: Int): Array[Int] = {
       val lim = 1 << (bits - 1)
       Array.fill(n)(rnd.nextInt(2 * lim) - lim)

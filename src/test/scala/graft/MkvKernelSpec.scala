@@ -1,8 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{Asset, DispatchMediaKernel,
-  MkvMediaKernel, StubMediaKernel}
+import graft.media.{Asset, DispatchMediaKernel, MkvMediaKernel, StubMediaKernel}
 
 /** The Matroska/WebM EBML-walk kernel: vint id/size parsing, the
   * Info/Tracks/Cluster element tree, spec defaults (TimestampScale
@@ -136,7 +135,7 @@ class MkvKernelSpec extends SparkSpec {
       (segPayloadOff + info.length, tracks.length),
       (segPayloadOff + info.length + tracks.length, 64),
       (segPayloadOff + info.length + tracks.length + 64, 32))
-      .map { case (off, len) => Multimodal.byteHash(
+      .map { case (off, len) => graft.media.Media.byteHash(
         java.util.Arrays.copyOfRange(bytes, off, off + len)) }
     assert(all.map(_.frame_hash) == expected)
     assert(MkvMediaKernel.frames(a, 2).toSeq.map(_.frame_idx) == Seq(0, 2))

@@ -1,8 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{Asset, DispatchMediaKernel,
-  Mp3MediaKernel, StubMediaKernel}
+import graft.media.{Asset, DispatchMediaKernel, Mp3MediaKernel, StubMediaKernel}
 
 /** The MP3 frame-header kernel: ID3v2 skip, MPEG-1 Layer III frame
   * walk (header-derived lengths — 144·bitrate/samplerate + padding),
@@ -89,7 +88,7 @@ class Mp3KernelSpec extends SparkSpec {
     val a = asset(3L, f0 ++ f1 ++ f2)
     val all = Mp3MediaKernel.frames(a, 1).toSeq
     assert(all.map(_.n_bytes) == Seq(144L, 216L, 145L))
-    assert(all.map(_.frame_hash) == Seq(f0, f1, f2).map(Multimodal.byteHash))
+    assert(all.map(_.frame_hash) == Seq(f0, f1, f2).map(graft.media.Media.byteHash))
     val sampled = Mp3MediaKernel.frames(a, 2).toSeq
     assert(sampled.map(_.frame_idx) == Seq(0, 2))
   }

@@ -1,8 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{Asset, DispatchMediaKernel,
-  Mp4MediaKernel, StubMediaKernel}
+import graft.media.{Asset, DispatchMediaKernel, Mp4MediaKernel, StubMediaKernel}
 
 /** The ISO BMFF (MP4) box-walk kernel: box tiling (32-bit, 64-bit and
   * size-0 terminal boxes), mvhd/tkhd/mdhd/hdlr/stsz extraction,
@@ -128,7 +127,7 @@ class Mp4KernelSpec extends SparkSpec {
       java.util.Arrays.copyOfRange(movie, ftyp.length, movie.length - 58),
       java.util.Arrays.copyOfRange(movie, movie.length - 58, movie.length))
     assert(all.map(_.n_bytes) == tops.map(_.length.toLong))
-    assert(all.map(_.frame_hash) == tops.map(Multimodal.byteHash))
+    assert(all.map(_.frame_hash) == tops.map(graft.media.Media.byteHash))
     // envelope: sizes 10 and 40 against max 40 → 63 and 255
     val r = Mp4MediaKernel.resizeBatch(Seq(a), 2, 1).head
     assert(r.thumb.toSeq == Seq((10 * 255 / 40).toByte, 255.toByte),

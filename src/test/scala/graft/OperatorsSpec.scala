@@ -283,7 +283,7 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.length > 500) // genuine 1→N explosion
     assert(frames.exists(_.frame_idx >= 2)) // multi-frame assets exist
     assert(frames.forall(_.frame_idx % 2 == 0))
-    assert(frames.forall(f => f.n_bytes <= Multimodal.FrameBytes))
+    assert(frames.forall(f => f.n_bytes <= graft.media.Media.FrameBytes))
   }
 
   test("multimodal: batched stub decode is deterministic and total") {
@@ -293,7 +293,7 @@ class OperatorsSpec extends SparkSpec {
       .collect().sortBy(_.asset_id)
     assert(a.length == 500)
     assert(a.map(_.features.toSeq) sameElements b.map(_.features.toSeq))
-    assert(a.forall(_.features.length == Multimodal.FeatureDim))
+    assert(a.forall(_.features.length == graft.media.Media.FeatureDim))
     assert(a.forall(f => f.width >= 1 && f.height >= 1))
   }
 
@@ -313,7 +313,7 @@ class OperatorsSpec extends SparkSpec {
       val frames = Multimodal
         .sampleFrames(Multimodal.assets(spark, sf0001), 2).collect()
       assert(frames.length == 500 && frames.forall(_.frame_hash == -1L))
-    } finally Multimodal.setKernel(Multimodal.StubMediaKernel)
+    } finally Multimodal.setKernel(graft.media.StubMediaKernel)
     val restored = Multimodal
       .extractFeatures(Multimodal.assets(spark, sf0001))
       .collect().map(f => (f.asset_id, f.width, f.height, f.features.toSeq))
@@ -1735,11 +1735,11 @@ class OperatorsSpec extends SparkSpec {
   test("resizeBatch: zero-byte payload yields a zero-filled thumb " +
     "(regression: indexed into the empty array)") {
     val out = Multimodal.resizeBatch(
-      Seq(Multimodal.Asset(7L, "image/png", 0L, Array.emptyByteArray)), 4, 4)
+      Seq(graft.media.Asset(7L, "image/png", 0L, Array.emptyByteArray)), 4, 4)
     assert(out.head.thumb.length == 16 && out.head.thumb.forall(_ == 0))
     // and the oracle's inlined digest matches md5 of that zero thumb
     val full = Multimodal.resizeBatch(
-      Seq(Multimodal.Asset(8L, "image/png", 0L, Array.emptyByteArray)), 16, 16)
+      Seq(graft.media.Asset(8L, "image/png", 0L, Array.emptyByteArray)), 16, 16)
     val sparkMd5 = Seq(full.head.thumb).toDF("t")
       .select(md5($"t")).collect().head.getString(0)
     val inlined = java.security.MessageDigest.getInstance("MD5")
@@ -1840,15 +1840,15 @@ class OperatorsSpec extends SparkSpec {
 /** File-scope fake kernel for the SPI test (top-level so the task
   * closure serializes it without dragging the suite along).
   */
-private object FakeMediaKernel extends Multimodal.MediaKernel {
-  def decodeBatch(batch: Seq[Multimodal.Asset]): Seq[Multimodal.AssetFeatures] =
-    batch.map(a => Multimodal.AssetFeatures(a.asset_id, 42, 7,
-      Array.fill(Multimodal.FeatureDim)(0.5f)))
-  def resizeBatch(batch: Seq[Multimodal.Asset], w: Int,
-      h: Int): Seq[Multimodal.ResizedAsset] =
-    batch.map(a => Multimodal.ResizedAsset(a.asset_id, w, h,
+private object FakeMediaKernel extends graft.media.MediaKernel {
+  def decodeBatch(batch: Seq[graft.media.Asset]): Seq[graft.media.AssetFeatures] =
+    batch.map(a => graft.media.AssetFeatures(a.asset_id, 42, 7,
+      Array.fill(graft.media.Media.FeatureDim)(0.5f)))
+  def resizeBatch(batch: Seq[graft.media.Asset], w: Int,
+      h: Int): Seq[graft.media.ResizedAsset] =
+    batch.map(a => graft.media.ResizedAsset(a.asset_id, w, h,
       Array.fill(w * h)(1.toByte)))
-  def frames(a: Multimodal.Asset,
-      every: Int): Iterator[Multimodal.FrameSample] =
-    Iterator.single(Multimodal.FrameSample(a.asset_id, 0, a.n_bytes, -1L))
+  def frames(a: graft.media.Asset,
+      every: Int): Iterator[graft.media.FrameSample] =
+    Iterator.single(graft.media.FrameSample(a.asset_id, 0, a.n_bytes, -1L))
 }

@@ -1,8 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Multimodal}
-import graft.operators.Multimodal.{Asset, DispatchMediaKernel, PpmMediaKernel,
-  StubMediaKernel, WavMediaKernel}
+import graft.media.{Asset, DispatchMediaKernel, PpmMediaKernel, StubMediaKernel, WavMediaKernel}
 
 /** Perceptual image near-dup dedup: the dHash kernel (integer luma,
   * floor-boundary box averaging, gradient-sign bits), the rgbFrame SPI
@@ -252,7 +251,7 @@ class PerceptualHashSpec extends SparkSpec {
   test("video frames: Y4M rgbFrames decodes every-th frame, neutral " +
     "chroma reproduces luma exactly, real chroma takes the fixed-point " +
     "BT.601 path, and a still image is its own one-frame video") {
-    import Multimodal.DispatchMediaKernel
+    import graft.media.DispatchMediaKernel
     // hand-built 2-frame 2×2 C420 stream: frame 0 neutral chroma
     // (RGB must equal luma), frame 1 pure-red-ish chroma
     val header = "YUV4MPEG2 W2 H2 F25:1 C420\n".getBytes("US-ASCII")
@@ -289,7 +288,7 @@ class PerceptualHashSpec extends SparkSpec {
     "video threshold") {
     val fh = Multimodal.framePerceptualHashes(
       Multimodal.plantedVideos(spark, sf0001),
-      Multimodal.DispatchMediaKernel)
+      graft.media.DispatchMediaKernel)
       .collect().map(p => (p.asset_id, p.frame_idx) -> p.phash).toMap
     val ids = fh.keys.map(_._1).toSet
     assert(fh.size == ids.size * Multimodal.PlantFrames,
@@ -325,7 +324,7 @@ class PerceptualHashSpec extends SparkSpec {
     "time bin, gradient bits follow the envelope, non-decodable " +
     "payloads yield no fingerprint, and planted families stay within " +
     "Hamming ≤ 2 with banding equal to brute force") {
-    import Multimodal.DispatchMediaKernel
+    import graft.media.DispatchMediaKernel
     // hand-built 8-bit mono WAV, 130 samples: first 65 quiet (128 →
     // |x| 0), last 65 loud (0 → |x| 128·256) — envelope rises once at
     // the midpoint, so exactly bit 31 is set (bin 31 → 32 boundary:

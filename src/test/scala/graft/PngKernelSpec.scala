@@ -3,8 +3,7 @@ package graft
 import java.nio.ByteBuffer
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{Asset, DispatchMediaKernel,
-  PngMediaKernel, PpmMediaKernel, StubMediaKernel}
+import graft.media.{Asset, DispatchMediaKernel, PngMediaKernel, PpmMediaKernel, StubMediaKernel}
 
 /** The pure-JVM PNG kernel: REAL decode of the first real-world
   * container in the kernel mix — CRC-checked chunk walk, zlib inflate,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{Asset, PpmMediaKernel, StubMediaKernel}
+import graft.media.{Asset, PpmMediaKernel, StubMediaKernel}
 
 /** The pure-JVM PPM (P6) media kernel: REAL pixel decode through the
   * MediaKernel SPI — hand-computed channel statistics, nearest-neighbor
@@ -69,7 +69,7 @@ class PpmKernelSpec extends SparkSpec {
     assert(fs.forall(_.n_bytes == 6L))
     val row2 = rows(2).flatMap { case (r, g, b) =>
       Seq(r.toByte, g.toByte, b.toByte) }.toArray
-    assert(fs(1).frame_hash == Multimodal.byteHash(row2))
+    assert(fs(1).frame_hash == graft.media.Media.byteHash(row2))
   }
 
   test("dispatch: non-P6 and truncated-P6 payloads take the stub " +

@@ -1067,7 +1067,7 @@ class RetrievalSpec extends SparkSpec {
     graft.operators.Similarity.writeIvfIndex(e, s"$root/ann")
     val hashes = Multimodal.perceptualHashes(
       Multimodal.plantedImages(spark, sf0001),
-      Multimodal.DispatchMediaKernel).toDF()
+      graft.media.DispatchMediaKernel).toDF()
     Multimodal.writePhashIndex(hashes, s"$root/phash")
     val docV = docs.filter($"doc_id" % 11 === 5).select($"doc_id")
     val vecV = e.filter($"vec_id" % 11 === 5).select($"vec_id")

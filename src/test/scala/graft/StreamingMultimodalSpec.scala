@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.DispatchMediaKernel
+import graft.media.DispatchMediaKernel
 import graft.streaming.StreamingMultimodal
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 

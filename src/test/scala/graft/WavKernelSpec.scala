@@ -3,7 +3,7 @@ package graft
 import java.nio.{ByteBuffer, ByteOrder}
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{Asset, DispatchMediaKernel, StubMediaKernel, WavMediaKernel}
+import graft.media.{Asset, DispatchMediaKernel, StubMediaKernel, WavMediaKernel}
 
 /** The pure-JVM RIFF/WAVE PCM kernel: REAL sample decode through the
   * MediaKernel SPI — hand-computed waveform statistics, channel
@@ -89,7 +89,7 @@ class WavKernelSpec extends SparkSpec {
     assert(fs.map(_.frame_idx) == Seq(0, 2))
     assert(fs.map(_.n_bytes) == Seq(512L, 176L))
     val block2 = java.util.Arrays.copyOfRange(bytes, 44 + 1024, 44 + 1200)
-    assert(fs(1).frame_hash == Multimodal.byteHash(block2))
+    assert(fs(1).frame_hash == graft.media.Media.byteHash(block2))
   }
 
   test("dispatch: non-RIFF, non-PCM-bit-depth and truncated payloads " +

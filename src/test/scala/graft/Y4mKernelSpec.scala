@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{Asset, DispatchMediaKernel, StubMediaKernel, Y4mMediaKernel}
+import graft.media.{Asset, DispatchMediaKernel, StubMediaKernel, Y4mMediaKernel}
 
 /** The pure-JVM YUV4MPEG2 video kernel: REAL frame decode through the
   * MediaKernel SPI — hand-computed luma/chroma/motion statistics,
@@ -75,7 +75,7 @@ class Y4mKernelSpec extends SparkSpec {
     val fs = Y4mMediaKernel.frames(asset(4L, bytes), 2).toSeq
     assert(fs.map(_.frame_idx) == Seq(0, 2))
     assert(fs.forall(_.n_bytes == 4L))
-    assert(fs(1).frame_hash == Multimodal.byteHash(fr(2)))
+    assert(fs(1).frame_hash == graft.media.Media.byteHash(fr(2)))
   }
 
   test("dispatch: non-y4m, unknown colorspace, truncated and " +
