@@ -339,7 +339,12 @@ object Dedup {
     * df-cap `docShingles` uses, deliberately NOT applied here so the
     * gate stays lossless (the PPJoin precedent).
     */
-  def substringSpans(docs: DataFrame): DataFrame = {
+  /** EVERY maximal shared span ≥ the floor per unordered doc pair —
+    * (doc_a, doc_b, diag, a_off, b_off, span_len). The anchor-explode →
+    * gram-join → diagonal-island machinery `substringSpans` documents;
+    * shared by the longest-span gate and the corpus-cut operator.
+    */
+  def allSubstringSpans(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val g = Par.fanOut(docs)
       .select(col("doc_id"), posexplode(charGrams(col("text"))))
@@ -351,7 +356,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("ai"), col("bi"),
         (col("ai") - col("bi")).as("diag"))
-    val spans = m
+    m
       .withColumn("grp", col("ai") - row_number().over(
         w.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
           .orderBy(col("ai"))))
@@ -359,9 +364,15 @@ object Dedup {
       .agg(min(col("ai")).as("a_off"), min(col("bi")).as("b_off"),
         (count(lit(1)) + (SubstrK - 1)).as("span_len"))
       .filter(col("span_len") >= SubstrFloor)
+      .select(col("doc_a"), col("doc_b"), col("diag"),
+        col("a_off"), col("b_off"), col("span_len"))
+  }
+
+  def substringSpans(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     // Both pair-partitioned windows share one (doc_a, doc_b) exchange;
     // the row_number ≤ 1 filter plans as WindowGroupLimit.
-    spans
+    allSubstringSpans(docs)
       .withColumn("n_spans",
         count(lit(1)).over(w.partitionBy(col("doc_a"), col("doc_b"))))
       .withColumn("rn", row_number().over(
@@ -370,6 +381,73 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("doc_a"), col("doc_b"), col("span_len"),
         col("a_off"), col("b_off"), col("n_spans"))
+  }
+
+  /** Shared oracle prefix of the ExactSubstr gates: per-position
+    * k-grams → cross-doc gram matches → diagonal islands → maximal
+    * spans (unfiltered — each gate applies its own floor).
+    */
+  private def substrSpanCtes: String =
+    s"""g AS (
+       |  SELECT doc_id, u.i::BIGINT AS i,
+       |         substr(text, u.i::INT, $SubstrK) AS kg
+       |  FROM documents,
+       |       unnest(range(1, greatest(length(text) - ${SubstrK - 1}, 0) + 1))
+       |         AS u(i)),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.i AS ai, b.i AS bi, a.i - b.i AS diag
+       |  FROM g a JOIN g b ON a.kg = b.kg AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT doc_a, doc_b, diag, ai, bi,
+       |         ai - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+       |                                 ORDER BY ai) AS grp
+       |  FROM m),
+       |spans AS (
+       |  SELECT doc_a, doc_b, min(ai) AS a_off, min(bi) AS b_off,
+       |         (count(*) + ${SubstrK - 1})::BIGINT AS span_len
+       |  FROM isl GROUP BY doc_a, doc_b, diag, grp)""".stripMargin
+
+  /** ExactSubstr corpus CUT — the paper's actual endpoint (Lee et al.
+    * 2022 remove every duplicated span from all but one occurrence):
+    * per document, the UNION of its higher-id-side shared-span
+    * intervals is merged and its total coverage reported —
+    * (doc_id, n_cut, chars_removed, new_len). The keep-the-lowest-id
+    * copy rule makes the cut deterministic and pairwise-local: a doc
+    * loses a span iff some LOWER-id doc shares it, so the lowest-id
+    * occurrence always survives (the suffix-array implementation's
+    * keep-first-occurrence, re-expressed for the pair frame).
+    *
+    * Interval union runs per document: a running max-end over the
+    * start-ordered intervals marks island starts (an interval whose
+    * start clears every earlier end opens a new merged region), a
+    * running sum numbers the islands, and one aggregate per island
+    * yields merged coverage. All three windows partition by doc_id —
+    * bounded by a single document's span count, never corpus-wide.
+    */
+  def substringCut(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val byDoc = w.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val ivl = allSubstringSpans(docs)
+      .select(col("doc_b").as("doc_id"), col("b_off").as("s"),
+        (col("b_off") + col("span_len")).as("e"))
+    ivl
+      .withColumn("pmax", max(col("e")).over(byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("nw",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("nw")).over(byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cut"),
+        sum(col("me") - col("ms")).as("chars_removed"))
+      .join(docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("len")), "doc_id")
+      .select(col("doc_id"), col("n_cut"), col("chars_removed"),
+        (col("len") - col("chars_removed")).as("new_len"))
   }
 
   /** Connected components of an undirected pair graph (doc_a, doc_b):
@@ -1127,25 +1205,7 @@ object Dedup {
     // the gate is exact by construction.
     QuerySpec(
       "dedup_substring",
-      s"""WITH g AS (
-        |  SELECT doc_id, u.i::BIGINT AS i,
-        |         substr(text, u.i::INT, $SubstrK) AS kg
-        |  FROM documents,
-        |       unnest(range(1, greatest(length(text) - ${SubstrK - 1}, 0) + 1))
-        |         AS u(i)),
-        |m AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         a.i AS ai, b.i AS bi, a.i - b.i AS diag
-        |  FROM g a JOIN g b ON a.kg = b.kg AND a.doc_id < b.doc_id),
-        |isl AS (
-        |  SELECT doc_a, doc_b, diag, ai, bi,
-        |         ai - row_number() OVER (PARTITION BY doc_a, doc_b, diag
-        |                                 ORDER BY ai) AS grp
-        |  FROM m),
-        |spans AS (
-        |  SELECT doc_a, doc_b, min(ai) AS a_off, min(bi) AS b_off,
-        |         (count(*) + ${SubstrK - 1})::BIGINT AS span_len
-        |  FROM isl GROUP BY doc_a, doc_b, diag, grp),
+      s"""WITH $substrSpanCtes,
         |best AS (
         |  SELECT doc_a, doc_b, span_len, a_off, b_off,
         |         count(*) OVER (PARTITION BY doc_a, doc_b) AS n_spans,
@@ -1157,6 +1217,38 @@ object Dedup {
         |       n_spans::BIGINT AS n_spans
         |FROM best WHERE rn = 1""".stripMargin) {
       (s, d) => substringSpans(Tables.documents(s, d))
+    },
+
+    // The ExactSubstr CUT: per affected document, merged coverage of
+    // every ≥-floor span shared with a LOWER-id doc (the
+    // keep-first-occurrence rule) — interval-union arithmetic, all
+    // integer, mirrored verbatim in the oracle. See substringCut.
+    QuerySpec(
+      "dedup_substring_cut",
+      s"""WITH $substrSpanCtes,
+        |ivl AS (
+        |  SELECT doc_b AS doc_id, b_off AS s, b_off + span_len AS e
+        |  FROM spans WHERE span_len >= $SubstrFloor),
+        |mk AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pmax
+        |  FROM ivl),
+        |ni AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM mk),
+        |mrg AS (SELECT doc_id, g, min(s) AS ms, max(e) AS me
+        |        FROM ni GROUP BY doc_id, g)
+        |SELECT m.doc_id, CAST(count(*) AS BIGINT) AS n_cut,
+        |  CAST(sum(me - ms) AS BIGINT) AS chars_removed,
+        |  CAST(length(d.text) - sum(me - ms) AS BIGINT) AS new_len
+        |FROM mrg m JOIN documents d ON d.doc_id = m.doc_id
+        |GROUP BY m.doc_id, length(d.text)""".stripMargin) {
+      (s, d) => substringCut(Tables.documents(s, d))
     },
 
     // COLLECTION-level overlap: pairwise shingle-set Jaccard between

@@ -654,6 +654,28 @@ class OperatorsSpec extends SparkSpec {
     // (3,4) absent: 39 < the 40-char floor — the exact boundary.
   }
 
+  test("dedup_substring_cut: keep-lowest-id rule (the first occurrence " +
+    "never cuts), overlapping intervals from different partners merge, " +
+    "disjoint spans count separately") {
+    val s60 = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWX"
+      .take(60)
+    val u40 = "zyxwvutsrqponmlkjihgfedcba9876543210ZYXW"
+    val v40 = "QRSTUVWXYZqrstuvwxyz0123456789!@#$%^&*()"
+    val got = Dedup.substringCut(docsDf(
+        1L -> s"((${s60}))",            // lowest id: never cut
+        2L -> s"${s60.take(40)}......", // cut once vs 1 (40 chars)
+        3L -> s"zz$s60",                // [3,63) vs 1 merges over [3,43) vs 2
+        4L -> s"$u40####$v40",          // lowest id of the 4/5 pair
+        5L -> s"$u40@@@@$v40"))         // two DISJOINT cuts
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!got.contains(1L) && !got.contains(4L),
+      "lowest-id occurrences must survive uncut")
+    assert(got(2L) == ((1L, 40L, 6L)))   // 46 chars - 40 removed
+    assert(got(3L) == ((1L, 60L, 2L)))   // merged [3,63) — ONE region
+    assert(got(5L) == ((2L, 80L, 4L)))   // u40 and v40 cut separately
+  }
+
   test("dedup_source_overlap: the full source-pair matrix emits (every " +
     "pair shares vocabulary on this corpus), jaccard bounded, and the " +
     "join key is fan-out-bounded by construction") {
