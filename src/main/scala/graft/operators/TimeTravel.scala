@@ -35,7 +35,8 @@ import org.apache.spark.sql.functions._
 object TimeTravel {
 
   private val DataSchema =
-    "event_id BIGINT, event_type STRING, value DOUBLE, _commit INT"
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, _commit INT"
 
   private[graft] def protocol(path: String) =
     new graft.index.FoldProtocol(path, "_table_ledger")
@@ -55,12 +56,21 @@ object TimeTravel {
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"),
       s"graft_table_ledger$suffix").toString
+    // Completeness is SCHEMA-GATED, not just ledger-gated: a fixture
+    // root built by an older build (fewer columns) must rebuild, not
+    // serve stale shapes — the NB/DSIR model-root lesson.
     Layout.ensurePublishedDir(s, root)(
-      r => protocol(r).deletedBatches().contains(3L)
+      r => protocol(r).deletedBatches().contains(3L) &&
+        scala.util.Try(
+          s.read.parquet(s"${protocol(r).dir("data")}/seed")
+            .columns.toSet == DataSchema.split(", ")
+              .map(_.split(" ")(0)).toSet)
+          .getOrElse(false)
     ) { staging =>
       val p = protocol(staging)
       val ev = Tables.events(s, d)
-        .select(col("event_id"), col("event_type"), col("value"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
       def land(rows: DataFrame, sub: String, commit: Int): Unit =
         rows.withColumn("_commit", lit(commit))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -93,12 +103,78 @@ object TimeTravel {
       .readCommittedStrippedAsOf(s, "data", "event_id", asOf)(r =>
         s.read.schema(DataSchema).parquet(r))
       .groupBy(col("event_id"))
-      .agg(max(struct(col("_commit"), col("event_type"), col("value")))
-        .as("v"))
-      .select(col("event_id"), col("v.event_type").as("event_type"),
+      .agg(max(struct(col("_commit"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))).as("v"))
+      .select(col("event_id"), col("v.ts").as("ts"),
+        col("v.user_id").as("user_id"),
+        col("v.event_type").as("event_type"),
         col("v.value").as("value"))
 
+  /** One horizon of the flagship-as-of oracle: the reference snapshot
+    * shape (two typed streams joined on their hour, filtered to the
+    * LEFT stream's max hour) recomputed over the horizon's visible
+    * rows — insert/upsert/delete visibility injected by the same
+    * modular commit definitions as `q_table_asof`.
+    */
+  private def flagshipHorizonSql(h: Int): String =
+    s"""base$h AS (
+       |  SELECT event_id, user_id, event_type,
+       |    CASE WHEN $h >= 2 AND event_id % 6 = 0
+       |         THEN value + 100 ELSE value END AS value,
+       |    strftime(ts, '%Y-%m-%d') AS d, strftime(ts, '%H') AS hh
+       |  FROM events
+       |  WHERE event_id % 3 <= ${math.min(h, 2)}
+       |    AND NOT ($h >= 3 AND event_id % 5 = 0)),
+       |t$h AS (SELECT d, hh, user_id AS err_user, value AS err_value,
+       |          event_id AS err_id
+       |        FROM base$h WHERE event_type = 'error'),
+       |w$h AS (SELECT d, hh, user_id AS click_user, value AS click_value,
+       |          event_id AS click_id
+       |        FROM base$h WHERE event_type = 'click'),
+       |m$h AS (
+       |  SELECT CAST($h AS BIGINT) AS horizon, d, hh,
+       |    err_user, err_value, err_id, click_user, click_value, click_id
+       |  FROM t$h JOIN w$h USING (d, hh)
+       |  WHERE strptime(d || ' ' || hh, '%Y-%m-%d %H') =
+       |    (SELECT max(strptime(d || ' ' || hh, '%Y-%m-%d %H'))
+       |     FROM t$h))""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+
+    // The FLAGSHIP pattern time-traveled: the reference's
+    // latest-snapshot query (traffic-only MAX, USING join, F1/J1/J2/A1)
+    // served against the ledgered table at every past commit — "the
+    // snapshot as of any past hour" the round-15 verdict called out as
+    // the free upgrade once base tables speak as-of. The MAX is
+    // horizon-scoped (each horizon's newest ERROR hour over its own
+    // visible rows), so both WHICH hour is latest and WHAT that hour
+    // contains travel with the ledger.
+    QuerySpec(
+      "q_flagship_asof",
+      "WITH " + (0 to 3).map(flagshipHorizonSql).mkString(",\n") + "\n" +
+        (0 to 3).map(h => s"SELECT * FROM m$h")
+          .mkString("\nUNION ALL ")) { (s, d) =>
+      val root = ensureLedgeredEvents(s, d)
+      (0 to 3).map { h =>
+        val base = readEventsAsOf(s, root, h)
+          .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+          .withColumn("hh", date_format(col("ts"), "HH"))
+        val t = base.filter(col("event_type") === "error")
+          .select(col("d"), col("hh"), col("user_id").as("err_user"),
+            col("value").as("err_value"), col("event_id").as("err_id"))
+        val w = base.filter(col("event_type") === "click")
+          .select(col("d"), col("hh"), col("user_id").as("click_user"),
+            col("value").as("click_value"), col("event_id").as("click_id"))
+        val hourTs =
+          to_timestamp(concat_ws(" ", col("d"), col("hh")), "yyyy-MM-dd HH")
+        val mx = t.agg(max(hourTs).as("mts"))
+        t.join(w, Seq("d", "hh"), "inner")
+          .join(broadcast(mx), hourTs === col("mts"))
+          .select(lit(h.toLong).as("horizon"), col("d"), col("hh"),
+            col("err_user"), col("err_value"), col("err_id"),
+            col("click_user"), col("click_value"), col("click_id"))
+      }.reduce(_.unionByName(_))
+    },
 
     // The four-horizon readout: per (horizon, event_type), row count
     // and DECIMAL-exact value total of the table AS OF that commit —

@@ -25,6 +25,7 @@ class TimeTravelSpec extends SparkSpec {
       }.toSet
     for (h <- 0 to 3) {
       val got = TimeTravel.readEventsAsOf(spark, root, h)
+        .select($"event_id", $"event_type", $"value")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
         .toSet
       assert(got == expected(h), s"horizon $h diverged")
