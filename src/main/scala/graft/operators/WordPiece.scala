@@ -226,6 +226,25 @@ object WordPiece {
       .drop("_wp")
   }
 
+  /** Per-doc WordPiece token meter of an ARBITRARY document frame
+    * (`doc_id`, `text`) against a frozen piece list — the greedy fold
+    * runs once per DISTINCT batch word, then joins back onto the token
+    * stream (the [[Bpe.meter]] shape with the vocabulary join replaced
+    * by the matcher). Words over unseen characters meter as one
+    * `[UNK]` token — the BERT runtime rule, so a frozen tokenizer
+    * never refuses new text. Shared by the batch budget gate and
+    * `streaming.StreamingMeter`'s WordPiece twin.
+    */
+  def meter(docs: DataFrame, pieces: Seq[String]): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), w => w =!= "")).as("word"))
+    val seg = greedySegmented(toks.select(col("word")).distinct(), pieces)
+      .select(col("word"), col("n_wp"))
+    toks.join(seg, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_wp")).as("wp_tokens"))
+  }
+
   /** The corpus word-frequency frame greedily segmented against the
     * persisted model — the serve half `text_wordpiece_tokens` gates
     * and the meter side `doc_token_budget_wordpiece` joins.

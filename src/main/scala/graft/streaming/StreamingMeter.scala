@@ -30,6 +30,28 @@ object StreamingMeter {
     */
   def startMetered(docs: DataFrame, modelRoot: String, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    startMeteredWith(docs, outPath, checkpoint, "bpe_tokens")(b =>
+      Bpe.meter(b, Bpe.modelVocab(b.sparkSession, modelRoot)))
+
+  /** The WordPiece twin of [[startMetered]]: each micro-batch metered
+    * by greedy longest-match against the frozen piece vocabulary
+    * ([[graft.operators.WordPiece.meter]] — the identical arithmetic
+    * the batch gates certify; unseen-character words meter as one
+    * `[UNK]`). Same exactly-once overwrite protocol, same totals
+    * sidecar (`wp_tokens`), same word-less-batch suppression.
+    */
+  def startWordPieceMetered(docs: DataFrame, modelRoot: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    startMeteredWith(docs, outPath, checkpoint, "wp_tokens")(b =>
+      graft.operators.WordPiece.meter(b,
+        graft.operators.WordPiece.modelPieces(b.sparkSession, modelRoot)))
+
+  /** The shared per-batch publish skeleton of the two meters. */
+  private def startMeteredWith(docs: DataFrame, outPath: String,
+      checkpoint: String, tokensCol: String)(
+      meterFn: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -40,7 +62,7 @@ object StreamingMeter {
         // run the whole explode + vocab-join + aggregate once for the
         // probe and again for the write, doubling every batch's cost
         if (!batch.isEmpty) {
-          Bpe.meter(batch, Bpe.modelVocab(s, modelRoot))
+          meterFn(batch)
             .write.mode(SaveMode.Overwrite)
             .parquet(s"$outPath/b$batchId")
           // totals from the COMMITTED per-doc dir (one small scan), so
@@ -55,7 +77,7 @@ object StreamingMeter {
           } else committed
             .agg(lit(batchId).as("batch_id"),
               count(lit(1)).as("n_docs"),
-              sum(col("bpe_tokens")).as("bpe_tokens"))
+              sum(col(tokensCol)).as(tokensCol))
             .coalesce(1)
             .write.mode(SaveMode.Overwrite).parquet(s"$outPath/t$batchId")
         }
@@ -66,7 +88,8 @@ object StreamingMeter {
   /** Per-batch totals committed so far: (batch_id, n_docs, bpe_tokens),
     * one row per non-empty batch.
     */
-  def batchTotals(s: SparkSession, outPath: String): DataFrame = {
+  def batchTotals(s: SparkSession, outPath: String,
+      tokensCol: String = "bpe_tokens"): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(outPath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val dirs =
@@ -76,14 +99,17 @@ object StreamingMeter {
         .map(_.getPath.toString)
     if (dirs.isEmpty)
       s.range(0).select(col("id").as("batch_id"),
-        col("id").as("n_docs"), col("id").as("bpe_tokens"))
+        col("id").as("n_docs"), col("id").as(tokensCol))
     else s.read.parquet(dirs.toIndexedSeq: _*)
   }
 
-  /** Cumulative BPE tokens ingested across all committed batches. */
-  def totalTokens(s: SparkSession, outPath: String): Long =
-    batchTotals(s, outPath)
-      .agg(coalesce(sum(col("bpe_tokens")), lit(0L)))
+  /** Cumulative tokens ingested across all committed batches (in the
+    * active meter's own units — `bpe_tokens` or `wp_tokens`).
+    */
+  def totalTokens(s: SparkSession, outPath: String,
+      tokensCol: String = "bpe_tokens"): Long =
+    batchTotals(s, outPath, tokensCol)
+      .agg(coalesce(sum(col(tokensCol)), lit(0L)))
       .head().getLong(0)
 
   /** The budget gate an ingest loop polls between batches. */

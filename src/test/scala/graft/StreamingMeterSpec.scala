@@ -63,6 +63,44 @@ class StreamingMeterSpec extends SparkSpec {
     assert(!StreamingMeter.budgetReached(spark, out, all + 1))
   }
 
+  test("wordpiece stream meter: per-doc parity with the batch greedy " +
+    "meter, UNK words meter as one token, totals in wp units") {
+    implicit val sc = spark.sqlContext
+    val modelRoot =
+      graft.operators.WordPiece.ensureWordPieceModel(spark, sf0001)
+    val pieces = graft.operators.WordPiece.modelPieces(spark, modelRoot)
+    val out = tmpDir("wpmeter-out")
+    val ckpt = tmpDir("wpmeter-ckpt")
+    val corpus = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val wave1 = corpus.take(3).toSeq
+    // '???' uses characters outside the training alphabet → [UNK] = 1
+    val wave2 = Seq((9001L, "??? " + corpus(3)._2))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingMeter.startWordPieceMetered(
+      in.toDF().toDF("doc_id", "text"), modelRoot, out, ckpt)
+    try {
+      in.addData(wave1: _*); q.processAllAvailable()
+      in.addData(wave2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$out/b0", s"$out/b1")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val batchEquiv = graft.operators.WordPiece.meter(
+        (wave1 ++ wave2).toDF("doc_id", "text"), pieces)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batchEquiv,
+      "wp stream meters must equal the one-shot batch meter")
+    // the unseen-alphabet word costs exactly ONE [UNK] token
+    val base = graft.operators.WordPiece.meter(
+        Seq((1L, corpus(3)._2)).toDF("doc_id", "text"), pieces)
+      .as[(Long, Long, Long)].head()
+    val unk = streamed.find(_._1 == 9001L).get
+    assert(unk._2 == base._2 + 1 && unk._3 == base._3 + 1,
+      s"'???' must meter as one UNK: $unk vs base $base")
+    val all = StreamingMeter.totalTokens(spark, out, "wp_tokens")
+    assert(all == streamed.map(_._3).sum && all > 0)
+  }
+
   test("empty output: totals read as zero before any batch commits") {
     val out = tmpDir("meter-empty")
     assert(StreamingMeter.totalTokens(spark, out) == 0L)
