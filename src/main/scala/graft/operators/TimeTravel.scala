@@ -36,10 +36,50 @@ object TimeTravel {
 
   private val DataSchema =
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, _commit INT"
+      "event_type STRING, value DOUBLE, _commit BIGINT"
 
   private[graft] def protocol(path: String) =
     new graft.index.FoldProtocol(path, "_table_ledger")
+
+  private def land(p: graft.index.FoldProtocol, rows: DataFrame,
+      sub: String, commit: Long): Unit =
+    rows
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .withColumn("_commit", lit(commit))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${p.dir("data")}/$sub")
+
+  /** Initial load of a ledgered table: the rows land as the `seed`
+    * sub-root at commit 0 (the non-batch dir every as-of horizon can
+    * see — `committedDirsAsOf` requires one).
+    */
+  def initLedgeredTable(rows: DataFrame, root: String): Unit =
+    land(protocol(root), rows, "seed", 0L)
+
+  /** Append one commit of rows, EXACTLY ONCE under replay — new keys
+    * insert, re-emitted keys UPSERT (the reader resolves each key to
+    * its highest committed version, so an update is just the new
+    * version at this commit's id; no tombstone, no rewrite of
+    * history). A ledgered commitId is a committed no-op (returns
+    * false); the b-dir write carries overwrite semantics, so a replay
+    * after a mid-write crash rewrites the same dir; the atomic ledger
+    * replace is the commit point.
+    */
+  def appendCommit(rows: DataFrame, root: String, commitId: Long): Boolean =
+    protocol(root).fold(commitId, Seq("data")) {
+      land(protocol(root), rows, s"b$commitId", commitId)
+    }
+
+  /** Tombstone a batch of keys as one ledgered delete commit,
+    * EXACTLY ONCE under replay — rows vanish from every read whose
+    * horizon ≥ this commit and stay visible below it.
+    */
+  def deleteCommit(ids: DataFrame, root: String, commitId: Long): Boolean =
+    protocol(root).delete(commitId) {
+      protocol(root).stageTombstones(
+        ids.select(col("event_id")), "event_id", commitId)
+    }
 
   /** Build-if-absent the ledgered-events gate fixture — four commits
     * with DISTINCT ledger ids so every id is a distinguishable
@@ -56,39 +96,28 @@ object TimeTravel {
     val root = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"),
       s"graft_table_ledger$suffix").toString
-    // Completeness is SCHEMA-GATED, not just ledger-gated: a fixture
-    // root built by an older build (fewer columns) must rebuild, not
-    // serve stale shapes — the NB/DSIR model-root lesson.
+    // Completeness is SCHEMA-GATED (names AND types), not just
+    // ledger-gated: a fixture root built by an older build (fewer
+    // columns, or an INT _commit) must rebuild, not serve stale
+    // shapes — the NB/DSIR model-root lesson.
+    val expected = org.apache.spark.sql.types.StructType.fromDDL(DataSchema)
+      .fields.map(f => (f.name, f.dataType)).toSeq
     Layout.ensurePublishedDir(s, root)(
       r => protocol(r).deletedBatches().contains(3L) &&
         scala.util.Try(
           s.read.parquet(s"${protocol(r).dir("data")}/seed")
-            .columns.toSet == DataSchema.split(", ")
-              .map(_.split(" ")(0)).toSet)
+            .schema.fields.map(f => (f.name, f.dataType)).toSeq == expected)
           .getOrElse(false)
     ) { staging =>
-      val p = protocol(staging)
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-      def land(rows: DataFrame, sub: String, commit: Int): Unit =
-        rows.withColumn("_commit", lit(commit))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"${p.dir("data")}/$sub")
-      land(ev.filter(col("event_id") % 3 === 0), "seed", 0)
-      p.fold(1L, Seq("data")) {
-        land(ev.filter(col("event_id") % 3 === 1), "b1", 1)
-      }
-      p.fold(2L, Seq("data")) {
-        land(ev.filter(col("event_id") % 3 === 2)
-          .unionByName(ev.filter(col("event_id") % 6 === 0)
-            .withColumn("value", col("value") + 100.0)), "b2", 2)
-      }
-      p.delete(3L) {
-        p.stageTombstones(
-          ev.filter(col("event_id") % 5 === 0).select(col("event_id")),
-          "event_id", 3L)
-      }
+      initLedgeredTable(ev.filter(col("event_id") % 3 === 0), staging)
+      appendCommit(ev.filter(col("event_id") % 3 === 1), staging, 1L)
+      appendCommit(ev.filter(col("event_id") % 3 === 2)
+        .unionByName(ev.filter(col("event_id") % 6 === 0)
+          .withColumn("value", col("value") + 100.0)), staging, 2L)
+      deleteCommit(ev.filter(col("event_id") % 5 === 0), staging, 3L)
     }
     root
   }

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import graft.operators.TimeTravel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming ingest INTO a time-traveled base table: every micro-batch
+  * lands as one ledgered commit through
+  * [[graft.operators.TimeTravel.appendCommit]], so the table's as-of
+  * read ([[graft.operators.TimeTravel.readEventsAsOf]]) can replay the
+  * stream's history at any commit boundary — the base-table analogue
+  * of `StreamingRetrieval.startIngest`'s index folds, closing the
+  * time-travel lifecycle the same way every index kind's is closed
+  * (build / grow / delete / serve / as-of / streaming).
+  *
+  * Exactly-once under replay via the epoch-namespaced commitId scheme
+  * of `StreamingDedup.startDeletes`: a fresh checkpoint must not let
+  * batchId 0 collide with an OLD stream's committed commit 0 (which
+  * would silently short-circuit the fold), so commitIds are
+  * `(epoch << 32) | batchId` with the epoch minted once per
+  * checkpoint above every committed fold id. A redelivered batchId
+  * maps to its original commitId and no-ops.
+  */
+object StreamingTimeTravel {
+
+  def startAppend(rows: DataFrame, root: String,
+      checkpoint: String): StreamingQuery = {
+    // + 0L: the seed load IS commit 0 without a ledger entry, so the
+    // minted epoch must clear it — otherwise a fresh stream's first
+    // batch would land at commitId 0 and TIE the seed's versions in
+    // the reader's per-key struct-max resolution.
+    val epoch = StreamingDedup.epochFor(rows, checkpoint,
+      TimeTravel.protocol(root).foldedBatches() + 0L)
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) // empty-batch suppression (K3)
+          TimeTravel.appendCommit(batch, root, (epoch << 32) | batchId)
+        ()
+      }
+      .start()
+  }
+}

@@ -38,6 +38,52 @@ class TimeTravelSpec extends SparkSpec {
     assert(dup == 0, "per-key resolution must yield one version")
   }
 
+  test("streamed appends land as ledgered commits: every micro-batch " +
+    "is an as-of horizon, a re-emitted key upserts, and a replayed " +
+    "commit no-ops") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamingTimeTravel
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+    def df(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val root = tmpDir("ttl-stream")
+    val seed = ev.take(10).toSeq
+    TimeTravel.initLedgeredTable(df(seed), root)
+    val wave1 = ev.slice(10, 20).toSeq
+    // wave 2 re-emits two seed keys with bumped values — an UPSERT —
+    // plus five fresh inserts
+    val wave2 = seed.take(2).map(r => r.copy(_5 = r._5 + 1000.0)) ++
+      ev.slice(20, 25).toSeq
+    val in =
+      MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = StreamingTimeTravel.startAppend(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      root, tmpDir("ttl-stream-ckpt"))
+    try {
+      in.addData(wave1: _*); q.processAllAvailable()
+      in.addData(wave2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val commits = TimeTravel.protocol(root).foldedBatches().toSeq.sorted
+    assert(commits.length == 2 && commits.head > 0L,
+      s"epoch-minted commit ids must clear the seed's 0: $commits")
+    def read(h: Long): Map[Long, Double] =
+      TimeTravel.readEventsAsOf(spark, root, h)
+        .select($"event_id", $"value")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(read(0L) == seed.map(r => r._1 -> r._5).toMap,
+      "horizon 0 must see the seed only")
+    assert(read(commits(0)) == (seed ++ wave1).map(r => r._1 -> r._5).toMap)
+    val want2 = ((seed ++ wave1).map(r => r._1 -> r._5) ++
+      wave2.map(r => r._1 -> r._5)).toMap // later pairs win = upsert
+    assert(read(commits(1)) == want2,
+      "the re-emitted keys must serve their upserted values")
+    // replayed commit ids are committed no-ops
+    assert(!TimeTravel.appendCommit(df(wave1), root, commits(0)))
+  }
+
   test("the ledger is exactly-once and build-once: replayed folds and " +
     "deletes no-op, and a second ensure serves identical horizons") {
     val root = TimeTravel.ensureLedgeredEvents(spark, sf0001)
