@@ -1167,6 +1167,47 @@ object Retrieval {
         .select(col("doc_id")), staging, 1L)
     }
 
+  /** Merge two independently-built trigram roots into ONE servable
+    * root — the third index kind speaking the cross-root union
+    * ([[mergeBm25Indexes]] / `Similarity.mergeIvfIndexes` are the
+    * others). Postings-only and globally bucketed, so the merge is two
+    * partitioned copies: primary as `seed/`, secondary as ledgered
+    * fold `b0` with provenance; the bucket prune pushes into both
+    * branches of the merged union unchanged. Disjoint doc spaces ⇒
+    * serve ≡ a from-scratch union build (`text_substring_merged`
+    * reuses `text_substring`'s oracle verbatim).
+    */
+  def mergeSubstringIndexes(s: SparkSession, primary: String,
+      secondary: String, dest: String): Unit = {
+    val p = protocol(dest)
+    def copySide(src: String, sub: String): Unit =
+      bucketSliced(substringPostings(s, src))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"${p.dir("postings")}/$sub")
+    copySide(primary, "seed")
+    copySide(secondary, "b0")
+    p.commitStaged(Seq("postings/b0"), "0", "merged-from=" +
+      s"${new org.apache.hadoop.fs.Path(primary).getName}+" +
+      new org.apache.hadoop.fs.Path(secondary).getName)
+  }
+
+  /** Build-if-absent the merged-trigram gate fixture (crawl A =
+    * doc_id % 3 ≠ 2 primary, crawl B = the rest).
+    */
+  def ensureMergedSubstringIndex(s: SparkSession, d: String): String = {
+    val docs = Tables.documents(s, d)
+    val srcA = Layout.ensurePublishedDir(
+      s, fixtureRoot(s, d, "graft_trgm_src_a"))(phraseComplete(s, _))(
+      st => writeSubstringIndex(docs.filter(col("doc_id") % 3 =!= 2), st))
+    val srcB = Layout.ensurePublishedDir(
+      s, fixtureRoot(s, d, "graft_trgm_src_b"))(phraseComplete(s, _))(
+      st => writeSubstringIndex(docs.filter(col("doc_id") % 3 === 2), st))
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_trgm_merged"))(
+      r => phraseComplete(s, r) && protocol(r).foldedBatches().contains(0L)
+    )(st => mergeSubstringIndexes(s, srcA, srcB, st))
+  }
+
   /** Build-if-absent the trigram AS-OF gate fixture (seed / `b1` /
     * `d2` — the [[ensureAsOfPhraseIndex]] ledger layout).
     */
@@ -2092,6 +2133,16 @@ object Retrieval {
     // exact verify; the oracle greps the corpus directly.
     QuerySpec("text_substring", substringOracleSqlOver("1 = 1")) {
       (s, d) => substringSearch(s, ensureSubstringIndex(s, d),
+        Tables.documents(s, d), ProbeNeedle)
+    },
+    // Cross-root trigram MERGE under the value gate — the third index
+    // kind speaking the union (BM25 and IVF are the others): two
+    // independently-built roots copied bucket-aligned as seed + fold
+    // b0; reuses text_substring's oracle verbatim (disjoint doc spaces
+    // make the merged serve exactly the from-scratch union build).
+    QuerySpec("text_substring_merged",
+      substringOracleSqlOver("1 = 1")) { (s, d) =>
+      substringSearch(s, ensureMergedSubstringIndex(s, d),
         Tables.documents(s, d), ProbeNeedle)
     },
     // The trigram index's FoldProtocol lifecycle under one value gate:

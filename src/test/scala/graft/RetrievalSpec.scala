@@ -99,6 +99,24 @@ class RetrievalSpec extends SparkSpec {
     assert(stats == corpus, "merged stats must sum to the union corpus")
   }
 
+  test("mergeSubstringIndexes: the merged trigram root serves ANY " +
+    "needle identically to a from-scratch union index, with fold " +
+    "provenance") {
+    val merged = Retrieval.ensureMergedSubstringIndex(spark, sf0001)
+    val full = Retrieval.ensureSubstringIndex(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    for (needle <- Seq(Retrieval.ProbeNeedle, "the qu", "ity", "zz")) {
+      val fromMerged = Retrieval.substringSearch(spark, merged, docs, needle)
+        .as[(Long, Long)].collect().toSeq
+      val fromFull = Retrieval.substringSearch(spark, full, docs, needle)
+        .as[(Long, Long)].collect().toSeq
+      assert(fromMerged == fromFull, s"needle '$needle'")
+    }
+    val p = Retrieval.protocol(merged)
+    assert(p.foldedBatches().contains(0L))
+    assert(p.entries().exists(_.startsWith("merged-from=graft_trgm_src_a")))
+  }
+
   test("ensureBm25Index is stage-and-publish: an incomplete root (lost " +
     "_SUCCESS) rebuilds through a private staging and the rebuilt index " +
     "serves the gate answer; a crashed build leaves the old root intact") {
