@@ -105,7 +105,7 @@ class RetrievalSpec extends SparkSpec {
     val merged = Retrieval.ensureMergedSubstringIndex(spark, sf0001)
     val full = Retrieval.ensureSubstringIndex(spark, sf0001)
     val docs = Tables.documents(spark, sf0001)
-    for (needle <- Seq(Retrieval.ProbeNeedle, "the qu", "ity", "zz")) {
+    for (needle <- Seq(Retrieval.ProbeNeedle, "the qu", "ity", "zzz")) {
       val fromMerged = Retrieval.substringSearch(spark, merged, docs, needle)
         .as[(Long, Long)].collect().toSeq
       val fromFull = Retrieval.substringSearch(spark, full, docs, needle)
