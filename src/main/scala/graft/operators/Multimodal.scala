@@ -764,6 +764,70 @@ object Multimodal {
     }
   }
 
+  /** Merge two independently-built perceptual-hash roots into ONE
+    * servable root — the FOURTH index kind speaking the cross-root
+    * union (BM25, trigram and float IVF are the others). Band entries
+    * are globally bucketed (bucket = pmod(xxhash64(chunk:cv), 32)), so
+    * both roots already agree on every entry's bucket and the merge is
+    * two partitioned copies: the primary's committed
+    * (tombstone-stripped) entries as `seed/`, the secondary's as
+    * ledgered fold `b0` with a `merged-from=` provenance line. The
+    * probe-bucket static prune pushes into both branches of the merged
+    * union unchanged; disjoint asset spaces ⇒ serve ≡ a from-scratch
+    * build over the union wave.
+    */
+  def mergePhashIndexes(s: SparkSession, primary: String,
+      secondary: String, dest: String): Unit = {
+    val p = phashProtocol(dest)
+    def copySide(src: String, sub: String): Unit =
+      indexPhashes(s, src)
+        .repartition(col("bucket"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"${p.dir("phashes")}/$sub")
+    copySide(primary, "seed")
+    copySide(secondary, "b0")
+    p.commitStaged(Seq("phashes/b0"), "0", "merged-from=" +
+      s"${new org.apache.hadoop.fs.Path(primary).getName}+" +
+      new org.apache.hadoop.fs.Path(secondary).getName)
+  }
+
+  /** Build-if-absent the merged-phash gate fixture: the search gate's
+    * history wave (asset_id % 5 ≠ 4) split into two independently
+    * hashed-and-indexed crawls (% 3 ≠ 2 primary, % 3 = 2 secondary),
+    * merged — the union IS the history wave, so the merged serve
+    * reuses `multimodal_phash_search`'s oracle verbatim.
+    */
+  def ensureMergedPhashIndex(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    def build(name: String,
+        slice: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+        : String = {
+      val root = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"$name$suffix")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      Layout.ensurePublishedDir(s, root.toString)(r =>
+        fs.exists(new org.apache.hadoop.fs.Path(
+          phashProtocol(r).dir("phashes") + "/seed", "_SUCCESS"))
+      ) { staging =>
+        writePhashIndex(perceptualHashes(
+          plantedImages(s, d)
+            .filter(col("asset_id") % 5 =!= 4)
+            .filter(slice(col("asset_id"))),
+          DispatchMediaKernel).toDF(), staging)
+      }
+      root.toString
+    }
+    val srcA = build("graft_phash_src_a", _ % 3 =!= 2)
+    val srcB = build("graft_phash_src_b", _ % 3 === 2)
+    val merged = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_phash_merged$suffix").toString
+    Layout.ensurePublishedDir(s, merged)(r =>
+      phashProtocol(r).foldedBatches().contains(0L)
+    )(st => mergePhashIndexes(s, srcA, srcB, st))
+  }
+
   /** Oracle CTE chain shared by the image-dedup and phash-search
     * gates: closed-form pixel values → 2×2 box averages → gradient
     * bits → band chunks, mirroring [[plantedImages]] + [[dHash64]]
@@ -985,6 +1049,30 @@ object Multimodal {
          |  AND bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin) {
       (s, d) =>
       val idx = ensureIncrementalPhashIndex(s, d)
+      val probes = perceptualHashes(
+        plantedImages(s, d).filter(col("asset_id") % 8 === 1),
+        DispatchMediaKernel).toDF()
+        .select(col("asset_id").as("query_id"), col("phash"))
+      phashSearch(s, idx, probes)
+    },
+
+    // Cross-root phash MERGE under the value gate — the FOURTH index
+    // kind speaking the union: the search gate's history wave split
+    // into two independently hashed-and-indexed crawls, band-aligned
+    // copies as seed + ledgered fold b0. The union IS the history
+    // wave, so this reuses multimodal_phash_search's oracle verbatim —
+    // the merge changes cost, not one row.
+    QuerySpec(
+      "multimodal_phash_merged",
+      s"""$phashChunksCte
+         |SELECT DISTINCT a.doc_id AS query_id, b.doc_id AS asset_id,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM chunks a JOIN chunks b
+         |  ON a.c = b.c AND a.cv = b.cv
+         |WHERE a.doc_id % 8 = 1 AND b.doc_id % 5 <> 4
+         |  AND bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin) {
+      (s, d) =>
+      val idx = ensureMergedPhashIndex(s, d)
       val probes = perceptualHashes(
         plantedImages(s, d).filter(col("asset_id") % 8 === 1),
         DispatchMediaKernel).toDF()
