@@ -1178,10 +1178,24 @@ object Retrieval {
     * reuses `text_substring`'s oracle verbatim).
     */
   def mergeSubstringIndexes(s: SparkSession, primary: String,
-      secondary: String, dest: String): Unit = {
+      secondary: String, dest: String): Unit =
+    mergePostingsRoots(s, primary, secondary, dest)(
+      substringPostings(s, _))
+
+  /** The shared cross-root union for any POSTINGS-ONLY bucketed index
+    * kind — trigram, positional phrase and word-positional all carry
+    * the same layout (`postings/<sub>/bucket=…`, bucket a global
+    * function of the posting key), so one kernel merges them all:
+    * primary's committed (tombstone-stripped) postings land as
+    * `seed/`, secondary's as ledgered fold `b0` with a `merged-from=`
+    * provenance line.
+    */
+  private def mergePostingsRoots(s: SparkSession, primary: String,
+      secondary: String, dest: String)(
+      read: String => DataFrame): Unit = {
     val p = protocol(dest)
     def copySide(src: String, sub: String): Unit =
-      bucketSliced(substringPostings(s, src))
+      bucketSliced(read(src))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("bucket")
         .parquet(s"${p.dir("postings")}/$sub")
@@ -1192,21 +1206,51 @@ object Retrieval {
       new org.apache.hadoop.fs.Path(secondary).getName)
   }
 
+  /** Cross-root union of two positional phrase roots. */
+  def mergePhraseIndexes(s: SparkSession, primary: String,
+      secondary: String, dest: String): Unit =
+    mergePostingsRoots(s, primary, secondary, dest)(
+      phrasePostings(s, _))
+
+  /** Cross-root union of two word-positional (NEAR) roots. */
+  def mergeNearIndexes(s: SparkSession, primary: String,
+      secondary: String, dest: String): Unit =
+    mergePostingsRoots(s, primary, secondary, dest)(
+      nearPostings(s, _))
+
+  /** Build-if-absent a merged two-crawl fixture for any postings-only
+    * kind: crawl A = doc_id % 3 ≠ 2 primary, crawl B = the rest,
+    * each built independently then merged.
+    */
+  private def ensureMergedPostingsIndex(s: SparkSession, d: String,
+      prefix: String, write: (DataFrame, String) => Unit,
+      merge: (String, String, String) => Unit): String = {
+    val docs = Tables.documents(s, d)
+    val srcA = Layout.ensurePublishedDir(
+      s, fixtureRoot(s, d, s"${prefix}_src_a"))(phraseComplete(s, _))(
+      st => write(docs.filter(col("doc_id") % 3 =!= 2), st))
+    val srcB = Layout.ensurePublishedDir(
+      s, fixtureRoot(s, d, s"${prefix}_src_b"))(phraseComplete(s, _))(
+      st => write(docs.filter(col("doc_id") % 3 === 2), st))
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, s"${prefix}_merged"))(
+      r => phraseComplete(s, r) && protocol(r).foldedBatches().contains(0L)
+    )(st => merge(srcA, srcB, st))
+  }
+
+  def ensureMergedPhraseIndex(s: SparkSession, d: String): String =
+    ensureMergedPostingsIndex(s, d, "graft_phrase",
+      writePhraseIndex, mergePhraseIndexes(s, _, _, _))
+
+  def ensureMergedNearIndex(s: SparkSession, d: String): String =
+    ensureMergedPostingsIndex(s, d, "graft_near",
+      writeNearIndex, mergeNearIndexes(s, _, _, _))
+
   /** Build-if-absent the merged-trigram gate fixture (crawl A =
     * doc_id % 3 ≠ 2 primary, crawl B = the rest).
     */
-  def ensureMergedSubstringIndex(s: SparkSession, d: String): String = {
-    val docs = Tables.documents(s, d)
-    val srcA = Layout.ensurePublishedDir(
-      s, fixtureRoot(s, d, "graft_trgm_src_a"))(phraseComplete(s, _))(
-      st => writeSubstringIndex(docs.filter(col("doc_id") % 3 =!= 2), st))
-    val srcB = Layout.ensurePublishedDir(
-      s, fixtureRoot(s, d, "graft_trgm_src_b"))(phraseComplete(s, _))(
-      st => writeSubstringIndex(docs.filter(col("doc_id") % 3 === 2), st))
-    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_trgm_merged"))(
-      r => phraseComplete(s, r) && protocol(r).foldedBatches().contains(0L)
-    )(st => mergeSubstringIndexes(s, srcA, srcB, st))
-  }
+  def ensureMergedSubstringIndex(s: SparkSession, d: String): String =
+    ensureMergedPostingsIndex(s, d, "graft_trgm",
+      writeSubstringIndex, mergeSubstringIndexes(s, _, _, _))
 
   /** Build-if-absent the trigram AS-OF gate fixture (seed / `b1` /
     * `d2` — the [[ensureAsOfPhraseIndex]] ledger layout).
@@ -2110,6 +2154,12 @@ object Retrieval {
     QuerySpec("text_phrase", phraseOracleSql) { (s, d) =>
       phraseTopK(s, ensurePhraseIndex(s, d), ProbePhrase)
     },
+    // Cross-root phrase MERGE — the shared postings-only union kernel
+    // (mergePostingsRoots) on positional bigram postings; reuses
+    // text_phrase's oracle verbatim.
+    QuerySpec("text_phrase_merged", phraseOracleSql) { (s, d) =>
+      phraseTopK(s, ensureMergedPhraseIndex(s, d), ProbePhrase)
+    },
     // The positional index's whole FoldProtocol lifecycle under one
     // value gate: seed, ledgered append, ledgered takedown — the serve
     // must equal phrase search over a corpus that never contained the
@@ -2245,6 +2295,14 @@ object Retrieval {
     // integer-exact in both engines.
     QuerySpec("text_near", nearOracleSqlOver("1 = 1")) { (s, d) =>
       nearSearch(s, ensureNearIndex(s, d), NearWords, NearWindow)
+    },
+    // Cross-root NEAR MERGE — the postings-only union kernel on
+    // word-positional postings. With this, every bucketed postings
+    // kind (BM25, trigram, phrase, word-positional, phash bands) and
+    // the IVF vector family speak cross-root union; reuses
+    // text_near's oracle verbatim.
+    QuerySpec("text_near_merged", nearOracleSqlOver("1 = 1")) { (s, d) =>
+      nearSearch(s, ensureMergedNearIndex(s, d), NearWords, NearWindow)
     },
     // The word-positional index's FoldProtocol lifecycle under one
     // value gate: seed, ledgered append, ledgered takedown.
