@@ -275,18 +275,51 @@ object Curation {
   /** Fixed-iteration integer PageRank over the planted doc-link graph:
     * top-`PrTopK` docs by propagated score (desc, id tiebreak).
     *
+    * `teleport`: None = uniform (classic PageRank — every node gets
+    * the same (1−d) base mass); Some(seeds) = PERSONALIZED PageRank
+    * (Page et al. 1999 §6; the topic-sensitive variant of Haveliwala
+    * 2002) — the teleport mass concentrates on the seed set, so
+    * scores measure proximity-to-seeds through the link structure:
+    * the curation stage that propagates trust from a vetted source
+    * outward. Integer form: seeds get (S·15 DIV 100) DIV |seeds|
+    * base mass, everyone else 0; same floor-division recurrence, so
+    * the oracle stays a closed-form unroll.
+    *
     * Scale: per iteration ONE shuffle join (edges ⋈ ranks on src) +
     * one map-side-combining groupBy(dst) + a left join back onto the
     * node frame — the `Dedup.connectedComponents` skeleton, with
     * `localCheckpoint` truncating lineage each round so iteration r
     * never replays 1..r−1. The edge frame (built once, 3·N rows) is
-    * cached; nothing collects to the driver but the node COUNT.
+    * cached; nothing collects to the driver but the node COUNT (and
+    * for the personalized form the seed count — both scalars). The
+    * seed frame joins unhinted (it is corpus-derived).
     */
-  def pagerank(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def pagerank(docs: org.apache.spark.sql.DataFrame,
+      teleport: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val nodes = docs.select(col("doc_id").as("id"))
     val n = nodes.count()
     val r0 = PrScale / n
-    val base = (r0 * 15) / 100
+    // per-node base teleport mass (and the round-0 state): uniform, or
+    // concentrated on the seed set
+    // cached like the edge frame: the base column re-enters every
+    // iteration's left join, and the personalized form derives it
+    // through a seed join that must not replay ten times
+    val based = (teleport match {
+      case None =>
+        nodes.select(col("id"), lit((r0 * 15) / 100).as("b"),
+          lit(r0).as("r0"))
+      case Some(seeds) =>
+        val k = seeds.count()
+        nodes
+          .join(seeds.select(col("doc_id").as("id"), lit(1).as("s")),
+            Seq("id"), "left")
+          .select(col("id"),
+            when(col("s").isNotNull,
+              lit(((PrScale * 15) / 100) / k)).otherwise(lit(0L)).as("b"),
+            when(col("s").isNotNull, lit(PrScale / k)).otherwise(lit(0L))
+              .as("r0"))
+    }).cache()
     val edges = Seq((31L, 7L), (17L, 3L), (13L, 11L))
       .map { case (a, b) =>
         nodes.select(col("id").as("src"),
@@ -298,17 +331,19 @@ object Curation {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // (src, dst, d) built once and cached — reused by all iterations
     val ed = edges.join(deg, Seq("src")).cache()
-    var r = nodes.select(col("id"), lit(r0).as("r"))
+    var r = based.select(col("id"), col("r0").as("r"))
     for (_ <- 1 to PrIters) {
       val contrib = ed.join(r, ed("src") === r("id"))
         .select(col("dst").as("id"), expr("r DIV d").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("c"))
-      r = nodes.join(contrib, Seq("id"), "left")
+      r = based.select(col("id"), col("b"))
+        .join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + expr("(85 * coalesce(c, 0L)) DIV 100")).as("r"))
+          (col("b") + expr("(85 * coalesce(c, 0L)) DIV 100")).as("r"))
         .localCheckpoint()
     }
     ed.unpersist()
+    based.unpersist()
     // top-k via TakeOrderedAndProject (orderBy+limit) — no rank column:
     // a global row_number would be an unpartitioned window, the hazard
     // class the repo-wide PlanSpec sweep bans.
@@ -317,12 +352,32 @@ object Curation {
   }
 
   /** The pagerank oracle: the identical integer recurrence unrolled
-    * `PrIters` times as chained CTEs.
+    * `PrIters` times as chained CTEs. `seedWhere` = None → uniform
+    * teleport; Some(pred) → personalized (base and round-0 mass
+    * concentrated on the seed set, zero elsewhere — the engine's
+    * exact formulas).
     */
-  private def pagerankOracleSql: String = {
+  private def pagerankOracleSql(seedWhere: Option[String] = None): String = {
+    val nb = seedWhere match {
+      case None =>
+        s"""nb AS (SELECT id,
+           |  (SELECT (($PrScale // n) * 15) // 100 FROM nn) AS b,
+           |  (SELECT $PrScale // n FROM nn) AS r FROM nodes)""".stripMargin
+      case Some(pred) =>
+        s"""seeds AS (SELECT doc_id AS id FROM documents WHERE $pred),
+           |ns AS (SELECT count(*) AS k FROM seeds),
+           |nb AS (SELECT n.id,
+           |  CASE WHEN s.id IS NOT NULL
+           |       THEN (SELECT ((${PrScale}::BIGINT * 15) // 100) // k FROM ns)
+           |       ELSE 0 END AS b,
+           |  CASE WHEN s.id IS NOT NULL
+           |       THEN (SELECT $PrScale // k FROM ns) ELSE 0 END AS r
+           |  FROM nodes n LEFT JOIN seeds s ON s.id = n.id)""".stripMargin
+    }
     val head =
       s"""nodes AS (SELECT doc_id AS id FROM documents),
          |nn AS (SELECT count(*) AS n FROM nodes),
+         |$nb,
          |edges AS (
          |  SELECT DISTINCT src, dst FROM (
          |    SELECT id AS src, (id*31+7) % (SELECT n FROM nn) AS dst FROM nodes
@@ -331,13 +386,13 @@ object Curation {
          |  WHERE dst <> src),
          |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
          |ed AS (SELECT e.src, e.dst, g.d FROM edges e JOIN deg g ON g.src = e.src),
-         |r0 AS (SELECT id, (SELECT $PrScale // n FROM nn) AS r FROM nodes)"""
+         |r0 AS (SELECT id, r FROM nb)"""
         .stripMargin
     val iters = (1 to PrIters).map { k =>
       s"""r$k AS (
-         |  SELECT v.id, CAST((SELECT (($PrScale // n) * 15) // 100 FROM nn)
+         |  SELECT v.id, CAST(v.b
          |       + ((85 * COALESCE(s.c, 0)) // 100) AS BIGINT) AS r
-         |  FROM nodes v LEFT JOIN (
+         |  FROM nb v LEFT JOIN (
          |    SELECT ed.dst AS id, CAST(SUM(p.r // ed.d) AS BIGINT) AS c
          |    FROM r${k - 1} p JOIN ed ON ed.src = p.id
          |    GROUP BY ed.dst) s ON s.id = v.id)""".stripMargin
@@ -393,8 +448,20 @@ object Curation {
     // hash-for-hash. See the `pagerank` scaladoc for the scale story
     // (one join + one combining groupBy per iteration, lineage
     // truncated per round, nothing driver-side but the node count).
-    QuerySpec("q_pagerank", pagerankOracleSql) {
+    QuerySpec("q_pagerank", pagerankOracleSql()) {
       (s, d) => pagerank(Tables.documents(s, d))
+    },
+
+    // PERSONALIZED PageRank (topic-sensitive, Haveliwala 2002): the
+    // teleport mass concentrates on one vetted source's docs, so
+    // scores measure link-proximity to the trusted seed set — the
+    // propagate-trust-outward curation stage. Same integer recurrence,
+    // same planted graph, seed-concentrated base/round-0 mass.
+    QuerySpec("q_pagerank_personalized",
+      pagerankOracleSql(Some("source = 'src0'"))) { (s, d) =>
+      pagerank(Tables.documents(s, d),
+        teleport = Some(Tables.documents(s, d)
+          .filter(col("source") === "src0").select(col("doc_id"))))
     },
 
     // Sessionization (batch): a session breaks after a 30-minute silence.

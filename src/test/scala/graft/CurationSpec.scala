@@ -92,6 +92,24 @@ class CurationSpec extends SparkSpec {
     assert(got.head._2 > scale / n, "top score must exceed uniform start")
   }
 
+  test("q_pagerank_personalized: teleport concentration is " +
+    "load-bearing — the personalized top-20 differs from the uniform " +
+    "ranking and seed docs dominate it") {
+    val uniform = run("q_pagerank").collect().map(_.getLong(0)).toSet
+    val pers = run("q_pagerank_personalized").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pers.map(_._1).toSet != uniform,
+      "personalization must reorder the top-20")
+    val seeds = Tables.documents(spark, sf0001)
+      .filter($"source" === "src0").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // seeds hold most of the mass (they receive the full teleport
+    // term every round); their link targets take the rest
+    assert(pers.count(p => seeds(p._1)) >= 10,
+      s"seed docs must dominate: ${pers.count(p => seeds(p._1))}/20")
+    assert(pers.forall(_._2 >= 0))
+  }
+
   test("sessionize: no session spans a >30min gap, bounds are ordered") {
     val s = run("q_sessionize")
     assert(s.count() > 0)
