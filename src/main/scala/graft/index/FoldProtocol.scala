@@ -331,6 +331,20 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
   def deletedBatches(): Set[Long] =
     entries().collect { case e if e.matches("d\\d+") => e.drop(1).toLong }
 
+  /** EVERY committed ledger id regardless of kind — fold (`7`), delete
+    * (`d7`) and refresh (`r7`) entries share ONE monotonic id sequence
+    * per index (the as-of contract), so an epoch/commitId allocator
+    * must clear ALL of them, not just the folds: a new append minted
+    * below a committed delete id would sort BEFORE that delete and a
+    * horizon between them would serve rows already deleted at that
+    * wall-clock point.
+    */
+  def allLedgerIds(): Set[Long] =
+    entries().collect {
+      case e if e.matches("[dr]?\\d+") =>
+        (if (e.head.isDigit) e else e.drop(1)).toLong
+    }
+
   private def renderLedger(extra: Seq[String]): Array[Byte] = {
     val audit = currentFenceStamp().map(s => s"#fence=$s\n").getOrElse("")
     (audit + (entries() ++ extra).toSeq.sorted.mkString("\n"))

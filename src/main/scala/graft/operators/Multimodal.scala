@@ -823,8 +823,17 @@ object Multimodal {
     val merged = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"),
       s"graft_phash_merged$suffix").toString
+    // Completeness = the fold ledger AND a complete primary-copy seed
+    // (the ensureMergedBm25Index / ensureMergedIvfIndex pattern): a
+    // root whose phashes/seed dir was damaged but whose ledger
+    // survived must rebuild, not re-serve partial data.
     Layout.ensurePublishedDir(s, merged)(r =>
-      phashProtocol(r).foldedBatches().contains(0L)
+      phashProtocol(r).foldedBatches().contains(0L) && {
+        val seedOk = new org.apache.hadoop.fs.Path(
+          phashProtocol(r).dir("phashes") + "/seed", "_SUCCESS")
+        seedOk.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(seedOk)
+      }
     )(st => mergePhashIndexes(s, srcA, srcB, st))
   }
 

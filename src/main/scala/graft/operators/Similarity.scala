@@ -395,14 +395,18 @@ object Similarity {
     */
   def mergeIvfIndexes(s: SparkSession, primary: String,
       secondary: String, dest: String): Unit = {
+    // Resolve dest's kinds through the manifest like the other merge
+    // kernels (mergeBm25Indexes/mergePostingsRoots): identical for a
+    // fresh staging dest, but an in-place dest whose kinds were ever
+    // published onto generations must land in the SERVED generation.
     s.read.parquet(protocol(primary).dir("cents"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$dest/cents")
+      .parquet(protocol(dest).dir("cents"))
     indexVectors(s, primary)
       .repartition(col("cent_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cent_id")
-      .parquet(s"$dest/vectors/seed")
+      .parquet(protocol(dest).dir("vectors") + "/seed")
     appendToIvfIndex(
       indexVectors(s, secondary).select(col("vec_id"), col("v")),
       dest, 0L)

@@ -410,8 +410,15 @@ object StreamingRetrieval {
     if (batch.isEmpty) return // empty-batch suppression (K3)
     val s = batch.sparkSession
     import org.apache.spark.sql.functions.col
-    val hs = batch.select(col("horizon")).distinct()
+    // NULL horizons (a source emitting NULL where this schema means
+    // "no request") are dropped before the collect — mirroring
+    // publishBooleanBatch's coalesce hardening: without the filter a
+    // NULL row NPEs getLong and an all-NULL batch makes the reduce
+    // below throw on an empty list.
+    val hs = batch.select(col("horizon"))
+      .filter(col("horizon").isNotNull).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
+    if (hs.isEmpty) return
     val qd = s.read.parquet(queryPath)
     hs.map(h =>
         Retrieval.asOfMatrixServe(s, bmIdx, subIdx, annIdx, qd, docs, h))

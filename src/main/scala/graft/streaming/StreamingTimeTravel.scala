@@ -28,9 +28,13 @@ object StreamingTimeTravel {
     // + 0L: the seed load IS commit 0 without a ledger entry, so the
     // minted epoch must clear it — otherwise a fresh stream's first
     // batch would land at commitId 0 and TIE the seed's versions in
-    // the reader's per-key struct-max resolution.
+    // the reader's per-key struct-max resolution. allLedgerIds (not
+    // foldedBatches) so committed DELETE and refresh ids count too:
+    // the as-of contract is ONE monotonic sequence, and an epoch
+    // minted below an existing d<n> would let new appends sort before
+    // that delete — a horizon between them would serve deleted rows.
     val epoch = StreamingDedup.epochFor(rows, checkpoint,
-      TimeTravel.protocol(root).foldedBatches() + 0L)
+      TimeTravel.protocol(root).allLedgerIds() + 0L)
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
