@@ -122,22 +122,248 @@ object TimeTravel {
     root
   }
 
-  /** The events table exactly as it stood after ledger commit `asOf`:
-    * committed dirs and delete batches ≤ the horizon (fold-protocol
-    * as-of read), then per-key resolution to the highest committed
-    * version via one struct-max aggregate.
+  /** The table exactly as it stood after ledger commit `asOf`, WITH
+    * each key's winning `_commit` id — the resolution core every read
+    * path shares: committed dirs and delete batches ≤ the horizon
+    * (fold-protocol as-of read), then per-key resolution to the
+    * highest committed version via one struct-max aggregate.
+    *
+    * The read schema is the HORIZON'S OWN SHAPE: the newest committed
+    * dir ≤ asOf carries it (commits only ever ADD columns, see
+    * [[appendCommitEvolved]]), and older dirs read through it with the
+    * added columns as NULL — so a horizon before an add-column commit
+    * serves the old shape and a horizon after it the new, with
+    * pre-change rows carrying NULL until an upsert fills them. The
+    * schema probe is one driver-side parquet footer read.
+    */
+  private def resolvedAsOf(s: SparkSession, root: String,
+      asOf: Long): DataFrame = {
+    val p = protocol(root)
+    val dirs = p.committedDirsAsOf("data", asOf)
+    val newest = dirs.maxBy(d => p.dirOrd(d.substring(d.lastIndexOf('/') + 1)))
+    val sch = s.read.parquet(newest).schema
+    val rest = sch.fieldNames.toSeq
+      .filterNot(n => n == "event_id" || n == "_commit")
+    p.readCommittedStrippedAsOf(s, "data", "event_id", asOf)(r =>
+        s.read.schema(sch).parquet(r))
+      .groupBy(col("event_id"))
+      .agg(max(struct((col("_commit") +: rest.map(col)): _*)).as("v"))
+      .select(col("event_id") +: col("v._commit").as("_commit") +:
+        rest.map(n => col(s"v.$n").as(n)): _*)
+  }
+
+  /** The events table exactly as it stood after ledger commit `asOf`
+    * — [[resolvedAsOf]] minus the bookkeeping `_commit` column.
     */
   def readEventsAsOf(s: SparkSession, root: String, asOf: Long): DataFrame =
-    protocol(root)
-      .readCommittedStrippedAsOf(s, "data", "event_id", asOf)(r =>
-        s.read.schema(DataSchema).parquet(r))
-      .groupBy(col("event_id"))
-      .agg(max(struct(col("_commit"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))).as("v"))
-      .select(col("event_id"), col("v.ts").as("ts"),
-        col("v.user_id").as("user_id"),
-        col("v.event_type").as("event_type"),
-        col("v.value").as("value"))
+    resolvedAsOf(s, root, asOf).drop("_commit")
+
+  /** Append one commit that may ADD columns to the table — the
+    * schema-evolution twin of [[appendCommit]] (which pins the fixed
+    * ingest shape). The new shape must be a SUPERSET of the currently
+    * committed one (add-column only — drops/renames would make older
+    * horizons unreadable); reads at horizons ≥ this commit serve the
+    * widened shape with pre-change rows NULL in the added columns,
+    * reads below it serve the old shape untouched. The superset check
+    * is one driver-side footer read against the newest committed dir.
+    */
+  def appendCommitEvolved(rows: DataFrame, root: String,
+      commitId: Long): Boolean = {
+    val p = protocol(root)
+    require(rows.columns.contains("event_id"),
+      "evolved commit must carry the table key event_id")
+    val dirs = p.committedDirsOrEmpty("data")
+    if (dirs.nonEmpty) {
+      val newest = dirs.maxBy(d =>
+        p.dirOrd(d.substring(d.lastIndexOf('/') + 1)))
+      val prev = rows.sparkSession.read.parquet(newest)
+        .schema.fieldNames.toSet - "_commit"
+      val missing = prev -- rows.columns.toSet
+      require(missing.isEmpty,
+        s"schema evolution is add-column only: commit $commitId is " +
+          s"missing previously committed column(s) ${missing.mkString(", ")}")
+    }
+    p.fold(commitId, Seq("data")) {
+      rows.withColumn("_commit", lit(commitId))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"${p.dir("data")}/b$commitId")
+    }
+  }
+
+  /** Ledger retention: compact every commit ≤ `floor` into ONE
+    * resolved `c<floor>` dir and reclaim their per-commit dirs (and
+    * the delete batches ≤ floor they already absorbed) — the missing
+    * half of the time-travel lifecycle: at an hourly ingest cadence
+    * (the reference's own envelope) a keep-everything ledger is
+    * unbounded small-dir growth with no way to reclaim.
+    *
+    * Semantics: every horizon ≥ floor reads EXACTLY as before (the
+    * `c<floor>` dir holds each key's resolved winning version as of
+    * floor, `_commit` preserved, so the reader's struct-max resolution
+    * sees the same winners); horizons < floor REFUSE with the honesty
+    * guard every index compaction already speaks
+    * (`committedDirsAsOf`'s "compaction collapsed the per-fold
+    * history" require) — physical reclamation traded for ledger
+    * history below the floor, never a silent lie.
+    *
+    * Crash-safe and exactly-once, the index-compaction way: the
+    * resolved state stages into a dot-dir `committedDirs` cannot see,
+    * ONE atomic rename makes it `c<floor>`, then the collapsed
+    * sources are dropped. A crash before the rename changes nothing
+    * (replay recomputes); a crash between rename and the drops leaves
+    * BOTH the c-dir and its sources visible — still correct, because
+    * the resolved rows are value-identical to their winning originals
+    * and the per-key struct-max is duplicate-idempotent — and the
+    * replay (c-dir already present) just finishes the drops. A
+    * fully-vacuumed floor is a committed no-op (returns false). The
+    * ledger itself is never rewritten: replayed commitIds keep
+    * short-circuiting after their dirs are gone. Writer-lease-guarded
+    * like every index publish.
+    */
+  def vacuum(s: SparkSession, root: String, floor: Long): Boolean = {
+    val p = protocol(root)
+    p.withLease(s"vacuum-$floor") {
+      val ids = p.allLedgerIds() + 0L
+      require(floor >= 1L && floor <= ids.max,
+        s"vacuum floor $floor must name a horizon in [1, ${ids.max}]")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val dataDir = new org.apache.hadoop.fs.Path(p.dir("data"))
+      val target = new org.apache.hadoop.fs.Path(dataDir, s"c$floor")
+      val sources = fs.listStatus(dataDir).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => n == "seed" ||
+          (n.matches("[bc]\\d+") && p.dirOrd(n) <= floor && n != s"c$floor"))
+      val tsDir = new org.apache.hadoop.fs.Path(root, "tombstones")
+      val spentTombstones =
+        if (!fs.exists(tsDir)) Seq.empty
+        else fs.listStatus(tsDir).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(n => n.matches("d\\d+") && n.drop(1).toLong <= floor)
+      if (fs.exists(target) && sources.isEmpty && spentTombstones.isEmpty)
+        false // committed no-op: this floor is already fully vacuumed
+      else {
+        if (!fs.exists(target)) {
+          val staging =
+            new org.apache.hadoop.fs.Path(dataDir, s".c$floor.vacuum")
+          resolvedAsOf(s, root, floor)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(staging.toString)
+          require(fs.rename(staging, target),
+            s"vacuum of $root: rename $staging -> $target failed")
+        }
+        sources.foreach(n =>
+          fs.delete(new org.apache.hadoop.fs.Path(dataDir, n), true))
+        spentTombstones.foreach(n =>
+          fs.delete(new org.apache.hadoop.fs.Path(tsDir, n), true))
+        true
+      }
+    }
+  }
+
+  /** Build-if-absent the VACUUMED-table gate fixture: the same four
+    * commits as [[ensureLedgeredEvents]], then [[vacuum]] at floor 2 —
+    * so horizons 2 and 3 survive (and must read hash-equal to the
+    * unvacuumed root's) while 0 and 1 are reclaimed. Completeness is
+    * the vacuum's POST-state (c2 present with its _SUCCESS, seed
+    * gone, the final delete ledgered): a root from a crashed vacuum
+    * rebuilds rather than serving a half-reclaimed layout.
+    */
+  def ensureVacuumedEvents(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_table_vacuum$suffix").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.ensurePublishedDir(s, root)(r =>
+      protocol(r).deletedBatches().contains(3L) &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("data")}/c2", "_SUCCESS")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("data")}/seed"))
+    ) { staging =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      initLedgeredTable(ev.filter(col("event_id") % 3 === 0), staging)
+      appendCommit(ev.filter(col("event_id") % 3 === 1), staging, 1L)
+      appendCommit(ev.filter(col("event_id") % 3 === 2)
+        .unionByName(ev.filter(col("event_id") % 6 === 0)
+          .withColumn("value", col("value") + 100.0)), staging, 2L)
+      deleteCommit(ev.filter(col("event_id") % 5 === 0), staging, 3L)
+      vacuum(s, staging, 2L)
+    }
+    root
+  }
+
+  /** Build-if-absent the schema-evolution gate fixture: two commits in
+    * the original five-column shape, then an [[appendCommitEvolved]]
+    * add-column commit (a DOUBLE `score` = value × 2) that both
+    * inserts the last third of the corpus AND upserts the
+    * event_id % 6 = 0 keys to fill their new column — so horizons 0–1
+    * serve the old shape and horizon 2 the widened one, with
+    * non-upserted pre-change rows NULL in `score`.
+    */
+  def ensureEvolvedEvents(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_table_evolve$suffix").toString
+    Layout.ensurePublishedDir(s, root)(r =>
+      protocol(r).foldedBatches().contains(2L) &&
+        // schema-gated on the evolved commit (the NB/DSIR lesson): a
+        // root built before the add-column shape rebuilds, not serves
+        scala.util.Try(
+          s.read.parquet(s"${protocol(r).dir("data")}/b2")
+            .columns.contains("score")).getOrElse(false)
+    ) { staging =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      initLedgeredTable(ev.filter(col("event_id") % 3 === 0), staging)
+      appendCommit(ev.filter(col("event_id") % 3 === 1), staging, 1L)
+      appendCommitEvolved(
+        ev.filter(col("event_id") % 3 === 2)
+          .unionByName(ev.filter(col("event_id") % 6 === 0))
+          .withColumn("score", col("value") * 2.0),
+        staging, 2L)
+    }
+    root
+  }
+
+  /** One horizon of the `q_table_asof` oracle: per event_type count
+    * and DECIMAL-exact value total of the table AS OF that commit,
+    * recomputed from the raw table by the same modular commit
+    * definitions as [[ensureLedgeredEvents]] — shared with
+    * `q_table_vacuum`, whose whole point is that surviving horizons
+    * keep this oracle unchanged.
+    */
+  private def asOfHorizonSql(h: Int): String =
+    s"""SELECT CAST($h AS BIGINT) AS horizon, event_type,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       |FROM (
+       |  SELECT event_type,
+       |    CASE WHEN $h >= 2 AND event_id % 6 = 0
+       |         THEN value + 100 ELSE value END AS v
+       |  FROM events
+       |  WHERE event_id % 3 <= ${math.min(h, 2)}
+       |    AND NOT ($h >= 3 AND event_id % 5 = 0))
+       |GROUP BY event_type""".stripMargin
+
+  /** One horizon of the as-of readout shared by `q_table_asof` and
+    * `q_table_vacuum` — per event_type count + DECIMAL-exact total.
+    */
+  private def asOfHorizonFrame(s: SparkSession, root: String,
+      h: Int): DataFrame =
+    readEventsAsOf(s, root, h.toLong)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)"))
+          .cast("double").as("total_value"))
+      .select(lit(h.toLong).as("horizon"), col("event_type"),
+        col("n"), col("total_value"))
 
   /** One horizon of the flagship-as-of oracle: the reference snapshot
     * shape (two typed streams joined on their hour, filtered to the
@@ -213,28 +439,67 @@ object TimeTravel {
     // the same modular commit definitions.
     QuerySpec(
       "q_table_asof",
-      (0 to 3).map { h =>
-        s"""SELECT CAST($h AS BIGINT) AS horizon, event_type,
-           |  CAST(count(*) AS BIGINT) AS n,
-           |  CAST(sum(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-           |FROM (
-           |  SELECT event_type,
-           |    CASE WHEN $h >= 2 AND event_id % 6 = 0
-           |         THEN value + 100 ELSE value END AS v
-           |  FROM events
-           |  WHERE event_id % 3 <= ${math.min(h, 2)}
-           |    AND NOT ($h >= 3 AND event_id % 5 = 0))
-           |GROUP BY event_type""".stripMargin
-      }.mkString("\nUNION ALL\n")) { (s, d) =>
+      (0 to 3).map(asOfHorizonSql).mkString("\nUNION ALL\n")) { (s, d) =>
       val root = ensureLedgeredEvents(s, d)
-      (0 to 3).map { h =>
-        readEventsAsOf(s, root, h)
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(12,2)"))
-              .cast("double").as("total_value"))
-          .select(lit(h.toLong).as("horizon"), col("event_type"),
-            col("n"), col("total_value"))
+      (0 to 3).map(asOfHorizonFrame(s, root, _)).reduce(_.unionByName(_))
+    },
+
+    // Ledger retention: the four-commit table VACUUMED at floor 2 —
+    // the surviving horizons (2: post-upsert, 3: post-delete) must
+    // keep the UNVACUUMED oracle unchanged (same modular SQL as
+    // q_table_asof's h=2,3 branches), proving the resolved c2 dir is
+    // value-identical to the per-commit history it replaced. The
+    // below-floor refusal and replay exactly-once are pinned in
+    // TimeTravelSpec (refusals have no SQL value image).
+    QuerySpec(
+      "q_table_vacuum",
+      (2 to 3).map(asOfHorizonSql).mkString("\nUNION ALL\n")) { (s, d) =>
+      val root = ensureVacuumedEvents(s, d)
+      (2 to 3).map(asOfHorizonFrame(s, root, _)).reduce(_.unionByName(_))
+    },
+
+    // Schema evolution on a ledgered table: commit 2 ADDS a `score`
+    // column (inserting the last third and upserting the % 6 = 0 keys
+    // to fill it). Horizons straddle the change: 0–1 serve the
+    // original five-column shape (width 5, no score to count), 2 the
+    // widened one (width 6) with exactly the insert+upsert rows
+    // scored and everything else NULL — add-column semantics, not a
+    // backfill.
+    QuerySpec(
+      "q_table_asof_schema",
+      (0 to 2).map { h =>
+        val width = if (h >= 2) 6 else 5
+        val scored =
+          if (h >= 2)
+            """CAST(count(CASE WHEN event_id % 3 = 2 OR event_id % 6 = 0
+              |             THEN 1 END) AS BIGINT) AS scored,
+              |  CAST(sum(CASE WHEN event_id % 3 = 2 OR event_id % 6 = 0
+              |           THEN CAST(value * 2 AS DECIMAL(12,2)) END)
+              |    AS DOUBLE) AS total_score""".stripMargin
+          else
+            "CAST(0 AS BIGINT) AS scored,\n" +
+              "  CAST(NULL AS DOUBLE) AS total_score"
+        s"""SELECT CAST($h AS BIGINT) AS horizon,
+           |  CAST($width AS BIGINT) AS width,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  $scored
+           |FROM events WHERE event_id % 3 <= ${math.min(h, 2)}""".stripMargin
+      }.mkString("\nUNION ALL\n")) { (s, d) =>
+      val root = ensureEvolvedEvents(s, d)
+      (0 to 2).map { h =>
+        val t = readEventsAsOf(s, root, h.toLong)
+        val scored =
+          if (t.columns.contains("score"))
+            Seq(count(col("score")).as("scored"),
+              sum(col("score").cast("decimal(12,2)"))
+                .cast("double").as("total_score"))
+          else
+            Seq(lit(0L).as("scored"),
+              lit(null).cast("double").as("total_score"))
+        t.agg(count(lit(1)).as("n"), scored: _*)
+          .select(lit(h.toLong).as("horizon"),
+            lit(t.columns.length.toLong).as("width"),
+            col("n"), col("scored"), col("total_score"))
       }.reduce(_.unionByName(_))
     }
   )

@@ -84,6 +84,102 @@ class TimeTravelSpec extends SparkSpec {
     assert(!TimeTravel.appendCommit(df(wave1), root, commits(0)))
   }
 
+  test("vacuum: surviving horizons read identically, below-floor " +
+    "horizons refuse, and a replayed vacuum is a committed no-op") {
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val root = tmpDir("ttl-vacuum")
+    TimeTravel.initLedgeredTable(ev.filter($"event_id" % 3 === 0), root)
+    TimeTravel.appendCommit(ev.filter($"event_id" % 3 === 1), root, 1L)
+    TimeTravel.appendCommit(ev.filter($"event_id" % 3 === 2)
+      .unionByName(ev.filter($"event_id" % 6 === 0)
+        .withColumn("value", $"value" + 100.0)), root, 2L)
+    TimeTravel.deleteCommit(ev.filter($"event_id" % 5 === 0), root, 3L)
+    def read(h: Long): Set[(Long, String, Double)] =
+      TimeTravel.readEventsAsOf(spark, root, h)
+        .select($"event_id", $"event_type", $"value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+    val pre = (2 to 3).map(h => h -> read(h.toLong)).toMap
+    assert(TimeTravel.vacuum(spark, root, 2L),
+      "first vacuum must report work done")
+    // surviving horizons are value-identical to the pre-vacuum reads
+    for (h <- 2 to 3)
+      assert(read(h.toLong) == pre(h), s"horizon $h changed under vacuum")
+    // reclaimed horizons REFUSE (the compaction honesty guard) instead
+    // of serving a partial or resolved-forward lie
+    for (h <- 0 to 1)
+      assertThrows[IllegalArgumentException](read(h.toLong))
+    // physical reclamation actually happened: seed and b-dirs <= floor
+    // are gone, one resolved c2 dir serves in their place, and the
+    // absorbed tombstone batch is purged
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataNames = fs.listStatus(new org.apache.hadoop.fs.Path(
+        TimeTravel.protocol(root).dir("data")))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dataNames == Set("c2"), s"unexpected data dirs: $dataNames")
+    // d3 is ABOVE the floor: horizon 3 still needs it, so it survives
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "tombstones/d3")))
+    // replay: the same floor is now a committed no-op; the ledger
+    // itself is untouched so replayed commit ids keep short-circuiting
+    assert(!TimeTravel.vacuum(spark, root, 2L))
+    assert(!TimeTravel.appendCommit(ev.limit(1), root, 1L))
+    assert(read(3L) == pre(3))
+    // a second vacuum at floor 3 absorbs d3 into c3 and purges it;
+    // horizon 3 is now the retained floor and 2 refuses
+    assert(TimeTravel.vacuum(spark, root, 3L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "tombstones/d3")))
+    assert(read(3L) == pre(3), "horizon 3 must survive the second vacuum")
+    assertThrows[IllegalArgumentException](read(2L))
+    // the table stays writable: a NEW commit above the floor lands on
+    // top of the resolved c-dir — % 30 = 0 keys are upserts of c2 rows
+    // (and, being % 5 = 0, also re-ingests of d3's victims: their new
+    // fold order outranks the tombstone's high-water mark)
+    TimeTravel.appendCommit(
+      ev.filter($"event_id" % 30 === 0)
+        .withColumn("value", lit(-1.0)), root, 4L)
+    val grown = read(4L)
+    val bumped = grown.filter(_._3 == -1.0).map(_._1)
+    val wantBumped = ev.filter($"event_id" % 30 === 0)
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(bumped == wantBumped, "the post-vacuum append must serve")
+    assert(grown.filterNot(t => t._1 % 30 == 0) ==
+      pre(3).filterNot(t => t._1 % 30 == 0),
+      "untouched keys must survive the post-vacuum append unchanged")
+  }
+
+  test("schema evolution: add-column commits widen later horizons " +
+    "only, upserts fill the new column, and dropping a committed " +
+    "column is refused") {
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val root = tmpDir("ttl-evolve")
+    TimeTravel.initLedgeredTable(ev.filter($"event_id" % 3 === 0), root)
+    TimeTravel.appendCommitEvolved(
+      ev.filter($"event_id" % 3 === 1)
+        .unionByName(ev.filter($"event_id" % 6 === 0))
+        .withColumn("score", $"value" * 2.0), root, 1L)
+    val h0 = TimeTravel.readEventsAsOf(spark, root, 0L)
+    assert(!h0.columns.contains("score"),
+      "pre-change horizons must serve the old shape")
+    val h1 = TimeTravel.readEventsAsOf(spark, root, 1L)
+    assert(h1.columns.contains("score"))
+    val scored = h1.filter($"score".isNotNull)
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    val wantScored = ev.filter($"event_id" % 3 === 1 ||
+        $"event_id" % 6 === 0)
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(scored == wantScored,
+      "exactly the evolved commit's inserts+upserts carry the column")
+    // add-column ONLY: a commit missing a previously committed column
+    // is refused before anything stages
+    assertThrows[IllegalArgumentException](
+      TimeTravel.appendCommitEvolved(
+        ev.filter($"event_id" % 3 === 2).drop("value"), root, 2L))
+    assert(!TimeTravel.protocol(root).foldedBatches().contains(2L))
+  }
+
   test("the ledger is exactly-once and build-once: replayed folds and " +
     "deletes no-op, and a second ensure serves identical horizons") {
     val root = TimeTravel.ensureLedgeredEvents(spark, sf0001)
