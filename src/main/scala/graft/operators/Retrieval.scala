@@ -458,6 +458,35 @@ object Retrieval {
     )(st => mergeBm25Indexes(s, srcA, srcB, st))
   }
 
+  /** Build-if-absent the merged×time-travel gate fixture — the
+    * composition `text_bm25_merged` and `text_bm25_asof` each prove
+    * alone: two independent crawls of the HISTORY wave (doc_id % 5 ≠ 4
+    * split % 3) merged (seed + `merged-from=` fold b0), then the
+    * lifecycle continues ON the merged root — the late wave folds as
+    * b1 and a takedown tombstones d2 — so horizons STRADDLE the merge:
+    * 0 = just-merged (history union), 1 = + late wave, 2 = post-
+    * takedown. Keyed on the takedown's ledger entry (commits last).
+    */
+  def ensureMergedAsOfBm25Index(s: SparkSession, d: String): String = {
+    val docs = Tables.documents(s, d)
+    val hist = docs.filter(col("doc_id") % 5 =!= 4)
+    val srcA = Layout.ensurePublishedDir(
+      s, fixtureRoot(s, d, "graft_bm25_ma_src_a"))(bm25Complete(s, _))(
+      st => writeBm25Index(hist.filter(col("doc_id") % 3 =!= 2), st))
+    val srcB = Layout.ensurePublishedDir(
+      s, fixtureRoot(s, d, "graft_bm25_ma_src_b"))(bm25Complete(s, _))(
+      st => writeBm25Index(hist.filter(col("doc_id") % 3 === 2), st))
+    Layout.ensurePublishedDir(
+      s, fixtureRoot(s, d, "graft_bm25_merged_asof"))(
+      r => bm25Complete(s, r) && protocol(r).deletedBatches().contains(2L)
+    ) { st =>
+      mergeBm25Indexes(s, srcA, srcB, st)
+      appendToBm25Index(docs.filter(col("doc_id") % 5 === 4), st, 1L)
+      deleteFromBm25Index(docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")), st, 2L)
+    }
+  }
+
   /** The grown-index gate: seed from the history wave (doc_id % 5 ≠ 4),
     * fold the remainder as one ledgered append, serve — result must be
     * IDENTICAL to scoring the whole corpus, so the fold itself sits
@@ -2357,6 +2386,32 @@ object Retrieval {
          |FROM (${bm25OracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
       (s, d) =>
       val idx = ensureAsOfBm25Index(s, d)
+      Seq(0L, 1L, 2L).map { h =>
+        bm25TopK(s, idx, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("doc_id"), col("score"))
+      }.reduce(_.union(_))
+    },
+
+    // MERGE × TIME TRAVEL — the composition gate: the as-of read
+    // serves a MERGED root at horizons that straddle the merge itself
+    // (0 = the `merged-from=` b0 union of both crawls, 1 = + a
+    // post-merge fold, 2 = post-takedown). Nothing new is built — the
+    // gate proves the two round-16 features compose: b0's dir order
+    // admits it at every horizon alongside the seed copy, the stats
+    // deltas scope the same way, and the takedown's d2 hides below
+    // nothing it shouldn't. Oracle = the same horizon-restricted BM25
+    // arithmetic as text_bm25_asof, over the union corpus.
+    QuerySpec("text_bm25_merged_asof",
+      s"""SELECT CAST(0 AS BIGINT) AS horizon, doc_id, score
+         |FROM (${bm25OracleSqlOver("doc_id % 5 <> 4")})
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS horizon, doc_id, score
+         |FROM (${bm25OracleSqlOver("TRUE")})
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS horizon, doc_id, score
+         |FROM (${bm25OracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
+      (s, d) =>
+      val idx = ensureMergedAsOfBm25Index(s, d)
       Seq(0L, 1L, 2L).map { h =>
         bm25TopK(s, idx, asOf = Some(h))
           .select(lit(h).as("horizon"), col("doc_id"), col("score"))

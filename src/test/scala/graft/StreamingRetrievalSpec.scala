@@ -57,6 +57,43 @@ class StreamingRetrievalSpec extends SparkSpec {
     assert(resultsOf(out) == streamed, "replayed batch must not duplicate")
   }
 
+  test("stream search against a MERGED root: micro-batch union equals " +
+    "the batch serve over the merged index — the streaming twin of " +
+    "text_bm25_merged") {
+    implicit val sc = spark.sqlContext
+    // The merged fixture: two independent crawls whose union is the
+    // full corpus, merged into one servable root (seed + b0). The
+    // stream path reads it through the same committed-dirs resolution
+    // as any single-crawl root — nothing merge-specific to configure.
+    val idx = Retrieval.ensureMergedBm25Index(spark, sf0001)
+    val out = tmpDir("sbm25m-out")
+    val ckpt = tmpDir("sbm25m-ckpt")
+    val in = MemoryStream[(Long, Seq[String])]
+    val q = StreamingRetrieval.start(
+      in.toDF().toDF("query_id", "terms"), idx, out, ckpt)
+    try {
+      in.addData(queries.take(2): _*)
+      q.processAllAvailable()
+      in.addData(queries.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = resultsOf(out)
+    val batch = Retrieval.bm25Batch(spark, idx,
+      queries.toDF("query_id", "terms"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed == batch,
+      "merged-root stream serve must equal the merged-root batch serve")
+    // ... and the merged root really is the union: the same stream
+    // against the single-build full-corpus index agrees (the
+    // merge-equivalence contract, now pinned on the STREAMING path)
+    val whole = Retrieval.bm25Batch(spark,
+      Retrieval.ensureBm25Index(spark, sf0001),
+      queries.toDF("query_id", "terms"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed == whole,
+      "merged-root stream serve must equal the from-scratch build's")
+  }
+
   test("streaming NEAR / regex / fuzzy / prefix serves: every " +
     "retrieval class's micro-batch output equals its batch serve, and " +
     "a replayed batchId rewrites rather than duplicates") {
