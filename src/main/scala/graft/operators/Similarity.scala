@@ -199,6 +199,54 @@ object Similarity {
 
   private val ivfCtes: String = ivfCtesOver("TRUE")
 
+  /** The multi-round trained-IVF oracle: [[lloydTrain]]'s integer-
+    * exact recurrence unrolled as chained CTEs (the PageRank oracle
+    * convention — DuckDB bars aggregation in recursive CTEs), then the
+    * standard probe/score/rank serve over the round-`rounds` centroids.
+    * Each round: assign to the previous centroids on 4-dp-rounded
+    * cosine (cent_id tie-break), then
+    * `floor(sum(round(v[d]·1e9)) / count)` per (cell, dim) — BIGINT
+    * sums are order-free, so both engines land bit-identical centroid
+    * chains. Centroid CTEs are MATERIALIZED: each is referenced by the
+    * next round's assignment (and the last by serve + probes), and
+    * un-pinned chains re-inline multiplicatively.
+    */
+  private def ivfTrainedCtes(rounds: Int, nprobe: Int = 4): String = {
+    def assignTo(c: String, name: String) =
+      s"""$name AS (SELECT vec_id, v, cent_id FROM (
+         |    SELECT e.vec_id, e.v, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
+         |    FROM e, $c c) WHERE rn = 1)""".stripMargin
+    val roundBlocks = (1 to rounds).map { r =>
+      s"""${assignTo(s"tc${r - 1}", s"ta$r")},
+         |tm$r AS (SELECT cent_id, d,
+         |    CAST(floor(CAST(sum(CAST(round(v[d] * 1000000000.0) AS BIGINT))
+         |      AS DOUBLE) / count(*)) AS BIGINT) AS cx
+         |  FROM ta$r, range(1, 65) t(d) GROUP BY cent_id, d),
+         |tc$r AS MATERIALIZED (SELECT cent_id,
+         |    list(cx / 1000000000.0 ORDER BY d) AS cv
+         |  FROM tm$r GROUP BY cent_id)""".stripMargin
+    }.mkString(",\n")
+    s"""tc0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0),
+       |$roundBlocks,
+       |${assignTo(s"tc$rounds", "taf")},
+       |tprobes AS (SELECT vec_id AS query_id, v AS qv, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM e, tc$rounds c WHERE e.vec_id < $NQueries) WHERE rn <= $nprobe),
+       |tscored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+       |  FROM tprobes p JOIN taf a
+       |    ON p.cent_id = a.cent_id AND a.vec_id <> p.query_id),
+       |tivf AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM tscored) WHERE rank <= $TopK)""".stripMargin
+  }
+
   /** The nprobe tuning-curve oracle: one widest-probe candidate CTE
     * (probe rank kept), ranked per nprobe slice — the same composition
     * the engine runs.
@@ -1396,6 +1444,17 @@ object Similarity {
         staging)
     }
 
+  /** Build-if-absent PERSISTED multi-round-trained IVF index — the
+    * [[writeTrainedIvfIndex]] construction under its own root; serving
+    * is the unchanged [[indexTopK]] path.
+    */
+  def ensureTrainedIvfIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_ivf_trained"))(
+      ivfComplete(s, _)) { staging =>
+      writeTrainedIvfIndex(corpus(s, d).select(col("vec_id"), col("v")),
+        staging)
+    }
+
   /** Build-if-absent PERSISTED bounded-K IVF index: the
     * [[writeIvfIndexFixedK]] construction (hash-ordered LIMIT-`FixedK`
     * seeds, one Lloyd step, cell-partitioned layout) under its own
@@ -1494,6 +1553,77 @@ object Similarity {
     // roundtrip is exact). repartition(cent_id) clusters each cell
     // into one file before the partitioned write — without it every
     // task writes a sliver of every cell (tasks × cells small files).
+    assign(e, e.sparkSession.read.parquet(s"$path/cents"), 1)
+      .repartition(col("cent_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cent_id")
+      .parquet(s"$path/vectors/seed")
+  }
+
+  /** Lloyd rounds for the TRAINED build — enough to show genuine
+    * multi-round convergence without an unbounded oracle unroll.
+    */
+  val TrainedRounds = 3
+
+  /** Multi-round Lloyd under the integer-exact iterative convention
+    * (the PageRank grid): per round, assignment ranks the 4-dp-rounded
+    * cosine with cent_id tie-break (the [[assign]] kernel, unchanged),
+    * and the new centroid coordinate is
+    * `floor(sum(round(v[d]·1e9)) / count)` — a 1e9-scaled BIGINT sum
+    * (order-free, so no cross-engine float-association drift) followed
+    * by one deterministic double division + floor. The single-step
+    * [[lloydStep]] keeps its original double `avg` (every existing
+    * gate's oracle mirrors it); this recurrence exists so the CHAIN is
+    * reproducible: round r's centroids are bit-identical in Spark and
+    * the unrolled-CTE oracle, which is what lets `sim_ivf_trained`
+    * value-gate a k-round build end-to-end.
+    *
+    * Scale shape per round: one exchange-free in-row assignment scan
+    * (the K-element centroid array rides the row), one (cell, dim)-
+    * keyed map-side-combining aggregate, and a localCheckpoint to
+    * truncate the growing plan lineage — the same per-iteration
+    * discipline as `Curation.pagerank`. Empty cells drop out of the
+    * next round in both engines identically (no assigned rows → no
+    * group).
+    */
+  private[graft] def lloydTrain(e: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val toIv = transform(col("v"), x =>
+      round(x.cast("double") * lit(1e9)).cast("long"))
+    var cents = seeds
+    for (_ <- 1 to rounds) {
+      cents = assign(e, cents, 1)
+        .select(col("cent_id"), posexplode(toIv).as(Seq("dim", "ix")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(floor(sum(col("ix")).cast("double") / count(lit(1)))
+          .cast("long").as("cx"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cx"))))
+          .as("pairs"))
+        .select(col("cent_id"),
+          transform(col("pairs"), p => p("cx").cast("double") / lit(1e9))
+            .as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** [[writeIvfIndex]] with `rounds` integer-exact Lloyd iterations
+    * instead of one double-avg step — the offline-training build for
+    * a corpus whose seed sample is far from the mass (recall at equal
+    * nprobe is never worse and strictly better on planted clusters,
+    * see IvfTrainedSpec). Layout, serve path and fold/delete lifecycle
+    * are identical to every other IVF root.
+    */
+  def writeTrainedIvfIndex(vecs: DataFrame, path: String,
+      rounds: Int = TrainedRounds, seedEvery: Int = 25): Unit = {
+    val e = vecs.select(col("vec_id"), col("v"))
+    lloydTrain(e,
+      e.filter(col("vec_id") % seedEvery === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv")),
+      rounds)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/cents")
     assign(e, e.sparkSession.read.parquet(s"$path/cents"), 1)
       .repartition(col("cent_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -2635,6 +2765,27 @@ object Similarity {
          |$ivfCtes
          |SELECT query_id, neighbor_id, rank FROM ivf""".stripMargin)(
       (s, d) => ivfTopKIndexed(s, d)),
+
+    // Multi-round TRAINED IVF: the build iterates Lloyd TrainedRounds
+    // times under the integer-exact recurrence (1e9-scaled BIGINT cell
+    // sums, floor-div means — the PageRank convention, so the centroid
+    // CHAIN is bit-identical cross-engine), and the oracle unrolls the
+    // identical rounds as chained CTEs before the standard
+    // probe/score/rank serve. The one-step gates stay on lloydStep;
+    // this one certifies that k-round training is exactly reproducible
+    // end-to-end. Recall superiority on planted clusters is pinned in
+    // IvfTrainedSpec (an inequality, not a value image).
+    QuerySpec(
+      "sim_ivf_trained",
+      s"""WITH $eCte,
+         |${ivfTrainedCtes(TrainedRounds)}
+         |SELECT query_id, neighbor_id, rank FROM tivf""".stripMargin) {
+      (s, d) =>
+        indexTopK(s, ensureTrainedIvfIndex(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("qv")))
+    },
 
     // The incremental-growth proof under the value-level gate: an index
     // seeded from the history wave (vec_id % 5 ≠ 4) with the increment
