@@ -320,7 +320,26 @@ object Curation {
             when(col("s").isNotNull, lit(PrScale / k)).otherwise(lit(0L))
               .as("r0"))
     }).cache()
-    val edges = Seq((31L, 7L), (17L, 3L), (13L, 11L))
+    val edges = plantedEdges(nodes, n, PrFormulas)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // (src, dst, d) built once and cached — reused by all iterations
+    val ed = edges.join(deg, Seq("src")).cache()
+    val r = pagerankRounds(based,
+      based.select(col("id"), col("r0").as("r")), ed, PrIters)
+    ed.unpersist()
+    based.unpersist()
+    prTopScores(r)
+  }
+
+  /** The three modular edge formulas of the planted link graph. */
+  private val PrFormulas = Seq((31L, 7L), (17L, 3L), (13L, 11L))
+
+  /** The planted edge frame for a formula subset: each doc links to
+    * its modular images, self-loops dropped, duplicates collapsed.
+    */
+  private def plantedEdges(nodes: org.apache.spark.sql.DataFrame, n: Long,
+      formulas: Seq[(Long, Long)]): org.apache.spark.sql.DataFrame =
+    formulas
       .map { case (a, b) =>
         nodes.select(col("id").as("src"),
           ((col("id") * a + b) % n).as("dst"))
@@ -328,11 +347,17 @@ object Curation {
       .reduce(_.union(_))
       .filter(col("dst") =!= col("src"))
       .distinct()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // (src, dst, d) built once and cached — reused by all iterations
-    val ed = edges.join(deg, Seq("src")).cache()
-    var r = based.select(col("id"), col("r0").as("r"))
-    for (_ <- 1 to PrIters) {
+
+  /** The iteration core: `iters` rounds of the integer recurrence from
+    * an ARBITRARY starting state — the seam warm-start re-iteration
+    * ([[pagerankIncremental]]) shares with the from-scratch builds.
+    */
+  private def pagerankRounds(based: org.apache.spark.sql.DataFrame,
+      init: org.apache.spark.sql.DataFrame,
+      ed: org.apache.spark.sql.DataFrame,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    var r = init
+    for (_ <- 1 to iters) {
       val contrib = ed.join(r, ed("src") === r("id"))
         .select(col("dst").as("id"), expr("r DIV d").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("c"))
@@ -342,13 +367,98 @@ object Curation {
           (col("b") + expr("(85 * coalesce(c, 0L)) DIV 100")).as("r"))
         .localCheckpoint()
     }
-    ed.unpersist()
-    based.unpersist()
-    // top-k via TakeOrderedAndProject (orderBy+limit) — no rank column:
-    // a global row_number would be an unpartitioned window, the hazard
-    // class the repo-wide PlanSpec sweep bans.
+    r
+  }
+
+  // top-k via TakeOrderedAndProject (orderBy+limit) — no rank column:
+  // a global row_number would be an unpartitioned window, the hazard
+  // class the repo-wide PlanSpec sweep bans.
+  private def prTopScores(r: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     r.select(col("id").as("doc_id"), col("r").as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(PrTopK)
+
+  /** The uniform-teleport base frame (id, b, r0) — shared by the
+    * classic gate path above and the incremental one.
+    */
+  private def prUniformBase(nodes: org.apache.spark.sql.DataFrame,
+      n: Long): org.apache.spark.sql.DataFrame = {
+    val r0 = PrScale / n
+    nodes.select(col("id"), lit((r0 * 15) / 100).as("b"), lit(r0).as("r0"))
+  }
+
+  private[graft] def graphProtocol(path: String) =
+    new graft.index.FoldProtocol(path, "_graph_ledger")
+
+  /** Build-if-absent the INCREMENTAL-pagerank fixture: a ledgered
+    * link-graph root whose `edges/seed` holds the first two formulas'
+    * edges, `scores/seed` the converged-state checkpoint (PrIters
+    * rounds over that partial graph), and ledgered fold b1 the third
+    * formula's edges — the graph GROWTH event. Keyed on the fold's
+    * ledger entry (it commits last).
+    */
+  def ensurePagerankLedger(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_pr_ledger$suffix").toString
+    Layout.ensurePublishedDir(s, root)(
+      r => graphProtocol(r).foldedBatches().contains(1L)
+    ) { staging =>
+      val p = graphProtocol(staging)
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val n = nodes.count()
+      val e0 = plantedEdges(nodes, n, PrFormulas.take(2))
+      e0.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"${p.dir("edges")}/seed")
+      val based = prUniformBase(nodes, n).cache()
+      val deg0 = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val ed0 = e0.join(deg0, Seq("src")).cache()
+      pagerankRounds(based,
+        based.select(col("id"), col("r0").as("r")), ed0, PrIters)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"${p.dir("scores")}/seed")
+      ed0.unpersist(); based.unpersist()
+      p.fold(1L, Seq("edges")) {
+        plantedEdges(nodes, n, PrFormulas.drop(2))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"${p.dir("edges")}/b1")
+      }
+    }
+    root
+  }
+
+  /** Incremental PageRank — iterative graph state joins the engine's
+    * incremental theme (NB grow/forget, `dedup_incremental`,
+    * `q_incr_join`): new edges land as ledgered commits on the graph
+    * root, and re-scoring WARM-STARTS from the persisted score
+    * checkpoint instead of re-propagating from uniform — the converged
+    * history is paid for once. The committed edge read is
+    * re-ingest-idempotent (a re-emitted edge collapses in the distinct,
+    * mirroring the planted graph's own duplicate collapse), and the
+    * degree frame is recomputed over the GROWN edge set, so new
+    * out-links correctly dilute their source's contributions. The gate
+    * pins EXACT equality against the from-scratch recurrence on the
+    * grown graph (the oracle unrolls both phases), so warm-start is a
+    * cost optimization with a value-level contract, not an
+    * approximation.
+    */
+  def pagerankIncremental(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val root = ensurePagerankLedger(s, d)
+    val p = graphProtocol(root)
+    val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+    val n = nodes.count()
+    val based = prUniformBase(nodes, n).cache()
+    val edges = s.read.parquet(p.committedDirs("edges"): _*)
+      .select(col("src"), col("dst")).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val ed = edges.join(deg, Seq("src")).cache()
+    val warm = s.read.parquet(s"${p.dir("scores")}/seed")
+      .select(col("id"), col("r"))
+    val r = pagerankRounds(based, warm, ed, PrIters)
+    ed.unpersist(); based.unpersist()
+    prTopScores(r)
   }
 
   /** The pagerank oracle: the identical integer recurrence unrolled
@@ -401,6 +511,53 @@ object Curation {
       s"""
          |SELECT id AS doc_id, r AS score
          |FROM r$PrIters ORDER BY r DESC, id LIMIT $PrTopK""".stripMargin
+  }
+
+  /** The incremental-pagerank oracle: BOTH phases unrolled — PrIters
+    * rounds over the two-formula partial graph (the persisted score
+    * checkpoint's construction), then PrIters warm-started rounds over
+    * the grown three-formula graph with its re-derived degrees. Exact
+    * equality is the point: the engine's warm start must be
+    * indistinguishable from this from-scratch recompute.
+    */
+  private def pagerankIncrementalOracleSql: String = {
+    def edgesSql(formulas: Seq[(Long, Long)]): String =
+      formulas.map { case (a, b) =>
+        s"SELECT id AS src, (id*$a+$b) % (SELECT n FROM nn) AS dst FROM nodes"
+      }.mkString("\n    UNION ALL ")
+    def edSql(tag: String, formulas: Seq[(Long, Long)]): String =
+      s"""e$tag AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    ${edgesSql(formulas)})
+         |  WHERE dst <> src),
+         |deg$tag AS (SELECT src, count(*) AS d FROM e$tag GROUP BY src),
+         |ed$tag AS (SELECT e.src, e.dst, g.d
+         |           FROM e$tag e JOIN deg$tag g ON g.src = e.src)"""
+        .stripMargin
+    val head =
+      s"""nodes AS (SELECT doc_id AS id FROM documents),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |nb AS (SELECT id,
+         |  (SELECT (($PrScale // n) * 15) // 100 FROM nn) AS b,
+         |  (SELECT $PrScale // n FROM nn) AS r FROM nodes),
+         |${edSql("0", PrFormulas.take(2))},
+         |${edSql("1", PrFormulas)},
+         |r0 AS (SELECT id, r FROM nb)""".stripMargin
+    val iters = (1 to 2 * PrIters).map { k =>
+      val ed = if (k <= PrIters) "ed0" else "ed1"
+      s"""r$k AS (
+         |  SELECT v.id, CAST(v.b
+         |       + ((85 * COALESCE(s.c, 0)) // 100) AS BIGINT) AS r
+         |  FROM nb v LEFT JOIN (
+         |    SELECT ed.dst AS id, CAST(SUM(p.r // ed.d) AS BIGINT) AS c
+         |    FROM r${k - 1} p JOIN $ed ed ON ed.src = p.id
+         |    GROUP BY ed.dst) s ON s.id = v.id)""".stripMargin
+    }
+    (Seq("WITH " + head) ++ iters).mkString(",\n") +
+      s"""
+         |SELECT id AS doc_id, r AS score
+         |FROM r${2 * PrIters} ORDER BY r DESC, id LIMIT $PrTopK"""
+        .stripMargin
   }
 
   /** The doc_dsir oracle — shared VERBATIM with `doc_dsir_indexed`: the
@@ -462,6 +619,18 @@ object Curation {
       pagerank(Tables.documents(s, d),
         teleport = Some(Tables.documents(s, d)
           .filter(col("source") === "src0").select(col("doc_id"))))
+    },
+
+    // INCREMENTAL PageRank: the third edge formula lands as a ledgered
+    // commit on the persisted graph root, and re-scoring warm-starts
+    // from the persisted score checkpoint (PrIters rounds on the
+    // partial graph) instead of from uniform. The oracle unrolls BOTH
+    // phases from scratch, so the gate pins warm-start == full
+    // recompute to the last integer — the incremental theme (NB
+    // grow/forget, dedup_incremental) extended to iterative graph
+    // state.
+    QuerySpec("q_pagerank_incremental", pagerankIncrementalOracleSql) {
+      (s, d) => pagerankIncremental(s, d)
     },
 
     // Sessionization (batch): a session breaks after a 30-minute silence.
