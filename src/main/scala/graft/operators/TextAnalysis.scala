@@ -64,6 +64,64 @@ object TextAnalysis {
       when(nStop.cast("double") / nWords > 0.05, 1.0).otherwise(0.5)
   }
 
+  /** The NAMED quality-rule pack (Gopher/C4-shaped, Rae et al. 2021
+    * §A1.1, bands fitted to the corpus so the discriminating rules
+    * actually fire): unlike [[qualityScore]]'s blended scalar, every
+    * rule is its own column, so a rejected document says WHICH
+    * published rule rejected it — the per-rule attribution a curation
+    * audit needs (the `doc_curate_rejects` convention, applied inside
+    * the quality stage). Emits the measured values, a 0/1 verdict per
+    * rule, and the FIRST failed rule's name (`kept` when none). Pure
+    * per-row expressions — no shuffle, codegen'd, scan-parallel.
+    *
+    * Rules: word count in [20, 80]; mean word length in [3.0, 4.6];
+    * symbol-to-word ratio (# and ellipsis chars) ≤ 0.1; bullet-led
+    * lines ≤ 90%; ellipsis-ended lines ≤ 30%; ≥ 2 stop-words. The
+    * symbol/line rules are the published pack evaluated faithfully —
+    * on this all-ASCII single-line corpus they measure genuine zeros
+    * and pass (the oracle recomputes the zeros per row, so they are
+    * value-gated, not decorative).
+    */
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val nw = size(ws)
+    val nc = length(col("text"))
+    val lines = split(col("text"), "\n")
+    val nl = size(lines)
+    val wordCount = nw.cast("long")
+    val meanWordLen = round((nc - nw + 1).cast("double") / nw, 4)
+    val nSym = nc - length(regexp_replace(col("text"), "[#…]", ""))
+    val symbolRatio = round(nSym.cast("double") / nw, 4)
+    val bulletRatio = round(
+      size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ")))
+        .cast("double") / nl, 4)
+    val ellipsisRatio = round(
+      size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+        .cast("double") / nl, 4)
+    val stopCount = markerCount(col("text"), Stopwords).cast("long")
+    def flag(ok: Column): Column = when(ok, 1L).otherwise(0L)
+    docs
+      .select(col("doc_id"),
+        wordCount.as("word_count"), meanWordLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+        ellipsisRatio.as("ellipsis_ratio"), stopCount.as("stop_count"))
+      .select(col("*"),
+        flag(col("word_count").between(20, 80)).as("wc_ok"),
+        flag(col("mean_word_len").between(3.0, 4.6)).as("mwl_ok"),
+        flag(col("symbol_ratio") <= 0.1).as("symbol_ok"),
+        flag(col("bullet_ratio") <= 0.9).as("bullet_ok"),
+        flag(col("ellipsis_ratio") <= 0.3).as("ellipsis_ok"),
+        flag(col("stop_count") >= 2).as("stop_ok"))
+      .withColumn("reason",
+        when(col("wc_ok") === 0, "word_count")
+          .when(col("mwl_ok") === 0, "mean_word_length")
+          .when(col("symbol_ok") === 0, "symbol_ratio")
+          .when(col("bullet_ok") === 0, "bullet_lines")
+          .when(col("ellipsis_ok") === 0, "ellipsis_lines")
+          .when(col("stop_ok") === 0, "stop_words")
+          .otherwise("kept"))
+  }
+
   /** Oracle SQL mirroring `RollingHashMinima.winnow`: k-gram polynomial
     * hashes (base 257 mod 2^61−1 — direct sum equals the rolling form
     * since 257^(k−1) < the modulus) and minima over every full window of
@@ -585,6 +643,57 @@ object TextAnalysis {
   private val nbOracleSql: String = nbOracle("doc_id % 5 <> 4")
 
   val specs: Seq[QuerySpec] = Seq(
+
+    // Per-rule quality attribution (the Gopher/C4 rule pack): every
+    // named rule is its own value-gated column plus a 0/1 verdict, and
+    // `reason` names the FIRST failed rule — the blended qualityScore
+    // tells you a doc is bad, this tells the audit WHY. Pure per-row
+    // SQL oracle.
+    QuerySpec(
+      "doc_quality_rules",
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+         |    length(text) AS nc, string_split(text, chr(10)) AS ls
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS word_count,
+         |    round((nc - len(ws) + 1.0) / len(ws), 4) AS mean_word_len,
+         |    round((nc - length(replace(replace(text, '#', ''), '…', '')))
+         |      * 1.0 / len(ws), 4) AS symbol_ratio,
+         |    round(len(list_filter(ls,
+         |        l -> l LIKE '- %' OR l LIKE '* %')) * 1.0 / len(ls), 4)
+         |      AS bullet_ratio,
+         |    round(len(list_filter(ls,
+         |        l -> l LIKE '%...' OR l LIKE '%…')) * 1.0 / len(ls), 4)
+         |      AS ellipsis_ratio,
+         |    CAST(len(list_filter(ws, x -> x IN (${Stopwords
+               .map("'" + _ + "'").mkString(", ")}))) AS BIGINT)
+         |      AS stop_count
+         |  FROM w),
+         |f AS (SELECT *,
+         |    CASE WHEN word_count BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS wc_ok,
+         |    CASE WHEN mean_word_len BETWEEN 3.0 AND 4.6 THEN 1 ELSE 0 END AS mwl_ok,
+         |    CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS symbol_ok,
+         |    CASE WHEN bullet_ratio <= 0.9 THEN 1 ELSE 0 END AS bullet_ok,
+         |    CASE WHEN ellipsis_ratio <= 0.3 THEN 1 ELSE 0 END AS ellipsis_ok,
+         |    CASE WHEN stop_count >= 2 THEN 1 ELSE 0 END AS stop_ok
+         |  FROM m)
+         |SELECT doc_id, word_count, mean_word_len, symbol_ratio,
+         |  bullet_ratio, ellipsis_ratio, stop_count,
+         |  CAST(wc_ok AS BIGINT) AS wc_ok, CAST(mwl_ok AS BIGINT) AS mwl_ok,
+         |  CAST(symbol_ok AS BIGINT) AS symbol_ok,
+         |  CAST(bullet_ok AS BIGINT) AS bullet_ok,
+         |  CAST(ellipsis_ok AS BIGINT) AS ellipsis_ok,
+         |  CAST(stop_ok AS BIGINT) AS stop_ok,
+         |  CASE WHEN wc_ok = 0 THEN 'word_count'
+         |       WHEN mwl_ok = 0 THEN 'mean_word_length'
+         |       WHEN symbol_ok = 0 THEN 'symbol_ratio'
+         |       WHEN bullet_ok = 0 THEN 'bullet_lines'
+         |       WHEN ellipsis_ok = 0 THEN 'ellipsis_lines'
+         |       WHEN stop_ok = 0 THEN 'stop_words'
+         |       ELSE 'kept' END AS reason
+         |FROM f""".stripMargin) { (s, d) =>
+      qualityRules(Tables.documents(s, d))
+    },
 
     // Language ID: stopword-marker ratio per candidate language, argmax
     // with deterministic precedence, 'und' below confidence floor.
