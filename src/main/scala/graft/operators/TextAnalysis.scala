@@ -695,6 +695,103 @@ object TextAnalysis {
       qualityRules(Tables.documents(s, d))
     },
 
+    // Repetition filters (the Gopher §A1.1 repetition signals): a doc
+    // dominated by one word or one bigram, or with a collapsed
+    // distinct-word ratio, is boilerplate/spam however good its other
+    // quality stats. Per doc: the most frequent word and bigram (count
+    // tie broken on the larger string — deterministic in both
+    // engines), their share of the token stream, the distinct-word
+    // ratio, a 0/1 verdict per signal, and the first failed signal's
+    // name. Two shuffles, both keyed by doc_id (token counts, gram
+    // counts) with map-side combine; the per-doc argmax is one
+    // struct-max aggregate, no window.
+    QuerySpec(
+      "doc_repetition",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |n AS (SELECT doc_id, len(ws) AS nw FROM w),
+        |t AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |c AS (SELECT doc_id, word, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |tw AS (SELECT doc_id, word AS top_word, cnt AS top_cnt FROM (
+        |   SELECT doc_id, word, cnt,
+        |     row_number() OVER (PARTITION BY doc_id
+        |                        ORDER BY cnt DESC, word DESC) AS rn
+        |   FROM c) WHERE rn = 1),
+        |nd AS (SELECT doc_id, count(*) AS ndist FROM c GROUP BY 1),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, greatest(len(ws), 1)),
+        |          i -> ws[i] || ' ' || ws[i+1])) AS gm
+        |      FROM w),
+        |gc AS (SELECT doc_id, gm, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |tg AS (SELECT doc_id, gm AS top_bigram, cnt AS tg_cnt FROM (
+        |   SELECT doc_id, gm, cnt,
+        |     row_number() OVER (PARTITION BY doc_id
+        |                        ORDER BY cnt DESC, gm DESC) AS rn
+        |   FROM gc) WHERE rn = 1),
+        |f AS (SELECT n.doc_id, CAST(nw AS BIGINT) AS n_words, top_word,
+        |    round(top_cnt * 1.0 / nw, 4) AS top_share,
+        |    top_bigram,
+        |    round(tg_cnt * 1.0 / greatest(nw - 1, 1), 4) AS bigram_share,
+        |    round(ndist * 1.0 / nw, 4) AS distinct_ratio
+        |  FROM n JOIN tw USING (doc_id) JOIN nd USING (doc_id)
+        |         JOIN tg USING (doc_id))
+        |SELECT *,
+        |  CAST(CASE WHEN top_share <= 0.12 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS word_ok,
+        |  CAST(CASE WHEN bigram_share <= 0.05 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS bigram_ok,
+        |  CAST(CASE WHEN distinct_ratio >= 0.35 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS distinct_ok,
+        |  CASE WHEN top_share > 0.12 THEN 'top_word'
+        |       WHEN bigram_share > 0.05 THEN 'top_bigram'
+        |       WHEN distinct_ratio < 0.35 THEN 'distinct_ratio'
+        |       ELSE 'kept' END AS reason
+        |FROM f""".stripMargin) { (s, d) =>
+      val docs = Par.fanOut(Tables.documents(s, d))
+      val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"), col("ws"), size(col("ws")).as("nw"))
+      val wc = base
+        .select(col("doc_id"), explode(col("ws")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      val topWord = wc.groupBy(col("doc_id"))
+        .agg(max(struct(col("cnt"), col("word"))).as("m"),
+          count(lit(1)).as("ndist"))
+        .select(col("doc_id"), col("m.word").as("top_word"),
+          col("m.cnt").as("top_cnt"), col("ndist"))
+      val topGram = docs
+        .select(col("doc_id"),
+          explode(Dedup.kgrams(col("text"), 2)).as("gm"))
+        .groupBy(col("doc_id"), col("gm"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("cnt"), col("gm"))).as("m"))
+        .select(col("doc_id"), col("m.gm").as("top_bigram"),
+          col("m.cnt").as("tg_cnt"))
+      base.select(col("doc_id"), col("nw"))
+        .join(topWord, Seq("doc_id"))
+        .join(topGram, Seq("doc_id"))
+        .select(col("doc_id"), col("nw").cast("long").as("n_words"),
+          col("top_word"),
+          round(col("top_cnt").cast("double") / col("nw"), 4)
+            .as("top_share"),
+          col("top_bigram"),
+          round(col("tg_cnt").cast("double") /
+            greatest(col("nw") - 1, lit(1)), 4).as("bigram_share"),
+          round(col("ndist").cast("double") / col("nw"), 4)
+            .as("distinct_ratio"))
+        .select(col("*"),
+          when(col("top_share") <= 0.12, 1L).otherwise(0L).as("word_ok"),
+          when(col("bigram_share") <= 0.05, 1L).otherwise(0L)
+            .as("bigram_ok"),
+          when(col("distinct_ratio") >= 0.35, 1L).otherwise(0L)
+            .as("distinct_ok"),
+          when(col("top_share") > 0.12, "top_word")
+            .when(col("bigram_share") > 0.05, "top_bigram")
+            .when(col("distinct_ratio") < 0.35, "distinct_ratio")
+            .otherwise("kept").as("reason"))
+    },
+
     // Language ID: stopword-marker ratio per candidate language, argmax
     // with deterministic precedence, 'und' below confidence floor.
     QuerySpec(
