@@ -45,4 +45,29 @@ object StreamingTimeTravel {
       }
       .start()
   }
+
+  /** [[startAppend]] for a stream carrying a WIDENED table shape —
+    * batches land through
+    * [[graft.operators.TimeTravel.appendCommitEvolved]], so a restart
+    * of the ingest under an add-column schema change keeps committing
+    * (old horizons keep the old shape, the stream's commits serve the
+    * new one), and the add-column-only guard still fails a batch that
+    * would DROP a committed column rather than ledger it. Epoch scheme
+    * identical to [[startAppend]].
+    */
+  def startAppendEvolved(rows: DataFrame, root: String,
+      checkpoint: String): StreamingQuery = {
+    val epoch = StreamingDedup.epochFor(rows, checkpoint,
+      TimeTravel.protocol(root).allLedgerIds() + 0L)
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) // empty-batch suppression (K3)
+          TimeTravel.appendCommitEvolved(batch, root,
+            (epoch << 32) | batchId)
+        ()
+      }
+      .start()
+  }
 }

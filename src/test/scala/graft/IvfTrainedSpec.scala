@@ -84,4 +84,41 @@ class IvfTrainedSpec extends SparkSpec {
     assert(rTrained >= (queryIds.length * 5 * 7) / 10,
       s"trained recall $rTrained below 70% on the planted corpus")
   }
+
+  test("the trained root speaks the full index lifecycle: appends " +
+    "assign to the FROZEN trained centroids, deletes tombstone, " +
+    "replays short-circuit") {
+    val ids = (0L until 400L).toSeq
+    val vecs = ids.map(i => (i, vecOf(i))).toDF("vec_id", "v")
+    val root = tmpDir("ivf-train-life")
+    Similarity.writeTrainedIvfIndex(vecs, root)
+    val centsBefore = spark.read.parquet(
+      Similarity.protocol(root).dir("cents")).collect().toSet
+    // fold a new wave (shifted ids) — exactly-once under replay
+    val wave = (400L until 440L).map(i => (i, vecOf(i - 400L)))
+      .toDF("vec_id", "v")
+    assert(Similarity.appendToIvfIndex(wave, root, 1L))
+    assert(!Similarity.appendToIvfIndex(wave, root, 1L),
+      "a committed fold must no-op on replay")
+    // the appended twins of the query vectors are now their nearest
+    // neighbors (cosine 1 at rank 1)
+    val queries = ids.take(5).map(q => (q, vecOf(q)))
+      .toDF("query_id", "qv")
+    val served = Similarity.indexTopK(spark, root, queries, nprobe = 2)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    assert(ids.take(5).forall(q => served(q) == q + 400L),
+      s"each query's folded twin must serve at rank 1: $served")
+    // centroids stayed FROZEN through the fold
+    val centsAfter = spark.read.parquet(
+      Similarity.protocol(root).dir("cents")).collect().toSet
+    assert(centsAfter == centsBefore, "folds must not move trained cents")
+    // takedown hides the twins again
+    assert(Similarity.deleteFromIvfIndex(
+      wave.select($"vec_id"), root, 2L))
+    val after = Similarity.indexTopK(spark, root, queries, nprobe = 2)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(after.forall(_ < 400L), "tombstoned vectors must not serve")
+  }
 }

@@ -180,6 +180,74 @@ class TimeTravelSpec extends SparkSpec {
     assert(!TimeTravel.protocol(root).foldedBatches().contains(2L))
   }
 
+  test("vacuum composes with schema evolution: the resolved c-dir " +
+    "carries the floor horizon's shape, and evolution above the floor " +
+    "keeps widening") {
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val root = tmpDir("ttl-vac-evolve")
+    TimeTravel.initLedgeredTable(ev.filter($"event_id" % 3 === 0), root)
+    TimeTravel.appendCommit(ev.filter($"event_id" % 3 === 1), root, 1L)
+    // vacuum at floor 1 collapses the OLD-shape history into c1
+    assert(TimeTravel.vacuum(spark, root, 1L))
+    val h1 = TimeTravel.readEventsAsOf(spark, root, 1L)
+    assert(!h1.columns.contains("score"), "c1 must keep the old shape")
+    // the add-column commit lands ON TOP of the vacuumed c-dir
+    TimeTravel.appendCommitEvolved(
+      ev.filter($"event_id" % 3 === 2)
+        .withColumn("score", $"value" * 2.0), root, 2L)
+    val h2 = TimeTravel.readEventsAsOf(spark, root, 2L)
+    assert(h2.columns.contains("score"),
+      "the horizon above the evolution must serve the widened shape")
+    val n2 = h2.count()
+    // ... and a second vacuum AT the evolved horizon resolves into a
+    // WIDENED c2 (the newest-dir schema travels into the c-dir)
+    assert(TimeTravel.vacuum(spark, root, 2L))
+    val h2v = TimeTravel.readEventsAsOf(spark, root, 2L)
+    assert(h2v.columns.contains("score") && h2v.count() == n2)
+    val scored = h2v.filter($"score".isNotNull).count()
+    val wantScored = ev.filter($"event_id" % 3 === 2).count()
+    assert(scored == wantScored,
+      "NULL-backfilled old rows and scored new rows must survive the " +
+        "widened vacuum exactly")
+  }
+
+  test("streamed EVOLVED appends: a widened-schema stream commits " +
+    "through the ledger, old horizons keep the old shape, and the " +
+    "add-column guard travels to the stream") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamingTimeTravel
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+    val root = tmpDir("ttl-evolve-stream")
+    TimeTravel.initLedgeredTable(
+      ev.take(10).toSeq
+        .toDF("event_id", "ts", "user_id", "event_type", "value"), root)
+    // the stream carries the WIDENED shape: (base columns, score)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String,
+      Double, Double)]
+    val q = StreamingTimeTravel.startAppendEvolved(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type",
+        "value", "score"),
+      root, tmpDir("ttl-evolve-stream-ckpt"))
+    try {
+      in.addData(ev.slice(10, 15).toSeq.map(r =>
+        (r._1, r._2, r._3, r._4, r._5, r._5 * 2.0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val commits = TimeTravel.protocol(root).foldedBatches().toSeq.sorted
+    assert(commits.length == 1 && commits.head > 0L)
+    val h0 = TimeTravel.readEventsAsOf(spark, root, 0L)
+    assert(!h0.columns.contains("score"),
+      "the pre-stream horizon must keep the old shape")
+    val h1 = TimeTravel.readEventsAsOf(spark, root, commits.head)
+    assert(h1.columns.contains("score"))
+    assert(h1.filter($"score".isNotNull).count() == 5 &&
+      h1.count() == 15)
+  }
+
   test("the ledger is exactly-once and build-once: replayed folds and " +
     "deletes no-op, and a second ensure serves identical horizons") {
     val root = TimeTravel.ensureLedgeredEvents(spark, sf0001)
