@@ -461,6 +461,49 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     */
   def compactDirName(): String = s"c${highWater()}"
 
+  /** Normalize a requested vacuum floor to the newest COMMITTED ledger
+    * id at or below it (shared by every floor-bounded retention op): a
+    * `c<floor>` dir must carry a real ledger id as its fold order —
+    * an order with no id behind it would outrank tombstone high-water
+    * marks stamped before it and detach surviving deletes from the
+    * rows they hide. Content is identical either way (no commits sit
+    * in the gap), and horizons in the gap keep serving.
+    */
+  def normalizedFloor(requested: Long): Long = {
+    val ids = allLedgerIds() + 0L
+    require(requested >= 1L && requested <= ids.max,
+      s"vacuum floor $requested must name a horizon in [1, ${ids.max}]")
+    (ids - 0L).filter(_ <= requested).max
+  }
+
+  /** Vacuum honesty guard: every SURVIVING tombstone (deleteId >
+    * floor) must carry a high-water mark ≥ floor, else the resolved
+    * `c<floor>` dir (fold order = floor) would escape its anti-join
+    * and resurrect its victims at horizons above the delete.
+    * Unreachable for marks stamped by this build ([[stageTombstones]]
+    * stamps the max ledger id, ≥ any committed floor below the
+    * delete); the guard keeps legacy fold-only marks honest. One
+    * driver-side read of the surviving dirs' tiny hw column.
+    */
+  def requireNoDetachedSurvivors(s: SparkSession, floor: Long): Unit = {
+    val survivors = committedDirsOrEmpty("tombstones")
+      .filter(d => d.substring(d.lastIndexOf('/') + 1)
+        .drop(1).toLong > floor)
+    if (survivors.nonEmpty) {
+      val minHw = s.read.parquet(survivors: _*)
+        .agg(org.apache.spark.sql.functions.min(
+          coalesce(col("hw"), lit(Long.MaxValue))))
+        .head().getLong(0)
+      val names = survivors
+        .map(d => d.substring(d.lastIndexOf('/') + 1)).sorted
+      require(minHw >= floor,
+        s"vacuum at floor $floor would detach surviving tombstone(s) " +
+          s"${names.mkString(", ")} (min high-water $minHw < floor): " +
+          "their victims would resurface above the delete. Compact " +
+          "fully or lower the floor.")
+    }
+  }
+
   /** One-line operational snapshot of the index for monitoring /
     * debugging: generation mapping, committed ledger state, sub-dir
     * counts per kind, live tombstone batches, and the current lease
@@ -666,7 +709,17 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
 
   /** The committed sub-dirs under the CURRENT generation of `kind`:
     * every non-batch dir (seed, `c<hw>` compactions) plus exactly the
-    * ledgered b/d-dirs. Empty when the kind directory does not exist.
+    * ledgered b/d-dirs — MINUS anything a compaction dir supersedes:
+    * a `c<hw>` dir IS the resolved content of the seed and every
+    * b/d-dir at or below its order, so while both coexist (the window
+    * between a floor-bounded vacuum's atomic c-dir rename and its
+    * source purges — or a crash inside it) only the c-dir serves.
+    * Without the rule that window double-counts: postings/stats unions
+    * would see each collapsed row twice. The rename is therefore the
+    * vacuum's commit point; the purges are reclamation, not
+    * correctness. (Generation-swap compactions are unaffected: their
+    * new generation contains only the c-dir.) Empty when the kind
+    * directory does not exist.
     */
   def committedDirsOrEmpty(kind: String): Seq[String] = {
     val f = fs
@@ -676,14 +729,33 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     else {
       val folded = foldedBatches()
       val deleted = deletedBatches()
-      f.listStatus(kindPath).toSeq
+      val names = f.listStatus(kindPath).toSeq
         .filter(_.isDirectory)
         .map(_.getPath.getName)
         .filter(n => !n.startsWith(".") && (
           if (n.matches("b\\d+")) folded.contains(n.drop(1).toLong)
           else if (n.matches("d\\d+")) deleted.contains(n.drop(1).toLong)
           else true))
-        .map(n => s"$root/$kindRel/$n").sorted
+      dropSuperseded(names).map(n => s"$root/$kindRel/$n").sorted
+    }
+  }
+
+  /** The compaction-supersedes rule: when `c<hw>` dirs exist, the
+    * NEWEST one hides the seed, lower c-dirs, and every b/d-dir whose
+    * LEDGER id is at or below its order (their content is exactly what
+    * it resolved). The comparison is on the id embedded in the name,
+    * not [[dirOrd]]: a d-dir's fold order is its high-water mark's
+    * business — its absorption into a collapse is decided by when the
+    * DELETE committed, i.e. its own ledger id.
+    */
+  private def dropSuperseded(names: Seq[String]): Seq[String] = {
+    val cOrds = names.filter(_.matches("c\\d+")).map(dirOrd)
+    if (cOrds.isEmpty) names
+    else {
+      val maxC = cOrds.max
+      names.filterNot(n => n == "seed" ||
+        (n.matches("[bcd]\\d+") && n != s"c$maxC" &&
+          n.drop(1).toLong <= maxC))
     }
   }
 
@@ -700,12 +772,22 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
 
   /** Stage a delete batch's victim-id frame (single id column) under
     * `tombstones/d<deleteId>/` with overwrite semantics (replay-safe),
-    * carrying the delete's high-water mark: the max fold order
-    * committed at stage time, i.e. the newest data this delete hides.
+    * carrying the delete's high-water mark: the max COMMITTED LEDGER
+    * id at stage time (not just the max fold id), i.e. the newest data
+    * this delete can possibly hide. The distinction matters once a
+    * floor-bounded vacuum exists: a vacuum's resolved `c<floor>` dir
+    * may carry a DELETE id's order (floor = the table's newest commit,
+    * which can be a delete), putting its fold order above every
+    * ledgered fold — a fold-only high-water mark staged after it would
+    * sit below that dir and silently fail to hide its rows. Covering
+    * ord ranges where no dir exists is harmless (nothing to anti-join);
+    * re-ingest monotonicity is untouched (a later fold's id is above
+    * EVERY earlier ledger id by the monotonic-sequence contract, so it
+    * still outranks this mark).
     */
   def stageTombstones(ids: DataFrame, idCol: String, deleteId: Long): Unit =
     ids.select(col(idCol)).distinct()
-      .withColumn("hw", lit(highWater()))
+      .withColumn("hw", lit((allLedgerIds() + 0L).max))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/tombstones/d$deleteId")
 

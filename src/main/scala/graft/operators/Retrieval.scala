@@ -362,6 +362,99 @@ object Retrieval {
     }
   }
 
+  /** Floor-bounded retention for the BM25 index — the index-side twin
+    * of `TimeTravel.vacuum`, completing the lifecycle the full
+    * compaction cannot: [[compactBm25Index]] collapses EVERYTHING
+    * (trading every as-of horizon for the reclaim), this collapses
+    * only commits ≤ `floor` into one `c<floor>` per side, so horizons
+    * ≥ floor keep serving exactly as before while the per-commit dirs
+    * below — unbounded small-dir growth at a streaming-ingest cadence
+    * — are reclaimed. Horizons < floor REFUSE via the standard
+    * compaction honesty guard.
+    *
+    * Per side: postings `c<floor>` = the SERVED as-of-floor view
+    * (tombstones ≤ floor stripped — the collapse doubles as their
+    * physical purge), still bucket-partitioned so the static term
+    * prune keeps pushing; stats `c<floor>` = one summed row over the
+    * stats deltas ≤ floor (absorbing the deletes' negative rows).
+    * Each side stages into a dot-dir and lands by ONE atomic rename —
+    * the commit point, because the protocol's compaction-supersedes
+    * rule hides the collapsed sources the instant the c-dir appears;
+    * the purges after are reclamation. A crash between the two side
+    * renames serves collapsed postings with uncollapsed stats — both
+    * cover the corpus exactly once (the [[compactBm25Index]] window
+    * argument). Replays skip present targets and finish the purges; a
+    * fully-vacuumed floor is a committed no-op. Floor normalization
+    * and the surviving-tombstone detachment guard are the shared
+    * FoldProtocol preamble. Writer-lease-guarded.
+    */
+  def vacuumBm25Index(s: SparkSession, path: String,
+      floorRequested: Long): Boolean = {
+    val p = protocol(path)
+    p.withLease(s"vacuum-$floorRequested") {
+      val floor = p.normalizedFloor(floorRequested)
+      p.requireNoDetachedSurvivors(s, floor)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def sourcesOf(kindDir: String): Seq[String] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(kindDir)).toSeq
+          .filter(_.isDirectory).map(_.getPath.getName)
+          .filter(n => n == "seed" ||
+            (n.matches("[bc]\\d+") && p.dirOrd(n) <= floor &&
+              n != s"c$floor") ||
+            // a stats d-dir's ledger id (not its fold order, which is
+            // its deleteId's) decides absorption into the collapse
+            (n.matches("d\\d+") && n.drop(1).toLong <= floor))
+      val postingsDir = p.dir("postings")
+      val statsDir = p.dir("stats")
+      val tsDir = new org.apache.hadoop.fs.Path(path, "tombstones")
+      def spentTombstones: Seq[String] =
+        if (!fs.exists(tsDir)) Seq.empty
+        else fs.listStatus(tsDir).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(n => n.matches("d\\d+") && n.drop(1).toLong <= floor)
+      val pTarget = new org.apache.hadoop.fs.Path(postingsDir, s"c$floor")
+      val sTarget = new org.apache.hadoop.fs.Path(statsDir, s"c$floor")
+      val pSources = sourcesOf(postingsDir)
+      val sSources = sourcesOf(statsDir)
+      if (fs.exists(pTarget) && fs.exists(sTarget) && pSources.isEmpty &&
+          sSources.isEmpty && spentTombstones.isEmpty)
+        false // committed no-op: this floor is already fully vacuumed
+      else {
+        if (!fs.exists(pTarget)) {
+          val staging = new org.apache.hadoop.fs.Path(
+            postingsDir, s".c$floor.vacuum")
+          bucketSliced(indexPostingsAsOf(s, path, floor))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("bucket")
+            .parquet(staging.toString)
+          require(fs.rename(staging, pTarget),
+            s"vacuum of $path: rename $staging -> $pTarget failed")
+        }
+        if (!fs.exists(sTarget)) {
+          val staging = new org.apache.hadoop.fs.Path(
+            statsDir, s".c$floor.vacuum")
+          p.committedDirsAsOf("stats", floor)
+            .map(r => s.read.schema(StatsSchema).parquet(r))
+            .reduce(_.union(_))
+            .agg(sum(col("n")).cast("long").as("n"),
+              sum(col("sum_dl")).cast("long").as("sum_dl"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(staging.toString)
+          require(fs.rename(staging, sTarget),
+            s"vacuum of $path: rename $staging -> $sTarget failed")
+        }
+        pSources.foreach(n =>
+          fs.delete(new org.apache.hadoop.fs.Path(postingsDir, n), true))
+        sSources.foreach(n =>
+          fs.delete(new org.apache.hadoop.fs.Path(statsDir, n), true))
+        spentTombstones.foreach(n =>
+          fs.delete(new org.apache.hadoop.fs.Path(tsDir, n), true))
+        true
+      }
+    }
+  }
+
   /** Build-once cache keyed by the sf dir, same protocol as
     * `Similarity.ensureIvfIndex`: a complete index (a seed OR `c<hw>`
     * compaction _SUCCESS marker on both sides, resolved through the
@@ -538,6 +631,37 @@ object Retrieval {
       deleteFromBm25Index(docs.filter(col("doc_id") % 7 === 3)
         .select(col("doc_id")), staging, 2L)
     }
+
+  /** Build-if-absent the VACUUMED-index gate fixture: the as-of
+    * lifecycle (seed = history wave, fold b1 = late wave, takedown d2)
+    * then [[vacuumBm25Index]] at floor 1 — the seed collapses into c1,
+    * horizon 0 is reclaimed, horizons 1 and 2 must keep serving
+    * hash-equal to the unvacuumed construction (same oracle as
+    * text_bm25_asof's surviving branches). Completeness is the
+    * vacuum's POST-state: c1 present on both sides, seed gone, the
+    * takedown ledgered.
+    */
+  def ensureVacuumedBm25Index(s: SparkSession, d: String): String = {
+    val root = fixtureRoot(s, d, "graft_bm25_vacuum")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.ensurePublishedDir(s, root)(r =>
+      protocol(r).deletedBatches().contains(2L) &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("postings")}/c1", "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("stats")}/c1", "_SUCCESS")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("postings")}/seed"))
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      writeBm25Index(docs.filter(col("doc_id") % 5 =!= 4), staging)
+      appendToBm25Index(docs.filter(col("doc_id") % 5 === 4), staging, 1L)
+      deleteFromBm25Index(docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")), staging, 2L)
+      vacuumBm25Index(s, staging, 1L)
+    }
+  }
 
   /** BM25 served from the persisted index. The query terms' buckets are
     * computed driver-side with the SAME xxhash64 the build used (a
@@ -2387,6 +2511,27 @@ object Retrieval {
       (s, d) =>
       val idx = ensureAsOfBm25Index(s, d)
       Seq(0L, 1L, 2L).map { h =>
+        bm25TopK(s, idx, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("doc_id"), col("score"))
+      }.reduce(_.union(_))
+    },
+
+    // Floor-bounded index retention: the BM25 root VACUUMED at floor 1
+    // (seed collapsed into c1, horizon 0 reclaimed) must serve
+    // horizons 1 and 2 hash-equal to the unvacuumed construction —
+    // same modular oracle branches as text_bm25_asof, which is the
+    // whole contract: retention reclaims dirs, never moves a result.
+    // The below-floor refusal, replay no-op, post-vacuum folds and the
+    // detachment guard are pinned in RetrievalSpec.
+    QuerySpec("text_bm25_vacuum",
+      s"""SELECT CAST(1 AS BIGINT) AS horizon, doc_id, score
+         |FROM (${bm25OracleSqlOver("TRUE")})
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS horizon, doc_id, score
+         |FROM (${bm25OracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
+      (s, d) =>
+      val idx = ensureVacuumedBm25Index(s, d)
+      Seq(1L, 2L).map { h =>
         bm25TopK(s, idx, asOf = Some(h))
           .select(lit(h).as("horizon"), col("doc_id"), col("score"))
       }.reduce(_.union(_))

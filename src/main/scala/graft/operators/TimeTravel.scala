@@ -208,24 +208,30 @@ object TimeTravel {
     *
     * Crash-safe and exactly-once, the index-compaction way: the
     * resolved state stages into a dot-dir `committedDirs` cannot see,
-    * ONE atomic rename makes it `c<floor>`, then the collapsed
-    * sources are dropped. A crash before the rename changes nothing
-    * (replay recomputes); a crash between rename and the drops leaves
-    * BOTH the c-dir and its sources visible — still correct, because
-    * the resolved rows are value-identical to their winning originals
-    * and the per-key struct-max is duplicate-idempotent — and the
-    * replay (c-dir already present) just finishes the drops. A
-    * fully-vacuumed floor is a committed no-op (returns false). The
-    * ledger itself is never rewritten: replayed commitIds keep
-    * short-circuiting after their dirs are gone. Writer-lease-guarded
-    * like every index publish.
+    * ONE atomic rename makes it `c<floor>` — THE commit point, because
+    * the protocol's compaction-supersedes rule
+    * ([[graft.index.FoldProtocol.committedDirsOrEmpty]]) hides the
+    * collapsed sources the instant the c-dir lands — then the sources
+    * are dropped as pure reclamation. A crash before the rename
+    * changes nothing (replay recomputes); a crash after it serves
+    * exactly the post-vacuum view and the replay (c-dir already
+    * present) just finishes the drops. A fully-vacuumed floor is a
+    * committed no-op (returns false). The ledger itself is never
+    * rewritten: replayed commitIds keep short-circuiting after their
+    * dirs are gone. The requested floor normalizes to the newest
+    * committed id at or below it, and a vacuum that would detach a
+    * surviving tombstone REFUSES (see
+    * [[graft.index.FoldProtocol.requireNoDetachedSurvivors]]).
+    * Writer-lease-guarded like every index publish.
     */
-  def vacuum(s: SparkSession, root: String, floor: Long): Boolean = {
+  def vacuum(s: SparkSession, root: String, floorRequested: Long): Boolean = {
     val p = protocol(root)
-    p.withLease(s"vacuum-$floor") {
-      val ids = p.allLedgerIds() + 0L
-      require(floor >= 1L && floor <= ids.max,
-        s"vacuum floor $floor must name a horizon in [1, ${ids.max}]")
+    p.withLease(s"vacuum-$floorRequested") {
+      // floor normalization + surviving-tombstone detachment guard —
+      // the shared floor-bounded-retention preamble (see
+      // FoldProtocol.normalizedFloor / requireNoDetachedSurvivors)
+      val floor = p.normalizedFloor(floorRequested)
+      p.requireNoDetachedSurvivors(s, floor)
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val dataDir = new org.apache.hadoop.fs.Path(p.dir("data"))

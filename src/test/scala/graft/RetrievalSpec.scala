@@ -234,6 +234,72 @@ class RetrievalSpec extends SparkSpec {
     assert(served(Seq("dup", "query", "scan")) == full)
   }
 
+  test("vacuumBm25Index: surviving horizons serve identically, the " +
+    "reclaimed horizon refuses, replays no-op, and the index keeps " +
+    "folding and deleting after the vacuum") {
+    val docs = Tables.documents(spark, sf0001)
+    val idx = tmpDir("bm25-vacuum")
+    Retrieval.writeBm25Index(docs.filter($"doc_id" % 5 =!= 4), idx)
+    assert(Retrieval.appendToBm25Index(
+      docs.filter($"doc_id" % 5 === 4), idx, 1L))
+    assert(Retrieval.deleteFromBm25Index(
+      docs.filter($"doc_id" % 7 === 3).select($"doc_id"), idx, 2L))
+    def servedAsOf(h: Long) =
+      Retrieval.bm25TopK(spark, idx, asOf = Some(h))
+        .as[(Long, Double)].collect().toSeq
+    def servedNow() = Retrieval.bm25TopK(spark, idx)
+      .as[(Long, Double)].collect().toSeq
+    val pre = Map(1L -> servedAsOf(1L), 2L -> servedAsOf(2L))
+    val preNow = servedNow()
+    assert(Retrieval.vacuumBm25Index(spark, idx, 1L),
+      "first vacuum must report work done")
+    for (h <- Seq(1L, 2L))
+      assert(servedAsOf(h) == pre(h), s"horizon $h moved under vacuum")
+    assert(servedNow() == preNow, "the current serve moved under vacuum")
+    assertThrows[IllegalArgumentException](servedAsOf(0L))
+    // physical reclamation: seed gone, one c1 + the surviving dirs
+    import scala.jdk.CollectionConverters._
+    def roots(side: String): Set[String] =
+      java.nio.file.Files.list(java.nio.file.Paths.get(
+        Retrieval.protocol(idx).dir(side))).iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString).toSet
+    // commit 1 is AT the floor, so b1 is absorbed into c1 alongside
+    // the seed; only the post-floor delete's negative delta survives
+    assert(roots("postings") == Set("c1"),
+      s"postings roots: ${roots("postings")}")
+    assert(roots("stats") == Set("c1", "d2"),
+      s"stats roots: ${roots("stats")}")
+    // replay: committed no-op; ledgered ids keep short-circuiting
+    assert(!Retrieval.vacuumBm25Index(spark, idx, 1L))
+    assert(!Retrieval.appendToBm25Index(
+      docs.filter($"doc_id" % 5 === 4), idx, 1L))
+    // the index stays live: a post-vacuum fold (re-ingest of the
+    // takedown victims, id above every ledger id) serves — their new
+    // fold outranks the tombstone — and a post-vacuum delete whose
+    // high-water mark covers the collapsed dir hides c1 rows too
+    assert(Retrieval.appendToBm25Index(
+      docs.filter($"doc_id" % 7 === 3), idx, 3L))
+    val reingested = servedNow()
+    assert(reingested ==
+      Retrieval.bm25(spark, sf0001).as[(Long, Double)].collect().toSeq,
+      "re-ingest after vacuum must serve the full-corpus answer")
+    assert(Retrieval.deleteFromBm25Index(
+      docs.filter($"doc_id" % 2 === 0).select($"doc_id"), idx, 4L))
+    val afterDel = servedNow().map(_._1)
+    assert(afterDel.nonEmpty && afterDel.forall(_ % 2 == 1),
+      "a post-vacuum delete must hide collapsed rows as well")
+    // detachment guard: a legacy fold-only high-water mark below the
+    // next floor makes vacuum refuse rather than orphan the tombstone
+    docs.filter($"doc_id" % 11 === 0).select($"doc_id").distinct()
+      .withColumn("hw", lit(1L))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$idx/tombstones/d5")
+    Retrieval.protocol(idx).commit("d5")
+    assertThrows[IllegalArgumentException](
+      Retrieval.vacuumBm25Index(spark, idx, 4L))
+  }
+
   test("bm25 index build: write parallelism scales with shuffle " +
     "partitions instead of capping at Buckets; the bucket layout and " +
     "serve-side prune are untouched") {

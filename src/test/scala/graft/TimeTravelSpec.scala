@@ -180,6 +180,36 @@ class TimeTravelSpec extends SparkSpec {
     assert(!TimeTravel.protocol(root).foldedBatches().contains(2L))
   }
 
+  test("deletes staged AFTER a vacuum still hide the resolved rows " +
+    "(ledger-wide high-water stamps), and a legacy fold-only mark " +
+    "below the floor makes vacuum refuse") {
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val root = tmpDir("ttl-vac-hw")
+    TimeTravel.initLedgeredTable(ev.filter($"event_id" % 3 === 0), root)
+    TimeTravel.appendCommit(ev.filter($"event_id" % 3 === 1), root, 1L)
+    TimeTravel.deleteCommit(ev.filter($"event_id" % 5 === 0), root, 2L)
+    // floor 2 is a DELETE id: the resolved c2 outranks every fold, so
+    // a post-vacuum delete's high-water mark must clear it
+    assert(TimeTravel.vacuum(spark, root, 2L))
+    TimeTravel.deleteCommit(ev.filter($"event_id" % 7 === 0), root, 3L)
+    val got = TimeTravel.readEventsAsOf(spark, root, 3L)
+      .select($"event_id").as[Long].collect().toSet
+    assert(got.nonEmpty && got.forall(_ % 7 != 0),
+      "a delete staged after the vacuum must hide the c-dir's rows")
+    // legacy guard: a surviving tombstone whose stamp predates the
+    // ledger-wide convention (fold-only hw below the floor) makes the
+    // NEXT vacuum refuse rather than detach it
+    val p = TimeTravel.protocol(root)
+    ev.filter($"event_id" % 11 === 0).select($"event_id").distinct()
+      .withColumn("hw", lit(1L))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/tombstones/d4")
+    p.commit("d4")
+    assertThrows[IllegalArgumentException](
+      TimeTravel.vacuum(spark, root, 3L))
+  }
+
   test("vacuum composes with schema evolution: the resolved c-dir " +
     "carries the floor horizon's shape, and evolution above the floor " +
     "keeps widening") {
