@@ -1770,6 +1770,92 @@ object Similarity {
     }
   }
 
+  /** Floor-bounded retention for the IVF index — the vector-family
+    * member of the vacuum trio (`TimeTravel.vacuum` for base tables,
+    * `Retrieval.vacuumBm25Index` for postings): collapse the vector
+    * sub-roots with ledger id ≤ `floor` into ONE cell-partitioned
+    * `c<floor>` dir holding the SERVED as-of-floor view (tombstones ≤
+    * floor stripped — the collapse doubles as their physical purge),
+    * then reclaim the per-commit dirs. Horizons ≥ floor keep serving
+    * exactly as before; below, the standard compaction honesty guard
+    * refuses. Centroids are untouched (frozen across the lifecycle —
+    * only a refresh moves them, and the as-of read already refuses
+    * past a late refresh). The dot-dir stage + ONE atomic rename is
+    * the commit point via the protocol's compaction-supersedes rule;
+    * purges are reclamation. Floor normalization and the surviving-
+    * tombstone detachment guard are the shared FoldProtocol preamble.
+    * Writer-lease-guarded.
+    */
+  def vacuumIvfIndex(s: SparkSession, path: String,
+      floorRequested: Long): Boolean = {
+    val p = protocol(path)
+    p.withLease(s"vacuum-$floorRequested") {
+      val floor = p.normalizedFloor(floorRequested)
+      p.requireNoDetachedSurvivors(s, floor)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val vecDir = p.dir("vectors")
+      val target = new org.apache.hadoop.fs.Path(vecDir, s"c$floor")
+      val sources = fs.listStatus(new org.apache.hadoop.fs.Path(vecDir))
+        .toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        .filter(n => n == "seed" ||
+          (n.matches("[bc]\\d+") && p.dirOrd(n) <= floor &&
+            n != s"c$floor"))
+      val tsDir = new org.apache.hadoop.fs.Path(path, "tombstones")
+      val spentTombstones =
+        if (!fs.exists(tsDir)) Seq.empty
+        else fs.listStatus(tsDir).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(n => n.matches("d\\d+") && n.drop(1).toLong <= floor)
+      if (fs.exists(target) && sources.isEmpty && spentTombstones.isEmpty)
+        false // committed no-op: this floor is already fully vacuumed
+      else {
+        if (!fs.exists(target)) {
+          val staging =
+            new org.apache.hadoop.fs.Path(vecDir, s".c$floor.vacuum")
+          indexVectorsAsOf(s, path, floor)
+            .repartition(col("cent_id"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("cent_id")
+            .parquet(staging.toString)
+          require(fs.rename(staging, target),
+            s"vacuum of $path: rename $staging -> $target failed")
+        }
+        sources.foreach(n =>
+          fs.delete(new org.apache.hadoop.fs.Path(vecDir, n), true))
+        spentTombstones.foreach(n =>
+          fs.delete(new org.apache.hadoop.fs.Path(tsDir, n), true))
+        true
+      }
+    }
+  }
+
+  /** Build-if-absent the VACUUMED-index gate fixture: the as-of
+    * lifecycle (seed = history wave, fold b1 = late wave, takedown d2)
+    * then [[vacuumIvfIndex]] at floor 1 — horizon 0 reclaimed,
+    * horizons 1 and 2 must keep serving hash-equal to the unvacuumed
+    * construction.
+    */
+  def ensureVacuumedIvfIndex(s: SparkSession, d: String): String = {
+    val root = fixtureRoot(s, d, "graft_ivf_vacuum")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.ensurePublishedDir(s, root)(r =>
+      protocol(r).deletedBatches().contains(2L) &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("vectors")}/c1", "_SUCCESS")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("vectors")}/seed"))
+    ) { staging =>
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      writeIvfIndex(e.filter(col("vec_id") % 5 =!= 4), staging)
+      appendToIvfIndex(e.filter(col("vec_id") % 5 === 4), staging, 1L)
+      deleteFromIvfIndex(e.filter(col("vec_id") % 9 === 0)
+        .select(col("vec_id")), staging, 2L)
+      vacuumIvfIndex(s, staging, 1L)
+    }
+  }
+
   /** Re-cluster a persisted IVF index in place — the recovery op for
     * distribution drift (appends are assigned to FROZEN centroids, so
     * recall decays as the data shifts; see `sim_ivf_refreshed`). One
@@ -2953,6 +3039,32 @@ object Similarity {
       val q = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       Seq(0L, 1L, 2L).map { h =>
+        indexTopK(s, idx, q, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("query_id"),
+            col("neighbor_id"), col("rank"))
+      }.reduce(_.union(_))
+    },
+
+    // Floor-bounded retention on the VECTOR index: the same lifecycle
+    // VACUUMED at floor 1 — horizon 0 reclaimed (refuses), horizons 1
+    // and 2 must serve hash-equal to the unvacuumed construction
+    // (oracle = sim_ivf_asof's surviving branches verbatim). With
+    // TimeTravel.vacuum and vacuumBm25Index this makes retention a
+    // kind-generic protocol feature, not a per-index special case.
+    QuerySpec(
+      "sim_ivf_vacuum",
+      s"""WITH $eCte,
+         |$ivfGrownAssignCtes,
+         |$ivfGrownProbesCte,
+         |${asofHorizonCte("h1", 1, "TRUE")},
+         |${asofHorizonCte("h2", 2, "a1.vec_id % 9 <> 0")}
+         |SELECT horizon, query_id, neighbor_id, rank FROM h1
+         |UNION ALL SELECT horizon, query_id, neighbor_id, rank FROM h2"""
+        .stripMargin) { (s, d) =>
+      val idx = ensureVacuumedIvfIndex(s, d)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Seq(1L, 2L).map { h =>
         indexTopK(s, idx, q, asOf = Some(h))
           .select(lit(h).as("horizon"), col("query_id"),
             col("neighbor_id"), col("rank"))

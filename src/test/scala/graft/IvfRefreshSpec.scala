@@ -120,6 +120,49 @@ class IvfRefreshSpec extends SparkSpec {
     assert(rows.groupBy(_._1).forall(_._2.length == 5))
   }
 
+  test("vacuumIvfIndex: surviving horizons serve identically, the " +
+    "reclaimed horizon refuses, replays no-op, centroids stay frozen, " +
+    "and folds/deletes keep working after the vacuum") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".as("v"))
+    val idx = tmpDir("ivf-vacuum")
+    Similarity.writeIvfIndex(e.filter($"vec_id" % 5 =!= 4), idx)
+    assert(Similarity.appendToIvfIndex(
+      e.filter($"vec_id" % 5 === 4), idx, 1L))
+    assert(Similarity.deleteFromIvfIndex(
+      e.filter($"vec_id" % 9 === 0).select($"vec_id"), idx, 2L))
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    def servedAsOf(h: Long) =
+      Similarity.indexTopK(spark, idx, q, asOf = Some(h))
+        .as[(Long, Long, Int)].collect().toSet
+    def servedNow() = Similarity.indexTopK(spark, idx, q)
+      .as[(Long, Long, Int)].collect().toSet
+    val pre = Map(1L -> servedAsOf(1L), 2L -> servedAsOf(2L))
+    val preNow = servedNow()
+    val centsBefore = spark.read.parquet(
+      Similarity.protocol(idx).dir("cents")).collect().toSet
+    assert(Similarity.vacuumIvfIndex(spark, idx, 1L))
+    for (h <- Seq(1L, 2L))
+      assert(servedAsOf(h) == pre(h), s"horizon $h moved under vacuum")
+    assert(servedNow() == preNow)
+    assertThrows[IllegalArgumentException](servedAsOf(0L))
+    assert(spark.read.parquet(Similarity.protocol(idx).dir("cents"))
+      .collect().toSet == centsBefore, "vacuum must not touch cents")
+    // replay no-op; committed ids keep short-circuiting; the index
+    // stays live (a post-vacuum re-ingest of the takedown victims
+    // outranks the absorbed tombstone)
+    assert(!Similarity.vacuumIvfIndex(spark, idx, 1L))
+    assert(!Similarity.appendToIvfIndex(
+      e.filter($"vec_id" % 5 === 4), idx, 1L))
+    assert(Similarity.appendToIvfIndex(
+      e.filter($"vec_id" % 9 === 0), idx, 3L))
+    val reingested = Similarity.indexVectors(spark, idx)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(reingested == e.select($"vec_id").as[Long].collect().toSet,
+      "post-vacuum re-ingest must restore full-corpus coverage")
+  }
+
   test("refreshIvfIndex: drift gate skips the rewrite, ledgered " +
     "refreshIds are exactly-once, folds keep short-circuiting") {
     val idx = tmpDir("ivf-refresh")
