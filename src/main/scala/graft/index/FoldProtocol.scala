@@ -476,6 +476,65 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     (ids - 0L).filter(_ <= requested).max
   }
 
+  /** Floor-bounded vacuum, kind-generic (the shared kernel of
+    * `TimeTravel.vacuum`, `Retrieval.vacuumBm25Index`,
+    * `Retrieval.vacuumSubstringIndex` and
+    * `Similarity.vacuumIvfIndex`): collapse every sub-root with
+    * ledger id ≤ `floor` into ONE `c<floor>` dir per side — each
+    * side's `stage` callback writes the index's own resolved
+    * as-of-floor content into a dot-staging dir, and ONE atomic
+    * rename lands it (THE commit point: the compaction-supersedes
+    * rule in [[committedDirsOrEmpty]] hides the collapsed sources the
+    * instant the c-dir appears) — then reclaim the sources and the
+    * absorbed tombstone batches. Horizons ≥ floor serve exactly as
+    * before; below, [[committedDirsAsOf]]'s honesty guard refuses.
+    * Replays skip present targets and finish the purges; a
+    * fully-vacuumed floor is a committed no-op (returns false).
+    * Writer-lease-guarded; floor normalization and the surviving-
+    * tombstone detachment guard run first.
+    */
+  def vacuumKinds(s: SparkSession, floorRequested: Long,
+      sides: Seq[(String, (Long, String) => Unit)]): Boolean =
+    withLease(s"vacuum-$floorRequested") {
+      val floor = normalizedFloor(floorRequested)
+      requireNoDetachedSurvivors(s, floor)
+      val f = fs
+      def sourcesOf(kindDir: Path): Seq[String] =
+        f.listStatus(kindDir).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(n => n == "seed" ||
+            (n.matches("[bc]\\d+") && dirOrd(n) <= floor &&
+              n != s"c$floor") ||
+            // a d-dir's absorption is decided by its own ledger id
+            // (its fold order is its high-water mark's business)
+            (n.matches("d\\d+") && n.drop(1).toLong <= floor))
+      val kindDirs = sides.map { case (kind, _) => new Path(dir(kind)) }
+      val targets = kindDirs.map(kd => new Path(kd, s"c$floor"))
+      val tsDir = new Path(rootPath, "tombstones")
+      def spentTombstones: Seq[String] =
+        if (!f.exists(tsDir)) Seq.empty
+        else f.listStatus(tsDir).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(n => n.matches("d\\d+") && n.drop(1).toLong <= floor)
+      val allSources = kindDirs.map(sourcesOf)
+      if (targets.forall(f.exists) && allSources.forall(_.isEmpty) &&
+          spentTombstones.isEmpty)
+        false // committed no-op: this floor is already fully vacuumed
+      else {
+        for (((kind, stage), (kd, target)) <-
+            sides.zip(kindDirs.zip(targets)) if !f.exists(target)) {
+          val staging = new Path(kd, s".c$floor.vacuum")
+          stage(floor, staging.toString)
+          require(f.rename(staging, target),
+            s"vacuum of $root/$kind: rename $staging -> $target failed")
+        }
+        for ((kd, srcs) <- kindDirs.zip(allSources); n <- srcs)
+          f.delete(new Path(kd, n), true)
+        spentTombstones.foreach(n => f.delete(new Path(tsDir, n), true))
+        true
+      }
+    }
+
   /** Vacuum honesty guard: every SURVIVING tombstone (deleteId >
     * floor) must carry a high-water mark ≥ floor, else the resolved
     * `c<floor>` dir (fold order = floor) would escape its anti-join

@@ -391,68 +391,22 @@ object Retrieval {
   def vacuumBm25Index(s: SparkSession, path: String,
       floorRequested: Long): Boolean = {
     val p = protocol(path)
-    p.withLease(s"vacuum-$floorRequested") {
-      val floor = p.normalizedFloor(floorRequested)
-      p.requireNoDetachedSurvivors(s, floor)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      def sourcesOf(kindDir: String): Seq[String] =
-        fs.listStatus(new org.apache.hadoop.fs.Path(kindDir)).toSeq
-          .filter(_.isDirectory).map(_.getPath.getName)
-          .filter(n => n == "seed" ||
-            (n.matches("[bc]\\d+") && p.dirOrd(n) <= floor &&
-              n != s"c$floor") ||
-            // a stats d-dir's ledger id (not its fold order, which is
-            // its deleteId's) decides absorption into the collapse
-            (n.matches("d\\d+") && n.drop(1).toLong <= floor))
-      val postingsDir = p.dir("postings")
-      val statsDir = p.dir("stats")
-      val tsDir = new org.apache.hadoop.fs.Path(path, "tombstones")
-      def spentTombstones: Seq[String] =
-        if (!fs.exists(tsDir)) Seq.empty
-        else fs.listStatus(tsDir).toSeq.filter(_.isDirectory)
-          .map(_.getPath.getName)
-          .filter(n => n.matches("d\\d+") && n.drop(1).toLong <= floor)
-      val pTarget = new org.apache.hadoop.fs.Path(postingsDir, s"c$floor")
-      val sTarget = new org.apache.hadoop.fs.Path(statsDir, s"c$floor")
-      val pSources = sourcesOf(postingsDir)
-      val sSources = sourcesOf(statsDir)
-      if (fs.exists(pTarget) && fs.exists(sTarget) && pSources.isEmpty &&
-          sSources.isEmpty && spentTombstones.isEmpty)
-        false // committed no-op: this floor is already fully vacuumed
-      else {
-        if (!fs.exists(pTarget)) {
-          val staging = new org.apache.hadoop.fs.Path(
-            postingsDir, s".c$floor.vacuum")
-          bucketSliced(indexPostingsAsOf(s, path, floor))
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .partitionBy("bucket")
-            .parquet(staging.toString)
-          require(fs.rename(staging, pTarget),
-            s"vacuum of $path: rename $staging -> $pTarget failed")
-        }
-        if (!fs.exists(sTarget)) {
-          val staging = new org.apache.hadoop.fs.Path(
-            statsDir, s".c$floor.vacuum")
-          p.committedDirsAsOf("stats", floor)
-            .map(r => s.read.schema(StatsSchema).parquet(r))
-            .reduce(_.union(_))
-            .agg(sum(col("n")).cast("long").as("n"),
-              sum(col("sum_dl")).cast("long").as("sum_dl"))
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(staging.toString)
-          require(fs.rename(staging, sTarget),
-            s"vacuum of $path: rename $staging -> $sTarget failed")
-        }
-        pSources.foreach(n =>
-          fs.delete(new org.apache.hadoop.fs.Path(postingsDir, n), true))
-        sSources.foreach(n =>
-          fs.delete(new org.apache.hadoop.fs.Path(statsDir, n), true))
-        spentTombstones.foreach(n =>
-          fs.delete(new org.apache.hadoop.fs.Path(tsDir, n), true))
-        true
-      }
-    }
+    p.vacuumKinds(s, floorRequested, Seq(
+      "postings" -> ((floor, staging) =>
+        bucketSliced(indexPostingsAsOf(s, path, floor))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("bucket")
+          .parquet(staging)),
+      "stats" -> ((floor, staging) =>
+        // integer re-sum of the stats deltas ≤ floor (absorbing the
+        // deletes' negative rows) — never through the avgdl double
+        p.committedDirsAsOf("stats", floor)
+          .map(r => s.read.schema(StatsSchema).parquet(r))
+          .reduce(_.union(_))
+          .agg(sum(col("n")).cast("long").as("n"),
+            sum(col("sum_dl")).cast("long").as("sum_dl"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(staging))))
   }
 
   /** Build-once cache keyed by the sf dir, same protocol as
@@ -1404,6 +1358,45 @@ object Retrieval {
   def ensureMergedSubstringIndex(s: SparkSession, d: String): String =
     ensureMergedPostingsIndex(s, d, "graft_trgm",
       writeSubstringIndex, mergeSubstringIndexes(s, _, _, _))
+
+  /** Floor-bounded retention for the trigram index — the shared
+    * [[graft.index.FoldProtocol.vacuumKinds]] kernel on a postings-
+    * only root: one collapsed bucket-partitioned `c<floor>` holding
+    * the served as-of view, sources and absorbed tombstones
+    * reclaimed, horizons below the floor refusing.
+    */
+  def vacuumSubstringIndex(s: SparkSession, path: String,
+      floorRequested: Long): Boolean =
+    protocol(path).vacuumKinds(s, floorRequested, Seq(
+      "postings" -> ((floor, staging) =>
+        bucketSliced(substringPostings(s, path, Some(floor)))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("bucket")
+          .parquet(staging))))
+
+  /** Build-if-absent the VACUUMED trigram gate fixture: the as-of
+    * ledger layout (seed / b1 / d2) vacuumed at floor 1.
+    */
+  def ensureVacuumedSubstringIndex(s: SparkSession, d: String): String = {
+    val root = fixtureRoot(s, d, "graft_trgm_vacuum")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.ensurePublishedDir(s, root)(r =>
+      protocol(r).deletedBatches().contains(2L) &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("postings")}/c1", "_SUCCESS")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("postings")}/seed"))
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      writeSubstringIndex(docs.filter(col("doc_id") % 5 =!= 4), staging)
+      appendToSubstringIndex(docs.filter(col("doc_id") % 5 === 4),
+        staging, 1L)
+      deleteFromSubstringIndex(docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")), staging, 2L)
+      vacuumSubstringIndex(s, staging, 1L)
+    }
+  }
 
   /** Build-if-absent the trigram AS-OF gate fixture (seed / `b1` /
     * `d2` — the [[ensureAsOfPhraseIndex]] ledger layout).
@@ -2604,6 +2597,25 @@ object Retrieval {
       val idx = ensureAsOfSubstringIndex(s, d)
       val docs = Tables.documents(s, d)
       Seq(0L, 1L, 2L).map { h =>
+        substringSearch(s, idx, docs, ProbeNeedle, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("doc_id"), col("n_occ"))
+      }.reduce(_.union(_))
+    },
+
+    // Floor-bounded retention on the trigram root — the fourth index
+    // family on the shared vacuumKinds kernel (base table, BM25,
+    // vectors, trigram postings): horizons 1–2 hash-equal to the
+    // unvacuumed construction, horizon 0 reclaimed.
+    QuerySpec("text_substring_vacuum",
+      s"""SELECT CAST(1 AS BIGINT) AS horizon, doc_id, n_occ
+         |FROM (${substringOracleSqlOver("1 = 1")})
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS horizon, doc_id, n_occ
+         |FROM (${substringOracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
+      (s, d) =>
+      val idx = ensureVacuumedSubstringIndex(s, d)
+      val docs = Tables.documents(s, d)
+      Seq(1L, 2L).map { h =>
         substringSearch(s, idx, docs, ProbeNeedle, asOf = Some(h))
           .select(lit(h).as("horizon"), col("doc_id"), col("n_occ"))
       }.reduce(_.union(_))

@@ -1787,48 +1787,14 @@ object Similarity {
     * Writer-lease-guarded.
     */
   def vacuumIvfIndex(s: SparkSession, path: String,
-      floorRequested: Long): Boolean = {
-    val p = protocol(path)
-    p.withLease(s"vacuum-$floorRequested") {
-      val floor = p.normalizedFloor(floorRequested)
-      p.requireNoDetachedSurvivors(s, floor)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val vecDir = p.dir("vectors")
-      val target = new org.apache.hadoop.fs.Path(vecDir, s"c$floor")
-      val sources = fs.listStatus(new org.apache.hadoop.fs.Path(vecDir))
-        .toSeq.filter(_.isDirectory).map(_.getPath.getName)
-        .filter(n => n == "seed" ||
-          (n.matches("[bc]\\d+") && p.dirOrd(n) <= floor &&
-            n != s"c$floor"))
-      val tsDir = new org.apache.hadoop.fs.Path(path, "tombstones")
-      val spentTombstones =
-        if (!fs.exists(tsDir)) Seq.empty
-        else fs.listStatus(tsDir).toSeq.filter(_.isDirectory)
-          .map(_.getPath.getName)
-          .filter(n => n.matches("d\\d+") && n.drop(1).toLong <= floor)
-      if (fs.exists(target) && sources.isEmpty && spentTombstones.isEmpty)
-        false // committed no-op: this floor is already fully vacuumed
-      else {
-        if (!fs.exists(target)) {
-          val staging =
-            new org.apache.hadoop.fs.Path(vecDir, s".c$floor.vacuum")
-          indexVectorsAsOf(s, path, floor)
-            .repartition(col("cent_id"))
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .partitionBy("cent_id")
-            .parquet(staging.toString)
-          require(fs.rename(staging, target),
-            s"vacuum of $path: rename $staging -> $target failed")
-        }
-        sources.foreach(n =>
-          fs.delete(new org.apache.hadoop.fs.Path(vecDir, n), true))
-        spentTombstones.foreach(n =>
-          fs.delete(new org.apache.hadoop.fs.Path(tsDir, n), true))
-        true
-      }
-    }
-  }
+      floorRequested: Long): Boolean =
+    protocol(path).vacuumKinds(s, floorRequested, Seq(
+      "vectors" -> ((floor, staging) =>
+        indexVectorsAsOf(s, path, floor)
+          .repartition(col("cent_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cent_id")
+          .parquet(staging))))
 
   /** Build-if-absent the VACUUMED-index gate fixture: the as-of
     * lifecycle (seed = history wave, fold b1 = late wave, takedown d2)

@@ -224,48 +224,12 @@ object TimeTravel {
     * [[graft.index.FoldProtocol.requireNoDetachedSurvivors]]).
     * Writer-lease-guarded like every index publish.
     */
-  def vacuum(s: SparkSession, root: String, floorRequested: Long): Boolean = {
-    val p = protocol(root)
-    p.withLease(s"vacuum-$floorRequested") {
-      // floor normalization + surviving-tombstone detachment guard —
-      // the shared floor-bounded-retention preamble (see
-      // FoldProtocol.normalizedFloor / requireNoDetachedSurvivors)
-      val floor = p.normalizedFloor(floorRequested)
-      p.requireNoDetachedSurvivors(s, floor)
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val dataDir = new org.apache.hadoop.fs.Path(p.dir("data"))
-      val target = new org.apache.hadoop.fs.Path(dataDir, s"c$floor")
-      val sources = fs.listStatus(dataDir).toSeq.filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .filter(n => n == "seed" ||
-          (n.matches("[bc]\\d+") && p.dirOrd(n) <= floor && n != s"c$floor"))
-      val tsDir = new org.apache.hadoop.fs.Path(root, "tombstones")
-      val spentTombstones =
-        if (!fs.exists(tsDir)) Seq.empty
-        else fs.listStatus(tsDir).toSeq.filter(_.isDirectory)
-          .map(_.getPath.getName)
-          .filter(n => n.matches("d\\d+") && n.drop(1).toLong <= floor)
-      if (fs.exists(target) && sources.isEmpty && spentTombstones.isEmpty)
-        false // committed no-op: this floor is already fully vacuumed
-      else {
-        if (!fs.exists(target)) {
-          val staging =
-            new org.apache.hadoop.fs.Path(dataDir, s".c$floor.vacuum")
-          resolvedAsOf(s, root, floor)
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(staging.toString)
-          require(fs.rename(staging, target),
-            s"vacuum of $root: rename $staging -> $target failed")
-        }
-        sources.foreach(n =>
-          fs.delete(new org.apache.hadoop.fs.Path(dataDir, n), true))
-        spentTombstones.foreach(n =>
-          fs.delete(new org.apache.hadoop.fs.Path(tsDir, n), true))
-        true
-      }
-    }
-  }
+  def vacuum(s: SparkSession, root: String, floorRequested: Long): Boolean =
+    protocol(root).vacuumKinds(s, floorRequested, Seq(
+      "data" -> ((floor, staging) =>
+        resolvedAsOf(s, root, floor)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(staging))))
 
   /** Build-if-absent the VACUUMED-table gate fixture: the same four
     * commits as [[ensureLedgeredEvents]], then [[vacuum]] at floor 2 —
