@@ -397,6 +397,45 @@ object Curation {
     * formula's edges — the graph GROWTH event. Keyed on the fold's
     * ledger entry (it commits last).
     */
+  /** Initialize a ledgered link-graph root from a docs frame: the
+    * first two planted formulas' edges land as `edges/seed` and the
+    * PrIters-round score checkpoint over that partial graph as
+    * `scores/seed` — the warm-start state every later re-score
+    * resumes from. Public so a streaming edge ingest
+    * (`StreamingCuration.startEdgeIngest`) can seed its own roots.
+    */
+  def initGraphLedger(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, root: String): Unit = {
+    val p = graphProtocol(root)
+    val nodes = docs.select(col("doc_id").as("id"))
+    val n = nodes.count()
+    val e0 = plantedEdges(nodes, n, PrFormulas.take(2))
+    e0.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${p.dir("edges")}/seed")
+    val based = prUniformBase(nodes, n).cache()
+    val deg0 = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val ed0 = e0.join(deg0, Seq("src")).cache()
+    pagerankRounds(based,
+      based.select(col("id"), col("r0").as("r")), ed0, PrIters)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${p.dir("scores")}/seed")
+    ed0.unpersist(); based.unpersist()
+  }
+
+  /** Fold one batch of NEW edges into the graph root, EXACTLY ONCE
+    * under replay — the link-graph growth event warm-start re-scoring
+    * resumes over.
+    */
+  def appendEdgesCommit(edges: org.apache.spark.sql.DataFrame,
+      root: String, commitId: Long): Boolean = {
+    val p = graphProtocol(root)
+    p.fold(commitId, Seq("edges")) {
+      edges.select(col("src"), col("dst"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"${p.dir("edges")}/b$commitId")
+    }
+  }
+
   def ensurePagerankLedger(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val suffix = d.replaceAll("\\W", "_")
     val root = new org.apache.hadoop.fs.Path(
@@ -405,25 +444,11 @@ object Curation {
     Layout.ensurePublishedDir(s, root)(
       r => graphProtocol(r).foldedBatches().contains(1L)
     ) { staging =>
-      val p = graphProtocol(staging)
+      initGraphLedger(s, Tables.documents(s, d), staging)
       val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
       val n = nodes.count()
-      val e0 = plantedEdges(nodes, n, PrFormulas.take(2))
-      e0.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"${p.dir("edges")}/seed")
-      val based = prUniformBase(nodes, n).cache()
-      val deg0 = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      val ed0 = e0.join(deg0, Seq("src")).cache()
-      pagerankRounds(based,
-        based.select(col("id"), col("r0").as("r")), ed0, PrIters)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"${p.dir("scores")}/seed")
-      ed0.unpersist(); based.unpersist()
-      p.fold(1L, Seq("edges")) {
-        plantedEdges(nodes, n, PrFormulas.drop(2))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"${p.dir("edges")}/b1")
-      }
+      appendEdgesCommit(plantedEdges(nodes, n, PrFormulas.drop(2)),
+        staging, 1L)
     }
     root
   }
@@ -444,10 +469,17 @@ object Curation {
     * approximation.
     */
   def pagerankIncremental(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    pagerankWarmStart(s, ensurePagerankLedger(s, d), Tables.documents(s, d))
+
+  /** The warm-start re-score over ANY ledgered graph root (batch- or
+    * stream-folded edges alike) — [[pagerankIncremental]]'s engine.
+    */
+  def pagerankWarmStart(s: org.apache.spark.sql.SparkSession,
+      root: String, docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val root = ensurePagerankLedger(s, d)
     val p = graphProtocol(root)
-    val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+    val nodes = docs.select(col("doc_id").as("id"))
     val n = nodes.count()
     val based = prUniformBase(nodes, n).cache()
     val edges = s.read.parquet(p.committedDirs("edges"): _*)

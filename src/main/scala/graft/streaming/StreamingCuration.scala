@@ -219,6 +219,32 @@ object StreamingCuration {
       }
       .start()
 
+  /** Stream NEW link-graph edges `(src, dst)` into a ledgered graph
+    * root — each micro-batch lands as one
+    * [[graft.operators.Curation.appendEdgesCommit]] fold (exactly-once
+    * under replay via the graph ledger, epoch-namespaced commitIds
+    * like every streaming fold), so a warm-start re-score
+    * ([[graft.operators.Curation.pagerankWarmStart]]) picks up the
+    * grown graph at any commit boundary — the streaming half of
+    * `q_pagerank_incremental`'s lifecycle. Re-emitted edges collapse
+    * in the reader's distinct (re-ingest idempotence).
+    */
+  def startEdgeIngest(edges: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val epoch = StreamingDedup.epochFor(edges, checkpoint,
+      graft.operators.Curation.graphProtocol(root).allLedgerIds() + 0L)
+    edges.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) // empty-batch suppression (K3)
+          graft.operators.Curation.appendEdgesCommit(
+            batch, root, (epoch << 32) | batchId)
+        ()
+      }
+      .start()
+  }
+
   /** One DSIR-score micro-batch — the replay-idempotent unit. */
   def publishDsirBatch(batch: DataFrame, batchId: Long, modelRoot: String,
       outPath: String): Unit = {

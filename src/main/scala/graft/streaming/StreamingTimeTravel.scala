@@ -46,6 +46,46 @@ object StreamingTimeTravel {
       .start()
   }
 
+  /** [[startAppend]] with RETENTION: after each committed batch, if
+    * more than `retainCommits` ledger ids are committed, vacuum the
+    * table at the `retainCommits`-th newest id — so a long-running
+    * hourly ingest (the reference's own cadence) holds a bounded
+    * as-of window instead of unbounded small-dir growth, the
+    * `startIngest(compactEvery)` pattern applied to the time-travel
+    * ledger. The vacuum is ledger-gated and replay-idempotent (a
+    * redelivered batch re-runs a committed-no-op vacuum), and recent
+    * horizons stay exactly as-of-readable; only horizons older than
+    * the window refuse.
+    */
+  def startAppendRetained(rows: DataFrame, root: String,
+      checkpoint: String, retainCommits: Int,
+      vacuumEvery: Int = 8): StreamingQuery = {
+    require(retainCommits >= 1, "retention window must keep >= 1 commit")
+    val epoch = StreamingDedup.epochFor(rows, checkpoint,
+      TimeTravel.protocol(root).allLedgerIds() + 0L)
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { // empty-batch suppression (K3)
+          TimeTravel.appendCommit(batch, root, (epoch << 32) | batchId)
+          // Vacuum on a cadence, not per batch: each vacuum rewrites
+          // the resolved state once (read c_prev + the window's
+          // batches, write c_new), so every-batch runs would make
+          // ingest O(table) per micro-batch — the compactEvery
+          // convention of StreamingRetrieval.startIngest.
+          val ids = TimeTravel.protocol(root).allLedgerIds().toSeq
+            .sorted(Ordering[Long].reverse)
+          if (vacuumEvery > 0 && batchId % vacuumEvery == vacuumEvery - 1
+              && ids.length > retainCommits)
+            TimeTravel.vacuum(batch.sparkSession, root,
+              ids(retainCommits - 1))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** [[startAppend]] for a stream carrying a WIDENED table shape —
     * batches land through
     * [[graft.operators.TimeTravel.appendCommitEvolved]], so a restart

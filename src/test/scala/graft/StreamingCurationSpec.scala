@@ -112,6 +112,43 @@ class StreamingCurationSpec extends SparkSpec {
     assert(routedKeep.nonEmpty)
   }
 
+  test("streamed edge folds: the grown graph's warm-start re-score " +
+    "equals the batch incremental gate, and a replayed edge commit " +
+    "no-ops") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf0001)
+    val root = tmpDir("pr-edge-stream")
+    Curation.initGraphLedger(spark, docs, root)
+    // the growth event (the third planted formula) streamed in TWO
+    // micro-batches split by src parity — the union distinct is the
+    // same grown graph q_pagerank_incremental folds in one batch
+    val n = docs.count()
+    val grow = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 13 + 11) % n).as("dst"))
+      .filter(col("dst") =!= col("src"))
+      .as[(Long, Long)].collect().toSeq
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamingCuration.startEdgeIngest(
+      in.toDF().toDF("src", "dst"), root, tmpDir("pr-edge-ckpt"))
+    try {
+      in.addData(grow.filter(_._1 % 2 == 0): _*); q.processAllAvailable()
+      in.addData(grow.filter(_._1 % 2 == 1): _*); q.processAllAvailable()
+    } finally q.stop()
+    val commits = Curation.graphProtocol(root).foldedBatches().toSeq.sorted
+    assert(commits.length == 2 && commits.head > 0L,
+      s"epoch-minted edge commits must clear the seed: $commits")
+    val streamed = Curation.pagerankWarmStart(spark, root, docs)
+      .as[(Long, Long)].collect().toSeq
+    val batch = SparkEntry.queries("q_pagerank_incremental")(spark, sf0001)
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed == batch,
+      "stream-grown graph must re-score exactly like the batch fold")
+    // replayed edge commit: committed no-op
+    assert(!Curation.appendEdgesCommit(
+      grow.take(3).toDF("src", "dst"), root, commits.head))
+  }
+
   test("startCurated: micro-batches through the bloom-routed exact " +
     "path land batch-keyed survivors identical to the batch operator") {
     implicit val sc = spark.sqlContext

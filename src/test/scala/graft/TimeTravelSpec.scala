@@ -242,6 +242,50 @@ class TimeTravelSpec extends SparkSpec {
         "widened vacuum exactly")
   }
 
+  test("retained streaming ingest: the as-of window stays bounded — " +
+    "recent horizons serve exactly, horizons past the retention " +
+    "window refuse, and the stream keeps committing") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamingTimeTravel
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+    val root = tmpDir("ttl-retained")
+    TimeTravel.initLedgeredTable(
+      ev.take(5).toSeq
+        .toDF("event_id", "ts", "user_id", "event_type", "value"), root)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    // vacuumEvery = 1 so the retention fires each batch in this spec
+    val q = StreamingTimeTravel.startAppendRetained(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      root, tmpDir("ttl-retained-ckpt"), retainCommits = 2,
+      vacuumEvery = 1)
+    try {
+      for (b <- 0 until 3) {
+        in.addData(ev.slice(5 + 5 * b, 10 + 5 * b).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val ids = TimeTravel.protocol(root).foldedBatches().toSeq.sorted
+    assert(ids.length == 3)
+    def count(h: Long): Long =
+      TimeTravel.readEventsAsOf(spark, root, h).count()
+    // the two newest commits stay exactly as-of-readable
+    assert(count(ids(1)) == 15 && count(ids(2)) == 20)
+    // the oldest horizon (and the pre-stream seed horizon) refused
+    assertThrows[IllegalArgumentException](count(ids(0)))
+    assertThrows[IllegalArgumentException](count(0L))
+    // the dir count is bounded: one resolved c-dir + the window's tail
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataNames = fs.listStatus(new org.apache.hadoop.fs.Path(
+        TimeTravel.protocol(root).dir("data")))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dataNames == Set(s"c${ids(1)}", s"b${ids(2)}"),
+      s"unexpected data dirs: $dataNames")
+  }
+
   test("streamed EVOLVED appends: a widened-schema stream commits " +
     "through the ledger, old horizons keep the old shape, and the " +
     "add-column guard travels to the stream") {
