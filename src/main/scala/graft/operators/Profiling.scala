@@ -250,6 +250,54 @@ object Profiling {
             .cast("long").as("nd_within_eps"))
     },
 
+    // Approximate quantiles — the distribution profile a 100-TB
+    // column gets instead of a global sort: Spark's percentile_approx
+    // (Greenwald–Khanna sketch — bounded state, map-side mergeable,
+    // rank error ≤ 1/accuracy) certified against its own contract the
+    // q_profile_approx way: the gate emits the EXACT interpolated
+    // quantiles (value-oracled, both engines interpolate
+    // a + (b−a)·frac over identical doubles) plus a within_eps
+    // verdict computed by ranking each sketch output against the
+    // column in one conditional-sum pass — the oracle recomputes the
+    // exact side and asserts the contract held. The sketch collect is
+    // one 4-double row (the bounded-register convention).
+    QuerySpec(
+      "q_quantile_sketch",
+      "WITH v AS (SELECT value FROM events)\n" +
+        Seq(0.25, 0.5, 0.75, 0.95).map(p =>
+          s"""SELECT CAST($p AS DOUBLE) AS pct,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_rows,
+             |  (SELECT round(quantile_cont(value, $p), 4) FROM v)
+             |    AS exact_q,
+             |  CAST(1 AS BIGINT) AS within_eps""".stripMargin)
+          .mkString("\nUNION ALL\n")) {
+      (s, d) =>
+      val pcts = Seq(0.25, 0.5, 0.75, 0.95)
+      val vals = Tables.events(s, d).select(col("value")).cache()
+      val sketch = vals
+        .agg(percentile_approx(col("value"),
+          typedLit(pcts), lit(1000)).as("qs"))
+        .head().getSeq[Double](0)
+      val eps = 0.002 // GK rank-error bound 1/accuracy, plus slack
+      val verdictCols = pcts.zip(sketch).zipWithIndex.map {
+        case ((p, q), i) =>
+          ((abs(sum(when(col("value") <= q, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)) - p) <= eps)
+            .cast("long").as(s"ok_$i"))
+      }
+      val exactCols = pcts.zipWithIndex.map { case (p, i) =>
+        round(expr(s"percentile(value, $p)"), 4).as(s"q_$i")
+      }
+      val one = vals.agg(count(lit(1)).as("n_rows"),
+        exactCols ++ verdictCols: _*)
+      val out = pcts.zipWithIndex.map { case (p, i) =>
+        one.select(lit(p).as("pct"), col("n_rows"),
+          col(s"q_$i").as("exact_q"), col(s"ok_$i").as("within_eps"))
+      }.reduce(_.unionByName(_))
+      vals.unpersist()
+      out
+    },
+
     // Hot-key detection — the pre-pass a skew-aware pipeline runs
     // before keying a 100-TB shuffle: which keys exceed 1/(c+1) of the
     // stream and need salting / capping / a skew-join hint. The
