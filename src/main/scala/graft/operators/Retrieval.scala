@@ -1398,6 +1398,49 @@ object Retrieval {
     }
   }
 
+  /** Floor-bounded retention for the positional phrase index — a
+    * [[graft.index.FoldProtocol.vacuumKinds]] adapter like
+    * [[vacuumSubstringIndex]].
+    */
+  def vacuumPhraseIndex(s: SparkSession, path: String,
+      floorRequested: Long): Boolean =
+    protocol(path).vacuumKinds(s, floorRequested, Seq(
+      "postings" -> ((floor, staging) =>
+        bucketSliced(phrasePostings(s, path, Some(floor)))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("bucket")
+          .parquet(staging))))
+
+  /** Floor-bounded retention for the word-positional (NEAR) index. */
+  def vacuumNearIndex(s: SparkSession, path: String,
+      floorRequested: Long): Boolean =
+    protocol(path).vacuumKinds(s, floorRequested, Seq(
+      "postings" -> ((floor, staging) =>
+        bucketSliced(nearPostings(s, path, Some(floor)))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("bucket")
+          .parquet(staging))))
+
+  /** Build-if-absent a VACUUMED gate fixture over the as-of ledger
+    * layout (seed / b1 / d2, vacuumed at floor 1) — shared by the
+    * phrase/NEAR retention gates; `build` stages the three commits,
+    * `vacuum` runs the kind's adapter.
+    */
+  private def ensureVacuumedPostingsIndex(s: SparkSession, d: String,
+      name: String, build: String => Unit,
+      vacuum: String => Boolean): String = {
+    val root = fixtureRoot(s, d, name)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.ensurePublishedDir(s, root)(r =>
+      protocol(r).deletedBatches().contains(2L) &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("postings")}/c1", "_SUCCESS")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("postings")}/seed"))
+    ) { staging => build(staging); vacuum(staging); () }
+  }
+
   /** Build-if-absent the trigram AS-OF gate fixture (seed / `b1` /
     * `d2` — the [[ensureAsOfPhraseIndex]] ledger layout).
     */
@@ -2577,6 +2620,59 @@ object Retrieval {
         phraseTopK(s, idx, ProbePhrase, asOf = Some(h))
           .select(lit(h).as("horizon"), col("doc_id"),
             col("n_hits"), col("first_pos"))
+      }.reduce(_.union(_))
+    },
+
+    // Floor-bounded retention on the PHRASE root — the vacuumKinds
+    // kernel on positional pair postings; horizons 1–2 hash-equal to
+    // the unvacuumed construction (text_phrase_asof's surviving
+    // branches), horizon 0 reclaimed.
+    QuerySpec("text_phrase_vacuum",
+      s"""SELECT CAST(1 AS BIGINT) AS horizon, doc_id, n_hits, first_pos
+         |FROM (${phraseOracleSqlOver("1 = 1")})
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS horizon, doc_id, n_hits, first_pos
+         |FROM (${phraseOracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
+      (s, d) =>
+      val idx = ensureVacuumedPostingsIndex(s, d, "graft_phrase_vacuum",
+        st => {
+          val docs = Tables.documents(s, d)
+          writePhraseIndex(docs.filter(col("doc_id") % 5 =!= 4), st)
+          appendToPhraseIndex(docs.filter(col("doc_id") % 5 === 4), st, 1L)
+          deleteFromPhraseIndex(docs.filter(col("doc_id") % 7 === 3)
+            .select(col("doc_id")), st, 2L)
+        },
+        vacuumPhraseIndex(s, _, 1L))
+      Seq(1L, 2L).map { h =>
+        phraseTopK(s, idx, ProbePhrase, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("doc_id"),
+            col("n_hits"), col("first_pos"))
+      }.reduce(_.union(_))
+    },
+
+    // Floor-bounded retention on the NEAR root — with the base table,
+    // BM25, IVF, trigram and phrase gates this makes retention a
+    // protocol feature of EVERY ledgered positional/postings family.
+    QuerySpec("text_near_vacuum",
+      s"""SELECT CAST(1 AS BIGINT) AS horizon, doc_id, best_span, n_windows
+         |FROM (${nearOracleSqlOver("1 = 1")})
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS horizon, doc_id, best_span, n_windows
+         |FROM (${nearOracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
+      (s, d) =>
+      val idx = ensureVacuumedPostingsIndex(s, d, "graft_near_vacuum",
+        st => {
+          val docs = Tables.documents(s, d)
+          writeNearIndex(docs.filter(col("doc_id") % 5 =!= 4), st)
+          appendToNearIndex(docs.filter(col("doc_id") % 5 === 4), st, 1L)
+          deleteFromNearIndex(docs.filter(col("doc_id") % 7 === 3)
+            .select(col("doc_id")), st, 2L)
+        },
+        vacuumNearIndex(s, _, 1L))
+      Seq(1L, 2L).map { h =>
+        nearSearch(s, idx, NearWords, NearWindow, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("doc_id"),
+            col("best_span"), col("n_windows"))
       }.reduce(_.union(_))
     },
 
