@@ -682,6 +682,53 @@ object Multimodal {
     }
   }
 
+  /** Floor-bounded retention for the perceptual-hash index — a
+    * [[graft.index.FoldProtocol.vacuumKinds]] adapter on the band-
+    * entry postings (the last ledgered family to join the vacuum
+    * trio's kernel: base table, BM25, IVF, trigram, phrase, NEAR,
+    * and now phash all reclaim history below a floor while horizons
+    * at or above it keep serving exactly).
+    */
+  def vacuumPhashIndex(s: SparkSession, path: String,
+      floorRequested: Long): Boolean =
+    phashProtocol(path).vacuumKinds(s, floorRequested, Seq(
+      "phashes" -> ((floor, staging) =>
+        indexPhashesAsOf(s, path, floor)
+          .repartition(col("bucket"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("bucket")
+          .parquet(staging))))
+
+  /** Build-if-absent the VACUUMED phash gate fixture: history wave
+    * seeded, late wave folded as b1, takedown d2, vacuumed at floor 1.
+    */
+  def ensureVacuumedPhashIndex(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_phash_vacuum$suffix").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.ensurePublishedDir(s, root)(r =>
+      phashProtocol(r).deletedBatches().contains(2L) &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"${phashProtocol(r).dir("phashes")}/c1", "_SUCCESS")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"${phashProtocol(r).dir("phashes")}/seed"))
+    ) { staging =>
+      def hashesOf(pred: org.apache.spark.sql.Column) =
+        perceptualHashes(plantedImages(s, d).filter(pred),
+          DispatchMediaKernel).toDF()
+      writePhashIndex(hashesOf(col("asset_id") % 5 =!= 4), staging)
+      appendToPhashIndex(hashesOf(col("asset_id") % 5 === 4), staging, 1L)
+      deleteFromPhashIndex(plantedImages(s, d)
+        .filter(col("asset_id") % 7 === 3)
+        .select(col("asset_id")), staging, 2L)
+      vacuumPhashIndex(s, staging, 1L)
+    }
+    root
+  }
+
   /** Incremental image dedup — the `Dedup.incrementalKeepNew` contract
     * on perceptual hashes: an incoming image SURVIVES iff no image
     * with a smaller asset_id (indexed history OR earlier in the
@@ -1087,6 +1134,44 @@ object Multimodal {
         DispatchMediaKernel).toDF()
         .select(col("asset_id").as("query_id"), col("phash"))
       phashSearch(s, idx, probes)
+    },
+
+    // Floor-bounded retention on the phash root — the seventh (and
+    // last) ledgered family on the vacuumKinds kernel: the full
+    // lifecycle (history seed, late-wave fold, takedown) vacuumed at
+    // floor 1, served at the surviving horizons. Horizon 1 = the
+    // whole corpus indexed, horizon 2 = post-takedown — both
+    // hash-equal to the unvacuumed construction (the closed-form
+    // chunk oracle with per-horizon candidate restrictions).
+    QuerySpec(
+      "multimodal_phash_vacuum",
+      s"""$phashChunksCte
+         |SELECT CAST(1 AS BIGINT) AS horizon, query_id, asset_id, hamming
+         |FROM (
+         |  SELECT DISTINCT a.doc_id AS query_id, b.doc_id AS asset_id,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv
+         |  WHERE a.doc_id % 8 = 1
+         |    AND bit_count(xor(a.sig, b.sig)) <= 3)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS horizon, query_id, asset_id, hamming
+         |FROM (
+         |  SELECT DISTINCT a.doc_id AS query_id, b.doc_id AS asset_id,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv
+         |  WHERE a.doc_id % 8 = 1 AND b.doc_id % 7 <> 3
+         |    AND bit_count(xor(a.sig, b.sig)) <= 3)""".stripMargin) {
+      (s, d) =>
+      val idx = ensureVacuumedPhashIndex(s, d)
+      val probes = perceptualHashes(
+        plantedImages(s, d).filter(col("asset_id") % 8 === 1),
+        DispatchMediaKernel).toDF()
+        .select(col("asset_id").as("query_id"), col("phash"))
+      Seq(1L, 2L).map { h =>
+        phashSearch(s, idx, probes, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("query_id"),
+            col("asset_id"), col("hamming"))
+      }.reduce(_.union(_))
     },
 
     // Video near-dup pairs: planted Y4M streams (C420, neutral
