@@ -1304,6 +1304,44 @@ object Similarity {
         .select(col("vec_id")), staging, 2L)
     }
 
+  /** Floor-bounded retention for the IVF+binary index — a
+    * [[graft.index.FoldProtocol.vacuumKinds]] adapter on the
+    * cell-partitioned sign words (cents frozen, like the float rung).
+    */
+  def vacuumIvfBinaryIndex(s: SparkSession, path: String,
+      floorRequested: Long): Boolean =
+    protocol(path).vacuumKinds(s, floorRequested, Seq(
+      "bwords" -> ((floor, staging) =>
+        indexBWordsAsOf(s, path, floor)
+          .repartition(col("cent_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cent_id")
+          .parquet(staging))))
+
+  /** Build-if-absent the VACUUMED binary-rung gate fixture: the as-of
+    * ledger layout (seed / b1 / d2) vacuumed at floor 1.
+    */
+  def ensureVacuumedIvfBinaryIndex(s: SparkSession, d: String): String = {
+    val root = fixtureRoot(s, d, s"graft_ivf_binl_vacuum_k$FixedK")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.ensurePublishedDir(s, root)(r =>
+      protocol(r).deletedBatches().contains(2L) &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("bwords")}/c1", "_SUCCESS")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("bwords")}/seed"))
+    ) { staging =>
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      writeIvfBinaryIndex(e.filter(col("vec_id") % 5 =!= 4), staging)
+      appendToIvfBinaryIndex(e.filter(col("vec_id") % 5 === 4),
+        staging, 1L)
+      deleteFromIvfBinaryIndex(e.filter(col("vec_id") % 9 === 0)
+        .select(col("vec_id")), staging, 2L)
+      vacuumIvfBinaryIndex(s, staging, 1L)
+    }
+  }
+
   /** Serve approximate top-k from a persisted IVF+binary index:
     * probe `nprobe` cells, Hamming-shortlist `rerank` candidates per
     * query over the cells' 16 B/row sign words, exact re-rank of only
@@ -3772,6 +3810,38 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       val full = e.select(col("vec_id"), col("v"))
       Seq(0L, 1L, 2L).map { h =>
+        ivfBinaryTopK(s, idx, q, full, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("query_id"),
+            col("neighbor_id"), col("rank"))
+      }.reduce(_.union(_))
+    },
+
+    // Floor-bounded retention at the binary rung — the vacuumKinds
+    // kernel on the 16 B/row sign words: the same lifecycle vacuumed
+    // at floor 1, horizons 1–2 hash-equal to the unvacuumed serve
+    // (binaryAsofOracleSql's surviving branches), horizon 0 reclaimed.
+    QuerySpec(
+      "sim_ivf_binary_vacuum",
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |      WHERE vec_id < $NQueries),
+         |${ivfGrownAssignCtesSeeded(fixedKSeedSql("hist", FixedK))},
+         |$ivfGrownProbesCte,
+         |qb AS (SELECT query_id, ${packSql("qv", 0)} AS q0,
+         |         ${packSql("qv", 32)} AS q1
+         |       FROM (SELECT DISTINCT query_id, qv FROM probes)),
+         |${binServeChain("h1", "a1", "TRUE", "probes", "e")},
+         |${binServeChain("h2", "a1", "vec_id % 9 <> 0", "probes", "e")}
+         |SELECT CAST(1 AS BIGINT) AS horizon, query_id, neighbor_id,
+         |  CAST(rank AS INT) AS rank FROM h1_tk
+         |UNION ALL SELECT CAST(2 AS BIGINT), query_id, neighbor_id,
+         |  CAST(rank AS INT) FROM h2_tk""".stripMargin) { (s, d) =>
+      val idx = ensureVacuumedIvfBinaryIndex(s, d)
+      val e = corpus(s, d)
+      val q = e.filter(col("vec_id") < NQueries).limit(NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val full = e.select(col("vec_id"), col("v"))
+      Seq(1L, 2L).map { h =>
         ivfBinaryTopK(s, idx, q, full, asOf = Some(h))
           .select(lit(h).as("horizon"), col("query_id"),
             col("neighbor_id"), col("rank"))
