@@ -246,6 +246,39 @@ class AsOfIndexSpec extends SparkSpec {
       "the horizon every leg still holds must serve unchanged")
   }
 
+  test("the matrix serve composes with floor-bounded vacuum: a leg " +
+    "vacuumed at floor 1 keeps serving horizons 1+ value-identically " +
+    "and the whole matrix refuses the reclaimed horizon") {
+    val docs = Tables.documents(spark, sf0001)
+    val hist = docs.filter($"doc_id" % 5 =!= 4)
+    val wave = docs.filter($"doc_id" % 5 === 4)
+    val bm = tmpDir("matrix-vac-bm25")
+    Retrieval.writeBm25Index(hist, bm)
+    assert(Retrieval.appendToBm25Index(wave, bm, 1L))
+    val tg = tmpDir("matrix-vac-trgm")
+    Retrieval.writeSubstringIndex(hist, tg)
+    assert(Retrieval.appendToSubstringIndex(wave, tg, 1L))
+    val ann = tmpDir("matrix-vac-ivf")
+    Similarity.writeIvfIndex(e.filter($"vec_id" % 5 =!= 4), ann)
+    assert(Similarity.appendToIvfIndex(
+      e.filter($"vec_id" % 5 === 4), ann, 1L))
+    val qd = e.filter($"vec_id" === 0)
+      .select(lit(-1L).as("query_id"), $"v".as("qv"))
+    def matrix(h: Long) =
+      Retrieval.asOfMatrixServe(spark, bm, tg, ann, qd, docs, h)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(matrix(0L).nonEmpty)
+    val h1 = matrix(1L)
+    // unlike the full compaction above, the vacuum RETAINS horizon 1:
+    // the fused readout there must not move by a single row
+    assert(Retrieval.vacuumBm25Index(spark, bm, 1L))
+    assert(matrix(1L) == h1,
+      "the retained horizon's fused readout moved under vacuum")
+    val err = intercept[IllegalArgumentException] { matrix(0L) }
+    assert(err.getMessage.contains("compaction"),
+      s"wrong refusal reason: ${err.getMessage}")
+  }
+
   test("snapshot isolation: an as-of frame constructed BEFORE a " +
     "concurrent fold and delete keeps serving its horizon unchanged — " +
     "the dir list is pinned at construction, and later ledger " +
