@@ -2224,6 +2224,22 @@ object Similarity {
       asOf)(r =>
       s.read.schema(CodedSchema).option("basePath", r).parquet(r))
 
+  /** Floor-bounded retention for the IVF-PQ index — a
+    * [[graft.index.FoldProtocol.vacuumKinds]] adapter on the coded
+    * frame (centroids and codebook frozen, like every PQ maintenance
+    * op). Spec-gated in AsOfIndexSpec like the PQ as-of read itself
+    * (the rung has no as-of value gate to reuse an oracle from).
+    */
+  def vacuumIvfPqIndex(s: SparkSession, path: String,
+      floorRequested: Long): Boolean =
+    protocol(path).vacuumKinds(s, floorRequested, Seq(
+      "vectors" -> ((floor, staging) =>
+        indexCodesAsOf(s, path, floor)
+          .repartition(col("cent_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cent_id")
+          .parquet(staging))))
+
   /** Rewrite the committed coded sub-roots into one `c<hw>` dir —
     * [[compactIvfIndex]]'s contract on the coded frame: the input is
     * the SERVED view (tombstones already stripped), so the swap is

@@ -70,6 +70,29 @@ class AsOfIndexSpec extends SparkSpec {
       "the pre-delete horizon must still serve eventual victims")
   }
 
+  test("the PQ rung speaks floor-bounded vacuum: surviving horizons " +
+    "serve identically, the reclaimed one refuses, and the replay " +
+    "no-ops — codes/codebook/cents untouched") {
+    def pqServed(idx: String, asOf: Option[Long] = None) =
+      Similarity.ivfPqTopK(spark, idx, queries(), e, asOf = asOf)
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+    val idx = tmpDir("vac-pq")
+    Similarity.writeIvfPqIndex(e.filter($"vec_id" % 5 =!= 4), idx)
+    assert(Similarity.appendToIvfPqIndex(
+      e.filter($"vec_id" % 5 === 4), idx, 1L))
+    assert(Similarity.deleteFromIvfPqIndex(
+      e.filter($"vec_id" % 9 === 0).select($"vec_id"), idx, 2L))
+    val pre = Map(1L -> pqServed(idx, Some(1L)), 2L -> pqServed(idx, Some(2L)))
+    val preNow = pqServed(idx)
+    assert(Similarity.vacuumIvfPqIndex(spark, idx, 1L))
+    for (h <- Seq(1L, 2L))
+      assert(pqServed(idx, Some(h)) == pre(h), s"horizon $h moved")
+    assert(pqServed(idx) == preNow)
+    assertThrows[IllegalArgumentException](pqServed(idx, Some(0L)))
+    assert(!Similarity.vacuumIvfPqIndex(spark, idx, 1L),
+      "a replayed vacuum must be a committed no-op")
+  }
+
   test("the binary read path shares the horizon semantics: as-of 0 on " +
     "an evolved IVF+binary index serves what a fresh history-only " +
     "build serves, the max horizon equals the current view, and the " +
