@@ -473,7 +473,15 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
     val ids = allLedgerIds() + 0L
     require(requested >= 1L && requested <= ids.max,
       s"vacuum floor $requested must name a horizon in [1, ${ids.max}]")
-    (ids - 0L).filter(_ <= requested).max
+    // The window [1, requested] can hold NO committed id even when the
+    // range check passes — an epoch-minted root whose first commit id
+    // is ~2^32 has ids.max huge and nothing small. Refuse descriptively
+    // instead of letting empty.max throw.
+    val below = (ids - 0L).filter(_ <= requested)
+    require(below.nonEmpty,
+      s"vacuum floor $requested names no committed ledger id: committed " +
+        s"ids start at ${(ids - 0L).min}")
+    below.max
   }
 
   /** Floor-bounded vacuum, kind-generic (the shared kernel of
@@ -549,9 +557,17 @@ final class FoldProtocol(val root: String, ledgerRel: String) {
       .filter(d => d.substring(d.lastIndexOf('/') + 1)
         .drop(1).toLong > floor)
     if (survivors.nonEmpty) {
-      val minHw = s.read.parquet(survivors: _*)
-        .agg(org.apache.spark.sql.functions.min(
-          coalesce(col("hw"), lit(Long.MaxValue))))
+      // Mirror tombstones(): a legacy hw-less survivor (no `hw` column
+      // at all) reads as Long.MaxValue rather than failing analysis,
+      // and an all-empty survivor set (zero victim rows) yields a null
+      // min — vacuously safe, not an NPE.
+      val t = s.read.parquet(survivors: _*)
+      val hwCol =
+        if (t.columns.contains("hw")) coalesce(col("hw"), lit(Long.MaxValue))
+        else lit(Long.MaxValue)
+      val minHw = t
+        .agg(coalesce(org.apache.spark.sql.functions.min(hwCol),
+          lit(Long.MaxValue)))
         .head().getLong(0)
       val names = survivors
         .map(d => d.substring(d.lastIndexOf('/') + 1)).sorted

@@ -279,11 +279,22 @@ object Profiling {
           typedLit(pcts), lit(1000)).as("qs"))
         .head().getSeq[Double](0)
       val eps = 0.002 // GK rank-error bound 1/accuracy, plus slack
+      // Tie-aware rank band: with heavy ties at the quantile the CDF
+      // count(v <= q)/n can overshoot p by far more than the GK bound
+      // even for a CORRECT epsilon-approximate quantile, so a two-sided
+      // bound on the <= count alone fails spuriously. The contract is
+      // on RANK: q is valid iff p lands (within eps) inside
+      // [count(v < q)/n, count(v <= q)/n] — the whole tie block maps to
+      // one rank interval.
       val verdictCols = pcts.zip(sketch).zipWithIndex.map {
         case ((p, q), i) =>
-          ((abs(sum(when(col("value") <= q, 1L).otherwise(0L))
-            .cast("double") / count(lit(1)) - p) <= eps)
-            .cast("long").as(s"ok_$i"))
+          val n = count(lit(1)).cast("double")
+          val le = sum(when(col("value") <= q, 1L).otherwise(0L))
+            .cast("double") / n
+          val lt = sum(when(col("value") < q, 1L).otherwise(0L))
+            .cast("double") / n
+          ((lt - eps <= p) && (lit(p) <= le + eps))
+            .cast("long").as(s"ok_$i")
       }
       val exactCols = pcts.zipWithIndex.map { case (p, i) =>
         round(expr(s"percentile(value, $p)"), 4).as(s"q_$i")

@@ -128,20 +128,30 @@ object TimeTravel {
     * (fold-protocol as-of read), then per-key resolution to the
     * highest committed version via one struct-max aggregate.
     *
-    * The read schema is the HORIZON'S OWN SHAPE: the newest committed
-    * dir ≤ asOf carries it (commits only ever ADD columns, see
-    * [[appendCommitEvolved]]), and older dirs read through it with the
-    * added columns as NULL — so a horizon before an add-column commit
-    * serves the old shape and a horizon after it the new, with
-    * pre-change rows carrying NULL until an upsert fills them. The
-    * schema probe is one driver-side parquet footer read.
+    * The read schema is the HORIZON'S OWN SHAPE: the UNION of every
+    * committed dir ≤ asOf (newest dir's field order first, then any
+    * column only older dirs carry). Probing only the newest dir would
+    * be wrong the moment a plain [[appendCommit]] (fixed ingest shape)
+    * lands after an [[appendCommitEvolved]] add-column commit: the
+    * narrower dir would become the newest and silently drop the added
+    * column from every horizon ≥ its commit even though the data is on
+    * disk — and a later [[vacuum]] would stage the narrowed shape into
+    * `c<floor>`, destroying the evolved values below the floor. The
+    * union keeps the horizon schema monotone nondecreasing regardless
+    * of which writer landed last; dirs missing a column read it as
+    * NULL. One driver-side parquet footer read per committed dir.
     */
   private def resolvedAsOf(s: SparkSession, root: String,
       asOf: Long): DataFrame = {
     val p = protocol(root)
     val dirs = p.committedDirsAsOf("data", asOf)
     val newest = dirs.maxBy(d => p.dirOrd(d.substring(d.lastIndexOf('/') + 1)))
-    val sch = s.read.parquet(newest).schema
+    val base = s.read.parquet(newest).schema
+    val extra = dirs.filterNot(_ == newest)
+      .flatMap(d => s.read.parquet(d).schema.fields)
+      .filterNot(f => base.fieldNames.contains(f.name))
+      .distinctBy(_.name)
+    val sch = org.apache.spark.sql.types.StructType(base.fields ++ extra)
     val rest = sch.fieldNames.toSeq
       .filterNot(n => n == "event_id" || n == "_commit")
     p.readCommittedStrippedAsOf(s, "data", "event_id", asOf)(r =>

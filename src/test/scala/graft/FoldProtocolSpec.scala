@@ -667,4 +667,55 @@ class FoldProtocolSpec extends SparkSpec {
     assert(rep2.reclaimed.exists(_.endsWith("/b7")))
     assert(!new java.io.File(s"$root/data/b7").exists)
   }
+
+  test("normalizedFloor on an epoch-minted root: a floor below every " +
+    "committed id refuses DESCRIPTIVELY (require, not empty.max), and " +
+    "the committed id itself normalizes to itself") {
+    val root = tmpDir("fold-epoch-floor")
+    val p = new FoldProtocol(root, "_ledger")
+    writeDir(s"$root/data/seed", Seq(1L)) // also forces the session up
+    // streaming epochs mint far above 1 — the [1, max] range check
+    // passes for small floors yet no committed id sits below them
+    val epoch = 4294967296L // 2^32
+    p.commit(epoch.toString)
+    val e = intercept[IllegalArgumentException](p.normalizedFloor(3L))
+    assert(e.getMessage.contains("names no committed ledger id") &&
+      e.getMessage.contains(epoch.toString),
+      s"want the descriptive refusal, got: ${e.getMessage}")
+    assert(p.normalizedFloor(epoch) == epoch)
+  }
+
+  test("requireNoDetachedSurvivors decides (not crashes) on legacy " +
+    "survivors: an hw-less tombstone reads as MaxValue and an " +
+    "all-empty survivor set is vacuously safe") {
+    val root = tmpDir("fold-survivor-legacy")
+    val p = new FoldProtocol(root, "_ledger")
+    writeDir(s"$root/data/seed", Seq(1L, 2L))
+    p.commit("1")
+    // legacy hw-LESS tombstone dir (pre-high-water build): no hw column
+    Seq(1L).toDF("v").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/tombstones/d2")
+    p.commit("d2")
+    // MaxValue semantics = hide-from-everything = never detachable
+    p.requireNoDetachedSurvivors(spark, 1L)
+    // an EMPTY survivor (zero victim rows, hw column present): the min
+    // is null — vacuously safe, not an NPE
+    val root2 = tmpDir("fold-survivor-empty")
+    val p2 = new FoldProtocol(root2, "_ledger")
+    writeDir(s"$root2/data/seed", Seq(1L))
+    p2.commit("1")
+    p2.stageTombstones(Seq.empty[Long].toDF("v"), "v", 2L)
+    p2.commit("d2")
+    p2.requireNoDetachedSurvivors(spark, 1L)
+    // a REAL detached survivor still refuses
+    Seq(5L).toDF("v").withColumn("hw",
+        org.apache.spark.sql.functions.lit(0L))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root2/tombstones/d3")
+    p2.commit("d3")
+    assertThrows[IllegalArgumentException](
+      p2.requireNoDetachedSurvivors(spark, 1L))
+  }
 }

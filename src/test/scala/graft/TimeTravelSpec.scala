@@ -242,6 +242,39 @@ class TimeTravelSpec extends SparkSpec {
         "widened vacuum exactly")
   }
 
+  test("a NARROW plain append after an evolved commit cannot drop the " +
+    "added column: later horizons still serve it (union-schema probe) " +
+    "and a vacuum preserves its values below the floor") {
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val root = tmpDir("ttl-narrow-after-evolve")
+    TimeTravel.initLedgeredTable(ev.filter($"event_id" % 3 === 0), root)
+    TimeTravel.appendCommitEvolved(
+      ev.filter($"event_id" % 3 === 1)
+        .withColumn("score", $"value" * 2.0), root, 1L)
+    // the hazard: a plain appendCommit lands the FIXED 5-column shape,
+    // making a NARROWER dir the newest committed one
+    TimeTravel.appendCommit(ev.filter($"event_id" % 3 === 2), root, 2L)
+    val h2 = TimeTravel.readEventsAsOf(spark, root, 2L)
+    assert(h2.columns.contains("score"),
+      "the union-schema probe must keep the evolved column visible")
+    val scoredPre = h2.filter($"score".isNotNull)
+      .select($"event_id", $"score").as[(Long, Double)].collect().toMap
+    val want = ev.filter($"event_id" % 3 === 1)
+      .select($"event_id", $"value" * 2.0).as[(Long, Double)]
+      .collect().toMap
+    assert(scoredPre == want,
+      "exactly the evolved commit's rows carry their scores")
+    // ... and a vacuum at the narrow commit's floor stages the UNION
+    // shape into c2: the evolved values survive below the floor
+    assert(TimeTravel.vacuum(spark, root, 2L))
+    val h2v = TimeTravel.readEventsAsOf(spark, root, 2L)
+    val scoredPost = h2v.filter($"score".isNotNull)
+      .select($"event_id", $"score").as[(Long, Double)].collect().toMap
+    assert(scoredPost == scoredPre,
+      "the vacuumed c-dir must preserve the evolved column's values")
+  }
+
   test("retained streaming ingest: the as-of window stays bounded — " +
     "recent horizons serve exactly, horizons past the retention " +
     "window refuse, and the stream keeps committing") {
