@@ -405,11 +405,12 @@ object Curation {
     * (`StreamingCuration.startEdgeIngest`) can seed its own roots.
     */
   def initGraphLedger(s: org.apache.spark.sql.SparkSession,
-      docs: org.apache.spark.sql.DataFrame, root: String): Unit = {
+      docs: org.apache.spark.sql.DataFrame, root: String,
+      seedFormulas: Int = 2): Unit = {
     val p = graphProtocol(root)
     val nodes = docs.select(col("doc_id").as("id"))
     val n = nodes.count()
-    val e0 = plantedEdges(nodes, n, PrFormulas.take(2))
+    val e0 = plantedEdges(nodes, n, PrFormulas.take(seedFormulas))
     e0.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"${p.dir("edges")}/seed")
     val based = prUniformBase(nodes, n).cache()
@@ -453,6 +454,42 @@ object Curation {
     root
   }
 
+  /** Build-if-absent the CHECKPOINTED-pagerank fixture: TWO growth
+    * events, the first one's re-score published as a ledgered
+    * checkpoint —
+    *   edges/seed: formula 1 only; scores/seed: PrIters rounds over it
+    *   edges/b1:   formula 2 (growth 1)
+    *   scores/b1:  [[checkpointRescore]] — PrIters rounds from
+    *               scores/seed over formulas 1–2, keyed to edge hw 1
+    *   edges/b2:   formula 3 (growth 2; deliberately NOT yet
+    *               checkpointed — the gate's own re-score is phase 3)
+    * A gate resuming from the ORIGINAL seed instead of the newest
+    * checkpoint would compute 2·PrIters total rounds and diverge from
+    * the 3-phase oracle — the fixture makes stale-resume detectable.
+    */
+  def ensureCheckpointedPagerank(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_pr_ckpt$suffix").toString
+    Layout.ensurePublishedDir(s, root)(r =>
+      graphProtocol(r).foldedBatches().contains(2L) &&
+        scoresProtocol(r).foldedBatches().contains(1L)
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      initGraphLedger(s, docs, staging, seedFormulas = 1)
+      val nodes = docs.select(col("doc_id").as("id"))
+      val n = nodes.count()
+      appendEdgesCommit(plantedEdges(nodes, n, PrFormulas.slice(1, 2)),
+        staging, 1L)
+      checkpointRescore(s, staging, docs)
+      appendEdgesCommit(plantedEdges(nodes, n, PrFormulas.drop(2)),
+        staging, 2L)
+    }
+    root
+  }
+
   /** Incremental PageRank — iterative graph state joins the engine's
     * incremental theme (NB grow/forget, `dedup_incremental`,
     * `q_incr_join`): new edges land as ledgered commits on the graph
@@ -474,8 +511,23 @@ object Curation {
 
   /** The warm-start re-score over ANY ledgered graph root (batch- or
     * stream-folded edges alike) — [[pagerankIncremental]]'s engine.
+    * Resumes from the NEWEST committed score checkpoint (see
+    * [[checkpointRescore]]): on a root with only `scores/seed` that is
+    * the seed itself (the round-17 behavior, unchanged); on a root
+    * whose re-scores have been ledgered it is the latest checkpoint,
+    * so the converged history is paid for ONCE per growth event, not
+    * re-paid from the original seed on every read.
     */
   def pagerankWarmStart(s: org.apache.spark.sql.SparkSession,
+      root: String, docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    prTopScores(rescoreFull(s, root, docs))
+
+  /** [[pagerankWarmStart]]'s engine returning the FULL node-score
+    * frame — what a checkpoint publish persists (top-k would lose the
+    * warm-start state).
+    */
+  private def rescoreFull(s: org.apache.spark.sql.SparkSession,
       root: String, docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val p = graphProtocol(root)
@@ -486,11 +538,77 @@ object Curation {
       .select(col("src"), col("dst")).distinct()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val ed = edges.join(deg, Seq("src")).cache()
-    val warm = s.read.parquet(s"${p.dir("scores")}/seed")
-      .select(col("id"), col("r"))
-    val r = pagerankRounds(based, warm, ed, PrIters)
+    val r = pagerankRounds(based, newestScores(s, root), ed, PrIters)
     ed.unpersist(); based.unpersist()
-    prTopScores(r)
+    r
+  }
+
+  /** Score checkpoints get their OWN ledger file (same root, same
+    * writer lease): fold ids here are keyed to the EDGE ledger's
+    * high-water mark, which interleaves with the edge ids — sharing
+    * one ledger would make `fsck`'s per-kind missing-fold-dir check
+    * read every score commit as a missing edge dir and vice versa.
+    * The graph root speaks no deletes, so the shared `tombstones/`
+    * namespace stays empty for both ledgers.
+    */
+  private[graft] def scoresProtocol(path: String) =
+    new graft.index.FoldProtocol(path, "_scores_ledger")
+
+  /** The newest committed score checkpoint: `scores/seed` until the
+    * first [[checkpointRescore]], then the highest ledgered `b<id>`
+    * (or the `c<floor>` a checkpoint vacuum resolved).
+    */
+  private def newestScores(s: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.spark.sql.DataFrame = {
+    val sp = scoresProtocol(root)
+    val newest = sp.committedDirs("scores")
+      .maxBy(d => sp.dirOrd(d.substring(d.lastIndexOf('/') + 1)))
+    s.read.parquet(newest).select(col("id"), col("r"))
+  }
+
+  /** Re-score the grown graph warm-starting from the newest committed
+    * checkpoint and publish the result as a ledgered `scores/b<id>`
+    * commit, where `id` IS the edge ledger's high-water mark — the
+    * checkpoint names exactly the edge state it scored, so the next
+    * re-score resumes from it (true cost amortization: k growth events
+    * cost k·PrIters rounds TOTAL, not k·PrIters per read). Exactly
+    * once under replay: a ledgered id is a committed no-op. Returns
+    * the checkpoint id.
+    */
+  def checkpointRescore(s: org.apache.spark.sql.SparkSession,
+      root: String, docs: org.apache.spark.sql.DataFrame): Long = {
+    val sp = scoresProtocol(root)
+    val hw = graphProtocol(root).highWater()
+    require(hw >= 1L,
+      "no committed edge fold to checkpoint against — the seed state " +
+        "is already the scores/seed checkpoint")
+    sp.fold(hw, Seq("scores")) {
+      rescoreFull(s, root, docs)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"${sp.dir("scores")}/b$hw")
+    }
+    hw
+  }
+
+  /** Floor-bounded retention for the score-checkpoint ledger — the
+    * standard [[graft.index.FoldProtocol.vacuumKinds]] value gate:
+    * every checkpoint ≤ floor collapses into one `c<floor>` dir
+    * holding the newest checkpoint at or below it (checkpoints are
+    * FULL states, not deltas, so the resolved content is just that
+    * frame), horizons ≥ floor read identically, older ones refuse.
+    */
+  def vacuumScoreCheckpoints(s: org.apache.spark.sql.SparkSession,
+      root: String, floorRequested: Long): Boolean = {
+    val sp = scoresProtocol(root)
+    sp.vacuumKinds(s, floorRequested, Seq(
+      "scores" -> ((floor, staging) => {
+        val dirs = sp.committedDirsAsOf("scores", floor)
+        val newest = dirs
+          .maxBy(d => sp.dirOrd(d.substring(d.lastIndexOf('/') + 1)))
+        s.read.parquet(newest)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(staging)
+      })))
   }
 
   /** The pagerank oracle: the identical integer recurrence unrolled
@@ -502,13 +620,13 @@ object Curation {
   private def pagerankOracleSql(seedWhere: Option[String] = None): String = {
     val nb = seedWhere match {
       case None =>
-        s"""nb AS (SELECT id,
+        s"""nb AS MATERIALIZED (SELECT id,
            |  (SELECT (($PrScale // n) * 15) // 100 FROM nn) AS b,
            |  (SELECT $PrScale // n FROM nn) AS r FROM nodes)""".stripMargin
       case Some(pred) =>
         s"""seeds AS (SELECT doc_id AS id FROM documents WHERE $pred),
            |ns AS (SELECT count(*) AS k FROM seeds),
-           |nb AS (SELECT n.id,
+           |nb AS MATERIALIZED (SELECT n.id,
            |  CASE WHEN s.id IS NOT NULL
            |       THEN (SELECT ((${PrScale}::BIGINT * 15) // 100) // k FROM ns)
            |       ELSE 0 END AS b,
@@ -527,11 +645,11 @@ object Curation {
          |    UNION ALL SELECT id, (id*13+11) % (SELECT n FROM nn) FROM nodes)
          |  WHERE dst <> src),
          |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-         |ed AS (SELECT e.src, e.dst, g.d FROM edges e JOIN deg g ON g.src = e.src),
+         |ed AS MATERIALIZED (SELECT e.src, e.dst, g.d FROM edges e JOIN deg g ON g.src = e.src),
          |r0 AS (SELECT id, r FROM nb)"""
         .stripMargin
     val iters = (1 to PrIters).map { k =>
-      s"""r$k AS (
+      s"""r$k AS MATERIALIZED (
          |  SELECT v.id, CAST(v.b
          |       + ((85 * COALESCE(s.c, 0)) // 100) AS BIGINT) AS r
          |  FROM nb v LEFT JOIN (
@@ -552,7 +670,27 @@ object Curation {
     * equality is the point: the engine's warm start must be
     * indistinguishable from this from-scratch recompute.
     */
-  private def pagerankIncrementalOracleSql: String = {
+  private def pagerankIncrementalOracleSql: String =
+    pagerankPhasedOracleSql(Seq(PrFormulas.take(2), PrFormulas))
+
+  /** The checkpointed-pagerank oracle: THREE phases unrolled — seed
+    * (one formula), growth 1 (two), growth 2 (all three) — each paying
+    * PrIters rounds over its phase's edge set, warm-started from the
+    * previous phase's final state. Exact equality against this
+    * from-scratch recompute is what certifies that resuming from the
+    * NEWEST ledgered checkpoint (not the original seed) loses nothing.
+    */
+  private def pagerankCheckpointedOracleSql: String =
+    pagerankPhasedOracleSql(
+      Seq(PrFormulas.take(1), PrFormulas.take(2), PrFormulas))
+
+  /** N-phase unroll of the integer recurrence as chained CTEs: phase j
+    * runs PrIters rounds against its own edge set `ed<j>`, resuming
+    * from the previous phase's final state — the shared engine of the
+    * incremental (2-phase) and checkpointed (3-phase) oracles.
+    */
+  private def pagerankPhasedOracleSql(
+      phases: Seq[Seq[(Long, Long)]]): String = {
     def edgesSql(formulas: Seq[(Long, Long)]): String =
       formulas.map { case (a, b) =>
         s"SELECT id AS src, (id*$a+$b) % (SELECT n FROM nn) AS dst FROM nodes"
@@ -563,21 +701,21 @@ object Curation {
          |    ${edgesSql(formulas)})
          |  WHERE dst <> src),
          |deg$tag AS (SELECT src, count(*) AS d FROM e$tag GROUP BY src),
-         |ed$tag AS (SELECT e.src, e.dst, g.d
+         |ed$tag AS MATERIALIZED (SELECT e.src, e.dst, g.d
          |           FROM e$tag e JOIN deg$tag g ON g.src = e.src)"""
         .stripMargin
     val head =
       s"""nodes AS (SELECT doc_id AS id FROM documents),
          |nn AS (SELECT count(*) AS n FROM nodes),
-         |nb AS (SELECT id,
+         |nb AS MATERIALIZED (SELECT id,
          |  (SELECT (($PrScale // n) * 15) // 100 FROM nn) AS b,
          |  (SELECT $PrScale // n FROM nn) AS r FROM nodes),
-         |${edSql("0", PrFormulas.take(2))},
-         |${edSql("1", PrFormulas)},
+         |${phases.zipWithIndex
+             .map { case (f, i) => edSql(i.toString, f) }.mkString(",\n")},
          |r0 AS (SELECT id, r FROM nb)""".stripMargin
-    val iters = (1 to 2 * PrIters).map { k =>
-      val ed = if (k <= PrIters) "ed0" else "ed1"
-      s"""r$k AS (
+    val iters = (1 to phases.length * PrIters).map { k =>
+      val ed = s"ed${(k - 1) / PrIters}"
+      s"""r$k AS MATERIALIZED (
          |  SELECT v.id, CAST(v.b
          |       + ((85 * COALESCE(s.c, 0)) // 100) AS BIGINT) AS r
          |  FROM nb v LEFT JOIN (
@@ -588,7 +726,7 @@ object Curation {
     (Seq("WITH " + head) ++ iters).mkString(",\n") +
       s"""
          |SELECT id AS doc_id, r AS score
-         |FROM r${2 * PrIters} ORDER BY r DESC, id LIMIT $PrTopK"""
+         |FROM r${phases.length * PrIters} ORDER BY r DESC, id LIMIT $PrTopK"""
         .stripMargin
   }
 
@@ -663,6 +801,21 @@ object Curation {
     // state.
     QuerySpec("q_pagerank_incremental", pagerankIncrementalOracleSql) {
       (s, d) => pagerankIncremental(s, d)
+    },
+
+    // CHECKPOINTED incremental PageRank: each growth event's re-score
+    // publishes as a ledgered scores/b<id> commit keyed to the edge
+    // ledger's high-water, and re-scoring resumes from the NEWEST
+    // checkpoint — so after k growth events the total scoring cost is
+    // k·PrIters rounds, not k·PrIters per read (incremental in SCORING
+    // cost, completing q_pagerank_incremental's incremental ingestion).
+    // The oracle unrolls all three phases from scratch; a stale resume
+    // (from the original seed) computes a different fixed point and
+    // fails the hash.
+    QuerySpec("q_pagerank_checkpointed", pagerankCheckpointedOracleSql) {
+      (s, d) =>
+        pagerankWarmStart(s, ensureCheckpointedPagerank(s, d),
+          Tables.documents(s, d))
     },
 
     // Sessionization (batch): a session breaks after a 30-minute silence.
