@@ -2227,8 +2227,9 @@ object Similarity {
   /** Floor-bounded retention for the IVF-PQ index — a
     * [[graft.index.FoldProtocol.vacuumKinds]] adapter on the coded
     * frame (centroids and codebook frozen, like every PQ maintenance
-    * op). Spec-gated in AsOfIndexSpec like the PQ as-of read itself
-    * (the rung has no as-of value gate to reuse an oracle from).
+    * op). Value-gated by `sim_ivfpq_vacuum` (surviving horizons
+    * hash-equal to `sim_ivfpq_asof`'s oracle branches); the refusal
+    * paths stay spec'd in AsOfIndexSpec.
     */
   def vacuumIvfPqIndex(s: SparkSession, path: String,
       floorRequested: Long): Boolean =
@@ -2508,6 +2509,33 @@ object Similarity {
         .select(col("vec_id")), staging, 2L)
     }
 
+  /** Build-if-absent the VACUUMED IVF-PQ gate fixture: the evolved
+    * lifecycle (seed 0, fold b1, takedown d2) then [[vacuumIvfPqIndex]]
+    * at floor 1 — horizon 0 reclaimed (refuses), horizons 1 and 2 must
+    * keep serving hash-equal to the unvacuumed construction.
+    * Completeness is the vacuum's POST-state (c1 landed, seed gone) so
+    * a crashed vacuum rebuilds rather than serving half-reclaimed.
+    */
+  def ensureVacuumedIvfPqIndex(s: SparkSession, d: String): String = {
+    val root = fixtureRoot(s, d, s"graft_ivfpq_vacuum_k$FixedK")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.ensurePublishedDir(s, root)(r =>
+      protocol(r).deletedBatches().contains(2L) &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("vectors")}/c1", "_SUCCESS")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("vectors")}/seed"))
+    ) { staging =>
+      val e = corpus(s, d).select(col("vec_id"), col("v"))
+      writeIvfPqIndex(e.filter(col("vec_id") % 5 =!= 4), staging)
+      appendToIvfPqIndex(e.filter(col("vec_id") % 5 === 4), staging, 1L)
+      deleteFromIvfPqIndex(e.filter(col("vec_id") % 9 === 0)
+        .select(col("vec_id")), staging, 2L)
+      vacuumIvfPqIndex(s, staging, 1L)
+    }
+  }
+
   /** Build-if-absent the bounded-K IVF-PQ index at the KNOB setting
     * ([[FixedKWide]] — the default fixture already builds at
     * [[FixedK]]) under its own warehouse root. Serving goes through
@@ -2617,6 +2645,94 @@ object Similarity {
        |FROM topk t LEFT JOIN ivfpq i
        |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
        |GROUP BY t.query_id""".stripMargin
+
+  /** The shared head of the PQ as-of oracles: the evolved fixture's
+    * FROZEN artifacts recomputed end-to-end — history-trained bounded
+    * seeds/Lloyd/centroids (`sim_ivfpq_grown_recall`'s assign block),
+    * the hist-restricted codebook, ALL vectors assigned (`a1`) and
+    * encoded (`recon`) against them, the query probes — everything a
+    * horizon CANNOT change. Per-horizon restriction composes
+    * downstream over `a1` (see [[pqAsofHorizonCtes]]), exactly what
+    * the ledger-scoped dir/tombstone filters must reproduce.
+    */
+  private def pqAsofSharedCtes: String =
+    s"""$eCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |${ivfGrownAssignCtesSeeded(fixedKSeedSql("hist", FixedK))},
+       |$ivfGrownProbesCte,
+       |cb AS (SELECT m, vec_id AS code_id,
+       |         v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS c8
+       |       FROM e, range(0, $PqM) t(m)
+       |       WHERE vec_id % 25 = 0 AND vec_id < $PqCodeCap AND vec_id % 5 <> 4),
+       |sub AS (SELECT vec_id, m,
+       |          v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS sv
+       |        FROM e, range(0, $PqM) t(m)),
+       |asg AS (SELECT vec_id, m, c8 FROM (
+       |    SELECT s.vec_id, s.m, c.c8,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY round(list_cosine_similarity(s.sv, c.c8), 4) DESC, c.code_id) AS rn
+       |    FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+       |recon AS (SELECT vec_id, flatten(list(c8 ORDER BY m)) AS rv
+       |          FROM asg GROUP BY vec_id)""".stripMargin
+
+  /** One horizon of the PQ as-of serve: ADC over the probed cells with
+    * the horizon's candidate restriction, the PqRerank-deep shortlist,
+    * the exact re-rank, the ranked top-k — [[ivfPqRecallSql]]'s serve
+    * chain with `$tag`-suffixed names so three horizons coexist in one
+    * WITH. The restriction applies at the ADC candidate side, so it
+    * propagates through shortlist, re-rank, and ranking — the
+    * filtered-search placement, which is also exactly where the
+    * engine's dir/tombstone scoping acts (on the coded frame).
+    */
+  private def pqAsofHorizonCtes(tag: String, horizon: Int,
+      adcWhere: String): String =
+    s"""adc$tag AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qv, r.rv), 4) AS sim
+       |  FROM probes p
+       |  JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id
+       |  JOIN recon r ON r.vec_id = a1.vec_id
+       |  WHERE $adcWhere),
+       |short$tag AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM adc$tag) WHERE rank <= $PqRerank),
+       |res$tag AS (SELECT sh.query_id, sh.neighbor_id,
+       |    round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+       |  FROM short$tag sh JOIN e ON e.vec_id = sh.neighbor_id
+       |  JOIN q ON q.query_id = sh.query_id),
+       |h$tag AS (SELECT CAST($horizon AS BIGINT) AS horizon, query_id,
+       |    neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM res$tag) WHERE rank <= $TopK)""".stripMargin
+
+  /** Oracle for `sim_ivfpq_asof`: one shared frozen construction,
+    * three candidate restrictions — horizon 0 = seed wave only,
+    * horizon 1 = seed + fold, horizon 2 = fold + delete applied.
+    */
+  private def pqAsofOracleSql: String =
+    s"""WITH $pqAsofSharedCtes,
+       |${pqAsofHorizonCtes("0", 0, "a1.vec_id % 5 <> 4")},
+       |${pqAsofHorizonCtes("1", 1, "TRUE")},
+       |${pqAsofHorizonCtes("2", 2, "a1.vec_id % 9 <> 0")}
+       |SELECT horizon, query_id, neighbor_id, rank FROM h0
+       |UNION ALL SELECT horizon, query_id, neighbor_id, rank FROM h1
+       |UNION ALL SELECT horizon, query_id, neighbor_id, rank FROM h2"""
+      .stripMargin
+
+  /** Oracle for `sim_ivfpq_vacuum`: the as-of oracle's SURVIVING
+    * branches verbatim — the whole point is that a floor-1 vacuum
+    * leaves horizons 1 and 2 hash-equal to the unvacuumed serve.
+    */
+  private def pqVacuumOracleSql: String =
+    s"""WITH $pqAsofSharedCtes,
+       |${pqAsofHorizonCtes("1", 1, "TRUE")},
+       |${pqAsofHorizonCtes("2", 2, "a1.vec_id % 9 <> 0")}
+       |SELECT horizon, query_id, neighbor_id, rank FROM h1
+       |UNION ALL SELECT horizon, query_id, neighbor_id, rank FROM h2"""
+      .stripMargin
 
   /** Oracle for `sim_ivfpq_refreshed`: recompute BOTH IVF-PQ
     * constructions end-to-end — frozen (bounded-K centroids + codebook
@@ -3286,6 +3402,52 @@ object Similarity {
         cbWhere = " AND vec_id % 5 <> 4",
         adcWhere = "a1.vec_id % 9 <> 0")) {
       (s, d) => ivfPqRecallOver(s, d, ensureEvolvedIvfPqIndex(s, d))
+    },
+
+    // AS-OF serve FROM THE PERSISTED PQ INDEX — the sim_ivf_asof
+    // contract on the production rung: the SAME evolved fixture
+    // answers RANKED top-k at three ledger horizons (post-seed,
+    // post-fold, post-delete) by ledger-scoped dir and tombstone
+    // filters on the CODED frame. This certifies what the float gate
+    // cannot: ADC scoring, the rerank-deep shortlist, and the sidecar
+    // point lookups all operating under ledger scoping — the horizon
+    // restriction enters at the coded candidates and must propagate
+    // through the whole serve. Centroids and codebook are frozen
+    // across the lifecycle, so every horizon shares one construction;
+    // the oracle recomputes it once and restricts candidates per
+    // horizon.
+    QuerySpec(
+      "sim_ivfpq_asof",
+      pqAsofOracleSql) { (s, d) =>
+      val idx = ensureEvolvedIvfPqIndex(s, d)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val full = corpus(s, d).select(col("vec_id"), col("v"))
+      Seq(0L, 1L, 2L).map { h =>
+        ivfPqTopK(s, idx, q, full, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("query_id"),
+            col("neighbor_id"), col("rank"))
+      }.reduce(_.union(_))
+    },
+
+    // Floor-bounded retention on the PQ INDEX under the value gate:
+    // the evolved lifecycle VACUUMED at floor 1 — horizon 0 reclaimed
+    // (refuses, spec'd in AsOfIndexSpec), horizons 1 and 2 hash-equal
+    // to the unvacuumed as-of oracle's surviving branches. With this
+    // the vacuum family's LAST spec-only rung gains the standard
+    // surviving-horizons value gate.
+    QuerySpec(
+      "sim_ivfpq_vacuum",
+      pqVacuumOracleSql) { (s, d) =>
+      val idx = ensureVacuumedIvfPqIndex(s, d)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val full = corpus(s, d).select(col("vec_id"), col("v"))
+      Seq(1L, 2L).map { h =>
+        ivfPqTopK(s, idx, q, full, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("query_id"),
+            col("neighbor_id"), col("rank"))
+      }.reduce(_.union(_))
     },
 
     // The targetK KNOB under the recall gate: the same bounded-K
