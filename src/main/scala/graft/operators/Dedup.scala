@@ -814,8 +814,50 @@ object Dedup {
   def incrementalKeepNewIndexed(indexPath: String,
       incoming: DataFrame): DataFrame = {
     val s = incoming.sparkSession
-    val histSh = indexFrame(s, indexPath, "shingles")
-    val histHash = indexFrame(s, indexPath, "hashes")
+    incrementalKeepNewFromFrames(
+      indexFrame(s, indexPath, "shingles"),
+      indexFrame(s, indexPath, "hashes"),
+      s.read.parquet(protocol(indexPath).dir("df"))
+        .select(col("shh"), col("df").as("hdf")),
+      incoming)
+  }
+
+  /** [[incrementalKeepNewIndexed]] AS OF a ledger horizon: the history
+    * side is the index exactly as it stood after ledger id `asOf` —
+    * shingle/hash dirs and tombstone batches ledger-scoped through
+    * [[graft.index.FoldProtocol.readCommittedStrippedAsOf]] (honesty
+    * guards included: a compaction or vacuum that collapsed the
+    * horizon refuses). The df stop-list summary is overwrite-published
+    * per commit (the manifest-riding ledger dialect), so past horizons
+    * have no persisted summary — but the summary IS, by construction,
+    * the per-key count of the served shingle frame ([[writeIndex]]
+    * aggregates it, folds add batch counts, deletes subtract served
+    * victim rows), so the as-of read recomputes it with ONE aggregate
+    * over the horizon's index rows. That aggregate is the as-of read's
+    * only extra cost — the reproducibility path pays O(horizon's index
+    * rows) once; current serves keep the pre-aggregated summary.
+    */
+  def incrementalKeepNewIndexedAsOf(indexPath: String,
+      incoming: DataFrame, asOf: Long): DataFrame = {
+    val s = incoming.sparkSession
+    val histSh = protocol(indexPath)
+      .readCommittedStrippedAsOf(s, "shingles", "doc_id", asOf)(d =>
+        s.read.parquet(d))
+    val histHash = protocol(indexPath)
+      .readCommittedStrippedAsOf(s, "hashes", "doc_id", asOf)(d =>
+        s.read.parquet(d))
+    incrementalKeepNewFromFrames(histSh, histHash,
+      histSh.groupBy(col("shh")).agg(count(lit(1)).as("hdf")),
+      incoming)
+  }
+
+  /** The incremental-dedup core over explicit history frames — shared
+    * by the current-horizon read (persisted df summary) and the as-of
+    * read (ledger-scoped frames, summary recomputed).
+    */
+  private def incrementalKeepNewFromFrames(histSh: DataFrame,
+      histHash: DataFrame, histDf: DataFrame,
+      incoming: DataFrame): DataFrame = {
     val incIds = incoming.select(col("doc_id"))
     // (a) exact: any smaller-id doc (history or earlier-in-batch) with
     // the same content hash
@@ -832,12 +874,10 @@ object Dedup {
       .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
     val allSh = histSh.union(incSh)
-    // Union df per key = persisted history df + incoming df: the stop
-    // list is a full-outer merge of two AGGREGATED frames — history's
-    // pair frame is never scanned for it (that scan happens once, below,
-    // for candidates).
-    val histDf = s.read.parquet(protocol(indexPath).dir("df"))
-      .select(col("shh"), col("df").as("hdf"))
+    // Union df per key = history df + incoming df: the stop list is a
+    // full-outer merge of two AGGREGATED frames — history's pair frame
+    // is never scanned for it (that scan happens once, below, for
+    // candidates).
     val incDf = incSh.groupBy(col("shh")).agg(count(lit(1)).as("idf"))
     val stop = histDf.join(incDf, Seq("shh"), "full")
       .filter(coalesce(col("hdf"), lit(0L)) +
@@ -1000,6 +1040,129 @@ object Dedup {
         staging, 0L)
       appendToIndex(hist.filter(isVictim), staging, 2L)
     }
+
+  /** Floor-bounded retention for the dedup shingle/hash index — the
+    * last ledgered family to join the kind-generic
+    * [[graft.index.FoldProtocol.vacuumKinds]] kernel: both sub-frames
+    * collapse their dirs with ledger id ≤ floor into one `c<floor>`
+    * holding the as-of-floor SERVED view (tombstones ≤ floor stripped
+    * — the collapse doubles as their physical purge), then the sources
+    * reclaim. Horizons ≥ floor keep serving exactly as before; below,
+    * the compaction honesty guard refuses. The df summary is untouched:
+    * it is a flat current-horizon aggregate, already correct under any
+    * physical re-layout (as-of reads recompute their horizon's summary
+    * from the scoped shingle frame, see
+    * [[incrementalKeepNewIndexedAsOf]]). Value-gated by
+    * `dedup_incremental_vacuum` (surviving horizons hash-equal to
+    * `dedup_incremental_asof`'s oracle branches).
+    */
+  def vacuumDedupIndex(s: SparkSession, path: String,
+      floorRequested: Long): Boolean = {
+    val p = protocol(path)
+    p.vacuumKinds(s, floorRequested, Seq("shingles", "hashes").map(sub =>
+      sub -> ((floor: Long, staging: String) =>
+        p.readCommittedStrippedAsOf(s, sub, "doc_id", floor)(dd =>
+            s.read.parquet(dd))
+          .write.mode(SaveMode.Overwrite).parquet(staging))))
+  }
+
+  /** Build-if-absent the AS-OF dedup-index gate fixture — ledger ids
+    * at DISTINCT dir orders so every id is a distinguishable horizon
+    * (the `ensureAsOfIvfIndex` convention):
+    *   seed (order 0): history minus the late wave (doc_id % 5 ∈ 0–2)
+    *   b1: the late history wave (doc_id % 5 = 3)
+    *   d2: takedown of the shield classes (doc_id % 10 ∈ {0, 7})
+    */
+  def ensureAsOfDedupIndex(s: SparkSession, d: String): String =
+    Layout.ensurePublishedDir(s, fixtureRoot(s, d, "graft_dedup_asof"))(
+      r => protocol(r).deletedBatches().contains(2L)
+    ) { staging =>
+      val hist = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
+      writeIndex(hist.filter(col("doc_id") % 5 =!= 3), staging)
+      appendToIndex(hist.filter(col("doc_id") % 5 === 3), staging, 1L)
+      deleteFromIndex(hist.filter(col("doc_id") % 10 === 0 ||
+          col("doc_id") % 10 === 7)
+        .select(col("doc_id")), staging, 2L)
+    }
+
+  /** Build-if-absent the VACUUMED dedup-index gate fixture: the as-of
+    * lifecycle then [[vacuumDedupIndex]] at floor 1 — horizon 0
+    * reclaimed (refuses), horizons 1 and 2 must keep serving
+    * hash-equal to the unvacuumed construction. Completeness is the
+    * vacuum's POST-state (c1 landed, seed gone) so a crashed vacuum
+    * rebuilds rather than serving half-reclaimed.
+    */
+  def ensureVacuumedDedupIndex(s: SparkSession, d: String): String = {
+    val root = fixtureRoot(s, d, "graft_dedup_vacuum")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.ensurePublishedDir(s, root)(r =>
+      protocol(r).deletedBatches().contains(2L) &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("shingles")}/c1", "_SUCCESS")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"${protocol(r).dir("shingles")}/seed"))
+    ) { staging =>
+      val hist = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
+      writeIndex(hist.filter(col("doc_id") % 5 =!= 3), staging)
+      appendToIndex(hist.filter(col("doc_id") % 5 === 3), staging, 1L)
+      deleteFromIndex(hist.filter(col("doc_id") % 10 === 0 ||
+          col("doc_id") % 10 === 7)
+        .select(col("doc_id")), staging, 2L)
+      vacuumDedupIndex(s, staging, 1L)
+    }
+  }
+
+  /** One horizon of the as-of / vacuum oracles: the full-batch
+    * incremental rebuild over exactly the documents the horizon's
+    * index holds (plus the incoming batch) — the
+    * `dedup_incremental_deleted` convention, `$h`-suffixed so three
+    * horizons coexist in one WITH. `ex`/`s` are MATERIALIZED (each is
+    * referenced 2–3×; un-pinned, three horizons' inlined re-evals of
+    * the shingle explode stack multiply).
+    */
+  private def asofDedupHorizonCtes(h: Int, liveWhere: String): String =
+    s"""live$h AS (SELECT * FROM documents WHERE $liveWhere),
+       |w$h AS (SELECT doc_id, string_split(text, ' ') AS ws FROM live$h),
+       |ex$h AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+       |         range(1, greatest(len(ws) - 1, 1)),
+       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+       |       FROM w$h),
+       |s$h AS MATERIALIZED (SELECT doc_id, sh FROM ex$h
+       |      WHERE sh IN (SELECT sh FROM ex$h GROUP BY sh HAVING count(*) <= 50)),
+       |sz$h AS (SELECT doc_id, count(*) AS n FROM s$h GROUP BY doc_id),
+       |inter$h AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |          FROM s$h a JOIN s$h b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id),
+       |near$h AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM inter$h
+       |  JOIN sz$h x ON x.doc_id = doc_a JOIN sz$h y ON y.doc_id = doc_b
+       |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
+       |xd$h AS (SELECT DISTINCT b.doc_id
+       |       FROM live$h a JOIN live$h b
+       |         ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+       |out$h AS (SELECT CAST($h AS BIGINT) AS horizon, doc_id, lang, source
+       |  FROM documents
+       |  WHERE doc_id % 5 = 4
+       |    AND doc_id NOT IN (SELECT doc_id FROM near$h)
+       |    AND doc_id NOT IN (SELECT doc_id FROM xd$h))""".stripMargin
+
+  /** The three as-of horizons' live predicates: 0 = seed only (late
+    * wave % 5 = 3 invisible), 1 = seed + fold (all history), 2 = the
+    * takedown applied (% 10 ∈ {0, 7} gone). The incoming batch
+    * (% 5 = 4) is always live — it is the query, not index state.
+    */
+  private val asofDedupHorizons: Seq[(Int, String)] = Seq(
+    0 -> "doc_id % 5 <> 3",
+    1 -> "TRUE",
+    2 -> "doc_id % 10 NOT IN (0, 7)")
+
+  private def asofDedupOracleSql(horizons: Seq[(Int, String)]): String =
+    "WITH " + horizons.map { case (h, w) => asofDedupHorizonCtes(h, w) }
+      .mkString(",\n") + "\n" +
+      horizons.map { case (h, _) =>
+        s"SELECT horizon, doc_id, lang, source FROM out$h"
+      }.mkString("\nUNION ALL ")
 
   /** Oracle for the readded-index gate: the corpus the lifecycle
     * leaves is the FULL corpus (every victim's pre-delete version is
@@ -1367,6 +1530,47 @@ object Dedup {
         val incoming = Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
         incrementalKeepNewIndexed(ensureReaddedIndex(s, d), incoming)
           .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // AS-OF (time-travel) incremental dedup: the SAME persisted index
+    // answers the incremental-survivor question at three ledger
+    // horizons — post-seed (late wave invisible), post-fold, and
+    // post-takedown — by ledger-scoped dir/tombstone filters on the
+    // shingle/hash frames, with each horizon's df stop-list recomputed
+    // from its scoped shingle frame (the summary is overwrite-published
+    // per commit, so past horizons derive theirs — one aggregate over
+    // the horizon's index rows, the reproducibility price). Oracle =
+    // the full-batch rebuild restricted per horizon, the
+    // dedup_incremental_deleted convention. This was the last ledgered
+    // family with no as-of read.
+    QuerySpec(
+      "dedup_incremental_asof",
+      asofDedupOracleSql(asofDedupHorizons)) { (s, d) =>
+      val root = ensureAsOfDedupIndex(s, d)
+      val incoming = Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+      asofDedupHorizons.map { case (h, _) =>
+        incrementalKeepNewIndexedAsOf(root, incoming, h.toLong)
+          .select(lit(h.toLong).as("horizon"), col("doc_id"),
+            col("lang"), col("source"))
+      }.reduce(_.unionByName(_))
+    },
+
+    // Floor-bounded retention on the DEDUP index under the value gate:
+    // the as-of lifecycle VACUUMED at floor 1 — horizon 0 reclaimed
+    // (refuses), horizons 1 and 2 hash-equal to the unvacuumed as-of
+    // oracle's surviving branches. Completes vacuum coverage across
+    // every ledgered family, including this manifest-riding ledger
+    // dialect.
+    QuerySpec(
+      "dedup_incremental_vacuum",
+      asofDedupOracleSql(asofDedupHorizons.drop(1))) { (s, d) =>
+      val root = ensureVacuumedDedupIndex(s, d)
+      val incoming = Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+      asofDedupHorizons.drop(1).map { case (h, _) =>
+        incrementalKeepNewIndexedAsOf(root, incoming, h.toLong)
+          .select(lit(h.toLong).as("horizon"), col("doc_id"),
+            col("lang"), col("source"))
+      }.reduce(_.unionByName(_))
     },
 
     // Transitive-closure corpus dedup: collapse ≥0.8-Jaccard pairs into

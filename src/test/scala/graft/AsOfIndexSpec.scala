@@ -93,6 +93,52 @@ class AsOfIndexSpec extends SparkSpec {
       "a replayed vacuum must be a committed no-op")
   }
 
+  test("the dedup read path shares the horizon semantics: as-of 0 on " +
+    "an evolved shingle index answers what a fresh seed-only build " +
+    "answers, the max horizon equals the current view, and vacuum " +
+    "keeps survivors / refuses the reclaimed horizon / no-ops replay") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    val hist = docs.filter($"doc_id" % 5 =!= 4)
+    val incoming = docs.filter($"doc_id" % 5 === 4)
+    def survivors(idx: String, asOf: Option[Long]): Set[Long] =
+      asOf.fold(Dedup.incrementalKeepNewIndexed(idx, incoming))(
+          Dedup.incrementalKeepNewIndexedAsOf(idx, incoming, _))
+        .select($"doc_id").as[Long].collect().toSet
+    val idx = tmpDir("asof-dedup")
+    Dedup.writeIndex(hist.filter($"doc_id" % 5 =!= 3), idx)
+    assert(Dedup.appendToIndex(hist.filter($"doc_id" % 5 === 3), idx, 1L))
+    assert(Dedup.deleteFromIndex(
+      hist.filter($"doc_id" % 10 === 0 || $"doc_id" % 10 === 7)
+        .select($"doc_id"), idx, 2L))
+    // horizon 0 == a fresh index that only ever saw the seed wave
+    val fresh = tmpDir("asof-dedup-seed")
+    Dedup.writeIndex(hist.filter($"doc_id" % 5 =!= 3), fresh)
+    assert(survivors(idx, Some(0L)) == survivors(fresh, None),
+      "the pre-fold horizon must reproduce the seed-only index")
+    // max horizon == the current view (persisted-summary path)
+    assert(survivors(idx, Some(2L)) == survivors(idx, None),
+      "the max horizon must equal the current view")
+    // vacuum at floor 1: survivors hold, horizon 0 refuses, replay no-ops
+    val pre = Map(1L -> survivors(idx, Some(1L)),
+      2L -> survivors(idx, Some(2L)))
+    assert(Dedup.vacuumDedupIndex(spark, idx, 1L))
+    for (h <- Seq(1L, 2L))
+      assert(survivors(idx, Some(h)) == pre(h), s"horizon $h moved")
+    assertThrows[IllegalArgumentException](survivors(idx, Some(0L)))
+    assert(!Dedup.vacuumDedupIndex(spark, idx, 1L),
+      "a replayed vacuum must be a committed no-op")
+    // physical reclamation: one c1 per sub-frame, seed and b1 gone
+    val p = Dedup.protocol(idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (sub <- Seq("shingles", "hashes")) {
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(p.dir(sub)))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      assert(names == Set("c1"), s"$sub dirs: $names")
+    }
+  }
+
   test("the binary read path shares the horizon semantics: as-of 0 on " +
     "an evolved IVF+binary index serves what a fresh history-only " +
     "build serves, the max horizon equals the current view, and the " +
