@@ -56,20 +56,24 @@ object StreamingRetrieval {
     * ledgered `b<batchId>/` sub-root), exactly-once under replay via
     * the index ledger. The NEXT search batch automatically ranks over
     * the grown corpus with its df/N/avgdl shifted accordingly.
-    * Periodic compaction is ledger-gated and idempotent, same as
-    * `StreamingSimilarity.startIngest`.
+    * Maintenance every `compactEvery` batches via
+    * [[IngestMaintenance]]: compact-all by default, or — with
+    * `retainCommits` ≥ 1 — a floor-bounded vacuum holding the newest
+    * `retainCommits` commits as-of-readable.
     */
   def startIngest(docs: DataFrame, indexPath: String,
-      checkpoint: String, compactEvery: Int = 16): StreamingQuery =
+      checkpoint: String, compactEvery: Int = 16,
+      retainCommits: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           Retrieval.appendToBm25Index(batch, indexPath, batchId)
-          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1
-              && Retrieval.bm25FoldedBatches(indexPath).contains(batchId))
-            Retrieval.compactBm25Index(batch.sparkSession, indexPath)
+          IngestMaintenance.run(Retrieval.protocol(indexPath), batchId,
+            compactEvery, retainCommits)(
+            Retrieval.compactBm25Index(batch.sparkSession, indexPath))(
+            Retrieval.vacuumBm25Index(batch.sparkSession, indexPath, _))
         }
       }
       .start()
@@ -105,16 +109,18 @@ object StreamingRetrieval {
     * periodic compaction, same as [[startIngest]].
     */
   def startPhraseIngest(docs: DataFrame, indexPath: String,
-      checkpoint: String, compactEvery: Int = 16): StreamingQuery =
+      checkpoint: String, compactEvery: Int = 16,
+      retainCommits: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           Retrieval.appendToPhraseIndex(batch, indexPath, batchId)
-          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1
-              && Retrieval.phraseFoldedBatches(indexPath).contains(batchId))
-            Retrieval.compactPhraseIndex(batch.sparkSession, indexPath)
+          IngestMaintenance.run(Retrieval.protocol(indexPath), batchId,
+            compactEvery, retainCommits)(
+            Retrieval.compactPhraseIndex(batch.sparkSession, indexPath))(
+            Retrieval.vacuumPhraseIndex(batch.sparkSession, indexPath, _))
         }
       }
       .start()
@@ -150,16 +156,18 @@ object StreamingRetrieval {
     * compaction via the shared [[Retrieval.compactSubstringIndex]].
     */
   def startSubstringIngest(docs: DataFrame, indexPath: String,
-      checkpoint: String, compactEvery: Int = 16): StreamingQuery =
+      checkpoint: String, compactEvery: Int = 16,
+      retainCommits: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           Retrieval.appendToSubstringIndex(batch, indexPath, batchId)
-          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1
-              && Retrieval.phraseFoldedBatches(indexPath).contains(batchId))
-            Retrieval.compactSubstringIndex(batch.sparkSession, indexPath)
+          IngestMaintenance.run(Retrieval.protocol(indexPath), batchId,
+            compactEvery, retainCommits)(
+            Retrieval.compactSubstringIndex(batch.sparkSession, indexPath))(
+            Retrieval.vacuumSubstringIndex(batch.sparkSession, indexPath, _))
         }
       }
       .start()

@@ -96,28 +96,27 @@ object StreamingSimilarity {
     * same protocol `StreamingDedup` uses for the dedup index. The NEXT
     * enrichment batch (`start`) automatically searches the grown
     * corpus — the committed-roots reader unions seed + ledgered
-    * appends. Run `Similarity.compactIvfIndex` every K batches to
-    * bound the sub-root listing.
+    * appends. Maintenance every `compactEvery` batches via
+    * [[IngestMaintenance]]: compact-all by default, or — with
+    * `retainCommits` ≥ 1 — a floor-bounded vacuum that keeps the
+    * newest `retainCommits` commits exactly as-of-readable while
+    * still bounding the sub-root listing.
     */
   def startIngest(vectors: DataFrame, indexPath: String,
-      checkpoint: String, compactEvery: Int = 16): StreamingQuery =
+      checkpoint: String, compactEvery: Int = 16,
+      retainCommits: Int = 0): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           Similarity.appendToIvfIndex(batch, indexPath, batchId)
-          // Periodic compaction bounds the sub-root listing at
-          // O(compactEvery) without an external scheduler. Gated on
-          // the ledger (fold committed — whether by this invocation or
-          // a pre-crash one): compaction is idempotent over the
-          // committed roots, so re-running it on a replayed batchId is
-          // safe and covers the crash window between the fold's commit
-          // and the compaction. foreachBatch is the single writer
-          // compactIvfIndex requires.
-          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1
-              && Similarity.ivfFoldedBatches(indexPath).contains(batchId))
-            Similarity.compactIvfIndex(batch.sparkSession, indexPath)
+          // foreachBatch is the single writer both maintenance ops
+          // require; gating and cadence live in IngestMaintenance.
+          IngestMaintenance.run(Similarity.protocol(indexPath), batchId,
+            compactEvery, retainCommits)(
+            Similarity.compactIvfIndex(batch.sparkSession, indexPath))(
+            Similarity.vacuumIvfIndex(batch.sparkSession, indexPath, _))
         }
       }
       .start()
@@ -131,17 +130,18 @@ object StreamingSimilarity {
     * exactly like the float index's centroid policy.
     */
   def startPqIngest(vectors: DataFrame, indexPath: String,
-      checkpoint: String, compactEvery: Int = 16): StreamingQuery =
+      checkpoint: String, compactEvery: Int = 16,
+      retainCommits: Int = 0): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           Similarity.appendToIvfPqIndex(batch, indexPath, batchId)
-          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1
-              && Similarity.protocol(indexPath).foldedBatches()
-                .contains(batchId))
-            Similarity.compactIvfPqIndex(batch.sparkSession, indexPath)
+          IngestMaintenance.run(Similarity.protocol(indexPath), batchId,
+            compactEvery, retainCommits)(
+            Similarity.compactIvfPqIndex(batch.sparkSession, indexPath))(
+            Similarity.vacuumIvfPqIndex(batch.sparkSession, indexPath, _))
         }
       }
       .start()
@@ -154,17 +154,18 @@ object StreamingSimilarity {
     * family (float, PQ, binary).
     */
   def startBinaryIngest(vectors: DataFrame, indexPath: String,
-      checkpoint: String, compactEvery: Int = 16): StreamingQuery =
+      checkpoint: String, compactEvery: Int = 16,
+      retainCommits: Int = 0): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           Similarity.appendToIvfBinaryIndex(batch, indexPath, batchId)
-          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1
-              && Similarity.protocol(indexPath).foldedBatches()
-                .contains(batchId))
-            Similarity.compactIvfBinaryIndex(batch.sparkSession, indexPath)
+          IngestMaintenance.run(Similarity.protocol(indexPath), batchId,
+            compactEvery, retainCommits)(
+            Similarity.compactIvfBinaryIndex(batch.sparkSession, indexPath))(
+            Similarity.vacuumIvfBinaryIndex(batch.sparkSession, indexPath, _))
         }
       }
       .start()

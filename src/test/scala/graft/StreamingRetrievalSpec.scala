@@ -316,6 +316,53 @@ class StreamingRetrievalSpec extends SparkSpec {
           .as[(Long, Double)].collect().toSeq, s"terms=$terms")
   }
 
+  test("retained BM25 streaming ingest (retainCommits): surviving " +
+    "horizons serve the unvacuumed replica's rankings exactly, older " +
+    "horizons refuse, and both sides' dir counts stay bounded") {
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001)
+    val seed = docs.filter($"doc_id" % 4 === 0)
+    def wave(m: Int) = docs.filter($"doc_id" % 4 === m)
+    val idx = tmpDir("bm25-retained")
+    Retrieval.writeBm25Index(seed, idx)
+    // unvacuumed same-lifecycle replica = the value baseline
+    val replica = tmpDir("bm25-retained-replica")
+    Retrieval.writeBm25Index(seed, replica)
+    for (m <- 1 to 3)
+      Retrieval.appendToBm25Index(wave(m), replica, (m - 1).toLong)
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamingRetrieval.startIngest(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      idx, tmpDir("bm25-retained-ckpt"), compactEvery = 1,
+      retainCommits = 2)
+    try {
+      for (m <- 1 to 3) {
+        in.addData(wave(m)
+          .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+          .as[(Long, String, String, String, Long)].collect().toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val terms = Seq("dup", "query", "scan")
+    def served(path: String, asOf: Option[Long]) =
+      Retrieval.bm25TopK(spark, path, terms, asOf = asOf)
+        .as[(Long, Double)].collect().toSeq
+    for (h <- Seq(1L, 2L))
+      assert(served(idx, Some(h)) == served(replica, Some(h)),
+        s"horizon $h diverged from the unvacuumed replica")
+    assert(served(idx, None) == served(replica, None))
+    assertThrows[IllegalArgumentException](served(idx, Some(0L)))
+    // bounded dir count on BOTH ledgered sides: c1 + the window's tail
+    import scala.jdk.CollectionConverters._
+    for (side <- Seq("postings", "stats")) {
+      val roots = java.nio.file.Files.list(java.nio.file.Paths.get(
+        Retrieval.protocol(idx).dir(side))).iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString).toSet
+      assert(roots == Set("c1", "b2"), s"$side dirs: $roots")
+    }
+  }
+
   test("streaming phrase search + ingest: micro-batch union equals the " +
     "batch answer, a replayed batchId is idempotent, and streamed " +
     "document folds serve the full-corpus phrase answer exactly-once") {

@@ -252,6 +252,55 @@ class StreamingSimilaritySpec extends SparkSpec {
     assert(hits.nonEmpty && !hits.exists(_._2 == nid))
   }
 
+  test("retained streaming ingest (retainCommits): the as-of window " +
+    "stays bounded — surviving horizons serve the unvacuumed " +
+    "replica's results exactly, older horizons refuse, and the dir " +
+    "count is bounded") {
+    implicit val sc = spark.sqlContext
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".as("v"))
+    val seed = e.filter($"vec_id" % 4 === 0)
+    val waves = (1 to 3).map(m => e.filter($"vec_id" % 4 === m)
+      .as[(Long, Array[Float])].collect().toSeq)
+    val idx = tmpDir("ivf-retained")
+    Similarity.writeIvfIndex(seed, idx)
+    // an UNVACUUMED replica of the same lifecycle is the value baseline
+    val replica = tmpDir("ivf-retained-replica")
+    Similarity.writeIvfIndex(seed, replica)
+    waves.zipWithIndex.foreach { case (w, i) =>
+      Similarity.appendToIvfIndex(
+        w.toDF("vec_id", "v"), replica, i.toLong)
+    }
+    val in = MemoryStream[(Long, Array[Float])]
+    // vacuumEvery cadence = compactEvery; fires each batch here
+    val q = StreamingSimilarity.startIngest(
+      in.toDF().toDF("vec_id", "v"), idx, tmpDir("ivf-retained-ckpt"),
+      compactEvery = 1, retainCommits = 2)
+    try {
+      for (w <- waves) { in.addData(w: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val queries = Tables.embeddings(spark, sf0001).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    def served(path: String, asOf: Option[Long]) =
+      Similarity.indexTopK(spark, path, queries, asOf = asOf)
+        .as[(Long, Long, Int)].collect().toSet
+    // the two newest commits stay exactly as-of-readable, value-equal
+    // to the unvacuumed replica's horizons
+    for (h <- Seq(1L, 2L))
+      assert(served(idx, Some(h)) == served(replica, Some(h)),
+        s"horizon $h diverged from the unvacuumed replica")
+    assert(served(idx, None) == served(replica, None))
+    // the horizon past the retention window refuses
+    assertThrows[IllegalArgumentException](served(idx, Some(0L)))
+    // bounded dir count: one resolved c-dir + the window's tail
+    import scala.jdk.CollectionConverters._
+    val roots = java.nio.file.Files.list(java.nio.file.Paths.get(
+      Similarity.protocol(idx).dir("vectors"))).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(_.getFileName.toString).toSet
+    assert(roots == Set("c1", "b2"), s"unexpected dirs: $roots")
+  }
+
   test("startPqIngest: streamed batches encode against the frozen " +
     "artifacts, fold exactly-once, auto-compact, and serve with the " +
     "one-shot index's results") {
