@@ -561,6 +561,174 @@ object TextAnalysis {
     }
   }
 
+  /** Model-root time travel: NB model VERSIONS as ledgered commits.
+    * Every other persisted model family here publishes
+    * overwrite-in-place, so a reproducible training run could pin its
+    * CORPUS as-of fold N but not the classifier that scored it; this
+    * closes that gap for the NB family. Model states are FULL
+    * checkpoints (the PageRank score-checkpoint dialect, not deltas):
+    * `model/seed` + `langs/seed` hold the initial fit, each
+    * [[growNbModelCommit]] lands the GROWN frames as `model/b<id>` +
+    * `langs/b<id>` under one ledger commit, and the as-of read picks
+    * the newest committed dirs ≤ the horizon — one footer-level listing,
+    * no replay. A model version is model-sized (vocab × langs), which
+    * is what a production fold persists anyway (see nbForget's pin);
+    * [[vacuumNbModel]] reclaims old versions floor-bounded.
+    */
+  private[graft] def modelProtocol(path: String) =
+    new graft.index.FoldProtocol(path, "_model_ledger")
+
+  /** Initial fit of a ledgered NB model root (commit 0, no ledger
+    * entry — the seed convention).
+    */
+  def initLedgeredNbModel(train: DataFrame, root: String): Unit = {
+    val p = modelProtocol(root)
+    val (model, langs) = nbModelFrames(train)
+    model.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${p.dir("model")}/seed")
+    langs.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${p.dir("langs")}/seed")
+  }
+
+  /** Fold a labeled increment into the ledgered model EXACTLY ONCE
+    * under replay: [[nbGrow]] from the newest committed version, the
+    * grown frames land as `b<commitId>` dirs on both sides, one ledger
+    * commit. Cost ∝ the increment plus one model-sized write — the
+    * nbGrow contract, now with a versioned history.
+    */
+  def growNbModelCommit(s: org.apache.spark.sql.SparkSession,
+      root: String, increment: DataFrame, commitId: Long): Boolean = {
+    val p = modelProtocol(root)
+    p.fold(commitId, Seq("model", "langs")) {
+      val (m0, l0) = readNbModelAsOf(s, root, Long.MaxValue)
+      val (m1, l1) = nbGrow(m0, l0, increment)
+      m1.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"${p.dir("model")}/b$commitId")
+      l1.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"${p.dir("langs")}/b$commitId")
+    }
+  }
+
+  /** The model exactly as it stood after ledger commit `asOf`: the
+    * newest committed version dir ≤ the horizon, per side (versions
+    * are full states). Honesty guards are [[graft.index.FoldProtocol
+    * .committedDirsAsOf]]'s — a vacuum that reclaimed the horizon
+    * refuses rather than serving a newer model as an older one.
+    */
+  def readNbModelAsOf(s: org.apache.spark.sql.SparkSession,
+      root: String, asOf: Long): (DataFrame, DataFrame) = {
+    val p = modelProtocol(root)
+    def newest(kind: String): DataFrame = {
+      val dirs = p.committedDirsAsOf(kind, asOf)
+      s.read.parquet(dirs
+        .maxBy(dd => p.dirOrd(dd.substring(dd.lastIndexOf('/') + 1))))
+    }
+    (newest("model"), newest("langs"))
+  }
+
+  /** Floor-bounded retention for the model ledger — the standard
+    * [[graft.index.FoldProtocol.vacuumKinds]] kernel with the
+    * full-state resolution (c<floor> = the newest version ≤ floor,
+    * the score-checkpoint dialect). Value-gated by `text_nb_vacuum`.
+    */
+  def vacuumNbModel(s: org.apache.spark.sql.SparkSession,
+      root: String, floorRequested: Long): Boolean = {
+    val p = modelProtocol(root)
+    p.vacuumKinds(s, floorRequested, Seq("model", "langs").map(kind =>
+      kind -> ((floor: Long, staging: String) => {
+        val dirs = p.committedDirsAsOf(kind, floor)
+        s.read.parquet(dirs
+            .maxBy(dd => p.dirOrd(dd.substring(dd.lastIndexOf('/') + 1))))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(staging)
+      })))
+  }
+
+  /** Build-if-absent the ledgered-model gate fixture: the train split
+    * (doc_id % 5 ≠ 4) lands in three versions — seed on the % 3 = 1
+    * third, b1 grows in % 3 = 2, b2 grows in % 3 = 0 — so horizon 2's
+    * model is bit-identical to the from-scratch full-train fit (the
+    * text_nb_grown contract, now with every intermediate version
+    * servable).
+    */
+  def ensureLedgeredNbModel(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_nb_ledger$suffix").toString
+    Layout.ensurePublishedDir(s, root)(r =>
+      modelProtocol(r).foldedBatches() == Set(1L, 2L)
+    ) { staging =>
+      val train = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
+      initLedgeredNbModel(train.filter(col("doc_id") % 3 === 1), staging)
+      growNbModelCommit(s, staging,
+        train.filter(col("doc_id") % 3 === 2), 1L)
+      growNbModelCommit(s, staging,
+        train.filter(col("doc_id") % 3 === 0), 2L)
+    }
+    root
+  }
+
+  /** Build-if-absent the VACUUMED-model gate fixture: the ledgered
+    * lifecycle then [[vacuumNbModel]] at floor 1 — the seed version
+    * reclaimed, horizons 1 and 2 serving unchanged.
+    */
+  def ensureVacuumedNbModel(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_nb_vacuum$suffix").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.ensurePublishedDir(s, root)(r =>
+      modelProtocol(r).foldedBatches() == Set(1L, 2L) &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"${modelProtocol(r).dir("model")}/c1", "_SUCCESS")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"${modelProtocol(r).dir("model")}/seed"))
+    ) { staging =>
+      val train = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
+      initLedgeredNbModel(train.filter(col("doc_id") % 3 === 1), staging)
+      growNbModelCommit(s, staging,
+        train.filter(col("doc_id") % 3 === 2), 1L)
+      growNbModelCommit(s, staging,
+        train.filter(col("doc_id") % 3 === 0), 2L)
+      vacuumNbModel(s, staging, 1L)
+    }
+    root
+  }
+
+  /** The per-horizon train predicates of the model-ledger gates: each
+    * horizon's model is bit-identical to a from-scratch fit on its
+    * cumulative train slice, so the oracle is [[nbOracle]] per slice.
+    */
+  private val nbAsofHorizons: Seq[(Int, String)] = Seq(
+    0 -> "doc_id % 5 <> 4 AND doc_id % 3 = 1",
+    1 -> "doc_id % 5 <> 4 AND doc_id % 3 <> 0",
+    2 -> "doc_id % 5 <> 4")
+
+  private def nbAsofOracleSql(horizons: Seq[(Int, String)]): String =
+    horizons.map { case (h, w) =>
+      s"SELECT CAST($h AS BIGINT) AS horizon, * FROM (\n${nbOracle(w)})"
+    }.mkString("\nUNION ALL\n")
+
+  /** The Spark side of the model-ledger gates: classify the holdout
+    * under each horizon's served model.
+    */
+  private def nbAsofFrames(s: org.apache.spark.sql.SparkSession,
+      root: String, d: String,
+      horizons: Seq[(Int, String)]): DataFrame = {
+    val test = Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+    horizons.map { case (h, _) =>
+      val (m, l) = readNbModelAsOf(s, root, h.toLong)
+      nbClassify(test, m, l)
+        .select(lit(h.toLong).as("horizon"), col("doc_id"),
+          col("true_lang"), col("pred_lang"), col("nb_score"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Interpolated Kneser–Ney bigram document scoring — see the
     * `text_kn_logprob` QuerySpec comment. Model = one bigram-type frame
     * (c2) folded three ways: prefix totals + distinct-continuation
@@ -963,6 +1131,30 @@ object TextAnalysis {
         s.read.parquet(s"$root/langs"),
         docs.filter(col("doc_id") % 5 =!= 4 && col("doc_id") % 25 === 0))
       nbClassify(docs.filter(col("doc_id") % 5 === 4), m2, l2)
+    },
+
+    // MODEL-ROOT TIME TRAVEL: the NB model's versions are ledgered
+    // commits (seed fit, two grow folds), and the holdout classifies
+    // under the model AS OF each commit — so a reproducible training
+    // run can pin the classifier that scored its corpus, not just the
+    // corpus. Each horizon's model is bit-identical to a from-scratch
+    // fit on its cumulative train slice (the text_nb_grown contract
+    // per version), so the oracle is the shared nbOracle per slice.
+    QuerySpec(
+      "text_nb_asof",
+      nbAsofOracleSql(nbAsofHorizons)) { (s, d) =>
+      nbAsofFrames(s, ensureLedgeredNbModel(s, d), d, nbAsofHorizons)
+    },
+
+    // Floor-bounded retention on the MODEL ledger under the value
+    // gate: the three-version lifecycle vacuumed at floor 1 — the seed
+    // version reclaimed (refuses, spec-pinned), horizons 1 and 2
+    // hash-equal to the unvacuumed oracle branches.
+    QuerySpec(
+      "text_nb_vacuum",
+      nbAsofOracleSql(nbAsofHorizons.drop(1))) { (s, d) =>
+      nbAsofFrames(s, ensureVacuumedNbModel(s, d), d,
+        nbAsofHorizons.drop(1))
     },
 
     // Token↔label mutual information — the label-LEAKAGE detector (and

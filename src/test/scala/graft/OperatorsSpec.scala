@@ -781,6 +781,51 @@ class OperatorsSpec extends SparkSpec {
     assert(lkey(lg) == lkey(lf))
   }
 
+  test("ledgered NB model: each horizon serves the from-scratch fit on " +
+    "its cumulative slice, a replayed grow no-ops, and vacuum keeps " +
+    "surviving versions while the reclaimed one refuses") {
+    import org.apache.spark.sql.DataFrame
+    import operators.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    val train = docs.filter($"doc_id" % 5 =!= 4)
+    val root = tmpDir("nb-ledger")
+    TextAnalysis.initLedgeredNbModel(
+      train.filter($"doc_id" % 3 === 1), root)
+    assert(TextAnalysis.growNbModelCommit(spark, root,
+      train.filter($"doc_id" % 3 === 2), 1L))
+    assert(TextAnalysis.growNbModelCommit(spark, root,
+      train.filter($"doc_id" % 3 === 0), 2L))
+    def mkey(df: DataFrame) = df.select($"lang", $"tok", $"c", $"l_i")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // horizon h == from-scratch fit on the cumulative slice
+    val slices = Seq(
+      0L -> train.filter($"doc_id" % 3 === 1),
+      1L -> train.filter($"doc_id" % 3 =!= 0),
+      2L -> train)
+    for ((h, slice) <- slices) {
+      val (mh, _) = TextAnalysis.readNbModelAsOf(spark, root, h)
+      val (mr, _) = TextAnalysis.nbModelFrames(slice)
+      assert(mkey(mh) == mkey(mr), s"horizon $h diverged from the refit")
+    }
+    // replayed grow is a committed no-op (ledger unchanged)
+    assert(!TextAnalysis.growNbModelCommit(spark, root,
+      train.filter($"doc_id" % 3 === 2), 1L))
+    assert(TextAnalysis.modelProtocol(root).foldedBatches() == Set(1L, 2L))
+    // vacuum at floor 1: versions 1-2 survive value-identically, the
+    // seed horizon refuses, the replay no-ops
+    val pre = (1L to 2L).map(h =>
+      h -> mkey(TextAnalysis.readNbModelAsOf(spark, root, h)._1)).toMap
+    assert(TextAnalysis.vacuumNbModel(spark, root, 1L))
+    for (h <- 1L to 2L)
+      assert(mkey(TextAnalysis.readNbModelAsOf(spark, root, h)._1)
+        == pre(h), s"horizon $h moved under vacuum")
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.readNbModelAsOf(spark, root, 0L))
+    assert(!TextAnalysis.vacuumNbModel(spark, root, 1L))
+  }
+
   test("text_nb_langid: planted Naive Bayes model scores hand-exactly, " +
     "learns when there is signal, and exact ties break on lang asc") {
     // Train (ids % 5 != 4): two langs with disjoint vocabularies, equal
