@@ -309,6 +309,56 @@ object Profiling {
       out
     },
 
+    // The GROUPED quantile sketch — q_quantile_sketch's per-group twin
+    // (the q_hll_grouped pattern): per event type, the GK sketch keeps
+    // CONSTANT state per group-partition and merges map-side, so a
+    // 100-TB per-key distribution profile costs one combining pass —
+    // no per-group sort, no global sort. The gate emits each group's
+    // exact interpolated quantiles (value-oracled) plus a within_eps
+    // verdict ranking every sketch output against ITS group's column
+    // (tie-aware rank band, the q_quantile_sketch convention; the rank
+    // guarantee is relative to the group size). The certification path
+    // runs the exact percentile alongside — gate-only cost; production
+    // is the sketch alone.
+    QuerySpec(
+      "q_quantile_grouped",
+      Seq(0.25, 0.5, 0.75, 0.95).map(p =>
+        s"""SELECT event_type, CAST($p AS DOUBLE) AS pct,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  round(quantile_cont(value, $p), 4) AS exact_q,
+           |  CAST(1 AS BIGINT) AS within_eps
+           |FROM events GROUP BY event_type""".stripMargin)
+        .mkString("\nUNION ALL\n")) { (s, d) =>
+      val pcts = Seq(0.25, 0.5, 0.75, 0.95)
+      val eps = 0.002
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"),
+            typedLit(pcts), lit(1000)).as("qs"),
+          expr(s"percentile(value, array(${pcts.mkString(",")}))")
+            .as("eqs"),
+          count(lit(1)).as("n_rows"))
+      val qrows = sk.select(col("event_type"), col("n_rows"),
+          posexplode(col("qs")).as(Seq("i", "q")), col("eqs"))
+        .select(col("event_type"), col("n_rows"), col("i"), col("q"),
+          element_at(col("eqs"), col("i") + 1).as("eq"),
+          element_at(typedLit(pcts), (col("i") + 1).cast("int")).as("pct"))
+      // one combining aggregate ranks all groups' sketch outputs in a
+      // single pass; the ≤ |groups|·|pcts|-row qrows frame joins
+      // UNHINTED (corpus-derived cardinality, the repo-wide rule)
+      ev.join(qrows, Seq("event_type"))
+        .groupBy(col("event_type"), col("pct"), col("n_rows"),
+          col("q"), col("eq"))
+        .agg(
+          sum(when(col("value") < col("q"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("value") <= col("q"), 1L).otherwise(0L)).as("le"))
+        .select(col("event_type"), col("pct"), col("n_rows"),
+          round(col("eq"), 4).as("exact_q"),
+          ((col("lt").cast("double") / col("n_rows") - eps <= col("pct"))
+            && (col("pct") <= col("le").cast("double") / col("n_rows")
+              + eps)).cast("long").as("within_eps"))
+    },
+
     // Hot-key detection — the pre-pass a skew-aware pipeline runs
     // before keying a 100-TB shuffle: which keys exceed 1/(c+1) of the
     // stream and need salting / capping / a skew-join hint. The
