@@ -145,13 +145,7 @@ object TimeTravel {
       asOf: Long): DataFrame = {
     val p = protocol(root)
     val dirs = p.committedDirsAsOf("data", asOf)
-    val newest = dirs.maxBy(d => p.dirOrd(d.substring(d.lastIndexOf('/') + 1)))
-    val base = s.read.parquet(newest).schema
-    val extra = dirs.filterNot(_ == newest)
-      .flatMap(d => s.read.parquet(d).schema.fields)
-      .filterNot(f => base.fieldNames.contains(f.name))
-      .distinctBy(_.name)
-    val sch = org.apache.spark.sql.types.StructType(base.fields ++ extra)
+    val sch = physicalSchemaAsOf(s, root, asOf)
     val rest = sch.fieldNames.toSeq
       .filterNot(n => n == "event_id" || n == "_commit")
     p.readCommittedStrippedAsOf(s, "data", "event_id", asOf)(r =>
@@ -162,11 +156,152 @@ object TimeTravel {
         rest.map(n => col(s"v.$n").as(n)): _*)
   }
 
-  /** The events table exactly as it stood after ledger commit `asOf`
-    * — [[resolvedAsOf]] minus the bookkeeping `_commit` column.
+  /** The horizon's PHYSICAL schema: the union across every committed
+    * data dir ≤ asOf (see [[resolvedAsOf]]'s doc for why the union,
+    * not the newest dir alone). Driver-side footer reads only.
     */
-  def readEventsAsOf(s: SparkSession, root: String, asOf: Long): DataFrame =
-    resolvedAsOf(s, root, asOf).drop("_commit")
+  private def physicalSchemaAsOf(s: SparkSession, root: String,
+      asOf: Long): org.apache.spark.sql.types.StructType = {
+    val p = protocol(root)
+    val dirs = p.committedDirsAsOf("data", asOf)
+    val newest = dirs.maxBy(d => p.dirOrd(d.substring(d.lastIndexOf('/') + 1)))
+    val base = s.read.parquet(newest).schema
+    val extra = dirs.filterNot(_ == newest)
+      .flatMap(d => s.read.parquet(d).schema.fields)
+      .filterNot(f => base.fieldNames.contains(f.name))
+      .distinctBy(_.name)
+    org.apache.spark.sql.types.StructType(base.fields ++ extra)
+  }
+
+  // ---- column mapping (rename/drop without rewrite) ----
+  //
+  // The Iceberg/Delta-style logical-name indirection: data dirs keep
+  // every column under its PHYSICAL name (the name it was born with,
+  // never rewritten), and ledgered mapping commits under the `colmap`
+  // kind re-bind physical -> logical per horizon — a rename (or drop)
+  // is one tiny parquet row plus a ledger entry, horizons below it
+  // keep serving the old name (or the column), horizons at or above
+  // serve the new view. The mapping read is a driver-side collect of
+  // a <= |columns| x |mapping commits| frame.
+
+  /** The horizon's physical→logical binding: absent physical = itself,
+    * `Some(l)` = serve as `l`, `None` = dropped at or below `asOf`.
+    * Per physical column the NEWEST mapping commit ≤ asOf wins.
+    */
+  private def mappingAsOf(s: SparkSession, root: String,
+      asOf: Long): Map[String, Option[String]] = {
+    val dirs = protocol(root).committedDirsOrEmpty("colmap")
+      .filter { d =>
+        val n = d.substring(d.lastIndexOf('/') + 1)
+        n.matches("b\\d+") && n.drop(1).toLong <= asOf
+      }
+    if (dirs.isEmpty) Map.empty
+    else s.read.parquet(dirs: _*)
+      .select(col("physical"), col("logical"), col("_commit"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (phys, rows) =>
+        val newest = rows.maxBy(_.getLong(2))
+        phys -> Option(newest.getString(1))
+      }
+  }
+
+  /** Current logical name of each physical column (identity unless a
+    * mapping commit re-bound it; dropped columns are absent).
+    */
+  private def logicalView(s: SparkSession, root: String,
+      asOf: Long): Map[String, String] = {
+    val m = mappingAsOf(s, root, asOf)
+    physicalSchemaAsOf(s, root, asOf).fieldNames.toSeq
+      .filterNot(_ == "_commit")
+      .flatMap(p => m.getOrElse(p, Some(p)).map(l => p -> l))
+      .toMap
+  }
+
+  private def stageMapping(s: SparkSession, root: String,
+      physical: String, logical: Option[String], commitId: Long): Boolean = {
+    import s.implicits._
+    protocol(root).fold(commitId, Seq("colmap")) {
+      Seq((physical, logical, commitId))
+        .toDF("physical", "logical", "_commit")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"${protocol(root).dir("colmap")}/b$commitId")
+    }
+  }
+
+  /** RENAME a column as one ledgered commit, no data rewrite: horizons
+    * ≥ this commit serve the column as `to`, horizons below keep `from`
+    * — both reading the same physical bytes. Refuses to rename the
+    * table key, a column the current horizon does not serve, or onto a
+    * name the current horizon already serves. Exactly once under
+    * replay.
+    */
+  def renameColumnCommit(s: SparkSession, root: String,
+      from: String, to: String, commitId: Long): Boolean = {
+    require(from != "event_id" && to != "event_id",
+      "the table key event_id cannot be renamed")
+    val view = logicalView(s, root, Long.MaxValue)
+    val phys = view.collectFirst { case (p, l) if l == from => p }
+    require(phys.nonEmpty,
+      s"rename: no column named '$from' at the current horizon " +
+        s"(serving: ${view.values.toSeq.sorted.mkString(", ")})")
+    require(!view.values.toSet.contains(to),
+      s"rename: '$to' already names a served column")
+    stageMapping(s, root, phys.get, Some(to), commitId)
+  }
+
+  /** DROP a column as one ledgered commit, no data rewrite: horizons ≥
+    * this commit serve without it, horizons below — which need it —
+    * KEEP serving it from the same physical bytes (the mapping makes
+    * the drop-refusal unnecessary: nothing any surviving horizon needs
+    * is destroyed; physical reclamation of the bytes would be a
+    * rewrite op, deliberately not this one). The table key refuses.
+    */
+  def dropColumnCommit(s: SparkSession, root: String,
+      name: String, commitId: Long): Boolean = {
+    require(name != "event_id", "the table key event_id cannot be dropped")
+    val view = logicalView(s, root, Long.MaxValue)
+    val phys = view.collectFirst { case (p, l) if l == name => p }
+    require(phys.nonEmpty,
+      s"drop: no column named '$name' at the current horizon")
+    stageMapping(s, root, phys.get, None, commitId)
+  }
+
+  /** [[appendCommit]] for rows carrying the CURRENT LOGICAL shape —
+    * the write path after a rename: logical names re-bind to their
+    * physical columns before landing (so the on-disk layout never
+    * forks on a rename), then the evolved append's superset check and
+    * land run on physical names as usual.
+    */
+  def appendCommitMapped(rows: DataFrame, root: String,
+      commitId: Long): Boolean = {
+    val s = rows.sparkSession
+    val toPhys = logicalView(s, root, Long.MaxValue)
+      .collect { case (p, l) if l != p => l -> p }
+    val mapped = toPhys.foldLeft(rows) { case (f, (l, p)) =>
+      if (f.columns.contains(l)) f.withColumnRenamed(l, p) else f
+    }
+    appendCommitEvolved(mapped, root, commitId)
+  }
+
+  /** The events table exactly as it stood after ledger commit `asOf` —
+    * [[resolvedAsOf]] minus the bookkeeping `_commit` column, with the
+    * horizon's column mapping applied (renames re-bound, dropped
+    * columns hidden; identity when no mapping commit ≤ asOf exists).
+    */
+  def readEventsAsOf(s: SparkSession, root: String, asOf: Long): DataFrame = {
+    val m = mappingAsOf(s, root, asOf)
+    m.foldLeft(resolvedAsOf(s, root, asOf).drop("_commit")) {
+      case (f, (phys, logOpt)) =>
+        if (!f.columns.contains(phys)) f
+        else logOpt match {
+          case Some(l) if l == phys => f
+          case Some(l) => f.withColumnRenamed(phys, l)
+          case None => f.drop(phys)
+        }
+    }
+  }
 
   /** Append one commit that may ADD columns to the table — the
     * schema-evolution twin of [[appendCommit]] (which pins the fixed
@@ -312,6 +447,37 @@ object TimeTravel {
     root
   }
 
+  /** Build-if-absent the RENAME-evolution gate fixture: two data
+    * commits in the original shape, a ledgered RENAME of `value` →
+    * `reading` (commit 2, mapping-only — no data rewrite), then a
+    * mapped append carrying the NEW logical shape (commit 3) — so
+    * horizons 0–1 serve `value`, horizons 2–3 serve `reading`, and the
+    * post-rename write lands on the same physical column.
+    */
+  def ensureRenamedEvents(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_table_rename$suffix").toString
+    Layout.ensurePublishedDir(s, root)(r =>
+      protocol(r).foldedBatches() == Set(1L, 2L, 3L) &&
+        scala.util.Try(
+          s.read.parquet(s"${protocol(r).dir("colmap")}/b2")
+            .columns.contains("physical")).getOrElse(false)
+    ) { staging =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      initLedgeredTable(ev.filter(col("event_id") % 3 === 0), staging)
+      appendCommit(ev.filter(col("event_id") % 3 === 1), staging, 1L)
+      renameColumnCommit(s, staging, "value", "reading", 2L)
+      appendCommitMapped(
+        ev.filter(col("event_id") % 3 === 2)
+          .withColumnRenamed("value", "reading"), staging, 3L)
+    }
+    root
+  }
+
   /** One horizon of the `q_table_asof` oracle: per event_type count
     * and DECIMAL-exact value total of the table AS OF that commit,
     * recomputed from the raw table by the same modular commit
@@ -436,6 +602,38 @@ object TimeTravel {
       (2 to 3).map(asOfHorizonSql).mkString("\nUNION ALL\n")) { (s, d) =>
       val root = ensureVacuumedEvents(s, d)
       (2 to 3).map(asOfHorizonFrame(s, root, _)).reduce(_.unionByName(_))
+    },
+
+    // RENAME evolution via column mapping: commit 2 re-binds `value` →
+    // `reading` with ONE tiny ledgered mapping row (no data rewrite —
+    // the Iceberg/Delta logical-name indirection), and commit 3
+    // appends rows in the NEW logical shape onto the same physical
+    // column. Horizons straddle the rename: 0–1 serve the old name,
+    // 2–3 the new, every horizon reading the same bytes; the measured
+    // column's logical name rides in the output so the oracle pins
+    // WHICH name each horizon serves, not just the values.
+    QuerySpec(
+      "q_table_asof_rename",
+      (0 to 3).map { h =>
+        val wave = Seq(0, 1, 1, 2)(h)
+        val name = if (h >= 2) "reading" else "value"
+        s"""SELECT CAST($h AS BIGINT) AS horizon, event_type,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           |  '$name' AS value_col
+           |FROM events WHERE event_id % 3 <= $wave
+           |GROUP BY event_type""".stripMargin
+      }.mkString("\nUNION ALL\n")) { (s, d) =>
+      val root = ensureRenamedEvents(s, d)
+      (0 to 3).map { h =>
+        val t = readEventsAsOf(s, root, h.toLong)
+        val mc = if (t.columns.contains("reading")) "reading" else "value"
+        t.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col(mc).cast("decimal(12,2)")).cast("double").as("total"))
+          .select(lit(h.toLong).as("horizon"), col("event_type"),
+            col("n"), col("total"), lit(mc).as("value_col"))
+      }.reduce(_.unionByName(_))
     },
 
     // Schema evolution on a ledgered table: commit 2 ADDS a `score`

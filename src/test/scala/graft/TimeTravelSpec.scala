@@ -180,6 +180,66 @@ class TimeTravelSpec extends SparkSpec {
     assert(!TimeTravel.protocol(root).foldedBatches().contains(2L))
   }
 
+  test("column mapping: a drop serves old horizons unchanged and hides " +
+    "the column above; rename refuses the key, collisions and unknown " +
+    "columns; rename composes with vacuum (physical bytes survive)") {
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val root = tmpDir("ttl-colmap")
+    TimeTravel.initLedgeredTable(ev.filter($"event_id" % 3 === 0), root)
+    TimeTravel.appendCommit(ev.filter($"event_id" % 3 === 1), root, 1L)
+    // DROP user_id at commit 2: horizons >= 2 hide it, horizons below
+    // keep serving it from the same bytes — no refusal needed, nothing
+    // a surviving horizon needs is destroyed
+    assert(TimeTravel.dropColumnCommit(spark, root, "user_id", 2L))
+    assert(TimeTravel.readEventsAsOf(spark, root, 1L)
+      .columns.contains("user_id"))
+    assert(!TimeTravel.readEventsAsOf(spark, root, 2L)
+      .columns.contains("user_id"))
+    // a replayed mapping commit no-ops
+    assert(!TimeTravel.dropColumnCommit(spark, root, "value", 2L))
+    assert(TimeTravel.readEventsAsOf(spark, root, 2L)
+      .columns.contains("value"))
+    // rename value -> reading at commit 3; plain appendCommit's FIXED
+    // physical shape still lands (commit 4) and serves as `reading`
+    assert(TimeTravel.renameColumnCommit(spark, root,
+      "value", "reading", 3L))
+    TimeTravel.appendCommit(ev.filter($"event_id" % 3 === 2), root, 4L)
+    val h4 = TimeTravel.readEventsAsOf(spark, root, 4L)
+    assert(h4.columns.contains("reading") && !h4.columns.contains("value"))
+    assert(h4.count() ==
+      TimeTravel.readEventsAsOf(spark, root, 1L).count() +
+        ev.filter($"event_id" % 3 === 2).count())
+    // refusals: the key, an unknown source, a collision with a served
+    // name, and a rename of the dropped (no longer served) column
+    assertThrows[IllegalArgumentException](
+      TimeTravel.renameColumnCommit(spark, root, "event_id", "id", 5L))
+    assertThrows[IllegalArgumentException](
+      TimeTravel.renameColumnCommit(spark, root, "value", "v2", 5L))
+    assertThrows[IllegalArgumentException](
+      TimeTravel.renameColumnCommit(spark, root, "reading", "ts", 5L))
+    assertThrows[IllegalArgumentException](
+      TimeTravel.renameColumnCommit(spark, root, "user_id", "uid", 5L))
+    assertThrows[IllegalArgumentException](
+      TimeTravel.dropColumnCommit(spark, root, "event_id", 5L))
+    // vacuum at floor 3 (the rename commit): the c-dir stages PHYSICAL
+    // names, so the surviving horizons keep their mapped views — and
+    // the pre-rename horizon is gone with its history
+    val pre4 = h4.select($"event_id", $"reading")
+      .as[(Long, Double)].collect().toMap
+    assert(TimeTravel.vacuum(spark, root, 3L))
+    val post = TimeTravel.readEventsAsOf(spark, root, 4L)
+    assert(post.columns.contains("reading"))
+    assert(post.select($"event_id", $"reading")
+      .as[(Long, Double)].collect().toMap == pre4,
+      "renamed values must survive the vacuum byte-for-byte")
+    val h3 = TimeTravel.readEventsAsOf(spark, root, 3L)
+    assert(h3.columns.contains("reading") &&
+      !h3.columns.contains("user_id"))
+    assertThrows[IllegalArgumentException](
+      TimeTravel.readEventsAsOf(spark, root, 1L))
+  }
+
   test("deletes staged AFTER a vacuum still hide the resolved rows " +
     "(ledger-wide high-water stamps), and a legacy fold-only mark " +
     "below the floor makes vacuum refuse") {
