@@ -245,6 +245,78 @@ object StreamingCuration {
       .start()
   }
 
+  /** [[startEdgeIngest]] with CHECKPOINTED re-scoring: every
+    * `rescoreEvery` batches (ledger-gated, replay-idempotent — the
+    * [[IngestMaintenance]] cadence convention) the stream re-scores
+    * the grown graph warm-starting from the newest committed score
+    * checkpoint and publishes the result as a ledgered `scores/b<hw>`
+    * commit ([[graft.operators.Curation.checkpointRescore]] — the id
+    * IS the edge ledger's high-water, so a redelivered cadence batch
+    * short-circuits on the scores ledger). With `retainCheckpoints` ≥
+    * 1 old checkpoints vacuum floor-bounded on the same cadence — the
+    * long-running shape: edges stream in, scoring cost stays
+    * amortized (PrIters rounds per cadence window, never per read),
+    * and the checkpoint history holds a bounded as-of window.
+    */
+  def startEdgeIngestCheckpointed(edges: DataFrame, root: String,
+      docs: DataFrame, checkpoint: String, rescoreEvery: Int = 8,
+      retainCheckpoints: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Curation
+    val epoch = StreamingDedup.epochFor(edges, checkpoint,
+      Curation.graphProtocol(root).allLedgerIds() + 0L)
+    edges.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val commitId = (epoch << 32) | batchId
+          Curation.appendEdgesCommit(batch, root, commitId)
+          if (rescoreEvery > 0 &&
+              batchId % rescoreEvery == rescoreEvery - 1 &&
+              Curation.graphProtocol(root).foldedBatches()
+                .contains(commitId)) {
+            Curation.checkpointRescore(batch.sparkSession, root, docs)
+            if (retainCheckpoints >= 1) {
+              val ids = Curation.scoresProtocol(root).allLedgerIds()
+                .toSeq.sorted(Ordering[Long].reverse)
+              if (ids.length > retainCheckpoints)
+                Curation.vacuumScoreCheckpoints(batch.sparkSession,
+                  root, ids(retainCheckpoints - 1))
+            }
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Stream LABELED documents into a ledgered NB model root — each
+    * micro-batch folds as one
+    * [[graft.operators.TextAnalysis.growNbModelCommit]] (exactly-once
+    * under replay via the model ledger, epoch-namespaced commitIds),
+    * so the classifier VERSION history grows with the stream and any
+    * commit boundary stays servable through `readNbModelAsOf` — the
+    * streaming half of `text_nb_asof`'s lifecycle, the way
+    * [[startEdgeIngest]] is `q_pagerank_incremental`'s.
+    */
+  def startNbGrowIngest(labeled: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.TextAnalysis
+    val epoch = StreamingDedup.epochFor(labeled, checkpoint,
+      TextAnalysis.modelProtocol(root).allLedgerIds() + 0L)
+    labeled.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) // empty-batch suppression (K3)
+          TextAnalysis.growNbModelCommit(batch.sparkSession, root,
+            batch, (epoch << 32) | batchId)
+        ()
+      }
+      .start()
+  }
+
   /** One DSIR-score micro-batch — the replay-idempotent unit. */
   def publishDsirBatch(batch: DataFrame, batchId: Long, modelRoot: String,
       outPath: String): Unit = {

@@ -149,6 +149,103 @@ class StreamingCurationSpec extends SparkSpec {
       grow.take(3).toDF("src", "dst"), root, commits.head))
   }
 
+  test("checkpointed edge ingest: cadenced re-scores land as ledgered " +
+    "checkpoints equal to the batch lifecycle's, retention bounds the " +
+    "checkpoint history, and the newest still serves warm-starts") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf0001)
+    val n = docs.count()
+    def formula(a: Long, b: Long) =
+      docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * a + b) % n).as("dst"))
+        .filter(col("dst") =!= col("src"))
+    val root = tmpDir("pr-ckpt-stream")
+    Curation.initGraphLedger(spark, docs, root, seedFormulas = 1)
+    // the batch twin of the same lifecycle is the value baseline
+    val replica = tmpDir("pr-ckpt-replica")
+    Curation.initGraphLedger(spark, docs, replica, seedFormulas = 1)
+    Curation.appendEdgesCommit(formula(17L, 3L), replica, 1L)
+    Curation.checkpointRescore(spark, replica, docs)
+    Curation.appendEdgesCommit(formula(13L, 11L), replica, 2L)
+    Curation.checkpointRescore(spark, replica, docs)
+
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamingCuration.startEdgeIngestCheckpointed(
+      in.toDF().toDF("src", "dst"), root, docs,
+      tmpDir("pr-ckpt-stream-ckpt"), rescoreEvery = 1,
+      retainCheckpoints = 1)
+    try {
+      for (f <- Seq(formula(17L, 3L), formula(13L, 11L))) {
+        in.addData(f.as[(Long, Long)].collect().toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val sp = Curation.scoresProtocol(root)
+    def scoresOf(r: String): Map[Long, Long] = {
+      val p = Curation.scoresProtocol(r)
+      val newest = p.committedDirs("scores")
+        .maxBy(d => p.dirOrd(d.substring(d.lastIndexOf('/') + 1)))
+      spark.read.parquet(newest).select($"id", $"r")
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(scoresOf(root) == scoresOf(replica),
+      "streamed cadenced checkpoints must equal the batch chain's state")
+    // retention kept exactly ONE servable checkpoint horizon: the
+    // newest collapsed into a c-dir, the older one refuses
+    val ids = sp.allLedgerIds().toSeq.sorted
+    assert(ids.length == 2 && ids.head > 0L)
+    val dataNames = new java.io.File(sp.dir("scores")).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dataNames == Set(s"c${ids(1)}"),
+      s"unexpected checkpoint dirs: $dataNames")
+    assertThrows[IllegalArgumentException](
+      sp.committedDirsAsOf("scores", ids.head))
+    // the vacuumed root still serves warm-start reads
+    assert(Curation.pagerankWarmStart(spark, root, docs).count() > 0)
+  }
+
+  test("streamed NB model grows: each micro-batch lands a ledgered " +
+    "model version; the final version equals the from-scratch fit on " +
+    "the union and intermediate horizons stay servable") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    val train = docs.filter($"doc_id" % 5 =!= 4)
+    val root = tmpDir("nb-grow-stream")
+    TextAnalysis.initLedgeredNbModel(
+      train.filter($"doc_id" % 3 === 1), root)
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingCuration.startNbGrowIngest(
+      in.toDF().toDF("doc_id", "lang", "text"), root,
+      tmpDir("nb-grow-ckpt"))
+    try {
+      for (m <- Seq(2, 0)) {
+        in.addData(train.filter($"doc_id" % 3 === m)
+          .select($"doc_id", $"lang", $"text")
+          .as[(Long, String, String)].collect().toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val ids = TextAnalysis.modelProtocol(root).foldedBatches().toSeq.sorted
+    assert(ids.length == 2 && ids.head > 0L,
+      s"epoch-minted model commits must clear the seed: $ids")
+    def mkey(df: org.apache.spark.sql.DataFrame) =
+      df.select($"lang", $"tok", $"c", $"l_i").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+    // final version == from-scratch fit on the full train split
+    assert(mkey(TextAnalysis.readNbModelAsOf(spark, root, ids(1))._1)
+      == mkey(TextAnalysis.nbModelFrames(train)._1))
+    // the intermediate version == fit on the first two thirds
+    assert(mkey(TextAnalysis.readNbModelAsOf(spark, root, ids(0))._1)
+      == mkey(TextAnalysis.nbModelFrames(
+        train.filter($"doc_id" % 3 =!= 0))._1))
+    // replayed grow is a committed no-op
+    assert(!TextAnalysis.growNbModelCommit(spark, root,
+      train.limit(3), ids.head))
+  }
+
   test("startCurated: micro-batches through the bloom-routed exact " +
     "path land batch-keyed survivors identical to the batch operator") {
     implicit val sc = spark.sqlContext
