@@ -2765,6 +2765,25 @@ object Retrieval {
         .reduce(_.unionByName(_))
     },
 
+    // The consistent-horizon matrix with the PRODUCTION ANN rung: the
+    // dense leg serves from the persisted IVF-PQ index under the same
+    // ledger horizon as the lexical legs — ADC over ~16 B/vector codes,
+    // rerank shortlist, sidecar point lookups, all horizon-scoped. A
+    // training run that pins "fold N" on a PQ-backed retrieval stack
+    // gets the same fused surface back; one leg's honesty refusal
+    // refuses the whole matrix, same as q_asof_matrix.
+    QuerySpec("q_asof_matrix_pq", asofMatrixPqOracleSql) { (s, d) =>
+      val bmIdx = ensureAsOfBm25Index(s, d)
+      val subIdx = ensureAsOfSubstringIndex(s, d)
+      val pqIdx = Similarity.ensureEvolvedIvfPqIndex(s, d)
+      val qd = s.read.parquet(ensureDenseQuery(s, d))
+      val docs = Tables.documents(s, d)
+      Seq(0L, 1L, 2L)
+        .map(h =>
+          asOfMatrixServePq(s, bmIdx, subIdx, pqIdx, qd, docs, d, h))
+        .reduce(_.unionByName(_))
+    },
+
     // Pseudo-relevance-feedback query expansion (the RM3 shape): the
     // initial BM25 retrieval's top-3 docs nominate expansion terms,
     // scored ftf × ln(N/df) — feedback term frequency times rarity —
@@ -3320,6 +3339,23 @@ object Retrieval {
     */
   private def asofMatrixHorizonSql(h: Int, textWhere: String,
       annWhere: String): String =
+    asofMatrixHorizonSqlWith(h, textWhere,
+      s"""SELECT doc_id, r FROM (
+         |       SELECT a1.vec_id AS doc_id,
+         |         row_number() OVER (
+         |           ORDER BY round(list_cosine_similarity(p.qv, a1.v), 4)
+         |             DESC, a1.vec_id) AS r
+         |       FROM mdpr p JOIN a1 ON p.cent_id = a1.cent_id
+         |         AND a1.vec_id <> p.query_id
+         |       WHERE $annWhere) WHERE r <= $TopK""".stripMargin)
+
+  /** [[asofMatrixHorizonSql]] with the dense ranked leg pluggable —
+    * `denseSql` must yield `(doc_id, r)` with r ≤ TopK. The PQ matrix
+    * plugs each horizon's ranked serve from
+    * [[Similarity.asofMatrixPqCtes]].
+    */
+  private def asofMatrixHorizonSqlWith(h: Int, textWhere: String,
+      denseSql: String): String =
     s"""m$h AS (SELECT * FROM (
        |  SELECT CAST($h AS BIGINT) AS horizon,
        |    coalesce(br.doc_id, dr.doc_id) AS doc_id,
@@ -3334,14 +3370,7 @@ object Retrieval {
        |       row_number() OVER (ORDER BY score DESC, doc_id) AS r
        |     FROM (${bm25OracleSqlOver(textWhere)})) br
        |  FULL JOIN
-       |    (SELECT doc_id, r FROM (
-       |       SELECT a1.vec_id AS doc_id,
-       |         row_number() OVER (
-       |           ORDER BY round(list_cosine_similarity(p.qv, a1.v), 4)
-       |             DESC, a1.vec_id) AS r
-       |       FROM mdpr p JOIN a1 ON p.cent_id = a1.cent_id
-       |         AND a1.vec_id <> p.query_id
-       |       WHERE $annWhere) WHERE r <= $TopK) dr
+       |    ($denseSql) dr
        |  ON br.doc_id = dr.doc_id
        |  LEFT JOIN (SELECT DISTINCT doc_id
        |             FROM (${substringOracleSqlOver(textWhere)})) sub
@@ -3358,14 +3387,36 @@ object Retrieval {
     */
   private[graft] def asOfMatrixServe(s: SparkSession, bmIdx: String,
       subIdx: String, annIdx: String, qd: DataFrame, docs: DataFrame,
-      h: Long): DataFrame = {
+      h: Long): DataFrame =
+    matrixFuse(s, bmIdx, subIdx, docs, h,
+      Similarity.indexTopK(s, annIdx, qd, k = TopK, asOf = Some(h))
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("dr")))
+
+  /** [[asOfMatrixServe]] with the dense leg served from the PERSISTED
+    * PQ index — the production ANN rung inside the consistent-horizon
+    * matrix: ADC + rerank-shortlist + sidecar point lookups all under
+    * the same ledger horizon as the lexical legs.
+    */
+  private def asOfMatrixServePq(s: SparkSession, bmIdx: String,
+      subIdx: String, pqIdx: String, qd: DataFrame, docs: DataFrame,
+      d: String, h: Long): DataFrame =
+    matrixFuse(s, bmIdx, subIdx, docs, h,
+      Similarity.ivfPqTopK(s, pqIdx, qd,
+          Similarity.corpus(s, d).select(col("vec_id"), col("v")),
+          k = TopK, asOf = Some(h))
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("dr")))
+
+  /** The matrix fusion core over an arbitrary ranked dense leg
+    * `(doc_id, dr)` — the BM25 leg, substring membership flag and RRF
+    * tail shared by the float and PQ matrix serves.
+    */
+  private def matrixFuse(s: SparkSession, bmIdx: String, subIdx: String,
+      docs: DataFrame, h: Long, dense: DataFrame): DataFrame = {
     val lex = ranksOf(bm25TopK(s, bmIdx, asOf = Some(h))
         .select(col("doc_id"), col("score").as("s")))
       .withColumnRenamed("r", "br")
-    val dense = Similarity.indexTopK(s, annIdx, qd, k = TopK,
-        asOf = Some(h))
-      .select(col("neighbor_id").as("doc_id"),
-        col("rank").cast("long").as("dr"))
     val sub = substringSearch(s, subIdx, docs, ProbeNeedle,
         asOf = Some(h))
       .select(col("doc_id"), lit(1L).as("sub"))
@@ -3387,6 +3438,25 @@ object Retrieval {
        |${asofMatrixHorizonSql(0, "doc_id % 5 <> 4", "a1.vec_id % 5 <> 4")},
        |${asofMatrixHorizonSql(1, "1 = 1", "TRUE")},
        |${asofMatrixHorizonSql(2, "doc_id % 7 <> 3", "a1.vec_id % 9 <> 0")}
+       |SELECT * FROM m0
+       |UNION ALL SELECT * FROM m1
+       |UNION ALL SELECT * FROM m2""".stripMargin
+
+  /** Oracle for `q_asof_matrix_pq`: the matrix fusion with the dense
+    * leg recomputed as the evolved PQ fixture's FULL serve composition
+    * per horizon ([[Similarity.asofMatrixPqCtes]] — frozen bounded
+    * hist-trained artifacts, ADC over the probed cells, rerank-deep
+    * shortlist, exact re-rank, each under its horizon's candidate
+    * restriction).
+    */
+  private lazy val asofMatrixPqOracleSql: String =
+    s"""WITH ${Similarity.asofMatrixPqCtes},
+       |${asofMatrixHorizonSqlWith(0, "doc_id % 5 <> 4",
+          "SELECT neighbor_id AS doc_id, rank AS r FROM h0")},
+       |${asofMatrixHorizonSqlWith(1, "1 = 1",
+          "SELECT neighbor_id AS doc_id, rank AS r FROM h1")},
+       |${asofMatrixHorizonSqlWith(2, "doc_id % 7 <> 3",
+          "SELECT neighbor_id AS doc_id, rank AS r FROM h2")}
        |SELECT * FROM m0
        |UNION ALL SELECT * FROM m1
        |UNION ALL SELECT * FROM m2""".stripMargin

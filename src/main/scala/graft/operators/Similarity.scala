@@ -42,7 +42,7 @@ object Similarity {
     * similarity compute to one task, while a real multi-TB corpus scan
     * already yields thousands of splits and gets no exchange at all.
     */
-  private def corpus(s: SparkSession, d: String): DataFrame =
+  private[operators] def corpus(s: SparkSession, d: String): DataFrame =
     Par.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
 
@@ -2660,7 +2660,15 @@ object Similarity {
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
        |${ivfGrownAssignCtesSeeded(fixedKSeedSql("hist", FixedK))},
        |$ivfGrownProbesCte,
-       |cb AS (SELECT m, vec_id AS code_id,
+       |$pqEncodeCtes""".stripMargin
+
+  /** The evolved PQ fixture's frozen ENCODE artifacts as CTE text —
+    * hist-restricted codebook, every vector coded and reconstructed —
+    * shared by the PQ as-of oracles and the PQ matrix composition.
+    * Expects `e` in scope.
+    */
+  private def pqEncodeCtes: String =
+    s"""cb AS (SELECT m, vec_id AS code_id,
        |         v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS c8
        |       FROM e, range(0, $PqM) t(m)
        |       WHERE vec_id % 25 = 0 AND vec_id < $PqCodeCap AND vec_id % 5 <> 4),
@@ -2685,10 +2693,11 @@ object Similarity {
     * engine's dir/tombstone scoping acts (on the coded frame).
     */
   private def pqAsofHorizonCtes(tag: String, horizon: Int,
-      adcWhere: String): String =
+      adcWhere: String, queryCte: String = "q",
+      probesCte: String = "probes"): String =
     s"""adc$tag AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
        |    round(list_cosine_similarity(p.qv, r.rv), 4) AS sim
-       |  FROM probes p
+       |  FROM $probesCte p
        |  JOIN a1 ON p.cent_id = a1.cent_id AND a1.vec_id <> p.query_id
        |  JOIN recon r ON r.vec_id = a1.vec_id
        |  WHERE $adcWhere),
@@ -2698,15 +2707,42 @@ object Similarity {
        |                       ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM adc$tag) WHERE rank <= $PqRerank),
        |res$tag AS (SELECT sh.query_id, sh.neighbor_id,
-       |    round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+       |    round(list_cosine_similarity(qq.qv, e.v), 4) AS sim
        |  FROM short$tag sh JOIN e ON e.vec_id = sh.neighbor_id
-       |  JOIN q ON q.query_id = sh.query_id),
+       |  JOIN $queryCte qq ON qq.query_id = sh.query_id),
        |h$tag AS (SELECT CAST($horizon AS BIGINT) AS horizon, query_id,
        |    neighbor_id, rank FROM (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM res$tag) WHERE rank <= $TopK)""".stripMargin
+
+  /** The PQ leg of the consistent-horizon matrix (`q_asof_matrix_pq`
+    * in [[Retrieval]]): the evolved PQ fixture's frozen construction
+    * (bounded hist-trained seeds/Lloyd/centroids, hist codebook, all
+    * vectors coded) over the hybrid gates' per-dim-mean synthetic
+    * query `qd`, plus per-horizon ranked serves `h0/h1/h2` under the
+    * PQ ledger's candidate restrictions. Emits everything the host
+    * oracle needs: `e`, `qd`, and `(horizon, query_id, neighbor_id,
+    * rank)` per horizon.
+    */
+  private[operators] def asofMatrixPqCtes: String =
+    s"""$eCte,
+       |qm AS (SELECT dd, avg(v[dd]) AS qx
+       |       FROM e, range(1, 65) rr(dd) WHERE vec_id < 20 GROUP BY dd),
+       |qd AS (SELECT CAST(-1 AS BIGINT) AS query_id,
+       |              list(qx ORDER BY dd) AS qv FROM qm),
+       |${ivfGrownAssignCtesSeeded(fixedKSeedSql("hist", FixedK))},
+       |pqpr AS (SELECT query_id, qv, cent_id FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cent_id) AS rn
+       |    FROM qd q, cents c) WHERE rn <= 4),
+       |$pqEncodeCtes,
+       |${pqAsofHorizonCtes("0", 0, "a1.vec_id % 5 <> 4", "qd", "pqpr")},
+       |${pqAsofHorizonCtes("1", 1, "TRUE", "qd", "pqpr")},
+       |${pqAsofHorizonCtes("2", 2, "a1.vec_id % 9 <> 0", "qd", "pqpr")}"""
+      .stripMargin
 
   /** Oracle for `sim_ivfpq_asof`: one shared frozen construction,
     * three candidate restrictions — horizon 0 = seed wave only,
