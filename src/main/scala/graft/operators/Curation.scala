@@ -490,6 +490,41 @@ object Curation {
     root
   }
 
+  /** Build-if-absent the VACUUMED-checkpoint gate fixture: the
+    * checkpointed lifecycle with [[vacuumScoreCheckpoints]] at floor 1
+    * — the seed score state reclaimed, the b1 checkpoint resolved into
+    * c1, and the gate's re-score must resume from it unchanged.
+    */
+  def ensureVacuumedCheckpointPagerank(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_pr_ckpt_vac$suffix").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.ensurePublishedDir(s, root)(r =>
+      graphProtocol(r).foldedBatches().contains(2L) &&
+        scoresProtocol(r).foldedBatches().contains(1L) &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"${scoresProtocol(r).dir("scores")}/c1", "_SUCCESS")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"${scoresProtocol(r).dir("scores")}/seed"))
+    ) { staging =>
+      val docs = Tables.documents(s, d)
+      initGraphLedger(s, docs, staging, seedFormulas = 1)
+      val nodes = docs.select(col("doc_id").as("id"))
+      val n = nodes.count()
+      appendEdgesCommit(plantedEdges(nodes, n, PrFormulas.slice(1, 2)),
+        staging, 1L)
+      checkpointRescore(s, staging, docs)
+      appendEdgesCommit(plantedEdges(nodes, n, PrFormulas.drop(2)),
+        staging, 2L)
+      vacuumScoreCheckpoints(s, staging, 1L)
+    }
+    root
+  }
+
   /** Incremental PageRank — iterative graph state joins the engine's
     * incremental theme (NB grow/forget, `dedup_incremental`,
     * `q_incr_join`): new edges land as ledgered commits on the graph
@@ -816,6 +851,18 @@ object Curation {
       (s, d) =>
         pagerankWarmStart(s, ensureCheckpointedPagerank(s, d),
           Tables.documents(s, d))
+    },
+
+    // Floor-bounded retention on the SCORE-CHECKPOINT ledger under the
+    // value gate: the checkpointed fixture vacuumed at floor 1 must
+    // leave the resume state untouched — the gate's re-score from the
+    // resolved c1 dir lands on the identical 3-phase fixed point (same
+    // oracle as q_pagerank_checkpointed; refusals and replay are
+    // spec'd in PagerankCheckpointSpec).
+    QuerySpec("q_pagerank_checkpointed_vacuum",
+      pagerankCheckpointedOracleSql) { (s, d) =>
+      pagerankWarmStart(s, ensureVacuumedCheckpointPagerank(s, d),
+        Tables.documents(s, d))
     },
 
     // Sessionization (batch): a session breaks after a 30-minute silence.
