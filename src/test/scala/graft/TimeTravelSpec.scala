@@ -437,4 +437,79 @@ class TimeTravelSpec extends SparkSpec {
       .as[(Long, java.math.BigDecimal)].head()
     assert(root == again && before == after)
   }
+
+  test("changesBetween nets intra-window churn: insert-then-delete " +
+    "emits nothing, delete-then-readd emits an update (or an insert " +
+    "when invisible at the window start), a tombstone for a key that " +
+    "never existed emits nothing, and applying the feed to the start " +
+    "state reproduces the end state exactly") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def df(rows: (Long, Double)*) =
+      rows.toSeq.toDF("event_id", "value")
+        .withColumn("ts", lit(ts))
+        .withColumn("user_id", lit(1L))
+        .withColumn("event_type", lit("click"))
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val root = tmpDir("cdf-churn")
+    TimeTravel.initLedgeredTable(df(1L -> 10.0, 2L -> 20.0), root)
+    // b1: insert 3; d2: delete {2, 3}; b3: re-add 2 (visible at the
+    // window start -> update) and 3 (born-and-killed-and-reborn inside
+    // the window -> insert), plus a fresh 4; d4: delete 1 (-> delete)
+    // and 5 (never existed -> nothing)
+    TimeTravel.appendCommit(df(3L -> 30.0), root, 1L)
+    TimeTravel.deleteCommit(Seq(2L, 3L).toDF("event_id"), root, 2L)
+    TimeTravel.appendCommit(
+      df(2L -> 22.0, 3L -> 33.0, 4L -> 40.0), root, 3L)
+    TimeTravel.deleteCommit(Seq(1L, 5L).toDF("event_id"), root, 4L)
+    val ch = TimeTravel.changesBetween(spark, root, 0L, 4L)
+      .select($"event_id", $"_change_type", $"value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(ch == Set(
+      (1L, "delete", 10.0),
+      (2L, "update_preimage", 20.0),
+      (2L, "update_postimage", 22.0),
+      (3L, "insert", 33.0),
+      (4L, "insert", 40.0)))
+    // replay identity: start state + feed == end state
+    def state(h: Long) = TimeTravel.readEventsAsOf(spark, root, h)
+      .select($"event_id", $"value")
+      .as[(Long, Double)].collect().toMap
+    val removed = ch.collect {
+      case (id, ct, _) if ct == "delete" || ct == "update_preimage" => id
+    }
+    val added = ch.collect {
+      case (id, ct, v) if ct == "insert" || ct == "update_postimage" =>
+        id -> v
+    }.toMap
+    assert((state(0L) -- removed) ++ added == state(4L))
+    // a key-slice window: (2, 3] sees only the re-adds, as inserts or
+    // updates against the post-delete horizon-2 state
+    val mid = TimeTravel.changesBetween(spark, root, 2L, 3L)
+      .select($"event_id", $"_change_type", $"value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(mid == Set(
+      (2L, "insert", 22.0), (3L, "insert", 33.0), (4L, "insert", 40.0)))
+  }
+
+  test("changesBetween composes with vacuum: a window above the floor " +
+    "serves the unvacuumed feed unchanged, a window starting below it " +
+    "refuses through the compaction honesty guard, and an empty " +
+    "window serves zero changes") {
+    val rootA = TimeTravel.ensureLedgeredEvents(spark, sf0001)
+    val rootV = TimeTravel.ensureVacuumedEvents(spark, sf0001) // floor 2
+    def feed(root: String, f: Long, t: Long) =
+      TimeTravel.changesBetween(spark, root, f, t)
+        .select($"event_id", $"_change_type", $"value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+    val surviving = feed(rootV, 2L, 3L)
+    assert(surviving == feed(rootA, 2L, 3L) && surviving.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.changesBetween(spark, rootV, 1L, 3L)
+    }
+    assert(e.getMessage.contains("compaction"))
+    assert(TimeTravel.changesBetween(spark, rootA, 3L, 3L).count() == 0)
+  }
 }
