@@ -225,6 +225,79 @@ object Bpe {
     }
   }
 
+  /** The three persisted sides of one fitted BPE model (merges /
+    * curve / vocab — [[ensureModel]]'s shapes) plus the cached base to
+    * unpersist after they land. Shared by the overwrite-published
+    * roots and the ledgered version commits.
+    */
+  private def fitSides(s: SparkSession, slice: DataFrame)
+      : (Seq[(String, DataFrame)], DataFrame) = {
+    val (merges, totals, vocab, base) = learnWithCurve(slice, Rounds)
+    import s.implicits._
+    val m = merges.zipWithIndex
+      .map { case (p, i) => (i + 1, p, p.replace(" ", "")) }
+      .toDF("rank", "pair", "merged").coalesce(1)
+    val c = totals.zipWithIndex.map { case (t, r) => (r, t) }
+      .toDF("rank", "total_tokens").coalesce(1)
+    val v = vocab.select(col("word"), col("freq"),
+      size(split(trim(col("seq")), " ")).cast("long").as("n_bpe"))
+    (Seq("merges" -> m, "curve" -> c, "vocab" -> v), base)
+  }
+
+  /** Model-root time travel for the TOKENIZER family: BPE model
+    * VERSIONS as ledgered full-state commits under the family-generic
+    * [[graft.index.ModelLedger]] dialect — seed on the first train
+    * third, b1 re-fit on two thirds, b2 re-fit on the full train
+    * split. Unlike NB's algebraically exact grow, BPE merges are
+    * corpus-global elections with NO exact increment, so the honest
+    * version IS a fresh fit on the cumulative slice (cost: one fit
+    * per version, model-sized writes — exactly what a production
+    * tokenizer-retrain publishes). What travels is WHICH frozen
+    * tokenizer metered a run: a reproducible pipeline can now pin
+    * tokenizer version k next to corpus fold N.
+    */
+  def ensureLedgeredBpeModel(s: SparkSession, d: String): String =
+    ensureLedgered(s, d, "graft_bpe_ledger", vacuumFloor = None)
+
+  /** The ledgered lifecycle then a [[graft.index.ModelLedger.vacuum]]
+    * at floor 1: the seed version reclaimed, horizons 1 and 2 serving
+    * unchanged (the `text_bpe_vacuum` gate), horizon 0 refusing.
+    */
+  def ensureVacuumedBpeModel(s: SparkSession, d: String): String =
+    ensureLedgered(s, d, "graft_bpe_ledger_vac", vacuumFloor = Some(1L))
+
+  private def ensureLedgered(s: SparkSession, d: String, name: String,
+      vacuumFloor: Option[Long]): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"$name$suffix").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val p = (r: String) => graft.index.ModelLedger.protocol(r)
+    Layout.ensurePublishedDir(s, root)(r =>
+      p(r).foldedBatches() == Set(1L, 2L) &&
+        vacuumFloor.forall(f =>
+          fs.exists(new org.apache.hadoop.fs.Path(
+            s"${p(r).dir("vocab")}/c$f", "_SUCCESS")) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(
+              s"${p(r).dir("vocab")}/seed")))
+    ) { staging =>
+      val train = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
+      val (s0, b0) = fitSides(s, train.filter(col("doc_id") % 3 === 1))
+      graft.index.ModelLedger.initSeed(staging, s0)
+      b0.unpersist()
+      val (s1, b1) = fitSides(s, train.filter(col("doc_id") % 3 =!= 0))
+      graft.index.ModelLedger.commitVersion(staging, 1L, s1)
+      b1.unpersist()
+      val (s2, b2) = fitSides(s, train)
+      graft.index.ModelLedger.commitVersion(staging, 2L, s2)
+      b2.unpersist()
+      vacuumFloor.foreach(f => graft.index.ModelLedger.vacuum(
+        s, staging, Seq("merges", "curve", "vocab"), f))
+    }
+    root
+  }
+
   /** Per-doc BPE token meter of an ARBITRARY document frame
     * (`doc_id`, `text`) against a vocab segmentation frame
     * (`word`, `n_bpe`): explode → vocab join → one doc_id aggregate;
@@ -313,6 +386,53 @@ object Bpe {
       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
       |        FROM documents WHERE doc_id % 5 = 4)
       |  WHERE w <> '')""".stripMargin
+
+  /** The cumulative train slices each ledgered tokenizer version was
+    * fit on — the oracle re-fits per horizon, the engine serves the
+    * persisted version.
+    */
+  private val bpeAsofHorizons: Seq[(Int, String)] = Seq(
+    0 -> " WHERE doc_id % 5 <> 4 AND doc_id % 3 = 1",
+    1 -> " WHERE doc_id % 5 <> 4 AND doc_id % 3 <> 0",
+    2 -> " WHERE doc_id % 5 <> 4")
+
+  /** One horizon of the tokenizer-as-of oracle: the full learn chain
+    * on the horizon's cumulative slice, metering the incoming wave per
+    * language (the `text_oov_rate` readout, horizon-tagged).
+    */
+  private def bpeAsofSql(h: Int, where: String): String =
+    s"""SELECT CAST($h AS BIGINT) AS horizon, lang,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_oov AS BIGINT) AS n_oov,
+       |  CAST(bpe_tokens AS BIGINT) AS bpe_tokens
+       |FROM (
+       |${learnSql(Rounds, where) + meterSqlWave(Rounds)}
+       |SELECT lang, count(*) AS n_tokens,
+       |  sum(CASE WHEN n_bpe IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       |  sum(coalesce(n_bpe, length(word))) AS bpe_tokens
+       |FROM dw LEFT JOIN vt USING (word) GROUP BY lang)""".stripMargin
+
+  /** The incoming wave metered under the tokenizer version served at
+    * horizon `h` — unhinted vocab join per the repo-wide rule.
+    */
+  private def bpeAsofFrame(s: SparkSession, root: String, d: String,
+      h: Int): DataFrame = {
+    val vt = graft.index.ModelLedger
+      .readSideAsOf(s, root, "vocab", h.toLong)
+      .select(col("word"), col("n_bpe"))
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("lang"),
+        explode(filter(split(col("text"), " "), w => w =!= "")).as("word"))
+      .join(vt, Seq("word"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("n_bpe").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("n_bpe"), length(col("word")).cast("long")))
+          .as("bpe_tokens"))
+      .select(lit(h.toLong).as("horizon"), col("lang"),
+        col("n_tokens"), col("n_oov"), col("bpe_tokens"))
+  }
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -435,6 +555,36 @@ object Bpe {
           "n_tok", "prior")
         .filter(col("prior") < Budget)
         .select(col("doc_id"), col("lang"), col("n_tok"))
+    },
+
+    // Tokenizer model-root time travel: the incoming wave metered
+    // under each LEDGERED tokenizer version — horizon 0 the seed fit
+    // (first train third), 1 the two-thirds re-fit, 2 the full-train
+    // re-fit. The oov/token readouts discriminate versions hard (a
+    // narrower fit leaves more wave words to the char fallback), so
+    // the gate pins both WHICH version each horizon serves and the
+    // version states themselves; the oracle re-fits per horizon.
+    QuerySpec(
+      "text_bpe_asof",
+      bpeAsofHorizons.map { case (h, w) => bpeAsofSql(h, w) }
+        .mkString("\nUNION ALL\n")) { (s, d) =>
+      val root = ensureLedgeredBpeModel(s, d)
+      bpeAsofHorizons.map { case (h, _) => bpeAsofFrame(s, root, d, h) }
+        .reduce(_.unionByName(_))
+    },
+
+    // Floor-bounded retention for the tokenizer ledger: vacuumed at
+    // floor 1, the surviving horizons (1, 2) must keep the unvacuumed
+    // oracle unchanged; the below-floor refusal is spec-pinned in
+    // BpeSpec (refusals have no SQL value image).
+    QuerySpec(
+      "text_bpe_vacuum",
+      bpeAsofHorizons.drop(1).map { case (h, w) => bpeAsofSql(h, w) }
+        .mkString("\nUNION ALL\n")) { (s, d) =>
+      val root = ensureVacuumedBpeModel(s, d)
+      bpeAsofHorizons.drop(1)
+        .map { case (h, _) => bpeAsofFrame(s, root, d, h) }
+        .reduce(_.unionByName(_))
     }
   )
 }

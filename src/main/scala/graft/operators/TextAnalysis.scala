@@ -562,32 +562,29 @@ object TextAnalysis {
   }
 
   /** Model-root time travel: NB model VERSIONS as ledgered commits.
-    * Every other persisted model family here publishes
-    * overwrite-in-place, so a reproducible training run could pin its
-    * CORPUS as-of fold N but not the classifier that scored it; this
-    * closes that gap for the NB family. Model states are FULL
-    * checkpoints (the PageRank score-checkpoint dialect, not deltas):
-    * `model/seed` + `langs/seed` hold the initial fit, each
-    * [[growNbModelCommit]] lands the GROWN frames as `model/b<id>` +
-    * `langs/b<id>` under one ledger commit, and the as-of read picks
-    * the newest committed dirs ≤ the horizon — one footer-level listing,
-    * no replay. A model version is model-sized (vocab × langs), which
-    * is what a production fold persists anyway (see nbForget's pin);
-    * [[vacuumNbModel]] reclaims old versions floor-bounded.
+    * Model states are FULL checkpoints under the family-generic
+    * [[graft.index.ModelLedger]] dialect (which this family pioneered
+    * before it was factored out): `model/seed` + `langs/seed` hold the
+    * initial fit, each [[growNbModelCommit]] lands the GROWN frames as
+    * one ledgered version, and the as-of read picks the newest
+    * committed dirs ≤ the horizon. A model version is model-sized
+    * (vocab × langs), which is what a production fold persists anyway
+    * (see nbForget's pin); [[vacuumNbModel]] reclaims old versions
+    * floor-bounded. What's family-SPECIFIC here is how a version is
+    * produced: [[nbGrow]] is algebraically exact, so each version is
+    * bit-identical to the from-scratch fit on its cumulative slice —
+    * the property `text_nb_asof` gates.
     */
   private[graft] def modelProtocol(path: String) =
-    new graft.index.FoldProtocol(path, "_model_ledger")
+    graft.index.ModelLedger.protocol(path)
 
   /** Initial fit of a ledgered NB model root (commit 0, no ledger
     * entry — the seed convention).
     */
   def initLedgeredNbModel(train: DataFrame, root: String): Unit = {
-    val p = modelProtocol(root)
     val (model, langs) = nbModelFrames(train)
-    model.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"${p.dir("model")}/seed")
-    langs.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"${p.dir("langs")}/seed")
+    graft.index.ModelLedger.initSeed(root,
+      Seq("model" -> model, "langs" -> langs.coalesce(1)))
   }
 
   /** Fold a labeled increment into the ledgered model EXACTLY ONCE
@@ -598,51 +595,30 @@ object TextAnalysis {
     */
   def growNbModelCommit(s: org.apache.spark.sql.SparkSession,
       root: String, increment: DataFrame, commitId: Long): Boolean = {
-    val p = modelProtocol(root)
-    p.fold(commitId, Seq("model", "langs")) {
-      val (m0, l0) = readNbModelAsOf(s, root, Long.MaxValue)
-      val (m1, l1) = nbGrow(m0, l0, increment)
-      m1.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"${p.dir("model")}/b$commitId")
-      l1.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"${p.dir("langs")}/b$commitId")
-    }
+    val (m0, l0) = readNbModelAsOf(s, root, Long.MaxValue)
+    val (m1, l1) = nbGrow(m0, l0, increment)
+    graft.index.ModelLedger.commitVersion(root, commitId,
+      Seq("model" -> m1, "langs" -> l1.coalesce(1)))
   }
 
-  /** The model exactly as it stood after ledger commit `asOf`: the
-    * newest committed version dir ≤ the horizon, per side (versions
-    * are full states). Honesty guards are [[graft.index.FoldProtocol
-    * .committedDirsAsOf]]'s — a vacuum that reclaimed the horizon
-    * refuses rather than serving a newer model as an older one.
+  /** The model exactly as it stood after ledger commit `asOf` — the
+    * [[graft.index.ModelLedger]] full-state read per side, honesty
+    * guards included (a vacuum that reclaimed the horizon refuses
+    * rather than serving a newer model as an older one).
     */
   def readNbModelAsOf(s: org.apache.spark.sql.SparkSession,
-      root: String, asOf: Long): (DataFrame, DataFrame) = {
-    val p = modelProtocol(root)
-    def newest(kind: String): DataFrame = {
-      val dirs = p.committedDirsAsOf(kind, asOf)
-      s.read.parquet(dirs
-        .maxBy(dd => p.dirOrd(dd.substring(dd.lastIndexOf('/') + 1))))
-    }
-    (newest("model"), newest("langs"))
-  }
+      root: String, asOf: Long): (DataFrame, DataFrame) =
+    (graft.index.ModelLedger.readSideAsOf(s, root, "model", asOf),
+      graft.index.ModelLedger.readSideAsOf(s, root, "langs", asOf))
 
-  /** Floor-bounded retention for the model ledger — the standard
-    * [[graft.index.FoldProtocol.vacuumKinds]] kernel with the
-    * full-state resolution (c<floor> = the newest version ≤ floor,
-    * the score-checkpoint dialect). Value-gated by `text_nb_vacuum`.
+  /** Floor-bounded retention for the model ledger — the
+    * [[graft.index.ModelLedger]] full-state resolution (c<floor> =
+    * the newest version ≤ floor). Value-gated by `text_nb_vacuum`.
     */
   def vacuumNbModel(s: org.apache.spark.sql.SparkSession,
-      root: String, floorRequested: Long): Boolean = {
-    val p = modelProtocol(root)
-    p.vacuumKinds(s, floorRequested, Seq("model", "langs").map(kind =>
-      kind -> ((floor: Long, staging: String) => {
-        val dirs = p.committedDirsAsOf(kind, floor)
-        s.read.parquet(dirs
-            .maxBy(dd => p.dirOrd(dd.substring(dd.lastIndexOf('/') + 1))))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(staging)
-      })))
-  }
+      root: String, floorRequested: Long): Boolean =
+    graft.index.ModelLedger.vacuum(s, root,
+      Seq("model", "langs"), floorRequested)
 
   /** Build-if-absent the ledgered-model gate fixture: the train split
     * (doc_id % 5 ≠ 4) lands in three versions — seed on the % 3 = 1

@@ -191,4 +191,28 @@ class BpeSpec extends SparkSpec {
     // broadcast, never a sort-merge exchange on `word`.
     assert(shuffles.size <= 1, s"expected <=1 exchange, got: $shuffles")
   }
+
+  test("ledgered tokenizer versions: the horizon-2 vocab is " +
+    "frame-identical to the overwrite-published history model (same " +
+    "train slice, same fit), and the vacuumed root refuses the " +
+    "reclaimed seed horizon") {
+    import graft.operators.Bpe
+    import graft.index.ModelLedger
+    val ledger = Bpe.ensureLedgeredBpeModel(spark, sf0001)
+    val hist = Bpe.ensureHistoryBpeModel(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"word", $"freq", $"n_bpe")
+      .as[(String, Long, Long)].collect().toSet
+    assert(rows(ModelLedger.readSideAsOf(spark, ledger, "vocab", 2L)) ==
+      rows(Bpe.modelVocab(spark, hist)))
+    // versions genuinely differ: the seed fit (one train third) must
+    // segment SOME word differently from the full-train fit
+    val seedV = rows(ModelLedger.readSideAsOf(spark, ledger, "vocab", 0L))
+    assert(seedV != rows(ModelLedger.readSideAsOf(spark, ledger, "vocab", 2L)))
+    val vac = Bpe.ensureVacuumedBpeModel(spark, sf0001)
+    val e = intercept[IllegalArgumentException] {
+      ModelLedger.readSideAsOf(spark, vac, "vocab", 0L)
+    }
+    assert(e.getMessage.contains("compaction"))
+  }
 }
