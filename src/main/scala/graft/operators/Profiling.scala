@@ -475,6 +475,193 @@ object Profiling {
         .select(col("event_type"), explode(col("rs")).as("r"))
         .select(col("event_type"), col("r.register").as("register"),
           col("r.max_rho").as("max_rho"))
+    },
+
+    // HLL sketch MERGE across shards — the cross-replica distinct
+    // law: two register sets built INDEPENDENTLY on disjoint halves
+    // of the table (l_orderkey parity — two separate aggregates, as
+    // two replicas or two time windows would build them), merged by
+    // elementwise register max, must be bit-identical to the sketch
+    // built over the union in one pass. That distributive property is
+    // WHY the profile store can keep one 1 KiB sketch per shard and
+    // answer "distinct across any shard subset" without re-scanning:
+    // at 100 TB the merge touches ≤ 1024 rows per shard, zero data.
+    // The oracle builds the one-pass union sketch; the engine only
+    // ever sees the two halves.
+    QuerySpec(
+      "q_hll_merged",
+      """WITH h AS (SELECT md5_number_upper(CAST(l_orderkey AS VARCHAR))
+        |             AS h FROM lineitem),
+        |reg AS (SELECT CAST(h >> 54 AS INT) AS register,
+        |               CAST(h & ((1::UBIGINT << 54) - 1) AS BIGINT) AS m
+        |        FROM h)
+        |SELECT register,
+        |  CAST(max(CASE WHEN m = 0 THEN 55
+        |           ELSE 55 - length(bin(m)) END) AS INT) AS max_rho
+        |FROM reg GROUP BY register""".stripMargin) { (s, d) =>
+      def shard(parity: Int): DataFrame =
+        Tables.load(s, d, "lineitem")
+          .filter(pmod(col("l_orderkey"), lit(2)) === parity)
+          .select(md5Num(col("l_orderkey").cast("string")).as("h"))
+          .agg(graft.functions.HllAgg.hll_registers(col("h"), 10).as("rs"))
+          .select(explode(col("rs")).as("r"))
+          .select(col("r.register").as("register"),
+            col("r.max_rho").as("max_rho"))
+      shard(0).unionByName(shard(1))
+        .groupBy(col("register"))
+        .agg(max(col("max_rho")).as("max_rho"))
+    },
+
+    // Count-Min frequency sketch, certified: d = 4 rows × w = 1024
+    // buckets of md5-salted counters (constant 32 KiB state, map-side
+    // combinable — the point-frequency twin of the HLL's distinct),
+    // answering per-key count queries as min over the 4 bucket
+    // counters. The gate probes data-derived hot keys (user_id % 29 =
+    // 0) plus four ABSENT keys and emits, per probe, the estimate
+    // next to the exact count with the two CMS laws as verdicts:
+    // no-underestimate (structural — every counter includes the key's
+    // own rows) and overshoot ≤ 8·N/w (Markov on the collision mass;
+    // deterministic here because the hash is fixed). The oracle
+    // recomputes the SAME counters — bucket-level bit parity, not
+    // just verdict parity.
+    QuerySpec(
+      "q_cms_freq",
+      """WITH seeds AS (SELECT unnest(range(0, 4)) AS seed),
+        |cms AS (
+        |  SELECT seed,
+        |    md5_number_upper(CAST(user_id AS VARCHAR) || ':' ||
+        |      CAST(seed AS VARCHAR)) & 1023 AS bucket,
+        |    count(*) AS cnt
+        |  FROM events CROSS JOIN seeds GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT user_id FROM events
+        |           WHERE user_id % 29 = 0
+        |           UNION ALL
+        |           SELECT * FROM (VALUES (-1), (-2), (-3), (-4))
+        |             t(user_id)),
+        |ex AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1),
+        |est AS (
+        |  SELECT p.user_id, min(coalesce(c.cnt, 0)) AS est
+        |  FROM probes p CROSS JOIN seeds s
+        |  LEFT JOIN cms c ON c.seed = s.seed AND c.bucket =
+        |    (md5_number_upper(CAST(p.user_id AS VARCHAR) || ':' ||
+        |      CAST(s.seed AS VARCHAR)) & 1023)
+        |  GROUP BY 1)
+        |SELECT CAST(e.user_id AS BIGINT) AS user_id,
+        |  CAST(e.est AS BIGINT) AS est,
+        |  CAST(coalesce(x.exact, 0) AS BIGINT) AS exact,
+        |  e.est >= coalesce(x.exact, 0) AS ok_lower,
+        |  e.est <= coalesce(x.exact, 0) +
+        |    (8 * (SELECT count(*) FROM events)) // 1024 AS ok_upper
+        |FROM est e LEFT JOIN ex x USING (user_id)""".stripMargin) {
+      (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val seeds = explode(array((0 until 4).map(lit): _*)).as("seed")
+      def bucket(key: Column, seed: Column): Column =
+        md5Num(concat(key.cast("string"), lit(":"), seed.cast("string")))
+          .bitwiseAND(lit(1023L))
+      val cms = ev.select(col("user_id"), seeds)
+        .groupBy(col("seed"), bucket(col("user_id"), col("seed")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val probes = ev.select(col("user_id"))
+        .filter(col("user_id") % 29 === 0).distinct()
+        .unionByName(Seq(-1L, -2L, -3L, -4L).toDF("user_id"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+      val est = probes.select(col("user_id"), seeds)
+        .withColumn("bucket", bucket(col("user_id"), col("seed")))
+        .join(cms, Seq("seed", "bucket"), "left")
+        .groupBy(col("user_id"))
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      val bound = ev.agg(
+        ((count(lit(1)) * 8).cast("long") / 1024).cast("long").as("bound"))
+      est.join(exact, Seq("user_id"), "left")
+        .crossJoin(broadcast(bound))
+        .select(col("user_id"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          (col("est") >= coalesce(col("exact"), lit(0L))).as("ok_lower"),
+          (col("est") <= coalesce(col("exact"), lit(0L)) + col("bound"))
+            .as("ok_upper"))
+    },
+
+    // Bloom-filter membership, certified: the build side's keys
+    // (BUILDING-segment custkeys) hash to k = 5 salted bit positions
+    // in an m = 65536-bit filter represented as its ≤ m distinct
+    // set-bit rows — a ~100 KB frame the planner broadcasts by size
+    // (hash-mod-bounded, never hinted), which is the whole point at
+    // 100 TB: a semi-join against a 3 k-key dimension costs a
+    // broadcast of KILOBYTES instead of shuffling the fact table.
+    // Probes are every ordering customer; per segment the gate emits
+    // probe/reported counts with an id-sum checksum of the reported
+    // keys, plus the two Bloom laws as verdicts: ZERO false negatives
+    // on the member segment (structural) and bounded false positives
+    // elsewhere (deterministic for the fixed hash). The oracle
+    // rebuilds the same bit set.
+    QuerySpec(
+      "q_bloom_join",
+      """WITH ks AS (SELECT unnest(range(0, 5)) AS k),
+        |build AS (SELECT c_custkey FROM customer
+        |          WHERE c_mktsegment = 'BUILDING'),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    md5_number_upper(CAST(c_custkey AS VARCHAR) || '#' ||
+        |      CAST(k AS VARCHAR)) & 65535 AS pos
+        |  FROM build CROSS JOIN ks),
+        |probes AS (
+        |  SELECT DISTINCT o_custkey AS key FROM orders),
+        |hits AS (
+        |  SELECT p.key, count(b.pos) AS n_set
+        |  FROM probes p CROSS JOIN ks
+        |  LEFT JOIN bits b ON b.pos =
+        |    (md5_number_upper(CAST(p.key AS VARCHAR) || '#' ||
+        |      CAST(ks.k AS VARCHAR)) & 65535)
+        |  GROUP BY 1),
+        |cls AS (
+        |  SELECT c.c_mktsegment AS segment, h.key,
+        |    CASE WHEN h.n_set = 5 THEN 1 ELSE 0 END AS reported
+        |  FROM hits h JOIN customer c ON c.c_custkey = h.key)
+        |SELECT segment,
+        |  CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(sum(reported) AS BIGINT) AS n_reported,
+        |  CAST(sum(CASE WHEN reported = 1 THEN key ELSE 0 END)
+        |    AS BIGINT) AS id_sum_reported,
+        |  CASE WHEN segment = 'BUILDING'
+        |       THEN sum(reported) = count(*)
+        |       ELSE sum(reported) <= 32 END AS ok
+        |FROM cls GROUP BY segment""".stripMargin) { (s, d) =>
+      val ks = explode(array((0 until 5).map(lit): _*)).as("k")
+      def pos(key: Column, k: Column): Column =
+        md5Num(concat(key.cast("string"), lit("#"), k.cast("string")))
+          .bitwiseAND(lit(65535L))
+      val cust = Tables.load(s, d, "customer")
+      val bits = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), ks)
+        .select(pos(col("c_custkey"), col("k")).as("pos"))
+        .distinct()
+      val probes = Tables.load(s, d, "orders")
+        .select(col("o_custkey").as("key")).distinct()
+      val hits = probes.select(col("key"), ks)
+        .withColumn("pos", pos(col("key"), col("k")))
+        .join(bits, Seq("pos"), "left_semi")
+        .groupBy(col("key")).agg(count(lit(1)).as("n_set"))
+      // left-semi drops missing positions, so re-join probes to keep
+      // keys whose every position missed (n_set = 0)
+      val clsBase = probes.join(hits, Seq("key"), "left")
+        .select(col("key"),
+          when(coalesce(col("n_set"), lit(0L)) === 5, 1L).otherwise(0L)
+            .as("reported"))
+      clsBase
+        .join(cust.select(col("c_custkey").as("key"),
+          col("c_mktsegment").as("segment")), Seq("key"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(col("reported")).as("n_reported"),
+          sum(when(col("reported") === 1, col("key")).otherwise(0L))
+            .as("id_sum_reported"))
+        .select(col("segment"), col("n_probes"), col("n_reported"),
+          col("id_sum_reported"),
+          when(col("segment") === "BUILDING",
+            col("n_reported") === col("n_probes"))
+            .otherwise(col("n_reported") <= 32).as("ok"))
     }
   )
 }
