@@ -2282,6 +2282,86 @@ object Retrieval {
        |FROM r WHERE rank <= $TopK""".stripMargin
   }
 
+  /** Integer DCG rank weights — round(1e6 / log2(rank + 1)) for ranks
+    * 1..TopK, computed ONCE driver-side and interpolated as literals
+    * into BOTH the Spark plan and the oracle SQL (the literal-parity
+    * convention): cross-engine log2 agreement is never relied on, and
+    * DCG/IDCG become exact BIGINT sums.
+    */
+  private val RankWeights: Seq[Long] = (1 to TopK).map(r =>
+    math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** The `text_rank_eval` oracle: the text_bm25_multi ranking chain,
+    * graded against term-coverage relevance (grade = how many of the
+    * query's distinct terms the document contains — derived from raw
+    * text, independent of the scorer), then the standard IR readouts
+    * per query: scaled-integer DCG@k and IDCG@k (ideal = grades
+    * descending, doc_id tie-break), nDCG as their 4-dp-rounded ratio,
+    * the first relevant rank, and recall@k against min(k, n_rel).
+    */
+  private val rankEvalOracleSql: String = {
+    val values = MultiQueries.map { case (id, ts) =>
+      s"($id, [${ts.map("'" + _ + "'").mkString(", ")}])"
+    }.mkString(", ")
+    val wvalues = RankWeights.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    s"""WITH q AS (SELECT * FROM (VALUES $values) AS v(query_id, terms)),
+       |qt AS (SELECT DISTINCT query_id, unnest(terms) AS word FROM q),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |              avg(len(ws)) AS avgdl FROM d),
+       |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM d),
+       |tf AS (SELECT word, doc_id, dl, count(*) AS tf FROM t
+       |       WHERE word IN (SELECT word FROM qt)
+       |       GROUP BY word, doc_id, dl),
+       |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df
+       |       FROM tf GROUP BY word),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |         round(sum(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+       |             * (tf.tf * CAST(2.2 AS DOUBLE)
+       |                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)))),
+       |           4) AS score
+       |       FROM tf JOIN df USING (word) JOIN qt USING (word), st
+       |       GROUP BY qt.query_id, tf.doc_id),
+       |r AS (SELECT query_id, doc_id,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY score DESC, doc_id) AS rank
+       |      FROM sc),
+       |wt AS (SELECT * FROM (VALUES $wvalues) AS w(rank, w)),
+       |dwq AS (SELECT DISTINCT doc_id, word FROM tf),
+       |g AS (SELECT qt.query_id, dwq.doc_id,
+       |        CAST(count(*) AS BIGINT) AS grade
+       |      FROM dwq JOIN qt USING (word)
+       |      JOIN documents dd ON dd.doc_id = dwq.doc_id
+       |      WHERE dd.lang = 'en' GROUP BY 1, 2),
+       |rk AS (SELECT r.query_id, r.rank, coalesce(g.grade, 0) AS grade
+       |       FROM r LEFT JOIN g ON g.query_id = r.query_id
+       |                         AND g.doc_id = r.doc_id
+       |       WHERE r.rank <= $TopK),
+       |dcg AS (SELECT query_id, CAST(sum(grade * w) AS BIGINT) AS dcg,
+       |          CAST(min(CASE WHEN grade >= 1 THEN rank END) AS BIGINT)
+       |            AS first_rel,
+       |          CAST(sum(CASE WHEN grade >= 1 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS rel_topk
+       |        FROM rk JOIN wt USING (rank) GROUP BY query_id),
+       |ideal AS (SELECT query_id, grade,
+       |            row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY grade DESC, doc_id) AS rn
+       |          FROM g),
+       |idcg AS (SELECT query_id, CAST(sum(grade * w) AS BIGINT) AS idcg
+       |         FROM ideal JOIN wt ON wt.rank = ideal.rn
+       |         WHERE rn <= $TopK GROUP BY query_id),
+       |rel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |        FROM g GROUP BY query_id)
+       |SELECT CAST(d.query_id AS BIGINT) AS query_id, rel.n_rel,
+       |  d.first_rel, d.rel_topk, d.dcg, i.idcg,
+       |  round(CAST(d.dcg AS DOUBLE) / i.idcg, 4) AS ndcg,
+       |  round(CAST(d.rel_topk AS DOUBLE) / least($TopK, rel.n_rel), 4)
+       |    AS recall_topk
+       |FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+       |JOIN rel ON rel.query_id = d.query_id""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("text_bm25", bm25OracleSql) { (s, d) => bm25(s, d) },
     // Many queries, one distributed job: per-query BM25 rankings via
@@ -2294,6 +2374,62 @@ object Retrieval {
     },
     QuerySpec("text_bm25_indexed", bm25OracleSql) { (s, d) =>
       bm25TopK(s, ensureBm25Index(s, d))
+    },
+    // Retrieval EVALUATION as an operator: the multi-query BM25
+    // ranking graded against term-coverage relevance derived from the
+    // raw text (independent of the scorer), emitting per query the
+    // standard IR readouts — integer-weighted DCG@10/IDCG@10 (the
+    // log2 weights are driver-side literals in BOTH plans, so the
+    // sums are exact BIGINTs), nDCG as their rounded ratio, first
+    // relevant rank, and recall@10. This is the harness a pipeline
+    // runs after every index rebuild or ranker change: metric shifts
+    // gate the deploy. One pass over the ranked frame plus one
+    // query-partitioned window over the ≤|queries|·|matches| graded
+    // frame.
+    QuerySpec("text_rank_eval", rankEvalOracleSql) { (s, d) =>
+      import s.implicits._
+      val ranked = bm25Batch(s, ensureBm25Index(s, d),
+        MultiQueries.toDF("query_id", "terms"))
+      val qt = MultiQueries.toDF("query_id", "terms")
+        .select(col("query_id"), explode(col("terms")).as("word"))
+        .distinct()
+      val dwq = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " "), w => w =!= ""))
+            .as("word"))
+        .join(qt.select(col("word")).distinct(), Seq("word"), "left_semi")
+        .distinct()
+      // relevance is term coverage RESTRICTED to English documents —
+      // an attribute the ranker never sees, so the metrics measure a
+      // real gap instead of re-deriving the scorer's own objective
+      val g = dwq.join(qt, Seq("word"))
+        .join(Tables.documents(s, d).filter(col("lang") === "en")
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("grade"))
+      val w = typedLit(RankWeights)
+      val rk = ranked.join(g, Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"), col("rank"),
+          coalesce(col("grade"), lit(0L)).as("grade"))
+      val dcg = rk.groupBy(col("query_id"))
+        .agg(sum(col("grade") * element_at(w, col("rank"))).as("dcg"),
+          min(when(col("grade") >= 1, col("rank")))
+            .cast("long").as("first_rel"),
+          sum(when(col("grade") >= 1, 1L).otherwise(0L)).as("rel_topk"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("grade").desc, col("doc_id"))
+      val ideal = g.withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= TopK)
+        .groupBy(col("query_id"))
+        .agg(sum(col("grade") * element_at(w, col("rn"))).as("idcg"))
+      val rel = g.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+      dcg.join(ideal, Seq("query_id")).join(rel, Seq("query_id"))
+        .select(col("query_id"), col("n_rel"), col("first_rel"),
+          col("rel_topk"), col("dcg"), col("idcg"),
+          round(col("dcg").cast("double") / col("idcg"), 4).as("ndcg"),
+          round(col("rel_topk").cast("double") /
+            least(lit(TopK.toLong), col("n_rel")), 4).as("recall_topk"))
     },
     // Cross-root MERGE under the value gate: two independently-built
     // roots (crawl A = doc_id % 3 ≠ 2, crawl B = the rest) unioned by
