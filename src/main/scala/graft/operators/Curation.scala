@@ -960,6 +960,78 @@ object Curation {
           when(col("vt").isNull, 1L).otherwise(0L).as("is_current"))
     },
 
+    // Point-in-time fact→dimension join — the OTHER half of the SCD2
+    // story: purchases join the user-state version (built from the
+    // view/error stream only, so the fact's own events never define
+    // their version) valid at the purchase timestamp — user_id
+    // equality plus the [valid_from, valid_to) range, which Spark
+    // plans as the co-keyed sort-merge join with a residual range
+    // filter (intervals are disjoint per user, so at most one match;
+    // no window touches the fact stream). Purchases before a user's
+    // first dim version report state 'none' through the left join.
+    QuerySpec(
+      "q_scd2_join",
+      """WITH dim AS (SELECT user_id, event_id, ts, event_type
+        |             FROM events WHERE event_type IN ('view', 'error')),
+        |l AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM dim),
+        |f AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END
+        |      AS chg
+        |  FROM l),
+        |s AS (SELECT user_id, ts, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM f),
+        |i AS (SELECT user_id, CAST(ver AS BIGINT) AS version,
+        |    event_type AS state, min(ts) AS vf
+        |  FROM s GROUP BY user_id, ver, event_type),
+        |o AS (SELECT user_id, version, state, vf,
+        |    lead(vf) OVER (PARTITION BY user_id ORDER BY version) AS vt
+        |  FROM i),
+        |fact AS (SELECT user_id, event_id, ts, value FROM events
+        |         WHERE event_type = 'purchase'),
+        |j AS (SELECT fa.event_id, fa.value, o.state
+        |      FROM fact fa LEFT JOIN o ON o.user_id = fa.user_id
+        |        AND fa.ts >= o.vf AND (o.vt IS NULL OR fa.ts < o.vt))
+        |SELECT coalesce(state, 'none') AS state,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM j GROUP BY 1""".stripMargin) { (s, d) =>
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      val dim = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "error"))
+        .withColumn("prev", lag(col("event_type"), 1).over(ord))
+        .withColumn("chg",
+          when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(run))
+        .groupBy(col("user_id"), col("version"),
+          col("event_type").as("state"))
+        .agg(min(col("ts")).as("vf"))
+        .withColumn("vt", lead(col("vf"), 1).over(byVer))
+        .select(col("user_id").as("dim_user"), col("state"),
+          col("vf"), col("vt"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .join(dim,
+          col("user_id") === col("dim_user") && col("ts") >= col("vf") &&
+            (col("vt").isNull || col("ts") < col("vt")), "left")
+        .select(coalesce(col("state"), lit("none")).as("state"),
+          col("event_id"), col("value"))
+        .groupBy(col("state"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+          sum(col("value").cast("decimal(12,2)"))
+            .cast("double").as("total"))
+    },
+
     // Ordered conversion funnel: per user, the first 'view', the first
     // 'click' STRICTLY after that view, the first 'purchase' strictly
     // after that click — stage = how deep the ordered sequence got

@@ -82,6 +82,19 @@ class TimeTravelSpec extends SparkSpec {
       "the re-emitted keys must serve their upserted values")
     // replayed commit ids are committed no-ops
     assert(!TimeTravel.appendCommit(df(wave1), root, commits(0)))
+    // the change feed between the two STREAMED horizons is exactly
+    // wave 2's net effect: re-emitted seed keys as update pre/post
+    // pairs against the earlier horizon's values, fresh keys as
+    // inserts — epoch-minted ledger ids window the same as ordinals
+    val feed = TimeTravel.changesBetween(spark, root, commits(0), commits(1))
+      .select($"event_id", $"_change_type", $"value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val want = seed.take(2).flatMap(r => Seq(
+        (r._1, "update_preimage", r._5),
+        (r._1, "update_postimage", r._5 + 1000.0))).toSet ++
+      ev.slice(20, 25).map(r => (r._1, "insert", r._5)).toSet
+    assert(feed == want)
   }
 
   test("vacuum: surviving horizons read identically, below-floor " +
