@@ -411,6 +411,145 @@ object TimeTravel {
         col("_c._img.*"))
   }
 
+  // ---- zero-copy branching ----
+  //
+  // A BRANCH is a new root holding only a `_branch` manifest (base
+  // root + fork commit) plus its own ledger, commit dirs and
+  // tombstones: creation writes ONE file, copies ZERO data — the base
+  // dirs are referenced in place (the Iceberg-refs / Delta-shallow-
+  // clone shape). Reads compose the base's as-of machinery at the
+  // fork horizon with the branch's own ledgered commits, resolving
+  // keys across both with the standard struct-max; branch writes
+  // can never perturb the base (they land under the branch root
+  // only), and base maintenance stays honest by construction: a base
+  // vacuum whose floor exceeds the fork point makes the fork horizon
+  // unreadable, so every branch read REFUSES through the base's own
+  // compaction guard instead of serving a lie.
+
+  private def branchManifestPath(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_branch")
+
+  /** A RELATIVE base ref resolves against the branch root's parent —
+    * the sibling layout a staged-and-published fixture needs (an
+    * absolute path recorded inside a staging dir would dangle after
+    * the publish rename) and the portable choice when a whole
+    * warehouse moves. Absolute refs pass through.
+    */
+  private def resolveBase(branchRoot: String, base: String): String =
+    if (base.startsWith("/") || base.contains(":/")) base
+    else new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(branchRoot).getParent, base).toString
+
+  /** Fork a branch of a ledgered table at `forkCommit`: one manifest
+    * write, zero data movement. The fork point must be a committed
+    * ledger horizon of the base (seed = 0 counts), servable TODAY —
+    * probed through the base's honesty guards. Refuses to overwrite
+    * an existing branch. `baseRoot` may be a sibling-relative name
+    * (see [[resolveBase]]).
+    */
+  def createBranch(s: SparkSession, baseRoot: String,
+      branchRoot: String, forkCommit: Long): Unit = {
+    val bp = protocol(resolveBase(branchRoot, baseRoot))
+    require((bp.allLedgerIds() + 0L).contains(forkCommit),
+      s"fork point $forkCommit is not a committed ledger horizon of " +
+        s"$baseRoot (committed: ${(bp.allLedgerIds() + 0L).toSeq.sorted
+          .mkString(", ")})")
+    bp.committedDirsAsOf("data", forkCommit)
+    val path = branchManifestPath(branchRoot)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(!fs.exists(path), s"branch at $branchRoot already exists")
+    val tmp = new org.apache.hadoop.fs.Path(branchRoot, ".branch.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"$baseRoot\n$forkCommit\n".getBytes("UTF-8"))
+    out.close()
+    require(fs.rename(tmp, path),
+      s"branch manifest rename failed at $path")
+  }
+
+  private def branchManifest(s: SparkSession,
+      branchRoot: String): (String, Long) = {
+    val path = branchManifestPath(branchRoot)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"no branch manifest at $branchRoot")
+    val in = fs.open(path)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    (resolveBase(branchRoot, lines.head), lines(1).toLong)
+  }
+
+  /** [[appendCommit]] onto a branch: lands under the BRANCH root's own
+    * ledger and dirs (the base never changes), exactly once. Branch
+    * commit ids must sit above the fork point — ids at or below it
+    * would be ambiguous against the base history the branch shares.
+    */
+  def appendCommitBranch(rows: DataFrame, branchRoot: String,
+      commitId: Long): Boolean = {
+    val (_, fork) = branchManifest(rows.sparkSession, branchRoot)
+    require(commitId > fork,
+      s"branch commit $commitId must be above the fork point $fork")
+    appendCommit(rows, branchRoot, commitId)
+  }
+
+  /** [[deleteCommit]] on a branch: the tombstones land branch-side and
+    * hide base and branch rows at branch horizons ≥ the commit — the
+    * base itself keeps serving them.
+    */
+  def deleteCommitBranch(ids: DataFrame, branchRoot: String,
+      commitId: Long): Boolean = {
+    val (_, fork) = branchManifest(ids.sparkSession, branchRoot)
+    require(commitId > fork,
+      s"branch delete $commitId must be above the fork point $fork")
+    deleteCommit(ids, branchRoot, commitId)
+  }
+
+  /** The branch's table as of branch-ledger commit `asOf`: base
+    * committed state at min(fork, asOf) — so pre-fork horizons serve
+    * the shared history — unioned with the branch's own commits ≤
+    * asOf, keys resolved across both by the standard struct-max, then
+    * branch tombstones in (fork, asOf] applied by ledger order (a
+    * winner re-added above the delete survives it).
+    */
+  def readEventsAsOfBranch(s: SparkSession, branchRoot: String,
+      asOf: Long): DataFrame = {
+    val (base, fork) = branchManifest(s, branchRoot)
+    val baseRows = protocol(base).readCommittedStrippedAsOf(
+      s, "data", "event_id", math.min(fork, asOf))(r => s.read.parquet(r))
+    val p = protocol(branchRoot)
+    def name(dd: String) = dd.substring(dd.lastIndexOf('/') + 1)
+    val brDirs = p.committedDirsOrEmpty("data").filter { dd =>
+      val n = name(dd)
+      n.matches("b\\d+") && n.drop(1).toLong <= asOf
+    }
+    val withBranch = brDirs.foldLeft(baseRows)((f, dir) =>
+      f.unionByName(s.read.parquet(dir), allowMissingColumns = true))
+    val rest = withBranch.columns.toSeq
+      .filterNot(n => n == "event_id" || n == "_commit")
+    val resolved = withBranch.groupBy(col("event_id"))
+      .agg(max(struct((col("_commit") +: rest.map(col)): _*)).as("v"))
+      .select(col("event_id") +: col("v._commit").as("_commit") +:
+        rest.map(n => col(s"v.$n").as(n)): _*)
+    val tombs = p.committedDirsOrEmpty("tombstones").filter { dd =>
+      val n = name(dd)
+      n.matches("d\\d+") && {
+        val i = n.drop(1).toLong; i > fork && i <= asOf
+      }
+    }
+    val out = tombs match {
+      case Nil => resolved
+      case ds =>
+        val t = ds.map { dd =>
+          s.read.parquet(dd).select(col("event_id").as("_t_id"),
+            lit(name(dd).drop(1).toLong).as("_dc"))
+        }.reduce(_.unionByName(_))
+          .groupBy(col("_t_id")).agg(max(col("_dc")).as("_dc"))
+        resolved.join(t,
+          resolved("event_id") === t("_t_id") &&
+            resolved("_commit") <= t("_dc"), "left_anti")
+    }
+    out.drop("_commit")
+  }
+
   /** Append one commit that may ADD columns to the table — the
     * schema-evolution twin of [[appendCommit]] (which pins the fixed
     * ingest shape). The new shape must be a SUPERSET of the currently
@@ -618,6 +757,49 @@ object TimeTravel {
           .cast("double").as("total_value"))
       .select(lit(h.toLong).as("horizon"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Build-if-absent the BRANCH gate fixture — two roots under one
+    * published parent: `main` gets the standard four-commit lifecycle
+    * (seed %3=0, b1 %3=1, b2 upsert +100 on %6=0 plus %3=2 inserts,
+    * d3 delete %5=0); `exp` forks off main AT COMMIT 1 and diverges —
+    * its b2 upserts %6=0 to value+500 and inserts the %3=2 wave at
+    * DOUBLED values, its d3 deletes %7=0. Completeness = both
+    * ledgers' final deletes plus the branch manifest.
+    */
+  def ensureBranchedEvents(s: SparkSession, d: String): (String, String) = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_table_branch$suffix").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Layout.ensurePublishedDir(s, root)(r =>
+      protocol(s"$r/main").deletedBatches().contains(3L) &&
+        protocol(s"$r/exp").deletedBatches().contains(3L) &&
+        fs.exists(branchManifestPath(s"$r/exp"))
+    ) { staging =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val main = s"$staging/main"
+      val exp = s"$staging/exp"
+      initLedgeredTable(ev.filter(col("event_id") % 3 === 0), main)
+      appendCommit(ev.filter(col("event_id") % 3 === 1), main, 1L)
+      createBranch(s, "main", exp, 1L)
+      appendCommitBranch(
+        ev.filter(col("event_id") % 3 === 2)
+          .withColumn("value", col("value") * 2.0)
+          .unionByName(ev.filter(col("event_id") % 6 === 0)
+            .withColumn("value", col("value") + 500.0)), exp, 2L)
+      deleteCommitBranch(ev.filter(col("event_id") % 7 === 0), exp, 3L)
+      // main continues independently AFTER the fork
+      appendCommit(ev.filter(col("event_id") % 3 === 2)
+        .unionByName(ev.filter(col("event_id") % 6 === 0)
+          .withColumn("value", col("value") + 100.0)), main, 2L)
+      deleteCommit(ev.filter(col("event_id") % 5 === 0), main, 3L)
+    }
+    (s"$root/main", s"$root/exp")
+  }
 
   /** Visibility of an events key at horizon `h` under the modular
     * commit definitions of [[ensureLedgeredEvents]] — the oracle-side
@@ -849,6 +1031,54 @@ object TimeTravel {
       }.reduce(_.unionByName(_))
     },
 
+    // DESCRIBE HISTORY as a query: one row per ledgered commit —
+    // kind (seed / append / delete), row count and an id-sum content
+    // checksum read from the commit's OWN dir (the ledger's dirs ARE
+    // the history; no log replay, one footer-bounded aggregate per
+    // commit). The operational readout every lakehouse exposes; the
+    // oracle recomputes each commit's content from the modular
+    // definitions.
+    QuerySpec(
+      "q_table_history",
+      """SELECT CAST(0 AS BIGINT) AS commit_id, 'seed' AS kind,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE event_id % 3 = 0
+        |UNION ALL
+        |SELECT 1, 'append', CAST(count(*) AS BIGINT),
+        |  CAST(sum(event_id) AS BIGINT)
+        |FROM events WHERE event_id % 3 = 1
+        |UNION ALL
+        |SELECT 2, 'append', CAST(count(*) AS BIGINT),
+        |  CAST(sum(event_id) AS BIGINT)
+        |FROM events WHERE event_id % 3 = 2 OR event_id % 6 = 0
+        |UNION ALL
+        |SELECT 3, 'delete', CAST(count(*) AS BIGINT),
+        |  CAST(sum(event_id) AS BIGINT)
+        |FROM events WHERE event_id % 5 = 0""".stripMargin) { (s, d) =>
+      val root = ensureLedgeredEvents(s, d)
+      val p = protocol(root)
+      def name(dir: String) = dir.substring(dir.lastIndexOf('/') + 1)
+      def kindOf(n: String) =
+        if (n == "seed") "seed"
+        else if (n.startsWith("b")) "append"
+        else if (n.startsWith("d")) "delete"
+        else "compact"
+      val dirs = p.committedDirsOrEmpty("data") ++
+        p.committedDirsOrEmpty("tombstones")
+      dirs.map { dir =>
+        val n = name(dir)
+        // the commit id is the dir's OWN ledger id — NOT dirOrd, which
+        // deliberately orders d-dirs at 0 for tombstone scoping
+        val id = if (n.matches("[bcd]\\d+")) n.drop(1).toLong else 0L
+        s.read.parquet(dir)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("event_id")).as("id_sum"))
+          .select(lit(id).as("commit_id"),
+            lit(kindOf(n)).as("kind"), col("n_rows"), col("id_sum"))
+      }.reduce(_.unionByName(_))
+    },
+
     // Change data feed: the net-effect diff between two ledger
     // horizons, classified insert / update_preimage / update_postimage
     // / delete — read from ONLY the window's commit dirs + tombstone
@@ -928,6 +1158,52 @@ object TimeTravel {
         .select(lit("full").as("path"), col("event_type"),
           col("n"), col("total"))
       incr.unionByName(full)
+    },
+
+    // Zero-copy BRANCHING: `exp` forks off `main` at commit 1 with one
+    // manifest write (no data copied — base dirs referenced in
+    // place), then the two lines diverge: the branch upserts %6=0 to
+    // value+500 and inserts the %3=2 wave DOUBLED, deletes %7=0; main
+    // runs its standard +100/delete-%5 lifecycle. Four readouts pin
+    // the isolation: the shared pre-fork history served THROUGH the
+    // branch (base@1), both branch horizons (divergent values +
+    // branch-only deletes), and main's head — untouched by anything
+    // the branch did. A base vacuum above the fork refuses branch
+    // reads (spec-pinned; refusals have no SQL image).
+    QuerySpec(
+      "q_table_branch", {
+        def leg(ref: String, h: Int, pred: String, v: String) =
+          s"""SELECT '$ref' AS ref, CAST($h AS BIGINT) AS horizon,
+             |  event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM (SELECT event_id, event_type, $v AS v FROM events
+             |      WHERE $pred)
+             |GROUP BY event_type""".stripMargin
+        val branchV =
+          """CASE WHEN event_id % 6 = 0 THEN value + 500
+            |       WHEN event_id % 3 = 2 THEN value * 2
+            |       ELSE value END""".stripMargin
+        Seq(
+          leg("base", 1, "event_id % 3 <= 1", "value"),
+          leg("branch", 2, "TRUE", branchV),
+          leg("branch", 3, "NOT event_id % 7 = 0", branchV),
+          leg("main", 3, "NOT event_id % 5 = 0",
+            "CASE WHEN event_id % 6 = 0 THEN value + 100 ELSE value END"))
+          .mkString("\nUNION ALL\n")
+      }) { (s, d) =>
+      val (main, exp) = ensureBranchedEvents(s, d)
+      def agg(df: DataFrame, ref: String, h: Int): DataFrame =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+            sum(col("value").cast("decimal(12,2)"))
+              .cast("double").as("total"))
+          .select(lit(ref).as("ref"), lit(h.toLong).as("horizon"),
+            col("event_type"), col("n"), col("id_sum"), col("total"))
+      agg(readEventsAsOfBranch(s, exp, 1L), "base", 1)
+        .unionByName(agg(readEventsAsOfBranch(s, exp, 2L), "branch", 2))
+        .unionByName(agg(readEventsAsOfBranch(s, exp, 3L), "branch", 3))
+        .unionByName(agg(readEventsAsOf(s, main, 3L), "main", 3))
     }
   )
 }

@@ -525,4 +525,53 @@ class TimeTravelSpec extends SparkSpec {
     assert(e.getMessage.contains("compaction"))
     assert(TimeTravel.changesBetween(spark, rootA, 3L, 3L).count() == 0)
   }
+
+  test("branching: fork refusals (uncommitted horizon, duplicate " +
+    "branch, commit at-or-below fork), base isolation from branch " +
+    "writes, delete-then-readd above a branch delete, and the honesty " +
+    "refusal once a base vacuum passes the fork point") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def df(rows: (Long, Double)*) =
+      rows.toSeq.toDF("event_id", "value")
+        .withColumn("ts", lit(ts))
+        .withColumn("user_id", lit(1L))
+        .withColumn("event_type", lit("click"))
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val parent = tmpDir("branch-edges")
+    val base = s"$parent/base"
+    val br = s"$parent/b1"
+    TimeTravel.initLedgeredTable(df(1L -> 10.0, 2L -> 20.0), base)
+    TimeTravel.appendCommit(df(3L -> 30.0), base, 1L)
+    intercept[IllegalArgumentException] {
+      TimeTravel.createBranch(spark, "base", s"$parent/bad", 7L)
+    }
+    TimeTravel.createBranch(spark, "base", br, 1L)
+    intercept[IllegalArgumentException] {
+      TimeTravel.createBranch(spark, "base", br, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TimeTravel.appendCommitBranch(df(9L -> 90.0), br, 1L)
+    }
+    // branch: delete key 2 at commit 2, re-add it at commit 3 — the
+    // re-added version outranks the tombstone; key 1 stays deleted
+    assert(TimeTravel.deleteCommitBranch(
+      Seq(1L, 2L).toDF("event_id"), br, 2L))
+    assert(TimeTravel.appendCommitBranch(df(2L -> 22.0), br, 3L))
+    def state(h: Long) = TimeTravel.readEventsAsOfBranch(spark, br, h)
+      .select($"event_id", $"value").as[(Long, Double)].collect().toMap
+    assert(state(1L) == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    assert(state(2L) == Map(3L -> 30.0))
+    assert(state(3L) == Map(2L -> 22.0, 3L -> 30.0))
+    // the base never saw any of it
+    assert(TimeTravel.readEventsAsOf(spark, base, 1L)
+      .select($"event_id", $"value").as[(Long, Double)].collect().toMap ==
+      Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // base moves on and vacuums past the fork: branch reads refuse
+    TimeTravel.appendCommit(df(4L -> 40.0), base, 2L)
+    TimeTravel.vacuum(spark, base, 2L)
+    val e2 = intercept[IllegalArgumentException] {
+      TimeTravel.readEventsAsOfBranch(spark, br, 3L)
+    }
+    assert(e2.getMessage.contains("compaction"))
+  }
 }
