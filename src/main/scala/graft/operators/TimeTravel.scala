@@ -503,6 +503,87 @@ object TimeTravel {
     deleteCommit(ids, branchRoot, commitId)
   }
 
+  // ---- incremental replication (the ledger as a change feed) ----
+
+  /** Replay `src`'s ledgered commits onto `dst` — incremental table
+    * replication with the ledger as the change feed. The seed state
+    * copies once (when dst has none); then every committed fold
+    * re-lands its commit dir's rows and every committed delete its
+    * tombstone keys, in ledger order UNDER THE SAME IDS — so
+    * replication is idempotent (committed ids no-op), crash-resumable
+    * (a rerun continues wherever it stopped), incremental (cost ∝ the
+    * commits dst lacks — the dirs ARE the change files), and
+    * horizon-preserving (every src horizon is a dst horizon, so
+    * consumers time-travel the replica too). Refuses, rather than
+    * silently diverging, when per-commit history dst still needs has
+    * been vacuumed away on src — replicate-before-vacuum is the
+    * operational contract, the same honesty trade every as-of read
+    * makes. Returns the number of commits applied this call (seed
+    * copy included).
+    */
+  def mirrorCommits(s: SparkSession, src: String, dst: String): Int = {
+    val sp = protocol(src)
+    val dp = protocol(dst)
+    def name(dd: String) = dd.substring(dd.lastIndexOf('/') + 1)
+    val srcData = sp.committedDirsOrEmpty("data")
+    val foldDirs = srcData.filter(dd => name(dd).matches("b\\d+"))
+      .map(dd => name(dd).drop(1).toLong -> dd).toMap
+    val delDirs = sp.committedDirsOrEmpty("tombstones")
+      .filter(dd => name(dd).matches("d\\d+"))
+      .map(dd => name(dd).drop(1).toLong -> dd).toMap
+    var applied = 0
+    val dstSeeded = dp.committedDirsOrEmpty("data")
+      .exists(dd => !name(dd).matches("[bd]\\d+"))
+    if (!dstSeeded) {
+      val srcSeed = srcData.find(dd => name(dd) == "seed")
+      require(srcSeed.nonEmpty,
+        s"cannot bootstrap replica at $dst: src $src has no seed dir " +
+          "(vacuumed past its seed — replicate before vacuuming)")
+      initLedgeredTable(s.read.parquet(srcSeed.get), dst)
+      applied += 1
+    }
+    val done = dp.allLedgerIds()
+    (sp.foldedBatches() ++ sp.deletedBatches()).toSeq.sorted
+      .filterNot(done.contains).foreach { id =>
+        if (sp.foldedBatches().contains(id)) {
+          require(foldDirs.contains(id),
+            s"cannot mirror commit $id: src per-commit dir was " +
+              "vacuumed away (replicate before vacuuming)")
+          if (appendCommit(s.read.parquet(foldDirs(id)), dst, id))
+            applied += 1
+        } else {
+          require(delDirs.contains(id),
+            s"cannot mirror delete $id: src tombstone batch was " +
+              "vacuumed away (replicate before vacuuming)")
+          if (deleteCommit(s.read.parquet(delDirs(id))
+              .select(col("event_id")), dst, id))
+            applied += 1
+        }
+      }
+    applied
+  }
+
+  /** FAST-FORWARD merge of a branch back into its base: replays the
+    * branch's ledgered commits onto the base under the same ids
+    * ([[mirrorCommits]] — the branch dirs are the change files).
+    * Refuses unless every base ledger id above the fork point is
+    * already one of the branch's own (base unchanged since the fork,
+    * or a crashed earlier merge being resumed): a DIVERGED base needs
+    * conflict resolution, deliberately not this op — the caller forks
+    * anew and rebases. Idempotent and crash-resumable like every
+    * replay; the branch stays a valid (now redundant) ref afterwards.
+    */
+  def mergeBranchFF(s: SparkSession, branchRoot: String): Int = {
+    val (base, fork) = branchManifest(s, branchRoot)
+    val brIds = protocol(branchRoot).allLedgerIds()
+    val foreign = (protocol(base).allLedgerIds() + 0L)
+      .filter(i => i > fork && !brIds.contains(i))
+    require(foreign.isEmpty,
+      s"fast-forward refused: base at $base advanced past the fork " +
+        s"$fork with foreign commit(s) ${foreign.toSeq.sorted.mkString(", ")}")
+    mirrorCommits(s, branchRoot, base)
+  }
+
   /** The branch's table as of branch-ledger commit `asOf`: base
     * committed state at min(fork, asOf) — so pre-fork horizons serve
     * the shared history — unioned with the branch's own commits ≤
@@ -799,6 +880,59 @@ object TimeTravel {
       deleteCommit(ev.filter(col("event_id") % 5 === 0), main, 3L)
     }
     (s"$root/main", s"$root/exp")
+  }
+
+  /** Build-if-absent the REPLICA gate fixture: [[mirrorCommits]] from
+    * the four-commit ledgered root into a fresh replica — whose four
+    * horizons must then read exactly like the source's (`q_table_asof`
+    * oracle verbatim).
+    */
+  def ensureMirroredEvents(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_table_mirror$suffix").toString
+    Layout.ensurePublishedDir(s, root)(r =>
+      protocol(r).deletedBatches().contains(3L) &&
+        protocol(r).foldedBatches() == Set(1L, 2L)
+    ) { staging =>
+      mirrorCommits(s, ensureLedgeredEvents(s, d), staging)
+    }
+    root
+  }
+
+  /** Build-if-absent the MERGED-branch gate fixture: main stops at
+    * commit 1, `exp` forks there and diverges (the
+    * [[ensureBranchedEvents]] branch lifecycle), then a fast-forward
+    * merge replays the branch onto main — whose head must now read as
+    * the branch head did.
+    */
+  def ensureMergedBranchEvents(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_table_brmerge$suffix").toString
+    Layout.ensurePublishedDir(s, root)(r =>
+      protocol(s"$r/main").deletedBatches().contains(3L) &&
+        protocol(s"$r/main").foldedBatches() == Set(1L, 2L)
+    ) { staging =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val main = s"$staging/main"
+      val exp = s"$staging/exp"
+      initLedgeredTable(ev.filter(col("event_id") % 3 === 0), main)
+      appendCommit(ev.filter(col("event_id") % 3 === 1), main, 1L)
+      createBranch(s, "main", exp, 1L)
+      appendCommitBranch(
+        ev.filter(col("event_id") % 3 === 2)
+          .withColumn("value", col("value") * 2.0)
+          .unionByName(ev.filter(col("event_id") % 6 === 0)
+            .withColumn("value", col("value") + 500.0)), exp, 2L)
+      deleteCommitBranch(ev.filter(col("event_id") % 7 === 0), exp, 3L)
+      mergeBranchFF(s, exp)
+    }
+    s"$root/main"
   }
 
   /** Visibility of an events key at horizon `h` under the modular
@@ -1204,6 +1338,56 @@ object TimeTravel {
         .unionByName(agg(readEventsAsOfBranch(s, exp, 2L), "branch", 2))
         .unionByName(agg(readEventsAsOfBranch(s, exp, 3L), "branch", 3))
         .unionByName(agg(readEventsAsOf(s, main, 3L), "main", 3))
+    },
+
+    // Incremental REPLICATION: the four-commit table replayed onto a
+    // fresh replica through mirrorCommits (the ledger as the change
+    // feed — seed copy + per-commit re-lands under the same ids), so
+    // the replica is horizon-preserving: all four as-of readouts must
+    // match the SOURCE's oracle verbatim. Idempotent resume, count
+    // accounting and the vacuumed-src refusal are spec-pinned.
+    QuerySpec(
+      "q_table_mirror",
+      (0 to 3).map(asOfHorizonSql).mkString("\nUNION ALL\n")) { (s, d) =>
+      val root = ensureMirroredEvents(s, d)
+      (0 to 3).map(asOfHorizonFrame(s, root, _)).reduce(_.unionByName(_))
+    },
+
+    // FAST-FORWARD branch merge: main froze at the fork, the branch
+    // diverged (+500 upserts, doubled %3=2 inserts, %7=0 deletes),
+    // and the merge replayed it onto main under the same ids — main's
+    // three horizons must now read as the branch's did (shared
+    // history below the fork included). The diverged-base refusal and
+    // merge idempotency are spec-pinned.
+    QuerySpec(
+      "q_table_branch_merge", {
+        val branchV =
+          """CASE WHEN event_id % 6 = 0 THEN value + 500
+            |       WHEN event_id % 3 = 2 THEN value * 2
+            |       ELSE value END""".stripMargin
+        Seq(
+          (1, "event_id % 3 <= 1", "value"),
+          (2, "TRUE", branchV),
+          (3, "NOT event_id % 7 = 0", branchV)).map { case (h, pred, v) =>
+          s"""SELECT CAST($h AS BIGINT) AS horizon, event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM (SELECT event_id, event_type, $v AS v FROM events
+             |      WHERE $pred)
+             |GROUP BY event_type""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      }) { (s, d) =>
+      val main = ensureMergedBranchEvents(s, d)
+      (1 to 3).map { h =>
+        readEventsAsOf(s, main, h.toLong)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+            sum(col("value").cast("decimal(12,2)"))
+              .cast("double").as("total"))
+          .select(lit(h.toLong).as("horizon"), col("event_type"),
+            col("n"), col("id_sum"), col("total"))
+      }.reduce(_.unionByName(_))
     }
   )
 }

@@ -574,4 +574,51 @@ class TimeTravelSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("compaction"))
   }
+
+  test("mirrorCommits: incremental resume applies only the commits " +
+    "the replica lacks, a replayed call is a no-op, a vacuumed source " +
+    "refuses, and a diverged base refuses the fast-forward merge") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def df(rows: (Long, Double)*) =
+      rows.toSeq.toDF("event_id", "value")
+        .withColumn("ts", lit(ts))
+        .withColumn("user_id", lit(1L))
+        .withColumn("event_type", lit("click"))
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val parent = tmpDir("mirror-edges")
+    val src = s"$parent/src"
+    val dst = s"$parent/dst"
+    TimeTravel.initLedgeredTable(df(1L -> 10.0), src)
+    TimeTravel.appendCommit(df(2L -> 20.0), src, 1L)
+    // first sync: seed + commit 1
+    assert(TimeTravel.mirrorCommits(spark, src, dst) == 2)
+    // source advances; the resume applies ONLY the new commits
+    TimeTravel.appendCommit(df(3L -> 30.0), src, 2L)
+    TimeTravel.deleteCommit(Seq(1L).toDF("event_id"), src, 3L)
+    assert(TimeTravel.mirrorCommits(spark, src, dst) == 2)
+    assert(TimeTravel.mirrorCommits(spark, src, dst) == 0)
+    def state(root: String, h: Long) =
+      TimeTravel.readEventsAsOf(spark, root, h)
+        .select($"event_id", $"value").as[(Long, Double)].collect().toMap
+    for (h <- 0L to 3L)
+      assert(state(dst, h) == state(src, h), s"replica horizon $h diverged")
+    // a source vacuumed past history the replica lacks refuses
+    val dst2 = s"$parent/dst2"
+    TimeTravel.vacuum(spark, src, 2L)
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.mirrorCommits(spark, src, dst2)
+    }
+    assert(e.getMessage.contains("vacuum"))
+    // diverged-base merge refusal: fork, advance BOTH, try to merge
+    val base2 = s"$parent/base2"
+    val br2 = s"$parent/br2"
+    TimeTravel.initLedgeredTable(df(1L -> 10.0), base2)
+    TimeTravel.createBranch(spark, "base2", br2, 0L)
+    assert(TimeTravel.appendCommitBranch(df(2L -> 20.0), br2, 1L))
+    TimeTravel.appendCommit(df(9L -> 90.0), base2, 2L)
+    val e3 = intercept[IllegalArgumentException] {
+      TimeTravel.mergeBranchFF(spark, br2)
+    }
+    assert(e3.getMessage.contains("fast-forward refused"))
+  }
 }
