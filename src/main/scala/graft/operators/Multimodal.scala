@@ -729,6 +729,33 @@ object Multimodal {
     root
   }
 
+  /** Build-if-absent the AS-OF phash gate fixture: the vacuum gate's
+    * three-commit lifecycle (history seed, late-wave fold b1, takedown
+    * d2) with its FULL per-commit history retained — so horizon 0
+    * (pre-fold) is servable too, which the vacuumed root by design
+    * cannot.
+    */
+  def ensureAsOfPhashIndex(s: SparkSession, d: String): String = {
+    val suffix = d.replaceAll("\\W", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_phash_asof$suffix").toString
+    Layout.ensurePublishedDir(s, root)(r =>
+      phashProtocol(r).deletedBatches().contains(2L) &&
+        phashProtocol(r).foldedBatches().contains(1L)
+    ) { staging =>
+      def hashesOf(pred: org.apache.spark.sql.Column) =
+        perceptualHashes(plantedImages(s, d).filter(pred),
+          DispatchMediaKernel).toDF()
+      writePhashIndex(hashesOf(col("asset_id") % 5 =!= 4), staging)
+      appendToPhashIndex(hashesOf(col("asset_id") % 5 === 4), staging, 1L)
+      deleteFromPhashIndex(plantedImages(s, d)
+        .filter(col("asset_id") % 7 === 3)
+        .select(col("asset_id")), staging, 2L)
+    }
+    root
+  }
+
   /** Incremental image dedup — the `Dedup.incrementalKeepNew` contract
     * on perceptual hashes: an incoming image SURVIVES iff no image
     * with a smaller asset_id (indexed history OR earlier in the
@@ -1168,6 +1195,52 @@ object Multimodal {
         DispatchMediaKernel).toDF()
         .select(col("asset_id").as("query_id"), col("phash"))
       Seq(1L, 2L).map { h =>
+        phashSearch(s, idx, probes, asOf = Some(h))
+          .select(lit(h).as("horizon"), col("query_id"),
+            col("asset_id"), col("hamming"))
+      }.reduce(_.union(_))
+    },
+
+    // AS-OF reverse-image search on the UNVACUUMED root — the last
+    // index family's time-travel value gate at FULL history depth:
+    // horizon 0 serves the history wave alone (the late fold
+    // invisible), 1 the whole corpus, 2 post-takedown — dir/tombstone
+    // scoping at list time, zero data cost, the same serve plan per
+    // horizon. (The vacuum gate covers surviving horizons only; this
+    // root keeps every commit, so pre-fold history stays servable.)
+    QuerySpec(
+      "multimodal_phash_asof",
+      s"""$phashChunksCte
+         |SELECT CAST(0 AS BIGINT) AS horizon, query_id, asset_id, hamming
+         |FROM (
+         |  SELECT DISTINCT a.doc_id AS query_id, b.doc_id AS asset_id,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv
+         |  WHERE a.doc_id % 8 = 1 AND b.doc_id % 5 <> 4
+         |    AND bit_count(xor(a.sig, b.sig)) <= 3)
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS horizon, query_id, asset_id, hamming
+         |FROM (
+         |  SELECT DISTINCT a.doc_id AS query_id, b.doc_id AS asset_id,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv
+         |  WHERE a.doc_id % 8 = 1
+         |    AND bit_count(xor(a.sig, b.sig)) <= 3)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS horizon, query_id, asset_id, hamming
+         |FROM (
+         |  SELECT DISTINCT a.doc_id AS query_id, b.doc_id AS asset_id,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv
+         |  WHERE a.doc_id % 8 = 1 AND b.doc_id % 7 <> 3
+         |    AND bit_count(xor(a.sig, b.sig)) <= 3)""".stripMargin) {
+      (s, d) =>
+      val idx = ensureAsOfPhashIndex(s, d)
+      val probes = perceptualHashes(
+        plantedImages(s, d).filter(col("asset_id") % 8 === 1),
+        DispatchMediaKernel).toDF()
+        .select(col("asset_id").as("query_id"), col("phash"))
+      Seq(0L, 1L, 2L).map { h =>
         phashSearch(s, idx, probes, asOf = Some(h))
           .select(lit(h).as("horizon"), col("query_id"),
             col("asset_id"), col("hamming"))
