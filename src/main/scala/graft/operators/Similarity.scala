@@ -307,6 +307,67 @@ object Similarity {
     rankTopK(scored)
   }
 
+  /** The RANGE-search similarity bar — matches `sim_threshold_sweep`'s
+    * justified 0.4 semantic-dup threshold, so the radius gates measure
+    * the same neighborhood the dedup path acts on.
+    */
+  private val RadiusTau = 0.4
+
+  private def radiusQueries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NQueries).limit(NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+
+  /** Exact cosine RANGE search: every (query, neighbor) pair at
+    * rounded similarity ≥ τ — all neighbors, not a fixed k, which is
+    * what takedown sweeps and near-dup audits actually ask. One
+    * corpus scan against the GlobalLimit-capped broadcast query set
+    * (the `topkOf` plan), no shuffle at all; also the certified
+    * baseline the cell-blocked variant measures against.
+    */
+  def bruteRadius(s: SparkSession, d: String): DataFrame = {
+    val e = corpus(s, d)
+    e.join(broadcast(radiusQueries(e)), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 4).as("sim"))
+      .filter(col("sim") >= RadiusTau)
+  }
+
+  /** Cell-blocked RANGE search with its recall certified per query:
+    * candidates come only from each query's nprobe cells (the sim_ivf
+    * construction — at corpus scale the scan touches nprobe/K of the
+    * data), the radius filter runs on the candidates, and the readout
+    * compares against the exact count: (query, n_exact, n_found,
+    * recall). Deterministic given the fixed seeds, so the oracle
+    * recomputes both sides exactly — the `sim_ivf_recall` convention
+    * for the range-query class.
+    */
+  def ivfRadiusRecall(s: SparkSession, d: String): DataFrame = {
+    val e = corpus(s, d)
+    val seeds = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cents = lloydStep(e, seeds).cache()
+    val assigned = assign(e, cents, 1)
+      .select(col("vec_id"), col("v"), col("cent_id"))
+    val probes = assign(
+      radiusQueries(e).withColumnRenamed("query_id", "vec_id")
+        .withColumnRenamed("qv", "v"), cents, 4)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("cent_id"))
+    val found = probes.join(assigned, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        round(cosine(col("qv"), col("v")), 4).as("sim"))
+      .filter(col("sim") >= RadiusTau)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_found"))
+    val exact = bruteRadius(s, d)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    exact.join(found, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        round(coalesce(col("n_found"), lit(0L)).cast("double") /
+          col("n_exact"), 4).as("recall"))
+  }
+
   /** (query_id, neighbor_id, sim) → (query_id, neighbor_id, rank ≤ k)
     * via the bounded top-k aggregate; rank = 1-based position best-first.
     */
@@ -2994,6 +3055,44 @@ object Similarity {
          |$topkCtes
          |SELECT query_id, neighbor_id, rank FROM topk""".stripMargin)(
       (s, d) => bruteTopK(s, d)),
+
+    // Exact cosine RANGE search at the semantic-dup bar: all pairs at
+    // rounded sim >= 0.4 per query — the all-neighbors question
+    // takedown sweeps ask, one shuffle-free corpus scan.
+    QuerySpec(
+      "sim_radius",
+      s"""WITH $eCte,
+         |rq AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |       WHERE vec_id < $NQueries)
+         |SELECT query_id, e.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(qv, e.v), 4) AS sim
+         |FROM rq JOIN e ON e.vec_id <> query_id
+         |WHERE round(list_cosine_similarity(qv, e.v), 4) >= 0.4"""
+        .stripMargin)((s, d) => bruteRadius(s, d)),
+
+    // Cell-blocked range search, recall certified per query against
+    // the exact counts — the scale path for radius queries (nprobe/K
+    // of the corpus scanned) with its miss rate measured, not
+    // assumed; deterministic construction, so both sides recompute
+    // exactly.
+    QuerySpec(
+      "sim_radius_ivf",
+      s"""WITH $eCte,
+         |$ivfCtes,
+         |rq AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |       WHERE vec_id < $NQueries),
+         |rex AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |        FROM rq JOIN e ON e.vec_id <> query_id
+         |          AND round(list_cosine_similarity(qv, e.v), 4) >= 0.4
+         |        GROUP BY query_id),
+         |rfound AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_found
+         |           FROM iscored WHERE sim >= 0.4 GROUP BY query_id)
+         |SELECT r.query_id, r.n_exact,
+         |  CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found,
+         |  round(CAST(coalesce(f.n_found, 0) AS DOUBLE) / r.n_exact, 4)
+         |    AS recall
+         |FROM rex r LEFT JOIN rfound f USING (query_id)""".stripMargin)(
+      (s, d) => ivfRadiusRecall(s, d)),
 
     // IVF top-k: deterministic seeds (every 25th vector) refined by one
     // Lloyd iteration (assign -> cell mean -> reassign), nprobe=4.
