@@ -2362,6 +2362,66 @@ object Retrieval {
        |JOIN rel ON rel.query_id = d.query_id""".stripMargin
   }
 
+  /** The `text_snippet` oracle: the multi-query ranking chain cut at
+    * rank ≤ 3, then per (query, hit) the classic best-window snippet —
+    * candidate windows start at query-term positions, width 8 words,
+    * scored by DISTINCT query terms covered with earliest-start
+    * tie-break — and the window's text reconstructed from the same
+    * empty-filtered word list both engines tokenize with.
+    */
+  private val snippetOracleSql: String = {
+    val values = MultiQueries.map { case (id, ts) =>
+      s"($id, [${ts.map("'" + _ + "'").mkString(", ")}])"
+    }.mkString(", ")
+    s"""WITH q AS (SELECT * FROM (VALUES $values) AS v(query_id, terms)),
+       |qt AS (SELECT DISTINCT query_id, unnest(terms) AS word FROM q),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |              avg(len(ws)) AS avgdl FROM d),
+       |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM d),
+       |tf AS (SELECT word, doc_id, dl, count(*) AS tf FROM t
+       |       WHERE word IN (SELECT word FROM qt)
+       |       GROUP BY word, doc_id, dl),
+       |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df
+       |       FROM tf GROUP BY word),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |         round(sum(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+       |             * (tf.tf * CAST(2.2 AS DOUBLE)
+       |                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)))),
+       |           4) AS score
+       |       FROM tf JOIN df USING (word) JOIN qt USING (word), st
+       |       GROUP BY qt.query_id, tf.doc_id),
+       |r3 AS (SELECT query_id, doc_id FROM (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc) WHERE rank <= 3),
+       |dw AS (SELECT doc_id,
+       |         list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |       FROM documents
+       |       WHERE doc_id IN (SELECT doc_id FROM r3)),
+       |pos AS (SELECT doc_id, i AS p, ws[i] AS word
+       |        FROM dw, unnest(range(1, len(ws) + 1)) t(i)),
+       |tp AS (SELECT r3.query_id, pos.doc_id, pos.word, pos.p
+       |       FROM r3 JOIN qt USING (query_id)
+       |       JOIN pos ON pos.doc_id = r3.doc_id AND pos.word = qt.word),
+       |wins AS (SELECT a.query_id, a.doc_id, a.p,
+       |           count(DISTINCT b.word) AS n_terms
+       |         FROM tp a JOIN tp b ON b.query_id = a.query_id
+       |           AND b.doc_id = a.doc_id
+       |           AND b.p >= a.p AND b.p < a.p + 8
+       |         GROUP BY 1, 2, 3),
+       |best AS (SELECT query_id, doc_id, p, n_terms FROM (
+       |  SELECT query_id, doc_id, p, n_terms,
+       |    row_number() OVER (PARTITION BY query_id, doc_id
+       |                       ORDER BY n_terms DESC, p) AS rn
+       |  FROM wins) WHERE rn = 1)
+       |SELECT b.query_id, b.doc_id, CAST(b.p AS BIGINT) AS start,
+       |  CAST(b.n_terms AS BIGINT) AS n_terms,
+       |  array_to_string(dw.ws[b.p : b.p + 7], ' ') AS snippet
+       |FROM best b JOIN dw USING (doc_id)""".stripMargin
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("text_bm25", bm25OracleSql) { (s, d) => bm25(s, d) },
     // Many queries, one distributed job: per-query BM25 rankings via
@@ -2375,6 +2435,54 @@ object Retrieval {
     QuerySpec("text_bm25_indexed", bm25OracleSql) { (s, d) =>
       bm25TopK(s, ensureBm25Index(s, d))
     },
+    // Best-window SNIPPET extraction for the top hits — the serving
+    // feature next to ranking: per (query, top-3 doc), the width-8
+    // word window starting at a query-term position that covers the
+    // most DISTINCT query terms (earliest start on ties), with the
+    // window's text reconstructed. Candidates are term positions
+    // only (never every position); the window election is one
+    // struct-min aggregate per (query, doc) — no windowing over the
+    // token stream; the bounded self-join pairs term positions within
+    // 8 words, per doc.
+    QuerySpec("text_snippet", snippetOracleSql) { (s, d) =>
+      import s.implicits._
+      val ranked = bm25Batch(s, ensureBm25Index(s, d),
+        MultiQueries.toDF("query_id", "terms")).filter(col("rank") <= 3)
+      val qt = MultiQueries.toDF("query_id", "terms")
+        .select(col("query_id"), explode(col("terms")).as("word"))
+        .distinct()
+      val docs = Tables.documents(s, d)
+        .join(ranked.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), w => w =!= "").as("ws"))
+      val pos = docs
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "word")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+          col("word"))
+      val tp = ranked.select(col("query_id"), col("doc_id"))
+        .join(qt, Seq("query_id"))
+        .join(pos, Seq("doc_id", "word"))
+      val b = tp.select(col("query_id").as("q2"), col("doc_id").as("d2"),
+        col("word").as("w2"), col("p").as("p2"))
+      val wins = tp.select(col("query_id"), col("doc_id"), col("p"))
+        .join(b, col("query_id") === col("q2") &&
+          col("doc_id") === col("d2") &&
+          col("p2") >= col("p") && col("p2") < col("p") + 8)
+        .groupBy(col("query_id"), col("doc_id"), col("p"))
+        .agg(countDistinct(col("w2")).as("n_terms"))
+      val best = wins.groupBy(col("query_id"), col("doc_id"))
+        .agg(min(struct((col("n_terms") * -1).as("negn"),
+          col("p").as("p"))).as("b"))
+        .select(col("query_id"), col("doc_id"), col("b.p").as("start"),
+          (col("b.negn") * -1).as("n_terms"))
+      best.join(docs, Seq("doc_id"))
+        .select(col("query_id"), col("doc_id"), col("start"),
+          col("n_terms"),
+          array_join(slice(col("ws"), col("start").cast("int"), lit(8)),
+            " ").as("snippet"))
+    },
+
     // Retrieval EVALUATION as an operator: the multi-query BM25
     // ranking graded against term-coverage relevance derived from the
     // raw text (independent of the scorer), emitting per query the

@@ -368,6 +368,41 @@ object Similarity {
           col("n_exact"), 4).as("recall"))
   }
 
+  /** Late-interaction (MaxSim / ColBERT-style) retrieval: a "document"
+    * is a GROUP of chunk vectors (vec_id DIV 4 → 4 chunks each), and
+    * score(q, d) = Σ over q's chunks of the max cosine against d's
+    * chunks — the multi-vector scoring that beats single-vector
+    * retrieval when relevance is local to a passage. Integer-exact
+    * cross-engine: each PAIR cosine rounds to a 1e4-scaled BIGINT
+    * before max/sum (both reductions order-free on integers), so
+    * accumulation order can never flip a rank. Plan: one corpus-chunk
+    * scan against the GlobalLimit-capped broadcast query chunks (the
+    * topkOf shape), then two map-side-combining aggregates (per-
+    * (q,d,qc) max, per-(q,d) sum) and a query-partitioned top-5 cut.
+    */
+  def maxSimTopK(s: SparkSession, d: String): DataFrame = {
+    val ch = corpus(s, d)
+      .select((col("vec_id") / 4).cast("long").as("doc_id"),
+        col("vec_id"), col("v"))
+    val qc = ch.filter(col("doc_id") < 5).limit(20)
+      .select(col("doc_id").as("query_doc"), col("vec_id").as("qcid"),
+        col("v").as("qv"))
+    val pairs = ch.join(broadcast(qc), col("doc_id") =!= col("query_doc"))
+      .select(col("query_doc"), col("qcid"), col("doc_id"),
+        round(cosine(col("qv"), col("v")) * 10000).cast("long").as("s"))
+    val sc = pairs
+      .groupBy(col("query_doc"), col("doc_id"), col("qcid"))
+      .agg(max(col("s")).as("m"))
+      .groupBy(col("query_doc"), col("doc_id"))
+      .agg(sum(col("m")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_doc"))
+      .orderBy(col("score").desc, col("doc_id"))
+    sc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_doc"), col("doc_id"), col("score"), col("rank"))
+  }
+
   /** (query_id, neighbor_id, sim) → (query_id, neighbor_id, rank ≤ k)
     * via the bounded top-k aggregate; rank = 1-based position best-first.
     */
@@ -3093,6 +3128,31 @@ object Similarity {
          |    AS recall
          |FROM rex r LEFT JOIN rfound f USING (query_id)""".stripMargin)(
       (s, d) => ivfRadiusRecall(s, d)),
+
+    // Late-interaction (MaxSim) retrieval over multi-vector documents:
+    // sum-of-max-chunk-cosines on a 1e4-scaled integer grid (order-
+    // free reductions — no float accumulation in the ranking), top-5
+    // per query document.
+    QuerySpec(
+      "sim_maxsim",
+      s"""WITH $eCte,
+         |ch AS (SELECT vec_id // 4 AS doc_id, vec_id, v FROM e),
+         |qc AS (SELECT doc_id AS query_doc, vec_id AS qcid, v AS qv
+         |       FROM ch WHERE doc_id < 5),
+         |p AS (SELECT query_doc, qcid, ch.doc_id,
+         |    CAST(round(list_cosine_similarity(qv, ch.v) * 10000)
+         |      AS BIGINT) AS s
+         |  FROM qc JOIN ch ON ch.doc_id <> qc.query_doc),
+         |m AS (SELECT query_doc, doc_id, qcid, max(s) AS m
+         |      FROM p GROUP BY 1, 2, 3),
+         |sc AS (SELECT query_doc, doc_id, CAST(sum(m) AS BIGINT) AS score
+         |       FROM m GROUP BY 1, 2)
+         |SELECT query_doc, doc_id, score, rank FROM (
+         |  SELECT query_doc, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_doc
+         |                       ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc) WHERE rank <= $TopK""".stripMargin)(
+      (s, d) => maxSimTopK(s, d)),
 
     // IVF top-k: deterministic seeds (every 25th vector) refined by one
     // Lloyd iteration (assign -> cell mean -> reassign), nprobe=4.
