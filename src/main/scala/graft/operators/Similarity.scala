@@ -403,6 +403,53 @@ object Similarity {
       .select(col("query_doc"), col("doc_id"), col("score"), col("rank"))
   }
 
+  /** Integer DCG weights for ranks 1..TopK and their cumulative sums —
+    * driver-side literals shared by both engines (the text_rank_eval
+    * convention: no cross-engine log2 reliance).
+    */
+  private val DenseWeights: Seq[Long] = (1 to TopK).map(r =>
+    math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+  private val DenseCumWeights: Seq[Long] =
+    DenseWeights.scanLeft(0L)(_ + _).drop(1)
+
+  /** Dense-retrieval evaluation — the `text_rank_eval` harness on the
+    * ANN side: the brute top-k ranking graded by LABEL relevance (the
+    * attribute the cosine ranker never sees, so the metrics measure
+    * embedding quality, not the scorer's own objective): per query
+    * nDCG@k from exact integer DCG/IDCG, first relevant rank, and
+    * recall@k against min(k, class size).
+    */
+  def denseRankEval(s: SparkSession, d: String): DataFrame = {
+    val ranked = bruteTopK(s, d)
+    val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val ql = lbl.filter(col("vec_id") < NQueries).limit(NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val rk = ranked
+      .join(lbl.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(ql, Seq("query_id"))
+      .withColumn("grade",
+        when(col("label") === col("qlabel"), 1L).otherwise(0L))
+    val w = typedLit(DenseWeights)
+    val dcg = rk.groupBy(col("query_id"))
+      .agg(sum(col("grade") * element_at(w, col("rank"))).as("dcg"),
+        min(when(col("grade") >= 1, col("rank")))
+          .cast("long").as("first_rel"),
+        sum(col("grade")).as("rel_topk"))
+    val nrel = ql.join(lbl,
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val idcg = element_at(typedLit(DenseCumWeights),
+      least(lit(TopK.toLong), col("n_rel")).cast("int"))
+    dcg.join(nrel, Seq("query_id"))
+      .filter(col("n_rel") >= 1)
+      .select(col("query_id"), col("n_rel"), col("first_rel"),
+        col("rel_topk"), col("dcg"), idcg.as("idcg"),
+        round(col("dcg").cast("double") / idcg, 4).as("ndcg"),
+        round(col("rel_topk").cast("double") /
+          least(lit(TopK.toLong), col("n_rel")), 4).as("recall_topk"))
+  }
+
   /** (query_id, neighbor_id, sim) → (query_id, neighbor_id, rank ≤ k)
     * via the bounded top-k aggregate; rank = 1-based position best-first.
     */
@@ -3153,6 +3200,47 @@ object Similarity {
          |                       ORDER BY score DESC, doc_id) AS rank
          |  FROM sc) WHERE rank <= $TopK""".stripMargin)(
       (s, d) => maxSimTopK(s, d)),
+
+    // Dense-retrieval evaluation: the brute top-k graded by LABEL
+    // relevance (unseen by the ranker) — exact integer DCG/IDCG over
+    // driver-literal weights, nDCG, first relevant rank, recall@k.
+    QuerySpec(
+      "sim_rank_eval", {
+        val wvalues = DenseWeights.zipWithIndex
+          .map { case (x, i) => s"(${i + 1}, $x)" }.mkString(", ")
+        val idcgCase = (TopK to 1 by -1).map { k =>
+          val cmp = if (k == TopK) s">= $k" else s"= $k"
+          s"WHEN n.n_rel $cmp THEN ${DenseCumWeights(k - 1)}"
+        }.mkString(" ")
+        s"""WITH $eCte,
+           |$topkCtes,
+           |lb AS (SELECT vec_id, label FROM embeddings),
+           |ql AS (SELECT vec_id AS query_id, label AS qlabel FROM lb
+           |       WHERE vec_id < $NQueries),
+           |rk AS (SELECT t.query_id, t.rank,
+           |         CASE WHEN nl.label = ql.qlabel THEN 1 ELSE 0 END
+           |           AS grade
+           |       FROM topk t JOIN lb nl ON nl.vec_id = t.neighbor_id
+           |       JOIN ql ON ql.query_id = t.query_id),
+           |wt AS (SELECT * FROM (VALUES $wvalues) w(rank, w)),
+           |dcg AS (SELECT query_id, CAST(sum(grade * w) AS BIGINT) AS dcg,
+           |    CAST(min(CASE WHEN grade >= 1 THEN rank END) AS BIGINT)
+           |      AS first_rel,
+           |    CAST(sum(grade) AS BIGINT) AS rel_topk
+           |  FROM rk JOIN wt USING (rank) GROUP BY query_id),
+           |nrel AS (SELECT ql.query_id, CAST(count(*) AS BIGINT) AS n_rel
+           |  FROM ql JOIN lb ON lb.label = ql.qlabel
+           |    AND lb.vec_id <> ql.query_id
+           |  GROUP BY 1)
+           |SELECT d.query_id, n.n_rel, d.first_rel, d.rel_topk, d.dcg,
+           |  CAST(CASE $idcgCase END AS BIGINT) AS idcg,
+           |  round(CAST(d.dcg AS DOUBLE) /
+           |    (CASE $idcgCase END), 4) AS ndcg,
+           |  round(CAST(d.rel_topk AS DOUBLE) / least($TopK, n.n_rel), 4)
+           |    AS recall_topk
+           |FROM dcg d JOIN nrel n USING (query_id)
+           |WHERE n.n_rel >= 1""".stripMargin
+      })((s, d) => denseRankEval(s, d)),
 
     // IVF top-k: deterministic seeds (every 25th vector) refined by one
     // Lloyd iteration (assign -> cell mean -> reassign), nprobe=4.
