@@ -236,6 +236,35 @@ object Unigram {
     }
   }
 
+  /** One ledgered tokenizer VERSION for the unigram family: an honest
+    * re-fit on `slice` landed as full-state commit `commitId` (seed
+    * when 0) under the family-generic [[graft.index.ModelLedger]]
+    * dialect — [[Bpe.ensureLedgeredBpeModel]]'s contract. Spec-gated
+    * rather than value-gated: the per-horizon oracle would be the
+    * recursive-DP learn chain × horizons (see PLANS.md); the version
+    * states themselves are pinned frame-identical to the
+    * overwrite-published fits in `UnigramSpec`.
+    */
+  def commitUnigramVersion(s: SparkSession, slice: DataFrame,
+      root: String, commitId: Long): Boolean = {
+    val (pieces, wordseg, curve) = learnModel(slice)
+    import s.implicits._
+    val sides = Seq(
+      "pieces" -> pieces.coalesce(1),
+      "wordseg" -> wordseg,
+      "curve" -> curve.toDF("rank", "vocab_size", "total_tokens")
+        .coalesce(1))
+    if (commitId == 0L) {
+      graft.index.ModelLedger.initSeed(root, sides); true
+    } else graft.index.ModelLedger.commitVersion(root, commitId, sides)
+  }
+
+  /** The wordseg side served at a ledger horizon — what [[meter]]
+    * joins; honesty guards are the ModelLedger's.
+    */
+  def wordsegAsOf(s: SparkSession, root: String, asOf: Long): DataFrame =
+    graft.index.ModelLedger.readSideAsOf(s, root, "wordseg", asOf)
+
   /** Per-doc unigram token meter against a (word, n_pieces) frame —
     * the [[Bpe.meter]] shape: explode → wordseg join → one doc_id
     * aggregate; out-of-vocabulary words (new text against a frozen

@@ -170,6 +170,35 @@ object WordPiece {
     root.toString
   }
 
+  /** One ledgered tokenizer VERSION for the WordPiece family: an
+    * honest re-fit on `slice` landed as full-state commit `commitId`
+    * (seed when 0) under [[graft.index.ModelLedger]] —
+    * [[Bpe.ensureLedgeredBpeModel]]'s contract, spec-gated like the
+    * unigram family (the likelihood-merge oracle × horizons is the
+    * expensive MATERIALIZED chain; see PLANS.md).
+    */
+  def commitWordPieceVersion(s: SparkSession, slice: DataFrame,
+      root: String, commitId: Long): Boolean = {
+    val (merges, pieces) = learn(slice, Rounds)
+    import s.implicits._
+    val sides = Seq(
+      "merges" -> merges.zipWithIndex
+        .map { case ((p, sc), i) => (i + 1, p, mergedOf(p), sc) }
+        .toDF("rank", "pair", "merged", "score").coalesce(1),
+      "pieces" -> pieces.toDF("piece").coalesce(1))
+    if (commitId == 0L) {
+      graft.index.ModelLedger.initSeed(root, sides); true
+    } else graft.index.ModelLedger.commitVersion(root, commitId, sides)
+  }
+
+  /** The piece vocabulary served at a ledger horizon — the bounded
+    * driver-side list [[segment]] consumes; honesty guards are the
+    * ModelLedger's.
+    */
+  def piecesAsOf(s: SparkSession, root: String, asOf: Long): Seq[String] =
+    graft.index.ModelLedger.readSideAsOf(s, root, "pieces", asOf)
+      .collect().map(_.getString(0)).toSeq.sorted
+
   /** The persisted piece vocabulary, as a bounded driver-side list
     * (|alphabet|·2 + Rounds entries — constant by construction, the
     * documented pushdown-convention collect class).

@@ -97,4 +97,31 @@ class UnigramSpec extends SparkSpec {
     assert(rows(2L) == ((2L, 6L)),
       "OOV 'gamma' pays its 5 chars + beta's 1 piece")
   }
+
+  test("ledgered tokenizer versions: the history-slice version is " +
+    "frame-identical to the overwrite-published history model, the " +
+    "seed version differs, and vacuum refuses the reclaimed horizon") {
+    import graft.operators.Unigram
+    import graft.Tables
+    import graft.index.ModelLedger
+    val hist = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 5 =!= 4)
+    val root = tmpDir("uni-ledger")
+    assert(Unigram.commitUnigramVersion(spark, hist.filter($"doc_id" % 3 === 1), root, 0L))
+    assert(Unigram.commitUnigramVersion(spark, hist, root, 1L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"word", $"freq", $"n_pieces")
+      .as[(String, Long, Long)].collect().toSet
+    val published = spark.read.parquet(
+      Unigram.ensureHistoryUnigramModel(spark, sf0001) + "/wordseg")
+    assert(rows(Unigram.wordsegAsOf(spark, root, 1L)) == rows(published))
+    assert(rows(Unigram.wordsegAsOf(spark, root, 0L)) != rows(published))
+    assert(ModelLedger.vacuum(spark, root,
+      Seq("pieces", "wordseg", "curve"), 1L))
+    assert(rows(Unigram.wordsegAsOf(spark, root, 1L)) == rows(published))
+    val e = intercept[IllegalArgumentException] {
+      Unigram.wordsegAsOf(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("compaction"))
+  }
 }

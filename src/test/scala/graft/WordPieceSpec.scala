@@ -99,4 +99,27 @@ class WordPieceSpec extends SparkSpec {
       .filter($"re" =!= $"word").count()
     assert(broken == 0, "pieces must concatenate back to the word")
   }
+
+  test("ledgered tokenizer versions: the full-corpus version serves " +
+    "the overwrite-published piece list identically, the narrower " +
+    "seed version differs, and vacuum refuses the reclaimed horizon") {
+    import graft.operators.WordPiece
+    import graft.Tables
+    import graft.index.ModelLedger
+    val docs = Tables.documents(spark, sf0001)
+    val root = tmpDir("wp-ledger")
+    assert(WordPiece.commitWordPieceVersion(spark,
+      docs.filter($"doc_id" % 3 === 1), root, 0L))
+    assert(WordPiece.commitWordPieceVersion(spark, docs, root, 1L))
+    val published = WordPiece.modelPieces(spark,
+      WordPiece.ensureWordPieceModel(spark, sf0001))
+    assert(WordPiece.piecesAsOf(spark, root, 1L) == published)
+    assert(WordPiece.piecesAsOf(spark, root, 0L) != published)
+    assert(ModelLedger.vacuum(spark, root, Seq("merges", "pieces"), 1L))
+    assert(WordPiece.piecesAsOf(spark, root, 1L) == published)
+    val e = intercept[IllegalArgumentException] {
+      WordPiece.piecesAsOf(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("compaction"))
+  }
 }
