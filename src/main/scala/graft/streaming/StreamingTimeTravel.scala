@@ -86,6 +86,34 @@ object StreamingTimeTravel {
       .start()
   }
 
+  /** [[startAppend]] with CONTINUOUS REPLICATION: after each committed
+    * micro-batch the replica catches up through
+    * [[graft.operators.TimeTravel.mirrorCommits]] — the ledger replay
+    * is idempotent and resume-safe, so a crash between the commit and
+    * the mirror just re-applies on the next batch (or the next
+    * [[graft.operators.TimeTravel.mirrorCommits]] call, batch or
+    * streamed: the replica never needs to know WHO syncs it). Every
+    * source horizon becomes a replica horizon as it lands — the
+    * hot-standby shape: consumers time-travel the replica while the
+    * primary keeps ingesting.
+    */
+  def startAppendMirrored(rows: DataFrame, root: String,
+      replica: String, checkpoint: String): StreamingQuery = {
+    val epoch = StreamingDedup.epochFor(rows, checkpoint,
+      TimeTravel.protocol(root).allLedgerIds() + 0L)
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { // empty-batch suppression (K3)
+          TimeTravel.appendCommit(batch, root, (epoch << 32) | batchId)
+          TimeTravel.mirrorCommits(batch.sparkSession, root, replica)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** [[startAppend]] for a stream carrying a WIDENED table shape —
     * batches land through
     * [[graft.operators.TimeTravel.appendCommitEvolved]], so a restart

@@ -621,4 +621,39 @@ class TimeTravelSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("fast-forward refused"))
   }
+
+  test("startAppendMirrored: the replica catches up per micro-batch — " +
+    "every streamed source horizon is a replica horizon, values " +
+    "identical, and a post-stream batch mirror call is a no-op") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamingTimeTravel
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+    def df(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val parent = tmpDir("ttl-mirror-stream")
+    val root = s"$parent/src"
+    val replica = s"$parent/rep"
+    TimeTravel.initLedgeredTable(df(ev.take(10).toSeq), root)
+    val in =
+      MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = StreamingTimeTravel.startAppendMirrored(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      root, replica, s"$parent/ckpt")
+    try {
+      in.addData(ev.slice(10, 20).toSeq: _*); q.processAllAvailable()
+      in.addData(ev.slice(20, 25).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val commits = TimeTravel.protocol(root).foldedBatches().toSeq.sorted
+    assert(commits.length == 2)
+    def state(r: String, h: Long) =
+      TimeTravel.readEventsAsOf(spark, r, h)
+        .select($"event_id", $"value").as[(Long, Double)].collect().toMap
+    for (h <- 0L +: commits)
+      assert(state(replica, h) == state(root, h),
+        s"replica horizon $h diverged")
+    assert(TimeTravel.mirrorCommits(spark, root, replica) == 0)
+  }
 }
