@@ -960,6 +960,45 @@ object Curation {
           when(col("vt").isNull, 1L).otherwise(0L).as("is_current"))
     },
 
+    // Time-series GAP analysis — the continuity audit an hourly
+    // ingest pipeline (the reference's own cadence) runs on itself:
+    // per user, the active hourly-bucket span, how many buckets in it
+    // are EMPTY, and the longest silence in hours. Buckets are
+    // integer hour ordinals (micros DIV 3.6e9 — exact both engines on
+    // non-negatives), the gap scan is one lag over per-user DISTINCT
+    // hours (bounded per entity, partition-local), and the readout is
+    // one aggregate — no calendar explode: span − active counts the
+    // empty buckets without materializing them, which is the 100-TB
+    // difference between this and a generate_series resample.
+    QuerySpec(
+      "q_gap_analysis",
+      """WITH h AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 3600000000 AS hr
+        |  FROM events),
+        |l AS (SELECT user_id, hr,
+        |    lag(hr) OVER (PARTITION BY user_id ORDER BY hr) AS prev
+        |  FROM h)
+        |SELECT user_id,
+        |  CAST(max(hr) - min(hr) + 1 AS BIGINT) AS span_hours,
+        |  CAST(count(*) AS BIGINT) AS active_hours,
+        |  CAST(max(hr) - min(hr) + 1 - count(*) AS BIGINT) AS empty_hours,
+        |  CAST(coalesce(max(hr - prev), 0) AS BIGINT) AS max_gap_hours
+        |FROM l GROUP BY user_id""".stripMargin) { (s, d) =>
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .distinct()
+        .withColumn("prev", lag(col("hr"), 1).over(ord))
+        .groupBy(col("user_id"))
+        .agg((max(col("hr")) - min(col("hr")) + 1).as("span_hours"),
+          count(lit(1)).as("active_hours"),
+          (max(col("hr")) - min(col("hr")) + 1 - count(lit(1)))
+            .as("empty_hours"),
+          coalesce(max(col("hr") - col("prev")), lit(0L))
+            .as("max_gap_hours"))
+    },
+
     // Point-in-time fact→dimension join — the OTHER half of the SCD2
     // story: purchases join the user-state version (built from the
     // view/error stream only, so the fact's own events never define
