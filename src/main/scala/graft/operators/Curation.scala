@@ -999,6 +999,49 @@ object Curation {
             .as("max_gap_hours"))
     },
 
+    // Calendar RESAMPLE with zero-filled buckets — the dashboard
+    // densification twin of q_gap_analysis: per (event_type, hour
+    // ordinal) over the table's FULL span, event count and
+    // DECIMAL-exact value total, with absent buckets emitted as
+    // explicit zeros (a time-series consumer needs the zero rows; the
+    // gap auditor deliberately avoids them). The calendar frame is
+    // GENERATED from the 1-row bounds aggregate (sequence + explode —
+    // |buckets| × |types| rows, never a corpus-sized explode), and
+    // the only corpus-sized work is the group-by the dense frame
+    // left-joins.
+    QuerySpec(
+      "q_resample",
+      """WITH b AS (SELECT min(epoch_us(ts) // 3600000000) AS h0,
+        |             max(epoch_us(ts) // 3600000000) AS h1 FROM events),
+        |hrs AS (SELECT unnest(range(h0, h1 + 1)) AS hr FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(value AS DECIMAL(12,2))) AS t
+        |      FROM events GROUP BY 1, 2)
+        |SELECT ty.event_type, CAST(hrs.hr AS BIGINT) AS hr,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        |  CAST(coalesce(c.t, 0) AS DOUBLE) AS total
+        |FROM hrs CROSS JOIN ty
+        |LEFT JOIN c ON c.event_type = ty.event_type AND c.hr = hrs.hr"""
+        .stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"), col("value"))
+      val hours = ev.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+      val types = ev.select(col("event_type")).distinct()
+      val counts = ev.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).as("t"))
+      hours.crossJoin(types)
+        .join(counts, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("t"), lit(0).cast("decimal(12,2)"))
+            .cast("double").as("total"))
+    },
+
     // Point-in-time fact→dimension join — the OTHER half of the SCD2
     // story: purchases join the user-state version (built from the
     // view/error stream only, so the fact's own events never define
