@@ -343,43 +343,67 @@ object TimeTravel {
     val rest = sch.fieldNames.toSeq
       .filterNot(n => n == "event_id" || n == "_commit")
     def name(d: String) = d.substring(d.lastIndexOf('/') + 1)
-    def emptyOf(st: org.apache.spark.sql.types.StructType): DataFrame =
-      s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    val writes = windowWrites(s, sch, rest,
+      p.committedDirsAsOf("data", to)
+        .filter(d => p.dirOrd(name(d)) > from))
+    val dels = windowDels(s, sch,
+      p.committedDirsOrEmpty("tombstones").filter { d =>
+        val n = name(d)
+        n.matches("d\\d+") && {
+          val id = n.drop(1).toLong; id > from && id <= to
+        }
+      })
+    classifyNetChanges(sch, rest, writes, dels, resolvedAsOf(s, root, from))
+  }
 
-    val writes = p.committedDirsAsOf("data", to)
-      .filter(d => p.dirOrd(name(d)) > from) match {
-      case Nil =>
-        emptyOf(org.apache.spark.sql.types.StructType(
-          Seq(sch("event_id"), sch("_commit").copy(name = "_wc")) ++
-            rest.map(sch(_))))
-      case ds =>
-        s.read.schema(sch).parquet(ds: _*)
-          .groupBy(col("event_id"))
-          .agg(max(struct((col("_commit") +: rest.map(col)): _*)).as("v"))
-          .select(col("event_id") +: col("v._commit").as("_wc") +:
-            rest.map(n => col(s"v.$n").as(n)): _*)
-    }
+  private def emptyOf(s: SparkSession,
+      st: org.apache.spark.sql.types.StructType): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
 
-    val dels = p.committedDirsOrEmpty("tombstones").filter { d =>
-      val n = name(d)
-      n.matches("d\\d+") && {
-        val id = n.drop(1).toLong; id > from && id <= to
-      }
-    } match {
-      case Nil =>
-        emptyOf(org.apache.spark.sql.types.StructType(Seq(
-          sch("event_id"), sch("_commit").copy(name = "_dc"))))
-      case ds =>
-        ds.map { d =>
-          s.read.parquet(d)
-            .select(col("event_id"),
-              lit(name(d).drop(1).toLong).as("_dc"))
-        }.reduce(_.unionByName(_))
-          .groupBy(col("event_id")).agg(max(col("_dc")).as("_dc"))
-    }
+  /** The window's net writes: the given commit dirs unioned and
+    * resolved per key to the latest version (`_wc` = its commit).
+    */
+  private def windowWrites(s: SparkSession,
+      sch: org.apache.spark.sql.types.StructType, rest: Seq[String],
+      dirs: Seq[String]): DataFrame = dirs match {
+    case Nil =>
+      emptyOf(s, org.apache.spark.sql.types.StructType(
+        Seq(sch("event_id"), sch("_commit").copy(name = "_wc")) ++
+          rest.map(sch(_))))
+    case ds =>
+      s.read.schema(sch).parquet(ds: _*)
+        .groupBy(col("event_id"))
+        .agg(max(struct((col("_commit") +: rest.map(col)): _*)).as("v"))
+        .select(col("event_id") +: col("v._commit").as("_wc") +:
+          rest.map(n => col(s"v.$n").as(n)): _*)
+  }
 
-    val pre = resolvedAsOf(s, root, from)
+  /** The window's net deletes: tombstone dirs → per key the latest
+    * delete's ledger id (`_dc`).
+    */
+  private def windowDels(s: SparkSession,
+      sch: org.apache.spark.sql.types.StructType,
+      dirs: Seq[String]): DataFrame = dirs match {
+    case Nil =>
+      emptyOf(s, org.apache.spark.sql.types.StructType(Seq(
+        sch("event_id"), sch("_commit").copy(name = "_dc"))))
+    case ds =>
+      ds.map { d =>
+        s.read.parquet(d)
+          .select(col("event_id"),
+            lit(d.substring(d.lastIndexOf('/') + 1).drop(1).toLong)
+              .as("_dc"))
+      }.reduce(_.unionByName(_))
+        .groupBy(col("event_id")).agg(max(col("_dc")).as("_dc"))
+  }
+
+  /** The shared net-effect classification core of [[changesBetween]]
+    * and [[changesBetweenBranch]]: latest write vs latest delete per
+    * touched key, pre-image probe, Delta-CDF change rows.
+    */
+  private def classifyNetChanges(
+      sch: org.apache.spark.sql.types.StructType, rest: Seq[String],
+      writes: DataFrame, dels: DataFrame, pre: DataFrame): DataFrame = {
     val preCols = pre.columns.toSet
     val preSel = pre.select(col("event_id") +: col("_commit").as("_pc") +:
       rest.map(n => (if (preCols.contains(n)) col(n)
@@ -592,6 +616,61 @@ object TimeTravel {
     * winner re-added above the delete survives it).
     */
   def readEventsAsOfBranch(s: SparkSession, branchRoot: String,
+      asOf: Long): DataFrame =
+    resolvedAsOfBranch(s, branchRoot, asOf).drop("_commit")
+
+  /** [[changesBetween]] for a BRANCH: the net-effect feed between two
+    * branch-view horizons, fork-aware — a window reaching below the
+    * fork reads the BASE's commit dirs and tombstone batches in
+    * (from, min(fork, to)] next to the branch's own in (from, to]
+    * (branch ids sit above the fork by construction), and pre-images
+    * come from the branch-resolved start state. A replica consuming a
+    * branch pays the same delta-only cost as on a flat table; base
+    * honesty guards fire through the fork-horizon listing exactly as
+    * they do for branch reads.
+    */
+  def changesBetweenBranch(s: SparkSession, branchRoot: String,
+      from: Long, to: Long): DataFrame = {
+    require(from <= to,
+      s"change window ($from, $to] is empty-or-inverted: from must be <= to")
+    val (base, fork) = branchManifest(s, branchRoot)
+    val bp = protocol(base)
+    val p = protocol(branchRoot)
+    def name(dd: String) = dd.substring(dd.lastIndexOf('/') + 1)
+    val sch = physicalSchemaAsOf(s, base, math.min(fork, to))
+    val rest = sch.fieldNames.toSeq
+      .filterNot(n => n == "event_id" || n == "_commit")
+    val baseWin =
+      if (from >= fork) Nil
+      else bp.committedDirsAsOf("data", math.min(fork, to))
+        .filter(dd => bp.dirOrd(name(dd)) > from)
+    val brWin = p.committedDirsOrEmpty("data").filter { dd =>
+      val n = name(dd)
+      n.matches("b\\d+") && {
+        val id = n.drop(1).toLong; id > from && id <= to
+      }
+    }
+    def delsIn(proto: graft.index.FoldProtocol, hi: Long) =
+      proto.committedDirsOrEmpty("tombstones").filter { dd =>
+        val n = name(dd)
+        n.matches("d\\d+") && {
+          val id = n.drop(1).toLong; id > from && id <= hi
+        }
+      }
+    val delDirs =
+      (if (from >= fork) Nil else delsIn(bp, math.min(fork, to))) ++
+        delsIn(p, to)
+    classifyNetChanges(sch, rest,
+      windowWrites(s, sch, rest, baseWin ++ brWin),
+      windowDels(s, sch, delDirs),
+      resolvedAsOfBranch(s, branchRoot, from))
+  }
+
+  /** [[readEventsAsOfBranch]] keeping each key's winning `_commit` —
+    * the branch twin of [[resolvedAsOf]], shared by the branch read
+    * and the branch change feed.
+    */
+  private def resolvedAsOfBranch(s: SparkSession, branchRoot: String,
       asOf: Long): DataFrame = {
     val (base, fork) = branchManifest(s, branchRoot)
     val baseRows = protocol(base).readCommittedStrippedAsOf(
@@ -628,7 +707,7 @@ object TimeTravel {
           resolved("event_id") === t("_t_id") &&
             resolved("_commit") <= t("_dc"), "left_anti")
     }
-    out.drop("_commit")
+    out
   }
 
   /** Append one commit that may ADD columns to the table — the
@@ -1386,6 +1465,70 @@ object TimeTravel {
             sum(col("value").cast("decimal(12,2)"))
               .cast("double").as("total"))
           .select(lit(h.toLong).as("horizon"), col("event_type"),
+            col("n"), col("id_sum"), col("total"))
+      }.reduce(_.unionByName(_))
+    },
+
+    // The change feed on a BRANCH, fork-aware: window (0,2] crosses
+    // the fork (the base's b1 appends next to the branch's divergent
+    // b2 — and the MAIN line's own post-fork commits must NOT leak
+    // in), (1,3] is branch-only (its divergent upserts, doubled
+    // inserts and %7 deletes), and (2,3] is delete-only with
+    // pre-images carrying the BRANCH-updated state (+500 / doubled) —
+    // the replica-of-a-branch consumer pattern, oracled from the
+    // branch's own modular visibility/value definitions.
+    QuerySpec(
+      "q_table_branch_cdf", {
+        def vis(h: Int) = {
+          val w = h match {
+            case 0 => "event_id % 3 = 0"
+            case 1 => "event_id % 3 <= 1"
+            case _ => "TRUE"
+          }
+          if (h >= 3) s"($w AND NOT event_id % 7 = 0)" else s"($w)"
+        }
+        def v(h: Int) =
+          if (h >= 2)
+            """CASE WHEN event_id % 6 = 0 THEN value + 500
+              |       WHEN event_id % 3 = 2 THEN value * 2
+              |       ELSE value END""".stripMargin
+          else "value"
+        def wrote(f: Int, t: Int) = {
+          val cs = Seq(
+            if (f < 1 && t >= 1) Some("event_id % 3 = 1") else None,
+            if (f < 2 && t >= 2)
+              Some("(event_id % 3 = 2 OR event_id % 6 = 0)")
+            else None).flatten
+          if (cs.isEmpty) "FALSE" else cs.mkString("(", " OR ", ")")
+        }
+        def leg(f: Int, t: Int, ct: String, pred: String, vv: String) =
+          s"""SELECT '${f}_$t' AS win, '$ct' AS change_type, event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM (SELECT event_id, event_type, $vv AS v FROM events
+             |      WHERE $pred)
+             |GROUP BY event_type""".stripMargin
+        Seq((0, 2), (1, 3), (2, 3)).map { case (f, t) =>
+          Seq(
+            leg(f, t, "insert", s"${vis(t)} AND NOT ${vis(f)}", v(t)),
+            leg(f, t, "update_preimage",
+              s"${vis(t)} AND ${vis(f)} AND ${wrote(f, t)}", v(f)),
+            leg(f, t, "update_postimage",
+              s"${vis(t)} AND ${vis(f)} AND ${wrote(f, t)}", v(t)),
+            leg(f, t, "delete", s"${vis(f)} AND NOT ${vis(t)}", v(f)))
+            .mkString("\nUNION ALL\n")
+        }.mkString("\nUNION ALL\n")
+      }) { (s, d) =>
+      val (_, exp) = ensureBranchedEvents(s, d)
+      Seq((0, 2), (1, 3), (2, 3)).map { case (f, t) =>
+        changesBetweenBranch(s, exp, f.toLong, t.toLong)
+          .groupBy(col("_change_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+            sum(col("value").cast("decimal(12,2)"))
+              .cast("double").as("total"))
+          .select(lit(s"${f}_$t").as("win"),
+            col("_change_type").as("change_type"), col("event_type"),
             col("n"), col("id_sum"), col("total"))
       }.reduce(_.unionByName(_))
     }

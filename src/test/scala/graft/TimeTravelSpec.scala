@@ -609,6 +609,13 @@ class TimeTravelSpec extends SparkSpec {
       TimeTravel.mirrorCommits(spark, src, dst2)
     }
     assert(e.getMessage.contains("vacuum"))
+    // ...but the ALREADY-SYNCED replica is an archive: it keeps
+    // serving the horizons the source just reclaimed
+    intercept[IllegalArgumentException] {
+      TimeTravel.readEventsAsOf(spark, src, 0L)
+    }
+    assert(state(dst, 0L) == Map(1L -> 10.0))
+    assert(state(dst, 1L) == Map(1L -> 10.0, 2L -> 20.0))
     // diverged-base merge refusal: fork, advance BOTH, try to merge
     val base2 = s"$parent/base2"
     val br2 = s"$parent/br2"
