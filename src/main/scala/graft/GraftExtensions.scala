@@ -116,6 +116,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.HllAgg(args(0),
           intLiteral(args(1), "hll_registers", "p")).toAggregateExpression()
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_num"),
+      new ExpressionInfo(
+        classOf[graft.functions.Md5Num].getName, "md5_num"),
+      (args: Seq[Expression]) => {
+        if (args.length != 1) throw new IllegalArgumentException(
+          "md5_num expects (str)")
+        graft.functions.Md5Num(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_prefix"),
+      new ExpressionInfo(
+        classOf[graft.functions.Md5Prefix].getName, "md5_prefix"),
+      (args: Seq[Expression]) => {
+        if (args.length != 2) throw new IllegalArgumentException(
+          "md5_prefix expects (str, nHex)")
+        graft.functions.Md5Prefix(args(0),
+          intLiteral(args(1), "md5_prefix", "nHex"))
+      }))
   }
 
   /** Foldable-integer argument extraction shared by the sketch

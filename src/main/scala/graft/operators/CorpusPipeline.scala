@@ -270,8 +270,8 @@ object CorpusPipeline {
     * value (the md5-hex → BIGINT convention from Relational.scala).
     */
   private def embComp(fp: Column, j: Int): Column =
-    (conv(substring(md5(concat(fp, lit(s":$j"))), 1, 15), 16, 10)
-      .cast("long") % 1000003L).cast("double") / 1000003.0 - 0.5
+    (graft.functions.Md5Long.md5_prefix(concat(fp, lit(s":$j")), 15)
+      % 1000003L).cast("double") / 1000003.0 - 0.5
 
   private def embCompSql(key: String, j: Int): String =
     s"(('0x' || substr(md5($key || ':$j'), 1, 15))::BIGINT % 1000003)" +

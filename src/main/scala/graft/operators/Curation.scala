@@ -180,7 +180,7 @@ object Curation {
       .select(col("doc_id"), col("source"),
         explode(Dedup.kgrams(col("text"), 2)).as("gm"))
       .select(col("doc_id"), col("source"),
-        (conv(substring(md5(col("gm")), 1, 15), 16, 10).cast("long")
+        (graft.functions.Md5Long.md5_prefix(col("gm"), 15)
           % 1024).as("bkt"))
 
   /** Fit the DSIR model: per-bucket 1e-6-scaled integer log-likelihood
@@ -220,8 +220,9 @@ object Curation {
     val lw = dcnt.join(broadcast(model), Seq("bkt"))
       .groupBy(col("doc_id"))
       .agg(sum(col("k") * col("dlt")).as("logw_i"))
-    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 11),
-      16, 10).cast("long") + 1).cast("double") / lit(17592186044417.0)
+    val u = (graft.functions.Md5Long.md5_prefix(
+      col("doc_id").cast("string"), 11) + 1)
+      .cast("double") / lit(17592186044417.0)
     docs.select(col("doc_id"), col("source"))
       .join(lw, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
@@ -357,15 +358,23 @@ object Curation {
       ed: org.apache.spark.sql.DataFrame,
       iters: Int): org.apache.spark.sql.DataFrame = {
     var r = init
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ed.join(r, ed("src") === r("id"))
         .select(col("dst").as("id"), expr("r DIV d").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("c"))
+      // LAZY checkpoints for the inner rounds: each round's frame has
+      // exactly one consumer (the next round), so eager's one blocking
+      // driver job PER ROUND bought nothing — a fixed-iteration
+      // recurrence has no convergence probe to feed. Only the FINAL
+      // round checkpoints eagerly: that one job pulls the whole chain
+      // (every lazy intermediate persists its blocks as it streams
+      // through), and callers can then safely unpersist the ed/based
+      // caches the rounds consumed. 10 serialized jobs → 1.
       r = based.select(col("id"), col("b"))
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (col("b") + expr("(85 * coalesce(c, 0L)) DIV 100")).as("r"))
-        .localCheckpoint()
+        .localCheckpoint(eager = i == iters)
     }
     r
   }
@@ -1363,8 +1372,8 @@ object Curation {
         |  round(k, 6) AS sample_key
         |FROM r WHERE rn <= 50""".stripMargin) { (s, d) =>
       val wgt = greatest(size(split(col("text"), " ")), lit(1))
-      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-        16, 10).cast("long") + 1).cast("double") /
+      val u = (graft.functions.Md5Long.md5_prefix(
+        col("doc_id").cast("string"), 15) + 1).cast("double") /
         lit(1152921504606846976.0)
       // Ranking runs on the 6-dp-ROUNDED key (doc_id tie-break), not the
       // raw ln(u)/w double: ln is not correctly rounded in either
@@ -1572,9 +1581,9 @@ object Curation {
           sqrt(col("n_min").cast("double") / col("n")).as("rate"))
       docs.join(rates, Seq("lang"))
         .filter(
-          conv(substring(md5(concat(lit("temp:"),
-            col("doc_id").cast("string"))), 1, 6), 16, 10)
-            .cast("long").cast("double") / 16777216.0 < col("rate"))
+          graft.functions.Md5Long.md5_prefix(concat(lit("temp:"),
+            col("doc_id").cast("string")), 6)
+            .cast("double") / 16777216.0 < col("rate"))
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
@@ -1810,9 +1819,8 @@ object Curation {
         |GROUP BY shard_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .withColumn("shard_id",
-          conv(substring(md5(concat(lit("shard:"),
-            col("doc_id").cast("string"))), 1, 6), 16, 10)
-            .cast("long") % 32)
+          graft.functions.Md5Long.md5_prefix(concat(lit("shard:"),
+            col("doc_id").cast("string")), 6) % 32)
         .groupBy(col("shard_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),

@@ -112,13 +112,12 @@ object Profiling {
   /** First 8 md5-digest bytes of `c` composed little-endian — equals
     * DuckDB's `md5_number_upper(c)` reinterpreted as a signed 64-bit
     * value (same contract as `SimHashAgg.tokenHash`, here as a pure
-    * Column expression so it aggregates under `bit_xor`).
+    * codegen'd expression — `Md5Long.md5_num` — so it aggregates under
+    * `bit_xor`). Was a conv(substring(md5(...)))-chain Column; the
+    * native kernel computes the identical value without the hex-string
+    * round trips (bit-parity pinned in Md5LongSpec).
     */
-  private def md5Num(c: Column): Column =
-    (0 until 8).map(i =>
-      shiftleft(conv(substring(md5(c), 2 * i + 1, 2), 16, 10).cast("long"),
-        8 * i))
-      .reduce((a, b) => a.bitwiseOR(b))
+  private def md5Num(c: Column): Column = graft.functions.Md5Long.md5_num(c)
 
   val specs: Seq[QuerySpec] = Seq(
 

@@ -1784,7 +1784,12 @@ object Similarity {
         .select(col("cent_id"),
           transform(col("pairs"), p => p("cx").cast("double") / lit(1e9))
             .as("cv"))
-        .localCheckpoint()
+        // lazy, not eager: each round's frame has exactly ONE consumer
+        // (the next round's assign), so there is no multi-reader race
+        // to pre-empt — eager would cost one blocking driver job per
+        // round; lazy lets the terminal action pull the whole fixed
+        // Lloyd chain through one job cascade (pagerankRounds note).
+        .localCheckpoint(eager = false)
     }
     cents
   }

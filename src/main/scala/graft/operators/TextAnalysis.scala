@@ -325,7 +325,14 @@ object TextAnalysis {
     val n = length(t).cast("double")
     def p(ch: Column): Column =
       (length(t) - length(replace(t, ch, lit("")))).cast("double") / n
-    val terms = transform(distinctChars(t), ch => p(ch) * log2(p(ch)))
+    // p evaluated ONCE per char: higher-order-function lambdas are
+    // interpreted (no codegen subexpression elimination inside them),
+    // so `p(ch) * log2(p(ch))` literally ran the O(|t|) replace-scan
+    // twice per distinct char. Mapping to the p array first halves the
+    // string scans; same doubles, same product, same fold order —
+    // bit-identical output (guide §1.2 step 2: per-task work).
+    val ps = transform(distinctChars(t), ch => p(ch))
+    val terms = transform(ps, x => x * log2(x))
     round(-aggregate(terms, lit(0.0), (acc, x) => acc + x), 4)
   }
 

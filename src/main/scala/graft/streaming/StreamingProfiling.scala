@@ -29,10 +29,7 @@ object StreamingProfiling {
     * fingerprint contract as `q_checksum` / `q_hll_distinct`.
     */
   def md5Hash64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until 8).map(i =>
-      shiftleft(conv(substring(md5(c), 2 * i + 1, 2), 16, 10).cast("long"),
-        8 * i))
-      .reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.Md5Long.md5_num(c)
 
   /** Registers of one key frame (column `k`, string): ≤ 2^p rows of
     * (register, max_rho).
