@@ -569,7 +569,8 @@ object Bpe {
       bpeAsofHorizons.map { case (h, w) => bpeAsofSql(h, w) }
         .mkString("\nUNION ALL\n")) { (s, d) =>
       val root = ensureLedgeredBpeModel(s, d)
-      bpeAsofHorizons.map { case (h, _) => bpeAsofFrame(s, root, d, h) }
+      Par.buildAll(bpeAsofHorizons) { case (h, _) =>
+          bpeAsofFrame(s, root, d, h) }
         .reduce(_.unionByName(_))
     },
 
@@ -582,8 +583,8 @@ object Bpe {
       bpeAsofHorizons.drop(1).map { case (h, w) => bpeAsofSql(h, w) }
         .mkString("\nUNION ALL\n")) { (s, d) =>
       val root = ensureVacuumedBpeModel(s, d)
-      bpeAsofHorizons.drop(1)
-        .map { case (h, _) => bpeAsofFrame(s, root, d, h) }
+      Par.buildAll(bpeAsofHorizons.drop(1)) { case (h, _) =>
+          bpeAsofFrame(s, root, d, h) }
         .reduce(_.unionByName(_))
     }
   )

@@ -1548,7 +1548,7 @@ object Dedup {
       asofDedupOracleSql(asofDedupHorizons)) { (s, d) =>
       val root = ensureAsOfDedupIndex(s, d)
       val incoming = Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
-      asofDedupHorizons.map { case (h, _) =>
+      Par.buildAll(asofDedupHorizons) { case (h, _) =>
         incrementalKeepNewIndexedAsOf(root, incoming, h.toLong)
           .select(lit(h.toLong).as("horizon"), col("doc_id"),
             col("lang"), col("source"))
@@ -1566,7 +1566,7 @@ object Dedup {
       asofDedupOracleSql(asofDedupHorizons.drop(1))) { (s, d) =>
       val root = ensureVacuumedDedupIndex(s, d)
       val incoming = Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
-      asofDedupHorizons.drop(1).map { case (h, _) =>
+      Par.buildAll(asofDedupHorizons.drop(1)) { case (h, _) =>
         incrementalKeepNewIndexedAsOf(root, incoming, h.toLong)
           .select(lit(h.toLong).as("horizon"), col("doc_id"),
             col("lang"), col("source"))

@@ -1194,7 +1194,7 @@ object Multimodal {
         plantedImages(s, d).filter(col("asset_id") % 8 === 1),
         DispatchMediaKernel).toDF()
         .select(col("asset_id").as("query_id"), col("phash"))
-      Seq(1L, 2L).map { h =>
+      Par.buildAll(Seq(1L, 2L)) { h =>
         phashSearch(s, idx, probes, asOf = Some(h))
           .select(lit(h).as("horizon"), col("query_id"),
             col("asset_id"), col("hamming"))
@@ -1240,7 +1240,7 @@ object Multimodal {
         plantedImages(s, d).filter(col("asset_id") % 8 === 1),
         DispatchMediaKernel).toDF()
         .select(col("asset_id").as("query_id"), col("phash"))
-      Seq(0L, 1L, 2L).map { h =>
+      Par.buildAll(Seq(0L, 1L, 2L)) { h =>
         phashSearch(s, idx, probes, asOf = Some(h))
           .select(lit(h).as("horizon"), col("query_id"),
             col("asset_id"), col("hamming"))

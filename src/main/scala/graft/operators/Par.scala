@@ -23,6 +23,31 @@ import org.apache.spark.sql.DataFrame
   * scans").
   */
 object Par {
+  /** Build `f(item)` for every item on a small thread pool, preserving
+    * order. For multi-horizon / multi-window serves whose CONSTRUCTION
+    * runs small driver-side jobs (probe-cell collects, ledger listings,
+    * shortlist micro-batches): built sequentially those jobs serialize
+    * even though the horizons are independent — guide §2.6, actions are
+    * only sequential because the driver calls them sequentially. The
+    * returned frames are then combined (union) and executed as one
+    * query exactly as before; only the construction overlaps. Failures
+    * propagate like the sequential form (first exception rethrown).
+    */
+  def buildAll[A, B](items: Seq[A], parallelism: Int = 4)(f: A => B): Seq[B] = {
+    if (items.size <= 1) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, items.size))
+    try {
+      val futures = items.map(a => pool.submit(
+        new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+      futures.map { fut =>
+        try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   // The narrow/wide verdict is pure function of (file set, parallelism,
   // split conf): memoize it so repeated query builds over the same
   // table (bench passes, multi-query jobs) don't re-pay the physical

@@ -638,10 +638,9 @@ object Retrieval {
     */
   private def queryPostings(s: SparkSession, indexPath: String,
       terms: Seq[String], asOf: Option[Long] = None): DataFrame = {
-    import s.implicits._
-    val buckets = terms.toDF("word")
-      .select(pmod(xxhash64(col("word")), lit(Buckets)).as("bucket"))
-      .distinct().collect().map(_.getLong(0)).sorted
+    // constant term set → buckets computed driver-side (LocalHash),
+    // not via a toDF/distinct/collect job per serve
+    val buckets = graft.functions.LocalHash.bucketsOf(terms, Buckets)
     asOf.fold(indexPostings(s, indexPath))(
         indexPostingsAsOf(s, indexPath, _))
       .filter(col("bucket").isin(buckets: _*))
@@ -1001,9 +1000,7 @@ object Retrieval {
     require(ws.length >= 2, "phrase search needs at least two words")
     val pairs = ws.sliding(2).map(_.mkString(" ")).toVector
     val offsets = pairs.zipWithIndex
-    val buckets = pairs.distinct.toDF("bg")
-      .select(pmod(xxhash64(col("bg")), lit(Buckets)).as("bucket"))
-      .distinct().collect().map(_.getLong(0)).sorted
+    val buckets = graft.functions.LocalHash.bucketsOf(pairs.distinct, Buckets)
     val posts = phrasePostings(s, indexPath, asOf)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("bg").isInCollection(pairs.distinct))
@@ -1597,13 +1594,10 @@ object Retrieval {
     require(window >= wordsQ.length,
       "window must be at least the word count")
     val posts = nearPostings(s, indexPath, asOf)
-    // one |words|-row local relation computes EVERY leg's bucket with
-    // the build's own hash (the queryPostings idiom) — one tiny job,
-    // not one per leg
-    val buckets = wordsQ.toDF("word")
-      .select(col("word"),
-        pmod(xxhash64(col("word")), lit(Buckets)).as("bucket"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every leg's bucket from the build's own hash, computed
+    // driver-side (LocalHash) — constant word set, zero jobs
+    val buckets = wordsQ
+      .map(w => w -> graft.functions.LocalHash.xxBucket(w, Buckets)).toMap
     val legs = wordsQ.zipWithIndex.map { case (w, i) =>
       posts.filter(col("bucket") === lit(buckets(w)))
         .filter(col("word") === lit(w))
@@ -1665,9 +1659,7 @@ object Retrieval {
     import s.implicits._
     require(needle.length >= 3, "substring search needs >= 3 chars")
     val grams = needle.sliding(3).toVector.distinct
-    val buckets = grams.toDF("tg")
-      .select(pmod(xxhash64(col("tg")), lit(Buckets)).as("bucket"))
-      .distinct().collect().map(_.getLong(0)).sorted
+    val buckets = graft.functions.LocalHash.bucketsOf(grams, Buckets)
     substringPostings(s, indexPath, asOf)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("tg").isInCollection(grams))
@@ -1884,9 +1876,7 @@ object Retrieval {
     val lgDf = lg.toDF("lit_id", "tg")
     val ln = lg.groupBy(_._1).map { case (id, g) => (id, g.length.toLong) }
       .toSeq.toDF("lit_id", "nq")
-    val buckets = grams.toDF("tg")
-      .select(pmod(xxhash64(col("tg")), lit(Buckets)).as("bucket"))
-      .distinct().collect().map(_.getLong(0)).sorted
+    val buckets = graft.functions.LocalHash.bucketsOf(grams, Buckets)
     substringPostings(s, indexPath)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("tg").isInCollection(grams))
@@ -1960,9 +1950,7 @@ object Retrieval {
     val grams = term.sliding(3).toVector.distinct
     require(minShared >= 1 && minShared <= grams.length,
       s"minShared must be in [1, ${grams.length}]")
-    val buckets = grams.toDF("tg")
-      .select(pmod(xxhash64(col("tg")), lit(Buckets)).as("bucket"))
-      .distinct().collect().map(_.getLong(0)).sorted
+    val buckets = graft.functions.LocalHash.bucketsOf(grams, Buckets)
     substringPostings(s, indexPath)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("tg").isInCollection(grams))
@@ -2574,7 +2562,7 @@ object Retrieval {
          |FROM (${boolOracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
       (s, d) =>
       val idx = ensureAsOfBm25Index(s, d)
-      Seq(0L, 1L, 2L).map { h =>
+      Par.buildAll(Seq(0L, 1L, 2L)) { h =>
         booleanSearch(s, idx, asOf = Some(h))
           .select(lit(h).as("horizon"), col("query_id"), col("doc_id"),
             col("n_should"), col("rank"))
@@ -2790,7 +2778,7 @@ object Retrieval {
          |FROM (${bm25OracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
       (s, d) =>
       val idx = ensureAsOfBm25Index(s, d)
-      Seq(0L, 1L, 2L).map { h =>
+      Par.buildAll(Seq(0L, 1L, 2L)) { h =>
         bm25TopK(s, idx, asOf = Some(h))
           .select(lit(h).as("horizon"), col("doc_id"), col("score"))
       }.reduce(_.union(_))
@@ -2811,7 +2799,7 @@ object Retrieval {
          |FROM (${bm25OracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
       (s, d) =>
       val idx = ensureVacuumedBm25Index(s, d)
-      Seq(1L, 2L).map { h =>
+      Par.buildAll(Seq(1L, 2L)) { h =>
         bm25TopK(s, idx, asOf = Some(h))
           .select(lit(h).as("horizon"), col("doc_id"), col("score"))
       }.reduce(_.union(_))
@@ -2837,7 +2825,7 @@ object Retrieval {
          |FROM (${bm25OracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
       (s, d) =>
       val idx = ensureMergedAsOfBm25Index(s, d)
-      Seq(0L, 1L, 2L).map { h =>
+      Par.buildAll(Seq(0L, 1L, 2L)) { h =>
         bm25TopK(s, idx, asOf = Some(h))
           .select(lit(h).as("horizon"), col("doc_id"), col("score"))
       }.reduce(_.union(_))
@@ -2860,7 +2848,7 @@ object Retrieval {
          |FROM (${phraseOracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
       (s, d) =>
       val idx = ensureAsOfPhraseIndex(s, d)
-      Seq(0L, 1L, 2L).map { h =>
+      Par.buildAll(Seq(0L, 1L, 2L)) { h =>
         phraseTopK(s, idx, ProbePhrase, asOf = Some(h))
           .select(lit(h).as("horizon"), col("doc_id"),
             col("n_hits"), col("first_pos"))
@@ -2887,7 +2875,7 @@ object Retrieval {
             .select(col("doc_id")), st, 2L)
         },
         vacuumPhraseIndex(s, _, 1L))
-      Seq(1L, 2L).map { h =>
+      Par.buildAll(Seq(1L, 2L)) { h =>
         phraseTopK(s, idx, ProbePhrase, asOf = Some(h))
           .select(lit(h).as("horizon"), col("doc_id"),
             col("n_hits"), col("first_pos"))
@@ -2913,7 +2901,7 @@ object Retrieval {
             .select(col("doc_id")), st, 2L)
         },
         vacuumNearIndex(s, _, 1L))
-      Seq(1L, 2L).map { h =>
+      Par.buildAll(Seq(1L, 2L)) { h =>
         nearSearch(s, idx, NearWords, NearWindow, asOf = Some(h))
           .select(lit(h).as("horizon"), col("doc_id"),
             col("best_span"), col("n_windows"))
@@ -2936,7 +2924,7 @@ object Retrieval {
       (s, d) =>
       val idx = ensureAsOfSubstringIndex(s, d)
       val docs = Tables.documents(s, d)
-      Seq(0L, 1L, 2L).map { h =>
+      Par.buildAll(Seq(0L, 1L, 2L)) { h =>
         substringSearch(s, idx, docs, ProbeNeedle, asOf = Some(h))
           .select(lit(h).as("horizon"), col("doc_id"), col("n_occ"))
       }.reduce(_.union(_))
@@ -2955,7 +2943,7 @@ object Retrieval {
       (s, d) =>
       val idx = ensureVacuumedSubstringIndex(s, d)
       val docs = Tables.documents(s, d)
-      Seq(1L, 2L).map { h =>
+      Par.buildAll(Seq(1L, 2L)) { h =>
         substringSearch(s, idx, docs, ProbeNeedle, asOf = Some(h))
           .select(lit(h).as("horizon"), col("doc_id"), col("n_occ"))
       }.reduce(_.union(_))
@@ -2976,7 +2964,7 @@ object Retrieval {
          |FROM (${nearOracleSqlOver("doc_id % 7 <> 3")})""".stripMargin) {
       (s, d) =>
       val idx = ensureAsOfNearIndex(s, d)
-      Seq(0L, 1L, 2L).map { h =>
+      Par.buildAll(Seq(0L, 1L, 2L)) { h =>
         nearSearch(s, idx, NearWords, NearWindow, asOf = Some(h))
           .select(lit(h).as("horizon"), col("doc_id"),
             col("best_span"), col("n_windows"))
@@ -3004,8 +2992,12 @@ object Retrieval {
       val annIdx = Similarity.ensureAsOfIvfIndex(s, d)
       val qd = s.read.parquet(ensureDenseQuery(s, d))
       val docs = Tables.documents(s, d)
-      Seq(0L, 1L, 2L)
-        .map(h => asOfMatrixServe(s, bmIdx, subIdx, annIdx, qd, docs, h))
+      // independent horizons built concurrently: each serve's
+      // construction runs small driver jobs (probe-cell collect, cents
+      // count, ledger listings) that would otherwise serialize ×3
+      // (guide §2.6); the fused union still executes as one query
+      Par.buildAll(Seq(0L, 1L, 2L))(
+          h => asOfMatrixServe(s, bmIdx, subIdx, annIdx, qd, docs, h))
         .reduce(_.unionByName(_))
     },
 
@@ -3022,8 +3014,8 @@ object Retrieval {
       val pqIdx = Similarity.ensureEvolvedIvfPqIndex(s, d)
       val qd = s.read.parquet(ensureDenseQuery(s, d))
       val docs = Tables.documents(s, d)
-      Seq(0L, 1L, 2L)
-        .map(h =>
+      // concurrent horizon construction — the q_asof_matrix note
+      Par.buildAll(Seq(0L, 1L, 2L))(h =>
           asOfMatrixServePq(s, bmIdx, subIdx, pqIdx, qd, docs, d, h))
         .reduce(_.unionByName(_))
     },

@@ -3462,7 +3462,7 @@ object Similarity {
       val idx = ensureAsOfIvfIndex(s, d)
       val q = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      Seq(0L, 1L, 2L).map { h =>
+      Par.buildAll(Seq(0L, 1L, 2L)) { h =>
         indexTopK(s, idx, q, asOf = Some(h))
           .select(lit(h).as("horizon"), col("query_id"),
             col("neighbor_id"), col("rank"))
@@ -3488,7 +3488,7 @@ object Similarity {
       val idx = ensureVacuumedIvfIndex(s, d)
       val q = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      Seq(1L, 2L).map { h =>
+      Par.buildAll(Seq(1L, 2L)) { h =>
         indexTopK(s, idx, q, asOf = Some(h))
           .select(lit(h).as("horizon"), col("query_id"),
             col("neighbor_id"), col("rank"))
@@ -3711,7 +3711,7 @@ object Similarity {
       val q = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val full = corpus(s, d).select(col("vec_id"), col("v"))
-      Seq(0L, 1L, 2L).map { h =>
+      Par.buildAll(Seq(0L, 1L, 2L)) { h =>
         ivfPqTopK(s, idx, q, full, asOf = Some(h))
           .select(lit(h).as("horizon"), col("query_id"),
             col("neighbor_id"), col("rank"))
@@ -3731,7 +3731,7 @@ object Similarity {
       val q = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val full = corpus(s, d).select(col("vec_id"), col("v"))
-      Seq(1L, 2L).map { h =>
+      Par.buildAll(Seq(1L, 2L)) { h =>
         ivfPqTopK(s, idx, q, full, asOf = Some(h))
           .select(lit(h).as("horizon"), col("query_id"),
             col("neighbor_id"), col("rank"))
@@ -4275,7 +4275,7 @@ object Similarity {
       val q = e.filter(col("vec_id") < NQueries).limit(NQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       val full = e.select(col("vec_id"), col("v"))
-      Seq(0L, 1L, 2L).map { h =>
+      Par.buildAll(Seq(0L, 1L, 2L)) { h =>
         ivfBinaryTopK(s, idx, q, full, asOf = Some(h))
           .select(lit(h).as("horizon"), col("query_id"),
             col("neighbor_id"), col("rank"))
@@ -4307,7 +4307,7 @@ object Similarity {
       val q = e.filter(col("vec_id") < NQueries).limit(NQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       val full = e.select(col("vec_id"), col("v"))
-      Seq(1L, 2L).map { h =>
+      Par.buildAll(Seq(1L, 2L)) { h =>
         ivfBinaryTopK(s, idx, q, full, asOf = Some(h))
           .select(lit(h).as("horizon"), col("query_id"),
             col("neighbor_id"), col("rank"))

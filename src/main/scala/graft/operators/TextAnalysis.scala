@@ -704,7 +704,7 @@ object TextAnalysis {
       root: String, d: String,
       horizons: Seq[(Int, String)]): DataFrame = {
     val test = Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
-    horizons.map { case (h, _) =>
+    Par.buildAll(horizons) { case (h, _) =>
       val (m, l) = readNbModelAsOf(s, root, h.toLong)
       nbClassify(test, m, l)
         .select(lit(h.toLong).as("horizon"), col("doc_id"),

@@ -1119,7 +1119,7 @@ object TimeTravel {
         (0 to 3).map(h => s"SELECT * FROM m$h")
           .mkString("\nUNION ALL ")) { (s, d) =>
       val root = ensureLedgeredEvents(s, d)
-      (0 to 3).map { h =>
+      Par.buildAll((0 to 3).toSeq) { h =>
         val base = readEventsAsOf(s, root, h)
           .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
           .withColumn("hh", date_format(col("ts"), "HH"))
@@ -1188,7 +1188,7 @@ object TimeTravel {
            |GROUP BY event_type""".stripMargin
       }.mkString("\nUNION ALL\n")) { (s, d) =>
       val root = ensureRenamedEvents(s, d)
-      (0 to 3).map { h =>
+      Par.buildAll((0 to 3).toSeq) { h =>
         val t = readEventsAsOf(s, root, h.toLong)
         val mc = if (t.columns.contains("reading")) "reading" else "value"
         t.groupBy(col("event_type"))
@@ -1227,7 +1227,7 @@ object TimeTravel {
            |FROM events WHERE event_id % 3 <= ${math.min(h, 2)}""".stripMargin
       }.mkString("\nUNION ALL\n")) { (s, d) =>
       val root = ensureEvolvedEvents(s, d)
-      (0 to 2).map { h =>
+      Par.buildAll((0 to 2).toSeq) { h =>
         val t = readEventsAsOf(s, root, h.toLong)
         val scored =
           if (t.columns.contains("score"))
@@ -1308,7 +1308,7 @@ object TimeTravel {
       CdfWindows.map { case (f, t) => cdfWindowSql(f, t) }
         .mkString("\nUNION ALL\n")) { (s, d) =>
       val root = ensureLedgeredEvents(s, d)
-      CdfWindows.map { case (f, t) =>
+      Par.buildAll(CdfWindows) { case (f, t) =>
         changesBetween(s, root, f.toLong, t.toLong)
           .groupBy(col("_change_type"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -1458,7 +1458,7 @@ object TimeTravel {
         }.mkString("\nUNION ALL\n")
       }) { (s, d) =>
       val main = ensureMergedBranchEvents(s, d)
-      (1 to 3).map { h =>
+      Par.buildAll((1 to 3).toSeq) { h =>
         readEventsAsOf(s, main, h.toLong)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),

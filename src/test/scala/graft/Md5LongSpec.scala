@@ -46,6 +46,21 @@ class Md5LongSpec extends SparkSpec {
     }
   }
 
+  test("LocalHash.xxBucket == pmod(xxhash64(k), m) — the serve-side " +
+    "bucket prune's driver evaluation matches the index build's hash") {
+    Seq(32L, 1024L).foreach { m =>
+      val df = inputs.toDF("s")
+        .select(col("s"), pmod(xxhash64(col("s")), lit(m)).as("b"))
+      df.collect().foreach { r =>
+        assert(graft.functions.LocalHash.xxBucket(r.getString(0), m)
+          == r.getLong(1), s"key=${r.getString(0)} m=$m")
+      }
+    }
+    assert(graft.functions.LocalHash.bucketsOf(inputs, 32L)
+      == inputs.map(graft.functions.LocalHash.xxBucket(_, 32L))
+        .distinct.sorted)
+  }
+
   test("null propagates; non-string input casts like the legacy form") {
     val df = Seq(Some(7L), None).toDF("v")
       .select(Md5Long.md5_num(col("v").cast("string")).as("fast"),
