@@ -3418,10 +3418,15 @@ object Similarity {
         corpus(s, d).select(col("vec_id"), col("v"))
           .union(shiftedWave(s, d)), q)
         .select(col("query_id"), col("neighbor_id"))
-      val f = indexTopK(s, frozen, q)
+      // frozen and refreshed serves are independent — build them
+      // concurrently so their construction-time probe collects overlap
+      // (Par.buildAll, guide §2.6)
+      val Seq(fTop, rTop) = Par.buildAll(Seq(frozen, refreshed))(
+        idx => indexTopK(s, idx, q))
+      val f = fTop
         .select(col("query_id"), col("neighbor_id"))
         .withColumn("fhit", lit(1L))
-      val r = indexTopK(s, refreshed, q)
+      val r = rTop
         .select(col("query_id"), col("neighbor_id"))
         .withColumn("rhit", lit(1L))
       exact.join(f, Seq("query_id", "neighbor_id"), "left")
@@ -3641,10 +3646,15 @@ object Similarity {
         .union(shiftedWave(s, d))
       val exact = exactTopKFor(u, q)
         .select(col("query_id"), col("neighbor_id"))
-      val f = ivfPqTopK(s, frozen, q, u)
+      // concurrent frozen/refreshed construction — each PQ serve runs
+      // a REAL shortlist collect at build time, so overlapping the two
+      // halves the serialized portion (the float gate's note)
+      val Seq(fTop, rTop) = Par.buildAll(Seq(frozen, refreshed))(
+        idx => ivfPqTopK(s, idx, q, u))
+      val f = fTop
         .select(col("query_id"), col("neighbor_id"))
         .withColumn("fhit", lit(1L))
-      val r = ivfPqTopK(s, refreshed, q, u)
+      val r = rTop
         .select(col("query_id"), col("neighbor_id"))
         .withColumn("rhit", lit(1L))
       exact.join(f, Seq("query_id", "neighbor_id"), "left")
@@ -4247,10 +4257,13 @@ object Similarity {
         .union(shiftedWave(s, d))
       val exact = exactTopKFor(full, q)
         .select(col("query_id"), col("neighbor_id"))
-      val f = ivfBinaryTopK(s, frozen, q, full)
+      // concurrent frozen/refreshed construction — the float gate's note
+      val Seq(fTop, rTop) = Par.buildAll(Seq(frozen, refreshed))(
+        idx => ivfBinaryTopK(s, idx, q, full))
+      val f = fTop
         .select(col("query_id"), col("neighbor_id"))
         .withColumn("fhit", lit(1L))
-      val r = ivfBinaryTopK(s, refreshed, q, full)
+      val r = rTop
         .select(col("query_id"), col("neighbor_id"))
         .withColumn("rhit", lit(1L))
       exact.join(f, Seq("query_id", "neighbor_id"), "left")
