@@ -77,28 +77,32 @@ object Profiling {
         repr(max(col(name))).as(s"${name}__max"))
     }
     val one = df.agg(count(lit(1)).as("__total"), aggs: _*)
-    // HllAgg.estimate as a Column fold: z sums 2^-rho over ALL m
-    // registers (empty registers contribute 2^0 = 1 each), then the
-    // bias-corrected harmonic estimate with the small-range correction.
-    def est(rs: Column): Column = {
-      val zeros = (lit(m) - size(rs)).cast("double")
-      val z = zeros + aggregate(rs, lit(0.0),
-        (acc, r) => acc + pow(lit(2.0), -r("max_rho").cast("double")))
-      val alpha = lit(0.7213 / (1 + 1.079 / m))
-      val e = alpha * m * m / z
-      when(e <= 2.5 * m && zeros > 0,
-        lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(e)
-    }
     val rows = cols.map { case (name, _) =>
       struct(
         lit(name).as("col_name"),
         col("__total").as("n_rows"),
         (col("__total") - col(s"${name}__n")).as("n_null"),
-        est(col(s"${name}__rs")).as("nd_est"),
+        hllEst(col(s"${name}__rs"), m).as("nd_est"),
         col(s"${name}__min").as("min_repr"),
         col(s"${name}__max").as("max_repr"))
     }
     one.select(explode(array(rows: _*)).as("m")).select(col("m.*"))
+  }
+
+  /** The HLL estimate as an in-row fold over the occupied-register
+    * array: z sums 2^-rho over ALL m registers (empty registers
+    * contribute 2^0 = 1 each), then the bias-corrected harmonic
+    * estimate with the linear-counting small-range correction. Shared
+    * by [[profileApprox]] and [[profileCertified]].
+    */
+  private def hllEst(rs: Column, m: Int): Column = {
+    val zeros = (lit(m) - size(rs)).cast("double")
+    val z = zeros + aggregate(rs, lit(0.0),
+      (acc, r) => acc + pow(lit(2.0), -r("max_rho").cast("double")))
+    val alpha = lit(0.7213 / (1 + 1.079 / m))
+    val e = alpha * m * m / z
+    when(e <= 2.5 * m && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(e)
   }
 
   private def asString(c: Column): Column = c.cast("string")
@@ -238,6 +242,12 @@ object Profiling {
         "o_totalprice" -> asCents _,
         "o_orderdate" -> asStamp _,
         "o_orderpriority" -> asString _)
+      // NOTE (optimization round 18): fusing the exact multi-distinct
+      // and the HLL sketch into ONE aggregate was tried and is ~3×
+      // SLOWER, not faster — the multi-distinct's Expand rewrite drags
+      // every rider aggregate (the imperative HLL, min/max) onto the
+      // 7×-expanded row stream. Two separate aggregates + a 6-row join
+      // is the right shape; each pass stays in its own fast path.
       val approx = profileApprox(Tables.load(s, d, "orders"), cols)
       val exact = profile(Tables.load(s, d, "orders"), cols)
         .select(col("col_name"), col("n_distinct"))

@@ -465,7 +465,9 @@ object TextAnalysis {
     // each reader replays the subtraction join. The pinned frame is
     // model-sized (vocab × langs), exactly what a production fold
     // persists anyway.
-    nbFinalize(cnt.localCheckpoint(), priors.localCheckpoint())
+    // the two model pins are independent eager jobs — overlap them
+    val Seq(cntP, priorsP) = Par.buildAll(Seq(cnt, priors))(_.localCheckpoint())
+    nbFinalize(cntP, priorsP)
   }
 
   /** Score a `(doc_id, lang, text)` frame against a fitted NB model —
@@ -534,7 +536,9 @@ object TextAnalysis {
         (coalesce(col("dl"), lit(0L)) + coalesce(col("gdl"), lit(0L)))
           .as("dl"))
     // Same pin as nbForget: one materialization of the addition fold.
-    nbFinalize(cnt.localCheckpoint(), priors.localCheckpoint())
+    // the two model pins are independent eager jobs — overlap them
+    val Seq(cntP, priorsP) = Par.buildAll(Seq(cnt, priors))(_.localCheckpoint())
+    nbFinalize(cntP, priorsP)
   }
 
   /** Build-if-absent the PERSISTED NB model for `d` (model/ + langs/
