@@ -1780,7 +1780,13 @@ object Curation {
       val base = docs.select(col("doc_id"),
         substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
           1, 1).isin("0", "1", "2").as("is_test"))
-      val pairs = Dedup.ngramPairs(docs).select(col("doc_a"), col("doc_b"))
+      // Materialized ONCE before fanning out to both orientations —
+      // the Dedup.connectedComponents guard: a union of two
+      // projections of the un-checkpointed frame re-runs the whole
+      // candidate-generation pipeline (shingle explode, df-cap,
+      // self-join) twice (guide §1.2 step 1).
+      val pairs = Dedup.ngramPairs(docs)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("doc_id", "peer")
