@@ -11,15 +11,25 @@ object BenchOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val byName = SparkEntry.specs.map(sp => sp.name -> sp).toMap
-    args.foreach { name =>
-      (1 to 2).foreach { i =>
+    // Passes are INTERLEAVED across the requested queries (the
+    // graft.Bench protocol): a host-steal burst then inflates one pass
+    // of each query instead of every run of whichever query it hit, so
+    // the per-query min stays clean on a contended box.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCHONE_RUNS", "2").toInt
+    val times = (1 to runs).map { i =>
+      args.map { name =>
         val t0 = System.nanoTime()
         byName(name).fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        println(s"TIMING $name run$i: ${(System.nanoTime()-t0)/1e9}")
+        val t = (System.nanoTime() - t0) / 1e9
+        println(s"TIMING $name run$i: $t")
         // isolate runs like graft.Bench does — a query that caches
         // (sim_ivf etc.) would otherwise report a warm-cache run2
         spark.catalog.clearCache()
-      }
+        name -> t
+      }.toMap
+    }
+    args.foreach { name =>
+      println(f"MIN $name: ${times.map(_(name)).min}%.3f")
     }
     spark.stop()
   }

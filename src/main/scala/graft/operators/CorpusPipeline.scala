@@ -87,19 +87,40 @@ object CorpusPipeline {
     // and the gopher word-count rule
     val nt = col("nt")
     val nWords = size(split(nt, " "))
+    val k1Cond = TextAnalysis.qualityScore(nt) >= QualityFloor &&
+      TextAnalysis.predLang(nt) =!= "und" &&
+      nWords.between(15, 10000)
     val k1 = nrm
-      .filter(TextAnalysis.qualityScore(nt) >= QualityFloor &&
-        TextAnalysis.predLang(nt) =!= "und" &&
-        nWords.between(15, 10000))
+      .filter(k1Cond)
       .select(col("doc_id"), col("lang"), col("source"), col("nt"),
         nWords.cast("long").as("n_tok"))
     // stage 4: near-dup dedup, keep the cluster-canonical (min-id)
     // member — banded df-capped candidates, never all-pairs
     val cc = Dedup.connectedComponents(
       Dedup.ngramPairs(k1.select(col("doc_id"), col("nt").as("text"))))
-    val k2 = k1.join(cc, Seq("doc_id"), "left")
-      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
-      .drop("cluster_id")
+    // ONE audit pass over the normalized corpus: every nrm row with its
+    // filter verdict and cluster-canonical verdict, the quality/langid
+    // expression chain evaluated ONCE per row and the cc labels joined
+    // ONCE. Both later stages (the decontamination gram stream and the
+    // k3 survivor base) and the rejects gate's flag columns read THIS
+    // frame — previously each consumer re-ran the k1 filter chain over
+    // the nrm pin (measured 3× in pipeline_corpus, 6× in the rejects
+    // twin). Lazy local checkpoint: no job at construction; the first
+    // execution materializes it once and every other consumer reads the
+    // stored blocks (plan truncation rides along — the rejects plan
+    // carried 5 copies of this subtree).
+    val audit = nrm
+      .select(col("doc_id"), col("lang"), col("source"), col("nt"),
+        nWords.cast("long").as("n_tok"), k1Cond.as("in_k1"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"), col("nt"),
+        col("n_tok"), col("in_k1"),
+        (col("in_k1") && (col("cluster_id").isNull ||
+          col("cluster_id") === col("doc_id"))).as("in_k2"))
+      .localCheckpoint(false)
+    val k2 = audit.filter(col("in_k2"))
+      .select(col("doc_id"), col("lang"), col("source"), col("nt"),
+        col("n_tok"))
     // stage 5: benchmark holdout + decontamination (doc_curate's 4-gram
     // machinery over the NORMALIZED text — the benchmark gram set
     // derives from ALL src0 docs post-normalize, not just survivors:
@@ -115,6 +136,9 @@ object CorpusPipeline {
       // scale, degrades to a shuffled join past broadcast size
       .join(bench, Seq("gh"))
       .select(col("doc_id")).distinct()
+      // two consumers (k3's anti-join and the rejects gate's
+      // contaminated flag) — lazily pinned so the gram join runs once
+      .localCheckpoint(false)
     val k3 = corpus.join(cont, Seq("doc_id"), "left_anti")
     // stage 6: stratified sample — per-language quota in content-hash
     // order, the doc_sample_stratified two-phase salted take (stage-1
@@ -145,7 +169,7 @@ object CorpusPipeline {
       .select(col("doc_id"), col("lang"), col("n_tok"), col("bin_id"))
     Seq("input" -> docs, "normalized" -> nrm, "filtered" -> k1,
       "deduped" -> k2, "decontaminated" -> k3, "sampled" -> k4,
-      "packed" -> packed)
+      "audit" -> audit, "cont" -> cont, "packed" -> packed)
   }
 
   /** The oracle's CTE chain — the ENTIRE pipeline restated in DuckDB
@@ -326,22 +350,31 @@ object CorpusPipeline {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM k4)""".stripMargin) {
       (s, d) =>
       val st = stages(s, d).toMap
-      def flag(df: DataFrame, name: String) =
-        df.select(col("doc_id"), lit(true).as(name))
+      // Single-pass flag audit (guide §1.2 step 1): the `audit` frame
+      // carries in_k1/in_k2 from ONE evaluation of the filter chain and
+      // ONE cc join (previously five per-stage flag joins re-ran the
+      // whole post-nrm chain per flag — the quality/langid expressions
+      // 4×, the decontamination gram join 2×). Only the sampled set
+      // still joins as a presence flag: its window ranks derive from
+      // the same audit frame via k3. Reason semantics are unchanged —
+      // in_k1/in_k2 are booleans on nrm survivors (NULL only when the
+      // doc never reached nrm, which the first branch catches), and a
+      // k2-surviving doc is contaminated iff it is in `cont`.
       st("input")
         .select(col("doc_id"), col("source"))
-        .join(flag(st("normalized"), "in_nrm"), Seq("doc_id"), "left")
-        .join(flag(st("filtered"), "in_k1"), Seq("doc_id"), "left")
-        .join(flag(st("deduped"), "in_k2"), Seq("doc_id"), "left")
-        .join(flag(st("decontaminated"), "in_k3"), Seq("doc_id"), "left")
-        .join(flag(st("sampled"), "in_k4"), Seq("doc_id"), "left")
+        .join(st("audit").select(col("doc_id"), lit(true).as("in_nrm"),
+          col("in_k1"), col("in_k2")), Seq("doc_id"), "left")
+        .join(st("cont").select(col("doc_id"), lit(true).as("contam")),
+          Seq("doc_id"), "left")
+        .join(st("sampled").select(col("doc_id"), lit(true).as("in_k4")),
+          Seq("doc_id"), "left")
         .filter(col("in_k4").isNull)
         .select(col("doc_id"),
           when(col("in_nrm").isNull, "extract_empty")
-            .when(col("in_k1").isNull, "filter")
-            .when(col("in_k2").isNull, "duplicate")
+            .when(!col("in_k1"), "filter")
+            .when(!col("in_k2"), "duplicate")
             .when(col("source") === "src0", "holdout")
-            .when(col("in_k3").isNull, "contaminated")
+            .when(col("contam").isNotNull, "contaminated")
             .otherwise("sampled_out").as("reason"))
     },
 

@@ -130,7 +130,7 @@ object Curation {
       d: String): Seq[(String, org.apache.spark.sql.DataFrame)] = {
     val docs = Tables.documents(s, d)
     // stage 1: quality floor (the shared text_quality kernel)
-    val k1 = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.75)
+    val k1 = docs.filter(curateQualityCond)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
     // stage 2: decontaminate — contaminated ids anti-joined away
     val bench = docs.filter(col("source") === "src0")
@@ -159,14 +159,27 @@ object Curation {
       .agg(min(col("doc_id")).as("doc_id"))
     val k3 = k2.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
     // stage 4: mixture sampling (same thresholds as doc_mixture)
-    val m = k3.filter(
-      substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
-        1, 8) <
-        when(col("source").isInCollection(Seq("src0", "src1", "src2")),
-          "cccccccc").otherwise("40000000"))
+    val m = k3.filter(curateMixCond)
     Seq("input" -> docs, "quality" -> k1, "holdout" -> corpus,
       "decontaminate" -> k2, "dedup" -> k3, "mixture" -> m)
   }
+
+  /** The curate pipeline's mixture-sampling predicate — per-row on
+    * (doc_id, source), shared by the stage filter and the audit gates
+    * (doc_curate_rejects/report evaluate it as a flag column instead of
+    * re-deriving the mixture frame).
+    */
+  private def curateMixCond: org.apache.spark.sql.Column =
+    substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+      1, 8) <
+      when(col("source").isInCollection(Seq("src0", "src1", "src2")),
+        "cccccccc").otherwise("40000000")
+
+  /** The curate pipeline's quality predicate (stage 1), exposed for the
+    * same single-evaluation audit reason.
+    */
+  private def curateQualityCond: org.apache.spark.sql.Column =
+    TextAnalysis.qualityScore(col("text")) >= 0.75
 
   // ---- DSIR kernels (shared by doc_dsir, the persisted serve and the
   //      streaming scorer — one arithmetic, three entry points) ----
@@ -323,7 +336,16 @@ object Curation {
     }).cache()
     val edges = plantedEdges(nodes, n, PrFormulas)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // (src, dst, d) built once and cached — reused by all iterations
+    // (src, dst, d) built once and cached — reused by all iterations.
+    // NOT pre-partitioned by the join key: caching the frames behind a
+    // repartition(src)/repartition(id) (the §2.4 pay-the-shuffle-once
+    // idiom) was A/B-measured ~1.7× SLOWER here — the pinned
+    // shuffle-partition-count cache defeats AQE's runtime coalescing
+    // for every downstream round, and the ten coalesced per-round
+    // exchanges of this tiny frame cost less than ten rounds of
+    // un-coalesced 32-task stages. On a real cluster where the rounds'
+    // exchanges dominate, the pre-partitioned cache is the right call;
+    // at bench scale AQE's coalescing is the bigger lever.
     val ed = edges.join(deg, Seq("src")).cache()
     val r = pagerankRounds(based,
       based.select(col("id"), col("r0").as("r")), ed, PrIters)
@@ -1693,12 +1715,32 @@ object Curation {
         |UNION ALL SELECT 4, 'dedup', (SELECT count(*) FROM k3)
         |UNION ALL SELECT 5, 'mixture', (SELECT count(*) FROM m)"""
         .stripMargin) { (s, d) =>
-      val stages = curateStages(s, d)
-      stages.zipWithIndex.map { case ((name, df), ord) =>
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
-            col("n_docs"))
-      }.reduce(_.unionByName(_))
+      // Three aggregates instead of six count branches (guide §1.2
+      // step 1): input/quality/holdout counts come from ONE scan of
+      // the documents table with the quality predicate evaluated once
+      // as a flag (previously the k1 recompute ran the quality chain
+      // twice — once for the quality count, once for the holdout
+      // count); dedup/mixture counts share ONE scan of k3 with the
+      // per-row mixture predicate as a flag (previously the keep-list
+      // aggregate ran twice). Counts and stage labels are unchanged.
+      val st = curateStages(s, d).toMap
+      val dAgg = st("input").agg(
+        count(lit(1)).as("n_input"),
+        coalesce(sum(when(curateQualityCond, 1L).otherwise(0L)), lit(0L))
+          .as("n_quality"),
+        coalesce(sum(when(curateQualityCond &&
+          col("source") =!= "src0", 1L).otherwise(0L)), lit(0L))
+          .as("n_holdout"))
+      val k2Agg = st("decontaminate").agg(count(lit(1)).as("n_k2"))
+      val k3Agg = st("dedup").agg(count(lit(1)).as("n_k3"),
+        coalesce(sum(when(curateMixCond, 1L).otherwise(0L)), lit(0L))
+          .as("n_m"))
+      dAgg.crossJoin(k2Agg).crossJoin(k3Agg)
+        .select(expr(
+          "stack(6, 0, 'input', n_input, 1, 'quality', n_quality, " +
+            "2, 'holdout', n_holdout, 3, 'decontaminate', n_k2, " +
+            "4, 'dedup', n_k3, 5, 'mixture', n_m) " +
+            "AS (stage_ord, stage, n_docs)"))
     },
 
     // Row-level drop audit — the rejects side-channel of the curation
@@ -1723,18 +1765,26 @@ object Curation {
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin) {
       (s, d) =>
-      val stages = curateStages(s, d).toMap
-      def flag(df: org.apache.spark.sql.DataFrame, name: String) =
-        df.select(col("doc_id"), lit(true).as(name))
-      stages("input")
-        .select(col("doc_id"), col("source"))
-        .join(flag(stages("quality"), "in_k1"), Seq("doc_id"), "left")
-        .join(flag(stages("decontaminate"), "in_k2"), Seq("doc_id"), "left")
-        .join(flag(stages("dedup"), "in_k3"), Seq("doc_id"), "left")
-        .join(flag(stages("mixture"), "in_m"), Seq("doc_id"), "left")
-        .filter(col("in_m").isNull)
+      // Single-pass flag audit (guide §1.2 step 1): the quality and
+      // mixture predicates are PER-ROW on (doc_id, source, text), so
+      // they evaluate once as flag columns on the input scan instead
+      // of re-deriving the k1 and m stage frames for presence joins
+      // (the quality chain and the keep-list aggregate each ran twice
+      // before). Only k2 (the pinned decontaminated survivor set) and
+      // k3 (its keep-list semi-join) remain presence flags. A doc is
+      // outside m iff it is outside k3 or fails the mixture draw;
+      // reason semantics unchanged.
+      val st = curateStages(s, d).toMap
+      st("input")
+        .select(col("doc_id"), col("source"),
+          curateQualityCond.as("in_k1"), curateMixCond.as("mix_ok"))
+        .join(st("decontaminate").select(col("doc_id"),
+          lit(true).as("in_k2")), Seq("doc_id"), "left")
+        .join(st("dedup").select(col("doc_id"), lit(true).as("in_k3")),
+          Seq("doc_id"), "left")
+        .filter(col("in_k3").isNull || !col("mix_ok"))
         .select(col("doc_id"),
-          when(col("in_k1").isNull, "quality")
+          when(!col("in_k1"), "quality")
             .when(col("source") === "src0", "holdout")
             .when(col("in_k2").isNull, "contaminated")
             .when(col("in_k3").isNull, "duplicate")

@@ -838,17 +838,50 @@ object Dedup {
     * rows) once; current serves keep the pre-aggregated summary.
     */
   def incrementalKeepNewIndexedAsOf(indexPath: String,
-      incoming: DataFrame, asOf: Long): DataFrame = {
+      incoming: DataFrame, asOf: Long): DataFrame =
+    incrementalKeepNewIndexedAsOfAll(indexPath, incoming, Seq(asOf)).head
+
+  /** All requested horizons of [[incrementalKeepNewIndexedAsOf]] at
+    * once, the incoming-side derived frames shared: the batch's md5
+    * content hashes and exploded shingle hashes are IDENTICAL at every
+    * horizon (the horizon scopes the INDEX, never the query batch), yet
+    * the per-horizon form re-derived each of them twice per horizon
+    * (once for the stop-list merge, once for the candidate union) — six
+    * evaluations of the incoming explode/hash pipeline for a 3-horizon
+    * serve. Pinned once, eagerly, before the horizons fan out. The
+    * per-horizon ledger-scoped history frames are ALSO pinned (each is
+    * consumed twice — candidate union + df recompute — and its scoped
+    * union/tombstone plan subtree dominated the serve's multi-second
+    * driver-side analysis/codegen gap: the before-plan was 170 KB of
+    * formatted text; pinning truncates it to LogicalRDD leaves). The
+    * pins are construction-only — every byte still derives from the
+    * parquet index and batch per invocation.
+    */
+  def incrementalKeepNewIndexedAsOfAll(indexPath: String,
+      incoming: DataFrame, horizons: Seq[Long]): Seq[DataFrame] = {
     val s = incoming.sparkSession
-    val histSh = protocol(indexPath)
-      .readCommittedStrippedAsOf(s, "shingles", "doc_id", asOf)(d =>
-        s.read.parquet(d))
-    val histHash = protocol(indexPath)
-      .readCommittedStrippedAsOf(s, "hashes", "doc_id", asOf)(d =>
-        s.read.parquet(d))
-    incrementalKeepNewFromFrames(histSh, histHash,
-      histSh.groupBy(col("shh")).agg(count(lit(1)).as("hdf")),
-      incoming)
+    // LAZY pins: plan truncation + single evaluation with NO
+    // construction job — the eager form (pin jobs up front) was
+    // A/B-measured slower at bench scale, where the extra scheduler
+    // round trips cost more than they overlap.
+    val incHashes = incoming
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .localCheckpoint(false)
+    val incSh = Par.fanOut(incoming)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      .localCheckpoint(false)
+    Par.buildAll(horizons) { asOf =>
+      val histSh = protocol(indexPath)
+        .readCommittedStrippedAsOf(s, "shingles", "doc_id", asOf)(d =>
+          s.read.parquet(d)).localCheckpoint(false)
+      val histHash = protocol(indexPath)
+        .readCommittedStrippedAsOf(s, "hashes", "doc_id", asOf)(d =>
+          s.read.parquet(d))
+      incrementalKeepNewFromFrames(histSh, histHash,
+        histSh.groupBy(col("shh")).agg(count(lit(1)).as("hdf")),
+        incoming, Some((incHashes, incSh)))
+    }
   }
 
   /** The incremental-dedup core over explicit history frames — shared
@@ -857,11 +890,13 @@ object Dedup {
     */
   private def incrementalKeepNewFromFrames(histSh: DataFrame,
       histHash: DataFrame, histDf: DataFrame,
-      incoming: DataFrame): DataFrame = {
+      incoming: DataFrame,
+      pinned: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val incIds = incoming.select(col("doc_id"))
     // (a) exact: any smaller-id doc (history or earlier-in-batch) with
     // the same content hash
-    val incHashes = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+    val incHashes = pinned.map(_._1).getOrElse(
+      incoming.select(col("doc_id"), md5(col("text")).as("h")))
     val exactDropped = incHashes
       .join(histHash.union(incHashes)
         .select(col("doc_id").as("other_id"), col("h")), Seq("h"))
@@ -870,9 +905,10 @@ object Dedup {
     // (b) near: union the index pairs with the incoming batch's freshly
     // shingled pairs, cap on union df, then the same incoming-sided
     // candidate join as the non-indexed operator
-    val incSh = Par.fanOut(incoming)
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+    val incSh = pinned.map(_._2).getOrElse(
+      Par.fanOut(incoming)
+        .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("shh")))
     val allSh = histSh.union(incSh)
     // Union df per key = history df + incoming df: the stop list is a
     // full-outer merge of two AGGREGATED frames — history's pair frame
@@ -1548,11 +1584,12 @@ object Dedup {
       asofDedupOracleSql(asofDedupHorizons)) { (s, d) =>
       val root = ensureAsOfDedupIndex(s, d)
       val incoming = Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
-      Par.buildAll(asofDedupHorizons) { case (h, _) =>
-        incrementalKeepNewIndexedAsOf(root, incoming, h.toLong)
-          .select(lit(h.toLong).as("horizon"), col("doc_id"),
+      incrementalKeepNewIndexedAsOfAll(root, incoming,
+        asofDedupHorizons.map(_._1.toLong))
+        .zip(asofDedupHorizons).map { case (df, (h, _)) =>
+          df.select(lit(h.toLong).as("horizon"), col("doc_id"),
             col("lang"), col("source"))
-      }.reduce(_.unionByName(_))
+        }.reduce(_.unionByName(_))
     },
 
     // Floor-bounded retention on the DEDUP index under the value gate:
@@ -1566,11 +1603,12 @@ object Dedup {
       asofDedupOracleSql(asofDedupHorizons.drop(1))) { (s, d) =>
       val root = ensureVacuumedDedupIndex(s, d)
       val incoming = Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
-      Par.buildAll(asofDedupHorizons.drop(1)) { case (h, _) =>
-        incrementalKeepNewIndexedAsOf(root, incoming, h.toLong)
-          .select(lit(h.toLong).as("horizon"), col("doc_id"),
+      incrementalKeepNewIndexedAsOfAll(root, incoming,
+        asofDedupHorizons.drop(1).map(_._1.toLong))
+        .zip(asofDedupHorizons.drop(1)).map { case (df, (h, _)) =>
+          df.select(lit(h.toLong).as("horizon"), col("doc_id"),
             col("lang"), col("source"))
-      }.reduce(_.unionByName(_))
+        }.reduce(_.unionByName(_))
     },
 
     // Transitive-closure corpus dedup: collapse ≥0.8-Jaccard pairs into

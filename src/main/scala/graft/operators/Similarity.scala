@@ -3882,14 +3882,17 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("cent_id"), col("prank"))
       // Pinned once, sliced four times — without the pin each nprobe
-      // branch would replay the assignment join.
-      val cand = probes.join(assigned, Seq("cent_id"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(cosine(col("qv"), col("nv")), 4).as("sim"), col("prank"))
-        .localCheckpoint()
-      val exact = topkOf(e).select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint()
+      // branch would replay the assignment join. The two pins are
+      // independent blocking jobs — overlapped (the NB model-pin-pair
+      // convention, guide §2.6).
+      val Seq(cand, exact) = Par.buildAll(Seq(
+        () => probes.join(assigned, Seq("cent_id"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(cosine(col("qv"), col("nv")), 4).as("sim"), col("prank"))
+          .localCheckpoint(),
+        () => topkOf(e).select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint()))(_.apply())
       Seq(1, 2, 4, 8).map { p =>
         val hits = rankTopK(cand.filter(col("prank") <= p))
           .select(col("query_id"), col("neighbor_id"))

@@ -1150,7 +1150,11 @@ object TimeTravel {
       "q_table_asof",
       (0 to 3).map(asOfHorizonSql).mkString("\nUNION ALL\n")) { (s, d) =>
       val root = ensureLedgeredEvents(s, d)
-      (0 to 3).map(asOfHorizonFrame(s, root, _)).reduce(_.unionByName(_))
+      // independent horizons built concurrently (guide §2.6 — the
+      // q_table_asof_rename convention: per-horizon ledger listings
+      // would otherwise serialize ×4)
+      Par.buildAll((0 to 3).toSeq)(asOfHorizonFrame(s, root, _))
+        .reduce(_.unionByName(_))
     },
 
     // Ledger retention: the four-commit table VACUUMED at floor 2 —
@@ -1429,7 +1433,9 @@ object TimeTravel {
       "q_table_mirror",
       (0 to 3).map(asOfHorizonSql).mkString("\nUNION ALL\n")) { (s, d) =>
       val root = ensureMirroredEvents(s, d)
-      (0 to 3).map(asOfHorizonFrame(s, root, _)).reduce(_.unionByName(_))
+      // concurrent horizons — the q_table_asof note
+      Par.buildAll((0 to 3).toSeq)(asOfHorizonFrame(s, root, _))
+        .reduce(_.unionByName(_))
     },
 
     // FAST-FORWARD branch merge: main froze at the fork, the branch
@@ -1521,7 +1527,10 @@ object TimeTravel {
         }.mkString("\nUNION ALL\n")
       }) { (s, d) =>
       val (_, exp) = ensureBranchedEvents(s, d)
-      Seq((0, 2), (1, 3), (2, 3)).map { case (f, t) =>
+      // independent windows built concurrently (the q_table_cdf note —
+      // each window's construction runs ledger listings that would
+      // otherwise serialize ×3, guide §2.6)
+      Par.buildAll(Seq((0, 2), (1, 3), (2, 3))) { case (f, t) =>
         changesBetweenBranch(s, exp, f.toLong, t.toLong)
           .groupBy(col("_change_type"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
