@@ -895,8 +895,10 @@ object Dedup {
     val incIds = incoming.select(col("doc_id"))
     // (a) exact: any smaller-id doc (history or earlier-in-batch) with
     // the same content hash
+    // batch-bounded; consumed twice (probe side + the history union)
     val incHashes = pinned.map(_._1).getOrElse(
-      incoming.select(col("doc_id"), md5(col("text")).as("h")))
+      incoming.select(col("doc_id"), md5(col("text")).as("h"))
+        .localCheckpoint(false))
     val exactDropped = incHashes
       .join(histHash.union(incHashes)
         .select(col("doc_id").as("other_id"), col("h")), Seq("h"))
@@ -905,10 +907,15 @@ object Dedup {
     // (b) near: union the index pairs with the incoming batch's freshly
     // shingled pairs, cap on union df, then the same incoming-sided
     // candidate join as the non-indexed operator
+    // batch-bounded (never corpus-scale), so the lazy pin is safe: the
+    // incoming explode otherwise re-runs once per consumer of the
+    // capped union (size aggregate + both self-join branches) plus the
+    // stop-list merge
     val incSh = pinned.map(_._2).getOrElse(
       Par.fanOut(incoming)
         .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
-        .select(col("doc_id"), xxhash64(col("sh")).as("shh")))
+        .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+        .localCheckpoint(false))
     val allSh = histSh.union(incSh)
     // Union df per key = history df + incoming df: the stop list is a
     // full-outer merge of two AGGREGATED frames — history's pair frame
@@ -923,16 +930,32 @@ object Dedup {
     // grows with corpus vocabulary; AQE broadcasts it while it is small
     // and falls back to a shuffled anti-join once it is not.
     val capped = allSh.join(stop, Seq("shh"), "left_anti")
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val withN = capped.withColumn("n", count(lit(1)).over(wDoc))
-    val a = withN.select(col("doc_id").as("doc_a"), col("shh"), col("n").as("na"))
-    val b = withN.join(incIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("doc_b"), col("shh"), col("n").as("nb"))
+    // Per-doc capped-shingle counts attach at the PAIR level (one small
+    // doc-keyed aggregate joined twice), not as a row-level window: the
+    // ngramPairs window rationale — avoid re-computing the shingle
+    // pipeline for the aggregate side — does not apply HERE, where the
+    // history side is a parquet read of the persisted index (re-scanning
+    // it for the size aggregate is one cheap columnar pass), while the
+    // window form paid an exchange-by-doc_id plus TWO sorts of the
+    // corpus-scale capped stream (one per self-join branch). The ratio
+    // prune moves after the pair aggregate, which the df cap keeps
+    // bounded (≤ maxDf docs per shingle block, map-side combined);
+    // survivors are identical — the prune was a filter, never a
+    // semantics change.
+    val sz = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = capped.select(col("doc_id").as("doc_a"), col("shh"))
+    val b = capped.join(incIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_b"), col("shh"))
     val nearDropped = a.join(b, Seq("shh"))
-      .filter(col("doc_a") < col("doc_b") &&
-        greatest(col("na"), col("nb")) <= lit(1.25) * least(col("na"), col("nb")))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .filter(greatest(col("na"), col("nb")) <=
+        lit(1.25) * least(col("na"), col("nb")))
       .filter(col("i").cast("double") /
         (col("na") + col("nb") - col("i")) >= 0.8)
       .select(col("doc_b").as("doc_id")).distinct()

@@ -3213,24 +3213,16 @@ object Retrieval {
     // end-to-end. This replaces the coverage-ranker stand-in as the
     // production shape the module comment names.
     QuerySpec("text_hybrid_dense", hybridDenseOracleSql) { (s, d) =>
-      val lex = ranksOf(
-        bm25TopK(s, ensureBm25Index(s, d))
-          .select(col("doc_id"), col("score").as("s")))
-        .withColumnRenamed("r", "br")
-      val dense = Similarity.indexTopK(
-        s, Similarity.ensureIvfIndex(s, d),
-        s.read.parquet(ensureDenseQuery(s, d)), k = TopK)
-        .select(col("neighbor_id").as("doc_id"),
-          col("rank").cast("long").as("dr"))
-      lex.join(dense, Seq("doc_id"), "full")
-        .select(col("doc_id"),
-          coalesce(col("br"), lit(0L)).as("bm25_rank"),
-          coalesce(col("dr"), lit(0L)).as("dense_rank"),
-          round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
-            .as("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-        .limit(TopK)
+      hybridFuse2(
+        () => ranksOf(
+          bm25TopK(s, ensureBm25Index(s, d))
+            .select(col("doc_id"), col("score").as("s")))
+          .withColumnRenamed("r", "br"),
+        () => Similarity.indexTopK(
+          s, Similarity.ensureIvfIndex(s, d),
+          s.read.parquet(ensureDenseQuery(s, d)), k = TopK)
+          .select(col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("dr")))
     },
 
     // Hybrid with the dense leg served from the PERSISTED IVF-PQ
@@ -3244,29 +3236,20 @@ object Retrieval {
     // the full PQ composition (Similarity.ivfPqServeCtes) in place of
     // the float IVF chain.
     QuerySpec("text_hybrid_pq", hybridPqOracleSql) { (s, d) =>
-      val lex = ranksOf(
-        bm25TopK(s, ensureBm25Index(s, d))
-          .select(col("doc_id"), col("score").as("s")))
-        .withColumnRenamed("r", "br")
-      val dense = Similarity.ivfPqTopK(
-        s, Similarity.ensureIvfPqIndex(s, d),
-        s.read.parquet(ensureDenseQuery(s, d)),
-        Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").as("v")),
-        k = TopK)
-        .select(col("neighbor_id").as("doc_id"),
-          col("rank").cast("long").as("dr"))
-      lex.join(dense, Seq("doc_id"), "full")
-        .select(col("doc_id"),
-          coalesce(col("br"), lit(0L)).as("bm25_rank"),
-          coalesce(col("dr"), lit(0L)).as("dense_rank"),
-          round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
-            .as("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-        .limit(TopK)
+      hybridFuse2(
+        () => ranksOf(
+          bm25TopK(s, ensureBm25Index(s, d))
+            .select(col("doc_id"), col("score").as("s")))
+          .withColumnRenamed("r", "br"),
+        () => Similarity.ivfPqTopK(
+          s, Similarity.ensureIvfPqIndex(s, d),
+          s.read.parquet(ensureDenseQuery(s, d)),
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding").as("v")),
+          k = TopK)
+          .select(col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("dr")))
     },
-
     // The hybrid fusion's dense leg from the BINARY index — the
     // cheapest-rung member of the hybrid family ({float 256 B, PQ
     // ~16 B, binary 16 B/row with integer-ALU scoring}): identical
@@ -3277,27 +3260,19 @@ object Retrieval {
     // all hybrid gates certify one lexical construction and one
     // fusion tail.
     QuerySpec("text_hybrid_binary", hybridBinaryOracleSql) { (s, d) =>
-      val lex = ranksOf(
-        bm25TopK(s, ensureBm25Index(s, d))
-          .select(col("doc_id"), col("score").as("s")))
-        .withColumnRenamed("r", "br")
-      val dense = Similarity.ivfBinaryTopK(
-        s, Similarity.ensureIvfBinaryIndex(s, d),
-        s.read.parquet(ensureDenseQuery(s, d)),
-        Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").as("v")),
-        k = TopK)
-        .select(col("neighbor_id").as("doc_id"),
-          col("rank").cast("long").as("dr"))
-      lex.join(dense, Seq("doc_id"), "full")
-        .select(col("doc_id"),
-          coalesce(col("br"), lit(0L)).as("bm25_rank"),
-          coalesce(col("dr"), lit(0L)).as("dense_rank"),
-          round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
-            .as("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-        .limit(TopK)
+      hybridFuse2(
+        () => ranksOf(
+          bm25TopK(s, ensureBm25Index(s, d))
+            .select(col("doc_id"), col("score").as("s")))
+          .withColumnRenamed("r", "br"),
+        () => Similarity.ivfBinaryTopK(
+          s, Similarity.ensureIvfBinaryIndex(s, d),
+          s.read.parquet(ensureDenseQuery(s, d)),
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding").as("v")),
+          k = TopK)
+          .select(col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("dr")))
     },
 
     // The filtered contract on the PQ-backed hybrid — completing the
@@ -3318,28 +3293,20 @@ object Retrieval {
       val allowedIds = Tables.embeddings(s, d)
         .filter(col("label").isin(0, 2, 4, 6, 8))
         .select(col("vec_id"))
-      val lex = ranksOf(
-        bm25TopKFiltered(s, ensureBm25Index(s, d),
-          allowedIds.select(col("vec_id").as("doc_id")))
-          .select(col("doc_id"), col("score").as("s")))
-        .withColumnRenamed("r", "br")
-      val dense = Similarity.ivfBinaryTopK(
-        s, Similarity.ensureIvfBinaryIndex(s, d),
-        s.read.parquet(ensureDenseQuery(s, d)),
-        Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").as("v")),
-        k = TopK, allowed = Some(allowedIds))
-        .select(col("neighbor_id").as("doc_id"),
-          col("rank").cast("long").as("dr"))
-      lex.join(dense, Seq("doc_id"), "full")
-        .select(col("doc_id"),
-          coalesce(col("br"), lit(0L)).as("bm25_rank"),
-          coalesce(col("dr"), lit(0L)).as("dense_rank"),
-          round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
-            .as("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-        .limit(TopK)
+      hybridFuse2(
+        () => ranksOf(
+          bm25TopKFiltered(s, ensureBm25Index(s, d),
+            allowedIds.select(col("vec_id").as("doc_id")))
+            .select(col("doc_id"), col("score").as("s")))
+          .withColumnRenamed("r", "br"),
+        () => Similarity.ivfBinaryTopK(
+          s, Similarity.ensureIvfBinaryIndex(s, d),
+          s.read.parquet(ensureDenseQuery(s, d)),
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding").as("v")),
+          k = TopK, allowed = Some(allowedIds))
+          .select(col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("dr")))
     },
 
     QuerySpec("text_hybrid_pq_filtered", hybridPqFilteredOracleSql) {
@@ -3347,28 +3314,20 @@ object Retrieval {
       val allowedIds = Tables.embeddings(s, d)
         .filter(col("label").isin(0, 2, 4, 6, 8))
         .select(col("vec_id"))
-      val lex = ranksOf(
-        bm25TopKFiltered(s, ensureBm25Index(s, d),
-          allowedIds.select(col("vec_id").as("doc_id")))
-          .select(col("doc_id"), col("score").as("s")))
-        .withColumnRenamed("r", "br")
-      val dense = Similarity.ivfPqTopK(
-        s, Similarity.ensureIvfPqIndex(s, d),
-        s.read.parquet(ensureDenseQuery(s, d)),
-        Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").as("v")),
-        k = TopK, allowed = Some(allowedIds))
-        .select(col("neighbor_id").as("doc_id"),
-          col("rank").cast("long").as("dr"))
-      lex.join(dense, Seq("doc_id"), "full")
-        .select(col("doc_id"),
-          coalesce(col("br"), lit(0L)).as("bm25_rank"),
-          coalesce(col("dr"), lit(0L)).as("dense_rank"),
-          round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
-            .as("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-        .limit(TopK)
+      hybridFuse2(
+        () => ranksOf(
+          bm25TopKFiltered(s, ensureBm25Index(s, d),
+            allowedIds.select(col("vec_id").as("doc_id")))
+            .select(col("doc_id"), col("score").as("s")))
+          .withColumnRenamed("r", "br"),
+        () => Similarity.ivfPqTopK(
+          s, Similarity.ensureIvfPqIndex(s, d),
+          s.read.parquet(ensureDenseQuery(s, d)),
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding").as("v")),
+          k = TopK, allowed = Some(allowedIds))
+          .select(col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("dr")))
     },
 
     // FILTERED dense+lexical hybrid — the production "search within a
@@ -3391,26 +3350,18 @@ object Retrieval {
       val allowedIds = Tables.embeddings(s, d)
         .filter(col("label").isin(0, 2, 4, 6, 8))
         .select(col("vec_id"))
-      val lex = ranksOf(
-        bm25TopKFiltered(s, ensureBm25Index(s, d),
-          allowedIds.select(col("vec_id").as("doc_id")))
-          .select(col("doc_id"), col("score").as("s")))
-        .withColumnRenamed("r", "br")
-      val dense = Similarity.indexTopK(
-        s, Similarity.ensureIvfIndex(s, d),
-        s.read.parquet(ensureDenseQuery(s, d)), k = TopK,
-        allowed = Some(allowedIds))
-        .select(col("neighbor_id").as("doc_id"),
-          col("rank").cast("long").as("dr"))
-      lex.join(dense, Seq("doc_id"), "full")
-        .select(col("doc_id"),
-          coalesce(col("br"), lit(0L)).as("bm25_rank"),
-          coalesce(col("dr"), lit(0L)).as("dense_rank"),
-          round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
-            .as("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-        .limit(TopK)
+      hybridFuse2(
+        () => ranksOf(
+          bm25TopKFiltered(s, ensureBm25Index(s, d),
+            allowedIds.select(col("vec_id").as("doc_id")))
+            .select(col("doc_id"), col("score").as("s")))
+          .withColumnRenamed("r", "br"),
+        () => Similarity.indexTopK(
+          s, Similarity.ensureIvfIndex(s, d),
+          s.read.parquet(ensureDenseQuery(s, d)), k = TopK,
+          allowed = Some(allowedIds))
+          .select(col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("dr")))
     },
 
     // MANY hybrid queries, one distributed job — the batch analog of
@@ -3625,7 +3576,7 @@ object Retrieval {
       subIdx: String, annIdx: String, qd: DataFrame, docs: DataFrame,
       h: Long): DataFrame =
     matrixFuse(s, bmIdx, subIdx, docs, h,
-      Similarity.indexTopK(s, annIdx, qd, k = TopK, asOf = Some(h))
+      () => Similarity.indexTopK(s, annIdx, qd, k = TopK, asOf = Some(h))
         .select(col("neighbor_id").as("doc_id"),
           col("rank").cast("long").as("dr")))
 
@@ -3638,7 +3589,7 @@ object Retrieval {
       subIdx: String, pqIdx: String, qd: DataFrame, docs: DataFrame,
       d: String, h: Long): DataFrame =
     matrixFuse(s, bmIdx, subIdx, docs, h,
-      Similarity.ivfPqTopK(s, pqIdx, qd,
+      () => Similarity.ivfPqTopK(s, pqIdx, qd,
           Similarity.corpus(s, d).select(col("vec_id"), col("v")),
           k = TopK, asOf = Some(h))
         .select(col("neighbor_id").as("doc_id"),
@@ -3649,13 +3600,19 @@ object Retrieval {
     * tail shared by the float and PQ matrix serves.
     */
   private def matrixFuse(s: SparkSession, bmIdx: String, subIdx: String,
-      docs: DataFrame, h: Long, dense: DataFrame): DataFrame = {
-    val lex = ranksOf(bm25TopK(s, bmIdx, asOf = Some(h))
-        .select(col("doc_id"), col("score").as("s")))
-      .withColumnRenamed("r", "br")
-    val sub = substringSearch(s, subIdx, docs, ProbeNeedle,
-        asOf = Some(h))
-      .select(col("doc_id"), lit(1L).as("sub"))
+      docs: DataFrame, h: Long, denseThunk: () => DataFrame): DataFrame = {
+    // the three index legs are independent — their construction-time
+    // work (PQ shortlist micro-batches, ledger listings) overlaps
+    // WITHIN the horizon, on top of the cross-horizon overlap the
+    // callers already run (guide §2.6)
+    val Seq(lex, dense, sub) = Par.buildAll(Seq[() => DataFrame](
+      () => ranksOf(bm25TopK(s, bmIdx, asOf = Some(h))
+          .select(col("doc_id"), col("score").as("s")))
+        .withColumnRenamed("r", "br"),
+      denseThunk,
+      () => substringSearch(s, subIdx, docs, ProbeNeedle,
+          asOf = Some(h))
+        .select(col("doc_id"), lit(1L).as("sub"))))(_.apply())
     lex.join(dense, Seq("doc_id"), "full")
       .join(sub, Seq("doc_id"), "left")
       .select(lit(h).as("horizon"), col("doc_id"),
@@ -3844,15 +3801,41 @@ object Retrieval {
     * embeddings arrive encoded), every file scan in this plan reads an
     * index root or the query frame; the corpus parquet never appears.
     */
+  /** The shared single-query hybrid fuse: two ranked legs (doc_id, br)
+    * / (doc_id, dr) built CONCURRENTLY (each leg's construction runs
+    * small driver jobs — bucket/probe collects, shortlist micro-batches
+    * — that would otherwise serialize; guide §2.6), full-outer fused by
+    * the standard RRF tail. Extracted verbatim from the six hybrid
+    * gates it now serves, which had the identical tail inlined.
+    */
+  private def hybridFuse2(lexThunk: () => DataFrame,
+      denseThunk: () => DataFrame): DataFrame = {
+    val Seq(lex, dense) = Par.buildAll(
+      Seq(lexThunk, denseThunk))(_.apply())
+    lex.join(dense, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("br"), lit(0L)).as("bm25_rank"),
+        coalesce(col("dr"), lit(0L)).as("dense_rank"),
+        round(coalesce(lit(1.0) / (lit(60) + col("br")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 4)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
   private[graft] def hybridFused(s: SparkSession, bmIndex: String,
       ivfIndex: String, queries: DataFrame, k: Int = TopK): DataFrame = {
-    val lex = bm25Batch(s, bmIndex,
-      queries.select(col("query_id"), col("terms")), k)
-      .withColumnRenamed("rank", "br")
-    val dense = Similarity.indexTopK(s, ivfIndex,
-      queries.select(col("query_id"), col("qv")), k = k)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank").as("dr"))
+    // the two legs' construction-time jobs (the lexical batch's term
+    // collect, the dense leg's probe collect + cents count) are
+    // independent — overlapped (guide §2.6)
+    val Seq(lex, dense) = Par.buildAll(Seq[() => DataFrame](
+      () => bm25Batch(s, bmIndex,
+          queries.select(col("query_id"), col("terms")), k)
+        .withColumnRenamed("rank", "br"),
+      () => Similarity.indexTopK(s, ivfIndex,
+          queries.select(col("query_id"), col("qv")), k = k)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("dr"))))(_.apply())
     lex.join(dense, Seq("query_id", "doc_id"), "full")
       .select(col("query_id"), col("doc_id"),
         coalesce(col("br"), lit(0)).cast("long").as("bm25_rank"),
