@@ -930,32 +930,25 @@ object Dedup {
     // grows with corpus vocabulary; AQE broadcasts it while it is small
     // and falls back to a shuffled anti-join once it is not.
     val capped = allSh.join(stop, Seq("shh"), "left_anti")
-    // Per-doc capped-shingle counts attach at the PAIR level (one small
-    // doc-keyed aggregate joined twice), not as a row-level window: the
-    // ngramPairs window rationale — avoid re-computing the shingle
-    // pipeline for the aggregate side — does not apply HERE, where the
-    // history side is a parquet read of the persisted index (re-scanning
-    // it for the size aggregate is one cheap columnar pass), while the
-    // window form paid an exchange-by-doc_id plus TWO sorts of the
-    // corpus-scale capped stream (one per self-join branch). The ratio
-    // prune moves after the pair aggregate, which the df cap keeps
-    // bounded (≤ maxDf docs per shingle block, map-side combined);
-    // survivors are identical — the prune was a filter, never a
-    // semantics change.
-    val sz = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = capped.select(col("doc_id").as("doc_a"), col("shh"))
-    val b = capped.join(incIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("doc_b"), col("shh"))
+    // Row-level window for the per-doc capped counts, NOT a pair-level
+    // size join: the alternative (one doc-keyed aggregate joined onto
+    // the pair frame, ratio prune after the agg) was A/B-measured ~10%
+    // SLOWER across the whole indexed family — the window's exchange is
+    // shared by both self-join branches via ReuseExchange, while the
+    // size-join form re-executes the capped anti-join once per consumer
+    // and loses the pre-aggregation ratio prune. (The r18 ngramPairs
+    // note's aggregate-and-broadcast-back rejection, re-confirmed on
+    // this path.)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val withN = capped.withColumn("n", count(lit(1)).over(wDoc))
+    val a = withN.select(col("doc_id").as("doc_a"), col("shh"), col("n").as("na"))
+    val b = withN.join(incIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_b"), col("shh"), col("n").as("nb"))
     val nearDropped = a.join(b, Seq("shh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .filter(col("doc_a") < col("doc_b") &&
+        greatest(col("na"), col("nb")) <= lit(1.25) * least(col("na"), col("nb")))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("i"))
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
-        Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
-        Seq("doc_b"))
-      .filter(greatest(col("na"), col("nb")) <=
-        lit(1.25) * least(col("na"), col("nb")))
       .filter(col("i").cast("double") /
         (col("na") + col("nb") - col("i")) >= 0.8)
       .select(col("doc_b").as("doc_id")).distinct()

@@ -76,4 +76,34 @@ class CorpusPipelineSpec extends SparkSpec {
         s"doc $docId chunk $chunkIdx: $expect vs $sim")
     }
   }
+
+  test("audit frame: the single-pass in_k1/in_k2 flags agree row-for-row " +
+    "with the filtered/deduped stage memberships, and the cont set is " +
+    "exactly the decontamination drop (the rejects gate's inputs)") {
+    import org.apache.spark.sql.functions.col
+    val st = operators.CorpusPipeline.stages(spark, sf0001).toMap
+    val audit = st("audit")
+      .select($"doc_id", $"in_k1", $"in_k2")
+      .as[(Long, Boolean, Boolean)].collect()
+    val nrmIds = st("normalized").select($"doc_id").as[Long].collect().toSet
+    val k1Ids = st("filtered").select($"doc_id").as[Long].collect().toSet
+    val k2Ids = st("deduped").select($"doc_id").as[Long].collect().toSet
+    // one audit row per normalized doc, flags == stage membership
+    assert(audit.map(_._1).toSet == nrmIds)
+    assert(audit.length == nrmIds.size, "audit must be one row per nrm doc")
+    audit.foreach { case (id, k1, k2) =>
+      assert(k1 == k1Ids.contains(id), s"in_k1 flag wrong for $id")
+      assert(k2 == k2Ids.contains(id), s"in_k2 flag wrong for $id")
+    }
+    // cont = k2's non-holdout members that did NOT survive
+    // decontamination (k3 = corpus anti-join cont)
+    val contIds = st("cont").select($"doc_id").as[Long].collect().toSet
+    val corpusIds = st("deduped").filter(col("source") =!= "src0")
+      .select($"doc_id").as[Long].collect().toSet
+    val k3Ids = st("decontaminated").select($"doc_id").as[Long]
+      .collect().toSet
+    assert(contIds.subsetOf(corpusIds))
+    assert(corpusIds -- contIds == k3Ids,
+      "cont must be exactly the decontamination drop set")
+  }
 }
